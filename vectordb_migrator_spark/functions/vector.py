@@ -1,0 +1,72 @@
+"""Vector math over ``array<float|double>`` columns.
+
+All functions are pure Catalyst expressions built from higher-order
+functions (``zip_with`` / ``aggregate``) — they run inside whole-stage
+codegen on the JVM with no Python boundary, so they vectorize the same
+on local[32] and on a 1000-executor cluster.
+
+The reference has no vector math at all (its vectors are opaque
+``list[float]`` payloads, ``core/adapter.py:33-42``); these functions
+are the compute core for the distance semantics its backends implement
+natively (Qdrant ``distance ∈ {Cosine, Euclid, Dot}``,
+``adapters/qdrant.py:163-169``; Pinecone ``metric``,
+``examples/pgvector_to_pinecone_config.json:23-25``) and for the
+similarity-search / near-dup extension operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column | str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("array<double>")
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Elementwise dot product of two array columns (double precision).
+
+    Left-fold in element order → deterministic across engines, which is
+    what lets the DuckDB oracle reproduce it bit-for-bit after rounding.
+    """
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    diff = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x - y)
+    return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL when either vector has zero norm."""
+    num = dot_product(a, b)
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den != 0.0, num / den)
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Scale a vector to unit L2 norm (zero vectors pass through).
+
+    Pre-normalizing once before a top-k similarity scan turns cosine
+    into a plain dot product — at 100 TB this halves the per-pair work
+    and lets the probe-side norm be computed once.
+    """
+    a = _as_double(a)
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    return F.when(norm == 0.0, a).otherwise(
+        F.transform(a, lambda x: x / norm)
+    )

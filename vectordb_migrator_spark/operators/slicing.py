@@ -1,0 +1,57 @@
+"""Limit / offset / pagination (L1-L3 in SURVEY.md §2.4).
+
+The reference pushes ``LIMIT``/``OFFSET`` into each backend query
+(``adapters/pgvector.py:103-106``, ``adapters/qdrant.py:101-102``,
+``adapters/milvus.py:104-105``) but inherits whatever row order the
+backend happens to return — offset pagination without a total order is
+non-deterministic. Here a slice is always anchored to an explicit sort
+key, and Catalyst still plans it as a TakeOrderedAndProject (top-k per
+partition, merge on one reducer) rather than a global sort, so it is
+scale-safe for the small-k case. For scan *parallelization* at 100 TB,
+do NOT paginate with offset at all — use key-range partition planning
+(see sources/pgvector.py partitioned reads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def limit_offset(
+    df: DataFrame,
+    *,
+    limit: int | None = None,
+    offset: int = 0,
+    order_by: str | Column | list[str | Column] | None = None,
+) -> DataFrame:
+    """Deterministic LIMIT/OFFSET slice.
+
+    With no ``order_by`` the slice is whatever-order ``df.limit`` /
+    ``df.offset`` give (matching the reference's semantics); with an
+    order key it is a stable top-k.
+    """
+    if limit is None and not offset:
+        return df
+    if order_by is None:
+        if offset:
+            df = df.offset(offset)
+        return df.limit(limit) if limit is not None else df
+
+    keys = order_by if isinstance(order_by, list) else [order_by]
+    if limit is not None:
+        # row_number over a global sort would single-thread; instead
+        # take (offset+limit) with TakeOrderedAndProject then drop the
+        # leading offset rows — k is small, the scan stays parallel.
+        sliced = df.orderBy(*keys).limit(offset + limit)
+        if offset:
+            w = W.orderBy(*keys)
+            sliced = (
+                sliced.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") > offset)
+                .drop("__rn")
+            )
+        return sliced
+    out = df.orderBy(*keys)
+    return out.offset(offset) if offset else out

@@ -1,0 +1,123 @@
+"""The migration pipeline — reference orchestrator, Spark-first.
+
+Reference lifecycle (``core/migrator.py:42-111`` + ``cli/migrate.py``):
+config parse/validate → load transform UDF → bind adapters → connect →
+extract (full list in driver RAM) → empty-guard → transform → connect
+target → load → disconnect. Strictly sequential, fully materialized
+between stages.
+
+Here the same config compiles to ONE lazy DataFrame DAG
+(``read → project/filter/limit → mapInPandas(transform) → write``), so
+Catalyst fuses the stages, pushdown reaches the source scan, and
+nothing is ever materialized on the driver. The config schema is
+wire-compatible with the reference (``README.md:26-121``), including
+tolerance for the ``connection_params``/``query_params``/``load_params``
+key aliases used by the reference's Docker example
+(``examples/pgvector_to_milvus_docker_config.json`` — which the
+reference itself fails to read, SURVEY.md header note).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vectordb_migrator_spark.operators.transform import (
+    TransformFn,
+    apply_transform,
+    load_transform_function,
+)
+from vectordb_migrator_spark.sources.registry import get_adapter, list_adapters
+
+_ALIASES = {
+    "connection": ("connection", "connection_params"),
+    "query": ("query", "query_params"),
+    "load": ("load", "load_params"),
+}
+
+
+def _section(side_cfg: dict[str, Any], key: str) -> dict[str, Any]:
+    for k in _ALIASES[key]:
+        if k in side_cfg:
+            return side_cfg[k] or {}
+    return {}
+
+
+def load_config(path_or_dict: str | dict[str, Any]) -> dict[str, Any]:
+    """Parse + validate a migration config (``cli/migrate.py:29-63``).
+
+    Checks: ``source``/``target`` present, each has a ``type``, and the
+    type is registered. Errors raise ``ValueError`` exactly like the
+    reference.
+    """
+    if isinstance(path_or_dict, str):
+        with open(path_or_dict) as f:
+            config = json.load(f)
+    else:
+        config = path_or_dict
+    for side in ("source", "target"):
+        if side not in config:
+            raise ValueError(f"config missing required section: {side!r}")
+        side_cfg = config[side]
+        db_type = side_cfg.get("type")
+        if not db_type:
+            raise ValueError(f"{side} config missing 'type'")
+        if get_adapter(db_type) is None:
+            raise ValueError(
+                f"unsupported {side} type {db_type!r}; supported: {list_adapters()}"
+            )
+    return config
+
+
+class Migrator:
+    """Reference ``DBMigrator`` (``core/migrator.py:20-111``), lazily.
+
+    ``plan`` returns the un-executed DataFrame (extract + transform);
+    ``migrate`` executes plan → sink write and returns success.
+    """
+
+    def __init__(self, spark: SparkSession, config: str | dict[str, Any]):
+        self.spark = spark
+        self.config = load_config(config)
+        self.source_adapter = get_adapter(self.config["source"]["type"])()
+        self.target_adapter = get_adapter(self.config["target"]["type"])()
+
+    def plan(self, transform: TransformFn | None = None) -> DataFrame:
+        src = self.config["source"]
+        df = self.source_adapter.read(
+            self.spark, _section(src, "connection"), _section(src, "query")
+        )
+        if transform is None and self.config.get("transform_module"):
+            transform = load_transform_function(self.config["transform_module"])
+        return apply_transform(df, transform)
+
+    def migrate(
+        self,
+        transform: TransformFn | None = None,
+        *,
+        allow_empty: bool = True,
+    ) -> bool:
+        """Run the pipeline. ``allow_empty=False`` reproduces the
+        reference's abort-on-zero-rows guard (``core/migrator.py:71-74``)
+        at the cost of one extra action; default is the scale-friendly
+        zero-row write."""
+        df = self.plan(transform)
+        if not allow_empty and df.isEmpty():
+            return False
+        tgt = self.config["target"]
+        self.target_adapter.write(
+            df, _section(tgt, "connection"), _section(tgt, "load")
+        )
+        return True
+
+
+def run_migration(
+    spark: SparkSession,
+    config: str | dict[str, Any],
+    transform: TransformFn | None = None,
+) -> bool:
+    """Reference ``vectordb_migration.run_migration``
+    (``__init__.py:24-39`` → ``cli/migrate.py:96``): one-call API."""
+    return Migrator(spark, config).migrate(transform)

@@ -1,0 +1,59 @@
+"""Adapter contract — the Spark re-statement of the reference ABC.
+
+Reference: ``core/adapter.py:12-67`` defines
+``connect/disconnect/extract_data/load_data/get_schema_info`` over
+driver-materialized lists. Here the contract is DataFrame-in /
+DataFrame-out and connections are opened *per executor partition* at
+write time (``foreachPartition``) rather than held as adapter state —
+adapter objects must stay picklable and cheap because they are shipped
+into tasks.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SparkAdapter(ABC):
+    """One backend's read/write edge.
+
+    ``read`` returns the *canonical* DataFrame (``id``, ``vector``,
+    ``metadata`` — see ``canonical.CANONICAL_SCHEMA``) with the
+    reference's query params (projection / filter / limit / offset,
+    ``adapters/pgvector.py:64-108``) applied as lazy DataFrame ops so
+    Catalyst pushes them into the scan.
+
+    ``write`` consumes a canonical DataFrame. Sinks should be
+    idempotent-by-id upserts where the backend allows (the Qdrant
+    model, ``adapters/qdrant.py:224-247``) so Spark task retries are
+    safe; append-only sinks must document the weaker guarantee.
+    """
+
+    name: str = "base"
+
+    @abstractmethod
+    def read(
+        self,
+        spark: SparkSession,
+        connection: dict[str, Any],
+        query: dict[str, Any],
+    ) -> DataFrame: ...
+
+    @abstractmethod
+    def write(
+        self,
+        df: DataFrame,
+        connection: dict[str, Any],
+        load: dict[str, Any],
+    ) -> dict[str, Any]:
+        """Write and return an accounting dict (the Milvus sink's
+        result-accounting shape, ``adapters/milvus.py:266-291``)."""
+
+    def get_schema_info(
+        self, spark: SparkSession, connection: dict[str, Any], entity: str
+    ) -> dict[str, Any]:
+        """Catalog introspection (``core/adapter.py:57-67``)."""
+        raise NotImplementedError
