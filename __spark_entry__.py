@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (smoke, sf0.001).
+``queries()`` — every implemented operator as (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL for the hash-compare gate.
+
+Implementations live in ``vectordb_migrator_spark.suite``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from vectordb_migrator_spark.suite import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: brute-force cosine top-k of a fixed probe against the
+    embeddings corpus joined to per-label counts — exercises scan,
+    vector math core, top-k, and a broadcast join, end to end."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.similarity import cosine_topk
+    from vectordb_migrator_spark.suite import _probe_vector
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = _probe_vector(spark, sf_dir)
+    topk = cosine_topk(emb, probe, k=20)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    return topk.join(F.broadcast(labels), "vec_id").select(
+        "vec_id", "score", F.col("label").cast("long").alias("label")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

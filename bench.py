@@ -1,0 +1,73 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value" (total sec), "unit", "queries": {name:
+sec}, "sf"}.
+
+Each query is forced through a noop datasource write (full
+materialization, no driver collect) so timings reflect the whole plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "pipeline_migrate_plan",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "events_hourly_rollup",
+    "window_top_orders",
+    "x1_dedup_exact_text",
+    "x2_ngram_jaccard_pairs",
+    "x2_minhash_lsh_pairs",
+    "x3_cosine_topk",
+    "x3_knn_join",
+    "x4_ivf_topk",
+    "x5_text_quality",
+    "x5_fingerprint",
+    "x6_multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from vectordb_migrator_spark.session import get_spark
+    from vectordb_migrator_spark.suite import QUERIES
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+
+    # warm the JVM/codegen once on a trivial action
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

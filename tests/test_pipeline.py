@@ -1,0 +1,114 @@
+"""Config-driven pipeline tests (reference layer: tests/test_core.py,
+tests/test_cli.py, tests/test_package.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from vectordb_migrator_spark import Migrator, get_adapter, list_adapters, run_migration
+from vectordb_migrator_spark.plans.pipeline import load_config
+
+
+def _cfg(tmp_path, **query):
+    q = {
+        "path": f"{SF_DIR}/embeddings.parquet",
+        "id_column": "vec_id",
+        "vector_column": "embedding",
+        "metadata_columns": ["label"],
+        **query,
+    }
+    return {
+        "source": {"type": "parquet", "connection": {}, "query": q},
+        "target": {
+            "type": "parquet",
+            "connection": {},
+            "load": {"path": str(tmp_path / "out"), "recreate_table": True},
+        },
+    }
+
+
+def test_registry_surface():
+    # reference tests/test_adapters.py:19-49
+    assert {"pgvector", "qdrant", "milvus", "pinecone"} <= set(list_adapters())
+    assert get_adapter("QDRANT") is not None
+    assert get_adapter("unknown") is None
+
+
+def test_config_validation():
+    # reference cli/migrate.py:46-57 error paths
+    with pytest.raises(ValueError, match="missing required section"):
+        load_config({"source": {"type": "parquet"}})
+    with pytest.raises(ValueError, match="missing 'type'"):
+        load_config({"source": {}, "target": {"type": "parquet"}})
+    with pytest.raises(ValueError, match="unsupported"):
+        load_config({"source": {"type": "nope"}, "target": {"type": "parquet"}})
+
+
+def test_end_to_end_migration(spark, tmp_path):
+    # reference tests/test_package.py:75-190 happy path
+    cfg = _cfg(tmp_path, filter_condition="label >= 5", limit=50)
+    assert run_migration(spark, cfg)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 50
+    assert set(out.columns) == {"id", "vector", "metadata"}
+    labels = {int(r["metadata"]["label"]) for r in out.collect()}
+    assert min(labels) >= 5
+
+
+def test_transform_wiring(spark, tmp_path):
+    # reference tests/test_core.py:121-163 transform application
+    def transform(data):
+        for d in data:
+            d["metadata"]["tagged"] = "yes"
+        return data
+
+    cfg = _cfg(tmp_path, limit=10)
+    assert run_migration(spark, cfg, transform)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert all(r["metadata"]["tagged"] == "yes" for r in out.collect())
+
+
+def test_transform_error_aborts(spark, tmp_path):
+    # reference core/migrator.py:84-87 — transform exception fails the job
+    def bad(data):
+        raise RuntimeError("boom")
+
+    cfg = _cfg(tmp_path, limit=10)
+    with pytest.raises(Exception, match="boom"):
+        run_migration(spark, cfg, bad)
+
+
+def test_alias_param_keys(spark, tmp_path):
+    # the Docker example's *_params keys (which the reference fails on)
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "connection_params": {},
+            "query_params": {
+                "path": f"{SF_DIR}/embeddings.parquet",
+                "id_column": "vec_id",
+                "vector_column": "embedding",
+            },
+        },
+        "target": {
+            "type": "parquet",
+            "load_params": {"path": str(tmp_path / "o"), "recreate_table": True},
+        },
+    }
+    assert run_migration(spark, cfg)
+    assert spark.read.parquet(str(tmp_path / "o")).count() == 500
+
+
+def test_empty_guard(spark, tmp_path):
+    # reference core/migrator.py:71-74 abort-on-empty (opt-in here)
+    cfg = _cfg(tmp_path, filter_condition="label > 999")
+    assert Migrator(spark, cfg).migrate(allow_empty=False) is False
+
+
+def test_plan_is_lazy(spark, tmp_path):
+    df = Migrator(spark, _cfg(tmp_path)).plan()
+    # planning must not have executed anything — df is unmaterialized
+    assert df.schema.simpleString() == (
+        "struct<id:string,vector:array<float>,metadata:map<string,string>>"
+    )

@@ -1,0 +1,105 @@
+"""Similarity search tests (X3/X4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    knn_join,
+    lsh_bucket_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def probe(embeddings):
+    return [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+
+
+def test_cosine_topk_matches_numpy(embeddings, probe):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    p = np.array(probe)
+    sims = (m @ p) / (np.linalg.norm(m, axis=1) * np.linalg.norm(p))
+    order = np.lexsort((ids, -sims))[:10]
+    expected = list(ids[order])
+
+    got = [r["vec_id"] for r in cosine_topk(embeddings, probe, k=10).collect()]
+    assert got == expected
+    # self-similarity: probe is vec_id 0's own embedding
+    assert got[0] == 0
+
+
+def test_knn_join_rank_per_query(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    out = knn_join(queries, corpus, k=4).collect()
+    assert len(out) == 12
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+        # rank 1 is the query itself (it is in the corpus)
+        assert sorted(rows, key=lambda r: r["rank"])[0]["c_id"] == q
+
+
+def test_ivf_matches_numpy_spec(embeddings, probe):
+    """IVF = exact top-k restricted to the nprobe clusters whose mean
+    centroid is most probe-similar — replicate that spec in numpy and
+    require exact agreement."""
+    rows = embeddings.select("vec_id", "label", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    p = np.array(probe)
+
+    def cos(a, b):
+        return (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    cents = {lb: m[labels == lb].mean(axis=0) for lb in set(labels.tolist())}
+    shortlist = sorted(cents, key=lambda lb: (-cos(cents[lb], p), lb))[:2]
+    mask = np.isin(labels, shortlist)
+    sims = (m[mask] @ p) / (np.linalg.norm(m[mask], axis=1) * np.linalg.norm(p))
+    order = np.lexsort((ids[mask], -sims))[:10]
+    expected = list(ids[mask][order])
+
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(
+            embeddings, probe, cluster_col="label", k=10, nprobe=2
+        ).collect()
+    ]
+    assert approx == expected
+
+
+def test_lsh_bucket_contains_probe_bucket(embeddings, probe):
+    planes = np.random.default_rng(7).standard_normal((4, 64)).tolist()
+    out = lsh_bucket_topk(embeddings, probe, planes, k=10).collect()
+    # the probe's own row hashes to its own bucket → always present
+    assert out and out[0]["vec_id"] == 0
+
+
+def test_knn_join_broadcasts_queries(embeddings):
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    plan = (
+        knn_join(queries, corpus, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in plan  # corpus side must not shuffle

@@ -1,0 +1,271 @@
+"""Connector tests with fake clients (reference layer:
+tests/test_qdrant_adapter.py, tests/test_milvus_adapter.py,
+tests/test_pgvector_adapter.py — mocked clients, no live DBs)."""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA
+from vectordb_migrator_spark.sources.milvus import MilvusAdapter, plan_fields
+from vectordb_migrator_spark.sources.pgvector import (
+    PgVectorAdapter,
+    build_select,
+    jdbc_url,
+)
+from vectordb_migrator_spark.sources.qdrant import QdrantAdapter
+
+# ---------------------------------------------------------------- fakes
+# Writes happen inside executor python workers (separate processes), so
+# the fake clients persist to a shared directory (connection["store_dir"])
+# — the only honest way to observe a distributed foreachPartition write.
+import json
+import os
+
+
+class FakeQdrantClient:
+    """File-backed fake qdrant: scroll pages a fixed point set; upsert
+    appends JSONL under store_dir."""
+
+    POINTS = [
+        SimpleNamespace(id=i, vector=[float(i), 0.0], payload={"name": f"p{i}"})
+        for i in range(25)
+    ]
+
+    def __init__(self, connection):
+        self.store = connection.get("store_dir", "/tmp/fake_qdrant")
+
+    def _cfg(self, name):
+        return f"{self.store}/{name}.config.json"
+
+    def scroll(self, collection_name, limit, offset=None, with_payload=True,
+               with_vectors=True, scroll_filter=None):
+        start = offset or 0
+        page = self.POINTS[start : start + limit]
+        nxt = start + len(page)
+        return page, (nxt if nxt < len(self.POINTS) else None)
+
+    def collection_exists(self, name):
+        return os.path.exists(self._cfg(name))
+
+    def delete_collection(self, name):
+        os.remove(self._cfg(name))
+        for f in os.listdir(self.store):
+            if f.startswith(f"{name}.points"):
+                os.remove(f"{self.store}/{f}")
+
+    def create_collection(self, collection_name, vectors_config):
+        with open(self._cfg(collection_name), "w") as f:
+            json.dump(vectors_config, f)
+
+    def upsert(self, collection_name, points):
+        path = f"{self.store}/{collection_name}.points.{os.getpid()}.jsonl"
+        with open(path, "a") as f:
+            for p in points:
+                f.write(json.dumps(p) + "\n")
+
+    def get_collection(self, name):
+        with open(self._cfg(name)) as f:
+            return json.load(f)
+
+
+def qdrant_factory(connection):
+    return FakeQdrantClient(connection)
+
+
+def _read_points(store_dir, name):
+    out = {}
+    for f in sorted(os.listdir(store_dir)):
+        if f.startswith(f"{name}.points"):
+            for line in open(f"{store_dir}/{f}"):
+                p = json.loads(line)
+                out[p["id"]] = p
+    return out
+
+
+def test_qdrant_read_loops_cursor(spark):
+    """The reference truncates at one scroll call (adapters/
+    qdrant.py:99-106); our reader must page to exhaustion."""
+    a = QdrantAdapter(client_factory=qdrant_factory)
+    df = a.read(spark, {}, {"collection_name": "c", "batch_size": 10})
+    rows = df.collect()
+    assert len(rows) == 25  # 3 pages of 10/10/5 — no truncation
+    assert df.schema == CANONICAL_SCHEMA
+
+
+def test_qdrant_read_limit_offset(spark):
+    a = QdrantAdapter(client_factory=qdrant_factory)
+    df = a.read(spark, {}, {"collection_name": "c", "limit": 5, "offset": 2})
+    ids = [r["id"] for r in df.collect()]
+    assert len(ids) == 5 and ids == sorted(ids)
+
+
+def test_qdrant_write_upsert_and_ddl(spark, tmp_path):
+    conn = {"store_dir": str(tmp_path)}
+    a = QdrantAdapter(client_factory=qdrant_factory)
+    df = spark.createDataFrame(
+        [("1", [0.1, 0.2], {"k": "v"}), ("x9", [0.3, 0.4], {})],
+        CANONICAL_SCHEMA,
+    )
+    a.write(df, conn, {"collection_name": "tgt", "distance": "cosine", "batch_size": 1})
+    cfg = FakeQdrantClient(conn).get_collection("tgt")
+    assert cfg["size"] == 2
+    assert cfg["distance"] == "Cosine"  # name mapping
+    points = _read_points(str(tmp_path), "tgt")
+    # C2: digit-string id became int; non-digit stayed str
+    assert set(points) == {1, "x9"}
+    assert points[1]["payload"] == {"k": "v"}
+
+
+def test_qdrant_recreate_collection(spark, tmp_path):
+    conn = {"store_dir": str(tmp_path)}
+    old = FakeQdrantClient(conn)
+    old.create_collection("tgt", {"size": 99})
+    old.upsert("tgt", [{"id": 9, "vector": [0.0], "payload": {}}])
+    a = QdrantAdapter(client_factory=qdrant_factory)
+    df = spark.createDataFrame([("1", [0.5], {})], CANONICAL_SCHEMA)
+    a.write(df, conn, {"collection_name": "tgt", "recreate_collection": True})
+    assert FakeQdrantClient(conn).get_collection("tgt")["size"] == 1
+    assert 9 not in _read_points(str(tmp_path), "tgt")
+
+
+_MILVUS_SCHEMA = {
+    "fields": [
+        {"name": "pk", "is_primary": True, "type": "INT64"},
+        {"name": "vec", "type": "FLOAT_VECTOR"},
+        {"name": "meta_a", "type": "VARCHAR"},
+        {"name": "meta_b", "type": "INT64"},
+    ]
+}
+
+
+class FakeMilvusClient:
+    DATA = [
+        {"pk": i, "vec": [float(i)], "meta_a": f"a{i}", "meta_b": None if i % 2 else i}
+        for i in range(7)
+    ]
+
+    def __init__(self, connection):
+        self.store = connection.get("store_dir", "/tmp/fake_milvus")
+
+    def has_collection(self, name):
+        return name == "col"
+
+    def describe_collection(self, name):
+        return _MILVUS_SCHEMA
+
+    def query(self, collection_name, filter="", output_fields=None):
+        data = self.DATA
+        if filter == "meta_b > 2":
+            data = [d for d in data if d["meta_b"] is not None and d["meta_b"] > 2]
+        return [{k: d[k] for k in (output_fields or d)} for d in data]
+
+    def insert(self, collection_name, data):
+        path = f"{self.store}/{collection_name}.rows.{os.getpid()}.jsonl"
+        with open(path, "a") as f:
+            for r in data:
+                f.write(json.dumps(r) + "\n")
+
+
+def milvus_factory(connection):
+    return FakeMilvusClient(connection)
+
+
+def test_plan_fields():
+    # reference adapters/milvus.py:70-95 introspection semantics
+    pk, vec, scalars = plan_fields(_MILVUS_SCHEMA)
+    assert (pk, vec, scalars) == ("pk", "vec", ["meta_a", "meta_b"])
+    with pytest.raises(ValueError, match="primary key"):
+        plan_fields({"fields": [{"name": "x", "type": "INT64"}]})
+
+
+def test_milvus_read_null_meta_dropped(spark):
+    a = MilvusAdapter(client_factory=milvus_factory)
+    df = a.read(spark, {}, {"collection_name": "col"})
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 7
+    # P3: None-valued meta_b keys omitted (odd pks)
+    assert "meta_b" not in rows["1"]["metadata"]
+    assert rows["2"]["metadata"]["meta_b"] == "2"
+
+
+def test_milvus_filter_expr(spark):
+    a = MilvusAdapter(client_factory=milvus_factory)
+    df = a.read(spark, {}, {"collection_name": "col", "filter_expr": "meta_b > 2"})
+    assert sorted(r["id"] for r in df.collect()) == ["4", "6"]
+
+
+def test_milvus_missing_collection(spark):
+    a = MilvusAdapter(client_factory=milvus_factory)
+    with pytest.raises(ValueError, match="does not exist"):
+        a.read(spark, {}, {"collection_name": "nope"})
+
+
+def test_milvus_write_conform_and_skip_missing_id(spark, tmp_path):
+    # reference adapters/milvus.py:188-233 (C4 skip, C6 conform)
+    conn = {"store_dir": str(tmp_path)}
+    a = MilvusAdapter(client_factory=milvus_factory)
+    df = spark.createDataFrame(
+        [
+            ("1", [0.1], {"meta_a": "x", "unknown": "drop"}),
+            (None, [0.2], {}),
+        ],
+        "id string, vector array<float>, metadata map<string,string>",
+    )
+    a.write(df, conn, {"collection_name": "col"})
+    recs = []
+    for f in os.listdir(tmp_path):
+        if f.startswith("col.rows"):
+            recs += [json.loads(x) for x in open(tmp_path / f)]
+    assert len(recs) == 1  # null-id row skipped
+    assert recs[0] == {"pk": "1", "vec": [0.10000000149011612], "meta_a": "x", "meta_b": None}
+
+    with pytest.raises(ValueError, match="must exist"):
+        a.write(df, conn, {"collection_name": "newcol"})
+
+
+def test_pgvector_sql_construction():
+    # reference tests/test_pgvector_adapter.py:104-105 — exact SQL text
+    sql = build_select(
+        {
+            "table_name": "test_table",
+            "id_column": "id",
+            "vector_column": "embedding",
+            "metadata_columns": ["name", "description"],
+            "filter_condition": "category = 'test'",
+        }
+    )
+    assert sql == (
+        "SELECT id, embedding::text AS embedding, name, description "
+        "FROM test_table WHERE category = 'test'"
+    )
+    assert jdbc_url({"host": "h", "port": 5555, "dbname": "db"}) == (
+        "jdbc:postgresql://h:5555/db"
+    )
+
+
+def test_pgvector_reader_options(spark):
+    a = PgVectorAdapter()
+    reader = a.reader(
+        spark,
+        {"host": "h", "dbname": "d", "user": "u", "password": "p"},
+        {"table_name": "t", "num_partitions": 8, "upper_bound": 1000},
+    )
+    opts = {
+        k: v for k, v in reader._jreader_options().items()
+    } if hasattr(reader, "_jreader_options") else None
+    # fall back: assert via the plan string of the reader's options map
+    # (options not publicly exposed; smoke: load fails only at connect)
+    assert reader is not None
+
+
+def test_pgvector_writer_plan(spark):
+    a = PgVectorAdapter()
+    df = spark.createDataFrame([("1", [0.1, 0.2], {"m": "v"})], CANONICAL_SCHEMA)
+    writer = a.writer(
+        df, {"host": "h"}, {"table_name": "t", "metadata_columns": ["m"], "batch_size": 7}
+    )
+    assert writer is not None  # configuration path; no live server to save to

@@ -1,0 +1,69 @@
+"""Text analysis tests (X5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.functions.text import (
+    lang_id,
+    md5_fingerprint,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world 42!",)], ["t"])
+    row = df.select(
+        token_count_ws("t").alias("ws"), token_count_bpe("t").alias("bpe")
+    ).first()
+    assert row["ws"] == 3
+    # Hello , world 42 ! → 5 BPE-ish tokens
+    assert row["bpe"] == 5
+
+
+def test_punct_ratio(spark):
+    df = spark.createDataFrame([("ab.,",), ("abcd",)], ["t"])
+    vals = [r[0] for r in df.select(punct_ratio("t")).collect()]
+    assert vals == [0.5, 0.0]
+
+
+def test_lang_id_clear_cases(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in that house",),
+            ("der hund und die katze ist nicht ein",),
+            ("el perro y la casa que es un gato en",),
+            ("zzz qqq xxx",),
+        ],
+        ["t"],
+    )
+    vals = [r[0] for r in df.select(lang_id("t")).collect()]
+    assert vals == ["en", "de", "es", "und"]
+
+
+def test_fingerprints_deterministic(spark):
+    df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], ["t"])
+    rolls = [r[0] for r in df.select(rolling_fingerprint("t")).collect()]
+    assert rolls[0] == rolls[1] == 96354  # = Java-style 31-poly hash of "abc"
+    assert rolls[2] != rolls[0]
+    md5s = [r[0] for r in df.select(md5_fingerprint("t")).collect()]
+    assert md5s[0] == "900150983cd24fb0"
+
+
+def test_quality_score_range(documents):
+    vals = [r[0] for r in documents.select(quality_score("text")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_text_ops_stay_jvm_side(documents):
+    plan = (
+        documents.select(
+            token_count_ws("text"), punct_ratio("text"), rolling_fingerprint("text")
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan

@@ -1,0 +1,68 @@
+"""Vector math unit tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_distance,
+    l2_norm,
+    l2_normalize,
+)
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    return spark.createDataFrame(
+        [
+            ([1.0, 0.0], [0.0, 1.0]),
+            ([1.0, 2.0], [3.0, 4.0]),
+            ([1.0, 1.0], [1.0, 1.0]),
+            ([0.0, 0.0], [1.0, 1.0]),
+        ],
+        "a array<float>, b array<float>",
+    )
+
+
+def test_dot_product(pairs):
+    vals = [r[0] for r in pairs.select(dot_product("a", "b")).collect()]
+    assert vals == [0.0, 11.0, 2.0, 0.0]
+
+
+def test_l2_norm(pairs):
+    vals = [r[0] for r in pairs.select(l2_norm("a")).collect()]
+    assert vals[0] == 1.0 and abs(vals[1] - math.sqrt(5)) < 1e-12
+
+
+def test_l2_distance(pairs):
+    vals = [r[0] for r in pairs.select(l2_distance("a", "b")).collect()]
+    assert abs(vals[0] - math.sqrt(2)) < 1e-12
+    assert abs(vals[1] - math.sqrt(8)) < 1e-12
+
+
+def test_cosine(pairs):
+    vals = [r[0] for r in pairs.select(cosine_similarity("a", "b")).collect()]
+    assert vals[0] == 0.0 and vals[2] == pytest.approx(1.0)
+    assert vals[3] is None  # zero-norm → NULL, not NaN
+
+
+def test_normalize(pairs):
+    out = pairs.select(l2_normalize("a").alias("n")).collect()
+    assert out[0]["n"] == [1.0, 0.0]
+    n = out[1]["n"]
+    assert abs(sum(x * x for x in n) - 1.0) < 1e-12
+    assert out[3]["n"] == [0.0, 0.0]  # zero vector passes through
+
+
+def test_codegen_no_python(spark, pairs):
+    """The vector math must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython node may appear in the physical plan."""
+    plan = pairs.select(
+        cosine_similarity("a", "b")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -1,0 +1,118 @@
+"""Self-check harness — replicates the driver's correctness gate.
+
+Runs every ``queries()[name]`` on Spark and its ``oracle_sql()[name]``
+on DuckDB at sf0.01, then compares row count, column names, and an
+order-insensitive value multiset (exact for ints/strings/decimals,
+tolerant to 1e-9 relative for floats — if a float column needs the
+tolerance, the query should round harder, since the driver's hash
+compare is exact).
+
+Usage: python tools/check_oracle.py [query ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm_value(v):
+    import datetime
+    import math
+
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return ("dec", str(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(round(v, 9)))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_value(x)) for k, x in v.items()))
+    return v
+
+
+def compare(name, spark_df, duck_rel) -> tuple[bool, str]:
+    s_cols = sorted(spark_df.columns)
+    d_cols = sorted(duck_rel.columns)
+    if s_cols != d_cols:
+        return False, f"columns differ: spark={s_cols} duck={d_cols}"
+    s_rows = spark_df.collect()
+    d_rows = duck_rel.fetchall()
+    if len(s_rows) != len(d_rows):
+        return False, f"row count: spark={len(s_rows)} duck={len(d_rows)}"
+    d_idx = {c: i for i, c in enumerate(duck_rel.columns)}
+    s_set: dict = {}
+    d_set: dict = {}
+    for r in s_rows:
+        key = tuple(_norm_value(r[c]) for c in s_cols)
+        s_set[key] = s_set.get(key, 0) + 1
+    for r in d_rows:
+        key = tuple(_norm_value(r[d_idx[c]]) for c in s_cols)
+        d_set[key] = d_set.get(key, 0) + 1
+    if s_set != d_set:
+        only_s = [k for k in s_set if s_set[k] != d_set.get(k, 0)][:3]
+        only_d = [k for k in d_set if d_set[k] != s_set.get(k, 0)][:3]
+        return False, f"values differ; spark-only={only_s} duck-only={only_d}"
+    return True, f"{len(s_rows)} rows"
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.01"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+
+    import __spark_entry__ as e
+    from vectordb_migrator_spark.session import get_spark
+
+    spark = get_spark("check_oracle", cpus=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    names = args or list(qs)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            if name in oracles:
+                ok, msg = compare(name, df, con.sql(oracles[name]))
+            else:
+                n = df.count()
+                ok, msg = True, f"rows-only: {n} rows"
+        except Exception as exc:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION: {type(exc).__name__}: {exc}"
+        dt = time.time() - t0
+        status = "MATCH" if ok else "FAIL "
+        print(f"{status} {name:32s} {dt:6.1f}s  {msg}", flush=True)
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(names) - len(failures)}/{len(names)} ok; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,185 @@
+"""Similarity search (X3/X4) — brute-force top-k baseline and
+IVF/LSH-bucketed approximate variants.
+
+The brute-force path is the correctness oracle; IVF (inverted-file
+over coarse centroids) is the scale path: probe only the ``nprobe``
+nearest partitions instead of the whole corpus. Both keep the score
+math in codegen (``functions.vector``); the corpus never crosses the
+Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from vectordb_migrator_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+)
+
+
+def probe_literal(vec: list[float]):
+    """A probe vector as a literal array<double> column — broadcast to
+    every task as part of the plan, no join needed."""
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k of one probe against the corpus.
+
+    One narrow scan computing the score + TakeOrderedAndProject(k) —
+    no shuffle of vectors, no window. This is the plan shape that
+    survives 100 TB: score map-side, merge k rows per partition.
+    """
+    p = probe_literal(probe)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), p), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    metric: str = "cosine",
+) -> DataFrame:
+    """k-NN join: for every query row, the k nearest corpus rows.
+
+    Broadcast the (small) query side against the corpus scan, score in
+    codegen, then per-query top-k via window ``row_number``. The
+    shuffle is (query_id, k) sized — corpus vectors never shuffle.
+    """
+    score = (
+        cosine_similarity(F.col(query_vec), F.col(corpus_vec))
+        if metric == "cosine"
+        else dot_product(F.col(query_vec), F.col(corpus_vec))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .withColumn("score", F.round(score, 6))
+        .select(query_id, corpus_id, "score")
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("score"), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", "rank")
+    )
+
+
+def ivf_build_centroids(
+    df: DataFrame,
+    *,
+    cluster_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantizer centroids = per-cluster mean vector.
+
+    Any partition key works as the coarse assignment (a k-means
+    assignment column, a label, an LSH bucket). Mean-of-arrays via
+    posexplode + groupBy(pos) — one shuffle of (cluster, pos, val).
+    """
+    exploded = df.select(
+        F.col(cluster_col).alias("cluster"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    return (
+        exploded.groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("v"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            "cluster",
+            F.transform(F.col("pv"), lambda s: s.getField("v")).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    cluster_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: rank coarse centroids by probe
+    similarity, scan only the ``nprobe`` best clusters.
+
+    The cluster shortlist is tiny → broadcast into a semi-join, which
+    Catalyst pushes down as a partition-prunable filter when the
+    corpus is written partitioned by ``cluster_col`` — at 100 TB the
+    probe reads nprobe/nlist of the data instead of all of it.
+    """
+    p = probe_literal(probe)
+    centroids = ivf_build_centroids(df, cluster_col=cluster_col, vec_col=vec_col)
+    shortlist = (
+        centroids.select(
+            "cluster", cosine_similarity(F.col("centroid"), p).alias("csim")
+        )
+        .orderBy(F.desc("csim"))
+        .limit(nprobe)
+        .select("cluster")
+    )
+    pruned = df.join(
+        F.broadcast(shortlist), df[cluster_col] == shortlist["cluster"], "left_semi"
+    )
+    return cosine_topk(pruned, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def random_hyperplane_signature(
+    vec_col, planes: list[list[float]]
+):
+    """LSH bit signature: sign of the dot product against each fixed
+    hyperplane (planes generated driver-side with a seeded RNG and
+    inlined as literals — deterministic, no state)."""
+    bits = [
+        F.when(dot_product(vec_col, probe_literal(pl)) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for pl in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for b in bits:
+        sig = F.shiftleft(sig, 1).bitwiseOR(b.cast("long"))
+    return sig
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    probe: list[float],
+    planes: list[list[float]],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: search only rows whose hyperplane signature
+    matches the probe's bucket (recall traded for a ~2^nbits scan
+    reduction). Bucket assignment is codegen; probe bucket folds to a
+    constant at plan time."""
+    sig = random_hyperplane_signature(F.col(vec_col), planes)
+    probe_sig = random_hyperplane_signature(probe_literal(probe), planes)
+    bucketed = df.filter(sig == probe_sig)
+    return cosine_topk(bucketed, probe, k=k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,985 @@
+"""The oracle-checked query suite — one entry per implemented operator.
+
+Each ``QUERIES[name]`` is a ``(spark, sf_dir) -> DataFrame`` callable;
+``ORACLES[name]`` (when present) is the exactly-equivalent ANSI SQL that
+DuckDB runs over the same parquet files. The driver hash-compares the
+two at sf0.01, so every computed column is aliased identically on both
+sides, every integer is cast to BIGINT, every float is rounded, and
+every fold/regex is formulated identically.
+
+Output-type conventions (to survive the driver's schema + value-hash
+compare): ints → long, floats → rounded double, timestamps → formatted
+string. Sums over doubles are cast to DECIMAL pre-aggregation so the
+result is associativity-independent (Spark and DuckDB may reduce in
+different orders; decimal addition is exact).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from vectordb_migrator_spark.canonical import (
+    coerce_id,
+    format_pgvector_text,
+    parse_pgvector_text,
+    to_canonical_columns,
+)
+from vectordb_migrator_spark.functions.text import (
+    LANG_PRIORITY,
+    LANG_STOPWORDS,
+    lang_id,
+    md5_fingerprint,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+    token_count_bpe,
+    token_count_ws,
+)
+from vectordb_migrator_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_text_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from vectordb_migrator_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    fake_decoder,
+)
+from vectordb_migrator_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    knn_join,
+    lsh_bucket_topk,
+)
+from vectordb_migrator_spark.operators.transform import apply_transform
+from vectordb_migrator_spark.plans.pipeline import Migrator
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the events parquet uses TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read ns-as-long and truncate to
+        # micros (exactly DuckDB's ns→µs truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _probe_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Probe = the embedding of a fixed row. One single-row pruned scan;
+    this is a query *parameter*, not data movement."""
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+_PROBE_SQL = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+
+# deterministic LSH hyperplanes (seeded — NOT runtime randomness)
+_PLANES = np.random.default_rng(42).standard_normal((6, 64)).round(6).tolist()
+
+
+# =====================================================================
+# Reference surface (SURVEY.md §2.1-2.8)
+# =====================================================================
+
+
+@query(
+    "s1_scan_projection",
+    """
+    SELECT vec_id AS id, label::BIGINT AS label
+    FROM embeddings WHERE label >= 5 ORDER BY id LIMIT 50
+    """,
+)
+def s1_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P1/F1/L1 — projection+predicate+limit pushed into the parquet
+    scan (reference builds this SELECT by f-string,
+    adapters/pgvector.py:95-106)."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("label") >= 5)
+        .select(F.col("vec_id").alias("id"), F.col("label").cast("long"))
+        .orderBy("id")
+        .limit(50)
+    )
+
+
+@query(
+    "p2_normalize_canonical",
+    """
+    SELECT vec_id::VARCHAR AS id, len(embedding)::BIGINT AS dim,
+           1::BIGINT AS n_meta
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def p2_normalize_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — normalize any layout to the canonical triple
+    (adapters/pgvector.py:117-126)."""
+    canon = to_canonical_columns(
+        _t(spark, sf_dir, "embeddings"),
+        id_column="vec_id",
+        vector_column="embedding",
+        metadata_columns=["label"],
+    )
+    return canon.select(
+        "id",
+        F.size("vector").cast("long").alias("dim"),
+        F.size("metadata").cast("long").alias("n_meta"),
+    ).orderBy(F.col("id").cast("long"))
+
+
+@query(
+    "p3_metadata_null_drop",
+    """
+    SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+           (CASE WHEN l_returnflag = 'N' THEN 1 ELSE 2 END)::BIGINT AS meta_keys
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def p3_metadata_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — NULL-valued metadata keys dropped (adapters/milvus.py:120):
+    build a 2-key map with one key NULLed, count surviving keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    meta = F.map_filter(
+        F.create_map(
+            F.lit("rf"), F.nullif(F.col("l_returnflag"), F.lit("N")),
+            F.lit("ls"), F.col("l_linestatus"),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long"),
+        F.size(meta).cast("long").alias("meta_keys"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "f1_filter_predicate",
+    """
+    SELECT count(*)::BIGINT AS n,
+           sum((l_extendedprice * l_discount)::DECIMAL(18,4))::DECIMAL(18,4)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def f1_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — raw SQL predicate passthrough (adapters/pgvector.py:99-100)
+    exercised via F.expr, TPC-H Q6 shape; decimal sum = order-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        "l_shipdate >= timestamp '1994-01-01' AND "
+        "l_shipdate < timestamp '1995-01-01' AND "
+        "l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    )
+    return li.filter(F.expr(cond)).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+        ).cast("decimal(18,4)").alias("revenue"),
+    )
+
+
+@query(
+    "l1_limit_offset",
+    """
+    SELECT c_custkey, c_name FROM customer
+    ORDER BY c_custkey LIMIT 20 OFFSET 5
+    """,
+)
+def l1_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L2 — deterministic limit/offset anchored to a sort key
+    (reference: adapters/pgvector.py:103-106)."""
+    from vectordb_migrator_spark.operators.slicing import limit_offset
+
+    return limit_offset(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        limit=20,
+        offset=5,
+        order_by="c_custkey",
+    )
+
+
+@query(
+    "c1_pgvector_roundtrip",
+    """
+    SELECT vec_id AS id, len(embedding)::BIGINT AS dim,
+           round(embedding[1]::DOUBLE, 4) AS first_val
+    FROM embeddings ORDER BY id LIMIT 100
+    """,
+)
+def c1_pgvector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — array<float> → pgvector text literal → parsed back
+    (the JDBC bridge both directions, adapters/pgvector.py:120)."""
+    e = _t(spark, sf_dir, "embeddings")
+    parsed = parse_pgvector_text(format_pgvector_text(F.col("embedding")))
+    return (
+        e.select(
+            F.col("vec_id").alias("id"),
+            F.size(parsed).cast("long").alias("dim"),
+            F.round(parsed.getItem(0).cast("double"), 4).alias("first_val"),
+        )
+        .orderBy("id")
+        .limit(100)
+    )
+
+
+@query(
+    "c2_id_coercion",
+    """
+    SELECT doc_id,
+           CASE WHEN regexp_matches(raw, '^[0-9]+$')
+                THEN raw::BIGINT::VARCHAR ELSE raw END AS coerced
+    FROM (SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN '00' || doc_id::VARCHAR
+                      WHEN doc_id % 3 = 1 THEN 'doc-' || doc_id::VARCHAR
+                      ELSE doc_id::VARCHAR END AS raw
+          FROM documents) ORDER BY doc_id
+    """,
+)
+def c2_id_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — digit-string ids canonicalized to ints, other ids pass
+    through (adapters/qdrant.py:219-222)."""
+    d = _t(spark, sf_dir, "documents")
+    raw = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("00"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("doc-"), F.col("doc_id").cast("string")))
+        .otherwise(F.col("doc_id").cast("string"))
+    )
+    return d.select(
+        "doc_id", coerce_id(raw).alias("coerced")
+    ).orderBy("doc_id")
+
+
+@query(
+    "c4_c6_conform_schema",
+    """
+    SELECT o_orderkey::VARCHAR AS id, o_orderpriority AS priority,
+           NULL::VARCHAR AS missing_field
+    FROM orders WHERE o_orderkey % 100 != 7 ORDER BY o_orderkey
+    """,
+)
+def c4_c6_conform_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — rows with NULL id skipped (adapters/milvus.py:188-192);
+    C6 — conform to target schema: unknown keys dropped, missing keys
+    null-filled (adapters/milvus.py:224-233)."""
+    from vectordb_migrator_spark.canonical import conform_to_schema, drop_missing_ids
+
+    o = _t(spark, sf_dir, "orders")
+    canon = o.select(
+        F.when(F.col("o_orderkey") % 100 != 7, F.col("o_orderkey").cast("string")).alias("id"),
+        F.lit(None).cast("array<float>").alias("vector"),
+        F.create_map(
+            F.lit("priority"), F.col("o_orderpriority"),
+            F.lit("extra_key"), F.lit("dropme"),
+        ).alias("metadata"),
+        F.col("o_orderkey").alias("_ord"),
+    )
+    kept = drop_missing_ids(canon)
+    conformed = conform_to_schema(kept, ["priority", "missing_field"])
+    return (
+        conformed.join(kept.select("id", "_ord"), "id")
+        .orderBy("_ord")
+        .select("id", "priority", "missing_field")
+    )
+
+
+@query(
+    "t1_transform_contract",
+    """
+    SELECT vec_id::VARCHAR AS id, label::BIGINT AS label,
+           'sf-test' AS source_db
+    FROM embeddings WHERE label < 8 ORDER BY vec_id
+    """,
+)
+def t1_transform_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2/F4 — the reference-contract transform(data) surface over
+    mapInPandas (core/migrator.py:79-87, examples/add_source_tracking.py):
+    enriches metadata AND drops rows, exactly as user modules may."""
+
+    def transform(data):
+        out = []
+        for item in data:
+            if int(item["metadata"]["label"]) >= 8:
+                continue  # item-level filter (F4)
+            item["metadata"]["source_db"] = "sf-test"
+            out.append(item)
+        return out
+
+    canon = to_canonical_columns(
+        _t(spark, sf_dir, "embeddings"),
+        id_column="vec_id",
+        vector_column="embedding",
+        metadata_columns=["label"],
+    )
+    result = apply_transform(canon, transform)
+    return result.select(
+        "id",
+        F.col("metadata").getItem("label").cast("long").alias("label"),
+        F.col("metadata").getItem("source_db").alias("source_db"),
+    ).orderBy(F.col("id").cast("long"))
+
+
+@query(
+    "pipeline_migrate_plan",
+    """
+    SELECT vec_id::VARCHAR AS id, len(embedding)::BIGINT AS dim,
+           label::BIGINT AS label
+    FROM embeddings WHERE label >= 5 ORDER BY vec_id LIMIT 100
+    """,
+)
+def pipeline_migrate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole config-driven migration pipeline as one lazy plan
+    (reference lifecycle core/migrator.py:42-111) — source, pushdown
+    query params, canonical normalize."""
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "connection": {},
+            "query": {
+                "path": f"{sf_dir}/embeddings.parquet",
+                "id_column": "vec_id",
+                "vector_column": "embedding",
+                "metadata_columns": ["label"],
+                "filter_condition": "label >= 5",
+                "limit": 100,
+            },
+        },
+        "target": {"type": "parquet", "connection": {}, "load": {"path": "/tmp/unused"}},
+    }
+    df = Migrator(spark, cfg).plan()
+    return df.select(
+        "id",
+        F.size("vector").cast("long").alias("dim"),
+        F.col("metadata").getItem("label").cast("long").alias("label"),
+    ).orderBy(F.col("id").cast("long"))
+
+
+@query(
+    "agg_counts",
+    """
+    SELECT 'documents' AS tbl, count(*)::BIGINT AS n FROM documents
+    UNION ALL SELECT 'embeddings', count(*)::BIGINT FROM embeddings
+    UNION ALL SELECT 'events', count(*)::BIGINT FROM events
+    ORDER BY tbl
+    """,
+)
+def agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 — the reference's only aggregation surface: counts
+    (core/migrator.py:76,83; adapters/qdrant.py:93)."""
+    parts = [
+        _t(spark, sf_dir, n).agg(F.count("*").alias("n")).select(F.lit(n).alias("tbl"), "n")
+        for n in ("documents", "embeddings", "events")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("tbl")
+
+
+# =====================================================================
+# Analytics core (joins / aggs / windows — the engine beyond the
+# reference's surface, exercised on the TPC-H-ish tables)
+# =====================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::DECIMAL(18,2))::DECIMAL(18,2) AS sum_qty,
+           sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(18,2) AS sum_base_price,
+           sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DECIMAL(18,4)
+             AS sum_disc_price,
+           count(*)::BIGINT AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: map-side partial agg → 6-group exchange.
+    Decimal casts make the sums reduction-order-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DECIMAL(18,4)
+             AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is the small side → broadcast hint;
+    orders⋈lineitem shuffles on orderkey once and the groupBy reuses
+    that partitioning (no second exchange)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("decimal(18,4)").alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DECIMAL(18,4)
+             AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — region/nation/supplier/customer are
+    dims (broadcast), the fact chain shuffles once on orderkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("decimal(18,4)").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type, count(*)::BIGINT AS n,
+           sum(value::DECIMAL(18,2))::DECIMAL(18,2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (the batch twin of the streaming path in
+    streaming/incremental.py): hour × event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           sum((json_extract_string(props, '$.k')::BIGINT)) ::BIGINT AS sum_k,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON props → typed column, then agg (the JSONB
+    metadata pattern, docker/pgvector_init/init.sql:4-8)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "window_top_orders",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               ::BIGINT AS rn
+      FROM orders)
+    WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+)
+def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per key — one hash exchange on the partition key,
+    in-partition sort only (no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# =====================================================================
+# X1/X2 — deduplication
+# =====================================================================
+
+
+@query(
+    "x1_dedup_exact_text",
+    """
+    SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+    FROM documents GROUP BY substr(md5(text), 1, 16)
+    ORDER BY keep_id
+    """,
+)
+def x1_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact text dedup by content hash; only the 24-byte
+    (hash, id) pair crosses the shuffle, never the document."""
+    return exact_text_dedup(_t(spark, sf_dir, "documents")).orderBy("keep_id")
+
+
+@query(
+    "x1_dedup_exact_vector",
+    """
+    SELECT min(vec_id) AS keep_id, count(*)::BIGINT AS n_dups
+    FROM embeddings GROUP BY embedding ORDER BY keep_id
+    """,
+)
+def x1_dedup_exact_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact vector dedup (group directly on the float array)."""
+    from vectordb_migrator_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(
+        _t(spark, sf_dir, "embeddings"), ["embedding"], "vec_id"
+    ).orderBy("keep_id")
+
+
+@query(
+    "x2_ngram_jaccard_pairs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(count(*)::DOUBLE /
+                 (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE, 6)
+             AS jaccard
+    FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING count(*)::DOUBLE /
+           (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.05
+    ORDER BY id_a, id_b
+    """,
+)
+def x2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — exact n-gram Jaccard near-dup pairs; the shingle equi-join
+    is the blocking (non-overlapping pairs never meet)."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.05
+    ).orderBy("id_a", "id_b")
+
+
+@query("x2_minhash_lsh_pairs")  # xxhash64 signatures — not SQL-expressible
+def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — MinHash+LSH candidate pairs, exact-Jaccard verified.
+    Verified against x2_ngram_jaccard_pairs in tests (every LSH pair
+    above threshold must appear in the exact pair set)."""
+    return minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+@query("x2_simhash_pairs")  # xxhash64 bit votes — not SQL-expressible
+def x2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — SimHash near-dup pairs (Hamming ≤ 8 on 64-bit fingerprints,
+    4×16-bit band blocking)."""
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "x2_embedding_near_dup",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v), 6) AS cos
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def x2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — embedding-cosine near-dup pairs, blocked by label (the
+    blocked self-join IS the 100 TB path; blocks bound the quadratic)."""
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        block_col="label",
+        threshold=0.8,
+    ).orderBy("id_a", "id_b")
+
+
+# =====================================================================
+# X3/X4 — similarity search
+# =====================================================================
+
+
+@query(
+    "x3_cosine_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM embeddings, p
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — brute-force cosine top-k (the exact baseline): score in
+    codegen, TakeOrderedAndProject(k), no shuffle of vectors."""
+    probe = _probe_vector(spark, sf_dir)
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), probe, k=10)
+
+
+@query(
+    "x3_knn_join",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS c_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+      FROM embeddings e, q
+    )
+    SELECT * FROM (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, c_id)::BIGINT AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+)
+def x3_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — k-NN join: broadcast query side × corpus scan, per-query
+    window top-k; shuffle is (n_queries × k) rows only."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return knn_join(queries, corpus, k=5).orderBy("q_id", "rank")
+
+
+@query(
+    "x4_ivf_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    cent AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, range(1, 65) t(i) GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             sum(c.cv * p.pv[i]) /
+             (sqrt(sum(c.cv * c.cv)) * sqrt(sum(p.pv[i] * p.pv[i]))) AS sim
+      FROM cent c, p GROUP BY c.label
+    ),
+    shortlist AS (SELECT label FROM csim ORDER BY sim DESC, label LIMIT 2)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM embeddings, p
+    WHERE label IN (SELECT label FROM shortlist)
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — IVF approximate top-k: per-label mean centroids as the
+    coarse quantizer, nprobe=2; scans nprobe/nlist of the corpus."""
+    probe = _probe_vector(spark, sf_dir)
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        probe,
+        cluster_col="label",
+        k=10,
+        nprobe=2,
+    )
+
+
+@query("x4_lsh_bucket_topk")  # plane literals replicable but the bucket
+# pruning makes the result recall-dependent; verified in tests against
+# the exact top-k instead.
+def x4_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — random-hyperplane LSH bucketed ANN (seeded deterministic
+    planes inlined as literals)."""
+    probe = _probe_vector(spark, sf_dir)
+    return lsh_bucket_topk(
+        _t(spark, sf_dir, "embeddings"), probe, _PLANES, k=10
+    )
+
+
+# =====================================================================
+# X5 — text analysis
+# =====================================================================
+
+_SW_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in LANG_STOPWORDS.items()
+}
+
+_LANG_SCORE_SQL = {
+    lang: (
+        f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"t -> list_contains({_SW_SQL[lang]}, t)))"
+    )
+    for lang in LANG_STOPWORDS
+}
+
+
+@query(
+    "x5_text_quality",
+    rf"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars_calc,
+           len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS tok_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT
+             AS tok_bpe,
+           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE /
+                 length(text)::DOUBLE, 6) AS punct_r,
+           round({_LANG_SCORE_SQL['en']}::DOUBLE /
+                 len(string_split_regex(lower(trim(text)), '\s+'))::DOUBLE, 6)
+             AS stop_r
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x5_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — quality metrics: lengths, token counts (whitespace +
+    BPE-ish regex), punctuation ratio, stopword ratio. All codegen."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        token_count_ws("text").cast("long").alias("tok_ws"),
+        token_count_bpe("text").cast("long").alias("tok_bpe"),
+        F.round(punct_ratio("text"), 6).alias("punct_r"),
+        F.round(stopword_ratio("text"), 6).alias("stop_r"),
+    ).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    s = {lang: _LANG_SCORE_SQL[lang] for lang in LANG_PRIORITY}
+    cases = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        later = [s[o] for o in LANG_PRIORITY[i + 1 :]]
+        conds = [f"{s[lang]} > 0"] + [f"{s[lang]} >= {o}" for o in later] + [
+            f"{s[lang]} > {s[o]}" for o in LANG_PRIORITY[:i]
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return (
+        "SELECT doc_id, CASE "
+        + " ".join(cases)
+        + " ELSE 'und' END AS lang_pred FROM documents ORDER BY doc_id"
+    )
+
+
+@query("x5_langid", None)  # oracle attached below (computed string)
+def x5_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — stopword-hit language ID with deterministic priority
+    arg-max."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", lang_id("text").alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["x5_langid"] = _langid_sql()
+
+
+@query(
+    "x5_fingerprint",
+    r"""
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT,
+                         [ascii(c)::BIGINT for c in string_split(text, '')]),
+                       (s, x) -> (s * 31 + x) % 1000000007) AS roll_fp,
+           substr(md5(text), 1, 16) AS md5_fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — document fingerprints: polynomial rolling hash (codegen
+    fold) + md5 prefix."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_fingerprint("text").alias("roll_fp"),
+        md5_fingerprint("text").alias("md5_fp"),
+    ).orderBy("doc_id")
+
+
+# =====================================================================
+# X6 — multimodal
+# =====================================================================
+
+
+@query(
+    "x6_multimodal_features",
+    r"""
+    SELECT doc_id, 'text' AS modality,
+           octet_length(text::BLOB)::BIGINT AS n_bytes,
+           list_reduce(list_prepend(0::BIGINT,
+                         [ascii(c)::BIGINT for c in string_split(text, '')]),
+                       (s, x) -> (s * 31 + x) % 1000000007) AS checksum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x6_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — binary payload plumbing: bytes + typed metadata through
+    mapInPandas feature extraction (decode stubbed; deterministic fake
+    decoder — ASCII text makes byte checksum == char rolling hash,
+    which is what the oracle verifies)."""
+    d = attach_payload(_t(spark, sf_dir, "documents"))
+    feats = extract_features(d, decoder=fake_decoder)
+    return feats.select(
+        "doc_id", "modality", F.col("n_bytes").cast("long"), "checksum"
+    ).orderBy("doc_id")
+
+
+# =====================================================================
+# X7 — sketches
+# =====================================================================
+
+
+@query("x7_approx_distinct")  # HLL sketches differ across engines →
+# rows-only check; exactness is asserted in tests vs countDistinct.
+def x7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — approx_count_distinct (HLL++): mergeable sketch, one pass,
+    no exact-distinct shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
