@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from vectordb_migrator_spark.functions.text import md5_fingerprint
 from vectordb_migrator_spark.functions.vector import cosine_similarity, l2_normalize
+from vectordb_migrator_spark.operators.util import fan_out
 
 
 # ---------------------------------------------------------------- exact
@@ -90,20 +91,44 @@ def ngram_jaccard_pairs(
     appearing in >X% of docs) to bound the hottest join keys — the
     ``max_df`` parameter below.
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"),
         shingles(text_col, n).alias("sh"),
     ).withColumn("sh_n", F.size("sh"))
     exploded = sh.select("id", "sh_n", F.explode("sh").alias("g"))
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("sh_n").alias("n_a"), "g"
+    # ONE shuffle (groupBy gram), then pair generation inside each
+    # gram bucket via a nested-transform cross of the collected
+    # (id, n) structs — replaces the exploded self-join (which would
+    # shuffle both sides and sort-merge). Bucket size is bounded by
+    # gram document-frequency; at 100 TB cap it by dropping grams with
+    # df > max_df (stopword-like shingles carry no dedup signal and
+    # are exactly the skewed keys).
+    buckets = exploded.groupBy("g").agg(
+        F.collect_list(F.struct("id", "sh_n")).alias("docs")
     )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("sh_n").alias("n_b"), "g"
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("docs"),
+                    lambda b: F.when(
+                        a.getField("id") < b.getField("id"),
+                        F.struct(
+                            a.getField("id").alias("id_a"),
+                            b.getField("id").alias("id_b"),
+                            a.getField("sh_n").alias("n_a"),
+                            b.getField("sh_n").alias("n_b"),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("common"))
         .withColumn(
@@ -119,19 +144,56 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------- MinHash-LSH
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature as an array<long>: ``sig[i] = min over
-    shingles of xxhash64(shingle ++ '#' ++ i)``. Nested ``transform``
-    over a literal seed sequence — fully codegen, no UDF, and
-    deterministic across runs/engines (xxhash64 with Spark's fixed
-    seed)."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+import numpy as np
+
+# Fixed permutation constants for the 2-universal family
+# ``h -> (a*h + b) mod p`` with Mersenne prime p = 2^31 - 1. A plain
+# multiply-add WITHOUT the modulus is order-preserving (strictly
+# increasing in h), so min() would pick the same element under every
+# "permutation" — the modulus is what actually scrambles the order
+# (the affine image wraps ~a times across the domain). Ranges keep
+# every intermediate below 2^63 for ANSI arithmetic: h < p < 2^31 and
+# a < p give a*h + b < 2^62 + 2^31. Seeded → deterministic runs.
+_MERSENNE_P = (1 << 31) - 1
+_MASK32 = (1 << 32) - 1
+_rng = np.random.default_rng(1234567)
+_MINHASH_A = [int(a) for a in _rng.integers(1, _MERSENNE_P, size=256)]
+_MINHASH_B = [int(b) for b in _rng.integers(0, _MERSENNE_P, size=256)]
+
+
+def minhash_hash(col: Column) -> Column:
+    """Base hash of one shingle into [0, p): xxhash64 → low 32 bits →
+    mod p. Computed once per shingle, shared by all permutations."""
+    return F.pmod(F.xxhash64(col).bitwiseAND(F.lit(_MASK32)), F.lit(_MERSENNE_P))
+
+
+def minhash_signature(hash_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as array<long> over a *pre-hashed* shingle
+    array (``hash_col = transform(shingles, minhash_hash)``, values in
+    [0, p)): ``sig[i] = min over h of ((h * A_i + B_i) mod p)``.
+
+    Each shingle is hashed ONCE; the per-permutation work is a long
+    multiply-add-mod, far cheaper than re-hashing the shingle string
+    per permutation. One expression tree, so the engine evaluates it
+    in a single projection.
+    """
+    seeds = F.array(
+        *[
+            F.struct(
+                F.lit(_MINHASH_A[i]).alias("a"), F.lit(_MINHASH_B[i]).alias("b")
+            )
+            for i in range(num_hashes)
+        ]
+    )
     return F.transform(
         seeds,
-        lambda i: F.array_min(
+        lambda ab: F.array_min(
             F.transform(
-                shingle_col,
-                lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))),
+                hash_col,
+                lambda h: F.pmod(
+                    h * ab.getField("a") + ab.getField("b"),
+                    F.lit(_MERSENNE_P),
+                ),
             )
         ),
     )
@@ -144,60 +206,88 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
     rows-per-band r = num_hashes/bands → the usual S-curve with
-    threshold ≈ (1/bands)^(1/r). Candidates sharing ≥1 band bucket are
-    verified with exact shingle Jaccard, so output has no false
-    positives; recall is tunable via (bands, num_hashes).
+    threshold ≈ (1/bands)^(1/r). Default (64, 32) → r=2: a j=0.5 pair
+    collides with p = 1-(1-0.25)^32 ≈ 0.9999, so recall on clear dups
+    is near-certain; the shallower S-curve admits more low-j candidates
+    but the exact-Jaccard verify step removes every false positive, so
+    extra candidates cost verify time, never correctness. Raise r for
+    a sharper curve when the corpus is huge and the threshold high.
     """
     r = num_hashes // bands
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
     )
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # hash each shingle once, then exchange: fan_out parallelizes the
+    # signature compute AND the shuffle boundary stops projection
+    # collapse from inlining (= re-evaluating) the base-hash array into
+    # each of the 64 permutation folds.
+    hashed = fan_out(
+        sh.withColumn("hv", F.transform(F.col("sh"), minhash_hash))
+    )
+    sig = hashed.withColumn("sig", minhash_signature(F.col("hv"), num_hashes))
+    # band keys only — the shingle arrays do NOT ride through the
+    # banding shuffle; candidates are (id, id) pairs and the arrays are
+    # joined back just for the verify step. At 100 TB this is the
+    # difference between shuffling ids and shuffling documents.
+    # single explode expression (NOT 16 unrolled refs of `sig`:
+    # projection collapse would inline the 64-hash signature once per
+    # band — measured 8× slower).
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * r + 1, r),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
+                lambda b: F.xxhash64(
+                    b,
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    ),
                 ),
             )
-        ).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket"
+        ).alias("bucket"),
     )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket"
+    buckets = banded.groupBy("bucket").agg(F.collect_list("id").alias("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("ids"),
+                    lambda b: F.when(
+                        a < b, F.struct(a.alias("id_a"), b.alias("id_b"))
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
     )
     cands = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cands.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-    ).filter(F.col("jaccard") >= jaccard_threshold)
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -247,7 +337,7 @@ def simhash_near_dup_pairs(
     share a chunk (guaranteed complete for distance ≤ 3 with 4 bands;
     wider distances are best-effort recall, standard practice). Shared
     chunk → candidate → exact popcount verify."""
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    sigs = fan_out(df).select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
     chunks = sigs.select(
         "id",
         "sig",

@@ -1,0 +1,23 @@
+"""Operator utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions for CPU-heavy per-row work.
+
+    The local testdata parquet has one row group per file, so scans
+    come up single-partition and per-row compute (minhash signatures,
+    simhash bit votes) would single-thread. On a real cluster the scan
+    is already partition-parallel and this is a no-op (the condition
+    fails), so the explicit exchange only exists where it pays for
+    itself. Uses repartition with an explicit count — AQE does not
+    coalesce user-specified partition numbers back down.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
