@@ -24,6 +24,10 @@ HEADLINE = [
     "q5_region_revenue",
     "events_hourly_rollup",
     "window_top_orders",
+    "rollup_pricing",
+    "q18_large_orders",
+    "asof_purchase_click",
+    "sessionize_events",
     "x1_dedup_exact_text",
     "x2_ngram_jaccard_pairs",
     "x2_minhash_lsh_pairs",

@@ -1,0 +1,98 @@
+"""asof_join / sessionize edge-case tests (hand-built frames)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.operators.relational import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_no_match(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),  # after both rights
+            (2, "u1", _ts("2024-01-01 08:00:00")),  # exactly at right ts
+            (3, "u1", _ts("2024-01-01 07:00:00")),  # before any right
+            (4, "u2", _ts("2024-01-01 10:00:00")),  # key with no rights
+        ],
+        ["id", "user", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 08:00:00"), "a"),
+            ("u1", _ts("2024-01-01 09:30:00"), "b"),
+        ],
+        ["user", "ts", "tag"],
+    )
+    out = {
+        r["id"]: (r["ts_r"], r["tag_r"])
+        for r in asof_join(left, right, "user").collect()
+    }
+    assert out[1] == (_ts("2024-01-01 09:30:00"), "b")  # most recent
+    assert out[2] == (_ts("2024-01-01 08:00:00"), "a")  # inclusive tie
+    assert out[3] == (None, None)  # nothing at-or-before
+    assert out[4] == (None, None)  # key absent from right
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 10:00:00"))], ["id", "user", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 08:00:00"), "old")], ["user", "ts", "tag"]
+    )
+    within = asof_join(
+        left, right, "user", tolerance_micros=3 * 3600 * 1_000_000
+    ).collect()[0]
+    beyond = asof_join(
+        left, right, "user", tolerance_micros=1 * 3600 * 1_000_000
+    ).collect()[0]
+    assert within["tag_r"] == "old"
+    assert beyond["tag_r"] is None
+
+
+def test_sessionize_gap_boundaries(spark):
+    # gaps: 10s (same session), exactly 60s (same — strict >), 61s (new)
+    rows = [
+        ("u1", _ts("2024-01-01 10:00:00")),
+        ("u1", _ts("2024-01-01 10:00:10")),
+        ("u1", _ts("2024-01-01 10:01:10")),  # +60s → same session
+        ("u1", _ts("2024-01-01 10:02:11")),  # +61s → new session
+        ("u2", _ts("2024-01-01 10:00:00")),
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts"])
+    s = sessionize(df, "user", "ts", gap_micros=60 * 1_000_000)
+    got = {
+        (r["user"], r["ts"].isoformat()): r["session_id"] for r in s.collect()
+    }
+    assert got[("u1", "2024-01-01T10:00:00")] == 1
+    assert got[("u1", "2024-01-01T10:01:10")] == 1
+    assert got[("u1", "2024-01-01T10:02:11")] == 2
+    assert got[("u2", "2024-01-01T10:00:00")] == 1
+
+    stats = session_stats(df, "user", "ts", gap_micros=60 * 1_000_000)
+    by_key = {(r["user"], r["session_id"]): r for r in stats.collect()}
+    assert by_key[("u1", 1)]["n_events"] == 3
+    assert by_key[("u1", 1)]["duration_s"] == 70
+    assert by_key[("u1", 2)]["n_events"] == 1
+    assert by_key[("u1", 2)]["duration_s"] == 0
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The as-of join must be ONE exchange on the key — no join node,
+    no cross product in the physical plan."""
+    left = spark.createDataFrame([(1, "u", _ts("2024-01-01 00:00:00"))], ["id", "user", "ts"])
+    right = spark.createDataFrame([("u", _ts("2024-01-01 00:00:00"), 1.0)], ["user", "ts", "v"])
+    plan = asof_join(left, right, "user")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # key exchange (+ AQE reuse artifacts)

@@ -1,0 +1,172 @@
+"""Relational extension operators Spark lacks as single built-ins:
+as-of (temporal) join and gap-based sessionization.
+
+Both are implemented as *compositions of shuffle-once DataFrame
+primitives* — no UDFs, no range explosion:
+
+- **as-of join**: union the two sides tagged by origin, ONE hash
+  exchange on the join key, in-partition sort by (ts, side), then a
+  running ``last(right_payload, ignorenulls)`` window carries the most
+  recent right row forward to each left row. Cost = one shuffle of
+  (key, ts, payload-struct) — the same shape as a groupBy, regardless
+  of how many right rows precede each left row. The naive alternative
+  (inequality join + max) is a per-key cross product; this is linear.
+- **sessionize**: lag + running sum over the same (key, ts) window —
+  one exchange, one sort, state O(1) per row.
+
+At 100 TB both shuffle only the key, the timestamp, and the carried
+payload columns; skew is bounded by the hottest single key (mitigate
+upstream with key salting if one user dominates).
+
+Reference parity note: the reference has no temporal operators at all
+(SURVEY.md §2.8 "explicitly absent"); these are north-star extensions
+for event/training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_micros: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward inclusive as-of join: for every left row, attach the
+    most recent right row with ``right.ts <= left.ts`` and equal keys
+    (NULL columns when none exists — left-outer semantics).
+
+    ``right_cols`` limits which right columns are carried (default:
+    all non-key, non-ts columns); the matched right timestamp is
+    always attached as ``{right_ts}{suffix}``. ``tolerance_micros``
+    drops matches older than the window (result columns become NULL).
+
+    Ties: right rows sort before left rows at equal timestamps
+    (inclusive semantics); among right rows with identical
+    (key, ts) the carried payload is the last in (ts, remaining
+    column) order — output any ts-level field and the result is
+    deterministic regardless of which tied row wins.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    payload_fields = [F.col(right_ts).alias(right_ts + suffix)] + [
+        F.col(c).alias(c + suffix) for c in right_cols
+    ]
+    payload_t = right.select(F.struct(*payload_fields).alias("_p")).schema[
+        0
+    ].dataType
+
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(payload_t).alias("_p"),
+    )
+    r_tagged = right.select(
+        *[
+            (
+                F.col(c)
+                if c in keys
+                else F.lit(None).cast(left.schema[c].dataType)
+            ).alias(c)
+            for c in left.columns
+        ],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*payload_fields).alias("_p"),
+    )
+
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = F.last("_p", ignorenulls=True).over(w)
+    if tolerance_micros is not None:
+        carried = F.when(
+            F.unix_micros(F.col("_ts"))
+            - F.unix_micros(carried.getField(right_ts + suffix))
+            <= F.lit(tolerance_micros),
+            carried,
+        )
+    out = (
+        u.withColumn("_match", carried)
+        .filter(F.col("_side") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.col("_match").getField(f.name).alias(f.name)
+                for f in payload_t.fields
+            ],
+        )
+    )
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    gap_micros: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the
+    time since the previous event of the same key exceeds ``gap``.
+
+    Adds ``session_id`` (1-based per key, ordered by time). Session
+    *boundaries* depend only on the sorted timestamp sequence, so
+    session-level aggregates are deterministic even with timestamp
+    ties; ``tiebreak_cols`` additionally pins per-row assignment.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = W.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_session = (
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - prev) > F.lit(gap_micros))
+    ).cast("long")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn("session_id", F.sum(new_session).over(run))
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    gap_micros: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Session-level rollup: one row per (key, session) with start,
+    event count, and duration — the standard sessionization product.
+    Same single exchange as ``sessionize`` (the groupBy reuses the
+    window's hash partitioning on the key)."""
+    s = sessionize(
+        df, key_col, ts_col, gap_micros=gap_micros, tiebreak_cols=tiebreak_cols
+    )
+    return s.groupBy(key_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.count("*").alias("n_events"),
+        # floor() on both engines — a plain double→long cast truncates
+        # in Spark but rounds in DuckDB, so the oracle must floor too.
+        F.floor(
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("duration_s"),
+    )

@@ -59,6 +59,7 @@ from vectordb_migrator_spark.operators.similarity import (
     knn_join,
     lsh_bucket_topk,
 )
+from vectordb_migrator_spark.operators.relational import asof_join, session_stats
 from vectordb_migrator_spark.operators.transform import apply_transform
 from vectordb_migrator_spark.plans.pipeline import Migrator
 
@@ -983,3 +984,299 @@ def x7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# =====================================================================
+# Relational extensions — rollup/pivot/percentiles/set-ops/semi-anti,
+# as-of join, sessionization (all absent from the reference, SURVEY.md
+# §2.8; first-class for a training-data pipeline)
+# =====================================================================
+
+
+@query(
+    "rollup_pricing",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           sum(l_quantity::DECIMAL(18,2))::DECIMAL(18,2) AS sum_qty,
+           count(*)::BIGINT AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — one pass, Spark expands grouping sets
+    in the partial aggregate (no extra scan per level)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_counts",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) FILTER (event_type = 'click')::BIGINT    AS click,
+           count(*) FILTER (event_type = 'error')::BIGINT    AS error,
+           count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+           count(*) FILTER (event_type = 'signup')::BIGINT   AS signup,
+           count(*) FILTER (event_type = 'view')::BIGINT     AS view
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot day × event_type → one count column per type. Explicit
+    value list ⇒ single-pass pivoted aggregate (no distinct-values
+    pre-scan, which at 100 TB would be a second full read)."""
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    ).orderBy("day")
+
+
+@query(
+    "percentile_event_values",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.9), 4)  AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). The scale path is ``approx_percentile`` (KLL-ish
+    mergeable sketch, x7-style); exact is kept where the oracle needs
+    bit-equality."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "setops_nations",
+    """
+    SELECT 'intersect' AS op, k::BIGINT AS nationkey FROM (
+      SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+      INTERSECT
+      SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+    UNION ALL
+    SELECT 'except', k::BIGINT FROM (
+      SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+      EXCEPT
+      SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+    ORDER BY op, nationkey
+    """,
+)
+def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — distinct set semantics; Spark plans both as
+    aggregate + join on the full row, one exchange each."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("k"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("k"))
+    )
+    inter = c.intersect(s).select(F.lit("intersect").alias("op"), F.col("k").cast("long").alias("nationkey"))
+    # subtract = EXCEPT (set semantics); exceptAll would leave the
+    # left side's surplus duplicates alive through a later distinct
+    exc = c.subtract(s).select(
+        F.lit("except").alias("op"), F.col("k").cast("long").alias("nationkey")
+    )
+    return inter.unionAll(exc).orderBy("op", "nationkey")
+
+
+@query(
+    "semi_anti_urgent",
+    """
+    SELECT 'semi' AS op, c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'anti', c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    ORDER BY op, c_custkey
+    """,
+)
+def semi_anti_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi / left-anti joins (EXISTS / NOT EXISTS) — the filtered
+    orders side is aggregated to distinct keys by the semi-join itself;
+    no payload duplication."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    semi = c.join(urgent, "c_custkey", "left_semi").select(
+        F.lit("semi").alias("op"), "c_custkey"
+    )
+    anti = c.join(urgent, "c_custkey", "left_anti").select(
+        F.lit("anti").alias("op"), "c_custkey"
+    )
+    return semi.unionAll(anti).orderBy("op", "c_custkey")
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice::DECIMAL(18,2) AS totalprice,
+           sum(l_quantity::DECIMAL(18,2))::DECIMAL(18,2) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY 1 HAVING sum(l_quantity) > 300)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg-derived key set applied as a LEFT SEMI join
+    on lineitem (ids only — no subquery rescan), customer broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("sum_qty")
+        )
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "asof_purchase_click",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           floor((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000)::BIGINT
+             AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks): each purchase matched to the
+    user's most recent click at-or-before it. union + one hash exchange
+    on user_id + running last() — never a per-key cross product."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = asof_join(purchases, clicks, "user_id", right_cols=[])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros("ts_r")) / F.lit(1_000_000)
+        ).cast("long").alias("gap_s"),
+    ).orderBy("event_id")
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*)::BIGINT AS n_events,
+           floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000)::BIGINT
+             AS duration_s
+    FROM sessioned GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (12 h gap): lag + running sum, one
+    exchange on user_id; the session rollup reuses that partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    stats = session_stats(
+        ev,
+        "user_id",
+        "ts",
+        gap_micros=43_200_000_000,
+        tiebreak_cols=["event_id"],
+    )
+    return stats.select(
+        "user_id",
+        F.col("session_id").cast("long"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        "n_events",
+        "duration_s",
+    ).orderBy("user_id", "session_id")
