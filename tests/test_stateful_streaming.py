@@ -1,0 +1,136 @@
+"""Stateful streaming operator tests (X8): session windows, in-stream
+dedup, arbitrary-state running aggregates."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.streaming.stateful import (
+    running_user_stats,
+    session_window_stats,
+    streaming_dedup_by_id,
+)
+
+_SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_session_window_batch_semantics(spark):
+    """An event exactly gap after the previous one MERGES (new session
+    only when the gap is strictly exceeded); end = last + gap."""
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1.0),
+            (1, _ts("2024-01-01 10:20:00"), 2.0),  # within 30m → same
+            (1, _ts("2024-01-01 10:50:00"), 3.0),  # exactly +30m → same
+            (1, _ts("2024-01-01 11:20:01"), 4.0),  # +30m01s → NEW
+            (2, _ts("2024-01-01 00:00:00"), 9.0),
+        ],
+        _SCHEMA,
+    )
+    out = {
+        (r["user_id"], r["session_start"].isoformat()): (
+            r["session_end"].isoformat(),
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in session_window_stats(df, gap="30 minutes").collect()
+    }
+    assert out[(1, "2024-01-01T10:00:00")] == ("2024-01-01T11:20:00", 3, 6.0)
+    assert out[(1, "2024-01-01T11:20:01")] == ("2024-01-01T11:50:01", 1, 4.0)
+    assert out[(2, "2024-01-01T00:00:00")] == ("2024-01-01T00:30:00", 1, 9.0)
+
+
+def test_streaming_session_window(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1.0),
+            (1, _ts("2024-01-01 10:10:00"), 2.0),
+            (1, _ts("2024-01-01 12:00:00"), 4.0),
+        ],
+        _SCHEMA,
+    ).write.parquet(src)
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    q = (
+        session_window_stats(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_complete ORDER BY session_start").collect()
+    assert [(r["n_events"], r["total_value"]) for r in rows] == [(2, 3.0), (1, 4.0)]
+
+
+def test_streaming_dedup_by_id(spark, tmp_path):
+    src = str(tmp_path / "src")
+    schema = "id long, ts timestamp, payload string"
+    spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "a"),
+            (1, _ts("2024-01-01 10:00:05"), "a-dup"),
+            (2, _ts("2024-01-01 10:01:00"), "b"),
+            (2, _ts("2024-01-01 10:01:00"), "b-dup"),
+            (3, _ts("2024-01-01 10:02:00"), "c"),
+        ],
+        schema,
+    ).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_dedup_by_id(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT id FROM dedup_sink ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
+
+
+def test_running_user_stats_across_batches(spark, tmp_path):
+    """Two files + maxFilesPerTrigger=1 → two micro-batches; the state
+    must carry: the second emission is cumulative over both."""
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 1.0), (1, _ts("2024-01-01 10:01:00"), 5.0)],
+        _SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:02:00"), 2.0)], _SCHEMA
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM running_sink ORDER BY n_events"
+    ).collect()
+    # one emission per micro-batch that contained user 1; the LAST one
+    # is cumulative over all three events
+    final = rows[-1]
+    assert final["n_events"] == 3
+    assert final["total_value"] == 8.0
+    assert final["max_value"] == 5.0

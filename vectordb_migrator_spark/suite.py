@@ -1280,3 +1280,49 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "duration_s",
     ).orderBy("user_id", "session_id")
+
+
+@query(
+    "x8_session_window_batch",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*)::BIGINT AS n_events
+    FROM sessioned GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def x8_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — ``F.session_window`` on the batch table (Spark's unified
+    model: identical code runs incrementally on a stream with a
+    watermark; see streaming/stateful.py). Oracle = gap-and-island SQL
+    with the same half-open [first, last+gap) semantics."""
+    from vectordb_migrator_spark.streaming.stateful import session_window_stats
+
+    ev = _t(spark, sf_dir, "events")
+    s = session_window_stats(ev, gap="30 minutes")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+    ).orderBy("user_id", "session_start")
