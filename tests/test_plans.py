@@ -1,0 +1,65 @@
+"""Physical-plan regression tests — the 100 TB posture, asserted.
+
+These lock in the plan properties that matter at scale: predicate and
+projection pushdown reaching the parquet scan, dimension joins staying
+broadcast (never sort-merge or cartesian), partial (map-side)
+aggregation before every aggregate exchange, and top-k executing as
+TakeOrderedAndProject instead of a global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from vectordb_migrator_spark.suite import QUERIES
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown(spark):
+    plan = _plan(spark, "s1_scan_projection")
+    assert "GreaterThanOrEqual(label,5)" in plan  # predicate at the scan
+    assert "ReadSchema: struct<vec_id:bigint,label:int>" in plan  # pruned
+
+
+@pytest.mark.parametrize(
+    ("name", "n_broadcast"),
+    [("q3_shipping_priority", 2), ("q5_region_revenue", 5), ("q18_large_orders", 3)],
+)
+def test_dim_joins_broadcast(spark, name, n_broadcast):
+    plan = _plan(spark, name)
+    assert plan.count("BroadcastHashJoin") == n_broadcast
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agg_is_partial_then_final(spark):
+    """Map-side combine: two HashAggregate levels around one exchange —
+    the shuffle carries 6 groups, not 600k rows."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_no_global_sort(spark):
+    """Brute-force cosine top-k must be TakeOrderedAndProject — zero
+    exchanges, no shuffle of the embedding vectors."""
+    plan = _plan(spark, "x3_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_minhash_bands_shuffle_ids_only(spark):
+    """The LSH banding exchange must not carry shingle or signature
+    arrays — candidates are (bucket, id) pairs only."""
+    import re
+
+    plan = _plan(spark, "x2_minhash_lsh_pairs")
+    # the exchange feeding the bucket groupBy partitions by `bucket`;
+    # find each hashpartitioning(...) and check no array column rides it
+    for m in re.finditer(r"Exchange hashpartitioning\(bucket[^\n]*", plan):
+        assert "sig" not in m.group(0) and "sh#" not in m.group(0)
