@@ -1,0 +1,62 @@
+"""chunk_text / int8 quantization unit tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.functions.vector import int8_dequantize, int8_quantize
+from vectordb_migrator_spark.operators.chunking import chunk_text
+
+
+def test_chunk_covers_all_tokens_with_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = chunk_text(df, chunk_size=4, overlap=1).orderBy("chunk_id").collect()
+    # step = 3 → starts 0,3,6 and the formula adds the tail window
+    chunks = [r["chunk_text"].split(" ") for r in rows]
+    assert chunks[0] == ["t0", "t1", "t2", "t3"]
+    assert chunks[1] == ["t3", "t4", "t5", "t6"]
+    assert chunks[2] == ["t6", "t7", "t8", "t9"]
+    # every token covered, consecutive chunks share `overlap` tokens
+    assert set().union(*chunks) == {f"t{i}" for i in range(10)}
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-1:] == b[:1]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4]
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "only three tokens")], ["doc_id", "text"])
+    rows = chunk_text(df, chunk_size=64, overlap=16).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "only three tokens"
+    assert rows[0]["n_tokens"] == 3
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_text(df, chunk_size=4, overlap=4)
+
+
+def test_int8_roundtrip_error_bound(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = df.select(
+        "vec_id",
+        int8_quantize("embedding").alias("qs"),
+        F.col("embedding").alias("v"),
+    ).withColumn("back", int8_dequantize("qs")).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    r1 = by_id[1]
+    assert r1["qs"]["scale"] == pytest.approx(1.0 / 127)
+    assert max(r1["qs"]["q"]) <= 127 and min(r1["qs"]["q"]) >= -127
+    for orig, back in zip(r1["v"], r1["back"]):
+        assert abs(orig - back) <= r1["qs"]["scale"] / 2 + 1e-12
+    # zero vector: scale 0, all-zero codes, exact roundtrip
+    r2 = by_id[2]
+    assert r2["qs"]["scale"] == 0.0
+    assert r2["qs"]["q"] == [0, 0, 0, 0]
+    assert r2["back"] == [0.0, 0.0, 0.0, 0.0]

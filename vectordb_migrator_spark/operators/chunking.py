@@ -1,0 +1,57 @@
+"""Document chunking (training-data prep): split text into
+fixed-size overlapping token windows — the standard pre-embedding /
+pre-training segmentation step.
+
+Pure codegen: split → windowed slices via ``transform(sequence)`` →
+``posexplode``. One narrow stage; chunking never shuffles (each
+document's chunks are produced where the document is read), so at
+100 TB the cost is the scan plus the explode's row-count inflation —
+exactly the minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_text(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping token windows: chunk i covers tokens
+    ``[i*step, i*step + chunk_size)`` with ``step = chunk_size -
+    overlap``; the last window may be shorter but every token is
+    covered. Output: (id, chunk_id, chunk_text, n_tokens) — one row
+    per chunk, deterministic.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("require 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_size)).cast("double") / F.lit(step)).cast("int")
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(toks, i * step + 1, chunk_size), " "
+            ).alias("chunk_text"),
+            F.least(n - i * step, F.lit(chunk_size)).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -1326,3 +1327,117 @@ def x8_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+@query(
+    "x9_chunk_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE ceil((len(toks) - 32)::DOUBLE / 24)::INT + 1 END
+               AS n_chunks
+      FROM t
+    )
+    , x AS (
+      SELECT doc_id,
+             unnest([{'chunk_id': i - 1,
+                      'chunk_text': array_to_string(
+                        toks[(i-1)*24 + 1 : (i-1)*24 + 32], ' '),
+                      'n_tokens': least(n - (i-1)*24, 32)}
+                     for i in range(1, n_chunks + 1)]) AS ch
+      FROM c)
+    SELECT doc_id, ch.chunk_id::BIGINT AS chunk_id,
+           ch.chunk_text AS chunk_text,
+           ch.n_tokens::BIGINT AS n_tokens
+    FROM x ORDER BY doc_id, chunk_id
+    """,
+)
+def x9_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — overlapping token-window chunking (chunk 32, overlap 8):
+    the pre-embedding segmentation step; narrow stage, no shuffle."""
+    from vectordb_migrator_spark.operators.chunking import chunk_text
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_text(d, chunk_size=32, overlap=8).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "x9_int8_quantization",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           CASE WHEN scale = 0 THEN list_transform(v, x -> 0::INT)
+                ELSE list_transform(v, x -> round(x / scale)::INT) END AS q,
+           round(CASE WHEN scale = 0 THEN 0.0 ELSE
+             list_max([abs(v[i] - round(v[i] / scale) * scale)
+                       for i in range(1, len(v) + 1)]) END, 6) AS max_err
+    FROM q ORDER BY vec_id
+    """,
+)
+def x9_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — symmetric int8 scalar quantization of the embedding column
+    + max reconstruction error (bounded by scale/2). 4 bytes/dim → 1:
+    the storage/bandwidth play for a 100 TB embedding corpus."""
+    from vectordb_migrator_spark.functions.vector import (
+        int8_dequantize,
+        int8_quantize,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        int8_quantize("embedding").alias("qs"),
+    )
+    return qs.select(
+        "vec_id",
+        F.round(F.col("qs.scale"), 6).alias("scale"),
+        F.col("qs.q").alias("q"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "v", int8_dequantize("qs"), lambda x, y: F.abs(x - y)
+                ),
+                F.lit(0.0),
+                lambda s, x: F.greatest(s, x),
+            ),
+            6,
+        ).alias("max_err"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "udaf_weighted_avg",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity * l_linenumber) / sum(l_linenumber), 6)
+             AS wavg_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface — grouped-agg pandas UDF (Arrow-batched, one call
+    per group): weighted average over integral doubles so the oracle
+    is reduction-order-exact. The scale path for custom aggregates the
+    built-ins can't express."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(qty: pd.Series, weight: pd.Series) -> float:
+        return float((qty * weight).sum() / weight.sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wavg("l_quantity", "l_linenumber"), 6).alias("wavg_qty"))
+        .orderBy("l_returnflag")
+    )
