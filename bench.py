@@ -25,6 +25,9 @@ HEADLINE = [
     "events_hourly_rollup",
     "window_top_orders",
     "rollup_pricing",
+    "q4_order_priority",
+    "q12_priority_lines",
+    "q14_promo_revenue",
     "q18_large_orders",
     "asof_purchase_click",
     "sessionize_events",
@@ -37,6 +40,8 @@ HEADLINE = [
     "x5_text_quality",
     "x5_fingerprint",
     "x6_multimodal_features",
+    "x9_chunk_documents",
+    "x9_int8_quantization",
 ]
 
 

@@ -55,3 +55,46 @@ def limit_offset(
         return sliced
     out = df.orderBy(*keys)
     return out.offset(offset) if offset else out
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str,
+    train_frac: float = 0.9,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic train/test split: bucket = xxhash64(id) mod
+    buckets; rows with bucket < train_frac*buckets are 'train'.
+
+    Hash-based (not ``df.sample``) so the assignment is a pure
+    function of the id — stable across runs, partitionings, engines,
+    and incremental re-runs (new rows don't reshuffle old ones), which
+    is the property a training pipeline actually needs.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+    return df.withColumn(
+        "split",
+        F.when(bucket < int(train_frac * buckets), F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
+def per_group_head(
+    df: DataFrame,
+    *,
+    group_col: str,
+    order_col: str,
+    n: int,
+) -> DataFrame:
+    """Balanced per-group sampling: the first ``n`` rows of each group
+    in ``order_col`` order (window row_number — one exchange on the
+    group key, in-partition sort only). Deterministic counterpart of
+    stratified sampling for building class-balanced subsets."""
+    w = W.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

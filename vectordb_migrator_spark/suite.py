@@ -190,8 +190,8 @@ def p3_metadata_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum((l_extendedprice * l_discount)::DECIMAL(18,4))::DECIMAL(18,4)
              AS revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l_shipdate <  TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
 )
@@ -200,8 +200,8 @@ def f1_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised via F.expr, TPC-H Q6 shape; decimal sum = order-exact."""
     li = _t(spark, sf_dir, "lineitem")
     cond = (
-        "l_shipdate >= timestamp '1994-01-01' AND "
-        "l_shipdate < timestamp '1995-01-01' AND "
+        "l_shipdate >= timestamp '1996-01-01' AND "
+        "l_shipdate < timestamp '1997-01-01' AND "
         "l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
     )
     return li.filter(F.expr(cond)).agg(
@@ -460,8 +460,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1995-03-15'
-      AND l_shipdate  > TIMESTAMP '1995-03-15'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate  > TIMESTAMP '1997-03-15'
     GROUP BY l_orderkey, o_orderdate
     ORDER BY revenue DESC, l_orderkey LIMIT 10
     """,
@@ -472,10 +472,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     that partitioning (no second exchange)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
     )
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -1440,4 +1440,148 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(F.round(wavg("l_quantity", "l_linenumber"), 6).alias("wavg_qty"))
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join) on the synthetic
+    schema: orders in a quarter having any large-quantity line. The
+    lineitem side is filtered before the join so only matching
+    orderkeys shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(big, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q12_priority_lines",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional CASE aggregation over a join) on
+    the synthetic schema; the date predicates reach the lineitem
+    scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN (l_extendedprice*(1-l_discount))::DECIMAL(18,4)
+                   ELSE 0::DECIMAL(18,4) END) /
+                 sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4)), 6)
+             AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast the part dim, decimal sums for
+    order-exactness, single global aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.00) * F.sum(promo) / F.sum(rev), 6
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query("x10_hash_split")  # xxhash64 buckets — not DuckDB-expressible
+def x10_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — deterministic hash-bucket train/test split (stable under
+    re-runs and incremental appends, unlike sample())."""
+    from vectordb_migrator_spark.operators.slicing import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, id_col="doc_id", train_frac=0.9)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split")
+    )
+
+
+@query(
+    "x10_per_group_head",
+    """
+    SELECT label::BIGINT AS label, vec_id FROM (
+      SELECT label, vec_id,
+             row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      FROM embeddings)
+    WHERE rn <= 5 ORDER BY label, vec_id
+    """,
+)
+def x10_per_group_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — balanced per-class subset (first 5 per label): window
+    row_number, one exchange on the class key."""
+    from vectordb_migrator_spark.operators.slicing import per_group_head
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        per_group_head(e, group_col="label", order_col="vec_id", n=5)
+        .select(F.col("label").cast("long"), "vec_id")
+        .orderBy("label", "vec_id")
     )
