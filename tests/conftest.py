@@ -21,7 +21,17 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     from vectordb_migrator_spark.session import get_spark
 
-    s = get_spark("tests", cpus=8, shuffle_partitions=8)
+    import tempfile
+
+    s = get_spark(
+        "tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={
+            # bucketed-table tests saveAsTable into a throwaway warehouse
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-")
+        },
+    )
     yield s
 
 

@@ -1,0 +1,74 @@
+"""Skew & co-location toolkit — the knobs that keep shuffles healthy
+at 100 TB when AQE alone isn't enough.
+
+- **salted_join**: for a join where one side has a few pathologically
+  hot keys (one user with 10^8 events), append a random salt ∈ [0, S)
+  to the hot side and replicate the other side S× — the hot key's rows
+  spread over S reducers instead of one straggler. Cost: S× row
+  replication of the replicated side, so pick S ≈ (hot-key rows /
+  healthy-partition rows), and salt ONLY when AQE's skew-join split
+  (enabled in session.py) can't help — e.g. aggregations after the
+  join, or sort-merge paths AQE won't split.
+- **bucketed writes**: pre-shuffle the data ONCE at write time
+  (``bucketBy`` on the join/agg key); every later join or groupBy on
+  that key is exchange-free. This is the amortization play for fact
+  tables joined repeatedly on the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    *,
+    salt: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with the left side salted and the right side
+    replicated ``salt``×. Semantically identical to
+    ``left.join(right, on, how)`` for inner/left joins on equi-keys.
+
+    ``F.rand(seed)`` is per-partition deterministic, so task retries
+    reproduce the same salt assignment (no duplicate/lost rows under
+    speculative execution).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l_salted = left.withColumn(
+        "_salt", F.floor(F.rand(seed) * salt).cast("int")
+    )
+    r_replicated = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l_salted.join(r_replicated, [*keys, "_salt"], how).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    *,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed by the given key(s) (and
+    optionally sorted within buckets). Joins and aggregations between
+    tables bucketed by the same key with the same bucket count run
+    with NO exchange — the shuffle was paid once, at write time
+    (asserted in tests/test_scale.py).
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(num_buckets, *cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
