@@ -1,0 +1,52 @@
+"""resample_fill_hourly + sketch accuracy tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.operators.timeseries import resample_fill_hourly
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_gap_fill_creates_zero_rows(spark):
+    df = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 10:15:00"), "a"),
+            (_ts("2024-01-01 10:45:00"), "a"),
+            # hour 11 silent for both keys
+            (_ts("2024-01-01 12:05:00"), "b"),
+        ],
+        "ts timestamp, event_type string",
+    )
+    out = {
+        (r["hour"].isoformat(), r["event_type"]): r["n"]
+        for r in resample_fill_hourly(df).collect()
+    }
+    # 3 hours × 2 keys = dense grid
+    assert len(out) == 6
+    assert out[("2024-01-01T10:00:00", "a")] == 2
+    assert out[("2024-01-01T11:00:00", "a")] == 0
+    assert out[("2024-01-01T11:00:00", "b")] == 0
+    assert out[("2024-01-01T12:00:00", "b")] == 1
+    assert out[("2024-01-01T12:00:00", "a")] == 0
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """The sketch (accuracy 10000) must sit within a tight relative
+    band of the exact interpolated percentile on real data."""
+    from vectordb_migrator_spark.suite import _t
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    approx, exact = (
+        ev.agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("a"),
+            F.percentile("value", F.lit(0.5)).alias("e"),
+        )
+        .collect()[0]
+    )
+    assert abs(approx - exact) <= max(abs(exact) * 0.02, 1e-6)

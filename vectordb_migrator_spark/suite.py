@@ -1585,3 +1585,122 @@ def x10_per_group_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").cast("long"), "vec_id")
         .orderBy("label", "vec_id")
     )
+
+
+@query(
+    "udtf_json_props",
+    """
+    SELECT event_id, unnest(json_keys(props)) AS key,
+           json_extract_string(props, '$.' || unnest(json_keys(props))) AS val
+    FROM events ORDER BY event_id, key
+    """,
+)
+def udtf_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): explode each event's JSON props
+    into (key, val) rows via a LATERAL table function — the escape
+    hatch for one-row→many-rows transforms that generators express
+    more naturally than explode chains."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, val string")
+    class ParseProps:
+        def eval(self, props: str):
+            import json
+
+            if props:
+                for k, v in json.loads(props).items():
+                    yield str(k), str(v)
+
+    spark.udtf.register("parse_props", ParseProps)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_id, p.key, p.val
+        FROM events_v, LATERAL parse_props(props) p
+        """
+    ).orderBy("event_id", "key")
+
+
+@query(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           sum(o_totalprice::DECIMAL(18,2))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING)::DECIMAL(18,2) AS running_total
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative windowed sum per key (decimal → order-exact): one
+    exchange on the partition key, in-partition sort, O(1) state."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("decimal(18,2)")
+            .alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "timeseries_gap_fill",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b
+    ), grid AS (
+      SELECT hour, event_type FROM hours, (SELECT DISTINCT event_type FROM events)
+    ), hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(g.hour, '%Y-%m-%d %H:00') AS hour, g.event_type,
+           coalesce(h.n, 0)::BIGINT AS n
+    FROM grid g LEFT JOIN hourly h USING (hour, event_type)
+    ORDER BY hour, event_type
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with zero-fill — silent hours become
+    explicit 0 rows; grid construction is O(hours × keys) regardless
+    of event volume."""
+    from vectordb_migrator_spark.operators.timeseries import resample_fill_hourly
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_fill_hourly(ev)
+    return out.select(
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "n",
+    ).orderBy("hour", "event_type")
+
+
+@query("x7_approx_percentile")  # sketch values differ across engines →
+# rows-only; accuracy asserted in tests vs the exact percentile.
+def x7_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — approx_percentile (mergeable quantile sketch): the scale
+    path for percentile_event_values (exact interpolation needs a full
+    sort per group; the sketch is one pass, mergeable, bounded
+    memory)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
