@@ -24,13 +24,18 @@ HEADLINE = [
     "q5_region_revenue",
     "events_hourly_rollup",
     "window_top_orders",
+    "window_running_total",
     "rollup_pricing",
+    "pivot_event_counts",
+    "percentile_event_values",
     "q4_order_priority",
     "q12_priority_lines",
     "q14_promo_revenue",
     "q18_large_orders",
     "asof_purchase_click",
     "sessionize_events",
+    "x8_session_window_batch",
+    "timeseries_gap_fill",
     "x1_dedup_exact_text",
     "x2_ngram_jaccard_pairs",
     "x2_minhash_lsh_pairs",
