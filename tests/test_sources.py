@@ -24,6 +24,7 @@ from vectordb_migrator_spark.sources.qdrant import QdrantAdapter
 # — the only honest way to observe a distributed foreachPartition write.
 import json
 import os
+import re
 
 
 class FakeQdrantClient:
@@ -42,11 +43,15 @@ class FakeQdrantClient:
         return f"{self.store}/{name}.config.json"
 
     def scroll(self, collection_name, limit, offset=None, with_payload=True,
-               with_vectors=True, scroll_filter=None):
+               with_vectors=True, scroll_filter=None, shard_key_selector=None):
+        pts = self.POINTS
+        if shard_key_selector is not None:
+            # custom-sharded collection: shard key = id % 2
+            pts = [p for p in pts if p.id % 2 == shard_key_selector]
         start = offset or 0
-        page = self.POINTS[start : start + limit]
+        page = pts[start : start + limit]
         nxt = start + len(page)
-        return page, (nxt if nxt < len(self.POINTS) else None)
+        return page, (nxt if nxt < len(pts) else None)
 
     def collection_exists(self, name):
         return os.path.exists(self._cfg(name))
@@ -94,6 +99,17 @@ def test_qdrant_read_loops_cursor(spark):
     rows = df.collect()
     assert len(rows) == 25  # 3 pages of 10/10/5 — no truncation
     assert df.schema == CANONICAL_SCHEMA
+
+
+def test_qdrant_sharded_read_no_duplicates(spark):
+    """shard_keys fan the scan across custom shards via
+    shard_key_selector — disjoint, complete, no duplicates."""
+    a = QdrantAdapter(client_factory=qdrant_factory)
+    df = a.read(
+        spark, {}, {"collection_name": "c", "batch_size": 10, "shard_keys": [0, 1]}
+    )
+    ids = sorted(int(r["id"]) for r in df.collect())
+    assert ids == list(range(25))
 
 
 def test_qdrant_read_limit_offset(spark):
@@ -159,8 +175,18 @@ class FakeMilvusClient:
 
     def query(self, collection_name, filter="", output_fields=None):
         data = self.DATA
-        if filter == "meta_b > 2":
-            data = [d for d in data if d["meta_b"] is not None and d["meta_b"] > 2]
+        # understands the adapter's shard conjunct "(pk % N) == i" and
+        # the base predicate, in any combination
+        for part in re.split(r"\s+and\s+", filter) if filter else []:
+            part = part.strip().strip("()")
+            m = re.match(r"pk % (\d+)\)? == (\d+)", part)
+            if m:
+                n, i = int(m.group(1)), int(m.group(2))
+                data = [d for d in data if d["pk"] % n == i]
+            elif part == "meta_b > 2":
+                data = [
+                    d for d in data if d["meta_b"] is not None and d["meta_b"] > 2
+                ]
         return [{k: d[k] for k in (output_fields or d)} for d in data]
 
     def insert(self, collection_name, data):
@@ -196,6 +222,21 @@ def test_milvus_filter_expr(spark):
     a = MilvusAdapter(client_factory=milvus_factory)
     df = a.read(spark, {}, {"collection_name": "col", "filter_expr": "meta_b > 2"})
     assert sorted(r["id"] for r in df.collect()) == ["4", "6"]
+
+
+def test_milvus_sharded_read_no_duplicates(spark):
+    """num_partitions > 1 must partition the scan by PK residue class —
+    disjoint shards, every row exactly once, filters still applied."""
+    a = MilvusAdapter(client_factory=milvus_factory)
+    df = a.read(spark, {}, {"collection_name": "col", "num_partitions": 3})
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == [str(i) for i in range(7)]  # no dups, no gaps
+    df2 = a.read(
+        spark,
+        {},
+        {"collection_name": "col", "num_partitions": 3, "filter_expr": "meta_b > 2"},
+    )
+    assert sorted(r["id"] for r in df2.collect()) == ["4", "6"]
 
 
 def test_milvus_missing_collection(spark):

@@ -93,29 +93,45 @@ class MilvusAdapter(SparkAdapter):
         expr = query.get("filter_expr") or ""  # F3 passthrough
         page = int(query.get("batch_size", 1_000))
 
+        # Partition planning: each shard queries a disjoint PK residue
+        # class (``pk % N == i``) so N executors scan in parallel with
+        # NO overlap — the predicate is evaluated server-side, the
+        # Milvus analogue of JDBC partitionColumn ranges. Requires an
+        # integer PK; otherwise fall back to one cursor-looped shard.
         num_shards = int(query.get("num_partitions", 1))
+        pk_type = next(
+            (
+                f_.get("type")
+                for f_ in schema_info.get("fields", [])
+                if f_.get("is_primary")
+            ),
+            None,
+        )
+        if num_shards > 1 and pk_type not in ("INT64", "INT32", "INT16", "INT8"):
+            num_shards = 1
         shards = spark.createDataFrame(
             [(i, num_shards) for i in range(num_shards)], "shard int, of int"
         ).repartition(num_shards)
+
+        def _shard_expr(shard: int, of: int) -> str:
+            if of <= 1:
+                return expr
+            conj = f"({pk} % {of}) == {shard}"
+            return f"({expr}) and {conj}" if expr else conj
 
         def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cl = factory(connection)
             for pdf in batches:
                 for row in pdf.itertuples():
-                    # shard by PK hash range via query_iterator when
-                    # available, else a single full scan on shard 0
-                    if row.shard != 0 and not hasattr(cl, "query_iterator"):
-                        continue
+                    sexpr = _shard_expr(int(row.shard), int(row.of))
                     recs = []
-                    it = None
                     if hasattr(cl, "query_iterator"):
                         it = cl.query_iterator(
                             collection_name=collection,
-                            filter=expr,
+                            filter=sexpr,
                             output_fields=output_fields,
                             batch_size=page,
                         )
-                    if it is not None:
                         while True:
                             batch = it.next()
                             if not batch:
@@ -125,7 +141,7 @@ class MilvusAdapter(SparkAdapter):
                     else:
                         recs = cl.query(
                             collection_name=collection,
-                            filter=expr,
+                            filter=sexpr,
                             output_fields=output_fields,
                         )
                     out = [

@@ -65,15 +65,21 @@ def _scroll_all(
     batch: int,
     flt: dict[str, Any] | None,
     max_records: int | None,
+    shard_key: Any | None = None,
 ) -> Iterator[dict[str, Any]]:
     """Loop the scroll cursor to exhaustion — the pagination loop the
-    reference is missing (its single call truncates at `limit`)."""
+    reference is missing (its single call truncates at `limit`).
+    ``shard_key`` scopes the scroll to one custom shard for parallel
+    partition-planned reads."""
     offset = None
     fetched = 0
     while True:
         page_size = batch if max_records is None else min(batch, max_records - fetched)
         if page_size <= 0:
             return
+        kwargs: dict[str, Any] = {}
+        if shard_key is not None:
+            kwargs["shard_key_selector"] = shard_key
         points, offset = client.scroll(
             collection_name=collection,
             limit=page_size,
@@ -81,6 +87,7 @@ def _scroll_all(
             with_payload=True,
             with_vectors=True,
             scroll_filter=flt,
+            **kwargs,
         )
         for p in points:
             yield {
@@ -109,16 +116,26 @@ class QdrantAdapter(SparkAdapter):
         offset = int(query.get("offset", 0))
         factory = self.client_factory
 
-        num_shards = int(query.get("num_partitions", 1))
+        # Partition planning: Qdrant's filter DSL has no modulo, so
+        # parallel scans are only possible across explicit shard keys
+        # (collections created with custom sharding) — one executor
+        # partition per key via ``shard_key_selector``. Without
+        # ``shard_keys`` the scan is ONE exhaustive cursor loop:
+        # single-partition but complete, unlike the reference's
+        # truncating single call (adapters/qdrant.py:99-106).
+        shard_keys = query.get("shard_keys") or [None]
+        import json as _json
+
         shards = spark.createDataFrame(
-            [(i,) for i in range(num_shards)], "shard int"
-        ).repartition(num_shards)
+            [(_json.dumps(k),) for k in shard_keys], "skey string"
+        ).repartition(len(shard_keys))
 
         def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             client = factory(connection)
             try:
                 for pdf in batches:
-                    for _ in pdf.itertuples():
+                    for row in pdf.itertuples():
+                        skey = _json.loads(row.skey)
                         recs = list(
                             _scroll_all(
                                 client,
@@ -126,6 +143,7 @@ class QdrantAdapter(SparkAdapter):
                                 batch=batch,
                                 flt=flt,
                                 max_records=None,
+                                shard_key=skey,
                             )
                         )
                         if recs:
