@@ -1,0 +1,120 @@
+"""Property-based differential tests: Spark expression kernels vs
+plain-Python reference implementations over hypothesis-generated
+inputs. One DataFrame / one action per test (all examples in a single
+batch) to keep Spark round-trips off the hypothesis hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.functions.vector import (
+    cosine_similarity,
+    int8_dequantize,
+    int8_quantize,
+)
+from vectordb_migrator_spark.operators.dedup import shingles
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c\txyz "),  # whitespace-heavy on purpose
+        min_size=1,
+        max_size=40,
+    ).filter(lambda s: s.strip()),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _py_shingles(text: str, n: int = 3) -> list[str]:
+    import re
+
+    toks = re.split(r"\s+", text.strip().lower())
+    if len(toks) < n:
+        return [" ".join(toks)]
+    seen, out = set(), []
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i : i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(_texts)
+def test_shingles_match_python_reference(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    got = {
+        r["id"]: list(r["sh"])
+        for r in df.select("id", shingles("text", 3).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_shingles(t, 3), repr(t)
+
+
+_vecs = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-1e3,
+            max_value=1e3,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=2,
+        max_size=16,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_vecs)
+def test_int8_roundtrip_error_bound_property(spark, vecs):
+    dim_groups: dict[int, list[list[float]]] = {}
+    for v in vecs:
+        dim_groups.setdefault(len(v), []).append(v)
+    for dim, group in dim_groups.items():
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(group)],
+            "id long, v array<double>",
+        )
+        rows = df.select(
+            "id", "v", int8_quantize("v").alias("qs")
+        ).withColumn("back", int8_dequantize("qs")).collect()
+        for r in rows:
+            scale = r["qs"]["scale"]
+            assert all(-127 <= q <= 127 for q in r["qs"]["q"])
+            for orig, back in zip(r["v"], r["back"]):
+                assert abs(orig - back) <= scale / 2 + 1e-9
+
+
+@settings(max_examples=15, deadline=None)
+@given(_vecs)
+def test_cosine_similarity_bounds_and_symmetry(spark, vecs):
+    same_dim = [v for v in vecs if len(v) == len(vecs[0])]
+    a = same_dim[0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(same_dim)], "id long, v array<double>"
+    )
+    probe = F.array(*[F.lit(float(x)) for x in a])
+    rows = df.select(
+        "id", cosine_similarity("v", probe).alias("cos")
+    ).collect()
+    for r in rows:
+        v = same_dim[r["id"]]
+        na = math.sqrt(sum(x * x for x in a))
+        nv = math.sqrt(sum(x * x for x in v))
+        if na == 0 or nv == 0:
+            assert r["cos"] is None
+        else:
+            assert -1.0 - 1e-9 <= r["cos"] <= 1.0 + 1e-9
+            expected = sum(x * y for x, y in zip(a, v)) / (na * nv)
+            assert abs(r["cos"] - expected) <= 1e-6

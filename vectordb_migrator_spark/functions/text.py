@@ -35,9 +35,16 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def ws_strip(col: Column) -> Column:
+    """Strip ALL leading/trailing whitespace. ``F.trim`` removes only
+    spaces (0x20) — tabs/newlines at the edges would otherwise produce
+    empty tokens after a ``\\s+`` split (hypothesis-found edge)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def ws_tokens(col: Column | str) -> Column:
     """Whitespace tokenization (lowercased)."""
-    return F.split(F.lower(F.trim(_c(col))), r"\s+")
+    return F.split(F.lower(ws_strip(_c(col))), r"\s+")
 
 
 def token_count_ws(col: Column | str) -> Column:

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vectordb_migrator_spark.functions.text import ws_strip
+
 
 def chunk_text(
     df: DataFrame,
@@ -32,7 +34,7 @@ def chunk_text(
     if not 0 <= overlap < chunk_size:
         raise ValueError("require 0 <= overlap < chunk_size")
     step = chunk_size - overlap
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(ws_strip(F.col(text_col))), r"\s+")
     n = F.size(toks)
     n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
         F.ceil((n - F.lit(chunk_size)).cast("double") / F.lit(step)).cast("int")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vectordb_migrator_spark.functions.text import md5_fingerprint
+from vectordb_migrator_spark.functions.text import md5_fingerprint, ws_strip
 from vectordb_migrator_spark.functions.vector import cosine_similarity, l2_normalize
 from vectordb_migrator_spark.operators.util import fan_out
 
@@ -70,7 +70,7 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     newest operand alone is sufficient.
     """
     col = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    toks = F.split(F.lower(ws_strip(col)), r"\s+")
     k = F.size(toks) - (n - 1)
     grams = toks
     for i in range(1, n):
@@ -322,7 +322,7 @@ def simhash64(col: Column | str) -> Column:
     trick would not be.
     """
     col = F.col(col) if isinstance(col, str) else col
-    toks = F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
+    toks = F.array_distinct(F.split(F.lower(ws_strip(col)), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     p2 = F.lit(_POW2)
     votes = F.aggregate(
