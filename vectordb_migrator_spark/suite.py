@@ -1704,3 +1704,37 @@ def x7_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("x4_brp_approx_join")  # seeded LSH buckets — not SQL-expressible;
+# no-false-positives vs the exact distance asserted in tests.
+def x4_brp_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — MLlib BucketedRandomProjectionLSH approxSimilarityJoin:
+    near-pairs under L2 distance via seeded random-projection buckets
+    (SURVEY §2.8 X4's planned mapping). Deterministic (fixed seed);
+    candidate generation is bucket-join-shaped like the custom LSH —
+    MLlib manages the hash tables."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .limit(500)  # bounded candidate space for the gate
+        .select(
+            "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+        )
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = brp.fit(e)
+    pairs = model.approxSimilarityJoin(e, e, threshold=1.2, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
