@@ -118,3 +118,41 @@ def test_cosine_similarity_bounds_and_symmetry(spark, vecs):
             assert -1.0 - 1e-9 <= r["cos"] <= 1.0 + 1e-9
             expected = sum(x * y for x, y in zip(a, v)) / (na * nv)
             assert abs(r["cos"] - expected) <= 1e-6
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.integers(min_value=0, max_value=50),  # ts (seconds)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_events, _events)
+def test_asof_join_matches_python_reference(spark, lefts, rights):
+    """asof_join vs brute-force reference: per left row, the max right
+    ts <= left ts for the same key (backward inclusive, left outer)."""
+    import datetime as dt
+
+    from vectordb_migrator_spark.operators.relational import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)],
+        "id long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s)) for k, s in rights],
+        "k long, ts timestamp",
+    )
+    got = {
+        r["id"]: r["ts_r"] for r in asof_join(ldf, rdf, "k", right_cols=[]).collect()
+    }
+    assert set(got) == set(range(len(lefts)))
+    for i, (k, s) in enumerate(lefts):
+        cands = [rs for rk, rs in rights if rk == k and rs <= s]
+        expect = (base + dt.timedelta(seconds=max(cands))) if cands else None
+        assert got[i] == expect, (i, k, s)
