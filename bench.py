@@ -32,6 +32,8 @@ HEADLINE = [
     "q12_priority_lines",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
     "asof_purchase_click",
     "sessionize_events",
     "x8_session_window_batch",
