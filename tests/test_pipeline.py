@@ -112,3 +112,28 @@ def test_plan_is_lazy(spark, tmp_path):
     assert df.schema.simpleString() == (
         "struct<id:string,vector:array<float>,metadata:map<string,string>>"
     )
+
+
+def test_migrate_stats_accounting(spark, tmp_path):
+    """Reference-style load accounting (adapters/milvus.py:266-291)
+    surfaced via Observation — no extra pass over the data."""
+    out = str(tmp_path / "acct_out")
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "query": {
+                "path": "/root/testdata/sf0.001/embeddings.parquet",
+                "id_column": "vec_id",
+                "vector_column": "embedding",
+                "limit": 40,
+            },
+        },
+        "target": {"type": "parquet", "load": {"path": out}},
+    }
+    from vectordb_migrator_spark.plans.pipeline import Migrator
+
+    m = Migrator(spark, cfg)
+    assert m.migrate() is True
+    assert m.stats["total_rows"] == 40
+    assert m.stats["rows_with_id"] == 40
+    assert m.stats["rows_with_vector"] == 40

@@ -102,14 +102,28 @@ class Migrator:
         """Run the pipeline. ``allow_empty=False`` reproduces the
         reference's abort-on-zero-rows guard (``core/migrator.py:71-74``)
         at the cost of one extra action; default is the scale-friendly
-        zero-row write."""
+        zero-row write. Load accounting lands in ``self.stats``."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         df = self.plan(transform)
         if not allow_empty and df.isEmpty():
             return False
+        # Reference-style load accounting (adapters/milvus.py:266-291)
+        # piggybacked on the write action via an Observation — counts
+        # with NO extra pass over the data, at any scale.
+        obs = Observation("migrate_stats")
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("total_rows"),
+            F.count("id").alias("rows_with_id"),
+            F.count("vector").alias("rows_with_vector"),
+        )
         tgt = self.config["target"]
         self.target_adapter.write(
             df, _section(tgt, "connection"), _section(tgt, "load")
         )
+        self.stats: dict[str, Any] = dict(obs.get)
         return True
 
 
