@@ -17,7 +17,11 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     coalesce user-specified partition numbers back down.
     """
     sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
+    # default: half the cores — measured sweet spot for the fan-out
+    # case (a tiny under-partitioned scan feeding CPU-heavy per-row
+    # work): enough parallelism to saturate compute, half the
+    # per-task scheduling overhead of full-width
+    target = min_partitions or max(2, sc.defaultParallelism // 2)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
