@@ -1,0 +1,79 @@
+"""Connected-components / cluster-dedup tests (union-find reference)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from vectordb_migrator_spark.operators.graph import (
+    connected_components,
+    dedup_keep_representatives,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # min id per component
+    return {v: find(v) for v in list(parent)}
+
+
+def test_cc_basic_chain_and_islands(spark):
+    edges = [(1, 2), (2, 3), (5, 6), (9, 9)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_cc_long_chain_converges(spark):
+    n = 30
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    # canonical min-id labels must agree with union-find exactly
+    expect = _uf_components(edges)
+    # union-find roots are already min ids (union parents to the min)
+    assert got == expect
+
+
+def test_dedup_keep_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(7)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4), (5, 6)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_representatives(docs, pairs).collect()
+    )
+    # components {1,2,4}→keep 1, {5,6}→keep 5; 0/3 untouched
+    assert kept == [0, 1, 3, 5]

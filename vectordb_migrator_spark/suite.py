@@ -1825,3 +1825,48 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "x2_dedup_clusters",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS id, least(a, min(b))::BIGINT AS comp
+    FROM reach GROUP BY a ORDER BY id
+    """,
+)
+def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 end-to-end: near-dup pairs → connected components → cluster
+    assignment (min reachable id). The iterative pointer-jumping CC is
+    checked EXACTLY against a recursive-CTE transitive closure — rare
+    for an iterative distributed algorithm to have a SQL oracle; the
+    pair graph is deterministic so the components are too."""
+    from vectordb_migrator_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    return connected_components(pairs).orderBy("id")
