@@ -137,3 +137,57 @@ def test_migrate_stats_accounting(spark, tmp_path):
     assert m.stats["total_rows"] == 40
     assert m.stats["rows_with_id"] == 40
     assert m.stats["rows_with_vector"] == 40
+
+
+def test_config_pipeline_to_qdrant_fake(spark, tmp_path):
+    """Reference test_package.py happy-path analogue: full config
+    lifecycle parquet → canonical → transform → Qdrant upsert, with
+    the fake client injected through the new adapters override."""
+    import json as _json
+
+    from tests.test_sources import qdrant_factory
+    from vectordb_migrator_spark.plans.pipeline import Migrator
+    from vectordb_migrator_spark.sources.qdrant import QdrantAdapter
+
+    store = tmp_path / "qd"
+    store.mkdir()
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "query": {
+                "path": "/root/testdata/sf0.001/embeddings.parquet",
+                "id_column": "vec_id",
+                "vector_column": "embedding",
+                "metadata_columns": ["label"],
+                "limit": 25,
+            },
+        },
+        "target": {
+            "type": "qdrant",
+            "connection": {"store_dir": str(store)},
+            "load": {
+                "collection_name": "migrated",
+                "recreate_collection": True,
+                "batch_size": 10,
+            },
+        },
+    }
+
+    def transform(data):
+        for d in data:
+            d["metadata"]["mark"] = "t"
+        return data
+
+    m = Migrator(
+        spark, cfg, adapters={"qdrant": QdrantAdapter(client_factory=qdrant_factory)}
+    )
+    assert m.migrate(transform) is True
+    assert m.stats["total_rows"] == 25
+
+    # collection DDL happened and all 25 points were upserted
+    assert (store / "migrated.config.json").exists()
+    points = []
+    for f in store.glob("migrated.points.*.jsonl"):
+        points += [_json.loads(line) for line in f.read_text().splitlines()]
+    assert len(points) == 25
+    assert all(p["payload"]["mark"] == "t" for p in points)

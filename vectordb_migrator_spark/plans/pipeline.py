@@ -78,11 +78,27 @@ class Migrator:
     ``migrate`` executes plan → sink write and returns success.
     """
 
-    def __init__(self, spark: SparkSession, config: str | dict[str, Any]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: str | dict[str, Any],
+        *,
+        adapters: dict[str, Any] | None = None,
+    ):
+        """``adapters`` overrides registry instances by type name —
+        dependency injection for integration tests with fake DB
+        clients (the reference wires MockAdapters the same way,
+        ``tests/test_core.py:15-41``)."""
         self.spark = spark
         self.config = load_config(config)
-        self.source_adapter = get_adapter(self.config["source"]["type"])()
-        self.target_adapter = get_adapter(self.config["target"]["type"])()
+        adapters = adapters or {}
+
+        def _bind(side: str):
+            t = self.config[side]["type"]
+            return adapters.get(t) or get_adapter(t)()
+
+        self.source_adapter = _bind("source")
+        self.target_adapter = _bind("target")
 
     def plan(self, transform: TransformFn | None = None) -> DataFrame:
         src = self.config["source"]
@@ -109,21 +125,39 @@ class Migrator:
         df = self.plan(transform)
         if not allow_empty and df.isEmpty():
             return False
-        # Reference-style load accounting (adapters/milvus.py:266-291)
-        # piggybacked on the write action via an Observation — counts
-        # with NO extra pass over the data, at any scale.
-        obs = Observation("migrate_stats")
-        df = df.observe(
-            obs,
+        tgt = self.config["target"]
+        load_sec = dict(_section(tgt, "load"))
+        # Pre-resolve the vector dimension on the UNOBSERVED plan and
+        # hand it to the sink: sinks that would otherwise sniff it
+        # with a short-circuiting first() would complete the
+        # observation below with that partial action's counts.
+        if load_sec.get("vector_dimension") is None and "vector" in df.columns:
+            first = (
+                df.select(F.size("vector").alias("d"))
+                .filter("d is not null")
+                .first()
+            )
+            if first:
+                load_sec["vector_dimension"] = int(first["d"])
+
+        # Reference-style load accounting (adapters/milvus.py:266-291).
+        # SQL-action sinks (df.write…) complete an Observation for
+        # free; foreachPartition sinks run on the RDD path where SQL
+        # observations NEVER fire (obs.get would block forever), so
+        # stats come from one dedicated aggregate action instead.
+        stats_aggs = [
             F.count(F.lit(1)).alias("total_rows"),
             F.count("id").alias("rows_with_id"),
             F.count("vector").alias("rows_with_vector"),
-        )
-        tgt = self.config["target"]
-        self.target_adapter.write(
-            df, _section(tgt, "connection"), _section(tgt, "load")
-        )
-        self.stats: dict[str, Any] = dict(obs.get)
+        ]
+        if getattr(self.target_adapter, "write_is_sql_action", False):
+            obs = Observation("migrate_stats")
+            df = df.observe(obs, *stats_aggs)
+            self.target_adapter.write(df, _section(tgt, "connection"), load_sec)
+            self.stats: dict[str, Any] = dict(obs.get)
+        else:
+            self.stats = df.agg(*stats_aggs).collect()[0].asDict()
+            self.target_adapter.write(df, _section(tgt, "connection"), load_sec)
         return True
 
 

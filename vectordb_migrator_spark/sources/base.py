@@ -34,6 +34,13 @@ class SparkAdapter(ABC):
 
     name: str = "base"
 
+    #: True when ``write`` executes through the SQL engine (df.write…)
+    #: — such writes complete ``df.observe`` metrics. foreachPartition
+    #: sinks run on the RDD path, which NEVER fires SQL observations
+    #: (an Observation.get on such a plan blocks forever); they must
+    #: set this False so callers account stats another way.
+    write_is_sql_action: bool = False
+
     @abstractmethod
     def read(
         self,

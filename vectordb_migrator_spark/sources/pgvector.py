@@ -70,6 +70,7 @@ def build_select(query: dict[str, Any]) -> str:
 
 class PgVectorAdapter(SparkAdapter):
     name = "pgvector"
+    write_is_sql_action = True  # JDBC df.write — fires observations
 
     def reader(
         self, spark: SparkSession, connection: dict[str, Any], query: dict[str, Any]

@@ -186,11 +186,19 @@ class QdrantAdapter(SparkAdapter):
         batch_size = int(load.get("batch_size", 100))
         factory = self.client_factory
 
-        # dim from data — the reference samples the first item
-        # (adapters/qdrant.py:160); one cheap Spark action on a pruned
-        # single-row scan does the same without driver materialization.
-        first = df.select(F.size("vector").alias("d")).filter("d is not null").first()
-        dim = int(first["d"]) if first else 0
+        # dim from config when provided (reference example configs use
+        # `vector_dimension`); else sample the first item like the
+        # reference (adapters/qdrant.py:160) via a pruned single-row
+        # action. Callers that observe the write plan should pass the
+        # dimension so this sniff doesn't consume their observation
+        # (plans/pipeline.py does).
+        if load.get("vector_dimension") is not None:
+            dim = int(load["vector_dimension"])
+        else:
+            first = (
+                df.select(F.size("vector").alias("d")).filter("d is not null").first()
+            )
+            dim = int(first["d"]) if first else 0
         self.ensure_collection(connection, load, dim)
 
         def _upsert(rows: Iterator[Any]) -> None:
