@@ -1870,3 +1870,72 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), n=3, threshold=0.2
     )
     return connected_components(pairs).orderBy("id")
+
+
+@query(
+    "window_moving_average",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           round(avg(n) OVER (ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS ma7
+    FROM daily ORDER BY day
+    """,
+)
+def window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average over daily counts — a ROWS-frame sliding
+    window on a pre-aggregated (tiny) series; the heavy lifting is the
+    groupBy, the window runs on rows-per-day."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(F.avg("n").over(w), 4).alias("ma7"),
+    ).orderBy("day")
+
+
+@query(
+    "window_above_customer_avg",
+    """
+    SELECT c.c_custkey, sum(above)::BIGINT AS n_above
+    FROM (
+      SELECT o_custkey,
+             CASE WHEN o_totalprice >
+                    avg(o_totalprice) OVER (PARTITION BY o_custkey)
+                  THEN 1 ELSE 0 END AS above
+      FROM orders) o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    HAVING sum(above) > 0
+    ORDER BY c_custkey
+    """,
+)
+def window_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic comparison against a per-key aggregate: unbounded
+    partition window (no self-join re-scan of orders), then count the
+    rows above their own key's average."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("o_custkey")
+    flagged = o.select(
+        "o_custkey",
+        F.when(
+            F.col("o_totalprice") > F.avg("o_totalprice").over(w), 1
+        ).otherwise(0).alias("above"),
+    )
+    return (
+        flagged.join(F.broadcast(c), flagged.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum("above").alias("s"), F.count("*").alias("cnt"))
+        .filter(F.col("s") > 0)
+        .select("c_custkey", F.col("s").cast("long").alias("n_above"))
+        .orderBy("c_custkey")
+    )
