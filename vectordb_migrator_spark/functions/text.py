@@ -130,3 +130,29 @@ def md5_fingerprint(col: Column | str) -> Column:
     """Content-hash fingerprint (first 16 hex chars of md5) — the
     cheap exact-dedup key."""
     return F.substring(F.md5(_c(col)), 1, 16)
+
+
+#: Conservative PII patterns — emails and NANP-style phone numbers.
+#: At 100 TB this is a single-pass regexp_replace inside codegen; the
+#: pattern set is deliberately small and auditable (recall-tuned NER
+#: scrubbing is a model call, not a regex — that belongs in a
+#: mapInPandas stage like multimodal.extract_features).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{4}\b"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails / phone-shaped tokens with typed placeholders."""
+    c = _c(col)
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_PHONE, "<PHONE>")
+    return c
+
+
+def pii_count(col: Column | str) -> Column:
+    """How many PII spans redaction would remove (for audit metrics)."""
+    c = _c(col)
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0))
+        + F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), 0))
+    ).cast("long")

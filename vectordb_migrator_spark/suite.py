@@ -1939,3 +1939,105 @@ def window_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("s").cast("long").alias("n_above"))
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "x5_pii_redaction",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR ||
+             '@example.com or 555.01' ||
+             lpad((doc_id % 100)::VARCHAR, 2, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted,
+           2::BIGINT AS n_pii
+    FROM seeded ORDER BY doc_id
+    """,
+)
+def x5_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — PII scrubbing (emails + phone-shaped tokens → typed
+    placeholders) with an audit count; single-pass codegen regex. The
+    PII is injected deterministically since the synthetic corpus has
+    none — the op under test is the redaction."""
+    from vectordb_migrator_spark.functions.text import pii_count, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555.01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        pii_count("text").alias("n_pii"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x5_vocab_topk",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    )
+    SELECT token, count(*)::BIGINT AS n
+    FROM toks WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def x5_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — corpus vocabulary top-k: explode tokens → map-side
+    partial-agg count → TakeOrdered(20). The shuffle carries (token,
+    partial_count), never documents."""
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ws_tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "x5_corpus_filter",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id,
+           (n_tok >= 20)::BIGINT AS kept,
+           CASE WHEN n_tok < 20 THEN 'too_short' ELSE 'ok' END AS reason
+    FROM m ORDER BY doc_id
+    """,
+)
+def x5_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — the quality-gate decision layer (kept flag + reason) over
+    the token-count signal; at scale the kept subset streams straight
+    into the next stage without re-scanning."""
+    from vectordb_migrator_spark.functions.text import token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = token_count_ws("text")
+    return d.select(
+        "doc_id",
+        (n_tok >= 20).cast("long").alias("kept"),
+        F.when(n_tok < 20, "too_short").otherwise("ok").alias("reason"),
+    ).orderBy("doc_id")
