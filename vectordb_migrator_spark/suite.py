@@ -2041,3 +2041,52 @@ def x5_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_tok >= 20).cast("long").alias("kept"),
         F.when(n_tok < 20, "too_short").otherwise("ok").alias("reason"),
     ).orderBy("doc_id")
+
+
+@query(
+    "x5_repetition_score",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             [array_to_string(toks[i:i+1], ' ')
+              for i in range(1, len(toks))] AS grams
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 2
+    )
+    SELECT doc_id, len(grams)::BIGINT AS n_grams,
+           len(list_distinct(grams))::BIGINT AS n_distinct,
+           round(1.0 - len(list_distinct(grams))::DOUBLE /
+                 len(grams)::DOUBLE, 6) AS dup_ratio
+    FROM g ORDER BY doc_id
+    """,
+)
+def x5_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — intra-document repetition (C4/Gopher-style quality
+    signal): duplicate-bigram fraction, pure codegen over the token
+    array (no explode — the gram list never leaves the row)."""
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    grams = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.size(toks)),
+        lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+    )
+    grams = F.filter(grams, lambda x: x.isNotNull())
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_grams"),
+            nd.cast("long").alias("n_distinct"),
+            F.round(
+                F.lit(1.0) - nd.cast("double") / n.cast("double"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
