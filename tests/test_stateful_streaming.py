@@ -134,3 +134,38 @@ def test_running_user_stats_across_batches(spark, tmp_path):
     assert final["n_events"] == 3
     assert final["total_value"] == 8.0
     assert final["max_value"] == 5.0
+
+
+def test_stream_interval_join(spark, tmp_path):
+    """Purchases attributed to clicks within the lookback window, as a
+    real stream-stream join with bounded state."""
+    from vectordb_migrator_spark.streaming.stateful import stream_interval_join
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100.0)], _SCHEMA
+    ).write.parquet(lsrc)
+    spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:45:00"), 1.0),   # within 30m ✓
+            (1, _ts("2024-01-01 09:20:00"), 2.0),   # too old ✗
+            (1, _ts("2024-01-01 10:05:00"), 3.0),   # after purchase ✗
+            (2, _ts("2024-01-01 09:59:00"), 4.0),   # other key ✗
+        ],
+        _SCHEMA,
+    ).write.parquet(rsrc)
+    l_stream = spark.readStream.schema(_SCHEMA).parquet(lsrc)
+    r_stream = spark.readStream.schema(_SCHEMA).parquet(rsrc)
+    q = (
+        stream_interval_join(l_stream, r_stream, lookback="30 minutes")
+        .writeStream.format("memory")
+        .queryName("ij_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user_id, value, r_value FROM ij_sink").collect()
+    assert [(r["user_id"], r["value"], r["r_value"]) for r in rows] == [
+        (1, 100.0, 1.0)
+    ]

@@ -115,3 +115,51 @@ def running_user_stats(stream: DataFrame, *, key_col: str = "user_id") -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with right
+    events of the same key whose timestamp falls in
+    ``[left_ts - lookback, left_ts]`` — the attribution join
+    (purchase ← recent clicks) as an incremental computation.
+
+    Both sides carry watermarks so the join state is bounded: a right
+    row is dropped from state once the watermark guarantees no future
+    left row's lookback window can reach it. Works on batch frames
+    too (Spark's unified model) — the time-range condition is the
+    same; only state management differs.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = (
+        right.withWatermark(right_ts, watermark)
+        .select(
+            F.col(key_col),
+            F.col(right_ts).alias(right_prefix + right_ts),
+            *[
+                F.col(c).alias(right_prefix + c)
+                for c in right.columns
+                if c not in (key_col, right_ts)
+            ],
+        )
+        .alias("r")
+    )
+    rts = right_prefix + right_ts
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(rts) <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(rts)
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return lw.join(rw, cond).drop(F.col(f"r.{key_col}"))
