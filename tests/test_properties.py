@@ -156,3 +156,34 @@ def test_asof_join_matches_python_reference(spark, lefts, rights):
         cands = [rs for rk, rs in rights if rk == k and rs <= s]
         expect = (base + dt.timedelta(seconds=max(cands))) if cands else None
         assert got[i] == expect, (i, k, s)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=60),   # n tokens
+    st.integers(min_value=2, max_value=12),   # chunk size
+    st.integers(min_value=0, max_value=6),    # overlap (< chunk size)
+)
+def test_chunking_coverage_property(spark, n_tokens, chunk_size, overlap):
+    """Every token covered; consecutive chunks share exactly `overlap`
+    tokens (except a possibly-shorter tail); counts consistent."""
+    from vectordb_migrator_spark.operators.chunking import chunk_text
+
+    overlap = min(overlap, chunk_size - 1)
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = (
+        chunk_text(df, chunk_size=chunk_size, overlap=overlap)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    step = chunk_size - overlap
+    covered = []
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        assert len(toks) == r["n_tokens"] <= chunk_size
+        covered.extend(toks)
+    assert set(covered) == {f"t{i}" for i in range(n_tokens)}
+    for i, r in enumerate(rows):
+        first = int(r["chunk_text"].split(" ")[0][1:])
+        assert first == i * step
