@@ -187,3 +187,46 @@ def test_chunking_coverage_property(spark, n_tokens, chunk_size, overlap):
     for i, r in enumerate(rows):
         first = int(r["chunk_text"].split(" ")[0][1:])
         assert first == i * step
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # key
+            st.integers(min_value=0, max_value=120),  # ts seconds
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sessionize_matches_python_reference(spark, events):
+    """Session boundaries (> gap ⇒ new session) vs a Python scan; the
+    per-key session COUNT is order-independent under timestamp ties."""
+    import datetime as dt
+
+    from vectordb_migrator_spark.operators.relational import sessionize
+
+    gap_s = 30
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s)) for k, s in events],
+        "k long, ts timestamp",
+    )
+    out = sessionize(df, "k", "ts", gap_micros=gap_s * 1_000_000).collect()
+    got_sessions = {}
+    for r in out:
+        got_sessions[r["k"]] = max(got_sessions.get(r["k"], 0), r["session_id"])
+
+    expect_sessions = {}
+    by_key = {}
+    for k, s in events:
+        by_key.setdefault(k, []).append(s)
+    for k, ss in by_key.items():
+        ss.sort()
+        n = 1
+        for a, b in zip(ss, ss[1:]):
+            if b - a > gap_s:
+                n += 1
+        expect_sessions[k] = n
+    assert got_sessions == expect_sessions

@@ -2090,3 +2090,36 @@ def x5_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "outer_join_urgent_counts",
+    """
+    SELECT c.c_custkey, coalesce(u.n, 0)::BIGINT AS urgent_orders
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+               WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+      ON u.o_custkey = c.c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def outer_join_urgent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with zero-fill: every customer row survives,
+    absent aggregates become explicit 0 — aggregate-then-join (the
+    small aggregated side broadcasts) rather than join-then-aggregate
+    over duplicated customer rows."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    u = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        c.join(F.broadcast(u), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("urgent_orders"),
+        )
+        .orderBy("c_custkey")
+    )
