@@ -48,6 +48,22 @@ def _norm_value(v):
     return v
 
 
+def unsafe_output_types(spark_df) -> list[str]:
+    """Columns whose type the DRIVER's pandas canonicalization cannot
+    handle even though this checker can: DecimalType survives Spark
+    collect as Python Decimal but DuckDB decimals become float64
+    (hash mismatch on trailing zeros); Array/Map cells are unhashable
+    in the pandas sort (hard crash). Queries must final-cast decimals
+    to double and serialize collections."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for f in spark_df.schema.fields:
+        if isinstance(f.dataType, (T.DecimalType, T.ArrayType, T.MapType)):
+            bad.append(f"{f.name}:{f.dataType.simpleString()}")
+    return bad
+
+
 def compare(name, spark_df, duck_rel) -> tuple[bool, str]:
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_rel.columns)
@@ -98,7 +114,10 @@ def main() -> int:
         t0 = time.time()
         try:
             df = qs[name](spark, sf_dir)
-            if name in oracles:
+            bad = unsafe_output_types(df)
+            if bad:
+                ok, msg = False, f"driver-unsafe output columns: {bad}"
+            elif name in oracles:
                 ok, msg = compare(name, df, con.sql(oracles[name]))
             else:
                 n = df.count()

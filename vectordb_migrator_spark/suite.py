@@ -11,7 +11,12 @@ Output-type conventions (to survive the driver's schema + value-hash
 compare): ints → long, floats → rounded double, timestamps → formatted
 string. Sums over doubles are cast to DECIMAL pre-aggregation so the
 result is associativity-independent (Spark and DuckDB may reduce in
-different orders; decimal addition is exact).
+different orders; decimal addition is exact) — but every OUTPUT column
+is final-cast to DOUBLE on both sides: the driver canonicalizes through
+pandas, where DuckDB decimals arrive as float64 while Spark decimals
+stay Python Decimal, so ``Decimal('138014.00') != 138014.0`` whenever a
+value has trailing zeros. Never emit DECIMAL (or a bare array — pandas
+can't sort lists) in a query's final schema.
 """
 
 from __future__ import annotations
@@ -187,7 +192,7 @@ def p3_metadata_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f1_filter_predicate",
     """
     SELECT count(*)::BIGINT AS n,
-           sum((l_extendedprice * l_discount)::DECIMAL(18,4))::DECIMAL(18,4)
+           sum((l_extendedprice * l_discount)::DECIMAL(18,4))::DOUBLE
              AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -208,7 +213,7 @@ def f1_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(
             (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
-        ).cast("decimal(18,4)").alias("revenue"),
+        ).cast("double").alias("revenue"),
     )
 
 
@@ -419,9 +424,9 @@ def agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity::DECIMAL(18,2))::DECIMAL(18,2) AS sum_qty,
-           sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(18,2) AS sum_base_price,
-           sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DECIMAL(18,4)
+           sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+           sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+           sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE
              AS sum_disc_price,
            count(*)::BIGINT AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -438,12 +443,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").alias("sum_qty"),
+            .cast("double").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").alias("sum_base_price"),
+            .cast("double").alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            ).cast("decimal(18,4)").alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -454,7 +459,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DECIMAL(18,4)
+           sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE
              AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -484,7 +489,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            ).cast("decimal(18,4)").alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -500,7 +505,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT n_name,
-           sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DECIMAL(18,4)
+           sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE
              AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -534,7 +539,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            ).cast("decimal(18,4)").alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -545,7 +550,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
            event_type, count(*)::BIGINT AS n,
-           sum(value::DECIMAL(18,2))::DECIMAL(18,2) AS total_value
+           sum(value::DECIMAL(18,2))::DOUBLE AS total_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -561,7 +566,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").alias("total_value"),
+            .cast("double").alias("total_value"),
         )
         .orderBy("hour", "event_type")
     )
@@ -999,7 +1004,7 @@ def x7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(l_returnflag, 'ALL') AS rf,
            coalesce(l_linestatus, 'ALL') AS ls,
-           sum(l_quantity::DECIMAL(18,2))::DECIMAL(18,2) AS sum_qty,
+           sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
            count(*)::BIGINT AS n
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     ORDER BY rf, ls
@@ -1013,7 +1018,7 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").alias("sum_qty"),
+            .cast("double").alias("sum_qty"),
             F.count("*").alias("n"),
         )
         .select(
@@ -1158,8 +1163,8 @@ def semi_anti_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-           o_totalprice::DECIMAL(18,2) AS totalprice,
-           sum(l_quantity::DECIMAL(18,2))::DECIMAL(18,2) AS sum_qty
+           o_totalprice AS totalprice,
+           sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
@@ -1187,13 +1192,13 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").alias("sum_qty")
+            .cast("double").alias("sum_qty")
         )
         .select(
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            F.col("o_totalprice").alias("totalprice"),
             "sum_qty",
         )
         .orderBy(F.desc("totalprice"), "o_orderkey")
@@ -1375,8 +1380,10 @@ def x9_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, round(scale, 6) AS scale,
-           CASE WHEN scale = 0 THEN list_transform(v, x -> 0::INT)
-                ELSE list_transform(v, x -> round(x / scale)::INT) END AS q,
+           array_to_string(
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0::INT)
+                  ELSE list_transform(v, x -> round(x / scale)::INT) END,
+             ',') AS q,
            round(CASE WHEN scale = 0 THEN 0.0 ELSE
              list_max([abs(v[i] - round(v[i] / scale) * scale)
                        for i in range(1, len(v) + 1)]) END, 6) AS max_err
@@ -1401,7 +1408,11 @@ def x9_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qs.select(
         "vec_id",
         F.round(F.col("qs.scale"), 6).alias("scale"),
-        F.col("qs.q").alias("q"),
+        # serialized, not a bare array<int>: the driver's pandas canon
+        # cannot sort list cells (unhashable) — see module docstring
+        F.array_join(
+            F.transform(F.col("qs.q"), lambda x: x.cast("string")), ","
+        ).alias("q"),
         F.round(
             F.aggregate(
                 F.zip_with(
@@ -1518,7 +1529,7 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
                    THEN (l_extendedprice*(1-l_discount))::DECIMAL(18,4)
                    ELSE 0::DECIMAL(18,4) END) /
-                 sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4)), 6)
+                 sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4)), 6)::DOUBLE
              AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -1544,7 +1555,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.00) * F.sum(promo) / F.sum(rev), 6
-            ).alias("promo_revenue")
+            ).cast("double").alias("promo_revenue")
         )
     )
 
@@ -1627,7 +1638,7 @@ def udtf_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            sum(o_totalprice::DECIMAL(18,2))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS UNBOUNDED PRECEDING)::DECIMAL(18,2) AS running_total
+                   ROWS UNBOUNDED PRECEDING)::DOUBLE AS running_total
     FROM orders ORDER BY o_custkey, o_orderkey
     """,
 )
@@ -1646,7 +1657,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .over(w)
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("running_total"),
         )
         .orderBy("o_custkey", "o_orderkey")
@@ -1743,7 +1754,7 @@ def x4_brp_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     """
-    SELECT sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DECIMAL(18,4)
+    SELECT sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE
              AS revenue,
            count(*)::BIGINT AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -1774,7 +1785,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-        ).cast("decimal(18,4)").alias("revenue"),
+        ).cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -1786,7 +1797,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
     )
     SELECT c_nationkey::BIGINT AS nationkey, count(*)::BIGINT AS numcust,
-           sum(c_acctbal::DECIMAL(18,2))::DECIMAL(18,2) AS totacctbal
+           sum(c_acctbal::DECIMAL(18,2))::DOUBLE AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -1816,7 +1827,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("numcust"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").alias("totacctbal"),
+            .cast("double").alias("totacctbal"),
         )
         .select(
             F.col("c_nationkey").cast("long").alias("nationkey"),
