@@ -94,28 +94,46 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     explode(shingles) → self-join on shingle → count common per pair →
     ``|A∩B| / (|A| + |B| - |A∩B|)``. The shingle join IS the blocking:
     pairs sharing nothing never meet, so the pair space stays sparse.
-    At 100 TB add a document-frequency cap on shingles (drop shingles
-    appearing in >X% of docs) to bound the hottest join keys — the
-    ``max_df`` parameter below.
+
+    ``max_df`` is the 100 TB knob: drop shingles whose document
+    frequency exceeds it BEFORE bucketing. A stopword-like shingle
+    shared by N docs otherwise produces one N-element bucket and O(N²)
+    pairs in a single task — the classic skewed-key scale-killer. The
+    df pre-pass is a map-side-combinable count (the hot gram costs one
+    long counter per map task, never a giant list), and the surviving
+    grams reach the bucket stage via a semi-join that reuses the gram
+    partitioning. Semantics with the cap: ``common`` counts only
+    surviving shingles while ``|A|``/``|B|`` stay full-size, so scores
+    of pairs that shared a dropped gram are strict underestimates —
+    the standard trade (hot grams carry no dedup signal). With
+    ``max_df`` ≥ the corpus df-max, results are exactly unchanged
+    (property-tested).
     """
     sh = fan_out(df).select(
         F.col(id_col).alias("id"),
         shingles(text_col, n).alias("sh"),
     ).withColumn("sh_n", F.size("sh"))
     exploded = sh.select("id", "sh_n", F.explode("sh").alias("g"))
+    if max_df is not None:
+        keep = (
+            exploded.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
+        )
+        exploded = exploded.join(keep, "g", "left_semi")
     # ONE shuffle (groupBy gram), then pair generation inside each
     # gram bucket via a nested-transform cross of the collected
     # (id, n) structs — replaces the exploded self-join (which would
     # shuffle both sides and sort-merge). Bucket size is bounded by
-    # gram document-frequency; at 100 TB cap it by dropping grams with
-    # df > max_df (stopword-like shingles carry no dedup signal and
-    # are exactly the skewed keys).
+    # gram document-frequency (≤ max_df when set).
     buckets = exploded.groupBy("g").agg(
         F.collect_list(F.struct("id", "sh_n")).alias("docs")
     )
@@ -217,6 +235,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 32,
     jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
@@ -227,6 +246,18 @@ def minhash_near_dup_pairs(
     but the exact-Jaccard verify step removes every false positive, so
     extra candidates cost verify time, never correctness. Raise r for
     a sharper curve when the corpus is huge and the threshold high.
+
+    ``max_bucket`` bounds the per-bucket pair blow-up: a cluster of N
+    exact duplicates shares EVERY band, so each of its buckets holds N
+    ids and all-pairs generation emits O(N²) rows per band — at 100 TB
+    a 1M-copy boilerplate doc would mean 10¹² candidate rows. When a
+    bucket exceeds the cap, pair generation switches to a STAR around
+    the bucket's min id (N-1 pairs): connectivity within the bucket is
+    preserved — downstream connected-components clustering groups the
+    same docs — at O(N) cost. Buckets at or under the cap are
+    unaffected (property-tested), and running :func:`exact_text_dedup`
+    first remains the recommended pipeline for heavily-duplicated
+    corpora.
     """
     r = num_hashes // bands
     sh = df.select(
@@ -266,7 +297,7 @@ def minhash_near_dup_pairs(
         ).alias("bucket"),
     )
     buckets = banded.groupBy("bucket").agg(F.collect_list("id").alias("ids"))
-    pair_structs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             F.col("ids"),
             lambda a: F.filter(
@@ -280,6 +311,25 @@ def minhash_near_dup_pairs(
             ),
         )
     )
+    if max_bucket is not None:
+        # oversized bucket → star around min id: O(N) pairs, same
+        # connectivity for downstream clustering (see docstring)
+        anchor = F.array_min(F.col("ids"))
+        star_pairs = F.filter(
+            F.transform(
+                F.col("ids"),
+                lambda b: F.when(
+                    anchor < b,
+                    F.struct(anchor.alias("id_a"), b.alias("id_b")),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+        pair_structs = F.when(
+            F.size(F.col("ids")) > max_bucket, star_pairs
+        ).otherwise(all_pairs)
+    else:
+        pair_structs = all_pairs
     cands = (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
@@ -351,12 +401,21 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup: band the 64-bit fingerprint into 4×16-bit
     chunks; by pigeonhole, any pair within Hamming distance ≤ 3×? must
     share a chunk (guaranteed complete for distance ≤ 3 with 4 bands;
     wider distances are best-effort recall, standard practice). Shared
-    chunk → candidate → exact popcount verify."""
+    chunk → candidate → exact popcount verify.
+
+    ``max_bucket``: a (band, chunk) key shared by N docs makes the
+    candidate self-join emit O(N²) rows — exact-duplicate clusters
+    share all four chunks. When a bucket exceeds the cap, its rows
+    instead pair against the bucket's min-id anchor only (O(N), window
+    over the same (band, chunk) partitioning — no extra join), which
+    preserves in-bucket connectivity for downstream clustering.
+    Buckets at or under the cap use the full self-join unchanged."""
     sigs = fan_out(df).select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
     chunks = sigs.select(
         "id",
@@ -375,13 +434,52 @@ def simhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
-    left = chunks.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk")
-    right = chunks.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "chunk")
-    cands = (
-        left.join(right, ["band", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band", "chunk")
+        chunks = (
+            chunks.withColumn("n_bkt", F.count("*").over(w))
+            .withColumn("anchor", F.min(F.struct("id", "sig")).over(w))
+        )
+        small = chunks.filter(F.col("n_bkt") <= max_bucket)
+        left = small.select(
+            F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk"
+        )
+        right = small.select(
+            F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "chunk"
+        )
+        full = left.join(right, ["band", "chunk"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        star = (
+            chunks.filter(
+                (F.col("n_bkt") > max_bucket) & (F.col("anchor.id") < F.col("id"))
+            )
+            .select(
+                F.col("anchor.id").alias("id_a"),
+                F.col("anchor.sig").alias("sig_a"),
+                F.col("id").alias("id_b"),
+                F.col("sig").alias("sig_b"),
+            )
+        )
+        cands = (
+            full.select("id_a", "sig_a", "id_b", "sig_b")
+            .unionAll(star)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        left = chunks.select(
+            F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk"
+        )
+        right = chunks.select(
+            F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "chunk"
+        )
+        cands = (
+            left.join(right, ["band", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
         cands.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)

@@ -672,12 +672,15 @@ def x1_dedup_exact_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(toks) >= 3
     ), ex AS (
       SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), keep AS (
+      SELECT gram FROM ex GROUP BY gram HAVING count(*) <= 50
     )
     SELECT a.id AS id_a, b.id AS id_b,
            round(count(*)::DOUBLE /
                  (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE, 6)
              AS jaccard
     FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+         JOIN keep kp ON kp.gram = a.gram
     GROUP BY a.id, b.id
     HAVING count(*)::DOUBLE /
            (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.05
@@ -686,9 +689,11 @@ def x1_dedup_exact_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — exact n-gram Jaccard near-dup pairs; the shingle equi-join
-    is the blocking (non-overlapping pairs never meet)."""
+    is the blocking (non-overlapping pairs never meet). max_df=50
+    exercises the hot-shingle document-frequency cap — the oracle
+    mirrors the df filter, so the driver checks the scale path."""
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.05
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.05, max_df=50
     ).orderBy("id_a", "id_b")
 
 
@@ -698,7 +703,7 @@ def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verified against x2_ngram_jaccard_pairs in tests (every LSH pair
     above threshold must appear in the exact pair set)."""
     return minhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), jaccard_threshold=0.2
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.2, max_bucket=64
     ).orderBy("id_a", "id_b")
 
 
@@ -706,9 +711,9 @@ def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — SimHash near-dup pairs (Hamming ≤ 8 on 64-bit fingerprints,
     4×16-bit band blocking)."""
-    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents")).orderBy(
-        "id_a", "id_b"
-    )
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_bucket=64
+    ).orderBy("id_a", "id_b")
 
 
 @query(
