@@ -140,24 +140,40 @@ class Migrator:
             if first:
                 load_sec["vector_dimension"] = int(first["d"])
 
-        # Reference-style load accounting (adapters/milvus.py:266-291).
-        # SQL-action sinks (df.write…) complete an Observation for
-        # free; foreachPartition sinks run on the RDD path where SQL
-        # observations NEVER fire (obs.get would block forever), so
-        # stats come from one dedicated aggregate action instead.
-        stats_aggs = [
-            F.count(F.lit(1)).alias("total_rows"),
-            F.count("id").alias("rows_with_id"),
-            F.count("vector").alias("rows_with_vector"),
-        ]
+        # Reference-style load accounting (adapters/milvus.py:266-291),
+        # always in the SAME action as the write — never a second pass
+        # (a separate df.agg().collect() would re-execute the whole
+        # upstream DAG: a 2× source read at 100 TB). SQL-action sinks
+        # (df.write…) complete an Observation for free; foreachPartition
+        # sinks run on the RDD path where SQL observations NEVER fire
+        # (obs.get would block forever), so those sinks count rows via
+        # accumulators inside their own write loop and return the stats
+        # (sources/base.py make_write_counters). The df.agg fallback
+        # only covers third-party sinks that return no stats.
         if getattr(self.target_adapter, "write_is_sql_action", False):
             obs = Observation("migrate_stats")
-            df = df.observe(obs, *stats_aggs)
+            df = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("total_rows"),
+                F.count("id").alias("rows_with_id"),
+                F.count("vector").alias("rows_with_vector"),
+            )
             self.target_adapter.write(df, _section(tgt, "connection"), load_sec)
             self.stats: dict[str, Any] = dict(obs.get)
         else:
-            self.stats = df.agg(*stats_aggs).collect()[0].asDict()
-            self.target_adapter.write(df, _section(tgt, "connection"), load_sec)
+            result = self.target_adapter.write(
+                df, _section(tgt, "connection"), load_sec
+            )
+            stats = (result or {}).get("stats")
+            self.stats = (
+                dict(stats)
+                if stats is not None
+                else df.agg(
+                    F.count(F.lit(1)).alias("total_rows"),
+                    F.count("id").alias("rows_with_id"),
+                    F.count("vector").alias("rows_with_vector"),
+                ).collect()[0].asDict()
+            )
         return True
 
 

@@ -17,6 +17,24 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def make_write_counters(df: DataFrame) -> dict[str, Any]:
+    """Spark accumulators for sink-side load accounting.
+
+    foreachPartition sinks count rows *inside their own write pass*
+    (local ints per partition, one ``.add`` per counter at partition
+    end) so accounting costs zero extra actions — the alternative, a
+    separate ``df.agg(...).collect()``, re-executes the entire upstream
+    DAG, i.e. a second full source scan at 100 TB. After the write
+    action completes, ``.value`` is final on the driver.
+    """
+    sc = df.sparkSession.sparkContext
+    return {
+        "total_rows": sc.accumulator(0),
+        "rows_with_id": sc.accumulator(0),
+        "rows_with_vector": sc.accumulator(0),
+    }
+
+
 class SparkAdapter(ABC):
     """One backend's read/write edge.
 
@@ -57,7 +75,13 @@ class SparkAdapter(ABC):
         load: dict[str, Any],
     ) -> dict[str, Any]:
         """Write and return an accounting dict (the Milvus sink's
-        result-accounting shape, ``adapters/milvus.py:266-291``)."""
+        result-accounting shape, ``adapters/milvus.py:266-291``).
+
+        foreachPartition sinks should include a ``"stats"`` key
+        (``total_rows`` / ``rows_with_id`` / ``rows_with_vector``,
+        counted via :func:`make_write_counters` inside the write pass
+        over the rows actually presented to the backend) so callers
+        never need a second pass for accounting."""
 
     def get_schema_info(
         self, spark: SparkSession, connection: dict[str, Any], entity: str

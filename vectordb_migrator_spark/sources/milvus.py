@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA
 from vectordb_migrator_spark.operators.slicing import limit_offset
-from vectordb_migrator_spark.sources.base import SparkAdapter
+from vectordb_migrator_spark.sources.base import SparkAdapter, make_write_counters
 
 
 def _require_client(connection: dict[str, Any]):
@@ -190,13 +190,15 @@ class MilvusAdapter(SparkAdapter):
         pk, vec_f, scalars = plan_fields(schema_info)
         batch_size = int(load.get("batch_size", 1_000))
 
-        # C4 — drop rows without a PK, with observable accounting
-        observed = df.observe("milvus_load", F.count("*").alias("total_input_count"))
-        kept = observed.filter(F.col("id").isNotNull())
+        # C4 — drop rows without a PK (reference counts only inserted
+        # entities, adapters/milvus.py:266-291; stats below match that)
+        kept = df.filter(F.col("id").isNotNull())
+        counters = make_write_counters(df)
 
         def _insert(rows: Iterator[Any]) -> None:
             cl = factory(connection)
             buf: list[dict[str, Any]] = []
+            n = n_vec = 0
 
             def flush():
                 if buf:
@@ -206,6 +208,8 @@ class MilvusAdapter(SparkAdapter):
             for row in rows:
                 meta = dict(row["metadata"] or {})
                 rec: dict[str, Any] = {pk: row["id"]}
+                n += 1
+                n_vec += row["vector"] is not None
                 if vec_f:
                     rec[vec_f] = list(row["vector"]) if row["vector"] else None
                 # C6 — conform to schema: unknown keys dropped, missing
@@ -216,9 +220,16 @@ class MilvusAdapter(SparkAdapter):
                 if len(buf) >= batch_size:
                     flush()
             flush()
+            counters["total_rows"].add(n)
+            counters["rows_with_id"].add(n)  # kept rows all have a PK
+            counters["rows_with_vector"].add(n_vec)
 
         kept.foreachPartition(_insert)
-        return {"collection": collection, "mode": "insert"}
+        return {
+            "collection": collection,
+            "mode": "insert",
+            "stats": {k: int(v.value) for k, v in counters.items()},
+        }
 
     def get_schema_info(
         self, spark: SparkSession, connection: dict[str, Any], entity: str

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA
 from vectordb_migrator_spark.operators.slicing import limit_offset
-from vectordb_migrator_spark.sources.base import SparkAdapter
+from vectordb_migrator_spark.sources.base import SparkAdapter, make_write_counters
 
 
 def _require_client(connection: dict[str, Any]):
@@ -115,10 +115,13 @@ class PineconeAdapter(SparkAdapter):
                     metric=load.get("metric", "cosine"),
                 )
 
+        counters = make_write_counters(df)
+
         def _upsert(rows: Iterator[Any]) -> None:
             cl = factory(connection)
             index = cl.Index(index_name)
             buf = []
+            n = n_id = n_vec = 0
 
             def flush():
                 if buf:
@@ -126,6 +129,9 @@ class PineconeAdapter(SparkAdapter):
                     buf.clear()
 
             for row in rows:
+                n += 1
+                n_id += row["id"] is not None
+                n_vec += row["vector"] is not None
                 buf.append(
                     {
                         "id": str(row["id"]),
@@ -136,9 +142,17 @@ class PineconeAdapter(SparkAdapter):
                 if len(buf) >= batch_size:
                     flush()
             flush()
+            counters["total_rows"].add(n)
+            counters["rows_with_id"].add(n_id)
+            counters["rows_with_vector"].add(n_vec)
 
         df.foreachPartition(_upsert)
-        return {"index": index_name, "namespace": namespace, "mode": "upsert"}
+        return {
+            "index": index_name,
+            "namespace": namespace,
+            "mode": "upsert",
+            "stats": {k: int(v.value) for k, v in counters.items()},
+        }
 
     def get_schema_info(
         self, spark: SparkSession, connection: dict[str, Any], entity: str

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA
 from vectordb_migrator_spark.operators.slicing import limit_offset
-from vectordb_migrator_spark.sources.base import SparkAdapter
+from vectordb_migrator_spark.sources.base import SparkAdapter, make_write_counters
 
 #: Reference distance-name mapping (adapters/qdrant.py:163-169).
 DISTANCES = {"cosine": "Cosine", "euclid": "Euclid", "dot": "Dot"}
@@ -201,9 +201,12 @@ class QdrantAdapter(SparkAdapter):
             dim = int(first["d"]) if first else 0
         self.ensure_collection(connection, load, dim)
 
+        counters = make_write_counters(df)
+
         def _upsert(rows: Iterator[Any]) -> None:
             client = factory(connection)
             buf = []
+            n = n_id = n_vec = 0
 
             def flush():
                 if buf:
@@ -214,6 +217,9 @@ class QdrantAdapter(SparkAdapter):
                 rid = row["id"]
                 # C2 — digit-string ids become ints (adapters/qdrant.py:219-222)
                 pid = int(rid) if isinstance(rid, str) and rid.isdigit() else rid
+                n += 1
+                n_id += rid is not None
+                n_vec += row["vector"] is not None
                 buf.append(
                     {
                         "id": pid,
@@ -224,12 +230,19 @@ class QdrantAdapter(SparkAdapter):
                 if len(buf) >= batch_size:
                     flush()
             flush()
+            counters["total_rows"].add(n)
+            counters["rows_with_id"].add(n_id)
+            counters["rows_with_vector"].add(n_vec)
             close = getattr(client, "close", None)
             if close:
                 close()
 
         df.foreachPartition(_upsert)
-        return {"collection": name, "mode": "upsert"}
+        return {
+            "collection": name,
+            "mode": "upsert",
+            "stats": {k: int(v.value) for k, v in counters.items()},
+        }
 
     def get_schema_info(
         self, spark: SparkSession, connection: dict[str, Any], entity: str
