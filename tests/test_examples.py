@@ -1,0 +1,111 @@
+"""Packaging + examples parity with the reference distribution.
+
+Reference ships ``pyproject.toml`` with console script
+``vectordb-migrate`` (``/root/reference/pyproject.toml:55-58``) and a
+runnable ``examples/`` directory (6 migration configs + a transform
+module). This repo mirrors both: the console script cannot be
+pip-installed inside this container (no ``wheel`` package, installs
+disallowed), so the entry-point test resolves the declared
+``[project.scripts]`` target from pyproject metadata and invokes it
+directly, plus exercises the always-available ``python -m`` entry.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import tomllib
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+EXAMPLES = sorted((ROOT / "examples").glob("*.json"))
+
+
+def test_pyproject_declares_console_script():
+    meta = tomllib.loads((ROOT / "pyproject.toml").read_text())
+    scripts = meta["project"]["scripts"]
+    assert scripts["vectordb-migrate-spark"] == "vectordb_migrator_spark.cli:main"
+
+
+def test_console_entry_point_target_runs_version(capsys):
+    """Resolve the [project.scripts] target the way an installed
+    console script would and call it."""
+    import importlib
+
+    meta = tomllib.loads((ROOT / "pyproject.toml").read_text())
+    mod_name, func_name = meta["project"]["scripts"][
+        "vectordb-migrate-spark"
+    ].split(":")
+    fn = getattr(importlib.import_module(mod_name), func_name)
+    assert fn(["--version"]) == 0
+    from vectordb_migrator_spark import __version__
+
+    assert capsys.readouterr().out.strip() == __version__
+    assert meta["project"]["version"] == __version__
+
+
+def test_python_m_entry_point_version():
+    out = subprocess.run(
+        [sys.executable, "-m", "vectordb_migrator_spark", "--version"],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+        check=True,
+    )
+    from vectordb_migrator_spark import __version__
+
+    assert out.stdout.strip() == __version__
+
+
+def test_examples_directory_covers_reference_set():
+    names = {p.name for p in EXAMPLES}
+    for ref_name in (
+        "pgvector_to_qdrant_config.json",
+        "pgvector_to_pinecone_config.json",
+        "pgvector_to_milvus_docker_config.json",
+        "pinecone_to_pgvector_config.json",
+        "pinecone_to_qdrant_config.json",
+        "qdrant_to_pgvector_config.json",
+    ):
+        assert ref_name in names
+    assert (ROOT / "examples" / "add_source_tracking.py").exists()
+
+
+@pytest.mark.parametrize("path", EXAMPLES, ids=[p.stem for p in EXAMPLES])
+def test_example_config_loads(path):
+    """Every shipped example parses and validates through load_config
+    (registered adapter types, required sections), including the
+    Docker example's *_params key aliases."""
+    from vectordb_migrator_spark.plans.pipeline import _section, load_config
+
+    cfg = load_config(str(path))
+    for side in ("source", "target"):
+        assert cfg[side]["type"]
+        key = "query" if side == "source" else "load"
+        assert isinstance(_section(cfg[side], key), dict)
+
+
+def test_example_transform_module_loads_and_applies():
+    from vectordb_migrator_spark.operators.transform import (
+        load_transform_function,
+    )
+
+    fn = load_transform_function(str(ROOT / "examples" / "add_source_tracking.py"))
+    assert fn is not None
+    out = fn([{"id": "1", "vector": [0.1], "metadata": {}}])
+    assert out[0]["metadata"]["source_db"] == "custom_source"
+    assert "migration_timestamp" in out[0]["metadata"]
+
+
+def test_parquet_roundtrip_example_runs(spark, tmp_path):
+    """The parquet example is runnable end-to-end in this container —
+    point its output at a tmp dir and migrate."""
+    from vectordb_migrator_spark import run_migration
+
+    cfg = json.loads((ROOT / "examples" / "parquet_roundtrip_config.json").read_text())
+    cfg["target"]["load"]["path"] = str(tmp_path / "out")
+    assert run_migration(spark, cfg) is True
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 500
