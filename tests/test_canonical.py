@@ -36,11 +36,16 @@ def test_pgvector_roundtrip(spark):
 
 
 def test_coerce_id(spark):
+    big = "340282366920938463463374607431768211455"  # 2^128 - 1
     df = spark.createDataFrame(
-        [("007",), ("42",), ("doc-1",), ("",)], ["i"]
+        [("007",), ("42",), ("doc-1",), ("",), (big,), ("00" + big,), ("000",)],
+        ["i"],
     )
     vals = [r[0] for r in df.select(coerce_id("i")).collect()]
-    assert vals == ["7", "42", "doc-1", ""]
+    # >19-digit ids must canonicalize losslessly (reference int() is
+    # arbitrary-precision; a long cast would overflow to NULL and the
+    # row would later be dropped by drop_missing_ids)
+    assert vals == ["7", "42", "doc-1", "", big, big, "0"]
 
 
 def test_to_canonical_shape(embeddings):

@@ -174,15 +174,23 @@ class FakeMilvusClient:
         return _MILVUS_SCHEMA
 
     def query(self, collection_name, filter="", output_fields=None):
+        import math
+
+        def c_mod(a, n):  # Milvus evaluates % with C truncation semantics
+            return int(math.fmod(a, n))
+
         data = self.DATA
-        # understands the adapter's shard conjunct "(pk % N) == i" and
-        # the base predicate, in any combination
+        # understands the adapter's shard conjunct
+        # "(((pk % N) + N) % N) == i" and the base predicate, in any
+        # combination — evaluated with C % semantics like the server
         for part in re.split(r"\s+and\s+", filter) if filter else []:
             part = part.strip().strip("()")
-            m = re.match(r"pk % (\d+)\)? == (\d+)", part)
+            m = re.match(r"pk % (\d+)\) \+ (\d+)\) % (\d+)\) == (\d+)", part)
             if m:
-                n, i = int(m.group(1)), int(m.group(2))
-                data = [d for d in data if d["pk"] % n == i]
+                n1, add, n2, i = (int(g) for g in m.groups())
+                data = [
+                    d for d in data if c_mod(c_mod(d["pk"], n1) + add, n2) == i
+                ]
             elif part == "meta_b > 2":
                 data = [
                     d for d in data if d["meta_b"] is not None and d["meta_b"] > 2
@@ -262,7 +270,9 @@ def test_milvus_write_conform_and_skip_missing_id(spark, tmp_path):
         if f.startswith("col.rows"):
             recs += [json.loads(x) for x in open(tmp_path / f)]
     assert len(recs) == 1  # null-id row skipped
-    assert recs[0] == {"pk": "1", "vec": [0.10000000149011612], "meta_a": "x", "meta_b": None}
+    # id and scalars back-coerced to the declared schema types: the
+    # canonical string "1" must reach the INT64 PK as an int
+    assert recs[0] == {"pk": 1, "vec": [0.10000000149011612], "meta_a": "x", "meta_b": None}
 
     with pytest.raises(ValueError, match="must exist"):
         a.write(df, conn, {"collection_name": "newcol"})
@@ -310,3 +320,77 @@ def test_pgvector_writer_plan(spark):
         df, {"host": "h"}, {"table_name": "t", "metadata_columns": ["m"], "batch_size": 7}
     )
     assert writer is not None  # configuration path; no live server to save to
+
+
+class NegativePkMilvusClient(FakeMilvusClient):
+    DATA = [
+        {"pk": p, "vec": [float(p)], "meta_a": f"a{p}", "meta_b": None}
+        for p in (-5, -4, -1, 0, 2, 3)
+    ]
+
+
+def test_milvus_sharded_read_keeps_negative_pks(spark):
+    """Milvus evaluates % with C semantics: a negative PK has a
+    negative residue, so the naive `pk % N == i` shard predicate
+    matches NO shard and silently drops the row. The non-negative
+    rewrite must read every row exactly once."""
+    a = MilvusAdapter(client_factory=lambda c: NegativePkMilvusClient(c))
+    out = a.read(
+        spark, {}, {"collection_name": "col", "num_partitions": 3}
+    ).collect()
+    assert sorted(r["id"] for r in out) == ["-1", "-4", "-5", "0", "2", "3"]
+
+
+def test_milvus_write_coerces_scalar_types(spark, tmp_path):
+    """Stringified canonical metadata must be back-coerced to the
+    collection's declared scalar types (INT64 meta_b gets an int)."""
+    conn = {"store_dir": str(tmp_path)}
+    a = MilvusAdapter(client_factory=milvus_factory)
+    df = spark.createDataFrame(
+        [("7", [0.5], {"meta_a": "x", "meta_b": "42"})],
+        "id string, vector array<float>, metadata map<string,string>",
+    )
+    res = a.write(df, conn, {"collection_name": "col"})
+    recs = []
+    for f in os.listdir(tmp_path):
+        if f.startswith("col.rows"):
+            recs += [json.loads(x) for x in open(tmp_path / f)]
+    assert recs == [{"pk": 7, "vec": [0.5], "meta_a": "x", "meta_b": 42}]
+    assert res["stats"] == {
+        "total_rows": 1, "rows_with_id": 1, "rows_with_vector": 1,
+    }
+
+
+def test_pgvector_schema_info_dimension_probe(spark, monkeypatch):
+    """Reference parity (adapters/pgvector.py:262-285): schema info
+    reports the vector columns and a sampled vector dimension."""
+    from vectordb_migrator_spark.sources.pgvector import PgVectorAdapter
+
+    a = PgVectorAdapter()
+    queries = []
+
+    class FakeDF:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def collect(self):
+            return self._rows
+
+    def fake_jdbc_query(spark_, connection, q):
+        queries.append(q)
+        if "information_schema" in q:
+            return FakeDF(
+                [
+                    ("id", "integer", "int4"),
+                    ("embedding", "USER-DEFINED", "vector"),
+                    ("name", "text", "text"),
+                ]
+            )
+        return FakeDF([("[0.25,-1.5,3.0,0.0]",)])
+
+    monkeypatch.setattr(a, "_jdbc_query", fake_jdbc_query)
+    info = a.get_schema_info(spark, {}, "items")
+    assert info["vector_columns"] == ["embedding"]
+    assert info["vector_dimension"] == 4
+    assert info["columns"]["embedding"] == "USER-DEFINED"
+    assert "embedding::text" in queries[1] and "LIMIT 1" in queries[1]

@@ -63,17 +63,24 @@ def format_pgvector_text(col: Column | str) -> Column:
 
 
 def coerce_id(col: Column | str) -> Column:
-    """C2 — digit-string ids become longs, other strings pass through.
+    """C2 — digit-string ids become canonical ints, others pass through.
 
     Mirrors the Qdrant sink's coercion (``adapters/qdrant.py:219-222``:
     ``int(item_id) if isinstance(item_id, str) and item_id.isdigit()``).
     Returned as string so mixed int/str id datasets keep one column
     type; the coercion is observable as canonical form (no leading
-    zeros, no whitespace).
+    zeros, no whitespace). Canonicalization strips leading zeros
+    textually rather than round-tripping through a numeric cast: the
+    reference's ``int()`` is arbitrary-precision, and a >19-digit id
+    (UUIDs rendered as decimal, 128-bit snowflakes) would overflow a
+    long cast to NULL in non-ANSI mode — silently nulling the id and
+    getting the row dropped downstream by ``drop_missing_ids``.
     """
     col = F.col(col) if isinstance(col, str) else col
     s = col.cast("string")
-    return F.when(s.rlike("^[0-9]+$"), s.cast("long").cast("string")).otherwise(s)
+    return F.when(
+        s.rlike("^[0-9]+$"), F.regexp_replace(s, "^0+(.)", "$1")
+    ).otherwise(s)
 
 
 def to_canonical_columns(

@@ -71,6 +71,38 @@ def plan_fields(schema_info: dict[str, Any]) -> tuple[str, str | None, list[str]
     return pk, vector_field, scalars
 
 
+_INT_TYPES = ("INT64", "INT32", "INT16", "INT8")
+_FLOAT_TYPES = ("FLOAT", "DOUBLE")
+
+
+def field_types(schema_info: dict[str, Any]) -> dict[str, str]:
+    """name → declared Milvus type, for write-side value coercion."""
+    return {
+        f_["name"]: f_.get("type", "VARCHAR")
+        for f_ in schema_info.get("fields", [])
+    }
+
+
+def coerce_to_field_type(val: Any, milvus_type: str) -> Any:
+    """Coerce a canonical (stringified) value to the collection's
+    declared scalar type before insert. The reference preserves source
+    types end-to-end so an INT64-PK collection receives ints; the
+    canonical pipeline stringifies, so without this back-coercion
+    pymilvus rejects the rows (string PK into INT64). Mirrors the C2
+    coercion the Qdrant writer applies to digit-string ids."""
+    if val is None:
+        return None
+    if milvus_type in _INT_TYPES:
+        return int(val)
+    if milvus_type in _FLOAT_TYPES:
+        return float(val)
+    if milvus_type == "BOOL":
+        if isinstance(val, bool):
+            return val
+        return str(val).strip().lower() in ("true", "1", "t", "yes")
+    return str(val)
+
+
 class MilvusAdapter(SparkAdapter):
     name = "milvus"
 
@@ -116,7 +148,11 @@ class MilvusAdapter(SparkAdapter):
         def _shard_expr(shard: int, of: int) -> str:
             if of <= 1:
                 return expr
-            conj = f"({pk} % {of}) == {shard}"
+            # non-negative residue: Milvus evaluates % with C semantics,
+            # so a negative INT64 PK yields a negative remainder that
+            # matches NO shard — plain `pk % N == i` silently loses
+            # every negative-PK row when num_partitions > 1
+            conj = f"((({pk} % {of}) + {of}) % {of}) == {shard}"
             return f"({expr}) and {conj}" if expr else conj
 
         def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -188,6 +224,7 @@ class MilvusAdapter(SparkAdapter):
             )
         schema_info = client.describe_collection(collection)
         pk, vec_f, scalars = plan_fields(schema_info)
+        ftypes = field_types(schema_info)
         batch_size = int(load.get("batch_size", 1_000))
 
         # C4 — drop rows without a PK (reference counts only inserted
@@ -207,7 +244,13 @@ class MilvusAdapter(SparkAdapter):
 
             for row in rows:
                 meta = dict(row["metadata"] or {})
-                rec: dict[str, Any] = {pk: row["id"]}
+                # id and scalars coerced to the collection's declared
+                # types (reference preserves source types end-to-end;
+                # an INT64-PK collection must receive ints, not the
+                # canonical strings)
+                rec: dict[str, Any] = {
+                    pk: coerce_to_field_type(row["id"], ftypes.get(pk, "VARCHAR"))
+                }
                 n += 1
                 n_vec += row["vector"] is not None
                 if vec_f:
@@ -215,7 +258,9 @@ class MilvusAdapter(SparkAdapter):
                 # C6 — conform to schema: unknown keys dropped, missing
                 # keys null-filled (adapters/milvus.py:224-233)
                 for k in scalars:
-                    rec[k] = meta.get(k)
+                    rec[k] = coerce_to_field_type(
+                        meta.get(k), ftypes.get(k, "VARCHAR")
+                    )
                 buf.append(rec)
                 if len(buf) >= batch_size:
                     flush()

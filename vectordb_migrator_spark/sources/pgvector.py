@@ -155,16 +155,8 @@ class PgVectorAdapter(SparkAdapter):
         self.writer(df, connection, load).save()
         return {"table": load.get("table_name", "items"), "mode": "jdbc-append"}
 
-    def get_schema_info(
-        self, spark: SparkSession, connection: dict[str, Any], entity: str
-    ) -> dict[str, Any]:
-        """information_schema introspection (``adapters/pgvector.py:262-279``)
-        via a JDBC query instead of a psycopg2 cursor."""
-        q = (
-            "SELECT column_name, data_type FROM information_schema.columns "
-            f"WHERE table_name = '{entity}'"
-        )
-        rows = (
+    def _jdbc_query(self, spark: SparkSession, connection: dict[str, Any], q: str):
+        return (
             spark.read.format("jdbc")
             .option("url", jdbc_url(connection))
             .option("user", connection.get("user", "postgres"))
@@ -172,6 +164,44 @@ class PgVectorAdapter(SparkAdapter):
             .option("driver", "org.postgresql.Driver")
             .option("query", q)
             .load()
-            .collect()
         )
-        return {"table": entity, "columns": {r[0]: r[1] for r in rows}}
+
+    def get_schema_info(
+        self, spark: SparkSession, connection: dict[str, Any], entity: str
+    ) -> dict[str, Any]:
+        """information_schema introspection + vector-dimension probe
+        (``adapters/pgvector.py:262-285``) via JDBC instead of a
+        psycopg2 cursor. The reference samples one row of the first
+        vector column and reports ``len(sample)``; here the sample is
+        the pgvector text form (``'[0.1,0.2,…]'``) pulled through the
+        JDBC text bridge, so the dimension is its element count. The
+        udt_name is matched too: pgvector columns surface in
+        information_schema as data_type 'USER-DEFINED' with udt_name
+        'vector' (the reference matches data_type == 'vector' only,
+        which modern information_schema never reports)."""
+        q = (
+            "SELECT column_name, data_type, udt_name "
+            f"FROM information_schema.columns WHERE table_name = '{entity}'"
+        )
+        rows = self._jdbc_query(spark, connection, q).collect()
+        columns = {r[0]: r[1] for r in rows}
+        vector_columns = [
+            r[0] for r in rows if "vector" in (r[1], r[2])
+        ]
+        vector_dim = None
+        if vector_columns:
+            vc = vector_columns[0]
+            sample = self._jdbc_query(
+                spark,
+                connection,
+                f"SELECT {vc}::text AS v FROM {entity} "
+                f"WHERE {vc} IS NOT NULL LIMIT 1",
+            ).collect()
+            if sample and sample[0][0]:
+                vector_dim = len(sample[0][0].strip("[]").split(","))
+        return {
+            "table": entity,
+            "columns": columns,
+            "vector_columns": vector_columns,
+            "vector_dimension": vector_dim,
+        }

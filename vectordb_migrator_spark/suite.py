@@ -266,7 +266,7 @@ def c1_pgvector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CASE WHEN regexp_matches(raw, '^[0-9]+$')
-                THEN raw::BIGINT::VARCHAR ELSE raw END AS coerced
+                THEN regexp_replace(raw, '^0+(.)', '\\1') ELSE raw END AS coerced
     FROM (SELECT doc_id,
                  CASE WHEN doc_id % 3 = 0 THEN '00' || doc_id::VARCHAR
                       WHEN doc_id % 3 = 1 THEN 'doc-' || doc_id::VARCHAR
