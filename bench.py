@@ -31,8 +31,13 @@ HEADLINE = [
     "q4_order_priority",
     "q12_priority_lines",
     "q14_promo_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
     "q22_idle_customers",
     "asof_purchase_click",
     "sessionize_events",

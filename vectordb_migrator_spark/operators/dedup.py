@@ -297,9 +297,20 @@ def minhash_near_dup_pairs(
         ).alias("bucket"),
     )
     buckets = banded.groupBy("bucket").agg(F.collect_list("id").alias("ids"))
-    all_pairs = F.flatten(
+    # the cap shrinks the OUTER side of the pair cross to just the
+    # min-id anchor for oversized buckets — star pairs fall out of the
+    # same single expression tree (anchor < b covers every other id),
+    # so the capped plan compiles no more code than the uncapped one
+    if max_bucket is not None:
+        outer_src = F.when(
+            F.size(F.col("ids")) > max_bucket,
+            F.array(F.array_min(F.col("ids"))),
+        ).otherwise(F.col("ids"))
+    else:
+        outer_src = F.col("ids")
+    pair_structs = F.flatten(
         F.transform(
-            F.col("ids"),
+            outer_src,
             lambda a: F.filter(
                 F.transform(
                     F.col("ids"),
@@ -311,25 +322,6 @@ def minhash_near_dup_pairs(
             ),
         )
     )
-    if max_bucket is not None:
-        # oversized bucket → star around min id: O(N) pairs, same
-        # connectivity for downstream clustering (see docstring)
-        anchor = F.array_min(F.col("ids"))
-        star_pairs = F.filter(
-            F.transform(
-                F.col("ids"),
-                lambda b: F.when(
-                    anchor < b,
-                    F.struct(anchor.alias("id_a"), b.alias("id_b")),
-                ),
-            ),
-            lambda s: s.isNotNull(),
-        )
-        pair_structs = F.when(
-            F.size(F.col("ids")) > max_bucket, star_pairs
-        ).otherwise(all_pairs)
-    else:
-        pair_structs = all_pairs
     cands = (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
