@@ -394,3 +394,51 @@ def test_pgvector_schema_info_dimension_probe(spark, monkeypatch):
     assert info["vector_dimension"] == 4
     assert info["columns"]["embedding"] == "USER-DEFINED"
     assert "embedding::text" in queries[1] and "LIMIT 1" in queries[1]
+
+
+def test_pgvector_derive_bounds(spark, monkeypatch):
+    """num_partitions without explicit bounds → one MIN/MAX probe
+    (guessed bounds serialize the scan: everything outside the guess
+    lands in one clamped edge partition)."""
+    a = PgVectorAdapter()
+    queries = []
+
+    class FakeDF:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def collect(self):
+            return self._rows
+
+    monkeypatch.setattr(
+        a,
+        "_jdbc_query",
+        lambda s, c, q: (queries.append(q), FakeDF([{"lo": 17, "hi": 9042}]))[1],
+    )
+    lo, hi = a.derive_bounds(
+        spark, {}, {"table_name": "t", "id_column": "pk",
+                    "filter_condition": "category = 'x'"}
+    )
+    assert (lo, hi) == (17, 9042)
+    assert queries == [
+        "SELECT MIN(pk) AS lo, MAX(pk) AS hi FROM t WHERE category = 'x'"
+    ]
+    # degenerate/empty table: JDBC requires lower < upper
+    monkeypatch.setattr(
+        a, "_jdbc_query", lambda s, c, q: FakeDF([{"lo": None, "hi": None}])
+    )
+    assert a.derive_bounds(spark, {}, {"table_name": "t"}) == (0, 1)
+
+    # reader path: probe fires only when upper_bound is absent
+    called = []
+    monkeypatch.setattr(
+        a, "derive_bounds", lambda s, c, q: (called.append(1), (3, 44))[1]
+    )
+    a.reader(spark, {"host": "h"}, {"table_name": "t", "num_partitions": 4})
+    assert called == [1]
+    called.clear()
+    a.reader(
+        spark, {"host": "h"},
+        {"table_name": "t", "num_partitions": 4, "upper_bound": 10},
+    )
+    assert called == []

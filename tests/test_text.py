@@ -67,3 +67,52 @@ def test_text_ops_stay_jvm_side(documents):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_remove_boilerplate_lines(spark):
+    from vectordb_migrator_spark.operators.cleaning import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\nCOOKIE BANNER"),
+            (2, "COOKIE BANNER\nreal content two"),
+            (3, "COOKIE BANNER\nreal content three"),
+            (4, "COOKIE BANNER"),  # all-boilerplate doc survives empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(df, max_df_frac=0.5).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["cleaned"] == "real content one"
+    # repeated within one doc counts once for df, both copies removed
+    assert out[1]["n_removed_lines"] == 2
+    assert out[2]["cleaned"] == "real content two"
+    assert out[4]["cleaned"] == ""
+    assert out[4]["n_kept_lines"] == 0 and out[4]["n_removed_lines"] == 1
+
+
+def test_remove_boilerplate_threshold_boundary(spark):
+    """A line at exactly max_df_frac is NOT removed (strict >)."""
+    from vectordb_migrator_spark.operators.cleaning import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "shared\na1"), (2, "shared\na2"), (3, "b3\nb3x"), (4, "b4")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["cleaned"]
+        for r in remove_boilerplate_lines(df, max_df_frac=0.5).collect()
+    }
+    assert out[1] == "shared\na1"  # df=2/4 == 0.5 → kept
+    out2 = {
+        r["doc_id"]: r["cleaned"]
+        for r in remove_boilerplate_lines(df, max_df_frac=0.4).collect()
+    }
+    assert out2[1] == "a1"  # df=0.5 > 0.4 → removed

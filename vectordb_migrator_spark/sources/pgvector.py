@@ -87,15 +87,45 @@ class PgVectorAdapter(SparkAdapter):
             .option("fetchsize", str(query.get("fetch_size", 10_000)))
         )
         # Partitioned scan over the id range — replaces the
-        # reference's single serial cursor.
+        # reference's single serial cursor. Bounds may be supplied or
+        # auto-derived (one cheap MIN/MAX probe, see derive_bounds);
+        # stale bounds are safe: JDBC clamps the first/last partition
+        # predicates to an open range, so rows outside are still read.
         if "num_partitions" in query:
+            lo, hi = query.get("lower_bound"), query.get("upper_bound")
+            if hi is None:
+                dlo, dhi = self.derive_bounds(spark, connection, query)
+                lo, hi = (dlo if lo is None else lo), dhi
+            elif lo is None:
+                lo = 0
             reader = (
                 reader.option("partitionColumn", query.get("id_column", "id"))
-                .option("lowerBound", str(query.get("lower_bound", 0)))
-                .option("upperBound", str(query.get("upper_bound", 1_000_000)))
+                .option("lowerBound", str(lo))
+                .option("upperBound", str(hi))
                 .option("numPartitions", str(query["num_partitions"]))
             )
         return reader
+
+    def derive_bounds(
+        self, spark: SparkSession, connection: dict[str, Any], query: dict[str, Any]
+    ) -> tuple[int, int]:
+        """MIN/MAX of the partition column via one 1-row JDBC probe —
+        index-only on a PK id, so effectively free next to the scan it
+        parallelizes. Auto-derivation beats guessed bounds at scale:
+        with a hardcoded upper bound of 1e6 over an id space of 1e9,
+        999/1000 of the table lands in ONE clamped edge partition and
+        the scan is serial again. The probe honors filter_condition so
+        a filtered read partitions over the surviving range."""
+        id_c = query.get("id_column", "id")
+        table = query.get("table_name", "items")
+        q = f"SELECT MIN({id_c}) AS lo, MAX({id_c}) AS hi FROM {table}"
+        cond = query.get("filter_condition")
+        if cond:
+            q += f" WHERE {cond}"
+        row = self._jdbc_query(spark, connection, q).collect()[0]
+        lo = int(row["lo"]) if row["lo"] is not None else 0
+        hi = int(row["hi"]) if row["hi"] is not None else 0
+        return lo, max(hi, lo + 1)  # JDBC requires lower < upper
 
     def read(
         self, spark: SparkSession, connection: dict[str, Any], query: dict[str, Any]

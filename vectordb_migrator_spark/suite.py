@@ -2374,6 +2374,71 @@ def x5_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_boilerplate_removal",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             'COPYRIGHT 2024 EXAMPLE CORP' || chr(10) || text || chr(10) ||
+             CASE WHEN doc_id % 2 = 0 THEN 'promo line'
+                  ELSE 'doc ' || doc_id::VARCHAR || ' signature' END AS text
+      FROM documents
+    ), flat AS (
+      SELECT doc_id, u.pos AS pos, u.line AS line
+      FROM (SELECT doc_id,
+                   unnest([{'pos': i, 'line': l[i]}
+                           for i in range(1, len(l) + 1)]) AS u
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs))
+    ), hot AS (
+      SELECT line
+      FROM (SELECT line, count(DISTINCT doc_id) AS dfc FROM flat GROUP BY line)
+      WHERE dfc::DOUBLE > (SELECT count(*) FROM docs)::DOUBLE * 0.3
+    ), kept AS (
+      SELECT * FROM flat WHERE line NOT IN (SELECT line FROM hot)
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+             count(*)::BIGINT AS n_kept_lines
+      FROM kept GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, count(*)::BIGINT AS n_lines FROM flat GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(r.cleaned, '') AS cleaned,
+           coalesce(r.n_kept_lines, 0)::BIGINT AS n_kept_lines,
+           (t.n_lines - coalesce(r.n_kept_lines, 0))::BIGINT
+             AS n_removed_lines
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def x5_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — boilerplate line removal (CCNet/RefinedWeb cleanup): lines
+    in >30% of docs are dropped, documents reassembled in order. The
+    corpus docs have no newlines, so each is wrapped with a universal
+    copyright header (df=100%, removed), a promo line on even ids
+    (df=50%, removed), and a unique signature on odd ids (kept)."""
+    from vectordb_migrator_spark.operators.cleaning import (
+        remove_boilerplate_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("COPYRIGHT 2024 EXAMPLE CORP\n"),
+            F.col("text"),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("promo line")).otherwise(
+                F.concat(
+                    F.lit("doc "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" signature"),
+                )
+            ),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(synth, max_df_frac=0.3).orderBy("doc_id")
+
+
+@query(
     "outer_join_urgent_counts",
     """
     SELECT c.c_custkey, coalesce(u.n, 0)::BIGINT AS urgent_orders
