@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from vectordb_migrator_spark.streaming.stateful import (
@@ -169,3 +171,62 @@ def test_stream_interval_join(spark, tmp_path):
     assert [(r["user_id"], r["value"], r["r_value"]) for r in rows] == [
         (1, 100.0, 1.0)
     ]
+
+
+def test_running_user_stats_tws_across_batches(spark, tmp_path):
+    """transformWithStateInPandas twin of running_user_stats: state
+    (a typed ValueState) must carry across micro-batches.
+
+    Spark's transformWithState driver worker speaks a protobuf-based
+    state protocol; this container ships no google.protobuf, so the
+    runtime path can only execute where that dependency exists (the
+    operator's plan construction is still exercised below)."""
+    from vectordb_migrator_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    # plan construction works regardless of the protobuf dependency
+    batch_plan = running_user_stats_tws(
+        spark.createDataFrame([], _SCHEMA), state_ttl="1 hour"
+    )
+    assert batch_plan.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,"
+        "total_value:double,max_value:double>"
+    )
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server requires protobuf",
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 1.0), (1, _ts("2024-01-01 10:01:00"), 5.0)],
+        _SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:02:00"), 2.0)], _SCHEMA
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        running_user_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("running_tws_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM running_tws_sink ORDER BY n_events"
+    ).collect()
+    final = rows[-1]
+    assert final["n_events"] == 3
+    assert final["total_value"] == 8.0
+    assert final["max_value"] == 5.0

@@ -117,6 +117,87 @@ def running_user_stats(stream: DataFrame, *, key_col: str = "user_id") -> DataFr
     )
 
 
+class _RunningStatsProcessor:
+    """StatefulProcessor for :func:`running_user_stats_tws` — defined
+    at module level so executor workers can unpickle it."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "running", _STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        prev = self._state.get() if self._state.exists() else None
+        n, total, mx = prev if prev is not None else (0, 0.0, float("-inf"))
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        self._state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats_tws(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Cumulative per-key stats via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API (SPARK-49121), successor to
+    ``applyInPandasWithState``. Same output as
+    :func:`running_user_stats`; what the new API adds is typed state
+    variables (value/list/map per key rather than one tuple), state
+    TTL (``state_ttl`` like ``'1 hour'`` — idle keys are evicted
+    without hand-rolled timeout handling, THE knob that bounds state
+    on high-cardinality key spaces), and timers for event/processing
+    time callbacks.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    ttl_ms = None
+    if state_ttl is not None:
+        num, unit = state_ttl.split()
+        ttl_ms = int(num) * {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1_000, "seconds": 1_000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+        }[unit]
+
+    # subclass-at-call keeps the ABC import out of module import time
+    proc = type(
+        "RunningStatsProcessor",
+        (_RunningStatsProcessor, StatefulProcessor),
+        {},
+    )(ttl_ms)
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        proc,
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime" if state_ttl else "None",
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,
