@@ -116,3 +116,40 @@ def test_remove_boilerplate_threshold_boundary(spark):
         for r in remove_boilerplate_lines(df, max_df_frac=0.4).collect()
     }
     assert out2[1] == "a1"  # df=0.5 > 0.4 → removed
+
+
+def test_bm25_topk_basic(spark):
+    from vectordb_migrator_spark.operators.ranking import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "unrelated words entirely here"),
+            (4, "engine engine engine engine"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(df, ["spark"], k=3).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 1  # highest tf wins
+    assert set(ids) == {1, 2}  # docs without the term score 0 → dropped
+    assert rows[0]["score"] > rows[1]["score"] > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+
+
+def test_bm25_topk_plan_shape(documents):
+    """Scale guard: stats side is a broadcast (1-row) join and the
+    top-k is TakeOrderedAndProject, not a global sort."""
+    from vectordb_migrator_spark.operators.ranking import bm25_topk
+
+    plan = (
+        bm25_topk(documents, ["vector", "hash"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

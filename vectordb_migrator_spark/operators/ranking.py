@@ -1,0 +1,87 @@
+"""Lexical relevance ranking — BM25 top-k over a document column.
+
+The retrieval-side complement to the embedding similarity operators
+(X3/X4): score documents against a bag-of-words query with Okapi BM25
+and return the top-k. Useful standalone (lexical search over a corpus)
+and as the sparse half of hybrid sparse+dense retrieval.
+
+Scale design: everything is whole-stage codegen —
+- corpus statistics (N, avgdl, per-term document frequency) are ONE
+  map-side-combinable aggregate producing a single row, broadcast back
+  over the corpus (no driver action, no second shuffle);
+- per-document term frequencies are array expressions over the token
+  array (``size(filter(toks, = term))``) — the token array never
+  leaves its row and nothing but (id, score) reaches the top-k;
+- top-k is ``TakeOrderedAndProject`` (per-partition heaps + driver
+  merge of k·partitions rows), never a global sort.
+The corpus is scanned twice (stats, then scoring) — the standard
+trade; cache the tokenized corpus when issuing many queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.functions.text import ws_tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k: ``score(D,Q) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·|D|/avgdl))`` with the standard smoothed
+    ``idf(t) = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)``.
+
+    Returns (id_col, score) for the k highest-scoring documents,
+    ties broken by id for determinism.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = ws_tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("toks"))
+
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", t), 1).otherwise(0)
+            ).cast("double").alias(f"df_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+
+    def term_score(i: int, t: str) -> Column:
+        tf = F.size(
+            F.filter(F.col("toks"), lambda x: x == F.lit(t))
+        ).cast("double")
+        df_t = F.col(f"df_{i}")
+        idf = F.log(
+            (F.col("n_docs") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        dl = F.size("toks").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * dl / F.col("avgdl")
+        )
+        return idf * tf * F.lit(k1 + 1.0) / denom
+
+    score = sum(
+        (term_score(i, t) for i, t in enumerate(query_terms)),
+        start=F.lit(0.0),
+    )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

@@ -2374,6 +2374,51 @@ def x5_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_bm25_topk",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n_docs, avg(len(toks))::DOUBLE AS avgdl,
+             sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df2
+      FROM t
+    ), scored AS (
+      SELECT doc_id,
+        ln((n_docs - df0 + 0.5)/(df0 + 0.5) + 1.0)
+          * len(list_filter(toks, x -> x = 'vector'))::DOUBLE * 2.2
+          / (len(list_filter(toks, x -> x = 'vector'))::DOUBLE
+             + 1.2*(1.0 - 0.75 + 0.75*len(toks)::DOUBLE/avgdl))
+        + ln((n_docs - df1 + 0.5)/(df1 + 0.5) + 1.0)
+          * len(list_filter(toks, x -> x = 'hash'))::DOUBLE * 2.2
+          / (len(list_filter(toks, x -> x = 'hash'))::DOUBLE
+             + 1.2*(1.0 - 0.75 + 0.75*len(toks)::DOUBLE/avgdl))
+        + ln((n_docs - df2 + 0.5)/(df2 + 0.5) + 1.0)
+          * len(list_filter(toks, x -> x = 'join'))::DOUBLE * 2.2
+          / (len(list_filter(toks, x -> x = 'join'))::DOUBLE
+             + 1.2*(1.0 - 0.75 + 0.75*len(toks)::DOUBLE/avgdl))
+        AS raw
+      FROM t, stats
+    )
+    SELECT doc_id, round(raw, 6) AS score FROM scored
+    WHERE round(raw, 6) > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def x5_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — Okapi BM25 lexical top-10 for the query
+    ['vector','hash','join']: corpus stats (N, avgdl, per-term df) are
+    one aggregate broadcast back over the scan; per-doc tf is an array
+    expression; top-k via TakeOrderedAndProject."""
+    from vectordb_migrator_spark.operators.ranking import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["vector", "hash", "join"], k=10)
+
+
+@query(
     "x5_boilerplate_removal",
     """
     WITH docs AS (
