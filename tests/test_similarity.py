@@ -103,3 +103,27 @@ def test_knn_join_broadcasts_queries(embeddings):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Broadcast" in plan  # corpus side must not shuffle
+
+
+def test_rrf_fuse_combines_rankings(spark):
+    from vectordb_migrator_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], ["id", "score"]
+    )
+    b = spark.createDataFrame(
+        [(3, 0.99), (4, 0.5)], ["id", "score"]
+    )
+    rows = rrf_fuse([a, b], rrf_k=60, k=10).collect()
+    out = {r["id"]: (r["score"], r["n_lists"]) for r in rows}
+    # doc 3: rank 3 in a, rank 1 in b → 1/63 + 1/61; in both lists
+    assert out[3] == (round(1 / 63 + 1 / 61, 6), 2)
+    assert out[1] == (round(1 / 61, 6), 1)
+    assert out[4] == (round(1 / 62, 6), 1)
+    # doc in both lists outranks single-list docs here
+    assert rows[0]["id"] == 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])

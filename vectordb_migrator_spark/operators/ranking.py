@@ -85,3 +85,52 @@ def bm25_topk(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "id",
+    rrf_k: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of already-truncated rankings — the
+    standard hybrid-retrieval combiner (sparse BM25 list + dense
+    cosine list): ``score(d) = Σ_lists 1/(rrf_k + rank_d)``; documents
+    absent from a list simply contribute nothing.
+
+    Each input must be an (id, score) top-``depth`` result. Ranks are
+    re-derived here from (score DESC, id) so fusion is deterministic
+    and engine-independent even when callers hand over unordered
+    frames. The unpartitioned rank window is intentional: inputs are
+    top-k lists (tens-to-thousands of rows — list depth, NOT corpus
+    size), so a single-partition window over each is driver-trivial
+    while the heavy scans stay inside the upstream operators. Rank
+    arithmetic is small-integer rationals in float64 — bit-identical
+    across engines.
+
+    Returns (id_col, score, n_lists) for the top-k fused ids.
+    """
+    from pyspark.sql import Window as W
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    w = W.orderBy(F.desc("score"), F.col(id_col))
+    ranked = [
+        r.select(F.col(id_col), F.row_number().over(w).alias("rank"))
+        for r in rankings
+    ]
+    allr = ranked[0]
+    for r in ranked[1:]:
+        allr = allr.unionAll(r)
+    return (
+        allr.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))), 6
+            ).alias("score"),
+            F.count("*").alias("n_lists"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

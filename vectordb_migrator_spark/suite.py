@@ -2419,6 +2419,70 @@ def x5_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_hybrid_rrf",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n_docs, avg(len(toks))::DOUBLE AS avgdl,
+             sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df1
+      FROM t
+    ), bm_raw AS (
+      SELECT doc_id AS id,
+        ln((n_docs - df0 + 0.5)/(df0 + 0.5) + 1.0)
+          * len(list_filter(toks, x -> x = 'vector'))::DOUBLE * 2.2
+          / (len(list_filter(toks, x -> x = 'vector'))::DOUBLE
+             + 1.2*(1.0 - 0.75 + 0.75*len(toks)::DOUBLE/avgdl))
+        + ln((n_docs - df1 + 0.5)/(df1 + 0.5) + 1.0)
+          * len(list_filter(toks, x -> x = 'hash'))::DOUBLE * 2.2
+          / (len(list_filter(toks, x -> x = 'hash'))::DOUBLE
+             + 1.2*(1.0 - 0.75 + 0.75*len(toks)::DOUBLE/avgdl))
+        AS raw
+      FROM t, stats
+    ), bm AS (
+      SELECT id, round(raw, 6) AS score FROM bm_raw
+      WHERE round(raw, 6) > 0 ORDER BY score DESC, id LIMIT 50
+    ), p AS (SELECT {_PROBE_SQL} AS pv
+    ), cos AS (
+      SELECT vec_id AS id,
+             round(list_dot_product(embedding::DOUBLE[], pv) /
+                   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(pv, pv))), 6) AS score
+      FROM embeddings, p
+      ORDER BY score DESC, id LIMIT 50
+    ), u AS (
+      SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM bm
+      UNION ALL
+      SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM cos
+    )
+    SELECT id, round(sum(1.0::DOUBLE/(60 + rank)), 6) AS score,
+           count(*)::BIGINT AS n_lists
+    FROM u GROUP BY id ORDER BY score DESC, id LIMIT 10
+    """,
+)
+def x4_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — hybrid sparse+dense retrieval: BM25 top-50 fused with
+    brute-force cosine top-50 by reciprocal-rank fusion (rrf_k=60).
+    The heavy scans live in the two upstream operators; fusion touches
+    only the truncated (id, score) lists."""
+    from vectordb_migrator_spark.operators.ranking import bm25_topk, rrf_fuse
+    from vectordb_migrator_spark.operators.similarity import cosine_topk
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    sparse = bm25_topk(d, ["vector", "hash"], k=50).select(
+        F.col("doc_id").alias("id"), "score"
+    )
+    dense = cosine_topk(e, probe, k=50).select(
+        F.col("vec_id").alias("id"), "score"
+    )
+    return rrf_fuse([sparse, dense], k=10).orderBy(F.desc("score"), "id")
+
+
+@query(
     "x5_boilerplate_removal",
     """
     WITH docs AS (
