@@ -111,7 +111,82 @@ def sample_frames(
     df: DataFrame, *, every_n: int = 10, id_col: str = "doc_id"
 ) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: deterministic
-    1-in-N selection by id hash (no data movement, pure filter). The
-    real per-frame split would be a mapInPandas exploding payload →
-    frames; sampling *before* decode is the scale-relevant part."""
+    1-in-N selection by id hash (no data movement, pure filter).
+    Sampling *before* decode is the scale-relevant part; see
+    :func:`explode_frames` for the per-frame split itself."""
     return df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(every_n)) == 0)
+
+
+def explode_frames(
+    df: DataFrame,
+    *,
+    frame_size: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split a binary payload into fixed-size frames — pure codegen
+    (``sequence`` → ``substring`` → ``posexplode``), no Python and no
+    UDF: a video-like blob becomes (id, frame_id, frame, n_bytes) rows
+    entirely inside whole-stage codegen, so frame-level ops (sampling,
+    per-frame decode) run on rows whose size is bounded by
+    ``frame_size`` instead of whole payloads. The last frame may be
+    short; empty payloads produce no frames.
+
+    The ``sequence`` upper bound is guarded: Spark's ``sequence(0, n)``
+    DESCENDS when n < 0, so an empty payload would otherwise produce
+    two phantom frames rather than zero.
+    """
+    payload = F.col(payload_col)
+    n_frames = F.ceil(F.octet_length(payload) / F.lit(frame_size)).cast("int")
+    frames = F.when(
+        n_frames >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda i: F.substring(payload, i * frame_size + 1, frame_size),
+        ),
+    )
+    other_cols = [c for c in df.columns if c != payload_col]
+    return (
+        df.select(*other_cols, F.posexplode(frames).alias("frame_id", "frame"))
+        .withColumn("frame_bytes", F.octet_length("frame"))
+    )
+
+
+def fake_resizer(payload: bytes, target_bytes: int) -> bytes:
+    """Deterministic fake resize: truncate or zero-pad to the target
+    size — stands in for decode→resample→re-encode so the plumbing
+    (schema, batch shape, metadata update) is testable."""
+    return payload[:target_bytes].ljust(target_bytes, b"\0")
+
+
+def resize_media(
+    df: DataFrame,
+    *,
+    target_bytes: int,
+    resizer=None,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing over Arrow batches (``mapInPandas``): payload →
+    resized payload with ``media_meta.n_bytes`` updated. Like
+    :func:`decode_image`, the real resampler needs media libraries not
+    present in this container — with no ``resizer`` supplied this
+    raises ``NotImplementedError`` instead of being silently wrong;
+    tests exercise :func:`fake_resizer`.
+    """
+    if resizer is None:
+        raise NotImplementedError(
+            "media resize requires an image/av library (PIL/opencv/ffmpeg); "
+            "use fake_resizer for tests"
+        )
+    schema = df.schema
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[payload_col] = [resizer(p, target_bytes) for p in pdf[payload_col]]
+            pdf["media_meta"] = [
+                {**dict(m), "n_bytes": target_bytes} for m in pdf["media_meta"]
+            ]
+            yield pdf
+
+    return df.mapInPandas(_run, schema=schema)

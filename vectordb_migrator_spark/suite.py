@@ -976,6 +976,45 @@ def x6_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "x6_frame_explode",
+    """
+    WITH f AS (
+      SELECT doc_id, length(text) AS n,
+             ceil(length(text) / 64.0)::INT AS nf
+      FROM documents
+    ), frames AS (
+      SELECT doc_id,
+             unnest([{'fid': i, 'part': substring(text, i*64 + 1, 64)}
+                     for i in range(0, nf)]) AS u
+      FROM f JOIN documents USING (doc_id) WHERE nf >= 1
+    )
+    SELECT doc_id, u.fid::INT AS frame_id,
+           length(u.part)::INT AS frame_bytes,
+           md5(u.part) AS frame_md5
+    FROM frames ORDER BY doc_id, frame_id
+    """,
+)
+def x6_frame_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — fixed-size frame split of the binary payload, pure codegen
+    (sequence → substring → posexplode; no Python). The corpus is
+    ASCII so the oracle's char-based split produces the same byte
+    frames; md5 digests compare the actual frame contents."""
+    from vectordb_migrator_spark.operators.multimodal import explode_frames
+
+    d = attach_payload(_t(spark, sf_dir, "documents"))
+    return (
+        explode_frames(d, frame_size=64)
+        .select(
+            "doc_id",
+            "frame_id",
+            "frame_bytes",
+            F.md5("frame").alias("frame_md5"),
+        )
+        .orderBy("doc_id", "frame_id")
+    )
+
+
 # =====================================================================
 # X7 — sketches
 # =====================================================================
