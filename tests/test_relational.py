@@ -96,3 +96,42 @@ def test_asof_single_shuffle_plan(spark):
     plan = asof_join(left, right, "user")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2  # key exchange (+ AQE reuse artifacts)
+
+
+def test_stratified_sample_exact_per_stratum(spark):
+    from vectordb_migrator_spark.operators.slicing import stratified_sample
+
+    rows = [(lbl, i) for lbl, size in [("a", 10), ("b", 25), ("c", 1)]
+            for i in range(size)]
+    df = spark.createDataFrame(rows, ["label", "id"])
+    out = stratified_sample(
+        df, strata_col="label", frac=0.2, order_col="id"
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["label"], []).append(r["id"])
+    # exact ceil(frac*n) per stratum; 1-row stratum survives
+    assert sorted(by["a"]) == [0, 1]
+    assert len(by["b"]) == 5
+    assert by["c"] == [0]
+    # hash_order variant: same per-stratum counts, stable across runs
+    h1 = stratified_sample(
+        df, strata_col="label", frac=0.2, order_col="id", hash_order=True
+    ).collect()
+    h2 = stratified_sample(
+        df, strata_col="label", frac=0.2, order_col="id", hash_order=True
+    ).collect()
+    assert sorted(map(tuple, h1)) == sorted(map(tuple, h2))
+    assert len([r for r in h1 if r["label"] == "b"]) == 5
+
+
+def test_stratified_sample_single_exchange(spark):
+    """Both windows must share one exchange on the stratum key."""
+    from vectordb_migrator_spark.operators.slicing import stratified_sample
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["label", "id"])
+    plan = (
+        stratified_sample(df, strata_col="label", frac=0.5, order_col="id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning(label") == 1

@@ -98,3 +98,38 @@ def per_group_head(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    frac: float,
+    order_col: str,
+    hash_order: bool = False,
+) -> DataFrame:
+    """Exact stratified sampling: the first ``ceil(frac · n_s)`` rows
+    of every stratum — each stratum is represented by exactly its
+    proportional share (``df.sampleBy`` is Bernoulli per row: stratum
+    sizes fluctuate and tiny strata can vanish entirely, the thing a
+    class-balanced training subset can't afford).
+
+    One exchange on the stratum key serves both the stratum-size
+    window and the rank window (same partitioning, in-partition sort
+    only). Deterministic given ``order_col``; set ``hash_order=True``
+    to rank by ``xxhash64(order_col)`` instead — a pseudo-random but
+    stable shuffle within each stratum, so the selection isn't biased
+    by id assignment order while remaining reproducible across runs
+    and engines that share the hash.
+    """
+    rank_key = (
+        F.xxhash64(F.col(order_col)) if hash_order else F.col(order_col)
+    )
+    w_rank = W.partitionBy(strata_col).orderBy(rank_key, F.col(order_col))
+    w_size = W.partitionBy(strata_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count("*").over(w_size))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(frac)))
+        .drop("_rn", "_n")
+    )

@@ -1643,6 +1643,31 @@ def x10_per_group_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x10_stratified_sample",
+    """
+    SELECT label::BIGINT AS label, vec_id FROM (
+      SELECT label, vec_id,
+             row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
+             count(*) OVER (PARTITION BY label) AS n
+      FROM embeddings)
+    WHERE rn <= ceil(n * 0.1) ORDER BY label, vec_id
+    """,
+)
+def x10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — exact stratified sample (10% per label, ceil'd so tiny
+    strata never vanish — unlike Bernoulli sampleBy): one exchange on
+    the stratum key serves both the size and rank windows."""
+    from vectordb_migrator_spark.operators.slicing import stratified_sample
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        stratified_sample(e, strata_col="label", frac=0.1, order_col="vec_id")
+        .select(F.col("label").cast("long"), "vec_id")
+        .orderBy("label", "vec_id")
+    )
+
+
+@query(
     "udtf_json_props",
     """
     SELECT event_id, unnest(json_keys(props)) AS key,
