@@ -135,3 +135,24 @@ def test_stratified_sample_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning(label") == 1
+
+
+def test_merge_upsert_latest_wins(spark):
+    from vectordb_migrator_spark.operators.relational import merge_upsert
+
+    cur = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 5)], ["k", "val", "version"]
+    )
+    upd = spark.createDataFrame(
+        [(2, "b2", 2), (3, "stale", 4), (4, "new", 1), (1, "tie", 1)],
+        ["k", "val", "version"],
+    )
+    out = {r["k"]: (r["val"], r["version"]) for r in merge_upsert(
+        cur, upd, key_cols=["k"], version_col="version"
+    ).collect()}
+    assert out == {
+        1: ("tie", 1),    # equal version → update wins (MERGE semantics)
+        2: ("b2", 2),     # newer update wins
+        3: ("c", 5),      # stale update loses
+        4: ("new", 1),    # insert
+    }

@@ -66,3 +66,24 @@ def test_codegen_no_python(spark, pairs):
         cosine_similarity("a", "b")
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_binary_quantize_matches_python_twin(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.functions.vector import (
+        binary_quantize,
+        python_binary_quantize,
+    )
+
+    rows = embeddings.limit(20).select(
+        "vec_id", "embedding", binary_quantize("embedding").alias("sig")
+    ).collect()
+    for r in rows:
+        assert r["sig"] == python_binary_quantize(list(r["embedding"])), r["vec_id"]
+
+    # sign bit (dim 63 positive) lands in the negative long range
+    vec = [0.0] * 63 + [1.0]
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    sig = df.select(binary_quantize("v").alias("s")).collect()[0]["s"]
+    assert sig == -(1 << 63) == python_binary_quantize(vec)

@@ -98,3 +98,40 @@ def int8_dequantize(qs: Column | str) -> Column:
     qs = F.col(qs) if isinstance(qs, str) else qs
     scale = qs.getField("scale")
     return F.transform(qs.getField("q"), lambda x: x.cast("double") * scale)
+
+
+# one literal long per bit; bit 63 is the sign bit, representable only
+# as the negative two's-complement value (same trick as dedup.simhash64)
+_POW2_64 = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
+def binary_quantize(a: Column | str) -> Column:
+    """Sign-bit binary quantization: 64 dims → ONE long (64 bytes of
+    float32 → 8 bytes, the 32× compression step before Hamming-space
+    search). Bit b is set iff ``v[b] > 0``; dims beyond 64 need one
+    long per 64-dim chunk (not needed for this corpus). Pure codegen:
+    a single zip_with against the bit-mask literal + one OR fold.
+    """
+    v = _as_double(a)
+    return F.aggregate(
+        F.zip_with(
+            v,
+            F.lit(_POW2_64),
+            lambda x, p: F.when(x > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s.bitwiseOR(x),
+    )
+
+
+def python_binary_quantize(vec: list[float]) -> int:
+    """Driver-side twin of :func:`binary_quantize` for plan-time probe
+    constants (must stay bit-identical to the codegen version)."""
+    sig = 0
+    for b, x in enumerate(vec[:64]):
+        if x > 0:
+            sig |= 1 << b
+    # bit 63 set → negative two's-complement long
+    if sig >= 1 << 63:
+        sig -= 1 << 64
+    return sig

@@ -170,3 +170,34 @@ def session_stats(
         .cast("long")
         .alias("duration_s"),
     )
+
+
+def merge_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    *,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Latest-wins key merge — the batch twin of the streaming
+    foreachBatch idempotent upsert (streaming/incremental.py) and of
+    MERGE INTO on table formats: union both sides, keep the highest
+    ``version_col`` row per key (current loses ties to updates via a
+    secondary source rank, matching MERGE WHEN MATCHED semantics).
+
+    One exchange on the key columns; the window keeps O(1) state per
+    key. At snapshot scale this is how CDC batches fold into a
+    canonical table without a join per batch — updates ride the same
+    shuffle as the snapshot.
+    """
+    cur = current.withColumn("_src", F.lit(0))
+    upd = updates.withColumn("_src", F.lit(1))
+    w = W.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("_src")
+    )
+    return (
+        cur.unionByName(upd)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

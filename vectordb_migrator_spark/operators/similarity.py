@@ -183,3 +183,38 @@ def lsh_bucket_topk(
     probe_sig = random_hyperplane_signature(probe_literal(probe), planes)
     bucketed = df.filter(sig == probe_sig)
     return cosine_topk(bucketed, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def hamming_topk(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by Hamming distance between sign-bit signatures — the
+    binary-quantized retrieval path: 32× less data scanned than float
+    cosine, score = one XOR + popcount per row, merge k per partition
+    (TakeOrderedAndProject). Recall vs exact cosine is the standard
+    binary-quantization trade; rerank the top-k with float vectors
+    when precision matters.
+    """
+    from vectordb_migrator_spark.functions.vector import (
+        binary_quantize,
+        python_binary_quantize,
+    )
+
+    probe_sig = python_binary_quantize(probe)
+    return (
+        df.select(
+            F.col(id_col),
+            F.bit_count(
+                binary_quantize(F.col(vec_col)).bitwiseXOR(
+                    F.lit(probe_sig).cast("long")
+                )
+            ).alias("hamming"),
+        )
+        .orderBy("hamming", id_col)
+        .limit(k)
+    )

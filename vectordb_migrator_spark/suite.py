@@ -2483,6 +2483,78 @@ def x5_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_hamming_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv)
+    SELECT vec_id,
+           len(list_filter(range(1, len(embedding) + 1),
+                           i -> (embedding[i] > 0) != (pv[i] > 0)))::INT
+             AS hamming
+    FROM embeddings, p
+    ORDER BY hamming, vec_id LIMIT 10
+    """,
+)
+def x4_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — binary-quantized retrieval: sign-bit signatures (64 dims →
+    one long), Hamming distance = XOR + popcount per row. The oracle
+    computes the same distance semantically (count of sign
+    disagreements) without bit packing — equal by construction."""
+    from vectordb_migrator_spark.operators.similarity import hamming_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    return hamming_topk(e, probe, k=10)
+
+
+@query(
+    "merge_upsert_orders",
+    """
+    WITH cur AS (
+      SELECT o_orderkey, o_totalprice, 1::BIGINT AS version, 0 AS src
+      FROM orders
+    ), upd AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+             2::BIGINT AS version, 1 AS src
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT -1 AS o_orderkey, 42.0 AS o_totalprice, 2::BIGINT AS version,
+             1 AS src
+    ), merged AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY version DESC, src DESC) AS rn
+      FROM (SELECT * FROM cur UNION ALL SELECT * FROM upd)
+    )
+    SELECT o_orderkey, o_totalprice, version FROM merged
+    WHERE rn = 1 ORDER BY o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC merge (batch twin of the foreachBatch upsert):
+    10% of orders re-priced (+1000, exact in float64) at version 2 plus one brand-new key fold
+    into the snapshot through a single key-partitioned window."""
+    from vectordb_migrator_spark.operators.relational import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    cur = o.select("o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("version"))
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            F.lit(2).cast("long").alias("version"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, 42.0, 2)], "o_orderkey long, o_totalprice double, version long"
+            )
+        )
+    )
+    return merge_upsert(
+        cur, upd, key_cols=["o_orderkey"], version_col="version"
+    ).orderBy("o_orderkey")
+
+
+@query(
     "x4_hybrid_rrf",
     rf"""
     WITH t AS (
