@@ -1,0 +1,102 @@
+"""k-means tests: differential vs a NumPy Lloyd reference with the
+same init/tie rules, plus convergence and determinism properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _numpy_lloyd(X, k, max_iter=20, tol=1e-6):
+    """Single-node reference with IDENTICAL semantics: seeds = first k
+    rows (id order), argmin ties -> lower cid, empty cluster keeps its
+    centroid, stop on max squared shift < tol."""
+    C = X[:k].astype(np.float64).copy()
+    for it in range(1, max_iter + 1):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes the first (lowest) index
+        newC = C.copy()
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                newC[c] = members.mean(axis=0)
+        shift = ((newC - C) ** 2).sum(axis=1).max()
+        C = newC
+        if shift < tol:
+            break
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), C, it
+
+
+def test_kmeans_well_separated(spark):
+    from vectordb_migrator_spark.operators.clustering import kmeans_fit
+
+    pts = (
+        [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)]
+        + [(10 + i, [10.0 + 0.01 * i, 10.0]) for i in range(5)]
+    )
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    assigned, centroids, n_iters = kmeans_fit(df, k=2, max_iter=10)
+    out = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert {out[i] for i in range(5)} == {0}
+    assert {out[10 + i] for i in range(5)} == {1}
+    assert n_iters <= 10
+    assert abs(centroids[1][1] - 10.0) < 1e-9
+
+
+def test_kmeans_matches_numpy_reference(spark, embeddings):
+    from vectordb_migrator_spark.operators.clustering import kmeans_fit
+
+    rows = (
+        embeddings.orderBy("vec_id").limit(120)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    ref_assign, ref_C, _ = _numpy_lloyd(X, k=4)
+
+    df = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, C, _ = kmeans_fit(df, k=4)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    ids = [r["vec_id"] for r in rows]
+    agree = sum(got[i] == ref_assign[j] for j, i in enumerate(ids))
+    # float reduction order can flip knife-edge ties; demand near-total
+    # agreement, and centroid agreement to float tolerance
+    assert agree >= len(ids) - 1
+    assert np.abs(np.array(C) - ref_C).max() < 1e-6
+
+
+def test_kmeans_k_too_large_raises(spark):
+    from vectordb_migrator_spark.operators.clustering import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="fewer than k"):
+        kmeans_fit(df, k=5)
+
+
+def test_kmeans_ivf_recall_vs_brute_force(spark, embeddings):
+    """IVF over k-means clusters must put most of the true top-10 in
+    its candidate set (nprobe=2 of 8 on this corpus)."""
+    from vectordb_migrator_spark.operators.clustering import kmeans_fit
+    from vectordb_migrator_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    probe = [
+        float(x)
+        for x in embeddings.filter("vec_id = 0").first()["embedding"]
+    ]
+    exact = {r["vec_id"] for r in cosine_topk(embeddings, probe, k=10).collect()}
+    assigned, _, _ = kmeans_fit(embeddings, k=8, max_iter=10)
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(assigned, probe, cluster_col="cluster", k=10).collect()
+    }
+    assert len(exact & approx) >= 5  # recall ≥ 0.5 on this corpus
+    assert 0 in approx  # the probe's own vector must be found

@@ -1,0 +1,112 @@
+"""Distributed k-means (Lloyd's algorithm) — the quantizer behind a
+real IVF index (similarity.ivf_topk takes any cluster assignment; this
+produces one from the data instead of borrowing a label column).
+
+Scale design per iteration:
+- centroids live on the DRIVER (k × dim floats — kilobytes) and enter
+  the plan as a literal, so assignment is a narrow map over the corpus
+  with NO join and no shuffle of vectors;
+- the update step reuses :func:`ivf_build_centroids` (posexplode →
+  per-(cluster, pos) mean): the only shuffle carries (cluster, pos,
+  val) triples, never whole vectors;
+- each round ends in a k-row collect (the same driver-sized reduce
+  MLlib's KMeans performs) — corpus rows never reach the driver.
+
+Determinism: seeds are the vectors of the k smallest ids, ties in the
+assignment argmin break toward the lower cluster id, and iteration
+stops on centroid shift < tol or max_iter. Same data → same clusters,
+every run, every partitioning.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.operators.similarity import ivf_build_centroids
+
+
+def _sq_dist(vec: Column, center: list[float]) -> Column:
+    """Squared L2 distance to a plan-time constant center — one
+    zip_with + sum fold in codegen."""
+    c = F.lit([float(x) for x in center])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: per row, argmin over k plan-time
+    constant centers (array_min over (dist, cid) structs — struct
+    ordering breaks distance ties toward the lower cluster id)."""
+    vec = F.col(vec_col).cast("array<double>")
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(vec, c).alias("dist"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return df.withColumn("cluster", best.getField("cid"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> tuple[DataFrame, list[list[float]], int]:
+    """Lloyd's iterations until centroid shift < ``tol`` (max squared
+    movement over all centroids) or ``max_iter``.
+
+    Returns ``(assignments, centroids, n_iters)`` where assignments is
+    the input frame plus a ``cluster`` column (lazy — re-derived from
+    the final centroids, so downstream consumers get one narrow map,
+    not a cached intermediate).
+    """
+    seeds = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"corpus has fewer than k={k} rows")
+    centroids = [[float(x) for x in r["v"]] for r in seeds]
+
+    n_iters = 0
+    for _ in range(max_iter):
+        n_iters += 1
+        assigned = assign_clusters(df, centroids, vec_col=vec_col)
+        new_rows = ivf_build_centroids(
+            assigned, cluster_col="cluster", vec_col=vec_col
+        ).collect()  # k rows — driver-sized by construction
+        by_cid = {int(r["cluster"]): list(r["centroid"]) for r in new_rows}
+        # an emptied cluster keeps its previous centroid (standard)
+        new_centroids = [by_cid.get(i, centroids[i]) for i in range(k)]
+        shift = max(
+            sum((a - b) * (a - b) for a, b in zip(old, new))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            break
+    if any(math.isnan(x) for c in centroids for x in c):
+        raise ValueError("NaN centroid — input contains NaN vectors")
+    return assign_clusters(df, centroids, vec_col=vec_col), centroids, n_iters

@@ -2482,6 +2482,24 @@ def x5_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, ["vector", "hash", "join"], k=10)
 
 
+@query("x4_kmeans_ivf")  # iterative Lloyd fit — not SQL-expressible
+def x4_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the full ANN build path: deterministic Lloyd k-means fits
+    the coarse quantizer (k=8), then IVF probes the 2 best clusters.
+    Differential-tested against a NumPy Lloyd reference in
+    tests/test_clustering.py; recall vs brute force asserted there
+    too (rows-only here: iterative fit has no SQL oracle)."""
+    from vectordb_migrator_spark.operators.clustering import kmeans_fit
+    from vectordb_migrator_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    assigned, _, _ = kmeans_fit(e, k=8, max_iter=10)
+    return ivf_topk(assigned, probe, cluster_col="cluster", k=10).orderBy(
+        F.desc("score"), "vec_id"
+    )
+
+
 @query(
     "x4_hamming_topk",
     f"""
