@@ -63,3 +63,48 @@ def test_minhash_bands_shuffle_ids_only(spark):
     # find each hashpartitioning(...) and check no array column rides it
     for m in re.finditer(r"Exchange hashpartitioning\(bucket[^\n]*", plan):
         assert "sig" not in m.group(0) and "sh#" not in m.group(0)
+
+
+@pytest.mark.parametrize(
+    ("name", "n_broadcast"),
+    [("q7_volume_shipping", 4), ("q10_returned_items", 2)],
+)
+def test_round2_dim_joins_broadcast(spark, name, n_broadcast):
+    # >= because at tiny SF Spark may broadcast the fact side too; the
+    # invariant is the EXPLICIT dims broadcast and nothing sort-merges
+    plan = _plan(spark, name)
+    assert plan.count("BroadcastHashJoin") >= n_broadcast
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "q10_returned_items")
+
+
+def test_q21_semi_anti_join_shapes(spark):
+    """EXISTS → LeftSemi, NOT EXISTS → LeftAnti, and only ids travel:
+    no exchange feeding them carries price/date payload columns."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(l_orderkey[^\n]*", plan):
+        assert "extendedprice" not in m.group(0)
+        assert "o_totalprice" not in m.group(0)
+
+
+def test_bm25_stats_single_aggregate(spark):
+    """Corpus stats (N, avgdl, per-term df) must be ONE partial+final
+    aggregate pair, not one aggregate per statistic."""
+    plan = _plan(spark, "x5_bm25_topk")
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_boilerplate_df_count_is_partial_agg(spark):
+    """The line document-frequency pre-pass must combine map-side: two
+    HashAggregate levels around the line exchange (the hot line costs
+    a counter per task, never a collected list)."""
+    plan = _plan(spark, "x5_boilerplate_removal")
+    assert plan.count("HashAggregate") >= 4  # df count + reassembly, each 2-level

@@ -1136,6 +1136,70 @@ def percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "histogram_event_values",
+    """
+    SELECT least(floor(value / 50.0), 9)::BIGINT AS bucket,
+           count(*)::BIGINT AS n,
+           sum(value::DECIMAL(18,2))::DOUBLE AS total
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (bucket = value/50, top-clamped): the
+    one-pass distribution profile — bucketing is a pure projection, so
+    the aggregate is map-side partial like any groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "cube_order_status_priority",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)::BIGINT AS n,
+           sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all four grouping sets expanded
+    in ONE partial aggregate pass (the rollup_pricing companion
+    covering the full lattice, not just the hierarchy)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
     "setops_nations",
     """
     SELECT 'intersect' AS op, k::BIGINT AS nationkey FROM (
