@@ -153,3 +153,32 @@ def test_bm25_topk_plan_shape(documents):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ngram_contamination(spark):
+    from vectordb_migrator_spark.operators.cleaning import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),
+         (2, "completely different training text")],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(10, "the quick brown fox jumps high"),   # verbatim leak
+         (11, "the quick brown cat sits low"),     # partial overlap
+         (12, "nothing in common whatsoever here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(
+        train, test, n=3, threshold=0.5
+    ).collect()}
+    assert out[10]["contamination"] == 1.0 and out[10]["is_contaminated"]
+    # only "the quick brown" of doc 11's four 3-grams is in train
+    assert out[11]["n_grams"] == 4 and out[11]["n_contaminated"] == 1
+    assert not out[11]["is_contaminated"]
+    assert out[12]["n_contaminated"] == 0 and not out[12]["is_contaminated"]
+    # max_df=1 drops no gram here (all train grams unique) → unchanged
+    capped = {r["doc_id"]: r["contamination"] for r in ngram_contamination(
+        train, test, n=3, threshold=0.5, max_df=1
+    ).collect()}
+    assert capped[10] == 1.0 and capped[12] == 0.0

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vectordb_migrator_spark.operators.util import fan_out
+
 
 def remove_boilerplate_lines(
     df: DataFrame,
@@ -80,5 +82,79 @@ def remove_boilerplate_lines(
             (F.col("n_lines") - F.coalesce("n_kept_lines", F.lit(0))).alias(
                 "n_removed_lines"
             ),
+        )
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per TEST document, the fraction of
+    its n-gram shingles that appear anywhere in the TRAIN corpus —
+    the standard eval-leakage check run before training (n-grams of
+    8-13 tokens in the common recipes; this corpus's short docs use
+    smaller n).
+
+    Returns (id_col, n_grams, n_contaminated, contamination,
+    is_contaminated) for every test document.
+
+    Scale shape: the train side reduces to DISTINCT grams — ids and
+    counts never matter, so the join input is one string column,
+    deduplicated map-side before the exchange. The test side shuffles
+    (gram, id) pairs; the semi-join marks grams present in train, and
+    a count per test doc finishes it. ``max_df`` (same knob as
+    ``ngram_jaccard_pairs``) drops train grams above a document
+    frequency before the join — boilerplate grams both bloat the join
+    and produce false contamination signal.
+    """
+    from vectordb_migrator_spark.operators.dedup import shingles
+
+    test_grams = fan_out(test).select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    ).withColumn("n_grams", F.size("sh"))
+    test_flat = test_grams.select(
+        "id", "n_grams", F.explode("sh").alias("g")
+    )
+    train_flat = fan_out(train).select(
+        F.explode(shingles(text_col, n)).alias("g"), F.col(id_col).alias("tid")
+    )
+    if max_df is not None:
+        keep = (
+            train_flat.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
+        )
+        train_grams = keep
+    else:
+        train_grams = train_flat.select("g").distinct()
+    hits = test_flat.join(train_grams, "g", "left_semi")
+    per_doc = hits.groupBy("id", "n_grams").agg(
+        F.count("*").alias("n_contaminated")
+    )
+    return (
+        test_grams.select("id", "n_grams")
+        .join(per_doc.select("id", "n_contaminated"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("contamination"),
+        )
+        .withColumn(
+            "is_contaminated", F.col("contamination") >= F.lit(threshold)
         )
     )

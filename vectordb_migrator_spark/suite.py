@@ -2766,6 +2766,52 @@ def x5_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_ngram_contamination",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+    ), train_grams AS (
+      SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 5 != 0
+    ), test_flat AS (
+      SELECT doc_id, len(g)::BIGINT AS n_grams, unnest(g) AS gram
+      FROM sh WHERE doc_id % 5 = 0
+    ), hits AS (
+      SELECT doc_id, n_grams, count(*)::BIGINT AS n_contaminated
+      FROM test_flat JOIN train_grams USING (gram)
+      GROUP BY doc_id, n_grams
+    )
+    SELECT s.doc_id, len(s.g)::BIGINT AS n_grams,
+           coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+           round(coalesce(h.n_contaminated, 0)::DOUBLE
+                 / len(s.g)::DOUBLE, 6) AS contamination,
+           (round(coalesce(h.n_contaminated, 0)::DOUBLE
+                  / len(s.g)::DOUBLE, 6) >= 0.3) AS is_contaminated
+    FROM sh s LEFT JOIN hits h USING (doc_id)
+    WHERE s.doc_id % 5 = 0 ORDER BY s.doc_id
+    """,
+)
+def x5_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — benchmark decontamination: fraction of each TEST doc's
+    3-gram shingles present anywhere in the TRAIN split (every 5th doc
+    held out). Train reduces to DISTINCT grams before the semi-join;
+    production recipes use 8-13-gram windows — this corpus's docs are
+    short word soup, so n=3 keeps the check non-vacuous."""
+    from vectordb_migrator_spark.operators.cleaning import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    return ngram_contamination(train, test, n=3, threshold=0.3).orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "outer_join_urgent_counts",
     """
     SELECT c.c_custkey, coalesce(u.n, 0)::BIGINT AS urgent_orders
