@@ -66,3 +66,26 @@ def test_bucketed_join_is_exchange_free(spark):
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert j.count() == 1000
+
+
+def test_write_partitioned_prunes_on_read(spark, tmp_path, documents):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning) — NOT a data filter over all files."""
+    from vectordb_migrator_spark.functions.text import lang_id
+    from vectordb_migrator_spark.operators.scale import write_partitioned
+
+    out = str(tmp_path / "by_lang")
+    tagged = documents.withColumn("lang", lang_id("text"))
+    write_partitioned(tagged, out, partition_cols="lang")
+
+    back = spark.read.parquet(out).filter("lang = 'en'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    # the pruned read returns exactly the 'en' docs
+    n_en = tagged.filter("lang = 'en'").count()
+    assert back.count() == n_en > 0
+
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert "lang=en" in dirs and len(dirs) >= 2

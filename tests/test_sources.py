@@ -442,3 +442,30 @@ def test_pgvector_derive_bounds(spark, monkeypatch):
         {"table_name": "t", "num_partitions": 4, "upper_bound": 10},
     )
     assert called == []
+
+
+def test_qdrant_sharded_write(spark, tmp_path):
+    """load.shard_key routes every upsert through shard_key_selector
+    (write twin of the reader's shard_keys fan-out)."""
+    conn = {"store_dir": str(tmp_path)}
+
+    class ShardRecordingClient(FakeQdrantClient):
+        def upsert(self, collection_name, points, shard_key_selector=None):
+            for p in points:
+                p["payload"]["_shard"] = shard_key_selector
+            super().upsert(collection_name, points)
+
+    a = QdrantAdapter(client_factory=lambda c: ShardRecordingClient(c))
+    df = spark.createDataFrame(
+        [("1", [0.1, 0.2], {}), ("2", [0.3, 0.4], {})],
+        CANONICAL_SCHEMA,
+    )
+    a.write(df, conn, {"collection_name": "sharded", "shard_key": "eu"})
+    points = _read_points(str(tmp_path), "sharded")
+    assert len(points) == 2
+    assert all(p["payload"]["_shard"] == "eu" for p in points.values())
+
+    # without shard_key the selector is absent (default path untouched)
+    a.write(df, conn, {"collection_name": "plain"})
+    plain = _read_points(str(tmp_path), "plain")
+    assert all(p["payload"]["_shard"] is None for p in plain.values())

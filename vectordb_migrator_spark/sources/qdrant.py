@@ -184,6 +184,10 @@ class QdrantAdapter(SparkAdapter):
     ) -> dict[str, Any]:
         name = load.get("collection_name", "default_collection")
         batch_size = int(load.get("batch_size", 100))
+        # custom-sharded collections: route every upsert to one shard
+        # key (the write twin of the reader's shard_keys fan-out) —
+        # per-shard writers avoid cross-shard coordination server-side
+        shard_key = load.get("shard_key")
         factory = self.client_factory
 
         # dim from config when provided (reference example configs use
@@ -210,7 +214,12 @@ class QdrantAdapter(SparkAdapter):
 
             def flush():
                 if buf:
-                    client.upsert(collection_name=name, points=list(buf))
+                    kwargs = {}
+                    if shard_key is not None:
+                        kwargs["shard_key_selector"] = shard_key
+                    client.upsert(
+                        collection_name=name, points=list(buf), **kwargs
+                    )
                     buf.clear()
 
             for row in rows:
