@@ -156,3 +156,39 @@ def test_merge_upsert_latest_wins(spark):
         3: ("c", 5),      # stale update loses
         4: ("new", 1),    # insert
     }
+
+
+def test_funnel_stages_ordering_and_window(spark):
+    import datetime as dt
+
+    from vectordb_migrator_spark.operators.relational import funnel_stages
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        # u1 completes in order
+        (1, ts(9), "view"), (1, ts(10), "click"), (1, ts(11), "purchase"),
+        # u2 has all three but out of order → stops at stage 1
+        (2, ts(9), "purchase"), (2, ts(10), "view"), (2, ts(11), "click"),
+        # wait: u2 view@10 then click@11 → stage 2 (no purchase after)
+        # u3 never views → stage 0
+        (3, ts(9), "click"), (3, ts(10), "purchase"),
+        # u4 same-timestamp click does NOT count (strictly later)
+        (4, ts(9), "view"), (4, ts(9), "click"),
+        # u5 completes but outside the window
+        (5, ts(1), "view"), (5, ts(2), "click"), (5, ts(23), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r["user_id"]: r["stage"] for r in funnel_stages(
+        df, ["view", "click", "purchase"]
+    ).collect()}
+    assert out == {1: 3, 2: 2, 3: 0, 4: 1, 5: 3}
+
+    windowed = {r["user_id"]: r["stage"] for r in funnel_stages(
+        df, ["view", "click", "purchase"], within="12 hours"
+    ).collect()}
+    assert windowed[1] == 3
+    assert windowed[5] == 2  # purchase at +22h falls outside 12h window

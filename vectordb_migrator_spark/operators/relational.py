@@ -201,3 +201,83 @@ def merge_upsert(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, how many of ``steps`` were
+    completed IN ORDER (each step strictly later than the previous
+    match) — the classic view→click→purchase product query. With
+    ``within`` (e.g. ``'24 hours'``), later steps must also land
+    inside the conversion window opened by the user's FIRST step-1
+    event (first-touch anchoring, the standard product-analytics
+    semantics — and what keeps the greedy walk equivalent to the
+    successive-minima definition: both anchor at min step-1 ts).
+
+    One exchange on the user key: events collect per user as (ts,
+    type) structs, sort in-array, and a single codegen fold walks the
+    funnel greedily (earliest qualifying event per step). Only (ts,
+    type) pairs ride the shuffle; the fold's state is (stage, last_ts,
+    deadline) per user — nothing quadratic, no self-join per step
+    (the k-way-join funnel formulation reads the events table k
+    times; this reads it once).
+
+    Returns (user_col, stage) where stage ∈ [0, len(steps)].
+    """
+    k = len(steps)
+    if k == 0:
+        raise ValueError("steps must be non-empty")
+    steps_lit = F.lit(steps)
+    far_future = F.lit("9999-01-01").cast("timestamp")
+    evs = (
+        df.groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col).alias("ts"),
+                                        F.col(type_col).alias("et")))
+            ).alias("evs")
+        )
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit("1900-01-01").cast("timestamp").alias("last_ts"),
+        far_future.alias("deadline"),
+    )
+    deadline_for = (
+        (lambda ts: ts + F.expr(f"INTERVAL {within}"))
+        if within is not None
+        else (lambda ts: far_future)
+    )
+    walk = F.aggregate(
+        F.col("evs"),
+        init,
+        lambda acc, e: F.when(
+            (acc.getField("stage") < k)
+            & (e.getField("et")
+               == F.element_at(steps_lit, acc.getField("stage") + 1))
+            & (
+                (acc.getField("stage") == 0)
+                | (
+                    (e.getField("ts") > acc.getField("last_ts"))
+                    & (e.getField("ts") <= acc.getField("deadline"))
+                )
+            ),
+            F.struct(
+                (acc.getField("stage") + 1).alias("stage"),
+                e.getField("ts").alias("last_ts"),
+                F.when(
+                    acc.getField("stage") == 0, deadline_for(e.getField("ts"))
+                ).otherwise(acc.getField("deadline")).alias("deadline"),
+            ),
+        ).otherwise(acc),
+    )
+    return evs.select(
+        F.col(user_col), walk.getField("stage").alias("stage")
+    )

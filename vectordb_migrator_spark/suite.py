@@ -2766,6 +2766,57 @@ def x5_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_view_click_purchase",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+        AND e.ts <= t1.ts1 + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+                    JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+        AND e.ts <= t1.ts1 + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    ), stages AS (
+      SELECT u.user_id,
+             (CASE WHEN t3.user_id IS NOT NULL THEN 3
+                   WHEN t2.user_id IS NOT NULL THEN 2
+                   WHEN t1.user_id IS NOT NULL THEN 1
+                   ELSE 0 END) AS stage
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN t1 ON u.user_id = t1.user_id
+      LEFT JOIN t2 ON u.user_id = t2.user_id
+      LEFT JOIN t3 ON u.user_id = t3.user_id
+    )
+    SELECT stage::INT AS stage, count(*)::BIGINT AS n_users
+    FROM stages GROUP BY stage ORDER BY stage
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase within a 24h first-touch
+    conversion window: the single-scan fold formulation (one exchange
+    on user_id, codegen walk) checked against the oracle's k-way
+    successive-minima joins — equivalent by the
+    greedy-earliest-completion argument with first-touch anchoring."""
+    from vectordb_migrator_spark.operators.relational import funnel_stages
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        funnel_stages(ev, ["view", "click", "purchase"], within="24 hours")
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+@query(
     "x5_ngram_contamination",
     r"""
     WITH sh AS (
