@@ -2546,6 +2546,54 @@ def x5_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, ["vector", "hash", "join"], k=10)
 
 
+@query(
+    "x3_label_centroids",
+    """
+    WITH flat AS (
+      SELECT label, u.pos AS pos, u.val AS val
+      FROM (SELECT label,
+                   unnest([{'pos': i, 'val': embedding[i]::DOUBLE}
+                           for i in range(1, len(embedding) + 1)]) AS u
+            FROM embeddings)
+    ), means AS (
+      SELECT label, pos, avg(val) AS v FROM flat GROUP BY label, pos
+    )
+    SELECT label::BIGINT AS label,
+           array_to_string(list(round(v, 6)::DECIMAL(12,6)::VARCHAR
+                               ORDER BY pos), ',') AS centroid,
+           count(*)::BIGINT AS dim
+    FROM means GROUP BY label ORDER BY label
+    """,
+)
+def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — per-class mean embedding (class prototypes / the pooling
+    primitive behind ivf_build_centroids): posexplode → per-(label,
+    pos) avg → ordered reassembly; the shuffle carries (label, pos,
+    val) triples, never whole vectors. Centroid serialized (driver
+    canon can't sort array cells); components rounded to 6dp on both
+    sides to absorb reduction-order ulps in the avg."""
+    from vectordb_migrator_spark.operators.similarity import (
+        ivf_build_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(e, cluster_col="label")
+    return cents.select(
+        F.col("cluster").cast("long").alias("label"),
+        F.array_join(
+            F.transform(
+                F.col("centroid"),
+                # fixed-scale decimal string: double->string would emit
+                # scientific notation for small components in Spark but
+                # not DuckDB
+                lambda v: F.round(v, 6).cast("decimal(12,6)").cast("string"),
+            ),
+            ",",
+        ).alias("centroid"),
+        F.size("centroid").cast("long").alias("dim"),
+    ).orderBy("label")
+
+
 @query("x4_kmeans_ivf")  # iterative Lloyd fit — not SQL-expressible
 def x4_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — the full ANN build path: deterministic Lloyd k-means fits
