@@ -192,3 +192,27 @@ def test_funnel_stages_ordering_and_window(spark):
     ).collect()}
     assert windowed[1] == 3
     assert windowed[5] == 2  # purchase at +22h falls outside 12h window
+
+
+def test_cohort_retention(spark):
+    import datetime as dt
+
+    from vectordb_migrator_spark.operators.relational import cohort_retention
+
+    def ts(day, h=12):
+        return dt.datetime(2024, 1, day, h)
+
+    # week of Jan 1 2024 starts Mon Jan 1; next week Mon Jan 8
+    rows = [
+        (1, ts(2)), (1, ts(9)), (1, ts(16)),   # cohort w0, active w0/w1/w2
+        (2, ts(3)), (2, ts(17)),               # cohort w0, active w0/w2
+        (3, ts(10)),                           # cohort w1, active w1 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort"], r["week_n"]): (r["n_active"], r["retention"])
+           for r in cohort_retention(df).collect()}
+    assert out[("2024-01-01", 0)] == (2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 0.5)
+    assert out[("2024-01-01", 2)] == (2, 1.0)
+    assert out[("2024-01-08", 0)] == (1, 1.0)
+    assert ("2024-01-08", 1) not in out

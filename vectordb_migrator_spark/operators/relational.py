@@ -281,3 +281,49 @@ def funnel_stages(
     return evs.select(
         F.col(user_col), walk.getField("stage").alias("stage")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each cohort × weeks-since-cohort, the count and
+    fraction of the cohort active that week.
+
+    Shape: one exchange on the user key to find first-activity weeks,
+    one distinct over (user, week) — activity collapses to at most one
+    row per user-week BEFORE the cohort join, so the join input is
+    bounded by users × weeks, not by raw event volume. Cohort sizes
+    broadcast back (one row per cohort week).
+
+    Returns (cohort, week_n, n_active, retention), cohort formatted
+    ``yyyy-MM-dd`` (Monday of the ISO week).
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    firsts = df.groupBy(user_col).agg(F.min(wk).alias("cohort_ts"))
+    activity = df.select(F.col(user_col), wk.alias("wk_ts")).distinct()
+    sizes = firsts.groupBy("cohort_ts").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.join(firsts, user_col)
+        .groupBy(
+            "cohort_ts",
+            (F.datediff(F.col("wk_ts"), F.col("cohort_ts")) / 7)
+            .cast("long")
+            .alias("week_n"),
+        )
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_ts")
+        .select(
+            F.date_format("cohort_ts", "yyyy-MM-dd").alias("cohort"),
+            "week_n",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+    )

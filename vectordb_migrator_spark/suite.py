@@ -2865,6 +2865,39 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cohort_weekly_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_ts
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk_ts FROM events
+    ), sizes AS (
+      SELECT cohort_ts, count(*) AS cohort_size FROM firsts GROUP BY cohort_ts
+    ), active AS (
+      SELECT f.cohort_ts,
+             (date_diff('day', f.cohort_ts, a.wk_ts) / 7)::BIGINT AS week_n,
+             count(*)::BIGINT AS n_active
+      FROM activity a JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT strftime(c.cohort_ts, '%Y-%m-%d') AS cohort, c.week_n, c.n_active,
+           round(c.n_active::DOUBLE / s.cohort_size::DOUBLE, 6) AS retention
+    FROM active c JOIN sizes s USING (cohort_ts)
+    ORDER BY cohort, week_n
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: activity collapses to one row per
+    user-week BEFORE the cohort join (bounded by users × weeks, not
+    event volume); cohort sizes broadcast back."""
+    from vectordb_migrator_spark.operators.relational import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev).orderBy("cohort", "week_n")
+
+
+@query(
     "x5_ngram_contamination",
     r"""
     WITH sh AS (
