@@ -127,3 +127,22 @@ def test_rrf_fuse_combines_rankings(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_retrieval_metrics(spark):
+    from vectordb_migrator_spark.operators.ranking import retrieval_metrics
+
+    cand = spark.createDataFrame(
+        [(1, 0.9), (5, 0.8), (2, 0.7), (9, 0.6)], ["vec_id", "score"]
+    )
+    truth = spark.createDataFrame([(2,), (5,), (7,)], ["vec_id"])
+    row = retrieval_metrics(cand, truth, k=4).collect()[0]
+    assert row["n_relevant"] == 3 and row["n_hits"] == 2
+    assert row["recall_at_k"] == round(2 / 3, 6)
+    assert row["mrr"] == 0.5  # first relevant is rank 2 (id 5)
+
+    empty_truth_hits = retrieval_metrics(
+        cand, spark.createDataFrame([(42,)], ["vec_id"]), k=4
+    ).collect()[0]
+    assert empty_truth_hits["n_hits"] == 0
+    assert empty_truth_hits["mrr"] == 0.0

@@ -134,3 +134,54 @@ def rrf_fuse(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def retrieval_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+    rank_by: list[tuple[str, bool]] = (("score", False),),
+) -> DataFrame:
+    """Retrieval evaluation: recall@k and MRR of a ranked candidate
+    list against a relevant set — the ANN-quality gate (is the cheap
+    index good enough, or does the top-k need a float rerank?).
+
+    The ranking is re-derived from ``rank_by`` (column, ascending)
+    pairs with the id as the final tiebreak — never from physical row
+    order, which survives neither shuffles nor engine differences.
+    ``truth`` supplies the relevant ids. Both inputs are list-depth
+    frames, so the metric math is driver-trivial; keeping it a
+    DataFrame op (one broadcast semi-join + one aggregate) lets it
+    run per-query-batch inside larger pipelines.
+
+    Returns one row: (n_relevant, n_retrieved, n_hits, recall_at_k,
+    mrr) — mrr is 0.0 when nothing relevant is retrieved.
+    """
+    from pyspark.sql import Window as W
+
+    order = [
+        F.col(c).asc() if asc else F.col(c).desc() for c, asc in rank_by
+    ] + [F.col(id_col).asc()]
+    ranked = (
+        candidates.select(
+            F.col(id_col),
+            F.row_number().over(W.orderBy(*order)).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    t = truth.select(F.col(id_col)).distinct()
+    hits = ranked.join(F.broadcast(t), id_col, "left_semi")
+    n_truth = t.count()
+    return hits.agg(
+        F.lit(n_truth).cast("long").alias("n_relevant"),
+        F.lit(k).cast("long").alias("n_retrieved"),
+        F.count("*").alias("n_hits"),
+        F.round(F.count("*").cast("double") / F.lit(float(n_truth)), 6).alias(
+            "recall_at_k"
+        ),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.min("rank"), F.lit(0.0)), 6
+        ).alias("mrr"),
+    )

@@ -2613,6 +2613,57 @@ def x4_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_retrieval_metrics",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv
+    ), truth AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               round(list_dot_product(embedding::DOUBLE[], pv) /
+                     (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(pv, pv))), 6) AS score
+        FROM embeddings, p ORDER BY score DESC, vec_id LIMIT 10)
+    ), cand AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY hamming, vec_id) AS rank
+      FROM (
+        SELECT vec_id,
+               len(list_filter(range(1, len(embedding) + 1),
+                               i -> (embedding[i] > 0) != (pv[i] > 0)))::INT
+                 AS hamming
+        FROM embeddings, p)
+      QUALIFY rank <= 10
+    ), hits AS (
+      SELECT c.rank FROM cand c JOIN truth t USING (vec_id)
+    )
+    SELECT 10::BIGINT AS n_relevant, 10::BIGINT AS n_retrieved,
+           count(*)::BIGINT AS n_hits,
+           round(count(*)::DOUBLE / 10.0, 6) AS recall_at_k,
+           round(coalesce(1.0::DOUBLE / min(rank), 0.0), 6) AS mrr
+    FROM hits
+    """,
+)
+def x4_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — ANN quality gate: recall@10 and MRR of the binary-Hamming
+    retrieval path against exact cosine truth, as a DataFrame op (one
+    broadcast semi-join + aggregate over list-depth inputs)."""
+    from vectordb_migrator_spark.operators.ranking import retrieval_metrics
+    from vectordb_migrator_spark.operators.similarity import (
+        cosine_topk,
+        hamming_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    truth = cosine_topk(e, probe, k=10).select("vec_id")
+    cand = hamming_topk(e, probe, k=10)
+    return retrieval_metrics(
+        cand, truth, k=10, rank_by=[("hamming", True)]
+    )
+
+
+@query(
     "x4_hamming_topk",
     f"""
     WITH p AS (SELECT {_PROBE_SQL} AS pv)
