@@ -49,11 +49,23 @@ HEADLINE = [
     "x3_cosine_topk",
     "x3_knn_join",
     "x4_ivf_topk",
+    "x4_hamming_topk",
+    "x4_hybrid_rrf",
     "x5_text_quality",
     "x5_fingerprint",
+    "x5_bm25_topk",
+    "x5_boilerplate_removal",
+    "x5_ngram_contamination",
     "x6_multimodal_features",
+    "x6_frame_explode",
     "x9_chunk_documents",
     "x9_int8_quantization",
+    "x10_stratified_sample",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "merge_upsert_orders",
+    "histogram_event_values",
+    "cube_order_status_priority",
 ]
 
 
