@@ -216,3 +216,46 @@ def test_cohort_retention(spark):
     assert out[("2024-01-01", 2)] == (2, 1.0)
     assert out[("2024-01-08", 0)] == (1, 1.0)
     assert ("2024-01-08", 1) not in out
+
+
+def test_weighted_sample_properties(spark):
+    from vectordb_migrator_spark.operators.slicing import weighted_sample
+
+    rows = [(i, 10.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    s1 = sorted(r["id"] for r in weighted_sample(
+        df, weight_col="w", k=100, id_col="id"
+    ).collect())
+    s2 = sorted(r["id"] for r in weighted_sample(
+        df, weight_col="w", k=100, id_col="id"
+    ).collect())
+    assert s1 == s2 and len(s1) == 100  # deterministic, exact k
+    # the 10%-of-rows heavy stratum (10x weight) must be strongly
+    # overrepresented vs its 10% population share
+    heavy = sum(1 for i in s1 if i < 50)
+    assert heavy >= 25
+    # a different seed gives a different (but still deterministic) draw
+    s3 = sorted(r["id"] for r in weighted_sample(
+        df, weight_col="w", k=100, id_col="id", seed=7
+    ).collect())
+    assert s3 != s1
+
+    # zero/negative/null weights never selected
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 1.0)], "id long, w double"
+    )
+    out = [r["id"] for r in weighted_sample(
+        df2, weight_col="w", k=10, id_col="id"
+    ).collect()]
+    assert out == [4]
+
+
+def test_weighted_sample_topk_plan(spark):
+    from vectordb_migrator_spark.operators.slicing import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, w double")
+    plan = (
+        weighted_sample(df, weight_col="w", k=5, id_col="id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -133,3 +133,40 @@ def stratified_sample(
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(frac)))
         .drop("_rn", "_n")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): rank every row by ``u^(1/w)`` with ``u`` derived from a
+    hash of the id, keep the top k — inclusion probability is
+    proportional to weight, in ONE scan with a heap top-k
+    (TakeOrderedAndProject), no shuffle of the data.
+
+    The uniform ``u`` comes from ``xxhash64(id, seed)``, not ``rand()``
+    — the sample is a pure function of (id, weight, seed): stable
+    across runs, partitionings, task retries, and incremental re-runs
+    (the property that matters when the sample feeds a training set
+    you need to reproduce). Rows with weight <= 0 or NULL are never
+    selected.
+    """
+    m = F.lit(1_000_000_007)
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), m).cast("double")
+        + F.lit(0.5)
+    ) / m.cast("double")
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.pow(u, F.lit(1.0) / w))
+    return (
+        df.withColumn("_aes_key", key)
+        .filter(F.col("_aes_key").isNotNull())
+        .orderBy(F.desc("_aes_key"), F.col(id_col))
+        .limit(k)
+        .drop("_aes_key")
+    )

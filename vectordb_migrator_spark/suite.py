@@ -1731,6 +1731,28 @@ def x10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x10_weighted_sample")  # xxhash64-derived randomness — no SQL oracle
+def x10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — Efraimidis–Spirakis weighted sampling without
+    replacement, deterministic via hash-derived uniforms (rows-only
+    check; inclusion-bias and determinism properties are asserted in
+    tests). Weights = document length, so long docs are
+    overrepresented — the quality-weighted subset pattern."""
+    from vectordb_migrator_spark.operators.slicing import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample(
+            d.withColumn("w", F.length("text").cast("double")),
+            weight_col="w",
+            k=50,
+            id_col="doc_id",
+        )
+        .select("doc_id", F.col("w").cast("long").alias("text_len"))
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "udtf_json_props",
     """
