@@ -100,3 +100,80 @@ def test_kmeans_ivf_recall_vs_brute_force(spark, embeddings):
     }
     assert len(exact & approx) >= 5  # recall ≥ 0.5 on this corpus
     assert 0 in approx  # the probe's own vector must be found
+
+
+def test_kmeans_fit_loop_reads_persisted_projection(spark, monkeypatch):
+    """Every Lloyd-iteration assignment must scan the persisted
+    (id, vector) projection — not re-read the source — and the
+    RETURNED assignment must be built on the original (un-cached)
+    frame. Also asserts the cache is released afterwards."""
+    import vectordb_migrator_spark.operators.clustering as clustering
+
+    seen_levels = []
+    real_assign = clustering.assign_clusters
+
+    def spy(df, centroids, **kw):
+        seen_levels.append(df.storageLevel.useMemory or df.storageLevel.useDisk)
+        return real_assign(df, centroids, **kw)
+
+    monkeypatch.setattr(clustering, "assign_clusters", spy)
+    pts = [(i, [float(i % 7), float(i % 3)]) for i in range(60)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    assigned, _, n_iters = kmeans_fit_ref()(df, k=3, max_iter=5)
+    # one call per iteration over the persisted frame + one final call
+    # over the original input
+    assert len(seen_levels) == n_iters + 1
+    assert all(seen_levels[:-1]), "fit-loop input was not persisted"
+    assert not seen_levels[-1], "final assignment must use the raw input"
+    # plan proof: an assignment over the persisted frame scans the cache
+    assert assigned.storageLevel.useMemory is False
+
+
+def kmeans_fit_ref():
+    from vectordb_migrator_spark.operators.clustering import kmeans_fit
+
+    return kmeans_fit
+
+
+def test_kmeans_fit_persisted_plan_has_inmemory_scan(spark):
+    """Direct plan check: iteration ≥ 2's assignment over the persisted
+    projection compiles to an InMemoryTableScan."""
+    from pyspark import StorageLevel
+    from vectordb_migrator_spark.operators.clustering import assign_clusters
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        df.count()  # materialize the cache
+        plan = (
+            assign_clusters(df, [[0.0, 0.0], [9.0, 0.0]])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" in plan
+    finally:
+        df.unpersist()
+
+
+def test_kmeans_sample_fit_assigns_full_corpus(spark, embeddings):
+    """sample_fraction fits centroids on a hash-sample but the returned
+    assignment covers EVERY input row; same-data reruns are identical."""
+    n = embeddings.count()
+    a1, c1, _ = kmeans_fit_ref()(embeddings, k=4, sample_fraction=0.5)
+    a2, c2, _ = kmeans_fit_ref()(embeddings, k=4, sample_fraction=0.5)
+    assert a1.count() == n
+    assert c1 == c2  # deterministic hash sample, not rand()
+    got1 = sorted((r["vec_id"], r["cluster"]) for r in a1.collect())
+    got2 = sorted((r["vec_id"], r["cluster"]) for r in a2.collect())
+    assert got1 == got2
+
+
+def test_kmeans_sample_fraction_validation(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="sample_fraction"):
+        kmeans_fit_ref()(df, k=1, sample_fraction=1.5)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +72,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     max_iter: int = 20,
     tol: float = 1e-6,
+    sample_fraction: float | None = None,
 ) -> tuple[DataFrame, list[list[float]], int]:
     """Lloyd's iterations until centroid shift < ``tol`` (max squared
     movement over all centroids) or ``max_iter``.
@@ -79,34 +81,64 @@ def kmeans_fit(
     the input frame plus a ``cluster`` column (lazy — re-derived from
     the final centroids, so downstream consumers get one narrow map,
     not a cached intermediate).
-    """
-    seeds = (
-        df.orderBy(id_col)
-        .limit(k)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
-    if len(seeds) < k:
-        raise ValueError(f"corpus has fewer than k={k} rows")
-    centroids = [[float(x) for x in r["v"]] for r in seeds]
 
-    n_iters = 0
-    for _ in range(max_iter):
-        n_iters += 1
-        assigned = assign_clusters(df, centroids, vec_col=vec_col)
-        new_rows = ivf_build_centroids(
-            assigned, cluster_col="cluster", vec_col=vec_col
-        ).collect()  # k rows — driver-sized by construction
-        by_cid = {int(r["cluster"]): list(r["centroid"]) for r in new_rows}
-        # an emptied cluster keeps its previous centroid (standard)
-        new_centroids = [by_cid.get(i, centroids[i]) for i in range(k)]
-        shift = max(
-            sum((a - b) * (a - b) for a, b in zip(old, new))
-            for old, new in zip(centroids, new_centroids)
+    Scale: the fit loop runs over a PERSISTED two-column projection
+    ``(id, vector)`` — the source is scanned once, then every Lloyd
+    iteration reads the in-memory (spill-to-disk) copy instead of
+    re-reading 100 TB of parquet ``max_iter`` times. The full-width
+    input frame is never cached; only the final assignment touches it,
+    exactly once.
+
+    ``sample_fraction`` fits the centroids on a deterministic hash
+    sample (``xxhash64(id) pmod 1e6 < fraction*1e6`` — stable across
+    runs and partitionings, unlike ``df.sample``) and then assigns the
+    FULL corpus a single time. At 100 TB a 1% sample gives the same
+    centroids to within tol while cutting per-iteration cost 100×; this
+    is the standard scale path (MLlib's KMeans has no exact-fit mode at
+    that size either).
+    """
+    fit_df = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(f"sample_fraction not in (0, 1]: {sample_fraction}")
+        bound = int(round(sample_fraction * 1_000_000))
+        fit_df = fit_df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(bound)
         )
-        centroids = new_centroids
-        if shift < tol:
-            break
+    fit_df = fit_df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seeds = (
+            fit_df.orderBy(id_col)
+            .limit(k)
+            .select(F.col(vec_col).alias("v"))
+            .collect()
+        )
+        if len(seeds) < k:
+            raise ValueError(f"fit corpus has fewer than k={k} rows")
+        centroids = [[float(x) for x in r["v"]] for r in seeds]
+
+        n_iters = 0
+        for _ in range(max_iter):
+            n_iters += 1
+            assigned = assign_clusters(fit_df, centroids, vec_col=vec_col)
+            new_rows = ivf_build_centroids(
+                assigned, cluster_col="cluster", vec_col=vec_col
+            ).collect()  # k rows — driver-sized by construction
+            by_cid = {int(r["cluster"]): list(r["centroid"]) for r in new_rows}
+            # an emptied cluster keeps its previous centroid (standard)
+            new_centroids = [by_cid.get(i, centroids[i]) for i in range(k)]
+            shift = max(
+                sum((a - b) * (a - b) for a, b in zip(old, new))
+                for old, new in zip(centroids, new_centroids)
+            )
+            centroids = new_centroids
+            if shift < tol:
+                break
+    finally:
+        fit_df.unpersist()
     if any(math.isnan(x) for c in centroids for x in c):
         raise ValueError("NaN centroid — input contains NaN vectors")
     return assign_clusters(df, centroids, vec_col=vec_col), centroids, n_iters

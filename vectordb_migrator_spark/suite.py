@@ -3047,3 +3047,81 @@ def outer_join_urgent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# =====================================================================
+# Driver-window ordering
+# =====================================================================
+# The correctness driver snapshots the FIRST 50 registry entries
+# (list(QUERIES)[:50]) — registration order above is narrative, not
+# evidentiary.  Reorder so the window carries the queries that still
+# need a driver-green row (round-2/3 additions), backfilled with one
+# representative per long-stable round-1 family (those already hold
+# green rows in CORRECTNESS_r01/r02).
+_DRIVER_WINDOW_PRIORITY = [
+    # --- round-2 families the r02 driver file never reached ---
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "x5_bm25_topk",
+    "x5_pii_redaction",
+    "x5_vocab_topk",
+    "x5_corpus_filter",
+    "x5_repetition_score",
+    "x5_boilerplate_removal",
+    "x5_ngram_contamination",
+    "x4_kmeans_ivf",
+    "x4_retrieval_metrics",
+    "x4_hamming_topk",
+    "x4_hybrid_rrf",
+    "x4_brp_approx_join",
+    "x3_label_centroids",
+    "x2_dedup_clusters",
+    "x10_hash_split",
+    "x10_per_group_head",
+    "x10_stratified_sample",
+    "x10_weighted_sample",
+    "merge_upsert_orders",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "outer_join_urgent_counts",
+    "udtf_json_props",
+    "window_running_total",
+    "window_moving_average",
+    "window_above_customer_avg",
+    "timeseries_gap_fill",
+    "x7_approx_percentile",
+    # --- round-3 queries needing first driver signal ---
+    "x4_lsh_bucket_topk",  # oracle added round 3 (was no_oracle)
+    # --- round-1 representatives (families green in r01/r02) ---
+    "s1_scan_projection",
+    "c1_pgvector_roundtrip",
+    "t1_transform_contract",
+    "pipeline_migrate_plan",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "x1_dedup_exact_text",
+    "x2_ngram_jaccard_pairs",
+    "x3_cosine_topk",
+    "x5_text_quality",
+    "x6_frame_explode",
+    "x8_session_window_batch",
+]
+
+
+def _reorder_registry(priority: list[str]) -> None:
+    missing = [n for n in priority if n not in QUERIES]
+    if missing:
+        raise KeyError(f"driver-window priority names not registered: {missing}")
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    for n in priority:
+        QUERIES[n] = snapshot.pop(n)
+    QUERIES.update(snapshot)  # remainder keeps narrative order
+
+
+_reorder_registry(_DRIVER_WINDOW_PRIORITY)
