@@ -89,3 +89,30 @@ def test_write_partitioned_prunes_on_read(spark, tmp_path, documents):
 
     dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
     assert "lang=en" in dirs and len(dirs) >= 2
+
+
+def test_fan_out_repartitions_packed_small_files(spark, tmp_path):
+    """Many tiny files pack into 1-2 scan partitions
+    (openCostInBytes/maxPartitionBytes) — a file COUNT above target
+    must not short-circuit the width check; the physical probe still
+    catches the packed scan and repartitions."""
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    path = str(tmp_path / "tiny")
+    spark.range(40).repartition(40).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert len(df.inputFiles()) >= 8  # many tiny files...
+    assert df.rdd.getNumPartitions() < 8  # ...packed into few splits
+    out = fan_out(df, min_partitions=8)
+    assert out.rdd.getNumPartitions() == 8
+
+
+def test_fan_out_few_files_repartitions_without_physical_probe(spark, tmp_path):
+    """The cheap common case: file count below target repartitions
+    immediately (no second physical planning pass needed)."""
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    path = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(path)
+    out = fan_out(spark.read.parquet(path), min_partitions=4)
+    assert out.rdd.getNumPartitions() == 4

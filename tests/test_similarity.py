@@ -146,3 +146,28 @@ def test_retrieval_metrics(spark):
     ).collect()[0]
     assert empty_truth_hits["n_hits"] == 0
     assert empty_truth_hits["mrr"] == 0.0
+
+
+def test_retrieval_metrics_is_lazy(spark):
+    """Building the metrics frame must fire NO Spark job — the
+    relevant-set size is folded in as a broadcast aggregate, not an
+    eager count(). Jobs appear only at the caller's action."""
+    from vectordb_migrator_spark.operators.ranking import retrieval_metrics
+
+    sc = spark.sparkContext
+    cand = spark.createDataFrame(
+        [(1, 0.9), (5, 0.8), (2, 0.7)], ["vec_id", "score"]
+    )
+    truth = spark.createDataFrame([(2,), (5,)], ["vec_id"])
+    sc.setJobGroup("rm-lazy-probe", "laziness check")
+    try:
+        out = retrieval_metrics(cand, truth, k=3)
+        assert list(sc.statusTracker().getJobIdsForGroup("rm-lazy-probe")) == []
+        row = out.collect()[0]  # the caller's action — jobs fire here
+        assert (
+            len(sc.statusTracker().getJobIdsForGroup("rm-lazy-probe")) > 0
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    assert row["n_relevant"] == 2 and row["n_hits"] == 2
+    assert row["recall_at_k"] == 1.0 and row["mrr"] == 0.5

@@ -10,7 +10,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA
-from vectordb_migrator_spark.sources.milvus import MilvusAdapter, plan_fields
+from vectordb_migrator_spark.sources.milvus import (
+    MilvusAdapter,
+    coerce_to_field_type,
+    plan_fields,
+)
 from vectordb_migrator_spark.sources.pgvector import (
     PgVectorAdapter,
     build_select,
@@ -469,3 +473,33 @@ def test_qdrant_sharded_write(spark, tmp_path):
     a.write(df, conn, {"collection_name": "plain"})
     plain = _read_points(str(tmp_path), "plain")
     assert all(p["payload"]["_shard"] is None for p in plain.values())
+
+
+def test_milvus_coerce_bad_numeric_null_fills():
+    """A metadata value that can't parse as the declared numeric type
+    null-fills (C6) instead of raising inside the write task."""
+    assert coerce_to_field_type("3.5", "INT64") is None
+    assert coerce_to_field_type("", "INT64") is None
+    assert coerce_to_field_type("not-a-number", "FLOAT") is None
+    assert coerce_to_field_type("7", "INT64") == 7
+    assert coerce_to_field_type("2.5", "DOUBLE") == 2.5
+
+
+def test_milvus_write_stats_count_dropped_rows(spark, tmp_path):
+    """total_rows counts ALL input rows (pre-C4-filter) so accounting
+    is comparable across sinks and dropped = total - with_id is
+    observable."""
+    conn = {"store_dir": str(tmp_path)}
+    a = MilvusAdapter(client_factory=milvus_factory)
+    df = spark.createDataFrame(
+        [
+            ("1", [0.1], {"meta_a": "x"}),
+            (None, [0.2], {}),
+            ("3", None, {}),
+        ],
+        "id string, vector array<float>, metadata map<string,string>",
+    )
+    out = a.write(df, conn, {"collection_name": "col"})
+    assert out["stats"]["total_rows"] == 3
+    assert out["stats"]["rows_with_id"] == 2
+    assert out["stats"]["rows_with_vector"] == 1

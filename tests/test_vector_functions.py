@@ -87,3 +87,26 @@ def test_binary_quantize_matches_python_twin(spark, embeddings):
     df = spark.createDataFrame([(vec,)], "v array<float>")
     sig = df.select(binary_quantize("v").alias("s")).collect()[0]["s"]
     assert sig == -(1 << 63) == python_binary_quantize(vec)
+
+
+def test_binary_quantize_truncates_beyond_64_dims(spark):
+    """Vectors wider than 64 dims truncate to the first 64 — same rule
+    as the python twin — instead of null-ing the signature (zip_with
+    would pad the 64-entry mask with nulls and poison the OR-fold; a
+    NULL distance would then sort FIRST in an ascending Hamming top-k)."""
+    from vectordb_migrator_spark.functions.vector import (
+        binary_quantize,
+        python_binary_quantize,
+    )
+
+    vec = [1.0 if i % 3 == 0 else -1.0 for i in range(70)]
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    sig = df.select(binary_quantize("v").alias("s")).collect()[0]["s"]
+    assert sig is not None
+    assert sig == python_binary_quantize(vec)
+    # and unchanged behavior at exactly 64 / under 64 dims
+    for width in (64, 10):
+        w = vec[:width]
+        dfw = spark.createDataFrame([(w,)], "v array<float>")
+        s = dfw.select(binary_quantize("v").alias("s")).collect()[0]["s"]
+        assert s == python_binary_quantize(w)

@@ -108,14 +108,19 @@ _POW2_64 = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
 def binary_quantize(a: Column | str) -> Column:
     """Sign-bit binary quantization: 64 dims → ONE long (64 bytes of
     float32 → 8 bytes, the 32× compression step before Hamming-space
-    search). Bit b is set iff ``v[b] > 0``; dims beyond 64 need one
-    long per 64-dim chunk (not needed for this corpus). Pure codegen:
-    a single zip_with against the bit-mask literal + one OR fold.
+    search). Bit b is set iff ``v[b] > 0``; dims beyond 64 are
+    TRUNCATED (one long covers 64 dims) — identically to the driver
+    twin :func:`python_binary_quantize`, so the two stay bit-equal on
+    any input width. Without the slice, zip_with pads the 64-entry
+    mask with nulls on longer vectors and the OR-fold silently returns
+    NULL — which sorts FIRST in an ascending Hamming top-k. Pure
+    codegen: a single zip_with against the bit-mask literal + one OR
+    fold.
     """
     v = _as_double(a)
     return F.aggregate(
         F.zip_with(
-            v,
+            F.slice(v, 1, 64),
             F.lit(_POW2_64),
             lambda x, p: F.when(x > 0, p).otherwise(F.lit(0).cast("long")),
         ),

@@ -156,6 +156,11 @@ def retrieval_metrics(
     DataFrame op (one broadcast semi-join + one aggregate) lets it
     run per-query-batch inside larger pipelines.
 
+    Fully LAZY: the relevant-set size is folded in as a broadcast
+    one-row aggregate joined to the hit aggregate — no job fires until
+    the caller's own action, so the operator composes inside larger
+    plans without forcing an early materialization.
+
     Returns one row: (n_relevant, n_retrieved, n_hits, recall_at_k,
     mrr) — mrr is 0.0 when nothing relevant is retrieved.
     """
@@ -173,15 +178,20 @@ def retrieval_metrics(
     )
     t = truth.select(F.col(id_col)).distinct()
     hits = ranked.join(F.broadcast(t), id_col, "left_semi")
-    n_truth = t.count()
-    return hits.agg(
-        F.lit(n_truth).cast("long").alias("n_relevant"),
-        F.lit(k).cast("long").alias("n_retrieved"),
+    truth_stats = t.agg(F.count("*").alias("n_relevant"))  # 1 row, lazy
+    hit_stats = hits.agg(
         F.count("*").alias("n_hits"),
-        F.round(F.count("*").cast("double") / F.lit(float(n_truth)), 6).alias(
-            "recall_at_k"
-        ),
+        F.min("rank").alias("min_rank"),
+    )
+    return hit_stats.crossJoin(F.broadcast(truth_stats)).select(
+        F.col("n_relevant").cast("long").alias("n_relevant"),
+        F.lit(k).cast("long").alias("n_retrieved"),
+        F.col("n_hits"),
         F.round(
-            F.coalesce(F.lit(1.0) / F.min("rank"), F.lit(0.0)), 6
+            F.col("n_hits").cast("double") / F.col("n_relevant").cast("double"),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("min_rank"), F.lit(0.0)), 6
         ).alias("mrr"),
     )

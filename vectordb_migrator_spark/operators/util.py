@@ -24,6 +24,14 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     under-split scan feeding heavy compute); non-file sources (JDBC,
     connector ``mapInPandas`` scans) fall back to the physical-plan
     probe since they have no file listing.
+
+    A large file COUNT is not sufficient evidence of width: Spark
+    packs small files into shared splits (``maxPartitionBytes`` /
+    ``openCostInBytes``), so 200 tiny files can still scan as 1-2
+    partitions. When the file count alone would say "wide enough",
+    confirm with the physical-plan probe before skipping the exchange
+    — the probe only runs in that branch, so the cheap common case
+    (few files → repartition) still never plans twice.
     """
     sc = df.sparkSession.sparkContext
     # default: half the cores — measured sweet spot for the fan-out
@@ -35,8 +43,8 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:  # noqa: BLE001 — estimation only, never fatal
         n_files = 0
-    if n_files:
-        return df.repartition(target) if n_files < target else df
+    if n_files and n_files < target:
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -29,7 +29,6 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA
 from vectordb_migrator_spark.operators.slicing import limit_offset
@@ -89,13 +88,25 @@ def coerce_to_field_type(val: Any, milvus_type: str) -> Any:
     types end-to-end so an INT64-PK collection receives ints; the
     canonical pipeline stringifies, so without this back-coercion
     pymilvus rejects the rows (string PK into INT64). Mirrors the C2
-    coercion the Qdrant writer applies to digit-string ids."""
+    coercion the Qdrant writer applies to digit-string ids.
+
+    A value that does not parse as the declared numeric type (e.g.
+    metadata '3.5' or '' destined for INT64) null-fills instead of
+    raising — a ValueError inside foreachPartition would fail the
+    whole task AFTER partial inserts; null-fill is the same
+    conform-to-schema (C6) behavior the reader applies."""
     if val is None:
         return None
     if milvus_type in _INT_TYPES:
-        return int(val)
+        try:
+            return int(val)
+        except (ValueError, TypeError):
+            return None
     if milvus_type in _FLOAT_TYPES:
-        return float(val)
+        try:
+            return float(val)
+        except (ValueError, TypeError):
+            return None
     if milvus_type == "BOOL":
         if isinstance(val, bool):
             return val
@@ -227,15 +238,17 @@ class MilvusAdapter(SparkAdapter):
         ftypes = field_types(schema_info)
         batch_size = int(load.get("batch_size", 1_000))
 
-        # C4 — drop rows without a PK (reference counts only inserted
-        # entities, adapters/milvus.py:266-291; stats below match that)
-        kept = df.filter(F.col("id").isNotNull())
+        # C4 — rows without a PK are skipped in-loop (reference inserts
+        # only entities with a PK, adapters/milvus.py:266-291) but
+        # STILL counted in total_rows, so `stats` means the same thing
+        # across every sink: total input vs kept vs with-vector, and
+        # the dropped-row count is observable as total - with_id.
         counters = make_write_counters(df)
 
         def _insert(rows: Iterator[Any]) -> None:
             cl = factory(connection)
             buf: list[dict[str, Any]] = []
-            n = n_vec = 0
+            n = n_id = n_vec = 0
 
             def flush():
                 if buf:
@@ -243,6 +256,11 @@ class MilvusAdapter(SparkAdapter):
                     buf.clear()
 
             for row in rows:
+                n += 1
+                if row["id"] is None:
+                    continue  # C4 — no PK, never inserted
+                n_id += 1
+                n_vec += row["vector"] is not None
                 meta = dict(row["metadata"] or {})
                 # id and scalars coerced to the collection's declared
                 # types (reference preserves source types end-to-end;
@@ -251,8 +269,6 @@ class MilvusAdapter(SparkAdapter):
                 rec: dict[str, Any] = {
                     pk: coerce_to_field_type(row["id"], ftypes.get(pk, "VARCHAR"))
                 }
-                n += 1
-                n_vec += row["vector"] is not None
                 if vec_f:
                     rec[vec_f] = list(row["vector"]) if row["vector"] else None
                 # C6 — conform to schema: unknown keys dropped, missing
@@ -266,10 +282,10 @@ class MilvusAdapter(SparkAdapter):
                     flush()
             flush()
             counters["total_rows"].add(n)
-            counters["rows_with_id"].add(n)  # kept rows all have a PK
+            counters["rows_with_id"].add(n_id)
             counters["rows_with_vector"].add(n_vec)
 
-        kept.foreachPartition(_insert)
+        df.foreachPartition(_insert)
         return {
             "collection": collection,
             "mode": "insert",
