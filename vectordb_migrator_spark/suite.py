@@ -836,9 +836,39 @@ def x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x4_lsh_bucket_topk")  # plane literals replicable but the bucket
-# pruning makes the result recall-dependent; verified in tests against
-# the exact top-k instead.
+def _lsh_bucket_sql() -> str:
+    """Replicate random_hyperplane_signature in DuckDB: the planes are
+    deterministic literals, so the sign-bit bucket is exactly
+    SQL-expressible (dot >= 0 per plane, MSB-first packing)."""
+
+    def sig_expr(col: str) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product({col}, "
+            f"[{', '.join(repr(float(x)) for x in pl)}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << (len(_PLANES) - 1 - i)} ELSE 0 END)"
+            for i, pl in enumerate(_PLANES)
+        ]
+        return " + ".join(terms)
+
+    return f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {sig_expr('embedding::DOUBLE[]')} AS sig
+      FROM embeddings
+    ),
+    psig AS (SELECT {sig_expr('pv')} AS ps FROM p)
+    SELECT s.vec_id,
+           round(list_dot_product(s.v, p.pv) /
+                 (sqrt(list_dot_product(s.v, s.v)) *
+                  sqrt(list_dot_product(p.pv, p.pv))), 6) AS score
+    FROM sig s, p, psig
+    WHERE s.sig = psig.ps
+    ORDER BY score DESC, s.vec_id LIMIT 10
+    """
+
+
+@query("x4_lsh_bucket_topk", None)  # oracle attached below (computed string)
 def x4_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — random-hyperplane LSH bucketed ANN (seeded deterministic
     planes inlined as literals)."""
@@ -846,6 +876,9 @@ def x4_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(
         _t(spark, sf_dir, "embeddings"), probe, _PLANES, k=10
     )
+
+
+ORACLES["x4_lsh_bucket_topk"] = _lsh_bucket_sql()
 
 
 # =====================================================================
