@@ -57,6 +57,9 @@ class FakeQdrantClient:
         nxt = start + len(page)
         return page, (nxt if nxt < len(pts) else None)
 
+    def count(self, collection_name, count_filter=None, exact=True):
+        return SimpleNamespace(count=len(self.POINTS))
+
     def collection_exists(self, name):
         return os.path.exists(self._cfg(name))
 
@@ -114,6 +117,26 @@ def test_qdrant_sharded_read_no_duplicates(spark):
     )
     ids = sorted(int(r["id"]) for r in df.collect())
     assert ids == list(range(25))
+
+
+def test_qdrant_segmented_read_parallel(spark):
+    """num_partitions segments an UNSHARDED collection: the driver's
+    id-only pre-pass yields disjoint cursor segments whose union is the
+    full collection, and the scan runs in >=2 Spark partitions."""
+    from vectordb_migrator_spark.sources.qdrant import _plan_segments
+
+    segs = _plan_segments(
+        FakeQdrantClient({}), "c", flt=None, segment_size=7
+    )
+    assert segs == [(None, 7), (7, 7), (14, 7), (21, 4)]
+
+    a = QdrantAdapter(client_factory=qdrant_factory)
+    df = a.read(
+        spark, {}, {"collection_name": "c", "batch_size": 3, "num_partitions": 4}
+    )
+    assert df.rdd.getNumPartitions() >= 2
+    ids = sorted(int(r["id"]) for r in df.collect())
+    assert ids == list(range(25))  # disjoint + complete
 
 
 def test_qdrant_read_limit_offset(spark):

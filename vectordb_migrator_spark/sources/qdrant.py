@@ -10,9 +10,12 @@ Spark rebuild fixes the truncation and distributes both directions:
 - **read** — the driver plans N shards; each executor partition opens
   its own client and *loops* the scroll cursor over its shard
   (``mapInPandas`` over a shard-spec DataFrame → canonical rows).
-  Sharding uses Qdrant's cursor pagination per shard of the id space
-  when ``shard_key_ranges`` are supplied, else falls back to a single
-  cursor-looped partition (still unbounded, unlike the reference).
+  Partitioning uses custom shard keys when supplied; otherwise
+  ``num_partitions``/``segment_size`` trigger a driver-side id-only
+  pre-pass that slices the collection into disjoint cursor segments
+  (start cursor + exact row budget) so the default scan still fans
+  out. With neither, a single cursor-looped partition (still
+  unbounded, unlike the reference).
 - **write** — ``foreachPartition``: one client per executor partition,
   points upserted in ``batch_size`` chunks. Upsert is idempotent by id
   (reference semantics), so Spark task retries are exactly-once-per-id.
@@ -66,12 +69,14 @@ def _scroll_all(
     flt: dict[str, Any] | None,
     max_records: int | None,
     shard_key: Any | None = None,
+    offset_start: Any | None = None,
 ) -> Iterator[dict[str, Any]]:
     """Loop the scroll cursor to exhaustion — the pagination loop the
     reference is missing (its single call truncates at `limit`).
     ``shard_key`` scopes the scroll to one custom shard for parallel
-    partition-planned reads."""
-    offset = None
+    partition-planned reads; ``offset_start`` resumes mid-collection
+    from a server-issued cursor (segmented parallel scans)."""
+    offset = offset_start
     fetched = 0
     while True:
         page_size = batch if max_records is None else min(batch, max_records - fetched)
@@ -100,6 +105,38 @@ def _scroll_all(
             return
 
 
+def _plan_segments(
+    client,
+    collection: str,
+    *,
+    flt: dict[str, Any] | None,
+    segment_size: int,
+) -> list[tuple[Any, int]]:
+    """Driver-side segmentation of an unsharded collection: one id-only
+    scroll pass paging at ``segment_size``, recording each page's start
+    cursor and exact row budget. Cursors are passed back verbatim, so
+    this works for int and UUID point ids alike; the pre-pass moves only
+    ids (no payloads/vectors), a tiny fraction of the corpus."""
+    segments: list[tuple[Any, int]] = []
+    offset = None
+    while True:
+        points, nxt = client.scroll(
+            collection_name=collection,
+            limit=segment_size,
+            offset=offset,
+            with_payload=False,
+            with_vectors=False,
+            scroll_filter=flt,
+        )
+        if not points:
+            break
+        segments.append((offset, len(points)))
+        if nxt is None:
+            break
+        offset = nxt
+    return segments or [(None, 0)]
+
+
 class QdrantAdapter(SparkAdapter):
     name = "qdrant"
 
@@ -116,19 +153,52 @@ class QdrantAdapter(SparkAdapter):
         offset = int(query.get("offset", 0))
         factory = self.client_factory
 
-        # Partition planning: Qdrant's filter DSL has no modulo, so
-        # parallel scans are only possible across explicit shard keys
-        # (collections created with custom sharding) — one executor
-        # partition per key via ``shard_key_selector``. Without
-        # ``shard_keys`` the scan is ONE exhaustive cursor loop:
-        # single-partition but complete, unlike the reference's
-        # truncating single call (adapters/qdrant.py:99-106).
-        shard_keys = query.get("shard_keys") or [None]
+        # Partition planning, three tiers:
+        # 1. ``shard_keys`` (custom-sharded collections) — one executor
+        #    partition per key via ``shard_key_selector``.
+        # 2. ``num_partitions``/``segment_size`` — driver runs a cheap
+        #    id-only scroll pass that slices the collection into cursor
+        #    segments (start cursor + exact row budget); each executor
+        #    partition resumes its own cursor. This is the default-scan
+        #    scale path: without it a big collection funnels through ONE
+        #    cursor loop.
+        # 3. neither — single exhaustive cursor loop: single-partition
+        #    but complete, unlike the reference's truncating single
+        #    call (adapters/qdrant.py:99-106).
         import json as _json
 
+        shard_keys = query.get("shard_keys")
+        num_partitions = int(query.get("num_partitions", 0))
+        segment_size = query.get("segment_size")
+        if shard_keys:
+            specs = [(_json.dumps(k), _json.dumps(None), None) for k in shard_keys]
+        elif num_partitions > 1 or segment_size:
+            planner = factory(connection)
+            try:
+                if not segment_size:
+                    total = int(
+                        planner.count(
+                            collection_name=collection, count_filter=flt, exact=True
+                        ).count
+                    )
+                    segment_size = max(1, -(-total // num_partitions))
+                segments = _plan_segments(
+                    planner, collection, flt=flt, segment_size=int(segment_size)
+                )
+            finally:
+                close = getattr(planner, "close", None)
+                if close:
+                    close()
+            specs = [
+                (_json.dumps(None), _json.dumps(off), int(cnt))
+                for off, cnt in segments
+            ]
+        else:
+            specs = [(_json.dumps(None), _json.dumps(None), None)]
+
         shards = spark.createDataFrame(
-            [(_json.dumps(k),) for k in shard_keys], "skey string"
-        ).repartition(len(shard_keys))
+            specs, "skey string, cursor string, budget bigint"
+        ).repartition(len(specs))
 
         def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             client = factory(connection)
@@ -136,14 +206,17 @@ class QdrantAdapter(SparkAdapter):
                 for pdf in batches:
                     for row in pdf.itertuples():
                         skey = _json.loads(row.skey)
+                        cursor = _json.loads(row.cursor)
+                        budget = None if pd.isna(row.budget) else int(row.budget)
                         recs = list(
                             _scroll_all(
                                 client,
                                 collection,
                                 batch=batch,
                                 flt=flt,
-                                max_records=None,
+                                max_records=budget,
                                 shard_key=skey,
+                                offset_start=cursor,
                             )
                         )
                         if recs:
