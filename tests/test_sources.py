@@ -349,6 +349,68 @@ def test_pgvector_writer_plan(spark):
     assert writer is not None  # configuration path; no live server to save to
 
 
+class FakePgConnection:
+    """Records DDL statements like the reference's MagicMock cursor
+    (tests/test_pgvector_adapter.py:141-172)."""
+
+    def __init__(self):
+        self.executed = []
+        self.committed = False
+        self.closed = False
+
+    def cursor(self):
+        return self
+
+    def execute(self, sql):
+        self.executed.append(sql)
+
+    def commit(self):
+        self.committed = True
+
+    def close(self):
+        self.closed = True
+
+
+def test_pgvector_ensure_table_ddl():
+    """recreate_table on a fresh database must bootstrap driver-side:
+    DROP, CREATE EXTENSION vector (impossible through the JDBC writer),
+    CREATE TABLE with SERIAL pk + VECTOR(dim) + TEXT metadata — the
+    reference's adapters/pgvector.py:162-196 sequence."""
+    fake = FakePgConnection()
+    a = PgVectorAdapter(connect_factory=lambda c: fake)
+    ok = a.ensure_table(
+        {"host": "h"},
+        {"table_name": "t", "metadata_columns": ["name", "cat"]},
+        dim=3,
+    )
+    assert ok and fake.committed and fake.closed
+    assert fake.executed[0] == "DROP TABLE IF EXISTS t;"
+    assert fake.executed[1] == "CREATE EXTENSION IF NOT EXISTS vector;"
+    assert fake.executed[2] == (
+        "CREATE TABLE t (id SERIAL PRIMARY KEY, "
+        "embedding VECTOR(3), name TEXT, cat TEXT);"
+    )
+
+
+def test_pgvector_bootstrap_switches_writer_to_append():
+    """After driver-side DDL the JDBC stage must APPEND — an overwrite
+    would drop the table the bootstrap just created."""
+    from vectordb_migrator_spark.sources.pgvector import _write_mode
+
+    assert _write_mode({"recreate_table": True}, table_bootstrapped=True) == "append"
+    assert (
+        _write_mode({"recreate_table": True}, table_bootstrapped=False) == "overwrite"
+    )
+    assert _write_mode({}, table_bootstrapped=False) == "append"
+
+
+def test_pgvector_no_dbapi_falls_back():
+    """Without any DBAPI driver available, ensure_table reports False
+    and the writer keeps the JDBC overwrite path."""
+    a = PgVectorAdapter(connect_factory=lambda c: None)
+    assert a.ensure_table({}, {"table_name": "t"}, dim=2) is False
+
+
 class NegativePkMilvusClient(FakeMilvusClient):
     DATA = [
         {"pk": p, "vec": [float(p)], "meta_a": f"a{p}", "meta_b": None}

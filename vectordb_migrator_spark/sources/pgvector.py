@@ -68,9 +68,79 @@ def build_select(query: dict[str, Any]) -> str:
     return sql
 
 
+def _default_connect(connection: dict[str, Any]):
+    """Driver-side DBAPI connection for DDL the JDBC writer can't issue
+    (``CREATE EXTENSION``). Tries psycopg2 then pg8000; returns None
+    when neither is installed so the caller can fall back to the
+    JDBC-only path."""
+    kwargs = dict(
+        host=connection.get("host", "localhost"),
+        port=connection.get("port", 5432),
+        user=connection.get("user", "postgres"),
+        password=connection.get("password", ""),
+    )
+    dbname = connection.get("dbname") or connection.get("database", "postgres")
+    try:
+        import psycopg2
+
+        return psycopg2.connect(dbname=dbname, **kwargs)
+    except ImportError:
+        pass
+    try:
+        import pg8000.dbapi
+
+        return pg8000.dbapi.Connection(database=dbname, **kwargs)
+    except ImportError:
+        return None
+
+
+def _write_mode(load: dict[str, Any], table_bootstrapped: bool) -> str:
+    """JDBC save mode: when ensure_table already issued the DDL, append
+    into the freshly-created table instead of letting JDBC drop it
+    again; recreate_table without a bootstrap keeps the legacy JDBC
+    overwrite (requires the vector extension to pre-exist)."""
+    if table_bootstrapped or not load.get("recreate_table"):
+        return "append"
+    return "overwrite"
+
+
 class PgVectorAdapter(SparkAdapter):
     name = "pgvector"
     write_is_sql_action = True  # JDBC df.write — fires observations
+
+    def __init__(self, connect_factory=None):
+        self.connect_factory = connect_factory or _default_connect
+
+    def ensure_table(
+        self, connection: dict[str, Any], load: dict[str, Any], dim: int
+    ) -> bool:
+        """Driver-side DDL bootstrap mirroring the reference
+        (``adapters/pgvector.py:162-196``): DROP TABLE IF EXISTS,
+        ``CREATE EXTENSION IF NOT EXISTS vector`` (the step a plain
+        JDBC overwrite cannot do on a fresh database), then CREATE
+        TABLE with a SERIAL PK, a ``VECTOR(dim)`` column, and TEXT
+        metadata columns. Runs ONCE on the driver. Returns False when
+        no DBAPI driver is available — the writer then falls back to
+        JDBC overwrite + createTableColumnTypes (which needs the
+        extension to pre-exist)."""
+        conn = self.connect_factory(connection)
+        if conn is None:
+            return False
+        table = load.get("table_name", "items")
+        id_c = load.get("id_column", "id")
+        vec_c = load.get("vector_column", "embedding")
+        meta_cs = load.get("metadata_columns", []) or []
+        cols = [f"{id_c} SERIAL PRIMARY KEY", f"{vec_c} VECTOR({dim})"]
+        cols += [f"{c} TEXT" for c in meta_cs]
+        try:
+            cur = conn.cursor()
+            cur.execute(f"DROP TABLE IF EXISTS {table};")
+            cur.execute("CREATE EXTENSION IF NOT EXISTS vector;")
+            cur.execute(f"CREATE TABLE {table} ({', '.join(cols)});")
+            conn.commit()
+            return True
+        finally:
+            conn.close()
 
     def reader(
         self, spark: SparkSession, connection: dict[str, Any], query: dict[str, Any]
@@ -144,7 +214,14 @@ class PgVectorAdapter(SparkAdapter):
             metadata_columns=query.get("metadata_columns", []),
         )
 
-    def writer(self, df: DataFrame, connection: dict[str, Any], load: dict[str, Any]):
+    def writer(
+        self,
+        df: DataFrame,
+        connection: dict[str, Any],
+        load: dict[str, Any],
+        *,
+        table_bootstrapped: bool = False,
+    ):
         table = load.get("table_name", "items")
         id_c = load.get("id_column", "id")
         vec_c = load.get("vector_column", "embedding")
@@ -154,7 +231,7 @@ class PgVectorAdapter(SparkAdapter):
             format_pgvector_text(F.col("vector")).alias(vec_c),
             *[F.col("metadata").getItem(k).alias(k) for k in meta_keys],
         )
-        mode = "overwrite" if load.get("recreate_table") else "append"
+        mode = _write_mode(load, table_bootstrapped)
         return (
             out.write.format("jdbc")
             .option("url", jdbc_url(connection))
@@ -182,7 +259,18 @@ class PgVectorAdapter(SparkAdapter):
     def write(
         self, df: DataFrame, connection: dict[str, Any], load: dict[str, Any]
     ) -> dict[str, Any]:
-        self.writer(df, connection, load).save()
+        bootstrapped = False
+        if load.get("recreate_table"):
+            dim = load.get("vector_dimension")
+            if dim is None:
+                first = (
+                    df.select(F.size("vector").alias("d"))
+                    .filter("d is not null")
+                    .first()
+                )
+                dim = int(first["d"]) if first else 0
+            bootstrapped = self.ensure_table(connection, load, int(dim))
+        self.writer(df, connection, load, table_bootstrapped=bootstrapped).save()
         return {"table": load.get("table_name", "items"), "mode": "jdbc-append"}
 
     def _jdbc_query(self, spark: SparkSession, connection: dict[str, Any], q: str):
