@@ -134,6 +134,17 @@ class MilvusAdapter(SparkAdapter):
         pk, vec_f, scalars = plan_fields(schema_info)
         output_fields = [pk] + ([vec_f] if vec_f else []) + scalars
         expr = query.get("filter_expr") or ""  # F3 passthrough
+        if query.get("predicates"):
+            # neutral predicates compile fully into the expr language —
+            # the filter always runs server-side (sources/predicates.py)
+            from vectordb_migrator_spark.sources.predicates import to_milvus_expr
+
+            pk_is_int = any(
+                f_.get("is_primary") and f_.get("type") in _INT_TYPES
+                for f_ in schema_info.get("fields", [])
+            )
+            pexpr = to_milvus_expr(query["predicates"], pk=pk, pk_is_int=pk_is_int)
+            expr = f"({expr}) and ({pexpr})" if expr else pexpr
         page = int(query.get("batch_size", 1_000))
 
         # Partition planning: each shard queries a disjoint PK residue

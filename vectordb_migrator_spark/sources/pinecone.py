@@ -88,6 +88,12 @@ class PineconeAdapter(SparkAdapter):
                             yield pd.DataFrame(recs)
 
         df = shards.mapInPandas(_scan, schema=CANONICAL_SCHEMA)
+        if query.get("predicates"):
+            # the fetch-by-id read path has no server-side filter —
+            # every neutral predicate evaluates post-scan
+            from vectordb_migrator_spark.sources.predicates import apply_residual
+
+            df = apply_residual(df, query["predicates"])
         return limit_offset(
             df,
             limit=query.get("limit"),

@@ -148,6 +148,18 @@ class QdrantAdapter(SparkAdapter):
     ) -> DataFrame:
         collection = query.get("collection_name", "default_collection")
         flt = query.get("filter")  # Qdrant must/key/match DSL (F2)
+        # neutral predicates → server-side DSL where expressible;
+        # untranslatable ones run post-scan (sources/predicates.py)
+        residual: list[dict[str, Any]] = []
+        if query.get("predicates"):
+            from vectordb_migrator_spark.sources.predicates import (
+                merge_qdrant_filters,
+                split_for_qdrant,
+                to_qdrant_filter,
+            )
+
+            ok, residual = split_for_qdrant(query["predicates"])
+            flt = merge_qdrant_filters(flt, to_qdrant_filter(ok))
         batch = int(query.get("batch_size", 1_000))
         limit = query.get("limit")
         offset = int(query.get("offset", 0))
@@ -227,6 +239,10 @@ class QdrantAdapter(SparkAdapter):
                     close()
 
         df = shards.mapInPandas(_scan, schema=CANONICAL_SCHEMA)
+        if residual:
+            from vectordb_migrator_spark.sources.predicates import apply_residual
+
+            df = apply_residual(df, residual)
         return limit_offset(df, limit=limit, offset=offset, order_by="id")
 
     def ensure_collection(
