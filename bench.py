@@ -51,6 +51,7 @@ HEADLINE = [
     "x4_ivf_topk",
     "x4_hamming_topk",
     "x4_binary_rerank",
+    "x9_embedding_pool",
     "x4_hybrid_rrf",
     "x5_text_quality",
     "x5_fingerprint",

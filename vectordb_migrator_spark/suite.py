@@ -1568,6 +1568,54 @@ def x9_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x9_embedding_pool",
+    """
+    WITH per AS (
+      SELECT label, i,
+             sum(embedding[i]::DECIMAL(25,10)) AS s,
+             count(*) AS n,
+             max(embedding[i]::DOUBLE) AS mx
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY label, i
+    )
+    SELECT label::BIGINT AS label,
+           array_to_string(list(round(s::DOUBLE / n, 6)::DECIMAL(12,6)::VARCHAR
+                                ORDER BY i), ',') AS mean_vec,
+           array_to_string(list(round(mx, 6)::DECIMAL(12,6)::VARCHAR
+                                ORDER BY i), ',') AS max_vec
+    FROM per GROUP BY label ORDER BY label
+    """,
+)
+def x9_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — chunk→document pooling: elementwise mean AND max vectors
+    per group in ONE shuffle (collect_list + codegen zip_with folds).
+    The mean sums through a fixed-scale decimal accumulator, so the
+    result is bit-stable under any partitioning/reduction order — the
+    oracle reproduces it exactly, no ulp tolerance needed (contrast
+    x3_label_centroids' rounded double avg)."""
+    from vectordb_migrator_spark.operators.pooling import pool_vectors
+
+    e = _t(spark, sf_dir, "embeddings")
+    pooled = pool_vectors(
+        e, group_col="label", vec_col="embedding", modes=("mean", "max")
+    )
+
+    def ser(c):
+        return F.array_join(
+            F.transform(
+                c, lambda v: F.round(v, 6).cast("decimal(12,6)").cast("string")
+            ),
+            ",",
+        )
+
+    return pooled.select(
+        F.col("label").cast("long").alias("label"),
+        ser(F.col("mean_vec")).alias("mean_vec"),
+        ser(F.col("max_vec")).alias("max_vec"),
+    ).orderBy("label")
+
+
+@query(
     "udaf_weighted_avg",
     """
     SELECT l_returnflag,
@@ -3162,6 +3210,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- round-3 queries needing first driver signal ---
     "x4_lsh_bucket_topk",  # oracle added round 3 (was no_oracle)
     "x4_binary_rerank",  # new round-3 operator (Hamming → float rerank)
+    "x9_embedding_pool",  # new round-3 operator (chunk→doc pooling)
     # --- round-1 representatives (families green in r01/r02) ---
     "s1_scan_projection",
     "c1_pgvector_roundtrip",
