@@ -31,6 +31,9 @@ HEADLINE = [
     "q4_order_priority",
     "q12_priority_lines",
     "q14_promo_revenue",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
     "q7_volume_shipping",
     "q10_returned_items",
     "q15_top_supplier",

@@ -1749,6 +1749,151 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT sum((l_extendedprice * l_discount)::DECIMAL(18,4))::DOUBLE
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05::DOUBLE AND l_discount <= 0.07::DOUBLE
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side predicate aggregation — every
+    filter pushes into the parquet scan, one global decimal sum, no
+    shuffle beyond the final partial-merge."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    WITH all_nations AS (
+      SELECT extract(year FROM o_orderdate)::BIGINT AS o_year,
+             (l_extendedprice * (1 - l_discount))::DECIMAL(18,4) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <= TIMESTAMP '1997-12-31'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_5' THEN volume
+                          ELSE 0::DECIMAL(18,4) END) / sum(volume),
+                 6)::DOUBLE AS mkt_share
+    FROM all_nations GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the 8-table join tree.
+    Dims (part, supplier, nation x2, region) broadcast; the fact chain
+    lineitem→orders→customer shuffles on its join keys only. Decimal
+    volume sums keep the share ratio order-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                )
+                / F.sum("volume"),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an extra join-time
+    predicate (kept in the join condition, NOT a post-filter — a
+    post-filter would turn the outer join inner and lose 0-order
+    customers), then a two-level count distribution."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 @query("x10_hash_split")  # xxhash64 buckets — not DuckDB-expressible
 def x10_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 — deterministic hash-bucket train/test split (stable under
