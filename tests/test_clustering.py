@@ -109,22 +109,29 @@ def test_kmeans_fit_loop_reads_persisted_projection(spark, monkeypatch):
     frame. Also asserts the cache is released afterwards."""
     import vectordb_migrator_spark.operators.clustering as clustering
 
-    seen_levels = []
+    loop_levels = []
+    final_levels = []
+    real_loop = clustering._assign_via_broadcast
     real_assign = clustering.assign_clusters
 
-    def spy(df, centroids, **kw):
-        seen_levels.append(df.storageLevel.useMemory or df.storageLevel.useDisk)
+    def spy_loop(df, centroids, **kw):
+        loop_levels.append(df.storageLevel.useMemory or df.storageLevel.useDisk)
+        return real_loop(df, centroids, **kw)
+
+    def spy_final(df, centroids, **kw):
+        final_levels.append(df.storageLevel.useMemory or df.storageLevel.useDisk)
         return real_assign(df, centroids, **kw)
 
-    monkeypatch.setattr(clustering, "assign_clusters", spy)
+    monkeypatch.setattr(clustering, "_assign_via_broadcast", spy_loop)
+    monkeypatch.setattr(clustering, "assign_clusters", spy_final)
     pts = [(i, [float(i % 7), float(i % 3)]) for i in range(60)]
     df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
     assigned, _, n_iters = kmeans_fit_ref()(df, k=3, max_iter=5)
-    # one call per iteration over the persisted frame + one final call
-    # over the original input
-    assert len(seen_levels) == n_iters + 1
-    assert all(seen_levels[:-1]), "fit-loop input was not persisted"
-    assert not seen_levels[-1], "final assignment must use the raw input"
+    # one broadcast-assignment per iteration over the persisted frame +
+    # one final literal assignment over the original input
+    assert len(loop_levels) == n_iters
+    assert all(loop_levels), "fit-loop input was not persisted"
+    assert final_levels == [False], "final assignment must use the raw input"
     # plan proof: an assignment over the persisted frame scans the cache
     assert assigned.storageLevel.useMemory is False
 

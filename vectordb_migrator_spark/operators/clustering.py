@@ -64,6 +64,43 @@ def assign_clusters(
     return df.withColumn("cluster", best.getField("cid"))
 
 
+def _assign_via_broadcast(
+    fit_df: DataFrame, centroids: list[list[float]], *, vec_col: str
+) -> DataFrame:
+    """Loop-iteration assignment with centroids injected as DATA (a
+    one-row broadcast cross join), not literals. The generated code is
+    therefore identical every Lloyd iteration — Spark's codegen cache
+    reuses the compiled class instead of paying a Janino compile of the
+    k×dim literal tree per round (the dominant per-iteration cost once
+    the corpus is persisted). Same argmin/tie-break semantics as
+    :func:`assign_clusters`; the k×dim floats ride the broadcast, rows
+    never shuffle."""
+    spark = fit_df.sparkSession
+    cents_df = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        "__cents array<array<double>>",
+    )
+    vec = F.col(vec_col)
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ).alias("dist"),
+                i.alias("cid"),
+            ),
+        )
+    )
+    return (
+        fit_df.crossJoin(F.broadcast(cents_df))
+        .withColumn("cluster", best.getField("cid"))
+        .drop("__cents")
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     *,
@@ -123,7 +160,7 @@ def kmeans_fit(
         n_iters = 0
         for _ in range(max_iter):
             n_iters += 1
-            assigned = assign_clusters(fit_df, centroids, vec_col=vec_col)
+            assigned = _assign_via_broadcast(fit_df, centroids, vec_col=vec_col)
             new_rows = ivf_build_centroids(
                 assigned, cluster_col="cluster", vec_col=vec_col
             ).collect()  # k rows — driver-sized by construction
