@@ -1616,6 +1616,84 @@ def x9_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x9_chunk_feature_pool",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE ceil((len(toks) - 32)::DOUBLE / 24)::INT + 1 END
+               AS n_chunks
+      FROM t
+    ), x AS (
+      SELECT doc_id,
+             unnest([{'chunk_text': array_to_string(
+                        toks[(i-1)*24 + 1 : (i-1)*24 + 32], ' '),
+                      'n_tokens': least(n - (i-1)*24, 32)}
+                     for i in range(1, n_chunks + 1)]) AS ch
+      FROM c
+    ), feats AS (
+      SELECT doc_id,
+             ch.n_tokens::DOUBLE AS f1,
+             length(ch.chunk_text)::DOUBLE AS f2,
+             length(regexp_replace(ch.chunk_text, '[^.,;:!?]', '', 'g'))::DOUBLE
+               AS f3,
+             length(regexp_replace(ch.chunk_text, '[^0-9]', '', 'g'))::DOUBLE
+               AS f4
+      FROM x
+    )
+    SELECT doc_id,
+           array_to_string([
+             round(sum(f1::DECIMAL(25,10))::DOUBLE / count(*), 6)
+               ::DECIMAL(12,6)::VARCHAR,
+             round(sum(f2::DECIMAL(25,10))::DOUBLE / count(*), 6)
+               ::DECIMAL(12,6)::VARCHAR,
+             round(sum(f3::DECIMAL(25,10))::DOUBLE / count(*), 6)
+               ::DECIMAL(12,6)::VARCHAR,
+             round(sum(f4::DECIMAL(25,10))::DOUBLE / count(*), 6)
+               ::DECIMAL(12,6)::VARCHAR
+           ], ',') AS mean_vec
+    FROM feats GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x9_chunk_feature_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — the full chunk pipeline end-to-end: chunk (narrow, no
+    shuffle) → per-chunk feature vector (codegen) → mean-pool back to
+    one vector per document (ONE shuffle, decimal-exact). The shape a
+    real chunk-embed-pool pipeline compiles to, with features standing
+    in for the (stubbed) embedding model."""
+    from vectordb_migrator_spark.operators.chunking import chunk_text
+    from vectordb_migrator_spark.operators.pooling import pool_vectors
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_text(d, chunk_size=32, overlap=8)
+    feats = chunks.select(
+        "doc_id",
+        F.array(
+            F.col("n_tokens").cast("double"),
+            F.length("chunk_text").cast("double"),
+            F.length(F.regexp_replace("chunk_text", r"[^.,;:!?]", "")).cast(
+                "double"
+            ),
+            F.length(F.regexp_replace("chunk_text", r"[^0-9]", "")).cast("double"),
+        ).alias("feat"),
+    )
+    pooled = pool_vectors(feats, group_col="doc_id", vec_col="feat", modes="mean")
+    return pooled.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("mean_vec"),
+                lambda v: F.round(v, 6).cast("decimal(12,6)").cast("string"),
+            ),
+            ",",
+        ).alias("mean_vec"),
+    ).orderBy("doc_id")
+
+
+@query(
     "udaf_weighted_avg",
     """
     SELECT l_returnflag,
