@@ -725,3 +725,125 @@ def test_milvus_write_stats_count_dropped_rows(spark, tmp_path):
     assert out["stats"]["total_rows"] == 3
     assert out["stats"]["rows_with_id"] == 2
     assert out["stats"]["rows_with_vector"] == 1
+
+
+class FakePineconeIndex:
+    """In-memory index: list() yields id pages, fetch() returns vector
+    records, upsert() appends to a file-backed store (executor-side
+    visibility, like the other fakes)."""
+
+    VECTORS = {
+        f"v{i}": {"values": [float(i), 1.0], "metadata": {"tag": f"t{i % 3}"}}
+        for i in range(12)
+    }
+
+    def __init__(self, store):
+        self.store = store
+
+    def list(self, prefix=None, namespace=None, limit=100):
+        ids = sorted(k for k in self.VECTORS if k.startswith(prefix or ""))
+        for i in range(0, len(ids), limit):
+            yield ids[i : i + limit]
+
+    def fetch(self, ids, namespace=None):
+        return {"vectors": {i: dict(self.VECTORS[i]) for i in ids}}
+
+    def upsert(self, vectors, namespace=None):
+        path = f"{self.store}/idx.points.{os.getpid()}.jsonl"
+        with open(path, "a") as f:
+            for v in vectors:
+                f.write(json.dumps(v) + "\n")
+
+    def describe_index_stats(self):
+        return {"total_vector_count": len(self.VECTORS)}
+
+
+class FakePineconeClient:
+    def __init__(self, connection):
+        self.store = connection.get("store_dir", "/tmp/fake_pinecone")
+        self.created = f"{self.store}/indexes.json"
+
+    def Index(self, name):
+        return FakePineconeIndex(self.store)
+
+    def list_indexes(self):
+        if os.path.exists(self.created):
+            return json.load(open(self.created))
+        return []
+
+    def create_index(self, name, dimension, metric):
+        existing = self.list_indexes()
+        json.dump(existing + [name], open(self.created, "w"))
+
+
+def pinecone_factory(connection):
+    return FakePineconeClient(connection)
+
+
+def test_pinecone_read_pages_and_fetches(spark):
+    from vectordb_migrator_spark.sources.pinecone import PineconeAdapter
+
+    a = PineconeAdapter(client_factory=pinecone_factory)
+    df = a.read(spark, {}, {"index_name": "idx", "batch_size": 5})
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 12  # 3 pages of 5/5/2 — paged to exhaustion
+    assert rows["v3"]["vector"] == [3.0, 1.0]
+    assert rows["v3"]["metadata"] == {"tag": "t0"}
+    assert df.schema == CANONICAL_SCHEMA
+
+
+def test_pinecone_prefix_shards_disjoint(spark):
+    from vectordb_migrator_spark.sources.pinecone import PineconeAdapter
+
+    a = PineconeAdapter(client_factory=pinecone_factory)
+    df = a.read(
+        spark, {}, {"index_name": "idx", "id_prefixes": ["v1", "v2"]}
+    )
+    ids = sorted(r["id"] for r in df.collect())
+    # v1 prefix covers v1, v10, v11; v2 covers v2 — disjoint union
+    assert ids == ["v1", "v10", "v11", "v2"]
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_pinecone_residual_predicates(spark):
+    from vectordb_migrator_spark.sources.pinecone import PineconeAdapter
+
+    a = PineconeAdapter(client_factory=pinecone_factory)
+    df = a.read(
+        spark,
+        {},
+        {
+            "index_name": "idx",
+            "predicates": [{"col": "tag", "op": "eq", "value": "t1"}],
+        },
+    )
+    assert sorted(r["id"] for r in df.collect()) == ["v1", "v10", "v4", "v7"]
+
+
+def test_pinecone_write_upsert_and_index_ddl(spark, tmp_path):
+    from vectordb_migrator_spark.sources.pinecone import PineconeAdapter
+
+    conn = {"store_dir": str(tmp_path)}
+    a = PineconeAdapter(client_factory=pinecone_factory)
+    df = spark.createDataFrame(
+        [("a", [0.1, 0.2], {"k": "x"}), ("b", None, {})], CANONICAL_SCHEMA
+    )
+    res = a.write(
+        df, conn,
+        {"index_name": "idx", "create_index": True, "dimension": 2,
+         "batch_size": 1},
+    )
+    assert json.load(open(tmp_path / "indexes.json")) == ["idx"]
+    recs = {}
+    for f in os.listdir(tmp_path):
+        if f.startswith("idx.points"):
+            for line in open(tmp_path / f):
+                p = json.loads(line)
+                recs[p["id"]] = p
+    # canonical vectors are float32 — compare with a float tolerance
+    assert recs["a"]["values"] == pytest.approx([0.1, 0.2])
+    assert recs["a"]["metadata"] == {"k": "x"}
+    assert recs["b"]["values"] == []  # null vector -> empty values
+    assert res["stats"] == {
+        "total_rows": 2, "rows_with_id": 2, "rows_with_vector": 1,
+    }
