@@ -49,6 +49,7 @@ HEADLINE = [
     "x1_dedup_exact_text",
     "x2_ngram_jaccard_pairs",
     "x2_minhash_lsh_pairs",
+    "x2_lsh_near_dup",
     "x3_cosine_topk",
     "x3_knn_join",
     "x4_ivf_topk",

@@ -516,3 +516,34 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def lsh_embedding_near_dup_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup with hyperplane-LSH blocking — the label-free
+    scale path for :func:`embedding_near_dup_pairs`. Rows bucket by
+    their sign-bit signature (pure codegen, no shuffle of its own);
+    the per-bucket self-join then generates candidate pairs inside
+    ~1/2^nbits of the corpus instead of all-pairs. Recall follows the
+    standard LSH trade: pairs split across buckets are missed; stack
+    more plane sets (union of pair frames) to push recall up."""
+    from vectordb_migrator_spark.operators.similarity import (
+        random_hyperplane_signature,
+    )
+
+    bucketed = df.withColumn(
+        "__bucket", random_hyperplane_signature(F.col(vec_col), planes)
+    )
+    return embedding_near_dup_pairs(
+        bucketed,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="__bucket",
+        threshold=threshold,
+    )

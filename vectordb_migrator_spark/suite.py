@@ -836,20 +836,21 @@ def x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_bucket_sql() -> str:
+def _plane_sig_sql(col: str) -> str:
     """Replicate random_hyperplane_signature in DuckDB: the planes are
     deterministic literals, so the sign-bit bucket is exactly
     SQL-expressible (dot >= 0 per plane, MSB-first packing)."""
+    terms = [
+        f"(CASE WHEN list_dot_product({col}, "
+        f"[{', '.join(repr(float(x)) for x in pl)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << (len(_PLANES) - 1 - i)} ELSE 0 END)"
+        for i, pl in enumerate(_PLANES)
+    ]
+    return " + ".join(terms)
 
-    def sig_expr(col: str) -> str:
-        terms = [
-            f"(CASE WHEN list_dot_product({col}, "
-            f"[{', '.join(repr(float(x)) for x in pl)}]::DOUBLE[]) >= 0 "
-            f"THEN {1 << (len(_PLANES) - 1 - i)} ELSE 0 END)"
-            for i, pl in enumerate(_PLANES)
-        ]
-        return " + ".join(terms)
 
+def _lsh_bucket_sql() -> str:
+    sig_expr = _plane_sig_sql
     return f"""
     WITH p AS (SELECT {_PROBE_SQL} AS pv),
     sig AS (
@@ -879,6 +880,37 @@ def x4_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["x4_lsh_bucket_topk"] = _lsh_bucket_sql()
+
+
+@query("x2_lsh_near_dup", None)  # oracle attached below (computed string)
+def x2_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — embedding near-dup with hyperplane-LSH blocking: the
+    label-free scale path (buckets bound the quadratic; candidate
+    pairs only form inside a bucket)."""
+    from vectordb_migrator_spark.operators.dedup import (
+        lsh_embedding_near_dup_pairs,
+    )
+
+    return lsh_embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), _PLANES, threshold=0.25
+    ).orderBy("id_a", "id_b")
+
+
+ORACLES["x2_lsh_near_dup"] = f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS v,
+             {_plane_sig_sql('embedding::DOUBLE[]')} AS sig
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v), 6) AS cos
+    FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) >= 0.25
+    ORDER BY id_a, id_b
+    """
 
 
 # =====================================================================
