@@ -57,6 +57,7 @@ HEADLINE = [
     "x4_binary_rerank",
     "x9_embedding_pool",
     "x9_chunk_feature_pool",
+    "x9_pack_chunks",
     "x4_hybrid_rrf",
     "x5_text_quality",
     "x5_fingerprint",

@@ -60,3 +60,22 @@ def test_int8_roundtrip_error_bound(spark):
     assert r2["qs"]["scale"] == 0.0
     assert r2["qs"]["q"] == [0, 0, 0, 0]
     assert r2["back"] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_pack_chunks_offsets_and_bins(spark):
+    from vectordb_migrator_spark.operators.chunking import pack_chunks
+
+    df = spark.createDataFrame(
+        [("d", 0, 30), ("d", 1, 30), ("d", 2, 30), ("d", 3, 5), ("e", 0, 70)],
+        "doc_id string, chunk_id long, n_tokens long",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["pack_id"], r["pack_offset"])
+        for r in pack_chunks(df, budget=64).collect()
+    }
+    # d: offsets 0,30,60,90 -> bins 0,0,0,1 (chunk at 60 overflows by 26)
+    assert rows[("d", 0)] == (0, 0)
+    assert rows[("d", 1)] == (0, 30)
+    assert rows[("d", 2)] == (0, 60)
+    assert rows[("d", 3)] == (1, 90 - 64)
+    assert rows[("e", 0)] == (0, 0)

@@ -57,3 +57,45 @@ def chunk_text(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    *,
+    budget: int,
+    group_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing: assign consecutive chunks to fixed
+    token-budget bins (``pack_id``) — the step that turns variable-
+    length chunks into training-context-sized batches.
+
+    Semantics: contiguous offset packing. Within each group, chunks in
+    ``order_col`` order fill bins by running token offset — chunk c
+    lands in bin ``floor(offset_before_c / budget)``. This is the
+    standard vectorized packing (one window cumsum, no iterative
+    state); a bin may overflow by at most one chunk, which the trainer
+    truncates. True first-fit would need sequential state and cannot
+    parallelize.
+
+    One shuffle on ``group_col`` (the window partition); at 100 TB
+    packing is shaped exactly like sessionization — partition-local
+    running sums, no second exchange.
+    """
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offset_after = F.sum(tokens_col).over(w)
+    offset_before = offset_after - F.col(tokens_col)
+    return df.withColumns(
+        {
+            "pack_id": F.floor(offset_before / F.lit(budget)).cast("long"),
+            "pack_offset": offset_before.cast("long")
+            - F.floor(offset_before / F.lit(budget)).cast("long") * budget,
+        }
+    )

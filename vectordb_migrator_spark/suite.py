@@ -1726,6 +1726,53 @@ def x9_chunk_feature_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x9_pack_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE ceil((len(toks) - 32)::DOUBLE / 24)::INT + 1 END
+               AS n_chunks
+      FROM t
+    ), x AS (
+      SELECT doc_id,
+             unnest([{'chunk_id': i - 1,
+                      'n_tokens': least(n - (i-1)*24, 32)}
+                     for i in range(1, n_chunks + 1)]) AS ch
+      FROM c
+    ), ch AS (
+      SELECT doc_id, ch.chunk_id::BIGINT AS chunk_id,
+             ch.n_tokens::BIGINT AS n_tokens
+      FROM x
+    ), off AS (
+      SELECT doc_id, chunk_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_id)
+               - n_tokens AS o
+      FROM ch
+    )
+    SELECT doc_id, chunk_id, n_tokens,
+           (o // 64)::BIGINT AS pack_id,
+           (o % 64)::BIGINT AS pack_offset
+    FROM off ORDER BY doc_id, chunk_id
+    """,
+)
+def x9_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — sequence packing: chunks fill fixed 64-token bins by
+    running offset (one window cumsum per doc — sessionization-shaped,
+    single exchange)."""
+    from vectordb_migrator_spark.operators.chunking import chunk_text, pack_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_chunks(chunk_text(d, chunk_size=32, overlap=8), budget=64)
+    return packed.select(
+        "doc_id", "chunk_id", "n_tokens", "pack_id", "pack_offset"
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
     "udaf_weighted_avg",
     """
     SELECT l_returnflag,
