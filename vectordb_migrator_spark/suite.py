@@ -3505,14 +3505,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "outer_join_urgent_counts",
     "udtf_json_props",
     "window_running_total",
-    "window_moving_average",
-    "window_above_customer_avg",
     "timeseries_gap_fill",
     "x7_approx_percentile",
     # --- round-3 queries needing first driver signal ---
     "x4_lsh_bucket_topk",  # oracle added round 3 (was no_oracle)
     "x4_binary_rerank",  # new round-3 operator (Hamming → float rerank)
     "x9_embedding_pool",  # new round-3 operator (chunk→doc pooling)
+    "x9_pack_chunks",  # new round-3 operator (sequence packing)
+    "x2_lsh_near_dup",  # new round-3 operator (LSH-blocked near-dup)
     # --- round-1 representatives (families green in r01/r02) ---
     "s1_scan_projection",
     "c1_pgvector_roundtrip",
