@@ -108,3 +108,52 @@ def test_boilerplate_df_count_is_partial_agg(spark):
     a counter per task, never a collected list)."""
     plan = _plan(spark, "x5_boilerplate_removal")
     assert plan.count("HashAggregate") >= 4  # df count + reassembly, each 2-level
+
+
+def test_binary_rerank_single_scan_take_ordered(spark):
+    """The two-stage rerank reads the corpus ONCE (the shortlist
+    carries the vector as payload through TakeOrderedAndProject) and
+    never adds an exchange."""
+    plan = _plan(spark, "x4_binary_rerank")
+    # nested TakeOrderedAndProject: Hamming shortlist then rerank cut
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert plan.count("FileScan parquet") == 1  # probe resolved driver-side
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pool_vectors_single_exchange(spark):
+    """Mean+max pooling together must cost ONE hash exchange (both
+    folds run over the same collected list), with partial aggregation
+    before it."""
+    import re
+
+    plan = _plan(spark, "x9_embedding_pool")
+    assert len(re.findall(r"Exchange hashpartitioning\(label", plan)) == 1
+
+
+def test_pack_chunks_single_exchange(spark):
+    """Sequence packing = chunk explode (narrow) + ONE window exchange
+    on the group key; no second shuffle for the bin arithmetic."""
+    import re
+
+    plan = _plan(spark, "x9_pack_chunks")
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) == 1
+
+
+def test_q8_dims_broadcast_fact_chain_shuffles(spark):
+    """TPC-H Q8: part/supplier/nation/region broadcast (5 broadcast
+    joins incl. both nation roles); only the fact chain exchanges."""
+    plan = _plan(spark, "q8_market_share")
+    # dims all hash-broadcast (AQE may also broadcast the fact chain at
+    # toy SF — >= 5 covers part/supplier/nation x2/region); the 8-table
+    # tree must never degrade to a cartesian/nested-loop product
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_near_dup_pairs_inside_buckets(spark):
+    """LSH-blocked near-dup must join on the bucket signature — the
+    exchange keys contain the bucket column, bounding the self-join."""
+    plan = _plan(spark, "x2_lsh_near_dup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
