@@ -45,6 +45,7 @@ HEADLINE = [
     "asof_purchase_click",
     "sessionize_events",
     "x8_session_window_batch",
+    "x8_interval_join_batch",
     "timeseries_gap_fill",
     "x1_dedup_exact_text",
     "x2_ngram_jaccard_pairs",

@@ -91,3 +91,53 @@ def test_windowed_counts_batch_equivalence(spark):
         ("2024-01-01T00:00:00", "a"): (2, 3.0),
         ("2024-01-01T01:00:00", "b"): (1, 3.0),
     }
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """The stream-stream interval join, run as an actual streaming
+    query (file sources, availableNow, memory sink), must produce
+    exactly the batch twin's rows — Spark's unified model, asserted."""
+    from datetime import datetime, timedelta
+
+    from vectordb_migrator_spark.streaming.stateful import stream_interval_join
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    purchases = [
+        (100 + i, 1, t0 + timedelta(minutes=10 * i)) for i in range(4)
+    ]
+    clicks = [(200 + i, 1, t0 + timedelta(minutes=7 * i - 5)) for i in range(6)]
+    schema = "event_id long, user_id long, ts timestamp"
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(purchases, schema).write.parquet(lp)
+    spark.createDataFrame(clicks, schema).write.parquet(rp)
+
+    def join(l, r):
+        return stream_interval_join(
+            l, r, lookback="15 minutes", right_prefix="c_"
+        ).select("event_id", "c_event_id")
+
+    batch = {
+        (r["event_id"], r["c_event_id"])
+        for r in join(
+            spark.read.parquet(lp), spark.read.parquet(rp)
+        ).collect()
+    }
+    assert batch  # non-vacuous fixture
+
+    ls = spark.readStream.schema(schema).parquet(lp)
+    rs = spark.readStream.schema(schema).parquet(rp)
+    q = (
+        join(ls, rs)
+        .writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["event_id"], r["c_event_id"])
+        for r in spark.sql("SELECT * FROM ivj").collect()
+    }
+    assert streamed == batch

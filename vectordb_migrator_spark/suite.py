@@ -1773,6 +1773,48 @@ def x9_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x8_interval_join_batch",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS c_ts,
+           c.event_id AS c_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    ORDER BY p.event_id, c_event_id
+    """,
+)
+def x8_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — the stream-stream interval join's batch twin (Spark's
+    unified model: the same operator runs incrementally with
+    watermark-bounded state; runtime exercised in
+    tests/test_streaming.py). Each purchase pairs with ALL clicks in
+    its 30-minute lookback — attribution, not as-of."""
+    from vectordb_migrator_spark.streaming.stateful import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = stream_interval_join(
+        purchases, clicks, lookback="30 minutes", right_prefix="c_"
+    )
+    return j.select(
+        "event_id",
+        F.col("l.user_id").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("c_ts"),
+        "c_event_id",
+    ).orderBy("event_id", "c_event_id")
+
+
+@query(
     "udaf_weighted_avg",
     """
     SELECT l_returnflag,
