@@ -230,3 +230,60 @@ def test_sessionize_matches_python_reference(spark, events):
                 n += 1
         expect_sessions[k] = n
     assert got_sessions == expect_sessions
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=50),
+)
+def test_pack_chunks_matches_python_reference(spark, token_counts, budget):
+    """Offset-bin packing vs the obvious sequential Python fold."""
+    from vectordb_migrator_spark.operators.chunking import pack_chunks
+
+    rows = [("d", i, n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, chunk_id long, n_tokens long"
+    )
+    got = {
+        r["chunk_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_chunks(df, budget=budget).collect()
+    }
+    off = 0
+    for i, n in enumerate(token_counts):
+        assert got[i] == (off // budget, off % budget)
+        off += n
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=3, max_size=3,
+        ),
+        min_size=1, max_size=20,
+    )
+)
+def test_pool_vectors_matches_python_reference(spark, vecs):
+    """Decimal-accumulated mean and greatest-fold max vs plain Python
+    (tolerance only for the final double divide)."""
+    import pytest as _pytest
+
+    from vectordb_migrator_spark.operators.pooling import pool_vectors
+
+    df = spark.createDataFrame(
+        [("g", [float(x) for x in v]) for v in vecs],
+        "doc_id string, emb array<double>",
+    )
+    row = pool_vectors(
+        df, group_col="doc_id", vec_col="emb", modes=("mean", "max")
+    ).collect()[0]
+    n = len(vecs)
+    want_mean = [sum(v[j] for v in vecs) / n for j in range(3)]
+    want_max = [max(v[j] for v in vecs) for j in range(3)]
+    assert row["mean_vec"] == _pytest.approx(want_mean, rel=1e-9, abs=1e-9)
+    assert row["max_vec"] == want_max
