@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from pyspark.sql.types import LongType
 
 from vectordb_migrator_spark.canonical import (
     coerce_id,
@@ -76,12 +77,17 @@ ORACLES: dict[str, str] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # the events parquet uses TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects; read ns-as-long and truncate to
-        # micros (exactly DuckDB's ns→µs truncation).
+        # ts representation varies by generator version: TIMESTAMP(NANOS)
+        # (which Spark's vectorized reader only accepts as long) vs plain
+        # TIMESTAMP. Normalize both to session-zone micros — under the
+        # UTC session this is exactly DuckDB's value.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
