@@ -1,0 +1,139 @@
+"""Shared file-backed fake backend clients.
+
+Executor python workers are separate processes, so these fakes persist
+state to a shared ``store_dir`` — the only honest way to observe a
+distributed ``foreachPartition``/DataSource write. They live in their
+own importable module (tests/ is on the executors' PYTHONPATH, see
+conftest.py) so both pickled closures AND the Python DataSource API's
+import-string ``client_factory`` option can reach them from workers.
+
+The scroll/upsert surface mirrors the reference's mocked qdrant client
+(``/root/reference/tests/test_qdrant_adapter.py``), with server-side
+evaluation of the must/must_not DSL subset the predicate translator
+emits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from types import SimpleNamespace
+
+
+class FakeQdrantClient:
+    """File-backed fake qdrant: scroll pages a fixed point set; upsert
+    appends JSONL under store_dir."""
+
+    POINTS = [
+        SimpleNamespace(id=i, vector=[float(i), 0.0], payload={"name": f"p{i}"})
+        for i in range(25)
+    ]
+
+    def __init__(self, connection):
+        self.store = connection.get("store_dir", "/tmp/fake_qdrant")
+        self.record = connection.get("record_scrolls")
+
+    def _cfg(self, name):
+        return f"{self.store}/{name}.config.json"
+
+    @staticmethod
+    def _filtered(pts, flt):
+        """Evaluate the must/must_not DSL subset the predicate
+        translator emits — the live server's semantics."""
+        if not flt:
+            return pts
+        for cond in flt.get("must", []):
+            if "has_id" in cond:
+                ids = set(cond["has_id"])
+                pts = [p for p in pts if p.id in ids]
+            elif "value" in cond.get("match", {}):
+                k, v = cond["key"], cond["match"]["value"]
+                pts = [p for p in pts if p.payload.get(k) == v]
+            elif "any" in cond.get("match", {}):
+                k, vs = cond["key"], cond["match"]["any"]
+                pts = [p for p in pts if p.payload.get(k) in vs]
+        for cond in flt.get("must_not", []):
+            if "value" in cond.get("match", {}):
+                k, v = cond["key"], cond["match"]["value"]
+                pts = [p for p in pts if p.payload.get(k) != v]
+        return pts
+
+    def scroll(self, collection_name, limit, offset=None, with_payload=True,
+               with_vectors=True, scroll_filter=None, shard_key_selector=None):
+        if self.record:
+            with open(f"{self.store}/scrolls.{os.getpid()}.jsonl", "a") as f:
+                f.write(json.dumps({"scroll_filter": scroll_filter,
+                                    "with_vectors": with_vectors}) + "\n")
+        pts = self._filtered(self.POINTS, scroll_filter)
+        if shard_key_selector is not None:
+            # custom-sharded collection: shard key = id % 2
+            pts = [p for p in pts if p.id % 2 == shard_key_selector]
+        start = offset or 0
+        page = pts[start : start + limit]
+        nxt = start + len(page)
+        return page, (nxt if nxt < len(pts) else None)
+
+    def count(self, collection_name, count_filter=None, exact=True):
+        return SimpleNamespace(
+            count=len(self._filtered(self.POINTS, count_filter))
+        )
+
+    def collection_exists(self, name):
+        return os.path.exists(self._cfg(name))
+
+    def delete_collection(self, name):
+        os.remove(self._cfg(name))
+        for f in os.listdir(self.store):
+            if f.startswith(f"{name}.points"):
+                os.remove(f"{self.store}/{f}")
+
+    def create_collection(self, collection_name, vectors_config):
+        with open(self._cfg(collection_name), "w") as f:
+            json.dump(vectors_config, f)
+
+    def upsert(self, collection_name, points, shard_key_selector=None):
+        path = f"{self.store}/{collection_name}.points.{os.getpid()}.jsonl"
+        with open(path, "a") as f:
+            for p in points:
+                rec = dict(p)
+                if shard_key_selector is not None:
+                    rec["shard_key"] = shard_key_selector
+                f.write(json.dumps(rec) + "\n")
+
+    def get_collection(self, name):
+        with open(self._cfg(name)) as f:
+            return json.load(f)
+
+
+def qdrant_factory(connection):
+    return FakeQdrantClient(connection)
+
+
+class FakeQdrantSparseClient(FakeQdrantClient):
+    """Variant where one point lacks the ``name`` payload key — for
+    asserting Spark-vs-Qdrant NULL semantics on `!=` pushdown (Qdrant
+    must_not keeps missing-key points; Spark three-valued logic drops
+    them)."""
+
+    POINTS = [
+        SimpleNamespace(id=0, vector=[0.0, 0.0], payload={}),  # no name
+    ] + [
+        SimpleNamespace(id=i, vector=[float(i), 0.0], payload={"name": f"p{i}"})
+        for i in range(1, 6)
+    ]
+
+
+def qdrant_sparse_factory(connection):
+    return FakeQdrantSparseClient(connection)
+
+
+def read_upserted_points(store_dir, name):
+    """All points upserted into ``name`` across every worker process,
+    keyed by id (latest write wins — upsert semantics)."""
+    out = {}
+    for f in sorted(os.listdir(store_dir)):
+        if f.startswith(f"{name}.points"):
+            for line in open(f"{store_dir}/{f}"):
+                p = json.loads(line)
+                out[p["id"]] = p
+    return out

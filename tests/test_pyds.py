@@ -1,0 +1,244 @@
+"""Spark 4 Python DataSource API connector tests.
+
+The reference asserts mocked-client kwargs (``tests/test_qdrant_adapter
+.py:106-113``); here the same style covers Spark's native planner
+hooks: pushFilters translation → recorded server-side scroll_filter,
+partition planning → physical scan width, DataSourceWriter → the
+file-backed fake's upsert log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fake_backends import FakeQdrantClient, read_upserted_points
+
+from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA
+
+FACTORY = "fake_backends:qdrant_factory"
+SPARSE_FACTORY = "fake_backends:qdrant_sparse_factory"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from vectordb_migrator_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
+
+
+def _reader(spark, factory=FACTORY, **opts):
+    r = spark.read.format("qdrant").option("client_factory", factory)
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r
+
+
+def _recorded_scrolls(store_dir):
+    out = []
+    for f in sorted(os.listdir(store_dir)):
+        if f.startswith("scrolls."):
+            out += [json.loads(x) for x in open(os.path.join(store_dir, f))]
+    return out
+
+
+def test_native_read_full_scan(spark):
+    """format("qdrant") pages the cursor to exhaustion — no reference
+    truncation (adapters/qdrant.py:99-106)."""
+    df = _reader(spark, collection_name="c", batch_size=10).load()
+    assert df.schema == CANONICAL_SCHEMA
+    rows = df.collect()
+    assert sorted(int(r["id"]) for r in rows) == list(range(25))
+
+
+def test_metadata_columns_schema(spark):
+    """metadata_columns exposes payload keys as top-level string
+    columns (SURVEY §1.4 typed variant) — the shape pushFilters can
+    actually see."""
+    df = _reader(spark, collection_name="c", metadata_columns="name").load()
+    assert df.columns == ["id", "vector", "name"]
+    assert df.filter(F.col("name") == "p3").count() == 1
+
+
+def test_filter_pushdown_reaches_server(spark, tmp_path):
+    """An IN filter over a payload column is translated to match/any
+    and arrives server-side as scroll_filter — native Catalyst
+    pushdown through the Python DataSource."""
+    df = (
+        _reader(
+            spark,
+            collection_name="c",
+            metadata_columns="name",
+            store_dir=str(tmp_path),
+            record_scrolls="true",
+        )
+        .load()
+        .filter(F.col("name").isin("p3", "p7"))
+    )
+    assert sorted(r["id"] for r in df.collect()) == ["3", "7"]
+    rec = _recorded_scrolls(tmp_path)
+    assert rec, "scan never reached the fake server"
+    assert rec[0]["scroll_filter"] == {
+        "must": [{"key": "name", "match": {"any": ["p3", "p7"]}}]
+    }
+
+
+def test_id_equality_pushdown_uses_has_id(spark, tmp_path):
+    """id = '5' becomes has_id [5] (C2 digit-string coercion mirrored:
+    adapters/qdrant.py:219-222)."""
+    df = (
+        _reader(
+            spark,
+            collection_name="c",
+            store_dir=str(tmp_path),
+            record_scrolls="true",
+        )
+        .load()
+        .filter(F.col("id") == "5")
+    )
+    assert [r["id"] for r in df.collect()] == ["5"]
+    rec = _recorded_scrolls(tmp_path)
+    assert rec[0]["scroll_filter"] == {"must": [{"has_id": [5]}]}
+
+
+def test_ne_is_partially_pushed(spark, tmp_path):
+    """`name != 'p1'` prunes server-side via must_not BUT is returned
+    to Spark too: the point with NO name key passes Qdrant's must_not
+    yet must be dropped by Spark's three-valued logic."""
+    df = (
+        _reader(
+            spark,
+            factory=SPARSE_FACTORY,
+            collection_name="c",
+            metadata_columns="name",
+            store_dir=str(tmp_path),
+            record_scrolls="true",
+        )
+        .load()
+        .filter(F.col("name") != "p1")
+    )
+    # ids 2..5 — p1 pruned server-side, id 0 (no name) dropped by Spark
+    assert sorted(r["id"] for r in df.collect()) == ["2", "3", "4", "5"]
+    rec = _recorded_scrolls(tmp_path)
+    assert rec[0]["scroll_filter"] == {
+        "must_not": [{"key": "name", "match": {"value": "p1"}}]
+    }
+
+
+def test_lexicographic_range_stays_spark_side(spark, tmp_path):
+    """String ranges are lexicographic in Spark but numeric in Qdrant —
+    never pushed; the scan stays unfiltered and Spark evaluates."""
+    df = (
+        _reader(
+            spark,
+            collection_name="c",
+            metadata_columns="name",
+            store_dir=str(tmp_path),
+            record_scrolls="true",
+        )
+        .load()
+        .filter(F.col("name") > "p5")
+    )
+    expected = sorted(
+        p.payload["name"] for p in FakeQdrantClient.POINTS if p.payload["name"] > "p5"
+    )
+    assert sorted(r["name"] for r in df.collect()) == expected
+    assert _recorded_scrolls(tmp_path)[0]["scroll_filter"] is None
+
+
+def test_segmented_partition_planning(spark):
+    """num_partitions drives the driver-side cursor segmentation into
+    real InputPartitions — the physical scan fans out."""
+    df = _reader(
+        spark, collection_name="c", batch_size=5, num_partitions=4
+    ).load()
+    assert df.rdd.getNumPartitions() == 4  # segments of 7/7/7/4
+    assert sorted(int(r["id"]) for r in df.collect()) == list(range(25))
+
+
+def test_shard_key_partitions(spark):
+    df = _reader(
+        spark, collection_name="c", shard_keys=json.dumps([0, 1])
+    ).load()
+    assert df.rdd.getNumPartitions() == 2
+    assert sorted(int(r["id"]) for r in df.collect()) == list(range(25))
+
+
+def test_pushdown_composes_with_segment_planning(spark, tmp_path):
+    """Pushed filters apply to the planner's count/segmentation pre-pass
+    too, so segment budgets reflect the filtered corpus."""
+    df = (
+        _reader(
+            spark,
+            collection_name="c",
+            num_partitions=2,
+            store_dir=str(tmp_path),
+            record_scrolls="true",
+        )
+        .load()
+        .filter(F.col("id").isin("1", "2", "3", "10"))
+    )
+    assert sorted(int(r["id"]) for r in df.collect()) == [1, 2, 3, 10]
+    # every scroll (planning pre-pass AND scan) carried the filter
+    assert all(
+        r["scroll_filter"] == {"must": [{"has_id": [1, 2, 3, 10]}]}
+        for r in _recorded_scrolls(tmp_path)
+    )
+
+
+def test_write_append_creates_collection(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1", [0.1, 0.2], {"k": "v"}), ("x9", [0.3, 0.4], {})],
+        CANONICAL_SCHEMA,
+    )
+    (
+        df.write.format("qdrant")
+        .mode("append")
+        .option("client_factory", FACTORY)
+        .option("store_dir", str(tmp_path))
+        .option("collection_name", "tgt")
+        .option("vector_dimension", "2")
+        .option("distance", "cosine")
+        .option("batch_size", "1")
+        .save()
+    )
+    cfg = FakeQdrantClient({"store_dir": str(tmp_path)}).get_collection("tgt")
+    assert cfg["size"] == 2 and cfg["distance"] == "Cosine"
+    points = read_upserted_points(str(tmp_path), "tgt")
+    assert set(points) == {1, "x9"}  # C2: digit-string id → int
+    assert points[1]["payload"] == {"k": "v"}
+
+
+def test_write_overwrite_recreates(spark, tmp_path):
+    store = str(tmp_path)
+    old = FakeQdrantClient({"store_dir": store})
+    old.create_collection("tgt", {"size": 99})
+    old.upsert("tgt", [{"id": 9, "vector": [0.0], "payload": {}}])
+    df = spark.createDataFrame([("1", [0.5], {})], CANONICAL_SCHEMA)
+    (
+        df.write.format("qdrant")
+        .mode("overwrite")
+        .option("client_factory", FACTORY)
+        .option("store_dir", store)
+        .option("collection_name", "tgt")
+        .option("vector_dimension", "1")
+        .save()
+    )
+    assert FakeQdrantClient({"store_dir": store}).get_collection("tgt")["size"] == 1
+    assert 9 not in read_upserted_points(store, "tgt")
+
+
+def test_write_new_collection_requires_dimension(spark, tmp_path):
+    df = spark.createDataFrame([("1", [0.5], {})], CANONICAL_SCHEMA)
+    with pytest.raises(Exception, match="vector_dimension"):
+        (
+            df.write.format("qdrant")
+            .mode("append")
+            .option("client_factory", FACTORY)
+            .option("store_dir", str(tmp_path))
+            .option("collection_name", "fresh")
+            .save()
+        )

@@ -23,106 +23,18 @@ from vectordb_migrator_spark.sources.pgvector import (
 from vectordb_migrator_spark.sources.qdrant import QdrantAdapter
 
 # ---------------------------------------------------------------- fakes
-# Writes happen inside executor python workers (separate processes), so
-# the fake clients persist to a shared directory (connection["store_dir"])
-# — the only honest way to observe a distributed foreachPartition write.
+# Shared file-backed fakes live in tests/fake_backends.py (importable by
+# executor workers AND by the Python DataSource API's import-string
+# client_factory option); write observation reads their store_dir.
 import json
 import os
 import re
 
-
-class FakeQdrantClient:
-    """File-backed fake qdrant: scroll pages a fixed point set; upsert
-    appends JSONL under store_dir."""
-
-    POINTS = [
-        SimpleNamespace(id=i, vector=[float(i), 0.0], payload={"name": f"p{i}"})
-        for i in range(25)
-    ]
-
-    def __init__(self, connection):
-        self.store = connection.get("store_dir", "/tmp/fake_qdrant")
-        self.record = connection.get("record_scrolls")
-
-    def _cfg(self, name):
-        return f"{self.store}/{name}.config.json"
-
-    @staticmethod
-    def _filtered(pts, flt):
-        """Evaluate the must/must_not DSL subset the predicate
-        translator emits — the live server's semantics."""
-        if not flt:
-            return pts
-        for cond in flt.get("must", []):
-            if "has_id" in cond:
-                ids = set(cond["has_id"])
-                pts = [p for p in pts if p.id in ids]
-            elif "value" in cond.get("match", {}):
-                k, v = cond["key"], cond["match"]["value"]
-                pts = [p for p in pts if p.payload.get(k) == v]
-            elif "any" in cond.get("match", {}):
-                k, vs = cond["key"], cond["match"]["any"]
-                pts = [p for p in pts if p.payload.get(k) in vs]
-        for cond in flt.get("must_not", []):
-            if "value" in cond.get("match", {}):
-                k, v = cond["key"], cond["match"]["value"]
-                pts = [p for p in pts if p.payload.get(k) != v]
-        return pts
-
-    def scroll(self, collection_name, limit, offset=None, with_payload=True,
-               with_vectors=True, scroll_filter=None, shard_key_selector=None):
-        if self.record:
-            with open(f"{self.store}/scrolls.{os.getpid()}.jsonl", "a") as f:
-                f.write(json.dumps({"scroll_filter": scroll_filter,
-                                    "with_vectors": with_vectors}) + "\n")
-        pts = self._filtered(self.POINTS, scroll_filter)
-        if shard_key_selector is not None:
-            # custom-sharded collection: shard key = id % 2
-            pts = [p for p in pts if p.id % 2 == shard_key_selector]
-        start = offset or 0
-        page = pts[start : start + limit]
-        nxt = start + len(page)
-        return page, (nxt if nxt < len(pts) else None)
-
-    def count(self, collection_name, count_filter=None, exact=True):
-        return SimpleNamespace(count=len(self.POINTS))
-
-    def collection_exists(self, name):
-        return os.path.exists(self._cfg(name))
-
-    def delete_collection(self, name):
-        os.remove(self._cfg(name))
-        for f in os.listdir(self.store):
-            if f.startswith(f"{name}.points"):
-                os.remove(f"{self.store}/{f}")
-
-    def create_collection(self, collection_name, vectors_config):
-        with open(self._cfg(collection_name), "w") as f:
-            json.dump(vectors_config, f)
-
-    def upsert(self, collection_name, points):
-        path = f"{self.store}/{collection_name}.points.{os.getpid()}.jsonl"
-        with open(path, "a") as f:
-            for p in points:
-                f.write(json.dumps(p) + "\n")
-
-    def get_collection(self, name):
-        with open(self._cfg(name)) as f:
-            return json.load(f)
-
-
-def qdrant_factory(connection):
-    return FakeQdrantClient(connection)
-
-
-def _read_points(store_dir, name):
-    out = {}
-    for f in sorted(os.listdir(store_dir)):
-        if f.startswith(f"{name}.points"):
-            for line in open(f"{store_dir}/{f}"):
-                p = json.loads(line)
-                out[p["id"]] = p
-    return out
+from fake_backends import (  # noqa: E402
+    FakeQdrantClient,
+    qdrant_factory,
+    read_upserted_points as _read_points,
+)
 
 
 def test_qdrant_read_loops_cursor(spark):

@@ -1,0 +1,402 @@
+"""Spark 4 Python DataSource API surface for the Qdrant connector.
+
+``spark.read.format("qdrant")`` / ``df.write.format("qdrant")`` — the
+same scan/upsert semantics as :class:`~vectordb_migrator_spark.sources
+.qdrant.QdrantAdapter` (reference: ``adapters/qdrant.py``), but wired
+into Spark's own planner hooks instead of a pre-built DataFrame:
+
+- **Filter pushdown is native Catalyst.** ``DataSourceReader
+  .pushFilters`` receives the query's conjunctive ``Filter`` list and
+  translates the expressible subset through ``sources/predicates.py``
+  into Qdrant's must/must_not DSL, so ``df.filter(col("category") ==
+  "news")`` composed over a connector scan runs server-side — closing
+  SURVEY §4 custom-work #1 at the optimizer layer rather than via
+  config. Untranslatable filters are returned to Spark and evaluated
+  post-scan (always correct, merely less pruned).
+- **Partition planning** reuses the adapter's three tiers: custom
+  ``shard_keys`` → one input partition per shard; ``num_partitions`` /
+  ``segment_size`` → driver-side id-only cursor segmentation; else a
+  single exhaustive cursor loop (complete, unlike the reference's
+  truncating single scroll call, ``adapters/qdrant.py:99-106``).
+- **Write path** is a ``DataSourceWriter``: per-task batched idempotent
+  upserts (safe under Spark task retries), with driver-side collection
+  DDL before any task launches. ``mode("overwrite")`` maps to the
+  reference's ``recreate_collection`` branch (``adapters/qdrant.py:
+  188-212``).
+
+Semantics note on ``!=`` pushdown: Qdrant's ``must_not match`` keeps
+points that lack the key entirely, while Spark's three-valued logic
+drops NULLs. ``ne`` filters are therefore *partially* pushed — sent
+server-side to cut wire traffic AND returned from ``pushFilters`` so
+Spark re-evaluates them (the API explicitly allows partial pushdown).
+``eq``/``in`` agree in both systems (missing key matches nothing) and
+are fully consumed.
+
+Schema: canonical ``id string, vector array<float>, metadata
+map<string,string>`` by default. With ``metadata_columns`` (CSV
+option) the payload is exposed pgvector-style as one top-level string
+column per key (SURVEY §1.4's "typed variant") — which is what makes
+payload predicates visible to ``pushFilters`` at all: Spark only
+pushes filters on top-level columns, never through ``metadata[key]``
+item lookups.
+
+``qdrant-client`` is not installed in this container, so the client is
+built via the ``client_factory`` option — an importable
+``"module:attr"`` string resolved lazily on driver (planning) and
+executors (scan/write) alike; unit tests inject the file-backed fake
+from ``tests/fake_backends.py``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Iterable, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType
+
+from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA
+from vectordb_migrator_spark.sources.predicates import (
+    merge_qdrant_filters,
+    split_for_qdrant,
+    to_qdrant_filter,
+)
+from vectordb_migrator_spark.sources.qdrant import (
+    DISTANCES,
+    _plan_segments,
+    _require_client,
+    _scroll_all,
+)
+
+
+def _resolve_factory(spec: str | None):
+    """``"module:attr"`` → callable(connection) -> client. Resolved
+    lazily so the reader/writer stay picklable and the import happens
+    wherever the call site runs (driver or executor)."""
+    if not spec:
+        return _require_client
+    mod, _, attr = spec.partition(":")
+    import importlib
+
+    fn = getattr(importlib.import_module(mod), attr)
+    if not callable(fn):
+        raise TypeError(f"client_factory {spec!r} is not callable")
+    return fn
+
+
+def _connection(options: dict[str, str]) -> dict[str, Any]:
+    conn: dict[str, Any] = {}
+    if options.get("connection"):
+        conn.update(json.loads(options["connection"]))
+    for k in ("host", "api_key", "store_dir"):
+        if options.get(k):
+            conn[k] = options[k]
+    if options.get("port"):
+        conn["port"] = int(options["port"])
+    if options.get("record_scrolls"):
+        conn["record_scrolls"] = options["record_scrolls"].lower() == "true"
+    return conn
+
+
+_RANGE_FILTERS = {
+    GreaterThan: "gt",
+    GreaterThanOrEqual: "gte",
+    LessThan: "lt",
+    LessThanOrEqual: "lte",
+}
+
+
+def _coerce_id(v: Any) -> Any:
+    # C2 mirror (adapters/qdrant.py:219-222): digit strings → int so
+    # has_id matches integer point ids.
+    return int(v) if isinstance(v, str) and v.isdigit() else v
+
+
+def _filter_to_neutral(f: Filter, cols: set[str]) -> dict[str, Any] | None:
+    """One Spark ``Filter`` → neutral predicate dict, or None when the
+    filter isn't expressible server-side. Declared columns are strings,
+    so range filters compare lexicographically in Spark but numerically
+    in Qdrant — never translated."""
+    child = f.child if isinstance(f, Not) else f
+    attr = getattr(child, "attribute", None)
+    if attr is None or len(attr) != 1 or attr[0] not in cols:
+        return None
+    col = attr[0]
+    if isinstance(f, Not):
+        if isinstance(child, EqualTo) and col != "id":
+            v = child.value
+            return None if v is None else {"col": col, "op": "ne", "value": v}
+        return None
+    if isinstance(f, EqualTo):
+        v = _coerce_id(f.value) if col == "id" else f.value
+        return None if v is None else {"col": col, "op": "eq", "value": v}
+    if isinstance(f, In):
+        vals = [v for v in f.value if v is not None]
+        if not vals:
+            return None
+        if col == "id":
+            vals = [_coerce_id(v) for v in vals]
+        return {"col": col, "op": "in", "value": vals}
+    return None
+
+
+class QdrantScanReader(DataSourceReader):
+    def __init__(self, options: dict[str, str], schema: StructType):
+        self.options = dict(options)
+        self.collection = options.get("collection_name", "default_collection")
+        self.batch = int(options.get("batch_size", 1_000))
+        self.base_filter = (
+            json.loads(options["filter"]) if options.get("filter") else None
+        )
+        self.shard_keys = (
+            json.loads(options["shard_keys"]) if options.get("shard_keys") else None
+        )
+        self.num_partitions = int(options.get("num_partitions", 0))
+        self.segment_size = (
+            int(options["segment_size"]) if options.get("segment_size") else None
+        )
+        self.meta_cols = [f.name for f in schema.fields if f.name not in ("id", "vector")]
+        self.canonical = "metadata" in [f.name for f in schema.fields]
+        self.pushed: list[dict[str, Any]] = []
+
+    # -- planner hooks -------------------------------------------------
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        pushable = set(self.meta_cols) | {"id"}
+        if self.canonical:
+            pushable = {"id"}  # map-typed metadata never surfaces as Filters
+        for f in filters:
+            p = _filter_to_neutral(f, pushable)
+            if p is None or split_for_qdrant([p])[1]:
+                yield f  # unsupported — Spark evaluates post-scan
+                continue
+            self.pushed.append(p)
+            if p["op"] == "ne":
+                # partial push: server-side must_not prunes the wire,
+                # but Qdrant keeps missing-key points where Spark's
+                # three-valued logic drops NULL — Spark must re-check.
+                yield f
+
+    def _effective_filter(self) -> dict[str, Any] | None:
+        return merge_qdrant_filters(self.base_filter, to_qdrant_filter(self.pushed))
+
+    def partitions(self) -> list[InputPartition]:
+        if self.shard_keys:
+            return [
+                InputPartition(json.dumps({"shard_key": k})) for k in self.shard_keys
+            ]
+        if self.num_partitions > 1 or self.segment_size:
+            factory = _resolve_factory(self.options.get("client_factory"))
+            conn = _connection(self.options)
+            flt = self._effective_filter()
+            planner = factory(conn)
+            try:
+                size = self.segment_size
+                if not size:
+                    total = int(
+                        planner.count(
+                            collection_name=self.collection,
+                            count_filter=flt,
+                            exact=True,
+                        ).count
+                    )
+                    size = max(1, -(-total // self.num_partitions))
+                segments = _plan_segments(
+                    planner, self.collection, flt=flt, segment_size=int(size)
+                )
+            finally:
+                close = getattr(planner, "close", None)
+                if close:
+                    close()
+            return [
+                InputPartition(json.dumps({"cursor": off, "budget": cnt}))
+                for off, cnt in segments
+            ]
+        return [InputPartition(json.dumps({}))]
+
+    # -- executor scan -------------------------------------------------
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        spec = json.loads(partition.value)
+        factory = _resolve_factory(self.options.get("client_factory"))
+        client = factory(_connection(self.options))
+        try:
+            records = _scroll_all(
+                client,
+                self.collection,
+                batch=self.batch,
+                flt=self._effective_filter(),
+                max_records=spec.get("budget"),
+                shard_key=spec.get("shard_key"),
+                offset_start=spec.get("cursor"),
+            )
+            if self.canonical:
+                for r in records:
+                    yield r["id"], r["vector"], r["metadata"]
+            else:
+                cols = self.meta_cols
+                for r in records:
+                    meta = r["metadata"]
+                    yield (r["id"], r["vector"], *(meta.get(c) for c in cols))
+        finally:
+            close = getattr(client, "close", None)
+            if close:
+                close()
+
+
+@dataclass
+class QdrantCommit(WriterCommitMessage):
+    rows: int
+    rows_with_id: int
+    rows_with_vector: int
+
+
+class QdrantUpsertWriter(DataSourceWriter):
+    def __init__(self, options: dict[str, str], overwrite: bool):
+        self.options = dict(options)
+        self.collection = options.get("collection_name", "default_collection")
+        self.batch = int(options.get("batch_size", 100))
+        self.shard_key = (
+            json.loads(options["shard_key"]) if options.get("shard_key") else None
+        )
+        # Collection DDL runs HERE — on the driver, before any write
+        # task launches (adapters/qdrant.py:124-212). The JDBC-style
+        # first-row dim sniff isn't possible pre-plan, so creation
+        # requires an explicit vector_dimension option.
+        dim = options.get("vector_dimension")
+        recreate = overwrite or options.get("recreate_collection", "").lower() == "true"
+        factory = _resolve_factory(options.get("client_factory"))
+        client = factory(_connection(self.options))
+        try:
+            exists = client.collection_exists(self.collection)
+            if exists and recreate:
+                client.delete_collection(self.collection)
+                exists = False
+            if not exists:
+                if dim is None:
+                    raise ValueError(
+                        "creating collection "
+                        f"{self.collection!r} needs the vector_dimension option"
+                    )
+                params = {
+                    "size": int(dim),
+                    "distance": DISTANCES.get(
+                        str(options.get("distance", "Cosine")).lower(), "Cosine"
+                    ),
+                    "on_disk": options.get("on_disk", "").lower() == "true",
+                    "hnsw_config": json.loads(options["hnsw_config"])
+                    if options.get("hnsw_config")
+                    else None,
+                    "quantization_config": json.loads(options["quantization_config"])
+                    if options.get("quantization_config")
+                    else None,
+                }
+                client.create_collection(
+                    collection_name=self.collection, vectors_config=params
+                )
+        finally:
+            close = getattr(client, "close", None)
+            if close:
+                close()
+
+    def write(self, iterator: Iterator[Row]) -> QdrantCommit:
+        factory = _resolve_factory(self.options.get("client_factory"))
+        client = factory(_connection(self.options))
+        buf: list[dict[str, Any]] = []
+        n = n_id = n_vec = 0
+
+        def flush() -> None:
+            if buf:
+                kwargs = {}
+                if self.shard_key is not None:
+                    kwargs["shard_key_selector"] = self.shard_key
+                client.upsert(
+                    collection_name=self.collection, points=list(buf), **kwargs
+                )
+                buf.clear()
+
+        try:
+            for row in iterator:
+                rid = row["id"]
+                n += 1
+                n_id += rid is not None
+                n_vec += row["vector"] is not None
+                buf.append(
+                    {
+                        "id": _coerce_id(rid),
+                        "vector": list(row["vector"]) if row["vector"] else None,
+                        "payload": dict(row["metadata"] or {}),
+                    }
+                )
+                if len(buf) >= self.batch:
+                    flush()
+            flush()
+        finally:
+            close = getattr(client, "close", None)
+            if close:
+                close()
+        return QdrantCommit(rows=n, rows_with_id=n_id, rows_with_vector=n_vec)
+
+    def commit(self, messages: list[QdrantCommit]) -> None:  # type: ignore[override]
+        # Upserts are idempotent by id — nothing to finalize; totals
+        # are observable via the messages if a caller wants them.
+        return None
+
+    def abort(self, messages: list[QdrantCommit]) -> None:  # type: ignore[override]
+        # Partial upserts are safe to leave: a retry re-upserts the
+        # same ids (reference semantics, adapters/qdrant.py:224-247).
+        return None
+
+
+class QdrantDataSource(DataSource):
+    """``format("qdrant")`` — register with
+    :func:`register_data_sources`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "qdrant"
+
+    def schema(self) -> StructType | str:
+        meta_cols = self.options.get("metadata_columns")
+        if meta_cols:
+            cols = ", ".join(
+                f"{c.strip()} string" for c in meta_cols.split(",") if c.strip()
+            )
+            return f"id string, vector array<float>, {cols}"
+        return CANONICAL_SCHEMA
+
+    def reader(self, schema: StructType) -> QdrantScanReader:
+        return QdrantScanReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> QdrantUpsertWriter:
+        names = set(schema.fieldNames())
+        missing = {"id", "vector", "metadata"} - names
+        if missing:
+            raise ValueError(
+                f"qdrant write needs canonical columns; missing {sorted(missing)}"
+            )
+        return QdrantUpsertWriter(dict(self.options), overwrite)
+
+
+def register_data_sources(spark) -> None:
+    """Idempotently register every Python DataSource this package
+    provides (call once per session)."""
+    # pushFilters hard-errors when this flag (default false in 4.1)
+    # is off — flip it here so registration is sufficient setup
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(QdrantDataSource)
