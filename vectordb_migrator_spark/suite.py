@@ -3561,19 +3561,19 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_embedding_pool",  # new round-3 operator (chunk→doc pooling)
     "x9_pack_chunks",  # new round-3 operator (sequence packing)
     "x2_lsh_near_dup",  # new round-3 operator (LSH-blocked near-dup)
+    "q6_forecast_revenue",  # round-3 TPC-H shapes
+    "q8_market_share",
+    "q13_customer_distribution",
+    "x9_chunk_feature_pool",  # round-3 end-to-end pipeline query
+    "x8_interval_join_batch",  # round-3 stream-stream interval join twin
+    "window_moving_average",  # round-3 window shapes
+    "window_above_customer_avg",
     # --- round-1 representatives (families green in r01/r02) ---
     "s1_scan_projection",
-    "c1_pgvector_roundtrip",
-    "t1_transform_contract",
     "pipeline_migrate_plan",
     "q1_pricing_summary",
-    "q5_region_revenue",
-    "x1_dedup_exact_text",
     "x2_ngram_jaccard_pairs",
     "x3_cosine_topk",
-    "x5_text_quality",
-    "x6_frame_explode",
-    "x8_session_window_batch",
 ]
 
 
