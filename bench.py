@@ -56,6 +56,7 @@ HEADLINE = [
     "x4_ivf_topk",
     "x4_hamming_topk",
     "x4_binary_rerank",
+    "x4_pq_adc_topk",
     "x9_embedding_pool",
     "x9_chunk_feature_pool",
     "x9_pack_chunks",

@@ -192,3 +192,65 @@ def test_binary_rerank_full_shortlist_equals_exact(spark):
     assert [(r["vec_id"], r["score"]) for r in rerank] == [
         (r["vec_id"], r["score"]) for r in exact
     ]
+
+
+def test_pq_adc_matches_numpy(embeddings, probe):
+    """PQ encode + ADC distance vs a NumPy reimplementation: identical
+    codes and (rounded) distances for the full corpus."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_sampled_codebooks,
+        python_pq_lut,
+    )
+
+    m, kc = 4, 16
+    cbs = pq_sampled_codebooks(embeddings, m=m, k=kc)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float32).astype(np.float64)
+        for r in embeddings.collect()
+    }
+    dim = len(next(iter(vecs.values())))
+    dsub = dim // m
+    cb = np.array(cbs)  # (m, kc, dsub)
+
+    def np_codes(v):
+        return [
+            int(np.argmin(((v[s * dsub : (s + 1) * dsub] - cb[s]) ** 2).sum(axis=1)))
+            for s in range(m)
+        ]
+
+    enc = {r["vec_id"]: list(r["pq_code"])
+           for r in pq_encode(embeddings, cbs).select("vec_id", "pq_code").collect()}
+    assert enc == {vid: np_codes(v) for vid, v in vecs.items()}
+
+    lut = np.array(python_pq_lut(probe, cbs))  # (m, kc)
+    np_dist = {
+        vid: round(float(sum(lut[s][c] for s, c in enumerate(codes))), 6)
+        for vid, codes in enc.items()
+    }
+    top = sorted(np_dist.items(), key=lambda t: (t[1], t[0]))[:10]
+    got = [
+        (r["vec_id"], r["adc_dist"])
+        for r in pq_adc_topk(embeddings, probe, cbs, k=10).collect()
+    ]
+    assert got == top
+
+
+def test_pq_adc_plan_is_single_scan_topk(embeddings, probe):
+    """The ADC query must stay one pruned scan + TakeOrderedAndProject:
+    no shuffle, no join, no Python boundary."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_sampled_codebooks,
+    )
+
+    cbs = pq_sampled_codebooks(embeddings, m=4, k=16)
+    plan = (
+        pq_adc_topk(embeddings, probe, cbs, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -220,6 +220,127 @@ def hamming_topk(
     )
 
 
+def _sq_l2(a, b) -> "F.Column":
+    """Squared L2 distance between two array<double> columns, folded
+    in index order (deterministic summation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_sampled_codebooks(
+    df: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks sampled from the corpus: subspace
+    ``s``'s codewords are the ``s``-th subvectors of the ``k``
+    lowest-id rows. Deterministic and reproducible from the data alone
+    (so an external SQL oracle can rebuild it); a Lloyd-refined
+    codebook from ``clustering.kmeans_fit`` per subspace plugs into the
+    same encode/query path when recall matters more than simplicity.
+    Returns ``codebooks[s][j] = list[dsub floats]`` — driver-sized
+    (m·k·dsub = one vector's worth of floats per codeword)."""
+    rows = (
+        df.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    return [[v[s * dsub : (s + 1) * dsub] for v in vecs] for s in range(m)]
+
+
+def pq_codes(vec_col, codebooks: list[list[list[float]]]):
+    """Per-subspace nearest-codeword indices (0-based, ties to the
+    lowest index) as an ``array<int>`` column — pure codegen: slice +
+    squared-L2 fold against literal codewords + array_position argmin.
+    At 100 TB this column is what you materialize: m bytes/vector
+    instead of 4·dim, and every later query scans codes only."""
+    dsub = len(codebooks[0][0])
+    v = vec_col.cast("array<double>")
+    out = []
+    for s, cb in enumerate(codebooks):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        dists = F.array(*[_sq_l2(sub, probe_literal(cw)) for cw in cb])
+        out.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*out)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Materialize PQ codes next to (or instead of) the float vectors."""
+    return df.withColumn(code_col, pq_codes(F.col(vec_col), codebooks))
+
+
+def python_pq_lut(
+    probe: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """ADC lookup table for one probe: ``lut[s][j]`` = squared L2
+    between the probe's subspace-``s`` slice and codeword ``j``.
+    Driver-side (m·k doubles), folded in index order like ``_sq_l2``."""
+    dsub = len(codebooks[0][0])
+    lut = []
+    for s, cb in enumerate(codebooks):
+        psub = probe[s * dsub : (s + 1) * dsub]
+        row = []
+        for cw in cb:
+            acc = 0.0
+            for x, y in zip(psub, cw):
+                acc += (x - y) * (x - y)
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    probe: list[float],
+    codebooks: list[list[list[float]]],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k via asymmetric distance computation: the
+    probe→codeword distances fold into an m×k LUT on the driver, so the
+    per-row distance is m array lookups + (m-1) adds — no float-vector
+    math in the scan at all. One corpus pass, TakeOrderedAndProject(k),
+    nothing shuffles. Here the corpus is encoded inline (the fixtures
+    carry raw vectors); a production pipeline would ``pq_encode`` once
+    and scan the m-byte codes, a 4·dim/m compression of the read path.
+    """
+    lut = python_pq_lut(probe, codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    dist = None
+    for s, cb in enumerate(codebooks):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        dists = F.array(*[_sq_l2(sub, probe_literal(cw)) for cw in cb])
+        code1 = F.array_position(dists, F.array_min(dists)).cast("int")  # 1-based
+        term = F.element_at(F.array(*[F.lit(x) for x in lut[s]]), code1)
+        dist = term if dist is None else dist + term
+    return (
+        df.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )
+
+
 def binary_rerank_topk(
     df: DataFrame,
     probe: list[float],

@@ -65,6 +65,8 @@ from vectordb_migrator_spark.operators.similarity import (
     ivf_topk,
     knn_join,
     lsh_bucket_topk,
+    pq_adc_topk,
+    pq_sampled_codebooks,
 )
 from vectordb_migrator_spark.operators.relational import asof_join, session_stats
 from vectordb_migrator_spark.operators.transform import apply_transform
@@ -886,6 +888,52 @@ def x4_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["x4_lsh_bucket_topk"] = _lsh_bucket_sql()
+
+
+@query(
+    "x4_pq_adc_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.embedding[t.i]::DOUBLE - c.cv[t.i]) *
+                 (e.embedding[t.i]::DOUBLE - c.cv[t.i])) AS dist
+      FROM embeddings e, range(1, 65) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT (t.i-1) // 16 AS s, c.j,
+             sum((p.pv[t.i] - c.cv[t.i]) * (p.pv[t.i] - c.cv[t.i])) AS pd
+      FROM cb c, p, range(1, 65) t(i)
+      GROUP BY (t.i-1) // 16, c.j
+    )
+    SELECT code.vec_id, round(sum(lut.pd), 6) AS adc_dist
+    FROM code JOIN lut ON lut.s = code.s AND lut.j = code.j
+    GROUP BY code.vec_id
+    ORDER BY adc_dist, code.vec_id LIMIT 10
+    """,
+)
+def x4_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — product-quantization top-k via asymmetric distance
+    computation: m=4 subspaces × 16 sampled codewords (the 16 lowest-id
+    rows' subvectors, so the oracle can rebuild the codebook from the
+    data alone); probe→codeword distances fold into a driver-side LUT
+    and the scan does m lookups + adds per row — no float-vector math.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    codebooks = pq_sampled_codebooks(emb, m=4, k=16)
+    return pq_adc_topk(emb, probe, codebooks, k=10)
 
 
 @query("x2_lsh_near_dup", None)  # oracle attached below (computed string)
@@ -3568,12 +3616,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "x8_interval_join_batch",  # round-3 stream-stream interval join twin
     "window_moving_average",  # round-3 window shapes
     "window_above_customer_avg",
+    "x4_pq_adc_topk",  # round-3 PQ/ADC operator
     # --- round-1 representatives (families green in r01/r02) ---
     "s1_scan_projection",
     "pipeline_migrate_plan",
     "q1_pricing_summary",
     "x2_ngram_jaccard_pairs",
-    "x3_cosine_topk",
 ]
 
 
