@@ -66,6 +66,7 @@ HEADLINE = [
     "x5_bm25_topk",
     "x5_boilerplate_removal",
     "x5_ngram_contamination",
+    "x5_unigram_surprisal",
     "x6_multimodal_features",
     "x6_frame_explode",
     "x9_chunk_documents",

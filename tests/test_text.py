@@ -182,3 +182,51 @@ def test_ngram_contamination(spark):
         train, test, n=3, threshold=0.5, max_df=1
     ).collect()}
     assert capped[10] == 1.0 and capped[12] == 0.0
+
+
+def test_unigram_surprisal_matches_python(spark):
+    """Differential vs a plain-Python unigram LM, with a vocab cap
+    small enough that the OOV bucket is actually exercised."""
+    import math
+    from collections import Counter
+
+    from vectordb_migrator_spark.operators.cleaning import unigram_surprisal
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "zyx qwv zyx zyx"),  # rare tokens → OOV under the cap
+        (4, "the the the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab_size, alpha = 3, 0.5
+
+    toks = {d: t.lower().split() for d, t in docs}
+    counts = Counter(t for ts in toks.values() for t in ts)
+    vocab = dict(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    )
+    n_total = sum(counts.values())
+    denom = n_total + alpha * (len(vocab) + 1)
+    expected = {
+        d: (
+            round(
+                sum(
+                    -math.log2((vocab.get(t, 0) + alpha) / denom) for t in ts
+                )
+                / len(ts),
+                6,
+            ),
+            len(ts),
+        )
+        for d, ts in toks.items()
+    }
+    got = {
+        r["doc_id"]: (r["surprisal"], r["n_tok"])
+        for r in unigram_surprisal(df, vocab_size=vocab_size, alpha=alpha).collect()
+    }
+    assert got == expected
+    # the all-common-token doc is the least surprising; the OOV bucket
+    # is exercised (cat/on/mat/dog/qwv fall outside the top-3 vocab)
+    assert min(got, key=lambda d: got[d][0]) == 4
+    assert got[1][0] > got[2][0] > got[4][0]

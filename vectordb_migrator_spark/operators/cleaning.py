@@ -158,3 +158,57 @@ def ngram_contamination(
             "is_contaminated", F.col("contamination") >= F.lit(threshold)
         )
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram surprisal (-log2 p) under a corpus
+    unigram LM with additive smoothing — the classic cheap stand-in
+    for a perplexity quality filter: natural prose scores near the
+    corpus average, keyboard mash and template spam score high, and
+    degenerate repetition scores low.
+
+    The LM keeps only the top ``vocab_size`` tokens (by corpus count,
+    ties to the lexicographically smaller token); everything else
+    falls into one OOV bucket with count 0 under the same smoothing,
+    so the model size is bounded no matter the corpus.
+
+    Returns ``(id_col, surprisal, n_tok)``, one row per document that
+    has at least one token.
+
+    Scale design: token counts shuffle (token, partial-count) with
+    map-side combine; the vocabulary is a TakeOrdered(vocab_size)
+    broadcast back into a map-side join (never a token-token shuffle);
+    corpus totals ride along as a 1-row broadcast cross join so the
+    operator stays lazy end-to-end. The only other exchange is the
+    per-document partial-avg rollup.
+    """
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    toks = (
+        df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = counts.orderBy(F.desc("c"), "tok").limit(vocab_size)
+    stats = (
+        toks.agg(F.count("*").cast("double").alias("n_total"))
+        .crossJoin(vocab.agg(F.count("*").cast("double").alias("n_vocab")))
+    )
+    denom = F.col("n_total") + F.lit(alpha) * (F.col("n_vocab") + 1)
+    p = (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(alpha)) / denom
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log2(p)), 6).alias("surprisal"),
+            F.count("*").alias("n_tok"),
+        )
+    )

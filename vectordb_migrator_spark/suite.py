@@ -3527,6 +3527,40 @@ def x5_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_unigram_surprisal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM toks WHERE tok <> ''),
+    counts AS (SELECT tok, count(*)::DOUBLE AS c FROM t2 GROUP BY tok),
+    vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 1000),
+    stats AS (SELECT (SELECT count(*) FROM t2)::DOUBLE AS n_total,
+                     (SELECT count(*) FROM vocab)::DOUBLE AS n_vocab)
+    SELECT t.doc_id,
+           round(avg(-log2((coalesce(v.c, 0) + 0.5)
+                           / (s.n_total + 0.5 * (s.n_vocab + 1)))), 6)
+             AS surprisal,
+           count(*)::BIGINT AS n_tok
+    FROM t2 t LEFT JOIN vocab v USING (tok), stats s
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def x5_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — per-document mean unigram surprisal under a corpus LM
+    (top-1000 vocab + smoothed OOV bucket): the cheap perplexity-filter
+    stand-in. Token counts shuffle with map-side combine; the vocab is
+    a TakeOrdered broadcast; corpus totals are a 1-row cross join."""
+    from vectordb_migrator_spark.operators.cleaning import unigram_surprisal
+
+    return unigram_surprisal(
+        _t(spark, sf_dir, "documents"), vocab_size=1000
+    ).orderBy("doc_id")
+
+
+@query(
     "outer_join_urgent_counts",
     """
     SELECT c.c_custkey, coalesce(u.n, 0)::BIGINT AS urgent_orders
@@ -3617,8 +3651,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_moving_average",  # round-3 window shapes
     "window_above_customer_avg",
     "x4_pq_adc_topk",  # round-3 PQ/ADC operator
+    "x5_unigram_surprisal",  # round-3 corpus-LM quality score
     # --- round-1 representatives (families green in r01/r02) ---
-    "s1_scan_projection",
     "pipeline_migrate_plan",
     "q1_pricing_summary",
     "x2_ngram_jaccard_pairs",
