@@ -75,6 +75,8 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "merge_upsert_orders",
+    "scd2_order_status",
+    "anomaly_zscore_events",
     "histogram_event_values",
     "cube_order_status_priority",
 ]

@@ -259,3 +259,35 @@ def test_weighted_sample_topk_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_history_intervals_and_collapse(spark):
+    from vectordb_migrator_spark.operators.relational import scd2_history
+
+    rows = [
+        (1, "A", 10, 100),
+        (1, "A", 20, 101),  # no-op change — collapses into v1
+        (1, "B", 30, 102),
+        (1, "A", 40, 103),  # back to A — NEW version, not merged
+        (2, "X", 15, 104),
+    ]
+    df = spark.createDataFrame(rows, "k long, status string, ts long, seq long")
+    out = scd2_history(
+        df, key_col="k", attr_cols=["status"], ts_col="ts",
+        tiebreak_cols=("seq",),
+    )
+    got = [
+        (r["k"], r["status"], r["valid_from"], r["valid_to"], r["version"],
+         r["is_current"])
+        for r in out.orderBy("k", "version").collect()
+    ]
+    assert got == [
+        (1, "A", 10, 30, 1, False),
+        (1, "B", 30, 40, 2, False),
+        (1, "A", 40, None, 3, True),
+        (2, "X", 15, None, 1, True),
+    ]
+    # lag-detector and lead-closer share one (k, ts, seq) sort order →
+    # exactly one exchange in the whole plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

@@ -50,3 +50,19 @@ def test_approx_percentile_close_to_exact(spark):
         .collect()[0]
     )
     assert abs(approx - exact) <= max(abs(exact) * 0.02, 1e-6)
+
+
+def test_zscore_anomalies_flags_only_outliers(spark):
+    from vectordb_migrator_spark.operators.timeseries import zscore_anomalies
+
+    # key "a": 20 values at ~10 plus one wild outlier; key "b": flat
+    rows = [(i, "a", 10.0 + (i % 3) * 0.1) for i in range(20)]
+    rows.append((99, "a", 1000.0))
+    rows += [(200 + i, "b", 5.0 + (i % 2)) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = zscore_anomalies(df, threshold=3.0)
+    got = [(r["event_id"], r["event_type"]) for r in out.collect()]
+    assert got == [(99, "a")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # stats side broadcast, no skewed window
+    assert "Window" not in plan

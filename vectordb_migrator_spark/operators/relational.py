@@ -327,3 +327,50 @@ def cohort_retention(
             ).alias("retention"),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    *,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log:
+    collapse consecutive rows whose tracked attributes did not change,
+    then emit one validity interval per surviving version —
+    ``valid_from`` (the change's timestamp), ``valid_to`` (the next
+    change's timestamp, NULL while current), ``version`` (1-based per
+    key), ``is_current``.
+
+    The warehouse-standard dimension-tracking operator the reference's
+    latest-wins ``merge_upsert`` cannot express (that keeps only the
+    final state; this keeps the full timeline for as-of joins).
+
+    Scale design: both windows (the lag change-detector and the lead
+    interval-closer) share one ``(key, ts, tiebreak)`` partitioning and
+    sort, so Catalyst plans a single exchange; the no-op-change filter
+    runs between them without re-shuffling. State per key is one row —
+    no skew beyond the key's own change count.
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, *tiebreak_cols)
+    is_first = F.lag(F.col(ts_col)).over(w).isNull()
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    chg = (
+        df.withColumn("__keep", is_first | changed)
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )
+    return (
+        chg.select(
+            key_col,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

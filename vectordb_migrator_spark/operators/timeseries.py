@@ -46,3 +46,37 @@ def resample_fill_hourly(
         grid.join(hourly, ["hour", key_col], "left")
         .withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
     )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score outliers: flag rows whose value sits more than
+    ``threshold`` sample standard deviations from their key's mean.
+
+    Two-pass shape on purpose: a map-side-combinable
+    ``groupBy(key).agg(avg, stddev)`` produces a key-cardinality-sized
+    stats table that broadcasts back into the scan. The tempting
+    single-pass alternative — an unbounded ``Window.partitionBy(key)``
+    — funnels every row of a key through one task, which is exactly the
+    skew that kills low-cardinality keys at 100 TB; two cheap scans
+    with a broadcast join beat one skewed exchange.
+
+    z is rounded before thresholding so the kept set is stable across
+    engines computing the aggregates in different summation orders.
+    """
+    mu, sd = f"__mu_{value_col}", f"__sd_{value_col}"
+    stats = df.groupBy(key_col).agg(
+        F.avg(value_col).alias(mu), F.stddev_samp(value_col).alias(sd)
+    )
+    z = F.round((F.col(value_col) - F.col(mu)) / F.col(sd), 6)
+    return (
+        df.join(F.broadcast(stats), key_col)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= threshold)
+        .drop(mu, sd)
+    )

@@ -2852,6 +2852,88 @@ def window_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_order_status",
+    """
+    WITH ordered AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status,
+             o_orderdate AS ts, o_orderkey AS ok,
+             lag(o_orderstatus) OVER w AS prev_status,
+             lag(o_orderdate) OVER w AS prev_ts
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    chg AS (
+      SELECT * FROM ordered
+      WHERE prev_ts IS NULL OR status IS DISTINCT FROM prev_status
+    )
+    SELECT custkey, status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           row_number() OVER w2 ::BIGINT AS version,
+           (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY custkey ORDER BY ts, ok)
+    ORDER BY custkey, version
+    """,
+)
+def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD: per-customer order-status timeline with validity
+    intervals (consecutive same-status orders collapse into one
+    version). Both windows share one exchange."""
+    from vectordb_migrator_spark.operators.relational import scd2_history
+
+    o = _t(spark, sf_dir, "orders")
+    hist = scd2_history(
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("ts"),
+            "o_orderkey",
+        ),
+        key_col="custkey",
+        attr_cols=["status"],
+        ts_col="ts",
+        tiebreak_cols=("o_orderkey",),
+    )
+    return hist.select(
+        "custkey",
+        "status",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "version",
+        "is_current",
+    ).orderBy("custkey", "version")
+
+
+@query(
+    "anomaly_zscore_events",
+    """
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sd, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs(round((e.value - s.mu) / s.sd, 6)) >= 3
+    ORDER BY e.event_id
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers over the event stream: tiny stats
+    aggregate broadcast back into the scan (two passes, no skewed
+    low-cardinality window partition)."""
+    from vectordb_migrator_spark.operators.timeseries import zscore_anomalies
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return zscore_anomalies(ev, threshold=3.0).select(
+        "event_id", "event_type", "value", "z"
+    ).orderBy("event_id")
+
+
+@query(
     "x5_pii_redaction",
     r"""
     WITH seeded AS (
@@ -3652,10 +3734,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_above_customer_avg",
     "x4_pq_adc_topk",  # round-3 PQ/ADC operator
     "x5_unigram_surprisal",  # round-3 corpus-LM quality score
-    # --- round-1 representatives (families green in r01/r02) ---
-    "pipeline_migrate_plan",
+    "anomaly_zscore_events",  # round-3 per-key outlier detection
+    "scd2_order_status",  # round-3 type-2 SCD history
+    # --- round-1 representative (family green in r01/r02) ---
     "q1_pricing_summary",
-    "x2_ngram_jaccard_pairs",
 ]
 
 
