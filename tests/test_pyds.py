@@ -242,3 +242,45 @@ def test_write_new_collection_requires_dimension(spark, tmp_path):
             .option("collection_name", "fresh")
             .save()
         )
+
+
+def test_stream_writer_incremental_migration(spark, tmp_path):
+    """writeStream.format("qdrant") — file-source microbatches upsert
+    into the collection; a second stream over the same data (fresh
+    checkpoint, simulating a full replay) leaves the same point set:
+    exactly-once-per-id."""
+    from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    rows = [(str(i), [float(i), 0.5], {"b": str(i % 2)}) for i in range(30)]
+    spark.createDataFrame(rows, CANONICAL_SCHEMA).repartition(3).write.parquet(src)
+
+    def run_stream(checkpoint):
+        q = (
+            spark.readStream.schema(CANONICAL_SCHEMA)
+            .parquet(src)
+            .writeStream.format("qdrant")
+            .option("client_factory", FACTORY)
+            .option("store_dir", store)
+            .option("collection_name", "stream_tgt")
+            .option("vector_dimension", "2")
+            .option("batch_size", "7")
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_stream("ckpt1")
+    points = read_upserted_points(store, "stream_tgt")
+    assert set(points) == set(range(30))  # C2 digit-string ids → int
+    assert points[3]["payload"] == {"b": "1"}
+    cfg = FakeQdrantClient({"store_dir": store}).get_collection("stream_tgt")
+    assert cfg["size"] == 2
+
+    run_stream("ckpt2")  # full replay, fresh checkpoint
+    replayed = read_upserted_points(store, "stream_tgt")
+    assert set(replayed) == set(range(30))  # same ids — idempotent

@@ -23,6 +23,11 @@ into Spark's own planner hooks instead of a pre-built DataFrame:
   DDL before any task launches. ``mode("overwrite")`` maps to the
   reference's ``recreate_collection`` branch (``adapters/qdrant.py:
   188-212``).
+- **Streaming sink** (``writeStream.format("qdrant")``): the same
+  upsert core as a ``DataSourceStreamWriter`` — the reference's
+  declared-but-unbuilt incremental migration (``README.md:286``) as a
+  native Structured Streaming sink, exactly-once-per-id because
+  replayed microbatches re-upsert the same ids.
 
 Semantics note on ``!=`` pushdown: Qdrant's ``must_not match`` keeps
 points that lack the key entirely, while Spark's three-valued logic
@@ -56,6 +61,7 @@ from typing import Any, Iterable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -266,7 +272,13 @@ class QdrantCommit(WriterCommitMessage):
     rows_with_vector: int
 
 
-class QdrantUpsertWriter(DataSourceWriter):
+class _QdrantWriteCore:
+    """Shared driver-side DDL + executor-side batched upsert, used by
+    both the batch and the streaming writer (identical semantics: the
+    upsert is idempotent by id, so task retries AND microbatch replays
+    are exactly-once-per-id — the guarantee the reference's declared
+    'incremental migration' future work needs)."""
+
     def __init__(self, options: dict[str, str], overwrite: bool):
         self.options = dict(options)
         self.collection = options.get("collection_name", "default_collection")
@@ -352,6 +364,7 @@ class QdrantUpsertWriter(DataSourceWriter):
                 close()
         return QdrantCommit(rows=n, rows_with_id=n_id, rows_with_vector=n_vec)
 
+class QdrantUpsertWriter(_QdrantWriteCore, DataSourceWriter):
     def commit(self, messages: list[QdrantCommit]) -> None:  # type: ignore[override]
         # Upserts are idempotent by id — nothing to finalize; totals
         # are observable via the messages if a caller wants them.
@@ -360,6 +373,26 @@ class QdrantUpsertWriter(DataSourceWriter):
     def abort(self, messages: list[QdrantCommit]) -> None:  # type: ignore[override]
         # Partial upserts are safe to leave: a retry re-upserts the
         # same ids (reference semantics, adapters/qdrant.py:224-247).
+        return None
+
+
+class QdrantStreamWriter(_QdrantWriteCore, DataSourceStreamWriter):
+    """``writeStream.format("qdrant")`` — the streaming incremental
+    migration the reference lists as future work (``README.md:286``),
+    as a native Structured Streaming sink. Each microbatch's tasks
+    run the same batched upsert as the batch writer; a replayed batch
+    re-upserts the same ids, so the sink is exactly-once-per-id
+    without any commit-log bookkeeping. Collection DDL runs once on
+    the driver when the stream starts."""
+
+    def commit(
+        self, messages: list[QdrantCommit | None], batchId: int
+    ) -> None:  # type: ignore[override]
+        return None
+
+    def abort(
+        self, messages: list[QdrantCommit | None], batchId: int
+    ) -> None:  # type: ignore[override]
         return None
 
 
@@ -383,14 +416,21 @@ class QdrantDataSource(DataSource):
     def reader(self, schema: StructType) -> QdrantScanReader:
         return QdrantScanReader(dict(self.options), schema)
 
-    def writer(self, schema: StructType, overwrite: bool) -> QdrantUpsertWriter:
-        names = set(schema.fieldNames())
-        missing = {"id", "vector", "metadata"} - names
+    @staticmethod
+    def _check_write_schema(schema: StructType) -> None:
+        missing = {"id", "vector", "metadata"} - set(schema.fieldNames())
         if missing:
             raise ValueError(
                 f"qdrant write needs canonical columns; missing {sorted(missing)}"
             )
+
+    def writer(self, schema: StructType, overwrite: bool) -> QdrantUpsertWriter:
+        self._check_write_schema(schema)
         return QdrantUpsertWriter(dict(self.options), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> QdrantStreamWriter:
+        self._check_write_schema(schema)
+        return QdrantStreamWriter(dict(self.options), overwrite)
 
 
 def register_data_sources(spark) -> None:
