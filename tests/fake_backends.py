@@ -137,3 +137,111 @@ def read_upserted_points(store_dir, name):
                 p = json.loads(line)
                 out[p["id"]] = p
     return out
+
+
+_MILVUS_DS_SCHEMA = {
+    "fields": [
+        {"name": "pk", "is_primary": True, "type": "INT64"},
+        {"name": "vec", "type": "FLOAT_VECTOR"},
+        {"name": "meta_a", "type": "VARCHAR"},
+        {"name": "meta_b", "type": "INT64"},
+    ]
+}
+
+
+class FakeMilvusServer:
+    """Milvus fake with a real conjunct evaluator (the regex fake in
+    test_sources.py only understands a fixed expr set). Evaluates the
+    exprs the predicate translator and the shard planner emit:
+    ``field op literal``, ``field in [..]``, and the non-negative
+    modulo shard conjunct — None field values fail every comparison
+    (server semantics: a null never matches)."""
+
+    DATA = [
+        {
+            "pk": i,
+            "vec": [float(i), 0.5],
+            "meta_a": f"a{i % 3}",
+            "meta_b": i * 10 if i % 2 == 0 else None,
+        }
+        for i in range(12)
+    ]
+
+    def __init__(self, connection):
+        self.store = connection.get("store_dir", "/tmp/fake_milvus_ds")
+        self.record = connection.get("record_queries")
+
+    def has_collection(self, name):
+        return name == "col"
+
+    def describe_collection(self, name):
+        return _MILVUS_DS_SCHEMA
+
+    @staticmethod
+    def _literal(tok):
+        tok = tok.strip()
+        if tok.startswith('"') and tok.endswith('"'):
+            return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        return float(tok) if "." in tok else int(tok)
+
+    @classmethod
+    def _eval_conjunct(cls, row, part):
+        import math
+        import re as _re
+
+        part = part.strip()
+        while part.startswith("(") and part.endswith(")"):
+            part = part[1:-1].strip()
+        m = _re.match(r"^\(\(pk % (\d+)\) \+ (\d+)\) % (\d+) == (\d+)$",
+                      part.replace("(", "(").strip()) or _re.match(
+            r"^\(\(\(pk % (\d+)\) \+ (\d+)\) % (\d+)\) == (\d+)$", part)
+        if m:
+            n1, add, n2, want = (int(g) for g in m.groups())
+            v = row["pk"]
+            return int(math.fmod(int(math.fmod(v, n1)) + add, n2)) == want
+        m = _re.match(r"^(\w+) in \[(.*)\]$", part)
+        if m:
+            field, body = m.group(1), m.group(2)
+            vals = [cls._literal(t) for t in body.split(",")] if body.strip() else []
+            return row.get(field) is not None and row[field] in vals
+        m = _re.match(r"^(\w+) (==|!=|>=|<=|>|<) (.+)$", part)
+        if m:
+            field, op, lit = m.group(1), m.group(2), cls._literal(m.group(3))
+            v = row.get(field)
+            if v is None:
+                return False
+            return {
+                "==": v == lit, "!=": v != lit, ">=": v >= lit,
+                "<=": v <= lit, ">": v > lit, "<": v < lit,
+            }[op]
+        raise ValueError(f"fake milvus cannot evaluate conjunct: {part!r}")
+
+    def query(self, collection_name, filter="", output_fields=None):
+        import os as _os
+        import json as _json
+        import re as _re
+
+        if self.record:
+            with open(f"{self.store}/queries.{_os.getpid()}.jsonl", "a") as f:
+                f.write(_json.dumps({"filter": filter,
+                                     "output_fields": output_fields}) + "\n")
+        data = self.DATA
+        if filter:
+            # split on top-level " and " — generated conjuncts never
+            # nest an "and" inside
+            for part in _re.split(r"\s+and\s+", filter):
+                data = [d for d in data if self._eval_conjunct(d, part)]
+        return [{k: d.get(k) for k in (output_fields or d)} for d in data]
+
+    def insert(self, collection_name, data):
+        import os as _os
+        import json as _json
+
+        path = f"{self.store}/{collection_name}.rows.{_os.getpid()}.jsonl"
+        with open(path, "a") as f:
+            for r in data:
+                f.write(_json.dumps(r) + "\n")
+
+
+def milvus_ds_factory(connection):
+    return FakeMilvusServer(connection)

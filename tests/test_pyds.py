@@ -284,3 +284,150 @@ def test_stream_writer_incremental_migration(spark, tmp_path):
     run_stream("ckpt2")  # full replay, fresh checkpoint
     replayed = read_upserted_points(store, "stream_tgt")
     assert set(replayed) == set(range(30))  # same ids — idempotent
+
+
+# ------------------------------------------------------------- milvus
+
+MILVUS_FACTORY = "fake_backends:milvus_ds_factory"
+
+
+def _mreader(spark, **opts):
+    r = spark.read.format("milvus").option("client_factory", MILVUS_FACTORY)
+    r = r.option("collection_name", opts.pop("collection_name", "col"))
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r
+
+
+def _recorded_queries(store_dir):
+    out = []
+    for f in sorted(os.listdir(store_dir)):
+        if f.startswith("queries."):
+            out += [json.loads(x) for x in open(os.path.join(store_dir, f))]
+    return out
+
+
+def test_milvus_native_read_canonical(spark):
+    """Schema-driven scan: PK→id, first vector field, scalars→metadata
+    with None values omitted (P3)."""
+    df = _mreader(spark).load()
+    assert df.schema == CANONICAL_SCHEMA
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(int(i) for i in rows) == list(range(12))
+    assert rows["2"]["metadata"]["meta_b"] == "20"
+    assert "meta_b" not in rows["1"]["metadata"]  # None omitted
+
+
+def test_milvus_varchar_eq_fully_consumed(spark, tmp_path):
+    """VARCHAR eq pushes as a server-side expr conjunct and is fully
+    consumed — the recorded query proves server-side pruning."""
+    df = (
+        _mreader(
+            spark,
+            metadata_columns="meta_a,meta_b",
+            store_dir=str(tmp_path),
+            record_queries="true",
+        )
+        .load()
+        .filter(F.col("meta_a") == "a1")
+    )
+    assert sorted(int(r["id"]) for r in df.collect()) == [1, 4, 7, 10]
+    rec = _recorded_queries(tmp_path)
+    assert rec and rec[0]["filter"] == 'meta_a == "a1"'
+
+
+def test_milvus_numeric_range_partially_pushed(spark, tmp_path):
+    """A range on an INT64-typed scalar is pushed with a coerced
+    numeric literal AND re-checked by Spark (string-typed schema):
+    final rows follow Spark's comparison over the pruned set."""
+    df = (
+        _mreader(
+            spark,
+            metadata_columns="meta_a,meta_b",
+            store_dir=str(tmp_path),
+            record_queries="true",
+        )
+        .load()
+        .filter(F.col("meta_b") >= "40")
+    )
+    # server prunes to meta_b ∈ {40,60,80,100}; Spark then compares the
+    # STRINGS ">= '40'" lexicographically → {40, 60, 80} (not "100")
+    assert sorted(r["id"] for r in df.collect()) == ["4", "6", "8"]
+    rec = _recorded_queries(tmp_path)
+    assert rec and rec[0]["filter"] == "meta_b >= 40"
+
+
+def test_milvus_id_pushdown_exact_digits_only(spark, tmp_path):
+    df = (
+        _mreader(
+            spark, store_dir=str(tmp_path), record_queries="true"
+        )
+        .load()
+        .filter(F.col("id").isin("3", "7"))
+    )
+    assert sorted(r["id"] for r in df.collect()) == ["3", "7"]
+    assert _recorded_queries(tmp_path)[0]["filter"] == "pk in [3, 7]"
+
+
+def test_milvus_residue_partitions(spark, tmp_path):
+    """num_partitions shards by non-negative PK residue; disjoint and
+    complete, with the pushed filter applied in every shard query."""
+    df = (
+        _mreader(
+            spark,
+            num_partitions=3,
+            metadata_columns="meta_a,meta_b",
+            store_dir=str(tmp_path),
+            record_queries="true",
+        )
+        .load()
+        .filter(F.col("meta_a") != "a0")
+    )
+    assert df.rdd.getNumPartitions() == 3
+    expected = sorted(str(i) for i in range(12) if i % 3 != 0)
+    assert sorted(r["id"] for r in df.collect()) == expected
+    recs = _recorded_queries(tmp_path)
+    assert len(recs) == 3
+    assert all('meta_a != "a0"' in r["filter"] and "% 3" in r["filter"] for r in recs)
+
+
+def test_milvus_native_write_conforms(spark, tmp_path):
+    store = str(tmp_path)
+    df = spark.createDataFrame(
+        [
+            ("1", [0.1, 0.2], {"meta_a": "x", "unknown": "drop", "meta_b": "7"}),
+            (None, [0.2, 0.3], {}),  # C4 — skipped
+            ("2", None, {"meta_b": "not-an-int"}),  # C6 — null-fills
+        ],
+        "id string, vector array<float>, metadata map<string,string>",
+    )
+    (
+        df.write.format("milvus")
+        .mode("append")
+        .option("client_factory", MILVUS_FACTORY)
+        .option("store_dir", store)
+        .option("collection_name", "col")
+        .save()
+    )
+    recs = []
+    for f in os.listdir(store):
+        if f.startswith("col.rows"):
+            recs += [json.loads(x) for x in open(os.path.join(store, f))]
+    by_pk = {r["pk"]: r for r in recs}
+    assert set(by_pk) == {1, 2}  # null-id skipped, ids coerced to INT64 PK
+    assert by_pk[1]["meta_a"] == "x" and by_pk[1]["meta_b"] == 7
+    assert "unknown" not in by_pk[1]
+    assert by_pk[2]["meta_b"] is None and by_pk[2]["vec"] is None
+
+
+def test_milvus_write_refuses_missing_collection(spark, tmp_path):
+    df = spark.createDataFrame([("1", [0.1], {})], CANONICAL_SCHEMA)
+    with pytest.raises(Exception, match="must exist"):
+        (
+            df.write.format("milvus")
+            .mode("append")
+            .option("client_factory", MILVUS_FACTORY)
+            .option("store_dir", str(tmp_path))
+            .option("collection_name", "nope")
+            .save()
+        )

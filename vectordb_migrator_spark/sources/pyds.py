@@ -1,4 +1,5 @@
-"""Spark 4 Python DataSource API surface for the Qdrant connector.
+"""Spark 4 Python DataSource API surface for the Qdrant and Milvus
+connectors.
 
 ``spark.read.format("qdrant")`` / ``df.write.format("qdrant")`` — the
 same scan/upsert semantics as :class:`~vectordb_migrator_spark.sources
@@ -28,6 +29,12 @@ into Spark's own planner hooks instead of a pre-built DataFrame:
   declared-but-unbuilt incremental migration (``README.md:286``) as a
   native Structured Streaming sink, exactly-once-per-id because
   replayed microbatches re-upsert the same ids.
+- **Milvus** (``format("milvus")``): schema-driven scan (PK / first
+  vector field / scalars from ``describe_collection``), PK-residue
+  partition planning, expr pushdown with a push-and-recheck policy
+  (typed server comparisons prune the wire, Spark re-evaluates on the
+  declared string schema), and a conform-on-write insert sink that
+  refuses DDL like the reference (``adapters/milvus.py:155-158``).
 
 Semantics note on ``!=`` pushdown: Qdrant's ``must_not match`` keeps
 points that lack the key entirely, while Spark's three-valued logic
@@ -114,8 +121,9 @@ def _connection(options: dict[str, str]) -> dict[str, Any]:
             conn[k] = options[k]
     if options.get("port"):
         conn["port"] = int(options["port"])
-    if options.get("record_scrolls"):
-        conn["record_scrolls"] = options["record_scrolls"].lower() == "true"
+    for flag in ("record_scrolls", "record_queries"):
+        if options.get(flag):
+            conn[flag] = options[flag].lower() == "true"
     return conn
 
 
@@ -396,6 +404,316 @@ class QdrantStreamWriter(_QdrantWriteCore, DataSourceStreamWriter):
         return None
 
 
+# ---------------------------------------------------------------------
+# Milvus
+# ---------------------------------------------------------------------
+
+
+def _milvus_filter_to_neutral(
+    f: Filter,
+) -> tuple[dict[str, Any], str] | None:
+    """One Spark ``Filter`` → (neutral predicate, op-kind) where
+    op-kind ∈ {eq, ne, in, range}; None when untranslatable."""
+    child = f.child if isinstance(f, Not) else f
+    attr = getattr(child, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None
+    col = attr[0]
+    if isinstance(f, Not):
+        if isinstance(child, EqualTo) and child.value is not None:
+            return {"col": col, "op": "ne", "value": child.value}, "ne"
+        return None
+    if isinstance(f, EqualTo):
+        return (
+            None
+            if f.value is None
+            else ({"col": col, "op": "eq", "value": f.value}, "eq")
+        )
+    if isinstance(f, In):
+        vals = [v for v in f.value if v is not None]
+        if not vals:
+            return None
+        return {"col": col, "op": "in", "value": vals}, "in"
+    op = _RANGE_FILTERS.get(type(f))
+    if op is not None:
+        return (
+            None
+            if f.value is None
+            else ({"col": col, "op": op, "value": f.value}, "range")
+        )
+    return None
+
+
+class MilvusScanReader(DataSourceReader):
+    """``format("milvus")`` scan: schema-driven (driver-side
+    introspection picks PK / vector / scalars, the reference's
+    ``adapters/milvus.py:70-95`` logic), PK-residue partition planning,
+    and expr pushdown with a push-and-recheck policy:
+
+    - VARCHAR scalar ``eq``/``in`` and exact-digit integer-PK
+      ``eq``/``in`` are **fully consumed** — server and Spark agree.
+    - everything else translatable (``ne``, ranges, numeric-typed
+      scalars) is **partially pushed**: the coerced comparison prunes
+      server-side, and the filter is returned so Spark re-evaluates it
+      on the declared (string-typed) schema. The declared schema
+      compares strings lexicographically while the server compares
+      typed values — re-checking keeps Spark's semantics authoritative
+      while the wire still shrinks.
+    """
+
+    def __init__(self, options: dict[str, str], schema: StructType):
+        self.options = dict(options)
+        self.collection = options.get("collection_name")
+        if not self.collection:
+            raise ValueError("milvus source requires the collection_name option")
+        self.batch = int(options.get("batch_size", 1_000))
+        self.base_expr = options.get("filter_expr", "")
+        self.num_partitions = int(options.get("num_partitions", 0))
+        self.meta_cols = [
+            f.name for f in schema.fields if f.name not in ("id", "vector")
+        ]
+        self.canonical = "metadata" in [f.name for f in schema.fields]
+
+        from vectordb_migrator_spark.sources.milvus import field_types, plan_fields
+
+        factory = _resolve_factory(options.get("client_factory"))
+        client = factory(_connection(self.options))
+        if not client.has_collection(self.collection):
+            raise ValueError(f"collection {self.collection!r} does not exist")
+        info = client.describe_collection(self.collection)
+        self.pk, self.vec_field, self.scalars = plan_fields(info)
+        self.types = field_types(info)
+        self.pk_is_int = self.types.get(self.pk) in _MILVUS_INT_TYPES
+        self.pushed: list[dict[str, Any]] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        from vectordb_migrator_spark.sources.milvus import coerce_to_field_type
+
+        pushable = {"id"} | (set() if self.canonical else set(self.meta_cols))
+        for f in filters:
+            parsed = _milvus_filter_to_neutral(f)
+            if parsed is None or parsed[0]["col"] not in pushable:
+                yield f
+                continue
+            p, kind = parsed
+            if p["col"] == "id":
+                ok = kind in ("eq", "in") and self._push_id(p)
+                if not ok:
+                    yield f
+                continue
+            ftype = self.types.get(p["col"], "VARCHAR")
+            vals = p["value"] if kind == "in" else [p["value"]]
+            coerced = [coerce_to_field_type(v, ftype) for v in vals]
+            if any(c is None for c in coerced):
+                yield f  # value doesn't fit the field type — Spark-only
+                continue
+            p = dict(p, value=coerced if kind == "in" else coerced[0])
+            self.pushed.append(p)
+            if not (ftype == "VARCHAR" and kind in ("eq", "in")):
+                # typed comparison server-side vs string comparison in
+                # the declared schema — prune there, re-check here
+                yield f
+
+    def _push_id(self, p: dict[str, Any]) -> bool:
+        """Consume an id eq/in only when the canonical string id
+        round-trips exactly onto the PK type (str(int(v)) == v for an
+        integer PK) — otherwise the server comparison could diverge."""
+        vals = p["value"] if p["op"] == "in" else [p["value"]]
+        if self.pk_is_int:
+            if not all(
+                isinstance(v, str) and v.lstrip("-").isdigit() and str(int(v)) == v
+                for v in vals
+            ):
+                return False
+            coerced = [int(v) for v in vals]
+        else:
+            coerced = [str(v) for v in vals]
+        self.pushed.append(
+            dict(p, value=coerced if p["op"] == "in" else coerced[0])
+        )
+        return True
+
+    def _expr(self, shard: int | None = None, of: int | None = None) -> str:
+        from vectordb_migrator_spark.sources.predicates import to_milvus_expr
+
+        parts = []
+        if self.base_expr:
+            parts.append(f"({self.base_expr})")
+        if self.pushed:
+            parts.append(
+                to_milvus_expr(self.pushed, pk=self.pk, pk_is_int=self.pk_is_int)
+            )
+        if of and of > 1:
+            # non-negative residue — C-semantics % would drop negative
+            # PKs from every shard (see sources/milvus.py)
+            parts.append(f"((({self.pk} % {of}) + {of}) % {of}) == {shard}")
+        return " and ".join(parts)
+
+    def partitions(self) -> list[InputPartition]:
+        n = self.num_partitions if self.pk_is_int else 1
+        n = max(n, 1)
+        return [
+            InputPartition(json.dumps({"shard": i, "of": n})) for i in range(n)
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        spec = json.loads(partition.value)
+        factory = _resolve_factory(self.options.get("client_factory"))
+        client = factory(_connection(self.options))
+        expr = self._expr(spec.get("shard"), spec.get("of"))
+        output_fields = (
+            [self.pk]
+            + ([self.vec_field] if self.vec_field else [])
+            + self.scalars
+        )
+        if hasattr(client, "query_iterator"):
+            recs = []
+            it = client.query_iterator(
+                collection_name=self.collection,
+                filter=expr,
+                output_fields=output_fields,
+                batch_size=self.batch,
+            )
+            while True:
+                batch = it.next()
+                if not batch:
+                    it.close()
+                    break
+                recs.extend(batch)
+        else:
+            recs = client.query(
+                collection_name=self.collection,
+                filter=expr,
+                output_fields=output_fields,
+            )
+        vec = self.vec_field
+        for r in recs:
+            vector = (
+                [float(x) for x in r[vec]]
+                if vec and r.get(vec) is not None
+                else None
+            )
+            if self.canonical:
+                # P3 — None-valued metadata keys omitted
+                meta = {
+                    k: str(r[k]) for k in self.scalars if r.get(k) is not None
+                }
+                yield str(r[self.pk]), vector, meta
+            else:
+                yield (
+                    str(r[self.pk]),
+                    vector,
+                    *(
+                        str(r[c]) if r.get(c) is not None else None
+                        for c in self.meta_cols
+                    ),
+                )
+
+
+_MILVUS_INT_TYPES = ("INT64", "INT32", "INT16", "INT8")
+
+
+class MilvusInsertWriter(DataSourceWriter):
+    """Columnar-conform insert into a pre-existing collection — the
+    reference REFUSES sink-side DDL (``adapters/milvus.py:155-158``),
+    so creation is an error here too. Rows are conformed to the
+    declared schema: null-id rows dropped (C4), unknown metadata keys
+    dropped, missing keys null-filled, values back-coerced to the
+    field types (C6)."""
+
+    def __init__(self, options: dict[str, str]):
+        from vectordb_migrator_spark.sources.milvus import field_types, plan_fields
+
+        self.options = dict(options)
+        self.collection = options.get("collection_name")
+        if not self.collection:
+            raise ValueError("milvus sink requires the collection_name option")
+        self.batch = int(options.get("batch_size", 1_000))
+        factory = _resolve_factory(options.get("client_factory"))
+        client = factory(_connection(self.options))
+        if not client.has_collection(self.collection):
+            raise ValueError(
+                f"collection {self.collection!r} must exist (the milvus sink "
+                "performs no DDL, matching the reference)"
+            )
+        info = client.describe_collection(self.collection)
+        self.pk, self.vec_field, self.scalars = plan_fields(info)
+        self.types = field_types(info)
+
+    def write(self, iterator: Iterator[Row]) -> QdrantCommit:
+        from vectordb_migrator_spark.sources.milvus import coerce_to_field_type
+
+        factory = _resolve_factory(self.options.get("client_factory"))
+        client = factory(_connection(self.options))
+        buf: list[dict[str, Any]] = []
+        n = n_id = n_vec = 0
+
+        def flush() -> None:
+            if buf:
+                client.insert(collection_name=self.collection, data=list(buf))
+                buf.clear()
+
+        for row in iterator:
+            n += 1
+            rid = row["id"]
+            if rid is None:
+                continue  # C4 — skip, observable as n - n_id
+            n_id += 1
+            n_vec += row["vector"] is not None
+            meta = dict(row["metadata"] or {})
+            rec: dict[str, Any] = {
+                self.pk: coerce_to_field_type(rid, self.types.get(self.pk, "VARCHAR"))
+            }
+            if self.vec_field:
+                rec[self.vec_field] = (
+                    [float(x) for x in row["vector"]] if row["vector"] else None
+                )
+            for s in self.scalars:
+                rec[s] = coerce_to_field_type(
+                    meta.get(s), self.types.get(s, "VARCHAR")
+                )
+            buf.append(rec)
+            if len(buf) >= self.batch:
+                flush()
+        flush()
+        return QdrantCommit(rows=n, rows_with_id=n_id, rows_with_vector=n_vec)
+
+    def commit(self, messages: list[QdrantCommit]) -> None:  # type: ignore[override]
+        return None
+
+    def abort(self, messages: list[QdrantCommit]) -> None:  # type: ignore[override]
+        # Milvus inserts are append-only; a retried task can duplicate
+        # rows — same caveat as the reference's partial-success
+        # accounting (adapters/milvus.py:266-291). Documented, not
+        # hidden: use the qdrant sink for exactly-once-per-id.
+        return None
+
+
+class MilvusDataSource(DataSource):
+    """``format("milvus")`` — register with
+    :func:`register_data_sources`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "milvus"
+
+    def schema(self) -> StructType | str:
+        meta_cols = self.options.get("metadata_columns")
+        if meta_cols:
+            cols = ", ".join(
+                f"{c.strip()} string" for c in meta_cols.split(",") if c.strip()
+            )
+            return f"id string, vector array<float>, {cols}"
+        return CANONICAL_SCHEMA
+
+    def reader(self, schema: StructType) -> MilvusScanReader:
+        return MilvusScanReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> MilvusInsertWriter:
+        QdrantDataSource._check_write_schema(schema)
+        return MilvusInsertWriter(dict(self.options))
+
+
 class QdrantDataSource(DataSource):
     """``format("qdrant")`` — register with
     :func:`register_data_sources`."""
@@ -440,3 +758,4 @@ def register_data_sources(spark) -> None:
     # is off — flip it here so registration is sufficient setup
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(QdrantDataSource)
+    spark.dataSource.register(MilvusDataSource)
