@@ -77,6 +77,7 @@ HEADLINE = [
     "merge_upsert_orders",
     "scd2_order_status",
     "anomaly_zscore_events",
+    "range_join_value_bands",
     "histogram_event_values",
     "cube_order_status_priority",
 ]

@@ -287,3 +287,45 @@ def test_pool_vectors_matches_python_reference(spark, vecs):
     want_max = [max(v[j] for v in vecs) for j in range(3)]
     assert row["mean_vec"] == _pytest.approx(want_mean, rel=1e-9, abs=1e-9)
     assert row["max_vec"] == want_max
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # key
+            st.sampled_from("ABC"),                  # tracked attribute
+            st.integers(min_value=0, max_value=50),  # ts
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[2]),  # one change per (key, ts)
+    )
+)
+def test_scd2_history_matches_python_reference(spark, changes):
+    """SCD2 intervals vs a Python scan: same collapse of no-op changes,
+    same valid_from/valid_to chaining, same version numbering."""
+    from vectordb_migrator_spark.operators.relational import scd2_history
+
+    df = spark.createDataFrame(changes, "k long, status string, ts long")
+    out = scd2_history(df, key_col="k", attr_cols=["status"], ts_col="ts")
+    got = sorted(
+        (r["k"], r["version"], r["status"], r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    )
+
+    expected = []
+    by_key = {}
+    for k, s, ts in changes:
+        by_key.setdefault(k, []).append((ts, s))
+    for k, log in by_key.items():
+        log.sort()
+        versions = [
+            (ts, s)
+            for i, (ts, s) in enumerate(log)
+            if i == 0 or s != log[i - 1][1]
+        ]
+        for v, (ts, s) in enumerate(versions, start=1):
+            nxt = versions[v][0] if v < len(versions) else None
+            expected.append((k, v, s, ts, nxt))
+    assert got == sorted(expected)

@@ -291,3 +291,45 @@ def test_scd2_history_intervals_and_collapse(spark):
     # exactly one exchange in the whole plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_range_join_bucketed_equals_broadcast(spark):
+    """The grid-cell equi-join must reproduce the nested-loop
+    inequality join exactly — including overlapping bands and values
+    on cell boundaries — while planning a hash join instead of a
+    BroadcastNestedLoopJoin."""
+    from vectordb_migrator_spark.operators.relational import (
+        range_join,
+        range_join_bucketed,
+    )
+
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [0.0, 4.999, 5.0, 9.3, 10.0, 14.5, 20.0, 3.2, 17.7]
+        )],
+        "fid long, value double",
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 5.0, 15.0), ("c", 10.0, 20.0)],
+        "band string, lo double, hi double",
+    )
+    kw = dict(value_col="value")
+    exact = {
+        (r["fid"], r["band"])
+        for r in range_join(facts, bands, **kw).collect()
+    }
+    got = {
+        (r["fid"], r["band"])
+        for r in range_join_bucketed(
+            facts, bands, cell_width=4.0, **kw
+        ).collect()
+    }
+    assert got == exact
+    # boundary semantics: hi is exclusive, lo inclusive
+    assert (4, "a") not in exact and (4, "b") in exact and (4, "c") in exact
+
+    bcast = range_join(facts, bands, **kw)
+    buck = range_join_bucketed(facts, bands, cell_width=4.0, **kw)
+    assert "BroadcastNestedLoopJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+    bplan = buck._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in bplan  # equi-join on the grid cell

@@ -374,3 +374,66 @@ def scd2_history(
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: each fact row pairs with every interval where
+    ``lo <= value < hi`` (intervals may overlap — one fact can match
+    several). Broadcast form: correct whenever the interval table is
+    dim-sized; Spark plans a BroadcastNestedLoopJoin, which is fine for
+    a small broadcast side but scans every interval per row — for a
+    large interval table use :func:`range_join_bucketed`."""
+    cond = (facts[value_col] >= intervals[lo_col]) & (
+        facts[value_col] < intervals[hi_col]
+    )
+    return facts.join(F.broadcast(intervals), cond, how)
+
+
+def range_join_bucketed(
+    facts: DataFrame,
+    intervals: DataFrame,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    cell_width: float = 1.0,
+) -> DataFrame:
+    """Interval join as a hash EQUI-join — the big-table scale path.
+
+    The number line is cut into grid cells of ``cell_width``; each
+    interval explodes into the cells it touches, each fact lands in
+    exactly ONE cell (``floor(value / w)``), and the join runs on the
+    cell id with the exact ``lo <= value < hi`` predicate as a
+    residual filter. This turns the O(facts × intervals) nested loop
+    into a shuffled hash join whose cost is O(facts + intervals ×
+    cells-per-interval): both sides partition by cell, skew follows
+    the value distribution (tune ``cell_width`` toward the median
+    interval width). No dedup is needed — a (fact, interval) pair
+    meets in exactly the fact's one cell."""
+    cell = F.floor(F.col(value_col) / cell_width).cast("long").alias("__cell")
+    f = facts.withColumn("__cell", cell)
+    i = intervals.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / cell_width).cast("long"),
+                F.floor(F.col(hi_col) / cell_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        f.join(i, "__cell")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) < F.col(hi_col))
+        )
+        .drop("__cell")
+    )

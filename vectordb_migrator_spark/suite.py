@@ -2852,6 +2852,46 @@ def window_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_value_bands",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 100.0), ('mid', 50.0, 250.0),
+             ('high', 200.0, 400.0), ('tail', 350.0, 500.0)
+    )
+    SELECT b.band, count(*)::BIGINT AS n_events,
+           round(avg(e.value), 6) AS avg_value
+    FROM events e JOIN bands b
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval range join (one event can match several
+    bands) executed on the grid-cell EQUI-join scale path, then rolled
+    up per band — a histogram can't express overlap; a nested-loop
+    inequality join can't survive a big interval table."""
+    from vectordb_migrator_spark.operators.relational import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 50.0, 250.0),
+         ("high", 200.0, 400.0), ("tail", 350.0, 500.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join_bucketed(
+        ev, bands, value_col="value", cell_width=50.0
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
     "scd2_order_status",
     """
     WITH ordered AS (
@@ -3736,8 +3776,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_unigram_surprisal",  # round-3 corpus-LM quality score
     "anomaly_zscore_events",  # round-3 per-key outlier detection
     "scd2_order_status",  # round-3 type-2 SCD history
-    # --- round-1 representative (family green in r01/r02) ---
-    "q1_pricing_summary",
+    "range_join_value_bands",  # round-3 grid-cell interval join
 ]
 
 
