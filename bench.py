@@ -23,6 +23,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "events_hourly_rollup",
+    "events_time_hierarchy_rollup",
     "window_top_orders",
     "window_running_total",
     "rollup_pricing",

@@ -2852,6 +2852,45 @@ def window_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_time_hierarchy_rollup",
+    """
+    WITH base AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             strftime(date_trunc('hour', ts), '%H:00') AS hour,
+             value
+      FROM events
+    )
+    SELECT day, hour, count(*)::BIGINT AS n,
+           (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
+    FROM base
+    GROUP BY ROLLUP(day, hour)
+    ORDER BY day NULLS FIRST, hour NULLS FIRST
+    """,
+)
+def events_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate ladder in ONE pass:
+    ROLLUP(day, hour) emits hour-level, day-level, and grand totals
+    from a single grouping-set expansion — no re-scan per resolution
+    (the multi-resolution rollup a time-series store materializes)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "HH:00").alias("hour"),
+        "value",
+    )
+    return (
+        base.rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy(F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first())
+    )
+
+
+@query(
     "range_join_value_bands",
     """
     WITH bands(band, lo, hi) AS (
