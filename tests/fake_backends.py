@@ -245,3 +245,24 @@ class FakeMilvusServer:
 
 def milvus_ds_factory(connection):
     return FakeMilvusServer(connection)
+
+
+class FakeQdrantCatalogClient(FakeQdrantClient):
+    """Points with a ``category`` payload — for examples/tests that
+    push a category predicate server-side."""
+
+    POINTS = [
+        SimpleNamespace(
+            id=i,
+            vector=[float(i), 1.0],
+            payload={
+                "category": "product" if i % 2 == 0 else "review",
+                "name": f"item{i}",
+            },
+        )
+        for i in range(10)
+    ]
+
+
+def qdrant_catalog_factory(connection):
+    return FakeQdrantCatalogClient(connection)

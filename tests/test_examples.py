@@ -109,3 +109,70 @@ def test_parquet_roundtrip_example_runs(spark, tmp_path):
     cfg["target"]["load"]["path"] = str(tmp_path / "out")
     assert run_migration(spark, cfg) is True
     assert spark.read.parquet(str(tmp_path / "out")).count() == 500
+
+
+def test_datasource_api_example_batch_and_stream(spark, tmp_path):
+    """examples/datasource_api_pipeline.py runs end-to-end on the
+    fakes: the category predicate reaches the qdrant scroll, conformed
+    rows land in milvus, and the streaming variant upserts a parquet
+    drop-folder into a collection."""
+    import json as _json
+    import os as _os
+    import sys
+
+    sys.path.insert(0, "examples")
+    try:
+        import datasource_api_pipeline as ex
+    finally:
+        sys.path.pop(0)
+
+    store = str(tmp_path)
+    ex.batch_copy(
+        spark,
+        source_opts={
+            "client_factory": "fake_backends:qdrant_catalog_factory",
+            "collection_name": "src",
+            "store_dir": store,
+            "record_scrolls": "true",
+        },
+        target_opts={
+            "client_factory": "fake_backends:milvus_ds_factory",
+            "collection_name": "col",
+            "store_dir": store,
+        },
+    )
+    # predicate reached the server
+    scrolls = []
+    for f in _os.listdir(store):
+        if f.startswith("scrolls."):
+            scrolls += [_json.loads(x) for x in open(_os.path.join(store, f))]
+    assert scrolls and scrolls[0]["scroll_filter"] == {
+        "must": [{"key": "category", "match": {"value": "product"}}]
+    }
+    rows = []
+    for f in _os.listdir(store):
+        if f.startswith("col.rows"):
+            rows += [_json.loads(x) for x in open(_os.path.join(store, f))]
+    assert sorted(r["pk"] for r in rows) == [0, 2, 4, 6, 8]
+
+    from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA
+
+    src_dir = str(tmp_path / "drop")
+    spark.createDataFrame(
+        [(str(i), [float(i)], {}) for i in range(5)], CANONICAL_SCHEMA
+    ).write.parquet(src_dir)
+    q = ex.incremental_stream(
+        spark,
+        input_path=src_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        target_opts={
+            "client_factory": "fake_backends:qdrant_factory",
+            "collection_name": "inc",
+            "store_dir": store,
+            "vector_dimension": "1",
+        },
+    )
+    q.awaitTermination(120)
+    from fake_backends import read_upserted_points
+
+    assert set(read_upserted_points(store, "inc")) == set(range(5))
