@@ -141,3 +141,29 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ivj").collect()
     }
     assert streamed == batch
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    """Stream-static broadcast enrichment: micro-batches pick up the
+    dim attributes; rows without a dim match survive (left join)."""
+    from vectordb_migrator_spark.streaming.incremental import enrich_stream
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (9, 90.0)], "k long, v double"
+    ).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "k long, label string"
+    )
+    stream = spark.readStream.schema("k long, v double").parquet(src)
+    out = enrich_stream(stream, dim, on="k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["k"]: r["label"] for r in spark.sql("select * from enriched").collect()}
+    assert rows == {1: "one", 2: "two", 3: "three", 9: None}

@@ -82,3 +82,19 @@ def incremental_migration(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the (batch) dimension table. The dim side is broadcast, so no
+    stream state accrues and no shuffle touches the stream — the
+    standard pattern for decorating an event stream with reference
+    data. The static side is re-read per micro-batch, so a dim backed
+    by a mutable table picks up updates between batches."""
+    return stream.join(F.broadcast(dim), on, how)
