@@ -197,9 +197,16 @@ def unigram_surprisal(
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
     vocab = counts.orderBy(F.desc("c"), "tok").limit(vocab_size)
-    stats = (
-        toks.agg(F.count("*").cast("double").alias("n_total"))
-        .crossJoin(vocab.agg(F.count("*").cast("double").alias("n_vocab")))
+    # Both corpus totals derive from `counts`, NOT from a fresh pass
+    # over toks: sum(c) IS the token count and least(#distinct, V) IS
+    # the vocab size. The two consumers of `counts` share one
+    # identical child, so Catalyst's ReuseExchange serves vocab and
+    # stats from the same token-count shuffle — the whole operator
+    # tokenizes the corpus twice (score pass + stats pass), the
+    # honest minimum for a corpus-statistics model.
+    stats = counts.agg(
+        F.sum("c").cast("double").alias("n_total"),
+        F.least(F.count("*"), F.lit(vocab_size)).cast("double").alias("n_vocab"),
     )
     denom = F.col("n_total") + F.lit(alpha) * (F.col("n_vocab") + 1)
     p = (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(alpha)) / denom
