@@ -431,3 +431,102 @@ def test_milvus_write_refuses_missing_collection(spark, tmp_path):
             .option("collection_name", "nope")
             .save()
         )
+
+
+# ----------------------------------------------------------- pinecone
+
+PINECONE_FACTORY = "fake_backends:pinecone_factory"
+
+
+def test_pinecone_native_read_and_prefix_partitions(spark):
+    df = (
+        spark.read.format("pinecone")
+        .option("client_factory", PINECONE_FACTORY)
+        .option("index_name", "idx")
+        .option("batch_size", "5")
+        .load()
+    )
+    assert df.schema == CANONICAL_SCHEMA
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 12  # paged to exhaustion
+    assert rows["v3"]["metadata"] == {"tag": "t0"}
+
+    sharded = (
+        spark.read.format("pinecone")
+        .option("client_factory", PINECONE_FACTORY)
+        .option("index_name", "idx")
+        .option("id_prefixes", json.dumps(["v1", "v2"]))
+        .load()
+    )
+    assert sharded.rdd.getNumPartitions() == 2
+    assert sorted(r["id"] for r in sharded.collect()) == ["v1", "v10", "v11", "v2"]
+
+
+def test_pinecone_filters_stay_spark_side(spark):
+    """No pushFilters implemented — predicates evaluate post-scan and
+    still produce correct results (metadata_columns typed view)."""
+    df = (
+        spark.read.format("pinecone")
+        .option("client_factory", PINECONE_FACTORY)
+        .option("index_name", "idx")
+        .option("metadata_columns", "tag")
+        .load()
+        .filter(F.col("tag") == "t1")
+    )
+    assert sorted(r["id"] for r in df.collect()) == ["v1", "v10", "v4", "v7"]
+
+
+def test_pinecone_native_write_with_ddl(spark, tmp_path):
+    store = str(tmp_path)
+    df = spark.createDataFrame(
+        [("a", [0.1, 0.2], {"k": "x"}), ("b", None, {})], CANONICAL_SCHEMA
+    )
+    (
+        df.write.format("pinecone")
+        .mode("append")
+        .option("client_factory", PINECONE_FACTORY)
+        .option("store_dir", store)
+        .option("index_name", "idx")
+        .option("create_index", "true")
+        .option("dimension", "2")
+        .option("batch_size", "1")
+        .save()
+    )
+    assert json.load(open(tmp_path / "indexes.json")) == ["idx"]
+    recs = {}
+    for f in os.listdir(store):
+        if f.startswith("idx.points"):
+            for line in open(os.path.join(store, f)):
+                p = json.loads(line)
+                recs[p["id"]] = p
+    assert set(recs) == {"a", "b"}
+    assert recs["b"]["values"] == []  # null vector → empty values
+
+
+def test_pinecone_stream_sink(spark, tmp_path):
+    from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA as CS
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    spark.createDataFrame(
+        [(f"s{i}", [float(i)], {}) for i in range(8)], CS
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema(CS)
+        .parquet(src)
+        .writeStream.format("pinecone")
+        .option("client_factory", PINECONE_FACTORY)
+        .option("store_dir", store)
+        .option("index_name", "idx")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    recs = set()
+    for f in os.listdir(store):
+        if f.startswith("idx.points"):
+            for line in open(os.path.join(store, f)):
+                recs.add(json.loads(line)["id"])
+    assert recs == {f"s{i}" for i in range(8)}

@@ -639,57 +639,7 @@ def test_milvus_write_stats_count_dropped_rows(spark, tmp_path):
     assert out["stats"]["rows_with_vector"] == 1
 
 
-class FakePineconeIndex:
-    """In-memory index: list() yields id pages, fetch() returns vector
-    records, upsert() appends to a file-backed store (executor-side
-    visibility, like the other fakes)."""
-
-    VECTORS = {
-        f"v{i}": {"values": [float(i), 1.0], "metadata": {"tag": f"t{i % 3}"}}
-        for i in range(12)
-    }
-
-    def __init__(self, store):
-        self.store = store
-
-    def list(self, prefix=None, namespace=None, limit=100):
-        ids = sorted(k for k in self.VECTORS if k.startswith(prefix or ""))
-        for i in range(0, len(ids), limit):
-            yield ids[i : i + limit]
-
-    def fetch(self, ids, namespace=None):
-        return {"vectors": {i: dict(self.VECTORS[i]) for i in ids}}
-
-    def upsert(self, vectors, namespace=None):
-        path = f"{self.store}/idx.points.{os.getpid()}.jsonl"
-        with open(path, "a") as f:
-            for v in vectors:
-                f.write(json.dumps(v) + "\n")
-
-    def describe_index_stats(self):
-        return {"total_vector_count": len(self.VECTORS)}
-
-
-class FakePineconeClient:
-    def __init__(self, connection):
-        self.store = connection.get("store_dir", "/tmp/fake_pinecone")
-        self.created = f"{self.store}/indexes.json"
-
-    def Index(self, name):
-        return FakePineconeIndex(self.store)
-
-    def list_indexes(self):
-        if os.path.exists(self.created):
-            return json.load(open(self.created))
-        return []
-
-    def create_index(self, name, dimension, metric):
-        existing = self.list_indexes()
-        json.dump(existing + [name], open(self.created, "w"))
-
-
-def pinecone_factory(connection):
-    return FakePineconeClient(connection)
+from fake_backends import pinecone_factory  # noqa: E402
 
 
 def test_pinecone_read_pages_and_fetches(spark):

@@ -714,6 +714,164 @@ class MilvusDataSource(DataSource):
         return MilvusInsertWriter(dict(self.options))
 
 
+# ---------------------------------------------------------------------
+# Pinecone
+# ---------------------------------------------------------------------
+
+
+class PineconeScanReader(DataSourceReader):
+    """``format("pinecone")`` scan: one input partition per configured
+    id prefix (the list API's only parallel axis), each paging
+    ``index.list()`` and ``fetch()``-ing the id pages. The fetch-by-id
+    path has no server-side filter, so this reader deliberately does
+    NOT implement ``pushFilters`` — every predicate correctly stays
+    with Spark post-scan."""
+
+    def __init__(self, options: dict[str, str], schema: StructType):
+        self.options = dict(options)
+        self.index_name = options.get("index_name")
+        if not self.index_name:
+            raise ValueError("pinecone source requires the index_name option")
+        self.namespace = options.get("namespace", "")
+        self.batch = int(options.get("batch_size", 100))
+        self.prefixes = (
+            json.loads(options["id_prefixes"])
+            if options.get("id_prefixes")
+            else [""]
+        )
+        self.meta_cols = [
+            f.name for f in schema.fields if f.name not in ("id", "vector")
+        ]
+        self.canonical = "metadata" in [f.name for f in schema.fields]
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(p) for p in self.prefixes]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        factory = _resolve_factory(self.options.get("client_factory"))
+        client = factory(_connection(self.options))
+        index = client.Index(self.index_name)
+        for id_page in index.list(
+            prefix=partition.value or None,
+            namespace=self.namespace,
+            limit=self.batch,
+        ):
+            fetched = index.fetch(ids=list(id_page), namespace=self.namespace)
+            vectors = getattr(fetched, "vectors", None) or fetched["vectors"]
+            for vid, v in vectors.items():
+                vec = list(v["values"]) if v.get("values") else None
+                meta = {str(k): str(x) for k, x in (v.get("metadata") or {}).items()}
+                if self.canonical:
+                    yield str(vid), vec, meta
+                else:
+                    yield (str(vid), vec, *(meta.get(c) for c in self.meta_cols))
+
+
+class _PineconeWriteCore:
+    """Driver-side index DDL (``create_index`` + ``dimension`` +
+    ``metric`` — the reference's intended sink config,
+    ``examples/pgvector_to_pinecone_config.json:21-28``) + executor
+    batched upsert, shared by the batch and streaming writers.
+    Upserts are idempotent by id."""
+
+    def __init__(self, options: dict[str, str], overwrite: bool):
+        self.options = dict(options)
+        self.index_name = options.get("index_name")
+        if not self.index_name:
+            raise ValueError("pinecone sink requires the index_name option")
+        self.namespace = options.get("namespace", "")
+        self.batch = int(options.get("batch_size", 100))
+        if options.get("create_index", "").lower() == "true":
+            factory = _resolve_factory(options.get("client_factory"))
+            client = factory(_connection(self.options))
+            existing = [getattr(i, "name", i) for i in client.list_indexes()]
+            if self.index_name not in existing:
+                client.create_index(
+                    name=self.index_name,
+                    dimension=int(options.get("dimension", 0)),
+                    metric=options.get("metric", "cosine"),
+                )
+
+    def write(self, iterator: Iterator[Row]) -> QdrantCommit:
+        factory = _resolve_factory(self.options.get("client_factory"))
+        client = factory(_connection(self.options))
+        index = client.Index(self.index_name)
+        buf: list[dict[str, Any]] = []
+        n = n_id = n_vec = 0
+
+        def flush() -> None:
+            if buf:
+                index.upsert(vectors=list(buf), namespace=self.namespace)
+                buf.clear()
+
+        for row in iterator:
+            n += 1
+            n_id += row["id"] is not None
+            n_vec += row["vector"] is not None
+            buf.append(
+                {
+                    "id": str(row["id"]),
+                    "values": list(row["vector"]) if row["vector"] else [],
+                    "metadata": dict(row["metadata"] or {}),
+                }
+            )
+            if len(buf) >= self.batch:
+                flush()
+        flush()
+        return QdrantCommit(rows=n, rows_with_id=n_id, rows_with_vector=n_vec)
+
+
+class PineconeUpsertWriter(_PineconeWriteCore, DataSourceWriter):
+    def commit(self, messages: list[QdrantCommit]) -> None:  # type: ignore[override]
+        return None
+
+    def abort(self, messages: list[QdrantCommit]) -> None:  # type: ignore[override]
+        return None
+
+
+class PineconeStreamWriter(_PineconeWriteCore, DataSourceStreamWriter):
+    def commit(
+        self, messages: list[QdrantCommit | None], batchId: int
+    ) -> None:  # type: ignore[override]
+        return None
+
+    def abort(
+        self, messages: list[QdrantCommit | None], batchId: int
+    ) -> None:  # type: ignore[override]
+        return None
+
+
+class PineconeDataSource(DataSource):
+    """``format("pinecone")`` — register with
+    :func:`register_data_sources`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pinecone"
+
+    def schema(self) -> StructType | str:
+        meta_cols = self.options.get("metadata_columns")
+        if meta_cols:
+            cols = ", ".join(
+                f"{c.strip()} string" for c in meta_cols.split(",") if c.strip()
+            )
+            return f"id string, vector array<float>, {cols}"
+        return CANONICAL_SCHEMA
+
+    def reader(self, schema: StructType) -> PineconeScanReader:
+        return PineconeScanReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> PineconeUpsertWriter:
+        QdrantDataSource._check_write_schema(schema)
+        return PineconeUpsertWriter(dict(self.options), overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> PineconeStreamWriter:
+        QdrantDataSource._check_write_schema(schema)
+        return PineconeStreamWriter(dict(self.options), overwrite)
+
+
 class QdrantDataSource(DataSource):
     """``format("qdrant")`` — register with
     :func:`register_data_sources`."""
@@ -759,3 +917,4 @@ def register_data_sources(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(QdrantDataSource)
     spark.dataSource.register(MilvusDataSource)
+    spark.dataSource.register(PineconeDataSource)
