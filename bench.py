@@ -79,6 +79,7 @@ HEADLINE = [
     "scd2_order_status",
     "anomaly_zscore_events",
     "range_join_value_bands",
+    "bin_equal_frequency_events",
     "histogram_event_values",
     "cube_order_status_priority",
 ]

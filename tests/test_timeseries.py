@@ -66,3 +66,20 @@ def test_zscore_anomalies_flags_only_outliers(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # stats side broadcast, no skewed window
     assert "Window" not in plan
+
+
+def test_equal_frequency_bins_quartiles(spark):
+    from vectordb_migrator_spark.operators.slicing import equal_frequency_bins
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "value double"
+    )
+    out = equal_frequency_bins(df, value_col="value")
+    counts = {
+        r["bin"]: r["n"]
+        for r in out.groupBy("bin").agg(F.count("*").alias("n")).collect()
+    }
+    # 1..100: boundaries 25.75/50.5/75.25 → 25/25/25/25
+    assert counts == {1: 25, 2: 25, 3: 25, 4: 25}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan  # no global ordering — broadcast bounds

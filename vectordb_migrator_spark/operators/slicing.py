@@ -170,3 +170,38 @@ def weighted_sample(
         .limit(k)
         .drop("_aes_key")
     )
+
+
+def equal_frequency_bins(
+    df: DataFrame,
+    *,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Quantile (equal-frequency) binning: rows land in bin ``i`` when
+    their value is <= the ``i``-th exact-percentile boundary (1-based;
+    the last bin catches the rest).
+
+    The obvious ``ntile(n) OVER (ORDER BY value)`` needs a GLOBAL sort
+    — every row through one ordering, the classic scale cliff. Here
+    the boundaries reduce to ONE aggregate row (exact interpolated
+    percentile, map-side combinable) broadcast back into the scan, so
+    the data itself never sorts and never shuffles. Ties and
+    boundary-equal values bin deterministically (<= comparison).
+    Unlike ntile, bin populations can deviate when many rows tie at a
+    boundary — the price of not sorting; at training-data scale that
+    is the correct trade.
+    """
+    bounds = df.agg(
+        F.percentile(value_col, F.array(*[F.lit(p) for p in probs])).alias("__b")
+    )
+    expr = F.when(F.col(value_col) <= F.col("__b")[0], 1)
+    for i in range(1, len(probs)):
+        expr = expr.when(F.col(value_col) <= F.col("__b")[i], i + 1)
+    expr = expr.otherwise(len(probs) + 1)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(bin_col, expr)
+        .drop("__b")
+    )

@@ -2852,6 +2852,43 @@ def window_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bin_equal_frequency_events",
+    """
+    WITH b AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS q
+               FROM events)
+    SELECT CASE WHEN e.value <= b.q[1] THEN 1
+                WHEN e.value <= b.q[2] THEN 2
+                WHEN e.value <= b.q[3] THEN 3 ELSE 4 END AS bin,
+           count(*)::BIGINT AS n,
+           round(min(e.value), 6) AS lo,
+           round(max(e.value), 6) AS hi,
+           (sum(e.value::DECIMAL(18,2)))::DOUBLE AS total
+    FROM events e, b GROUP BY 1 ORDER BY 1
+    """,
+)
+def bin_equal_frequency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning without the global ntile sort: exact-percentile
+    boundaries fold to one broadcast row; assignment is a when-chain
+    in the scan. Rolled up per bin."""
+    from vectordb_migrator_spark.operators.slicing import equal_frequency_bins
+
+    ev = _t(spark, sf_dir, "events").select("value")
+    return (
+        equal_frequency_bins(ev, value_col="value")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
     "events_time_hierarchy_rollup",
     """
     WITH base AS (
