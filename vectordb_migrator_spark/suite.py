@@ -3820,7 +3820,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_retrieval_metrics",
     "x4_hamming_topk",
     "x4_hybrid_rrf",
-    "x4_brp_approx_join",
+    "events_time_hierarchy_rollup",  # hash-verified (was rows-only slot)
     "x3_label_centroids",
     "x2_dedup_clusters",
     "x10_hash_split",
@@ -3834,7 +3834,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "udtf_json_props",
     "window_running_total",
     "timeseries_gap_fill",
-    "x7_approx_percentile",
+    "bin_equal_frequency_events",  # hash-verified (was rows-only slot)
     # --- round-3 queries needing first driver signal ---
     "x4_lsh_bucket_topk",  # oracle added round 3 (was no_oracle)
     "x4_binary_rerank",  # new round-3 operator (Hamming → float rerank)
