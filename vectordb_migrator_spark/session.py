@@ -54,4 +54,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from vectordb_migrator_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
     return spark
