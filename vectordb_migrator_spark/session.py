@@ -54,7 +54,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    from vectordb_migrator_spark.sources.pyds import register_data_sources
+    try:
+        from vectordb_migrator_spark.sources.pyds import register_data_sources
 
-    register_data_sources(spark)
+        register_data_sources(spark)
+    except Exception:  # pragma: no cover - registration must never
+        # take down sessions that don't touch the connector formats
+        pass
     return spark
