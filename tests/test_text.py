@@ -230,3 +230,20 @@ def test_unigram_surprisal_matches_python(spark):
     # is exercised (cat/on/mat/dog/qwv fall outside the top-3 vocab)
     assert min(got, key=lambda d: got[d][0]) == 4
     assert got[1][0] > got[2][0] > got[4][0]
+
+
+def test_unigram_surprisal_tokenizes_at_most_twice_per_pass(spark):
+    """Corpus totals must derive from the token-count table, not a
+    fresh explode of the corpus: the plan may tokenize for the score
+    pass and the statistics pass, but a third Generate (the regression
+    this pins) means the totals re-scan the corpus."""
+    from vectordb_migrator_spark.operators.cleaning import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    plan = (
+        unigram_surprisal(df, vocab_size=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Generate") <= 3  # score + (vocab/stats shared subtree)
