@@ -319,3 +319,40 @@ class FakePineconeClient:
 
 def pinecone_factory(connection):
     return FakePineconeClient(connection)
+
+
+class FakeQdrantGrowingClient(FakeQdrantClient):
+    """Points live in a JSONL file under store_dir, so tests can append
+    between streaming triggers — the incremental-extraction scenario
+    (readStream.format("qdrant"))."""
+
+    def _points(self):
+        path = f"{self.store}/src.collection.jsonl"
+        pts = []
+        if os.path.exists(path):
+            for line in open(path):
+                d = json.loads(line)
+                pts.append(
+                    SimpleNamespace(
+                        id=d["id"], vector=d["vector"], payload=d.get("payload", {})
+                    )
+                )
+        return pts
+
+    @staticmethod
+    def seed(store_dir, points):
+        with open(f"{store_dir}/src.collection.jsonl", "a") as f:
+            for p in points:
+                f.write(json.dumps(p) + "\n")
+
+    def scroll(self, collection_name, limit, offset=None, with_payload=True,
+               with_vectors=True, scroll_filter=None, shard_key_selector=None):
+        pts = self._filtered(self._points(), scroll_filter)
+        start = offset or 0
+        page = pts[start : start + limit]
+        nxt = start + len(page)
+        return page, (nxt if nxt < len(pts) else None)
+
+
+def qdrant_growing_factory(connection):
+    return FakeQdrantGrowingClient(connection)

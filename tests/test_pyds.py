@@ -530,3 +530,84 @@ def test_pinecone_stream_sink(spark, tmp_path):
             for line in open(os.path.join(store, f)):
                 recs.add(json.loads(line)["id"])
     assert recs == {f"s{i}" for i in range(8)}
+
+
+def test_stream_reader_incremental_extraction(spark, tmp_path):
+    """readStream.format("qdrant"): a first availableNow run drains the
+    collection page by page; points appended afterwards surface in a
+    SECOND run from the SAME checkpoint with no re-emission — the
+    cursor offset survives in the checkpoint."""
+    from fake_backends import FakeQdrantGrowingClient
+
+    store = str(tmp_path)
+    FakeQdrantGrowingClient.seed(
+        store,
+        [{"id": i, "vector": [float(i)], "payload": {"n": f"p{i}"}} for i in range(10)],
+    )
+
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("qdrant")
+            .option("client_factory", "fake_backends:qdrant_growing_factory")
+            .option("collection_name", "src")
+            .option("store_dir", store)
+            .option("batch_size", "4")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = sorted(int(r["id"]) for r in spark.read.parquet(out).collect())
+    assert first == list(range(10))
+
+    FakeQdrantGrowingClient.seed(
+        store,
+        [{"id": i, "vector": [float(i)], "payload": {}} for i in range(10, 15)],
+    )
+    run()
+    # same checkpoint → only the 5 new points appended, no re-emission
+    second = sorted(int(r["id"]) for r in spark.read.parquet(out).collect())
+    assert second == list(range(15))
+    r3 = {r["id"]: r for r in spark.read.parquet(out).collect()}
+    assert r3["3"]["metadata"] == {"n": "p3"}
+
+
+def test_streaming_migration_end_to_end(spark, tmp_path):
+    """The complete native streaming migration: readStream from one
+    collection, writeStream into another — the reference's future-work
+    feature as one lazy pipeline with exactly-once-per-id."""
+    from fake_backends import FakeQdrantGrowingClient
+
+    store = str(tmp_path)
+    FakeQdrantGrowingClient.seed(
+        store,
+        [{"id": i, "vector": [0.5, float(i)], "payload": {"s": "x"}}
+         for i in range(12)],
+    )
+    q = (
+        spark.readStream.format("qdrant")
+        .option("client_factory", "fake_backends:qdrant_growing_factory")
+        .option("collection_name", "src")
+        .option("store_dir", store)
+        .option("batch_size", "5")
+        .load()
+        .writeStream.format("qdrant")
+        .option("client_factory", FACTORY)
+        .option("collection_name", "tgt")
+        .option("store_dir", store)
+        .option("vector_dimension", "2")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    points = read_upserted_points(store, "tgt")
+    assert set(points) == set(range(12))  # ids coerced, all migrated
+    assert points[7]["payload"] == {"s": "x"}

@@ -29,6 +29,10 @@ into Spark's own planner hooks instead of a pre-built DataFrame:
   declared-but-unbuilt incremental migration (``README.md:286``) as a
   native Structured Streaming sink, exactly-once-per-id because
   replayed microbatches re-upsert the same ids.
+- **Streaming source** (``readStream.format("qdrant")``): incremental
+  extraction via a checkpointed scroll-cursor offset — combined with
+  the sink, a complete streaming migration is one lazy
+  ``readStream → writeStream`` pipeline.
 - **Milvus** (``format("milvus")``): schema-driven scan (PK / first
   vector field / scalars from ``describe_collection``), PK-residue
   partition planning, expr pushdown with a push-and-recheck policy
@@ -70,6 +74,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    SimpleDataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -271,6 +276,111 @@ class QdrantScanReader(DataSourceReader):
             close = getattr(client, "close", None)
             if close:
                 close()
+
+
+class QdrantStreamScanReader(SimpleDataSourceStreamReader):
+    """``readStream.format("qdrant")`` — incremental extraction: each
+    microbatch scrolls ONE page forward from the checkpointed cursor,
+    so a collection drains progressively and new points appended after
+    the cursor surface in later batches. The offset is
+    ``{"cursor": <scroll cursor>, "skip": <rows already emitted from
+    that cursor>}`` — cursors are opaque server tokens, so end-of-
+    collection keeps the LAST cursor and counts rows consumed past it
+    (a re-scroll skips them); that makes restarts exact without
+    assuming cursor arithmetic. SimpleDataSourceStreamReader reads on
+    the driver — right for modest incremental rates; bulk backfills
+    belong to the partition-planned batch scan. Standard cursor-stream
+    caveat: points inserted BEFORE the current cursor position are
+    missed until a restart from scratch (at-least-once per id overall,
+    and the idempotent sinks absorb re-reads)."""
+
+    def __init__(self, options: dict[str, str], schema: StructType):
+        self.options = dict(options)
+        self.collection = options.get("collection_name", "default_collection")
+        self.batch = int(options.get("batch_size", 1_000))
+        self.base_filter = (
+            json.loads(options["filter"]) if options.get("filter") else None
+        )
+        self.meta_cols = [
+            f.name for f in schema.fields if f.name not in ("id", "vector")
+        ]
+        self.canonical = "metadata" in [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"cursor": None, "skip": 0}
+
+    def _rows(self, points) -> list[tuple]:
+        # a concrete list — the engine pickles prefetched batches
+        out = []
+        for p in points:
+            vec = list(p.vector) if p.vector is not None else None
+            meta = {str(k): str(v) for k, v in (p.payload or {}).items()}
+            if self.canonical:
+                out.append((str(p.id), vec, meta))
+            else:
+                out.append(
+                    (str(p.id), vec, *(meta.get(c) for c in self.meta_cols))
+                )
+        return out
+
+    def _scroll_page(self, client, cursor):
+        return client.scroll(
+            collection_name=self.collection,
+            limit=self.batch,
+            offset=cursor,
+            with_payload=True,
+            with_vectors=True,
+            scroll_filter=self.base_filter,
+        )
+
+    def _client(self):
+        factory = _resolve_factory(self.options.get("client_factory"))
+        return factory(_connection(self.options))
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        # drain everything available (the documented contract): loop
+        # the cursor to exhaustion, then park on the LAST page's start
+        # cursor with an absolute skip count so the next trigger (or a
+        # restart) resumes mid-page without re-emitting.
+        client = self._client()
+        try:
+            rows: list[tuple] = []
+            cursor, skip = start["cursor"], start.get("skip", 0)
+            while True:
+                points, nxt = self._scroll_page(client, cursor)
+                rows.extend(self._rows(points[skip:]))
+                if nxt is None:
+                    end = {"cursor": cursor, "skip": len(points)}
+                    return rows, end
+                cursor, skip = nxt, 0
+        finally:
+            close = getattr(client, "close", None)
+            if close:
+                close()
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        # deterministic replay for recovery: walk pages from the start
+        # offset and stop at the end offset's (cursor, skip) position
+        client = self._client()
+        try:
+            rows: list[tuple] = []
+            cursor, skip = start["cursor"], start.get("skip", 0)
+            while True:
+                points, nxt = self._scroll_page(client, cursor)
+                if cursor == end.get("cursor"):
+                    rows.extend(self._rows(points[skip : end.get("skip", 0)]))
+                    return rows
+                rows.extend(self._rows(points[skip:]))
+                if nxt is None:
+                    return rows
+                cursor, skip = nxt, 0
+        finally:
+            close = getattr(client, "close", None)
+            if close:
+                close()
+
+    def commit(self, end: dict) -> None:
+        return None
 
 
 @dataclass
@@ -907,6 +1017,9 @@ class QdrantDataSource(DataSource):
     def streamWriter(self, schema: StructType, overwrite: bool) -> QdrantStreamWriter:
         self._check_write_schema(schema)
         return QdrantStreamWriter(dict(self.options), overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> QdrantStreamScanReader:
+        return QdrantStreamScanReader(dict(self.options), schema)
 
 
 def register_data_sources(spark) -> None:
