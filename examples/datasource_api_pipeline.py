@@ -78,3 +78,30 @@ def incremental_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_migration(
+    spark: SparkSession,
+    *,
+    source_opts: dict[str, str],
+    target_opts: dict[str, str],
+    checkpoint: str,
+):
+    """Collection → collection as one lazy streaming pipeline.
+
+    The source drains incrementally on a checkpointed scroll cursor
+    (new points surface in later batches); the sink upserts by id, so
+    the whole migration is exactly-once-per-id and restartable from
+    the checkpoint — run it on a schedule with availableNow for
+    incremental-batch migration, or leave it running continuously."""
+    register_data_sources(spark)
+    return (
+        spark.readStream.format("qdrant")
+        .options(**source_opts)
+        .load()
+        .writeStream.format("qdrant")
+        .options(**target_opts)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -176,3 +176,37 @@ def test_datasource_api_example_batch_and_stream(spark, tmp_path):
     from fake_backends import read_upserted_points
 
     assert set(read_upserted_points(store, "inc")) == set(range(5))
+
+
+def test_datasource_streaming_migration_example(spark, tmp_path):
+    import sys
+
+    from fake_backends import FakeQdrantGrowingClient, read_upserted_points
+
+    sys.path.insert(0, "examples")
+    try:
+        import datasource_api_pipeline as ex
+    finally:
+        sys.path.pop(0)
+
+    store = str(tmp_path)
+    FakeQdrantGrowingClient.seed(
+        store, [{"id": i, "vector": [1.0], "payload": {}} for i in range(6)]
+    )
+    q = ex.streaming_migration(
+        spark,
+        source_opts={
+            "client_factory": "fake_backends:qdrant_growing_factory",
+            "collection_name": "src",
+            "store_dir": store,
+        },
+        target_opts={
+            "client_factory": "fake_backends:qdrant_factory",
+            "collection_name": "mirror",
+            "store_dir": store,
+            "vector_dimension": "1",
+        },
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert set(read_upserted_points(store, "mirror")) == set(range(6))
