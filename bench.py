@@ -52,6 +52,7 @@ HEADLINE = [
     "x2_ngram_jaccard_pairs",
     "x2_minhash_lsh_pairs",
     "x2_lsh_near_dup",
+    "x2_dedup_apply",
     "x3_cosine_topk",
     "x3_knn_join",
     "x4_ivf_topk",

@@ -547,3 +547,27 @@ def lsh_embedding_near_dup_pairs(
         block_col="__bucket",
         threshold=threshold,
     )
+
+
+def apply_dedup(
+    df: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a dedup decision: keep ONE representative per
+    near-dup cluster (the minimum id — exactly the cluster label
+    :func:`~vectordb_migrator_spark.operators.graph
+    .connected_components` assigns) plus every unclustered document.
+
+    The apply step the detect→cluster pipeline ends with: ``clusters``
+    holds only documents that participate in at least one near-dup
+    pair, so the join side is duplicate-sized, not corpus-sized — one
+    key-partitioned join (AQE broadcasts it when small), a null-or-
+    representative filter, and the corpus never moves otherwise."""
+    c = clusters.withColumnRenamed("id", id_col)
+    return (
+        df.join(c, id_col, "left")
+        .filter(F.col("comp").isNull() | (F.col(id_col) == F.col("comp")))
+        .drop("comp")
+    )
