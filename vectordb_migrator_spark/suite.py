@@ -891,6 +891,56 @@ ORACLES["x4_lsh_bucket_topk"] = _lsh_bucket_sql()
 
 
 @query(
+    "x9_pq_encode",
+    """
+    WITH cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.embedding[t.i]::DOUBLE - c.cv[t.i]) *
+                 (e.embedding[t.i]::DOUBLE - c.cv[t.i])) AS dist
+      FROM embeddings e, range(1, 65) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           max(CASE WHEN s = 0 THEN j END)::INT AS c0,
+           max(CASE WHEN s = 1 THEN j END)::INT AS c1,
+           max(CASE WHEN s = 2 THEN j END)::INT AS c2,
+           max(CASE WHEN s = 3 THEN j END)::INT AS c3
+    FROM code GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def x9_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — PQ code materialization: the m-byte-per-vector compressed
+    corpus a production pipeline stores instead of raw floats (16
+    codewords/subspace → 4 bytes replaces 256). Every code is
+    hash-verified against the SQL argmin."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_encode,
+        pq_sampled_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    enc = pq_encode(emb, cbs)
+    return enc.select(
+        "vec_id",
+        *[
+            F.element_at("pq_code", s + 1).alias(f"c{s}")
+            for s in range(4)
+        ],
+    ).orderBy("vec_id")
+
+
+@query(
     "x4_pq_adc_topk",
     f"""
     WITH p AS (SELECT {_PROBE_SQL} AS pv),
