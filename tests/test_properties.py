@@ -329,3 +329,50 @@ def test_scd2_history_matches_python_reference(spark, changes):
             nxt = versions[v][0] if v < len(versions) else None
             expected.append((k, v, s, ts, nxt))
     assert got == sorted(expected)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=30.0, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=25.0, allow_nan=False),
+            st.floats(min_value=0.1, max_value=12.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([0.5, 1.0, 3.0, 7.0]),
+)
+def test_range_join_bucketed_equals_broadcast_property(
+    spark, values, intervals, cell_width
+):
+    """Grid-cell equi-join == nested-loop inequality join for random
+    (possibly overlapping) intervals and any cell width."""
+    from vectordb_migrator_spark.operators.relational import (
+        range_join,
+        range_join_bucketed,
+    )
+
+    facts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "fid long, value double"
+    )
+    bands = spark.createDataFrame(
+        [(i, lo, lo + w) for i, (lo, w) in enumerate(intervals)],
+        "band long, lo double, hi double",
+    )
+    kw = dict(value_col="value")
+    exact = {
+        (r["fid"], r["band"]) for r in range_join(facts, bands, **kw).collect()
+    }
+    got = {
+        (r["fid"], r["band"])
+        for r in range_join_bucketed(
+            facts, bands, cell_width=cell_width, **kw
+        ).collect()
+    }
+    assert got == exact
