@@ -24,6 +24,7 @@ HEADLINE = [
     "q5_region_revenue",
     "events_hourly_rollup",
     "events_time_hierarchy_rollup",
+    "window_ewma_daily",
     "window_top_orders",
     "window_running_total",
     "rollup_pricing",

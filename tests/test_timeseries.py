@@ -83,3 +83,37 @@ def test_equal_frequency_bins_quartiles(spark):
     assert counts == {1: 25, 2: 25, 3: 25, 4: 25}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Sort" not in plan  # no global ordering — broadcast bounds
+
+
+def test_window_ewma_matches_recursive_python(spark):
+    """The closed-form window EWMA must equal the recursive definition
+    (seeded with the first value) on a toy series."""
+    import sys
+    sys.path.insert(0, ".")
+    from vectordb_migrator_spark.suite import QUERIES  # noqa: F401
+
+    a = 0.3
+    xs = [10.0, 20.0, 5.0, 7.0, 30.0]
+    ew = xs[0]
+    want = [round(ew, 6)]
+    for x in xs[1:]:
+        ew = a * x + (1 - a) * ew
+        want.append(round(ew, 6))
+
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(xs)], "rn int, n double"
+    )
+    w = W.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    term = F.when(F.col("rn") == 1, F.lit(0.0)).otherwise(
+        F.col("n") / F.pow(F.lit(1 - a), F.col("rn"))
+    )
+    ewma = (
+        F.lit(a) * F.pow(F.lit(1 - a), F.col("rn")) * F.sum(term).over(w)
+        + F.pow(F.lit(1 - a), F.col("rn") - 1) * F.first("n").over(W.orderBy("rn"))
+    )
+    got = [
+        r["e"] for r in df.select(F.round(ewma, 6).alias("e")).orderBy("rn").collect()
+    ]
+    assert got == want

@@ -2913,6 +2913,59 @@ def window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_ewma_daily",
+    """
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*)::DOUBLE AS n
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT day, n,
+             row_number() OVER (ORDER BY day)::INT AS rn
+      FROM daily
+    )
+    SELECT day, n::BIGINT AS n,
+           round(0.3 * power(0.7, rn) *
+                 sum(CASE WHEN rn = 1 THEN 0.0
+                          ELSE n / power(0.7, rn) END)
+                   OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+                 + power(0.7, rn - 1) *
+                   first_value(n) OVER (ORDER BY rn), 6) AS ewma
+    FROM r ORDER BY day
+    """,
+)
+def window_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over the daily series —
+    the classic 'recursive' smoother (ewma_t = a*x_t + (1-a)*ewma_t-1,
+    seeded with x_1) rewritten as closed-form window algebra:
+    ewma_t = a*(1-a)^t * cumsum(x_i/(1-a)^i, i>=2) + (1-a)^(t-1)*x_1
+    — no recursion, no UDAF, one sort of a day-sized series."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    w_rn = W.orderBy("day")
+    r = daily.withColumn("rn", F.row_number().over(w_rn).cast("int"))
+    w = W.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    a = 0.3
+    term = F.when(F.col("rn") == 1, F.lit(0.0)).otherwise(
+        F.col("n") / F.pow(F.lit(1 - a), F.col("rn"))
+    )
+    ewma = (
+        F.lit(a) * F.pow(F.lit(1 - a), F.col("rn")) * F.sum(term).over(w)
+        + F.pow(F.lit(1 - a), F.col("rn") - 1)
+        * F.first("n").over(W.orderBy("rn"))
+    )
+    return r.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round(ewma, 6).alias("ewma"),
+    ).orderBy("day")
+
+
+@query(
     "window_above_customer_avg",
     """
     SELECT c.c_custkey, sum(above)::BIGINT AS n_above
