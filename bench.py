@@ -54,6 +54,7 @@ HEADLINE = [
     "x2_minhash_lsh_pairs",
     "x2_lsh_near_dup",
     "x2_dedup_apply",
+    "x2_dedup_incremental",
     "x3_cosine_topk",
     "x3_knn_join",
     "x4_ivf_topk",

@@ -571,3 +571,101 @@ def apply_dedup(
         .filter(F.col("comp").isNull() | (F.col(id_col) == F.col("comp")))
         .drop("comp")
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Ingest-time dedup of a NEW batch against an existing corpus —
+    the production daily-ingest pattern: the corpus is already deduped
+    and never re-examined against itself; only batch-vs-corpus and
+    batch-vs-earlier-batch pairs form.
+
+    Rejection rule (deterministic, first-seen wins with id as the
+    stand-in for arrival order): a batch document is dropped when its
+    n-gram Jaccard reaches ``threshold`` against ANY corpus document
+    or ANY batch document with a smaller id. The rule is pairwise —
+    a rejected batch doc still rejects its own later near-dups (the
+    behavior of signature-store ingest filters, which register a
+    document's signature whether or not it survived).
+
+    Returns the surviving batch rows. Ids must be disjoint across the
+    two frames.
+
+    Scale design mirrors :func:`ngram_jaccard_pairs`: one gram
+    shuffle, in-bucket pair generation with the side/order condition
+    applied INSIDE the bucket (corpus-corpus pairs never materialize),
+    ``max_df`` capping hot shingles. The corpus side moves only its
+    (gram, id) pairs — at 100 TB you persist the corpus shingle table
+    once and reuse it every ingest.
+    """
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        return (
+            fan_out(df)
+            .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+            .withColumn("sh_n", F.size("sh"))
+            .withColumn("side", F.lit(side))
+        )
+
+    exploded = (
+        prep(batch, "b")
+        .unionByName(prep(corpus, "c"))
+        .select("id", "sh_n", "side", F.explode("sh").alias("g"))
+    )
+    if max_df is not None:
+        keep = (
+            exploded.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
+        )
+        exploded = exploded.join(keep, "g", "left_semi")
+    buckets = exploded.groupBy("g").agg(
+        F.collect_list(F.struct("id", "sh_n", "side")).alias("docs")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("docs"),
+                    lambda b: F.when(
+                        (a.getField("side") == "b")
+                        & (
+                            (b.getField("side") == "c")
+                            | (b.getField("id") < a.getField("id"))
+                        ),
+                        F.struct(
+                            a.getField("id").alias("id_a"),
+                            b.getField("id").alias("id_b"),
+                            a.getField("sh_n").alias("n_a"),
+                            b.getField("sh_n").alias("n_b"),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    flagged = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("common"))
+        .filter(
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
+            >= threshold
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return batch.join(flagged, id_col, "left_anti")

@@ -2883,6 +2883,50 @@ def x2_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_dedup_incremental",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), flagged AS (
+      SELECT DISTINCT a.id AS bid
+      FROM ex a JOIN ex b ON a.gram = b.gram
+      WHERE a.id % 5 = 0
+        AND (b.id % 5 != 0 OR b.id < a.id)
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT bid FROM flagged)
+    ORDER BY doc_id
+    """,
+)
+def x2_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — ingest-time dedup: every 5th doc arrives as the NEW batch,
+    the rest are the already-deduped corpus. A batch doc is rejected
+    when it near-dups any corpus doc or an earlier batch doc; the
+    corpus never self-joins — the daily-ingest cost profile."""
+    from vectordb_migrator_spark.operators.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return (
+        incremental_dedup(batch, corpus, n=3, threshold=0.2)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "window_moving_average",
     """
     WITH daily AS (
