@@ -167,3 +167,49 @@ def test_enrich_stream_static_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["k"]: r["label"] for r in spark.sql("select * from enriched").collect()}
     assert rows == {1: "one", 2: "two", 3: "three", 9: None}
+
+
+def test_deduped_ingest_streaming(spark, tmp_path):
+    """X2 + X8: micro-batches dedup against the growing corpus — the
+    second batch's near-dup of an already-ingested doc is dropped,
+    its novel doc survives, and ids never duplicate."""
+    from vectordb_migrator_spark.streaming.incremental import deduped_ingest
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    schema = "doc_id long, text string"
+
+    def run():
+        q = deduped_ingest(
+            spark,
+            source_path=src,
+            source_schema=schema,
+            corpus_path=corpus,
+            checkpoint=str(tmp_path / "ckpt"),
+            n=3,
+            threshold=0.5,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "completely different first text"),
+            (3, "alpha beta gamma delta epsilon"),  # in-batch dup of 1
+        ],
+        schema,
+    ).write.parquet(src)
+    run()
+    first = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert first == [1, 2]
+
+    spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # dups corpus doc 1
+            (11, "a genuinely novel second batch"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    run()
+    second = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert second == [1, 2, 11]

@@ -98,3 +98,71 @@ def enrich_stream(
     data. The static side is re-read per micro-batch, so a dim backed
     by a mutable table picks up updates between batches."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def deduped_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    corpus_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    source_format: str = "parquet",
+    trigger_once: bool = True,
+):
+    """Streaming ingest with near-dup filtering — X2 meets X8: every
+    micro-batch dedups against the PERSISTED corpus (and its own
+    earlier rows) via :func:`~vectordb_migrator_spark.operators.dedup
+    .incremental_dedup`, and only survivors append to the corpus.
+
+    Replay safety: before dedup, batch rows whose id already exists in
+    the corpus are dropped (a replayed micro-batch would otherwise
+    collide with its own surviving copies), so restarts from the
+    checkpoint are exactly-once-per-id. The corpus parquet is re-read
+    per batch — at scale, store its shingle table alongside and skip
+    re-shingling history every batch."""
+    from pyspark.sql.utils import AnalysisException
+
+    from vectordb_migrator_spark.operators.dedup import incremental_dedup
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            corpus = sess.read.parquet(corpus_path)
+            have = True
+        except AnalysisException:
+            have = False
+        if have:
+            fresh = batch_df.join(
+                corpus.select(id_col), id_col, "left_anti"
+            )
+            survivors = incremental_dedup(
+                fresh, corpus, id_col=id_col, text_col=text_col,
+                n=n, threshold=threshold,
+            )
+        else:
+            # empty corpus: batch still dedups against itself
+            empty = batch_df.limit(0)
+            survivors = incremental_dedup(
+                batch_df, empty, id_col=id_col, text_col=text_col,
+                n=n, threshold=threshold,
+            )
+        survivors.write.mode("append").parquet(corpus_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
