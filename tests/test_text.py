@@ -247,3 +247,23 @@ def test_unigram_surprisal_tokenizes_at_most_twice_per_pass(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Generate") <= 3  # score + (vocab/stats shared subtree)
+
+
+def test_normalize_for_dedup(spark):
+    from vectordb_migrator_spark.functions.text import normalize_for_dedup
+
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!! (v2) ",), ("a-b_c",), ("",)], ["t"]
+    )
+    vals = [r[0] for r in df.select(normalize_for_dedup("t")).collect()]
+    assert vals == ["hello world v2", "a b c", ""]
+    # normalized twins now shingle identically
+    a = spark.createDataFrame(
+        [(1, "The Quick, Brown Fox!"), (2, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    from vectordb_migrator_spark.operators.dedup import ngram_jaccard_pairs
+
+    norm = a.select("doc_id", normalize_for_dedup("text").alias("text"))
+    pairs = ngram_jaccard_pairs(norm, n=3, threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]

@@ -156,3 +156,17 @@ def pii_count(col: Column | str) -> Column:
         F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0))
         + F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), 0))
     ).cast("long")
+
+
+def normalize_for_dedup(col: Column | str) -> Column:
+    """Canonicalize text the way dedup pipelines do before shingling:
+    lowercase, strip punctuation to spaces, collapse whitespace runs,
+    trim. Near-dup detection over the normalized form catches pairs
+    that differ only in casing/punctuation — pure codegen (two
+    regexp_replace + lower + trim), no Python, no external Unicode
+    libs (ASCII-class punctuation; full NFKC needs ICU, stubbed out of
+    scope in this container)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

@@ -2883,6 +2883,30 @@ def x2_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_text_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 \t\n\r]', ' ', 'g'),
+             '[ \t\n\r]+', ' ', 'g')) AS normalized
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x5_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — dedup-grade text canonicalization (lowercase, punctuation
+    → space, whitespace collapse, trim): the preprocessing step that
+    makes near-dup detection robust to casing/punctuation noise. Pure
+    codegen string expressions."""
+    from vectordb_migrator_spark.functions.text import normalize_for_dedup
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", normalize_for_dedup("text").alias("normalized"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "x2_dedup_incremental",
     r"""
     WITH sh AS (
