@@ -61,6 +61,7 @@ HEADLINE = [
     "x4_hamming_topk",
     "x4_binary_rerank",
     "x4_pq_adc_topk",
+    "x4_lsh_multiprobe_topk",
     "x9_embedding_pool",
     "x9_chunk_feature_pool",
     "x9_pack_chunks",

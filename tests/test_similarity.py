@@ -254,3 +254,20 @@ def test_pq_adc_plan_is_single_scan_topk(embeddings, probe):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lsh_multiprobe_supersets_single_bucket(embeddings, probe):
+    """The multi-probe candidate set contains the single-bucket set
+    (the probe's own bucket is always scanned), and its top-k scores
+    are >= the single-bucket ones pointwise."""
+    from vectordb_migrator_spark.suite import _PLANES
+    from vectordb_migrator_spark.operators.similarity import (
+        lsh_bucket_topk,
+        lsh_multiprobe_topk,
+    )
+
+    single = lsh_bucket_topk(embeddings, probe, _PLANES, k=10).collect()
+    multi = lsh_multiprobe_topk(embeddings, probe, _PLANES, k=10).collect()
+    assert len(multi) >= len(single)
+    for s, m in zip(single, multi):
+        assert m["score"] >= s["score"]

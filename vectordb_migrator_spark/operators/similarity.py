@@ -389,3 +389,28 @@ def binary_rerank_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def lsh_multiprobe_topk(
+    df: DataFrame,
+    probe: list[float],
+    planes: list[list[float]],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH: scan the probe's signature bucket AND every
+    bucket at Hamming distance 1 (one flipped hyperplane bit) — the
+    standard recall recovery for bucketed LSH. Near misses usually
+    differ in exactly one marginal hyperplane sign, so probing the
+    nbits neighbors recovers most of what single-bucket probing loses
+    at the cost of scanning (nbits+1)/2^nbits of the corpus instead of
+    1/2^nbits — still a bucketed scan, no extra plane sets, no join.
+    All candidate buckets fold to plan-time constants."""
+    sig = random_hyperplane_signature(F.col(vec_col), planes)
+    probe_sig = random_hyperplane_signature(probe_literal(probe), planes)
+    cond = sig == probe_sig
+    for i in range(len(planes)):
+        cond = cond | (sig == probe_sig.bitwiseXOR(F.lit(1 << i).cast("long")))
+    return cosine_topk(df.filter(cond), probe, k=k, id_col=id_col, vec_col=vec_col)

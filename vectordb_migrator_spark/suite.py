@@ -890,6 +890,46 @@ def x4_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x4_lsh_bucket_topk"] = _lsh_bucket_sql()
 
 
+def _lsh_multiprobe_sql() -> str:
+    sig_expr = _plane_sig_sql
+    neighbors = ", ".join(
+        f"xor(psig.ps, {1 << i})" for i in range(len(_PLANES))
+    )
+    return f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {sig_expr('embedding::DOUBLE[]')} AS sig
+      FROM embeddings
+    ),
+    psig AS (SELECT {sig_expr('pv')} AS ps FROM p)
+    SELECT s.vec_id,
+           round(list_dot_product(s.v, p.pv) /
+                 (sqrt(list_dot_product(s.v, s.v)) *
+                  sqrt(list_dot_product(p.pv, p.pv))), 6) AS score
+    FROM sig s, p, psig
+    WHERE s.sig IN (psig.ps, {neighbors})
+    ORDER BY score DESC, s.vec_id LIMIT 10
+    """
+
+
+@query("x4_lsh_multiprobe_topk", None)  # oracle attached below
+def x4_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — multi-probe LSH: the probe bucket plus all one-bit-flip
+    neighbor buckets; recall recovery without extra plane sets."""
+    from vectordb_migrator_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+    )
+
+    probe = _probe_vector(spark, sf_dir)
+    return lsh_multiprobe_topk(
+        _t(spark, sf_dir, "embeddings"), probe, _PLANES, k=10
+    )
+
+
+ORACLES["x4_lsh_multiprobe_topk"] = _lsh_multiprobe_sql()
+
+
 @query(
     "x9_pq_encode",
     """
