@@ -488,6 +488,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.95,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column.
 
@@ -495,12 +496,56 @@ def embedding_near_dup_pairs(
     self-join is per-block — the 100 TB path; the all-pairs fallback is
     for small corpora / verification only. Vectors are pre-normalized
     once so the pair test is a dot product.
+
+    ``max_bucket`` bounds the per-block pair blow-up exactly like the
+    MinHash/SimHash caps: a degenerate corpus (many near-zero or
+    same-direction vectors) can land N rows in ONE block, making the
+    self-join O(N²) in a single task. Blocks over the cap switch to a
+    STAR around the block's min-id row (N-1 pairs, O(N)): in-block
+    connectivity is preserved for downstream connected-components
+    clustering, and blocks at or under the cap are byte-identical to
+    the uncapped plan (property-tested). The cap is a window over the
+    existing block partitioning — no extra shuffle.
     """
     normed = df.select(
         F.col(id_col).alias("id"),
         l2_normalize(vec_col).alias("v"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
+    if block_col and max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("blk")
+        marked = normed.withColumn("n_bkt", F.count("*").over(w)).withColumn(
+            "anchor", F.min(F.struct("id", "v")).over(w)
+        )
+        small = marked.filter(F.col("n_bkt") <= max_bucket)
+        full = (
+            small.select(
+                F.col("id").alias("id_a"), F.col("v").alias("v_a"), "blk"
+            )
+            .join(
+                small.select(
+                    F.col("id").alias("id_b"), F.col("v").alias("v_b"), "blk"
+                ),
+                ["blk"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        star = marked.filter(
+            (F.col("n_bkt") > max_bucket) & (F.col("anchor.id") < F.col("id"))
+        ).select(
+            F.col("anchor.id").alias("id_a"),
+            F.col("anchor.v").alias("v_a"),
+            F.col("id").alias("id_b"),
+            F.col("v").alias("v_b"),
+        )
+        joined = full.select("id_a", "v_a", "id_b", "v_b").unionAll(star)
+        return (
+            joined.withColumn("cos", cosine_similarity("v_a", "v_b"))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        )
     a = normed.select(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"),
         *([F.col("blk")] if block_col else []),
@@ -525,6 +570,7 @@ def lsh_embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup with hyperplane-LSH blocking — the label-free
     scale path for :func:`embedding_near_dup_pairs`. Rows bucket by
@@ -532,7 +578,14 @@ def lsh_embedding_near_dup_pairs(
     the per-bucket self-join then generates candidate pairs inside
     ~1/2^nbits of the corpus instead of all-pairs. Recall follows the
     standard LSH trade: pairs split across buckets are missed; stack
-    more plane sets (union of pair frames) to push recall up."""
+    more plane sets (union of pair frames) to push recall up.
+
+    ``max_bucket`` caps oversized buckets with the min-id star (see
+    :func:`embedding_near_dup_pairs`) — with only 2^nbits buckets, a
+    skewed corpus can put O(N) rows in one bucket and the self-join
+    goes quadratic; the cap bounds it to O(N) per bucket. Size
+    ``nbits ≈ log2(N / target_bucket)`` so typical buckets stay under
+    the cap and the star path stays the exception."""
     from vectordb_migrator_spark.operators.similarity import (
         random_hyperplane_signature,
     )
@@ -546,6 +599,7 @@ def lsh_embedding_near_dup_pairs(
         vec_col=vec_col,
         block_col="__bucket",
         threshold=threshold,
+        max_bucket=max_bucket,
     )
 
 

@@ -1026,20 +1026,30 @@ def x4_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, probe, codebooks, k=10)
 
 
+_LSH_ND_CAP = 12  # sf0.01 buckets reach 18 rows → the star path really runs
+
+
 @query("x2_lsh_near_dup", None)  # oracle attached below (computed string)
 def x2_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — embedding near-dup with hyperplane-LSH blocking: the
     label-free scale path (buckets bound the quadratic; candidate
-    pairs only form inside a bucket)."""
+    pairs only form inside a bucket, and buckets over ``max_bucket``
+    degrade to the min-id star — O(N) instead of O(N²) per bucket,
+    connectivity preserved for downstream clustering)."""
     from vectordb_migrator_spark.operators.dedup import (
         lsh_embedding_near_dup_pairs,
     )
 
     return lsh_embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), _PLANES, threshold=0.25
+        _t(spark, sf_dir, "embeddings"),
+        _PLANES,
+        threshold=0.25,
+        max_bucket=_LSH_ND_CAP,
     ).orderBy("id_a", "id_b")
 
 
+# The oracle replicates the star-cap exactly: buckets over the cap
+# contribute only (min-id anchor, other) pairs.
 ORACLES["x2_lsh_near_dup"] = f"""
     WITH n AS (
       SELECT vec_id,
@@ -1048,11 +1058,17 @@ ORACLES["x2_lsh_near_dup"] = f"""
                                                            embedding::DOUBLE[]))) AS v,
              {_plane_sig_sql('embedding::DOUBLE[]')} AS sig
       FROM embeddings
+    ),
+    c AS (
+      SELECT sig, count(*) AS n_bkt, min(vec_id) AS anchor
+      FROM n GROUP BY sig
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v), 6) AS cos
     FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) >= 0.25
+    JOIN c ON c.sig = a.sig
+    WHERE (c.n_bkt <= {_LSH_ND_CAP} OR a.vec_id = c.anchor)
+      AND list_dot_product(a.v, b.v) >= 0.25
     ORDER BY id_a, id_b
     """
 
