@@ -562,13 +562,20 @@ class MilvusScanReader(DataSourceReader):
 
     - VARCHAR scalar ``eq``/``in`` and exact-digit integer-PK
       ``eq``/``in`` are **fully consumed** — server and Spark agree.
-    - everything else translatable (``ne``, ranges, numeric-typed
-      scalars) is **partially pushed**: the coerced comparison prunes
-      server-side, and the filter is returned so Spark re-evaluates it
-      on the declared (string-typed) schema. The declared schema
-      compares strings lexicographically while the server compares
-      typed values — re-checking keeps Spark's semantics authoritative
-      while the wire still shrinks.
+    - VARCHAR ``ne`` is **pushed and re-checked**: the server prunes
+      exactly the rows whose string equals the literal (the same rows
+      Spark's returned filter drops — superset-safe), and the recheck
+      keeps Spark's three-valued logic authoritative for null keys.
+    - everything else (ranges, numeric-typed scalars) stays
+      **Spark-only** — yielded back WITHOUT a server-side push. A
+      pushed filter must never prune a row the returned filter would
+      keep, and a typed server comparison cannot guarantee that
+      against Spark's string semantics on the declared schema: with
+      ``col('meta_b') >= '40'`` a stored INT64 value 5 is pruned
+      server-side (5 < 40) even though Spark's lexicographic
+      comparison (``'5' >= '40'``) keeps it. Only predicates whose
+      server semantics provably equal-or-superset the string
+      semantics may prune the wire.
     """
 
     def __init__(self, options: dict[str, str], schema: StructType):
@@ -612,6 +619,13 @@ class MilvusScanReader(DataSourceReader):
                     yield f
                 continue
             ftype = self.types.get(p["col"], "VARCHAR")
+            if not (ftype == "VARCHAR" and kind in ("eq", "in", "ne")):
+                # typed server comparison vs string comparison on the
+                # declared schema: the server could prune rows Spark's
+                # semantics would keep (INT64 5 < 40 but '5' >= '40')
+                # — not superset-safe, so never reaches the wire
+                yield f
+                continue
             vals = p["value"] if kind == "in" else [p["value"]]
             coerced = [coerce_to_field_type(v, ftype) for v in vals]
             if any(c is None for c in coerced):
@@ -619,9 +633,10 @@ class MilvusScanReader(DataSourceReader):
                 continue
             p = dict(p, value=coerced if kind == "in" else coerced[0])
             self.pushed.append(p)
-            if not (ftype == "VARCHAR" and kind in ("eq", "in")):
-                # typed comparison server-side vs string comparison in
-                # the declared schema — prune there, re-check here
+            if kind == "ne":
+                # server prunes exactly value == literal (string
+                # equality, same as Spark's) — superset-safe; recheck
+                # so null-key rows follow Spark's three-valued logic
                 yield f
 
     def _push_id(self, p: dict[str, Any]) -> bool:
