@@ -506,6 +506,47 @@ def test_pinecone_native_write_with_ddl(spark, tmp_path):
     assert recs["b"]["values"] == []  # null vector → empty values
 
 
+def test_native_writers_skip_null_id(spark, tmp_path):
+    """C4 parity in the native sinks: null-id rows are skipped by the
+    Qdrant and Pinecone write cores (no id=None point, no literal
+    'None' string id), matching MilvusInsertWriter."""
+    df = spark.createDataFrame(
+        [("1", [0.1], {}), (None, [0.2], {})],
+        "id string, vector array<float>, metadata map<string,string>",
+    )
+    qstore = tmp_path / "q"
+    qstore.mkdir()
+    (
+        df.write.format("qdrant")
+        .mode("append")
+        .option("client_factory", FACTORY)
+        .option("store_dir", str(qstore))
+        .option("collection_name", "tgt")
+        .option("vector_dimension", "1")
+        .save()
+    )
+    assert set(read_upserted_points(str(qstore), "tgt")) == {1}
+
+    pstore = tmp_path / "p"
+    pstore.mkdir()
+    (
+        df.write.format("pinecone")
+        .mode("append")
+        .option("client_factory", PINECONE_FACTORY)
+        .option("store_dir", str(pstore))
+        .option("index_name", "idx")
+        .option("create_index", "true")
+        .option("dimension", "1")
+        .save()
+    )
+    ids = set()
+    for f in os.listdir(pstore):
+        if f.startswith("idx.points"):
+            for line in open(pstore / f):
+                ids.add(json.loads(line)["id"])
+    assert ids == {"1"}
+
+
 def test_pinecone_stream_sink(spark, tmp_path):
     from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA as CS
 

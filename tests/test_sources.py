@@ -205,6 +205,42 @@ def test_qdrant_write_upsert_and_ddl(spark, tmp_path):
     assert points[1]["payload"] == {"k": "v"}
 
 
+def test_qdrant_pinecone_write_skip_null_id(spark, tmp_path):
+    """C4 parity across sinks: Qdrant and Pinecone skip null-id rows
+    like MilvusInsertWriter does (a null id would alias every such row
+    onto one bogus point — Pinecone would literally upsert id 'None').
+    The skip is observable as total_rows - rows_with_id."""
+    from vectordb_migrator_spark.sources.pinecone import PineconeAdapter
+
+    df = spark.createDataFrame(
+        [("1", [0.1], {"k": "v"}), (None, [0.2], {})],
+        "id string, vector array<float>, metadata map<string,string>",
+    )
+    (tmp_path / "q").mkdir()
+    qconn = {"store_dir": str(tmp_path / "q")}
+    qres = QdrantAdapter(client_factory=qdrant_factory).write(
+        df, qconn, {"collection_name": "tgt", "vector_dimension": 1}
+    )
+    assert set(_read_points(str(tmp_path / "q"), "tgt")) == {1}
+    assert qres["stats"]["total_rows"] == 2
+    assert qres["stats"]["rows_with_id"] == 1
+
+    pconn = {"store_dir": str(tmp_path / "p")}
+    (tmp_path / "p").mkdir()
+    pres = PineconeAdapter(client_factory=pinecone_factory).write(
+        df, pconn,
+        {"index_name": "idx", "create_index": True, "dimension": 1},
+    )
+    ids = set()
+    for f in os.listdir(tmp_path / "p"):
+        if f.startswith("idx.points"):
+            for line in open(tmp_path / "p" / f):
+                ids.add(json.loads(line)["id"])
+    assert ids == {"1"}  # no literal "None" point
+    assert pres["stats"]["total_rows"] == 2
+    assert pres["stats"]["rows_with_id"] == 1
+
+
 def test_qdrant_recreate_collection(spark, tmp_path):
     conn = {"store_dir": str(tmp_path)}
     old = FakeQdrantClient(conn)

@@ -138,6 +138,11 @@ class PineconeAdapter(SparkAdapter):
                 n += 1
                 n_id += row["id"] is not None
                 n_vec += row["vector"] is not None
+                if row["id"] is None:
+                    # C4 — str(None) would collapse every null-id row
+                    # onto the literal point id "None"; skipped,
+                    # observable as total_rows - rows_with_id
+                    continue
                 buf.append(
                     {
                         "id": str(row["id"]),

@@ -466,6 +466,11 @@ class _QdrantWriteCore:
                 n += 1
                 n_id += rid is not None
                 n_vec += row["vector"] is not None
+                if rid is None:
+                    # C4 — a null id cannot be upserted idempotently
+                    # (it would alias every such row onto one point);
+                    # skipped, observable as rows - rows_with_id
+                    continue
                 buf.append(
                     {
                         "id": _coerce_id(rid),
@@ -933,6 +938,11 @@ class _PineconeWriteCore:
             n += 1
             n_id += row["id"] is not None
             n_vec += row["vector"] is not None
+            if row["id"] is None:
+                # C4 — str(None) would upsert the literal id "None",
+                # collapsing every null-id row into one bogus point;
+                # skipped, observable as rows - rows_with_id
+                continue
             buf.append(
                 {
                     "id": str(row["id"]),

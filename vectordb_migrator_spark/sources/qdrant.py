@@ -318,6 +318,10 @@ class QdrantAdapter(SparkAdapter):
                 n += 1
                 n_id += rid is not None
                 n_vec += row["vector"] is not None
+                if rid is None:
+                    # C4 — null ids can't upsert idempotently; skipped,
+                    # observable as total_rows - rows_with_id
+                    continue
                 buf.append(
                     {
                         "id": pid,
