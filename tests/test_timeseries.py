@@ -85,6 +85,20 @@ def test_equal_frequency_bins_quartiles(spark):
     assert "Sort" not in plan  # no global ordering — broadcast bounds
 
 
+def test_equal_frequency_bins_nulls_stay_unbinned(spark):
+    """NULL values must get a NULL bin, not silently land in the top
+    bin via the otherwise() branch."""
+    from vectordb_migrator_spark.operators.slicing import equal_frequency_bins
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (None,), (None,)], "value double"
+    )
+    out = equal_frequency_bins(df, value_col="value").collect()
+    bins = {r["value"]: r["bin"] for r in out}
+    assert bins[1.0] == 1 and bins[4.0] == 4
+    assert all(r["bin"] is None for r in out if r["value"] is None)
+
+
 def test_window_ewma_matches_recursive_python(spark):
     """The closed-form window EWMA must equal the recursive definition
     (seeded with the first value) on a toy series."""

@@ -192,11 +192,16 @@ def equal_frequency_bins(
     Unlike ntile, bin populations can deviate when many rows tie at a
     boundary — the price of not sorting; at training-data scale that
     is the correct trade.
+
+    NULL values stay unbinned (NULL bin): every boundary comparison is
+    NULL for them, and without the explicit guard the ``otherwise``
+    branch would silently claim them for the top bin.
     """
     bounds = df.agg(
         F.percentile(value_col, F.array(*[F.lit(p) for p in probs])).alias("__b")
     )
-    expr = F.when(F.col(value_col) <= F.col("__b")[0], 1)
+    expr = F.when(F.col(value_col).isNull(), F.lit(None).cast("int"))
+    expr = expr.when(F.col(value_col) <= F.col("__b")[0], 1)
     for i in range(1, len(probs)):
         expr = expr.when(F.col(value_col) <= F.col("__b")[i], i + 1)
     expr = expr.otherwise(len(probs) + 1)
