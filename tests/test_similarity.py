@@ -256,6 +256,52 @@ def test_pq_adc_plan_is_single_scan_topk(embeddings, probe):
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
 
 
+def test_pq_adc_stored_codes_matches_inline(embeddings, probe):
+    """ADC over materialized pq_code columns must equal the inline
+    re-encoding variant, and its scan plan must contain NO squared-L2
+    folds or argmin — just literal-LUT lookups over the code column."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_adc_topk_codes,
+        pq_encode,
+        pq_sampled_codebooks,
+    )
+
+    cbs = pq_sampled_codebooks(embeddings, m=4, k=16)
+    codes = (
+        pq_encode(embeddings, cbs)
+        .select("vec_id", "pq_code")
+        .localCheckpoint(eager=True)
+    )
+    stored = pq_adc_topk_codes(codes, probe, cbs, k=10)
+    inline = pq_adc_topk(embeddings, probe, cbs, k=10)
+    assert [tuple(r) for r in stored.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "array_position" not in plan  # no per-row argmin
+    assert "slice(" not in plan  # no subvector math
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pq_sampled_codebooks_requires_dense_low_ids(spark):
+    """A corpus missing ids 0..k-1 must raise loudly, not IndexError
+    or silently build a short codebook."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_sampled_codebooks,
+    )
+
+    df = spark.createDataFrame(
+        [(100, [0.0] * 8), (101, [1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="0..15"):
+        pq_sampled_codebooks(df, m=4, k=16)
+
+
 def test_lsh_multiprobe_supersets_single_bucket(embeddings, probe):
     """The multi-probe candidate set contains the single-bucket set
     (the probe's own bucket is always scanned), and its top-k scores

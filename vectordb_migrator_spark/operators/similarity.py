@@ -253,6 +253,14 @@ def pq_sampled_codebooks(
         .collect()
     )
     vecs = [[float(x) for x in r[0]] for r in rows]
+    if len(vecs) != k:
+        # an empty/sparse-id corpus would otherwise IndexError at
+        # vecs[0] or silently build a short codebook that diverges
+        # from any id-based external reconstruction
+        raise ValueError(
+            f"pq_sampled_codebooks needs all of {id_col} 0..{k - 1} "
+            f"present; found {len(vecs)} rows with {id_col} < {k}"
+        )
     dim = len(vecs[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -333,6 +341,38 @@ def pq_adc_topk(
         dists = F.array(*[_sq_l2(sub, probe_literal(cw)) for cw in cb])
         code1 = F.array_position(dists, F.array_min(dists)).cast("int")  # 1-based
         term = F.element_at(F.array(*[F.lit(x) for x in lut[s]]), code1)
+        dist = term if dist is None else dist + term
+    return (
+        df.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )
+
+
+def pq_adc_topk_codes(
+    df: DataFrame,
+    probe: list[float],
+    codebooks: list[list[list[float]]],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC top-k over MATERIALIZED PQ codes — the production read path
+    :func:`pq_adc_topk` only simulates. ``df`` carries an
+    ``array<int>`` code column (from :func:`pq_encode`, stored once);
+    the per-row distance is ``element_at(lut[s], code[s]+1)`` summed
+    over the m subspaces — m literal-array lookups + (m-1) adds, no
+    slicing, no squared-L2 folds, no per-row argmin. The scan reads m
+    bytes per vector instead of 4·dim and feeds one
+    TakeOrderedAndProject(k); nothing shuffles."""
+    lut = python_pq_lut(probe, codebooks)
+    dist = None
+    for s in range(len(codebooks)):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut[s]]),
+            F.col(code_col).getItem(s) + 1,
+        )
         dist = term if dist is None else dist + term
     return (
         df.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))

@@ -1026,6 +1026,34 @@ def x4_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, probe, codebooks, k=10)
 
 
+@query("x4_pq_adc_stored", None)  # oracle shared with x4_pq_adc_topk below
+def x4_pq_adc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — ADC over MATERIALIZED PQ codes: ``pq_encode`` runs once
+    (here into a localCheckpoint standing in for the parquet code
+    store a production pipeline writes), then the query scans ONLY the
+    m-byte codes — ``element_at(lut, code+1)`` sums, no squared-L2
+    folds or per-row argmin anywhere in the scan plan. Same oracle as
+    the inline variant: the SQL reconstructs codes from the data."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_adc_topk_codes,
+        pq_encode,
+        pq_sampled_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    codebooks = pq_sampled_codebooks(emb, m=4, k=16)
+    codes = (
+        pq_encode(emb, codebooks)
+        .select("vec_id", "pq_code")
+        .localCheckpoint(eager=True)
+    )
+    return pq_adc_topk_codes(codes, probe, codebooks, k=10)
+
+
+ORACLES["x4_pq_adc_stored"] = ORACLES["x4_pq_adc_topk"]
+
+
 _LSH_ND_CAP = 12  # sf0.01 buckets reach 18 rows → the star path really runs
 
 
