@@ -302,6 +302,32 @@ def test_pq_sampled_codebooks_requires_dense_low_ids(spark):
         pq_sampled_codebooks(df, m=4, k=16)
 
 
+def test_recall_report_per_family_rows(spark):
+    """A candidate list equal to the truth scores recall 1.0 / mrr 1.0;
+    a disjoint list scores 0.0 / 0.0; rows come back tagged and
+    family-ordered."""
+    from vectordb_migrator_spark.operators.ranking import recall_report
+
+    truth = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    perfect = spark.createDataFrame(
+        [(i, 1.0 - i * 0.01) for i in range(10)], "vec_id long, score double"
+    )
+    disjoint = spark.createDataFrame(
+        [(100 + i, float(i)) for i in range(10)], "vec_id long, hamming double"
+    )
+    out = recall_report(
+        [
+            ("z_disjoint", disjoint, [("hamming", True)]),
+            ("a_perfect", perfect, [("score", False)]),
+        ],
+        truth,
+        k=10,
+    ).collect()
+    assert [r["family"] for r in out] == ["a_perfect", "z_disjoint"]
+    assert out[0]["recall_at_k"] == 1.0 and out[0]["mrr"] == 1.0
+    assert out[1]["recall_at_k"] == 0.0 and out[1]["mrr"] == 0.0
+
+
 def test_lsh_multiprobe_supersets_single_bucket(embeddings, probe):
     """The multi-probe candidate set contains the single-bucket set
     (the probe's own bucket is always scanned), and its top-k scores

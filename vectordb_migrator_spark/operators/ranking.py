@@ -195,3 +195,43 @@ def retrieval_metrics(
             F.coalesce(F.lit(1.0) / F.col("min_rank"), F.lit(0.0)), 6
         ).alias("mrr"),
     )
+
+
+def recall_report(
+    families: list[tuple[str, DataFrame, list[tuple[str, bool]]]],
+    truth: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k / MRR of several ANN index families against one exact
+    truth set — the quantified recall-vs-cost story behind choosing an
+    index (is the 2^nbits-cheaper LSH scan worth its misses? does the
+    binary shortlist need the float rerank?).
+
+    ``families`` is ``[(name, candidates, rank_by), ...]`` where each
+    ``candidates`` is that family's top-k frame and ``rank_by`` its
+    (column, ascending) ranking. One :func:`retrieval_metrics` row per
+    family, unioned and tagged — every per-family plan keeps its own
+    scan shape (the heavy work), while the metric math stays
+    list-depth-trivial. Returns (family, n_relevant, n_retrieved,
+    n_hits, recall_at_k, mrr) ordered by family."""
+    frames = []
+    for name, cand, rank_by in families:
+        m = retrieval_metrics(
+            cand, truth, id_col=id_col, k=k, rank_by=list(rank_by)
+        )
+        frames.append(
+            m.select(
+                F.lit(name).alias("family"),
+                "n_relevant",
+                "n_retrieved",
+                "n_hits",
+                "recall_at_k",
+                "mrr",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("family")

@@ -1054,6 +1054,166 @@ def x4_pq_adc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x4_pq_adc_stored"] = ORACLES["x4_pq_adc_topk"]
 
 
+@query("x4_recall_report", None)  # oracle attached below (computed string)
+def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the quantified recall-vs-cost story for every ANN family:
+    recall@10 / MRR of IVF (label-coarse), LSH (single and
+    multi-probe), binary Hamming, binary+float rerank, and PQ/ADC
+    against the exact cosine top-10. Each family keeps its own scan
+    shape; the metric math is list-depth-trivial. Every side is
+    SQL-expressible, so the whole report carries a full oracle."""
+    from vectordb_migrator_spark.operators.ranking import recall_report
+    from vectordb_migrator_spark.operators.similarity import (
+        binary_rerank_topk,
+        hamming_topk,
+        lsh_multiprobe_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    truth = cosine_topk(emb, probe, k=10)
+    fams = [
+        ("binary_hamming", hamming_topk(emb, probe, k=10), [("hamming", True)]),
+        (
+            "binary_rerank",
+            binary_rerank_topk(emb, probe, k=10, shortlist=40),
+            [("score", False)],
+        ),
+        (
+            "ivf_label",
+            ivf_topk(emb, probe, cluster_col="label", k=10, nprobe=2),
+            [("score", False)],
+        ),
+        (
+            "lsh_bucket",
+            lsh_bucket_topk(emb, probe, _PLANES, k=10),
+            [("score", False)],
+        ),
+        (
+            "lsh_multiprobe",
+            lsh_multiprobe_topk(emb, probe, _PLANES, k=10),
+            [("score", False)],
+        ),
+        ("pq_adc", pq_adc_topk(emb, probe, cbs, k=10), [("adc_dist", True)]),
+    ]
+    return recall_report(fams, truth, k=10)
+
+
+def _recall_report_sql() -> str:
+    """Full-oracle recall report: per-family top-10 CTEs (reusing the
+    single-query oracle shapes) + a metric block per family."""
+    sig_expr = _plane_sig_sql
+    neighbors = ", ".join(f"xor(psig.ps, {1 << i})" for i in range(len(_PLANES)))
+
+    def metric(name: str, fam: str) -> str:
+        return f"""
+    SELECT '{name}' AS family,
+           (SELECT count(*) FROM truth)::BIGINT AS n_relevant,
+           10::BIGINT AS n_retrieved,
+           count(t.vec_id)::BIGINT AS n_hits,
+           round(count(t.vec_id) /
+                 (SELECT count(*) FROM truth)::DOUBLE, 6) AS recall_at_k,
+           round(coalesce(
+               1.0 / min(CASE WHEN t.vec_id IS NOT NULL THEN f.rank END),
+               0.0), 6) AS mrr
+    FROM {fam} f LEFT JOIN truth t USING (vec_id)"""
+
+    return f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    scored AS (
+      SELECT vec_id, label,
+             round(list_dot_product(embedding::DOUBLE[], pv) /
+                   (sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(pv, pv))), 6) AS score,
+             {sig_expr('embedding::DOUBLE[]')} AS sig,
+             len(list_filter(range(1, len(embedding) + 1),
+                             i -> (embedding[i] > 0) != (pv[i] > 0)))
+               AS hamming
+      FROM embeddings, p
+    ),
+    truth AS (SELECT vec_id FROM scored ORDER BY score DESC, vec_id LIMIT 10),
+    psig AS (SELECT {sig_expr('pv')} AS ps FROM p),
+    fam_bin AS (
+      SELECT vec_id, row_number() OVER (ORDER BY hamming, vec_id) AS rank
+      FROM scored QUALIFY rank <= 10
+    ),
+    fam_rr AS (
+      SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM (SELECT * FROM scored ORDER BY hamming, vec_id LIMIT 40)
+      QUALIFY rank <= 10
+    ),
+    cent AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, range(1, 65) t(i) GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             sum(c.cv * p.pv[i]) /
+             (sqrt(sum(c.cv * c.cv)) * sqrt(sum(p.pv[i] * p.pv[i]))) AS sim
+      FROM cent c, p GROUP BY c.label
+    ),
+    shortlist AS (SELECT label FROM csim ORDER BY sim DESC, label LIMIT 2),
+    fam_ivf AS (
+      SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM scored WHERE label IN (SELECT label FROM shortlist)
+      QUALIFY rank <= 10
+    ),
+    fam_lsh AS (
+      SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM scored, psig WHERE sig = psig.ps QUALIFY rank <= 10
+    ),
+    fam_mp AS (
+      SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM scored, psig WHERE sig IN (psig.ps, {neighbors})
+      QUALIFY rank <= 10
+    ),
+    cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.embedding[t.i]::DOUBLE - c.cv[t.i]) *
+                 (e.embedding[t.i]::DOUBLE - c.cv[t.i])) AS dist
+      FROM embeddings e, range(1, 65) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT (t.i-1) // 16 AS s, c.j,
+             sum((p.pv[t.i] - c.cv[t.i]) * (p.pv[t.i] - c.cv[t.i])) AS pd
+      FROM cb c, p, range(1, 65) t(i)
+      GROUP BY (t.i-1) // 16, c.j
+    ),
+    adc AS (
+      SELECT code.vec_id, round(sum(lut.pd), 6) AS adc_dist
+      FROM code JOIN lut ON lut.s = code.s AND lut.j = code.j
+      GROUP BY code.vec_id
+    ),
+    fam_pq AS (
+      SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rank
+      FROM adc QUALIFY rank <= 10
+    )
+    {metric('binary_hamming', 'fam_bin')}
+    UNION ALL {metric('binary_rerank', 'fam_rr')}
+    UNION ALL {metric('ivf_label', 'fam_ivf')}
+    UNION ALL {metric('lsh_bucket', 'fam_lsh')}
+    UNION ALL {metric('lsh_multiprobe', 'fam_mp')}
+    UNION ALL {metric('pq_adc', 'fam_pq')}
+    ORDER BY family
+    """
+
+
+ORACLES["x4_recall_report"] = _recall_report_sql()
+
+
 _LSH_ND_CAP = 12  # sf0.01 buckets reach 18 rows → the star path really runs
 
 
