@@ -213,3 +213,53 @@ def test_deduped_ingest_streaming(spark, tmp_path):
     run()
     second = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert second == [1, 2, 11]
+
+    # the shingle store was appended per batch (history shingled once)
+    # and mirrors the corpus exactly: one (id, sh, sh_n) row per doc
+    store = spark.read.parquet(corpus + "__shingles")
+    assert sorted(r["id"] for r in store.collect()) == [1, 2, 11]
+    from vectordb_migrator_spark.operators.dedup import shingle_table
+
+    expected = {
+        r["id"]: (sorted(r["sh"]), r["sh_n"])
+        for r in shingle_table(spark.read.parquet(corpus)).collect()
+    }
+    got = {r["id"]: (sorted(r["sh"]), r["sh_n"]) for r in store.collect()}
+    assert got == expected
+
+
+def test_deduped_ingest_backfills_preexisting_corpus(spark, tmp_path):
+    """A corpus that predates the shingle store is backfilled once;
+    dedup then runs against the store with identical semantics."""
+    from vectordb_migrator_spark.streaming.incremental import deduped_ingest
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], schema
+    ).write.parquet(corpus)  # pre-existing corpus, no store
+
+    spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # dups corpus doc 1
+            (11, "a genuinely novel second batch"),
+        ],
+        schema,
+    ).write.parquet(src)
+    q = deduped_ingest(
+        spark,
+        source_path=src,
+        source_schema=schema,
+        corpus_path=corpus,
+        checkpoint=str(tmp_path / "ckpt"),
+        n=3,
+        threshold=0.5,
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 11]
+    assert sorted(
+        r["id"] for r in spark.read.parquet(corpus + "__shingles").collect()
+    ) == [1, 11]

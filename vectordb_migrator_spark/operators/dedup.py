@@ -627,6 +627,25 @@ def apply_dedup(
     )
 
 
+def shingle_table(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """The persistable ``(id, sh, sh_n)`` shingle side-table for a
+    document frame — shingle once, store next to the corpus, and every
+    later ingest dedups against the STORE instead of re-shingling
+    history (see :func:`incremental_dedup`'s ``corpus_pre_shingled``
+    and ``streaming.incremental.deduped_ingest``)."""
+    return (
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .withColumn("sh_n", F.size("sh"))
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     corpus: DataFrame,
@@ -636,6 +655,7 @@ def incremental_dedup(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int | None = None,
+    corpus_pre_shingled: bool = False,
 ) -> DataFrame:
     """Ingest-time dedup of a NEW batch against an existing corpus —
     the production daily-ingest pattern: the corpus is already deduped
@@ -658,20 +678,25 @@ def incremental_dedup(
     applied INSIDE the bucket (corpus-corpus pairs never materialize),
     ``max_df`` capping hot shingles. The corpus side moves only its
     (gram, id) pairs — at 100 TB you persist the corpus shingle table
-    once and reuse it every ingest.
+    once (:func:`shingle_table`) and pass it back with
+    ``corpus_pre_shingled=True`` so history is never re-shingled:
+    ``corpus`` is then a ``(id, sh, sh_n)`` frame and its text never
+    needs to exist at ingest time at all.
     """
 
     def prep(df: DataFrame, side: str) -> DataFrame:
-        return (
-            fan_out(df)
-            .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-            .withColumn("sh_n", F.size("sh"))
-            .withColumn("side", F.lit(side))
+        return shingle_table(df, id_col=id_col, text_col=text_col, n=n).withColumn(
+            "side", F.lit(side)
         )
 
+    corpus_sh = (
+        corpus.select("id", "sh", "sh_n").withColumn("side", F.lit("c"))
+        if corpus_pre_shingled
+        else prep(corpus, "c")
+    )
     exploded = (
         prep(batch, "b")
-        .unionByName(prep(corpus, "c"))
+        .unionByName(corpus_sh)
         .select("id", "sh_n", "side", F.explode("sh").alias("g"))
     )
     if max_df is not None:

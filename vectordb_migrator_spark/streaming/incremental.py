@@ -122,27 +122,51 @@ def deduped_ingest(
     Replay safety: before dedup, batch rows whose id already exists in
     the corpus are dropped (a replayed micro-batch would otherwise
     collide with its own surviving copies), so restarts from the
-    checkpoint are exactly-once-per-id. The corpus parquet is re-read
-    per batch — at scale, store its shingle table alongside and skip
-    re-shingling history every batch."""
+    checkpoint are exactly-once-per-id.
+
+    History is shingled exactly once: survivors' ``(id, sh, sh_n)``
+    rows are appended to a shingle store at ``{corpus_path}__shingles``
+    alongside the corpus itself, and each micro-batch dedups against
+    the STORE (``corpus_pre_shingled``) — the corpus text is never
+    re-read or re-shingled at ingest time. The id anti-join also runs
+    against the store (its ids are exactly the corpus ids). A corpus
+    that predates the store is backfilled once, on the first batch
+    that finds it missing. Appending the store inside ``foreachBatch``
+    keeps it replay-consistent: a replayed batch's survivors were
+    already id-filtered out, so their shingles never double-append."""
     from pyspark.sql.utils import AnalysisException
 
-    from vectordb_migrator_spark.operators.dedup import incremental_dedup
+    from vectordb_migrator_spark.operators.dedup import (
+        incremental_dedup,
+        shingle_table,
+    )
+
+    shingle_path = f"{corpus_path}__shingles"
+
+    def _read(sess: SparkSession, path: str) -> DataFrame | None:
+        try:
+            return sess.read.parquet(path)
+        except AnalysisException:
+            return None
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        try:
-            corpus = sess.read.parquet(corpus_path)
-            have = True
-        except AnalysisException:
-            have = False
-        if have:
+        store = _read(sess, shingle_path)
+        if store is None:
+            corpus = _read(sess, corpus_path)
+            if corpus is not None:
+                # one-time backfill for a corpus that predates the store
+                shingle_table(
+                    corpus, id_col=id_col, text_col=text_col, n=n
+                ).write.mode("append").parquet(shingle_path)
+                store = _read(sess, shingle_path)
+        if store is not None:
             fresh = batch_df.join(
-                corpus.select(id_col), id_col, "left_anti"
+                store.select(F.col("id").alias(id_col)), id_col, "left_anti"
             )
             survivors = incremental_dedup(
-                fresh, corpus, id_col=id_col, text_col=text_col,
-                n=n, threshold=threshold,
+                fresh, store, id_col=id_col, text_col=text_col,
+                n=n, threshold=threshold, corpus_pre_shingled=True,
             )
         else:
             # empty corpus: batch still dedups against itself
@@ -151,7 +175,15 @@ def deduped_ingest(
                 batch_df, empty, id_col=id_col, text_col=text_col,
                 n=n, threshold=threshold,
             )
+        # materialize before the two writes: the survivors plan READS
+        # shingle_path, which the second write appends to — truncating
+        # the lineage avoids a self-referential read-during-append
+        # (and computes the dedup once instead of twice)
+        survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(corpus_path)
+        shingle_table(
+            survivors, id_col=id_col, text_col=text_col, n=n
+        ).write.mode("append").parquet(shingle_path)
 
     stream = (
         spark.readStream.format(source_format)
