@@ -4261,63 +4261,70 @@ def outer_join_urgent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 # The correctness driver snapshots the FIRST 50 registry entries
 # (list(QUERIES)[:50]) — registration order above is narrative, not
-# evidentiary.  Reorder so the window carries the queries that still
-# need a driver-green row (round-2/3 additions), backfilled with one
-# representative per long-stable round-1 family (those already hold
-# green rows in CORRECTNESS_r01/r02).
+# evidentiary.  Round-4 window: (a) the 8 queries no driver round has
+# ever checked, (b) everything new or semantically changed THIS round,
+# (c) three long-stable canaries that stay inside the window every
+# round so a regression in shared loaders/helpers can't hide outside
+# the gate (x8_session_window_batch exercises the events loader _t;
+# c1/t1 exercise the canonical pipeline), and (d) a round-1 family
+# cross-section last driver-checked in r01. Families green in
+# CORRECTNESS_r02/r03 rotate out; tools/check_oracle.py still covers
+# the full registry locally.
 _DRIVER_WINDOW_PRIORITY = [
-    # --- round-2 families the r02 driver file never reached ---
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "x5_bm25_topk",
-    "x5_pii_redaction",
-    "x5_vocab_topk",
-    "x5_corpus_filter",
-    "x5_repetition_score",
-    "x5_boilerplate_removal",
-    "x5_ngram_contamination",
-    "x4_kmeans_ivf",
-    "x4_retrieval_metrics",
-    "x4_hamming_topk",
-    "x4_hybrid_rrf",
-    "events_time_hierarchy_rollup",  # hash-verified (was rows-only slot)
-    "x3_label_centroids",
-    "x2_dedup_clusters",
-    "x10_hash_split",
-    "x10_per_group_head",
-    "x10_stratified_sample",
-    "x10_weighted_sample",
-    "merge_upsert_orders",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "outer_join_urgent_counts",
-    "udtf_json_props",
-    "window_running_total",
-    "timeseries_gap_fill",
-    "bin_equal_frequency_events",  # hash-verified (was rows-only slot)
-    # --- round-3 queries needing first driver signal ---
-    "x4_lsh_bucket_topk",  # oracle added round 3 (was no_oracle)
-    "x4_binary_rerank",  # new round-3 operator (Hamming → float rerank)
-    "x9_embedding_pool",  # new round-3 operator (chunk→doc pooling)
-    "x9_pack_chunks",  # new round-3 operator (sequence packing)
-    "x2_lsh_near_dup",  # new round-3 operator (LSH-blocked near-dup)
-    "q6_forecast_revenue",  # round-3 TPC-H shapes
-    "q8_market_share",
-    "q13_customer_distribution",
-    "x9_chunk_feature_pool",  # round-3 end-to-end pipeline query
-    "x8_interval_join_batch",  # round-3 stream-stream interval join twin
-    "window_moving_average",  # round-3 window shapes
-    "window_above_customer_avg",
-    "x4_pq_adc_topk",  # round-3 PQ/ADC operator
-    "x5_unigram_surprisal",  # round-3 corpus-LM quality score
-    "anomaly_zscore_events",  # round-3 per-key outlier detection
-    "scd2_order_status",  # round-3 type-2 SCD history
-    "range_join_value_bands",  # round-3 grid-cell interval join
+    # --- (a) never driver-checked in any round ---
+    "x4_lsh_multiprobe_topk",
+    "x9_pq_encode",
+    "x2_dedup_apply",
+    "x2_dedup_incremental",
+    "x5_text_normalize",
+    "window_ewma_daily",
+    "x7_approx_percentile",
+    "x4_brp_approx_join",  # rows-only by nature (MLlib BRP randomness)
+    # --- (b) new or changed in round 4 ---
+    "x2_lsh_near_dup",  # now star-capped (max_bucket) — results changed
+    "x4_pq_adc_stored",  # new: ADC over materialized codes
+    "x4_recall_report",  # new: per-family recall@10 with full oracle
+    "bin_equal_frequency_events",  # NULL-bin guard added this round
+    # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
+    "x8_session_window_batch",  # events loader canary
+    "c1_pgvector_roundtrip",
+    "t1_transform_contract",
+    # --- (d) round-1 families last driver-checked in r01 ---
+    "s1_scan_projection",
+    "p2_normalize_canonical",
+    "p3_metadata_null_drop",
+    "f1_filter_predicate",
+    "l1_limit_offset",
+    "c2_id_coercion",
+    "c4_c6_conform_schema",
+    "pipeline_migrate_plan",
+    "agg_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "window_top_orders",
+    "x1_dedup_exact_text",
+    "x1_dedup_exact_vector",
+    "x2_ngram_jaccard_pairs",
+    "x2_minhash_lsh_pairs",
+    "x2_simhash_pairs",
+    "x2_embedding_near_dup",
+    "x3_cosine_topk",
+    "x3_knn_join",
+    "x4_ivf_topk",
+    "x5_text_quality",
+    "x5_langid",
+    "x5_fingerprint",
+    "x6_multimodal_features",
+    "x6_frame_explode",
+    "x7_approx_distinct",
+    "rollup_pricing",
+    "pivot_event_counts",
+    "percentile_event_values",
+    "histogram_event_values",
+    "cube_order_status_priority",
 ]
 
 
