@@ -1,7 +1,11 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value" (total sec), "unit", "queries": {name:
-sec}, "sf"}.
+a compact totals-first JSON line {"metric", "value" (total sec),
+"unit", "sf", "n_queries"} followed by the full line that also carries
+"queries": {name: sec}. The compact line exists because the 69-query
+single line overflowed the round driver's output tail capture
+(BENCH_r03 recorded parsed: null) — totals stay parseable no matter
+how small the capture buffer is.
 
 Each query is forced through a noop datasource write (full
 materialization, no driver collect) so timings reflect the whole plan.
@@ -61,6 +65,8 @@ HEADLINE = [
     "x4_hamming_topk",
     "x4_binary_rerank",
     "x4_pq_adc_topk",
+    "x4_pq_adc_stored",
+    "x4_recall_report",
     "x4_lsh_multiprobe_topk",
     "x9_embedding_pool",
     "x9_chunk_feature_pool",
@@ -117,20 +123,18 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        timings[name] = round(best, 2)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+    }
+    print(json.dumps(summary))
+    print(json.dumps({**summary, "queries": timings}))
 
 
 if __name__ == "__main__":
