@@ -78,6 +78,40 @@ def test_qdrant_segmented_read_parallel(spark):
     assert ids == list(range(25))  # disjoint + complete
 
 
+def test_qdrant_shard_keys_tier_wins_over_segmentation(spark, tmp_path):
+    """Tier preference: when shard_keys are given, the reader fans out
+    by key and NEVER runs the serial id-only segmentation pre-pass —
+    even when num_partitions is also set. The pre-pass is a serial
+    driver loop (see _plan_segments), so the key tier must win."""
+
+    class CountingClient(FakeQdrantClient):
+        calls = []
+
+        def scroll(self, collection_name=None, **kw):
+            CountingClient.calls.append(kw.get("shard_key_selector"))
+            return super().scroll(collection_name=collection_name, **kw)
+
+    CountingClient.calls = []
+    a = QdrantAdapter(client_factory=lambda conn: CountingClient(conn))
+    df = a.read(
+        spark,
+        {},
+        {
+            "collection_name": "c",
+            "batch_size": 10,
+            "shard_keys": [0, 1],
+            "num_partitions": 4,  # ignored: key tier wins
+        },
+    )
+    assert df.rdd.getNumPartitions() == 2  # one per shard key
+    ids = sorted(int(r["id"]) for r in df.collect())
+    assert ids == list(range(25))
+    # the driver ran NO scroll at all: executor scans record into their
+    # own worker processes, so any entry here would be the serial
+    # planner pre-pass — which the key tier must skip
+    assert CountingClient.calls == []
+
+
 def test_predicate_translation_units():
     """Neutral predicates compile to each backend's native DSL —
     SURVEY §4 custom-Spark-work #1 (the reference only passes raw DSL

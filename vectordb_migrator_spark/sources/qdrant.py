@@ -116,7 +116,25 @@ def _plan_segments(
     scroll pass paging at ``segment_size``, recording each page's start
     cursor and exact row budget. Cursors are passed back verbatim, so
     this works for int and UUID point ids alike; the pre-pass moves only
-    ids (no payloads/vectors), a tiny fraction of the corpus."""
+    ids (no payloads/vectors), a tiny fraction of the corpus.
+
+    LATENCY CAVEAT — the pre-pass is a SERIAL driver loop: one scroll
+    round-trip per segment, before any executor starts. At 10⁹ points
+    with ~10⁶-row segments that is ~1000 sequential id-page calls —
+    minutes of driver wall-clock on a cold cache. It is also the only
+    portable cursor-segmentation primitive the public Qdrant API
+    offers (point ids expose no ordered-range query to split without
+    scrolling, and shard-key VALUES are caller-defined — not
+    enumerable from collection info). Mitigations, in order:
+
+    - **Prefer the ``shard_keys`` tier** on custom-sharded collections
+      (pass the key values; selection wins over ``num_partitions`` —
+      no pre-pass at all, partitions start immediately).
+    - Size ``segment_size`` large (fewer, coarser round-trips); each
+      executor partition still pages internally at ``batch_size``.
+    - Reuse a segmentation across repeated scans of a static
+      collection (the cursors stay valid while points are stable).
+    """
     segments: list[tuple[Any, int]] = []
     offset = None
     while True:
@@ -165,15 +183,18 @@ class QdrantAdapter(SparkAdapter):
         offset = int(query.get("offset", 0))
         factory = self.client_factory
 
-        # Partition planning, three tiers:
+        # Partition planning, three tiers (first match wins — shard
+        # keys deliberately take precedence over num_partitions, since
+        # the key tier needs NO serial driver pre-pass):
         # 1. ``shard_keys`` (custom-sharded collections) — one executor
         #    partition per key via ``shard_key_selector``.
-        # 2. ``num_partitions``/``segment_size`` — driver runs a cheap
+        # 2. ``num_partitions``/``segment_size`` — driver runs an
         #    id-only scroll pass that slices the collection into cursor
         #    segments (start cursor + exact row budget); each executor
         #    partition resumes its own cursor. This is the default-scan
         #    scale path: without it a big collection funnels through ONE
-        #    cursor loop.
+        #    cursor loop. See the _plan_segments latency caveat — the
+        #    pre-pass is serial on the driver.
         # 3. neither — single exhaustive cursor loop: single-partition
         #    but complete, unlike the reference's truncating single
         #    call (adapters/qdrant.py:99-106).
