@@ -242,6 +242,21 @@ class FakeMilvusServer:
             for r in data:
                 f.write(_json.dumps(r) + "\n")
 
+    def upsert(self, collection_name, data):
+        """Idempotent-by-pk store (MilvusClient.upsert semantics): a
+        replayed batch overwrites rather than duplicates. Single json
+        file read-modify-write — fine for single-partition tests."""
+        import json as _json
+
+        path = f"{self.store}/{collection_name}.points.json"
+        try:
+            points = _json.load(open(path))
+        except FileNotFoundError:
+            points = {}
+        for r in data:
+            points[str(r["pk"])] = r
+        _json.dump(points, open(path, "w"))
+
 
 def milvus_ds_factory(connection):
     return FakeMilvusServer(connection)

@@ -547,6 +547,49 @@ def test_native_writers_skip_null_id(spark, tmp_path):
     assert ids == {"1"}
 
 
+def test_milvus_stream_sink_replay_idempotent(spark, tmp_path):
+    """writeStream.format("milvus") — microbatches upsert by pk, so a
+    full replay (fresh checkpoint over the same source) leaves the
+    same row set: exactly-once-per-id, matching the Qdrant stream
+    sink. Rows conform exactly like the batch sink (C4 null-id skip,
+    C6 coercion)."""
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(str(i), [0.1 * i, 0.2], {"meta_a": f"x{i}"}) for i in range(9)]
+        + [(None, [9.9, 9.9], {})],  # C4 — skipped
+        "id string, vector array<float>, metadata map<string,string>",
+    ).coalesce(1).write.parquet(src)
+
+    def run_stream(checkpoint):
+        q = (
+            spark.readStream.schema(
+                "id string, vector array<float>, metadata map<string,string>"
+            )
+            .parquet(src)
+            .writeStream.format("milvus")
+            .option("client_factory", MILVUS_FACTORY)
+            .option("store_dir", store)
+            .option("collection_name", "col")
+            .option("batch_size", "4")
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_stream("ckpt1")
+    points = json.load(open(os.path.join(store, "col.points.json")))
+    assert sorted(points, key=int) == [str(i) for i in range(9)]
+    assert points["3"]["meta_a"] == "x3"
+
+    run_stream("ckpt2")  # full replay, fresh checkpoint
+    replayed = json.load(open(os.path.join(store, "col.points.json")))
+    assert replayed == points  # idempotent — no duplicates, same rows
+
+
 def test_pinecone_stream_sink(spark, tmp_path):
     from vectordb_migrator_spark.canonical import CANONICAL_SCHEMA as CS
 

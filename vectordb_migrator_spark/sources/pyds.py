@@ -751,6 +751,8 @@ class MilvusInsertWriter(DataSourceWriter):
     dropped, missing keys null-filled, values back-coerced to the
     field types (C6)."""
 
+    prefer_upsert = False  # stream subclass flips this for replays
+
     def __init__(self, options: dict[str, str]):
         from vectordb_migrator_spark.sources.milvus import field_types, plan_fields
 
@@ -775,12 +777,18 @@ class MilvusInsertWriter(DataSourceWriter):
 
         factory = _resolve_factory(self.options.get("client_factory"))
         client = factory(_connection(self.options))
+        # streaming prefers idempotent-by-pk upsert (MilvusClient has
+        # it since pymilvus 2.3) so microbatch replays converge; batch
+        # keeps the reference's plain append insert
+        op = (
+            getattr(client, "upsert", None) if self.prefer_upsert else None
+        ) or client.insert
         buf: list[dict[str, Any]] = []
         n = n_id = n_vec = 0
 
         def flush() -> None:
             if buf:
-                client.insert(collection_name=self.collection, data=list(buf))
+                op(collection_name=self.collection, data=list(buf))
                 buf.clear()
 
         for row in iterator:
@@ -819,6 +827,30 @@ class MilvusInsertWriter(DataSourceWriter):
         return None
 
 
+class MilvusStreamWriter(MilvusInsertWriter, DataSourceStreamWriter):
+    """``writeStream.format("milvus")`` — the streaming incremental
+    migration path for Milvus. Each microbatch runs the same
+    conform-and-batch write as the batch sink, but through the
+    client's idempotent-by-pk ``upsert`` (public MilvusClient API)
+    when the client exposes one, so task retries AND microbatch
+    replays converge to one row per pk — the same
+    exactly-once-per-id guarantee as the Qdrant stream sink. A client
+    without ``upsert`` degrades to append ``insert`` (at-least-once
+    on replay; documented, matching the batch sink's caveat)."""
+
+    prefer_upsert = True
+
+    def commit(
+        self, messages: list[QdrantCommit | None], batchId: int
+    ) -> None:  # type: ignore[override]
+        return None
+
+    def abort(
+        self, messages: list[QdrantCommit | None], batchId: int
+    ) -> None:  # type: ignore[override]
+        return None
+
+
 class MilvusDataSource(DataSource):
     """``format("milvus")`` — register with
     :func:`register_data_sources`."""
@@ -842,6 +874,12 @@ class MilvusDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> MilvusInsertWriter:
         QdrantDataSource._check_write_schema(schema)
         return MilvusInsertWriter(dict(self.options))
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> MilvusStreamWriter:
+        QdrantDataSource._check_write_schema(schema)
+        return MilvusStreamWriter(dict(self.options))
 
 
 # ---------------------------------------------------------------------
