@@ -1059,43 +1059,101 @@ def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — the quantified recall-vs-cost story for every ANN family:
     recall@10 / MRR of IVF (label-coarse), LSH (single and
     multi-probe), binary Hamming, binary+float rerank, and PQ/ADC
-    against the exact cosine top-10. Each family keeps its own scan
-    shape; the metric math is list-depth-trivial. Every side is
+    against the exact cosine top-10. The per-row kernels (cosine
+    score, Hamming distance, LSH signature) are computed ONCE into a
+    persisted `scored` frame — one corpus scan feeds the truth side
+    and every family, which become pure rank-selects over the shared
+    columns instead of six independent score recomputations; only the
+    PQ family still folds its per-row argmin (inherent to inline
+    encoding). The metric math is list-depth-trivial. Every side is
     SQL-expressible, so the whole report carries a full oracle."""
+    from pyspark import StorageLevel
+
+    from vectordb_migrator_spark.functions.vector import (
+        binary_quantize,
+        cosine_similarity,
+        python_binary_quantize,
+    )
     from vectordb_migrator_spark.operators.ranking import recall_report
     from vectordb_migrator_spark.operators.similarity import (
-        binary_rerank_topk,
-        hamming_topk,
-        lsh_multiprobe_topk,
+        ivf_build_centroids,
+        probe_literal,
+        random_hyperplane_signature,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     probe = _probe_vector(spark, sf_dir)
     cbs = pq_sampled_codebooks(emb, m=4, k=16)
-    truth = cosine_topk(emb, probe, k=10)
+    scored = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.round(
+            cosine_similarity(F.col("embedding"), probe_literal(probe)), 6
+        ).alias("score"),
+        F.bit_count(
+            binary_quantize(F.col("embedding")).bitwiseXOR(
+                F.lit(python_binary_quantize(probe)).cast("long")
+            )
+        ).alias("hamming"),
+        random_hyperplane_signature(F.col("embedding"), _PLANES).alias("sig"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def top10_by_score(df: DataFrame) -> DataFrame:
+        return (
+            df.select("vec_id", "score")
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(10)
+        )
+
+    truth = top10_by_score(scored)
+    probe_sig = random_hyperplane_signature(probe_literal(probe), _PLANES)
+    mp_cond = F.col("sig") == probe_sig
+    for i in range(len(_PLANES)):
+        mp_cond = mp_cond | (
+            F.col("sig") == probe_sig.bitwiseXOR(F.lit(1 << i).cast("long"))
+        )
+    ivf_short = (
+        ivf_build_centroids(scored, cluster_col="label")
+        .select(
+            "cluster",
+            cosine_similarity(F.col("centroid"), probe_literal(probe)).alias(
+                "csim"
+            ),
+        )
+        .orderBy(F.desc("csim"))
+        .limit(2)
+        .select(F.col("cluster").alias("label"))
+    )
     fams = [
-        ("binary_hamming", hamming_topk(emb, probe, k=10), [("hamming", True)]),
+        (
+            "binary_hamming",
+            scored.select("vec_id", "hamming").orderBy("hamming", "vec_id").limit(10),
+            [("hamming", True)],
+        ),
         (
             "binary_rerank",
-            binary_rerank_topk(emb, probe, k=10, shortlist=40),
+            top10_by_score(scored.orderBy("hamming", "vec_id").limit(40)),
             [("score", False)],
         ),
         (
             "ivf_label",
-            ivf_topk(emb, probe, cluster_col="label", k=10, nprobe=2),
+            top10_by_score(
+                scored.join(F.broadcast(ivf_short), "label", "left_semi")
+            ),
             [("score", False)],
         ),
         (
             "lsh_bucket",
-            lsh_bucket_topk(emb, probe, _PLANES, k=10),
+            top10_by_score(scored.filter(F.col("sig") == probe_sig)),
             [("score", False)],
         ),
         (
             "lsh_multiprobe",
-            lsh_multiprobe_topk(emb, probe, _PLANES, k=10),
+            top10_by_score(scored.filter(mp_cond)),
             [("score", False)],
         ),
-        ("pq_adc", pq_adc_topk(emb, probe, cbs, k=10), [("adc_dist", True)]),
+        ("pq_adc", pq_adc_topk(scored, probe, cbs, k=10), [("adc_dist", True)]),
     ]
     return recall_report(fams, truth, k=10)
 
