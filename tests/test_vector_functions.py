@@ -110,3 +110,35 @@ def test_binary_quantize_truncates_beyond_64_dims(spark):
         dfw = spark.createDataFrame([(w,)], "v array<float>")
         s = dfw.select(binary_quantize("v").alias("s")).collect()[0]["s"]
         assert s == python_binary_quantize(w)
+
+
+def test_matryoshka_truncate_ranking(spark, embeddings):
+    """Full-width truncation is ranking-equivalent to exact cosine
+    (normalization cancels inside cosine), and a 16-dim truncation
+    still recalls a useful share of the exact top-10."""
+    from vectordb_migrator_spark.functions.vector import matryoshka_truncate
+    from vectordb_migrator_spark.operators.similarity import cosine_topk
+
+    probe_row = embeddings.filter("vec_id = 0").first()
+    probe = [float(x) for x in probe_row["embedding"]]
+    dim = len(probe)
+
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, probe, k=10).collect()]
+    full = embeddings.select(
+        "vec_id", matryoshka_truncate("embedding", dim).alias("mrl")
+    )
+    full_ids = [
+        r["vec_id"]
+        for r in cosine_topk(full, probe, k=10, vec_col="mrl").collect()
+    ]
+    assert full_ids == exact  # dim=D truncation changes nothing
+
+    t16 = embeddings.select(
+        "vec_id", matryoshka_truncate("embedding", 16).alias("mrl")
+    )
+    ids16 = [
+        r["vec_id"]
+        for r in cosine_topk(t16, probe[:16], k=10, vec_col="mrl").collect()
+    ]
+    assert 0 in ids16  # the probe's own row survives truncation
+    assert len(set(ids16) & set(exact)) >= 2  # coarse pass has recall

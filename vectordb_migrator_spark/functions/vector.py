@@ -72,6 +72,18 @@ def l2_normalize(a: Column | str) -> Column:
     )
 
 
+def matryoshka_truncate(a: Column | str, dim: int) -> Column:
+    """Truncate an MRL-trained embedding to its first ``dim``
+    coordinates and re-normalize to unit L2 — the standard
+    matryoshka-representation trick: a dim/D-sized vector whose cosine
+    ranking approximates the full-width one, so coarse retrieval scans
+    read a fraction of the bytes and the full vector only reranks the
+    shortlist. Pure codegen (slice + one norm fold); at 100 TB you
+    materialize the truncated column next to (or instead of) the full
+    one, exactly like PQ codes."""
+    return l2_normalize(F.slice(_as_double(a), 1, dim))
+
+
 def int8_quantize(a: Column | str) -> Column:
     """Symmetric int8 scalar quantization: ``scale = max|v| / 127``,
     ``q_i = round(v_i / scale)`` ∈ [-127, 127]. Returns

@@ -1272,6 +1272,43 @@ def _recall_report_sql() -> str:
 ORACLES["x4_recall_report"] = _recall_report_sql()
 
 
+@query(
+    "x9_matryoshka_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    n AS (
+      SELECT vec_id,
+             list_transform(embedding[1:16]::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(
+                                embedding[1:16]::DOUBLE[],
+                                embedding[1:16]::DOUBLE[]))) AS v
+      FROM embeddings
+    )
+    SELECT n.vec_id,
+           round(list_dot_product(n.v, p.pv[1:16]) /
+                 (sqrt(list_dot_product(n.v, n.v)) *
+                  sqrt(list_dot_product(p.pv[1:16], p.pv[1:16]))), 6) AS score
+    FROM n, p
+    ORDER BY score DESC, n.vec_id LIMIT 10
+    """,
+)
+def x9_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — matryoshka (MRL) retrieval: truncate embeddings to their
+    first 16 of 64 dims and re-normalize, then cosine top-k against
+    the truncated probe — the coarse pass that reads a quarter of the
+    vector bytes (materialize the truncated column at scale, like PQ
+    codes; the full vector only reranks the shortlist). One pruned
+    scan + TakeOrderedAndProject, same plan shape as exact top-k."""
+    from vectordb_migrator_spark.functions.vector import matryoshka_truncate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    t = emb.select(
+        "vec_id", matryoshka_truncate(F.col("embedding"), 16).alias("mrl")
+    )
+    return cosine_topk(t, probe[:16], k=10, vec_col="mrl")
+
+
 _LSH_ND_CAP = 12  # sf0.01 buckets reach 18 rows → the star path really runs
 
 
