@@ -67,6 +67,8 @@ HEADLINE = [
     "x4_pq_adc_topk",
     "x4_pq_adc_stored",
     "x4_recall_report",
+    "x4_mmr_rerank",
+    "x9_matryoshka_topk",
     "x4_lsh_multiprobe_topk",
     "x9_embedding_pool",
     "x9_chunk_feature_pool",

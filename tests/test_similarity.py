@@ -302,6 +302,29 @@ def test_pq_sampled_codebooks_requires_dense_low_ids(spark):
         pq_sampled_codebooks(df, m=4, k=16)
 
 
+def test_mmr_rerank_demotes_duplicates(spark):
+    """MMR must pick one copy of a duplicated top hit, then prefer a
+    diverse lower-scored candidate over the twin; pure relevance order
+    would keep both twins on top."""
+    from vectordb_migrator_spark.operators.ranking import mmr_rerank
+
+    rows = [
+        (1, [1.0, 0.0], 0.99),   # top hit
+        (2, [1.0, 0.0], 0.98),   # exact twin of 1
+        (3, [0.0, 1.0], 0.50),   # orthogonal, diverse
+        (4, [0.7, 0.7], 0.60),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, score double"
+    )
+    out = mmr_rerank(df, k=3, lamb=0.5).collect()
+    picked = [r["vec_id"] for r in out]
+    assert picked[0] == 1  # best relevance first
+    assert picked[1] == 3  # diversity beats the twin
+    assert 2 not in picked[:2]
+    assert [r["mmr_rank"] for r in out] == [1, 2, 3]
+
+
 def test_recall_report_per_family_rows(spark):
     """A candidate list equal to the truth scores recall 1.0 / mrr 1.0;
     a disjoint list scores 0.0 / 0.0; rows come back tagged and

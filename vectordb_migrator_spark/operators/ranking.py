@@ -197,6 +197,78 @@ def retrieval_metrics(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    k: int = 10,
+    lamb: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity re-rank of a retrieval
+    shortlist: greedily pick ``argmax λ·relevance − (1−λ)·max cosine
+    to anything already selected`` — the standard de-duplicating
+    re-rank between ANN retrieval and a training batch / RAG context
+    (near-identical hits crowd out coverage otherwise).
+
+    Greedy MMR is inherently sequential (selection ``i`` depends on
+    all earlier picks), so the heavy distributed work must happen
+    UPSTREAM in the top-n scan that produced ``candidates``; this
+    operator collects the shortlist — list-depth by construction,
+    tens-to-hundreds of rows, the same driver-bounded contract as
+    :func:`~vectordb_migrator_spark.operators.clustering.kmeans_fit`'s
+    centroids — and runs the O(n·k·d) greedy loop on the driver. Ties
+    break by ascending id; similarities use unit-normalized vectors.
+
+    Engine-independent determinism: dot products fold sequentially in
+    index order (the same order Spark codegen and DuckDB
+    ``list_dot_product`` use), the argmax compares MMR values ROUNDED
+    to 6 decimals (so an external SQL replication ranks identically),
+    and ``-0.0`` normalizes to ``0.0``.
+
+    Returns (id_col, mmr_rank, mmr_score) in selection order.
+    """
+    import math
+
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, mmr_rank int, mmr_score double"
+    rows = candidates.select(id_col, score_col, vec_col).collect()
+    if not rows:
+        return candidates.sparkSession.createDataFrame([], out_schema)
+
+    def dot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    ids = [r[id_col] for r in rows]
+    rel = [float(r[score_col]) for r in rows]
+    unit = []
+    for r in rows:
+        v = [float(x) for x in r[vec_col]]
+        norm = math.sqrt(dot(v, v))
+        unit.append([x / norm for x in v] if norm else v)
+
+    n = len(ids)
+    first = min(range(n), key=lambda i: (-rel[i], ids[i]))
+    selected = [first]
+    out = [(ids[first], 1, round(rel[first], 6) + 0.0)]
+    remaining = [i for i in range(n) if i != first]
+    while remaining and len(selected) < k:
+        best, best_mmr = None, None
+        for i in remaining:
+            max_sim = max(dot(unit[i], unit[j]) for j in selected)
+            mmr = round(lamb * rel[i] - (1.0 - lamb) * max_sim, 6) + 0.0
+            if best is None or (-mmr, ids[i]) < (-best_mmr, ids[best]):
+                best, best_mmr = i, mmr
+        selected.append(best)
+        out.append((ids[best], len(selected), best_mmr))
+        remaining.remove(best)
+    return candidates.sparkSession.createDataFrame(out, out_schema)
+
+
 def recall_report(
     families: list[tuple[str, DataFrame, list[tuple[str, bool]]]],
     truth: DataFrame,

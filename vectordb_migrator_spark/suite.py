@@ -1273,6 +1273,79 @@ ORACLES["x4_recall_report"] = _recall_report_sql()
 
 
 @query(
+    "x4_mmr_rerank",
+    f"""
+    WITH RECURSIVE p AS (SELECT {_PROBE_SQL} AS pv),
+    cand AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS v,
+             round(list_dot_product(embedding::DOUBLE[], pv) /
+                   (sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(pv, pv))), 6) AS score
+      FROM embeddings, p ORDER BY score DESC, vec_id LIMIT 30
+    ),
+    sel AS (
+      SELECT 1 AS step,
+             [(SELECT vec_id FROM cand ORDER BY score DESC, vec_id LIMIT 1)]
+               AS ids,
+             [(SELECT round(score, 6) + 0.0 FROM cand
+               ORDER BY score DESC, vec_id LIMIT 1)] AS scores
+      UNION ALL
+      SELECT step + 1,
+             list_append(ids, nxt.vec_id),
+             list_append(scores, nxt.mmr)
+      FROM sel, LATERAL (
+        SELECT c.vec_id,
+               round(0.5 * c.score - 0.5 * (
+                 SELECT max(list_dot_product(c.v, s.v))
+                 FROM cand s WHERE list_contains(sel.ids, s.vec_id)
+               ), 6) + 0.0 AS mmr
+        FROM cand c
+        WHERE NOT list_contains(sel.ids, c.vec_id)
+        ORDER BY mmr DESC, c.vec_id LIMIT 1
+      ) nxt
+      WHERE step < 10
+    ),
+    last AS (SELECT ids, scores FROM sel ORDER BY step DESC LIMIT 1)
+    SELECT last.ids[t.i] AS vec_id, t.i::INT AS mmr_rank,
+           last.scores[t.i] AS mmr_score
+    FROM last, range(1, 11) t(i)
+    WHERE t.i <= len(last.ids)
+    ORDER BY mmr_rank
+    """,
+)
+def x4_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — maximal-marginal-relevance diversity re-rank: exact cosine
+    top-30 shortlist → greedy λ=0.5 MMR selection of 10. The scan does
+    the distributed work (TakeOrderedAndProject shortlist WITH the
+    vectors as payload); the greedy loop is list-depth driver work.
+    The oracle replicates the greedy selection with a recursive CTE —
+    argmax over 6-decimal-rounded MMR makes the two engines rank
+    identically."""
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+    from vectordb_migrator_spark.operators.ranking import mmr_rerank
+    from vectordb_migrator_spark.operators.similarity import probe_literal
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    shortlist = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.round(
+                cosine_similarity(F.col("embedding"), probe_literal(probe)), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(30)
+    )
+    return mmr_rerank(shortlist, k=10, lamb=0.5)
+
+
+@query(
     "x9_matryoshka_topk",
     f"""
     WITH p AS (SELECT {_PROBE_SQL} AS pv),
@@ -4379,6 +4452,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_lsh_near_dup",  # now star-capped (max_bucket) — results changed
     "x4_pq_adc_stored",  # new: ADC over materialized codes
     "x4_recall_report",  # new: per-family recall@10 with full oracle
+    "x4_mmr_rerank",  # new: greedy MMR with a recursive-CTE oracle
+    "x9_matryoshka_topk",  # new: MRL truncated retrieval
     "bin_equal_frequency_events",  # NULL-bin guard added this round
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
@@ -4418,8 +4493,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "rollup_pricing",
     "pivot_event_counts",
     "percentile_event_values",
-    "histogram_event_values",
-    "cube_order_status_priority",
 ]
 
 
