@@ -80,6 +80,7 @@ HEADLINE = [
     "x5_boilerplate_removal",
     "x5_ngram_contamination",
     "x5_unigram_surprisal",
+    "x5_corpus_stats",
     "x6_multimodal_features",
     "x6_frame_explode",
     "x9_chunk_documents",

@@ -267,3 +267,29 @@ def test_normalize_for_dedup(spark):
     norm = a.select("doc_id", normalize_for_dedup("text").alias("text"))
     pairs = ngram_jaccard_pairs(norm, n=3, threshold=0.99).collect()
     assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_corpus_stats_semantics(spark):
+    """The one-row health report counts emptiness, exact-dup mass,
+    token totals, and PII incidence exactly."""
+    from vectordb_migrator_spark.operators.cleaning import corpus_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),          # exact dup of 1
+            (3, "   "),                        # whitespace-only → empty
+            (4, "mail me at a.b@example.org"),  # PII doc
+            (5, "five tokens in this doc"),
+        ],
+        "doc_id long, text string",
+    )
+    r = corpus_stats(df).collect()[0]
+    assert r["n_docs"] == 5
+    assert r["n_empty"] == 1
+    assert r["n_exact_dups"] == 1
+    assert r["n_pii_docs"] == 1
+    # tokens: 3 + 3 + 1 (empty-string token) + 4 + 5
+    assert r["tok_total"] == 16
+    assert r["tok_mean"] == round(16 / 5, 6)
+    assert r["tok_p90"] == 4.6  # interpolated over [1, 3, 3, 4, 5]

@@ -219,3 +219,55 @@ def unigram_surprisal(
             F.count("*").alias("n_tok"),
         )
     )
+
+
+def corpus_stats(
+    df: "DataFrame",
+    *,
+    text_col: str = "text",
+) -> "DataFrame":
+    """One-row corpus health report — the gate a training-data
+    pipeline checks before (and after) every ingest: volume, emptiness,
+    exact-duplicate mass, token-length distribution, PII incidence.
+
+    ONE pass, every metric a map-side-combinable aggregate (counts,
+    long sums, countDistinct on a 16-hex content hash, exact
+    interpolated percentiles); the mean derives from the exact long
+    sum rather than a float avg, so the report is bit-deterministic
+    across engines and partitionings. At 100 TB this is the same scan
+    shape as any count(*) — no joins, no windows, nothing driver-side.
+    """
+    from vectordb_migrator_spark.functions.text import (
+        md5_fingerprint,
+        pii_count,
+        token_count_ws,
+        ws_strip,
+    )
+
+    t = F.col(text_col)
+    toks = token_count_ws(t)
+    return (
+        df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(ws_strip(t) == "", 1).otherwise(0))
+            .cast("long")
+            .alias("n_empty"),
+            (F.count("*") - F.count_distinct(md5_fingerprint(t)))
+            .cast("long")
+            .alias("n_exact_dups"),
+            F.sum(toks).cast("long").alias("tok_total"),
+            F.sum(F.length(t)).cast("long").alias("chars_total"),
+            F.percentile(toks, F.lit(0.5)).alias("tok_p50"),
+            F.percentile(toks, F.lit(0.9)).alias("tok_p90"),
+            F.sum(F.when(pii_count(t) > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pii_docs"),
+        )
+        .withColumn(
+            "tok_mean",
+            F.round(
+                F.col("tok_total").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )

@@ -4358,6 +4358,44 @@ def x5_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_corpus_stats",
+    r"""
+    WITH m AS (
+      SELECT count(*)::BIGINT AS n_docs,
+             count(*) FILTER (
+               regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+             )::BIGINT AS n_empty,
+             (count(*) - count(DISTINCT substr(md5(text), 1, 16)))::BIGINT
+               AS n_exact_dups,
+             sum(len(string_split_regex(lower(trim(text)), '\s+')))::BIGINT
+               AS tok_total,
+             sum(length(text))::BIGINT AS chars_total,
+             quantile_cont(len(string_split_regex(lower(trim(text)), '\s+')),
+                           0.5) AS tok_p50,
+             quantile_cont(len(string_split_regex(lower(trim(text)), '\s+')),
+                           0.9) AS tok_p90,
+             count(*) FILTER (
+               len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+               len(regexp_extract_all(text, '\b\d{3}[-.]\d{4}\b')) > 0
+             )::BIGINT AS n_pii_docs
+      FROM documents
+    )
+    SELECT *, round(tok_total::DOUBLE / n_docs::DOUBLE, 6) AS tok_mean FROM m
+    """,
+)
+def x5_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — one-row corpus health report (volume, emptiness, exact-dup
+    mass, token-length distribution, PII incidence): the pre/post
+    ingest gate. One scan, all map-side-combinable aggregates; the
+    mean derives from the exact long sum, so it is bit-deterministic
+    across engines."""
+    from vectordb_migrator_spark.operators.cleaning import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "x5_unigram_surprisal",
     r"""
     WITH toks AS (
@@ -4454,6 +4492,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_recall_report",  # new: per-family recall@10 with full oracle
     "x4_mmr_rerank",  # new: greedy MMR with a recursive-CTE oracle
     "x9_matryoshka_topk",  # new: MRL truncated retrieval
+    "x5_corpus_stats",  # new: one-row corpus health report
     "bin_equal_frequency_events",  # NULL-bin guard added this round
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
@@ -4490,7 +4529,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_multimodal_features",
     "x6_frame_explode",
     "x7_approx_distinct",
-    "rollup_pricing",
     "pivot_event_counts",
     "percentile_event_values",
 ]
