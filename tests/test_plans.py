@@ -157,3 +157,24 @@ def test_lsh_near_dup_pairs_inside_buckets(spark):
     exchange keys contain the bucket column, bounding the self-join."""
     plan = _plan(spark, "x2_lsh_near_dup")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_matryoshka_topk_single_scan(spark):
+    """Truncated retrieval keeps the exact-top-k plan shape: one
+    pruned scan + TakeOrderedAndProject, no exchange, no Python."""
+    plan = _plan(spark, "x9_matryoshka_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_corpus_stats_partial_aggregate_one_pass(spark):
+    """The corpus health report is one scan with map-side combine:
+    two HashAggregate levels (or a sort-based fallback for the
+    percentile buffers) around a single-row final exchange — no joins,
+    no windows, no Python."""
+    plan = _plan(spark, "x5_corpus_stats")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
