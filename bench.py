@@ -70,6 +70,7 @@ HEADLINE = [
     "x4_mmr_rerank",
     "x9_matryoshka_topk",
     "x4_lsh_multiprobe_topk",
+    "x4_lsh_index_topk",
     "x9_embedding_pool",
     "x9_chunk_feature_pool",
     "x9_pack_chunks",

@@ -302,6 +302,50 @@ def test_pq_sampled_codebooks_requires_dense_low_ids(spark):
         pq_sampled_codebooks(df, m=4, k=16)
 
 
+def test_lsh_index_partition_pruning(spark, embeddings, probe, tmp_path):
+    """The materialized LSH index must (a) return exactly the in-plan
+    filter variant's results and (b) prune at the DIRECTORY level:
+    the scan's PartitionFilters carries the bucket literal and only
+    one partition's files are read."""
+    from vectordb_migrator_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_bucket_topk,
+        lsh_index_topk,
+        python_hyperplane_signature,
+        random_hyperplane_signature,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    path = str(tmp_path / "idx")
+    build_lsh_index(embeddings, planes, path)
+
+    inplan = lsh_bucket_topk(embeddings, probe, planes, k=10).collect()
+    indexed = lsh_index_topk(spark, path, probe, planes, k=10)
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in inplan]
+
+    sig = python_hyperplane_signature(probe, planes)
+    spark_sig = (
+        embeddings.limit(1)
+        .select(
+            random_hyperplane_signature(
+                F.array(*[F.lit(float(x)) for x in probe]), planes
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert sig == spark_sig  # python twin matches the codegen signature
+    import re
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and f"= {sig})" in m.group(1)  # pruned at the directory level
+    dm = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+    assert dm and dm.group(1).strip() == ""  # nothing left to re-filter
+
+
 def test_mmr_rerank_demotes_duplicates(spark):
     """MMR must pick one copy of a duplicated top hit, then prefer a
     diverse lower-scored candidate over the twin; pure relevance order

@@ -166,6 +166,66 @@ def random_hyperplane_signature(
     return sig
 
 
+def python_hyperplane_signature(
+    vec: list[float], planes: list[list[float]]
+) -> int:
+    """Driver-side twin of :func:`random_hyperplane_signature` — the
+    probe's bucket as a plain int, so an index probe can fold the
+    partition filter to a literal before the plan is built."""
+    sig = 0
+    for pl in planes:
+        s = 0.0
+        for x, y in zip(vec, pl):
+            s += float(x) * float(y)
+        sig = (sig << 1) | (1 if s >= 0 else 0)
+    return sig
+
+
+def build_lsh_index(
+    df: DataFrame,
+    planes: list[list[float]],
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> None:
+    """Materialize the hyperplane-LSH index AS A DATA LAYOUT: one pass
+    computes each row's bucket signature (pure codegen) and writes the
+    corpus hive-partitioned by it. A probe then reads ~1/2^nbits of
+    the data via partition PRUNING — directories that never open, the
+    on-disk analog of an ANN index and the pattern that actually
+    scales to 100 TB (the in-plan `filter(sig == probe_sig)` of
+    :func:`lsh_bucket_topk` still scans every file to evaluate the
+    signature; this moves the filter into the directory listing)."""
+    from vectordb_migrator_spark.operators.scale import write_partitioned
+
+    bucketed = df.withColumn(
+        bucket_col, random_hyperplane_signature(F.col(vec_col), planes)
+    )
+    write_partitioned(bucketed, path, partition_cols=bucket_col)
+
+
+def lsh_index_topk(
+    spark,
+    path: str,
+    probe: list[float],
+    planes: list[list[float]],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Probe a :func:`build_lsh_index` layout: the probe's bucket folds
+    to a literal partition filter (``PartitionFilters`` at the scan —
+    only the matching directory is read), then exact cosine top-k over
+    that sliver. Results are identical to :func:`lsh_bucket_topk` on
+    the same corpus and planes."""
+    sig = python_hyperplane_signature(probe, planes)
+    pruned = spark.read.parquet(path).filter(F.col(bucket_col) == sig)
+    return cosine_topk(pruned, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     probe: list[float],

@@ -890,6 +890,32 @@ def x4_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x4_lsh_bucket_topk"] = _lsh_bucket_sql()
 
 
+@query("x4_lsh_index_topk", None)  # identical semantics → same oracle
+def x4_lsh_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the MATERIALIZED LSH index: one pass writes the corpus
+    hive-partitioned by bucket signature, then the probe reads ONLY
+    its bucket's directory via partition pruning (`PartitionFilters`
+    at the scan — plan-asserted in tests). Same results and oracle as
+    the in-plan filter variant; at 100 TB this is the difference
+    between evaluating the signature over every file and never
+    opening 63/64 of them."""
+    import tempfile
+
+    from vectordb_migrator_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lsh_index_") + "/idx"
+    build_lsh_index(emb, _PLANES, path)
+    return lsh_index_topk(spark, path, probe, _PLANES, k=10)
+
+
+ORACLES["x4_lsh_index_topk"] = _lsh_bucket_sql()
+
+
 def _lsh_multiprobe_sql() -> str:
     sig_expr = _plane_sig_sql
     neighbors = ", ".join(
@@ -4493,6 +4519,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_mmr_rerank",  # new: greedy MMR with a recursive-CTE oracle
     "x9_matryoshka_topk",  # new: MRL truncated retrieval
     "x5_corpus_stats",  # new: one-row corpus health report
+    "x4_lsh_index_topk",  # new: materialized LSH index + partition pruning
     "bin_equal_frequency_events",  # NULL-bin guard added this round
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
@@ -4529,7 +4556,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_multimodal_features",
     "x6_frame_explode",
     "x7_approx_distinct",
-    "pivot_event_counts",
     "percentile_event_values",
 ]
 
