@@ -1,11 +1,12 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-a compact totals-first JSON line {"metric", "value" (total sec),
-"unit", "sf", "n_queries"} followed by the full line that also carries
-"queries": {name: sec}. The compact line exists because the 69-query
-single line overflowed the round driver's output tail capture
-(BENCH_r03 recorded parsed: null) — totals stay parseable no matter
-how small the capture buffer is.
+a compact totals JSON line {"metric", "value" (total sec), "unit",
+"sf", "n_queries"} FIRST and LAST, with the full per-query line
+("queries": {name: sec}) in between. The 69-query single line
+overflowed the round driver's output capture (BENCH_r03 recorded
+parsed: null); bracketing the detail with the 100-byte compact line
+keeps the totals parseable whichever end of the output a bounded
+capture keeps and whichever line a parser picks.
 
 Each query is forced through a noop datasource write (full
 materialization, no driver collect) so timings reflect the whole plan.
@@ -139,6 +140,7 @@ def main() -> None:
     }
     print(json.dumps(summary))
     print(json.dumps({**summary, "queries": timings}))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
