@@ -603,6 +603,40 @@ def lsh_embedding_near_dup_pairs(
     )
 
 
+def lsh_embedding_near_dup_pairs_multi(
+    df: DataFrame,
+    plane_sets: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The recall knob for LSH-blocked near-dup, made concrete: run
+    :func:`lsh_embedding_near_dup_pairs` once per independent plane
+    set and union the pair frames (dropDuplicates on the pair key). A
+    pair missed by one bucketing (split across buckets) is found by
+    another with independent planes; recall converges to the all-pairs
+    result as sets stack, while each set's scan stays 1/2^nbits
+    blocked and capped. The union dedup shuffles only (id_a, id_b,
+    cos) triples — pairs, never vectors."""
+    frames = [
+        lsh_embedding_near_dup_pairs(
+            df,
+            planes,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            max_bucket=max_bucket,
+        )
+        for planes in plane_sets
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
 def apply_dedup(
     df: DataFrame,
     clusters: DataFrame,

@@ -117,8 +117,10 @@ def _probe_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[flo
 
 _PROBE_SQL = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
 
-# deterministic LSH hyperplanes (seeded — NOT runtime randomness)
+# deterministic LSH hyperplanes (seeded — NOT runtime randomness);
+# the second independent set is the multi-set recall knob's input
 _PLANES = np.random.default_rng(42).standard_normal((6, 64)).round(6).tolist()
+_PLANES2 = np.random.default_rng(43).standard_normal((6, 64)).round(6).tolist()
 
 
 # =====================================================================
@@ -844,15 +846,16 @@ def x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_sig_sql(col: str) -> str:
+def _plane_sig_sql(col: str, planes: list[list[float]] | None = None) -> str:
     """Replicate random_hyperplane_signature in DuckDB: the planes are
     deterministic literals, so the sign-bit bucket is exactly
     SQL-expressible (dot >= 0 per plane, MSB-first packing)."""
+    planes = _PLANES if planes is None else planes
     terms = [
         f"(CASE WHEN list_dot_product({col}, "
         f"[{', '.join(repr(float(x)) for x in pl)}]::DOUBLE[]) >= 0 "
-        f"THEN {1 << (len(_PLANES) - 1 - i)} ELSE 0 END)"
-        for i, pl in enumerate(_PLANES)
+        f"THEN {1 << (len(planes) - 1 - i)} ELSE 0 END)"
+        for i, pl in enumerate(planes)
     ]
     return " + ".join(terms)
 
@@ -1453,6 +1456,64 @@ ORACLES["x2_lsh_near_dup"] = f"""
       AND list_dot_product(a.v, b.v) >= 0.25
     ORDER BY id_a, id_b
     """
+
+
+@query("x2_lsh_near_dup_multi", None)  # oracle attached below
+def x2_lsh_near_dup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — stacked plane sets: two independent LSH bucketings, union
+    of pair frames, dedup on the pair key — the recall knob for
+    LSH-blocked near-dup made concrete (a pair split across one
+    bucketing's cells is usually found by the other). Each set's scan
+    stays blocked and star-capped; the union shuffles only pair
+    triples."""
+    from vectordb_migrator_spark.operators.dedup import (
+        lsh_embedding_near_dup_pairs_multi,
+    )
+
+    return lsh_embedding_near_dup_pairs_multi(
+        _t(spark, sf_dir, "embeddings"),
+        [_PLANES, _PLANES2],
+        threshold=0.25,
+        max_bucket=_LSH_ND_CAP,
+    ).orderBy("id_a", "id_b")
+
+
+def _lsh_near_dup_multi_sql() -> str:
+    def per_set(planes: list[list[float]]) -> str:
+        # signatures over the RAW embedding (e), mirroring the Spark
+        # side, which buckets before normalizing
+        return f"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v), 6) AS cos
+      FROM n a JOIN n b
+        ON {_plane_sig_sql('a.e', planes)} = {_plane_sig_sql('b.e', planes)}
+       AND a.vec_id < b.vec_id
+      JOIN (
+        SELECT {_plane_sig_sql('e', planes)} AS sig,
+               count(*) AS n_bkt, min(vec_id) AS anchor
+        FROM n GROUP BY 1
+      ) c ON c.sig = {_plane_sig_sql('a.e', planes)}
+      WHERE (c.n_bkt <= {_LSH_ND_CAP} OR a.vec_id = c.anchor)
+        AND list_dot_product(a.v, b.v) >= 0.25"""
+
+    return f"""
+    WITH n AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS e,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS v
+      FROM embeddings
+    )
+    SELECT DISTINCT id_a, id_b, cos FROM (
+      {per_set(_PLANES)}
+      UNION ALL
+      {per_set(_PLANES2)}
+    ) ORDER BY id_a, id_b
+    """
+
+
+ORACLES["x2_lsh_near_dup_multi"] = _lsh_near_dup_multi_sql()
 
 
 # =====================================================================
