@@ -410,3 +410,23 @@ def test_lsh_multiprobe_supersets_single_bucket(embeddings, probe):
     assert len(multi) >= len(single)
     for s, m in zip(single, multi):
         assert m["score"] >= s["score"]
+
+
+def test_mmr_rerank_edges(spark):
+    """k beyond the candidate count returns every candidate once;
+    an empty shortlist returns an empty typed frame."""
+    from vectordb_migrator_spark.operators.ranking import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0.9), (2, [0.0, 1.0], 0.8)],
+        "vec_id long, embedding array<double>, score double",
+    )
+    out = mmr_rerank(df, k=10).collect()
+    assert sorted(r["vec_id"] for r in out) == [1, 2]
+    assert [r["mmr_rank"] for r in out] == [1, 2]
+
+    empty = mmr_rerank(df.limit(0), k=5)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "vec_id", "mmr_rank", "mmr_score",
+    ]

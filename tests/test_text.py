@@ -293,3 +293,15 @@ def test_corpus_stats_semantics(spark):
     assert r["tok_total"] == 16
     assert r["tok_mean"] == round(16 / 5, 6)
     assert r["tok_p90"] == 4.6  # interpolated over [1, 3, 3, 4, 5]
+
+
+def test_corpus_stats_empty_corpus(spark):
+    """An empty corpus yields one well-typed row of zeros/nulls
+    instead of crashing — the report stays safe as an ingest gate."""
+    from vectordb_migrator_spark.operators.cleaning import corpus_stats
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    r = corpus_stats(df).collect()[0]
+    assert r["n_docs"] == 0 and r["n_empty"] == 0
+    assert r["tok_total"] == 0 and r["n_pii_docs"] == 0
+    assert r["tok_p50"] is None and r["tok_mean"] is None

@@ -246,27 +246,38 @@ def corpus_stats(
 
     t = F.col(text_col)
     toks = token_count_ws(t)
+    zero = F.lit(0).cast("long")
     return (
         df.agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.sum(F.when(ws_strip(t) == "", 1).otherwise(0))
-            .cast("long")
-            .alias("n_empty"),
+            # counts and totals coalesce to 0 on an empty corpus (sum
+            # over zero rows is NULL) — a gate reads "nothing there",
+            # not "unknown"; mean/percentiles stay NULL (undefined)
+            F.coalesce(
+                F.sum(F.when(ws_strip(t) == "", 1).otherwise(0)).cast("long"),
+                zero,
+            ).alias("n_empty"),
             (F.count("*") - F.count_distinct(md5_fingerprint(t)))
             .cast("long")
             .alias("n_exact_dups"),
-            F.sum(toks).cast("long").alias("tok_total"),
-            F.sum(F.length(t)).cast("long").alias("chars_total"),
+            F.coalesce(F.sum(toks).cast("long"), zero).alias("tok_total"),
+            F.coalesce(F.sum(F.length(t)).cast("long"), zero).alias(
+                "chars_total"
+            ),
             F.percentile(toks, F.lit(0.5)).alias("tok_p50"),
             F.percentile(toks, F.lit(0.9)).alias("tok_p90"),
-            F.sum(F.when(pii_count(t) > 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_pii_docs"),
+            F.coalesce(
+                F.sum(F.when(pii_count(t) > 0, 1).otherwise(0)).cast("long"),
+                zero,
+            ).alias("n_pii_docs"),
         )
         .withColumn(
             "tok_mean",
             F.round(
-                F.col("tok_total").cast("double") / F.col("n_docs").cast("double"),
+                F.try_divide(
+                    F.col("tok_total").cast("double"),
+                    F.col("n_docs").cast("double"),
+                ),
                 6,
             ),
         )
