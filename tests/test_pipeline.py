@@ -258,3 +258,49 @@ def test_migrate_single_scan_for_foreachpartition_sink(spark, tmp_path):
     assert m.stats["total_rows"] == n
     assert m.stats["rows_with_id"] == n
     assert rows_seen.value == n  # exactly one pass over the source
+
+
+def test_jsonl_roundtrip_migration(spark, tmp_path):
+    """parquet → jsonl → parquet through the config-driven migrator:
+    the JSONL hop preserves the canonical triple exactly (vectors as
+    arrays, metadata as objects), with an explicit read schema so no
+    inference scan runs."""
+    src = str(tmp_path / "src")
+    jl = str(tmp_path / "jl")
+    back = str(tmp_path / "back")
+    spark.createDataFrame(
+        [("1", [0.5, 0.25], {"k": "v"}), ("2", [1.0, -1.0], {})],
+        "id string, vector array<float>, metadata map<string,string>",
+    ).write.parquet(src)
+
+    assert run_migration(spark, {
+        "source": {"type": "parquet", "query": {
+            "path": src, "vector_column": "vector",
+            "metadata_columns": ["metadata"],  # map pass-through
+        }},
+        "target": {"type": "jsonl",
+                   "load": {"path": jl, "recreate_table": True}},
+    })
+    import json as _json, glob, os
+    lines = []
+    for f in glob.glob(os.path.join(jl, "part-*")):
+        lines += [_json.loads(x) for x in open(f) if x.strip()]
+    assert {l["id"] for l in lines} == {"1", "2"}
+    assert {tuple(l["vector"]) for l in lines} == {(0.5, 0.25), (1.0, -1.0)}
+
+    assert run_migration(spark, {
+        "source": {"type": "jsonl", "query": {
+            "path": jl,
+            "schema": "id string, vector array<float>, "
+                      "metadata map<string,string>",
+            "vector_column": "vector",
+            "metadata_columns": ["metadata"],
+        }},
+        "target": {"type": "parquet",
+                   "load": {"path": back, "recreate_table": True}},
+    })
+    got = {
+        r["id"]: ([round(float(x), 6) for x in r["vector"]], dict(r["metadata"]))
+        for r in spark.read.parquet(back).collect()
+    }
+    assert got == {"1": ([0.5, 0.25], {"k": "v"}), "2": ([1.0, -1.0], {})}

@@ -102,12 +102,27 @@ def to_canonical_columns(
     are dropped (P3, the Milvus extract semantics,
     ``adapters/milvus.py:120``).
     """
+    from pyspark.sql.types import MapType
+
     cols = [coerce_id(id_column).alias("id")]
     if vector_column is not None:
         cols.append(F.col(vector_column).cast("array<float>").alias("vector"))
     else:
         cols.append(F.lit(None).cast("array<float>").alias("vector"))
-    if metadata_columns:
+    if (
+        len(metadata_columns) == 1
+        and metadata_columns[0] in df.columns
+        and isinstance(df.schema[metadata_columns[0]].dataType, MapType)
+    ):
+        # an already-canonical source: pass the metadata MAP through
+        # (values stringified, NULL-valued keys still dropped) instead
+        # of stringifying the whole map under one key — the
+        # canonical-to-canonical migration path (parquet ⇄ jsonl hops)
+        meta = F.map_filter(
+            F.col(metadata_columns[0]).cast("map<string,string>"),
+            lambda _, v: v.isNotNull(),
+        )
+    elif metadata_columns:
         pairs: list[Column] = []
         for c in metadata_columns:
             pairs.append(F.lit(c))

@@ -34,8 +34,14 @@ class ParquetAdapter(SparkAdapter):
     ) -> DataFrame:
         path = query.get("path") or connection.get("path")
         if not path:
-            raise ValueError("parquet source requires 'path'")
-        df = spark.read.format(self._format).load(path)
+            raise ValueError(f"{self.name} source requires 'path'")
+        reader = spark.read.format(self._format)
+        # optional explicit DDL schema — schema-on-read formats (jsonl)
+        # should pin types instead of inferring them per run; parquet
+        # callers can use it for projection-by-schema
+        if query.get("schema"):
+            reader = reader.schema(query["schema"])
+        df = reader.load(path)
 
         # F1 — raw predicate string, pushed into the parquet scan by
         # Catalyst (the reference appends it verbatim to the WHERE
@@ -71,10 +77,22 @@ class ParquetAdapter(SparkAdapter):
     ) -> dict[str, Any]:
         path = load.get("path") or connection.get("path")
         if not path:
-            raise ValueError("parquet sink requires 'path'")
+            raise ValueError(f"{self.name} sink requires 'path'")
         mode = "overwrite" if load.get("recreate_table") else load.get("mode", "append")
         writer = df.write.format(self._format).mode(mode)
         if load.get("partition_by"):
             writer = writer.partitionBy(*load["partition_by"])
         writer.save(path)
         return {"path": path, "mode": mode}
+
+
+class JsonlAdapter(ParquetAdapter):
+    """JSON-Lines flavor of the file adapter — the interchange format
+    training-data pipelines actually trade (one canonical record per
+    line; metadata maps serialize as JSON objects, vectors as arrays).
+    Same query/load semantics as the parquet adapter; pass ``schema``
+    (a DDL string) on the read side to pin types instead of paying
+    per-run inference — at 100 TB an inference pass IS a full scan."""
+
+    name = "jsonl"
+    _format = "json"

@@ -10,7 +10,10 @@ without optional drivers installed.
 from __future__ import annotations
 
 from vectordb_migrator_spark.sources.base import SparkAdapter
-from vectordb_migrator_spark.sources.parquet_io import ParquetAdapter
+from vectordb_migrator_spark.sources.parquet_io import (
+    JsonlAdapter,
+    ParquetAdapter,
+)
 
 
 def _pgvector():
@@ -42,6 +45,7 @@ def _pinecone():
 #: plus the lakehouse formats the Spark rebuild adds.
 _FACTORIES = {
     "parquet": lambda: ParquetAdapter,
+    "jsonl": lambda: JsonlAdapter,
     "pgvector": _pgvector,
     "postgres": _pgvector,  # reference alias: pgvector IS postgres
     "qdrant": _qdrant,
