@@ -430,3 +430,105 @@ def test_mmr_rerank_edges(spark):
     assert [f.name for f in empty.schema.fields] == [
         "vec_id", "mmr_rank", "mmr_score",
     ]
+
+
+def test_ivfpq_matches_numpy_spec(embeddings, probe):
+    """IVFADC spec in NumPy: ADC distances restricted to the nprobe
+    clusters with the most probe-similar mean centroids."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_sampled_codebooks,
+        python_pq_lut,
+    )
+
+    m, kc, nprobe = 4, 16, 2
+    cbs = pq_sampled_codebooks(embeddings, m=m, k=kc)
+    rows = embeddings.select("vec_id", "label", "embedding").collect()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float32).astype(np.float64)
+        for r in rows
+    }
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    p = np.array(probe)
+
+    by_label = {}
+    for vid, v in vecs.items():
+        by_label.setdefault(labels[vid], []).append(v)
+    cents = {lb: np.mean(vs, axis=0) for lb, vs in by_label.items()}
+    sims = sorted(
+        (
+            (-(c @ p) / (np.linalg.norm(c) * np.linalg.norm(p)), lb)
+            for lb, c in cents.items()
+        )
+    )
+    probed = {lb for _, lb in sims[:nprobe]}
+
+    cb = np.array(cbs)
+    dim = len(p)
+    dsub = dim // m
+    lut = np.array(python_pq_lut(probe, cbs))
+    np_dist = {}
+    for vid, v in vecs.items():
+        if labels[vid] not in probed:
+            continue
+        codes = [
+            int(np.argmin(((v[s * dsub : (s + 1) * dsub] - cb[s]) ** 2).sum(axis=1)))
+            for s in range(m)
+        ]
+        np_dist[vid] = round(float(sum(lut[s][c] for s, c in enumerate(codes))), 6)
+    expected = sorted(np_dist.items(), key=lambda t: (t[1], t[0]))[:10]
+
+    got = [
+        (r["vec_id"], r["adc_dist"])
+        for r in ivfpq_topk(
+            embeddings, probe, cbs, cluster_col="label", k=10, nprobe=nprobe
+        ).collect()
+    ]
+    assert got == expected
+
+
+def test_ivfpq_full_nprobe_equals_pq_adc(embeddings, probe):
+    """With nprobe = nlist the coarse stage prunes nothing: IVFADC must
+    degrade to exactly the flat ADC scan."""
+    from vectordb_migrator_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_sampled_codebooks,
+    )
+
+    cbs = pq_sampled_codebooks(embeddings, m=4, k=16)
+    nlist = embeddings.select("label").distinct().count()
+    flat = pq_adc_topk(embeddings, probe, cbs, k=10).collect()
+    ivf = ivfpq_topk(
+        embeddings, probe, cbs, cluster_col="label", k=10, nprobe=nlist
+    ).collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in flat]
+
+
+def test_range_search_matches_numpy_and_streams(embeddings, probe):
+    """Radius search equals the NumPy threshold filter, and its plan is
+    a pure scan+filter — no sort, no exchange, no Python."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.similarity import cosine_range_search
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    p = np.array(probe)
+    expected = {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float32).astype(np.float64)
+        s = round(float((v @ p) / (np.linalg.norm(v) * np.linalg.norm(p))), 6)
+        if s >= 0.2:
+            expected[r["vec_id"]] = s
+
+    out = cosine_range_search(embeddings, probe, threshold=0.2)
+    got = {r["vec_id"]: r["score"] for r in out.collect()}
+    assert got == expected
+    assert 0 in got  # probe is vec_id 0's own embedding (score 1.0)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+    assert "BatchEvalPython" not in plan

@@ -514,3 +514,70 @@ def lsh_multiprobe_topk(
     for i in range(len(planes)):
         cond = cond | (sig == probe_sig.bitwiseXOR(F.lit(1 << i).cast("long")))
     return cosine_topk(df.filter(cond), probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def cosine_range_search(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) search: every vector whose cosine similarity to
+    the probe is >= ``threshold`` — the unbounded-result twin of
+    :func:`cosine_topk` that Qdrant (``score_threshold``), Milvus
+    (``range_search``) and pgvector (``WHERE 1 - (v <=> p) > t``)
+    expose alongside top-k.
+
+    One narrow scan, the threshold applied as a plain Filter directly
+    over the codegen score — no sort, no limit, no shuffle; at 100 TB
+    the result streams out partition-parallel (unlike top-k there is
+    no TakeOrderedAndProject merge on the driver).
+    """
+    p = probe_literal(probe)
+    return df.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), p), 6).alias("score"),
+    ).filter(F.col("score") >= threshold)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    probe: list[float],
+    codebooks: list[list[list[float]]],
+    *,
+    cluster_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse pruning + PQ asymmetric-distance scan — the IVFADC
+    layout every billion-scale ANN system ships (FAISS IVFx,PQy): the
+    coarse quantizer cuts the candidate set to nprobe/nlist of the
+    corpus, then the fine quantizer scores the survivors with m LUT
+    lookups per row instead of float-vector math.
+
+    Composition of :func:`ivf_topk`'s broadcast-semi-join prune and
+    :func:`pq_adc_topk`'s LUT scan, so each half keeps its 100 TB
+    story: with the corpus written partitioned by ``cluster_col`` and
+    the codes materialized via :func:`pq_encode`, the probe reads
+    nprobe/nlist of an m-byte-per-vector store — the two compressions
+    multiply. Ties in the coarse ranking break on the lowest cluster
+    id (deterministic, matching the SQL oracle).
+    """
+    from vectordb_migrator_spark.functions.vector import cosine_similarity as _cs
+
+    p = probe_literal(probe)
+    centroids = ivf_build_centroids(df, cluster_col=cluster_col, vec_col=vec_col)
+    shortlist = (
+        centroids.select("cluster", _cs(F.col("centroid"), p).alias("csim"))
+        .orderBy(F.desc("csim"), "cluster")
+        .limit(nprobe)
+        .select("cluster")
+    )
+    pruned = df.join(
+        F.broadcast(shortlist), df[cluster_col] == shortlist["cluster"], "left_semi"
+    )
+    return pq_adc_topk(pruned, probe, codebooks, k=k, id_col=id_col, vec_col=vec_col)

@@ -1083,6 +1083,100 @@ def x4_pq_adc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x4_pq_adc_stored"] = ORACLES["x4_pq_adc_topk"]
 
 
+@query(
+    "x4_ivfpq_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    cent AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, range(1, 65) t(i) GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             sum(c.cv * p.pv[i]) /
+             (sqrt(sum(c.cv * c.cv)) * sqrt(sum(p.pv[i] * p.pv[i]))) AS sim
+      FROM cent c, p GROUP BY c.label
+    ),
+    shortlist AS (SELECT label FROM csim ORDER BY sim DESC, label LIMIT 2),
+    pr AS (SELECT * FROM embeddings
+           WHERE label IN (SELECT label FROM shortlist)),
+    cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.embedding[t.i]::DOUBLE - c.cv[t.i]) *
+                 (e.embedding[t.i]::DOUBLE - c.cv[t.i])) AS dist
+      FROM pr e, range(1, 65) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT (t.i-1) // 16 AS s, c.j,
+             sum((p.pv[t.i] - c.cv[t.i]) * (p.pv[t.i] - c.cv[t.i])) AS pd
+      FROM cb c, p, range(1, 65) t(i)
+      GROUP BY (t.i-1) // 16, c.j
+    )
+    SELECT code.vec_id, round(sum(lut.pd), 6) AS adc_dist
+    FROM code JOIN lut ON lut.s = code.s AND lut.j = code.j
+    GROUP BY code.vec_id
+    ORDER BY adc_dist, code.vec_id LIMIT 10
+    """,
+)
+def x4_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — IVFADC (the FAISS IVFx,PQy layout): label-centroid coarse
+    quantizer prunes to nprobe=2 clusters, then m=4×16 PQ/ADC scores
+    the survivors with LUT lookups only. The two compressions multiply
+    — nprobe/nlist of the corpus × m bytes per vector — and every
+    stage (centroids, shortlist, codes, LUT sums) is SQL-expressible,
+    so the whole composition carries a full hash oracle."""
+    from vectordb_migrator_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    codebooks = pq_sampled_codebooks(emb, m=4, k=16)
+    return ivfpq_topk(
+        emb, probe, codebooks, cluster_col="label", k=10, nprobe=2
+    )
+
+
+@query(
+    "x3_range_search",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM embeddings, p
+    WHERE round(list_dot_product(embedding::DOUBLE[], pv) /
+                (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(pv, pv))), 6) >= 0.2
+    ORDER BY score DESC, vec_id
+    """,
+)
+def x3_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — radius (range) search: all vectors with cosine >= 0.2 of
+    the probe — the score_threshold / range_search query type Qdrant,
+    Milvus and pgvector expose alongside top-k. A plain Filter over
+    the codegen score: no sort-limit merge, the result streams out
+    partition-parallel (the ORDER BY here is display determinism
+    only)."""
+    from vectordb_migrator_spark.operators.similarity import cosine_range_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    return cosine_range_search(emb, probe, threshold=0.2).orderBy(
+        F.desc("score"), "vec_id"
+    )
+
+
 @query("x4_recall_report", None)  # oracle attached below (computed string)
 def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — the quantified recall-vs-cost story for every ANN family:
@@ -4581,6 +4675,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_matryoshka_topk",  # new: MRL truncated retrieval
     "x5_corpus_stats",  # new: one-row corpus health report
     "x4_lsh_index_topk",  # new: materialized LSH index + partition pruning
+    "x4_ivfpq_topk",  # new: IVFADC (coarse prune × PQ/ADC), full oracle
+    "x3_range_search",  # new: radius search (score_threshold twin of top-k)
     "bin_equal_frequency_events",  # NULL-bin guard added this round
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
@@ -4616,8 +4712,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_fingerprint",
     "x6_multimodal_features",
     "x6_frame_explode",
-    "x7_approx_distinct",
-    "percentile_event_values",
 ]
 
 
