@@ -532,3 +532,30 @@ def test_range_search_matches_numpy_and_streams(embeddings, probe):
     assert "Exchange" not in plan
     assert "Sort" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sq_topk_matches_numpy_and_plan(embeddings, probe):
+    """Int8 SQ retrieval equals the NumPy quantize→dequantize→cosine
+    spec, and the plan is one scan + TakeOrderedAndProject."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.similarity import sq_topk
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    p = np.array(probe)
+    scored = {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float32).astype(np.float64)
+        scale = np.abs(v).max() / 127.0
+        dv = np.zeros_like(v) if scale == 0 else np.floor(v / scale + 0.5) * scale
+        denom = np.linalg.norm(dv) * np.linalg.norm(p)
+        scored[r["vec_id"]] = round(float((dv @ p) / denom), 6)
+    expected = sorted(scored.items(), key=lambda t: (-t[1], t[0]))[:10]
+
+    out = sq_topk(embeddings, probe, k=10)
+    got = [(r["vec_id"], r["score"]) for r in out.collect()]
+    assert got == expected
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

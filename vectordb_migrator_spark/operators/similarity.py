@@ -581,3 +581,41 @@ def ivfpq_topk(
         F.broadcast(shortlist), df[cluster_col] == shortlist["cluster"], "left_semi"
     )
     return pq_adc_topk(pruned, probe, codebooks, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def sq_topk(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 scalar-quantized top-k (asymmetric): corpus vectors live as
+    symmetric int8 codes + one scale (``functions.vector.int8_quantize``
+    — 4 bytes/dim → 1), the probe stays full-precision, and the score
+    is exact cosine over the dequantized values. The third member of
+    the quantized-retrieval family next to PQ/ADC (:func:`pq_adc_topk`)
+    and binary Hamming (:func:`hamming_topk`): SQ keeps near-exact
+    recall (error ≤ scale/2 per dim) at 4× compression where binary
+    takes 32× at a recall cost.
+
+    One scan + TakeOrderedAndProject, all codegen. Here quantization is
+    inline (the fixtures carry floats); a production corpus stores the
+    ``int8_quantize`` struct once and the scan reads 1 byte/dim.
+    """
+    from vectordb_migrator_spark.functions.vector import (
+        int8_dequantize,
+        int8_quantize,
+    )
+
+    p = probe_literal(probe)
+    deq = int8_dequantize(int8_quantize(F.col(vec_col)))
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_similarity(deq, p), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -1147,6 +1147,42 @@ def x4_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_sq_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings
+    ),
+    dq AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> round(x / scale) * scale) END AS dv
+      FROM q
+    )
+    SELECT vec_id,
+           round(list_dot_product(dv, pv) /
+                 (sqrt(list_dot_product(dv, dv)) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM dq, p
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def x4_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — int8 scalar-quantized top-k: the 4×-compression member of
+    the quantized-retrieval family (binary = 32×, PQ = 64×), scoring
+    exact cosine over dequantized codes; the quantizer is data-derived
+    (max|v|/127 per vector) so the oracle rebuilds it in SQL."""
+    from vectordb_migrator_spark.operators.similarity import sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    return sq_topk(emb, probe, k=10)
+
+
+@query(
     "x3_range_search",
     f"""
     WITH p AS (SELECT {_PROBE_SQL} AS pv)
@@ -4677,6 +4713,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_lsh_index_topk",  # new: materialized LSH index + partition pruning
     "x4_ivfpq_topk",  # new: IVFADC (coarse prune × PQ/ADC), full oracle
     "x3_range_search",  # new: radius search (score_threshold twin of top-k)
+    "x4_sq_topk",  # new: int8 scalar-quantized retrieval
     "bin_equal_frequency_events",  # NULL-bin guard added this round
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
@@ -4711,7 +4748,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_langid",
     "x5_fingerprint",
     "x6_multimodal_features",
-    "x6_frame_explode",
 ]
 
 
