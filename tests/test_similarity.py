@@ -559,3 +559,30 @@ def test_sq_topk_matches_numpy_and_plan(embeddings, probe):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_suite_recall_report_covers_all_families(spark):
+    """The suite's ANN recall report carries one row per index family
+    — including the round-4 IVFADC and int8-SQ additions — with exact
+    truth giving every family a recall in [0, 1] and sq_int8 (near-
+    exact 4x quantization) at least matching binary Hamming (lossy
+    32x)."""
+    from vectordb_migrator_spark.suite import QUERIES
+
+    from tests.conftest import SF_DIR
+
+    rows = {r["family"]: r for r in QUERIES["x4_recall_report"](spark, SF_DIR).collect()}
+    assert sorted(rows) == [
+        "binary_hamming",
+        "binary_rerank",
+        "ivf_label",
+        "ivfpq_adc",
+        "lsh_bucket",
+        "lsh_multiprobe",
+        "pq_adc",
+        "sq_int8",
+    ]
+    for fam, r in rows.items():
+        assert 0.0 <= r["recall_at_k"] <= 1.0, fam
+        assert 0.0 <= r["mrr"] <= 1.0, fam
+    assert rows["sq_int8"]["recall_at_k"] >= rows["binary_hamming"]["recall_at_k"]

@@ -1231,6 +1231,8 @@ def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_migrator_spark.functions.vector import (
         binary_quantize,
         cosine_similarity,
+        int8_dequantize,
+        int8_quantize,
         python_binary_quantize,
     )
     from vectordb_migrator_spark.operators.ranking import recall_report
@@ -1256,6 +1258,13 @@ def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hamming"),
         random_hyperplane_signature(F.col("embedding"), _PLANES).alias("sig"),
+        F.round(
+            cosine_similarity(
+                int8_dequantize(int8_quantize(F.col("embedding"))),
+                probe_literal(probe),
+            ),
+            6,
+        ).alias("sq_score"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def top10_by_score(df: DataFrame) -> DataFrame:
@@ -1313,6 +1322,23 @@ def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             [("score", False)],
         ),
         ("pq_adc", pq_adc_topk(scored, probe, cbs, k=10), [("adc_dist", True)]),
+        (
+            "ivfpq_adc",
+            pq_adc_topk(
+                scored.join(F.broadcast(ivf_short), "label", "left_semi"),
+                probe,
+                cbs,
+                k=10,
+            ),
+            [("adc_dist", True)],
+        ),
+        (
+            "sq_int8",
+            scored.select("vec_id", "sq_score")
+            .orderBy(F.desc("sq_score"), "vec_id")
+            .limit(10),
+            [("sq_score", False)],
+        ),
     ]
     return recall_report(fams, truth, k=10)
 
@@ -1417,6 +1443,33 @@ def _recall_report_sql() -> str:
     fam_pq AS (
       SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rank
       FROM adc QUALIFY rank <= 10
+    ),
+    adc_ivf AS (
+      SELECT a.vec_id, a.adc_dist FROM adc a JOIN embeddings e USING (vec_id)
+      WHERE e.label IN (SELECT label FROM shortlist)
+    ),
+    fam_ivfpq AS (
+      SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rank
+      FROM adc_ivf QUALIFY rank <= 10
+    ),
+    sqq AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings
+    ),
+    sdq AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> round(x / scale) * scale) END AS dv
+      FROM sqq
+    ),
+    fam_sq AS (
+      SELECT vec_id, row_number() OVER (ORDER BY
+               round(list_dot_product(dv, pv) /
+                     (sqrt(list_dot_product(dv, dv)) *
+                      sqrt(list_dot_product(pv, pv))), 6) DESC, vec_id) AS rank
+      FROM sdq, p QUALIFY rank <= 10
     )
     {metric('binary_hamming', 'fam_bin')}
     UNION ALL {metric('binary_rerank', 'fam_rr')}
@@ -1424,6 +1477,8 @@ def _recall_report_sql() -> str:
     UNION ALL {metric('lsh_bucket', 'fam_lsh')}
     UNION ALL {metric('lsh_multiprobe', 'fam_mp')}
     UNION ALL {metric('pq_adc', 'fam_pq')}
+    UNION ALL {metric('ivfpq_adc', 'fam_ivfpq')}
+    UNION ALL {metric('sq_int8', 'fam_sq')}
     ORDER BY family
     """
 
