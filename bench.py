@@ -67,6 +67,9 @@ HEADLINE = [
     "x4_binary_rerank",
     "x4_pq_adc_topk",
     "x4_pq_adc_stored",
+    "x4_ivfpq_topk",
+    "x4_sq_topk",
+    "x3_range_search",
     "x4_recall_report",
     "x4_mmr_rerank",
     "x9_matryoshka_topk",
