@@ -586,3 +586,41 @@ def test_suite_recall_report_covers_all_families(spark):
         assert 0.0 <= r["recall_at_k"] <= 1.0, fam
         assert 0.0 <= r["mrr"] <= 1.0, fam
     assert rows["sq_int8"]["recall_at_k"] >= rows["binary_hamming"]["recall_at_k"]
+
+
+def test_filtered_topk_prefilter_semantics(embeddings, probe):
+    """Filtered search = exact top-k restricted to the predicate
+    survivors (pre-filter semantics), with the payload column riding
+    through the single scan — no join-back, filter pushed to parquet."""
+    import numpy as np
+
+    rows = embeddings.select("vec_id", "label", "embedding").collect()
+    p = np.array(probe)
+    scored = {}
+    for r in rows:
+        if r["label"] not in (1, 3, 5) or r["vec_id"] % 2:
+            continue
+        v = np.array(r["embedding"], dtype=np.float32).astype(np.float64)
+        scored[r["vec_id"]] = round(
+            float((v @ p) / (np.linalg.norm(v) * np.linalg.norm(p))), 6
+        )
+    expected = [
+        vid for vid, _ in sorted(scored.items(), key=lambda t: (-t[1], t[0]))[:10]
+    ]
+
+    out = cosine_topk(
+        embeddings.filter(
+            F.col("label").isin(1, 3, 5) & (F.col("vec_id") % 2 == 0)
+        ),
+        probe,
+        k=10,
+        payload_cols=["label"],
+    )
+    got = out.collect()
+    assert [r["vec_id"] for r in got] == expected
+    assert all(r["label"] in (1, 3, 5) for r in got)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "PushedFilters: [" in plan and "In(label" in plan

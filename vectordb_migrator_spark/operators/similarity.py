@@ -33,17 +33,21 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k of one probe against the corpus.
 
     One narrow scan computing the score + TakeOrderedAndProject(k) —
     no shuffle of vectors, no window. This is the plan shape that
     survives 100 TB: score map-side, merge k rows per partition.
+    ``payload_cols`` ride through the top-k (k rows each) instead of
+    forcing a join-back against the corpus afterwards.
     """
     p = probe_literal(probe)
     return (
         df.select(
             F.col(id_col),
+            *[F.col(c) for c in (payload_cols or [])],
             F.round(cosine_similarity(F.col(vec_col), p), 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.col(id_col))

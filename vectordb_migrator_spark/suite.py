@@ -1147,6 +1147,38 @@ def x4_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x3_filtered_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv)
+    SELECT vec_id, label::BIGINT AS label,
+           round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM embeddings, p
+    WHERE label IN (1, 3, 5) AND vec_id % 2 = 0
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def x3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — filtered ANN search, THE canonical vector-store query
+    (Qdrant search+filter, Milvus expr+search, pgvector WHERE+ORDER
+    BY): metadata predicates applied BEFORE the similarity ranking
+    (pre-filter semantics — no recall loss from filtering after a
+    fixed-k index probe). The predicate sits under the score projection
+    in one scan, so Catalyst pushes the label filter to parquet
+    (`PushedFilters`) and at 100 TB a label-partitioned corpus prunes
+    directories before reading a byte."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    filtered = emb.filter(
+        F.col("label").isin(1, 3, 5) & (F.col("vec_id") % 2 == 0)
+    ).withColumn("label", F.col("label").cast("long"))
+    return cosine_topk(filtered, probe, k=10, payload_cols=["label"]).select(
+        "vec_id", "label", "score"
+    )
+
+
+@query(
     "x4_sq_topk",
     f"""
     WITH p AS (SELECT {_PROBE_SQL} AS pv),
@@ -4769,6 +4801,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_ivfpq_topk",  # new: IVFADC (coarse prune × PQ/ADC), full oracle
     "x3_range_search",  # new: radius search (score_threshold twin of top-k)
     "x4_sq_topk",  # new: int8 scalar-quantized retrieval
+    "x3_filtered_topk",  # new: filtered ANN search (pre-filter semantics)
     "bin_equal_frequency_events",  # NULL-bin guard added this round
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
@@ -4802,7 +4835,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_text_quality",
     "x5_langid",
     "x5_fingerprint",
-    "x6_multimodal_features",
 ]
 
 
