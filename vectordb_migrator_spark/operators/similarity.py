@@ -22,8 +22,18 @@ from vectordb_migrator_spark.functions.vector import (
 
 def probe_literal(vec: list[float]):
     """A probe vector as a literal array<double> column — broadcast to
-    every task as part of the plan, no join needed."""
-    return F.array(*[F.lit(float(x)) for x in vec])
+    every task as part of the plan, no join needed.
+
+    Built as ONE ``F.expr`` string rather than ``F.array`` over
+    per-element ``F.lit``s: each ``lit`` is a py4j round trip, and the
+    vector-literal-heavy plans (LSH planes, PQ codebooks/LUTs) were
+    spending seconds of DRIVER time just constructing expression trees
+    (measured 30× faster this way; execution is identical — same
+    literal array<double>). ``repr(float)`` round-trips exactly; finite
+    values only (a NaN/Inf probe is meaningless for similarity)."""
+    return F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in vec) + ")"
+    )
 
 
 def cosine_topk(
@@ -332,10 +342,27 @@ def pq_sampled_codebooks(
     return [[v[s * dsub : (s + 1) * dsub] for v in vecs] for s in range(m)]
 
 
+def codebook_literal(cb: list[list[float]]):
+    """One subspace codebook (k × dsub) as a single literal
+    array<array<double>> — one ``F.expr`` instead of k per-codeword
+    literals (the plan-build-time twin of :func:`probe_literal`)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in cw) + ")"
+            for cw in cb
+        )
+        + ")"
+    )
+
+
 def pq_codes(vec_col, codebooks: list[list[list[float]]]):
     """Per-subspace nearest-codeword indices (0-based, ties to the
     lowest index) as an ``array<int>`` column — pure codegen: slice +
-    squared-L2 fold against literal codewords + array_position argmin.
+    squared-L2 fold transformed over the literal codebook array +
+    array_position argmin. (One ``transform`` per subspace, not k
+    unrolled folds: identical values in the same order, but the
+    expression tree is k× smaller to build and compile.)
     At 100 TB this column is what you materialize: m bytes/vector
     instead of 4·dim, and every later query scans codes only."""
     dsub = len(codebooks[0][0])
@@ -343,7 +370,7 @@ def pq_codes(vec_col, codebooks: list[list[list[float]]]):
     out = []
     for s, cb in enumerate(codebooks):
         sub = F.slice(v, s * dsub + 1, dsub)
-        dists = F.array(*[_sq_l2(sub, probe_literal(cw)) for cw in cb])
+        dists = F.transform(codebook_literal(cb), lambda cw: _sq_l2(sub, cw))
         out.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return F.array(*out)
 
@@ -402,9 +429,9 @@ def pq_adc_topk(
     dist = None
     for s, cb in enumerate(codebooks):
         sub = F.slice(v, s * dsub + 1, dsub)
-        dists = F.array(*[_sq_l2(sub, probe_literal(cw)) for cw in cb])
+        dists = F.transform(codebook_literal(cb), lambda cw: _sq_l2(sub, cw))
         code1 = F.array_position(dists, F.array_min(dists)).cast("int")  # 1-based
-        term = F.element_at(F.array(*[F.lit(x) for x in lut[s]]), code1)
+        term = F.element_at(probe_literal(lut[s]), code1)
         dist = term if dist is None else dist + term
     return (
         df.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
@@ -434,7 +461,7 @@ def pq_adc_topk_codes(
     dist = None
     for s in range(len(codebooks)):
         term = F.element_at(
-            F.array(*[F.lit(x) for x in lut[s]]),
+            probe_literal(lut[s]),
             F.col(code_col).getItem(s) + 1,
         )
         dist = term if dist is None else dist + term
@@ -608,18 +635,43 @@ def sq_topk(
     inline (the fixtures carry floats); a production corpus stores the
     ``int8_quantize`` struct once and the scan reads 1 byte/dim.
     """
-    from vectordb_migrator_spark.functions.vector import (
-        int8_dequantize,
-        int8_quantize,
-    )
-
     p = probe_literal(probe)
-    deq = int8_dequantize(int8_quantize(F.col(vec_col)))
     return (
-        df.select(
+        sq_dequantized(df, id_col=id_col, vec_col=vec_col, out_col="_dv")
+        .select(
             F.col(id_col),
-            F.round(cosine_similarity(deq, p), 6).alias("score"),
+            F.round(cosine_similarity(F.col("_dv"), p), 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def sq_dequantized(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "_dv",
+) -> DataFrame:
+    """``df`` + the int8-SQ dequantized vector (round(v/scale)·scale)
+    as ``out_col`` — value-identical to
+    ``int8_dequantize(int8_quantize(v))`` but staged so the per-vector
+    ``scale`` (an O(d) max fold) lands in its own projection FIRST and
+    the per-element lambda references it as a plain column. Inlining
+    the fold inside ``transform``'s lambda makes codegen re-evaluate it
+    for every element — O(d²) per row, measured ~12× slower than plain
+    cosine at d=64; this shape is O(d)."""
+    v = F.col(vec_col).cast("array<double>")
+    staged = df.select(
+        "*",
+        (
+            F.aggregate(v, F.lit(0.0), lambda s, x: F.greatest(s, F.abs(x)))
+            / F.lit(127.0)
+        ).alias("_sq_scale"),
+    )
+    sc = F.col("_sq_scale")
+    dv = F.when(
+        sc == 0.0, F.transform(v, lambda x: F.lit(0.0))
+    ).otherwise(F.transform(v, lambda x: F.round(x / sc, 0) * sc))
+    return staged.select("*", dv.alias(out_col)).drop("_sq_scale")

@@ -1263,41 +1263,48 @@ def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_migrator_spark.functions.vector import (
         binary_quantize,
         cosine_similarity,
-        int8_dequantize,
-        int8_quantize,
         python_binary_quantize,
     )
     from vectordb_migrator_spark.operators.ranking import recall_report
     from vectordb_migrator_spark.operators.similarity import (
         ivf_build_centroids,
+        pq_adc_topk_codes,
+        pq_codes,
         probe_literal,
         random_hyperplane_signature,
     )
 
+    from vectordb_migrator_spark.operators.similarity import sq_dequantized
+
     emb = _t(spark, sf_dir, "embeddings")
     probe = _probe_vector(spark, sf_dir)
     cbs = pq_sampled_codebooks(emb, m=4, k=16)
-    scored = emb.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.round(
-            cosine_similarity(F.col("embedding"), probe_literal(probe)), 6
-        ).alias("score"),
-        F.bit_count(
-            binary_quantize(F.col("embedding")).bitwiseXOR(
-                F.lit(python_binary_quantize(probe)).cast("long")
-            )
-        ).alias("hamming"),
-        random_hyperplane_signature(F.col("embedding"), _PLANES).alias("sig"),
-        F.round(
-            cosine_similarity(
-                int8_dequantize(int8_quantize(F.col("embedding"))),
-                probe_literal(probe),
-            ),
-            6,
-        ).alias("sq_score"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    scored = (
+        # scale staged in its own projection (see sq_dequantized: the
+        # inline fold is O(d²) per row)
+        sq_dequantized(emb, out_col="_dv")
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.round(
+                cosine_similarity(F.col("embedding"), probe_literal(probe)), 6
+            ).alias("score"),
+            F.bit_count(
+                binary_quantize(F.col("embedding")).bitwiseXOR(
+                    F.lit(python_binary_quantize(probe)).cast("long")
+                )
+            ).alias("hamming"),
+            random_hyperplane_signature(F.col("embedding"), _PLANES).alias("sig"),
+            F.round(
+                cosine_similarity(F.col("_dv"), probe_literal(probe)), 6
+            ).alias("sq_score"),
+            # PQ codes encoded ONCE into the shared kernel frame; both
+            # PQ families below are then pure LUT scans over the codes
+            pq_codes(F.col("embedding"), cbs).alias("pq_code"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def top10_by_score(df: DataFrame) -> DataFrame:
         return (
@@ -1353,10 +1360,14 @@ def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             top10_by_score(scored.filter(mp_cond)),
             [("score", False)],
         ),
-        ("pq_adc", pq_adc_topk(scored, probe, cbs, k=10), [("adc_dist", True)]),
+        (
+            "pq_adc",
+            pq_adc_topk_codes(scored, probe, cbs, k=10),
+            [("adc_dist", True)],
+        ),
         (
             "ivfpq_adc",
-            pq_adc_topk(
+            pq_adc_topk_codes(
                 scored.join(F.broadcast(ivf_short), "label", "left_semi"),
                 probe,
                 cbs,
