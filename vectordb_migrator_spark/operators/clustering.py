@@ -32,9 +32,10 @@ from vectordb_migrator_spark.operators.similarity import ivf_build_centroids
 def _sq_dist(vec: Column, center: list[float]) -> Column:
     """Squared L2 distance to a plan-time constant center — one
     zip_with + sum fold in codegen."""
-    c = F.lit([float(x) for x in center])
+    from vectordb_migrator_spark.operators.similarity import probe_literal
+
     return F.aggregate(
-        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(vec, probe_literal(center), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda s, x: s + x,
     )
@@ -48,17 +49,25 @@ def assign_clusters(
 ) -> DataFrame:
     """Nearest-centroid assignment: per row, argmin over k plan-time
     constant centers (array_min over (dist, cid) structs — struct
-    ordering breaks distance ties toward the lower cluster id)."""
+    ordering breaks distance ties toward the lower cluster id). The
+    centers go in as ONE array<array<double>> literal folded by a
+    single indexed transform — k× cheaper to construct and compile
+    than k unrolled folds, identical values (see
+    ``similarity.codebook_literal``)."""
+    from vectordb_migrator_spark.operators.similarity import codebook_literal
+
     vec = F.col(vec_col).cast("array<double>")
     best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist(vec, c).alias("dist"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        F.transform(
+            codebook_literal(centroids),
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ).alias("dist"),
+                i.alias("cid"),
+            ),
         )
     )
     return df.withColumn("cluster", best.getField("cid"))
