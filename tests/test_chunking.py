@@ -79,3 +79,44 @@ def test_pack_chunks_offsets_and_bins(spark):
     assert rows[("d", 2)] == (0, 60)
     assert rows[("d", 3)] == (1, 90 - 64)
     assert rows[("e", 0)] == (0, 0)
+
+
+def test_training_pipeline_stage_invariants(spark):
+    """The composed pipeline honors each stage's contract: every
+    surviving doc meets the quality gate, no two survivors share an
+    md5 fingerprint, chunk token counts follow the 32/8 spec, and
+    per-pack offsets never exceed the 64-token budget."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from vectordb_migrator_spark.functions.text import (
+        md5_fingerprint,
+        token_count_ws,
+    )
+    from vectordb_migrator_spark.suite import QUERIES
+
+    out = QUERIES["x0_training_pipeline"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "pipeline produced no chunks"
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    surv_ids = {r["doc_id"] for r in rows}
+    surv_docs = docs.filter(F.col("doc_id").isin(list(surv_ids)))
+    # quality gate
+    assert surv_docs.filter(token_count_ws("text") < 20).count() == 0
+    # exact dedup: fingerprints unique among survivors
+    n_fp = surv_docs.select(md5_fingerprint("text")).distinct().count()
+    assert n_fp == len(surv_ids)
+    # chunk spec: all chunks are <= 32 tokens; all non-final chunks == 32
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["chunk_id"])
+        assert all(r["n_tokens"] <= 32 for r in doc_rows)
+        assert all(r["n_tokens"] == 32 for r in doc_rows[:-1])
+        # packing: offset is the running token sum mod 64, bin = div
+        o = 0
+        for r in doc_rows:
+            assert r["pack_id"] == o // 64 and r["pack_offset"] == o % 64
+            o += r["n_tokens"]

@@ -3610,6 +3610,111 @@ def x2_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x0_training_pipeline",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, text, toks FROM tok WHERE len(toks) >= 20
+    ), uniq AS (
+      SELECT doc_id, toks FROM (
+        SELECT doc_id, toks,
+               row_number() OVER (PARTITION BY substr(md5(text), 1, 16)
+                                  ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    ), sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM uniq WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+      SELECT a AS id, least(a, min(b))::BIGINT AS comp
+      FROM reach GROUP BY a
+    ), surv AS (
+      SELECT u.doc_id, u.toks
+      FROM uniq u LEFT JOIN clusters c ON c.id = u.doc_id
+      WHERE c.id IS NULL OR u.doc_id = c.comp
+    ), c2 AS (
+      SELECT doc_id, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE ceil((len(toks) - 32)::DOUBLE / 24)::INT + 1 END
+               AS n_chunks
+      FROM surv
+    ), x AS (
+      SELECT doc_id,
+             unnest([{'chunk_id': i - 1,
+                      'n_tokens': least(n - (i-1)*24, 32)}
+                     for i in range(1, n_chunks + 1)]) AS ch
+      FROM c2
+    ), ch AS (
+      SELECT doc_id, ch.chunk_id::BIGINT AS chunk_id,
+             ch.n_tokens::BIGINT AS n_tokens
+      FROM x
+    ), off AS (
+      SELECT doc_id, chunk_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_id)
+               - n_tokens AS o
+      FROM ch
+    )
+    SELECT doc_id, chunk_id, n_tokens,
+           (o // 64)::BIGINT AS pack_id,
+           (o % 64)::BIGINT AS pack_offset
+    FROM off ORDER BY doc_id, chunk_id
+    """,
+)
+def x0_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — the END-TO-END training-data pipeline, one lazy plan:
+    quality gate (whitespace-token count ≥ 20) → exact dedup (min-id
+    survivor per md5 fingerprint) → near-dup dedup applied (3-gram
+    Jaccard ≥ 0.2 pairs → connected components → min-id
+    representative) → overlapping chunking (32/8) → sequence packing
+    into 64-token bins. Every stage is the already-verified operator
+    (`x5_corpus_filter`, `x1_dedup_exact_text`, `x2_dedup_apply`,
+    `x9_chunk_documents`, `x9_pack_chunks` compose unchanged) and the
+    whole composition is hash-verified against one CTE-chained SQL
+    oracle. The 100 TB shape survives composition: the quality filter
+    prunes before anything shuffles, both dedup join sides are
+    duplicate-sized, chunk+pack is one narrow stage plus one per-doc
+    window exchange."""
+    from vectordb_migrator_spark.operators.chunking import chunk_text, pack_chunks
+    from vectordb_migrator_spark.operators.dedup import (
+        apply_dedup,
+        exact_text_dedup,
+    )
+    from vectordb_migrator_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.filter(token_count_ws("text") >= 20)
+    keep_ids = exact_text_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    uniq = kept.join(keep_ids, "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(uniq, n=3, threshold=0.2)
+    survivors = apply_dedup(uniq, connected_components(pairs))
+    packed = pack_chunks(
+        chunk_text(survivors, chunk_size=32, overlap=8), budget=64
+    )
+    return packed.select(
+        "doc_id", "chunk_id", "n_tokens", "pack_id", "pack_offset"
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
     "x5_text_normalize",
     r"""
     SELECT doc_id,
@@ -4813,6 +4918,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x3_range_search",  # new: radius search (score_threshold twin of top-k)
     "x4_sq_topk",  # new: int8 scalar-quantized retrieval
     "x3_filtered_topk",  # new: filtered ANN search (pre-filter semantics)
+    "x0_training_pipeline",  # new: end-to-end filter->dedup->chunk->pack
     "bin_equal_frequency_events",  # NULL-bin guard added this round
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
@@ -4845,7 +4951,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_ivf_topk",
     "x5_text_quality",
     "x5_langid",
-    "x5_fingerprint",
 ]
 
 
