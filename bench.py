@@ -54,6 +54,7 @@ HEADLINE = [
     "x8_session_window_batch",
     "x8_interval_join_batch",
     "timeseries_gap_fill",
+    "x0_training_pipeline",
     "x1_dedup_exact_text",
     "x2_ngram_jaccard_pairs",
     "x2_minhash_lsh_pairs",

@@ -1215,6 +1215,54 @@ def x4_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x3_grouped_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    scored AS (
+      SELECT vec_id, label::BIGINT AS label,
+             round(list_dot_product(embedding::DOUBLE[], pv) /
+                   (sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(pv, pv))), 6) AS score
+      FROM embeddings, p
+    )
+    SELECT vec_id, label, score, rank FROM (
+      SELECT vec_id, label, score,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY score DESC, vec_id)::BIGINT AS rank
+      FROM scored)
+    WHERE rank <= 3 ORDER BY label, rank
+    """,
+)
+def x3_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — grouped top-k: the k best matches WITHIN each group
+    (per-label, per-source, per-language) — the diversified-results /
+    per-shard-merge query. One scan scores in codegen, then a per-group
+    window keeps k rows; the shuffle moving (group, k)-bounded rows is
+    keyed on the group, so at 100 TB it is one healthy exchange — never
+    a global sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    from vectordb_migrator_spark.operators.similarity import probe_literal
+
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+
+    scored = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.round(
+            cosine_similarity(F.col("embedding"), probe_literal(probe)), 6
+        ).alias("score"),
+    )
+    w = W.partitionBy("label").orderBy(F.desc("score"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("label", "rank")
+    )
+
+
+@query(
     "x3_range_search",
     f"""
     WITH p AS (SELECT {_PROBE_SQL} AS pv)
@@ -4919,6 +4967,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_sq_topk",  # new: int8 scalar-quantized retrieval
     "x3_filtered_topk",  # new: filtered ANN search (pre-filter semantics)
     "x0_training_pipeline",  # new: end-to-end filter->dedup->chunk->pack
+    "x3_grouped_topk",  # new: per-group top-k (diversified results)
     "bin_equal_frequency_events",  # NULL-bin guard added this round
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
@@ -4950,7 +4999,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x3_knn_join",
     "x4_ivf_topk",
     "x5_text_quality",
-    "x5_langid",
 ]
 
 
