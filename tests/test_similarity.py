@@ -624,3 +624,79 @@ def test_filtered_topk_prefilter_semantics(embeddings, probe):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan and "Join" not in plan
     assert "PushedFilters: [" in plan and "In(label" in plan
+
+
+def test_pq_with_lloyd_refined_codebooks(spark, embeddings, probe):
+    """The docstring claim that kmeans_fit codebooks plug into the
+    same encode/ADC path: fit each subspace's codewords with Lloyd
+    iterations over the subvectors, run pq_encode + stored-code ADC
+    with them, and check codes and distances against NumPy with the
+    SAME codebooks. Also: the refined codebooks must quantize at least
+    as well (corpus-total ADC reconstruction error) as the id-sampled
+    ones — the reason you'd pay for the fit."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.clustering import kmeans_fit
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_adc_topk_codes,
+        pq_encode,
+        pq_sampled_codebooks,
+        python_pq_lut,
+    )
+
+    m, kc = 4, 8
+    rows = embeddings.select("vec_id", "embedding").collect()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float32).astype(np.float64)
+        for r in rows
+    }
+    dim = len(next(iter(vecs.values())))
+    dsub = dim // m
+
+    cbs = []
+    for s in range(m):
+        sub = embeddings.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), s * dsub + 1, dsub
+                    ).alias("sub"),
+        )
+        _, cents, _ = kmeans_fit(sub, k=kc, vec_col="sub", max_iter=10)
+        cbs.append(cents)
+
+    cb = np.array(cbs)  # (m, kc, dsub)
+
+    def np_codes(v):
+        return [
+            int(np.argmin(((v[s * dsub:(s + 1) * dsub] - cb[s]) ** 2).sum(axis=1)))
+            for s in range(m)
+        ]
+
+    enc = pq_encode(embeddings, cbs).select("vec_id", "pq_code").collect()
+    got_codes = {r["vec_id"]: list(r["pq_code"]) for r in enc}
+    assert got_codes == {vid: np_codes(v) for vid, v in vecs.items()}
+
+    lut = np.array(python_pq_lut(probe, cbs))
+    np_dist = {
+        vid: round(float(sum(lut[s][c] for s, c in enumerate(cs))), 6)
+        for vid, cs in got_codes.items()
+    }
+    expected = sorted(np_dist.items(), key=lambda t: (t[1], t[0]))[:10]
+    codes_df = pq_encode(embeddings, cbs).select("vec_id", "pq_code")
+    got = [
+        (r["vec_id"], r["adc_dist"])
+        for r in pq_adc_topk_codes(codes_df, probe, cbs, k=10).collect()
+    ]
+    assert got == expected
+
+    # quantization error: Lloyd-refined <= id-sampled (same m, k)
+    sampled = np.array(pq_sampled_codebooks(embeddings, m=m, k=kc))
+
+    def total_err(book):
+        e = 0.0
+        for v in vecs.values():
+            for s in range(m):
+                sub = v[s * dsub:(s + 1) * dsub]
+                e += float(((sub - book[s]) ** 2).sum(axis=1).min())
+        return e
+
+    assert total_err(cb) <= total_err(sampled)
