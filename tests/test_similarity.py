@@ -700,3 +700,24 @@ def test_pq_with_lloyd_refined_codebooks(spark, embeddings, probe):
         return e
 
     assert total_err(cb) <= total_err(sampled)
+
+
+def test_ivf_index_partition_pruning(spark, embeddings, probe, tmp_path):
+    """The materialized IVF layout: results equal the in-plan ivf_topk,
+    and the probe's scan prunes partitions (PartitionFilters on the
+    cluster column) instead of filtering rows."""
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, path, cluster_col="label")
+    out = ivf_index_topk(spark, path, probe, cluster_col="label", k=10, nprobe=2)
+    inplan = ivf_topk(embeddings, probe, cluster_col="label", k=10, nprobe=2)
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in inplan.collect()]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "Exchange" not in plan

@@ -219,6 +219,63 @@ def build_lsh_index(
     write_partitioned(bucketed, path, partition_cols=bucket_col)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_col: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: the corpus hive-partitioned by its
+    coarse cluster (``<path>/corpus``) plus the per-cluster mean
+    centroids (``<path>/centroids``, nlist driver-tiny rows). The
+    on-disk analog of a FAISS inverted file: a probe ranks the
+    centroid table, folds the nprobe winners into a literal partition
+    filter, and never opens the other nlist - nprobe directories."""
+    from vectordb_migrator_spark.operators.scale import write_partitioned
+
+    write_partitioned(df, f"{path}/corpus", partition_cols=cluster_col)
+    ivf_build_centroids(df, cluster_col=cluster_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    probe: list[float],
+    *,
+    cluster_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` layout: read the (tiny)
+    centroid table, rank it DRIVER-side (ties to the lowest cluster
+    id, matching the SQL oracle), and fold the nprobe winners into a
+    literal ``IN`` over the partition column — ``PartitionFilters`` at
+    the scan, directories that never open. Results are identical to
+    the in-plan :func:`ivf_topk` on the same corpus and clustering;
+    at 100 TB this replaces evaluating a semi-join against every file
+    with a directory listing."""
+    import math
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    pn = math.sqrt(sum(float(y) * float(y) for y in probe))
+
+    def cos(c):
+        num = sum(float(x) * float(y) for x, y in zip(c, probe))
+        return num / (math.sqrt(sum(float(x) * float(x) for x in c)) * pn)
+
+    ranked = sorted((-cos(r["centroid"]), r["cluster"]) for r in cents)
+    probed = [c for _, c in ranked[:nprobe]]
+    pruned = spark.read.parquet(f"{path}/corpus").filter(
+        F.col(cluster_col).isin(probed)
+    )
+    return cosine_topk(pruned, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_index_topk(
     spark,
     path: str,

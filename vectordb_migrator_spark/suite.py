@@ -919,6 +919,34 @@ def x4_lsh_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x4_lsh_index_topk"] = _lsh_bucket_sql()
 
 
+@query("x4_ivf_index_topk", None)  # same semantics → x4_ivf_topk's oracle
+def x4_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the MATERIALIZED IVF index: corpus written hive-partitioned
+    by coarse cluster + a driver-tiny centroid table; the probe ranks
+    centroids driver-side and folds the nprobe winners into a literal
+    partition filter (`PartitionFilters` at the scan, plan-asserted in
+    tests). Same results and oracle as the in-plan semi-join variant
+    `x4_ivf_topk`; at 100 TB the probe lists nprobe directories
+    instead of scanning nlist."""
+    import tempfile
+
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(emb, path, cluster_col="label")
+    return ivf_index_topk(
+        spark, path, probe, cluster_col="label", k=10, nprobe=2
+    )
+
+
+ORACLES["x4_ivf_index_topk"] = ORACLES["x4_ivf_topk"]
+
+
 def _lsh_multiprobe_sql() -> str:
     sig_expr = _plane_sig_sql
     neighbors = ", ".join(
@@ -4968,6 +4996,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x3_filtered_topk",  # new: filtered ANN search (pre-filter semantics)
     "x0_training_pipeline",  # new: end-to-end filter->dedup->chunk->pack
     "x3_grouped_topk",  # new: per-group top-k (diversified results)
+    "x4_ivf_index_topk",  # new: materialized IVF layout + partition pruning
     "bin_equal_frequency_events",  # NULL-bin guard added this round
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
@@ -4998,7 +5027,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x3_cosine_topk",
     "x3_knn_join",
     "x4_ivf_topk",
-    "x5_text_quality",
 ]
 
 
