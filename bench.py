@@ -70,7 +70,10 @@ HEADLINE = [
     "x4_pq_adc_stored",
     "x4_ivfpq_topk",
     "x4_sq_topk",
+    "x4_ivf_index_topk",
     "x3_range_search",
+    "x3_filtered_topk",
+    "x3_grouped_topk",
     "x4_recall_report",
     "x4_mmr_rerank",
     "x9_matryoshka_topk",

@@ -2008,6 +2008,31 @@ def x7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x7_hll_daily_merge")  # Apache DataSketches binary → rows-only
+# check; the estimate's accuracy is asserted in tests vs countDistinct.
+def x7_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — the MERGEABLE-sketch rollup pattern: per-day HLL sketches
+    of distinct users (`hll_sketch_agg`, Apache DataSketches), then
+    `hll_union_agg` merges the daily sketches into the period estimate
+    WITHOUT touching raw events again. This is how a 100 TB metrics
+    store answers "distinct users any date range" — materialize one
+    kilobyte-sized sketch per (day, …) cell once, and every later
+    rollup is a union over sketches instead of a re-scan + exact
+    distinct shuffle of the raw data."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("distinct_users_est"),
+    )
+
+
 # =====================================================================
 # Relational extensions — rollup/pivot/percentiles/set-ops/semi-anti,
 # as-of join, sessionization (all absent from the reference, SURVEY.md
@@ -4997,6 +5022,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_training_pipeline",  # new: end-to-end filter->dedup->chunk->pack
     "x3_grouped_topk",  # new: per-group top-k (diversified results)
     "x4_ivf_index_topk",  # new: materialized IVF layout + partition pruning
+    "x7_hll_daily_merge",  # new: mergeable-sketch rollup (rows-only)
     "bin_equal_frequency_events",  # NULL-bin guard added this round
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
@@ -5026,7 +5052,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_embedding_near_dup",
     "x3_cosine_topk",
     "x3_knn_join",
-    "x4_ivf_topk",
 ]
 
 
