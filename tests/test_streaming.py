@@ -263,3 +263,62 @@ def test_deduped_ingest_backfills_preexisting_corpus(spark, tmp_path):
     assert sorted(
         r["id"] for r in spark.read.parquet(corpus + "__shingles").collect()
     ) == [1, 11]
+
+
+def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
+    """RUNTIME watermark semantics in append mode: a window emits
+    exactly once when the watermark passes its end, and a row arriving
+    after its window closed is DROPPED (bounded state — the property
+    that lets the agg run forever at 100 TB/day)."""
+    import uuid
+
+    src = str(tmp_path / "wm_src")
+    ckpt = str(tmp_path / "wm_ckpt")
+    schema = "ts timestamp, event_type string, value double"
+
+    def drop(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    import datetime as dt
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    # batch 1: two rows in the 10:00 window
+    drop([(T("2024-01-01 10:05:00"), "a", 1.0),
+          (T("2024-01-01 10:20:00"), "a", 2.0)], "b1")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    table = f"wm_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing closed yet: watermark = 10:20 - 2h < 11:00
+        assert spark.table(table).count() == 0
+
+        # batch 2: 13:30 advances the watermark to 11:30 → the 10:00
+        # window closes and emits
+        drop([(T("2024-01-01 13:30:00"), "b", 1.0)], "b2")
+        q.processAllAvailable()
+        out = spark.table(table).collect()
+        assert [(r["window_start"].isoformat(), r["event_type"], r["n"])
+                for r in out] == [("2024-01-01T10:00:00", "a", 2)]
+
+        # batch 3: a row for the CLOSED 10:00 window must be dropped;
+        # 14:30 advances the watermark but closes only empty windows
+        drop([(T("2024-01-01 10:40:00"), "a", 99.0),
+              (T("2024-01-01 14:30:00"), "b", 1.0)], "b3")
+        q.processAllAvailable()
+        out2 = spark.table(table).collect()
+        assert len(out2) == 1 and out2[0]["n"] == 2  # late row never lands
+    finally:
+        q.stop()
