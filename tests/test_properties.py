@@ -376,3 +376,19 @@ def test_range_join_bucketed_equals_broadcast_property(
         ).collect()
     }
     assert got == exact
+
+
+def test_source_mixture_weights_sum_to_one(spark, documents):
+    """Mixture weights sum to ~1, epochs = target/size, and alpha=1
+    reduces to proportional sampling."""
+    from vectordb_migrator_spark.operators.slicing import source_mixture
+
+    out = source_mixture(documents, alpha=0.5, budget=1000).collect()
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert abs(r["epochs"] - round(r["target"] / r["size"], 6)) < 1e-9
+
+    prop = source_mixture(documents, alpha=1.0, budget=1000).collect()
+    total = sum(r["size"] for r in prop)
+    for r in prop:
+        assert abs(r["weight"] - r["size"] / total) < 1e-5

@@ -721,3 +721,54 @@ def test_ivf_index_partition_pruning(spark, embeddings, probe, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters", 1)[1][:200]
     assert "Exchange" not in plan
+
+
+def test_hard_negative_join_excludes_same_label(spark):
+    """Every returned candidate has a different label than its query;
+    ranks are dense 1..k by descending score; same-label rows never
+    appear even when they are the global nearest."""
+    from vectordb_migrator_spark.operators.similarity import hard_negative_join
+
+    queries = spark.createDataFrame(
+        [(0, 7, [1.0, 0.0])],
+        "q_id long, q_label int, q_vec array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, 7, [1.0, 0.0]),   # identical but SAME label → excluded
+            (11, 3, [0.9, 0.1]),   # best hard negative
+            (12, 3, [0.0, 1.0]),   # orthogonal
+            (13, 4, [0.8, 0.2]),
+        ],
+        "c_id long, c_label int, c_vec array<double>",
+    )
+    out = hard_negative_join(queries, corpus, k=2).collect()
+    assert [(r["c_id"], r["rank"]) for r in out] == [(11, 1), (13, 2)]
+    assert all(r["c_label"] != 7 for r in out)
+
+
+def test_sql_udfs_match_column_api(spark, embeddings):
+    """vm_cosine / vm_l2_normalize / vm_token_count agree with the
+    Column-API kernels on real data, and the registration is
+    idempotent."""
+    from vectordb_migrator_spark.functions.sql_udfs import register_sql_functions
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+
+    names = register_sql_functions(spark)
+    assert register_sql_functions(spark) == names  # idempotent
+    embeddings.limit(20).createOrReplaceTempView("__sqludf_emb")
+    got = spark.sql(
+        """
+        SELECT vec_id,
+               round(vm_cosine(cast(embedding AS array<double>),
+                               cast(embedding AS array<double>)), 6) AS c,
+               round(vm_norm(vm_l2_normalize(cast(embedding AS array<double>))),
+                     6) AS n
+        FROM __sqludf_emb
+        """
+    ).collect()
+    assert all(abs(r["c"] - 1.0) < 1e-6 and abs(r["n"] - 1.0) < 1e-6 for r in got)
+    tok = spark.sql(
+        "SELECT vm_token_count('  a  b\tc ') AS n"
+    ).first()["n"]
+    assert tok == 3

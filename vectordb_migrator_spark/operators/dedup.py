@@ -661,6 +661,52 @@ def apply_dedup(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then deduplicate *within* clusters only — the
+    clustering bounds the quadratic so the near-dup self-join never
+    sees the whole corpus, which is what makes semantic dedup feasible
+    at 100 TB (the paper runs it on LAION at billions of rows for the
+    same reason).
+
+    Assignment is nearest-centroid over plan-time constant centers
+    (:func:`~vectordb_migrator_spark.operators.clustering
+    .assign_clusters` — pure codegen, no shuffle); candidate pairs
+    come from :func:`embedding_near_dup_pairs` blocked on the cluster
+    id; the keep rule is: a row is dropped iff some same-cluster row
+    with a SMALLER id is cosine-similar above ``threshold``. (Direct
+    pairs, not transitive closure — with pairs (A,C) and (B,C) but
+    A≁B, both A and B survive where connected components would keep
+    only A; for transitive semantics compose the pair frame with
+    ``graph.connected_components`` + :func:`apply_dedup` instead.)
+
+    Returns the surviving rows with their ``cluster`` column — one
+    blocked self-join and one duplicate-sized anti-join; the corpus
+    never shuffles its vectors.
+    """
+    from vectordb_migrator_spark.operators.clustering import assign_clusters
+
+    assigned = assign_clusters(df, centroids, vec_col=vec_col)
+    pairs = embedding_near_dup_pairs(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cluster",
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(losers, id_col, "left_anti")
+
+
 def shingle_table(
     df: DataFrame,
     *,

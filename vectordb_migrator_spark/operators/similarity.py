@@ -100,6 +100,45 @@ def knn_join(
     )
 
 
+def hard_negative_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    query_label: str = "q_label",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    corpus_label: str = "c_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data (the DPR /
+    SimCSE recipe): for every query, the k corpus rows that are MOST
+    similar yet carry a DIFFERENT label — the negatives that actually
+    move a contrastive loss, vs. random negatives that are trivially
+    far away.
+
+    Same 100 TB shape as :func:`knn_join` — broadcast the (small)
+    query side, score in codegen during the corpus scan, window
+    ``row_number`` per query: the shuffle is (n_queries × k) rows.
+    The label-mismatch test rides the same broadcast join; corpus
+    vectors never shuffle.
+    """
+    score = cosine_similarity(F.col(query_vec), F.col(corpus_vec))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col(query_label) != F.col(corpus_label))
+        .withColumn("score", F.round(score, 6))
+        .select(query_id, corpus_id, F.col(corpus_label), "score")
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("score"), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, corpus_label, "score", "rank")
+    )
+
+
 def ivf_build_centroids(
     df: DataFrame,
     *,

@@ -210,3 +210,48 @@ def equal_frequency_bins(
         .withColumn(bin_col, expr)
         .drop("__b")
     )
+
+
+def source_mixture(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    size_col: str | Column | None = None,
+    alpha: float = 0.5,
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based source mixing for a training-data run — the
+    multinomial-sampling recipe from multilingual LM training (e.g.
+    mBERT/XLM-R's exponent-smoothed sampling, alpha≈0.3-0.7): a
+    source's sampling weight is ``n_s^alpha / sum(n_t^alpha)``, which
+    up-weights small sources relative to proportional sampling
+    (alpha=1) without flattening to uniform (alpha=0).
+
+    ``size_col`` measures a source's size (defaults to row count; pass
+    a token-count column/expression for token-budget planning). The
+    per-source aggregate is map-side combinable (ONE shuffle of
+    (source, partial-sum)); the global normalizer is derived from that
+    tiny per-source frame and broadcast back — the corpus is scanned
+    exactly once and nothing corpus-sized shuffles.
+
+    Returns one row per source: ``size`` (n_s), ``weight`` (the
+    multinomial probability), ``target`` (weight × budget, the rows or
+    tokens to draw), and ``epochs`` (target / n_s — how many passes
+    over the source the draw implies; >1 means up-sampling).
+    """
+    size = (
+        F.count(F.lit(1))
+        if size_col is None
+        else F.sum(F.col(size_col) if isinstance(size_col, str) else size_col)
+    )
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        size.cast("double").alias("size")
+    )
+    denom = per.agg(F.sum(F.pow("size", F.lit(alpha))).alias("__denom"))
+    return (
+        per.crossJoin(F.broadcast(denom))
+        .withColumn("weight", F.round(F.pow("size", F.lit(alpha)) / F.col("__denom"), 6))
+        .withColumn("target", F.round(F.col("weight") * F.lit(float(budget)), 2))
+        .withColumn("epochs", F.round(F.col("target") / F.col("size"), 6))
+        .drop("__denom")
+    )

@@ -4984,6 +4984,187 @@ def outer_join_urgent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-4 additions — semantic dedup, hard negatives, source mixing,
+# pure-SQL API surface
+# =====================================================================
+
+
+@query(
+    "x2_semdedup",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    d AS (
+      SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v, c.cid,
+             list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      FROM embeddings e, cent c
+    ),
+    a AS (
+      SELECT vec_id, label, v, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn FROM d)
+      WHERE rn = 1
+    ),
+    n AS (
+      SELECT vec_id, label, cluster,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      FROM a
+    ),
+    losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.nv, b.nv) >= 0.8
+    )
+    SELECT vec_id, label, cluster::BIGINT AS cluster
+    FROM a WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    ORDER BY vec_id
+    """,
+)
+def x2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — SemDeDup (arXiv:2303.09540): nearest-centroid clustering
+    bounds the near-dup self-join per cluster; direct-pair min-id
+    survivor within each cluster. Centroids here are the k=8 sampled
+    seed rows (deterministic, oracle-reconstructable) — production
+    fits them with ``clustering.kmeans_fit``."""
+    from vectordb_migrator_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return (
+        semantic_dedup(e, cents, threshold=0.8)
+        .select("vec_id", "label", F.col("cluster").cast("long").alias("cluster"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "x3_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS c_id, e.label AS c_label,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+      FROM embeddings e, q
+      WHERE e.label != q.q_label
+    )
+    SELECT * FROM (
+      SELECT q_id, c_id, c_label, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, c_id)::BIGINT AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+)
+def x3_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — hard-negative mining (contrastive-training recipe): per
+    query, the top-5 most-similar corpus rows with a DIFFERENT label.
+    Broadcast query side; (n_queries × k)-row shuffle only."""
+    from vectordb_migrator_spark.operators.similarity import hard_negative_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_vec"),
+    )
+    return hard_negative_join(
+        queries,
+        corpus,
+        k=5,
+        corpus_label="c_label",
+    ).orderBy("q_id", "rank")
+
+
+@query(
+    "x10_source_mixture",
+    r"""
+    WITH per AS (
+      SELECT source,
+             sum(len(string_split_regex(lower(trim(text)), '\s+')))::DOUBLE
+               AS size
+      FROM documents GROUP BY source
+    ),
+    d AS (SELECT sum(pow(size, 0.5)) AS denom FROM per)
+    SELECT source, size,
+           round(pow(size, 0.5) / denom, 6) AS weight,
+           round(round(pow(size, 0.5) / denom, 6) * 10000000.0, 2) AS target,
+           round(round(round(pow(size, 0.5) / denom, 6) * 10000000.0, 2)
+                 / size, 6) AS epochs
+    FROM per, d ORDER BY source
+    """,
+)
+def x10_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — temperature-based source mixing (alpha=0.5 multinomial
+    weights over per-source token counts, 10M-token budget): ONE
+    map-side-combinable shuffle; the normalizer is a broadcast 1-row
+    frame derived from the per-source aggregate."""
+    from vectordb_migrator_spark.functions.text import token_count_ws
+    from vectordb_migrator_spark.operators.slicing import source_mixture
+
+    return source_mixture(
+        _t(spark, sf_dir, "documents"),
+        source_col="source",
+        size_col=token_count_ws("text"),
+        alpha=0.5,
+        budget=10_000_000,
+    ).orderBy("source")
+
+
+@query(
+    "x11_sql_api_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM embeddings, p
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def x11_sql_api_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — the pure-SQL API surface: Spark 4 SQL scalar UDFs
+    (``vm_cosine``) are inlined by Catalyst into the same codegen
+    fold as the Column-API kernel, so ``spark.sql`` users get the
+    engine with zero Python in the plan. Same result (and oracle) as
+    ``x3_cosine_topk`` by construction."""
+    from vectordb_migrator_spark.functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    probe = _probe_vector(spark, sf_dir)
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("vm_embeddings")
+    probe_sql = "array(" + ", ".join(f"{x}D" for x in probe) + ")"
+    return spark.sql(
+        f"""
+        SELECT vec_id,
+               round(vm_cosine(cast(embedding AS array<double>), {probe_sql}),
+                     6) AS score
+        FROM vm_embeddings
+        ORDER BY score DESC, vec_id LIMIT 10
+        """
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The correctness driver snapshots the FIRST 50 registry entries
@@ -5024,6 +5205,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_ivf_index_topk",  # new: materialized IVF layout + partition pruning
     "x7_hll_daily_merge",  # new: mergeable-sketch rollup (rows-only)
     "bin_equal_frequency_events",  # NULL-bin guard added this round
+    "x2_semdedup",  # new: SemDeDup cluster-blocked semantic dedup
+    "x3_hard_negatives",  # new: contrastive hard-negative mining
+    "x10_source_mixture",  # new: temperature source-mixing weights
+    "x11_sql_api_topk",  # new: SQL-UDF API surface (vm_cosine)
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5039,16 +5224,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "pipeline_migrate_plan",
     "agg_counts",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_region_revenue",
     "events_hourly_rollup",
     "events_json_extract",
-    "window_top_orders",
     "x1_dedup_exact_text",
     "x1_dedup_exact_vector",
     "x2_ngram_jaccard_pairs",
-    "x2_minhash_lsh_pairs",
-    "x2_simhash_pairs",
     "x2_embedding_near_dup",
     "x3_cosine_topk",
     "x3_knn_join",
