@@ -392,3 +392,33 @@ def test_source_mixture_weights_sum_to_one(spark, documents):
     total = sum(r["size"] for r in prop)
     for r in prop:
         assert abs(r["weight"] - r["size"] / total) < 1e-5
+
+
+def test_apply_source_mixture_replication_rule(spark):
+    """floor(epochs) copies always survive; the fractional copy is a
+    deterministic coin (two runs identical); epochs<=0 sources vanish;
+    expected size tracks target."""
+    from vectordb_migrator_spark.operators.slicing import apply_source_mixture
+
+    df = spark.createDataFrame(
+        [(i, "up" if i < 50 else "down") for i in range(100)],
+        "doc_id long, source string",
+    )
+    mix = spark.createDataFrame(
+        [("up", 2.5), ("down", 0.4), ("gone", 0.0)],
+        "source string, epochs double",
+    )
+    out1 = apply_source_mixture(df, mix).collect()
+    out2 = apply_source_mixture(df, mix).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+
+    ups = [r for r in out1 if r["source"] == "up"]
+    downs = [r for r in out1 if r["source"] == "down"]
+    # every up row has copies 1 and 2 unconditionally
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in ups)
+    assert all(c >= 2 for c in per_doc.values()) and len(per_doc) == 50
+    # expectation: 50*2.5=125 ups, 50*0.4=20 downs — allow wide slack
+    assert 100 < len(ups) < 150 and 5 < len(downs) < 35
+    assert not [r for r in out1 if r["source"] == "gone"]

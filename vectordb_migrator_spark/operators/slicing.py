@@ -255,3 +255,51 @@ def source_mixture(
         .withColumn("epochs", F.round(F.col("target") / F.col("size"), 6))
         .drop("__denom")
     )
+
+
+def apply_source_mixture(
+    df: DataFrame,
+    mixture: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize a :func:`source_mixture` plan over the corpus:
+    every row of source *s* appears ``floor(epochs_s)`` times plus one
+    more copy with probability ``frac(epochs_s)`` — so expected output
+    rows per source equal the mixture's ``target`` exactly, covering
+    both up-sampling (epochs > 1: row replication, the multilingual-LM
+    oversampling recipe) and down-sampling (epochs < 1: deterministic
+    subsample) in one rule.
+
+    The per-copy coin is a *deterministic* md5-derived uniform on
+    ``(id, copy, seed)`` — reproducible across runs, engines, and
+    partitionings (md5 and base-16 conv are bit-identical in Spark
+    and DuckDB, so the full materialization carries a value-hash
+    oracle; ``rand()`` would not). The tiny mixture frame broadcasts;
+    the replication is a narrow ``explode(sequence(...))`` — NO
+    shuffle, and the blow-up factor per row is ``ceil(epochs)``, known
+    at plan time to be small for any sane temperature.
+    """
+    m = F.broadcast(mixture.select(source_col, "epochs").filter(F.col("epochs") > 0))
+    n_copies = F.greatest(F.lit(1), F.ceil("epochs")).cast("int")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col), F.col("copy"), F.lit(seed))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    frac = F.col("epochs") - F.floor("epochs")
+    return (
+        df.join(m, source_col)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), n_copies)))
+        .filter((F.col("copy") <= F.floor("epochs")) | (u < frac))
+        .drop("epochs")
+    )

@@ -5130,6 +5130,55 @@ def x10_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x10_mixture_apply",
+    r"""
+    WITH per AS (
+      SELECT source, count(*)::DOUBLE AS size FROM documents GROUP BY source
+    ),
+    d AS (SELECT sum(pow(size, 0.5)) AS denom FROM per),
+    mix AS (
+      SELECT source,
+             round(round(round(pow(size, 0.5) / denom, 6) * 800.0, 2)
+                   / size, 6) AS epochs
+      FROM per, d
+    ),
+    c AS (
+      SELECT doc.doc_id, doc.source, mix.epochs, u.copy
+      FROM documents doc JOIN mix USING (source),
+           unnest(range(1, greatest(1, ceil(mix.epochs))::BIGINT + 1)) u(copy)
+      WHERE mix.epochs > 0
+    )
+    SELECT doc_id, source, copy
+    FROM c
+    WHERE copy <= floor(epochs)
+       OR CAST(CONCAT('0x', substr(md5(concat_ws(':', doc_id, copy, 42)), 1, 8))
+               AS BIGINT) / 4294967296.0 < epochs - floor(epochs)
+    ORDER BY doc_id, copy
+    """,
+)
+def x10_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — materialized temperature resampling: floor(epochs) full
+    copies per row plus a deterministic md5-coin fractional copy —
+    up- AND down-sampling in one narrow explode, no shuffle, and
+    bit-reproducible across engines (hence the full value-hash
+    oracle, impossible with rand())."""
+    from vectordb_migrator_spark.operators.slicing import (
+        apply_source_mixture,
+        source_mixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mix = source_mixture(docs, source_col="source", alpha=0.5, budget=800)
+    return (
+        apply_source_mixture(
+            docs.select("doc_id", "source"), mix, id_col="doc_id", seed=42
+        )
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
+@query(
     "x11_sql_api_topk",
     f"""
     WITH p AS (SELECT {_PROBE_SQL} AS pv)
@@ -5208,6 +5257,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_semdedup",  # new: SemDeDup cluster-blocked semantic dedup
     "x3_hard_negatives",  # new: contrastive hard-negative mining
     "x10_source_mixture",  # new: temperature source-mixing weights
+    "x10_mixture_apply",  # new: materialized resampling (md5-coin oracle)
     "x11_sql_api_topk",  # new: SQL-UDF API surface (vm_cosine)
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
@@ -5232,7 +5282,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_ngram_jaccard_pairs",
     "x2_embedding_near_dup",
     "x3_cosine_topk",
-    "x3_knn_join",
 ]
 
 
