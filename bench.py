@@ -59,10 +59,13 @@ HEADLINE = [
     "x2_ngram_jaccard_pairs",
     "x2_minhash_lsh_pairs",
     "x2_lsh_near_dup",
+    "x2_semdedup",
     "x2_dedup_apply",
     "x2_dedup_incremental",
     "x3_cosine_topk",
     "x3_knn_join",
+    "x3_hard_negatives",
+    "x11_sql_api_topk",
     "x4_ivf_topk",
     "x4_hamming_topk",
     "x4_binary_rerank",
@@ -95,6 +98,8 @@ HEADLINE = [
     "x9_chunk_documents",
     "x9_int8_quantization",
     "x10_stratified_sample",
+    "x10_source_mixture",
+    "x10_mixture_apply",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "merge_upsert_orders",

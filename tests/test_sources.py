@@ -779,3 +779,54 @@ def test_pinecone_write_upsert_and_index_ddl(spark, tmp_path):
     assert res["stats"] == {
         "total_rows": 2, "rows_with_id": 2, "rows_with_vector": 1,
     }
+
+
+def test_pgvector_staging_swap_ddl():
+    """staging_swap publishes atomically: DROP old + RENAME staging in
+    ONE transaction (Postgres DDL is transactional) — the distributed
+    replacement for the reference's single-connection commit."""
+    fake = FakePgConnection()
+    a = PgVectorAdapter(connect_factory=lambda c: fake)
+    ok = a.swap_staging({"host": "h"}, {"table_name": "items"})
+    assert ok and fake.committed and fake.closed
+    assert fake.executed == [
+        "DROP TABLE IF EXISTS items;",
+        "ALTER TABLE items__staging RENAME TO items;",
+    ]
+
+
+def test_pgvector_staging_swap_write_flow(spark, monkeypatch):
+    """write(staging_swap=True) stages into {table}__staging with a
+    fresh bootstrap, then swap-publishes; the reported mode names the
+    swap. The JDBC stage itself is stubbed (no server here)."""
+    conns = []
+
+    def factory(c):
+        conns.append(FakePgConnection())
+        return conns[-1]
+
+    a = PgVectorAdapter(connect_factory=factory)
+    staged = {}
+
+    class _W:
+        def save(self):
+            staged["saved"] = True
+
+    def fake_writer(df, connection, load, *, table_bootstrapped=False):
+        staged["table"] = load.get("table_name")
+        staged["bootstrapped"] = table_bootstrapped
+        return _W()
+
+    monkeypatch.setattr(a, "writer", fake_writer)
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2], {"k": "v"})], "id long, vector array<float>, metadata map<string,string>"
+    )
+    out = a.write(df, {"host": "h"}, {"table_name": "items", "staging_swap": True})
+    assert out == {"table": "items", "mode": "jdbc-staging-swap"}
+    assert staged == {"table": "items__staging", "bootstrapped": True, "saved": True}
+    # first conn bootstrapped staging; second performed the swap
+    assert conns[0].executed[0] == "DROP TABLE IF EXISTS items__staging;"
+    assert conns[1].executed == [
+        "DROP TABLE IF EXISTS items;",
+        "ALTER TABLE items__staging RENAME TO items;",
+    ]

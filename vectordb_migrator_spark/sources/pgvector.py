@@ -256,12 +256,45 @@ class PgVectorAdapter(SparkAdapter):
             .mode(mode)
         )
 
+    def swap_staging(
+        self, connection: dict[str, Any], load: dict[str, Any]
+    ) -> bool:
+        """Atomically publish ``{table}__staging`` as ``{table}``: one
+        driver-side transaction doing DROP-old + RENAME-staging.
+        Postgres DDL is transactional, so concurrent readers see
+        either the complete old table or the complete new one — never
+        a half-written load. This is the distributed answer to the
+        reference's single-connection commit-at-the-end semantics
+        (``adapters/pgvector.py:235-241``), which cannot exist when N
+        executors hold N connections (SURVEY §7.6.5): per-partition
+        JDBC commits land invisibly in staging; the swap is the single
+        atomic commit point."""
+        conn = self.connect_factory(connection)
+        if conn is None:
+            return False
+        table = load.get("table_name", "items")
+        try:
+            cur = conn.cursor()
+            cur.execute(f"DROP TABLE IF EXISTS {table};")
+            cur.execute(f"ALTER TABLE {table}__staging RENAME TO {table};")
+            conn.commit()
+            return True
+        finally:
+            conn.close()
+
     def write(
         self, df: DataFrame, connection: dict[str, Any], load: dict[str, Any]
     ) -> dict[str, Any]:
+        staging = bool(load.get("staging_swap"))
+        eff_load = dict(load)
+        if staging:
+            # stage into {table}__staging (always freshly created),
+            # then swap-publish atomically after the JDBC stage lands
+            eff_load["table_name"] = load.get("table_name", "items") + "__staging"
+            eff_load["recreate_table"] = True
         bootstrapped = False
-        if load.get("recreate_table"):
-            dim = load.get("vector_dimension")
+        if eff_load.get("recreate_table"):
+            dim = eff_load.get("vector_dimension")
             if dim is None:
                 first = (
                     df.select(F.size("vector").alias("d"))
@@ -269,8 +302,19 @@ class PgVectorAdapter(SparkAdapter):
                     .first()
                 )
                 dim = int(first["d"]) if first else 0
-            bootstrapped = self.ensure_table(connection, load, int(dim))
-        self.writer(df, connection, load, table_bootstrapped=bootstrapped).save()
+            bootstrapped = self.ensure_table(connection, eff_load, int(dim))
+        self.writer(df, connection, eff_load, table_bootstrapped=bootstrapped).save()
+        if staging:
+            if not self.swap_staging(connection, load):
+                raise RuntimeError(
+                    "staging_swap requires a driver-side DBAPI connection "
+                    "(none available) — data remains in "
+                    f"{eff_load['table_name']}"
+                )
+            return {
+                "table": load.get("table_name", "items"),
+                "mode": "jdbc-staging-swap",
+            }
         return {"table": load.get("table_name", "items"), "mode": "jdbc-append"}
 
     def _jdbc_query(self, spark: SparkSession, connection: dict[str, Any], q: str):
