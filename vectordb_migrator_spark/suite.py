@@ -5013,10 +5013,16 @@ def outer_join_urgent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
       FROM a
     ),
+    c AS (
+      SELECT cluster, count(*) AS n_bkt, min(vec_id) AS anchor
+      FROM n GROUP BY cluster
+    ),
     losers AS (
       SELECT DISTINCT b.vec_id
       FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.nv, b.nv) >= 0.8
+      JOIN c ON c.cluster = a.cluster
+      WHERE (c.n_bkt <= 40 OR a.vec_id = c.anchor)
+        AND list_dot_product(a.nv, b.nv) >= 0.8
     )
     SELECT vec_id, label, cluster::BIGINT AS cluster
     FROM a WHERE vec_id NOT IN (SELECT vec_id FROM losers)
@@ -5025,10 +5031,12 @@ def outer_join_urgent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — SemDeDup (arXiv:2303.09540): nearest-centroid clustering
-    bounds the near-dup self-join per cluster; direct-pair min-id
-    survivor within each cluster. Centroids here are the k=8 sampled
-    seed rows (deterministic, oracle-reconstructable) — production
-    fits them with ``clustering.kmeans_fit``."""
+    bounds the near-dup self-join per cluster; direct-pair smaller-id
+    survivor within each cluster, with the min-id star-cap on
+    oversized clusters (same skew guard as every other pair
+    generator — the oracle replicates the cap). Centroids here are
+    the k=8 sampled seed rows (deterministic, oracle-reconstructable)
+    — production fits them with ``clustering.kmeans_fit``."""
     from vectordb_migrator_spark.operators.dedup import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
@@ -5040,7 +5048,7 @@ def x2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return (
-        semantic_dedup(e, cents, threshold=0.8)
+        semantic_dedup(e, cents, threshold=0.8, max_bucket=40)
         .select("vec_id", "label", F.col("cluster").cast("long").alias("cluster"))
         .orderBy("vec_id")
     )
