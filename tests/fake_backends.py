@@ -371,3 +371,28 @@ class FakeQdrantGrowingClient(FakeQdrantClient):
 
 def qdrant_growing_factory(connection):
     return FakeQdrantGrowingClient(connection)
+
+
+class FakeMilvusGrowingServer(FakeMilvusServer):
+    """Milvus fake whose rows live in a JSONL file under store_dir so
+    tests can append between streaming triggers — the PK-watermark
+    incremental-extraction scenario (readStream.format("milvus"))."""
+
+    @property
+    def DATA(self):  # noqa: N802 — shadows the class constant
+        path = f"{self.store}/milvus.src.jsonl"
+        rows = []
+        if os.path.exists(path):
+            for line in open(path):
+                rows.append(json.loads(line))
+        return rows
+
+    @staticmethod
+    def seed(store_dir, rows):
+        with open(f"{store_dir}/milvus.src.jsonl", "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+def milvus_growing_factory(connection):
+    return FakeMilvusGrowingServer(connection)

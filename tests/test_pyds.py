@@ -698,3 +698,81 @@ def test_streaming_migration_end_to_end(spark, tmp_path):
     points = read_upserted_points(store, "tgt")
     assert set(points) == set(range(12))  # ids coerced, all migrated
     assert points[7]["payload"] == {"s": "x"}
+
+
+def test_milvus_stream_reader_pk_watermark(spark, tmp_path):
+    """readStream.format("milvus"): the first availableNow run drains
+    the collection; rows appended with higher PKs surface in a second
+    run from the SAME checkpoint with no re-emission — the last_pk
+    watermark survives in the checkpoint."""
+    from fake_backends import FakeMilvusGrowingServer
+
+    store = str(tmp_path)
+    FakeMilvusGrowingServer.seed(
+        store,
+        [{"pk": i, "vec": [float(i), 0.5], "meta_a": f"a{i}", "meta_b": i}
+         for i in range(8)],
+    )
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("milvus")
+            .option("client_factory", "fake_backends:milvus_growing_factory")
+            .option("collection_name", "col")
+            .option("store_dir", store)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = sorted(int(r["id"]) for r in spark.read.parquet(out).collect())
+    assert first == list(range(8))
+
+    FakeMilvusGrowingServer.seed(
+        store,
+        [{"pk": i, "vec": [float(i), 0.5], "meta_a": None, "meta_b": None}
+         for i in range(8, 12)],
+    )
+    run()
+    second = sorted(int(r["id"]) for r in spark.read.parquet(out).collect())
+    assert second == list(range(12))
+    rows = {r["id"]: r for r in spark.read.parquet(out).collect()}
+    # canonical metadata: None values omitted (P3), others stringified
+    assert rows["3"]["metadata"] == {"meta_a": "a3", "meta_b": "3"}
+    assert rows["9"]["metadata"] == {}
+
+
+def test_milvus_stream_reader_requires_int_pk(spark):
+    """A VARCHAR PK cannot drive the high-watermark cursor — the
+    reader must refuse loudly rather than stream lexicographically."""
+    import pytest as _pytest
+
+    from vectordb_migrator_spark.sources.pyds import MilvusStreamScanReader
+    from pyspark.sql.types import StructType
+
+    class VarcharPkServer:
+        def has_collection(self, name):
+            return True
+
+        def describe_collection(self, name):
+            return {"fields": [
+                {"name": "pk", "is_primary": True, "type": "VARCHAR"},
+                {"name": "vec", "type": "FLOAT_VECTOR"},
+            ]}
+
+    import fake_backends
+
+    fake_backends.varchar_pk_factory = lambda c: VarcharPkServer()
+    schema = StructType.fromDDL("id string, vector array<float>, metadata map<string,string>")
+    with _pytest.raises(ValueError, match="integer PK"):
+        MilvusStreamScanReader(
+            {"collection_name": "col",
+             "client_factory": "fake_backends:varchar_pk_factory"},
+            schema,
+        )

@@ -851,6 +851,120 @@ class MilvusStreamWriter(MilvusInsertWriter, DataSourceStreamWriter):
         return None
 
 
+class MilvusStreamScanReader(SimpleDataSourceStreamReader):
+    """``readStream.format("milvus")`` — incremental extraction by
+    integer-PK cursor: each microbatch queries ``pk > last_pk``, emits
+    in PK order, and checkpoints the max PK seen. Exact restarts and
+    deterministic replays (``readBetweenOffsets`` re-queries the
+    half-open interval ``(start, end]``) follow from the cursor being
+    a *value*, not a server token.
+
+    Assumes an append-only collection with monotonically increasing
+    PKs (Milvus auto-id semantics) — the standard high-watermark CDC
+    contract; rows inserted with a PK below the watermark are missed
+    until a fresh start, and the idempotent sinks absorb re-reads.
+    Requires an integer PK (``pk > x`` on VARCHAR would be
+    lexicographic and auto-id never is) — raises otherwise. Driver-
+    side reads (SimpleDataSourceStreamReader): right for incremental
+    rates; bulk backfills belong to the PK-residue-partitioned batch
+    scan."""
+
+    def __init__(self, options: dict[str, str], schema: StructType):
+        from vectordb_migrator_spark.sources.milvus import field_types, plan_fields
+
+        self.options = dict(options)
+        self.collection = options.get("collection_name")
+        if not self.collection:
+            raise ValueError("milvus stream source requires collection_name")
+        self.base_expr = options.get("filter_expr", "")
+        self.meta_cols = [
+            f.name for f in schema.fields if f.name not in ("id", "vector")
+        ]
+        self.canonical = "metadata" in [f.name for f in schema.fields]
+        factory = _resolve_factory(options.get("client_factory"))
+        client = factory(_connection(self.options))
+        if not client.has_collection(self.collection):
+            raise ValueError(f"collection {self.collection!r} does not exist")
+        info = client.describe_collection(self.collection)
+        self.pk, self.vec_field, self.scalars = plan_fields(info)
+        if field_types(info).get(self.pk) not in _MILVUS_INT_TYPES:
+            raise ValueError(
+                "milvus stream source needs an integer PK for the "
+                f"high-watermark cursor; {self.pk!r} is "
+                f"{field_types(info).get(self.pk)}"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"last_pk": None}
+
+    def _query(self, lo, hi=None) -> list[dict]:
+        factory = _resolve_factory(self.options.get("client_factory"))
+        client = factory(_connection(self.options))
+        parts = [f"({self.base_expr})"] if self.base_expr else []
+        if lo is not None:
+            parts.append(f"{self.pk} > {int(lo)}")
+        if hi is not None:
+            parts.append(f"{self.pk} <= {int(hi)}")
+        output_fields = (
+            [self.pk]
+            + ([self.vec_field] if self.vec_field else [])
+            + self.scalars
+        )
+        try:
+            recs = client.query(
+                collection_name=self.collection,
+                filter=" and ".join(parts),
+                output_fields=output_fields,
+            )
+        finally:
+            close = getattr(client, "close", None)
+            if close:
+                close()
+        return sorted(recs, key=lambda r: r[self.pk])
+
+    def _rows(self, recs: list[dict]) -> list[tuple]:
+        vec = self.vec_field
+        out = []
+        for r in recs:
+            vector = (
+                [float(x) for x in r[vec]]
+                if vec and r.get(vec) is not None
+                else None
+            )
+            if self.canonical:
+                meta = {
+                    k: str(r[k]) for k in self.scalars if r.get(k) is not None
+                }
+                out.append((str(r[self.pk]), vector, meta))
+            else:
+                out.append(
+                    (
+                        str(r[self.pk]),
+                        vector,
+                        *(
+                            str(r[c]) if r.get(c) is not None else None
+                            for c in self.meta_cols
+                        ),
+                    )
+                )
+        return out
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        recs = self._query(start.get("last_pk"))
+        if not recs:
+            return [], dict(start)
+        return self._rows(recs), {"last_pk": int(recs[-1][self.pk])}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        hi = end.get("last_pk")
+        if hi is None:
+            return []
+        return self._rows(self._query(start.get("last_pk"), hi))
+
+    def commit(self, end: dict) -> None:
+        return None
+
+
 class MilvusDataSource(DataSource):
     """``format("milvus")`` — register with
     :func:`register_data_sources`."""
@@ -880,6 +994,9 @@ class MilvusDataSource(DataSource):
     ) -> MilvusStreamWriter:
         QdrantDataSource._check_write_schema(schema)
         return MilvusStreamWriter(dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> MilvusStreamScanReader:
+        return MilvusStreamScanReader(dict(self.options), schema)
 
 
 # ---------------------------------------------------------------------
