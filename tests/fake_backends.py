@@ -396,3 +396,35 @@ class FakeMilvusGrowingServer(FakeMilvusServer):
 
 def milvus_growing_factory(connection):
     return FakeMilvusGrowingServer(connection)
+
+
+class FakePineconeGrowingIndex(FakePineconeIndex):
+    """Pinecone index whose vectors live in a JSONL file under
+    store_dir so tests can append between streaming triggers — the
+    lexicographic-id-watermark scenario (readStream.format("pinecone"))."""
+
+    @property
+    def VECTORS(self):  # noqa: N802 — shadows the class constant
+        path = f"{self.store}/pinecone.src.jsonl"
+        out = {}
+        if os.path.exists(path):
+            for line in open(path):
+                d = json.loads(line)
+                out[d["id"]] = {"values": d["values"],
+                                "metadata": d.get("metadata", {})}
+        return out
+
+    @staticmethod
+    def seed(store_dir, rows):
+        with open(f"{store_dir}/pinecone.src.jsonl", "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+class FakePineconeGrowingClient(FakePineconeClient):
+    def Index(self, name):
+        return FakePineconeGrowingIndex(self.store)
+
+
+def pinecone_growing_factory(connection):
+    return FakePineconeGrowingClient(connection)

@@ -776,3 +776,48 @@ def test_milvus_stream_reader_requires_int_pk(spark):
              "client_factory": "fake_backends:varchar_pk_factory"},
             schema,
         )
+
+
+def test_pinecone_stream_reader_id_watermark(spark, tmp_path):
+    """readStream.format("pinecone"): first availableNow run drains the
+    index; vectors appended with LATER-sorting ids surface in a second
+    run from the SAME checkpoint with no re-emission."""
+    from fake_backends import FakePineconeGrowingIndex
+
+    store = str(tmp_path)
+    FakePineconeGrowingIndex.seed(
+        store,
+        [{"id": f"v{i:03d}", "values": [float(i), 1.0],
+          "metadata": {"tag": f"t{i}"}} for i in range(6)],
+    )
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("pinecone")
+            .option("client_factory", "fake_backends:pinecone_growing_factory")
+            .option("index_name", "idx")
+            .option("store_dir", store)
+            .option("batch_size", "4")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert first == [f"v{i:03d}" for i in range(6)]
+
+    FakePineconeGrowingIndex.seed(
+        store,
+        [{"id": f"v{i:03d}", "values": [float(i), 1.0]} for i in range(6, 9)],
+    )
+    run()
+    second = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert second == [f"v{i:03d}" for i in range(9)]
+    rows = {r["id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows["v002"]["metadata"] == {"tag": "t2"}

@@ -1052,6 +1052,95 @@ class PineconeScanReader(DataSourceReader):
                     yield (str(vid), vec, *(meta.get(c) for c in self.meta_cols))
 
 
+class PineconeStreamScanReader(SimpleDataSourceStreamReader):
+    """``readStream.format("pinecone")`` — incremental extraction by
+    lexicographic id watermark: Pinecone ids are strings and
+    ``index.list()`` yields them in sorted order, so the checkpointed
+    offset is simply the largest id emitted; each microbatch lists,
+    keeps ids strictly above the watermark, fetches, and emits in id
+    order. ``readBetweenOffsets`` re-fetches the half-open interval
+    ``(start, end]`` — deterministic replays without server cursor
+    tokens (which expire; an id *value* does not).
+
+    High-watermark contract: append-only workloads whose new ids sort
+    AFTER the watermark (timestamp- or KSUID-style ids). Rows inserted
+    with ids below the watermark are missed until a fresh start, and
+    the idempotent sinks absorb re-reads. Driver-side reads — right
+    for incremental rates; bulk backfills belong to the prefix-
+    partitioned batch scan."""
+
+    def __init__(self, options: dict[str, str], schema: StructType):
+        self.options = dict(options)
+        self.index_name = options.get("index_name")
+        if not self.index_name:
+            raise ValueError("pinecone stream source requires the index_name option")
+        self.namespace = options.get("namespace", "")
+        self.batch = int(options.get("batch_size", 100))
+        self.prefix = options.get("id_prefix") or None
+        self.meta_cols = [
+            f.name for f in schema.fields if f.name not in ("id", "vector")
+        ]
+        self.canonical = "metadata" in [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"last_id": None}
+
+    def _index(self):
+        factory = _resolve_factory(self.options.get("client_factory"))
+        client = factory(_connection(self.options))
+        return client.Index(self.index_name)
+
+    def _fetch_rows(self, index, ids: list[str]) -> list[tuple]:
+        out = []
+        for i in range(0, len(ids), self.batch):
+            fetched = index.fetch(
+                ids=ids[i : i + self.batch], namespace=self.namespace
+            )
+            vectors = getattr(fetched, "vectors", None) or fetched["vectors"]
+            # emit in id order, not dict order — replay determinism
+            for vid in sorted(vectors):
+                v = vectors[vid]
+                vec = list(v["values"]) if v.get("values") else None
+                meta = {
+                    str(k): str(x) for k, x in (v.get("metadata") or {}).items()
+                }
+                if self.canonical:
+                    out.append((str(vid), vec, meta))
+                else:
+                    out.append(
+                        (str(vid), vec, *(meta.get(c) for c in self.meta_cols))
+                    )
+        return out
+
+    def _ids_above(self, index, lo: str | None, hi: str | None = None) -> list[str]:
+        ids: list[str] = []
+        for page in index.list(
+            prefix=self.prefix, namespace=self.namespace, limit=self.batch
+        ):
+            for vid in page:
+                vid = str(vid)
+                if (lo is None or vid > lo) and (hi is None or vid <= hi):
+                    ids.append(vid)
+        return sorted(ids)
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        index = self._index()
+        ids = self._ids_above(index, start.get("last_id"))
+        if not ids:
+            return [], dict(start)
+        return self._fetch_rows(index, ids), {"last_id": ids[-1]}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        hi = end.get("last_id")
+        if hi is None:
+            return []
+        index = self._index()
+        return self._fetch_rows(index, self._ids_above(index, start.get("last_id"), hi))
+
+    def commit(self, end: dict) -> None:
+        return None
+
+
 class _PineconeWriteCore:
     """Driver-side index DDL (``create_index`` + ``dimension`` +
     ``metric`` — the reference's intended sink config,
@@ -1160,6 +1249,9 @@ class PineconeDataSource(DataSource):
     ) -> PineconeStreamWriter:
         QdrantDataSource._check_write_schema(schema)
         return PineconeStreamWriter(dict(self.options), overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> PineconeStreamScanReader:
+        return PineconeStreamScanReader(dict(self.options), schema)
 
 
 class QdrantDataSource(DataSource):
