@@ -305,3 +305,21 @@ def test_corpus_stats_empty_corpus(spark):
     assert r["n_docs"] == 0 and r["n_empty"] == 0
     assert r["tok_total"] == 0 and r["n_pii_docs"] == 0
     assert r["tok_p50"] is None and r["tok_mean"] is None
+
+
+def test_bigram_surprisal_orders_word_salad_above_prose(spark):
+    """Documents whose bigrams repeat corpus-common transitions score
+    LOW; shuffled word-salad over the same vocabulary scores HIGH —
+    the transition sensitivity a unigram model cannot have. Docs with
+    <2 tokens produce no row."""
+    from vectordb_migrator_spark.operators.cleaning import bigram_surprisal
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)]  # corpus dominated by one phrasing
+    rows.append((100, "mat the on sat cat the"))  # same words, alien order
+    rows.append((101, "x"))  # single token — no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_surprisal(df, model_size=100).collect()}
+    assert 101 not in out
+    assert out[100]["surprisal"] > out[0]["surprisal"]
+    assert out[0]["n_big"] == 5

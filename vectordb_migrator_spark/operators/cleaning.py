@@ -282,3 +282,78 @@ def corpus_stats(
             ),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_size: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram surprisal ``-log2 p(w2|w1)`` under a
+    corpus bigram LM with additive smoothing — one step up from
+    :func:`unigram_surprisal` toward the LM-perplexity quality filter
+    (CCNet/Gopher-style): word-salad that passes a unigram filter
+    (common words, nonsense order) scores high here because its
+    *transitions* are rare.
+
+    Model size is bounded twice: the top ``model_size`` bigrams (by
+    count, ties lexicographic) and the top ``model_size`` left-token
+    contexts; everything outside either table falls to count 0 under
+    the same smoothing, so the broadcast stays fixed no matter the
+    corpus. ``p = (c(w1,w2)+α) / (ctx(w1) + α·(V+1))`` with V =
+    min(distinct bigrams, model_size).
+
+    Returns ``(id_col, surprisal, n_big)`` for documents with ≥2
+    tokens.
+
+    Scale design: bigrams are built scan-side in codegen (zip of the
+    token array with its shift — no positional self-join, no extra
+    shuffle), then ONE (bigram, partial-count) map-side-combinable
+    shuffle builds the model; the context table and the corpus stats
+    both derive from that counts frame (ReuseExchange), and both
+    model tables come back as broadcasts. The only other exchange is
+    the per-document rollup.
+    """
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    arr = F.filter(ws_tokens(text_col), lambda x: x != "")
+    bigrams = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        df.select(F.col(id_col), bigrams.alias("__bgs"))
+        .filter(F.size("__bgs") >= 1)
+        .select(id_col, F.explode("__bgs").alias("bg"))
+    )
+    counts = bg.groupBy("bg").agg(F.count("*").alias("c"))
+    model = counts.orderBy(F.desc("c"), "bg").limit(model_size)
+    ctx = (
+        counts.groupBy(F.split(F.col("bg"), " ").getItem(0).alias("w1"))
+        .agg(F.sum("c").alias("ctx_c"))
+        .orderBy(F.desc("ctx_c"), "w1")
+        .limit(model_size)
+    )
+    stats = counts.agg(
+        F.least(F.count("*"), F.lit(model_size)).cast("double").alias("n_vocab")
+    )
+    denom = (
+        F.coalesce(F.col("ctx_c"), F.lit(0)).cast("double")
+        + F.lit(alpha) * (F.col("n_vocab") + 1)
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(alpha)) / denom
+    return (
+        bg.join(F.broadcast(model), "bg", "left")
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(F.broadcast(ctx), "w1", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log2(p)), 6).alias("surprisal"),
+            F.count("*").alias("n_big"),
+        )
+    )

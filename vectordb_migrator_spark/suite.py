@@ -5138,6 +5138,57 @@ def x10_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_bigram_surprisal",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    bgx AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+      FROM t, unnest(range(1, len(toks))) r(i)
+      WHERE len(toks) >= 2
+    ),
+    counts AS (SELECT bg, count(*)::BIGINT AS c FROM bgx GROUP BY bg),
+    model AS (SELECT bg, c FROM counts ORDER BY c DESC, bg LIMIT 2000),
+    ctx AS (
+      SELECT w1, ctx_c FROM (
+        SELECT string_split(bg, ' ')[1] AS w1, sum(c)::BIGINT AS ctx_c
+        FROM counts GROUP BY 1)
+      ORDER BY ctx_c DESC, w1 LIMIT 2000
+    ),
+    stats AS (
+      SELECT least(count(*), 2000)::DOUBLE AS n_vocab FROM counts
+    )
+    SELECT b.doc_id,
+           round(avg(-log2((coalesce(m.c, 0) + 0.5) /
+                           (coalesce(x.ctx_c, 0) + 0.5 * (s.n_vocab + 1)))),
+                 6) AS surprisal,
+           count(*)::BIGINT AS n_big
+    FROM bgx b
+    LEFT JOIN model m USING (bg)
+    LEFT JOIN ctx x ON x.w1 = string_split(b.bg, ' ')[1],
+         stats s
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+)
+def x5_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — per-document bigram surprisal under a bounded corpus
+    bigram LM (top-2000 bigrams + top-2000 contexts, additive
+    smoothing): the transition-aware perplexity-filter step up from
+    ``x5_unigram_surprisal``. Bigrams form in codegen (token array
+    zipped with its shift — no positional join); ONE bigram-count
+    shuffle feeds model, contexts, and stats."""
+    from vectordb_migrator_spark.operators.cleaning import bigram_surprisal
+
+    return bigram_surprisal(
+        _t(spark, sf_dir, "documents"), model_size=2000
+    ).orderBy("doc_id")
+
+
+@query(
     "x10_mixture_apply",
     r"""
     WITH per AS (
@@ -5267,6 +5318,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_source_mixture",  # new: temperature source-mixing weights
     "x10_mixture_apply",  # new: materialized resampling (md5-coin oracle)
     "x11_sql_api_topk",  # new: SQL-UDF API surface (vm_cosine)
+    "x5_bigram_surprisal",  # new: transition-aware perplexity filter
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5289,7 +5341,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x1_dedup_exact_vector",
     "x2_ngram_jaccard_pairs",
     "x2_embedding_near_dup",
-    "x3_cosine_topk",
 ]
 
 
