@@ -60,6 +60,7 @@ HEADLINE = [
     "x2_minhash_lsh_pairs",
     "x2_lsh_near_dup",
     "x2_semdedup",
+    "x2_decontaminate",
     "x2_dedup_apply",
     "x2_dedup_incremental",
     "x3_cosine_topk",

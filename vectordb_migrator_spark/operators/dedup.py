@@ -637,6 +637,52 @@ def lsh_embedding_near_dup_pairs_multi(
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+def embedding_cross_near_dup(
+    train: DataFrame,
+    eval_df: DataFrame,
+    planes: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: every (train, eval)
+    pair whose cosine exceeds ``threshold`` — the semantic twin of
+    n-gram test-set decontamination (``cleaning.ngram_decontaminate``)
+    for when contamination is paraphrased rather than copied.
+
+    Both sides bucket by the SAME hyperplane-LSH signature (pure
+    codegen), so candidates form only inside matching buckets — and
+    because the eval side is benchmark-sized (thousands of rows, not
+    corpus-sized), Spark broadcasts it: the train corpus is ONE scan
+    with a map-side hash probe, no shuffle of train vectors, ever.
+    There is deliberately no cross-set star-cap: a skewed bucket costs
+    |bucket| × |eval ∩ bucket| comparisons, bounded by the broadcast
+    side, not quadratic in the corpus.
+
+    Returns ``(train_id, eval_id, cos)``; anti-join ``train`` on
+    ``train_id`` to apply the removal.
+    """
+    from vectordb_migrator_spark.operators.similarity import (
+        random_hyperplane_signature,
+    )
+
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            l2_normalize(vec_col).alias(f"{prefix}_v"),
+            random_hyperplane_signature(F.col(vec_col), planes).alias("__bucket"),
+        )
+
+    return (
+        side(train, "train")
+        .join(F.broadcast(side(eval_df, "eval")), "__bucket")
+        .withColumn("cos", cosine_similarity("train_v", "eval_v"))
+        .filter(F.col("cos") >= threshold)
+        .select("train_id", "eval_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def apply_dedup(
     df: DataFrame,
     clusters: DataFrame,

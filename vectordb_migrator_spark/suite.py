@@ -5137,6 +5137,41 @@ def x10_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@query("x2_decontaminate", None)  # oracle attached below (computed string)
+def x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — embedding-level benchmark decontamination: (train, eval)
+    pairs above cosine 0.25, LSH-bucket-blocked with the eval side
+    broadcast — the train corpus is one scan with a map-side probe.
+    Eval set = every 17th embedding (a stand-in benchmark); train =
+    the rest."""
+    from vectordb_migrator_spark.operators.dedup import embedding_cross_near_dup
+
+    e = _t(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") % 17 != 0)
+    ev = e.filter(F.col("vec_id") % 17 == 0)
+    return embedding_cross_near_dup(train, ev, _PLANES, threshold=0.25).orderBy(
+        "train_id", "eval_id"
+    )
+
+
+ORACLES["x2_decontaminate"] = f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS v,
+             {_plane_sig_sql('embedding::DOUBLE[]')} AS sig
+      FROM embeddings
+    )
+    SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+           round(list_dot_product(t.v, e.v), 6) AS cos
+    FROM n t JOIN n e ON t.sig = e.sig
+    WHERE t.vec_id % 17 != 0 AND e.vec_id % 17 = 0
+      AND list_dot_product(t.v, e.v) >= 0.25
+    ORDER BY train_id, eval_id
+    """
+
+
 @query(
     "x5_bigram_surprisal",
     r"""
@@ -5319,6 +5354,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_mixture_apply",  # new: materialized resampling (md5-coin oracle)
     "x11_sql_api_topk",  # new: SQL-UDF API surface (vm_cosine)
     "x5_bigram_surprisal",  # new: transition-aware perplexity filter
+    "x2_decontaminate",  # new: embedding-level benchmark decontamination
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5340,7 +5376,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x1_dedup_exact_text",
     "x1_dedup_exact_vector",
     "x2_ngram_jaccard_pairs",
-    "x2_embedding_near_dup",
 ]
 
 
