@@ -116,3 +116,58 @@ def test_fan_out_few_files_repartitions_without_physical_probe(spark, tmp_path):
     spark.range(100).coalesce(1).write.parquet(path)
     out = fan_out(spark.read.parquet(path), min_partitions=4)
     assert out.rdd.getNumPartitions() == 4
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """Morton key: bit i of column j lands at position i*n + j."""
+    from vectordb_migrator_spark.operators.scale import zorder_value
+
+    df = spark.createDataFrame([(5, 3)], "a long, b long")  # 101, 011
+    z = df.select(zorder_value(["a", "b"], bits=3).alias("z")).first()["z"]
+    # a bits (LSB first) 1,0,1 at positions 0,2,4 ; b bits 1,1,0 at 1,3,5
+    assert z == (1 << 0) + (1 << 1) + (1 << 3) + (1 << 4)
+
+
+def test_zorder_write_narrows_per_file_extents(spark, tmp_path):
+    """Z-clustered files cover small hyper-rectangles: the mean
+    per-file (max-min) extent of BOTH columns is far below an
+    interleaving-hostile single-column sort layout, which preserves
+    only its leading column's locality."""
+    import pyarrow.parquet as pq
+    import os
+
+    from vectordb_migrator_spark.operators.scale import zorder_write
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 256).alias("x"),
+        (F.col("id") * 40503 % 256).alias("y"),
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_write(df, zpath, ["x", "y"], bits=8, num_files=16)
+    # baseline: sort by x only — y locality destroyed
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def mean_extent(path, col):
+        exts = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f"{path}/{f}").metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(
+                    [c.path_in_schema for c in
+                     [md.row_group(rg).column(i) for i in range(md.row_group(rg).num_columns)]
+                     ].index(col)
+                ).statistics
+                exts.append(st.max - st.min)
+        return sum(exts) / len(exts)
+
+    # x: both layouts cluster it; y: only the z-order does
+    assert mean_extent(zpath, "y") < 0.55 * mean_extent(spath, "y")
+    assert mean_extent(zpath, "x") < 256 * 0.6
+    # round-trip: same multiset of rows
+    assert (
+        spark.read.parquet(zpath).groupBy("x", "y").count().orderBy("x", "y").collect()
+        == df.groupBy("x", "y").count().orderBy("x", "y").collect()
+    )
