@@ -91,6 +91,7 @@ HEADLINE = [
     "x5_fingerprint",
     "x5_bm25_topk",
     "x5_boilerplate_removal",
+    "x5_span_dedup",
     "x5_ngram_contamination",
     "x5_unigram_surprisal",
     "x5_bigram_surprisal",

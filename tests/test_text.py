@@ -323,3 +323,27 @@ def test_bigram_surprisal_orders_word_salad_above_prose(spark):
     assert 101 not in out
     assert out[100]["surprisal"] > out[0]["surprisal"]
     assert out[0]["n_big"] == 5
+
+
+def test_remove_repeated_spans_keep_first(spark):
+    """A span shared across docs survives only in the smallest-id doc;
+    unique text is untouched; docs shorter than n pass through; a doc
+    that is ENTIRELY a repeated span comes back empty but present."""
+    from vectordb_migrator_spark.operators.cleaning import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma unique one here"),
+            (2, "intro words alpha beta gamma outro"),   # span removed
+            (3, "alpha beta gamma"),                     # fully covered
+            (4, "tiny doc"),                             # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(df, n=3).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma unique one here"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "intro words outro"
+    assert out[2]["n_removed"] == 3
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 3
+    assert out[4]["clean_text"] == "tiny doc" and out[4]["n_removed"] == 0

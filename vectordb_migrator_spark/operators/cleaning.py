@@ -357,3 +357,108 @@ def bigram_surprisal(
             F.count("*").alias("n_big"),
         )
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-SPAN removal with keep-first semantics
+    — the token-level exact-substring dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed relationally: any n-token window that occurs in more
+    than one document is removed from every document EXCEPT the one
+    with the smallest id (one copy of every span survives the corpus,
+    exactly the suffix-array method's contract, at n-gram instead of
+    arbitrary-length resolution). Finer-grained than document near-dup
+    (catches quotes and syndicated paragraphs inside otherwise-unique
+    docs) and than line boilerplate (spans cross line breaks).
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed)`` — documents
+    shorter than ``n`` tokens pass through untouched.
+
+    Scale design: windows form scan-side in codegen (indexed transform
+    over the token array — no positional self-join); ONE
+    map-side-combinable (gram → df, min-doc) shuffle builds the span
+    table, and a ``df > 1`` semi-filter shrinks it to actual repeats
+    before the gram-keyed join back (the same df-pre-pass trick as
+    ``ngram_jaccard_pairs``); covered positions then collapse
+    per-document — every post-scan shuffle carries (id, pos) pairs or
+    gram keys, never document text. Reassembly restores order from
+    the carried position (no global sort).
+    """
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    toks = F.filter(ws_tokens(text_col), lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    # (id, start, gram) for every n-window; starts are 0-based.
+    # Docs shorter than n emit no windows (the filter also keeps
+    # sequence() ascending — sequence(0, negative) would descend).
+    grams = (
+        base.filter(F.size("__toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - n),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.concat_ws(
+                            " ", F.slice("__toks", i + 1, n)
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    )
+
+    spans = (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("df"),
+            F.min(id_col).alias("keeper"),
+        )
+        .filter(F.col("df") > 1)
+    )
+    covered = (
+        grams.join(spans, "gram")
+        .filter(F.col(id_col) != F.col("keeper"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    positions = base.select(id_col, F.posexplode("__toks").alias("pos", "tok"))
+    kept = positions.join(covered, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    # left join from the full doc list so empty and fully-covered
+    # documents still appear (with empty clean_text)
+    return (
+        base.select(id_col, F.size("__toks").alias("n_tokens"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -5137,6 +5137,68 @@ def x10_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@query(
+    "x5_span_dedup",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS start,
+             array_to_string(toks[i:i+2], ' ') AS gram
+      FROM t, unnest(range(1, len(toks) - 1)) r(i)
+      WHERE len(toks) >= 3
+    ),
+    spans AS (
+      SELECT gram, min(doc_id) AS keeper
+      FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, p.pos
+      FROM g JOIN spans USING (gram),
+           unnest(range(g.start, g.start + 3)) p(pos)
+      WHERE g.doc_id != spans.keeper
+    ),
+    pos AS (
+      SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      FROM t, unnest(range(1, len(toks) + 1)) r(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.pos = p.pos
+      WHERE c.pos IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*)::BIGINT AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           len(t.toks)::BIGINT AS n_tokens,
+           (len(t.toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+    FROM t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def x5_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — cross-document repeated-span removal (Lee et al. 2022
+    substring dedup, keep-first): every 3-token window occurring in
+    >1 document is removed everywhere except the smallest-id doc.
+    Windows form in codegen; one (gram → df, keeper) shuffle; the
+    df>1 filter shrinks the span table before the gram-keyed join
+    back; reassembly restores order from carried positions."""
+    from vectordb_migrator_spark.operators.cleaning import remove_repeated_spans
+
+    return remove_repeated_spans(
+        _t(spark, sf_dir, "documents"), n=3
+    ).orderBy("doc_id")
+
+
 @query("x2_decontaminate", None)  # oracle attached below (computed string)
 def x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — embedding-level benchmark decontamination: (train, eval)
@@ -5355,6 +5417,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x11_sql_api_topk",  # new: SQL-UDF API surface (vm_cosine)
     "x5_bigram_surprisal",  # new: transition-aware perplexity filter
     "x2_decontaminate",  # new: embedding-level benchmark decontamination
+    "x5_span_dedup",  # new: cross-doc repeated-span removal (keep-first)
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5375,7 +5438,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_json_extract",
     "x1_dedup_exact_text",
     "x1_dedup_exact_vector",
-    "x2_ngram_jaccard_pairs",
 ]
 
 
