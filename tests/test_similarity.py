@@ -772,3 +772,39 @@ def test_sql_udfs_match_column_api(spark, embeddings):
         "SELECT vm_token_count('  a  b\tc ') AS n"
     ).first()["n"]
     assert tok == 3
+
+
+def test_ivf_index_append_incremental(spark, embeddings, probe, tmp_path):
+    """Appending a batch assigns it to the FROZEN stored centroids and
+    lands only new partitions-files; a probe then sees old + new rows,
+    and the batch rows go to their argmin centroid's directory."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_topk,
+    )
+
+    path = str(tmp_path / "ivf")
+    base = embeddings.filter(F.col("vec_id") < 40)
+    build_ivf_index(base, path, cluster_col="label")
+    before = spark.read.parquet(f"{path}/corpus").count()
+
+    # a batch that duplicates existing vectors under fresh ids — its
+    # argmin assignment must therefore equal the original labels
+    batch = embeddings.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    ivf_index_append(spark, path, batch, cluster_col="label")
+
+    after = spark.read.parquet(f"{path}/corpus")
+    assert after.count() == before + 10
+    orig = {r["vec_id"]: r["label"] for r in base.collect()}
+    for r in after.filter(F.col("vec_id") >= 10_000).collect():
+        # same vector → same (nearest-centroid) partition as some
+        # original copy; centroid table untouched
+        assert r["vec_id"] - 10_000 in orig
+    out = ivf_index_topk(spark, path, probe, cluster_col="label", k=5, nprobe=2)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert 10_000 in ids  # vec 0 duplicates the probe — new row surfaces

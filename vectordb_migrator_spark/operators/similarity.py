@@ -279,6 +279,48 @@ def build_ivf_index(
     ).parquet(f"{path}/centroids")
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    *,
+    cluster_col: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign a NEW batch to the
+    existing coarse centroids (read back from the index — driver-tiny)
+    and append its rows into the hive partitions. Ingest stays
+    O(batch): no rebuild, resident partitions untouched, and probes
+    immediately see the new rows because pruning is directory-based.
+    Centroids are deliberately NOT refreshed here — IVF practice is to
+    keep the quantizer frozen between offline rebuilds (refreshing
+    per-batch would re-bucket resident rows and force a rewrite);
+    rebuild via :func:`build_ivf_index` when imbalance or recall
+    degrades.
+    """
+    from vectordb_migrator_spark.operators.clustering import assign_clusters
+    from vectordb_migrator_spark.operators.scale import write_partitioned
+
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    ids = [r["cluster"] for r in cents]
+    centroids = [[float(x) for x in r["centroid"]] for r in cents]
+    assigned = assign_clusters(new_df, centroids, vec_col=vec_col)
+    # positional argmin index -> the layout's actual cluster ids
+    # (which need not be contiguous)
+    mapped = F.element_at(
+        F.array(*[F.lit(c) for c in ids]), F.col("cluster") + 1
+    )
+    out = (
+        assigned.withColumn("__mapped", mapped)
+        .drop("cluster")
+        .drop(cluster_col)  # no-op unless new_df carried a stale column
+        .withColumnRenamed("__mapped", cluster_col)
+    )
+    write_partitioned(
+        out, f"{path}/corpus", partition_cols=cluster_col, mode="append"
+    )
+
+
 def ivf_index_topk(
     spark,
     path: str,
