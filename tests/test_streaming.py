@@ -322,3 +322,59 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
         assert len(out2) == 1 and out2[0]["n"] == 2  # late row never lands
     finally:
         q.stop()
+
+
+def test_indexed_ingest_maintains_lsh_layout(spark, tmp_path):
+    """Streaming ANN-index maintenance: two availableNow runs append
+    only fresh ids into the LSH layout; a probe after each run sees
+    the rows ingested so far; a replayed batch never double-appends."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.streaming.incremental import indexed_ingest
+
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+
+    def seed(ids):
+        spark.createDataFrame(
+            [(i, [float(i % 7) - 3.0, 1.0]) for i in ids], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    seed(range(10))
+    q = indexed_ingest(
+        spark, source_path=src, source_schema=schema, index_path=idx,
+        checkpoint=ckpt, planes=planes,
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(idx)
+    assert first.count() == 10
+
+    seed(range(10, 15))
+    q2 = indexed_ingest(
+        spark, source_path=src, source_schema=schema, index_path=idx,
+        checkpoint=ckpt, planes=planes,
+    )
+    q2.awaitTermination(120)
+    after = spark.read.parquet(idx)
+    assert sorted(r["vec_id"] for r in after.collect()) == list(range(15))
+
+    # replay: wipe the checkpoint so the same files re-process — the
+    # id anti-join must keep the index unchanged
+    shutil.rmtree(ckpt)
+    q3 = indexed_ingest(
+        spark, source_path=src, source_schema=schema, index_path=idx,
+        checkpoint=ckpt, planes=planes,
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(idx).count() == 15
+
+    # probes read through partition pruning and see ingested rows
+    pruned = spark.read.parquet(idx).filter(F.col("bucket") == 3)
+    assert pruned.count() > 0
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -258,6 +258,29 @@ def build_lsh_index(
     write_partitioned(bucketed, path, partition_cols=bucket_col)
 
 
+def lsh_index_append(
+    new_df: DataFrame,
+    planes: list[list[float]],
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> None:
+    """Incremental append to a :func:`build_lsh_index` layout. LSH
+    bucketing is STATELESS (the signature depends only on the fixed
+    planes), so index maintenance is trivially O(batch): signature in
+    codegen, append into the hive partitions — no stored state to
+    read back, no rebuild, probes see new rows via the directory
+    listing. The planes MUST be the ones the layout was built with
+    (the caller owns persisting them; they are plan-time literals)."""
+    from vectordb_migrator_spark.operators.scale import write_partitioned
+
+    bucketed = new_df.withColumn(
+        bucket_col, random_hyperplane_signature(F.col(vec_col), planes)
+    )
+    write_partitioned(bucketed, path, partition_cols=bucket_col, mode="append")
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,

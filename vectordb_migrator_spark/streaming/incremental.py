@@ -198,3 +198,57 @@ def deduped_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def indexed_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    index_path: str,
+    checkpoint: str,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    source_format: str = "parquet",
+    trigger_once: bool = True,
+):
+    """Continuous ANN-index maintenance — X4 meets X8: every
+    micro-batch of new vectors appends into a
+    :func:`~vectordb_migrator_spark.operators.similarity
+    .build_lsh_index` layout via :func:`~vectordb_migrator_spark
+    .operators.similarity.lsh_index_append`, so probes see fresh rows
+    as soon as their batch commits (directory pruning needs no index
+    rebuild — LSH bucketing is stateless).
+
+    Replay safety: a replayed micro-batch drops rows whose id already
+    exists in the index (one partition-pruned id scan of the layout),
+    so restarts from the checkpoint are exactly-once-per-id even
+    though parquet appends are not idempotent by themselves.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from vectordb_migrator_spark.operators.similarity import lsh_index_append
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            existing = sess.read.parquet(index_path).select(id_col)
+            fresh = batch_df.join(existing, id_col, "left_anti")
+        except AnalysisException:
+            fresh = batch_df
+        lsh_index_append(fresh, planes, index_path, vec_col=vec_col)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
