@@ -55,6 +55,7 @@ HEADLINE = [
     "x8_interval_join_batch",
     "timeseries_gap_fill",
     "x0_training_pipeline",
+    "x0_retrieval_pipeline",
     "x1_dedup_exact_text",
     "x2_ngram_jaccard_pairs",
     "x2_minhash_lsh_pairs",

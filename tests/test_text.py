@@ -347,3 +347,20 @@ def test_remove_repeated_spans_keep_first(spark):
     assert out[2]["n_removed"] == 3
     assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 3
     assert out[4]["clean_text"] == "tiny doc" and out[4]["n_removed"] == 0
+
+
+def test_feature_hash_vector_counts_tokens(spark):
+    """Dims sum to the token count; identical texts get identical
+    vectors; whitespace-only text maps to the zero vector."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.functions.text import feature_hash_vector
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a b c a"), (3, "   ")], "id long, t string"
+    )
+    rows = {r["id"]: r["v"] for r in df.select(
+        "id", feature_hash_vector("t", dim=8).alias("v")).collect()}
+    assert sum(rows[1]) == 4.0
+    assert rows[1] == rows[2]
+    assert sum(rows[3]) == 0.0

@@ -170,3 +170,31 @@ def normalize_for_dedup(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+def feature_hash_vector(col: Column | str, *, dim: int = 16) -> Column:
+    """Feature-hashed document vector (the HashingTF trick): dimension
+    ``i`` counts the tokens whose md5-derived bucket is ``i``. Pure
+    codegen (one md5 + modulo per token, one pass per dimension over
+    the token array), model-free, and — because md5 and base-16 conv
+    are bit-identical across engines — exactly reproducible in SQL,
+    so retrieval built on it carries full value-hash oracles.
+
+    A real pipeline swaps this for learned embeddings; everything
+    downstream (normalize, index, top-k) is unchanged — this function
+    exists so the retrieval compositions are testable end-to-end
+    without a model in the loop."""
+    toks = F.filter(ws_tokens(col), lambda t: t != "")
+    # hash each token ONCE into its bucket, then count per dimension
+    # over the int array — one md5 pass, not dim of them
+    buckets = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % dim,
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(
+            F.filter(buckets, lambda b: b == i.cast("long"))
+        ).cast("double"),
+    )

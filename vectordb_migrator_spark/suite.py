@@ -5199,6 +5199,90 @@ def x5_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_FHB_SQL = (  # token array -> per-token md5 bucket array (one hash pass)
+    "list_transform(list_filter(string_split_regex(lower(trim({col})), "
+    "'\\s+'), t -> t != ''), "
+    "t -> CAST(CONCAT('0x', substr(md5(t), 1, 8)) AS BIGINT) % 16)"
+)
+_FHV_SQL = (  # bucket array -> 16-dim count vector
+    "[len(list_filter({bks}, b -> b = i))::DOUBLE for i in range(0, 16)]"
+)
+
+
+@query(
+    "x0_retrieval_pipeline",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE ceil((len(toks) - 32)::DOUBLE / 24)::INT + 1 END
+               AS n_chunks
+      FROM t
+    ), x AS (
+      SELECT doc_id,
+             unnest([{{'chunk_id': i - 1,
+                      'chunk_text': array_to_string(
+                        toks[(i-1)*24 + 1 : (i-1)*24 + 32], ' ')}}
+                     for i in range(1, n_chunks + 1)]) AS ch
+      FROM c
+    ), eb AS (
+      SELECT doc_id, ch.chunk_id::BIGINT AS chunk_id,
+             {_FHB_SQL.format(col="ch.chunk_text")} AS bks
+      FROM x
+    ), emb AS (
+      SELECT doc_id, chunk_id, {_FHV_SQL.format(bks="bks")} AS v FROM eb
+    ), pb AS (
+      SELECT {_FHB_SQL.format(col="text")} AS bks
+      FROM documents WHERE doc_id = 0
+    ), p AS (
+      SELECT {_FHV_SQL.format(bks="bks")} AS pv FROM pb
+    )
+    SELECT doc_id, chunk_id,
+           round(list_dot_product(v, pv) /
+                 (sqrt(list_dot_product(v, v)) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM emb, p
+    ORDER BY score DESC, doc_id, chunk_id LIMIT 10
+    """,
+)
+def x0_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — the END-TO-END retrieval pipeline, one lazy plan: chunk
+    (32/8) → embed every chunk (model-free feature hashing, so the
+    whole composition carries a value-hash oracle) → cosine top-10
+    against the query document's vector. Chunking and embedding are
+    ONE narrow codegen stage over the scan; scoring folds into
+    TakeOrderedAndProject — the corpus is never shuffled. Swap
+    ``feature_hash_vector`` for learned embeddings and the plan shape
+    is a production RAG indexer."""
+    from vectordb_migrator_spark.functions.text import feature_hash_vector
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+    from vectordb_migrator_spark.operators.chunking import chunk_text
+    from vectordb_migrator_spark.operators.similarity import probe_literal
+
+    docs = _t(spark, sf_dir, "documents")
+    probe = [
+        float(x)
+        for x in docs.filter(F.col("doc_id") == 0)
+        .select(feature_hash_vector("text", dim=16).alias("v"))
+        .first()["v"]
+    ]
+    chunks = chunk_text(docs, chunk_size=32, overlap=8)
+    scored = chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.round(
+            cosine_similarity(
+                feature_hash_vector("chunk_text", dim=16), probe_literal(probe)
+            ),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), "doc_id", "chunk_id").limit(10)
+
+
 @query("x2_decontaminate", None)  # oracle attached below (computed string)
 def x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — embedding-level benchmark decontamination: (train, eval)
@@ -5418,6 +5502,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_bigram_surprisal",  # new: transition-aware perplexity filter
     "x2_decontaminate",  # new: embedding-level benchmark decontamination
     "x5_span_dedup",  # new: cross-doc repeated-span removal (keep-first)
+    "x0_retrieval_pipeline",  # new: chunk->embed->topk, one lazy plan
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5437,7 +5522,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_hourly_rollup",
     "events_json_extract",
     "x1_dedup_exact_text",
-    "x1_dedup_exact_vector",
 ]
 
 
