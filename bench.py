@@ -102,6 +102,7 @@ HEADLINE = [
     "x9_chunk_documents",
     "x9_int8_quantization",
     "x10_stratified_sample",
+    "x12_quality_constraints",
     "x10_source_mixture",
     "x10_mixture_apply",
     "funnel_view_click_purchase",

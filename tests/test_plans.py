@@ -178,3 +178,35 @@ def test_corpus_stats_partial_aggregate_one_pass(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_check_constraints_one_scan(spark):
+    """All constraints evaluate in ONE aggregate over one scan (a
+    single FileScan in the plan); failing constraints report
+    passed=false with the measured value."""
+    from vectordb_migrator_spark.operators.validation import (
+        check_constraints,
+        in_range,
+        min_rows,
+        not_null,
+        unique,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = check_constraints(
+        orders,
+        [
+            not_null("o_orderkey"),
+            unique("o_orderstatus"),    # statuses repeat → fails at 1.0
+            in_range("o_totalprice", 0, 1),  # prices exceed 1 → fails
+            min_rows(10),
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    rows = {r["check_name"]: r for r in out.collect()}
+    assert rows["not_null_o_orderkey"]["passed"] is True
+    assert rows["unique_o_orderstatus"]["passed"] is False
+    assert rows["in_range_o_totalprice"]["passed"] is False
+    assert 0.0 < rows["in_range_o_totalprice"]["value"] < 1.0 or rows["in_range_o_totalprice"]["value"] == 0.0
+    assert rows["min_rows"]["passed"] is True

@@ -1,0 +1,116 @@
+"""Declarative data-quality constraints — the deequ/Great-Expectations
+niche, Spark-first: every constraint compiles to an aggregate
+expression over ONE corpus scan (no per-constraint passes, no Python
+in the row path), and the result is a tiny verdict frame a pipeline
+can gate on before publishing to a sink.
+
+At 100 TB this matters because the naive approach — one action per
+check — re-reads the corpus N times; here N constraints cost exactly
+one scan with map-side-combinable aggregates, the same shape as any
+other report query.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One named check: ``metric`` aggregates the scan (any aggregate
+    Column), ``ok`` turns the metric value into pass/fail."""
+
+    name: str
+    metric: Column
+    threshold: float
+    op: str = ">="  # metric op threshold => pass
+
+    def verdict(self, value: Column) -> Column:
+        return {
+            ">=": value >= self.threshold,
+            "<=": value <= self.threshold,
+            "==": value == self.threshold,
+        }[self.op]
+
+
+def not_null(col: str, min_fraction: float = 1.0) -> Constraint:
+    """Fraction of non-null values in ``col`` must reach ``min_fraction``."""
+    return Constraint(
+        name=f"not_null_{col}",
+        metric=(
+            F.count(F.col(col)).cast("double") / F.count(F.lit(1))
+        ),
+        threshold=min_fraction,
+    )
+
+
+def unique(col: str, min_fraction: float = 1.0) -> Constraint:
+    """Fraction of distinct (non-null) values over non-null rows must
+    reach ``min_fraction`` — 1.0 means a true key."""
+    return Constraint(
+        name=f"unique_{col}",
+        metric=(
+            F.countDistinct(F.col(col)).cast("double")
+            / F.count(F.col(col)).cast("double")
+        ),
+        threshold=min_fraction,
+    )
+
+
+def in_range(col: str, lo: float, hi: float, min_fraction: float = 1.0) -> Constraint:
+    """Fraction of non-null values inside [lo, hi] must reach
+    ``min_fraction``."""
+    inside = F.when(
+        F.col(col).isNotNull() & F.col(col).between(lo, hi), 1
+    ).otherwise(0)
+    return Constraint(
+        name=f"in_range_{col}",
+        metric=F.sum(inside).cast("double") / F.count(F.col(col)).cast("double"),
+        threshold=min_fraction,
+    )
+
+
+def matches(col: str, pattern: str, min_fraction: float = 1.0) -> Constraint:
+    """Fraction of non-null values matching the regex must reach
+    ``min_fraction``."""
+    hit = F.when(F.col(col).rlike(pattern), 1).otherwise(0)
+    return Constraint(
+        name=f"matches_{col}",
+        metric=F.sum(hit).cast("double") / F.count(F.col(col)).cast("double"),
+        threshold=min_fraction,
+    )
+
+
+def min_rows(n: int) -> Constraint:
+    """Row count must reach ``n`` (an empty-input guard)."""
+    return Constraint(
+        name="min_rows", metric=F.count(F.lit(1)).cast("double"), threshold=float(n)
+    )
+
+
+def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Evaluate every constraint in ONE aggregate over one scan.
+    Returns one row per constraint: (check_name, value, threshold,
+    passed) — unpivoted from the single report row via a plan-time
+    stack, so the scan count stays 1 regardless of len(constraints)."""
+    report = df.agg(
+        *[F.round(c.metric, 6).alias(c.name) for c in constraints]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                F.col(c.name).alias("value"),
+                F.lit(float(c.threshold)).alias("threshold"),
+                c.verdict(F.col(c.name)).alias("passed"),
+            )
+            for c in constraints
+        ]
+    )
+    return (
+        report.select(F.explode(rows).alias("r"))
+        .select("r.check_name", "r.value", "r.threshold", "r.passed")
+    )

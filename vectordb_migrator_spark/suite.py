@@ -5283,6 +5283,63 @@ def x0_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), "doc_id", "chunk_id").limit(10)
 
 
+@query(
+    "x12_quality_constraints",
+    """
+    WITH m AS (
+      SELECT round(count(o_orderkey)::DOUBLE / count(*), 6) AS nn,
+             round(count(DISTINCT o_orderkey)::DOUBLE
+                   / count(o_orderkey), 6) AS uq,
+             round(sum(CASE WHEN o_totalprice IS NOT NULL
+                             AND o_totalprice BETWEEN 0 AND 1000000
+                            THEN 1 ELSE 0 END)::DOUBLE
+                   / count(o_totalprice), 6) AS rng,
+             round(sum(CASE WHEN o_orderpriority SIMILAR TO '[0-9]-[A-Z ]+'
+                            THEN 1 ELSE 0 END)::DOUBLE
+                   / count(o_orderpriority), 6) AS pat,
+             round(count(*)::DOUBLE, 6) AS n
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'not_null_o_orderkey' AS check_name, nn AS value,
+             1.0::DOUBLE AS threshold, nn >= 1.0 AS passed FROM m
+      UNION ALL
+      SELECT 'unique_o_orderkey', uq, 1.0::DOUBLE, uq >= 1.0 FROM m
+      UNION ALL
+      SELECT 'in_range_o_totalprice', rng, 1.0::DOUBLE, rng >= 1.0 FROM m
+      UNION ALL
+      SELECT 'matches_o_orderpriority', pat, 1.0::DOUBLE, pat >= 1.0 FROM m
+      UNION ALL
+      SELECT 'min_rows', n, 100.0::DOUBLE, n >= 100.0 FROM m
+    ) ORDER BY check_name
+    """,
+)
+def x12_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — declarative data-quality gate (the deequ niche): five
+    constraints — key non-null + unique, price range, priority format,
+    row floor — ALL evaluated in one aggregate over one scan; the
+    verdict frame unpivots from the single report row plan-side."""
+    from vectordb_migrator_spark.operators.validation import (
+        check_constraints,
+        in_range,
+        matches,
+        min_rows,
+        not_null,
+        unique,
+    )
+
+    return check_constraints(
+        _t(spark, sf_dir, "orders"),
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            in_range("o_totalprice", 0, 1_000_000),
+            matches("o_orderpriority", r"^[0-9]-[A-Z ]+$"),
+            min_rows(100),
+        ],
+    ).orderBy("check_name")
+
+
 @query("x2_decontaminate", None)  # oracle attached below (computed string)
 def x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — embedding-level benchmark decontamination: (train, eval)
@@ -5503,6 +5560,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_decontaminate",  # new: embedding-level benchmark decontamination
     "x5_span_dedup",  # new: cross-doc repeated-span removal (keep-first)
     "x0_retrieval_pipeline",  # new: chunk->embed->topk, one lazy plan
+    "x12_quality_constraints",  # new: one-scan declarative quality gate
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5521,7 +5579,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q5_region_revenue",
     "events_hourly_rollup",
     "events_json_extract",
-    "x1_dedup_exact_text",
 ]
 
 
