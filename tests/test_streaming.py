@@ -378,3 +378,58 @@ def test_indexed_ingest_maintains_lsh_layout(spark, tmp_path):
     assert pruned.count() > 0
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_sketch_ingest_incremental_distinct(spark, tmp_path):
+    """Two ingest runs maintain the per-day sketch store; the ranged
+    distinct estimate equals the exact count (tiny cardinalities are
+    exact under HLL) WITHOUT rescanning raw events; a replayed batch
+    never double-appends."""
+    from datetime import datetime
+
+    from vectordb_migrator_spark.streaming.incremental import (
+        sketch_distinct_over,
+        sketch_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "sk")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp"
+
+    def seed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = sketch_ingest(
+            spark, source_path=src, source_schema=schema,
+            sketch_path=store, checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    d1, d2 = datetime(2026, 3, 1, 10), datetime(2026, 3, 2, 10)
+    seed([(i, i % 5, d1) for i in range(20)])          # day 1: users 0-4
+    run()
+    est1 = sketch_distinct_over(spark, store).first()
+    assert est1["distinct_est"] == 5 and est1["n_events"] == 20
+
+    seed([(100 + i, 3 + i % 4, d2) for i in range(12)])  # day 2: users 3-6
+    run()
+    both = sketch_distinct_over(spark, store).first()
+    assert both["distinct_est"] == 7 and both["n_events"] == 32
+    only_d2 = sketch_distinct_over(spark, store, start_day="2026-03-02").first()
+    assert only_d2["distinct_est"] == 4
+
+    # replay: delete the last commit marker so Structured Streaming
+    # re-executes batch 1 with the SAME batch_id (the foreachBatch
+    # failure contract) — the (day, batch_id) anti-join holds
+    import os
+
+    os.remove(f"{ckpt}/commits/1")
+    crc = f"{ckpt}/commits/.1.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert sketch_distinct_over(spark, store).first()["n_events"] == 32
