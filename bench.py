@@ -110,6 +110,7 @@ HEADLINE = [
     "merge_upsert_orders",
     "scd2_order_status",
     "anomaly_zscore_events",
+    "x13_rolling_corr",
     "range_join_value_bands",
     "bin_equal_frequency_events",
     "histogram_event_values",

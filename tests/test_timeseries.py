@@ -131,3 +131,33 @@ def test_window_ewma_matches_recursive_python(spark):
         r["e"] for r in df.select(F.round(ewma, 6).alias("e")).orderBy("rn").collect()
     ]
     assert got == want
+
+
+def test_rolling_correlation_tracks_comovement(spark):
+    """Perfectly co-moving series converge to corr 1, anti-moving to
+    -1; the first window (single hour) and zero-variance windows are
+    NULL rather than an ANSI divide-by-zero error."""
+    from datetime import datetime, timedelta
+
+    from vectordb_migrator_spark.operators.timeseries import rolling_correlation
+
+    t0 = datetime(2026, 5, 1)
+    rows = []
+    for h in range(6):
+        rows.append((h, "view", float(h + 1), t0 + timedelta(hours=h)))
+        rows.append((h, "click", float(2 * (h + 1)), t0 + timedelta(hours=h)))
+        rows.append((h, "other", 99.0, t0 + timedelta(hours=h)))  # ignored
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts timestamp"
+    )
+    out = rolling_correlation(
+        df, key_a="view", key_b="click", window_hours=4
+    ).orderBy("hour").collect()
+    assert out[0]["corr"] is None            # single-row window
+    assert all(r["corr"] == 1.0 for r in out[1:])  # exact linear relation
+
+    const = df.withColumn("value", F.lit(5.0))
+    flat = rolling_correlation(
+        const, key_a="view", key_b="click", window_hours=4
+    ).collect()
+    assert all(r["corr"] is None for r in flat)  # zero variance → NULL

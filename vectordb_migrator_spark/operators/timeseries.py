@@ -80,3 +80,57 @@ def zscore_anomalies(
         .filter(F.abs(F.col("z")) >= threshold)
         .drop(mu, sd)
     )
+
+
+def rolling_correlation(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    key_a: str,
+    key_b: str,
+    window_hours: int = 24,
+) -> DataFrame:
+    """Rolling Pearson correlation between two keys' hourly series —
+    the co-movement diagnostic (do purchases track clicks this day?).
+
+    Shape: ONE hourly pre-aggregation shuffle (map-side combinable)
+    collapses the raw events to (hour, a, b) rows — the rolling frame
+    then slides over the TINY hourly series, never the raw events, so
+    the window state is window_hours rows per partition regardless of
+    event volume. ``corr`` runs as a built-in window aggregate over a
+    range frame; rows with fewer than 2 paired hours yield NULL (the
+    aggregate's own contract).
+
+    Returns (hour, a, b, corr) rounded to 6.
+    """
+    from pyspark.sql import Window as W
+
+    hourly = (
+        df.filter(F.col(key_col).isin([key_a, key_b]))
+        .groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+            F.col(key_col).alias("k"),
+        )
+        .agg(F.sum(value_col).alias("v"))
+    )
+    wide = hourly.groupBy("hour").pivot("k", [key_a, key_b]).agg(
+        F.first("v")
+    ).select(
+        "hour",
+        F.coalesce(F.col(key_a), F.lit(0.0)).alias("a"),
+        F.coalesce(F.col(key_b), F.lit(0.0)).alias("b"),
+    )
+    frame = (
+        W.orderBy(F.col("hour").cast("long"))
+        .rangeBetween(-(window_hours - 1) * 3600, 0)
+    )
+    # corr spelled as covar/(sa*sb) with try_divide: a zero-variance
+    # window yields NULL (ANSI-mode F.corr would throw DIVIDE_BY_ZERO;
+    # NULL is also what SQL engines' corr returns there)
+    corr = F.try_divide(
+        F.covar_samp("a", "b").over(frame),
+        F.stddev_samp("a").over(frame) * F.stddev_samp("b").over(frame),
+    )
+    return wide.select("hour", "a", "b", F.round(corr, 6).alias("corr"))

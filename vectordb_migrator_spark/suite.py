@@ -5284,6 +5284,42 @@ def x0_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_rolling_corr",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             coalesce(sum(value) FILTER (WHERE event_type = 'view'), 0)
+               AS a,
+             coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0)
+               AS b
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY 1
+    )
+    SELECT hour, a, b,
+           round(corr(a, b) OVER (
+             ORDER BY hour
+             RANGE BETWEEN INTERVAL 23 HOURS PRECEDING AND CURRENT ROW),
+             6) AS corr
+    FROM h ORDER BY hour
+    """,
+)
+def x13_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — rolling 24h Pearson correlation between the view and
+    click hourly series: the co-movement diagnostic. One hourly
+    pre-agg shuffle collapses raw events; the window slides over the
+    tiny series (state = 24 rows), with corr spelled via try_divide
+    so zero-variance windows yield NULL like SQL corr."""
+    from vectordb_migrator_spark.operators.timeseries import rolling_correlation
+
+    return rolling_correlation(
+        _t(spark, sf_dir, "events"),
+        key_a="view",
+        key_b="click",
+        window_hours=24,
+    ).orderBy("hour")
+
+
+@query(
     "x12_quality_constraints",
     """
     WITH m AS (
@@ -5561,6 +5597,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_span_dedup",  # new: cross-doc repeated-span removal (keep-first)
     "x0_retrieval_pipeline",  # new: chunk->embed->topk, one lazy plan
     "x12_quality_constraints",  # new: one-scan declarative quality gate
+    "x13_rolling_corr",  # new: rolling 24h correlation over hourly series
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5578,7 +5615,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q1_pricing_summary",
     "q5_region_revenue",
     "events_hourly_rollup",
-    "events_json_extract",
 ]
 
 
