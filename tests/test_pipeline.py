@@ -304,3 +304,41 @@ def test_jsonl_roundtrip_migration(spark, tmp_path):
         for r in spark.read.parquet(back).collect()
     }
     assert got == {"1": ([0.5, 0.25], {"k": "v"}), "2": ([1.0, -1.0], {})}
+
+
+def test_migrate_validation_gate(spark, tmp_path):
+    """A config's validate section gates the write: a failing
+    constraint aborts BEFORE the sink runs (no output written), the
+    per-constraint report lands on the migrator, and a passing gate
+    migrates normally."""
+    import os
+
+    from vectordb_migrator_spark.plans.pipeline import Migrator
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(str(i), [float(i)], {"k": "v"}) for i in range(5)],
+        "id string, vector array<float>, metadata map<string,string>",
+    ).write.parquet(src)
+
+    def cfg(out, validate):
+        return {
+            "source": {"type": "parquet", "query": {"path": src}},
+            "target": {"type": "parquet", "load": {"path": out}},
+            "validate": validate,
+        }
+
+    out1 = str(tmp_path / "out1")
+    m = Migrator(spark, cfg(out1, {"min_rows": 100}))  # 5 < 100 → fail
+    assert m.migrate() is False
+    assert not os.path.exists(out1)
+    rep = {r["check_name"]: r for r in m.validation}
+    assert rep["min_rows"]["passed"] is False and rep["min_rows"]["value"] == 5.0
+
+    out2 = str(tmp_path / "out2")
+    m2 = Migrator(
+        spark, cfg(out2, {"min_rows": 5, "not_null": ["id"], "unique": ["id"]})
+    )
+    assert m2.migrate() is True
+    assert spark.read.parquet(out2).count() == 5
+    assert all(r["passed"] for r in m2.validation)

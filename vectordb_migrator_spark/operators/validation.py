@@ -114,3 +114,34 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
         report.select(F.explode(rows).alias("r"))
         .select("r.check_name", "r.value", "r.threshold", "r.passed")
     )
+
+
+def constraints_from_config(cfg: dict) -> list[Constraint]:
+    """Build constraints from the JSON-config shorthand — the shape a
+    pipeline config's optional ``validate`` section uses:
+
+    ``{"min_rows": 10, "not_null": ["id"], "unique": ["id"],
+    "in_range": [{"col": "x", "lo": 0, "hi": 1}],
+    "matches": [{"col": "id", "pattern": "^[0-9]+$"}]}``
+
+    Every list entry may set ``min_fraction`` (default 1.0).
+    """
+    out: list[Constraint] = []
+    if "min_rows" in cfg:
+        out.append(min_rows(int(cfg["min_rows"])))
+    for col in cfg.get("not_null", []):
+        out.append(not_null(col))
+    for col in cfg.get("unique", []):
+        out.append(unique(col))
+    for spec in cfg.get("in_range", []):
+        out.append(
+            in_range(
+                spec["col"], spec["lo"], spec["hi"],
+                spec.get("min_fraction", 1.0),
+            )
+        )
+    for spec in cfg.get("matches", []):
+        out.append(
+            matches(spec["col"], spec["pattern"], spec.get("min_fraction", 1.0))
+        )
+    return out

@@ -125,6 +125,23 @@ class Migrator:
         df = self.plan(transform)
         if not allow_empty and df.isEmpty():
             return False
+        vcfg = self.config.get("validate")
+        if vcfg:
+            # opt-in quality gate: ALL declared constraints evaluate in
+            # one aggregate over one scan, BEFORE anything reaches the
+            # sink (the explicit price is that one extra source pass —
+            # a config that gates has chosen correctness over it)
+            from vectordb_migrator_spark.operators.validation import (
+                check_constraints,
+                constraints_from_config,
+            )
+
+            report = check_constraints(
+                df, constraints_from_config(vcfg)
+            ).collect()
+            self.validation = [r.asDict() for r in report]
+            if any(not r["passed"] for r in report):
+                return False
         tgt = self.config["target"]
         load_sec = dict(_section(tgt, "load"))
         # Pre-resolve the vector dimension on the UNOBSERVED plan and
