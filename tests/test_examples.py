@@ -210,3 +210,17 @@ def test_datasource_streaming_migration_example(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert set(read_upserted_points(store, "mirror")) == set(range(6))
+
+
+def test_operators_flat_exports_resolve():
+    """Every name in operators.__all__ lazily resolves to a callable —
+    the PEP 562 export surface stays in sync with the modules."""
+    import vectordb_migrator_spark.operators as ops
+
+    assert len(ops.__all__) >= 70
+    for name in ops.__all__:
+        assert callable(getattr(ops, name)), name
+    import pytest as _pytest
+
+    with _pytest.raises(AttributeError):
+        ops.does_not_exist
