@@ -185,16 +185,24 @@ def feature_hash_vector(col: Column | str, *, dim: int = 16) -> Column:
     exists so the retrieval compositions are testable end-to-end
     without a model in the loop."""
     toks = F.filter(ws_tokens(col), lambda t: t != "")
-    # hash each token ONCE into its bucket, then count per dimension
-    # over the int array — one md5 pass, not dim of them
     buckets = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
         % dim,
     )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.size(
-            F.filter(buckets, lambda b: b == i.cast("long"))
-        ).cast("double"),
+    # ONE aggregate pass referencing `buckets` exactly once. The naive
+    # per-dimension formulation (transform(sequence(0, dim-1), i ->
+    # size(filter(buckets, ...)))) references `buckets` dim times, and
+    # Catalyst inlines the whole tokenize+md5 tree into every lambda —
+    # measured 16× md5 work at dim=16. Here each token hashes once and
+    # the accumulator update is dim cheap adds in codegen.
+    zero = F.array_repeat(F.lit(0.0), dim)
+    return F.aggregate(
+        buckets,
+        zero,
+        lambda acc, b: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(b == i.cast("long"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        ),
     )

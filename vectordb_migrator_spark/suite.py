@@ -5261,8 +5261,12 @@ def x0_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_migrator_spark.functions.vector import cosine_similarity
     from vectordb_migrator_spark.operators.chunking import chunk_text
     from vectordb_migrator_spark.operators.similarity import probe_literal
+    from vectordb_migrator_spark.operators.util import fan_out
 
-    docs = _t(spark, sf_dir, "documents")
+    # fan_out: the toy corpus is one parquet file → one task; the
+    # md5-per-token embed would single-thread without it (no-op on a
+    # real multi-file corpus)
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     probe = [
         float(x)
         for x in docs.filter(F.col("doc_id") == 0)
