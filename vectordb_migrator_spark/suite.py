@@ -5288,6 +5288,63 @@ def x0_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x0_training_manifest",
+    r"""
+    SELECT d.doc_id, d.source, d.lang,
+           len(string_split_regex(lower(trim(d.text)), '\s+'))::BIGINT
+             AS n_tok,
+           e.label, len(e.embedding)::BIGINT AS dim,
+           CASE
+             WHEN CAST(CONCAT('0x', substr(md5(concat('split:', d.doc_id)),
+                                           1, 8)) AS BIGINT)
+                  / 4294967296.0 < 0.8 THEN 'train'
+             WHEN CAST(CONCAT('0x', substr(md5(concat('split:', d.doc_id)),
+                                           1, 8)) AS BIGINT)
+                  / 4294967296.0 < 0.9 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def x0_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — the assembled training manifest: text metadata joined to
+    its embedding row plus a deterministic md5-coin 80/10/10 split —
+    the frame a trainer actually consumes. One id-keyed join (at 100
+    TB: bucket both tables on the id to make it exchange-free); the
+    split is engine-reproducible, so the same row lands in the same
+    split on every run and engine (full value-hash oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    from vectordb_migrator_spark.functions.text import token_count_ws
+
+    return (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            token_count_ws("text").cast("long").alias("n_tok"),
+            "label",
+            F.size("embedding").cast("long").alias("dim"),
+            F.when(u < 0.8, "train")
+            .when(u < 0.9, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "x13_rolling_corr",
     """
     WITH h AS (
@@ -5602,6 +5659,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_retrieval_pipeline",  # new: chunk->embed->topk, one lazy plan
     "x12_quality_constraints",  # new: one-scan declarative quality gate
     "x13_rolling_corr",  # new: rolling 24h correlation over hourly series
+    "x0_training_manifest",  # new: joined manifest + md5-coin 80/10/10 split
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5618,7 +5676,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "agg_counts",
     "q1_pricing_summary",
     "q5_region_revenue",
-    "events_hourly_rollup",
 ]
 
 
