@@ -104,6 +104,7 @@ HEADLINE = [
     "x9_int8_quantization",
     "x10_stratified_sample",
     "x12_quality_constraints",
+    "x12_referential_integrity",
     "x10_source_mixture",
     "x10_mixture_apply",
     "funnel_view_click_purchase",

@@ -5345,6 +5345,57 @@ def x0_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x12_referential_integrity",
+    """
+    SELECT
+      (SELECT count(*) FROM documents d
+       WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                         WHERE e.vec_id = d.doc_id))::BIGINT
+        AS docs_without_embedding,
+      (SELECT count(*) FROM embeddings e
+       WHERE NOT EXISTS (SELECT 1 FROM documents d
+                         WHERE d.doc_id = e.vec_id))::BIGINT
+        AS embeddings_without_doc,
+      (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+      (SELECT count(*) FROM embeddings)::BIGINT AS n_embeddings
+    """,
+)
+def x12_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — cross-table referential audit: orphan documents (no
+    embedding row) and orphan embeddings (no document), the pre-flight
+    check before manifest assembly. Two anti-joins + two counts, all
+    id-keyed — at scale each anti-join is one shuffle of ids only
+    (AQE broadcasts the smaller id set)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    d_ids = docs.select(F.col("doc_id").alias("id"))
+    e_ids = emb.select(F.col("vec_id").alias("id"))
+    orphans_d = d_ids.join(e_ids, "id", "left_anti").agg(
+        F.count("*").alias("docs_without_embedding")
+    )
+    orphans_e = e_ids.join(d_ids, "id", "left_anti").agg(
+        F.count("*").alias("embeddings_without_doc")
+    )
+    totals = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        emb.agg(F.count("*").alias("n_embeddings"))
+    )
+    return (
+        orphans_d.crossJoin(orphans_e)
+        .crossJoin(totals)
+        .select(
+            F.col("docs_without_embedding").cast("long").alias(
+                "docs_without_embedding"
+            ),
+            F.col("embeddings_without_doc").cast("long").alias(
+                "embeddings_without_doc"
+            ),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_embeddings").cast("long").alias("n_embeddings"),
+        )
+    )
+
+
+@query(
     "x13_rolling_corr",
     """
     WITH h AS (
@@ -5660,6 +5711,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_quality_constraints",  # new: one-scan declarative quality gate
     "x13_rolling_corr",  # new: rolling 24h correlation over hourly series
     "x0_training_manifest",  # new: joined manifest + md5-coin 80/10/10 split
+    "x12_referential_integrity",  # new: orphan-id audit across tables
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5675,7 +5727,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "pipeline_migrate_plan",
     "agg_counts",
     "q1_pricing_summary",
-    "q5_region_revenue",
 ]
 
 
