@@ -113,6 +113,7 @@ HEADLINE = [
     "scd2_order_status",
     "anomaly_zscore_events",
     "x13_rolling_corr",
+    "x13_seasonal_anomalies",
     "range_join_value_bands",
     "bin_equal_frequency_events",
     "histogram_event_values",

@@ -161,3 +161,35 @@ def test_rolling_correlation_tracks_comovement(spark):
         const, key_a="view", key_b="click", window_hours=4
     ).collect()
     assert all(r["corr"] is None for r in flat)  # zero variance → NULL
+
+
+def test_seasonal_zscore_uses_hourly_baseline(spark):
+    """A value normal globally but wild for ITS hour is flagged; the
+    same value at an hour where it is typical is not — the distinction
+    the global z-score cannot make."""
+    from datetime import datetime, timedelta
+
+    from vectordb_migrator_spark.operators.timeseries import (
+        seasonal_zscore_anomalies,
+        zscore_anomalies,
+    )
+
+    rows = []
+    eid = 0
+    # hour 3: quiet (value ~1); hour 12: busy (value ~100)
+    for d in range(12):
+        base = datetime(2026, 6, 1 + d)
+        for v in (0.9, 1.0, 1.1):
+            rows.append((eid, "a", v, base + timedelta(hours=3))); eid += 1
+        for v in (99.0, 100.0, 101.0):
+            rows.append((eid, "a", v, base + timedelta(hours=12))); eid += 1
+    # the anomaly: a hour-12-sized value at 3am
+    rows.append((9999, "a", 100.0, datetime(2026, 6, 20, 3)))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts timestamp"
+    )
+    seasonal = {r["event_id"] for r in seasonal_zscore_anomalies(df).collect()}
+    assert 9999 in seasonal
+    # globally, 100.0 is a perfectly common value → global z misses it
+    global_z = {r["event_id"] for r in zscore_anomalies(df).collect()}
+    assert 9999 not in global_z

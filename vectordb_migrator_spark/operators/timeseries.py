@@ -134,3 +134,44 @@ def rolling_correlation(
         F.stddev_samp("a").over(frame) * F.stddev_samp("b").over(frame),
     )
     return wide.select("hour", "a", "b", F.round(corr, 6).alias("corr"))
+
+
+def seasonal_zscore_anomalies(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonality-aware z-score outliers: the baseline is the
+    (key, hour-of-day) cell, not the key's global stats — a value
+    that is normal at noon but wild at 3am gets flagged, and a key's
+    daily rhythm stops reading as anomalies (the failure mode of
+    :func:`zscore_anomalies` on strongly diurnal series).
+
+    Same 100 TB shape as the global version: one map-side-combinable
+    ``groupBy(key, hour)`` produces a 24×keys-row stats table that
+    broadcasts back into the scan — never a per-key window funnel.
+    Cells with undefined deviation (a single sample, or zero
+    variance) yield NULL z and are not flagged. z is rounded before
+    thresholding so the kept set is engine-stable.
+    """
+    hour = F.hour(F.col(ts_col))
+    stats = (
+        df.groupBy(F.col(key_col), hour.alias("__hod"))
+        .agg(
+            F.avg(value_col).alias("__mu"),
+            F.stddev_samp(value_col).alias("__sd"),
+        )
+    )
+    z = F.round(
+        F.try_divide(F.col(value_col) - F.col("__mu"), F.col("__sd")), 6
+    )
+    return (
+        df.withColumn("__hod", hour)
+        .join(F.broadcast(stats), [key_col, "__hod"])
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= threshold)
+        .drop("__mu", "__sd", "__hod")
+    )

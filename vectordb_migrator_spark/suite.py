@@ -5345,6 +5345,42 @@ def x0_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_seasonal_anomalies",
+    """
+    WITH s AS (
+      SELECT event_type, extract(hour FROM ts)::INT AS hod,
+             avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             CASE WHEN s.sd IS NULL OR s.sd = 0 THEN NULL
+                  ELSE round((e.value - s.mu) / s.sd, 6) END AS z
+      FROM events e
+      JOIN s ON s.event_type = e.event_type
+            AND s.hod = extract(hour FROM e.ts)::INT
+    )
+    SELECT event_id, event_type, value, z
+    FROM z WHERE abs(z) >= 3.0 ORDER BY event_id
+    """,
+)
+def x13_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — seasonality-aware anomalies: z-score against the (key,
+    hour-of-day) baseline so diurnal rhythm stops reading as outliers.
+    One 24×keys stats aggregate broadcast back into the scan; no
+    per-key window funnel."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        seasonal_zscore_anomalies,
+    )
+
+    return (
+        seasonal_zscore_anomalies(_t(spark, sf_dir, "events"), threshold=3.0)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    )
+
+
+@query(
     "x12_referential_integrity",
     """
     SELECT
@@ -5712,6 +5748,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_rolling_corr",  # new: rolling 24h correlation over hourly series
     "x0_training_manifest",  # new: joined manifest + md5-coin 80/10/10 split
     "x12_referential_integrity",  # new: orphan-id audit across tables
+    "x13_seasonal_anomalies",  # new: hour-of-day-baseline z-score
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5726,7 +5763,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "c4_c6_conform_schema",
     "pipeline_migrate_plan",
     "agg_counts",
-    "q1_pricing_summary",
 ]
 
 
