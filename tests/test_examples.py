@@ -224,3 +224,21 @@ def test_operators_flat_exports_resolve():
 
     with _pytest.raises(AttributeError):
         ops.does_not_exist
+
+
+def test_training_data_pipeline_example(spark):
+    """examples/training_data_pipeline.py composes the curation
+    pipeline through the flat operator API and produces packed chunks
+    with the expected columns."""
+    import sys
+
+    sys.path.insert(0, str(ROOT / "examples"))
+    try:
+        import training_data_pipeline as ex
+    finally:
+        sys.path.pop(0)
+
+    packed = ex.build_training_set(spark, "/root/testdata/sf0.001")
+    cols = set(packed.columns)
+    assert {"doc_id", "chunk_id", "n_tokens", "pack_id", "pack_offset"} <= cols
+    assert packed.count() > 0
