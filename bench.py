@@ -97,6 +97,7 @@ HEADLINE = [
     "x5_ngram_contamination",
     "x5_unigram_surprisal",
     "x5_bigram_surprisal",
+    "x5_distinctive_terms",
     "x5_corpus_stats",
     "x6_multimodal_features",
     "x6_frame_explode",

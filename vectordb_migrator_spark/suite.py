@@ -5345,6 +5345,80 @@ def x0_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_distinctive_terms",
+    r"""
+    WITH t AS (
+      SELECT source, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> x != '')) AS tok
+      FROM documents
+    ),
+    st AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+    s AS (SELECT source, sum(c) AS n_src FROM st GROUP BY source),
+    ct AS (SELECT tok, sum(c) AS cc FROM st GROUP BY tok),
+    tot AS (SELECT sum(cc) AS n_all FROM ct),
+    lifted AS (
+      SELECT st.source, st.tok,
+             round(log2((st.c / s.n_src) / (ct.cc / tot.n_all)), 6) AS lift
+      FROM st
+      JOIN s USING (source)
+      JOIN ct USING (tok), tot
+      WHERE ct.cc >= 10
+    )
+    SELECT * FROM (
+      SELECT source, tok, lift,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY lift DESC, tok)::BIGINT AS rank
+      FROM lifted)
+    WHERE rank <= 5 ORDER BY source, rank
+    """,
+)
+def x5_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — per-source distinctive vocabulary: top-5 tokens by log2
+    lift of in-source frequency over corpus frequency (min corpus
+    count 10) — the corpus-comparison diagnostic behind 'what is this
+    source actually made of'. ONE (source, token) count shuffle; the
+    source totals, corpus token totals, and grand total all derive
+    from that frame (ReuseExchange); per-source top-5 is a window over
+    source partitions."""
+    docs = _t(spark, sf_dir, "documents")
+    from vectordb_migrator_spark.functions.text import ws_tokens
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    toks = (
+        fan_out(docs)
+        .select("source", F.explode(ws_tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    s = st.groupBy("source").agg(F.sum("c").alias("n_src"))
+    ct = st.groupBy("tok").agg(F.sum("c").alias("cc"))
+    tot = ct.agg(F.sum("cc").alias("n_all"))
+    lifted = (
+        st.join(F.broadcast(s), "source")
+        .join(ct.filter(F.col("cc") >= 10), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.log2(
+                    (F.col("c") / F.col("n_src"))
+                    / (F.col("cc") / F.col("n_all"))
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.desc("lift"), "tok")
+    return (
+        lifted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("source", "rank")
+    )
+
+
+@query(
     "x13_seasonal_anomalies",
     """
     WITH s AS (
@@ -5749,6 +5823,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_training_manifest",  # new: joined manifest + md5-coin 80/10/10 split
     "x12_referential_integrity",  # new: orphan-id audit across tables
     "x13_seasonal_anomalies",  # new: hour-of-day-baseline z-score
+    "x5_distinctive_terms",  # new: per-source log-lift vocabulary
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5762,7 +5837,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "c2_id_coercion",
     "c4_c6_conform_schema",
     "pipeline_migrate_plan",
-    "agg_counts",
 ]
 
 
