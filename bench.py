@@ -115,6 +115,7 @@ HEADLINE = [
     "anomaly_zscore_events",
     "x13_rolling_corr",
     "x13_seasonal_anomalies",
+    "x13_user_features",
     "range_join_value_bands",
     "bin_equal_frequency_events",
     "histogram_event_values",

@@ -5345,6 +5345,49 @@ def x0_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_user_features",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                AND CURRENT ROW)::BIGINT AS n_1h,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                                AND CURRENT ROW)::BIGINT AS n_24h,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                                AND CURRENT ROW), 6) AS v_24h
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def x13_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — point-in-time sliding features (the feature-store shape):
+    per event, that user's activity count over the trailing 1h/24h and
+    value sum over 24h — range frames anchored at the event itself, so
+    every feature is leak-free (uses only what was known at event
+    time). One exchange on user_id; per-user windows are safe here
+    because user cardinality is high (no hot-key funnel — contrast
+    the broadcast-stats pattern used for the LOW-cardinality
+    event_type keys in zscore_anomalies)."""
+    ev = _t(spark, sf_dir, "events")
+    ts_s = F.col("ts").cast("long")
+    w1 = (
+        W.partitionBy("user_id").orderBy(ts_s).rangeBetween(-3600, 0)
+    )
+    w24 = (
+        W.partitionBy("user_id").orderBy(ts_s).rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w1).cast("long").alias("n_1h"),
+        F.count("*").over(w24).cast("long").alias("n_24h"),
+        F.round(F.sum("value").over(w24), 6).alias("v_24h"),
+    ).orderBy("event_id")
+
+
+@query(
     "x5_distinctive_terms",
     r"""
     WITH t AS (
@@ -5824,6 +5867,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_referential_integrity",  # new: orphan-id audit across tables
     "x13_seasonal_anomalies",  # new: hour-of-day-baseline z-score
     "x5_distinctive_terms",  # new: per-source log-lift vocabulary
+    "x13_user_features",  # new: leak-free sliding feature windows
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5836,7 +5880,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "l1_limit_offset",
     "c2_id_coercion",
     "c4_c6_conform_schema",
-    "pipeline_migrate_plan",
 ]
 
 
