@@ -60,6 +60,7 @@ HEADLINE = [
     "x1_dedup_exact_text",
     "x2_ngram_jaccard_pairs",
     "x2_minhash_lsh_pairs",
+    "x2_minhash_md5_pairs",
     "x2_lsh_near_dup",
     "x2_semdedup",
     "x2_decontaminate",

@@ -85,6 +85,97 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def minhash_md5_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs with md5-derived hash
+    functions — the CROSS-ENGINE-REPRODUCIBLE twin of
+    :func:`minhash_near_dup_pairs`. The production variant seeds
+    xxhash64 (faster, JVM-only), so its results can only be checked
+    rows-only; md5 + base-16 conv are bit-identical in Spark and
+    DuckDB, so this variant's full candidate-pair set carries a
+    value-hash oracle. Same S-curve math, same banding, same
+    ``max_bucket`` min-id star-cap; ~2-3× more hash cost per shingle
+    (md5 vs xxhash64) — use it when verifiability matters more than
+    the last constant factor.
+
+    Signatures build in ONE aggregate pass referencing the shingle
+    array once (each shingle hashed ``num_hashes`` times, the array's
+    tokenize/shingle tree compiled once — see the Catalyst lambda-
+    inlining note on ``functions.text.feature_hash_vector``). Only
+    (band_key, id) pairs cross the shuffle. Documents with fewer than
+    ``shingle_n`` tokens are excluded (they have no full shingle).
+    """
+    from pyspark.sql import Window as W
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+
+    toks = F.split(F.lower(ws_strip(F.col(text_col))), r"\s+")
+    sh = shingles(text_col, shingle_n)
+
+    def h(i, t):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(i.cast("string"), F.lit(":"), t)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    sig = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(1 << 33).cast("long"), num_hashes),
+        lambda acc, t: F.transform(acc, lambda m, i: F.least(m, h(i, t))),
+    )
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.concat_ws(
+            "_",
+            j.cast("string"),
+            F.array_join(
+                F.transform(
+                    F.slice(sig, j * r + 1, r), lambda x: x.cast("string")
+                ),
+                "_",
+            ),
+        ),
+    )
+    banded = (
+        fan_out(df)
+        .filter(F.size(toks) >= shingle_n)
+        .select(F.col(id_col).alias("id"), F.explode(band_keys).alias("key"))
+    )
+    if max_bucket is not None:
+        w = W.partitionBy("key")
+        marked = banded.withColumn("n_bkt", F.count("*").over(w)).withColumn(
+            "anchor", F.min("id").over(w)
+        )
+        a = marked.select("key", F.col("id").alias("id_a"), "n_bkt", "anchor")
+        b = banded.select("key", F.col("id").alias("id_b"))
+        pairs = (
+            a.join(b, "key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                (F.col("n_bkt") <= max_bucket)
+                | (F.col("id_a") == F.col("anchor"))
+            )
+        )
+    else:
+        a = banded.select("key", F.col("id").alias("id_a"))
+        b = banded.select("key", F.col("id").alias("id_b"))
+        pairs = a.join(b, "key").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select("id_a", "id_b").distinct()
+
+
 # ------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(

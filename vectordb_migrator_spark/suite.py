@@ -5345,6 +5345,57 @@ def x0_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_minhash_md5_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks) - 1)]) AS g
+      FROM t WHERE len(toks) >= 3
+    ),
+    sig AS (
+      SELECT id,
+             [list_min(list_transform(g,
+                s -> CAST(CONCAT('0x', substr(md5(i::VARCHAR || ':' || s),
+                                              1, 8)) AS BIGINT)))
+              for i in range(0, 16)] AS s
+      FROM sh
+    ),
+    bands AS (
+      SELECT id,
+             j::VARCHAR || '_' ||
+             array_to_string(s[j*4+1 : j*4+4], '_') AS key
+      FROM sig, unnest(range(0, 4)) b(j)
+    ),
+    c AS (SELECT key, count(*) AS n_bkt, min(id) AS anchor
+          FROM bands GROUP BY key)
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b ON a.key = b.key AND a.id < b.id
+    JOIN c ON c.key = a.key
+    WHERE c.n_bkt <= 50 OR a.id = c.anchor
+    ORDER BY id_a, id_b
+    """,
+)
+def x2_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — MinHash-LSH candidates with md5 hash functions: the
+    engine-reproducible twin of x2_minhash_lsh_pairs, upgrading the
+    MinHash family's correctness evidence from rows-only to a full
+    value-hash oracle (16 hashes, 4 bands of 4, min-id star-cap 50)."""
+    from vectordb_migrator_spark.operators.dedup import minhash_md5_pairs
+
+    return minhash_md5_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        max_bucket=50,
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "x13_user_features",
     """
     SELECT event_id, user_id,
@@ -5868,6 +5919,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_seasonal_anomalies",  # new: hour-of-day-baseline z-score
     "x5_distinctive_terms",  # new: per-source log-lift vocabulary
     "x13_user_features",  # new: leak-free sliding feature windows
+    "x2_minhash_md5_pairs",  # new: full-oracle MinHash-LSH twin
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5879,7 +5931,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "f1_filter_predicate",
     "l1_limit_offset",
     "c2_id_coercion",
-    "c4_c6_conform_schema",
 ]
 
 
