@@ -61,6 +61,7 @@ HEADLINE = [
     "x2_ngram_jaccard_pairs",
     "x2_minhash_lsh_pairs",
     "x2_minhash_md5_pairs",
+    "x2_simhash_md5_pairs",
     "x2_lsh_near_dup",
     "x2_semdedup",
     "x2_decontaminate",

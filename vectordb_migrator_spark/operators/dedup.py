@@ -176,6 +176,144 @@ def minhash_md5_pairs(
     return pairs.select("id_a", "id_b").distinct()
 
 
+def simhash_md5_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs with md5-derived token hashes — the
+    cross-engine-reproducible twin of :func:`simhash_near_dup_pairs`
+    (whose xxhash64 votes are JVM-only, hence rows-only checkable).
+    The 64 bit-votes come from two md5-derived 32-bit halves per
+    token; the fingerprint is kept as two BIGINT halves (``sig_hi``,
+    ``sig_lo``) so no signed-64 overflow semantics differ between
+    engines. Banding on the four 16-bit chunks generates candidates;
+    the exact Hamming verify (``bit_count(xor)`` on both halves)
+    removes false positives, so extra candidates cost time, never
+    correctness. ``max_bucket`` star-caps oversized band buckets.
+
+    ONE aggregate pass references the token-hash array once (the
+    Catalyst lambda-inlining trap — see ``feature_hash_vector``);
+    only (band_key, id, sig) rows cross the shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.array_distinct(F.split(F.lower(ws_strip(F.col(text_col))), r"\s+"))
+    hashes = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        ),
+    )
+    bitspec = F.array(
+        *[
+            F.struct(
+                F.lit(1 << (i % 32)).cast("long").alias("m"),
+                F.lit(i >= 32).alias("hi"),
+            )
+            for i in range(64)
+        ]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            bitspec,
+            lambda a, p: a
+            + F.when(
+                F.when(p.getField("hi"), h.getField("h1"))
+                .otherwise(h.getField("h2"))
+                .bitwiseAND(p.getField("m"))
+                != 0,
+                1,
+            ).otherwise(-1),
+        ),
+    )
+
+    def half(lo_bit: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(votes, lo_bit + 1, 32),
+                F.array(*[F.lit(1 << i).cast("long") for i in range(32)]),
+                lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s.bitwiseOR(x),
+        )
+
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        half(0).alias("sig_lo"),
+        half(32).alias("sig_hi"),
+    )
+    band = F.explode(
+        F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    F.lit(str(j)),
+                    F.shiftright(F.col(col), s).bitwiseAND(F.lit(65535)).cast(
+                        "string"
+                    ),
+                )
+                for j, (col, s) in enumerate(
+                    [("sig_lo", 0), ("sig_lo", 16), ("sig_hi", 0), ("sig_hi", 16)]
+                )
+            ]
+        )
+    )
+    banded = fan_out(sigs).select("id", "sig_lo", "sig_hi", band.alias("key"))
+    a = banded.select(
+        "key",
+        F.col("id").alias("id_a"),
+        F.col("sig_lo").alias("lo_a"),
+        F.col("sig_hi").alias("hi_a"),
+    )
+    b = banded.select(
+        "key",
+        F.col("id").alias("id_b"),
+        F.col("sig_lo").alias("lo_b"),
+        F.col("sig_hi").alias("hi_b"),
+    )
+    if max_bucket is not None:
+        w = W.partitionBy("key")
+        a = (
+            banded.withColumn("n_bkt", F.count("*").over(w))
+            .withColumn("anchor", F.min("id").over(w))
+            .select(
+                "key",
+                F.col("id").alias("id_a"),
+                F.col("sig_lo").alias("lo_a"),
+                F.col("sig_hi").alias("hi_a"),
+                "n_bkt",
+                "anchor",
+            )
+        )
+    pairs = a.join(b, "key").filter(F.col("id_a") < F.col("id_b"))
+    if max_bucket is not None:
+        pairs = pairs.filter(
+            (F.col("n_bkt") <= max_bucket) | (F.col("id_a") == F.col("anchor"))
+        )
+    ham = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 # ------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(

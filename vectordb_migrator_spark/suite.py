@@ -5396,6 +5396,70 @@ def x2_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_simhash_md5_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS g
+      FROM documents
+    ),
+    bits AS (
+      SELECT id,
+        [CASE WHEN list_sum(list_transform(g, tk ->
+            CASE WHEN (CASE WHEN i >= 32
+                            THEN CAST(CONCAT('0x', substr(md5(tk), 1, 8))
+                                 AS BIGINT)
+                            ELSE CAST(CONCAT('0x', substr(md5(tk), 9, 8))
+                                 AS BIGINT) END
+                       & (1::BIGINT << (i % 32))) != 0
+                 THEN 1 ELSE -1 END)) > 0
+         THEN 1::BIGINT ELSE 0::BIGINT END
+         for i in range(0, 64)] AS bv
+      FROM t
+    ),
+    sig AS (
+      SELECT id,
+             list_sum([bv[i+1] * (1::BIGINT << i)
+                       for i in range(0, 32)])::BIGINT AS sig_lo,
+             list_sum([bv[i+33] * (1::BIGINT << i)
+                       for i in range(0, 32)])::BIGINT AS sig_hi
+      FROM bits
+    ),
+    bands AS (
+      SELECT id, sig_lo, sig_hi,
+             j::VARCHAR || '_' ||
+             (CASE j WHEN 0 THEN sig_lo & 65535
+                     WHEN 1 THEN (sig_lo >> 16) & 65535
+                     WHEN 2 THEN sig_hi & 65535
+                     ELSE (sig_hi >> 16) & 65535 END)::VARCHAR AS key
+      FROM sig, unnest(range(0, 4)) b(j)
+    ),
+    c AS (SELECT key, count(*) AS n_bkt, min(id) AS anchor
+          FROM bands GROUP BY key)
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           (bit_count(xor(a.sig_lo, b.sig_lo)) +
+            bit_count(xor(a.sig_hi, b.sig_hi)))::BIGINT AS hamming
+    FROM bands a JOIN bands b ON a.key = b.key AND a.id < b.id
+    JOIN c ON c.key = a.key
+    WHERE (c.n_bkt <= 50 OR a.id = c.anchor)
+      AND bit_count(xor(a.sig_lo, b.sig_lo)) +
+          bit_count(xor(a.sig_hi, b.sig_hi)) <= 12
+    ORDER BY id_a, id_b
+    """,
+)
+def x2_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — SimHash near-dup pairs with md5 token hashes: the
+    engine-reproducible twin of x2_simhash_pairs, upgrading the
+    SimHash family to a full value-hash oracle (16-bit banding,
+    Hamming ≤ 12 verify, min-id star-cap 50)."""
+    from vectordb_migrator_spark.operators.dedup import simhash_md5_pairs
+
+    return simhash_md5_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=12, max_bucket=50
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "x13_user_features",
     """
     SELECT event_id, user_id,
@@ -5920,6 +5984,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_distinctive_terms",  # new: per-source log-lift vocabulary
     "x13_user_features",  # new: leak-free sliding feature windows
     "x2_minhash_md5_pairs",  # new: full-oracle MinHash-LSH twin
+    "x2_simhash_md5_pairs",  # new: full-oracle SimHash twin
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5930,7 +5995,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "p3_metadata_null_drop",
     "f1_filter_predicate",
     "l1_limit_offset",
-    "c2_id_coercion",
 ]
 
 
