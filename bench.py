@@ -108,6 +108,7 @@ HEADLINE = [
     "x10_stratified_sample",
     "x12_quality_constraints",
     "x12_referential_integrity",
+    "x10_weighted_md5_sample",
     "x10_source_mixture",
     "x10_mixture_apply",
     "funnel_view_click_purchase",

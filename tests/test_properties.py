@@ -422,3 +422,25 @@ def test_apply_source_mixture_replication_rule(spark):
     # expectation: 50*2.5=125 ups, 50*0.4=20 downs — allow wide slack
     assert 100 < len(ups) < 150 and 5 < len(downs) < 35
     assert not [r for r in out1 if r["source"] == "gone"]
+
+
+def test_weighted_sample_md5_coin_deterministic_and_biased(spark):
+    """The md5-coin sample is run-to-run identical, excludes
+    non-positive weights, and over-represents heavy rows relative to
+    uniform inclusion."""
+    from vectordb_migrator_spark.operators.slicing import weighted_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+    rows.append((1000, 0.0))   # never selected
+    rows.append((1001, None))  # never selected
+    df = spark.createDataFrame(rows, "id long, w double")
+    s1 = sorted(r["id"] for r in weighted_sample(
+        df, weight_col="w", k=60, id_col="id", seed=3, coin="md5").collect())
+    s2 = sorted(r["id"] for r in weighted_sample(
+        df, weight_col="w", k=60, id_col="id", seed=3, coin="md5").collect())
+    assert s1 == s2 and len(s1) == 60
+    assert 1000 not in s1 and 1001 not in s1
+    heavy = sum(1 for i in s1 if i < 50)
+    # 50 heavy rows at 100x weight should dominate a 60-row draw far
+    # beyond their 10% population share
+    assert heavy >= 30

@@ -142,6 +142,7 @@ def weighted_sample(
     k: int,
     id_col: str,
     seed: int = 0,
+    coin: str = "xxhash64",
 ) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis
     A-ES): rank every row by ``u^(1/w)`` with ``u`` derived from a
@@ -149,20 +150,36 @@ def weighted_sample(
     proportional to weight, in ONE scan with a heap top-k
     (TakeOrderedAndProject), no shuffle of the data.
 
-    The uniform ``u`` comes from ``xxhash64(id, seed)``, not ``rand()``
+    The uniform ``u`` comes from a hash of (id, seed), not ``rand()``
     — the sample is a pure function of (id, weight, seed): stable
     across runs, partitionings, task retries, and incremental re-runs
     (the property that matters when the sample feeds a training set
-    you need to reproduce). Rows with weight <= 0 or NULL are never
-    selected.
+    you need to reproduce). ``coin="xxhash64"`` (default) is the fast
+    JVM path; ``coin="md5"`` is bit-identical across engines (the
+    value-hash-oracle path — see ``apply_source_mixture``), with the
+    A-ES key rounded to 9 decimals so a sub-ulp ``pow`` difference
+    between engines can never flip the ordering (ties break by id).
+    Rows with weight <= 0 or NULL are never selected.
     """
-    m = F.lit(1_000_000_007)
-    u = (
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), m).cast("double")
-        + F.lit(0.5)
-    ) / m.cast("double")
-    w = F.col(weight_col).cast("double")
-    key = F.when(w > 0, F.pow(u, F.lit(1.0) / w))
+    if coin == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col), F.lit(seed))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+        w = F.col(weight_col).cast("double")
+        key = F.when(w > 0, F.round(F.pow(u, F.lit(1.0) / w), 9))
+    else:
+        m = F.lit(1_000_000_007)
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), m).cast("double")
+            + F.lit(0.5)
+        ) / m.cast("double")
+        w = F.col(weight_col).cast("double")
+        key = F.when(w > 0, F.pow(u, F.lit(1.0) / w))
     return (
         df.withColumn("_aes_key", key)
         .filter(F.col("_aes_key").isNotNull())

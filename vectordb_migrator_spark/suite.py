@@ -5396,6 +5396,39 @@ def x2_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x10_weighted_md5_sample",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             round(pow(
+               (CAST(CONCAT('0x', substr(md5(o_orderkey::VARCHAR || ':7'),
+                                         1, 8)) AS BIGINT) + 0.5)
+                 / 4294967296.0,
+               1.0 / (o_totalprice / 100000.0)), 9) AS key
+      FROM orders WHERE o_totalprice > 0)
+    ORDER BY key DESC, o_orderkey LIMIT 50
+    """,
+)
+def x10_weighted_md5_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — A-ES weighted sampling with the md5 coin: the
+    engine-reproducible twin of x10_weighted_sample (whose xxhash64
+    keys are JVM-only, hence rows-only checkable). Inclusion odds
+    proportional to order price; one scan, heap top-k, and the exact
+    50-row sample value-hash matches DuckDB."""
+    from vectordb_migrator_spark.operators.slicing import weighted_sample
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "w", F.col("o_totalprice") / 100000.0
+    )
+    return weighted_sample(
+        orders, weight_col="w", k=50, id_col="o_orderkey", seed=7, coin="md5"
+    ).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+@query(
     "x2_simhash_md5_pairs",
     r"""
     WITH t AS (
@@ -5985,6 +6018,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_user_features",  # new: leak-free sliding feature windows
     "x2_minhash_md5_pairs",  # new: full-oracle MinHash-LSH twin
     "x2_simhash_md5_pairs",  # new: full-oracle SimHash twin
+    "x10_weighted_md5_sample",  # new: full-oracle A-ES sampling twin
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -5994,7 +6028,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "p2_normalize_canonical",
     "p3_metadata_null_drop",
     "f1_filter_predicate",
-    "l1_limit_offset",
 ]
 
 
