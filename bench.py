@@ -109,6 +109,7 @@ HEADLINE = [
     "x12_quality_constraints",
     "x12_referential_integrity",
     "x10_weighted_md5_sample",
+    "x10_stratified_weighted",
     "x10_source_mixture",
     "x10_mixture_apply",
     "funnel_view_click_purchase",

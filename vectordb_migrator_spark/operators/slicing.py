@@ -320,3 +320,48 @@ def apply_source_mixture(
         .filter((F.col("copy") <= F.floor("epochs")) | (u < frac))
         .drop("epochs")
     )
+
+
+def stratified_weighted_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group weighted sampling without replacement: within every
+    group, the A-ES rule (rank by ``u^(1/w)``, keep top k) with the
+    md5-derived uniform — the per-stratum quota version of
+    :func:`weighted_sample` (draw k high-quality docs per language,
+    per source, per topic...).
+
+    One exchange on the group key, a per-group window top-k over the
+    rounded key (engine-stable ordering, ties to the lower id), and
+    the draw is a pure function of (id, weight, seed): reproducible
+    across runs, partitionings, and engines — the whole sample
+    carries a value-hash oracle. Rows with weight <= 0 or NULL never
+    select. Group skew is bounded: the window state per group is the
+    running top-k, not the group.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col), F.lit(seed))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.round(F.pow(u, F.lit(1.0) / w), 9))
+    win = W.partitionBy(group_col).orderBy(
+        F.desc("_aes_key"), F.col(id_col)
+    )
+    return (
+        df.withColumn("_aes_key", key)
+        .filter(F.col("_aes_key").isNotNull())
+        .withColumn("_aes_rank", F.row_number().over(win))
+        .filter(F.col("_aes_rank") <= k)
+        .drop("_aes_key", "_aes_rank")
+    )

@@ -5396,6 +5396,62 @@ def x2_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x10_stratified_weighted",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             len(string_split_regex(lower(trim(text)), '\s+'))::DOUBLE
+               AS n_tok,
+             round(pow(
+               (CAST(CONCAT('0x', substr(md5(doc_id::VARCHAR || ':11'),
+                                         1, 8)) AS BIGINT) + 0.5)
+                 / 4294967296.0,
+               1.0 / (len(string_split_regex(lower(trim(text)),
+                                             '\s+'))::DOUBLE / 50.0)),
+               9) AS key
+      FROM documents
+    )
+    SELECT doc_id, source, n_tok::BIGINT AS n_tok FROM (
+      SELECT doc_id, source, n_tok,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key DESC, doc_id) AS rn
+      FROM keyed)
+    WHERE rn <= 3 ORDER BY doc_id
+    """,
+)
+def x10_stratified_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — per-source weighted quota: 3 docs per source drawn A-ES
+    with token-count weights and the md5 coin — the per-stratum
+    version of weighted sampling (draw k good docs per language/
+    source/topic). One group-key exchange + per-group window top-k;
+    whole draw value-hash-verified."""
+    from vectordb_migrator_spark.functions.text import token_count_ws
+    from vectordb_migrator_spark.operators.slicing import (
+        stratified_weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", token_count_ws("text").cast("double") / 50.0
+    )
+    return (
+        stratified_weighted_sample(
+            docs,
+            group_col="source",
+            weight_col="w",
+            k=3,
+            id_col="doc_id",
+            seed=11,
+        )
+        .select(
+            "doc_id",
+            "source",
+            token_count_ws("text").cast("long").alias("n_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "x10_weighted_md5_sample",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS price
@@ -6019,6 +6075,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_minhash_md5_pairs",  # new: full-oracle MinHash-LSH twin
     "x2_simhash_md5_pairs",  # new: full-oracle SimHash twin
     "x10_weighted_md5_sample",  # new: full-oracle A-ES sampling twin
+    "x10_stratified_weighted",  # new: per-group A-ES quota (full oracle)
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -6027,7 +6084,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "s1_scan_projection",
     "p2_normalize_canonical",
     "p3_metadata_null_drop",
-    "f1_filter_predicate",
 ]
 
 
