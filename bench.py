@@ -79,6 +79,7 @@ HEADLINE = [
     "x4_ivfpq_topk",
     "x4_sq_topk",
     "x4_ivf_index_topk",
+    "x4_ivf_filtered_topk",
     "x3_range_search",
     "x3_filtered_topk",
     "x3_grouped_topk",

@@ -808,3 +808,29 @@ def test_ivf_index_append_incremental(spark, embeddings, probe, tmp_path):
     out = ivf_index_topk(spark, path, probe, cluster_col="label", k=5, nprobe=2)
     ids = [r["vec_id"] for r in out.collect()]
     assert 10_000 in ids  # vec 0 duplicates the probe — new row surfaces
+
+
+def test_ivf_filtered_topk_prefilter_and_pruning(spark, embeddings, probe, tmp_path):
+    """Pre-filter semantics: every result satisfies the predicate; the
+    plan keeps PartitionFilters (directory pruning) AND the pushed
+    payload predicate on one scan."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_filtered_topk,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, path, cluster_col="label")
+    out = ivf_index_filtered_topk(
+        spark, path, probe, F.col("label") % 2 == 0,
+        cluster_col="label", k=5, nprobe=4,
+    )
+    rows = out.collect()
+    assert rows and len(rows) <= 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    labels = {r["vec_id"] for r in rows}
+    lab = {r["vec_id"]: r["label"] for r in embeddings.collect()}
+    assert all(lab[v] % 2 == 0 for v in labels)

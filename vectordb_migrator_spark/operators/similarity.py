@@ -380,6 +380,50 @@ def ivf_index_topk(
     return cosine_topk(pruned, probe, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_index_filtered_topk(
+    spark,
+    path: str,
+    probe: list[float],
+    predicate,
+    *,
+    cluster_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered search over a :func:`build_ivf_index` layout — the
+    production ANN query shape: a metadata PRE-filter (filter first,
+    then rank — every returned row satisfies the predicate, the
+    semantics vector DBs call pre-filtering) composed with coarse
+    partition pruning. The plan stacks three prunings on one scan:
+    directory pruning (nprobe partitions), parquet row-group pruning
+    (the pushed predicate), then the codegen score + TakeOrdered.
+    ``predicate`` is any Column over the layout's payload columns.
+
+    Caveat shared with every IVF pre-filter: a highly-selective
+    predicate can empty the probed partitions while matches exist in
+    unprobed ones — raise ``nprobe`` when the filter is sharp (the
+    recall/nprobe trade, now with a filter term)."""
+    import math
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    pn = math.sqrt(sum(float(y) * float(y) for y in probe))
+
+    def cos(c):
+        num = sum(float(x) * float(y) for x, y in zip(c, probe))
+        return num / (math.sqrt(sum(float(x) * float(x) for x in c)) * pn)
+
+    ranked = sorted((-cos(r["centroid"]), r["cluster"]) for r in cents)
+    probed = [c for _, c in ranked[:nprobe]]
+    pruned = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col(cluster_col).isin(probed))
+        .filter(predicate)
+    )
+    return cosine_topk(pruned, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_index_topk(
     spark,
     path: str,

@@ -947,6 +947,58 @@ def x4_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x4_ivf_index_topk"] = ORACLES["x4_ivf_topk"]
 
 
+@query("x4_ivf_filtered_topk", None)  # oracle attached below
+def x4_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the production ANN query shape on the materialized IVF
+    layout: metadata PRE-filter (even labels only) stacked with
+    directory pruning (nprobe partitions) and row-group predicate
+    pushdown, then codegen score + TakeOrdered. Every returned row
+    satisfies the predicate (pre-filter semantics)."""
+    import tempfile
+
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_filtered_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_filtered_")
+    build_ivf_index(emb, path, cluster_col="label")
+    return ivf_index_filtered_topk(
+        spark,
+        path,
+        probe,
+        F.col("label") % 2 == 0,
+        cluster_col="label",
+        k=10,
+        nprobe=4,
+    )
+
+
+ORACLES["x4_ivf_filtered_topk"] = f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    cent AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, range(1, 65) t(i) GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             sum(c.cv * p.pv[i]) /
+             (sqrt(sum(c.cv * c.cv)) * sqrt(sum(p.pv[i] * p.pv[i]))) AS sim
+      FROM cent c, p GROUP BY c.label
+    ),
+    shortlist AS (SELECT label FROM csim ORDER BY sim DESC, label LIMIT 4)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM embeddings, p
+    WHERE label IN (SELECT label FROM shortlist) AND label % 2 = 0
+    ORDER BY score DESC, vec_id LIMIT 10
+    """
+
+
 def _lsh_multiprobe_sql() -> str:
     sig_expr = _plane_sig_sql
     neighbors = ", ".join(
@@ -6076,6 +6128,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_simhash_md5_pairs",  # new: full-oracle SimHash twin
     "x10_weighted_md5_sample",  # new: full-oracle A-ES sampling twin
     "x10_stratified_weighted",  # new: per-group A-ES quota (full oracle)
+    "x4_ivf_filtered_topk",  # new: pre-filter + partition-pruned IVF
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
@@ -6083,7 +6136,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- (d) round-1 families last driver-checked in r01 ---
     "s1_scan_projection",
     "p2_normalize_canonical",
-    "p3_metadata_null_drop",
 ]
 
 
