@@ -56,6 +56,7 @@ HEADLINE = [
     "timeseries_gap_fill",
     "x0_training_pipeline",
     "x0_retrieval_pipeline",
+    "x0_retrieval_tfidf",
     "x0_training_manifest",
     "x1_dedup_exact_text",
     "x2_ngram_jaccard_pairs",

@@ -5897,6 +5897,125 @@ def x12_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("check_name")
 
 
+@query(
+    "x0_retrieval_tfidf",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE ceil((len(toks) - 32)::DOUBLE / 24)::INT + 1 END
+               AS n_chunks
+      FROM t
+    ), x AS (
+      SELECT doc_id,
+             unnest([{{'chunk_id': i - 1,
+                      'chunk_text': array_to_string(
+                        toks[(i-1)*24 + 1 : (i-1)*24 + 32], ' ')}}
+                     for i in range(1, n_chunks + 1)]) AS ch
+      FROM c
+    ), eb AS (
+      SELECT doc_id, ch.chunk_id::BIGINT AS chunk_id,
+             {_FHB_SQL.format(col="ch.chunk_text")} AS bks
+      FROM x
+    ), emb AS (
+      SELECT doc_id, chunk_id, {_FHV_SQL.format(bks="bks")} AS v FROM eb
+    ), dims AS (SELECT i FROM range(1, 17) t(i)),
+    dfs AS (
+      SELECT i, sum(CASE WHEN e.v[i] > 0 THEN 1 ELSE 0 END)::DOUBLE AS dfv
+      FROM emb e, dims GROUP BY i
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM emb),
+    idf AS (
+      SELECT list(ln((nn.n + 1) / (dfv + 1)) + 1 ORDER BY i) AS ia
+      FROM dfs, nn GROUP BY nn.n
+    ),
+    wemb AS (
+      SELECT doc_id, chunk_id,
+             [v[i] * ia[i] for i in range(1, 17)] AS wv
+      FROM emb, idf
+    ),
+    pb AS (
+      SELECT {_FHB_SQL.format(col="text")} AS bks
+      FROM documents WHERE doc_id = 0
+    ), praw AS (
+      SELECT {_FHV_SQL.format(bks="bks")} AS pv FROM pb
+    ), p AS (
+      SELECT [pv[i] * ia[i] for i in range(1, 17)] AS wpv FROM praw, idf
+    )
+    SELECT doc_id, chunk_id,
+           round(list_dot_product(wv, wpv) /
+                 (sqrt(list_dot_product(wv, wv)) *
+                  sqrt(list_dot_product(wpv, wpv))), 6) AS score
+    FROM wemb, p
+    ORDER BY score DESC, doc_id, chunk_id LIMIT 10
+    """,
+)
+def x0_retrieval_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — TF-IDF-weighted hashed retrieval: the corpus-statistics
+    upgrade of x0_retrieval_pipeline. Per-dimension document
+    frequencies reduce to ONE 17-column aggregate row over the chunk
+    vectors; the smoothed idf array broadcasts back (1-row cross
+    join) and reweights chunk and probe vectors alike — common
+    buckets stop dominating the cosine. Still one narrow
+    chunk+embed stage, one tiny stats pass, TakeOrdered — and fully
+    value-hash-verified thanks to the md5 bucket hashing."""
+    from vectordb_migrator_spark.functions.text import feature_hash_vector
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+    from vectordb_migrator_spark.operators.chunking import chunk_text
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    dim = 16
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    probe_tf = [
+        float(x)
+        for x in docs.filter(F.col("doc_id") == 0)
+        .select(feature_hash_vector("text", dim=dim).alias("v"))
+        .first()["v"]
+    ]
+    emb = chunk_text(docs, chunk_size=32, overlap=8).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        feature_hash_vector("chunk_text", dim=dim).alias("v"),
+    )
+    stats = emb.agg(
+        F.count("*").cast("double").alias("n"),
+        *[
+            F.sum((F.col("v")[i] > 0).cast("long")).cast("double").alias(f"df{i}")
+            for i in range(dim)
+        ],
+    ).select(
+        F.array(
+            *[
+                F.log((F.col("n") + 1) / (F.col(f"df{i}") + 1)) + 1
+                for i in range(dim)
+            ]
+        ).alias("ia")
+    )
+    weighted = (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.zip_with("v", "ia", lambda a, b: a * b).alias("wv"),
+            F.array(*[F.lit(x) for x in probe_tf]).alias("pv_tf"),
+            "ia",
+        )
+        .withColumn("wpv", F.zip_with("pv_tf", "ia", lambda a, b: a * b))
+    )
+    return (
+        weighted.select(
+            "doc_id",
+            "chunk_id",
+            F.round(cosine_similarity("wv", "wpv"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id", "chunk_id")
+        .limit(10)
+    )
+
+
 @query("x2_decontaminate", None)  # oracle attached below (computed string)
 def x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — embedding-level benchmark decontamination: (train, eval)
@@ -6129,13 +6248,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_weighted_md5_sample",  # new: full-oracle A-ES sampling twin
     "x10_stratified_weighted",  # new: per-group A-ES quota (full oracle)
     "x4_ivf_filtered_topk",  # new: pre-filter + partition-pruned IVF
+    "x0_retrieval_tfidf",  # new: idf-weighted hashed retrieval
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
     "t1_transform_contract",
     # --- (d) round-1 families last driver-checked in r01 ---
     "s1_scan_projection",
-    "p2_normalize_canonical",
 ]
 
 
