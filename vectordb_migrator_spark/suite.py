@@ -5448,6 +5448,106 @@ def x2_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x3_training_triples",
+    """
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, q.q_label, e.vec_id AS c_id, e.label AS c_label,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+      FROM embeddings e, q
+      WHERE e.vec_id != q.q_id
+    ),
+    pos AS (
+      SELECT q_id, c_id AS pos_id, score AS pos_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY score DESC, c_id) AS rn
+        FROM scored WHERE c_label = q_label) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT q_id, c_id AS neg_id, score AS neg_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY score DESC, c_id) AS rn
+        FROM scored WHERE c_label != q_label) WHERE rn = 1
+    )
+    SELECT q_id AS anchor_id, pos_id, pos_score, neg_id, neg_score,
+           round(pos_score - neg_score, 6) AS margin
+    FROM pos JOIN neg USING (q_id)
+    ORDER BY anchor_id
+    """,
+)
+def x3_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — contrastive training triples: per anchor, the nearest
+    SAME-label row (positive) and the nearest DIFFERENT-label row
+    (hard negative) plus the margin between them — the (a, p, n)
+    frame a triplet/InfoNCE trainer consumes. ONE broadcast of the
+    anchor side scores the corpus once; two windows over the same
+    scored frame (same partitioning — one exchange) split positive
+    and negative ranks."""
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_vec"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            "c_label",
+            F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
+    pos = (
+        scored.filter(F.col("c_label") == F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("c_id").alias("pos_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("c_label") != F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("c_id").alias("neg_id"),
+            F.col("score").alias("neg_score"),
+        )
+    )
+    return (
+        pos.join(neg, "q_id")
+        .select(
+            F.col("q_id").alias("anchor_id"),
+            "pos_id",
+            "pos_score",
+            "neg_id",
+            "neg_score",
+            F.round(F.col("pos_score") - F.col("neg_score"), 6).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+@query(
     "x10_stratified_weighted",
     r"""
     WITH keyed AS (
@@ -6249,12 +6349,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_stratified_weighted",  # new: per-group A-ES quota (full oracle)
     "x4_ivf_filtered_topk",  # new: pre-filter + partition-pruned IVF
     "x0_retrieval_tfidf",  # new: idf-weighted hashed retrieval
+    "x3_training_triples",  # new: (anchor, positive, hard-neg) frame
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
     "t1_transform_contract",
-    # --- (d) round-1 families last driver-checked in r01 ---
-    "s1_scan_projection",
 ]
 
 
