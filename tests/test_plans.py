@@ -210,3 +210,32 @@ def test_check_constraints_one_scan(spark):
     assert rows["in_range_o_totalprice"]["passed"] is False
     assert 0.0 < rows["in_range_o_totalprice"]["value"] < 1.0 or rows["in_range_o_totalprice"]["value"] == 0.0
     assert rows["min_rows"]["passed"] is True
+
+
+def test_satisfies_constraint_cross_column(spark):
+    """The expression constraint gates on cross-column consistency;
+    NULL predicate results count as failures."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.validation import (
+        check_constraints,
+        constraints_from_config,
+        satisfies,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 3, "abc"), (2, 2, "xyz"), (3, None, "q")],
+        "id long, n long, t string",
+    )
+    out = check_constraints(
+        df, [satisfies("len_ok", F.col("n") == F.length("t"))]
+    ).collect()
+    assert out[0]["passed"] is False
+    assert abs(out[0]["value"] - 1 / 3) < 1e-6  # row 2 wrong, row 3 NULL
+
+    cfg = constraints_from_config(
+        {"satisfies": [{"name": "len_ok", "expr": "n = length(t)",
+                        "min_fraction": 0.3}]}
+    )
+    out2 = check_constraints(df, cfg).collect()
+    assert out2[0]["passed"] is True  # 1/3 >= 0.3

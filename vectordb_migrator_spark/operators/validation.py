@@ -84,6 +84,20 @@ def matches(col: str, pattern: str, min_fraction: float = 1.0) -> Constraint:
     )
 
 
+def satisfies(name: str, predicate: Column, min_fraction: float = 1.0) -> Constraint:
+    """Fraction of rows satisfying an arbitrary boolean expression —
+    the cross-column escape hatch (e.g.
+    ``satisfies("chars_consistent", F.col("n_chars") == F.length("text"))``).
+    NULL predicate results count as failures (three-valued logic made
+    strict, the conservative reading for a gate)."""
+    hit = F.when(predicate, 1).otherwise(0)
+    return Constraint(
+        name=f"satisfies_{name}",
+        metric=F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double"),
+        threshold=min_fraction,
+    )
+
+
 def min_rows(n: int) -> Constraint:
     """Row count must reach ``n`` (an empty-input guard)."""
     return Constraint(
@@ -122,7 +136,8 @@ def constraints_from_config(cfg: dict) -> list[Constraint]:
 
     ``{"min_rows": 10, "not_null": ["id"], "unique": ["id"],
     "in_range": [{"col": "x", "lo": 0, "hi": 1}],
-    "matches": [{"col": "id", "pattern": "^[0-9]+$"}]}``
+    "matches": [{"col": "id", "pattern": "^[0-9]+$"}],
+    "satisfies": [{"name": "len_ok", "expr": "n_chars = length(text)"}]}``
 
     Every list entry may set ``min_fraction`` (default 1.0).
     """
@@ -143,5 +158,13 @@ def constraints_from_config(cfg: dict) -> list[Constraint]:
     for spec in cfg.get("matches", []):
         out.append(
             matches(spec["col"], spec["pattern"], spec.get("min_fraction", 1.0))
+        )
+    for spec in cfg.get("satisfies", []):
+        # the expression is a SQL string in config form — parsed by
+        # Spark, evaluated like any other codegen predicate
+        out.append(
+            satisfies(
+                spec["name"], F.expr(spec["expr"]), spec.get("min_fraction", 1.0)
+            )
         )
     return out
