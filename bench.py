@@ -108,6 +108,7 @@ HEADLINE = [
     "x6_frame_explode",
     "x9_chunk_documents",
     "x9_int8_quantization",
+    "x9_storage_report",
     "x10_stratified_sample",
     "x12_quality_constraints",
     "x12_referential_integrity",

@@ -5448,6 +5448,54 @@ def x2_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x9_storage_report",
+    """
+    WITH s AS (
+      SELECT count(*)::BIGINT AS n,
+             max(len(embedding))::BIGINT AS dim
+      FROM embeddings
+    )
+    SELECT n, dim,
+           (n * dim * 4)::BIGINT AS fp32_bytes,
+           (n * dim)::BIGINT AS int8_bytes,
+           (n * ceil(dim / 64.0) * 8)::BIGINT AS binary_bytes,
+           (n * 8)::BIGINT AS pq8_bytes,
+           round((n * dim * 4.0) / (n * dim), 2) AS int8_ratio,
+           round((n * dim * 4.0) / (n * ceil(dim / 64.0) * 8), 2)
+             AS binary_ratio,
+           round((n * dim * 4.0) / (n * 8), 2) AS pq8_ratio
+    FROM s
+    """,
+)
+def x9_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — the quantization storage plan: corpus bytes under fp32 /
+    int8-SQ / 1-bit binary / 8-subvector PQ codes, with compression
+    ratios — the sizing table that decides which X4 retrieval family
+    a deployment can afford to keep in memory. One tiny aggregate
+    (count + dim), pure arithmetic after."""
+    e = _t(spark, sf_dir, "embeddings")
+    s = e.agg(
+        F.count("*").cast("long").alias("n"),
+        F.max(F.size("embedding")).cast("long").alias("dim"),
+    )
+    n, dim = F.col("n"), F.col("dim")
+    binary_words = F.ceil(dim / 64.0)
+    return s.select(
+        "n",
+        "dim",
+        (n * dim * 4).cast("long").alias("fp32_bytes"),
+        (n * dim).cast("long").alias("int8_bytes"),
+        (n * binary_words * 8).cast("long").alias("binary_bytes"),
+        (n * 8).cast("long").alias("pq8_bytes"),
+        F.round((n * dim * 4.0) / (n * dim), 2).alias("int8_ratio"),
+        F.round((n * dim * 4.0) / (n * binary_words * 8), 2).alias(
+            "binary_ratio"
+        ),
+        F.round((n * dim * 4.0) / (n * 8), 2).alias("pq8_ratio"),
+    )
+
+
+@query(
     "x3_training_triples",
     """
     WITH q AS (SELECT vec_id AS q_id, label AS q_label,
@@ -6307,7 +6355,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_dedup_apply",
     "x2_dedup_incremental",
     "x5_text_normalize",
-    "window_ewma_daily",
     "x7_approx_percentile",
     "x4_brp_approx_join",  # rows-only by nature (MLlib BRP randomness)
     # --- (b) new or changed in round 4 ---
@@ -6350,6 +6397,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_ivf_filtered_topk",  # new: pre-filter + partition-pruned IVF
     "x0_retrieval_tfidf",  # new: idf-weighted hashed retrieval
     "x3_training_triples",  # new: (anchor, positive, hard-neg) frame
+    "x9_storage_report",  # new: quantization sizing table
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
