@@ -5533,9 +5533,13 @@ def x3_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME-label row (positive) and the nearest DIFFERENT-label row
     (hard negative) plus the margin between them — the (a, p, n)
     frame a triplet/InfoNCE trainer consumes. ONE broadcast of the
-    anchor side scores the corpus once; two windows over the same
-    scored frame (same partitioning — one exchange) split positive
-    and negative ranks."""
+    anchor side scores the corpus ONCE; ranking runs as a single
+    window partitioned by (q_id, is_positive) — separate pos/neg
+    branches would re-scan and re-score the corpus (Catalyst cannot
+    reuse a subtree under two different filters), which this shape
+    avoids by making the side a partition key instead of a filter.
+    The WindowGroupLimit rewrite keeps only each partition's top row
+    pre-shuffle."""
     from vectordb_migrator_spark.functions.vector import cosine_similarity
 
     e = _t(spark, sf_dir, "embeddings")
@@ -5554,35 +5558,24 @@ def x3_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_id") != F.col("q_id"))
         .select(
             "q_id",
-            "q_label",
             "c_id",
-            "c_label",
+            (F.col("c_label") == F.col("q_label")).alias("is_pos"),
             F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("score"),
         )
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
-    pos = (
-        scored.filter(F.col("c_label") == F.col("q_label"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "q_id",
-            F.col("c_id").alias("pos_id"),
-            F.col("score").alias("pos_score"),
-        )
-    )
-    neg = (
-        scored.filter(F.col("c_label") != F.col("q_label"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "q_id",
-            F.col("c_id").alias("neg_id"),
-            F.col("score").alias("neg_score"),
-        )
+    w = W.partitionBy("q_id", "is_pos").orderBy(F.desc("score"), "c_id")
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
     )
     return (
-        pos.join(neg, "q_id")
+        top.groupBy("q_id")
+        .agg(
+            F.max(F.when(F.col("is_pos"), F.col("c_id"))).alias("pos_id"),
+            F.max(F.when(F.col("is_pos"), F.col("score"))).alias("pos_score"),
+            F.max(F.when(~F.col("is_pos"), F.col("c_id"))).alias("neg_id"),
+            F.max(F.when(~F.col("is_pos"), F.col("score"))).alias("neg_score"),
+        )
+        .filter(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
         .select(
             F.col("q_id").alias("anchor_id"),
             "pos_id",
