@@ -772,6 +772,11 @@ def test_sql_udfs_match_column_api(spark, embeddings):
         "SELECT vm_token_count('  a  b\tc ') AS n"
     ).first()["n"]
     assert tok == 3
+    j = spark.sql(
+        "SELECT vm_jaccard(array('a','b','c'), array('b','c','d')) AS j, "
+        "vm_hamming64(5, 3) AS h"
+    ).first()
+    assert abs(j["j"] - 0.5) < 1e-9 and j["h"] == 2
 
 
 def test_ivf_index_append_incremental(spark, embeddings, probe, tmp_path):

@@ -56,6 +56,17 @@ SQL_FUNCTIONS: dict[str, str] = {
         RETURNS INT
         RETURN size(filter(split(trim(t), '\\\\s+'), x -> x != ''))
     """,
+    "vm_jaccard": """
+        CREATE OR REPLACE TEMPORARY FUNCTION vm_jaccard(
+            a ARRAY<STRING>, b ARRAY<STRING>) RETURNS DOUBLE
+        RETURN size(array_intersect(a, b)) /
+               CAST(size(array_union(a, b)) AS DOUBLE)
+    """,
+    "vm_hamming64": """
+        CREATE OR REPLACE TEMPORARY FUNCTION vm_hamming64(
+            a BIGINT, b BIGINT) RETURNS INT
+        RETURN bit_count(a ^ b)
+    """,
 }
 
 
