@@ -6100,9 +6100,12 @@ def x0_retrieval_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies reduce to ONE 17-column aggregate row over the chunk
     vectors; the smoothed idf array broadcasts back (1-row cross
     join) and reweights chunk and probe vectors alike — common
-    buckets stop dominating the cosine. Still one narrow
-    chunk+embed stage, one tiny stats pass, TakeOrdered — and fully
-    value-hash-verified thanks to the md5 bucket hashing."""
+    buckets stop dominating the cosine. Cost shape: TWO chunk+embed
+    passes over the corpus (the stats pass and the score pass — the
+    honest minimum for a corpus-statistics model, same as the
+    surprisal operators; persist the chunk-vector frame to pay it
+    once when reused), then TakeOrdered. Fully value-hash-verified
+    thanks to the md5 bucket hashing."""
     from vectordb_migrator_spark.functions.text import feature_hash_vector
     from vectordb_migrator_spark.functions.vector import cosine_similarity
     from vectordb_migrator_spark.operators.chunking import chunk_text
