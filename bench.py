@@ -103,6 +103,7 @@ HEADLINE = [
     "x5_unigram_surprisal",
     "x5_bigram_surprisal",
     "x5_distinctive_terms",
+    "x5_keywords",
     "x5_corpus_stats",
     "x6_multimodal_features",
     "x6_frame_explode",

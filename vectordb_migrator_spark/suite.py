@@ -5448,6 +5448,72 @@ def x2_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_keywords",
+    r"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> x != '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS dfv FROM t GROUP BY tok),
+    nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM t),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.c * (ln((nn.n + 1) / (df.dfv + 1)) + 1), 6) AS tfidf
+      FROM tf JOIN df USING (tok), nn
+    )
+    SELECT doc_id, tok, tfidf FROM (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rn
+      FROM scored)
+    WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, tok
+    """,
+)
+def x5_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — per-document keyword extraction: top-3 tokens by
+    tf·idf(smoothed) — document tagging for search facets / topic
+    routing. ONE (doc, token) count shuffle; the document-frequency
+    table and doc count derive from the same exploded frame
+    (ReuseExchange); per-doc top-3 via WindowGroupLimit — the
+    (doc, token) frame never sorts globally."""
+    from vectordb_migrator_spark.functions.text import ws_tokens
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    toks = (
+        fan_out(_t(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    dfreq = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("dfv")
+    )
+    nn = toks.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("c") * (F.log((F.col("n") + 1) / (F.col("dfv") + 1)) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "tok")
+    )
+
+
+@query(
     "x9_storage_report",
     """
     WITH s AS (
@@ -6351,7 +6417,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_dedup_apply",
     "x2_dedup_incremental",
     "x5_text_normalize",
-    "x7_approx_percentile",
     "x4_brp_approx_join",  # rows-only by nature (MLlib BRP randomness)
     # --- (b) new or changed in round 4 ---
     "x2_lsh_near_dup",  # now star-capped (max_bucket) — results changed
@@ -6394,6 +6459,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_retrieval_tfidf",  # new: idf-weighted hashed retrieval
     "x3_training_triples",  # new: (anchor, positive, hard-neg) frame
     "x9_storage_report",  # new: quantization sizing table
+    "x5_keywords",  # new: per-doc tf-idf keyword extraction
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
