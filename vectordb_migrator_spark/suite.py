@@ -6417,6 +6417,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_dedup_apply",
     "x2_dedup_incremental",
     "x5_text_normalize",
+    "x7_approx_percentile",
     "x4_brp_approx_join",  # rows-only by nature (MLlib BRP randomness)
     # --- (b) new or changed in round 4 ---
     "x2_lsh_near_dup",  # now star-capped (max_bucket) — results changed
@@ -6458,7 +6459,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_ivf_filtered_topk",  # new: pre-filter + partition-pruned IVF
     "x0_retrieval_tfidf",  # new: idf-weighted hashed retrieval
     "x3_training_triples",  # new: (anchor, positive, hard-neg) frame
-    "x9_storage_report",  # new: quantization sizing table
     "x5_keywords",  # new: per-doc tf-idf keyword extraction
     # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
