@@ -6417,6 +6417,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_dedup_apply",
     "x2_dedup_incremental",
     "x5_text_normalize",
+    "window_ewma_daily",
     "x7_approx_percentile",
     "x4_brp_approx_join",  # rows-only by nature (MLlib BRP randomness)
     # --- (b) new or changed in round 4 ---
@@ -6448,7 +6449,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_quality_constraints",  # new: one-scan declarative quality gate
     "x13_rolling_corr",  # new: rolling 24h correlation over hourly series
     "x0_training_manifest",  # new: joined manifest + md5-coin 80/10/10 split
-    "x12_referential_integrity",  # new: orphan-id audit across tables
     "x13_seasonal_anomalies",  # new: hour-of-day-baseline z-score
     "x5_distinctive_terms",  # new: per-source log-lift vocabulary
     "x13_user_features",  # new: leak-free sliding feature windows
