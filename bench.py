@@ -59,6 +59,7 @@ HEADLINE = [
     "x0_retrieval_tfidf",
     "x0_training_manifest",
     "x1_dedup_exact_text",
+    "x1_dup_rate_by_source",
     "x2_ngram_jaccard_pairs",
     "x2_minhash_lsh_pairs",
     "x2_minhash_md5_pairs",

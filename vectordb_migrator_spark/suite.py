@@ -5448,6 +5448,40 @@ def x2_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x1_dup_rate_by_source",
+    """
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(text))::BIGINT AS n_unique,
+           round(1.0 - count(DISTINCT md5(text)) / count(*)::DOUBLE, 6)
+             AS dup_rate
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def x1_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — duplication health by source: exact-duplicate rate per
+    source from content fingerprints — the triage table that decides
+    WHERE dedup effort goes before any pairwise work runs. One
+    map-side-combinable aggregate; fingerprints, not text, feed the
+    distinct."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(F.md5("text")).cast("long").alias("n_unique"),
+            F.round(
+                1.0
+                - F.countDistinct(F.md5("text"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "x5_keywords",
     r"""
     WITH t AS (
