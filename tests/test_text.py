@@ -364,3 +364,35 @@ def test_feature_hash_vector_counts_tokens(spark):
     assert sum(rows[1]) == 4.0
     assert rows[1] == rows[2]
     assert sum(rows[3]) == 0.0
+
+
+def test_keywords_prefer_rare_tokens(spark):
+    """A token unique to one document outranks corpus-wide common
+    tokens in that document's keyword list."""
+    from vectordb_migrator_spark.suite import QUERIES  # noqa: F401 — pattern
+    from pyspark.sql import functions as F
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    # replicate the x5_keywords shape on a toy frame
+    df = spark.createDataFrame(
+        [(1, "common words here plus zyzzyva"),
+         (2, "common words here again"),
+         (3, "common words here too")],
+        "doc_id long, text string",
+    )
+    toks = df.select("doc_id", F.explode(ws_tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfv"))
+    nn = toks.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    scored = tf.join(dfreq, "tok").crossJoin(F.broadcast(nn)).select(
+        "doc_id", "tok",
+        (F.col("c") * (F.log((F.col("n") + 1) / (F.col("dfv") + 1)) + 1)).alias("s"),
+    )
+    top = (
+        scored.filter(F.col("doc_id") == 1)
+        .orderBy(F.desc("s"))
+        .first()
+    )
+    assert top["tok"] == "zyzzyva"

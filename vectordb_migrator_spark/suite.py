@@ -5448,6 +5448,39 @@ def x2_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x10_kfold_assign",
+    """
+    SELECT doc_id,
+           (CAST(CONCAT('0x', substr(md5(concat('fold:', doc_id)), 1, 8))
+                 AS BIGINT) % 5)::BIGINT AS fold
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x10_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — deterministic k-fold assignment for cross-validation:
+    fold = md5(id) mod k, a pure function of the id — folds are
+    stable across runs, partitionings, engines, and incremental
+    re-runs (new rows never reshuffle old folds), and the whole
+    assignment is value-hash-verified. Zero shuffles: one narrow
+    projection."""
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", fold.alias("fold"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "x1_dup_rate_by_source",
     """
     SELECT source,
