@@ -61,6 +61,7 @@ HEADLINE = [
     "x1_dedup_exact_text",
     "x1_dup_rate_by_source",
     "x2_ngram_jaccard_pairs",
+    "x2_containment_pairs",
     "x2_minhash_lsh_pairs",
     "x2_minhash_md5_pairs",
     "x2_simhash_md5_pairs",

@@ -15,6 +15,9 @@ _EXPORTS = {
     "exact_dedup": "dedup",
     "exact_text_dedup": "dedup",
     "ngram_jaccard_pairs": "dedup",
+    "ngram_containment_pairs": "dedup",
+    "minhash_md5_pairs": "dedup",
+    "simhash_md5_pairs": "dedup",
     "minhash_near_dup_pairs": "dedup",
     "simhash_near_dup_pairs": "dedup",
     "embedding_near_dup_pairs": "dedup",

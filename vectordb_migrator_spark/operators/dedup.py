@@ -324,8 +324,11 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int | None = None,
+    score: str = "jaccard",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle
+    (``score="containment"`` switches to Broder containment of the
+    smaller set — see :func:`ngram_containment_pairs`).
 
     explode(shingles) → self-join on shingle → count common per pair →
     ``|A∩B| / (|A| + |B| - |A∩B|)``. The shingle join IS the blocking:
@@ -386,20 +389,57 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    pairs = (
+    counted = (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("common"))
-        .withColumn(
-            "jaccard",
-            F.col("common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return pairs
+    if score == "containment":
+        # Broder containment of the SMALLER shingle set in the pair:
+        # catches a short doc embedded in a long one, where Jaccard
+        # dilutes toward 0 as the size ratio grows
+        val = F.col("common").cast("double") / F.least(
+            F.col("n_a"), F.col("n_b")
+        ).cast("double")
+        out_col = "containment"
+    else:
+        val = F.col("common").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("common")
+        ).cast("double")
+        out_col = "jaccard"
+    return (
+        counted.withColumn(out_col, val)
+        .filter(F.col(out_col) >= threshold)
+        .select("id_a", "id_b", F.round(out_col, 6).alias(out_col))
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Broder CONTAINMENT pairs: ``|A∩B| / min(|A|,|B|)`` over n-gram
+    shingles — the asymmetric companion to resemblance/Jaccard. A
+    200-token quote embedded in a 10k-token article has Jaccard ≈ 0.02
+    (invisible to any resemblance threshold) but containment ≈ 1.0;
+    this is the detector for quotes, syndication, and doc-in-doc
+    duplication. Same single-shuffle bucket machinery and ``max_df``
+    hot-gram guard as :func:`ngram_jaccard_pairs`."""
+    return ngram_jaccard_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        max_df=max_df,
+        score="containment",
+    )
 
 
 # ---------------------------------------------------------- MinHash-LSH

@@ -5481,6 +5481,44 @@ def x10_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_containment_pairs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    ex AS (SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS common
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id, a.n, b.n
+    )
+    SELECT id_a, id_b,
+           round(common / least(n_a, n_b)::DOUBLE, 6) AS containment
+    FROM pairs
+    WHERE common / least(n_a, n_b)::DOUBLE >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def x2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — Broder CONTAINMENT pairs (|A∩B| / min(|A|,|B|)): the
+    asymmetric companion to Jaccard — a short quote embedded in a
+    long article scores ≈1 here while its Jaccard dilutes to ≈0.
+    Same single-shuffle bucket machinery as the Jaccard pairs."""
+    from vectordb_migrator_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "x1_dup_rate_by_source",
     """
     SELECT source,
