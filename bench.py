@@ -127,6 +127,7 @@ HEADLINE = [
     "x13_rolling_corr",
     "x13_seasonal_anomalies",
     "x13_user_features",
+    "x13_event_gaps",
     "range_join_value_bands",
     "bin_equal_frequency_events",
     "histogram_event_values",

@@ -5481,6 +5481,47 @@ def x10_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_event_gaps",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY event_type
+                                              ORDER BY ts, event_id) AS gap_s
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT event_type,
+           count(gap_s)::BIGINT AS n_gaps,
+           round(avg(gap_s), 6) AS avg_gap_s,
+           round(max(gap_s), 6) AS max_gap_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x13_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — inter-arrival statistics per event type (mean/max gap
+    seconds): the liveness/SLA diagnostic behind gap-based alerting.
+    One exchange on the type key; the lag window sorts in-partition
+    only (ties broken by event_id so the gap sequence is
+    deterministic)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")  # fractional seconds — exact micros
+    gaps = ev.select(
+        "event_type",
+        (sec - F.lag(sec).over(w)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").cast("long").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+            F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "x2_containment_pairs",
     r"""
     WITH sh AS (
