@@ -262,3 +262,23 @@ def test_round4_plan_shapes(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p3):
         assert "text" not in m.group(1)
+
+
+def test_span_dedup_no_token_shuffle(spark):
+    """Round-5 lock for `remove_repeated_spans`: after the rewrite,
+    NO exchange may carry document text or token arrays — gram
+    shuffles are two-BIGINT hash keys + ids, covered positions ride as
+    (doc_id, pos), and reassembly is a zero-shuffle codegen
+    array_except + indexed lookup (no posexplode / collect_list
+    corpus re-atomization)."""
+    import re
+
+    p = _plan(spark, "x5_span_dedup")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        keys = m.group(1)
+        assert "text" not in keys and "tok" not in keys and "gram" not in keys
+    # the old reassembly's signature operators must be gone
+    assert "posexplode" not in p
+    assert "collect_list" not in p
+    # gram keys are hashed before the shuffle
+    assert "xxhash64" in p

@@ -381,23 +381,33 @@ def remove_repeated_spans(
     shorter than ``n`` tokens pass through untouched.
 
     Scale design: windows form scan-side in codegen (indexed transform
-    over the token array — no positional self-join); ONE
-    map-side-combinable (gram → df, min-doc) shuffle builds the span
-    table, and a ``df > 1`` semi-filter shrinks it to actual repeats
-    before the gram-keyed join back (the same df-pre-pass trick as
-    ``ngram_jaccard_pairs``); covered positions then collapse
-    per-document — every post-scan shuffle carries (id, pos) pairs or
-    gram keys, never document text. Reassembly restores order from
-    the carried position (no global sort).
+    over the token array — no positional self-join), and every gram is
+    immediately collapsed to a 128-bit key (two ``xxhash64`` BIGINTs
+    with distinct seeds) so the gram shuffle carries 16 bytes per
+    window instead of the raw n-token string (~5-10× fewer shuffle
+    bytes at 8-token grams; collision probability at 128 bits is
+    negligible at any corpus size). ONE map-side-combinable
+    (gram-key → df, min-doc) shuffle builds the span table, and a
+    ``df > 1`` semi-filter shrinks it to actual repeats before the
+    keyed join back (the same df-pre-pass trick as
+    ``ngram_jaccard_pairs``). Covered positions then collapse to ONE
+    sorted per-document position array (a duplicate-sized shuffle —
+    only docs that actually contain repeats appear), and reassembly is
+    a zero-shuffle codegen expression: ``array_except`` of the
+    position sequence against the covered array followed by an indexed
+    token lookup. No corpus-sized exchange ever carries a token
+    column — documents stay whole-array rows from scan to result.
     """
     from vectordb_migrator_spark.functions.text import ws_tokens
 
     toks = F.filter(ws_tokens(text_col), lambda x: x != "")
     base = df.select(F.col(id_col), toks.alias("__toks"))
 
-    # (id, start, gram) for every n-window; starts are 0-based.
+    # (id, start, gram-key) for every n-window; starts are 0-based.
     # Docs shorter than n emit no windows (the filter also keeps
     # sequence() ascending — sequence(0, negative) would descend).
+    # The raw gram string exists only inside this scan-side projection;
+    # what crosses the shuffle is its two-BIGINT hash.
     grams = (
         base.filter(F.size("__toks") >= n)
         .select(
@@ -414,19 +424,26 @@ def remove_repeated_spans(
                 )
             ).alias("g"),
         )
-        .select(id_col, F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+        .select(
+            id_col,
+            F.col("g.start").alias("start"),
+            F.xxhash64(F.col("g.gram")).alias("gh1"),
+            F.xxhash64(F.lit(1), F.col("g.gram")).alias("gh2"),
+        )
     )
 
     spans = (
-        grams.groupBy("gram")
+        grams.groupBy("gh1", "gh2")
         .agg(
             F.countDistinct(id_col).alias("df"),
             F.min(id_col).alias("keeper"),
         )
         .filter(F.col("df") > 1)
     )
+    # Per-doc sorted covered-position array: the ONLY post-span shuffle,
+    # sized by documents-with-repeats, carrying (id, positions) only.
     covered = (
-        grams.join(spans, "gram")
+        grams.join(spans, ["gh1", "gh2"])
         .filter(F.col(id_col) != F.col("keeper"))
         .select(
             id_col,
@@ -434,31 +451,31 @@ def remove_repeated_spans(
                 F.sequence(F.col("start"), F.col("start") + (n - 1))
             ).alias("pos"),
         )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("pos")).alias("__covered"))
     )
-    positions = base.select(id_col, F.posexplode("__toks").alias("pos", "tok"))
-    kept = positions.join(covered, [id_col, "pos"], "left_anti")
-    agg = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.getField("tok"),
-            ),
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    # left join from the full doc list so empty and fully-covered
-    # documents still appear (with empty clean_text)
+    # Reassembly is pure codegen: kept positions = all positions minus
+    # covered (array_except preserves left order, so no re-sort), then
+    # an indexed lookup back into the intact token array.
+    kept_pos = F.when(
+        F.size("__toks") > 0,
+        F.array_except(
+            F.sequence(F.lit(0), F.size("__toks") - 1),
+            F.coalesce(F.col("__covered"), F.array().cast("array<int>")),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     return (
-        base.select(id_col, F.size("__toks").alias("n_tokens"))
-        .join(agg, id_col, "left")
+        base.join(covered, id_col, "left")
+        .withColumn("__kept", kept_pos)
         .select(
             id_col,
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.col("__kept"), lambda p: F.element_at("__toks", p + 1)
+                ),
+            ).alias("clean_text"),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            (F.size("__toks") - F.size("__kept")).cast("long").alias("n_removed"),
         )
     )

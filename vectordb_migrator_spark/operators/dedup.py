@@ -352,21 +352,36 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         shingles(text_col, n).alias("sh"),
     ).withColumn("sh_n", F.size("sh"))
-    exploded = sh.select("id", "sh_n", F.explode("sh").alias("g"))
+    # Raw shingle strings are collapsed to a 128-bit key (two seeded
+    # xxhash64 BIGINTs) scan-side, BEFORE any exchange: gram shuffles
+    # carry 16 bytes per occurrence instead of the n-token string
+    # (~5-10× fewer shuffle bytes at word shingles). 128-bit collision
+    # probability is negligible at any corpus size, and the key never
+    # appears in the output — semantics are unchanged.
+    exploded = sh.select(
+        "id",
+        "sh_n",
+        F.explode("sh").alias("g"),
+    ).select(
+        "id",
+        "sh_n",
+        F.xxhash64("g").alias("gh1"),
+        F.xxhash64(F.lit(1), F.col("g")).alias("gh2"),
+    )
     if max_df is not None:
         keep = (
-            exploded.groupBy("g")
+            exploded.groupBy("gh1", "gh2")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df)
-            .select("g")
+            .select("gh1", "gh2")
         )
-        exploded = exploded.join(keep, "g", "left_semi")
-    # ONE shuffle (groupBy gram), then pair generation inside each
+        exploded = exploded.join(keep, ["gh1", "gh2"], "left_semi")
+    # ONE shuffle (groupBy gram key), then pair generation inside each
     # gram bucket via a nested-transform cross of the collected
     # (id, n) structs — replaces the exploded self-join (which would
     # shuffle both sides and sort-merge). Bucket size is bounded by
     # gram document-frequency (≤ max_df when set).
-    buckets = exploded.groupBy("g").agg(
+    buckets = exploded.groupBy("gh1", "gh2").agg(
         F.collect_list(F.struct("id", "sh_n")).alias("docs")
     )
     pair_structs = F.flatten(
@@ -758,13 +773,19 @@ def embedding_near_dup_pairs(
     block_col: str | None = None,
     threshold: float = 0.95,
     max_bucket: int | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column.
 
     With ``block_col`` (e.g. an LSH bucket or cluster/label column) the
     self-join is per-block — the 100 TB path; the all-pairs fallback is
-    for small corpora / verification only. Vectors are pre-normalized
-    once so the pair test is a dot product.
+    for small corpora / verification only and must be opted into
+    explicitly: ``block_col=None`` raises unless
+    ``allow_all_pairs=True``, because an unblocked crossJoin is O(N²)
+    and would silently melt down at any real corpus size (scale
+    callers always pass blocking — labels, LSH buckets, SemDeDup
+    clusters). Vectors are pre-normalized once so the pair test is a
+    dot product.
 
     ``max_bucket`` bounds the per-block pair blow-up exactly like the
     MinHash/SimHash caps: a degenerate corpus (many near-zero or
@@ -776,6 +797,13 @@ def embedding_near_dup_pairs(
     the uncapped plan (property-tested). The cap is a window over the
     existing block partitioning — no extra shuffle.
     """
+    if block_col is None and not allow_all_pairs:
+        raise ValueError(
+            "embedding_near_dup_pairs without block_col is an O(N²) "
+            "all-pairs crossJoin — pass a blocking column (label, LSH "
+            "bucket, SemDeDup cluster) or opt in explicitly with "
+            "allow_all_pairs=True for small-corpus verification."
+        )
     normed = df.select(
         F.col(id_col).alias("id"),
         l2_normalize(vec_col).alias("v"),
