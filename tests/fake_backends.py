@@ -170,6 +170,8 @@ class FakeMilvusServer:
     def __init__(self, connection):
         self.store = connection.get("store_dir", "/tmp/fake_milvus_ds")
         self.record = connection.get("record_queries")
+        # optional silent server-side result cap (real Milvus: ~16384)
+        self.query_cap = connection.get("query_cap")
 
     def has_collection(self, name):
         return name == "col"
@@ -216,7 +218,7 @@ class FakeMilvusServer:
             }[op]
         raise ValueError(f"fake milvus cannot evaluate conjunct: {part!r}")
 
-    def query(self, collection_name, filter="", output_fields=None):
+    def query(self, collection_name, filter="", output_fields=None, limit=None):
         import os as _os
         import json as _json
         import re as _re
@@ -231,6 +233,12 @@ class FakeMilvusServer:
             # nest an "and" inside
             for part in _re.split(r"\s+and\s+", filter):
                 data = [d for d in data if self._eval_conjunct(d, part)]
+        # model the real server's result cap: pk-ordered pages,
+        # SILENTLY truncated at min(limit, server cap) — the behavior
+        # that makes unpaged watermark reads skip rows
+        cap = self.query_cap if limit is None else min(limit, self.query_cap or limit)
+        if cap is not None:
+            data = sorted(data, key=lambda d: d["pk"])[:cap]
         return [{k: d.get(k) for k in (output_fields or d)} for d in data]
 
     def insert(self, collection_name, data):
@@ -428,3 +436,38 @@ class FakePineconeGrowingClient(FakePineconeClient):
 
 def pinecone_growing_factory(connection):
     return FakePineconeGrowingClient(connection)
+
+
+class FakeMilvusIteratorServer(FakeMilvusGrowingServer):
+    """Growing Milvus fake that ALSO exposes ``query_iterator`` (the
+    pymilvus complete-traversal paging API) — the preferred stream
+    paging path must pick it over plain capped ``query()``."""
+
+    def query_iterator(self, collection_name, filter="", output_fields=None,
+                       batch_size=1000):
+        cap, self.query_cap = self.query_cap, None
+        try:  # the iterator's contract is complete traversal — no cap
+            rows = self.query(collection_name=collection_name, filter=filter,
+                              output_fields=output_fields)
+        finally:
+            self.query_cap = cap
+        rows = sorted(rows, key=lambda r: r["pk"])
+
+        class _It:
+            def __init__(self, rows, n):
+                self._rows, self._n, self._i = rows, n, 0
+                self.closed = False
+
+            def next(self):
+                batch = self._rows[self._i:self._i + self._n]
+                self._i += self._n
+                return batch
+
+            def close(self):
+                self.closed = True
+
+        return _It(rows, batch_size)
+
+
+def milvus_iterator_factory(connection):
+    return FakeMilvusIteratorServer(connection)

@@ -342,3 +342,90 @@ def test_migrate_validation_gate(spark, tmp_path):
     assert m2.migrate() is True
     assert spark.read.parquet(out2).count() == 5
     assert all(r["passed"] for r in m2.validation)
+
+
+def test_config_driven_staging_swap_e2e(spark, monkeypatch, tmp_path):
+    """Round-5: `publish_mode: "staging_swap"` in the target config
+    routes the WHOLE pipeline (extract → transform → staged JDBC load →
+    atomic swap) through the staged-publish path — the atomic-publish
+    story is config-reachable, not just a direct adapter call. Fake
+    DBAPI connections record the DDL; the JDBC stage is stubbed."""
+    from tests.test_sources import FakePgConnection
+    from vectordb_migrator_spark.plans.pipeline import Migrator
+    from vectordb_migrator_spark.sources.pgvector import PgVectorAdapter
+
+    conns = []
+
+    def factory(c):
+        conns.append(FakePgConnection())
+        return conns[-1]
+
+    pg = PgVectorAdapter(connect_factory=factory)
+    staged = {}
+
+    class _W:
+        def save(self):
+            staged["saved"] = True
+
+    def fake_writer(df, connection, load, *, table_bootstrapped=False):
+        staged["table"] = load.get("table_name")
+        staged["rows"] = df.count()
+        return _W()
+
+    monkeypatch.setattr(pg, "writer", fake_writer)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, [0.1, 0.2], "a"), (2, [0.3, 0.4], "b")],
+        "vec_id long, embedding array<float>, label string",
+    ).write.parquet(src)
+    cfg = {
+        "source": {"type": "parquet", "query": {
+            "path": src, "id_column": "vec_id",
+            "vector_column": "embedding", "metadata_columns": ["label"]}},
+        "target": {"type": "pgvector", "publish_mode": "staging_swap",
+                   "connection": {"host": "h"},
+                   "load": {"table_name": "items"}},
+    }
+    m = Migrator(spark, cfg, adapters={"pgvector": pg})
+    assert m.migrate() is True
+    assert staged == {"table": "items__staging", "rows": 2, "saved": True}
+    # conn 1 bootstrapped staging (DROP staging + CREATE); conn 2 is the
+    # single-transaction atomic publish
+    assert conns[0].executed[0] == "DROP TABLE IF EXISTS items__staging;"
+    assert conns[1].executed == [
+        "DROP TABLE IF EXISTS items;",
+        "ALTER TABLE items__staging RENAME TO items;",
+    ]
+    assert conns[1].committed
+    assert m.stats["total_rows"] == 2
+
+    # an invalid publish_mode is rejected at config-parse time
+    bad = dict(cfg, target=dict(cfg["target"], publish_mode="yolo"))
+    with pytest.raises(ValueError, match="publish_mode"):
+        Migrator(spark, bad, adapters={"pgvector": pg})
+
+
+def test_pgvector_ddl_rejects_unsafe_identifiers():
+    """Config-supplied table/column names reach driver-side DDL
+    f-strings (incl. a destructive DROP in swap_staging) — the strict
+    identifier whitelist must reject injection payloads."""
+    from tests.test_sources import FakePgConnection
+    from vectordb_migrator_spark.sources.pgvector import (
+        PgVectorAdapter,
+        safe_ident,
+    )
+
+    assert safe_ident("items_v2") == "items_v2"
+    for bad in ('items"; DROP TABLE users; --', "a b", "1abc", "", None):
+        with pytest.raises(ValueError):
+            safe_ident(bad)
+
+    a = PgVectorAdapter(connect_factory=lambda c: FakePgConnection())
+    with pytest.raises(ValueError, match="unsafe SQL identifier"):
+        a.swap_staging({"host": "h"}, {"table_name": "items; DROP x"})
+    with pytest.raises(ValueError, match="unsafe SQL identifier"):
+        a.ensure_table(
+            {"host": "h"},
+            {"table_name": "t", "metadata_columns": ["ok", "bad col"]},
+            4,
+        )

@@ -821,3 +821,69 @@ def test_pinecone_stream_reader_id_watermark(spark, tmp_path):
     assert second == [f"v{i:03d}" for i in range(9)]
     rows = {r["id"]: r for r in spark.read.parquet(out).collect()}
     assert rows["v002"]["metadata"] == {"tag": "t2"}
+
+
+def test_milvus_stream_reader_paged_past_server_cap(spark, tmp_path):
+    """Round-5 (ADVICE): real Milvus silently caps query() results
+    (~16k rows). With a fake server capping at 10 rows and a 25-row
+    backlog, the unpaged reader would emit 10 rows and advance last_pk
+    to their max — permanently skipping nothing-below-watermark rows.
+    The paged pk-cursor loop must drain ALL rows in one availableNow
+    run."""
+    from fake_backends import FakeMilvusGrowingServer
+
+    store = str(tmp_path)
+    FakeMilvusGrowingServer.seed(
+        store,
+        [{"pk": i, "vec": [float(i), 0.5], "meta_a": f"a{i}", "meta_b": i}
+         for i in range(25)],
+    )
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("milvus")
+        .option("client_factory", "fake_backends:milvus_growing_factory")
+        .option("collection_name", "col")
+        .option("store_dir", store)
+        .option("connection", '{"query_cap": 10}')  # server truncates at 10
+        .option("page_size", "10")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(int(r["id"]) for r in spark.read.parquet(out).collect())
+    assert got == list(range(25))  # nothing skipped past the cap
+
+
+def test_milvus_stream_reader_prefers_query_iterator(spark, tmp_path):
+    """A client exposing query_iterator (the pymilvus complete-traversal
+    API) is paged through it — correct even when plain query() caps."""
+    from fake_backends import FakeMilvusIteratorServer
+
+    store = str(tmp_path)
+    FakeMilvusIteratorServer.seed(
+        store,
+        [{"pk": i, "vec": [float(i), 0.5], "meta_a": f"a{i}", "meta_b": i}
+         for i in range(23)],
+    )
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("milvus")
+        .option("client_factory", "fake_backends:milvus_iterator_factory")
+        .option("collection_name", "col")
+        .option("store_dir", store)
+        .option("connection", '{"query_cap": 5}')  # plain query() truncates
+        .option("page_size", "7")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(int(r["id"]) for r in spark.read.parquet(out).collect())
+    assert got == list(range(23))

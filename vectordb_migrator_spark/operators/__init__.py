@@ -36,6 +36,7 @@ _EXPORTS = {
     "build_ivf_index": "similarity",
     "ivf_index_append": "similarity",
     "ivf_index_topk": "similarity",
+    "ivf_index_filtered_topk": "similarity",
     "build_lsh_index": "similarity",
     "lsh_index_append": "similarity",
     "lsh_index_topk": "similarity",
@@ -75,6 +76,7 @@ _EXPORTS = {
     "per_group_head": "slicing",
     "stratified_sample": "slicing",
     "weighted_sample": "slicing",
+    "stratified_weighted_sample": "slicing",
     "equal_frequency_bins": "slicing",
     "source_mixture": "slicing",
     "apply_source_mixture": "slicing",
@@ -85,6 +87,7 @@ _EXPORTS = {
     "scd2_history": "relational",
     "resample_fill_hourly": "timeseries",
     "zscore_anomalies": "timeseries",
+    "seasonal_zscore_anomalies": "timeseries",
     "rolling_correlation": "timeseries",
     # scale / validation / transform
     "salted_join": "scale",

@@ -68,6 +68,11 @@ def load_config(path_or_dict: str | dict[str, Any]) -> dict[str, Any]:
             raise ValueError(
                 f"unsupported {side} type {db_type!r}; supported: {list_adapters()}"
             )
+    mode = config["target"].get("publish_mode")
+    if mode is not None and mode not in ("append", "staging_swap"):
+        raise ValueError(
+            f"target publish_mode must be 'append' or 'staging_swap', got {mode!r}"
+        )
     return config
 
 
@@ -99,6 +104,10 @@ class Migrator:
 
         self.source_adapter = _bind("source")
         self.target_adapter = _bind("target")
+        # always present, even before migrate() runs or when the config
+        # has no validate section — callers can read them unconditionally
+        self.validation: list[dict[str, Any]] = []
+        self.stats: dict[str, Any] = {}
 
     def plan(self, transform: TransformFn | None = None) -> DataFrame:
         src = self.config["source"]
@@ -144,6 +153,13 @@ class Migrator:
                 return False
         tgt = self.config["target"]
         load_sec = dict(_section(tgt, "load"))
+        # target-level `publish_mode: "staging_swap"` (wired like
+        # `validate`) routes sinks that support atomic publish through
+        # their staged path — for pgvector: JDBC-load {table}__staging,
+        # then ONE transactional DROP+RENAME so concurrent readers
+        # never see a half-written table (SURVEY §7.6.5)
+        if tgt.get("publish_mode") == "staging_swap":
+            load_sec["staging_swap"] = True
         # Pre-resolve the vector dimension on the UNOBSERVED plan and
         # hand it to the sink: sinks that would otherwise sniff it
         # with a short-circuiting first() would complete the

@@ -94,6 +94,26 @@ def _default_connect(connection: dict[str, Any]):
         return None
 
 
+import re as _re
+
+_IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def safe_ident(name: str) -> str:
+    """Validate a config-supplied SQL identifier before it is
+    interpolated into driver-side DDL (CREATE/DROP/ALTER). Configs are
+    untrusted input and the staging swap includes a destructive DROP —
+    a strict ``[A-Za-z_][A-Za-z0-9_]*`` whitelist (no quoting games,
+    no mixed-case escapes) closes the injection path while matching
+    every name the reference's own examples use."""
+    if not isinstance(name, str) or not _IDENT_RE.match(name):
+        raise ValueError(
+            f"unsafe SQL identifier from config: {name!r} "
+            "(must match [A-Za-z_][A-Za-z0-9_]*)"
+        )
+    return name
+
+
 def _write_mode(load: dict[str, Any], table_bootstrapped: bool) -> str:
     """JDBC save mode: when ensure_table already issued the DDL, append
     into the freshly-created table instead of letting JDBC drop it
@@ -126,10 +146,10 @@ class PgVectorAdapter(SparkAdapter):
         conn = self.connect_factory(connection)
         if conn is None:
             return False
-        table = load.get("table_name", "items")
-        id_c = load.get("id_column", "id")
-        vec_c = load.get("vector_column", "embedding")
-        meta_cs = load.get("metadata_columns", []) or []
+        table = safe_ident(load.get("table_name", "items"))
+        id_c = safe_ident(load.get("id_column", "id"))
+        vec_c = safe_ident(load.get("vector_column", "embedding"))
+        meta_cs = [safe_ident(c) for c in load.get("metadata_columns", []) or []]
         cols = [f"{id_c} SERIAL PRIMARY KEY", f"{vec_c} VECTOR({dim})"]
         cols += [f"{c} TEXT" for c in meta_cs]
         try:
@@ -272,7 +292,7 @@ class PgVectorAdapter(SparkAdapter):
         conn = self.connect_factory(connection)
         if conn is None:
             return False
-        table = load.get("table_name", "items")
+        table = safe_ident(load.get("table_name", "items"))
         try:
             cur = conn.cursor()
             cur.execute(f"DROP TABLE IF EXISTS {table};")

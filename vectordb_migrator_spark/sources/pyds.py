@@ -897,30 +897,80 @@ class MilvusStreamScanReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"last_pk": None}
 
-    def _query(self, lo, hi=None) -> list[dict]:
-        factory = _resolve_factory(self.options.get("client_factory"))
-        client = factory(_connection(self.options))
+    def _expr(self, lo, hi) -> str:
         parts = [f"({self.base_expr})"] if self.base_expr else []
         if lo is not None:
             parts.append(f"{self.pk} > {int(lo)}")
         if hi is not None:
             parts.append(f"{self.pk} <= {int(hi)}")
+        return " and ".join(parts)
+
+    def _query(self, lo, hi=None) -> list[dict]:
+        """Fetch ALL rows in the half-open pk interval ``(lo, hi]`` —
+        paged, never one unbounded ``query()``. Real Milvus caps
+        ``query()`` results (~16384 rows); an unpaged call on a large
+        backlog would be silently truncated and ``read()`` would then
+        advance ``last_pk`` past rows it never emitted — a permanent
+        skip. Two paging strategies, picked by client capability:
+
+        - ``query_iterator`` (preferred, used when the client exposes
+          it): the pymilvus API whose contract IS complete traversal
+          in server-sized batches.
+        - pk-cursor loop fallback: ``pk > cursor`` + ``limit=page``,
+          re-sorted client-side, cursor advancing past each FULL
+          page's max; a short page terminates. Relies on limited
+          ``query()`` pages being pk-ascending (Milvus returns int-PK
+          query pages in PK order); clients where that may not hold
+          should expose ``query_iterator``.
+        """
+        factory = _resolve_factory(self.options.get("client_factory"))
+        client = factory(_connection(self.options))
+        page = int(self.options.get("page_size", 10_000))
         output_fields = (
             [self.pk]
             + ([self.vec_field] if self.vec_field else [])
             + self.scalars
         )
+        out: list[dict] = []
         try:
-            recs = client.query(
-                collection_name=self.collection,
-                filter=" and ".join(parts),
-                output_fields=output_fields,
-            )
+            if hasattr(client, "query_iterator"):
+                it = client.query_iterator(
+                    collection_name=self.collection,
+                    filter=self._expr(lo, hi),
+                    output_fields=output_fields,
+                    batch_size=page,
+                )
+                try:
+                    while True:
+                        batch = it.next()
+                        if not batch:
+                            break
+                        out.extend(batch)
+                finally:
+                    close_it = getattr(it, "close", None)
+                    if close_it:
+                        close_it()
+            else:
+                cursor = lo
+                while True:
+                    recs = sorted(
+                        client.query(
+                            collection_name=self.collection,
+                            filter=self._expr(cursor, hi),
+                            output_fields=output_fields,
+                            limit=page,
+                        ),
+                        key=lambda r: r[self.pk],
+                    )
+                    out.extend(recs)
+                    if len(recs) < page:
+                        break
+                    cursor = int(recs[-1][self.pk])
         finally:
             close = getattr(client, "close", None)
             if close:
                 close()
-        return sorted(recs, key=lambda r: r[self.pk])
+        return sorted(out, key=lambda r: r[self.pk])
 
     def _rows(self, recs: list[dict]) -> list[tuple]:
         vec = self.vec_field
