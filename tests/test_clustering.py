@@ -184,3 +184,51 @@ def test_kmeans_sample_fraction_validation(spark):
     )
     with pytest.raises(ValueError, match="sample_fraction"):
         kmeans_fit_ref()(df, k=1, sample_fraction=1.5)
+
+
+def test_semdedup_fitted_matches_numpy_replica(spark, embeddings):
+    """Round-5 differential for the production kmeans_fit → semantic_dedup
+    composition (suite x2_semdedup_fitted): a NumPy Lloyd + SemDeDup
+    replica with identical semantics (seed/tie/empty-cluster rules,
+    smaller-id direct-pair survivor, min-id star-cap on oversized
+    clusters) must produce the same survivor set and clusters."""
+    from vectordb_migrator_spark.operators.clustering import kmeans_fit
+    from vectordb_migrator_spark.operators.dedup import semantic_dedup
+
+    rows = embeddings.orderBy("vec_id").select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    k, threshold, cap = 4, 0.8, 40
+
+    # --- NumPy replica ---
+    _, C, _ = _numpy_lloyd(X, k=k, max_iter=10)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    nv = X / np.linalg.norm(X, axis=1, keepdims=True)
+    losers = set()
+    for c in range(k):
+        idx = [j for j in range(len(ids)) if assign[j] == c]
+        anchor = min(idx, key=lambda j: ids[j]) if idx else None
+        for ja in idx:
+            for jb in idx:
+                if ids[ja] >= ids[jb]:
+                    continue
+                if len(idx) > cap and ja != anchor:
+                    continue  # star-capped: only anchor pairs survive
+                if round(float(nv[ja] @ nv[jb]), 6) >= threshold:
+                    losers.add(ids[jb])
+    ref = {ids[j]: int(assign[j]) for j in range(len(ids)) if ids[j] not in losers}
+
+    # --- Spark composition ---
+    df = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows],
+        "vec_id long, embedding array<float>",
+    )
+    _, cents, _ = kmeans_fit(df, k=k, max_iter=10)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_dedup(
+            df, cents, threshold=threshold, max_bucket=cap
+        ).collect()
+    }
+    assert got == ref

@@ -433,3 +433,98 @@ def test_sketch_ingest_incremental_distinct(spark, tmp_path):
         os.remove(crc)
     run()
     assert sketch_distinct_over(spark, store).first()["n_events"] == 32
+
+
+def test_deduped_ingest_shingle_store_compaction(spark, tmp_path):
+    """Round-5: per-batch appends would leave one small file set per
+    micro-batch forever; every compact_every-th batch must rewrite the
+    shingle store into compact_partitions files (rename-swap, crash-
+    safe) so the file count stays bounded across >= 3N batches while
+    contents keep mirroring the corpus exactly."""
+    import os
+
+    from vectordb_migrator_spark.streaming.incremental import deduped_ingest
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    store_dir = tmp_path / "corpus__shingles"
+    schema = "doc_id long, text string"
+
+    def run():
+        q = deduped_ingest(
+            spark,
+            source_path=src,
+            source_schema=schema,
+            corpus_path=corpus,
+            checkpoint=str(tmp_path / "ckpt"),
+            n=3,
+            threshold=0.5,
+            compact_every=2,
+            compact_partitions=1,
+        )
+        q.awaitTermination(120)
+
+    def parquet_files():
+        return [f for f in os.listdir(store_dir) if f.endswith(".parquet")]
+
+    counts = []
+    for b in range(7):  # batches 0..6 -> compactions at 2, 4, 6
+        spark.createDataFrame(
+            [
+                (100 + b, f"novel document number {b} with words w{b} x{b} y{b}"),
+                (200 + b, "alpha beta gamma delta epsilon"),  # dup family
+            ],
+            schema,
+        ).write.mode("append").parquet(src)
+        run()
+        counts.append(len(parquet_files()))
+
+    # batch 6 just compacted: the store is exactly compact_partitions
+    # files, not one file set per batch
+    assert counts[-1] == 1
+    # bounded throughout: never more than compact_partitions plus the
+    # appends since the last compaction (2 batches x small writes)
+    assert max(counts) <= 1 + 2 * 2
+    # contents survive every swap and still mirror the corpus
+    ids = sorted(r["id"] for r in spark.read.parquet(str(store_dir)).collect())
+    expect = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert ids == expect and 200 in ids and 201 not in ids
+
+
+def test_deduped_ingest_compaction_swap_recovery(spark, tmp_path):
+    """A compaction interrupted between its two renames (finished
+    __compacting dir, store dir gone) is completed by the next batch —
+    no backfill, no lost shingles."""
+    import shutil
+
+    from vectordb_migrator_spark.streaming.incremental import deduped_ingest
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], schema
+    ).write.parquet(src)
+    q = deduped_ingest(
+        spark, source_path=src, source_schema=schema, corpus_path=corpus,
+        checkpoint=str(tmp_path / "ckpt"), n=3, threshold=0.5,
+    )
+    q.awaitTermination(120)
+
+    # simulate the crash window: store fully written to __compacting,
+    # original already deleted, final rename never happened
+    shutil.move(str(tmp_path / "corpus__shingles"),
+                str(tmp_path / "corpus__shingles__compacting"))
+
+    spark.createDataFrame(
+        [(2, "a genuinely novel second text")], schema
+    ).write.mode("append").parquet(src)
+    q = deduped_ingest(
+        spark, source_path=src, source_schema=schema, corpus_path=corpus,
+        checkpoint=str(tmp_path / "ckpt"), n=3, threshold=0.5,
+    )
+    q.awaitTermination(120)
+    ids = sorted(
+        r["id"] for r in spark.read.parquet(str(tmp_path / "corpus__shingles")).collect()
+    )
+    assert ids == [1, 2]  # swap finished, store intact, new doc ingested

@@ -113,6 +113,8 @@ def deduped_ingest(
     threshold: float = 0.2,
     source_format: str = "parquet",
     trigger_once: bool = True,
+    compact_every: int | None = 16,
+    compact_partitions: int = 4,
 ):
     """Streaming ingest with near-dup filtering — X2 meets X8: every
     micro-batch dedups against the PERSISTED corpus (and its own
@@ -133,7 +135,20 @@ def deduped_ingest(
     that predates the store is backfilled once, on the first batch
     that finds it missing. Appending the store inside ``foreachBatch``
     keeps it replay-consistent: a replayed batch's survivors were
-    already id-filtered out, so their shingles never double-append."""
+    already id-filtered out, so their shingles never double-append.
+
+    Store compaction: per-micro-batch appends leave one small parquet
+    file set per batch, and a store read over thousands of tiny files
+    rots every later batch's dedup scan (per-file open + footer cost
+    dominates). Every ``compact_every``-th batch the store is rewritten
+    into ``compact_partitions`` files: materialize off the input files
+    (``localCheckpoint``), write to a ``__compacting`` sibling, then
+    swap via two FileSystem renames. Crash-safe: if the process dies
+    between the renames, the next batch finds the finished
+    ``__compacting`` dir and completes the swap (and the worst pre-swap
+    crash loses only the compaction attempt, never store rows);
+    replayed batches at most redo one idempotent rewrite. Set
+    ``compact_every=None`` to disable."""
     from pyspark.sql.utils import AnalysisException
 
     from vectordb_migrator_spark.operators.dedup import (
@@ -142,6 +157,7 @@ def deduped_ingest(
     )
 
     shingle_path = f"{corpus_path}__shingles"
+    compact_tmp = f"{shingle_path}__compacting"
 
     def _read(sess: SparkSession, path: str) -> DataFrame | None:
         try:
@@ -149,8 +165,37 @@ def deduped_ingest(
         except AnalysisException:
             return None
 
+    def _hadoop(sess: SparkSession, path: str):
+        jpath = sess._jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(sess._jsc.hadoopConfiguration()), jpath
+
+    def _finish_swap(sess: SparkSession) -> None:
+        """Complete a compaction interrupted between its two renames:
+        a finished __compacting dir + missing store = rename it in."""
+        fs, tmp = _hadoop(sess, compact_tmp)
+        _, dst = _hadoop(sess, shingle_path)
+        if fs.exists(tmp) and not fs.exists(dst):
+            fs.rename(tmp, dst)
+
+    def _compact(sess: SparkSession) -> None:
+        store = _read(sess, shingle_path)
+        if store is None:
+            return
+        # sever lineage from the files about to be replaced — the
+        # compacted rows live in block storage, not the input parquet
+        compacted = store.localCheckpoint(eager=True)
+        compacted.coalesce(max(1, compact_partitions)).write.mode(
+            "overwrite"
+        ).parquet(compact_tmp)
+        fs, tmp = _hadoop(sess, compact_tmp)
+        _, dst = _hadoop(sess, shingle_path)
+        fs.delete(dst, True)
+        fs.rename(tmp, dst)
+        compacted.unpersist()
+
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        _finish_swap(sess)
         store = _read(sess, shingle_path)
         if store is None:
             corpus = _read(sess, corpus_path)
@@ -184,6 +229,8 @@ def deduped_ingest(
         shingle_table(
             survivors, id_col=id_col, text_col=text_col, n=n
         ).write.mode("append").parquet(shingle_path)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            _compact(sess)
 
     stream = (
         spark.readStream.format(source_format)

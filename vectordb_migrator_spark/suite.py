@@ -5106,6 +5106,28 @@ def x2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x2_semdedup_fitted")  # iterative Lloyd fit — not SQL-expressible
+def x2_semdedup_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the PRODUCTION SemDeDup composition: ``kmeans_fit`` (k=8,
+    deterministic Lloyd over a persisted two-column projection) fits
+    the cluster centroids, then ``semantic_dedup`` blocks the near-dup
+    self-join on them. The seeded-centroid twin ``x2_semdedup`` keeps
+    the full DuckDB oracle; this entry exercises the fitted path the
+    paper actually runs (rows-only here — the Lloyd loop has no SQL
+    oracle; differential-tested against a NumPy Lloyd+SemDeDup replica
+    in tests/test_clustering.py)."""
+    from vectordb_migrator_spark.operators.clustering import kmeans_fit
+    from vectordb_migrator_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, centroids, _ = kmeans_fit(e, k=8, max_iter=10)
+    return (
+        semantic_dedup(e, centroids, threshold=0.8, max_bucket=40)
+        .select("vec_id", "label", F.col("cluster").cast("long").alias("cluster"))
+        .orderBy("vec_id")
+    )
+
+
 @query(
     "x3_hard_negatives",
     """
