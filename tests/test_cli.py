@@ -84,3 +84,63 @@ def test_broken_transform_degrades_with_warning(spark, tmp_path, caplog):
     )
     assert rc == 0
     assert spark.read.parquet(out).count() == 5
+
+
+def test_stream_cli_qdrant_to_qdrant(spark, tmp_path):
+    """Round-5: `vectordb-migrate-spark --stream` runs a continuous
+    migration from ONE JSON config — readStream.format(qdrant) →
+    canonical transform → writeStream.format(qdrant), availableNow
+    drain, cursor checkpointed. The reference's "future work"
+    incremental migration as a single command."""
+    from fake_backends import FakeQdrantGrowingClient, read_upserted_points
+
+    store = str(tmp_path)
+    FakeQdrantGrowingClient.seed(
+        store,
+        [{"id": i, "vector": [float(i), 1.0], "payload": {"n": f"p{i}"}}
+         for i in range(9)],
+    )
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({
+        "source": {"type": "qdrant",
+                   "connection": {"store_dir": store},
+                   "query": {
+                       "collection_name": "src",
+                       "client_factory": "fake_backends:qdrant_growing_factory",
+                       "batch_size": 4}},
+        "target": {"type": "qdrant",
+                   "connection": {"store_dir": store},
+                   "load": {
+                       "collection_name": "tgt",
+                       "client_factory": "fake_backends:qdrant_growing_factory",
+                       "vector_dimension": 2}},
+        "stream": {"checkpoint": str(tmp_path / "ckpt")},
+    }))
+    assert main(["--config", str(cfg), "--stream", "--cpus", "8"]) == 0
+    points = read_upserted_points(store, "tgt")
+    assert set(points) == set(range(9))
+
+    # append to the SOURCE; a second --stream run from the same
+    # checkpoint migrates only the new points (watermark held)
+    FakeQdrantGrowingClient.seed(
+        store, [{"id": 100, "vector": [9.0, 9.0], "payload": {}}]
+    )
+    assert main(["--config", str(cfg), "--stream", "--cpus", "8"]) == 0
+    points = read_upserted_points(store, "tgt")
+    assert set(points) == set(range(9)) | {100}
+
+
+def test_stream_cli_requires_checkpoint_and_streamable_types(spark, tmp_path):
+    from vectordb_migrator_spark.plans.pipeline import StreamMigrator
+    import pytest as _pytest
+
+    base = {
+        "source": {"type": "qdrant", "query": {"collection_name": "c"}},
+        "target": {"type": "parquet", "load": {"path": str(tmp_path / "o")}},
+    }
+    with _pytest.raises(ValueError, match="stream.checkpoint"):
+        StreamMigrator(spark, dict(base))
+    bad = dict(base, source={"type": "pgvector", "query": {}},
+               stream={"checkpoint": str(tmp_path / "ck")})
+    with _pytest.raises(ValueError, match="no streaming endpoint"):
+        StreamMigrator(spark, bad)

@@ -26,7 +26,12 @@ from vectordb_migrator_spark.canonical import (
     normalize,
     to_canonical_columns,
 )
-from vectordb_migrator_spark.plans.pipeline import Migrator, run_migration
+from vectordb_migrator_spark.plans.pipeline import (
+    Migrator,
+    StreamMigrator,
+    run_migration,
+    run_stream_migration,
+)
 from vectordb_migrator_spark.sources.registry import (
     ADAPTERS,
     get_adapter,
@@ -39,10 +44,12 @@ __all__ = [
     "ADAPTERS",
     "CANONICAL_SCHEMA",
     "Migrator",
+    "StreamMigrator",
     "__version__",
     "get_adapter",
     "list_adapters",
     "normalize",
     "run_migration",
+    "run_stream_migration",
     "to_canonical_columns",
 ]

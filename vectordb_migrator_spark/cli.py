@@ -31,6 +31,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--version", action="store_true")
     p.add_argument("--cpus", type=int, default=None, help="local[<n>] cores")
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="run the config as a STREAMING migration (readStream -> "
+        "writeStream; requires a stream.checkpoint section)",
+    )
+    p.add_argument(
+        "--timeout",
+        type=int,
+        default=None,
+        help="with --stream and an interval trigger: stop after N seconds",
+    )
     return p
 
 
@@ -61,7 +73,16 @@ def main(argv: list[str] | None = None) -> int:
                 log.warning("transform module unusable (%s); continuing", exc)
 
         spark = get_spark("vectordb-migrate", cpus=args.cpus)
-        ok = Migrator(spark, args.config).migrate(transform)
+        if args.stream:
+            from vectordb_migrator_spark.plans.pipeline import (
+                run_stream_migration,
+            )
+
+            ok = run_stream_migration(
+                spark, args.config, transform, timeout_sec=args.timeout
+            )
+        else:
+            ok = Migrator(spark, args.config).migrate(transform)
         return 0 if ok else 1
     except Exception as exc:  # noqa: BLE001
         log.error("migration failed: %s", exc)

@@ -218,3 +218,122 @@ def run_migration(
     """Reference ``vectordb_migration.run_migration``
     (``__init__.py:24-39`` → ``cli/migrate.py:96``): one-call API."""
     return Migrator(spark, config).migrate(transform)
+
+
+# ---------------------------------------------------------------- stream
+
+_STREAM_SOURCES = ("qdrant", "milvus", "pinecone", "parquet")
+_STREAM_TARGETS = ("qdrant", "milvus", "pinecone", "parquet")
+
+
+def _flat_options(*sections: dict[str, Any] | None) -> dict[str, str]:
+    """Flatten config sections into DataSource option strings (dicts
+    and lists ride as JSON — e.g. a ``connection`` blob)."""
+    out: dict[str, str] = {}
+    for sec in sections:
+        for k, v in (sec or {}).items():
+            if v is None:
+                continue
+            if isinstance(v, (dict, list)):
+                out[k] = json.dumps(v)
+            elif isinstance(v, bool):
+                out[k] = "true" if v else "false"
+            else:
+                out[k] = str(v)
+    return out
+
+
+class StreamMigrator:
+    """The reference's "future work" incremental-migration story
+    (``README.md:286``) as one config: the SAME JSON schema as
+    :class:`Migrator`, but compiled to ``readStream.format(source)`` →
+    transform → ``writeStream.format(target)``. All three API
+    connectors stream on both sides (watermark cursors on the read
+    side, idempotent-by-id upserts on the write side), so a continuous
+    migration is exactly-once-per-id end to end.
+
+    Extra config surface: a ``stream`` section with ``checkpoint``
+    (required — cursor offsets live there) and optional ``trigger``
+    (``"available_now"``, the catch-up default, or a processing-time
+    interval string like ``"10 seconds"``)."""
+
+    def __init__(self, spark: SparkSession, config: str | dict[str, Any]):
+        self.spark = spark
+        self.config = load_config(config)
+        for side, allowed in (("source", _STREAM_SOURCES),
+                              ("target", _STREAM_TARGETS)):
+            t = self.config[side]["type"]
+            if t not in allowed:
+                raise ValueError(
+                    f"{side} type {t!r} has no streaming endpoint; "
+                    f"streamable: {sorted(allowed)}"
+                )
+        scfg = self.config.get("stream") or {}
+        self.checkpoint = scfg.get("checkpoint")
+        if not self.checkpoint:
+            raise ValueError(
+                "streaming migration requires stream.checkpoint "
+                "(offsets/watermarks persist there)"
+            )
+        self.trigger = scfg.get("trigger", "available_now")
+
+    def start(self, transform: TransformFn | None = None):
+        from vectordb_migrator_spark.sources.pyds import register_data_sources
+
+        register_data_sources(self.spark)
+        src = self.config["source"]
+        stype = src["type"]
+        q = _section(src, "query")
+        conn = _section(src, "connection")
+        if stype == "parquet":
+            schema = q.get("schema")
+            path = q.get("path")
+            if not schema or not path:
+                raise ValueError(
+                    "file stream source requires query.schema and query.path"
+                )
+            rest = {k: v for k, v in q.items() if k not in ("schema", "path")}
+            df = (
+                self.spark.readStream.format(stype)
+                .schema(schema)
+                .options(**_flat_options(conn, rest))
+                .load(path)
+            )
+        else:
+            df = (
+                self.spark.readStream.format(stype)
+                .options(**_flat_options(conn, q))
+                .load()
+            )
+        if transform is None and self.config.get("transform_module"):
+            transform = load_transform_function(self.config["transform_module"])
+        df = apply_transform(df, transform)
+        tgt = self.config["target"]
+        writer = (
+            df.writeStream.format(tgt["type"])
+            .options(**_flat_options(_section(tgt, "connection"),
+                                     _section(tgt, "load")))
+            .option("checkpointLocation", self.checkpoint)
+        )
+        if self.trigger == "available_now":
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=self.trigger)
+        return writer.start()
+
+
+def run_stream_migration(
+    spark: SparkSession,
+    config: str | dict[str, Any],
+    transform: TransformFn | None = None,
+    *,
+    timeout_sec: int | None = None,
+) -> bool:
+    """One-call streaming migration. With the default ``available_now``
+    trigger this drains the current backlog and returns; a
+    processing-time trigger keeps running until ``timeout_sec``."""
+    query = StreamMigrator(spark, config).start(transform)
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
+    return query.exception() is None
