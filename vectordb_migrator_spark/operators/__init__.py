@@ -26,6 +26,7 @@ _EXPORTS = {
     "semantic_dedup": "dedup",
     "embedding_cross_near_dup": "dedup",
     "apply_dedup": "dedup",
+    "apply_dedup_best": "dedup",
     "incremental_dedup": "dedup",
     "shingle_table": "dedup",
     # similarity / ANN

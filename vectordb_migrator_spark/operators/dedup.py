@@ -1004,6 +1004,41 @@ def apply_dedup(
     )
 
 
+def apply_dedup_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Materialize a dedup decision keeping the HIGHEST-QUALITY member
+    of each near-dup cluster (ties break toward the lower id) — the
+    production alternative to :func:`apply_dedup`'s min-id rule: when a
+    syndicated article appears five times, you keep the cleanest copy,
+    not the one that happened to get the smallest id.
+
+    ``quality_col`` must exist on ``df`` (any ordering signal: token
+    count, a quality-classifier score, -surprisal). Scale shape: the
+    quality column is projected onto the duplicate-sized cluster frame
+    (column-pruned id+quality scan), one window over the existing
+    ``comp`` partitioning picks the keeper, and the corpus-side work is
+    a single duplicate-sized anti-join on ids — the corpus text never
+    shuffles."""
+    from pyspark.sql import Window
+
+    c = clusters.withColumnRenamed("id", id_col)
+    members = c.join(df.select(id_col, quality_col), id_col)
+    w = Window.partitionBy("comp").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    losers = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],

@@ -299,7 +299,15 @@ def apply_source_mixture(
     shuffle, and the blow-up factor per row is ``ceil(epochs)``, known
     at plan time to be small for any sane temperature.
     """
-    m = F.broadcast(mixture.select(source_col, "epochs").filter(F.col("epochs") > 0))
+    # the mixture frame always names its group column "source"
+    # (source_mixture aliases it); rebind to the caller's source_col so
+    # any mixture axis (source, predicted language, domain) joins back
+    mix_key = "source" if "source" in mixture.columns else source_col
+    m = F.broadcast(
+        mixture.select(
+            F.col(mix_key).alias(source_col), "epochs"
+        ).filter(F.col("epochs") > 0)
+    )
     n_copies = F.greatest(F.lit(1), F.ceil("epochs")).cast("int")
     u = (
         F.conv(

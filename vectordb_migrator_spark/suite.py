@@ -1920,7 +1920,9 @@ def x5_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _langid_sql() -> str:
+def _langid_case_sql() -> str:
+    """The stopword-argmax language-ID CASE expression (DuckDB), shared
+    by every oracle that needs the predicted language."""
     s = {lang: _LANG_SCORE_SQL[lang] for lang in LANG_PRIORITY}
     cases = []
     for i, lang in enumerate(LANG_PRIORITY):
@@ -1929,10 +1931,13 @@ def _langid_sql() -> str:
             f"{s[lang]} > {s[o]}" for o in LANG_PRIORITY[:i]
         ]
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+def _langid_sql() -> str:
     return (
-        "SELECT doc_id, CASE "
-        + " ".join(cases)
-        + " ELSE 'und' END AS lang_pred FROM documents ORDER BY doc_id"
+        f"SELECT doc_id, {_langid_case_sql()} AS lang_pred "
+        "FROM documents ORDER BY doc_id"
     )
 
 
@@ -3760,6 +3765,179 @@ def x2_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
     clusters = connected_components(pairs)
     return apply_dedup(docs, clusters).select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "x2_dedup_keep_best",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+      SELECT a AS id, least(a, min(b))::BIGINT AS comp
+      FROM reach GROUP BY a
+    ), q AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+               AS n_tok
+      FROM documents
+    ), losers AS (
+      SELECT id FROM (
+        SELECT c.id,
+               row_number() OVER (PARTITION BY c.comp
+                                  ORDER BY q.n_tok DESC, c.id) AS rn
+        FROM clusters c JOIN q ON q.doc_id = c.id)
+      WHERE rn > 1
+    )
+    SELECT q.doc_id, q.n_tok
+    FROM q LEFT JOIN losers l ON l.id = q.doc_id
+    WHERE l.id IS NULL
+    ORDER BY q.doc_id
+    """,
+)
+def x2_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — quality-keeper dedup (round 5): the production apply rule —
+    per near-dup cluster keep the HIGHEST-quality member (token count
+    here; any classifier score plugs in), ties to the lower id, instead
+    of ``apply_dedup``'s arbitrary min-id survivor. Same
+    duplicate-sized cluster machinery; the keeper choice is one window
+    over the existing comp partitioning and the corpus-side work is a
+    single id anti-join."""
+    from vectordb_migrator_spark.functions.text import token_count_ws
+    from vectordb_migrator_spark.operators.dedup import apply_dedup_best
+    from vectordb_migrator_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count_ws("text").cast("long")
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    clusters = connected_components(pairs)
+    return (
+        apply_dedup_best(docs, clusters, quality_col="n_tok")
+        .select("doc_id", "n_tok")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x0_leakage_safe_split",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), split AS (
+      SELECT doc_id,
+             CASE
+               WHEN CAST(CONCAT('0x', substr(md5(concat('split:', doc_id)),
+                                             1, 8)) AS BIGINT)
+                    / 4294967296.0 < 0.8 THEN 'train'
+               WHEN CAST(CONCAT('0x', substr(md5(concat('split:', doc_id)),
+                                             1, 8)) AS BIGINT)
+                    / 4294967296.0 < 0.9 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ), leaked AS (
+      SELECT DISTINCT e.doc_id FROM (
+        SELECT p.id_a AS doc_id, p.id_b AS other FROM pairs p
+        UNION ALL
+        SELECT p.id_b, p.id_a FROM pairs p) e
+      JOIN split se ON se.doc_id = e.doc_id AND se.split != 'train'
+      JOIN split so ON so.doc_id = e.other AND so.split = 'train'
+    )
+    SELECT s.doc_id, s.split,
+           (l.doc_id IS NOT NULL) AS leaked
+    FROM split s LEFT JOIN leaked l ON l.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def x0_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — leakage-safe train/eval split (round 5): the md5-coin
+    80/10/10 split composed with the near-dup pair detector — any
+    val/test document that is a near-duplicate of a TRAIN document is
+    flagged ``leaked`` (the Lee et al. 2022 / GPT-3 appendix
+    contamination scenario: eval rows the model effectively saw in
+    training). The manifest keeps flagged rows visible (audit-friendly)
+    rather than silently dropping them; a trainer filters
+    ``leaked = false``. Scale shape: pairs are the bounded gram-bucket
+    frame; split labels derive in codegen; the leak test is two
+    duplicate-sized id joins — the corpus never reshuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    split = docs.select(
+        "doc_id",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    edges = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("other")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("other"))
+    )
+    leaked = (
+        edges.join(
+            split.withColumnRenamed("doc_id", "other").withColumnRenamed(
+                "split", "other_split"
+            ),
+            "other",
+        )
+        .filter(F.col("other_split") == "train")
+        .join(split, "doc_id")
+        .filter(F.col("split") != "train")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        split.join(leaked.withColumn("leaked", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce(F.col("leaked"), F.lit(False)).alias("leaked"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -6527,6 +6705,68 @@ def x10_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "copy")
         .orderBy("doc_id", "copy")
     )
+
+
+@query("x10_lang_balanced_mixture", None)  # oracle attached below (computed)
+def x10_lang_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — language-balanced resampling (round 5): the multilingual-LM
+    recipe end to end — PREDICTED language (the ``x5_langid`` stopword
+    argmax, no ground-truth labels needed) becomes the mixture axis,
+    alpha=0.3 exponent-smoothed weights (the XLM-R setting) up-weight
+    rare languages, and the deterministic md5-coin materializes the
+    draw. Pure composition of engine components; the langid is codegen,
+    the mixture frame is tiny and broadcast, the replication is a
+    narrow explode — one corpus scan for the apply."""
+    from vectordb_migrator_spark.functions.text import lang_id
+    from vectordb_migrator_spark.operators.slicing import (
+        apply_source_mixture,
+        source_mixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id("text").alias("lang_pred")
+    )
+    mix = source_mixture(docs, source_col="lang_pred", alpha=0.3, budget=800)
+    return (
+        apply_source_mixture(
+            docs, mix, source_col="lang_pred", id_col="doc_id", seed=7
+        )
+        .select("doc_id", "lang_pred", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
+def _lang_mixture_sql() -> str:
+    return rf"""
+    WITH dl AS (
+      SELECT doc_id, {_langid_case_sql()} AS lang_pred FROM documents
+    ),
+    per AS (
+      SELECT lang_pred, count(*)::DOUBLE AS size FROM dl GROUP BY lang_pred
+    ),
+    d AS (SELECT sum(pow(size, 0.3)) AS denom FROM per),
+    mix AS (
+      SELECT lang_pred,
+             round(round(round(pow(size, 0.3) / denom, 6) * 800.0, 2)
+                   / size, 6) AS epochs
+      FROM per, d
+    ),
+    c AS (
+      SELECT dl.doc_id, dl.lang_pred, mix.epochs, u.copy
+      FROM dl JOIN mix USING (lang_pred),
+           unnest(range(1, greatest(1, ceil(mix.epochs))::BIGINT + 1)) u(copy)
+      WHERE mix.epochs > 0
+    )
+    SELECT doc_id, lang_pred, copy
+    FROM c
+    WHERE copy <= floor(epochs)
+       OR CAST(CONCAT('0x', substr(md5(concat_ws(':', doc_id, copy, 7)), 1, 8))
+               AS BIGINT) / 4294967296.0 < epochs - floor(epochs)
+    ORDER BY doc_id, copy
+    """
+
+
+ORACLES["x10_lang_balanced_mixture"] = _lang_mixture_sql()
 
 
 @query(
