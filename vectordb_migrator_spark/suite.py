@@ -3768,6 +3768,89 @@ def x2_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_dedup_funnel",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+      SELECT a AS id, least(a, min(b))::BIGINT AS comp
+      FROM reach GROUP BY a
+    )
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+           (SELECT count(*) - count(DISTINCT substr(md5(text), 1, 16))
+            FROM documents)::BIGINT AS n_exact_dup_rows,
+           (SELECT count(*) FROM pairs)::BIGINT AS n_near_dup_pairs,
+           (SELECT count(*) FROM clusters)::BIGINT AS n_clustered_docs,
+           (SELECT count(DISTINCT comp) FROM clusters)::BIGINT AS n_clusters,
+           ((SELECT count(*) FROM documents)
+            - (SELECT count(*) FROM clusters)
+            + (SELECT count(DISTINCT comp) FROM clusters))::BIGINT
+             AS n_survivors
+    """,
+)
+def x2_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the dedup FUNNEL report (round 5): one row tracing a corpus
+    through the pipeline — total docs, exact-dup rows (md5), near-dup
+    pairs, clustered docs, clusters, and min-id survivors. The
+    run-summary a curation job logs after every dedup pass (retention
+    rate = n_survivors / n_docs). Every count is a map-side-combinable
+    aggregate over frames the pipeline already builds; the report
+    itself is a broadcast crossJoin of 1-row aggregates."""
+    from vectordb_migrator_spark.functions.text import md5_fingerprint
+    from vectordb_migrator_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(md5_fingerprint("text")))
+        .cast("long")
+        .alias("n_exact_dup_rows"),
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    clusters = connected_components(pairs)
+    pair_n = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs"))
+    clus_n = clusters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clustered_docs"),
+        F.countDistinct("comp").cast("long").alias("n_clusters"),
+    )
+    return (
+        base.crossJoin(F.broadcast(pair_n))
+        .crossJoin(F.broadcast(clus_n))
+        .select(
+            "n_docs",
+            "n_exact_dup_rows",
+            "n_near_dup_pairs",
+            "n_clustered_docs",
+            "n_clusters",
+            (F.col("n_docs") - F.col("n_clustered_docs") + F.col("n_clusters"))
+            .cast("long")
+            .alias("n_survivors"),
+        )
+    )
+
+
+@query(
     "x2_dedup_keep_best",
     r"""
     WITH RECURSIVE sh AS (
@@ -5109,6 +5192,56 @@ def x5_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_hot_grams",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                   for i in range(1, len(toks) - 1)])) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+    SELECT gram, count(*)::BIGINT AS df,
+           round(count(*) / any_value(n.n_docs), 6) AS df_share
+    FROM sh, n GROUP BY gram
+    ORDER BY df DESC, gram LIMIT 20
+    """,
+)
+def x5_hot_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — hot-shingle report (round 5): the 20 most document-frequent
+    n-grams with their corpus share — the operational tuning aid for
+    every ``max_df`` knob in the gram-join family (a gram shared by 4%
+    of a 100 TB corpus is a skewed-bucket scale-killer; this report is
+    how you pick the cap before it bites). ONE map-side-combinable df
+    shuffle + TakeOrdered(20); the normalizer is a broadcast 1-row
+    count."""
+    from vectordb_migrator_spark.functions.text import ws_tokens
+    from vectordb_migrator_spark.operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    g = docs.filter(F.size(ws_tokens("text")) >= 3).select(
+        F.explode(shingles("text", 3)).alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            F.col("df").cast("long").alias("df"),
+            F.round(F.col("df") / F.col("n_docs"), 6).alias("df_share"),
+        )
+        .orderBy(F.desc("df"), "gram")
+        .limit(20)
+    )
+
+
+@query(
     "x5_corpus_stats",
     r"""
     WITH m AS (
@@ -5904,6 +6037,234 @@ def x9_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "binary_ratio"
         ),
         F.round((n * dim * 4.0) / (n * 8), 2).alias("pq8_ratio"),
+    )
+
+
+@query(
+    "x4_ivf_balance",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      FROM embeddings e, cent c
+    ),
+    a AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn FROM d)
+      WHERE rn = 1
+    ),
+    per AS (SELECT cluster, count(*)::BIGINT AS n FROM a GROUP BY cluster),
+    s AS (SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS k,
+                 max(n)::BIGINT AS n_max, min(n)::BIGINT AS n_min
+          FROM per)
+    SELECT per.cluster::BIGINT AS cluster, per.n,
+           round(per.n / s.total, 6) AS share,
+           round(s.n_max / (s.total / s.k), 6) AS imbalance
+    FROM per, s ORDER BY cluster
+    """,
+)
+def x4_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — IVF partition-balance report (round 5): per-cluster row
+    counts/shares plus the corpus imbalance factor (max cluster over
+    mean) for a seeded-centroid assignment — the index health check
+    behind the materialized-IVF layouts: a 10× imbalance means one
+    probe partition does 10× the scan work and the layout needs
+    refitting (same skew story as every bucket cap in the dedup
+    family). Assignment is broadcast-nearest-centroid codegen; the
+    report is one count shuffle + a broadcast 1-row stats frame."""
+    from vectordb_migrator_spark.operators.clustering import assign_clusters
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    per = (
+        assign_clusters(e, cents)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    s = per.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.max("n").cast("long").alias("n_max"),
+    )
+    return (
+        per.crossJoin(F.broadcast(s))
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n_max") / (F.col("total") / F.col("k")), 6).alias(
+                "imbalance"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "x5_lexical_diversity",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tok,
+           len(list_distinct(toks))::BIGINT AS n_types,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE round(len(list_distinct(toks))::DOUBLE /
+                           len(toks)::DOUBLE, 6) END AS ttr
+    FROM t ORDER BY doc_id
+    """,
+)
+def x5_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — type-token ratio (round 5): distinct tokens over total
+    tokens per document — the lexical-diversity quality signal (a
+    keyword-stuffed or template page has TTR near 0; natural prose sits
+    much higher). Complements the repetition detector: repetition finds
+    the worst offenders, TTR ranks the whole corpus. Pure codegen —
+    tokenize, array_distinct, two sizes; zero shuffles."""
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    toks = F.filter(ws_tokens("text"), lambda x: x != "")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tok"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
+            F.when(F.size("toks") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.size(F.array_distinct("toks"))
+                    / F.size("toks").cast("double"),
+                    6,
+                )
+            )
+            .alias("ttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x9_sq_error_by_label",
+    """
+    WITH q AS (
+      SELECT label, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings
+    ),
+    m AS (
+      SELECT label,
+             CASE WHEN scale = 0 THEN 0.0 ELSE
+               list_sum([(v[i] - round(v[i] / scale) * scale) *
+                         (v[i] - round(v[i] / scale) * scale)
+                         for i in range(1, len(v) + 1)]) / len(v) END AS mse
+      FROM q
+    )
+    SELECT label, count(*)::BIGINT AS n,
+           round(avg(mse), 6) AS mse_mean,
+           round(max(mse), 6) AS mse_max
+    FROM m GROUP BY label ORDER BY label
+    """,
+)
+def x9_sq_error_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — int8-SQ reconstruction-error report by label (round 5): the
+    quality half of the storage plan — ``x9_storage_report`` says int8
+    costs 4× less; this says what the 4× costs in mean/max per-dim
+    squared error, per label (a skewed-magnitude label quantizes
+    worse — symmetric SQ spends its range on the largest coordinate).
+    Per-row error is one codegen fold over the vector; the report is
+    one map-side-combinable label aggregate."""
+    from vectordb_migrator_spark.functions.vector import (
+        int8_dequantize,
+        int8_quantize,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    rec = int8_dequantize(int8_quantize("embedding"))
+    mse = F.aggregate(
+        F.zip_with(v, rec, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    ) / F.size(v)
+    return (
+        e.select("label", mse.alias("mse"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("mse"), 6).alias("mse_mean"),
+            F.round(F.max("mse"), 6).alias("mse_max"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "x5_quality_tiers",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+               AS n_tok
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, n_tok,
+             ntile(10) OVER (ORDER BY n_tok DESC, doc_id) AS tier
+      FROM s
+    )
+    SELECT tier::INT AS tier, count(*)::BIGINT AS n,
+           min(n_tok) AS tok_min, max(n_tok) AS tok_max,
+           round(avg(n_tok), 6) AS tok_mean
+    FROM t GROUP BY tier ORDER BY tier
+    """,
+)
+def x5_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — quality-decile tiers (round 5): rank the corpus into ntile
+    deciles on a quality signal (token count here; any classifier score
+    plugs in) and report per-tier stats — the frame behind "train on
+    the top 3 deciles" curation decisions. The tie-break includes the
+    id, so tiles are deterministic across engines. ONE global ntile is
+    the honest cost (a total order); at 100 TB you'd approximate the
+    decile CUTS from approx-percentiles instead — this report is the
+    exact small-N variant."""
+    from pyspark.sql import Window as W
+
+    from vectordb_migrator_spark.functions.text import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").cast("long").alias("n_tok")
+    )
+    t = docs.withColumn(
+        "tier", F.ntile(10).over(W.orderBy(F.desc("n_tok"), "doc_id"))
+    )
+    return (
+        t.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("n_tok").alias("tok_min"),
+            F.max("n_tok").alias("tok_max"),
+            F.round(F.avg("n_tok"), 6).alias("tok_mean"),
+        )
+        .orderBy("tier")
     )
 
 
