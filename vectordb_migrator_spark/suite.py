@@ -7170,69 +7170,73 @@ def x11_sql_api_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 # The correctness driver snapshots the FIRST 50 registry entries
 # (list(QUERIES)[:50]) — registration order above is narrative, not
-# evidentiary.  Round-4 window: (a) the 8 queries no driver round has
-# ever checked, (b) everything new or semantically changed THIS round,
-# (c) three long-stable canaries that stay inside the window every
-# round so a regression in shared loaders/helpers can't hide outside
-# the gate (x8_session_window_batch exercises the events loader _t;
-# c1/t1 exercise the canonical pipeline), and (d) a round-1 family
-# cross-section last driver-checked in r01. Families green in
-# CORRECTNESS_r02/r03 rotate out; tools/check_oracle.py still covers
-# the full registry locally.
+# evidentiary.  Round-5 window: (a) every query no driver round has
+# ever checked (incl. the 6 round-4-tail trade-outs the round-4
+# verdict flagged, plus x2_lsh_near_dup_multi which rounds 1-4 all
+# missed), (b) everything new THIS round, (c) everything semantically
+# touched this round (the gram-key hashing rewrote the shuffle keys of
+# the whole jaccard-kernel family; the span-dedup reassembly was
+# rewritten; apply_source_mixture's join rebind touched the mixture
+# family), (d) three standing canaries, and (e) a filler block of the
+# queries whose last driver evidence is oldest (round 2). Families
+# green in r03/r04 rotate out; tools/check_oracle.py still covers the
+# full registry locally.
 _DRIVER_WINDOW_PRIORITY = [
     # --- (a) never driver-checked in any round ---
-    "x4_lsh_multiprobe_topk",
-    "x9_pq_encode",
-    "x2_dedup_apply",
-    "x2_dedup_incremental",
-    "x5_text_normalize",
-    "window_ewma_daily",
-    "x7_approx_percentile",
-    "x4_brp_approx_join",  # rows-only by nature (MLlib BRP randomness)
-    # --- (b) new or changed in round 4 ---
-    "x2_lsh_near_dup",  # now star-capped (max_bucket) — results changed
-    "x4_pq_adc_stored",  # new: ADC over materialized codes
-    "x4_recall_report",  # new: per-family recall@10 with full oracle
-    "x4_mmr_rerank",  # new: greedy MMR with a recursive-CTE oracle
-    "x9_matryoshka_topk",  # new: MRL truncated retrieval
-    "x5_corpus_stats",  # new: one-row corpus health report
-    "x4_lsh_index_topk",  # new: materialized LSH index + partition pruning
-    "x4_ivfpq_topk",  # new: IVFADC (coarse prune × PQ/ADC), full oracle
-    "x3_range_search",  # new: radius search (score_threshold twin of top-k)
-    "x4_sq_topk",  # new: int8 scalar-quantized retrieval
-    "x3_filtered_topk",  # new: filtered ANN search (pre-filter semantics)
-    "x0_training_pipeline",  # new: end-to-end filter->dedup->chunk->pack
-    "x3_grouped_topk",  # new: per-group top-k (diversified results)
-    "x4_ivf_index_topk",  # new: materialized IVF layout + partition pruning
-    "x7_hll_daily_merge",  # new: mergeable-sketch rollup (rows-only)
-    "bin_equal_frequency_events",  # NULL-bin guard added this round
-    "x2_semdedup",  # new: SemDeDup cluster-blocked semantic dedup
-    "x3_hard_negatives",  # new: contrastive hard-negative mining
-    "x10_source_mixture",  # new: temperature source-mixing weights
-    "x10_mixture_apply",  # new: materialized resampling (md5-coin oracle)
-    "x11_sql_api_topk",  # new: SQL-UDF API surface (vm_cosine)
-    "x5_bigram_surprisal",  # new: transition-aware perplexity filter
-    "x2_decontaminate",  # new: embedding-level benchmark decontamination
-    "x5_span_dedup",  # new: cross-doc repeated-span removal (keep-first)
-    "x0_retrieval_pipeline",  # new: chunk->embed->topk, one lazy plan
-    "x12_quality_constraints",  # new: one-scan declarative quality gate
-    "x13_rolling_corr",  # new: rolling 24h correlation over hourly series
-    "x0_training_manifest",  # new: joined manifest + md5-coin 80/10/10 split
-    "x13_seasonal_anomalies",  # new: hour-of-day-baseline z-score
-    "x5_distinctive_terms",  # new: per-source log-lift vocabulary
-    "x13_user_features",  # new: leak-free sliding feature windows
-    "x2_minhash_md5_pairs",  # new: full-oracle MinHash-LSH twin
-    "x2_simhash_md5_pairs",  # new: full-oracle SimHash twin
-    "x10_weighted_md5_sample",  # new: full-oracle A-ES sampling twin
-    "x10_stratified_weighted",  # new: per-group A-ES quota (full oracle)
-    "x4_ivf_filtered_topk",  # new: pre-filter + partition-pruned IVF
-    "x0_retrieval_tfidf",  # new: idf-weighted hashed retrieval
-    "x3_training_triples",  # new: (anchor, positive, hard-neg) frame
-    "x5_keywords",  # new: per-doc tf-idf keyword extraction
-    # --- (c) standing canaries (shared-loader / canonical-pipeline) ---
+    "x2_lsh_near_dup_multi",
+    "x10_kfold_assign",
+    "x13_event_gaps",
+    "x2_containment_pairs",
+    "x1_dup_rate_by_source",
+    "x9_storage_report",
+    "x12_referential_integrity",
+    # --- (b) new in round 5 ---
+    "x2_semdedup_fitted",  # kmeans_fit -> semantic_dedup (rows-only)
+    "x2_dedup_keep_best",  # quality-keeper apply rule
+    "x2_dedup_funnel",  # one-row dedup pipeline trace
+    "x0_leakage_safe_split",  # split + cross-split near-dup scrub
+    "x10_lang_balanced_mixture",  # langid -> alpha=0.3 mixture apply
+    "x5_hot_grams",  # max_df tuning report
+    "x9_sq_error_by_label",  # SQ reconstruction-error report
+    "x5_quality_tiers",  # ntile decile curation frame
+    "x4_ivf_balance",  # IVF partition-balance health check
+    "x5_lexical_diversity",  # type-token ratio signal
+    # --- (c) semantically touched in round 5 ---
+    "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
+    "x2_ngram_jaccard_pairs",  # gram keys now hashed
+    "x2_dedup_clusters",  # consumes the hashed-gram kernel
+    "x2_dedup_apply",  # consumes the hashed-gram kernel
+    "x2_dedup_incremental",  # consumes the hashed-gram kernel
+    "x2_embedding_near_dup",  # all-pairs opt-in guard added
+    "x2_lsh_near_dup",  # wrapper over the guarded kernel
+    "x10_mixture_apply",  # apply_source_mixture join rebind
+    # --- (d) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
     "t1_transform_contract",
+    # --- (e) oldest driver evidence (last checked round 2) ---
+    "s1_scan_projection",
+    "p2_normalize_canonical",
+    "p3_metadata_null_drop",
+    "f1_filter_predicate",
+    "l1_limit_offset",
+    "c2_id_coercion",
+    "c4_c6_conform_schema",
+    "pipeline_migrate_plan",
+    "agg_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "window_top_orders",
+    "x1_dedup_exact_text",
+    "x1_dedup_exact_vector",
+    "x2_minhash_lsh_pairs",
+    "x2_simhash_pairs",
+    "x3_cosine_topk",
+    "x3_knn_join",
+    "x4_ivf_topk",
 ]
 
 
