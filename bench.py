@@ -70,6 +70,9 @@ HEADLINE = [
     "x2_decontaminate",
     "x2_dedup_apply",
     "x2_dedup_incremental",
+    "x2_dedup_keep_best",
+    "x2_dedup_funnel",
+    "x0_leakage_safe_split",
     "x3_cosine_topk",
     "x3_knn_join",
     "x3_hard_negatives",
@@ -107,11 +110,16 @@ HEADLINE = [
     "x5_distinctive_terms",
     "x5_keywords",
     "x5_corpus_stats",
+    "x5_hot_grams",
+    "x5_quality_tiers",
+    "x5_lexical_diversity",
     "x6_multimodal_features",
     "x6_frame_explode",
     "x9_chunk_documents",
     "x9_int8_quantization",
     "x9_storage_report",
+    "x9_sq_error_by_label",
+    "x4_ivf_balance",
     "x10_stratified_sample",
     "x12_quality_constraints",
     "x12_referential_integrity",
@@ -119,6 +127,7 @@ HEADLINE = [
     "x10_stratified_weighted",
     "x10_source_mixture",
     "x10_mixture_apply",
+    "x10_lang_balanced_mixture",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "merge_upsert_orders",

@@ -282,3 +282,21 @@ def test_span_dedup_no_token_shuffle(spark):
     assert "collect_list" not in p
     # gram keys are hashed before the shuffle
     assert "xxhash64" in p
+
+
+def test_round5_plan_shapes(spark):
+    """Round-5 locks: the hot-gram report ends in TakeOrdered (top-20,
+    no global sort) with partial aggregation; the quality-tier ntile is
+    the ONLY total order in its plan; the funnel report's three stat
+    frames combine via broadcast joins, never a shuffle."""
+    p = _plan(spark, "x5_hot_grams")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") >= 2  # partial + final df count
+
+    p2 = _plan(spark, "x2_dedup_funnel")
+    assert "BroadcastNestedLoopJoin" in p2 or "BroadcastExchange" in p2
+    assert "SortMergeJoin" not in p2
+
+    p3 = _plan(spark, "x5_lexical_diversity")
+    # pure codegen signal: no aggregation, no hash-partition exchange
+    assert "Exchange hashpartitioning" not in p3
