@@ -528,3 +528,50 @@ def test_deduped_ingest_compaction_swap_recovery(spark, tmp_path):
         r["id"] for r in spark.read.parquet(str(tmp_path / "corpus__shingles")).collect()
     )
     assert ids == [1, 2]  # swap finished, store intact, new doc ingested
+
+
+def test_validated_ingest_gates_and_quarantines(spark, tmp_path):
+    """Round-5 X12×X8: the streaming quality gate lands a clean batch
+    in the corpus, routes a failing batch (null ids) to the quarantine
+    batch-atomically, and persists the per-batch constraint report."""
+    from vectordb_migrator_spark.streaming.incremental import validated_ingest
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "quarantine")
+    schema = "doc_id long, text string"
+
+    def run():
+        q = validated_ingest(
+            spark,
+            source_path=src,
+            source_schema=schema,
+            corpus_path=corpus,
+            quarantine_path=quarantine,
+            checkpoint=str(tmp_path / "ckpt"),
+            validate={"min_rows": 1, "not_null": ["doc_id"]},
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "clean row one"), (2, "clean row two")], schema
+    ).write.parquet(src)
+    run()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 2]
+
+    spark.createDataFrame(
+        [(None, "poisoned row"), (4, "fine row")], schema
+    ).write.mode("append").parquet(src)
+    run()
+    # corpus unchanged; the whole bad batch quarantined atomically
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 2]
+    q_rows = spark.read.parquet(quarantine).collect()
+    assert sorted(r["text"] for r in q_rows) == ["fine row", "poisoned row"]
+    # the report names the failing constraint with its measured value
+    reports = spark.read.parquet(quarantine + "__reports").collect()
+    bad = [r for r in reports if not r["passed"]]
+    assert bad and bad[0]["check_name"].startswith("not_null")

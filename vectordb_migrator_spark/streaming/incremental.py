@@ -386,3 +386,67 @@ def sketch_distinct_over(
         .cast("long")
         .alias("distinct_est"),
     )
+
+
+def validated_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    corpus_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    validate: dict[str, Any],
+    source_format: str = "parquet",
+    trigger_once: bool = True,
+):
+    """Streaming ingest with a PER-MICRO-BATCH quality gate — X12 meets
+    X8: every batch evaluates the same declarative constraint set the
+    batch Migrator's ``validate`` section uses (N constraints = ONE
+    aggregate over one batch scan), and lands batch-atomically in the
+    corpus when every constraint passes or in the quarantine when any
+    fails. The per-batch validation report (check, value, threshold,
+    passed) is persisted next to the quarantine, so a data-quality
+    incident has its evidence attached.
+
+    Replay safety without id bookkeeping: each batch writes to its own
+    ``batch=<id>`` subdirectory with mode=overwrite, so a replayed
+    micro-batch overwrites its previous attempt instead of appending a
+    duplicate — idempotent by construction, and both stores read back
+    as ordinary partitioned parquet.
+
+    At scale the gate costs one extra pass over the BATCH (not the
+    corpus) — micro-batch-sized by definition; the report is
+    constraint-count rows.
+    """
+    from vectordb_migrator_spark.operators.validation import (
+        check_constraints,
+        constraints_from_config,
+    )
+
+    cons = constraints_from_config(validate)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # gate + write, one compute
+        report = check_constraints(batch_df, cons)
+        rows = report.collect()  # len(constraints) rows — driver-tiny
+        ok = all(r["passed"] for r in rows)
+        target = corpus_path if ok else quarantine_path
+        batch_df.write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
+        report.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{quarantine_path}__reports/batch={batch_id}")
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
