@@ -112,6 +112,7 @@ HEADLINE = [
     "x5_corpus_stats",
     "x5_hot_grams",
     "x5_quality_tiers",
+    "x5_quality_tiers_scalable",
     "x5_lexical_diversity",
     "x6_multimodal_features",
     "x6_frame_explode",

@@ -6268,6 +6268,72 @@ def x5_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tier_case_sql(n: int = 10) -> str:
+    whens = " ".join(
+        f"WHEN n_tok <= bs[{i}] THEN {i}" for i in range(1, n)
+    )
+    return f"CASE {whens} ELSE {n} END"
+
+
+@query(
+    "x5_quality_tiers_scalable",
+    rf"""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+               AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT quantile_cont(n_tok,
+               [{", ".join(str((i + 1) / 10) for i in range(9))}]) AS bs
+      FROM s
+    ),
+    t AS (
+      SELECT doc_id, n_tok, {_tier_case_sql(10)} AS tier
+      FROM s, b
+    )
+    SELECT tier::INT AS tier, count(*)::BIGINT AS n,
+           min(n_tok) AS tok_min, max(n_tok) AS tok_max,
+           round(avg(n_tok), 6) AS tok_mean
+    FROM t GROUP BY tier ORDER BY tier
+    """,
+)
+def x5_quality_tiers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — quality deciles, the 100 TB path (round 5): instead of
+    ``x5_quality_tiers``'s global ntile sort, the nine decile CUTS
+    reduce to ONE exact-percentile aggregate row broadcast back into
+    the scan — the corpus never sorts and never shuffles (same
+    machinery as ``equal_frequency_bins``). Bin populations can deviate
+    from exact tenths when many rows tie at a cut — the price of not
+    sorting, and the correct trade at scale; the ntile twin quantifies
+    the difference at small N."""
+    from vectordb_migrator_spark.functions.text import token_count_ws
+    from vectordb_migrator_spark.operators.slicing import equal_frequency_bins
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").cast("long").alias("n_tok")
+    )
+    binned = equal_frequency_bins(
+        docs,
+        value_col="n_tok",
+        probs=tuple((i + 1) / 10 for i in range(9)),
+        bin_col="tier",
+    )
+    return (
+        binned.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("n_tok").alias("tok_min"),
+            F.max("n_tok").alias("tok_max"),
+            F.round(F.avg("n_tok"), 6).alias("tok_mean"),
+        )
+        .select(F.col("tier").cast("int").alias("tier"), "n",
+                "tok_min", "tok_max", "tok_mean")
+        .orderBy("tier")
+    )
+
+
 @query(
     "x3_training_triples",
     """
@@ -7236,7 +7302,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_simhash_pairs",
     "x3_cosine_topk",
     "x3_knn_join",
-    "x4_ivf_topk",
+    "x5_quality_tiers_scalable",
 ]
 
 
