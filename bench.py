@@ -72,6 +72,7 @@ HEADLINE = [
     "x2_dedup_incremental",
     "x2_dedup_keep_best",
     "x2_dedup_funnel",
+    "x2_cluster_size_histogram",
     "x0_leakage_safe_split",
     "x3_cosine_topk",
     "x3_knn_join",

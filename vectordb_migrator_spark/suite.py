@@ -3851,6 +3851,81 @@ def x2_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_cluster_size_histogram",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+      SELECT a AS id, least(a, min(b))::BIGINT AS comp
+      FROM reach GROUP BY a
+    ), sizes AS (
+      SELECT comp, count(*)::BIGINT AS family_size
+      FROM clusters GROUP BY comp
+    )
+    SELECT family_size, count(*)::BIGINT AS n_families,
+           (family_size * count(*))::BIGINT AS n_docs,
+           (family_size * count(*) - count(*))::BIGINT AS n_removable
+    FROM sizes GROUP BY family_size ORDER BY family_size
+    """,
+)
+def x2_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — duplicate-family size distribution (round 5): how many
+    near-dup families of each size the corpus holds, how many docs they
+    bind, and how many a keep-one policy removes. The shape of this
+    histogram drives dedup strategy: a fat tail of size-2 families is
+    syndication noise; one 10k-doc family is boilerplate/template text
+    and a candidate for span-level treatment instead. Two
+    map-side-combinable aggregates on top of the duplicate-sized
+    cluster frame."""
+    from vectordb_migrator_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    sizes = (
+        connected_components(pairs)
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).cast("long").alias("family_size"))
+    )
+    return (
+        sizes.groupBy("family_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_families"))
+        .select(
+            "family_size",
+            "n_families",
+            (F.col("family_size") * F.col("n_families"))
+            .cast("long")
+            .alias("n_docs"),
+            (F.col("family_size") * F.col("n_families") - F.col("n_families"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("family_size")
+    )
+
+
+@query(
     "x2_dedup_keep_best",
     r"""
     WITH RECURSIVE sh AS (
@@ -7299,10 +7374,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "x1_dedup_exact_text",
     "x1_dedup_exact_vector",
     "x2_minhash_lsh_pairs",
-    "x2_simhash_pairs",
     "x3_cosine_topk",
     "x3_knn_join",
     "x5_quality_tiers_scalable",
+    "x2_cluster_size_histogram",
 ]
 
 
