@@ -2762,6 +2762,86 @@ def x9_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x0_packing_manifest",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE ceil((len(toks) - 32)::DOUBLE / 24)::INT + 1 END
+               AS n_chunks
+      FROM t
+    ), x AS (
+      SELECT doc_id,
+             unnest([{'chunk_id': i - 1,
+                      'n_tokens': least(n - (i-1)*24, 32)}
+                     for i in range(1, n_chunks + 1)]) AS ch
+      FROM c
+    ), ch AS (
+      SELECT doc_id, ch.chunk_id::BIGINT AS chunk_id,
+             ch.n_tokens::BIGINT AS n_tokens
+      FROM x
+    ), off AS (
+      SELECT doc_id, chunk_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_id)
+               - n_tokens AS o
+      FROM ch
+    ), packed AS (
+      SELECT doc_id, chunk_id, n_tokens,
+             (o // 64)::BIGINT AS pack_id, (o % 64)::BIGINT AS pack_offset
+      FROM off
+    )
+    SELECT doc_id, pack_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(n_tokens)::BIGINT AS n_tok,
+           string_agg(chunk_id || ':' || pack_offset || ':' || n_tokens,
+                      ',' ORDER BY chunk_id) AS spans
+    FROM packed GROUP BY doc_id, pack_id
+    ORDER BY doc_id, pack_id
+    """,
+)
+def x0_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — the sequence-packing MANIFEST (round 5): per packed
+    training sequence, its chunk spans as ``chunk:offset:len`` triples
+    in order — the cu_seqlens-style boundary artifact a trainer needs
+    to build block-diagonal attention masks over packed sequences
+    (without it, packing silently lets documents attend to each other).
+    One window cumsum per doc + one (doc, pack) aggregate — the
+    sessionization shape, two key-local exchanges, spans serialized to
+    a string so the frame is plain columnar data."""
+    from vectordb_migrator_spark.operators.chunking import chunk_text, pack_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_chunks(chunk_text(d, chunk_size=32, overlap=8), budget=64)
+    return (
+        packed.groupBy("doc_id", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_tok"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("chunk_id", "pack_offset", "n_tokens")
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s.getField("chunk_id").cast("string"),
+                        s.getField("pack_offset").cast("string"),
+                        s.getField("n_tokens").cast("string"),
+                    ),
+                ),
+            ).alias("spans"),
+        )
+        .orderBy("doc_id", "pack_id")
+    )
+
+
+@query(
     "x8_interval_join_batch",
     """
     SELECT p.event_id, p.user_id,
@@ -7373,11 +7453,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_top_orders",
     "x1_dedup_exact_text",
     "x1_dedup_exact_vector",
-    "x2_minhash_lsh_pairs",
     "x3_cosine_topk",
     "x3_knn_join",
     "x5_quality_tiers_scalable",
     "x2_cluster_size_histogram",
+    "x0_packing_manifest",
 ]
 
 
