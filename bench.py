@@ -59,6 +59,7 @@ HEADLINE = [
     "x0_retrieval_tfidf",
     "x0_training_manifest",
     "x0_packing_manifest",
+    "x0_shard_shuffle",
     "x1_dedup_exact_text",
     "x1_dup_rate_by_source",
     "x2_ngram_jaccard_pairs",

@@ -171,3 +171,46 @@ def test_zorder_write_narrows_per_file_extents(spark, tmp_path):
         spark.read.parquet(zpath).groupBy("x", "y").count().orderBy("x", "y").collect()
         == df.groupBy("x", "y").count().orderBy("x", "y").collect()
     )
+
+
+def test_export_shards_layout_and_manifest(spark, tmp_path):
+    """export_shards writes shard-partitioned parquet with a manifest;
+    the layout is reproducible (same seed -> identical assignment), a
+    different seed reshuffles, and shard reads prune to one directory."""
+    from vectordb_migrator_spark.operators.scale import (
+        deterministic_shuffle,
+        export_shards,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("long").alias("n_tok"),
+    )
+    path = str(tmp_path / "shards")
+    manifest = {
+        r["shard"]: r for r in export_shards(
+            df, path, id_col="doc_id", n_shards=4, seed=0
+        ).collect()
+    }
+    assert set(manifest) == {0, 1, 2, 3}
+    assert sum(r["n_rows"] for r in manifest.values()) == 200
+    assert all("n_tok" in r.asDict() for r in manifest.values())
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    # directory pruning: one shard reads only its own rows
+    one = back.filter(F.col("shard") == 2)
+    assert one.count() == manifest[2]["n_rows"]
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan
+
+    a = deterministic_shuffle(df, id_col="doc_id", n_shards=4, seed=0)
+    b = deterministic_shuffle(df, id_col="doc_id", n_shards=4, seed=0)
+    c = deterministic_shuffle(df, id_col="doc_id", n_shards=4, seed=1)
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+    assert key(a.collect()) == key(b.collect())  # reproducible
+    assert key(a.collect()) != key(c.collect())  # seed reshuffles
+    # the persisted manifest mirrors the returned one
+    stored = {r["shard"]: r["n_rows"]
+              for r in spark.read.parquet(path + "__manifest").collect()}
+    assert stored == {k: r["n_rows"] for k, r in manifest.items()}

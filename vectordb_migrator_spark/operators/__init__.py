@@ -95,6 +95,8 @@ _EXPORTS = {
     "write_bucketed": "scale",
     "write_partitioned": "scale",
     "zorder_write": "scale",
+    "deterministic_shuffle": "scale",
+    "export_shards": "scale",
     "zorder_value": "scale",
     "check_constraints": "validation",
     "constraints_from_config": "validation",

@@ -145,3 +145,69 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training
+    reproducibility: every row gets a pseudo-random but REPRODUCIBLE
+    order key (md5 of ``seed:id``), a shard (key mod n_shards), and a
+    position within its shard. The same corpus with the same seed
+    yields byte-identical shard layouts on every run, engine, and
+    partitioning — which is what makes a training run resumable and a
+    data-ablation comparable (``rand()`` would give neither), and what
+    lets two teams agree on "epoch 3, shard 17, position 40122".
+
+    Scale shape: key and shard are pure codegen; the only exchange is
+    the per-shard window (partition by shard — n_shards-way, balanced
+    by construction since md5 is uniform). Write the result with
+    ``partitionBy("shard")`` for shard-pruned training reads.
+    """
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"shuffle:{seed}:"), F.col(id_col))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    from pyspark.sql import Window as W
+
+    out = df.withColumn("__key", key).withColumn(
+        "shard", F.pmod(F.col("__key"), F.lit(n_shards)).cast("int")
+    )
+    w = W.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__key")
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize a :func:`deterministic_shuffle` as shard-partitioned
+    parquet (``path/shard=K/``) and return the 1-row-per-shard manifest
+    (rows, and token count when an ``n_tok`` column exists) — the
+    WebDataset-style export a trainer consumes shard-by-shard with
+    directory pruning. The manifest is written next to the corpus at
+    ``{path}__manifest``."""
+    sharded = deterministic_shuffle(
+        df, id_col=id_col, n_shards=n_shards, seed=seed
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    if "n_tok" in sharded.columns:
+        aggs.append(F.sum("n_tok").cast("long").alias("n_tok"))
+    manifest = sharded.groupBy("shard").agg(*aggs).orderBy("shard")
+    manifest.write.mode("overwrite").parquet(f"{path}__manifest")
+    return manifest

@@ -2762,6 +2762,44 @@ def x9_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x0_shard_shuffle",
+    r"""
+    WITH k AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', substr(md5(concat('shuffle:0:', doc_id)),
+                                      1, 15)) AS BIGINT) AS key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, key, (((key % 8) + 8) % 8)::INT AS shard FROM k
+    )
+    SELECT doc_id, shard,
+           (row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+            - 1)::BIGINT AS pos
+    FROM s ORDER BY doc_id
+    """,
+)
+def x0_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — deterministic shuffle-and-shard (round 5): a reproducible
+    pseudo-random order key (md5 of seed:id) assigns every document a
+    shard and an in-shard position — byte-identical layouts across
+    runs, engines, and partitionings, which is what makes a training
+    run resumable at "shard 5, position 40122" and two ablations
+    comparable (rand() gives neither; hence the full cross-engine
+    oracle). Key/shard are codegen; the one exchange is the balanced
+    per-shard window. ``export_shards`` materializes this as
+    shard-partitioned parquet + manifest."""
+    from vectordb_migrator_spark.operators.scale import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        deterministic_shuffle(docs, id_col="doc_id", n_shards=8, seed=0)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "x0_packing_manifest",
     r"""
     WITH t AS (
@@ -7453,11 +7491,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_top_orders",
     "x1_dedup_exact_text",
     "x1_dedup_exact_vector",
-    "x3_cosine_topk",
     "x3_knn_join",
     "x5_quality_tiers_scalable",
     "x2_cluster_size_histogram",
     "x0_packing_manifest",
+    "x0_shard_shuffle",
 ]
 
 
