@@ -839,3 +839,54 @@ def test_ivf_filtered_topk_prefilter_and_pruning(spark, embeddings, probe, tmp_p
     labels = {r["vec_id"] for r in rows}
     lab = {r["vec_id"]: r["label"] for r in embeddings.collect()}
     assert all(lab[v] % 2 == 0 for v in labels)
+
+
+def test_ivf_index_health_and_refit(spark, embeddings, probe, tmp_path):
+    """Round-5: the footer-count health check reports the layout's
+    imbalance; refit is a no-op while healthy, rebuilds (rename-swap
+    publish) when the gate is passed, and the refit layout still
+    answers probes identically to an in-plan scan over its own
+    assignment."""
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_health,
+        ivf_index_refit,
+        ivf_index_topk,
+        ivf_topk,
+    )
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "ivf")
+    # deliberately skewed coarse clustering: everything in one bucket
+    skewed = embeddings.withColumn(
+        "cluster", F.when(F.col("vec_id") < 10, 1).otherwise(0)
+    )
+    build_ivf_index(skewed, path, cluster_col="cluster")
+    h = {r["cluster"]: r for r in ivf_index_health(spark, path).collect()}
+    assert set(h) == {0, 1}
+    assert h[0]["imbalance"] > 1.5  # the skew is visible
+
+    # healthy-threshold gate: imbalance above it -> no-op is False path
+    assert ivf_index_refit(spark, path, k=4, max_imbalance=100.0) is False
+    # drifted past the gate -> rebuild happens and balance improves
+    assert ivf_index_refit(spark, path, k=4, max_imbalance=1.2) is True
+    h2 = ivf_index_health(spark, path).collect()
+    assert len(h2) == 4
+    assert h2[0]["imbalance"] < h[0]["imbalance"]
+
+    # probes over the refit layout equal the in-plan IVF on the same
+    # stored assignment (nprobe=k probes everything -> exact)
+    stored = spark.read.parquet(path + "/corpus")
+    expect = [
+        tuple(r)
+        for r in ivf_topk(
+            stored, probe, cluster_col="cluster", k=5, nprobe=4
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in ivf_index_topk(
+            spark, path, probe, cluster_col="cluster", k=5, nprobe=4
+        ).collect()
+    ]
+    assert got == expect

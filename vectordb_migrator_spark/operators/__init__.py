@@ -37,6 +37,8 @@ _EXPORTS = {
     "build_ivf_index": "similarity",
     "ivf_index_append": "similarity",
     "ivf_index_topk": "similarity",
+    "ivf_index_health": "similarity",
+    "ivf_index_refit": "similarity",
     "ivf_index_filtered_topk": "similarity",
     "build_lsh_index": "similarity",
     "lsh_index_append": "similarity",

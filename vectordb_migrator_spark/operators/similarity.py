@@ -880,3 +880,81 @@ def sq_dequantized(
         sc == 0.0, F.transform(v, lambda x: F.lit(0.0))
     ).otherwise(F.transform(v, lambda x: F.round(x / sc, 0) * sc))
     return staged.select("*", dv.alias(out_col)).drop("_sq_scale")
+
+
+def ivf_index_health(spark, path: str, *, cluster_col: str = "cluster") -> DataFrame:
+    """Health report for a :func:`build_ivf_index` layout: per-partition
+    row counts/shares plus the imbalance factor (max partition over
+    mean) — the stored-layout twin of the suite's ``x4_ivf_balance``.
+    The partition column is directory-derived, so the count scan reads
+    parquet footers, not vector data. An imbalance of I means the
+    hottest probe partition does I× the mean scan work; IVF practice
+    refits the quantizer (offline) when I drifts too high."""
+    corpus = spark.read.parquet(f"{path}/corpus")
+    per = corpus.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    s = per.agg(
+        F.sum("n").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__k"),
+        F.max("n").cast("long").alias("__max"),
+    )
+    return (
+        per.crossJoin(F.broadcast(s))
+        .select(
+            F.col(cluster_col),
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("__max") / (F.col("__total") / F.col("__k")), 6).alias(
+                "imbalance"
+            ),
+        )
+        .orderBy(cluster_col)
+    )
+
+
+def ivf_index_refit(
+    spark,
+    path: str,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    max_imbalance: float | None = None,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> bool:
+    """Offline IVF quantizer rebuild — the maintenance step
+    :func:`ivf_index_append` defers to: refit k-means on the STORED
+    corpus, rewrite the layout into a ``__refit`` sibling, and publish
+    it with two FileSystem renames (the same crash-window-safe swap as
+    the streaming shingle-store compaction; a reader mid-swap sees the
+    complete old or complete new generation on rename-atomic
+    filesystems). With ``max_imbalance`` set, the rebuild runs ONLY
+    when :func:`ivf_index_health` reports drift past it — the cheap
+    health check (footer counts) gates the expensive refit (Lloyd over
+    the corpus; pass ``sample_fraction`` at real scale). Returns True
+    iff a refit was published."""
+    from vectordb_migrator_spark.operators.clustering import kmeans_fit
+
+    if max_imbalance is not None:
+        row = ivf_index_health(spark, path, cluster_col=cluster_col).first()
+        if row is not None and row["imbalance"] <= max_imbalance:
+            return False
+    corpus = spark.read.parquet(f"{path}/corpus").drop(cluster_col)
+    assigned, _, _ = kmeans_fit(
+        corpus,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_iter=max_iter,
+        sample_fraction=sample_fraction,
+    )
+    tmp = f"{path}__refit"
+    build_ivf_index(assigned, tmp, cluster_col="cluster", vec_col=vec_col)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jvm_path(path), True)
+    fs.rename(jvm_path(tmp), jvm_path(path))
+    return True
