@@ -575,3 +575,60 @@ def test_validated_ingest_gates_and_quarantines(spark, tmp_path):
     reports = spark.read.parquet(quarantine + "__reports").collect()
     bad = [r for r in reports if not r["passed"]]
     assert bad and bad[0]["check_name"].startswith("not_null")
+
+
+def test_mixture_ingest_plan_tracks_growth(spark, tmp_path):
+    """Round-5 X10×X8: the counts store accumulates per-batch partials;
+    mixture_over's plan equals source_mixture computed directly over
+    the full corpus at every point — without rescanning it."""
+    from vectordb_migrator_spark.operators.slicing import source_mixture
+    from vectordb_migrator_spark.streaming.incremental import (
+        mixture_ingest,
+        mixture_over,
+    )
+
+    src = str(tmp_path / "in")
+    counts = str(tmp_path / "counts")
+    schema = "doc_id long, source string"
+
+    def run():
+        q = mixture_ingest(
+            spark,
+            source_path=src,
+            source_schema=schema,
+            counts_path=counts,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    def plan():
+        return {
+            r["source"]: (r["size"], r["epochs"])
+            for r in mixture_over(
+                spark, counts, alpha=0.5, budget=100
+            ).collect()
+        }
+
+    batch1 = [(i, "web") for i in range(8)] + [(100 + i, "book") for i in range(2)]
+    spark.createDataFrame(batch1, schema).write.parquet(src)
+    run()
+    direct = {
+        r["source"]: (r["size"], r["epochs"])
+        for r in source_mixture(
+            spark.createDataFrame(batch1, schema), alpha=0.5, budget=100
+        ).collect()
+    }
+    assert plan() == direct
+
+    batch2 = [(200 + i, "book") for i in range(6)]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    run()
+    direct2 = {
+        r["source"]: (r["size"], r["epochs"])
+        for r in source_mixture(
+            spark.createDataFrame(batch1 + batch2, schema), alpha=0.5, budget=100
+        ).collect()
+    }
+    assert plan() == direct2
+    # the store itself stays kilobyte-sized: one partial per (source, batch)
+    assert spark.read.parquet(counts).count() <= 4

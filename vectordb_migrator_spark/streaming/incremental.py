@@ -450,3 +450,84 @@ def validated_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def mixture_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    counts_path: str,
+    checkpoint: str,
+    source_col: str = "source",
+    size_col: str | None = None,
+    source_format: str = "parquet",
+    trigger_once: bool = True,
+):
+    """Continuous mixture-statistics maintenance — X10 meets X8: every
+    micro-batch appends one ``(source, batch_id, size)`` partial per
+    source it touches, and :func:`mixture_over` derives the CURRENT
+    temperature-mixing plan from the kilobyte-sized counts store — the
+    growing corpus is never rescanned to re-plan a mixture. Same
+    partial-append contract as ``sketch_ingest``: appends are
+    conflict-free, and the pre-append anti-join on
+    ``(source, batch_id)`` makes foreachBatch replays idempotent
+    within the checkpoint lineage. ``size_col`` measures per-row size
+    (e.g. a token count expression name); default is row count."""
+    from pyspark.sql.utils import AnalysisException
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        size = (
+            F.count(F.lit(1)) if size_col is None else F.sum(F.col(size_col))
+        )
+        partials = (
+            batch_df.groupBy(F.col(source_col).alias("source"))
+            .agg(size.cast("double").alias("size"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        try:
+            seen = sess.read.parquet(counts_path).select("source", "batch_id")
+            partials = partials.join(seen, ["source", "batch_id"], "left_anti")
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(counts_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def mixture_over(
+    spark: SparkSession,
+    counts_path: str,
+    *,
+    alpha: float = 0.5,
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """The current temperature-mixing plan from a :func:`mixture_ingest`
+    counts store: sum the per-batch partials per source (associative,
+    so partial appends and a merged store answer identically) and run
+    the standard ``source_mixture`` math over the tiny aggregate —
+    same output schema (source, size, weight, target, epochs), fed to
+    ``apply_source_mixture`` unchanged."""
+    from vectordb_migrator_spark.operators.slicing import source_mixture
+
+    per = (
+        spark.read.parquet(counts_path)
+        .groupBy("source")
+        .agg(F.sum("size").alias("__n"))
+    )
+    return source_mixture(
+        per, source_col="source", size_col="__n", alpha=alpha, budget=budget
+    )
