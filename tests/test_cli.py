@@ -144,3 +144,33 @@ def test_stream_cli_requires_checkpoint_and_streamable_types(spark, tmp_path):
                stream={"checkpoint": str(tmp_path / "ck")})
     with _pytest.raises(ValueError, match="no streaming endpoint"):
         StreamMigrator(spark, bad)
+
+
+def test_stream_cli_parquet_source(spark, tmp_path):
+    """The file-stream branch: parquet source (query.schema +
+    query.path) streamed into a qdrant sink from one config."""
+    from fake_backends import FakeQdrantGrowingClient, read_upserted_points
+    from vectordb_migrator_spark.plans.pipeline import run_stream_migration
+
+    store = str(tmp_path)
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(str(i), [float(i), 0.0], {"k": f"v{i}"}) for i in range(6)],
+        "id string, vector array<float>, metadata map<string,string>",
+    ).write.parquet(src)
+    cfg = {
+        "source": {"type": "parquet",
+                   "query": {
+                       "path": src,
+                       "schema": "id string, vector array<float>, "
+                                 "metadata map<string,string>"}},
+        "target": {"type": "qdrant",
+                   "connection": {"store_dir": store},
+                   "load": {
+                       "collection_name": "tgt",
+                       "client_factory": "fake_backends:qdrant_growing_factory",
+                       "vector_dimension": 2}},
+        "stream": {"checkpoint": str(tmp_path / "ckpt")},
+    }
+    assert run_stream_migration(spark, cfg) is True
+    assert set(read_upserted_points(store, "tgt")) == set(range(6))

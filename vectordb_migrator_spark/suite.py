@@ -3945,7 +3945,12 @@ def x2_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_exact_dup_rows"),
     )
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    # the pair frame feeds BOTH the count branch and the CC iterations;
+    # materialize it once (CC localCheckpoints its edge view anyway, but
+    # that internal copy isn't visible to the count branch)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2).localCheckpoint(
+        eager=True
+    )
     clusters = connected_components(pairs)
     pair_n = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs"))
     clus_n = clusters.agg(
