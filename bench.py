@@ -90,6 +90,7 @@ HEADLINE = [
     "x4_sq_topk",
     "x4_ivf_index_topk",
     "x4_ivf_filtered_topk",
+    "x4_ivf_index_batch_topk",
     "x3_range_search",
     "x3_filtered_topk",
     "x3_grouped_topk",
@@ -123,6 +124,7 @@ HEADLINE = [
     "x9_int8_quantization",
     "x9_storage_report",
     "x9_sq_error_by_label",
+    "x9_centroid_outliers",
     "x4_ivf_balance",
     "x10_stratified_sample",
     "x12_quality_constraints",

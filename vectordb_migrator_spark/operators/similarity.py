@@ -958,3 +958,80 @@ def ivf_index_refit(
     fs.delete(jvm_path(path), True)
     fs.rename(jvm_path(tmp), jvm_path(path))
     return True
+
+
+def ivf_index_batch_topk(
+    spark,
+    path: str,
+    probes: DataFrame,
+    *,
+    cluster_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "q_id",
+    probe_vec_col: str = "q_vec",
+) -> DataFrame:
+    """BATCHED probe of a :func:`build_ivf_index` layout — the
+    production retrieval shape (Q queries arrive together, not one at
+    a time). Per probe, the tiny centroid table ranks driver-side and
+    yields its nprobe clusters; the UNION of all probed clusters folds
+    into ONE literal partition filter, so the corpus is scanned once
+    for the whole batch and unprobed directories never open. The probe
+    side becomes a broadcast (cluster → probes) frame joined against
+    the pruned scan on the partition column — each corpus row is
+    scored only against the probes that probed its cluster — and a
+    per-probe window keeps the top k.
+
+    vs Q separate :func:`ivf_index_topk` calls: one scan instead of Q,
+    at the cost of scanning the union of partitions (at 100 TB with
+    1000s of probes per second, batch probing is the only shape that
+    amortizes; single-probe stays for latency-bound lookups).
+    Ties rank ``(score DESC, id ASC)`` like every top-k here."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    probe_rows = probes.select(probe_id_col, probe_vec_col).collect()
+
+    def cos(c, p, pn):
+        num = sum(float(x) * float(y) for x, y in zip(c, p))
+        return num / (
+            math.sqrt(sum(float(x) * float(x) for x in c)) * pn
+        )
+
+    assign = []  # (cluster, q_id, q_vec)
+    for pr in probe_rows:
+        p = [float(x) for x in pr[probe_vec_col]]
+        pn = math.sqrt(sum(x * x for x in p))
+        ranked = sorted((-cos(r["centroid"], p, pn), r["cluster"]) for r in cents)
+        for _, c in ranked[:nprobe]:
+            assign.append((c, pr[probe_id_col], p))
+    probed_clusters = sorted({a[0] for a in assign})
+    probe_df = spark.createDataFrame(
+        assign, f"{cluster_col} int, {probe_id_col} long, {probe_vec_col} array<double>"
+    )
+    pruned = spark.read.parquet(f"{path}/corpus").filter(
+        F.col(cluster_col).isin(probed_clusters)
+    )
+    scored = (
+        pruned.join(F.broadcast(probe_df), cluster_col)
+        .select(
+            probe_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(
+                    F.col(vec_col).cast("array<double>"), F.col(probe_vec_col)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy(probe_id_col).orderBy(F.desc("score"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "score", "rank")
+    )

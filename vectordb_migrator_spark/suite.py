@@ -947,6 +947,74 @@ def x4_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x4_ivf_index_topk"] = ORACLES["x4_ivf_topk"]
 
 
+@query(
+    "x4_ivf_index_batch_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    dims AS (
+      SELECT e.label, r.i, avg(e.embedding[r.i]::DOUBLE) AS m
+      FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) r(i)
+      GROUP BY e.label, r.i
+    ),
+    cent AS (
+      SELECT label AS cluster, list(m ORDER BY i) AS cv
+      FROM dims GROUP BY label
+    ),
+    ranked AS (
+      SELECT q.q_id, c.cluster,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_dot_product(c.cv, q.qv) /
+                        (sqrt(list_dot_product(c.cv, c.cv)) *
+                         sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                        c.cluster) AS rn
+      FROM cent c, q
+    ),
+    probed AS (SELECT q_id, cluster FROM ranked WHERE rn <= 2),
+    scored AS (
+      SELECT p.q_id, e.vec_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+      FROM probed p JOIN q USING (q_id)
+      JOIN embeddings e ON e.label = p.cluster
+    )
+    SELECT q_id, vec_id, score,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, vec_id)::BIGINT AS rank
+    FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank
+    """,
+)
+def x4_ivf_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — BATCHED probe of the materialized IVF layout (round 5):
+    three probes rank the centroid table driver-side, the union of
+    their nprobe clusters folds into ONE partition filter (one corpus
+    scan for the whole batch — the shape that amortizes at thousands
+    of probes/sec), and a broadcast (cluster → probe) frame scores
+    each row only against the probes that probed its cluster."""
+    import tempfile
+
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_batch_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    path = tempfile.mkdtemp(prefix="ivf_batch_")
+    build_ivf_index(emb, path, cluster_col="label")
+    return ivf_index_batch_topk(
+        spark, path, probes, cluster_col="label", k=5, nprobe=2
+    ).orderBy("q_id", "rank")
+
+
 @query("x4_ivf_filtered_topk", None)  # oracle attached below
 def x4_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — the production ANN query shape on the materialized IVF
@@ -6360,6 +6428,85 @@ def x5_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x9_centroid_outliers",
+    """
+    WITH dims AS (
+      SELECT e.label, r.i, avg(e.embedding[r.i]::DOUBLE) AS m
+      FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) r(i)
+      GROUP BY e.label, r.i
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY i) AS cv FROM dims GROUP BY label
+    ),
+    d AS (
+      SELECT e.vec_id, e.label,
+             round(sqrt(list_sum(list_transform(
+               list_zip(e.embedding::DOUBLE[], c.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+      FROM embeddings e JOIN cent c USING (label)
+    ),
+    cut AS (
+      SELECT label, round(quantile_cont(dist, 0.95), 6) AS p95
+      FROM d GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.dist, cut.p95
+    FROM d JOIN cut USING (label)
+    WHERE d.dist > cut.p95
+    ORDER BY d.vec_id
+    """,
+)
+def x9_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — per-label centroid-distance outliers (round 5): vectors
+    unusually far from their own label's mean embedding (beyond the
+    label's p95 distance) — the mislabel/noise screen an embedding
+    corpus runs before training a classifier on it (the label-norm
+    twin is vacuous here: fixture embeddings are unit-normalized).
+    Centroids are ONE map-side-combinable per-(label, dim) aggregate;
+    distances are a codegen fold against the broadcast centroid table;
+    the per-label exact-percentile cut is a second tiny broadcast —
+    the corpus scans twice (distance pass + flag pass share lineage)
+    and never shuffles its vectors."""
+    from vectordb_migrator_spark.operators.similarity import (
+        ivf_build_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(e, cluster_col="label", vec_col="embedding")
+    d = (
+        e.join(
+            F.broadcast(cents.withColumnRenamed("cluster", "label")), "label"
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("embedding").cast("array<double>"),
+                            F.col("centroid"),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    )
+                ),
+                6,
+            ).alias("dist"),
+        )
+    )
+    cut = d.groupBy("label").agg(
+        F.round(F.percentile("dist", F.lit(0.95)), 6).alias("p95")
+    )
+    return (
+        d.join(F.broadcast(cut), "label")
+        .filter(F.col("dist") > F.col("p95"))
+        .select("vec_id", "label", "dist", "p95")
+        .orderBy("vec_id")
+    )
+
+
+@query(
     "x9_sq_error_by_label",
     """
     WITH q AS (
@@ -7495,8 +7642,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_json_extract",
     "window_top_orders",
     "x1_dedup_exact_text",
-    "x1_dedup_exact_vector",
-    "x3_knn_join",
+    "x4_ivf_index_batch_topk",
+    "x9_centroid_outliers",
     "x5_quality_tiers_scalable",
     "x2_cluster_size_histogram",
     "x0_packing_manifest",
