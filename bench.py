@@ -115,6 +115,7 @@ HEADLINE = [
     "x5_keywords",
     "x5_corpus_stats",
     "x5_hot_grams",
+    "x5_gopher_rules",
     "x5_quality_tiers",
     "x5_quality_tiers_scalable",
     "x5_lexical_diversity",

@@ -396,3 +396,28 @@ def test_keywords_prefer_rare_tokens(spark):
         .first()
     )
     assert top["tok"] == "zyzzyva"
+
+
+def test_gopher_rules_fire_individually(spark):
+    """Each Gopher rule rejects its crafted offender and the clean doc
+    passes all five (word count, mean word length, symbol ratio,
+    alpha ratio, stopword hits)."""
+    from vectordb_migrator_spark.operators.cleaning import gopher_rules
+
+    clean = "the quick brown fox jumps over that lazy dog and " * 8  # 80 words
+    docs = [
+        (1, clean),
+        (2, "the and of to short"),  # < 50 words
+        (3, ("a " * 80) + "the and"),  # mean word length < 3
+        (4, ("the" + "#" * 3 + " ") * 60),  # symbol ratio > 0.1
+        (5, ("123 456 " * 30) + "the and"),  # alpha ratio < 0.8
+        (6, "zebra quagga okapi lemur " * 20),  # no canonical stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["kept"] is True
+    assert out[2]["kept"] is False and out[2]["n_word"] < 50
+    assert out[3]["kept"] is False and out[3]["mean_word_len"] < 3
+    assert out[4]["kept"] is False and out[4]["symbol_ratio"] > 0.1
+    assert out[5]["kept"] is False and out[5]["alpha_ratio"] < 0.8
+    assert out[6]["kept"] is False and out[6]["stop_hits"] < 2

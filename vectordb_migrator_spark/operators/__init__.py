@@ -60,6 +60,7 @@ _EXPORTS = {
     "connected_components": "graph",
     # text / cleaning / ranking
     "remove_boilerplate_lines": "cleaning",
+    "gopher_rules": "cleaning",
     "ngram_contamination": "cleaning",
     "unigram_surprisal": "cleaning",
     "bigram_surprisal": "cleaning",

@@ -479,3 +479,72 @@ def remove_repeated_spans(
             (F.size("__toks") - F.size("__kept")).cast("long").alias("n_removed"),
         )
     )
+
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, "Scaling Language
+    Models", table A1) as one codegen pass — the word-level subset
+    that applies to single-line documents: word count in
+    [min_words, max_words], mean word length in [3, 10], symbol-to-word
+    ratio (# and ellipsis) ≤ 0.1, ≥ 80% of words containing an
+    alphabetic character, and ≥ 2 distinct hits from the canonical
+    8-stopword set. Returns every signal plus the conjunctive ``kept``
+    flag, so downstream can both filter and audit which rule fired.
+    Zero shuffles — every rule folds over the token array in the scan
+    stage."""
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    toks = F.filter(ws_tokens(text_col), lambda x: x != "")
+    t = df.select(F.col(id_col), F.col(text_col).alias("__t"), toks.alias("__toks"))
+    n = F.size("__toks")
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(
+            F.col("__toks"), F.lit(0.0), lambda s, x: s + F.length(x)
+        )
+        / n,
+    ).otherwise(F.lit(0.0))
+    hashes = F.length("__t") - F.length(F.replace(F.col("__t"), F.lit("#"), F.lit("")))
+    ellipses = (
+        F.length("__t")
+        - F.length(F.replace(F.col("__t"), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(n > 0, (hashes + ellipses) / n).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n > 0,
+        F.size(F.filter(F.col("__toks"), lambda x: x.rlike("[a-z]"))) / n,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("__toks"),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+        )
+    )
+    out = t.select(
+        id_col,
+        n.cast("long").alias("n_word"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    kept = (
+        (F.col("n_word") >= min_words)
+        & (F.col("n_word") <= max_words)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("alpha_ratio") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("kept", kept)

@@ -4885,6 +4885,53 @@ def x5_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_gopher_rules",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_word,
+             round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                 / len(toks) END, 6) AS mean_word_len,
+             round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               ((length(text) - length(replace(text, '#', ''))) +
+                (length(text) - length(replace(text, '...', ''))) / 3.0)
+                 / len(toks) END, 6) AS symbol_ratio,
+             round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                 / len(toks) END, 6) AS alpha_ratio,
+             len(list_intersect(list_distinct(toks),
+                 ['the','be','to','of','and','that','have','with']))::BIGINT
+               AS stop_hits
+      FROM t
+    )
+    SELECT *,
+           (n_word >= 50 AND n_word <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+            AND stop_hits >= 2) AS kept
+    FROM m ORDER BY doc_id
+    """,
+)
+def x5_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — the Gopher quality rules (Rae et al. 2021, table A1),
+    word-level subset, as one codegen pass: word count, mean word
+    length, symbol-to-word ratio, alphabetic-word ratio, canonical
+    stopword hits, and the conjunctive keep decision — the
+    best-known published heuristic filter set, reproduced rule by
+    rule with every signal auditable. Zero shuffles."""
+    from vectordb_migrator_spark.operators.cleaning import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
     "x5_repetition_score",
     r"""
     WITH g AS (
