@@ -60,6 +60,8 @@ HEADLINE = [
     "x0_training_manifest",
     "x0_packing_manifest",
     "x0_shard_shuffle",
+    "x0_doc_packing",
+    "x10_token_budget_cap",
     "x1_dedup_exact_text",
     "x1_dup_rate_by_source",
     "x2_ngram_jaccard_pairs",

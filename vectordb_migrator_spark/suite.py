@@ -6660,6 +6660,141 @@ def x5_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x10_token_budget_cap",
+    r"""
+    WITH m AS (
+      SELECT doc_id, source,
+             len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+               AS n_tok,
+             CAST(CONCAT('0x', substr(md5(concat('cap:', doc_id)), 1, 15))
+                  AS BIGINT) AS key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY key, doc_id)
+               AS cum
+      FROM m
+    )
+    SELECT doc_id, source, n_tok, cum
+    FROM r WHERE cum <= 800
+    ORDER BY doc_id
+    """,
+)
+def x10_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — per-source token-budget cap (round 5): each source
+    contributes at most B=800 tokens, chosen by a DETERMINISTIC
+    pseudo-random order (md5 key) + running token cumsum — the "no
+    single source dominates" guard a mixture plan enforces as a hard
+    ceiling, reproducible across runs and engines (the same docs make
+    the cut every time; rand() ordering would resample every run).
+    One window per source (key-local exchange), cumsum in codegen —
+    the sessionization shape."""
+    from pyspark.sql import Window as W
+
+    from vectordb_migrator_spark.functions.text import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cap:"), F.col("doc_id"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    m = docs.select(
+        "doc_id",
+        "source",
+        token_count_ws("text").cast("long").alias("n_tok"),
+        key.alias("__key"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("__key", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        m.withColumn("cum", F.sum("n_tok").over(w).cast("long"))
+        .filter(F.col("cum") <= 800)
+        .select("doc_id", "source", "n_tok", "cum")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x0_doc_packing",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+               AS n_tok,
+             CAST(CONCAT('0x', substr(md5(concat('shuffle:0:', doc_id)),
+                                      1, 15)) AS BIGINT) AS key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tok, key, (((key % 8) + 8) % 8)::INT AS shard FROM m
+    ),
+    r AS (
+      SELECT doc_id, n_tok, shard,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY key, doc_id)
+               - n_tok AS off
+      FROM s
+    )
+    SELECT doc_id, shard,
+           (off // 512)::BIGINT AS seq_id,
+           (off % 512)::BIGINT AS seq_offset,
+           n_tok
+    FROM r ORDER BY doc_id
+    """,
+)
+def x0_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — cross-document sequence packing (round 5): WHOLE documents
+    fill fixed 512-token training sequences in deterministic-shuffle
+    order (the md5 key both shuffles and shards) — the
+    concatenate-and-chunk recipe every LM pretraining pipeline runs,
+    with the same contiguous-offset semantics as ``pack_chunks`` (a
+    sequence may overflow by one doc; the trainer truncates). The
+    shard axis bounds the window partition so packing parallelizes at
+    corpus scale; within a shard it is the sessionization shape (one
+    exchange, codegen cumsum). Reproducible: same corpus + seed →
+    byte-identical sequence layout."""
+    from pyspark.sql import Window as W
+
+    from vectordb_migrator_spark.functions.text import token_count_ws
+    from vectordb_migrator_spark.operators.scale import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").cast("long").alias("n_tok")
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuffle:0:"), F.col("doc_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    s = docs.withColumn("__key", key).withColumn(
+        "shard", F.pmod(F.col("__key"), F.lit(8)).cast("int")
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("__key", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    off = F.sum("n_tok").over(w) - F.col("n_tok")
+    return (
+        s.withColumn("off", off)
+        .select(
+            "doc_id",
+            "shard",
+            F.floor(F.col("off") / 512).cast("long").alias("seq_id"),
+            (F.col("off") % 512).cast("long").alias("seq_offset"),
+            "n_tok",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _tier_case_sql(n: int = 10) -> str:
     whens = " ".join(
         f"WHEN n_tok <= bs[{i}] THEN {i}" for i in range(1, n)
@@ -7659,6 +7794,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_quality_tiers",  # ntile decile curation frame
     "x4_ivf_balance",  # IVF partition-balance health check
     "x5_lexical_diversity",  # type-token ratio signal
+    "x5_gopher_rules",  # published Gopher heuristics, per-rule auditable
+    "x10_token_budget_cap",  # deterministic per-source token ceiling
+    "x0_doc_packing",  # cross-doc 512-token sequence packing
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
     "x2_ngram_jaccard_pairs",  # gram keys now hashed
@@ -7686,9 +7824,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "events_hourly_rollup",
-    "events_json_extract",
-    "window_top_orders",
-    "x1_dedup_exact_text",
     "x4_ivf_index_batch_topk",
     "x9_centroid_outliers",
     "x5_quality_tiers_scalable",
