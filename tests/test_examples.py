@@ -242,3 +242,41 @@ def test_training_data_pipeline_example(spark):
     cols = set(packed.columns)
     assert {"doc_id", "chunk_id", "n_tokens", "pack_id", "pack_offset"} <= cols
     assert packed.count() > 0
+
+
+def test_incremental_curation_example(spark, tmp_path):
+    """examples/incremental_curation.py: two arrival waves flow through
+    gate -> dedup -> counts; the second wave's near-dup is dropped, the
+    mixture re-plans from the counts store, shards re-export."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(ROOT / "examples"))
+    try:
+        from incremental_curation import SCHEMA, run_cycle
+    finally:
+        _sys.path.pop(0)
+
+    inbox = str(tmp_path / "inbox")
+    work = str(tmp_path / "work")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "web"),
+            (2, "a completely different first document", "book"),
+        ],
+        SCHEMA,
+    ).write.parquet(inbox)
+    r1 = run_cycle(spark, inbox, work)
+    assert r1["corpus_rows"] == 2
+    assert set(r1["shards"]) <= {0, 1, 2, 3}
+
+    spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon", "web"),  # near-dup of 1
+            (11, "a genuinely novel second wave text", "web"),
+        ],
+        SCHEMA,
+    ).write.mode("append").parquet(inbox)
+    r2 = run_cycle(spark, inbox, work)
+    assert r2["corpus_rows"] == 3  # 10 dropped as near-dup
+    assert set(r2["mixture"]) == {"web", "book"}
+    assert sum(r2["shards"].values()) == 3

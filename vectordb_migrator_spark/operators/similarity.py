@@ -988,7 +988,14 @@ def ivf_index_batch_topk(
     at the cost of scanning the union of partitions (at 100 TB with
     1000s of probes per second, batch probing is the only shape that
     amortizes; single-probe stays for latency-bound lookups).
-    Ties rank ``(score DESC, id ASC)`` like every top-k here."""
+    Ties rank ``(score DESC, id ASC)`` like every top-k here.
+
+    Driver-bounded contract: the probe BATCH collects to the driver
+    (Q × dim floats — a query workload, not corpus data) to rank
+    centroids and build the literal partition filter; the corpus side
+    never leaves executors. For probe sets too big for one driver
+    round-trip, split into sub-batches — each still costs one scan of
+    its partition union."""
     import math
 
     from pyspark.sql import Window as W
