@@ -63,6 +63,7 @@ HEADLINE = [
     "x0_doc_packing",
     "x10_token_budget_cap",
     "x1_dedup_exact_text",
+    "x1_dedup_canonical",
     "x1_dup_rate_by_source",
     "x2_ngram_jaccard_pairs",
     "x2_containment_pairs",

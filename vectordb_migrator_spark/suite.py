@@ -4419,6 +4419,55 @@ def x5_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x1_dedup_canonical",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 \t\n\r]', ' ', 'g'),
+               '[ \t\n\r]+', ' ', 'g'))) AS h
+      FROM documents
+    ),
+    g AS (
+      SELECT h, min(doc_id) AS keep_id, count(*)::BIGINT AS n_variants
+      FROM n GROUP BY h
+    )
+    SELECT n.doc_id, g.keep_id, g.n_variants,
+           (n.doc_id = g.keep_id) AS kept
+    FROM n JOIN g USING (h) ORDER BY n.doc_id
+    """,
+)
+def x1_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — CANONICALIZED exact dedup (round 5): hash the
+    dedup-normalized text (lowercase, punctuation → space, whitespace
+    collapse) instead of the raw bytes, so trivially-reformatted
+    copies — recased titles, re-punctuated syndication, tab/space
+    variants — collapse into one group that raw-md5 dedup misses.
+    Completes the exactness ladder raw-md5 → canonical-md5 → n-gram
+    near-dup. Same one (hash, id) map-side-combinable shuffle as
+    ``x1_dedup_exact_text``; normalization is codegen at the scan."""
+    from vectordb_migrator_spark.functions.text import normalize_for_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalize_for_dedup("text")).alias("h")
+    )
+    g = d.groupBy("h").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+    )
+    return (
+        d.join(g, "h")
+        .select(
+            "doc_id",
+            "keep_id",
+            "n_variants",
+            (F.col("doc_id") == F.col("keep_id")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "x2_dedup_incremental",
     r"""
     WITH sh AS (
@@ -7797,6 +7846,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_gopher_rules",  # published Gopher heuristics, per-rule auditable
     "x10_token_budget_cap",  # deterministic per-source token ceiling
     "x0_doc_packing",  # cross-doc 512-token sequence packing
+    "x1_dedup_canonical",  # canonicalized exact dedup
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
     "x2_ngram_jaccard_pairs",  # gram keys now hashed
@@ -7823,7 +7873,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "events_hourly_rollup",
     "x4_ivf_index_batch_topk",
     "x9_centroid_outliers",
     "x5_quality_tiers_scalable",
