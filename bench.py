@@ -119,6 +119,9 @@ HEADLINE = [
     "x5_corpus_stats",
     "x5_hot_grams",
     "x5_gopher_rules",
+    "x5_langid_confusion",
+    "x5_sentence_stats",
+    "x5_bpe_pair_stats",
     "x5_quality_tiers",
     "x5_quality_tiers_scalable",
     "x5_lexical_diversity",

@@ -2023,6 +2023,170 @@ def x5_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x5_langid"] = _langid_sql()
 
 
+@query("x5_langid_confusion", None)  # oracle attached below (computed)
+def x5_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — language-ID confusion matrix (round 5): predicted language
+    (the stopword argmax) against the corpus's ground-truth ``lang``
+    column, with per-cell counts and per-truth-row recall — the
+    evaluation every heuristic classifier in the pipeline owes its
+    users (the langid feeds the balanced-mixture axis; its error
+    profile IS the mixture's error profile). One map-side-combinable
+    (lang, lang_pred) count; recall joins the tiny per-lang totals
+    back broadcast."""
+    from vectordb_migrator_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", lang_id("text").alias("lang_pred")
+    )
+    cells = d.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.round(F.col("n") / F.col("n_true"), 6).alias("frac_of_truth"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+    WITH p AS (
+      SELECT lang, {_langid_case_sql()} AS lang_pred FROM documents
+    ),
+    cells AS (
+      SELECT lang, lang_pred, count(*)::BIGINT AS n
+      FROM p GROUP BY lang, lang_pred
+    ),
+    t AS (SELECT lang, count(*) AS n_true FROM p GROUP BY lang)
+    SELECT c.lang, c.lang_pred, c.n,
+           round(c.n / t.n_true, 6) AS frac_of_truth
+    FROM cells c JOIN t USING (lang)
+    ORDER BY lang, lang_pred
+    """
+
+
+ORACLES["x5_langid_confusion"] = _langid_confusion_sql()
+
+
+@query(
+    "x5_sentence_stats",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split_regex(text, '[.!?]+'),
+                              x -> trim(x)),
+               x -> x != '') AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           len(sents)::BIGINT AS n_sentences,
+           CASE WHEN len(sents) = 0 THEN 0.0 ELSE
+             round(list_sum(list_transform(sents,
+               x -> len(string_split_regex(x, '\s+'))))::DOUBLE
+               / len(sents), 6) END AS mean_sent_words,
+           CASE WHEN len(sents) = 0 THEN 0::BIGINT ELSE
+             list_max(list_transform(sents,
+               x -> len(string_split_regex(x, '\s+'))))::BIGINT END
+             AS max_sent_words
+    FROM s ORDER BY doc_id
+    """,
+)
+def x5_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — sentence segmentation stats (round 5): sentences split on
+    terminal punctuation runs, per-doc counts and mean/max sentence
+    length in words — the readability/structure signal the C4 line
+    rules approximate at line level (a 400-word "sentence" is a
+    scraped table; zero sentences is a fragment). Pure codegen: split,
+    trim-filter, two folds; zero shuffles."""
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    n_words = lambda x: F.size(F.split(x, r"\s+"))
+    d = _t(spark, sf_dir, "documents").select("doc_id", sents.alias("sents"))
+    n = F.size("sents")
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_sentences"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.aggregate(
+                    F.col("sents"), F.lit(0.0), lambda s, x: s + n_words(x)
+                )
+                / n,
+                6,
+            )
+        )
+        .alias("mean_sent_words"),
+        F.when(n == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.array_max(F.transform(F.col("sents"), n_words)).cast("long")
+        )
+        .alias("max_sent_words"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x5_bpe_pair_stats",
+    r"""
+    WITH w AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT unnest(toks) AS t FROM w),
+    pairs AS (
+      SELECT substr(t, i, 2) AS pair
+      FROM tok, unnest(range(1, length(t))) r(i)
+      WHERE length(t) >= 2
+    )
+    SELECT pair, count(*)::BIGINT AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 30
+    """,
+)
+def x5_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — BPE merge-candidate statistics (round 5): the corpus-wide
+    adjacent-character-pair frequencies that drive the FIRST byte-pair
+    -encoding merge (Sennrich et al. 2016) — the statistics pass a
+    tokenizer trainer runs per iteration (full BPE iterates this with
+    the merged vocab; each round is exactly this shape). Pairs form in
+    codegen (indexed transform over each token — no positional join);
+    ONE map-side-combinable count shuffle + TakeOrdered(30)."""
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    toks = F.filter(ws_tokens("text"), lambda x: x != "")
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("t"))
+        .filter(F.length("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - 1),
+                    lambda i: F.col("t").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )
+
+
 @query(
     "x5_fingerprint",
     r"""
@@ -7847,6 +8011,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_token_budget_cap",  # deterministic per-source token ceiling
     "x0_doc_packing",  # cross-doc 512-token sequence packing
     "x1_dedup_canonical",  # canonicalized exact dedup
+    "x5_langid_confusion",  # heuristic-classifier eval vs ground truth
+    "x5_sentence_stats",  # sentence segmentation signal
+    "x5_bpe_pair_stats",  # BPE merge-candidate statistics
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
     "x2_ngram_jaccard_pairs",  # gram keys now hashed
@@ -7869,10 +8036,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c2_id_coercion",
     "c4_c6_conform_schema",
     "pipeline_migrate_plan",
-    "agg_counts",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
     "x4_ivf_index_batch_topk",
     "x9_centroid_outliers",
     "x5_quality_tiers_scalable",
