@@ -300,3 +300,33 @@ def test_round5_plan_shapes(spark):
     p3 = _plan(spark, "x5_lexical_diversity")
     # pure codegen signal: no aggregation, no hash-partition exchange
     assert "Exchange hashpartitioning" not in p3
+
+
+def test_round5_single_exchange_shapes(spark):
+    """Round-5 locks: the curation kernels claim exactly ONE
+    computational exchange (the final orderBy rangepartition is the
+    test-comparability sort, not part of the operator) — doc packing
+    and the token cap shuffle on their window key only; canonical
+    dedup is one scan + one (hash, id) exchange; gopher/sentence/TTR
+    are exchange-free."""
+    import re
+
+    def hash_exchanges(name):
+        p = _plan(spark, name)
+        return re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p), p
+
+    for name in ("x5_gopher_rules", "x5_sentence_stats"):
+        ex, _ = hash_exchanges(name)
+        assert ex == [], name
+
+    ex, p = hash_exchanges("x0_doc_packing")
+    assert len(ex) == 1 and "shard" in ex[0]
+    assert p.count("FileScan") == 1
+
+    ex, p = hash_exchanges("x10_token_budget_cap")
+    assert len(ex) == 1 and "source" in ex[0]
+    assert p.count("FileScan") == 1
+
+    ex, p = hash_exchanges("x1_dedup_canonical")
+    assert len(ex) == 1 and "h#" in ex[0]
+    assert p.count("FileScan") == 1  # no aggregate+join-back re-scan

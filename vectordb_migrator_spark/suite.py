@@ -4610,17 +4610,20 @@ def x1_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the exactness ladder raw-md5 → canonical-md5 → n-gram
     near-dup. Same one (hash, id) map-side-combinable shuffle as
     ``x1_dedup_exact_text``; normalization is codegen at the scan."""
+    from pyspark.sql import Window as W
+
     from vectordb_migrator_spark.functions.text import normalize_for_dedup
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.md5(normalize_for_dedup("text")).alias("h")
     )
-    g = d.groupBy("h").agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count(F.lit(1)).cast("long").alias("n_variants"),
-    )
+    # group stats as a window over the hash partitioning — ONE scan and
+    # ONE (hash, id) exchange, instead of aggregate + join-back (which
+    # re-reads the text column to recompute the hashes)
+    w = W.partitionBy("h")
     return (
-        d.join(g, "h")
+        d.withColumn("keep_id", F.min("doc_id").over(w))
+        .withColumn("n_variants", F.count(F.lit(1)).over(w).cast("long"))
         .select(
             "doc_id",
             "keep_id",
