@@ -444,3 +444,61 @@ def test_weighted_sample_md5_coin_deterministic_and_biased(spark):
     # 50 heavy rows at 100x weight should dominate a 60-row draw far
     # beyond their 10% population share
     assert heavy >= 30
+
+
+# word-level corpora for the span-dedup differential: a small shared
+# vocabulary makes cross-document repeated spans actually occur
+_span_docs = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=0,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _spans_reference(docs: list[list[str]], n: int) -> dict[int, tuple]:
+    """Plain-Python remove_repeated_spans: any n-token window occurring
+    in >1 doc is removed from every doc except the min-id holder."""
+    grams: dict[tuple, set[int]] = {}
+    windows: dict[int, list[tuple[int, tuple]]] = {}
+    for i, toks in enumerate(docs):
+        windows[i] = []
+        for s in range(len(toks) - n + 1):
+            g = tuple(toks[s : s + n])
+            grams.setdefault(g, set()).add(i)
+            windows[i].append((s, g))
+    out = {}
+    for i, toks in enumerate(docs):
+        covered: set[int] = set()
+        for s, g in windows[i]:
+            holders = grams[g]
+            if len(holders) > 1 and i != min(holders):
+                covered.update(range(s, s + n))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        out[i] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(_span_docs)
+def test_remove_repeated_spans_matches_reference(spark, docs):
+    """The round-5 reassembly rewrite (covered-position arrays +
+    codegen array_except) must agree with the brute-force Python
+    semantics on arbitrary corpora — keep-first, overlap handling,
+    short/empty docs included."""
+    from vectordb_migrator_spark.operators.cleaning import (
+        remove_repeated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_repeated_spans(df, n=3).collect()
+    }
+    assert got == _spans_reference(docs, 3)
