@@ -134,6 +134,7 @@ HEADLINE = [
     "x9_centroid_outliers",
     "x4_ivf_balance",
     "x10_stratified_sample",
+    "x7_audience_overlap",
     "x12_quality_constraints",
     "x12_referential_integrity",
     "x10_weighted_md5_sample",

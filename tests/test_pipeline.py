@@ -429,3 +429,27 @@ def test_pgvector_ddl_rejects_unsafe_identifiers():
             {"table_name": "t", "metadata_columns": ["ok", "bad col"]},
             4,
         )
+
+
+def test_audience_overlap_estimate_tracks_exact(spark):
+    """x7_audience_overlap's inclusion-exclusion estimate must land
+    within HLL tolerance of the exact distinct intersection."""
+    from tests.conftest import SF_DIR
+
+    import pyspark.sql.functions as F
+    from vectordb_migrator_spark.suite import QUERIES
+
+    est = QUERIES["x7_audience_overlap"](spark, SF_DIR).first()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    lo, hi = ev.agg(F.min("day"), F.max("day")).first()
+    mid = lo + (hi - lo) / 2
+    a = {r["user_id"] for r in ev.filter(F.col("day") <= mid).collect()}
+    b = {r["user_id"] for r in ev.filter(F.col("day") > mid).collect()}
+    exact = len(a & b)
+    assert exact > 0
+    # HLL default relative error ~1.6% per estimate; inclusion-
+    # exclusion stacks three of them — allow 10%
+    assert abs(est["est_intersection"] - exact) <= max(3, exact * 0.10)
+    assert abs(est["est_a"] - len(a)) <= max(2, len(a) * 0.05)

@@ -2322,6 +2322,49 @@ def x7_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x7_audience_overlap")  # sketch binaries → rows-only; accuracy
+# vs exact intersection asserted in tests/test_pipeline differential.
+def x7_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — sketch-based audience OVERLAP via inclusion-exclusion:
+    |A∩B| ≈ |A| + |B| − |A∪B| from the stored per-day HLL sketches —
+    the question ("how many users were active in BOTH halves of the
+    period?") that raw-data answers need an expensive distinct
+    intersection for, answered here entirely from kilobyte sketches
+    (HLL has no native intersect; inclusion-exclusion over unions is
+    the standard estimator, with error growing as the overlap
+    shrinks — reported alongside the inputs so consumers can judge).
+    One daily-sketch pass, then sketch algebra on driver-tiny rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    mid = daily.agg(F.min("day") + ((F.max("day") - F.min("day")) / 2))
+    mid_day = mid.first()[0]
+    a = daily.filter(F.col("day") <= F.lit(mid_day)).agg(
+        F.hll_union_agg("sk").alias("ska")
+    )
+    b = daily.filter(F.col("day") > F.lit(mid_day)).agg(
+        F.hll_union_agg("sk").alias("skb")
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            F.hll_sketch_estimate("ska").cast("long").alias("est_a"),
+            F.hll_sketch_estimate("skb").cast("long").alias("est_b"),
+            F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+            .cast("long")
+            .alias("est_union"),
+            (
+                F.hll_sketch_estimate("ska")
+                + F.hll_sketch_estimate("skb")
+                - F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+            )
+            .cast("long")
+            .alias("est_intersection"),
+        )
+    )
+
+
 # =====================================================================
 # Relational extensions — rollup/pivot/percentiles/set-ops/semi-anti,
 # as-of join, sessionization (all absent from the reference, SURVEY.md
@@ -8017,6 +8060,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_langid_confusion",  # heuristic-classifier eval vs ground truth
     "x5_sentence_stats",  # sentence segmentation signal
     "x5_bpe_pair_stats",  # BPE merge-candidate statistics
+    "x7_audience_overlap",  # sketch inclusion-exclusion (rows-only)
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
     "x2_ngram_jaccard_pairs",  # gram keys now hashed
@@ -8035,7 +8079,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "p2_normalize_canonical",
     "p3_metadata_null_drop",
     "f1_filter_predicate",
-    "l1_limit_offset",
     "c2_id_coercion",
     "c4_c6_conform_schema",
     "pipeline_migrate_plan",
