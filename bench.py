@@ -127,6 +127,7 @@ HEADLINE = [
     "x5_lexical_diversity",
     "x6_multimodal_features",
     "x6_frame_explode",
+    "x6_frame_dedup",
     "x9_chunk_documents",
     "x9_int8_quantization",
     "x9_storage_report",

@@ -2276,6 +2276,54 @@ def x6_frame_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x6_frame_dedup",
+    """
+    WITH f AS (
+      SELECT doc_id, length(text) AS n,
+             ceil(length(text) / 64.0)::INT AS nf
+      FROM documents
+    ), frames AS (
+      SELECT doc_id,
+             unnest([{'fid': i, 'part': substring(text, i*64 + 1, 64)}
+                     for i in range(0, nf)]) AS u
+      FROM f JOIN documents USING (doc_id) WHERE nf >= 1
+    )
+    SELECT md5(u.part) AS frame_md5,
+           count(DISTINCT doc_id)::BIGINT AS df,
+           min(doc_id) AS keeper,
+           count(*)::BIGINT AS n_occurrences
+    FROM frames
+    GROUP BY md5(u.part)
+    HAVING count(DISTINCT doc_id) > 1
+    ORDER BY frame_md5
+    """,
+)
+def x6_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — cross-document repeated-FRAME detection (round 5): binary
+    frames whose digest appears in more than one document, with the
+    min-id keeper — the multimodal twin of span dedup (repeated video
+    segments, watermark intros, shared audio stingers), running on
+    digests so the 100 TB shuffle carries 16-byte hashes + ids, never
+    frame bytes. One map-side-combinable (digest → df, keeper)
+    shuffle over the codegen frame split."""
+    from vectordb_migrator_spark.operators.multimodal import explode_frames
+
+    d = attach_payload(_t(spark, sf_dir, "documents"))
+    return (
+        explode_frames(d, frame_size=64)
+        .select("doc_id", F.md5("frame").alias("frame_md5"))
+        .groupBy("frame_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("df") > 1)
+        .orderBy("frame_md5")
+    )
+
+
 # =====================================================================
 # X7 — sketches
 # =====================================================================
@@ -8061,6 +8109,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_sentence_stats",  # sentence segmentation signal
     "x5_bpe_pair_stats",  # BPE merge-candidate statistics
     "x7_audience_overlap",  # sketch inclusion-exclusion (rows-only)
+    "x6_frame_dedup",  # repeated binary frames across docs
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
     "x2_ngram_jaccard_pairs",  # gram keys now hashed
@@ -8079,7 +8128,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "p2_normalize_canonical",
     "p3_metadata_null_drop",
     "f1_filter_predicate",
-    "c2_id_coercion",
     "c4_c6_conform_schema",
     "pipeline_migrate_plan",
     "q1_pricing_summary",
