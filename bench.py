@@ -58,6 +58,7 @@ HEADLINE = [
     "x0_retrieval_pipeline",
     "x0_retrieval_tfidf",
     "x0_training_manifest",
+    "x0_dataset_card",
     "x0_packing_manifest",
     "x0_shard_shuffle",
     "x0_doc_packing",
@@ -138,6 +139,7 @@ HEADLINE = [
     "x7_audience_overlap",
     "x12_quality_constraints",
     "x12_referential_integrity",
+    "x12_source_profile_drift",
     "x10_weighted_md5_sample",
     "x10_stratified_weighted",
     "x10_source_mixture",

@@ -5239,6 +5239,130 @@ def x5_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x0_dataset_card",
+    r"""
+    WITH m AS (
+      SELECT count(*)::BIGINT AS n_docs,
+             sum(len(string_split_regex(lower(trim(text)), '\s+')))::BIGINT
+               AS n_tokens,
+             count(DISTINCT source)::BIGINT AS n_sources,
+             count(DISTINCT lang)::BIGINT AS n_languages,
+             round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6)
+               AS exact_dup_rate,
+             round(avg(CASE WHEN
+               len(string_split_regex(lower(trim(text)), '\s+')) >= 20
+               THEN 1.0 ELSE 0.0 END), 6) AS quality_pass_rate
+      FROM documents
+    ),
+    e AS (
+      SELECT count(*)::BIGINT AS n_embeddings,
+             max(len(embedding))::BIGINT AS embedding_dim
+      FROM embeddings
+    )
+    SELECT m.*, e.* FROM m, e
+    """,
+)
+def x0_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — the one-row DATASET CARD ("Datasheets for Datasets",
+    Gebru et al. 2021): the headline numbers a dataset release
+    documents — corpus size in docs/tokens, source and language
+    counts, exact-duplication rate, the simple-gate pass rate, and the
+    embedding table's shape. Everything reduces to TWO
+    map-side-combinable aggregates (one per table) crossed broadcast —
+    the report a 100 TB curation run logs after every build."""
+    from vectordb_migrator_spark.functions.text import (
+        md5_fingerprint,
+        token_count_ws,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count_ws("text")).cast("long").alias("n_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_languages"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")) / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.avg(
+                F.when(token_count_ws("text") >= 20, 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("quality_pass_rate"),
+    )
+    s = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_embeddings"),
+        F.max(F.size("embedding")).cast("long").alias("embedding_dim"),
+    )
+    return m.crossJoin(F.broadcast(s))
+
+
+@query(
+    "x12_source_profile_drift",
+    r"""
+    WITH per AS (
+      SELECT source,
+             count(*)::BIGINT AS n,
+             round(avg(len(string_split_regex(lower(trim(text)),
+                                              '\s+'))), 6) AS tok_mean,
+             round(avg(length(text)), 6) AS chars_mean
+      FROM documents GROUP BY source
+    ),
+    g AS (
+      SELECT round(avg(len(string_split_regex(lower(trim(text)), '\s+'))), 6)
+               AS g_tok,
+             round(avg(length(text)), 6) AS g_chars
+      FROM documents
+    )
+    SELECT source, n, tok_mean,
+           round(tok_mean / g.g_tok, 6) AS tok_ratio,
+           round(chars_mean / g.g_chars, 6) AS chars_ratio,
+           (tok_mean / g.g_tok < 0.5 OR tok_mean / g.g_tok > 2.0)
+             AS flagged
+    FROM per, g ORDER BY source
+    """,
+)
+def x12_source_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — per-source profile drift (round 5): each source's mean
+    token/char profile against the corpus mean, flagging sources
+    drifting beyond 2× either way — the monitoring view that catches a
+    broken upstream extractor (suddenly-truncated docs from one feed)
+    before it poisons a training mix. One per-source aggregate + a
+    broadcast 1-row corpus profile."""
+    from vectordb_migrator_spark.functions.text import token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(token_count_ws("text")), 6).alias("tok_mean"),
+        F.round(F.avg(F.length("text")), 6).alias("chars_mean"),
+    )
+    g = d.agg(
+        F.round(F.avg(token_count_ws("text")), 6).alias("g_tok"),
+        F.round(F.avg(F.length("text")), 6).alias("g_chars"),
+    )
+    ratio = F.col("tok_mean") / F.col("g_tok")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "n",
+            "tok_mean",
+            F.round(ratio, 6).alias("tok_ratio"),
+            F.round(F.col("chars_mean") / F.col("g_chars"), 6).alias(
+                "chars_ratio"
+            ),
+            ((ratio < 0.5) | (ratio > 2.0)).alias("flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "x5_repetition_score",
     r"""
     WITH g AS (
@@ -8110,6 +8234,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_bpe_pair_stats",  # BPE merge-candidate statistics
     "x7_audience_overlap",  # sketch inclusion-exclusion (rows-only)
     "x6_frame_dedup",  # repeated binary frames across docs
+    "x0_dataset_card",  # one-row release datasheet
+    "x12_source_profile_drift",  # broken-extractor monitor
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
     "x2_ngram_jaccard_pairs",  # gram keys now hashed
@@ -8124,9 +8250,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c1_pgvector_roundtrip",
     "t1_transform_contract",
     # --- (e) oldest driver evidence (last checked round 2) ---
-    "s1_scan_projection",
     "p2_normalize_canonical",
-    "p3_metadata_null_drop",
     "f1_filter_predicate",
     "c4_c6_conform_schema",
     "pipeline_migrate_plan",
