@@ -123,6 +123,7 @@ HEADLINE = [
     "x5_langid_confusion",
     "x5_sentence_stats",
     "x5_bpe_pair_stats",
+    "x5_quality_by_lang",
     "x5_quality_tiers",
     "x5_quality_tiers_scalable",
     "x5_lexical_diversity",
@@ -154,6 +155,7 @@ HEADLINE = [
     "x13_seasonal_anomalies",
     "x13_user_features",
     "x13_event_gaps",
+    "x13_hour_of_week_profile",
     "range_join_value_bands",
     "bin_equal_frequency_events",
     "histogram_event_values",

@@ -5363,6 +5363,114 @@ def x12_source_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_hour_of_week_profile",
+    """
+    WITH h AS (
+      SELECT event_type,
+             (dayofweek(ts) * 24 + hour(ts))::INT AS how
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, how, count(*)::BIGINT AS n
+      FROM h GROUP BY event_type, how
+    ),
+    t AS (
+      SELECT event_type, sum(n)::DOUBLE AS total, max(n)::BIGINT AS n_max
+      FROM per GROUP BY event_type
+    )
+    SELECT p.event_type, p.how, p.n,
+           round(p.n / t.total, 6) AS share,
+           (p.n = t.n_max) AS is_peak
+    FROM per p JOIN t USING (event_type)
+    ORDER BY event_type, how
+    """,
+)
+def x13_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — 168-slot hour-of-week activity profile per event type,
+    with per-type share and peak flag — the seasonality fingerprint
+    behind capacity planning and the (key, hour) anomaly baselines.
+    ONE map-side-combinable (type, slot) count; per-type totals join
+    back broadcast. At 100 TB the profile is 168 × n_types rows no
+    matter the event volume."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        # Spark dayofweek is 1-7 (Sun=1); DuckDB's is 0-6 — align 0-based
+        ((F.dayofweek("ts") - 1) * 24 + F.hour("ts")).cast("int").alias("how"),
+    )
+    per = h.groupBy("event_type", "how").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = per.groupBy("event_type").agg(
+        F.sum("n").cast("double").alias("total"),
+        F.max("n").cast("long").alias("n_max"),
+    )
+    return (
+        per.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "how",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            (F.col("n") == F.col("n_max")).alias("is_peak"),
+        )
+        .orderBy("event_type", "how")
+    )
+
+
+@query(
+    "x5_quality_by_lang",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           round(avg(len(toks)), 6) AS tok_mean,
+           round(avg(CASE WHEN len(toks) >= 50 THEN 1.0 ELSE 0.0 END), 6)
+             AS len_pass_rate,
+           round(avg(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             len(list_distinct(toks))::DOUBLE / len(toks) END), 6)
+             AS ttr_mean
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def x5_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — quality profile per language (round 5): doc counts, mean
+    tokens, Gopher length-gate pass rate, and mean type-token ratio by
+    ground-truth language — the view that tells a multilingual mixture
+    whether a language's low weight is a size problem or a QUALITY
+    problem (a lang with 40% gate pass needs cleaning before
+    up-sampling helps). One aggregate, signals in codegen."""
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    toks = F.filter(ws_tokens("text"), lambda x: x != "")
+    d = _t(spark, sf_dir, "documents").select("lang", toks.alias("toks"))
+    n = F.size("toks")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(n), 6).alias("tok_mean"),
+            F.round(
+                F.avg(F.when(n >= 50, 1.0).otherwise(0.0)), 6
+            ).alias("len_pass_rate"),
+            F.round(
+                F.avg(
+                    F.when(n == 0, 0.0).otherwise(
+                        F.size(F.array_distinct("toks")) / n.cast("double")
+                    )
+                ),
+                6,
+            ).alias("ttr_mean"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "x5_repetition_score",
     r"""
     WITH g AS (
@@ -8239,6 +8347,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_frame_dedup",  # repeated binary frames across docs
     "x0_dataset_card",  # one-row release datasheet
     "x12_source_profile_drift",  # broken-extractor monitor
+    "x13_hour_of_week_profile",  # 168-slot seasonality fingerprint
+    "x5_quality_by_lang",  # quality-vs-size mixture diagnosis
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
     "x2_ngram_jaccard_pairs",  # gram keys now hashed
@@ -8253,9 +8363,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c1_pgvector_roundtrip",
     "t1_transform_contract",
     # --- (e) oldest driver evidence (last checked round 2) ---
-    "p2_normalize_canonical",
     "f1_filter_predicate",
-    "c4_c6_conform_schema",
     "pipeline_migrate_plan",
     "q1_pricing_summary",
     "x4_ivf_index_batch_topk",
