@@ -134,6 +134,7 @@ HEADLINE = [
     "x9_int8_quantization",
     "x9_storage_report",
     "x9_sq_error_by_label",
+    "x9_pq_error",
     "x9_centroid_outliers",
     "x4_ivf_balance",
     "x10_stratified_sample",

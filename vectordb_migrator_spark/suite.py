@@ -1158,6 +1158,78 @@ def x9_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x9_pq_error",
+    """
+    WITH cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.embedding[t.i]::DOUBLE - c.cv[t.i]) *
+                 (e.embedding[t.i]::DOUBLE - c.cv[t.i])) AS dist
+      FROM embeddings e, unnest(range(1, 65)) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    md AS (
+      SELECT vec_id, s, min(dist) AS mdist
+      FROM d GROUP BY vec_id, s
+    )
+    SELECT s::INT AS s, count(*)::BIGINT AS n,
+           round(avg(mdist), 6) AS mse_mean,
+           round(max(mdist), 6) AS mse_max
+    FROM md GROUP BY s ORDER BY s
+    """,
+)
+def x9_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — PQ reconstruction-error report per subspace (round 5): the
+    quality half of the PQ storage claim (`x9_pq_encode` says 4 bytes
+    replaces 256; this says what it costs per 16-dim subspace in
+    mean/max squared quantization error — an uneven profile means one
+    subspace's variance dominates and the codebook budget is
+    misallocated, the thing OPQ rotations fix). Codebook distances
+    fold in codegen against broadcast literal centroids; the report is
+    one tiny (s) aggregate."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_sampled_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    v = F.col("embedding").cast("array<double>")
+    rows = []
+    for s in range(4):
+        sub = F.slice(v, s * 16 + 1, 16)
+        cands = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in cbs[s]]
+        )
+        dists = F.transform(
+            cands,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        rows.append(
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                F.array_min(dists).alias("mdist"),
+            )
+        )
+    exploded = emb.select(F.explode(F.array(*rows)).alias("e")).select(
+        F.col("e.s").alias("s"), F.col("e.mdist").alias("mdist")
+    )
+    return (
+        exploded.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("mdist"), 6).alias("mse_mean"),
+            F.round(F.max("mdist"), 6).alias("mse_max"),
+        )
+        .orderBy("s")
+    )
+
+
+@query(
     "x4_pq_adc_topk",
     f"""
     WITH p AS (SELECT {_PROBE_SQL} AS pv),
@@ -8349,6 +8421,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_source_profile_drift",  # broken-extractor monitor
     "x13_hour_of_week_profile",  # 168-slot seasonality fingerprint
     "x5_quality_by_lang",  # quality-vs-size mixture diagnosis
+    "x9_pq_error",  # per-subspace PQ reconstruction error
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
     "x2_ngram_jaccard_pairs",  # gram keys now hashed
@@ -8363,7 +8436,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "c1_pgvector_roundtrip",
     "t1_transform_contract",
     # --- (e) oldest driver evidence (last checked round 2) ---
-    "f1_filter_predicate",
     "pipeline_migrate_plan",
     "q1_pricing_summary",
     "x4_ivf_index_batch_topk",
