@@ -61,6 +61,7 @@ HEADLINE = [
     "x0_dataset_card",
     "x0_packing_manifest",
     "x0_shard_shuffle",
+    "x0_interleaved_order",
     "x0_doc_packing",
     "x10_token_budget_cap",
     "x1_dedup_exact_text",

@@ -333,6 +333,7 @@ def c4_c6_conform_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t1_transform_contract",
+    "pipeline_migrate_plan",  # reference-lifecycle flagship (r02 evidence)
     """
     SELECT vec_id::VARCHAR AS id, label::BIGINT AS label,
            'sf-test' AS source_db
@@ -3154,6 +3155,100 @@ def x9_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", "chunk_id", "n_tokens", "pack_id", "pack_offset"
     ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "x2_lsh_s_curve",
+    """
+    WITH g AS (SELECT (i::DOUBLE) / 20 AS s
+               FROM unnest(range(1, 20)) t(i)),
+    c AS (
+      SELECT s,
+             round(1 - pow(1 - pow(s, 4), 4), 6) AS p_b4_r4,
+             round(1 - pow(1 - pow(s, 2), 8), 6) AS p_b8_r2,
+             round(1 - pow(1 - pow(s, 8), 2), 6) AS p_b2_r8
+      FROM g
+    )
+    SELECT s, p_b4_r4, p_b8_r2, p_b2_r8,
+           (p_b4_r4 >= 0.5) AS caught_b4_r4
+    FROM c ORDER BY s
+    """,
+)
+def x2_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the MinHash-LSH S-curve (round 5): candidate-match
+    probability 1-(1-s^r)^b as a function of Jaccard similarity for
+    three banding configs over 16 hashes — the tuning table that picks
+    (b, r) for a target threshold BEFORE running the corpus (b=8,r=2
+    catches 0.5-similar pairs ~79% of the time; b=2,r=8 near-never —
+    the knob the engine's banded families expose). Pure generated
+    math, no corpus scan — the methodology is the artifact."""
+    g = spark.range(1, 20).select((F.col("id") / 20).alias("s"))
+    p = lambda b, r: F.round(
+        1 - F.pow(1 - F.pow(F.col("s"), r), b), 6
+    )
+    return (
+        g.select(
+            "s",
+            p(4, 4).alias("p_b4_r4"),
+            p(8, 2).alias("p_b8_r2"),
+            p(2, 8).alias("p_b2_r8"),
+        )
+        .withColumn("caught_b4_r4", F.col("p_b4_r4") >= 0.5)
+        .orderBy("s")
+    )
+
+
+@query(
+    "x0_interleaved_order",
+    r"""
+    WITH k AS (
+      SELECT doc_id, source,
+             CAST(CONCAT('0x', substr(md5(concat('il:', doc_id)), 1, 15))
+                  AS BIGINT) AS key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             (row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
+              - 1)::BIGINT AS pos
+      FROM k
+    )
+    SELECT doc_id, source, pos,
+           (row_number() OVER (ORDER BY pos, source, doc_id) - 1)::BIGINT
+             AS global_pos
+    FROM r ORDER BY doc_id
+    """,
+)
+def x0_interleaved_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — deterministic source-interleaved training order (round 5):
+    each source is md5-shuffled internally, then sources round-robin by
+    in-source position — maximal source mixing within the training
+    stream (no source-run batches, the gradient-noise argument for
+    interleaving) while staying byte-reproducible. Per-source windows
+    are key-local; the global order key (pos, source) is computed —
+    at 100 TB a trainer sorts WITHIN shards by it rather than asking
+    for one total order (this exact small-N variant carries the
+    oracle)."""
+    from pyspark.sql import Window as W
+
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit("il:"), F.col("doc_id"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", key.alias("__key")
+    )
+    wp = W.partitionBy("source").orderBy("__key", "doc_id")
+    r = d.withColumn("pos", (F.row_number().over(wp) - 1).cast("long"))
+    wg = W.orderBy("pos", "source", "doc_id")
+    return (
+        r.withColumn(
+            "global_pos", (F.row_number().over(wg) - 1).cast("long")
+        )
+        .select("doc_id", "source", "pos", "global_pos")
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -8422,6 +8517,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_hour_of_week_profile",  # 168-slot seasonality fingerprint
     "x5_quality_by_lang",  # quality-vs-size mixture diagnosis
     "x9_pq_error",  # per-subspace PQ reconstruction error
+    "x0_interleaved_order",  # deterministic source interleave
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
     "x2_ngram_jaccard_pairs",  # gram keys now hashed
@@ -8435,9 +8531,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
     "t1_transform_contract",
+    "pipeline_migrate_plan",  # reference-lifecycle flagship (r02 evidence)
     # --- (e) oldest driver evidence (last checked round 2) ---
-    "pipeline_migrate_plan",
-    "q1_pricing_summary",
     "x4_ivf_index_batch_topk",
     "x9_centroid_outliers",
     "x5_quality_tiers_scalable",
