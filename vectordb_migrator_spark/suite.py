@@ -333,7 +333,6 @@ def c4_c6_conform_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t1_transform_contract",
-    "pipeline_migrate_plan",  # reference-lifecycle flagship (r02 evidence)
     """
     SELECT vec_id::VARCHAR AS id, label::BIGINT AS label,
            'sf-test' AS source_db
