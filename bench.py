@@ -80,6 +80,7 @@ HEADLINE = [
     "x2_dedup_keep_best",
     "x2_dedup_funnel",
     "x2_cluster_size_histogram",
+    "x2_cluster_density",
     "x0_leakage_safe_split",
     "x3_cosine_topk",
     "x3_knn_join",
@@ -136,6 +137,7 @@ HEADLINE = [
     "x9_storage_report",
     "x9_sq_error_by_label",
     "x9_pq_error",
+    "x9_pq_perm_error",
     "x9_centroid_outliers",
     "x4_ivf_balance",
     "x10_stratified_sample",

@@ -1229,6 +1229,122 @@ def x9_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_PERM = [int(x) for x in np.random.default_rng(7).permutation(64)]
+_PQ_SIGN = [int(x) for x in np.random.default_rng(8).choice([-1, 1], 64)]
+
+
+@query("x9_pq_perm_error", None)  # oracle attached below (computed)
+def x9_pq_perm_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — OPQ-style transform check (round 5): a seeded signed
+    PERMUTATION (an exact orthogonal transform — distances preserved,
+    variance reallocated across subspaces) applied to vectors AND
+    codebook seeds before PQ, reporting per-subspace error side by
+    side with the identity layout — the cheap test of OPQ's premise
+    that subspace assignment, not the codebook count, drives PQ error
+    (a real OPQ learns the rotation; the permutation is its
+    engine-reproducible stand-in, hence the full oracle). Same codegen
+    fold shape as ``x9_pq_error``."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_sampled_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    v = F.col("embedding").cast("array<double>")
+    pv = F.array(
+        *[v.getItem(_PQ_PERM[i]) * F.lit(float(_PQ_SIGN[i])) for i in range(64)]
+    )
+
+    def sub_errs(vec, books, tag):
+        out = []
+        for s in range(4):
+            sub = F.slice(vec, s * 16 + 1, 16)
+            cands = F.array(
+                *[F.array(*[F.lit(float(x)) for x in cw]) for cw in books[s]]
+            )
+            dists = F.transform(
+                cands,
+                lambda c: F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            out.append(
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    F.lit(tag).alias("layout"),
+                    F.array_min(dists).alias("mdist"),
+                )
+            )
+        return out
+
+    # permuted codebooks: permute each seed codeword's 64 dims the same
+    # way, then re-slice into subspaces
+    flat_cbs = [
+        [cbs[d // 16][j][d % 16] for d in range(64)] for j in range(16)
+    ]
+    perm_books = [
+        [
+            [flat_cbs[j][_PQ_PERM[i]] * _PQ_SIGN[i] for i in range(s * 16, s * 16 + 16)]
+            for j in range(16)
+        ]
+        for s in range(4)
+    ]
+    rows = sub_errs(v, cbs, "identity") + sub_errs(pv, perm_books, "permuted")
+    exploded = emb.select(F.explode(F.array(*rows)).alias("e")).select(
+        "e.s", "e.layout", "e.mdist"
+    )
+    return (
+        exploded.groupBy("layout", "s")
+        .agg(
+            F.round(F.avg("mdist"), 6).alias("mse_mean"),
+            F.round(F.max("mdist"), 6).alias("mse_max"),
+        )
+        .orderBy("layout", "s")
+    )
+
+
+def _pq_perm_sql() -> str:
+    perm_sql = "[" + ", ".join(str(p + 1) for p in _PQ_PERM) + "]"
+    sign_sql = "[" + ", ".join(str(x) for x in _PQ_SIGN) + "]"
+    return f"""
+    WITH pm AS (SELECT {perm_sql} AS perm, {sign_sql} AS sgn),
+    base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             [embedding[perm[i]]::DOUBLE * sgn[i] for i in
+              range(1, 65)] AS pv
+      FROM embeddings, pm
+    ),
+    cb AS (
+      SELECT b.vec_id AS j, b.v AS cv, b.pv AS pcv
+      FROM base b WHERE b.vec_id < 16
+    ),
+    d AS (
+      SELECT e.vec_id, 'identity' AS layout, (t.i-1) // 16 AS s, c.j,
+             sum((e.v[t.i] - c.cv[t.i]) * (e.v[t.i] - c.cv[t.i])) AS dist
+      FROM base e, unnest(range(1, 65)) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+      UNION ALL
+      SELECT e.vec_id, 'permuted' AS layout, (t.i-1) // 16 AS s, c.j,
+             sum((e.pv[t.i] - c.pcv[t.i]) * (e.pv[t.i] - c.pcv[t.i])) AS dist
+      FROM base e, unnest(range(1, 65)) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    md AS (
+      SELECT vec_id, layout, s, min(dist) AS mdist
+      FROM d GROUP BY vec_id, layout, s
+    )
+    SELECT layout, s::INT AS s,
+           round(avg(mdist), 6) AS mse_mean,
+           round(max(mdist), 6) AS mse_max
+    FROM md GROUP BY layout, s ORDER BY layout, s
+    """
+
+
+ORACLES["x9_pq_perm_error"] = _pq_perm_sql()
+
+
 @query(
     "x4_pq_adc_topk",
     f"""
@@ -4534,6 +4650,92 @@ def x2_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removable"),
         )
         .orderBy("family_size")
+    )
+
+
+@query(
+    "x2_cluster_density",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+      SELECT a AS id, least(a, min(b))::BIGINT AS comp
+      FROM reach GROUP BY a
+    ), sizes AS (
+      SELECT comp, count(*)::BIGINT AS family_size FROM clusters GROUP BY comp
+    ), edge_counts AS (
+      SELECT c.comp, count(*)::BIGINT AS n_edges
+      FROM pairs p JOIN clusters c ON c.id = p.id_a
+      GROUP BY c.comp
+    )
+    SELECT s.comp, s.family_size, e.n_edges,
+           round(e.n_edges::DOUBLE /
+                 (s.family_size * (s.family_size - 1) / 2.0), 6) AS density
+    FROM sizes s JOIN edge_counts e USING (comp)
+    WHERE s.family_size >= 2
+    ORDER BY s.comp
+    """,
+)
+def x2_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — duplicate-family DENSITY (round 5): per near-dup family,
+    its edge count over the possible-pair count — density ≈ 1 is a
+    true duplicate clique (every member pairwise similar: safe to
+    keep-one); low density is a transitive CHAIN (A~B~C with A≁C —
+    the hallmark of threshold drift, where keep-one may delete
+    genuinely distinct docs). The diagnostic that decides between
+    ``apply_dedup`` and a stricter threshold. Edge counts are one
+    duplicate-sized join of the pair frame to its clusters."""
+    from vectordb_migrator_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).localCheckpoint(eager=True)
+    clusters = connected_components(pairs)
+    sizes = clusters.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("family_size")
+    )
+    edges = (
+        pairs.join(
+            clusters.withColumnRenamed("id", "id_a"), "id_a"
+        )
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    return (
+        sizes.join(edges, "comp")
+        .filter(F.col("family_size") >= 2)
+        .select(
+            "comp",
+            "family_size",
+            "n_edges",
+            F.round(
+                F.col("n_edges")
+                / (F.col("family_size") * (F.col("family_size") - 1) / 2.0),
+                6,
+            ).alias("density"),
+        )
+        .orderBy("comp")
     )
 
 
@@ -8517,13 +8719,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_quality_by_lang",  # quality-vs-size mixture diagnosis
     "x9_pq_error",  # per-subspace PQ reconstruction error
     "x0_interleaved_order",  # deterministic source interleave
+    "x2_cluster_density",  # clique-vs-chain family diagnostic
+    "x9_pq_perm_error",  # OPQ-premise check (signed permutation)
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
-    "x2_ngram_jaccard_pairs",  # gram keys now hashed
     "x2_dedup_clusters",  # consumes the hashed-gram kernel
     "x2_dedup_apply",  # consumes the hashed-gram kernel
     "x2_dedup_incremental",  # consumes the hashed-gram kernel
-    "x2_embedding_near_dup",  # all-pairs opt-in guard added
     "x2_lsh_near_dup",  # wrapper over the guarded kernel
     "x10_mixture_apply",  # apply_source_mixture join rebind
     # --- (d) standing canaries (shared-loader / canonical-pipeline) ---
