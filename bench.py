@@ -93,6 +93,7 @@ HEADLINE = [
     "x4_pq_adc_topk",
     "x4_pq_adc_stored",
     "x4_ivfpq_topk",
+    "x4_ivfpq_stored_topk",
     "x4_sq_topk",
     "x4_ivf_index_topk",
     "x4_ivf_filtered_topk",

@@ -632,3 +632,45 @@ def test_mixture_ingest_plan_tracks_growth(spark, tmp_path):
     assert plan() == direct2
     # the store itself stays kilobyte-sized: one partial per (source, batch)
     assert spark.read.parquet(counts).count() <= 4
+
+
+def test_decontaminated_ingest_quarantines_eval_leaks(spark, tmp_path):
+    """Round-5 X5×X8: a doc whose grams overlap the static benchmark
+    above threshold is quarantined with its measured contamination;
+    clean docs land in the corpus. No history rescans — the benchmark
+    side broadcasts per batch."""
+    from vectordb_migrator_spark.streaming.incremental import (
+        decontaminated_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame(
+        [(900, "the secret eval question about turtles")], schema
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            (1, "the secret eval question about turtles verbatim copy"),
+            (2, "a perfectly ordinary training document here"),
+        ],
+        schema,
+    ).write.parquet(src)
+    q = decontaminated_ingest(
+        spark,
+        source_path=src,
+        source_schema=schema,
+        corpus_path=str(tmp_path / "corpus"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        benchmark=bench,
+        checkpoint=str(tmp_path / "ckpt"),
+        n=3,
+        threshold=0.4,
+    )
+    q.awaitTermination(120)
+    clean = [r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()]
+    dirty = {
+        r["doc_id"]: r["contamination"]
+        for r in spark.read.parquet(str(tmp_path / "quarantine")).collect()
+    }
+    assert clean == [2]
+    assert set(dirty) == {1} and dirty[1] >= 0.4

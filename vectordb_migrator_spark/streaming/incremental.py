@@ -531,3 +531,67 @@ def mixture_over(
     return source_mixture(
         per, source_col="source", size_col="__n", alpha=alpha, budget=budget
     )
+
+
+def decontaminated_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    corpus_path: str,
+    quarantine_path: str,
+    benchmark: DataFrame,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    source_format: str = "parquet",
+    trigger_once: bool = True,
+):
+    """Streaming benchmark-decontamination gate — X5 meets X8: every
+    arriving micro-batch is checked against a STATIC eval benchmark
+    (per-doc n-gram contamination, the same detector as the batch
+    ``ngram_contamination``); documents at or above the contamination
+    threshold are quarantined (with their measured fraction attached),
+    the rest land in the corpus — so eval material can never leak into
+    a training corpus that is continuously ingested. The benchmark's
+    distinct-gram side is benchmark-sized and broadcast per batch; the
+    batch side is micro-batch-sized by definition — no history is ever
+    rescanned. Batch-keyed overwrite writes make replays idempotent,
+    exactly like ``validated_ingest``."""
+    from vectordb_migrator_spark.operators.cleaning import ngram_contamination
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        report = ngram_contamination(
+            benchmark,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            threshold=threshold,
+        ).select(id_col, "contamination", "is_contaminated")
+        marked = batch_df.join(report, id_col, "left")
+        clean = marked.filter(~F.coalesce("is_contaminated", F.lit(False)))
+        dirty = marked.filter(F.coalesce("is_contaminated", F.lit(False)))
+        clean.drop("contamination", "is_contaminated").write.mode(
+            "overwrite"
+        ).parquet(f"{corpus_path}/batch={batch_id}")
+        dirty.drop("is_contaminated").write.mode("overwrite").parquet(
+            f"{quarantine_path}/batch={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1482,6 +1482,59 @@ def x4_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x4_ivfpq_stored_topk", None)  # same semantics → x4_ivfpq oracle
+def x4_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — IVFADC over the MATERIALIZED layout (round 5): the actual
+    FAISS-on-disk read path — the stored corpus carries m-byte PQ
+    CODES (never raw vectors), hive-partitioned by coarse cluster,
+    beside a driver-tiny centroid table built from the original
+    vectors. A probe ranks centroids driver-side, folds the nprobe
+    winners into a literal partition filter (directories that never
+    open), and ADC-scores the pruned code scan with LUT sums only.
+    Storage×compute multiply: nprobe/nlist of the corpus read × m
+    bytes per row. Same results and oracle as the in-plan
+    ``x4_ivfpq_topk`` by construction."""
+    import math
+    import tempfile
+
+    from vectordb_migrator_spark.operators.scale import write_partitioned
+    from vectordb_migrator_spark.operators.similarity import (
+        ivf_build_centroids,
+        pq_adc_topk_codes,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    write_partitioned(
+        pq_encode(emb, cbs).select("vec_id", "label", "pq_code"),
+        f"{path}/corpus",
+        partition_cols="label",
+    )
+    ivf_build_centroids(emb, cluster_col="label").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    pn = math.sqrt(sum(float(y) * float(y) for y in probe))
+
+    def cos(c):
+        num = sum(float(x) * float(y) for x, y in zip(c, probe))
+        return num / (math.sqrt(sum(float(x) * float(x) for x in c)) * pn)
+
+    ranked = sorted((-cos(r["centroid"]), r["cluster"]) for r in cents)
+    probed = [c for _, c in ranked[:2]]
+    pruned = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("label").isin(probed)
+    )
+    return pq_adc_topk_codes(pruned, probe, cbs, k=10)
+
+
+ORACLES["x4_ivfpq_stored_topk"] = ORACLES["x4_ivfpq_topk"]
+
+
 @query(
     "x3_filtered_topk",
     f"""
@@ -8721,9 +8774,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_interleaved_order",  # deterministic source interleave
     "x2_cluster_density",  # clique-vs-chain family diagnostic
     "x9_pq_perm_error",  # OPQ-premise check (signed permutation)
+    "x4_ivfpq_stored_topk",  # FAISS-on-disk read path (codes + pruning)
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
-    "x2_dedup_clusters",  # consumes the hashed-gram kernel
     "x2_dedup_apply",  # consumes the hashed-gram kernel
     "x2_dedup_incremental",  # consumes the hashed-gram kernel
     "x2_lsh_near_dup",  # wrapper over the guarded kernel
