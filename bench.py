@@ -69,6 +69,7 @@ HEADLINE = [
     "x1_dup_rate_by_source",
     "x2_ngram_jaccard_pairs",
     "x2_containment_pairs",
+    "x2_threshold_sweep",
     "x2_minhash_lsh_pairs",
     "x2_minhash_md5_pairs",
     "x2_simhash_md5_pairs",
@@ -104,6 +105,7 @@ HEADLINE = [
     "x4_recall_report",
     "x4_mmr_rerank",
     "x9_matryoshka_topk",
+    "x9_matryoshka_curve",
     "x4_lsh_multiprobe_topk",
     "x4_lsh_index_topk",
     "x9_embedding_pool",

@@ -2039,6 +2039,83 @@ def x4_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(shortlist, k=10, lamb=0.5)
 
 
+def _mrl_curve_sql() -> str:
+    def top10(d):
+        return f"""
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               round(list_dot_product(embedding[1:{d}]::DOUBLE[], pv[1:{d}]) /
+                     (sqrt(list_dot_product(embedding[1:{d}]::DOUBLE[],
+                                            embedding[1:{d}]::DOUBLE[])) *
+                      sqrt(list_dot_product(pv[1:{d}], pv[1:{d}]))), 6) AS s
+        FROM embeddings, p ORDER BY s DESC, vec_id LIMIT 10)
+        """
+
+    parts = []
+    for d in (8, 16, 32, 64):
+        parts.append(
+            f"""SELECT {d} AS dim,
+            round((SELECT count(*) FROM ({top10(d)}) c
+                   WHERE c.vec_id IN (SELECT vec_id FROM truth)) / 10.0, 6)
+              AS recall_at_10"""
+        )
+    return (
+        f"WITH p AS (SELECT {_PROBE_SQL} AS pv), truth AS ({top10(64)}) "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY dim"
+    )
+
+
+@query("x9_matryoshka_curve", None)  # oracle attached below (computed)
+def x9_matryoshka_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — the Matryoshka recall CURVE (round 5): recall@10 of
+    prefix-dimension retrieval at 8/16/32/64 dims against the full-dim
+    truth — the sizing table for MRL deployment (how many dims the
+    shortlist pass can drop before recall falls off a cliff;
+    ``x9_matryoshka_topk`` runs ONE point of this curve). Each prefix
+    ranking is a TakeOrdered over one shared scan; the recall joins
+    are 10-row frames."""
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+    from vectordb_migrator_spark.operators.similarity import probe_literal
+
+    probe = _probe_vector(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def top10(d):
+        v = F.slice(F.col("embedding").cast("array<double>"), 1, d)
+        return (
+            emb.select(
+                "vec_id",
+                F.round(
+                    cosine_similarity(v, probe_literal(probe[:d])), 6
+                ).alias("s"),
+            )
+            .orderBy(F.desc("s"), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+
+    truth = top10(64)
+    rows = []
+    for d in (8, 16, 32, 64):
+        rec = (
+            top10(d)
+            .join(truth, "vec_id", "left_semi")
+            .agg(
+                F.lit(d).cast("int").alias("dim"),
+                F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10"),
+            )
+        )
+        rows.append(rec)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("dim")
+
+
+ORACLES["x9_matryoshka_curve"] = _mrl_curve_sql()
+
+
 @query(
     "x9_matryoshka_topk",
     f"""
@@ -4703,6 +4780,68 @@ def x2_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removable"),
         )
         .orderBy("family_size")
+    )
+
+
+@query(
+    "x2_threshold_sweep",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), scored AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE AS j
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), b AS (
+      SELECT least(floor(j * 10) / 10, 0.9) AS bucket, count(*)::BIGINT AS n
+      FROM scored GROUP BY 1
+    )
+    SELECT round(bucket, 1) AS bucket, n,
+           sum(n) OVER (ORDER BY bucket DESC)::BIGINT AS n_pairs_at_least
+    FROM b ORDER BY bucket
+    """,
+)
+def x2_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — Jaccard THRESHOLD sweep (round 5): the similarity
+    distribution of every candidate pair (docs sharing ≥1 gram),
+    bucketed by 0.1, with the cumulative pairs-at-or-above count per
+    bucket — the tuning table for picking the dedup threshold from ONE
+    pass over the pair scores (scores compute once; every candidate
+    threshold's pair volume reads off the cumsum). Completes the
+    tuning trilogy: ``x5_hot_grams`` picks max_df, ``x2_lsh_s_curve``
+    picks banding, this picks the threshold. Same single-shuffle
+    bucket machinery as the pair generator, minus the filter."""
+    from pyspark.sql import Window as W
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.0
+    )
+    b = (
+        pairs.select(
+            F.least(
+                F.floor(F.col("jaccard") * 10) / 10, F.lit(0.9)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.orderBy(F.desc("bucket")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        b.withColumn("n_pairs_at_least", F.sum("n").over(w).cast("long"))
+        .select(F.round("bucket", 1).alias("bucket"), "n", "n_pairs_at_least")
+        .orderBy("bucket")
     )
 
 
@@ -8775,11 +8914,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_cluster_density",  # clique-vs-chain family diagnostic
     "x9_pq_perm_error",  # OPQ-premise check (signed permutation)
     "x4_ivfpq_stored_topk",  # FAISS-on-disk read path (codes + pruning)
+    "x2_threshold_sweep",  # dedup-threshold tuning table
+    "x9_matryoshka_curve",  # MRL recall-vs-dims sizing curve
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
-    "x2_dedup_apply",  # consumes the hashed-gram kernel
     "x2_dedup_incremental",  # consumes the hashed-gram kernel
-    "x2_lsh_near_dup",  # wrapper over the guarded kernel
     "x10_mixture_apply",  # apply_source_mixture join rebind
     # --- (d) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
