@@ -70,6 +70,7 @@ HEADLINE = [
     "x2_ngram_jaccard_pairs",
     "x2_containment_pairs",
     "x2_threshold_sweep",
+    "x2_source_overlap_matrix",
     "x2_minhash_lsh_pairs",
     "x2_minhash_md5_pairs",
     "x2_simhash_md5_pairs",

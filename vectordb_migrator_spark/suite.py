@@ -4784,6 +4784,70 @@ def x2_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_source_overlap_matrix",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    )
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           count(*)::BIGINT AS n_pairs
+    FROM pairs p
+    JOIN documents sa ON sa.doc_id = p.id_a
+    JOIN documents sb ON sb.doc_id = p.id_b
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+)
+def x2_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — cross-source duplication matrix (round 5): near-dup pair
+    counts per unordered source pair — the syndication map that tells
+    a curation run WHICH feeds copy each other (a hot off-diagonal
+    cell means two crawls of the same upstream; a hot diagonal means
+    a source re-publishes itself). The source lookup joins ids only
+    (two duplicate-sized id⋈source joins against a column-pruned
+    scan); the matrix is at most n_sources² rows."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "source", "sa"
+            ),
+            "id_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "source", "sb"
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
     "x2_threshold_sweep",
     r"""
     WITH sh AS (
@@ -8916,9 +8980,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_ivfpq_stored_topk",  # FAISS-on-disk read path (codes + pruning)
     "x2_threshold_sweep",  # dedup-threshold tuning table
     "x9_matryoshka_curve",  # MRL recall-vs-dims sizing curve
+    "x2_source_overlap_matrix",  # cross-source syndication map
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
-    "x2_dedup_incremental",  # consumes the hashed-gram kernel
     "x10_mixture_apply",  # apply_source_mixture join rebind
     # --- (d) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
