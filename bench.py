@@ -104,6 +104,7 @@ HEADLINE = [
     "x3_filtered_topk",
     "x3_grouped_topk",
     "x4_recall_report",
+    "x4_nprobe_sweep",
     "x4_mmr_rerank",
     "x9_matryoshka_topk",
     "x9_matryoshka_curve",
@@ -151,6 +152,7 @@ HEADLINE = [
     "x12_source_profile_drift",
     "x10_weighted_md5_sample",
     "x10_stratified_weighted",
+    "x10_temperature_sweep",
     "x10_source_mixture",
     "x10_mixture_apply",
     "x10_lang_balanced_mixture",

@@ -2066,6 +2066,109 @@ def _mrl_curve_sql() -> str:
     )
 
 
+def _nprobe_sweep_sql() -> str:
+    base = f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    cent AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, unnest(range(1, 65)) t(i) GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             row_number() OVER (ORDER BY
+               sum(c.cv * p.pv[i]) /
+               (sqrt(sum(c.cv * c.cv)) * sqrt(sum(p.pv[i] * p.pv[i]))) DESC,
+               c.label) AS crank
+      FROM cent c, p GROUP BY c.label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_dot_product(e.embedding::DOUBLE[], p.pv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(p.pv, p.pv))), 6) AS s
+      FROM embeddings e, p
+    ),
+    truth AS (
+      SELECT vec_id FROM scored ORDER BY s DESC, vec_id LIMIT 10
+    )"""
+    parts = []
+    for np_ in (1, 2, 3, 4):
+        parts.append(
+            f"""SELECT {np_} AS nprobe,
+            round((SELECT count(*) FROM (
+                SELECT sc.vec_id FROM scored sc
+                JOIN csim ON csim.label = sc.label AND csim.crank <= {np_}
+                ORDER BY sc.s DESC, sc.vec_id LIMIT 10) c
+              WHERE c.vec_id IN (SELECT vec_id FROM truth)) / 10.0, 6)
+              AS recall_at_10"""
+        )
+    return base + " " + " UNION ALL ".join(parts) + " ORDER BY nprobe"
+
+
+@query("x4_nprobe_sweep", None)  # oracle attached below (computed)
+def x4_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the nprobe/recall SWEEP (round 5): recall@10 of
+    label-coarse IVF at nprobe 1..4 against exact truth — the tuning
+    table behind every materialized-IVF probe ("how many partitions
+    must a probe open for the recall target"), the ANN twin of the
+    dedup threshold sweep. One shared scored scan; each nprobe point
+    is a semi-join against the driver-ranked centroid shortlist +
+    TakeOrdered; recall joins are 10-row frames."""
+    import math
+
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+    from vectordb_migrator_spark.operators.similarity import (
+        ivf_build_centroids,
+        probe_literal,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    cents = ivf_build_centroids(emb, cluster_col="label").collect()
+    pn = math.sqrt(sum(float(y) * float(y) for y in probe))
+
+    def cos(c):
+        num = sum(float(x) * float(y) for x, y in zip(c, probe))
+        return num / (math.sqrt(sum(float(x) * float(x) for x in c)) * pn)
+
+    ranked = [
+        c for _, c in sorted((-cos(r["centroid"]), r["cluster"]) for r in cents)
+    ]
+    scored = emb.select(
+        "vec_id",
+        "label",
+        F.round(
+            cosine_similarity(
+                F.col("embedding").cast("array<double>"), probe_literal(probe)
+            ),
+            6,
+        ).alias("s"),
+    )
+    truth = scored.orderBy(F.desc("s"), "vec_id").limit(10).select("vec_id")
+    rows = []
+    for np_ in (1, 2, 3, 4):
+        cand = (
+            scored.filter(F.col("label").isin(ranked[:np_]))
+            .orderBy(F.desc("s"), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+        rows.append(
+            cand.join(truth, "vec_id", "left_semi").agg(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("nprobe")
+
+
+ORACLES["x4_nprobe_sweep"] = _nprobe_sweep_sql()
+
+
 @query("x9_matryoshka_curve", None)  # oracle attached below (computed)
 def x9_matryoshka_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9 — the Matryoshka recall CURVE (round 5): recall@10 of
@@ -8824,6 +8927,64 @@ def x10_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x10_temperature_sweep",
+    r"""
+    WITH per AS (
+      SELECT source, count(*)::DOUBLE AS size FROM documents GROUP BY source
+    ),
+    d AS (
+      SELECT sum(pow(size, 0.2)) AS d02, sum(pow(size, 0.5)) AS d05,
+             sum(pow(size, 0.8)) AS d08, sum(size) AS d10
+      FROM per
+    )
+    SELECT source, size::BIGINT AS n,
+           round(pow(size, 0.2) / d02, 6) AS w_a02,
+           round(pow(size, 0.5) / d05, 6) AS w_a05,
+           round(pow(size, 0.8) / d08, 6) AS w_a08,
+           round(size / d10, 6) AS w_a10
+    FROM per, d ORDER BY source
+    """,
+)
+def x10_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — temperature SWEEP (round 5): each source's mixture weight
+    at alpha ∈ {0.2, 0.5, 0.8, 1.0} side by side — the table that
+    picks the temperature (alpha→0 flattens toward uniform, alpha=1
+    is proportional; the spread between columns shows how much any
+    alpha choice moves each source). ONE per-source aggregate + a
+    broadcast 1-row normalizer frame; the tuning-table sibling of the
+    threshold sweep and the S-curve."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("size")
+    )
+    d = per.agg(
+        *[
+            F.sum(F.pow("size", F.lit(a))).alias(f"d{tag}")
+            for a, tag in ((0.2, "02"), (0.5, "05"), (0.8, "08"), (1.0, "10"))
+        ]
+    )
+    return (
+        per.crossJoin(F.broadcast(d))
+        .select(
+            "source",
+            F.col("size").cast("long").alias("n"),
+            *[
+                F.round(
+                    F.pow("size", F.lit(a)) / F.col(f"d{tag}"), 6
+                ).alias(f"w_a{tag}")
+                for a, tag in (
+                    (0.2, "02"),
+                    (0.5, "05"),
+                    (0.8, "08"),
+                    (1.0, "10"),
+                )
+            ],
+        )
+        .orderBy("source")
+    )
+
+
 @query("x10_lang_balanced_mixture", None)  # oracle attached below (computed)
 def x10_lang_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 — language-balanced resampling (round 5): the multilingual-LM
@@ -8981,9 +9142,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_threshold_sweep",  # dedup-threshold tuning table
     "x9_matryoshka_curve",  # MRL recall-vs-dims sizing curve
     "x2_source_overlap_matrix",  # cross-source syndication map
+    "x10_temperature_sweep",  # alpha tuning table
+    "x4_nprobe_sweep",  # nprobe/recall tuning table
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
-    "x10_mixture_apply",  # apply_source_mixture join rebind
     # --- (d) standing canaries (shared-loader / canonical-pipeline) ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
