@@ -9142,7 +9142,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_threshold_sweep",  # dedup-threshold tuning table
     "x9_matryoshka_curve",  # MRL recall-vs-dims sizing curve
     "x2_source_overlap_matrix",  # cross-source syndication map
-    "x10_temperature_sweep",  # alpha tuning table
     "x4_nprobe_sweep",  # nprobe/recall tuning table
     # --- (c) semantically touched in round 5 ---
     "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
@@ -9151,7 +9150,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c1_pgvector_roundtrip",
     "t1_transform_contract",
     "pipeline_migrate_plan",  # reference-lifecycle flagship (r02 evidence)
-    # --- (e) oldest driver evidence (last checked round 2) ---
+    # --- (e) round-5 mid-round additions ---
     "x4_ivf_index_batch_topk",
     "x9_centroid_outliers",
     "x5_quality_tiers_scalable",
