@@ -2112,9 +2112,11 @@ def x4_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-coarse IVF at nprobe 1..4 against exact truth — the tuning
     table behind every materialized-IVF probe ("how many partitions
     must a probe open for the recall target"), the ANN twin of the
-    dedup threshold sweep. One shared scored scan; each nprobe point
-    is a semi-join against the driver-ranked centroid shortlist +
-    TakeOrdered; recall joins are 10-row frames."""
+    dedup threshold sweep. Each nprobe point is a label-filtered
+    TakeOrdered branch of the union plan — the scored projection
+    re-derives per branch (5 narrow scans at diagnostic cadence; a
+    scheduled run would persist the scored frame once); recall joins
+    are 10-row frames."""
     import math
 
     from vectordb_migrator_spark.functions.vector import cosine_similarity
@@ -2176,8 +2178,9 @@ def x9_matryoshka_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth — the sizing table for MRL deployment (how many dims the
     shortlist pass can drop before recall falls off a cliff;
     ``x9_matryoshka_topk`` runs ONE point of this curve). Each prefix
-    ranking is a TakeOrdered over one shared scan; the recall joins
-    are 10-row frames."""
+    ranking is its own TakeOrdered branch of the union plan (4 narrow
+    scans at diagnostic cadence — a scheduled run persists the corpus
+    projection once); the recall joins are 10-row frames."""
     from vectordb_migrator_spark.functions.vector import cosine_similarity
     from vectordb_migrator_spark.operators.similarity import probe_literal
 
