@@ -330,3 +330,20 @@ def test_round5_single_exchange_shapes(spark):
     ex, p = hash_exchanges("x1_dedup_canonical")
     assert len(ex) == 1 and "h#" in ex[0]
     assert p.count("FileScan") == 1  # no aggregate+join-back re-scan
+
+
+def test_ivfpq_stored_probe_prunes_partitions(spark):
+    """The stored-IVFADC probe must reach the code corpus through
+    PartitionFilters (directories that never open) and keep the ADC
+    ranking as TakeOrdered — the FAISS-on-disk read-path contract."""
+    p = _plan(spark, "x4_ivfpq_stored_topk")
+    assert "PartitionFilters" in p and "label#" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_temperature_sweep_single_aggregate(spark):
+    """Four alpha columns from ONE per-source aggregate + broadcast
+    normalizers — no per-alpha re-scan."""
+    p = _plan(spark, "x10_temperature_sweep")
+    assert p.count("FileScan") == 2  # per-source agg + normalizer branch
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

@@ -890,3 +890,41 @@ def test_ivf_index_health_and_refit(spark, embeddings, probe, tmp_path):
         ).collect()
     ]
     assert got == expect
+
+
+def test_ivf_index_batch_matches_single_probes(spark, embeddings, tmp_path):
+    """The batched layout probe must return, per probe, exactly the
+    rows the single-probe path returns (same nprobe, same tie rule) —
+    batching changes the scan count, never the results."""
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_batch_topk,
+        ivf_index_topk,
+    )
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, path, cluster_col="label")
+    probes = embeddings.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    batch = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in ivf_index_batch_topk(
+            spark, path, probes, cluster_col="label", k=5, nprobe=2
+        ).collect()
+    }
+    for pr in probes.collect():
+        single = ivf_index_topk(
+            spark,
+            path,
+            [float(x) for x in pr["q_vec"]],
+            cluster_col="label",
+            k=5,
+            nprobe=2,
+        ).collect()
+        for rank, row in enumerate(single, start=1):
+            got_id, got_score = batch[(pr["q_id"], rank)]
+            assert got_id == row["vec_id"]
+            assert abs(got_score - row["score"]) < 1e-6
