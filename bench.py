@@ -62,11 +62,13 @@ HEADLINE = [
     "x0_packing_manifest",
     "x0_shard_shuffle",
     "x0_interleaved_order",
+    "x0_curriculum_order",
     "x0_doc_packing",
     "x10_token_budget_cap",
     "x1_dedup_exact_text",
     "x1_dedup_canonical",
     "x1_dup_rate_by_source",
+    "x1_dup_rate_by_lang",
     "x2_ngram_jaccard_pairs",
     "x2_containment_pairs",
     "x2_threshold_sweep",

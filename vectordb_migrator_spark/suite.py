@@ -8931,6 +8931,91 @@ def x10_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x1_dup_rate_by_lang",
+    """
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_rows,
+           round((count(*) - count(DISTINCT md5(text)))::DOUBLE
+                 / count(*), 6) AS dup_rate
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def x1_dup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact-duplication rate per LANGUAGE (round 5): the
+    language-axis sibling of ``x1_dup_rate_by_source`` — a language
+    whose dup rate spikes usually means one dominant syndicated feed
+    in that language, and its mixture weight should be read net of
+    duplicates. One map-side-combinable aggregate."""
+    from vectordb_migrator_spark.functions.text import md5_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+            .cast("long")
+            .alias("n_dup_rows"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "x0_curriculum_order",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+               AS n_tok,
+             CAST(CONCAT('0x', substr(md5(concat('cur:', doc_id)), 1, 15))
+                  AS BIGINT) AS key
+      FROM documents
+    )
+    SELECT doc_id, n_tok,
+           (row_number() OVER (ORDER BY n_tok DESC, key, doc_id) - 1)::BIGINT
+             AS position
+    FROM s ORDER BY doc_id
+    """,
+)
+def x0_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — deterministic CURRICULUM order (round 5): documents ranked
+    by a quality signal (token count here; any score plugs in) with an
+    md5 key breaking ties pseudo-randomly-but-reproducibly — the
+    quality-first ordering of curriculum learning, byte-stable across
+    runs so two training jobs see the identical sequence. The exact
+    small-N variant carries the oracle; at 100 TB the order key sorts
+    WITHIN shards (compose with ``deterministic_shuffle``) instead of
+    asking for a total order — same trade as ``x5_quality_tiers``."""
+    from pyspark.sql import Window as W
+
+    from vectordb_migrator_spark.functions.text import token_count_ws
+
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cur:"), F.col("doc_id"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_ws("text").cast("long").alias("n_tok"),
+        key.alias("__key"),
+    )
+    w = W.orderBy(F.desc("n_tok"), "__key", "doc_id")
+    return (
+        d.withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "n_tok", "position")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "x10_temperature_sweep",
     r"""
     WITH per AS (
