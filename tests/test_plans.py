@@ -347,3 +347,15 @@ def test_temperature_sweep_single_aggregate(spark):
     p = _plan(spark, "x10_temperature_sweep")
     assert p.count("FileScan") == 2  # per-source agg + normalizer branch
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_pq_perm_array_built_once(spark):
+    """The permuted-PQ vector (a 64-getItem array expression) must be
+    materialized as ONE projected column — not inlined by Catalyst into
+    every candidate lambda (16 candidates x 4 subspaces recomputed it in
+    round 5: 11.6s vs its identity twin's 1.3s). Each per-subspace slice
+    likewise binds once; the fold then references attributes only."""
+    p = _plan(spark, "x9_pq_perm_error")
+    assert p.count("AS __pv") == 1  # permuted array constructed once
+    assert p.count("AS __id") == 4 and p.count("AS __pm") == 4
+    assert "BatchEvalPython" not in p

@@ -64,11 +64,51 @@ def unsafe_output_types(spark_df) -> list[str]:
     return bad
 
 
-def compare(name, spark_df, duck_rel) -> tuple[bool, str]:
+def unsafe_oracle_dtypes(spark_df, duck_df) -> list[str]:
+    """Oracle columns whose PANDAS dtype diverges from Spark's integral
+    schema — the silent local-pass / driver-fail class burned in r5:
+    DuckDB widens windowed/aggregated ``sum(BIGINT)`` to HUGEINT, which
+    pandas materializes as float64, so the DRIVER's exact value hash
+    sees ``291.0`` vs Spark's ``291`` even though this checker's
+    int-coercing tuple compare says MATCH. Any oracle column that is
+    float64/object where Spark emits an integral/boolean type must be
+    cast ``::BIGINT`` (etc.) in the SQL."""
+    from pyspark.sql import types as T
+
+    integral = (
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+        T.BooleanType,
+    )
+    bad = []
+    for f in spark_df.schema.fields:
+        if not isinstance(f.dataType, integral):
+            continue
+        if f.name not in duck_df.columns:
+            continue
+        kind = duck_df[f.name].dtype.kind
+        if kind not in "iub":  # int / unsigned / bool
+            bad.append(
+                f"{f.name}: spark={f.dataType.simpleString()} "
+                f"duck-pandas={duck_df[f.name].dtype}"
+            )
+    return bad
+
+
+def compare(name, spark_df, duck_rel, duck_df=None) -> tuple[bool, str]:
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_rel.columns)
     if s_cols != d_cols:
         return False, f"columns differ: spark={s_cols} duck={d_cols}"
+    if duck_df is not None:
+        bad = unsafe_oracle_dtypes(spark_df, duck_df)
+        if bad:
+            return False, (
+                "driver-hash-unsafe oracle dtypes (cast ::BIGINT in the "
+                f"SQL): {bad}"
+            )
     s_rows = spark_df.collect()
     d_rows = duck_rel.fetchall()
     if len(s_rows) != len(d_rows):
@@ -118,7 +158,8 @@ def main() -> int:
             if bad:
                 ok, msg = False, f"driver-unsafe output columns: {bad}"
             elif name in oracles:
-                ok, msg = compare(name, df, con.sql(oracles[name]))
+                duck_df = con.sql(oracles[name]).df()
+                ok, msg = compare(name, df, con.sql(oracles[name]), duck_df)
             else:
                 n = df.count()
                 ok, msg = True, f"rows-only: {n} rows"

@@ -1243,7 +1243,17 @@ def x9_pq_perm_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     that subspace assignment, not the codebook count, drives PQ error
     (a real OPQ learns the rotation; the permutation is its
     engine-reproducible stand-in, hence the full oracle). Same codegen
-    fold shape as ``x9_pq_error``."""
+    fold shape as ``x9_pq_error``.
+
+    Plan note (round 6): the permuted vector is a 64-``getItem``
+    array expression — referencing it inside the per-candidate
+    ``F.transform`` lambda lets Catalyst inline the whole construction
+    into every one of 16 candidates x 4 subspaces (the documented
+    lambda-inlining trap; 11.6s in BENCH_r05). It is therefore
+    materialized as a real projected column, and each subspace slice
+    likewise, BEFORE the fold — CollapseProject keeps a non-cheap
+    expression referenced more than once as its own projection, so the
+    fold sees bound attributes (plan-locked in tests/test_plans.py)."""
     from vectordb_migrator_spark.operators.similarity import (
         pq_sampled_codebooks,
     )
@@ -1254,11 +1264,18 @@ def x9_pq_perm_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = F.array(
         *[v.getItem(_PQ_PERM[i]) * F.lit(float(_PQ_SIGN[i])) for i in range(64)]
     )
+    # step 1: build each layout's 64-vector ONCE per row; step 2: slice
+    # per subspace into bound columns the candidate fold references
+    arrs = emb.select(v.alias("__v"), pv.alias("__pv"))
+    sliced = arrs.select(
+        *[F.slice("__v", s * 16 + 1, 16).alias(f"__id{s}") for s in range(4)],
+        *[F.slice("__pv", s * 16 + 1, 16).alias(f"__pm{s}") for s in range(4)],
+    )
 
-    def sub_errs(vec, books, tag):
+    def sub_errs(prefix, books, tag):
         out = []
         for s in range(4):
-            sub = F.slice(vec, s * 16 + 1, 16)
+            sub = F.col(f"{prefix}{s}")
             cands = F.array(
                 *[F.array(*[F.lit(float(x)) for x in cw]) for cw in books[s]]
             )
@@ -1291,8 +1308,8 @@ def x9_pq_perm_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for s in range(4)
     ]
-    rows = sub_errs(v, cbs, "identity") + sub_errs(pv, perm_books, "permuted")
-    exploded = emb.select(F.explode(F.array(*rows)).alias("e")).select(
+    rows = sub_errs("__id", cbs, "identity") + sub_errs("__pm", perm_books, "permuted")
+    exploded = sliced.select(F.explode(F.array(*rows)).alias("e")).select(
         "e.s", "e.layout", "e.mdist"
     )
     return (
@@ -7943,7 +7960,7 @@ def x5_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
       SELECT doc_id, source, n_tok,
              sum(n_tok) OVER (PARTITION BY source ORDER BY key, doc_id)
-               AS cum
+               ::BIGINT AS cum
       FROM m
     )
     SELECT doc_id, source, n_tok, cum
