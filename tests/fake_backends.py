@@ -438,6 +438,30 @@ def pinecone_growing_factory(connection):
     return FakePineconeGrowingClient(connection)
 
 
+class FakeMilvusDescendingServer(FakeMilvusGrowingServer):
+    """Growing Milvus fake whose capped ``query()`` pages are
+    HIGHEST-pk-first — the arbitrary-subset server the pk-cursor
+    fallback cannot page safely (advancing past a page's max would
+    permanently skip every lower-pk row the page omitted). The
+    reader's contiguity guard must fail fast on it."""
+
+    def query(self, collection_name, filter="", output_fields=None, limit=None):
+        import re as _re
+
+        data = self.DATA
+        if filter:
+            for part in _re.split(r"\s+and\s+", filter):
+                data = [d for d in data if self._eval_conjunct(d, part)]
+        cap = self.query_cap if limit is None else min(limit, self.query_cap or limit)
+        if cap is not None:
+            data = sorted(data, key=lambda d: -d["pk"])[:cap]
+        return [{k: d.get(k) for k in (output_fields or d)} for d in data]
+
+
+def milvus_descending_factory(connection):
+    return FakeMilvusDescendingServer(connection)
+
+
 class FakeMilvusIteratorServer(FakeMilvusGrowingServer):
     """Growing Milvus fake that ALSO exposes ``query_iterator`` (the
     pymilvus complete-traversal paging API) — the preferred stream

@@ -887,3 +887,36 @@ def test_milvus_stream_reader_prefers_query_iterator(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(int(r["id"]) for r in spark.read.parquet(out).collect())
     assert got == list(range(23))
+
+
+def test_milvus_stream_pk_cursor_guards_non_contiguous_pages(spark, tmp_path):
+    """Round-6 (ADVICE): the pk-cursor fallback advances past each full
+    page's max pk, which is only safe when the page was the COMPLETE
+    lowest-pk content of its interval. A server handing back arbitrary
+    (here highest-pk-first) capped subsets must make the reader FAIL
+    FAST — the alternative is silent, permanent row loss."""
+    from fake_backends import FakeMilvusDescendingServer
+
+    store = str(tmp_path)
+    FakeMilvusDescendingServer.seed(
+        store,
+        [{"pk": i, "vec": [float(i), 0.5], "meta_a": f"a{i}", "meta_b": i}
+         for i in range(25)],
+    )
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("milvus")
+        .option("client_factory", "fake_backends:milvus_descending_factory")
+        .option("collection_name", "col")
+        .option("store_dir", store)
+        .option("connection", '{"query_cap": 10}')
+        .option("page_size", "5")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="non-contiguous page"):
+        q.awaitTermination(120)

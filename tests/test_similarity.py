@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -928,3 +930,67 @@ def test_ivf_index_batch_matches_single_probes(spark, embeddings, tmp_path):
             got_id, got_score = batch[(pr["q_id"], rank)]
             assert got_id == row["vec_id"]
             assert abs(got_score - row["score"]) < 1e-6
+
+
+def test_ivf_refit_crash_window_recovery(spark, embeddings, probe, tmp_path):
+    """Round-6 (ADVICE): a crash between refit's delete and rename
+    leaves the index missing at `path` with the complete new
+    generation at `path__refit`. Every reader/maintainer calls
+    ivf_finish_swap first, so the next touch completes the publish
+    instead of erroring on a missing index."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_finish_swap,
+        ivf_index_health,
+        ivf_index_topk,
+    )
+
+    path = str(tmp_path / "ivf")
+    assigned = embeddings.withColumn(
+        "cluster", (F.col("vec_id") % 3).cast("int")
+    )
+    build_ivf_index(assigned, path, cluster_col="cluster")
+    # simulate the crash window: finished __refit sibling, path gone
+    shutil.move(path, path + "__refit")
+    assert ivf_finish_swap(spark, path) is True
+    assert not os.path.exists(path + "__refit")
+    # healed layout answers health and probes normally
+    assert len(ivf_index_health(spark, path).collect()) == 3
+    assert len(
+        ivf_index_topk(spark, path, probe, cluster_col="cluster", k=3).collect()
+    ) == 3
+    # idempotent once healthy
+    assert ivf_finish_swap(spark, path) is False
+
+
+def test_ivf_refit_keeps_custom_cluster_col(spark, embeddings, tmp_path):
+    """Round-6 (ADVICE): refit on an index built with a custom
+    partition-column name must republish under the SAME name — health
+    and probes using the original name keep working."""
+    import pyspark.sql.functions as F
+
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_health,
+        ivf_index_refit,
+    )
+
+    path = str(tmp_path / "ivf")
+    skewed = embeddings.withColumn(
+        "coarse_bucket", F.when(F.col("vec_id") < 5, 1).otherwise(0)
+    )
+    build_ivf_index(skewed, path, cluster_col="coarse_bucket")
+    assert (
+        ivf_index_refit(
+            spark, path, k=4, cluster_col="coarse_bucket", max_imbalance=1.2
+        )
+        is True
+    )
+    corpus = spark.read.parquet(path + "/corpus")
+    assert "coarse_bucket" in corpus.columns
+    h = ivf_index_health(spark, path, cluster_col="coarse_bucket").collect()
+    assert len(h) == 4

@@ -40,6 +40,8 @@ _EXPORTS = {
     "ivf_index_health": "similarity",
     "ivf_index_refit": "similarity",
     "ivf_index_filtered_topk": "similarity",
+    "ivf_index_batch_topk": "similarity",
+    "ivf_finish_swap": "similarity",
     "build_lsh_index": "similarity",
     "lsh_index_append": "similarity",
     "lsh_index_topk": "similarity",

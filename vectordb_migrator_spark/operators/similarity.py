@@ -324,6 +324,7 @@ def ivf_index_append(
     from vectordb_migrator_spark.operators.clustering import assign_clusters
     from vectordb_migrator_spark.operators.scale import write_partitioned
 
+    ivf_finish_swap(spark, path)
     cents = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
     ids = [r["cluster"] for r in cents]
     centroids = [[float(x) for x in r["centroid"]] for r in cents]
@@ -365,6 +366,7 @@ def ivf_index_topk(
     with a directory listing."""
     import math
 
+    ivf_finish_swap(spark, path)
     cents = spark.read.parquet(f"{path}/centroids").collect()
     pn = math.sqrt(sum(float(y) * float(y) for y in probe))
 
@@ -407,6 +409,7 @@ def ivf_index_filtered_topk(
     recall/nprobe trade, now with a filter term)."""
     import math
 
+    ivf_finish_swap(spark, path)
     cents = spark.read.parquet(f"{path}/centroids").collect()
     pn = math.sqrt(sum(float(y) * float(y) for y in probe))
 
@@ -882,6 +885,31 @@ def sq_dequantized(
     return staged.select("*", dv.alias(out_col)).drop("_sq_scale")
 
 
+def _ivf_hadoop(spark, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def ivf_finish_swap(spark, path: str) -> bool:
+    """Complete a :func:`ivf_index_refit` publish interrupted between
+    its two renames: a finished ``<path>__refit`` sibling + missing
+    ``<path>`` means the old generation was deleted but the new one
+    was never renamed in — rename it in now. Mirrors the streaming
+    shingle-store compaction's ``_finish_swap``: the ``__refit`` dir
+    is only ever complete when it exists alongside a missing ``path``
+    (the delete happens strictly after the rebuild write finishes, so
+    a crash mid-write leaves ``path`` intact and the recovery a
+    no-op). Every index reader/maintainer here calls this first, so a
+    crashed refit heals on the next touch. Returns True iff a swap
+    was completed."""
+    fs, tmp = _ivf_hadoop(spark, f"{path}__refit")
+    _, dst = _ivf_hadoop(spark, path)
+    if fs.exists(tmp) and not fs.exists(dst):
+        fs.rename(tmp, dst)
+        return True
+    return False
+
+
 def ivf_index_health(spark, path: str, *, cluster_col: str = "cluster") -> DataFrame:
     """Health report for a :func:`build_ivf_index` layout: per-partition
     row counts/shares plus the imbalance factor (max partition over
@@ -890,6 +918,7 @@ def ivf_index_health(spark, path: str, *, cluster_col: str = "cluster") -> DataF
     parquet footers, not vector data. An imbalance of I means the
     hottest probe partition does I× the mean scan work; IVF practice
     refits the quantizer (offline) when I drifts too high."""
+    ivf_finish_swap(spark, path)
     corpus = spark.read.parquet(f"{path}/corpus")
     per = corpus.groupBy(cluster_col).agg(
         F.count(F.lit(1)).cast("long").alias("n")
@@ -927,17 +956,28 @@ def ivf_index_refit(
 ) -> bool:
     """Offline IVF quantizer rebuild — the maintenance step
     :func:`ivf_index_append` defers to: refit k-means on the STORED
-    corpus, rewrite the layout into a ``__refit`` sibling, and publish
-    it with two FileSystem renames (the same crash-window-safe swap as
-    the streaming shingle-store compaction; a reader mid-swap sees the
-    complete old or complete new generation on rename-atomic
-    filesystems). With ``max_imbalance`` set, the rebuild runs ONLY
+    corpus, rewrite the layout into a ``__refit`` sibling, then
+    publish via delete + rename. The rebuilt layout keeps the
+    caller's ``cluster_col`` as its partition column, so subsequent
+    health/probe calls using the original name keep working.
+
+    Crash contract (same as the streaming shingle-store compaction):
+    a crash BEFORE the delete loses only the refit attempt — the old
+    index stays whole; a crash BETWEEN the delete and the rename
+    leaves the index absent at ``path`` with the complete new
+    generation at ``path__refit``, and :func:`ivf_finish_swap`
+    (called at the top of every reader/maintainer here, including
+    this function) completes the rename on the next touch. The
+    delete+rename pair is NOT atomic for a concurrent reader — run
+    refits from the single maintenance owner, as with any offline
+    FAISS rebuild. With ``max_imbalance`` set, the rebuild runs ONLY
     when :func:`ivf_index_health` reports drift past it — the cheap
-    health check (footer counts) gates the expensive refit (Lloyd over
-    the corpus; pass ``sample_fraction`` at real scale). Returns True
-    iff a refit was published."""
+    health check (footer counts) gates the expensive refit (Lloyd
+    over the corpus; pass ``sample_fraction`` at real scale). Returns
+    True iff a refit was published."""
     from vectordb_migrator_spark.operators.clustering import kmeans_fit
 
+    ivf_finish_swap(spark, path)
     if max_imbalance is not None:
         row = ivf_index_health(spark, path, cluster_col=cluster_col).first()
         if row is not None and row["imbalance"] <= max_imbalance:
@@ -951,12 +991,14 @@ def ivf_index_refit(
         max_iter=max_iter,
         sample_fraction=sample_fraction,
     )
+    if cluster_col != "cluster":
+        assigned = assigned.withColumnRenamed("cluster", cluster_col)
     tmp = f"{path}__refit"
-    build_ivf_index(assigned, tmp, cluster_col="cluster", vec_col=vec_col)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jvm_path(path), True)
-    fs.rename(jvm_path(tmp), jvm_path(path))
+    build_ivf_index(assigned, tmp, cluster_col=cluster_col, vec_col=vec_col)
+    fs, dst = _ivf_hadoop(spark, path)
+    _, tmp_p = _ivf_hadoop(spark, tmp)
+    fs.delete(dst, True)
+    fs.rename(tmp_p, dst)
     return True
 
 
@@ -1000,6 +1042,7 @@ def ivf_index_batch_topk(
 
     from pyspark.sql import Window as W
 
+    ivf_finish_swap(spark, path)
     cents = spark.read.parquet(f"{path}/centroids").collect()
     probe_rows = probes.select(probe_id_col, probe_vec_col).collect()
 

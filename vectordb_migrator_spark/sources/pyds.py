@@ -918,10 +918,17 @@ class MilvusStreamScanReader(SimpleDataSourceStreamReader):
           in server-sized batches.
         - pk-cursor loop fallback: ``pk > cursor`` + ``limit=page``,
           re-sorted client-side, cursor advancing past each FULL
-          page's max; a short page terminates. Relies on limited
-          ``query()`` pages being pk-ascending (Milvus returns int-PK
-          query pages in PK order); clients where that may not hold
-          should expose ``query_iterator``.
+          page's max; a short page terminates. A full page is only
+          safe to advance past if it is the COMPLETE content of
+          ``(cursor, page_max]`` — a server that returned an
+          arbitrary (non-lowest-pk-first) subset would otherwise
+          leave rows below ``page_max`` permanently skipped. Each
+          full page is therefore verified with a pk-only count probe
+          of that interval (``limit=page+1``; more than ``page`` hits
+          means the page missed rows) and the loop FAILS FAST with a
+          pointer to ``query_iterator`` instead of silently losing
+          data. Costs one cheap extra call per full page, on the
+          fallback path only.
         """
         factory = _resolve_factory(self.options.get("client_factory"))
         client = factory(_connection(self.options))
@@ -965,7 +972,23 @@ class MilvusStreamScanReader(SimpleDataSourceStreamReader):
                     out.extend(recs)
                     if len(recs) < page:
                         break
-                    cursor = int(recs[-1][self.pk])
+                    page_max = int(recs[-1][self.pk])
+                    probe = client.query(
+                        collection_name=self.collection,
+                        filter=self._expr(cursor, page_max),
+                        output_fields=[self.pk],
+                        limit=page + 1,
+                    )
+                    if len(probe) > page:
+                        raise RuntimeError(
+                            "milvus pk-cursor paging: server returned a "
+                            f"non-contiguous page ({len(probe)} rows exist "
+                            f"in ({cursor}, {page_max}] but the page held "
+                            f"{page}); advancing would silently skip rows. "
+                            "Use a client exposing query_iterator for "
+                            "complete traversal."
+                        )
+                    cursor = page_max
         finally:
             close = getattr(client, "close", None)
             if close:
