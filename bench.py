@@ -80,6 +80,7 @@ HEADLINE = [
     "x2_semdedup",
     "x2_decontaminate",
     "x2_dedup_apply",
+    "x2_dedup_clusters_two_phase",
     "x2_dedup_incremental",
     "x2_dedup_keep_best",
     "x2_dedup_funnel",

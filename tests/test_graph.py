@@ -77,3 +77,86 @@ def test_dedup_keep_representatives(spark):
     )
     # components {1,2,4}→keep 1, {5,6}→keep 5; 0/3 untouched
     assert kept == [0, 1, 3, 5]
+
+
+def test_two_phase_cc_basic_chain_and_islands(spark):
+    from vectordb_migrator_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    edges = [(1, 2), (2, 3), (5, 6), (9, 9)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components_two_phase(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_two_phase_cc_long_chain_converges(spark):
+    """The case the backend exists for: a path graph (diameter = n)
+    must converge within the logarithmic round bound, not O(n)."""
+    from vectordb_migrator_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    n = 40
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components_two_phase(df, max_iter=12).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_two_phase_cc_matches_union_find(spark, edges):
+    from vectordb_migrator_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components_two_phase(df).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_two_phase_backend_in_dedup_keep_representatives(spark):
+    """Both CC backends drive dedup_keep_representatives to the same
+    survivor set; an unknown backend name fails loudly."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"]
+    )
+    lp = sorted(
+        r["doc_id"]
+        for r in dedup_keep_representatives(docs, pairs).collect()
+    )
+    tp = sorted(
+        r["doc_id"]
+        for r in dedup_keep_representatives(
+            docs, pairs, algorithm="two_phase"
+        ).collect()
+    )
+    assert lp == tp == [0, 3, 4, 6, 7]
+    with pytest.raises(ValueError, match="algorithm"):
+        dedup_keep_representatives(docs, pairs, algorithm="nope")

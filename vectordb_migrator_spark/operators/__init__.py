@@ -60,6 +60,8 @@ _EXPORTS = {
     "kmeans_fit": "clustering",
     "assign_clusters": "clustering",
     "connected_components": "graph",
+    "connected_components_two_phase": "graph",
+    "dedup_keep_representatives": "graph",
     # text / cleaning / ranking
     "remove_boilerplate_lines": "cleaning",
     "gopher_rules": "cleaning",

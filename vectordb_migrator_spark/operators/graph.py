@@ -95,6 +95,113 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def connected_components_two_phase(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    huge-diameter-safe backend (Kiveris et al., *Connected Components
+    in MapReduce and Beyond*, SoCC'14). Same output contract as
+    :func:`connected_components`: (id, component-min) for every vertex
+    appearing in an edge, self-loop-only vertices labeled themselves.
+
+    Per round:
+    - **large-star**: per node u over its FULL neighborhood,
+      m = min(Γ(u) ∪ {u}); emit (v, m) for every strictly LARGER
+      neighbor v — long chains collapse toward local minima.
+    - **small-star**: orient edges to the larger endpoint; per node u
+      over its smaller neighbors N(u), m = min(N(u)); emit (v, m) for
+      v ∈ N(u) plus (u, m) — stars re-root at the smallest member.
+
+    Converges in O(log² n) rounds REGARDLESS of graph diameter (the
+    label-propagation default needs O(log diameter) rounds but carries
+    a per-round join against a vertex-label table; the star rounds
+    rewrite only the edge list). Prefer this backend when dup
+    families can chain very long — boilerplate templates, near-empty
+    docs — or when the pair table dwarfs the vertex count.
+
+    Scale shape: every round is two groupBy shuffles over (long, long)
+    edges — ids only, no payloads, no vertex-table join;
+    ``localCheckpoint`` truncates lineage per round. Convergence is
+    detected by an edge-set checksum (count + sum of ``xxhash64`` —
+    a 64-bit-sum collision, not order, is the only failure mode and is
+    astronomically unlikely); raises after ``max_iter`` rounds
+    (defensive — the bound is logarithmic, real dup graphs converge in
+    a handful)."""
+    verts = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select(
+            F.least("lo", "hi").alias("lo"), F.greatest("lo", "hi").alias("hi")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(d: DataFrame) -> tuple:
+        # decimal(38,0) sum: overflow-free under ANSI mode
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _checksum(e)
+    converged = e.isEmpty()
+    for _ in range(max_iter):
+        if converged:
+            break
+        # large-star: full neighborhoods -> (bigger neighbor, local min)
+        sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            # m = min(Γ(u) ∪ {u}) ≤ u < v, so (v, m) is already (hi, lo)
+            .select(
+                F.least(F.col("mn"), F.col("u")).alias("lo"),
+                F.col("v").alias("hi"),
+            )
+            .distinct()
+        )
+        # small-star: smaller neighbors re-rooted at their min
+        gm = ls.groupBy("hi").agg(F.min("lo").alias("mn"))
+        ss_nb = (
+            ls.join(gm, "hi")
+            .filter(F.col("lo") != F.col("mn"))
+            .select(F.col("mn").alias("lo"), F.col("lo").alias("hi"))
+        )
+        ss_self = gm.select(F.col("mn").alias("lo"), "hi")
+        e = ss_nb.union(ss_self).distinct().localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            converged = True
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_two_phase did not converge in {max_iter} rounds"
+        )
+    comp_map = (
+        e.groupBy("hi")
+        .agg(F.min("lo").alias("comp"))
+        .select(F.col("hi").alias("id"), "comp")
+    )
+    return verts.join(comp_map, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    )
+
+
 def dedup_keep_representatives(
     df: DataFrame,
     pairs: DataFrame,
@@ -102,12 +209,26 @@ def dedup_keep_representatives(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """The end-to-end dedup product: drop every row whose id belongs
     to a near-dup component but is not that component's minimum id.
     Rows not in any pair are untouched. One broadcast-size join when
-    the dup set is small relative to the corpus (the usual case)."""
-    comp = connected_components(pairs, src=src, dst=dst)
+    the dup set is small relative to the corpus (the usual case).
+
+    ``algorithm`` picks the cluster-formation backend: ``label_prop``
+    (default — dense, small-diameter dup families) or ``two_phase``
+    (:func:`connected_components_two_phase` — safe for arbitrarily
+    long chains). Both produce identical min-id components."""
+    cc = {
+        "label_prop": connected_components,
+        "two_phase": connected_components_two_phase,
+    }
+    if algorithm not in cc:
+        raise ValueError(
+            f"algorithm must be one of {sorted(cc)}, got {algorithm!r}"
+        )
+    comp = cc[algorithm](pairs, src=src, dst=dst)
     losers = comp.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )

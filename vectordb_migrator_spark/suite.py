@@ -4693,6 +4693,32 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("id")
 
 
+@query("x2_dedup_clusters_two_phase", None)  # oracle attached below (shared)
+def x2_dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — large-star/small-star cluster formation (round 6): the
+    same pair graph as ``x2_dedup_clusters`` closed with the
+    alternating-star CC (Kiveris et al., SoCC'14) instead of label
+    propagation — the backend whose O(log² n) round bound does NOT
+    depend on graph diameter, for dup families that chain arbitrarily
+    long (boilerplate templates, near-empty docs). Checked against the
+    identical recursive-CTE transitive-closure oracle, so both
+    backends are independently hash-verified to produce the same
+    min-id components. Every round shuffles only (long, long) edge
+    ids — no payload column ever enters the loop
+    (operators/graph.py:connected_components_two_phase)."""
+    from vectordb_migrator_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    return connected_components_two_phase(pairs).orderBy("id")
+
+
+ORACLES["x2_dedup_clusters_two_phase"] = ORACLES["x2_dedup_clusters"]
+
+
 @query(
     "x2_dedup_apply",
     r"""
