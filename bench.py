@@ -146,6 +146,7 @@ HEADLINE = [
     "x9_sq_error_by_label",
     "x9_pq_error",
     "x9_pq_perm_error",
+    "x9_opq_fit_error",
     "x9_centroid_outliers",
     "x4_ivf_balance",
     "x10_stratified_sample",

@@ -994,3 +994,79 @@ def test_ivf_refit_keeps_custom_cluster_col(spark, embeddings, tmp_path):
     assert "coarse_bucket" in corpus.columns
     h = ivf_index_health(spark, path, cluster_col="coarse_bucket").collect()
     assert len(h) == 4
+
+
+def test_opq_balanced_permutation_properties():
+    """Round-6: the OPQ permutation fit — both strategies return a
+    true permutation with equal subspace capacity, and the fitted
+    layout's per-subspace variance spread beats identity."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.similarity import (
+        opq_balanced_permutation,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        d, m = 64, 4
+        variances = list(rng.gamma(2.0, 1.0, d))
+        for strategy in ("serpentine", "greedy"):
+            perm = opq_balanced_permutation(variances, m, strategy=strategy)
+            assert sorted(perm) == list(range(d))  # a real permutation
+            loads = [
+                sum(variances[perm[i]] for i in range(s * (d // m),
+                                                      (s + 1) * (d // m)))
+                for s in range(m)
+            ]
+            id_loads = [
+                sum(variances[s * (d // m):(s + 1) * (d // m)])
+                for s in range(m)
+            ]
+            assert max(loads) - min(loads) <= max(id_loads) - min(id_loads)
+            # within each subspace source dims are listed ascending
+            for s in range(m):
+                block = perm[s * (d // m):(s + 1) * (d // m)]
+                assert block == sorted(block)
+
+
+def test_opq_greedy_matches_numpy_replica():
+    """The greedy (LPT) strategy must reproduce an independent NumPy
+    replica exactly — same ranking round, same tie-breaks."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.similarity import (
+        opq_balanced_permutation,
+    )
+
+    def replica(variances, m):
+        v = np.asarray(variances)
+        d = len(v)
+        cap = d // m
+        order = sorted(range(d), key=lambda i: (-round(float(v[i]), 9), i))
+        members = [[] for _ in range(m)]
+        loads = np.zeros(m)
+        for dim in order:
+            open_s = [s for s in range(m) if len(members[s]) < cap]
+            s = min(open_s, key=lambda s: (loads[s], s))
+            members[s].append(dim)
+            loads[s] += v[dim]
+        out = []
+        for s in range(m):
+            out.extend(sorted(members[s]))
+        return out
+
+    rng = np.random.default_rng(17)
+    for _ in range(25):
+        variances = list(rng.gamma(2.0, 1.0, 32))
+        got = opq_balanced_permutation(variances, 4, strategy="greedy")
+        assert got == replica(variances, 4)
+    # ties: identical variances deal round-robin (lowest-load, then
+    # lowest subspace), deterministically
+    flat = [1.0] * 16
+    assert opq_balanced_permutation(flat, 4, strategy="greedy") == [
+        0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15,
+    ]
+    with pytest.raises(ValueError, match="strategy"):
+        opq_balanced_permutation(flat, 4, strategy="nope")
+    with pytest.raises(ValueError, match="divisible"):
+        opq_balanced_permutation([1.0] * 10, 4)

@@ -42,6 +42,7 @@ _EXPORTS = {
     "ivf_index_filtered_topk": "similarity",
     "ivf_index_batch_topk": "similarity",
     "ivf_finish_swap": "similarity",
+    "opq_balanced_permutation": "similarity",
     "build_lsh_index": "similarity",
     "lsh_index_append": "similarity",
     "lsh_index_topk": "similarity",

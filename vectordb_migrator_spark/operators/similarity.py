@@ -855,6 +855,70 @@ def sq_topk(
     )
 
 
+def opq_balanced_permutation(
+    variances: list[float],
+    m: int,
+    *,
+    strategy: str = "serpentine",
+) -> list[int]:
+    """OPQ-style subspace re-assignment as a pure dimension
+    PERMUTATION: distribute dimensions across ``m`` equal subspaces so
+    per-subspace variance is balanced. ``x9_pq_perm_error`` showed
+    subspace assignment (not codebook count) drives PQ error; a full
+    OPQ learns an orthogonal rotation — this is its cheap,
+    engine-reproducible stand-in (a permutation IS orthogonal), fed by
+    nothing but the corpus's per-dimension variances, so an external
+    SQL oracle can rebuild it exactly.
+
+    Dimensions are ranked by variance DESC (rounded to 9 decimals
+    before ranking so cross-engine float noise cannot flip
+    near-ties; ties break toward the lower dim index), then assigned:
+
+    - ``serpentine`` (default): boustrophedon deal — rank r goes to
+      subspace ``r%m`` on even blocks, ``m-1-(r%m)`` on odd blocks.
+      Closed-form, hence expressible in the DuckDB oracle; balance is
+      within one deal-block of greedy.
+    - ``greedy``: longest-processing-time — each dim goes to the
+      least-loaded subspace with remaining capacity (ties toward the
+      lower subspace). Slightly tighter balance; iterative, so it is
+      differential-tested against a NumPy replica rather than a SQL
+      oracle.
+
+    Returns a 0-indexed permutation ``perm`` of ``len(variances)``
+    where output position ``j`` reads source dimension ``perm[j]``;
+    within each subspace, source dims are listed ascending (the
+    deterministic layout both engines and the codebook reshuffle
+    agree on). Driver-side on d floats — O(model), not O(rows)."""
+    d = len(variances)
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    cap = d // m
+    ranked = sorted(range(d), key=lambda i: (-round(variances[i], 9), i))
+    members: list[list[int]] = [[] for _ in range(m)]
+    if strategy == "serpentine":
+        for r, dim in enumerate(ranked):
+            block, p = divmod(r, m)
+            s = p if block % 2 == 0 else m - 1 - p
+            members[s].append(dim)
+    elif strategy == "greedy":
+        loads = [0.0] * m
+        for dim in ranked:
+            s = min(
+                (s for s in range(m) if len(members[s]) < cap),
+                key=lambda s: (loads[s], s),
+            )
+            members[s].append(dim)
+            loads[s] += variances[dim]
+    else:
+        raise ValueError(
+            f"strategy must be 'serpentine' or 'greedy', got {strategy!r}"
+        )
+    perm: list[int] = []
+    for s in range(m):
+        perm.extend(sorted(members[s]))
+    return perm
+
+
 def sq_dequantized(
     df: DataFrame,
     *,

@@ -1363,6 +1363,169 @@ ORACLES["x9_pq_perm_error"] = _pq_perm_sql()
 
 
 @query(
+    "x9_opq_fit_error",
+    r"""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    dimvar AS (
+      SELECT i, var_pop(embedding[i]) AS vr
+      FROM embeddings, dims
+      GROUP BY i
+    ),
+    ranked AS (
+      SELECT i AS dim, vr,
+             row_number() OVER (ORDER BY round(vr, 9) DESC, i) AS r
+      FROM dimvar
+    ),
+    serp AS (
+      SELECT dim, vr,
+             CASE WHEN (((r-1)//4) % 2) = 0 THEN (r-1)%4
+                  ELSE 3 - ((r-1)%4) END AS s
+      FROM ranked
+    ),
+    permt AS (
+      SELECT list(dim ORDER BY s, dim) AS p FROM serp
+    ),
+    vs AS (
+      SELECT 'identity' AS layout, ((i-1)//16)::INT AS s,
+             round(sum(vr), 6) AS var_sum
+      FROM dimvar GROUP BY ((i-1)//16)
+      UNION ALL
+      SELECT 'fitted', s::INT, round(sum(vr), 6) FROM serp GROUP BY s
+    ),
+    base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             [embedding[p[j]]::DOUBLE for j in range(1, 65)] AS pv
+      FROM embeddings, permt
+    ),
+    cb AS (SELECT vec_id AS j, v AS cv, pv AS pcv FROM base WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, 'identity' AS layout, (t.i-1)//16 AS s, c.j,
+             sum((e.v[t.i]-c.cv[t.i])*(e.v[t.i]-c.cv[t.i])) AS dist
+      FROM base e, unnest(range(1, 65)) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1)//16, c.j
+      UNION ALL
+      SELECT e.vec_id, 'fitted', (t.i-1)//16, c.j,
+             sum((e.pv[t.i]-c.pcv[t.i])*(e.pv[t.i]-c.pcv[t.i]))
+      FROM base e, unnest(range(1, 65)) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1)//16, c.j
+    ),
+    md AS (
+      SELECT vec_id, layout, s, min(dist) AS mdist
+      FROM d GROUP BY vec_id, layout, s
+    )
+    SELECT md.layout, md.s::INT AS s, vs.var_sum,
+           round(avg(mdist), 6) AS mse_mean,
+           round(max(mdist), 6) AS mse_max
+    FROM md JOIN vs ON vs.layout = md.layout AND vs.s = md.s
+    GROUP BY md.layout, md.s, vs.var_sum
+    ORDER BY md.layout, md.s
+    """,
+)
+def x9_opq_fit_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — OPQ permutation FIT (round 6): where ``x9_pq_perm_error``
+    checks the OPQ premise with a seeded random permutation, this
+    LEARNS the permutation from the corpus — rank dimensions by
+    variance, serpentine-deal them across the 4 subspaces
+    (:func:`opq_balanced_permutation`), and report per-subspace
+    variance mass and PQ reconstruction error for the fitted layout
+    against identity. The fitted rows show variance equalized across
+    subspaces — the thing OPQ's learned rotation buys, at permutation
+    cost. Engine-reproducible end to end: variances round to 9
+    decimals before ranking (cross-engine float noise cannot flip a
+    near-tie), the serpentine deal is closed-form, so the DuckDB
+    oracle rebuilds the SAME permutation from the same parquet.
+
+    Scale shape: two corpus scans — one 64-expression variance
+    aggregate (map-side partial, one row out) and one error pass —
+    the honest minimum for fit-then-report. The fit itself is O(d)
+    driver work on 64 floats. The permuted array and each subspace
+    slice are materialized as projected columns before the candidate
+    fold (the lambda-inlining guard, same as ``x9_pq_perm_error``)."""
+    from vectordb_migrator_spark.operators.similarity import (
+        opq_balanced_permutation,
+        pq_sampled_codebooks,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    # per-dim variance via posexplode + groupBy(pos): the partial
+    # var_pop combines map-side, so the exchange carries 64 rows per
+    # partition — vs a 64-accumulator single agg whose whole-stage
+    # codegen alone takes seconds to JIT. fan_out: the toy single-file
+    # scan comes up 1-partition (no-op on a real cluster)
+    var_rows = (
+        fan_out(emb.select(v.alias("__va")))
+        .select(F.posexplode("__va").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.var_pop("val").alias("vr"))
+        .collect()
+    )
+    variances = [0.0] * 64
+    for r in var_rows:
+        variances[r["pos"]] = float(r["vr"])
+    perm = opq_balanced_permutation(variances, 4)
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    pv = F.array(*[v.getItem(perm[i]) for i in range(64)])
+    arrs = emb.select(v.alias("__v"), pv.alias("__pv"))
+    sliced = arrs.select(
+        *[F.slice("__v", s * 16 + 1, 16).alias(f"__id{s}") for s in range(4)],
+        *[F.slice("__pv", s * 16 + 1, 16).alias(f"__pm{s}") for s in range(4)],
+    )
+    flat = [[cbs[d // 16][j][d % 16] for d in range(64)] for j in range(16)]
+    perm_books = [
+        [[flat[j][perm[i]] for i in range(s * 16, s * 16 + 16)] for j in range(16)]
+        for s in range(4)
+    ]
+    var_id = [sum(variances[s * 16 : (s + 1) * 16]) for s in range(4)]
+    var_fit = [
+        sum(variances[perm[i]] for i in range(s * 16, s * 16 + 16))
+        for s in range(4)
+    ]
+
+    def sub_errs(prefix, books, tag, vsums):
+        out = []
+        for s in range(4):
+            sub = F.col(f"{prefix}{s}")
+            cands = F.array(
+                *[F.array(*[F.lit(float(x)) for x in cw]) for cw in books[s]]
+            )
+            dists = F.transform(
+                cands,
+                lambda c: F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            out.append(
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    F.lit(tag).alias("layout"),
+                    F.lit(round(vsums[s], 6)).cast("double").alias("var_sum"),
+                    F.array_min(dists).alias("mdist"),
+                )
+            )
+        return out
+
+    rows_ = sub_errs("__id", cbs, "identity", var_id) + sub_errs(
+        "__pm", perm_books, "fitted", var_fit
+    )
+    exploded = sliced.select(F.explode(F.array(*rows_)).alias("e")).select(
+        "e.s", "e.layout", "e.var_sum", "e.mdist"
+    )
+    return (
+        exploded.groupBy("layout", "s", "var_sum")
+        .agg(
+            F.round(F.avg("mdist"), 6).alias("mse_mean"),
+            F.round(F.max("mdist"), 6).alias("mse_max"),
+        )
+        .select("layout", "s", "var_sum", "mse_mean", "mse_max")
+        .orderBy("layout", "s")
+    )
+
+
+@query(
     "x4_pq_adc_topk",
     f"""
     WITH p AS (SELECT {_PROBE_SQL} AS pv),
