@@ -59,6 +59,7 @@ HEADLINE = [
     "x0_retrieval_tfidf",
     "x0_training_manifest",
     "x0_dataset_card",
+    "x0_curation_report",
     "x0_packing_manifest",
     "x0_shard_shuffle",
     "x0_interleaved_order",

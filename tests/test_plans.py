@@ -359,3 +359,13 @@ def test_pq_perm_array_built_once(spark):
     assert p.count("AS __pv") == 1  # permuted array constructed once
     assert p.count("AS __id") == 4 and p.count("AS __pm") == 4
     assert "BatchEvalPython" not in p
+
+
+def test_curation_report_no_corpus_rescan(spark):
+    """The composed curation report materializes ONE corpus scan into
+    a checkpointed grain rollup; every derived table (mixtures, lang
+    shares, histogram, dup/quality rates, totals) must read the grain
+    — the returned plan may contain NO parquet scan and no Python."""
+    p = _plan(spark, "x0_curation_report")
+    assert "Scan parquet" not in p and "FileScan" not in p
+    assert "BatchEvalPython" not in p

@@ -9341,6 +9341,163 @@ def _lang_mixture_sql() -> str:
 ORACLES["x10_lang_balanced_mixture"] = _lang_mixture_sql()
 
 
+def _curation_report_sql() -> str:
+    return rf"""
+    WITH per AS (
+      SELECT source, {_langid_case_sql()} AS lang_pred,
+             len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+               AS n_tok,
+             md5(text) AS h
+      FROM documents
+    ),
+    grain AS (
+      SELECT source, lang_pred,
+             floor(log2(greatest(n_tok, 1)))::BIGINT AS bucket,
+             count(*)::DOUBLE AS n,
+             sum(n_tok)::DOUBLE AS tok,
+             count(DISTINCT h)::DOUBLE AS dist,
+             sum(CASE WHEN n_tok >= 20 THEN 1.0 ELSE 0.0 END) AS passed
+      FROM per
+      GROUP BY source, lang_pred, floor(log2(greatest(n_tok, 1)))
+    ),
+    src AS (
+      SELECT source, sum(n) AS n, sum(tok) AS tok, sum(dist) AS dist,
+             sum(passed) AS passed
+      FROM grain GROUP BY source
+    ),
+    d AS (
+      SELECT sum(pow(n, 0.3)) AS d03, sum(pow(n, 0.7)) AS d07,
+             sum(n) AS all_n, sum(tok) AS all_tok
+      FROM src
+    ),
+    lang AS (SELECT lang_pred, sum(tok) AS tok FROM grain GROUP BY lang_pred),
+    hist AS (SELECT bucket, sum(n) AS n FROM grain GROUP BY bucket)
+    SELECT * FROM (
+      SELECT 'mixture@0.3' AS section, source AS k,
+             round(pow(n, 0.3) / d03, 6) AS v FROM src, d
+      UNION ALL
+      SELECT 'mixture@0.7', source, round(pow(n, 0.7) / d07, 6) FROM src, d
+      UNION ALL
+      SELECT 'lang_tokens', lang_pred, round(tok / all_tok, 6) FROM lang, d
+      UNION ALL
+      SELECT 'len_hist', bucket::VARCHAR, round(n, 6) FROM hist
+      UNION ALL
+      SELECT 'dup_by_source', source, round(1.0 - dist / n, 6) FROM src
+      UNION ALL
+      SELECT 'quality_by_source', source, round(passed / n, 6) FROM src
+      UNION ALL
+      SELECT 'totals', 'docs', round(all_n, 6) FROM d
+      UNION ALL
+      SELECT 'totals', 'tokens', round(all_tok, 6) FROM d
+    ) ORDER BY section, k
+    """
+
+
+@query("x0_curation_report", None)  # oracle attached below (computed)
+def x0_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — the composed one-pass CURATION REPORT (round 6): the
+    artifact a scheduled 100 TB run actually logs, folding the
+    standing diagnostic sweeps into ONE corpus scan. Per-doc signals
+    (predicted language, whitespace token count, exact-dup md5, the
+    simple quality gate) aggregate into a (source, lang, log2-length
+    bucket) GRAIN rollup — a few hundred rows — which is
+    ``localCheckpoint``-ed; every published table then derives from
+    the tiny rollup without touching the corpus again:
+
+    - ``mixture@α`` (α ∈ {0.3, 0.7}): temperature-smoothed per-source
+      weights (the x10 sweep's shape),
+    - ``lang_tokens``: per-language token share (the mixture axis),
+    - ``len_hist``: docs per power-of-two length bucket,
+    - ``dup_by_source``: within-source exact-dup rate (an identical
+      text always lands in the same grain, so per-grain distinct
+      counts SUM correctly per source),
+    - ``quality_by_source``: gate pass rate,
+    - ``totals``: corpus docs/tokens.
+
+    Long (section, k, v) format so one frame carries every table. The
+    standalone sweeps remain for interactive tuning; this is the
+    scheduled composition (plan-locked: the returned plan contains NO
+    parquet re-scan — all branches read the checkpointed grain)."""
+    from vectordb_migrator_spark.functions.text import (
+        lang_id,
+        token_count_ws,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    docs = _t(spark, sf_dir, "documents")
+    # fan_out: langid + md5 + tokenization are CPU-bound per-row work
+    # and the toy single-file scan is 1-partition (no-op on a cluster)
+    per = fan_out(docs).select(
+        "source",
+        lang_id("text").alias("lang_pred"),
+        token_count_ws("text").cast("long").alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    grain = (
+        per.groupBy(
+            "source",
+            "lang_pred",
+            F.floor(F.log2(F.greatest(F.col("n_tok"), F.lit(1))))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("n_tok").cast("double").alias("tok"),
+            F.countDistinct("h").cast("double").alias("dist"),
+            F.sum(
+                F.when(F.col("n_tok") >= 20, 1.0).otherwise(0.0)
+            ).alias("passed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    src = grain.groupBy("source").agg(
+        F.sum("n").alias("n"),
+        F.sum("tok").alias("tok"),
+        F.sum("dist").alias("dist"),
+        F.sum("passed").alias("passed"),
+    )
+    d = src.agg(
+        F.sum(F.pow("n", F.lit(0.3))).alias("d03"),
+        F.sum(F.pow("n", F.lit(0.7))).alias("d07"),
+        F.sum("n").alias("all_n"),
+        F.sum("tok").alias("all_tok"),
+    )
+
+    def sec(df, section: str, k, v):
+        return df.select(
+            F.lit(section).alias("section"),
+            k.cast("string").alias("k"),
+            F.round(v, 6).cast("double").alias("v"),
+        )
+
+    src_d = src.crossJoin(F.broadcast(d))
+    lang = grain.groupBy("lang_pred").agg(F.sum("tok").alias("tok"))
+    hist = grain.groupBy("bucket").agg(F.sum("n").alias("n"))
+    parts = [
+        sec(src_d, "mixture@0.3", F.col("source"),
+            F.pow("n", F.lit(0.3)) / F.col("d03")),
+        sec(src_d, "mixture@0.7", F.col("source"),
+            F.pow("n", F.lit(0.7)) / F.col("d07")),
+        sec(lang.crossJoin(F.broadcast(d)), "lang_tokens",
+            F.col("lang_pred"), F.col("tok") / F.col("all_tok")),
+        sec(hist, "len_hist", F.col("bucket"), F.col("n")),
+        sec(src, "dup_by_source", F.col("source"),
+            F.lit(1.0) - F.col("dist") / F.col("n")),
+        sec(src, "quality_by_source", F.col("source"),
+            F.col("passed") / F.col("n")),
+        sec(d, "totals", F.lit("docs"), F.col("all_n")),
+        sec(d, "totals", F.lit("tokens"), F.col("all_tok")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("section", "k")
+
+
+ORACLES["x0_curation_report"] = _curation_report_sql()
+
+
 @query(
     "x11_sql_api_topk",
     f"""
