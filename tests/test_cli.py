@@ -174,3 +174,53 @@ def test_stream_cli_parquet_source(spark, tmp_path):
     }
     assert run_stream_migration(spark, cfg) is True
     assert set(read_upserted_points(store, "tgt")) == set(range(6))
+
+
+def test_stream_cli_milvus_to_qdrant(spark, tmp_path):
+    """Round-6: heterogeneous continuous migration from ONE config —
+    readStream.format(milvus) (pk-watermark cursor, paged) →
+    canonical transform → writeStream.format(qdrant)
+    (idempotent-by-id upserts). Watermark resume and replay
+    idempotence must hold across DIFFERENT connector families, not
+    just the qdrant round-trip."""
+    from fake_backends import (
+        FakeMilvusGrowingServer,
+        read_upserted_points,
+    )
+
+    store = str(tmp_path)
+    FakeMilvusGrowingServer.seed(
+        store,
+        [{"pk": i, "vec": [float(i), 0.5], "meta_a": f"a{i}", "meta_b": i}
+         for i in range(12)],
+    )
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({
+        "source": {"type": "milvus",
+                   "connection": {"store_dir": store},
+                   "query": {
+                       "collection_name": "col",
+                       "client_factory": "fake_backends:milvus_growing_factory",
+                       "page_size": 5}},
+        "target": {"type": "qdrant",
+                   "connection": {"store_dir": store},
+                   "load": {
+                       "collection_name": "tgt",
+                       "client_factory": "fake_backends:qdrant_growing_factory",
+                       "vector_dimension": 2}},
+        "stream": {"checkpoint": str(tmp_path / "ckpt")},
+    }))
+    assert main(["--config", str(cfg), "--stream", "--cpus", "8"]) == 0
+    points = read_upserted_points(store, "tgt")
+    assert set(points) == set(range(12))
+
+    # append on the MILVUS side; the second run resumes from the
+    # checkpointed pk watermark and upserts only the new rows —
+    # replaying into qdrant stays idempotent by id
+    FakeMilvusGrowingServer.seed(
+        store,
+        [{"pk": 50, "vec": [5.0, 5.0], "meta_a": "new", "meta_b": 1}],
+    )
+    assert main(["--config", str(cfg), "--stream", "--cpus", "8"]) == 0
+    points = read_upserted_points(store, "tgt")
+    assert set(points) == set(range(12)) | {50}
