@@ -98,6 +98,7 @@ HEADLINE = [
     "x4_binary_rerank",
     "x4_pq_adc_topk",
     "x4_pq_adc_stored",
+    "x4_opq_adc_recall",
     "x4_ivfpq_topk",
     "x4_ivfpq_stored_topk",
     "x4_sq_topk",

@@ -9498,6 +9498,189 @@ def x0_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x0_curation_report"] = _curation_report_sql()
 
 
+def _opq_adc_recall_sql() -> str:
+    return f"""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    dimvar AS (
+      SELECT i, var_pop(embedding[i]) AS vr
+      FROM embeddings, dims GROUP BY i
+    ),
+    ranked AS (
+      SELECT i AS dim,
+             row_number() OVER (ORDER BY round(vr, 9) DESC, i) AS r
+      FROM dimvar
+    ),
+    serp AS (
+      SELECT dim,
+             CASE WHEN (((r-1)//4) % 2) = 0 THEN (r-1)%4
+                  ELSE 3 - ((r-1)%4) END AS s
+      FROM ranked
+    ),
+    permt AS (SELECT list(dim ORDER BY s, dim) AS p FROM serp),
+    p AS (SELECT {_PROBE_SQL} AS pv),
+    pp AS (
+      SELECT [p.pv[pt.p[j]] for j in range(1, 65)] AS pv FROM p, permt pt
+    ),
+    base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             [embedding[pt.p[j]]::DOUBLE for j in range(1, 65)] AS w
+      FROM embeddings, permt pt
+    ),
+    cb AS (SELECT vec_id AS j, v AS cv, w AS pcv FROM base WHERE vec_id < 16),
+    truth AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               round(list_dot_product(e.v, p.pv) /
+                     (sqrt(list_dot_product(e.v, e.v)) *
+                      sqrt(list_dot_product(p.pv, p.pv))), 6) AS score
+        FROM base e, p
+      ) ORDER BY score DESC, vec_id LIMIT 10
+    ),
+    d_id AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.v[t.i] - c.cv[t.i]) * (e.v[t.i] - c.cv[t.i])) AS dist
+      FROM base e, range(1, 65) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    code_id AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d_id
+      ) WHERE rn = 1
+    ),
+    lut_id AS (
+      SELECT (t.i-1) // 16 AS s, c.j,
+             sum((p.pv[t.i] - c.cv[t.i]) * (p.pv[t.i] - c.cv[t.i])) AS pd
+      FROM cb c, p, range(1, 65) t(i)
+      GROUP BY (t.i-1) // 16, c.j
+    ),
+    adc_id AS (
+      SELECT code_id.vec_id, round(sum(lut_id.pd), 6) AS adc_dist
+      FROM code_id JOIN lut_id
+        ON lut_id.s = code_id.s AND lut_id.j = code_id.j
+      GROUP BY code_id.vec_id
+      ORDER BY adc_dist, code_id.vec_id LIMIT 10
+    ),
+    d_pm AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.w[t.i] - c.pcv[t.i]) * (e.w[t.i] - c.pcv[t.i])) AS dist
+      FROM base e, range(1, 65) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    code_pm AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d_pm
+      ) WHERE rn = 1
+    ),
+    lut_pm AS (
+      SELECT (t.i-1) // 16 AS s, c.j,
+             sum((pp.pv[t.i] - c.pcv[t.i]) * (pp.pv[t.i] - c.pcv[t.i])) AS pd
+      FROM cb c, pp, range(1, 65) t(i)
+      GROUP BY (t.i-1) // 16, c.j
+    ),
+    adc_pm AS (
+      SELECT code_pm.vec_id, round(sum(lut_pm.pd), 6) AS adc_dist
+      FROM code_pm JOIN lut_pm
+        ON lut_pm.s = code_pm.s AND lut_pm.j = code_pm.j
+      GROUP BY code_pm.vec_id
+      ORDER BY adc_dist, code_pm.vec_id LIMIT 10
+    )
+    SELECT layout, hits, round(hits / 10.0, 6) AS recall_at_10 FROM (
+      SELECT 'fitted' AS layout, count(*)::BIGINT AS hits
+      FROM adc_pm JOIN truth USING (vec_id)
+      UNION ALL
+      SELECT 'identity', count(*)::BIGINT
+      FROM adc_id JOIN truth USING (vec_id)
+    ) ORDER BY layout
+    """
+
+
+@query("x4_opq_adc_recall", None)  # oracle attached below (computed)
+def x4_opq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — OPQ fit feeding the RETRIEVAL path (round 6): recall@10 of
+    PQ-ADC top-10 against the exact cosine top-10, under the identity
+    subspace layout and the variance-balanced fitted permutation
+    (:func:`opq_balanced_permutation`, same fit as
+    ``x9_opq_fit_error``) — the end-to-end answer to "does the
+    re-layout help retrieval, not just reconstruction error". Probe,
+    codebook seeds, AND corpus all permute together (an orthogonal
+    transform preserves every exact distance, so the truth set is
+    layout-independent); only the PQ approximation changes. Full
+    oracle: DuckDB refits the same permutation from the same parquet
+    and replays both ADC pipelines. Scale shape: the ADC scans are
+    LUT-lookups + TakeOrdered (no vector math per row beyond encode),
+    the fit is one posexplode variance aggregate.
+
+    Honest reading: the fixture embeddings are near-isotropic (unit
+    random), so per-dim variances are nearly equal and the fitted
+    layout ties identity within top-k noise — the report's job is to
+    MEASURE that. On real encoder outputs (PCA-skewed variance mass)
+    the balanced layout is where OPQ's gains live; this query is the
+    gauge you run to find out."""
+    from vectordb_migrator_spark.operators.similarity import (
+        cosine_topk,
+        opq_balanced_permutation,
+        pq_adc_topk,
+        pq_sampled_codebooks,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    var_rows = (
+        fan_out(emb.select(v.alias("__va")))
+        .select(F.posexplode("__va").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.var_pop("val").alias("vr"))
+        .collect()
+    )
+    variances = [0.0] * 64
+    for r in var_rows:
+        variances[r["pos"]] = float(r["vr"])
+    perm = opq_balanced_permutation(variances, 4)
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    flat = [[cbs[d // 16][j][d % 16] for d in range(64)] for j in range(16)]
+    perm_books = [
+        [[flat[j][perm[i]] for i in range(s * 16, s * 16 + 16)] for j in range(16)]
+        for s in range(4)
+    ]
+    pprobe = [probe[perm[i]] for i in range(64)]
+    pv = F.array(*[v.getItem(perm[i]) for i in range(64)])
+    embp = emb.select("vec_id", pv.alias("__pv"))
+    truth = cosine_topk(emb, probe, k=10).select("vec_id")
+    adc_id = pq_adc_topk(emb, probe, cbs, k=10).select("vec_id")
+    adc_fit = pq_adc_topk(embp, pprobe, perm_books, k=10, vec_col="__pv").select(
+        "vec_id"
+    )
+
+    def rec(df, tag):
+        return (
+            df.join(truth, "vec_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .select(F.lit(tag).alias("layout"), "hits")
+        )
+
+    return (
+        rec(adc_fit, "fitted")
+        .unionAll(rec(adc_id, "identity"))
+        .select(
+            "layout",
+            "hits",
+            F.round(F.col("hits") / 10.0, 6).alias("recall_at_10"),
+        )
+        .orderBy("layout")
+    )
+
+
+ORACLES["x4_opq_adc_recall"] = _opq_adc_recall_sql()
+
+
 @query(
     "x11_sql_api_topk",
     f"""
