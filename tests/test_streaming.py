@@ -674,3 +674,82 @@ def test_decontaminated_ingest_quarantines_eval_leaks(spark, tmp_path):
     }
     assert clean == [2]
     assert set(dirty) == {1} and dirty[1] >= 0.4
+
+
+def test_curation_ingest_report_tracks_batch_report(spark, tmp_path):
+    """Round-6 X0×X8: the streaming grain store must reproduce the
+    batch curation report without rescanning history — every section
+    exact except dup_by_source (HLL estimate, tolerance-checked), and
+    the report stays current as the corpus grows."""
+    from vectordb_migrator_spark.operators.cleaning import (
+        curation_grain,
+        curation_sections,
+    )
+    from vectordb_migrator_spark.streaming.incremental import (
+        curation_ingest,
+        curation_report_over,
+    )
+
+    src = str(tmp_path / "in")
+    grain = str(tmp_path / "grain")
+    schema = "doc_id long, source string, text string"
+
+    def run():
+        q = curation_ingest(
+            spark,
+            source_path=src,
+            source_schema=schema,
+            grain_path=grain,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    def report(df):
+        g = curation_grain(df).localCheckpoint(eager=True)
+        return {
+            (r["section"], r["k"]): r["v"]
+            for r in curation_sections(g).collect()
+        }
+
+    def streamed():
+        return {
+            (r["section"], r["k"]): r["v"]
+            for r in curation_report_over(spark, grain).collect()
+        }
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "le chat est sur la table et il dort",
+        "short",
+    ]
+    batch1 = [
+        (i, "web" if i % 3 else "book", texts[i % 3]) for i in range(12)
+    ]
+    spark.createDataFrame(batch1, schema).write.parquet(src)
+    run()
+    got, want = streamed(), report(spark.createDataFrame(batch1, schema))
+    assert set(got) == set(want)
+    for key in want:
+        if key[0] == "dup_by_source":
+            assert abs(got[key] - want[key]) <= 0.05, (key, got[key], want[key])
+        else:
+            assert got[key] == want[key], key
+
+    # growth: append a second batch; the refreshed report equals the
+    # batch report over the FULL corpus — history never rescanned
+    batch2 = [(100 + i, "forum", texts[0]) for i in range(5)]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    run()
+    got2 = streamed()
+    want2 = report(spark.createDataFrame(batch1 + batch2, schema))
+    assert set(got2) == set(want2)
+    for key in want2:
+        if key[0] == "dup_by_source":
+            assert abs(got2[key] - want2[key]) <= 0.05
+        else:
+            assert got2[key] == want2[key], key
+
+    # replay idempotence: a third run with no new input appends nothing
+    n_rows = spark.read.parquet(grain).count()
+    run()
+    assert spark.read.parquet(grain).count() == n_rows

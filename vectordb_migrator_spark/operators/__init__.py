@@ -66,6 +66,8 @@ _EXPORTS = {
     # text / cleaning / ranking
     "remove_boilerplate_lines": "cleaning",
     "gopher_rules": "cleaning",
+    "curation_grain": "cleaning",
+    "curation_sections": "cleaning",
     "ngram_contamination": "cleaning",
     "unigram_surprisal": "cleaning",
     "bigram_surprisal": "cleaning",

@@ -548,3 +548,106 @@ def gopher_rules(
         & (F.col("stop_hits") >= 2)
     )
     return out.withColumn("kept", kept)
+
+
+def curation_grain(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    quality_min_tokens: int = 20,
+    sketch: bool = False,
+) -> DataFrame:
+    """The curation report's GRAIN rollup: per (source, predicted
+    language, log2-length bucket) — a few hundred rows for any corpus
+    — carrying the associative measures every report table derives
+    from: ``n`` docs, ``tok`` tokens, ``passed`` quality-gate hits,
+    and the exact-duplicate measure. An identical text always lands in
+    the same grain (same source ⇒ same tokens ⇒ same lang/bucket), so
+    per-grain distinct counts SUM correctly per source.
+
+    ``sketch=False`` (batch): exact ``countDistinct(md5)`` into
+    ``dist``. ``sketch=True`` (streaming partials): a mergeable HLL
+    sketch into ``sk`` — per-batch partial sketches union associatively
+    across appends, which an exact distinct count cannot
+    (see :func:`~vectordb_migrator_spark.streaming.incremental
+    .curation_ingest`). One scan, one map-side-combinable exchange."""
+    from vectordb_migrator_spark.functions.text import lang_id, token_count_ws
+
+    per = df.select(
+        F.col(source_col).alias("source"),
+        lang_id(text_col).alias("lang_pred"),
+        token_count_ws(text_col).cast("long").alias("n_tok"),
+        F.md5(text_col).alias("h"),
+    )
+    dup_measure = (
+        F.hll_sketch_agg("h").alias("sk")
+        if sketch
+        else F.countDistinct("h").cast("double").alias("dist")
+    )
+    return per.groupBy(
+        "source",
+        "lang_pred",
+        F.floor(F.log2(F.greatest(F.col("n_tok"), F.lit(1))))
+        .cast("long")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("n_tok").cast("double").alias("tok"),
+        dup_measure,
+        F.sum(
+            F.when(F.col("n_tok") >= quality_min_tokens, 1.0).otherwise(0.0)
+        ).alias("passed"),
+    )
+
+
+def curation_sections(grain: DataFrame) -> DataFrame:
+    """Fold a :func:`curation_grain` rollup (columns source, lang_pred,
+    bucket, n, tok, dist, passed) into the long (section, k, v) report
+    frame: temperature mixtures at α ∈ {0.3, 0.7}, per-language token
+    shares, the power-of-two length histogram, within-source dup and
+    quality-gate rates, and corpus totals. Every branch reads the
+    (tiny) grain — callers materialize it once (localCheckpoint or a
+    parquet store) so the corpus is never rescanned."""
+    src = grain.groupBy("source").agg(
+        F.sum("n").alias("n"),
+        F.sum("tok").alias("tok"),
+        F.sum("dist").alias("dist"),
+        F.sum("passed").alias("passed"),
+    )
+    d = src.agg(
+        F.sum(F.pow("n", F.lit(0.3))).alias("d03"),
+        F.sum(F.pow("n", F.lit(0.7))).alias("d07"),
+        F.sum("n").alias("all_n"),
+        F.sum("tok").alias("all_tok"),
+    )
+
+    def sec(df, section: str, k, v):
+        return df.select(
+            F.lit(section).alias("section"),
+            k.cast("string").alias("k"),
+            F.round(v, 6).cast("double").alias("v"),
+        )
+
+    src_d = src.crossJoin(F.broadcast(d))
+    lang = grain.groupBy("lang_pred").agg(F.sum("tok").alias("tok"))
+    hist = grain.groupBy("bucket").agg(F.sum("n").alias("n"))
+    parts = [
+        sec(src_d, "mixture@0.3", F.col("source"),
+            F.pow("n", F.lit(0.3)) / F.col("d03")),
+        sec(src_d, "mixture@0.7", F.col("source"),
+            F.pow("n", F.lit(0.7)) / F.col("d07")),
+        sec(lang.crossJoin(F.broadcast(d)), "lang_tokens",
+            F.col("lang_pred"), F.col("tok") / F.col("all_tok")),
+        sec(hist, "len_hist", F.col("bucket"), F.col("n")),
+        sec(src, "dup_by_source", F.col("source"),
+            F.lit(1.0) - F.col("dist") / F.col("n")),
+        sec(src, "quality_by_source", F.col("source"),
+            F.col("passed") / F.col("n")),
+        sec(d, "totals", F.lit("docs"), F.col("all_n")),
+        sec(d, "totals", F.lit("tokens"), F.col("all_tok")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("section", "k")

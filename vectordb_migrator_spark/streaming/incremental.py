@@ -595,3 +595,88 @@ def decontaminated_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def curation_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    grain_path: str,
+    checkpoint: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    source_format: str = "parquet",
+    trigger_once: bool = True,
+):
+    """Continuous curation-report maintenance — X0 meets X8: every
+    micro-batch appends per-(source, lang_pred, bucket, batch_id)
+    GRAIN partials (:func:`~vectordb_migrator_spark.operators.cleaning
+    .curation_grain` with ``sketch=True``): doc/token/quality counts
+    are associative sums, and the exact-dup measure is a mergeable HLL
+    sketch of text md5s — the one signal a streaming store cannot keep
+    exact, because per-batch distinct counts do not sum.
+    :func:`curation_report_over` then derives the SAME (section, k, v)
+    tables as the batch ``x0_curation_report`` from the kilobyte store
+    — the growing corpus is never rescanned to refresh the report.
+    Same partial-append contract as ``sketch_ingest``/
+    ``mixture_ingest``: appends are conflict-free, and the pre-append
+    anti-join on the grain keys + ``batch_id`` makes foreachBatch
+    replays idempotent within the checkpoint lineage."""
+    from pyspark.sql.utils import AnalysisException
+
+    from vectordb_migrator_spark.operators.cleaning import curation_grain
+
+    keys = ["source", "lang_pred", "bucket", "batch_id"]
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        partials = curation_grain(
+            batch_df, source_col=source_col, text_col=text_col, sketch=True
+        ).withColumn("batch_id", F.lit(batch_id))
+        try:
+            seen = sess.read.parquet(grain_path).select(*keys)
+            partials = partials.join(seen, keys, "left_anti")
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(grain_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def curation_report_over(spark: SparkSession, grain_path: str) -> DataFrame:
+    """The current curation report from a :func:`curation_ingest` grain
+    store: merge the per-batch partials per grain (sums are
+    associative; dup distincts union as HLL sketches), then run the
+    same :func:`~vectordb_migrator_spark.operators.cleaning
+    .curation_sections` fold the batch report uses. Every section
+    except ``dup_by_source`` is EXACT and equal to the batch report on
+    the same rows; dup rates carry HLL estimate error (~±2% at
+    default precision) — the price of never rescanning history."""
+    from vectordb_migrator_spark.operators.cleaning import curation_sections
+
+    grain = (
+        spark.read.parquet(grain_path)
+        .groupBy("source", "lang_pred", "bucket")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("tok").alias("tok"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("double")
+            .alias("dist"),
+            F.sum("passed").alias("passed"),
+        )
+    )
+    return curation_sections(grain)

@@ -9417,82 +9417,21 @@ def x0_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Long (section, k, v) format so one frame carries every table. The
     standalone sweeps remain for interactive tuning; this is the
     scheduled composition (plan-locked: the returned plan contains NO
-    parquet re-scan — all branches read the checkpointed grain)."""
-    from vectordb_migrator_spark.functions.text import (
-        lang_id,
-        token_count_ws,
+    parquet re-scan — all branches read the checkpointed grain).
+    ``curation_ingest``/``curation_report_over`` are the streaming
+    twin: per-batch grain partials (HLL dup sketches) accumulate in a
+    kilobyte store and the same sections derive without any rescan."""
+    from vectordb_migrator_spark.operators.cleaning import (
+        curation_grain,
+        curation_sections,
     )
     from vectordb_migrator_spark.operators.util import fan_out
 
     docs = _t(spark, sf_dir, "documents")
     # fan_out: langid + md5 + tokenization are CPU-bound per-row work
     # and the toy single-file scan is 1-partition (no-op on a cluster)
-    per = fan_out(docs).select(
-        "source",
-        lang_id("text").alias("lang_pred"),
-        token_count_ws("text").cast("long").alias("n_tok"),
-        F.md5("text").alias("h"),
-    )
-    grain = (
-        per.groupBy(
-            "source",
-            "lang_pred",
-            F.floor(F.log2(F.greatest(F.col("n_tok"), F.lit(1))))
-            .cast("long")
-            .alias("bucket"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum("n_tok").cast("double").alias("tok"),
-            F.countDistinct("h").cast("double").alias("dist"),
-            F.sum(
-                F.when(F.col("n_tok") >= 20, 1.0).otherwise(0.0)
-            ).alias("passed"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    src = grain.groupBy("source").agg(
-        F.sum("n").alias("n"),
-        F.sum("tok").alias("tok"),
-        F.sum("dist").alias("dist"),
-        F.sum("passed").alias("passed"),
-    )
-    d = src.agg(
-        F.sum(F.pow("n", F.lit(0.3))).alias("d03"),
-        F.sum(F.pow("n", F.lit(0.7))).alias("d07"),
-        F.sum("n").alias("all_n"),
-        F.sum("tok").alias("all_tok"),
-    )
-
-    def sec(df, section: str, k, v):
-        return df.select(
-            F.lit(section).alias("section"),
-            k.cast("string").alias("k"),
-            F.round(v, 6).cast("double").alias("v"),
-        )
-
-    src_d = src.crossJoin(F.broadcast(d))
-    lang = grain.groupBy("lang_pred").agg(F.sum("tok").alias("tok"))
-    hist = grain.groupBy("bucket").agg(F.sum("n").alias("n"))
-    parts = [
-        sec(src_d, "mixture@0.3", F.col("source"),
-            F.pow("n", F.lit(0.3)) / F.col("d03")),
-        sec(src_d, "mixture@0.7", F.col("source"),
-            F.pow("n", F.lit(0.7)) / F.col("d07")),
-        sec(lang.crossJoin(F.broadcast(d)), "lang_tokens",
-            F.col("lang_pred"), F.col("tok") / F.col("all_tok")),
-        sec(hist, "len_hist", F.col("bucket"), F.col("n")),
-        sec(src, "dup_by_source", F.col("source"),
-            F.lit(1.0) - F.col("dist") / F.col("n")),
-        sec(src, "quality_by_source", F.col("source"),
-            F.col("passed") / F.col("n")),
-        sec(d, "totals", F.lit("docs"), F.col("all_n")),
-        sec(d, "totals", F.lit("tokens"), F.col("all_tok")),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("section", "k")
+    grain = curation_grain(fan_out(docs)).localCheckpoint(eager=True)
+    return curation_sections(grain)
 
 
 ORACLES["x0_curation_report"] = _curation_report_sql()
