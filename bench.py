@@ -149,6 +149,8 @@ HEADLINE = [
     "x9_pq_error",
     "x9_pq_perm_error",
     "x9_opq_fit_error",
+    "x9_pca_evr",
+    "x9_opq_rotation_error",
     "x9_centroid_outliers",
     "x4_ivf_balance",
     "x10_stratified_sample",

@@ -1,0 +1,128 @@
+"""Gram-matrix / PCA operators — NumPy differentials (the oracle for
+linear algebra no SQL engine can express)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vectordb_migrator_spark.operators.decomposition import (
+    gram_matrix,
+    pca_fit,
+    rotate_vectors,
+)
+
+
+def _x(embeddings):
+    rows = embeddings.orderBy("vec_id").collect()
+    return np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+
+
+def test_gram_matrix_matches_numpy(spark, embeddings):
+    gram, colsum, n = gram_matrix(embeddings)
+    x = _x(embeddings)
+    assert n == len(x)
+    np.testing.assert_allclose(gram, x.T @ x, rtol=1e-9)
+    np.testing.assert_allclose(colsum, x.sum(axis=0), rtol=1e-9)
+
+
+def test_gram_matrix_partition_invariant(spark, embeddings):
+    """The partial-reduce must be partition-count-invariant (the
+    whole point: partials sum associatively)."""
+    g1, s1, n1 = gram_matrix(embeddings.repartition(1))
+    g7, s7, n7 = gram_matrix(embeddings.repartition(7))
+    assert n1 == n7
+    np.testing.assert_allclose(g1, g7, rtol=1e-9)
+    np.testing.assert_allclose(s1, s7, rtol=1e-9)
+
+
+def test_pca_fit_matches_numpy_cov(spark, embeddings):
+    gram, colsum, n = gram_matrix(embeddings)
+    comps, evr = pca_fit(gram, colsum, n)
+    x = _x(embeddings)
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    np.testing.assert_allclose(evr, vals, atol=1e-9)
+    # components are orthonormal and diagonalize the covariance
+    np.testing.assert_allclose(comps @ comps.T, np.eye(comps.shape[0]),
+                               atol=1e-9)
+    np.testing.assert_allclose(comps @ cov @ comps.T, np.diag(evr),
+                               atol=1e-8)
+    # deterministic sign: the largest-|coeff| entry of each row is >= 0
+    for row in comps:
+        assert row[int(np.argmax(np.abs(row)))] >= 0
+
+
+def test_rotate_vectors_matches_numpy_and_preserves_distance(spark, embeddings):
+    gram, colsum, n = gram_matrix(embeddings)
+    comps, _ = pca_fit(gram, colsum, n)
+    out = rotate_vectors(embeddings, comps).orderBy("vec_id").collect()
+    x = _x(embeddings)
+    y = np.array([list(r["rotated"]) for r in out])
+    np.testing.assert_allclose(y, x @ comps.T, rtol=1e-9)
+    # orthogonality: pairwise distance of the first two rows preserved
+    d0 = np.linalg.norm(x[0] - x[1])
+    d1 = np.linalg.norm(y[0] - y[1])
+    np.testing.assert_allclose(d0, d1, rtol=1e-9)
+    # passthrough columns intact
+    assert [r["vec_id"] for r in out] == sorted(r["vec_id"] for r in out)
+    assert "label" in out[0].asDict()
+
+
+def test_x9_pca_evr_differential(spark):
+    """The rows-only suite query against an independent NumPy replay —
+    the driver gate records rows-only for eigensolver queries, so this
+    differential IS their correctness evidence."""
+    from tests.conftest import SF_DIR
+    from vectordb_migrator_spark.suite import QUERIES
+
+    out = {r["component"]: r for r in
+           QUERIES["x9_pca_evr"](spark, SF_DIR).collect()}
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    x = _x(emb)
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    total = vals.sum()
+    for i in range(8):
+        np.testing.assert_allclose(out[i]["variance"], vals[i], atol=2e-6)
+        np.testing.assert_allclose(out[i]["evr"], vals[i] / total, atol=2e-6)
+        np.testing.assert_allclose(
+            out[i]["cum_evr"], vals[: i + 1].sum() / total, atol=2e-6
+        )
+
+
+def test_x9_opq_rotation_error_differential(spark):
+    """Full NumPy replay of the PCA-rotated PQ error report: same
+    rotation (sign convention replicated independently), same sampled
+    codebooks, same per-subspace argmin — mse_mean/mse_max must agree
+    to the query's rounding."""
+    from tests.conftest import SF_DIR
+    from vectordb_migrator_spark.suite import QUERIES
+
+    out = {
+        (r["layout"], r["s"]): (r["mse_mean"], r["mse_max"])
+        for r in QUERIES["x9_opq_rotation_error"](spark, SF_DIR).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.orderBy("vec_id").collect()
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    # independent replica of the fit incl. the sign convention
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    comps = vecs[:, order].T.copy()
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    seeds = x[[ids.index(i) for i in range(16)]]
+    layouts = {"identity": (x, seeds), "rotated": (x @ comps.T, seeds @ comps.T)}
+    for tag, (xs, cb) in layouts.items():
+        for s in range(4):
+            sub = xs[:, s * 16:(s + 1) * 16]
+            cbsub = cb[:, s * 16:(s + 1) * 16]
+            d2 = ((sub[:, None, :] - cbsub[None, :, :]) ** 2).sum(axis=2)
+            mdist = d2.min(axis=1)
+            got_mean, got_max = out[(tag, s)]
+            np.testing.assert_allclose(got_mean, mdist.mean(), atol=2e-6)
+            np.testing.assert_allclose(got_max, mdist.max(), atol=2e-6)

@@ -43,6 +43,9 @@ _EXPORTS = {
     "ivf_index_batch_topk": "similarity",
     "ivf_finish_swap": "similarity",
     "opq_balanced_permutation": "similarity",
+    "gram_matrix": "decomposition",
+    "pca_fit": "decomposition",
+    "rotate_vectors": "decomposition",
     "build_lsh_index": "similarity",
     "lsh_index_append": "similarity",
     "lsh_index_topk": "similarity",

@@ -1,0 +1,136 @@
+"""Distributed linear decomposition — the Gram-matrix / PCA family
+(X9). The one operator family where the built-in DataFrame functions
+genuinely cannot express the computation efficiently: a d×d Gram
+matrix is an aggregate of d² products per row, and posexploding pairs
+would shuffle d²·N rows. The scale shape instead is the classic
+partial-reduce: each Arrow batch computes its LOCAL ``XᵀX`` (one BLAS
+call in NumPy), partitions emit one d×d partial, and the driver sums
+a handful of d² floats — O(partitions · d²) bytes move, never O(N·d²).
+
+PCA here is the engine-reproducible fit: eigendecomposition of the
+(driver-tiny) covariance with a deterministic sign convention, so two
+runs — or a differential NumPy replica — produce identical components.
+The rotation feeds PQ as a true OPQ initialization (PCA rotation is
+the standard OPQ warm start; see the x9 suite queries).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_matrix(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """``(XᵀX, Σx, n)`` of the vector column — the sufficient
+    statistics for covariance/PCA — via ``mapInPandas`` partial
+    reduction: one ``xᵀx`` BLAS call per Arrow batch, ONE flattened
+    d×d row out per batch, driver-side sum. The collect is
+    O(batches · d²) — model-sized, not corpus-sized (a 64-dim corpus
+    yields 4096 floats per batch regardless of row count).
+
+    Returns (gram[d,d], colsum[d], n_rows)."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("gram_matrix on an empty frame")
+    d = len(first[0])
+
+    def partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.array(b[vec_col].tolist(), dtype=np.float64)
+            g = x.T @ x
+            s = x.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "g": [g.ravel().tolist()],
+                    "s": [s.tolist()],
+                    "n": [len(b)],
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="g array<double>, s array<double>, n long")
+        .collect()
+    )
+    gram = np.zeros((d, d))
+    colsum = np.zeros(d)
+    n = 0
+    for r in rows:
+        gram += np.array(r["g"]).reshape(d, d)
+        colsum += np.array(r["s"])
+        n += r["n"]
+    return gram, colsum, n
+
+
+def pca_fit(
+    gram: np.ndarray,
+    colsum: np.ndarray,
+    n: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Principal components from Gram sufficient statistics:
+    covariance ``C = XᵀX/n − μμᵀ``, symmetric eigendecomposition,
+    eigenvalues descending. Deterministic sign convention — each
+    component's largest-|coefficient| entry is made positive (ties
+    toward the lower index), so the fit is bit-reproducible across
+    runs and replicas. Driver-side on d² floats — O(model).
+
+    Returns (components[d,d] — ROWS are components, i.e. the rotation
+    matrix R with y = R @ x — and explained_variance[d])."""
+    mu = colsum / n
+    cov = gram / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]
+    vals = vals[order]
+    vecs = vecs[:, order]
+    comps = vecs.T.copy()
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, vals
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "rotated",
+) -> DataFrame:
+    """Apply a dense d×d rotation to every vector (``y = R @ x``) via
+    an Arrow-batched ``mapInPandas`` — one BLAS matmul per batch, the
+    matrix shipped once per task as a closure constant. A per-element
+    SQL fold would be a d-term expression per output element (d²
+    expression nodes, the lambda-inlining cliff); the batched matmul
+    is the honest kernel for a dense rotation. All other columns pass
+    through untouched."""
+    r = np.asarray(rotation, dtype=np.float64)
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} array<double>"]
+    )
+
+    def apply(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for b in batches:
+            if len(b):
+                x = np.array(b[vec_col].tolist(), dtype=np.float64)
+                y = x @ r.T
+                b = b.copy()
+                b[out_col] = list(y.tolist())
+            else:
+                b = b.copy()
+                b[out_col] = []
+            yield b
+
+    return df.mapInPandas(apply, schema=out_schema)

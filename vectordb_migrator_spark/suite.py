@@ -9620,6 +9620,132 @@ def x4_opq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x4_opq_adc_recall"] = _opq_adc_recall_sql()
 
 
+@query("x9_pca_evr", None)  # rows-only: no SQL engine has an eigensolver
+def x9_pca_evr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — PCA explained-variance curve (round 6): top-8 principal
+    components' variance, ratio, and cumulative ratio — the sizing
+    gauge behind every "can we truncate to d' dims" decision
+    (Matryoshka cuts, OPQ rotations, PQ subspace budgets). The fit is
+    the distributed Gram-matrix partial-reduce
+    (:func:`~vectordb_migrator_spark.operators.decomposition
+    .gram_matrix`: one BLAS ``XᵀX`` per Arrow batch, one d×d partial
+    per batch to the driver — O(batches·d²) movement, never N·d²)
+    plus a driver-side eigendecomposition with a deterministic sign
+    convention. Rows-only (no SQL eigensolver exists); the NumPy
+    differential in tests/test_decomposition.py is the oracle."""
+    from vectordb_migrator_spark.operators.decomposition import (
+        gram_matrix,
+        pca_fit,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    emb = _t(spark, sf_dir, "embeddings")
+    gram, colsum, n = gram_matrix(fan_out(emb))
+    _, ev = pca_fit(gram, colsum, n)
+    total = float(ev.sum())
+    rows = [
+        (
+            i,
+            round(float(ev[i]), 6),
+            round(float(ev[i] / total), 6),
+            round(float(ev[: i + 1].sum() / total), 6),
+        )
+        for i in range(8)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, variance double, evr double, cum_evr double"
+    )
+
+
+@query("x9_opq_rotation_error", None)  # rows-only: eigensolver-dependent
+def x9_opq_rotation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — TRUE OPQ initialization (round 6): per-subspace PQ
+    reconstruction error under the PCA ROTATION (the standard OPQ warm
+    start — a learned orthogonal transform, not just a permutation)
+    side by side with identity. Completes the ladder the x9 family
+    climbs: seeded permutation (premise) → variance-balanced
+    permutation (cheap fit) → PCA rotation (dense fit). The corpus
+    rotates once via the Arrow-batched matmul
+    (:func:`~vectordb_migrator_spark.operators.decomposition
+    .rotate_vectors`); the rotated codebook seeds are rotated
+    DRIVER-side (16 matvecs) rather than filtering the rotated frame —
+    ``mapInPandas`` blocks predicate pushdown, so a post-rotation
+    filter would rotate the whole corpus to fetch 16 rows. Both
+    layouts' folds read projected slice columns (the lambda-inlining
+    guard). Rows-only; the NumPy differential replays the entire
+    pipeline (tests/test_decomposition.py)."""
+    import numpy as np_
+
+    from vectordb_migrator_spark.operators.decomposition import (
+        gram_matrix,
+        pca_fit,
+        rotate_vectors,
+    )
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_sampled_codebooks,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    emb = _t(spark, sf_dir, "embeddings")
+    gram, colsum, n = gram_matrix(fan_out(emb))
+    comps, _ = pca_fit(gram, colsum, n)
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    flat = np_.array(
+        [[cbs[d // 16][j][d % 16] for d in range(64)] for j in range(16)]
+    )
+    flat_rot = flat @ comps.T
+    rot_books = [
+        [[float(flat_rot[j][i]) for i in range(s * 16, s * 16 + 16)]
+         for j in range(16)]
+        for s in range(4)
+    ]
+    rot = rotate_vectors(emb.select("embedding"), comps, out_col="__rv")
+    v = F.col("embedding").cast("array<double>")
+    sliced = rot.select(
+        *[F.slice(v, s * 16 + 1, 16).alias(f"__id{s}") for s in range(4)],
+        *[F.slice("__rv", s * 16 + 1, 16).alias(f"__rt{s}") for s in range(4)],
+    )
+
+    def sub_errs(prefix, books, tag):
+        out = []
+        for s in range(4):
+            sub = F.col(f"{prefix}{s}")
+            cands = F.array(
+                *[F.array(*[F.lit(float(x)) for x in cw]) for cw in books[s]]
+            )
+            dists = F.transform(
+                cands,
+                lambda c: F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            out.append(
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    F.lit(tag).alias("layout"),
+                    F.array_min(dists).alias("mdist"),
+                )
+            )
+        return out
+
+    rows_ = sub_errs("__id", cbs, "identity") + sub_errs(
+        "__rt", rot_books, "rotated"
+    )
+    exploded = sliced.select(F.explode(F.array(*rows_)).alias("e")).select(
+        "e.s", "e.layout", "e.mdist"
+    )
+    return (
+        exploded.groupBy("layout", "s")
+        .agg(
+            F.round(F.avg("mdist"), 6).alias("mse_mean"),
+            F.round(F.max("mdist"), 6).alias("mse_max"),
+        )
+        .orderBy("layout", "s")
+    )
+
+
 @query(
     "x11_sql_api_topk",
     f"""
