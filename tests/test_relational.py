@@ -333,3 +333,24 @@ def test_range_join_bucketed_equals_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in bcast._jdf.queryExecution().executedPlan().toString()
     bplan = buck._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in bplan  # equi-join on the grid cell
+
+
+def test_dataset_diff_categories_and_churn(spark):
+    """dataset_diff buckets every id correctly across two snapshots
+    and computes churn against the old size; missing content columns
+    fail loudly."""
+    import pytest as _pytest
+
+    from vectordb_migrator_spark.operators.validation import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d"), (9, "z")], ["doc_id", "text"]
+    )
+    r = dataset_diff(old, new).first()
+    assert (r["added"], r["removed"], r["changed"], r["unchanged"]) == (1, 1, 1, 2)
+    assert r["churn_vs_old"] == 0.75  # (1+1+1)/4
+    with _pytest.raises(ValueError, match="content column"):
+        dataset_diff(old.select("doc_id"), new.select("doc_id"))

@@ -112,6 +112,7 @@ _EXPORTS = {
     "export_shards": "scale",
     "zorder_value": "scale",
     "check_constraints": "validation",
+    "dataset_diff": "validation",
     "constraints_from_config": "validation",
     "apply_transform": "transform",
 }

@@ -168,3 +168,77 @@ def constraints_from_config(cfg: dict) -> list[Constraint]:
             )
         )
     return out
+
+
+def dataset_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Release-to-release snapshot diff — the dataset-versioning
+    counterpart of ``check_constraints``: one row with added / removed
+    / changed / unchanged counts and churn rates between two corpus
+    snapshots. "Changed" compares an md5 over ``content_cols``
+    (default: every non-id column common to both frames, in sorted
+    name order — schema-stable).
+
+    Scale shape: each side reduces to (id, fingerprint) — an id-sized
+    projection, not the payload — then ONE full outer join on the id
+    and a single aggregate; the join keys are ids, AQE handles skew,
+    and the corpus text crosses no exchange. The report a release
+    pipeline logs next to its dataset card before publishing."""
+    if content_cols is None:
+        shared = set(old_df.columns) & set(new_df.columns)
+        content_cols = sorted(c for c in shared if c != id_col)
+    if not content_cols:
+        raise ValueError("dataset_diff needs at least one content column")
+
+    def fp(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                        for c in content_cols])).alias(tag),
+        )
+
+    j = fp(old_df, "__old_fp").join(
+        fp(new_df, "__new_fp"), id_col, "full_outer"
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("__old_fp").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("added"),
+        F.sum(F.when(F.col("__new_fp").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("removed"),
+        F.sum(
+            F.when(
+                F.col("__old_fp").isNotNull()
+                & F.col("__new_fp").isNotNull()
+                & (F.col("__old_fp") != F.col("__new_fp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("changed"),
+        F.sum(
+            F.when(F.col("__old_fp") == F.col("__new_fp"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("unchanged"),
+    )
+    return agg.select(
+        "added",
+        "removed",
+        "changed",
+        "unchanged",
+        F.round(
+            (F.col("added") + F.col("removed") + F.col("changed"))
+            / F.greatest(
+                F.col("removed") + F.col("changed") + F.col("unchanged"),
+                F.lit(1),
+            ),
+            6,
+        ).alias("churn_vs_old"),
+    )

@@ -8736,6 +8736,85 @@ def x13_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x12_snapshot_diff",
+    r"""
+    WITH old AS (SELECT doc_id, text FROM documents),
+    coin AS (
+      SELECT doc_id, text,
+             CAST(CONCAT('0x', substr(md5(concat('v2:', doc_id)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS c
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+      FROM coin WHERE c >= 0.1
+    ),
+    addedrows AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM kept WHERE doc_id % 17 = 0
+    ),
+    newv AS (SELECT * FROM kept UNION ALL SELECT * FROM addedrows),
+    of AS (SELECT doc_id, md5(text) AS ofp FROM old),
+    nf AS (SELECT doc_id, md5(text) AS nfp FROM newv),
+    j AS (SELECT * FROM of FULL OUTER JOIN nf USING (doc_id))
+    SELECT
+      sum(CASE WHEN ofp IS NULL THEN 1 ELSE 0 END)::BIGINT AS added,
+      sum(CASE WHEN nfp IS NULL THEN 1 ELSE 0 END)::BIGINT AS removed,
+      sum(CASE WHEN ofp IS NOT NULL AND nfp IS NOT NULL AND ofp != nfp
+               THEN 1 ELSE 0 END)::BIGINT AS changed,
+      sum(CASE WHEN ofp = nfp THEN 1 ELSE 0 END)::BIGINT AS unchanged,
+      round((sum(CASE WHEN ofp IS NULL THEN 1 ELSE 0 END)
+             + sum(CASE WHEN nfp IS NULL THEN 1 ELSE 0 END)
+             + sum(CASE WHEN ofp IS NOT NULL AND nfp IS NOT NULL
+                        AND ofp != nfp THEN 1 ELSE 0 END))
+            / greatest(sum(CASE WHEN ofp IS NOT NULL THEN 1 ELSE 0 END), 1),
+            6) AS churn_vs_old
+    FROM j
+    """,
+)
+def x12_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — release-to-release snapshot diff (round 6): added /
+    removed / changed / unchanged counts and the churn rate between
+    two corpus versions (:func:`~vectordb_migrator_spark.operators
+    .validation.dataset_diff`) — the report a release pipeline logs
+    next to its dataset card before publishing v2. The "v2" here is
+    DERIVED deterministically from the fixture (md5-coin removes ~10%,
+    every 13th doc's text is revised, every 17th kept doc is
+    duplicated under a new id), so the oracle rebuilds the identical
+    snapshot pair from the same parquet. Scale shape: each side
+    reduces to (id, md5 fingerprint) — the payload never crosses an
+    exchange — then one full-outer id join + one aggregate."""
+    from vectordb_migrator_spark.operators.validation import dataset_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("v2:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    kept = docs.withColumn("__c", coin).filter(F.col("__c") >= 0.1).drop("__c")
+    changed = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    added = changed.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    v2 = changed.unionAll(added)
+    return dataset_diff(docs, v2, content_cols=["text"])
+
+
+@query(
     "x12_referential_integrity",
     """
     SELECT
