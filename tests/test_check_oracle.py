@@ -51,3 +51,18 @@ def test_cast_window_sum_passes(spark_long_df):
     assert unsafe_oracle_dtypes(spark_long_df, duck_df) == []
     ok, msg = compare("t", spark_long_df, con.sql(sql), duck_df)
     assert ok, msg
+
+
+def test_nullable_int_with_nulls_exempt(spark):
+    """A nullable BIGINT that carries NULLs degrades to float64 on
+    BOTH sides of the driver's pandas conversion, so the hash still
+    matches — the gate must not false-positive on it (asof LEFT-join
+    gap_s regression)."""
+    con = duckdb.connect()
+    sdf = spark.createDataFrame([(1, 10), (2, None)], "id: long, gap: long")
+    duck_df = con.sql(
+        "SELECT id::BIGINT AS id, gap::BIGINT AS gap FROM"
+        " (VALUES (1, 10), (2, NULL)) t(id, gap)"
+    ).df()
+    assert duck_df["gap"].dtype.kind == "f"  # pandas degraded it
+    assert unsafe_oracle_dtypes(sdf, duck_df) == []

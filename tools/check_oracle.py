@@ -72,7 +72,13 @@ def unsafe_oracle_dtypes(spark_df, duck_df) -> list[str]:
     sees ``291.0`` vs Spark's ``291`` even though this checker's
     int-coercing tuple compare says MATCH. Any oracle column that is
     float64/object where Spark emits an integral/boolean type must be
-    cast ``::BIGINT`` (etc.) in the SQL."""
+    cast ``::BIGINT`` (etc.) in the SQL.
+
+    A NULLABLE int column that actually carries nulls is exempt:
+    pandas degrades it to float64 on BOTH sides (the driver converts
+    the Spark result the same way), so ``291.0 == 291.0`` and the
+    driver hash still matches — flagging it would be a false positive
+    (seen on the asof LEFT-join's ``gap_s``)."""
     from pyspark.sql import types as T
 
     integral = (
@@ -88,12 +94,15 @@ def unsafe_oracle_dtypes(spark_df, duck_df) -> list[str]:
             continue
         if f.name not in duck_df.columns:
             continue
-        kind = duck_df[f.name].dtype.kind
-        if kind not in "iub":  # int / unsigned / bool
-            bad.append(
-                f"{f.name}: spark={f.dataType.simpleString()} "
-                f"duck-pandas={duck_df[f.name].dtype}"
-            )
+        col = duck_df[f.name]
+        if col.dtype.kind in "iub":  # int / unsigned / bool
+            continue
+        if col.isna().any():  # nulls degrade both sides identically
+            continue
+        bad.append(
+            f"{f.name}: spark={f.dataType.simpleString()} "
+            f"duck-pandas={col.dtype}"
+        )
     return bad
 
 

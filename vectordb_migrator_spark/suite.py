@@ -9880,61 +9880,61 @@ def x11_sql_api_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered query is verified each round, by the driver or by that
 # harness.
 _DRIVER_WINDOW_PRIORITY = [
-    # --- (a) never driver-checked in any round ---
-    "x2_lsh_near_dup_multi",
-    "x10_kfold_assign",
-    "x13_event_gaps",
-    "x2_containment_pairs",
-    "x1_dup_rate_by_source",
-    "x9_storage_report",
-    "x12_referential_integrity",
-    # --- (b) new in round 5 ---
-    "x2_semdedup_fitted",  # kmeans_fit -> semantic_dedup (rows-only)
-    "x2_dedup_keep_best",  # quality-keeper apply rule
-    "x2_dedup_funnel",  # one-row dedup pipeline trace
-    "x0_leakage_safe_split",  # split + cross-split near-dup scrub
-    "x10_lang_balanced_mixture",  # langid -> alpha=0.3 mixture apply
-    "x5_hot_grams",  # max_df tuning report
-    "x9_sq_error_by_label",  # SQ reconstruction-error report
-    "x5_quality_tiers",  # ntile decile curation frame
-    "x4_ivf_balance",  # IVF partition-balance health check
-    "x5_lexical_diversity",  # type-token ratio signal
-    "x5_gopher_rules",  # published Gopher heuristics, per-rule auditable
-    "x10_token_budget_cap",  # deterministic per-source token ceiling
-    "x0_doc_packing",  # cross-doc 512-token sequence packing
-    "x1_dedup_canonical",  # canonicalized exact dedup
-    "x5_langid_confusion",  # heuristic-classifier eval vs ground truth
-    "x5_sentence_stats",  # sentence segmentation signal
-    "x5_bpe_pair_stats",  # BPE merge-candidate statistics
-    "x7_audience_overlap",  # sketch inclusion-exclusion (rows-only)
-    "x6_frame_dedup",  # repeated binary frames across docs
-    "x0_dataset_card",  # one-row release datasheet
-    "x12_source_profile_drift",  # broken-extractor monitor
-    "x13_hour_of_week_profile",  # 168-slot seasonality fingerprint
-    "x5_quality_by_lang",  # quality-vs-size mixture diagnosis
-    "x9_pq_error",  # per-subspace PQ reconstruction error
-    "x0_interleaved_order",  # deterministic source interleave
-    "x2_cluster_density",  # clique-vs-chain family diagnostic
-    "x9_pq_perm_error",  # OPQ-premise check (signed permutation)
-    "x4_ivfpq_stored_topk",  # FAISS-on-disk read path (codes + pruning)
-    "x2_threshold_sweep",  # dedup-threshold tuning table
-    "x9_matryoshka_curve",  # MRL recall-vs-dims sizing curve
-    "x2_source_overlap_matrix",  # cross-source syndication map
-    "x4_nprobe_sweep",  # nprobe/recall tuning table
-    # --- (c) semantically touched in round 5 ---
-    "x5_span_dedup",  # reassembly rewritten (covered-position arrays)
-    # --- (d) standing canaries (shared-loader / canonical-pipeline) ---
+    # --- (a) new in round 6 (never driver-checked) ---
+    "x2_dedup_clusters_two_phase",  # large-star/small-star CC backend
+    "x9_opq_fit_error",  # variance-balanced OPQ permutation fit
+    "x4_opq_adc_recall",  # OPQ fit feeding ADC retrieval
+    "x0_curation_report",  # composed one-pass curation report
+    "x9_pca_evr",  # Gram-matrix PCA explained-variance curve (rows-only)
+    "x9_opq_rotation_error",  # PCA-rotation PQ error (rows-only)
+    "x12_snapshot_diff",  # release snapshot diff
+    # --- (b) round-5 tail, never driver-checked ---
+    "x2_lsh_s_curve",
+    "x1_dup_rate_by_lang",
+    "x0_curriculum_order",
+    "x10_temperature_sweep",
+    # --- (c) re-certify round-6 changes ---
+    "x10_token_budget_cap",  # oracle cast fixed (r5 hash fail)
+    "x9_pq_perm_error",  # de-inlined permuted-array projection
+    # --- (d) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
     "t1_transform_contract",
-    "pipeline_migrate_plan",  # reference-lifecycle flagship (r02 evidence)
-    # --- (e) round-5 mid-round additions ---
-    "x4_ivf_index_batch_topk",
-    "x9_centroid_outliers",
-    "x5_quality_tiers_scalable",
-    "x2_cluster_size_histogram",
-    "x0_packing_manifest",
-    "x0_shard_shuffle",
+    "pipeline_migrate_plan",  # reference-lifecycle flagship
+    # --- (e) rotation debt: last driver-checked in round 2 ---
+    "agg_counts",
+    "asof_purchase_click",
+    "c2_id_coercion",
+    "c4_c6_conform_schema",
+    "cube_order_status_priority",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "f1_filter_predicate",
+    "histogram_event_values",
+    "l1_limit_offset",
+    "p2_normalize_canonical",
+    "p3_metadata_null_drop",
+    "percentile_event_values",
+    "pivot_event_counts",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "rollup_pricing",
+    "s1_scan_projection",
+    "semi_anti_urgent",
+    "sessionize_events",
+    "setops_nations",
+    "udaf_weighted_avg",
+    "window_top_orders",
+    "x1_dedup_exact_text",
+    "x1_dedup_exact_vector",
+    "x2_embedding_near_dup",
+    "x2_minhash_lsh_pairs",
+    "x2_ngram_jaccard_pairs",
 ]
 
 
