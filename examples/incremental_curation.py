@@ -12,12 +12,18 @@ corpus incrementally, never rescanning history:
                                                 store; store compacts
                                                 itself every N batches)
     clean  --mixture_ingest--->   counts/      (per-source statistics)
+    clean  --curation_ingest-->   grain/       (curation-report grain:
+                                                counts + HLL dup
+                                                sketches per batch)
 
 and at any point the BATCH layer derives training artifacts from the
 maintained stores:
 
-    mixture_over(counts)     -> the current temperature-mixing plan
-    export_shards(corpus)    -> deterministic shard layout + manifest
+    mixture_over(counts)          -> the current temperature-mixing plan
+    curation_report_over(grain)   -> the full curation report (mixtures,
+                                     language shares, length histogram,
+                                     dup/quality rates, totals)
+    export_shards(corpus)         -> deterministic shard layout + manifest
 
 Every stage is replay-idempotent (batch-keyed writes / id anti-joins),
 so a crashed run resumes from its checkpoint without duplicates.
@@ -38,6 +44,8 @@ def run_cycle(spark, inbox: str, work: str) -> dict:
     derive the current mixture plan and shard manifest."""
     from vectordb_migrator_spark.operators.scale import export_shards
     from vectordb_migrator_spark.streaming.incremental import (
+        curation_ingest,
+        curation_report_over,
         deduped_ingest,
         mixture_ingest,
         mixture_over,
@@ -76,7 +84,17 @@ def run_cycle(spark, inbox: str, work: str) -> dict:
     )
     q.awaitTermination(300)
 
+    q = curation_ingest(
+        spark,
+        source_path=f"{work}/clean",
+        source_schema=SCHEMA,
+        grain_path=f"{work}/grain",
+        checkpoint=f"{work}/ckpt/report",
+    )
+    q.awaitTermination(300)
+
     mixture = mixture_over(spark, f"{work}/counts", alpha=0.5, budget=1000)
+    report = curation_report_over(spark, f"{work}/grain")
     manifest = export_shards(
         spark.read.parquet(f"{work}/corpus"),
         f"{work}/shards",
@@ -86,6 +104,9 @@ def run_cycle(spark, inbox: str, work: str) -> dict:
     return {
         "corpus_rows": spark.read.parquet(f"{work}/corpus").count(),
         "mixture": {r["source"]: r["epochs"] for r in mixture.collect()},
+        "report": {
+            (r["section"], r["k"]): r["v"] for r in report.collect()
+        },
         "shards": {r["shard"]: r["n_rows"] for r in manifest.collect()},
     }
 

@@ -280,3 +280,10 @@ def test_incremental_curation_example(spark, tmp_path):
     assert r2["corpus_rows"] == 3  # 10 dropped as near-dup
     assert set(r2["mixture"]) == {"web", "book"}
     assert sum(r2["shards"].values()) == 3
+    # the standing curation report tracks the CLEAN stream (pre-dedup):
+    # 4 docs total, 3 web / 1 book, everything derived from the grain
+    # store without rescanning history
+    assert r2["report"][("totals", "docs")] == 4.0
+    assert ("quality_by_source", "web") in r2["report"]
+    # doc 10 repeats doc 1's text verbatim -> web exact-dup rate 1/3
+    assert abs(r2["report"][("dup_by_source", "web")] - 1 / 3) <= 0.05
