@@ -168,12 +168,14 @@ def connected_components_two_phase(
         ls = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
-            # m = min(Γ(u) ∪ {u}) ≤ u < v, so (v, m) is already (hi, lo)
+            # m = min(Γ(u) ∪ {u}) ≤ u < v, so (v, m) is already (hi, lo).
+            # NOT deduplicated: duplicates cannot change the small-star
+            # min and the round ends in a distinct anyway — skipping the
+            # exchange saves one shuffle per round.
             .select(
                 F.least(F.col("mn"), F.col("u")).alias("lo"),
                 F.col("v").alias("hi"),
             )
-            .distinct()
         )
         # small-star: smaller neighbors re-rooted at their min
         gm = ls.groupBy("hi").agg(F.min("lo").alias("mn"))
