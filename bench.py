@@ -155,6 +155,8 @@ HEADLINE = [
     "x4_ivf_balance",
     "x10_stratified_sample",
     "x7_audience_overlap",
+    "x7_cms_heavy_hitters",
+    "x7_histogram_quantiles",
     "x12_quality_constraints",
     "x12_referential_integrity",
     "x12_source_profile_drift",

@@ -30,3 +30,127 @@ def test_hll_daily_merge_accuracy_and_mergeability(spark):
         .first()["e"]
     )
     assert row["distinct_users_est"] == int(global_est)
+
+
+def test_cms_estimate_one_sided_and_merge_invariant(spark):
+    """Round-6: CMS estimates are >= exact always; a sketch merged
+    from two halves (cell-wise sum) answers exactly like a monolithic
+    build — the mergeability the streaming store relies on."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(200)] + [("hot",)] * 50
+    df = spark.createDataFrame(rows, ["k"])
+    cells = cms_build(df, "k", depth=4, width=64)
+    keys = df.select("k").distinct()
+    est = {r["k"]: r["est"] for r in
+           cms_estimate(cells, keys, "k", depth=4, width=64).collect()}
+    exact = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+    assert est["hot"] >= 50
+
+    half1 = spark.createDataFrame(rows[:100], ["k"])
+    half2 = spark.createDataFrame(rows[100:], ["k"])
+    merged = (
+        cms_build(half1, "k", depth=4, width=64)
+        .unionAll(cms_build(half2, "k", depth=4, width=64))
+        .groupBy("d", "w")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    est2 = {r["k"]: r["est"] for r in
+            cms_estimate(merged, keys, "k", depth=4, width=64).collect()}
+    assert est2 == est
+
+
+def test_log_histogram_quantiles_error_bound(spark):
+    """Quantile estimates off the log-bucket histogram are >= the true
+    quantile and within the geometric error bound (factor base)."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.sketches import (
+        histogram_quantiles,
+        log_histogram,
+    )
+
+    vals = [float(v) for v in np.random.default_rng(5).integers(1, 5000, 800)]
+    df = spark.createDataFrame([(v,) for v in vals], ["val"])
+    base = 1.05
+    hist = log_histogram(df, "val", base=base).localCheckpoint(eager=True)
+    out = {r["q"]: r["est"] for r in
+           histogram_quantiles(hist, [0.5, 0.9, 0.99], base=base).collect()}
+    svals = sorted(vals)
+    for q, est in out.items():
+        true = svals[min(len(svals) - 1, int(np.ceil(q * len(svals))) - 1)]
+        assert est >= true * (1 - 1e-9), (q, est, true)
+        assert est <= true * base * (1 + 1e-9), (q, est, true)
+
+
+def test_cms_and_histogram_streaming_stores(spark, tmp_path):
+    """Round-6 X7×X8: both stores accumulate per-batch partials and
+    answer identically to a batch build over the full data; replays
+    append nothing."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from vectordb_migrator_spark.streaming.incremental import (
+        cms_ingest,
+        cms_estimate_over,
+        histogram_ingest,
+        quantiles_over,
+    )
+
+    src = str(tmp_path / "in")
+    schema = "k string, val double"
+    b1 = [(f"k{i % 5}", float(1 + i)) for i in range(40)]
+    spark.createDataFrame(b1, schema).write.parquet(src)
+
+    def run():
+        q1 = cms_ingest(
+            spark, source_path=src, source_schema=schema,
+            cells_path=str(tmp_path / "cells"),
+            checkpoint=str(tmp_path / "ck1"), key_col="k",
+            depth=4, width=64,
+        )
+        q1.awaitTermination(120)
+        q2 = histogram_ingest(
+            spark, source_path=src, source_schema=schema,
+            hist_path=str(tmp_path / "hist"),
+            checkpoint=str(tmp_path / "ck2"), value_col="val",
+        )
+        q2.awaitTermination(120)
+
+    run()
+    b2 = [("k0", 100.0), ("knew", 7.0)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    run()
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    keys = full.select("k").distinct()
+    streamed = {r["k"]: r["est"] for r in cms_estimate_over(
+        spark, str(tmp_path / "cells"), keys, "k", depth=4, width=64
+    ).collect()}
+    direct = {r["k"]: r["est"] for r in cms_estimate(
+        cms_build(full, "k", depth=4, width=64), keys, "k",
+        depth=4, width=64,
+    ).collect()}
+    assert streamed == direct
+
+    sq = {r["q"]: r["est"] for r in
+          quantiles_over(spark, str(tmp_path / "hist"), [0.5, 0.9]).collect()}
+    assert set(sq) == {0.5, 0.9} and sq[0.9] >= sq[0.5]
+
+    # replay idempotence: nothing new -> nothing appended
+    n_cells = spark.read.parquet(str(tmp_path / "cells")).count()
+    n_hist = spark.read.parquet(str(tmp_path / "hist")).count()
+    run()
+    assert spark.read.parquet(str(tmp_path / "cells")).count() == n_cells
+    assert spark.read.parquet(str(tmp_path / "hist")).count() == n_hist

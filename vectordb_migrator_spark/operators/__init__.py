@@ -46,6 +46,10 @@ _EXPORTS = {
     "gram_matrix": "decomposition",
     "pca_fit": "decomposition",
     "rotate_vectors": "decomposition",
+    "cms_build": "sketches",
+    "cms_estimate": "sketches",
+    "log_histogram": "sketches",
+    "histogram_quantiles": "sketches",
     "build_lsh_index": "similarity",
     "lsh_index_append": "similarity",
     "lsh_index_topk": "similarity",

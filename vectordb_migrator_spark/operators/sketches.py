@@ -1,0 +1,166 @@
+"""Mergeable frequency/quantile sketches (X7 family).
+
+The HLL distinct sketches (``hll_sketch_agg``) answer "how many
+distinct"; these answer the other two streaming-statistics questions —
+"how often does THIS key occur" (count-min) and "what is the p99"
+(log-bucket histogram) — with the same store contract: per-batch
+PARTIALS are mergeable by construction (cell-wise / bucket-wise sums),
+so an incremental store never rescans history and a compaction merge
+answers identically to the raw partials.
+
+Unlike Spark's built-in ``count_min_sketch`` (an opaque binary with no
+SQL-side merge), the CMS here is EXPLICIT: (depth, slot, count) cell
+rows hashed with md5 — cell math any engine can replay, so the suite
+queries carry full DuckDB oracles, and merging is a plain
+``groupBy(d, w).sum(n)``.
+
+Error contracts (standard): CMS overestimates only, by at most
+εN with probability 1−δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉; the
+log-histogram's quantiles carry bounded RELATIVE value error
+(≤ base−1, e.g. 5% at base 1.05) because bucket edges are geometric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cms_slot(key: Column, d: Column, width: int) -> Column:
+    """Row d's slot for a key: md5('cms:<d>:<key>') folded to a BIGINT,
+    non-negative mod width — engine-reproducible (the md5 trick every
+    deterministic coin in this repo uses)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cms:"), d.cast("string"), F.lit(":"), key)),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return ((h % width) + width) % width
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` as SPARSE cell rows
+    ``(d int, w int, n long)`` — only touched cells materialize.
+    One scan: each row explodes into ``depth`` (d, slot) pairs, the
+    groupBy combines map-side, and the exchange carries at most
+    depth×width cells per partition regardless of row count. Merge two
+    sketches (or per-batch partials) with
+    ``union.groupBy("d","w").agg(sum("n"))`` — counter addition is the
+    CMS merge."""
+    k = F.col(key_col).cast("string")
+    cells = df.select(
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+        k.alias("__k"),
+    ).select(
+        F.col("d").cast("int"),
+        _cms_slot(F.col("__k"), F.col("d"), width).cast("int").alias("w"),
+    )
+    return cells.groupBy("d", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``keys``: min over
+    the depth rows of each key's cell (absent cell = 0). The probe
+    side explodes to depth rows, LEFT-joins the (tiny, ≤ depth×width
+    rows) cell table — broadcast by AQE — and takes the per-key min:
+    the CMS guarantee est ≥ true, est ≤ true + εN w.h.p. ``depth`` and
+    ``width`` MUST match the build."""
+    k = F.col(key_col).cast("string")
+    probes = keys.select(
+        F.col(key_col),
+        k.alias("__k"),
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    ).select(
+        key_col,
+        F.col("d").cast("int"),
+        _cms_slot(F.col("__k"), F.col("d"), width).cast("int").alias("w"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["d", "w"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def log_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    base: float = 1.05,
+) -> DataFrame:
+    """Geometric-bucket histogram of a POSITIVE value column:
+    ``(bucket int, n long)`` with bucket = ⌊log_base(value)⌋. Bucket
+    counts are mergeable by addition (the quantile store's partial),
+    and any quantile read off the merged histogram carries relative
+    value error ≤ base−1 (5% at the default) — the log-bucket analog
+    of a t-digest, expressible entirely in codegen + one tiny
+    exchange. Non-positive values raise at read time (guard them
+    upstream; token counts / latencies / sizes are the intended
+    inputs)."""
+    v = F.col(value_col).cast("double")
+    import math
+
+    return (
+        df.select(
+            F.when(v > 0, F.floor(F.log(v) / F.lit(math.log(base))))
+            .otherwise(F.raise_error(F.lit("log_histogram: value <= 0")))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    *,
+    base: float = 1.05,
+) -> DataFrame:
+    """Quantile estimates from a (merged) :func:`log_histogram`:
+    for each q, the UPPER EDGE ``base^(bucket+1)`` of the first bucket
+    whose cumulative count reaches ⌈q·N⌉ — so the estimate is ≥ the
+    true quantile and within a factor of ``base`` of it. One window
+    over the (tiny) histogram; output (q, est)."""
+    from pyspark.sql import Window as W
+
+    cum = hist.select(
+        "bucket",
+        "n",
+        F.sum("n")
+        .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+    ).crossJoin(F.broadcast(hist.agg(F.sum("n").alias("__total"))))
+    out = None
+    for q in qs:
+        hit = (
+            cum.filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("__total")))
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                F.round(F.pow(F.lit(base), F.col("bucket") + 1), 6).alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionAll(hit)
+    return out

@@ -680,3 +680,150 @@ def curation_report_over(spark: SparkSession, grain_path: str) -> DataFrame:
         )
     )
     return curation_sections(grain)
+
+
+def cms_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    cells_path: str,
+    checkpoint: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    source_format: str = "parquet",
+    trigger_once: bool = True,
+):
+    """Continuous count-min maintenance — X7's frequency twin of
+    ``sketch_ingest``: every micro-batch appends its own CMS cell
+    partial (:func:`~vectordb_migrator_spark.operators.sketches
+    .cms_build` + ``batch_id``), and :func:`cms_estimate_over` answers
+    point-frequency queries from the summed cells — CMS merge IS
+    counter addition, so partial appends and a monolithic build answer
+    identically. Same replay contract as every partial store here:
+    the pre-append anti-join on (d, w, batch_id) makes foreachBatch
+    replays idempotent within the checkpoint lineage."""
+    from pyspark.sql.utils import AnalysisException
+
+    from vectordb_migrator_spark.operators.sketches import cms_build
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        partials = cms_build(
+            batch_df, key_col, depth=depth, width=width
+        ).withColumn("batch_id", F.lit(batch_id))
+        try:
+            seen = sess.read.parquet(cells_path).select("d", "w", "batch_id")
+            partials = partials.join(seen, ["d", "w", "batch_id"], "left_anti")
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(cells_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cms_estimate_over(
+    spark: SparkSession,
+    cells_path: str,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_ingest` store: sum
+    the per-batch cell partials (the CMS merge), then probe — raw
+    history never enters the plan. ``depth``/``width`` MUST match the
+    ingest."""
+    from vectordb_migrator_spark.operators.sketches import cms_estimate
+
+    cells = (
+        spark.read.parquet(cells_path)
+        .groupBy("d", "w")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return cms_estimate(cells, keys, key_col, depth=depth, width=width)
+
+
+def histogram_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    hist_path: str,
+    checkpoint: str,
+    value_col: str,
+    base: float = 1.05,
+    source_format: str = "parquet",
+    trigger_once: bool = True,
+):
+    """Continuous quantile maintenance — the log-bucket histogram as a
+    mergeable store: per-batch (bucket, batch_id, n) partials append;
+    :func:`quantiles_over` reads current quantiles with relative value
+    error ≤ base−1 without rescanning history. Replay-idempotent via
+    the (bucket, batch_id) anti-join."""
+    from pyspark.sql.utils import AnalysisException
+
+    from vectordb_migrator_spark.operators.sketches import log_histogram
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        partials = log_histogram(batch_df, value_col, base=base).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        try:
+            seen = sess.read.parquet(hist_path).select("bucket", "batch_id")
+            partials = partials.join(seen, ["bucket", "batch_id"], "left_anti")
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(hist_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def quantiles_over(
+    spark: SparkSession,
+    hist_path: str,
+    qs: list[float],
+    *,
+    base: float = 1.05,
+) -> DataFrame:
+    """Current quantile estimates from a :func:`histogram_ingest`
+    store: sum the per-batch bucket partials (histogram merge is
+    addition) and read the quantile edges off the tiny merged table."""
+    from vectordb_migrator_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    hist = (
+        spark.read.parquet(hist_path)
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    return histogram_quantiles(hist, qs, base=base)

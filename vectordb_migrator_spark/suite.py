@@ -2949,6 +2949,129 @@ def x7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x7_cms_heavy_hitters",
+    r"""
+    WITH ev AS (SELECT user_id::VARCHAR AS k, user_id FROM events),
+    cells AS (
+      SELECT t.d,
+             ((CAST(CONCAT('0x', substr(md5(concat('cms:', t.d, ':', k)),
+                                        1, 15)) AS BIGINT) % 256) + 256)
+               % 256 AS w,
+             count(*)::BIGINT AS n
+      FROM ev, unnest([0, 1, 2, 3]) t(d)
+      GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id, user_id::VARCHAR AS k FROM events),
+    probes AS (
+      SELECT user_id, t.d,
+             ((CAST(CONCAT('0x', substr(md5(concat('cms:', t.d, ':', k)),
+                                        1, 15)) AS BIGINT) % 256) + 256)
+               % 256 AS w
+      FROM keys, unnest([0, 1, 2, 3]) t(d)
+    ),
+    est AS (
+      SELECT user_id, min(coalesce(c.n, 0))::BIGINT AS est
+      FROM probes p LEFT JOIN cells c ON c.d = p.d AND c.w = p.w
+      GROUP BY user_id
+    ),
+    ex AS (SELECT user_id, count(*)::BIGINT AS n_exact
+           FROM events GROUP BY user_id)
+    SELECT e.user_id, n_exact, est, (est - n_exact)::BIGINT AS overestimate
+    FROM est e JOIN ex USING (user_id)
+    ORDER BY est DESC, e.user_id LIMIT 10
+    """,
+)
+def x7_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — count-min heavy hitters (round 6): per-user event
+    frequencies estimated from an EXPLICIT (depth=4, width=256) CMS
+    cell table (:func:`~vectordb_migrator_spark.operators.sketches
+    .cms_build` / ``cms_estimate``) joined against exact counts — the
+    top-10 report shows the CMS one-sided error (``overestimate`` ≥ 0
+    always; nonzero where slots collide at this deliberately small
+    width). Cells hash with md5, so the DuckDB oracle replays the
+    identical cell math and the estimates match EXACTLY, collisions
+    included. The store contract is the point: cells merge by
+    addition, so per-batch partials answer like a monolithic build
+    (``streaming.cms_ingest``). One scan builds the sketch (the
+    exchange carries ≤ depth×width cells per partition); probes
+    broadcast-join the kilobyte cell table."""
+    from vectordb_migrator_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cells = cms_build(ev, "user_id", depth=4, width=256)
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(cells, keys, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "n_exact",
+            "est",
+            (F.col("est") - F.col("n_exact")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("est"), "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "x7_histogram_quantiles",
+    r"""
+    WITH v AS (
+      SELECT len(string_split_regex(lower(trim(text)), '\s+'))::DOUBLE
+               AS val
+      FROM documents
+    ),
+    h AS (
+      SELECT floor(ln(val) / ln(1.05))::INT AS bucket, count(*)::BIGINT AS n
+      FROM v GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket, n, sum(n) OVER (ORDER BY bucket)::BIGINT AS cum FROM h
+    ),
+    t AS (SELECT sum(n)::BIGINT AS total FROM h),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+    hit AS (
+      SELECT q, min(bucket) AS bucket
+      FROM qs, c, t WHERE c.cum >= ceil(q * t.total)
+      GROUP BY q
+    )
+    SELECT q::DOUBLE AS q, round(pow(1.05, bucket + 1), 6) AS est
+    FROM hit ORDER BY q
+    """,
+)
+def x7_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — quantiles from the mergeable log-bucket histogram (round
+    6): p50/p90/p99 of document token counts read off a geometric
+    (base 1.05) bucket table (:func:`~vectordb_migrator_spark
+    .operators.sketches.log_histogram` → ``histogram_quantiles``) —
+    the t-digest-shaped answer with a PROVEN relative error bound
+    (≤ 5% per bucket edge) and, unlike a t-digest, bucket counts that
+    merge by plain addition (the streaming store's partial;
+    ``streaming.histogram_ingest``). The histogram is
+    localCheckpoint-ed so each quantile branch reads the tiny bucket
+    table, not the corpus. Full oracle: the geometric bucketing is
+    pure SQL, so DuckDB rebuilds the identical histogram and edges."""
+    from vectordb_migrator_spark.functions.text import token_count_ws
+    from vectordb_migrator_spark.operators.sketches import (
+        histogram_quantiles,
+        log_histogram,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        token_count_ws("text").cast("double").alias("val")
+    )
+    hist = log_histogram(docs, "val", base=1.05).localCheckpoint(eager=True)
+    return histogram_quantiles(hist, [0.5, 0.9, 0.99], base=1.05).orderBy("q")
+
+
 @query("x7_hll_daily_merge")  # Apache DataSketches binary → rows-only
 # check; the estimate's accuracy is asserted in tests vs countDistinct.
 def x7_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
