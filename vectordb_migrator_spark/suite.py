@@ -10056,8 +10056,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "x1_dedup_exact_text",
     "x1_dedup_exact_vector",
     "x2_embedding_near_dup",
-    "x2_minhash_lsh_pairs",
-    "x2_ngram_jaccard_pairs",
+    # --- (f) round-6 late additions (never driver-checked) ---
+    "x7_cms_heavy_hitters",
+    "x7_histogram_quantiles",
 ]
 
 
