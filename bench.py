@@ -80,6 +80,7 @@ HEADLINE = [
     "x2_lsh_near_dup",
     "x2_semdedup",
     "x2_decontaminate",
+    "x2_bloom_decontaminate",
     "x2_dedup_apply",
     "x2_dedup_clusters_two_phase",
     "x2_dedup_incremental",

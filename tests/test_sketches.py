@@ -154,3 +154,59 @@ def test_cms_and_histogram_streaming_stores(spark, tmp_path):
     run()
     assert spark.read.parquet(str(tmp_path / "cells")).count() == n_cells
     assert spark.read.parquet(str(tmp_path / "hist")).count() == n_hist
+
+
+def test_bloom_no_false_negatives_and_replica(spark):
+    """Round-6: every inserted key tests positive (the Bloom
+    guarantee); the distributed mask equals an independent Python
+    replica of the md5 position math; false-positive rate on fresh
+    keys stays near the analytic estimate."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.sketches import (
+        bloom_build,
+        bloom_mask_frame,
+        bloom_might_contain,
+    )
+
+    n_bits, k = 4096, 4
+    keys = [f"key-{i}" for i in range(300)]
+    df = spark.createDataFrame([(s,) for s in keys], ["s"])
+    mask = bloom_build(df, "s", n_bits=n_bits, k=k)
+
+    def replica():
+        m = [0] * (n_bits // 64)
+        for s in keys:
+            for i in range(k):
+                h = int(
+                    hashlib.md5(f"bloom:{i}:{s}".encode()).hexdigest()[:15], 16
+                )
+                pos = h % n_bits
+                w, b = divmod(pos, 64)
+                bit = (1 << b) if b < 63 else -(1 << 63)
+                # python ints: emulate signed-64 OR by masking
+                m[w] = ((m[w] | bit) + (1 << 64)) % (1 << 64)
+        return [v - (1 << 64) if v >= (1 << 63) else v for v in m]
+
+    assert mask == replica()
+
+    mf = bloom_mask_frame(spark, mask)
+    probe = spark.createDataFrame(
+        [(s,) for s in keys] + [(f"fresh-{i}",) for i in range(300)], ["s"]
+    )
+    got = {
+        r["s"]: r["hit"]
+        for r in probe.crossJoin(F.broadcast(mf))
+        .select(
+            "s",
+            bloom_might_contain(
+                F.col("s"), F.col("__bloom"), n_bits=n_bits, k=k
+            ).alias("hit"),
+        )
+        .collect()
+    }
+    assert all(got[s] for s in keys)  # no false negatives, ever
+    fp = sum(got[f"fresh-{i}"] for i in range(300)) / 300
+    assert fp <= 0.10  # ~2.5% analytic at 300 keys / 4096 bits / k=4

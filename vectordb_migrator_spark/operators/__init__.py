@@ -50,6 +50,9 @@ _EXPORTS = {
     "cms_estimate": "sketches",
     "log_histogram": "sketches",
     "histogram_quantiles": "sketches",
+    "bloom_build": "sketches",
+    "bloom_mask_frame": "sketches",
+    "bloom_might_contain": "sketches",
     "build_lsh_index": "similarity",
     "lsh_index_append": "similarity",
     "lsh_index_topk": "similarity",

@@ -164,3 +164,97 @@ def histogram_quantiles(
         )
         out = hit if out is None else out.unionAll(hit)
     return out
+
+
+#: signed-64 powers of two (bit 63 wraps negative in two's complement)
+_POW2 = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
+def _bloom_pos(key: Column, i: Column, n_bits: int) -> Column:
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("bloom:"), i.cast("string"), F.lit(":"), key)
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return ((h % n_bits) + n_bits) % n_bits
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_bits: int = 8192,
+    k: int = 4,
+) -> list[int]:
+    """Build a Bloom-filter bitmask from a key column, DISTRIBUTED:
+    keys explode to k md5 positions, positions dedupe and fold into
+    per-word ``bit_or`` partials, and the driver collects n_bits/64
+    longs — O(mask), never O(keys). The md5 position math is the same
+    engine-reproducible trick as the CMS, so a SQL oracle can rebuild
+    the identical mask. False-positive rate ≈ (1 − e^{−kN/n_bits})^k;
+    size n_bits for ~10 bits/key at k=4 for ~2%.
+
+    Returns the mask as a Python list of signed 64-bit words — pass it
+    to :func:`bloom_mask_frame` (broadcast one-row frame, the scale
+    path) or inline via :func:`bloom_might_contain`."""
+    if n_bits % 64 != 0:
+        raise ValueError("n_bits must be a multiple of 64")
+    pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2])
+    key = F.col(key_col).cast("string")
+    pos = (
+        df.select(
+            F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i"),
+            key.alias("__k"),
+        )
+        .select(_bloom_pos(F.col("__k"), F.col("i"), n_bits).alias("pos"))
+        .distinct()
+    )
+    rows = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.element_at(pow2, (F.col("pos") % 64).cast("int") + 1).alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("m"))
+        .collect()
+    )
+    mask = [0] * (n_bits // 64)
+    for r in rows:
+        mask[r["word"]] = r["m"]
+    return mask
+
+
+def bloom_mask_frame(spark, mask: list[int]) -> DataFrame:
+    """The mask as a one-row ``array<long>`` frame — crossJoin it
+    ``F.broadcast``-ed so a corpus-sized scan tests membership without
+    a join on the key (the reason to bloom at all: a 1M-bit mask is
+    16 KB broadcast once; the raw key set might be gigabytes)."""
+    return spark.createDataFrame([(mask,)], "__bloom array<long>")
+
+
+def bloom_might_contain(
+    key: Column,
+    mask_col: Column,
+    *,
+    n_bits: int,
+    k: int = 4,
+) -> Column:
+    """Scan-side membership test (codegen, no join): all k bits set →
+    maybe present (one-sided: never a false negative). ``mask_col`` is
+    the array<long> from :func:`bloom_mask_frame` (or a literal array
+    for small masks); ``n_bits``/``k`` MUST match the build."""
+    pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2])
+    test = None
+    for i in range(k):
+        pos = _bloom_pos(key, F.lit(i), n_bits)
+        word = F.element_at(mask_col, (pos / 64).cast("int") + 1)
+        bit = F.element_at(pow2, (pos % 64).cast("int") + 1)
+        t = word.bitwiseAND(bit) != 0
+        test = t if test is None else test & t
+    return test

@@ -3072,6 +3072,138 @@ def x7_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(hist, [0.5, 0.9, 0.99], base=1.05).orderBy("q")
 
 
+def _bloom_decontaminate_sql() -> str:
+    pow2 = "[" + ", ".join(
+        str((1 << b) if b < 63 else -(1 << 63)) for b in range(64)
+    ) + "]"
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                                   for i in range(1, len(toks) - 3)])) AS gram
+      FROM tok WHERE len(toks) >= 5
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+    p2 AS (SELECT {pow2} AS p),
+    bpos AS (
+      SELECT DISTINCT
+             ((CAST(CONCAT('0x', substr(md5(concat('bloom:', t.i, ':',
+                                                   gram)), 1, 15))
+                    AS BIGINT) % 524288) + 524288) % 524288 AS pos
+      FROM bench, unnest([0, 1, 2, 3]) t(i)
+    ),
+    wrd AS (
+      SELECT (pos // 64)::INT AS word, bit_or(p[(pos % 64) + 1]) AS m
+      FROM bpos, p2 GROUP BY 1
+    ),
+    mask AS (
+      SELECT list(coalesce(wrd.m, 0) ORDER BY gs.word) AS mk
+      FROM (SELECT unnest(range(0, 8192)) AS word) gs
+      LEFT JOIN wrd USING (word)
+    ),
+    train AS (SELECT doc_id, gram FROM g WHERE doc_id % 17 != 0),
+    ppos AS (
+      SELECT doc_id, gram, t.i,
+             ((CAST(CONCAT('0x', substr(md5(concat('bloom:', t.i, ':',
+                                                   gram)), 1, 15))
+                    AS BIGINT) % 524288) + 524288) % 524288 AS pos
+      FROM train, unnest([0, 1, 2, 3]) t(i)
+    ),
+    gtest AS (
+      SELECT doc_id, gram,
+             bool_and((mk[(pos // 64) + 1] & p[(pos % 64) + 1]) != 0)
+               AS inbloom
+      FROM ppos, mask, p2 GROUP BY doc_id, gram
+    ),
+    flags AS (
+      SELECT doc_id, bool_or(inbloom) AS bloom_hit FROM gtest GROUP BY doc_id
+    ),
+    ex AS (SELECT DISTINCT t.doc_id FROM train t JOIN bench b USING (gram)),
+    alltrain AS (
+      SELECT doc_id FROM tok WHERE len(toks) >= 5 AND doc_id % 17 != 0
+    )
+    SELECT a.doc_id,
+           coalesce(f.bloom_hit, false) AS bloom_hit,
+           (e.doc_id IS NOT NULL) AS exact_hit
+    FROM alltrain a
+    LEFT JOIN flags f USING (doc_id)
+    LEFT JOIN ex e USING (doc_id)
+    ORDER BY a.doc_id
+    """
+
+
+@query("x2_bloom_decontaminate", None)  # oracle attached below (computed)
+def x2_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — Bloom-gated benchmark decontamination (round 6): the eval
+    set's 5-gram vocabulary folds into a BROADCAST BITMASK
+    (:func:`~vectordb_migrator_spark.operators.sketches.bloom_build`,
+    2^19 bits, k=4) and the train corpus tests membership SCAN-SIDE
+    (:func:`bloom_might_contain` — codegen bit tests, NO join on
+    grams) next to the exact gram-join comparator. The report shows
+    the Bloom contract per doc: ``bloom_hit`` is always true where
+    ``exact_hit`` is (no false negatives — a clean doc is NEVER
+    quarantined by mistake the other way), plus the false-positive
+    rows this deliberately tight mask admits. Why bloom at 100 TB:
+    the mask is O(bits) broadcast once — a 1-billion-gram benchmark
+    fits ~1.5 GB of bits where the raw gram set is tens of GB and a
+    join shuffles the corpus's grams; the gate then costs k hashes
+    per gram in the scan. Production shape: bloom-gate first (cheap,
+    superset), exact-join only the gated survivors. Full oracle: the
+    md5 position math and mask words rebuild identically in DuckDB."""
+    from vectordb_migrator_spark.operators.dedup import shingles
+    from vectordb_migrator_spark.operators.sketches import (
+        bloom_build,
+        bloom_mask_frame,
+        bloom_might_contain,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 5
+    )
+    grams = docs.select(
+        "doc_id", F.explode(shingles("text", 5)).alias("gram")
+    )
+    bench = grams.filter(F.col("doc_id") % 17 == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % 17 != 0)
+    mask = bloom_build(bench, "gram", n_bits=524288, k=4)
+    mf = bloom_mask_frame(spark, mask)
+    flags = (
+        train.crossJoin(F.broadcast(mf))
+        .select(
+            "doc_id",
+            bloom_might_contain(
+                F.col("gram"), F.col("__bloom"), n_bits=524288, k=4
+            ).alias("inbloom"),
+        )
+        .groupBy("doc_id")
+        .agg(F.bool_or("inbloom").alias("bloom_hit"))
+    )
+    exact = (
+        train.join(bench, "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__e", F.lit(True))
+    )
+    alltrain = docs.filter(F.col("doc_id") % 17 != 0).select("doc_id")
+    return (
+        alltrain.join(flags, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+            F.coalesce("__e", F.lit(False)).alias("exact_hit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["x2_bloom_decontaminate"] = _bloom_decontaminate_sql()
+
+
 @query("x7_hll_daily_merge")  # Apache DataSketches binary → rows-only
 # check; the estimate's accuracy is asserted in tests vs countDistinct.
 def x7_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
