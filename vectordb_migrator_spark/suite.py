@@ -10187,10 +10187,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_top_orders",
     "x1_dedup_exact_text",
     "x1_dedup_exact_vector",
-    "x2_embedding_near_dup",
     # --- (f) round-6 late additions (never driver-checked) ---
     "x7_cms_heavy_hitters",
     "x7_histogram_quantiles",
+    "x2_bloom_decontaminate",
 ]
 
 
