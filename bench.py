@@ -162,6 +162,7 @@ HEADLINE = [
     "x12_referential_integrity",
     "x12_source_profile_drift",
     "x12_snapshot_diff",
+    "x12_layout_advisor",
     "x10_weighted_md5_sample",
     "x10_stratified_weighted",
     "x10_temperature_sweep",

@@ -9070,6 +9070,85 @@ def x12_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x12_layout_advisor",
+    r"""
+    WITH unp AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus::VARCHAR AS v FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders
+      UNION ALL
+      SELECT 'o_custkey', o_custkey::VARCHAR FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', o_orderdate::VARCHAR FROM orders
+    ),
+    per AS (
+      SELECT col, v, count(*)::BIGINT AS n FROM unp GROUP BY col, v
+    ),
+    stats AS (
+      SELECT col,
+             count(CASE WHEN v IS NOT NULL THEN 1 END)::BIGINT AS ndv,
+             sum(CASE WHEN v IS NULL THEN n ELSE 0 END)::BIGINT AS nulls,
+             sum(n)::BIGINT AS total,
+             max(CASE WHEN v IS NOT NULL THEN n ELSE 0 END)::BIGINT AS top1
+      FROM per GROUP BY col
+    )
+    SELECT col, ndv,
+           round(nulls::DOUBLE / total, 6) AS null_rate,
+           round(top1::DOUBLE / total, 6) AS top1_share,
+           CASE WHEN ndv <= 50 THEN 'partition'
+                WHEN ndv <= 10000 THEN 'zorder'
+                ELSE 'bucket' END AS recommendation
+    FROM stats ORDER BY col
+    """,
+)
+def x12_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — data-layout advisor (round 6): per candidate column, the
+    statistics that drive a 100 TB layout decision — exact NDV, null
+    rate, hottest-value share (the skew signal) — and a deterministic
+    recommendation: low-cardinality → hive PARTITION column (directory
+    pruning), mid-cardinality → Z-ORDER clustering (row-group
+    pruning), high-cardinality → BUCKET column (co-located joins) —
+    feeding the `scale.write_partitioned`/`zorder_write`/
+    `write_bucketed` trio this repo already ships. ONE scan: columns
+    unpivot via `stack` into (col, value) pairs, one grouped count,
+    then per-column rollup — no per-column re-scan, and the skew
+    evidence (`top1_share`) is exactly what decides salting. The
+    thresholds are explicit and oracle-replicated; a real deployment
+    tunes them to its file-count budget."""
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+    stack_expr = "stack({}, {}) as (col, v)".format(
+        len(cols),
+        ", ".join(f"'{c}', cast({c} as string)" for c in cols),
+    )
+    per = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(stack_expr)
+        .groupBy("col", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = per.groupBy("col").agg(
+        F.count(F.when(F.col("v").isNotNull(), 1)).cast("long").alias("ndv"),
+        F.sum(F.when(F.col("v").isNull(), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("nulls"),
+        F.sum("n").cast("long").alias("total"),
+        F.max(F.when(F.col("v").isNotNull(), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("top1"),
+    )
+    return stats.select(
+        "col",
+        "ndv",
+        F.round(F.col("nulls") / F.col("total"), 6).alias("null_rate"),
+        F.round(F.col("top1") / F.col("total"), 6).alias("top1_share"),
+        F.when(F.col("ndv") <= 50, "partition")
+        .when(F.col("ndv") <= 10000, "zorder")
+        .otherwise("bucket")
+        .alias("recommendation"),
+    ).orderBy("col")
+
+
+@query(
     "x12_referential_integrity",
     """
     SELECT
