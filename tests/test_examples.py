@@ -287,3 +287,24 @@ def test_incremental_curation_example(spark, tmp_path):
     assert ("quality_by_source", "web") in r2["report"]
     # doc 10 repeats doc 1's text verbatim -> web exact-dup rate 1/3
     assert abs(r2["report"][("dup_by_source", "web")] - 1 / 3) <= 0.05
+
+
+def test_index_maintenance_example(spark, tmp_path):
+    """examples/index_maintenance_pipeline.py: build -> batch probe ->
+    O(batch) append -> health -> gated refit all run on the fixture
+    and the store stays consistent (original + appended rows)."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(ROOT / "examples"))
+    try:
+        from index_maintenance_pipeline import run_lifecycle
+    finally:
+        _sys.path.pop(0)
+
+    out = run_lifecycle(
+        spark, "/root/testdata/sf0.001/embeddings.parquet", str(tmp_path)
+    )
+    assert out["batch_hits"] == 15  # 3 probes x top-5
+    assert out["rows"] == 510  # 500 originals + 10 appended
+    assert out["partitions"] >= 2
+    assert isinstance(out["refit_ran"], bool)
