@@ -127,6 +127,7 @@ HEADLINE = [
     "x5_span_dedup",
     "x5_ngram_contamination",
     "x5_unigram_surprisal",
+    "x5_ccnet_buckets",
     "x5_bigram_surprisal",
     "x5_distinctive_terms",
     "x5_keywords",

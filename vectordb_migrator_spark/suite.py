@@ -7357,6 +7357,89 @@ def x5_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_ccnet_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM toks WHERE tok <> ''),
+    counts AS (SELECT tok, count(*)::DOUBLE AS c FROM t2 GROUP BY tok),
+    vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 1000),
+    stats AS (SELECT (SELECT count(*) FROM t2)::DOUBLE AS n_total,
+                     (SELECT count(*) FROM vocab)::DOUBLE AS n_vocab),
+    per AS (
+      SELECT t.doc_id,
+             round(avg(-log2((coalesce(v.c, 0) + 0.5)
+                             / (s.n_total + 0.5 * (s.n_vocab + 1)))), 6)
+               AS surprisal,
+             count(*)::BIGINT AS n_tok
+      FROM t2 t LEFT JOIN vocab v USING (tok), stats s
+      GROUP BY t.doc_id
+    ),
+    b AS (
+      SELECT doc_id, surprisal, n_tok,
+             ntile(3) OVER (ORDER BY surprisal, doc_id) AS t
+      FROM per
+    )
+    SELECT CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           count(*)::BIGINT AS n,
+           round(min(surprisal), 6) AS s_min,
+           round(max(surprisal), 6) AS s_max,
+           round(avg(surprisal), 6) AS s_mean,
+           sum(n_tok)::BIGINT AS tokens
+    FROM b GROUP BY t ORDER BY t
+    """,
+)
+def x5_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — CCNet head/middle/tail buckets (round 6): the published
+    CCNet recipe (Wenzek et al. 2020) sorts the corpus by language-
+    model perplexity and splits it into thirds — "head" (lowest
+    perplexity, Wikipedia-like) trains first-class, "tail" is dropped
+    or down-weighted. Here the LM is the engine's own smoothed unigram
+    model (``x5_unigram_surprisal``), the tertiles are deterministic
+    (surprisal, doc_id ordering), and the report carries each bucket's
+    boundaries — the thresholds a production filter then applies
+    stream-side. ONE token-count shuffle builds the LM; the global
+    ntile is the honest exact-tertile cost (approximate cuts at 100 TB
+    come from the log-histogram store instead)."""
+    from pyspark.sql import Window as W
+
+    from vectordb_migrator_spark.operators.cleaning import unigram_surprisal
+
+    per = unigram_surprisal(_t(spark, sf_dir, "documents"), vocab_size=1000)
+    b = per.withColumn(
+        "t", F.ntile(3).over(W.orderBy("surprisal", "doc_id"))
+    )
+    return (
+        b.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("surprisal"), 6).alias("s_min"),
+            F.round(F.max("surprisal"), 6).alias("s_max"),
+            F.round(F.avg("surprisal"), 6).alias("s_mean"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+        .select(
+            "t",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n",
+            "s_min",
+            "s_max",
+            "s_mean",
+            "tokens",
+        )
+        .orderBy("t")
+        .drop("t")
+    )
+
+
+@query(
     "outer_join_urgent_counts",
     """
     SELECT c.c_custkey, coalesce(u.n, 0)::BIGINT AS urgent_orders
