@@ -91,3 +91,82 @@ def test_resize_media_plumbing(spark):
     assert out[2]["media_meta"]["n_bytes"] == 4
     with pytest.raises(NotImplementedError):
         resize_media(df, target_bytes=4)  # honest stub without a lib
+
+
+def _png(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00")
+
+
+def _gif(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _bmp(w, h):
+    import struct
+    return (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+            + struct.pack("<ii", w, h) + b"\x00" * 8)
+
+
+def _jpeg(w, h):
+    import struct
+    # SOI + APP0 (JFIF) + SOF0 carrying the dimensions
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_image_header_info_parses_real_headers(spark):
+    """Round-6: format + dimensions from binary headers in pure
+    codegen — real byte layouts (PNG/GIF/BMP), no decoder library."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        image_header_info,
+    )
+
+    rows = [
+        (1, bytearray(_png(640, 480))),
+        (2, bytearray(_gif(320, 200))),
+        (3, bytearray(_bmp(800, 600))),
+        (4, bytearray(b"plain text, not an image")),
+        (5, bytearray(_jpeg(100, 50))),  # variable offset -> unknown here
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    got = {
+        r["id"]: (r["i"]["format"], r["i"]["width"], r["i"]["height"])
+        for r in df.select(
+            "id", image_header_info(F.col("payload")).alias("i")
+        ).collect()
+    }
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("bmp", 800, 600)
+    assert got[4] == ("unknown", None, None)
+    assert got[5] == ("unknown", None, None)
+
+
+def test_jpeg_dimensions_marker_scan(spark):
+    """JPEG dims come from the SOF marker at a variable offset — the
+    mapInPandas scan finds them past APP segments; non-JPEG rows are
+    NULL and every other column passes through."""
+    from vectordb_migrator_spark.operators.multimodal import jpeg_dimensions
+
+    rows = [
+        (1, bytearray(_jpeg(1920, 1080)), "a"),
+        (2, bytearray(_jpeg(64, 32)), "b"),
+        (3, bytearray(_png(10, 10)), "c"),
+        (4, bytearray(b"\xff\xd8\xff"), "d"),  # truncated header
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary, tag string")
+    got = {
+        r["id"]: (r["jpeg_width"], r["jpeg_height"], r["tag"])
+        for r in jpeg_dimensions(df).collect()
+    }
+    assert got[1] == (1920, 1080, "a")
+    assert got[2] == (64, 32, "b")
+    assert got[3] == (None, None, "c")
+    assert got[4] == (None, None, "d")

@@ -122,6 +122,10 @@ _EXPORTS = {
     "dataset_diff": "validation",
     "constraints_from_config": "validation",
     "apply_transform": "transform",
+    "image_header_info": "multimodal",
+    "jpeg_dimensions": "multimodal",
+    "explode_frames": "multimodal",
+    "sample_frames": "multimodal",
 }
 
 __all__ = sorted(_EXPORTS)

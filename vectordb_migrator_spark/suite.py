@@ -2818,6 +2818,80 @@ def x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
+def _x6_headers_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordb_migrator_spark.operators.multimodal import (
+        image_header_info,
+    )
+
+    doc = F.col("doc_id")
+    w = (F.lit(100) + doc % 50).cast("long")
+    h = (F.lit(50) + doc % 31).cast("long")
+
+    def le16(v):
+        return F.concat(
+            F.lpad(F.hex(v % 256), 2, "0"),
+            F.lpad(F.hex((v / 256).cast("long") % 256), 2, "0"),
+        )
+
+    def le32(v):
+        return F.concat(le16(v), F.lit("0000"))
+
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+    )
+    gif_hex = F.concat(F.lit("474946383961"), le16(w), le16(h))
+    bmp_hex = F.concat(
+        F.lit("424D" + "00" * 12 + "28000000"), le32(w), le32(h)
+    )
+    payload = F.unhex(
+        F.when(doc % 3 == 0, png_hex)
+        .when(doc % 3 == 1, gif_hex)
+        .otherwise(bmp_hex)
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", image_header_info(payload).alias("i"))
+        .select(
+            "doc_id",
+            F.col("i.format").alias("format"),
+            F.col("i.width").alias("width"),
+            F.col("i.height").alias("height"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x6_image_headers",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'bmp' END AS format,
+           (100 + doc_id % 50)::INT AS width,
+           (50 + doc_id % 31)::INT AS height
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x6_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — binary image-header triage (round 6): real byte-layout
+    parsing with NO decoder library — PNG (big-endian IHDR), GIF
+    (little-endian logical screen), BMP (little-endian info header)
+    dimensions read at SCAN SPEED in pure codegen
+    (:func:`~vectordb_migrator_spark.operators.multimodal
+    .image_header_info`; JPEG's variable-offset SOF goes through the
+    Arrow-batched ``jpeg_dimensions`` scan instead). The query
+    SYNTHESIZES valid headers in-engine (unhex of per-doc hex with
+    deterministic dims), parses them back, and the oracle is the
+    closed-form generator — a wrong parser hash-mismatches
+    immediately. This is the triage step a 100 TB multimodal pipeline
+    runs before spending decode: resolution filters, aspect buckets,
+    and corrupt-header quarantine all read ~30 header bytes, never
+    the payload."""
+    return _x6_headers_impl(spark, sf_dir)
+
+
 @query(
     "x6_multimodal_features",
     r"""
