@@ -9112,6 +9112,82 @@ def x5_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_stl_decompose",
+    r"""
+    WITH daily AS (
+      SELECT ts::DATE AS day, round(sum(value), 6) AS v
+      FROM events GROUP BY ts::DATE
+    ),
+    tr AS (
+      SELECT day, v,
+             round(avg(v) OVER (ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+                   6) AS trend
+      FROM daily
+    ),
+    det AS (
+      SELECT day, v, trend, v - trend AS detr,
+             ((day - DATE '1970-01-01') % 7)::INT AS dow
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow, round(avg(detr), 6) AS seasonal FROM det GROUP BY dow
+    )
+    SELECT d.day, d.v, d.trend, s.seasonal,
+           round(d.v - d.trend - s.seasonal, 6) AS resid
+    FROM det d JOIN seas s USING (dow)
+    ORDER BY d.day
+    """,
+)
+def x13_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — STL-lite seasonal decomposition (round 6): the daily
+    value series split into trend (centered 7-day moving average;
+    edge windows are the same partial means in both engines, so no
+    null fencing), weekly seasonal (per day-of-week mean of the
+    detrended series — the portable dow is days-since-epoch mod 7,
+    sidestepping Spark's 1-based vs DuckDB's 0-based ``dayofweek``),
+    and residual — the classic decomposition behind every
+    "is this drop seasonal or real" question, feeding the
+    ``x13_seasonal_anomalies`` z-score gate with an explainable
+    model. Scale shape: the series is already one row per day (the
+    daily aggregate is the only corpus-sized pass), so the windows
+    run on a year-of-days frame — thousands of rows however big the
+    event log."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    det = daily.select(
+        "day",
+        "v",
+        F.round(F.avg("v").over(w), 6).alias("trend"),
+    ).withColumn("detr", F.col("v") - F.col("trend")).withColumn(
+        "dow",
+        (F.datediff("day", F.lit("1970-01-01")) % 7).cast("int"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.round(F.avg("detr"), 6).alias("seasonal")
+    )
+    return (
+        det.join(seas, "dow")
+        .select(
+            "day",
+            "v",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("v") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("resid"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
     "x13_seasonal_anomalies",
     """
     WITH s AS (
