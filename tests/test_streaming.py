@@ -753,3 +753,36 @@ def test_curation_ingest_report_tracks_batch_report(spark, tmp_path):
     n_rows = spark.read.parquet(grain).count()
     run()
     assert spark.read.parquet(grain).count() == n_rows
+
+
+def test_reader_options_bound_micro_batches(spark, tmp_path):
+    """Round-6: reader_options pass through to the stream reader —
+    maxFilesPerTrigger=1 over two input files yields two distinct
+    per-batch partials in the store instead of one merged batch."""
+    from vectordb_migrator_spark.streaming.incremental import cms_ingest
+
+    src = str(tmp_path / "in")
+    schema = "k string"
+    spark.createDataFrame([("a",)] * 5, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame([("b",)] * 5, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = cms_ingest(
+        spark,
+        source_path=src,
+        source_schema=schema,
+        cells_path=str(tmp_path / "cells"),
+        checkpoint=str(tmp_path / "ckpt"),
+        key_col="k",
+        depth=2,
+        width=16,
+        reader_options={"maxFilesPerTrigger": "1"},
+    )
+    q.awaitTermination(120)
+    batches = (
+        spark.read.parquet(str(tmp_path / "cells"))
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert batches == 2

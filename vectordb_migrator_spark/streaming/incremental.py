@@ -12,6 +12,12 @@ re-upserted by a replayed batch converges to the same state.
 At scale: the source is a file/Kafka stream partitioned by arrival;
 state for windowed aggs is bounded by the watermark; sinks receive
 per-partition batched upserts exactly like the batch path.
+
+Every ingest helper takes ``reader_options`` — passed verbatim to the
+stream reader — for the backpressure knobs a production run sets
+(``maxFilesPerTrigger`` / ``maxBytesPerTrigger``): bounding the
+micro-batch bounds each batch's shuffle and the size of every
+per-batch store partial.
 """
 
 from __future__ import annotations
@@ -58,6 +64,7 @@ def incremental_migration(
     transform: TransformFn | None = None,
     checkpoint: str,
     source_format: str = "parquet",
+    reader_options: dict | None = None,
     trigger_once: bool = True,
 ):
     """Continuously migrate newly-arriving canonical records.
@@ -71,7 +78,7 @@ def incremental_migration(
     reader = spark.readStream.format(source_format)
     if source_schema:
         reader = reader.schema(source_schema)
-    stream = reader.load(source_path)
+    stream = reader.options(**(reader_options or {})).load(source_path)
     stream = apply_transform(stream, transform)
 
     writer = (
@@ -112,6 +119,7 @@ def deduped_ingest(
     n: int = 3,
     threshold: float = 0.2,
     source_format: str = "parquet",
+    reader_options: dict | None = None,
     trigger_once: bool = True,
     compact_every: int | None = 16,
     compact_partitions: int = 4,
@@ -235,6 +243,7 @@ def deduped_ingest(
     stream = (
         spark.readStream.format(source_format)
         .schema(source_schema)
+        .options(**(reader_options or {}))
         .load(source_path)
     )
     writer = (
@@ -258,6 +267,7 @@ def indexed_ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     source_format: str = "parquet",
+    reader_options: dict | None = None,
     trigger_once: bool = True,
 ):
     """Continuous ANN-index maintenance — X4 meets X8: every
@@ -289,6 +299,7 @@ def indexed_ingest(
     stream = (
         spark.readStream.format(source_format)
         .schema(source_schema)
+        .options(**(reader_options or {}))
         .load(source_path)
     )
     writer = (
@@ -311,6 +322,7 @@ def sketch_ingest(
     key_col: str = "user_id",
     ts_col: str = "ts",
     source_format: str = "parquet",
+    reader_options: dict | None = None,
     trigger_once: bool = True,
 ):
     """Continuous mergeable-sketch maintenance — X7 meets X8: every
@@ -351,6 +363,7 @@ def sketch_ingest(
     stream = (
         spark.readStream.format(source_format)
         .schema(source_schema)
+        .options(**(reader_options or {}))
         .load(source_path)
     )
     writer = (
@@ -398,6 +411,7 @@ def validated_ingest(
     checkpoint: str,
     validate: dict[str, Any],
     source_format: str = "parquet",
+    reader_options: dict | None = None,
     trigger_once: bool = True,
 ):
     """Streaming ingest with a PER-MICRO-BATCH quality gate — X12 meets
@@ -440,6 +454,7 @@ def validated_ingest(
     stream = (
         spark.readStream.format(source_format)
         .schema(source_schema)
+        .options(**(reader_options or {}))
         .load(source_path)
     )
     writer = (
@@ -462,6 +477,7 @@ def mixture_ingest(
     source_col: str = "source",
     size_col: str | None = None,
     source_format: str = "parquet",
+    reader_options: dict | None = None,
     trigger_once: bool = True,
 ):
     """Continuous mixture-statistics maintenance — X10 meets X8: every
@@ -496,6 +512,7 @@ def mixture_ingest(
     stream = (
         spark.readStream.format(source_format)
         .schema(source_schema)
+        .options(**(reader_options or {}))
         .load(source_path)
     )
     writer = (
@@ -547,6 +564,7 @@ def decontaminated_ingest(
     n: int = 3,
     threshold: float = 0.5,
     source_format: str = "parquet",
+    reader_options: dict | None = None,
     trigger_once: bool = True,
 ):
     """Streaming benchmark-decontamination gate — X5 meets X8: every
@@ -585,6 +603,7 @@ def decontaminated_ingest(
     stream = (
         spark.readStream.format(source_format)
         .schema(source_schema)
+        .options(**(reader_options or {}))
         .load(source_path)
     )
     writer = (
@@ -607,6 +626,7 @@ def curation_ingest(
     source_col: str = "source",
     text_col: str = "text",
     source_format: str = "parquet",
+    reader_options: dict | None = None,
     trigger_once: bool = True,
 ):
     """Continuous curation-report maintenance — X0 meets X8: every
@@ -644,6 +664,7 @@ def curation_ingest(
     stream = (
         spark.readStream.format(source_format)
         .schema(source_schema)
+        .options(**(reader_options or {}))
         .load(source_path)
     )
     writer = (
@@ -693,6 +714,7 @@ def cms_ingest(
     depth: int = 4,
     width: int = 1024,
     source_format: str = "parquet",
+    reader_options: dict | None = None,
     trigger_once: bool = True,
 ):
     """Continuous count-min maintenance — X7's frequency twin of
@@ -723,6 +745,7 @@ def cms_ingest(
     stream = (
         spark.readStream.format(source_format)
         .schema(source_schema)
+        .options(**(reader_options or {}))
         .load(source_path)
     )
     writer = (
@@ -768,6 +791,7 @@ def histogram_ingest(
     value_col: str,
     base: float = 1.05,
     source_format: str = "parquet",
+    reader_options: dict | None = None,
     trigger_once: bool = True,
 ):
     """Continuous quantile maintenance — the log-bucket histogram as a
@@ -794,6 +818,7 @@ def histogram_ingest(
     stream = (
         spark.readStream.format(source_format)
         .schema(source_schema)
+        .options(**(reader_options or {}))
         .load(source_path)
     )
     writer = (
