@@ -160,6 +160,7 @@ HEADLINE = [
     "x7_audience_overlap",
     "x7_cms_heavy_hitters",
     "x7_histogram_quantiles",
+    "x7_group_quantiles",
     "x12_quality_constraints",
     "x12_referential_integrity",
     "x12_source_profile_drift",

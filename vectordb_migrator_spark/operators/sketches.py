@@ -106,6 +106,7 @@ def log_histogram(
     value_col: str,
     *,
     base: float = 1.05,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Geometric-bucket histogram of a POSITIVE value column:
     ``(bucket int, n long)`` with bucket = ⌊log_base(value)⌋. Bucket
@@ -115,18 +116,22 @@ def log_histogram(
     of a t-digest, expressible entirely in codegen + one tiny
     exchange. Non-positive values raise at read time (guard them
     upstream; token counts / latencies / sizes are the intended
-    inputs)."""
-    v = F.col(value_col).cast("double")
+    inputs). With ``group_cols`` the histogram keeps one bucket table
+    per group — per-key p99s (latency per endpoint, tokens per source)
+    from the same store contract."""
     import math
 
+    v = F.col(value_col).cast("double")
+    gcols = list(group_cols or [])
     return (
         df.select(
+            *gcols,
             F.when(v > 0, F.floor(F.log(v) / F.lit(math.log(base))))
             .otherwise(F.raise_error(F.lit("log_histogram: value <= 0")))
             .cast("int")
-            .alias("bucket")
+            .alias("bucket"),
         )
-        .groupBy("bucket")
+        .groupBy(*gcols, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
@@ -136,30 +141,43 @@ def histogram_quantiles(
     qs: list[float],
     *,
     base: float = 1.05,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Quantile estimates from a (merged) :func:`log_histogram`:
     for each q, the UPPER EDGE ``base^(bucket+1)`` of the first bucket
     whose cumulative count reaches ⌈q·N⌉ — so the estimate is ≥ the
     true quantile and within a factor of ``base`` of it. One window
-    over the (tiny) histogram; output (q, est)."""
+    over the (tiny) histogram; output ``(q, est)``, or
+    ``(*group_cols, q, est)`` with per-group cumulative windows when
+    the histogram was built grouped."""
     from pyspark.sql import Window as W
 
-    cum = hist.select(
-        "bucket",
-        "n",
-        F.sum("n")
-        .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("cum"),
-    ).crossJoin(F.broadcast(hist.agg(F.sum("n").alias("__total"))))
+    gcols = list(group_cols or [])
+    w = (
+        W.partitionBy(*gcols).orderBy("bucket")
+        if gcols
+        else W.orderBy("bucket")
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    if gcols:
+        totals = hist.groupBy(*gcols).agg(F.sum("n").alias("__total"))
+        joined = cum.join(F.broadcast(totals), gcols)
+    else:
+        joined = cum.crossJoin(
+            F.broadcast(hist.agg(F.sum("n").alias("__total")))
+        )
     out = None
     for q in qs:
         hit = (
-            cum.filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("__total")))
-            .orderBy("bucket")
-            .limit(1)
+            joined.filter(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("__total"))
+            )
+            .groupBy(*gcols)
+            .agg(F.min("bucket").alias("__b"))
             .select(
+                *gcols,
                 F.lit(q).alias("q"),
-                F.round(F.pow(F.lit(base), F.col("bucket") + 1), 6).alias("est"),
+                F.round(F.pow(F.lit(base), F.col("__b") + 1), 6).alias("est"),
             )
         )
         out = hit if out is None else out.unionAll(hit)

@@ -3278,6 +3278,57 @@ def x2_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x2_bloom_decontaminate"] = _bloom_decontaminate_sql()
 
 
+@query(
+    "x7_group_quantiles",
+    r"""
+    WITH h AS (
+      SELECT event_type, floor(ln(value) / ln(1.05))::INT AS bucket,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY event_type, 2
+    ),
+    c AS (
+      SELECT event_type, bucket, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket)::BIGINT
+               AS cum
+      FROM h
+    ),
+    t AS (
+      SELECT event_type, sum(n)::BIGINT AS total FROM h GROUP BY event_type
+    ),
+    qs AS (SELECT unnest([0.5, 0.95]) AS q),
+    hit AS (
+      SELECT c.event_type, qs.q, min(bucket) AS bucket
+      FROM qs, c JOIN t USING (event_type)
+      WHERE c.cum >= ceil(qs.q * t.total)
+      GROUP BY c.event_type, qs.q
+    )
+    SELECT event_type, q::DOUBLE AS q,
+           round(pow(1.05, bucket + 1), 6) AS est
+    FROM hit ORDER BY event_type, q
+    """,
+)
+def x7_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — PER-GROUP quantiles from the log-bucket histogram (round
+    6): p50/p95 of event value per event type, read off one grouped
+    bucket table — the per-endpoint-latency / per-source-token-budget
+    shape. The histogram is (n_groups × log-range) rows however big
+    the event log, cumulative windows partition by group, and every
+    estimate carries the same ≤ base−1 relative error bound. Same
+    mergeable store contract as the global variant. Full oracle."""
+    from vectordb_migrator_spark.operators.sketches import (
+        histogram_quantiles,
+        log_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    hist = log_histogram(
+        ev, "value", base=1.05, group_cols=["event_type"]
+    ).localCheckpoint(eager=True)
+    return histogram_quantiles(
+        hist, [0.5, 0.95], base=1.05, group_cols=["event_type"]
+    ).orderBy("event_type", "q")
+
+
 @query("x7_hll_daily_merge")  # Apache DataSketches binary → rows-only
 # check; the estimate's accuracy is asserted in tests vs countDistinct.
 def x7_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
