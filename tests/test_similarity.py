@@ -1070,3 +1070,42 @@ def test_opq_greedy_matches_numpy_replica():
         opq_balanced_permutation(flat, 4, strategy="nope")
     with pytest.raises(ValueError, match="divisible"):
         opq_balanced_permutation([1.0] * 10, 4)
+
+
+def test_ndcg_at_k_perfect_and_degraded(spark):
+    """Round-6: nDCG is 1 for the ideal ordering, lower for the same
+    ids in reversed order (the position sensitivity recall@k lacks),
+    and 0 when nothing relevant is retrieved."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.ranking import ndcg_at_k
+
+    k = 5
+    truth = spark.createDataFrame(
+        [(i, i) for i in range(1, k + 1)], ["vec_id", "rank"]
+    )
+    ideal = spark.createDataFrame(
+        [(i, float(k - i)) for i in range(1, k + 1)], ["vec_id", "score"]
+    )
+    r = ndcg_at_k(ideal, truth, k=k).first()
+    assert r["ndcg"] == 1.0 and r["dcg"] == r["idcg"]
+
+    reverse = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, k + 1)], ["vec_id", "score"]
+    )
+    r2 = ndcg_at_k(reverse, truth, k=k).first()
+    assert 0 < r2["ndcg"] < 1.0
+
+    miss = spark.createDataFrame(
+        [(100 + i, float(i)) for i in range(1, k + 1)], ["vec_id", "score"]
+    )
+    r3 = ndcg_at_k(miss, truth, k=k).first()
+    assert r3["ndcg"] == 0.0
+
+    # replica check on the reversed case
+    gains = sorted(range(1, k + 1), reverse=True)  # truth gains k..1
+    dcg = sum((k + 1 - (k + 1 - p)) / math.log2(p + 1) for p in range(1, k + 1))
+    idcg = sum(g / math.log2(i + 2) for i, g in enumerate(gains))
+    assert abs(r2["ndcg"] - round(dcg / idcg, 6)) < 1e-9

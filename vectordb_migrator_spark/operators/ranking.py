@@ -307,3 +307,53 @@ def recall_report(
     for f in frames[1:]:
         out = out.unionAll(f)
     return out.orderBy("family")
+
+
+def ndcg_at_k(
+    candidates: DataFrame,
+    truth_ranked: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+    rank_by: list[tuple[str, bool]] = (("score", False),),
+) -> DataFrame:
+    """nDCG@k of a ranked candidate list against GRADED relevance —
+    the position-aware metric recall@k can't express (a system that
+    returns the right ids in the wrong order scores below one that
+    ranks them correctly). ``truth_ranked`` carries (id, rank) of the
+    ideal ordering; gain for the id at truth rank r is ``k+1−r`` (the
+    standard linear-gain grading when no explicit judgments exist —
+    top truth hit worth k, k-th worth 1, absent worth 0).
+
+    DCG = Σ gain_i / log2(i+1) over the candidate ranking (re-derived
+    from ``rank_by`` + id tiebreak, never physical row order); IDCG is
+    the closed-form ideal (the gains sorted descending), computed
+    driver-side. One list-depth join + one aggregate; composes lazily
+    like :func:`retrieval_metrics`. Returns one row
+    ``(dcg, idcg, ndcg)``."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    order = [
+        F.col(c).asc() if asc else F.col(c).desc() for c, asc in rank_by
+    ] + [F.col(id_col).asc()]
+    ranked = candidates.select(
+        F.col(id_col),
+        F.row_number().over(W.orderBy(*order)).alias("__pos"),
+    ).filter(F.col("__pos") <= k)
+    t = truth_ranked.select(
+        F.col(id_col), F.col("rank").alias("__trank")
+    ).filter(F.col("__trank") <= k)
+    idcg = sum((k + 1 - r) / math.log2(r + 1) for r in range(1, k + 1))
+    joined = ranked.join(t, id_col, "left").select(
+        (
+            F.coalesce(F.lit(k + 1) - F.col("__trank"), F.lit(0))
+            / F.log2(F.col("__pos") + 1)
+        ).alias("__g")
+    )
+    return joined.agg(
+        F.round(F.sum("__g"), 6).alias("dcg"),
+        F.round(F.lit(idcg), 6).alias("idcg"),
+        F.round(F.sum("__g") / F.lit(idcg), 6).alias("ndcg"),
+    )

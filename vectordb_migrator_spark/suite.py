@@ -7021,6 +7021,73 @@ def x4_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk(e, probe, k=10)
 
 
+_NDCG_IDEAL = sum((11 - r) / __import__("math").log2(r + 1) for r in range(1, 11))
+
+
+@query(
+    "x4_ndcg_report",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    truth AS (
+      SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id)
+               AS trank
+      FROM (
+        SELECT vec_id,
+               round(list_dot_product(embedding::DOUBLE[], pv) /
+                     (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(pv, pv))), 6) AS score
+        FROM embeddings, p
+      ) ORDER BY score DESC, vec_id LIMIT 10
+    ),
+    ham AS (
+      SELECT vec_id, row_number() OVER (ORDER BY hamming, vec_id) AS pos
+      FROM (
+        SELECT vec_id,
+               len(list_filter(range(1, len(embedding) + 1),
+                               i -> (embedding[i] > 0) != (pv[i] > 0)))::INT
+                 AS hamming
+        FROM embeddings, p
+      ) ORDER BY hamming, vec_id LIMIT 10
+    ),
+    g AS (
+      SELECT coalesce(11 - t.trank, 0) / log2(h.pos + 1) AS gain
+      FROM ham h LEFT JOIN truth t USING (vec_id)
+    )
+    SELECT round(sum(gain), 6) AS dcg,
+           round({_NDCG_IDEAL!r}, 6)::DOUBLE AS idcg,
+           round(sum(gain) / {_NDCG_IDEAL!r}, 6) AS ndcg
+    FROM g
+    """,
+)
+def x4_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — nDCG@10 of the binary-Hamming retrieval path (round 6):
+    the position-aware metric ``x4_retrieval_metrics``' recall/MRR
+    can't express — a system returning the right ids in the wrong
+    order scores below one that ranks them correctly. Graded gains are
+    the standard linear grading off the exact cosine ranking (truth
+    rank r worth 11−r), IDCG is closed-form
+    (:func:`~vectordb_migrator_spark.operators.ranking.ndcg_at_k`).
+    List-depth math: both sides are top-10 frames; the only
+    corpus-sized work is the two scoring scans the retrieval paths
+    already pay."""
+    from pyspark.sql import Window as W
+
+    from vectordb_migrator_spark.operators.ranking import ndcg_at_k
+    from vectordb_migrator_spark.operators.similarity import (
+        cosine_topk,
+        hamming_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    truth = cosine_topk(e, probe, k=10).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score"), "vec_id"))
+    )
+    cands = hamming_topk(e, probe, k=10)
+    return ndcg_at_k(cands, truth, k=10, rank_by=[("hamming", True)])
+
+
 @query(
     "x4_binary_rerank",
     f"""
