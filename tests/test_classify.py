@@ -1,0 +1,173 @@
+"""Hashed-feature linear classifiers (operators/classify.py).
+
+Differential strategy: every Spark result is replayed by a pure-Python
+replica of the same md5-bucket hashing + add-α counting math, so a
+regression in either the hashing, the smoothing, or the fold order
+shows up as a value mismatch — the same harness style as the k-means
+and OPQ differentials."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.operators.classify import (
+    dsir_weights,
+    nb_fit,
+    nb_score,
+)
+
+DIM = 16
+ALPHA = 1.0
+
+
+def _bucket(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % DIM
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.strip().lower().split() if t]
+
+
+def _py_nb(rows: list[tuple[str, str]]):
+    """(text, label) rows -> {label: (log_prior, [loglik]*DIM)}."""
+    from collections import Counter, defaultdict
+
+    cell: dict[str, Counter] = defaultdict(Counter)
+    docs: Counter = Counter()
+    for text, label in rows:
+        docs[label] += 1
+        for t in _toks(text):
+            cell[label][_bucket(t)] += 1
+    out = {}
+    for label in cell:
+        tot = sum(cell[label].values())
+        ll = [
+            round(
+                math.log((cell[label][b] + ALPHA) / (tot + ALPHA * DIM)), 9
+            )
+            for b in range(DIM)
+        ]
+        out[label] = (round(math.log(docs[label] / len(rows)), 9), ll)
+    return out
+
+
+CORPUS = [
+    ("apple banana cherry apple", "fruit"),
+    ("banana mango apple peach", "fruit"),
+    ("mango peach cherry banana apple", "fruit"),
+    ("bolt nut wrench gear", "tool"),
+    ("gear wrench hammer bolt", "tool"),
+    ("hammer nut gear bolt wrench", "tool"),
+]
+
+
+def test_nb_fit_matches_python_replica(spark):
+    df = spark.createDataFrame(CORPUS, ["text", "label"])
+    model = {
+        r["label"]: (r["log_prior"], list(r["loglik"]))
+        for r in nb_fit(df, "text", "label", dim=DIM, alpha=ALPHA).collect()
+    }
+    py = _py_nb(CORPUS)
+    assert set(model) == set(py)
+    for label in py:
+        assert model[label][0] == pytest.approx(py[label][0], abs=1e-9)
+        assert model[label][1] == pytest.approx(py[label][1], abs=1e-9)
+
+
+def test_nb_score_separable_corpus(spark):
+    df = spark.createDataFrame(CORPUS, ["text", "label"])
+    model = nb_fit(df, "text", "label", dim=DIM, alpha=ALPHA)
+    scored = nb_score(df, model, "text", dim=DIM)
+    rows = scored.collect()
+    assert all(r["pred"] == r["label"] for r in rows)
+
+    # score differential: replay one doc by hand
+    py = _py_nb(CORPUS)
+    r0 = [r for r in rows if r["text"] == CORPUS[0][0]][0]
+    cnts = [0.0] * DIM
+    for t in _toks(CORPUS[0][0]):
+        cnts[_bucket(t)] += 1.0
+    want = max(
+        (
+            round(prior + sum(c * l for c, l in zip(cnts, ll)), 6),
+            label,
+        )
+        for label, (prior, ll) in py.items()
+    )
+    assert (r0["pred_score"], r0["pred"]) == want
+
+
+def test_nb_score_unseen_doc_and_tiebreak(spark):
+    df = spark.createDataFrame(CORPUS, ["text", "label"])
+    model = nb_fit(df, "text", "label", dim=DIM, alpha=ALPHA)
+    probe = spark.createDataFrame(
+        [("wrench gear hammer",), ("apple banana mango",)], ["text"]
+    )
+    got = {
+        r["text"]: r["pred"]
+        for r in nb_score(probe, model, "text", dim=DIM).collect()
+    }
+    assert got["wrench gear hammer"] == "tool"
+    assert got["apple banana mango"] == "fruit"
+    # empty text: only priors compete; equal priors tie-break toward
+    # the lexicographically LARGEST label (array_max struct ordering)
+    empty = nb_score(
+        spark.createDataFrame([("",)], ["text"]), model, "text", dim=DIM
+    ).first()
+    assert empty["pred"] == "tool"
+
+
+def test_dsir_weights_match_python_replica(spark):
+    df = spark.createDataFrame(CORPUS, ["text", "label"])
+    out = dsir_weights(
+        df, "text", F.col("label") == "fruit", dim=DIM, alpha=ALPHA
+    ).collect()
+
+    from collections import Counter
+
+    all_c: Counter = Counter()
+    tgt_c: Counter = Counter()
+    for text, label in CORPUS:
+        for t in _toks(text):
+            all_c[_bucket(t)] += 1
+            if label == "fruit":
+                tgt_c[_bucket(t)] += 1
+    ta, tt = sum(all_c.values()), sum(tgt_c.values())
+    delta = [
+        round(
+            math.log((tgt_c[b] + ALPHA) / (tt + ALPHA * DIM))
+            - math.log((all_c[b] + ALPHA) / (ta + ALPHA * DIM)),
+            9,
+        )
+        for b in range(DIM)
+    ]
+    for r in out:
+        cnts = [0.0] * DIM
+        for t in _toks(r["text"]):
+            cnts[_bucket(t)] += 1.0
+        want = round(sum(c * d for c, d in zip(cnts, delta)), 6)
+        assert r["dsir_logratio"] == pytest.approx(want, abs=1e-9)
+
+    # fruit docs must out-weigh tool docs under a fruit target
+    fruit = [r["dsir_logratio"] for r in out if r["label"] == "fruit"]
+    tool = [r["dsir_logratio"] for r in out if r["label"] == "tool"]
+    assert min(fruit) > max(tool)
+
+
+def test_nb_score_plan_projects_counts_once(spark):
+    """The bucket-count vector must be a REAL projected column so the
+    per-label folds reference it instead of re-inlining the
+    tokenize+md5 tree (the documented Catalyst lambda-inlining trap)."""
+    df = spark.createDataFrame(CORPUS, ["text", "label"])
+    model = nb_fit(df, "text", "label", dim=DIM, alpha=ALPHA)
+    plan = (
+        nb_score(df, model, "text", dim=DIM)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("md5") <= 1, plan

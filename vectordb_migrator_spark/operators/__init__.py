@@ -43,6 +43,9 @@ _EXPORTS = {
     "ivf_index_batch_topk": "similarity",
     "ivf_finish_swap": "similarity",
     "opq_balanced_permutation": "similarity",
+    "nb_fit": "classify",
+    "nb_score": "classify",
+    "dsir_weights": "classify",
     "gram_matrix": "decomposition",
     "pca_fit": "decomposition",
     "rotate_vectors": "decomposition",

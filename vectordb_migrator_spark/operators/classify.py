@@ -1,0 +1,234 @@
+"""Hashed-feature linear classifiers — the fastText / DSIR stand-ins.
+
+Every serious pre-training corpus pipeline carries a cheap linear
+text classifier: CCNet's fastText language-ID, the GPT-3/LLaMA
+"wiki-like" quality filters, and DSIR's importance-resampling
+selector (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling") are all bag-of-hashed-n-grams models whose
+training is pure counting. That makes them an exact fit for Spark:
+
+- **fit is one aggregation** — explode tokens to md5 buckets, count
+  per ``(label, bucket)`` with map-side combine; the model is
+  ``labels × dim`` cells, kilobytes at any corpus size;
+- **scoring is one narrow codegen pass** — the per-doc bucket-count
+  vector is computed once (projected as a REAL column so Catalyst
+  cannot inline the tokenize+md5 tree into every per-label fold —
+  the documented lambda-inlining trap), then each label's score is a
+  ``dim``-length dot product against a broadcast-literal
+  log-likelihood array. No shuffle, no UDF, no model server.
+
+Because the bucket hash is md5-derived (bit-identical across
+engines) and every log-likelihood is rounded to 9 decimals before
+the dot product, the full train→score composition carries exact
+value-hash oracles in DuckDB — the reference
+(`/root/reference/vectordb_migration/core/migrator.py`) has no
+classifier surface at all; this module is part of the
+training-data-pipeline extension mandate.
+
+The reference pipeline for DSIR: importance weight of a pool
+document is ``Σ_b n_b · (ln p_target(b) − ln p_raw(b))`` under
+add-α smoothed unigram-bucket models — literally a binary Naive
+Bayes log-odds, so :func:`dsir_weights` shares the counting core.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.functions.text import (
+    feature_hash_vector,
+    ws_tokens,
+)
+
+
+def _buckets(text_col: str | Column, dim: int) -> Column:
+    """Per-token md5 bucket array (same hash as feature_hash_vector)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(ws_tokens(c), lambda t: t != "")
+    return F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % dim,
+    )
+
+
+def nb_fit(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    *,
+    dim: int = 64,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Fit a multinomial Naive Bayes over md5-hashed unigram buckets.
+
+    Returns one row per label: ``(label, log_prior, loglik)`` where
+    ``loglik[b] = ln((count(label, b) + α) / (tokens(label) + α·dim))``
+    and ``log_prior = ln(docs(label) / docs_total)``, every value
+    rounded to 9 decimals so scoring is reproducible across engines.
+
+    Scale: ONE corpus scan; the only shuffle is the
+    ``(label, bucket)`` count (map-side combined, ≤ labels×dim cells
+    reach the reducers). The doc-count prior rides the same scan via
+    a second tiny aggregate; the corpus total is a 1-row broadcast
+    cross join, so the whole fit stays lazy.
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(_buckets(text_col, dim)).alias("__b"),
+    )
+    cell = ex.groupBy("label", "__b").agg(F.count("*").alias("__n"))
+    per_label = cell.groupBy("label").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__n")))
+        ).alias("__m"),
+        F.sum("__n").alias("__tot"),
+    )
+    loglik = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.round(
+            F.log(
+                (
+                    F.coalesce(
+                        F.element_at("__m", i.cast("long")), F.lit(0)
+                    ).cast("double")
+                    + F.lit(float(alpha))
+                )
+                / (F.col("__tot").cast("double") + F.lit(float(alpha * dim)))
+            ),
+            9,
+        ),
+    )
+    docs = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("__d")
+    )
+    total = df.select(F.count("*").alias("__dt"))
+    prior = docs.crossJoin(F.broadcast(total)).select(
+        "label",
+        F.round(F.log(F.col("__d") / F.col("__dt")), 9).alias("log_prior"),
+    )
+    return per_label.select("label", loglik.alias("loglik")).join(
+        prior, "label"
+    )
+
+
+def nb_score(
+    df: DataFrame,
+    model: DataFrame | list,
+    text_col: str,
+    *,
+    dim: int = 64,
+    pred_col: str = "pred",
+    score_col: str = "pred_score",
+) -> DataFrame:
+    """Score every row against a fitted NB model; append the argmax
+    label and its (round-6) log-score.
+
+    The model is collected driver-side — O(labels × dim) values, the
+    same bounded-collect contract as the k-means centroids
+    (`clustering.py`) — and baked into the plan as literal arrays, so
+    scoring is zero-shuffle codegen: the bucket-count vector is
+    projected ONCE as a real column (``__cnts``), then each label's
+    score folds ``Σ_i cnts[i]·loglik[i] + prior`` over a literal.
+    Argmax tie-breaks toward the lexicographically LARGEST label
+    (``array_max`` struct ordering); mirror with
+    ``ORDER BY score DESC, label DESC`` in SQL.
+    """
+    rows = model if isinstance(model, list) else model.collect()
+    rows = sorted(rows, key=lambda r: r["label"])
+    scored = df.withColumn(
+        "__cnts", feature_hash_vector(text_col, dim=dim)
+    )
+    seq = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def _fold(ll: list) -> "F.Column":
+        return lambda acc, i: acc + F.element_at(
+            "__cnts", (i + 1).cast("int")
+        ) * F.element_at(F.lit(ll), (i + 1).cast("int"))
+
+    scores = [
+        F.round(
+            F.aggregate(seq, F.lit(float(r["log_prior"])), _fold(list(r["loglik"]))),
+            6,
+        ).alias(f"__s_{k}")
+        for k, r in enumerate(rows)
+    ]
+    scored = scored.select("*", *scores)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"__s_{k}").alias("s"),
+                    F.lit(str(r["label"])).alias("l"),
+                )
+                for k, r in enumerate(rows)
+            ]
+        )
+    )
+    return (
+        scored.withColumn("__best", best)
+        .withColumn(pred_col, F.col("__best.l"))
+        .withColumn(score_col, F.col("__best.s"))
+        .drop("__cnts", "__best", *[f"__s_{k}" for k in range(len(rows))])
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    is_target: Column,
+    *,
+    dim: int = 64,
+    alpha: float = 1.0,
+    weight_col: str = "dsir_logratio",
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): how much more
+    likely each document is under the TARGET unigram-bucket model than
+    under the RAW-pool model, ``Σ_b n_b·(ln p_t(b) − ln p_r(b))``.
+    Selecting the top-weighted pool documents tilts the corpus toward
+    the target domain without training anything.
+
+    One counting scan builds BOTH distributions (raw = every row,
+    target = rows where ``is_target``) — a single ``dim``-cell
+    aggregate collected driver-side; the per-bucket log-ratio is
+    rounded to 9 decimals and baked in as a literal, and the weight
+    pass is the same zero-shuffle projected-counts fold as
+    :func:`nb_score` (round-6 output).
+    """
+    ex = df.select(
+        is_target.alias("__t"), F.explode(_buckets(text_col, dim)).alias("__b")
+    )
+    agg = ex.groupBy("__b").agg(
+        F.count("*").alias("n_all"),
+        F.sum(F.col("__t").cast("long")).alias("n_tgt"),
+    )
+    cells = {r["__b"]: (r["n_all"], r["n_tgt"]) for r in agg.collect()}
+    tot_all = sum(v[0] for v in cells.values())
+    tot_tgt = sum(v[1] for v in cells.values())
+    delta = [
+        round(
+            math.log(
+                (cells.get(b, (0, 0))[1] + alpha) / (tot_tgt + alpha * dim)
+            )
+            - math.log(
+                (cells.get(b, (0, 0))[0] + alpha) / (tot_all + alpha * dim)
+            ),
+            9,
+        )
+        for b in range(dim)
+    ]
+    out = df.withColumn("__cnts", feature_hash_vector(text_col, dim=dim))
+    w = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at("__cnts", (i + 1).cast("int"))
+            * F.element_at(F.lit(delta), (i + 1).cast("int")),
+        ),
+        6,
+    )
+    return out.withColumn(weight_col, w).drop("__cnts")

@@ -10545,6 +10545,154 @@ def x11_sql_api_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# X5/X10 — hashed-feature linear classifiers (fastText / DSIR stand-ins)
+# ---------------------------------------------------------------------
+
+_NB_DIM = 64
+_FHB64_SQL = (  # token array -> per-token md5 bucket array (mod 64)
+    "list_transform(list_filter(string_split_regex(lower(trim({col})), "
+    "'\\s+'), t -> t != ''), "
+    "t -> CAST(CONCAT('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64)"
+)
+_CNT64_SQL = (  # bucket array -> 64-dim count vector
+    "[len(list_filter({bks}, b -> b = i))::DOUBLE for i in range(0, 64)]"
+)
+
+
+@query(
+    "x5_nb_lang_classifier",
+    rf"""
+    WITH b AS (
+      SELECT doc_id, lang, {_FHB64_SQL.format(col="text")} AS bks
+      FROM documents
+    ), cv AS (
+      SELECT doc_id, lang, {_CNT64_SQL.format(bks="bks")} AS cnts FROM b
+    ), cell AS (
+      SELECT lang AS label, unnest(bks) AS bkt FROM b
+    ), cnt AS (
+      SELECT label, bkt, count(*)::DOUBLE AS n FROM cell GROUP BY 1, 2
+    ), tot AS (
+      SELECT label, sum(n) AS tot FROM cnt GROUP BY 1
+    ), grid AS (
+      SELECT t.label, g.i, t.tot, coalesce(c.n, 0) AS n
+      FROM tot t CROSS JOIN range(0, 64) g(i)
+      LEFT JOIN cnt c ON c.label = t.label AND c.bkt = g.i
+    ), ll AS (
+      SELECT label,
+             list(round(ln((n + 1.0) / (tot + 64.0)), 9) ORDER BY i) AS ll
+      FROM grid GROUP BY label
+    ), prior AS (
+      SELECT lang AS label,
+             round(ln(count(*)::DOUBLE /
+                      (SELECT count(*) FROM documents)), 9) AS lp
+      FROM documents GROUP BY 1
+    ), sc AS (
+      SELECT cv.doc_id, cv.lang, l.label,
+             round(p.lp + list_sum(
+               [cv.cnts[i] * l.ll[i] for i in range(1, 65)]), 6) AS score
+      FROM cv CROSS JOIN ll l JOIN prior p ON p.label = l.label
+    ), pick AS (
+      SELECT doc_id, lang, label AS pred,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label DESC) AS rn
+      FROM sc
+    )
+    SELECT lang, pred, count(*)::BIGINT AS n_docs
+    FROM pick WHERE rn = 1
+    GROUP BY lang, pred
+    ORDER BY lang, pred
+    """,
+)
+def x5_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — train-and-apply a hashed-unigram Naive Bayes language
+    classifier (round 6): the fastText-LID stand-in every CCNet-style
+    pipeline carries, expressed as pure counting. Fit is ONE corpus
+    scan whose only shuffle is the ``(label, bucket)`` cell count
+    (map-side combined, ≤ labels×64 cells); the model is collected
+    (kilobytes — the k-means bounded-collect contract) and baked into
+    a zero-shuffle codegen scoring pass over a SECOND scan: bucket
+    counts projected once, per-label literal-array dot products,
+    ``array_max`` argmax. Output is the label×prediction confusion
+    matrix — on this shared-vocabulary synthetic fixture the classifier
+    is majority-biased (the interesting artifact is the exact
+    train→score reproducibility, which the full value-hash oracle
+    certifies); ``tests/test_classify.py`` proves it separates a
+    separable corpus. Reference has no classifier surface
+    (`/root/reference/vectordb_migration/core/migrator.py` is
+    transport-only) — extension mandate."""
+    from vectordb_migrator_spark.operators.classify import nb_fit, nb_score
+
+    docs = _t(spark, sf_dir, "documents")
+    model = nb_fit(docs, "text", "lang", dim=_NB_DIM, alpha=1.0)
+    return (
+        nb_score(docs, model, "text", dim=_NB_DIM)
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred")
+    )
+
+
+@query(
+    "x10_dsir_select",
+    rf"""
+    WITH b AS (
+      SELECT doc_id, lang, source, {_FHB64_SQL.format(col="text")} AS bks
+      FROM documents
+    ), cv AS (
+      SELECT doc_id, lang, source, {_CNT64_SQL.format(bks="bks")} AS cnts
+      FROM b
+    ), cell AS (
+      SELECT (lang = 'en') AS t, unnest(bks) AS bkt FROM b
+    ), cnt AS (
+      SELECT bkt, count(*)::DOUBLE AS n_all,
+             sum(CASE WHEN t THEN 1 ELSE 0 END)::DOUBLE AS n_tgt
+      FROM cell GROUP BY 1
+    ), tots AS (SELECT sum(n_all) AS ta, sum(n_tgt) AS tt FROM cnt),
+    grid AS (
+      SELECT g.i, coalesce(c.n_all, 0) AS n_all,
+             coalesce(c.n_tgt, 0) AS n_tgt
+      FROM range(0, 64) g(i) LEFT JOIN cnt c ON c.bkt = g.i
+    ), delta AS (
+      SELECT list(round(ln((n_tgt + 1.0) / (tt + 64.0)) -
+                        ln((n_all + 1.0) / (ta + 64.0)), 9) ORDER BY i) AS d
+      FROM grid, tots GROUP BY ta, tt
+    )
+    SELECT doc_id, lang, source,
+           round(list_sum([cnts[i] * d[i] for i in range(1, 65)]), 6)
+             AS dsir_logratio
+    FROM cv, delta
+    WHERE lang <> 'en'
+    ORDER BY dsir_logratio DESC, doc_id
+    LIMIT 100
+    """,
+)
+def x10_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — DSIR data selection (Xie et al. 2023, round 6): tilt the
+    pool toward a target domain by hashed-unigram importance
+    log-ratios, no training loop. Target = the ``lang='en'`` slice,
+    raw = the whole corpus; the top-100 non-target documents by
+    ``Σ_b n_b·(ln p_t(b) − ln p_r(b))`` are the ones importance
+    resampling would keep. ONE counting scan builds both distributions
+    (a 64-cell aggregate, collected driver-side), the weight pass is
+    zero-shuffle codegen over a literal delta array, and the top-100
+    folds into TakeOrderedAndProject — the corpus never shuffles.
+    Full value-hash oracle; Python differential in
+    ``tests/test_classify.py``."""
+    from vectordb_migrator_spark.operators.classify import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dsir_weights(
+            docs, "text", F.col("lang") == "en", dim=_NB_DIM, alpha=1.0
+        )
+        .filter(F.col("lang") != "en")
+        .select("doc_id", "lang", "source", "dsir_logratio")
+        .orderBy(F.desc("dsir_logratio"), "doc_id")
+        .limit(100)
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
