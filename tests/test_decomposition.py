@@ -126,3 +126,57 @@ def test_x9_opq_rotation_error_differential(spark):
             got_mean, got_max = out[(tag, s)]
             np.testing.assert_allclose(got_mean, mdist.mean(), atol=2e-6)
             np.testing.assert_allclose(got_max, mdist.max(), atol=2e-6)
+
+
+def test_jl_sign_matrix_deterministic_and_prefix_stable():
+    import hashlib
+
+    from vectordb_migrator_spark.operators.decomposition import (
+        jl_sign_matrix,
+    )
+
+    m32 = jl_sign_matrix(32, 64)
+    m8 = jl_sign_matrix(8, 64)
+    assert m32[:8] == m8  # prefix-stable: one wide projection serves all
+    assert all(v in (1.0, -1.0) for row in m32 for v in row)
+    # spot-check the md5 convention the SQL oracle replays
+    h = int(hashlib.md5(b"jl-3-17").hexdigest()[:8], 16)
+    assert m32[3][17] == (1.0 if h % 2 == 0 else -1.0)
+
+
+def test_jl_project_matches_numpy(spark, embeddings):
+    from vectordb_migrator_spark.operators.decomposition import (
+        jl_project,
+        jl_sign_matrix,
+    )
+
+    x = _x(embeddings)
+    s = np.array(jl_sign_matrix(16, x.shape[1]))
+    want = x @ s.T
+    got = (
+        jl_project(embeddings, out_dim=16, in_dim=x.shape[1], out_col="pv")
+        .orderBy("vec_id")
+        .collect()
+    )
+    np.testing.assert_allclose(
+        np.array([list(r["pv"]) for r in got]), want, atol=1e-9
+    )
+    # in_dim omitted -> derived from the data, same result
+    auto = jl_project(embeddings, out_dim=16, out_col="pv").orderBy("vec_id")
+    np.testing.assert_allclose(
+        np.array([list(r["pv"]) for r in auto.collect()]), want, atol=1e-9
+    )
+
+
+def test_jl_project_stays_jvm_side(spark, embeddings):
+    """Sign projection must be pure codegen — no Python workers in the
+    plan (rotate_vectors is the Arrow path for DENSE rotations)."""
+    from vectordb_migrator_spark.operators.decomposition import jl_project
+
+    plan = (
+        jl_project(embeddings, out_dim=8, in_dim=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan, plan

@@ -49,6 +49,8 @@ _EXPORTS = {
     "gram_matrix": "decomposition",
     "pca_fit": "decomposition",
     "rotate_vectors": "decomposition",
+    "jl_sign_matrix": "decomposition",
+    "jl_project": "decomposition",
     "cms_build": "sketches",
     "cms_estimate": "sketches",
     "log_histogram": "sketches",

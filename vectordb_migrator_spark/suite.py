@@ -10693,6 +10693,146 @@ def x10_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# X9 — Johnson–Lindenstrauss sign-projection recall curve
+# ---------------------------------------------------------------------
+
+
+def _jl_recall_sql() -> str:
+    """Oracle for x9_jl_recall — rebuilds the md5 ±1 sign matrix IN
+    SQL (so the cross-engine reproducibility of the matrix itself is
+    part of what the value hash certifies), projects corpus + probe,
+    and unions one recall row per prefix dimension."""
+    blocks, sels = [], []
+    for d in (8, 16, 32):
+        blocks.append(
+            f"""
+    t{d} AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               round(list_dot_product(pv[1:{d}], ppv[1:{d}]) /
+                     (sqrt(list_dot_product(pv[1:{d}], pv[1:{d}])) *
+                      sqrt(list_dot_product(ppv[1:{d}], ppv[1:{d}]))), 6)
+                 AS s
+        FROM pe, pr ORDER BY s DESC, vec_id LIMIT 10)
+    ),
+    r{d} AS (
+      SELECT {d}::INT AS dim, round(count(*) / 10.0, 6) AS recall_at_10
+      FROM t{d} JOIN truth USING (vec_id)
+    )"""
+        )
+        sels.append(f"SELECT * FROM r{d}")
+    return f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    sm AS (
+      SELECT j, list(CASE WHEN CAST(CONCAT('0x',
+                       substr(md5('jl-' || j || '-' || i), 1, 8)) AS BIGINT)
+                       % 2 = 0
+                     THEN 1.0 ELSE -1.0 END ORDER BY i) AS srow
+      FROM range(0, 32) a(j) CROSS JOIN range(0, 64) b(i)
+      GROUP BY j
+    ),
+    smat AS (SELECT list(srow ORDER BY j) AS m FROM sm),
+    pe AS (
+      SELECT vec_id,
+             [list_dot_product(embedding::DOUBLE[], m[j])
+              for j in range(1, 33)] AS pv
+      FROM embeddings, smat
+    ),
+    pr AS (
+      SELECT [list_dot_product(p.pv, m[j]) for j in range(1, 33)] AS ppv
+      FROM p, smat
+    ),
+    truth AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               round(list_dot_product(embedding::DOUBLE[], p.pv) /
+                     (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(p.pv, p.pv))), 6) AS s
+        FROM embeddings, p ORDER BY s DESC, vec_id LIMIT 10)
+    ),{','.join(blocks)}
+    SELECT * FROM ({' UNION ALL '.join(sels)}) ORDER BY dim
+    """
+
+
+@query("x9_jl_recall", None)  # oracle attached below (computed)
+def x9_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — the Johnson–Lindenstrauss recall curve (round 6): recall@10
+    of ±1 sign-projection retrieval at 8/16/32 output dims against the
+    full-dim truth — the DATA-INDEPENDENT twin of the Matryoshka and
+    PCA curves (no fit pass at all, so it's the dimension-reduction
+    floor any learned projection must beat; compare this table with
+    ``x9_matryoshka_curve`` to price the MRL training run). The md5
+    sign matrix is prefix-stable, so ONE codegen projection pass
+    (:func:`~vectordb_migrator_spark.operators.decomposition.jl_project`,
+    no Python workers) serves every narrower point via array slices;
+    each ranking is its own TakeOrdered branch (3 narrow scans at
+    diagnostic cadence — the matryoshka persist-once guidance applies);
+    recall joins are 10-row frames. The oracle rebuilds the SAME sign
+    matrix in SQL, certifying the matrix construction cross-engine."""
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+    from vectordb_migrator_spark.operators.decomposition import (
+        jl_project,
+        jl_sign_matrix,
+    )
+    from vectordb_migrator_spark.operators.similarity import probe_literal
+
+    probe = _probe_vector(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = jl_project(
+        emb, vec_col="embedding", out_dim=32, in_dim=len(probe), out_col="pv"
+    )
+    ppv = [
+        sum(s * x for s, x in zip(row, probe))
+        for row in jl_sign_matrix(32, len(probe))
+    ]
+    truth = (
+        emb.select(
+            "vec_id",
+            F.round(
+                cosine_similarity(
+                    F.col("embedding").cast("array<double>"),
+                    probe_literal(probe),
+                ),
+                6,
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    rows = []
+    for d in (8, 16, 32):
+        cand = (
+            proj.select(
+                "vec_id",
+                F.round(
+                    cosine_similarity(
+                        F.slice(F.col("pv"), 1, d), probe_literal(ppv[:d])
+                    ),
+                    6,
+                ).alias("s"),
+            )
+            .orderBy(F.desc("s"), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+        rows.append(
+            cand.join(truth, "vec_id", "left_semi").agg(
+                F.lit(d).cast("int").alias("dim"),
+                F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("dim")
+
+
+ORACLES["x9_jl_recall"] = _jl_recall_sql()
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
