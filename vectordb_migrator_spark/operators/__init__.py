@@ -43,6 +43,9 @@ _EXPORTS = {
     "ivf_index_batch_topk": "similarity",
     "ivf_finish_swap": "similarity",
     "opq_balanced_permutation": "similarity",
+    "blocked_candidates": "linkage",
+    "fuzzy_join": "linkage",
+    "best_match": "linkage",
     "nb_fit": "classify",
     "nb_score": "classify",
     "dsir_weights": "classify",

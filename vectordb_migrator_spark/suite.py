@@ -10833,6 +10833,130 @@ def x9_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["x9_jl_recall"] = _jl_recall_sql()
 
 
+@query(
+    "x3_entity_resolution",
+    r"""
+    WITH dirty AS (
+      SELECT c_custkey AS d_key,
+             substr(c_name, 1, p - 1)
+               || cast((cast(substr(c_name, p, 1) AS INT) + 1) % 10
+                       AS VARCHAR)
+               || substr(c_name, p + 1) AS d_name
+      FROM (SELECT c_custkey, c_name,
+                   cast(15 + c_custkey % 4 AS INT) AS p
+            FROM customer)
+    ),
+    clean AS (SELECT c_custkey AS c_key, c_name FROM customer),
+    cand AS (
+      SELECT DISTINCT d_key, c_key FROM (
+        SELECT d.d_key, c.c_key FROM dirty d JOIN clean c
+          ON substr(d.d_name, 15, 2) = substr(c.c_name, 15, 2)
+        UNION ALL
+        SELECT d.d_key, c.c_key FROM dirty d JOIN clean c
+          ON substr(d.d_name, 17, 2) = substr(c.c_name, 17, 2)
+      )
+    ),
+    pairs AS (
+      SELECT cand.d_key, cand.c_key,
+             levenshtein(d.d_name, c.c_name)::BIGINT AS dist
+      FROM cand
+      JOIN dirty d ON cand.d_key = d.d_key
+      JOIN clean c ON cand.c_key = c.c_key
+      WHERE levenshtein(d.d_name, c.c_name) <= 1
+    ),
+    best AS (
+      SELECT d_key, c_key, dist FROM (
+        SELECT d_key, c_key, dist,
+               row_number() OVER (PARTITION BY d_key
+                                  ORDER BY dist, c_key) AS rn
+        FROM pairs)
+      WHERE rn = 1
+    )
+    SELECT count(*)::BIGINT AS n_dirty,
+           count(b.c_key)::BIGINT AS matched,
+           sum(CASE WHEN b.c_key = d.d_key THEN 1 ELSE 0 END)::BIGINT
+             AS correct,
+           sum(CASE WHEN b.dist = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS exact_collisions
+    FROM dirty d LEFT JOIN best b ON d.d_key = b.d_key
+    """,
+)
+def x3_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — entity resolution via multi-pass-blocked fuzzy join
+    (round 6): re-key a deterministically corrupted customer roster
+    (one digit of the name's numeric tail substituted, position keyed
+    by custkey) back to the canonical table. Candidates come from the
+    UNION of two equi-join blocking passes on disjoint 2-digit
+    windows of the tail — the corruption hits exactly one window, so
+    the other is always intact: the textbook multi-pass recall
+    guarantee, with zero cross joins (plan-locked). Levenshtein runs
+    JVM-side on blocked candidates only; the match table stays
+    id-width; best-match is a candidate-sized window with a
+    deterministic (dist, id) tie-break. `correct < matched` is real
+    ER behavior: a corrupted tail can collide exactly with another
+    live key (`exact_collisions` counts those dist-0 traps). At
+    100 TB the blocking NDV is the caller's knob — these 2-digit
+    windows are sf-appropriate; a production roster keys on wider
+    windows or phonetic codes via the same
+    :func:`~vectordb_migrator_spark.operators.linkage.fuzzy_join`
+    API."""
+    from vectordb_migrator_spark.operators.linkage import (
+        best_match,
+        fuzzy_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = cust.withColumn(
+        "p", (F.lit(15) + F.col("c_custkey") % 4).cast("int")
+    ).select(
+        F.col("c_custkey").alias("d_key"),
+        F.expr(
+            "substr(c_name, 1, p - 1)"
+            " || cast((cast(substr(c_name, p, 1) as int) + 1) % 10"
+            "         as string)"
+            " || substr(c_name, p + 1)"
+        ).alias("d_name"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("c_key"), F.col("c_name")
+    )
+    pairs = fuzzy_join(
+        dirty,
+        clean,
+        on=("d_name", "c_name"),
+        block_keys=[
+            (
+                F.expr("substr(d_name, 15, 2)"),
+                F.expr("substr(c_name, 15, 2)"),
+            ),
+            (
+                F.expr("substr(d_name, 17, 2)"),
+                F.expr("substr(c_name, 17, 2)"),
+            ),
+        ],
+        left_id="d_key",
+        right_id="c_key",
+        max_dist=1,
+    )
+    best = best_match(pairs, left_id="d_key", right_id="c_key")
+    return (
+        dirty.select("d_key")
+        .join(best, "d_key", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dirty"),
+            F.count("c_key").cast("long").alias("matched"),
+            F.sum(
+                F.when(F.col("c_key") == F.col("d_key"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("correct"),
+            F.sum(F.when(F.col("dist") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("exact_collisions"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
