@@ -214,3 +214,28 @@ def test_export_shards_layout_and_manifest(spark, tmp_path):
     stored = {r["shard"]: r["n_rows"]
               for r in spark.read.parquet(path + "__manifest").collect()}
     assert stored == {k: r["n_rows"] for k, r in manifest.items()}
+
+
+def test_key_skew_stats_recommends_salt_only_for_skew(spark):
+    from vectordb_migrator_spark.operators.scale import key_skew_stats
+
+    # hot: one key holds 400 of 499 rows; flat: every key holds 5
+    hot = spark.createDataFrame(
+        [(i, 0 if i < 400 else i) for i in range(499)], "row long, k long"
+    )
+    flat = spark.createDataFrame(
+        [(i, i % 50) for i in range(250)], "row long, k long"
+    )
+    out = {
+        r["key_col"]: r
+        for r in key_skew_stats(
+            [("hot", hot, "k"), ("flat", flat, "k")]
+        ).collect()
+    }
+    assert out["flat"]["salt"] == 1 and out["flat"]["skew_ratio"] == 1.0
+    h = out["hot"]
+    assert h["max_n"] == 400 and h["ndv"] == 100
+    assert h["skew_ratio"] > 4.0 and 1 < h["salt"] <= 64
+    # clamp honors max_salt
+    clamped = key_skew_stats([("hot", hot, "k")], max_salt=8).collect()[0]
+    assert clamped["salt"] == 8

@@ -120,6 +120,7 @@ _EXPORTS = {
     "rolling_correlation": "timeseries",
     # scale / validation / transform
     "salted_join": "scale",
+    "key_skew_stats": "scale",
     "write_bucketed": "scale",
     "write_partitioned": "scale",
     "zorder_write": "scale",

@@ -21,6 +21,69 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def key_skew_stats(
+    frames: list[tuple[str, DataFrame, str]],
+    *,
+    skew_threshold: float = 4.0,
+    max_salt: int = 64,
+) -> DataFrame:
+    """Per-key distribution audit for prospective join/agg keys — the
+    measurement that decides whether :func:`salted_join` (and what
+    salt factor) is warranted BEFORE a 100 TB shuffle straggles.
+
+    ``frames`` is a list of (label, df, key_col). For each key: exact
+    NDV, total rows, hottest-key row count, exact p99 of the per-key
+    count distribution, and ``skew_ratio = max / p99`` — the
+    straggler signal AQE's stats also react to, surfaced as a table
+    so the decision is explicit and reviewable. ``salt`` is the
+    recommended factor, ``ceil(max / p99)`` clamped to
+    [1, ``max_salt``], emitted only when ``skew_ratio`` crosses
+    ``skew_threshold`` (otherwise 1 = don't salt: salting has a
+    replication cost).
+
+    One grouped count per frame (map-side partial combine), then a
+    per-label rollup over key-count rows — no payload columns ever
+    shuffle."""
+    per = None
+    for label, df, key in frames:
+        p = df.select(
+            F.lit(label).alias("key_col"),
+            F.col(key).cast("string").alias("k"),
+        )
+        per = p if per is None else per.unionAll(p)
+    counts = per.groupBy("key_col", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stats = counts.groupBy("key_col").agg(
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("max_n"),
+        F.expr("percentile(n, 0.99)").alias("p99_n"),
+    )
+    skew = F.col("max_n") / F.col("p99_n")
+    return stats.select(
+        "key_col",
+        "ndv",
+        "total",
+        "max_n",
+        F.round("p99_n", 6).alias("p99_n"),
+        F.round(skew, 6).alias("skew_ratio"),
+        F.when(
+            skew > skew_threshold,
+            F.least(
+                F.lit(max_salt).cast("long"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.col("max_n") / F.col("p99_n")),
+                ),
+            ),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("salt"),
+    ).orderBy("key_col")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

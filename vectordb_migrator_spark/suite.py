@@ -10957,6 +10957,65 @@ def x3_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x12_skew_advisor",
+    r"""
+    WITH unp AS (
+      SELECT 'events.user_id' AS key_col, user_id::VARCHAR AS k
+        FROM events
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', l_suppkey::VARCHAR FROM lineitem
+      UNION ALL
+      SELECT 'orders.o_custkey', o_custkey::VARCHAR FROM orders
+    ),
+    counts AS (
+      SELECT key_col, k, count(*)::BIGINT AS n
+      FROM unp GROUP BY key_col, k
+    ),
+    stats AS (
+      SELECT key_col,
+             count(*)::BIGINT AS ndv,
+             sum(n)::BIGINT AS total,
+             max(n)::BIGINT AS max_n,
+             quantile_cont(n, 0.99) AS p99
+      FROM counts GROUP BY key_col
+    )
+    SELECT key_col, ndv, total, max_n,
+           round(p99, 6) AS p99_n,
+           round(max_n / p99, 6) AS skew_ratio,
+           (CASE WHEN max_n / p99 > 4.0
+                 THEN least(64, greatest(1, ceil(max_n / p99)))
+                 ELSE 1 END)::BIGINT AS salt
+    FROM stats ORDER BY key_col
+    """,
+)
+def x12_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — join-key skew advisor (round 6): the pre-shuffle audit
+    that prices a 100 TB join BEFORE running it. For each prospective
+    key: exact NDV, hottest-key count, exact p99 of the per-key count
+    distribution, and the straggler signal ``skew_ratio = max/p99``;
+    when it crosses the threshold the table recommends the concrete
+    ``salt`` factor to hand :func:`~vectordb_migrator_spark.operators
+    .scale.salted_join` (clamped — salting replicates the other
+    side). Companion to ``x12_layout_advisor``: that one picks the
+    storage layout, this one prices the runtime shuffle. One grouped
+    count per key (map-side combined), then a rollup over key-count
+    rows — the audit itself never shuffles payload columns."""
+    from vectordb_migrator_spark.operators.scale import key_skew_stats
+
+    return key_skew_stats(
+        [
+            ("events.user_id", _t(spark, sf_dir, "events"), "user_id"),
+            (
+                "lineitem.l_suppkey",
+                _t(spark, sf_dir, "lineitem"),
+                "l_suppkey",
+            ),
+            ("orders.o_custkey", _t(spark, sf_dir, "orders"), "o_custkey"),
+        ]
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
