@@ -1109,3 +1109,42 @@ def test_ndcg_at_k_perfect_and_degraded(spark):
     dcg = sum((k + 1 - (k + 1 - p)) / math.log2(p + 1) for p in range(1, k + 1))
     idcg = sum(g / math.log2(i + 2) for i, g in enumerate(gains))
     assert abs(r2["ndcg"] - round(dcg / idcg, 6)) < 1e-9
+
+
+def test_maxsim_topk_rewards_multi_facet_docs(spark):
+    from vectordb_migrator_spark.operators.ranking import maxsim_topk
+
+    # query has two orthogonal facets; doc 1 covers BOTH in different
+    # sub-vectors, doc 2 nails one facet twice, doc 3 is orthogonal
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.0, 0.0001]),
+        ],
+        "doc_id long, vec array<double>",
+    ).filter("doc_id != 3 or vec[1] > 0")  # keep frame non-trivial
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "q_id long, qv array<double>"
+    )
+    out = maxsim_topk(docs, q, k=3).collect()
+    scores = {r["doc_id"]: r["maxsim"] for r in out}
+    # doc1: max cos per facet = 1 + 1 = 2; doc2: 1 + 0 = 1
+    assert scores[1] == 2.0
+    assert scores[2] == 1.0
+    assert out[0]["doc_id"] == 1
+    # doc3 matches facet 2 exactly (cosine is scale-invariant)
+    assert scores[3] == 1.0
+
+
+def test_maxsim_topk_ties_break_by_doc_id(spark):
+    from vectordb_migrator_spark.operators.ranking import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (5, [1.0, 0.0])], "doc_id long, vec array<double>"
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "q_id long, qv array<double>")
+    out = maxsim_topk(docs, q, k=2).collect()
+    assert [r["doc_id"] for r in out] == [5, 7]

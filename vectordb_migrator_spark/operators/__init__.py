@@ -91,6 +91,7 @@ _EXPORTS = {
     "bigram_surprisal": "cleaning",
     "remove_repeated_spans": "cleaning",
     "bm25_topk": "ranking",
+    "maxsim_topk": "ranking",
     "rrf_fuse": "ranking",
     "mmr_rerank": "ranking",
     "retrieval_metrics": "ranking",

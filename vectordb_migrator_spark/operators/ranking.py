@@ -357,3 +357,61 @@ def ndcg_at_k(
         F.round(F.lit(idcg), 6).alias("idcg"),
         F.round(F.sum("__g") / F.lit(idcg), 6).alias("ndcg"),
     )
+
+
+def maxsim_topk(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    vec_col: str = "vec",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "qv",
+    k: int = 10,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) retrieval: score(doc) =
+    Σ over query vectors q of max over the doc's vectors c of
+    cos(q, c), top-k docs by score.
+
+    ``doc_vecs`` is one row per document sub-vector (chunk/token
+    embedding); ``query_vecs`` is the query's own sub-vector set —
+    QUERY-sized, so it broadcasts: the candidate pass is a broadcast
+    nested-loop over (corpus sub-vectors × |Q|), a narrow multiply
+    with no corpus shuffle. The two reductions shuffle id-width keys
+    only: (doc, q) max, then doc sum. Per-q maxima are rounded to 6
+    then summed as DECIMAL so the doc score is order-independent and
+    exact cross-engine. At 100 TB, gate this full scorer behind an
+    ANN shortlist (`ivf_index_topk` on pooled vectors) and MaxSim
+    only the shortlist — the standard two-stage ColBERT serving
+    layout; the operator composes unchanged over the shortlist frame.
+    """
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+
+    q = query_vecs.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+    )
+    pairs = doc_vecs.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__dv")
+    ).crossJoin(F.broadcast(q))
+    per_q = (
+        pairs.select(
+            id_col,
+            "__qid",
+            F.round(cosine_similarity(F.col("__dv"), F.col("__qv")), 6).alias(
+                "__s"
+            ),
+        )
+        .groupBy(id_col, "__qid")
+        .agg(F.max("__s").alias("__m"))
+    )
+    return (
+        per_q.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("__m").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("maxsim")
+        )
+        .orderBy(F.desc("maxsim"), id_col)
+        .limit(k)
+    )

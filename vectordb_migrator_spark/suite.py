@@ -11016,6 +11016,93 @@ def x12_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x4_maxsim_topk",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE ceil((len(toks) - 32)::DOUBLE / 24)::INT + 1 END
+               AS n_chunks
+      FROM t
+    ), x AS (
+      SELECT doc_id,
+             unnest([{'chunk_id': i - 1,
+                      'chunk_text': array_to_string(
+                        toks[(i-1)*24 + 1 : (i-1)*24 + 32], ' '),
+                      'n_tokens': least(n - (i-1)*24, 32)}
+                     for i in range(1, n_chunks + 1)]) AS ch
+      FROM c
+    ), feats AS (
+      SELECT doc_id, ch.chunk_id AS chunk_id,
+             [ch.n_tokens::DOUBLE,
+              length(ch.chunk_text)::DOUBLE,
+              length(regexp_replace(ch.chunk_text, '[^.,;:!?]', '', 'g'))
+                ::DOUBLE,
+              length(regexp_replace(ch.chunk_text, '[^0-9]', '', 'g'))
+                ::DOUBLE] AS v
+      FROM x
+    ), q AS (
+      SELECT chunk_id AS qid, v AS qv FROM feats WHERE doc_id = 0
+    ), per_q AS (
+      SELECT f.doc_id, q.qid,
+             max(round(list_dot_product(f.v, q.qv) /
+                       (sqrt(list_dot_product(f.v, f.v)) *
+                        sqrt(list_dot_product(q.qv, q.qv))), 6)) AS m
+      FROM feats f CROSS JOIN q
+      GROUP BY f.doc_id, q.qid
+    )
+    SELECT doc_id,
+           round(sum(m::DECIMAL(18,6))::DOUBLE, 6) AS maxsim
+    FROM per_q GROUP BY doc_id
+    ORDER BY maxsim DESC, doc_id LIMIT 10
+    """,
+)
+def x4_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — late-interaction (ColBERT-style MaxSim) retrieval
+    (round 6): documents scored by Σ over query sub-vectors of the
+    max cosine against the doc's own sub-vector set — the multi-vector
+    model single-vector cosine top-k can't express (a doc matching
+    every query facet in DIFFERENT chunks outranks one matching one
+    facet everywhere). Sub-vectors are the deterministic per-chunk
+    feature vectors of the chunk pipeline (standing in for the stubbed
+    token-embedding model, same contract as ``x9_chunk_feature_pool``);
+    the query is doc 0's own chunk set — query-sized, broadcast. Plan:
+    one narrow chunk pass, a broadcast nested-loop against |Q| rows
+    (no corpus shuffle), then two id-width reductions ((doc, q) max →
+    doc decimal-exact sum). At 100 TB the scorer runs over an ANN
+    shortlist (see
+    :func:`~vectordb_migrator_spark.operators.ranking.maxsim_topk`)."""
+    from vectordb_migrator_spark.operators.chunking import chunk_text
+    from vectordb_migrator_spark.operators.ranking import maxsim_topk
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_text(d, chunk_size=32, overlap=8)
+    feats = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.array(
+            F.col("n_tokens").cast("double"),
+            F.length("chunk_text").cast("double"),
+            F.length(F.regexp_replace("chunk_text", r"[^.,;:!?]", "")).cast(
+                "double"
+            ),
+            F.length(F.regexp_replace("chunk_text", r"[^0-9]", "")).cast(
+                "double"
+            ),
+        ).alias("v"),
+    )
+    q = feats.filter(F.col("doc_id") == 0).select(
+        F.col("chunk_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return maxsim_topk(
+        feats, q, id_col="doc_id", vec_col="v", k=10
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
