@@ -160,3 +160,50 @@ def test_two_phase_backend_in_dedup_keep_representatives(spark):
     assert lp == tp == [0, 3, 4, 6, 7]
     with pytest.raises(ValueError, match="algorithm"):
         dedup_keep_representatives(docs, pairs, algorithm="nope")
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.graph import pagerank
+
+    # two components: a 4-cycle with a chord (asymmetric centrality)
+    # and an isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        contrib = adj.T @ (r / deg)
+        r = np.round(0.15 / n + 0.85 * contrib, 12)
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    # chord endpoints (1, 3) are the hubs of the cycle component
+    assert got[1] > got[2] and got[3] > got[4]
+    # ranks sum to ~1
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_directed_mode(spark):
+    from vectordb_migrator_spark.operators.graph import pagerank
+
+    # star pointing at vertex 0: all mass flows to the hub
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, undirected=False, n_iter=10).collect()
+    }
+    # leaves 2,3 receive nothing: floor rank; the 0<->1 pair holds
+    # the rest of the mass (their split oscillates with parity)
+    assert got[2] == got[3]
+    assert got[0] > got[2] and got[1] > got[2]

@@ -79,6 +79,7 @@ _EXPORTS = {
     "kmeans_fit": "clustering",
     "assign_clusters": "clustering",
     "connected_components": "graph",
+    "pagerank": "graph",
     "connected_components_two_phase": "graph",
     "dedup_keep_representatives": "graph",
     # text / cleaning / ranking

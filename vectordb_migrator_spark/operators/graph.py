@@ -235,3 +235,80 @@ def dedup_keep_representatives(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    undirected: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the edge list — vertex centrality
+    for picking the *canonical* member of a dup family (the hub every
+    near-duplicate points at), or weighting docs by graph importance.
+
+    ``n_iter`` is FIXED (no convergence probe): the output is a pure
+    function of the input, reproducible across engines and retries.
+    Every iteration is one (rank/deg) contribution shuffle keyed by
+    dst plus a vertex-set left join — (long, double) rows only,
+    payloads never enter the loop; ``localCheckpoint`` truncates the
+    growing lineage exactly as :func:`connected_components` does.
+    Contributions sum as DECIMAL(28,18) and each iteration's ranks
+    round to 12 decimals, so the per-vertex trajectory is
+    order-independent and bit-identical cross-engine — the property
+    that lets an iterative algorithm carry an exact SQL oracle.
+
+    With ``undirected`` the edges symmetrize first (the near-dup pair
+    case); every vertex then has out-degree ≥ 1, so there is no
+    dangling-mass term. Returns (id, rank) with ranks summing to ~1.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if undirected:
+        e = e.union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    e = e.distinct().localCheckpoint(eager=True)
+
+    verts = e.select(F.col("a").alias("id")).distinct()
+    deg = e.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    base = (1.0 - damping) / n
+
+    ranks = verts.withColumn(
+        "rank", F.lit(1.0 / n).cast("double")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "a"), "a")
+            .join(deg.withColumnRenamed("id", "a"), "a")
+            .select(
+                F.col("b").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(
+                F.sum(F.col("c").cast("decimal(28,18)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        ranks = (
+            verts.join(contrib, "id", "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -11103,6 +11103,111 @@ def x4_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_sql(n_iter: int = 10, d: float = 0.85) -> str:
+    """Oracle for x2_dedup_pagerank — the SAME near-dup pair graph as
+    x2_dedup_clusters, then ``n_iter`` UNROLLED PageRank iterations
+    (one CTE each) with the engine-exactness contract the operator
+    keeps: DECIMAL(28,18) contribution sums, per-iteration round-12."""
+    sql = r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS id, least(a, min(b))::BIGINT AS comp
+      FROM reach GROUP BY a
+    ), verts AS (
+      SELECT DISTINCT a AS id FROM edges
+    ), deg AS (
+      SELECT a AS id, count(*)::BIGINT AS deg FROM edges GROUP BY a
+    ), nn AS (
+      SELECT count(*)::DOUBLE AS n FROM verts
+    ), r0 AS (
+      SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts
+    )"""
+    for k in range(1, n_iter + 1):
+        sql += f""", r{k} AS (
+      SELECT v.id,
+             round((1.0 - {d}) / (SELECT n FROM nn)
+                   + {d} * coalesce(s.s, 0.0), 12) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.b AS id,
+               sum((r.rank / dg.deg)::DECIMAL(28,18))::DOUBLE AS s
+        FROM edges e
+        JOIN r{k - 1} r ON e.a = r.id
+        JOIN deg dg ON dg.id = e.a
+        GROUP BY e.b) s ON s.id = v.id
+    )"""
+    return (
+        sql
+        + f"""
+    SELECT v.id, c.comp, round(r.rank, 6) AS rank,
+           (CASE WHEN row_number() OVER (
+                    PARTITION BY c.comp ORDER BY r.rank DESC, v.id) = 1
+                 THEN 1 ELSE 0 END)::BIGINT AS canonical
+    FROM verts v
+    JOIN comp c ON c.id = v.id
+    JOIN r{n_iter} r ON r.id = v.id
+    ORDER BY v.id"""
+    )
+
+
+@query("x2_dedup_pagerank", _pagerank_sql())
+def x2_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — centrality-keeper dedup (round 6): PageRank over the SAME
+    near-dup pair graph as ``x2_dedup_clusters``, composed with the
+    component assignment — per dup family, the member every
+    near-duplicate 'points at' hardest is flagged canonical (the
+    graph-importance alternative to the quality-argmax of
+    ``x2_dedup_keep_best``: no quality model needed, ties in dense
+    families resolved by structure). The 10 fixed iterations round
+    each rank to 12 with DECIMAL contribution sums, making an
+    ITERATIVE distributed algorithm exactly reproducible in SQL — the
+    oracle unrolls one CTE per iteration and hash-matches. The pair
+    frame is localCheckpointed once and feeds both PageRank and the
+    CC closure; every loop shuffle is (long, double)-width
+    (operators/graph.py:pagerank)."""
+    from vectordb_migrator_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).localCheckpoint(eager=True)
+    pr = pagerank(pairs)
+    comp = connected_components(pairs)
+    w = W.partitionBy("comp").orderBy(F.desc("rank"), "id")
+    return (
+        comp.join(pr, "id")
+        .withColumn(
+            "canonical",
+            F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("long"),
+        )
+        .select("id", "comp", F.round("rank", 6).alias("rank"), "canonical")
+        .orderBy("id")
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
