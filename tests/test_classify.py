@@ -171,3 +171,26 @@ def test_nb_score_plan_projects_counts_once(spark):
         .toString()
     )
     assert plan.count("md5") <= 1, plan
+
+
+def test_nb_score_posterior_properties(spark):
+    from vectordb_migrator_spark.operators.classify import nb_fit, nb_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa aaa aaa", "A"),
+            (2, "aaa aaa aab", "A"),
+            (3, "zzz zzz zzz", "B"),
+            (4, "zzz zzy zzz", "B"),
+            (5, "aaa zzz aaa", "A"),
+        ],
+        "id long, text string, lab string",
+    )
+    model = nb_fit(df, "text", "lab", dim=16)
+    out = nb_score(df, model, "text", dim=16, posterior_col="conf").collect()
+    for r in out:
+        # posterior of the winner is in (1/n_labels .. 1]
+        assert 0.5 - 1e-9 <= r["conf"] <= 1.0 + 1e-9
+    by_id = {r["id"]: r for r in out}
+    # a clean one-class doc is more confident than a mixed doc
+    assert by_id[1]["conf"] > by_id[5]["conf"]

@@ -123,9 +123,17 @@ def nb_score(
     dim: int = 64,
     pred_col: str = "pred",
     score_col: str = "pred_score",
+    posterior_col: str | None = None,
 ) -> DataFrame:
     """Score every row against a fitted NB model; append the argmax
     label and its (round-6) log-score.
+
+    With ``posterior_col``, also append the softmax posterior of the
+    winning label, ``round(1 / Σ_k exp(s_k − s_max), 6)`` — the
+    CONFIDENCE a calibration audit bins. The sum folds over labels in
+    ascending-label order (a fixed expression, not a shuffle), so the
+    double-precision result is order-independent and the same value
+    an ordered-list fold produces in SQL.
 
     The model is collected driver-side — O(labels × dim) values, the
     same bounded-collect contract as the k-means centroids
@@ -168,11 +176,18 @@ def nb_score(
             ]
         )
     )
-    return (
+    out = (
         scored.withColumn("__best", best)
         .withColumn(pred_col, F.col("__best.l"))
         .withColumn(score_col, F.col("__best.s"))
-        .drop("__cnts", "__best", *[f"__s_{k}" for k in range(len(rows))])
+    )
+    if posterior_col is not None:
+        denom = F.lit(0.0)
+        for k in range(len(rows)):
+            denom = denom + F.exp(F.col(f"__s_{k}") - F.col(score_col))
+        out = out.withColumn(posterior_col, F.round(1.0 / denom, 6))
+    return out.drop(
+        "__cnts", "__best", *[f"__s_{k}" for k in range(len(rows))]
     )
 
 

@@ -11208,6 +11208,109 @@ def x2_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x5_nb_calibration",
+    rf"""
+    WITH b AS (
+      SELECT doc_id, lang, {_FHB64_SQL.format(col="text")} AS bks
+      FROM documents
+    ), cv AS (
+      SELECT doc_id, lang, {_CNT64_SQL.format(bks="bks")} AS cnts FROM b
+    ), cell AS (
+      SELECT lang AS label, unnest(bks) AS bkt FROM b
+    ), cnt AS (
+      SELECT label, bkt, count(*)::DOUBLE AS n FROM cell GROUP BY 1, 2
+    ), tot AS (
+      SELECT label, sum(n) AS tot FROM cnt GROUP BY 1
+    ), grid AS (
+      SELECT t.label, g.i, t.tot, coalesce(c.n, 0) AS n
+      FROM tot t CROSS JOIN range(0, 64) g(i)
+      LEFT JOIN cnt c ON c.label = t.label AND c.bkt = g.i
+    ), ll AS (
+      SELECT label,
+             list(round(ln((n + 1.0) / (tot + 64.0)), 9) ORDER BY i) AS ll
+      FROM grid GROUP BY label
+    ), prior AS (
+      SELECT lang AS label,
+             round(ln(count(*)::DOUBLE /
+                      (SELECT count(*) FROM documents)), 9) AS lp
+      FROM documents GROUP BY 1
+    ), sc AS (
+      SELECT cv.doc_id, cv.lang, l.label,
+             round(p.lp + list_sum(
+               [cv.cnts[i] * l.ll[i] for i in range(1, 65)]), 6) AS score
+      FROM cv CROSS JOIN ll l JOIN prior p ON p.label = l.label
+    ), smax AS (
+      SELECT *,
+             max(score) OVER (PARTITION BY doc_id) AS smax,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label DESC) AS rn
+      FROM sc
+    ), cf AS (
+      SELECT doc_id,
+             round(1.0 / list_sum(
+               list(exp(score - smax) ORDER BY label)), 6) AS conf
+      FROM smax GROUP BY doc_id
+    ), post AS (
+      SELECT s.doc_id, s.lang, s.label AS pred, c.conf
+      FROM smax s JOIN cf c ON c.doc_id = s.doc_id
+      WHERE s.rn = 1
+    ), binned AS (
+      SELECT least(9, floor(conf * 10))::BIGINT AS bin,
+             conf,
+             CASE WHEN pred = lang THEN 1 ELSE 0 END AS ok
+      FROM post
+    )
+    SELECT bin, count(*)::BIGINT AS n,
+           round(sum(conf::DECIMAL(18,6))::DOUBLE / count(*), 6)
+             AS mean_conf,
+           round(sum(ok)::DOUBLE / count(*), 6) AS accuracy
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def x5_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — classifier calibration audit (round 6): the reliability
+    diagram for the hashed-unigram NB language classifier — softmax
+    confidence of the winning label, binned into deciles, against the
+    observed accuracy in each bin. The table a curation pipeline
+    reads before TRUSTING classifier scores as mixture weights or
+    filter thresholds (a confident-but-wrong bin means the threshold
+    must move, or the scores need temperature scaling — the |conf −
+    acc| gap per bin is the ECE integrand). Same two-scan shape as
+    the classifier itself (kilobyte model collect → zero-shuffle
+    codegen scoring); the posterior is an ordered label fold so the
+    double math is engine-exact, and per-bin means sum as DECIMAL.
+    The confusion-matrix twin is ``x5_langid_confusion``; this query
+    grades the SCORES, that one grades the argmax."""
+    from vectordb_migrator_spark.operators.classify import nb_fit, nb_score
+
+    docs = _t(spark, sf_dir, "documents")
+    model = nb_fit(docs, "text", "lang", dim=_NB_DIM, alpha=1.0)
+    scored = nb_score(
+        docs, model, "text", dim=_NB_DIM, posterior_col="conf"
+    )
+    binned = scored.select(
+        F.least(F.lit(9), F.floor(F.col("conf") * 10))
+        .cast("long")
+        .alias("bin"),
+        "conf",
+        F.when(F.col("pred") == F.col("lang"), 1).otherwise(0).alias("ok"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("conf").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_conf"),
+            F.round(F.sum("ok") / F.count(F.lit(1)), 6).alias("accuracy"),
+        )
+        .orderBy("bin")
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
