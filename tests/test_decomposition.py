@@ -180,3 +180,56 @@ def test_jl_project_stays_jvm_side(spark, embeddings):
         .toString()
     )
     assert "Python" not in plan, plan
+
+
+def test_whitening_matches_numpy_and_identity_cov(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.decomposition import (
+        gram_matrix,
+        whiten_vectors,
+        whitening_fit,
+    )
+
+    rng = np.random.default_rng(7)
+    # correlated 4-dim data with wildly different scales
+    base = rng.standard_normal((300, 4))
+    mix = np.array(
+        [[3.0, 0, 0, 0], [1.0, 0.5, 0, 0], [0, 0, 10.0, 0], [0, 0, 2.0, 0.1]]
+    )
+    x = base @ mix.T + np.array([5.0, -2.0, 0.0, 100.0])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(x)],
+        "id long, embedding array<double>",
+    )
+    gram, colsum, n = gram_matrix(df, vec_col="embedding")
+    w, mu = whitening_fit(gram, colsum, n)
+
+    # differential: fit replicated in pure NumPy
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    w_np = vecs @ np.diag(1.0 / np.sqrt(np.clip(vals, 1e-6, None))) @ vecs.T
+    assert np.allclose(w, w_np, atol=1e-8)
+    assert np.allclose(mu, x.mean(axis=0), atol=1e-9)
+
+    got = np.array(
+        [
+            r["whitened"]
+            for r in whiten_vectors(df, w, mu)
+            .orderBy("id")
+            .select("whitened")
+            .collect()
+        ]
+    )
+    assert np.allclose(got, (x - mu) @ w.T, atol=1e-9)
+    # whitened covariance is the identity
+    assert np.allclose(np.cov(got, rowvar=False, bias=True), np.eye(4), atol=1e-6)
+    # ZCA = symmetric whitener
+    assert np.allclose(w, w.T, atol=1e-10)
+
+    # pca kind also whitens but rotates onto components
+    w_pca, _ = whitening_fit(gram, colsum, n, kind="pca")
+    got_pca = (x - mu) @ w_pca.T
+    assert np.allclose(
+        np.cov(got_pca, rowvar=False, bias=True), np.eye(4), atol=1e-6
+    )

@@ -50,6 +50,8 @@ _EXPORTS = {
     "nb_score": "classify",
     "dsir_weights": "classify",
     "gram_matrix": "decomposition",
+    "whitening_fit": "decomposition",
+    "whiten_vectors": "decomposition",
     "pca_fit": "decomposition",
     "rotate_vectors": "decomposition",
     "jl_sign_matrix": "decomposition",

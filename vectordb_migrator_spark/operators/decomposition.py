@@ -207,3 +207,69 @@ def jl_project(
         .withColumn(out_col, F.expr(f"array({dots})"))
         .drop("__v")
     )
+
+
+def whitening_fit(
+    gram: np.ndarray,
+    colsum: np.ndarray,
+    n: int,
+    *,
+    eps: float = 1e-6,
+    kind: str = "zca",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whitening transform from the same Gram sufficient statistics
+    :func:`pca_fit` consumes: ``W`` such that ``W(x − μ)`` has
+    identity covariance. ``kind='zca'`` (W = U Λ^{-1/2} Uᵀ) is the
+    minimum-distortion whitener — whitened vectors stay closest to
+    the originals, the variant retrieval pipelines prefer before
+    cosine/IP scoring (it equalizes dimension energy without
+    re-orienting the space); ``kind='pca'`` (W = Λ^{-1/2} Uᵀ) also
+    rotates onto the components. Eigenvalues clip at ``eps`` so
+    near-null directions don't explode. Driver-side O(d²) — O(model),
+    never O(rows).
+
+    Returns (W[d,d], μ[d])."""
+    mu = colsum / n
+    cov = gram / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    scale = 1.0 / np.sqrt(np.clip(vals, eps, None))
+    if kind == "pca":
+        w = np.diag(scale) @ vecs.T
+    elif kind == "zca":
+        w = vecs @ np.diag(scale) @ vecs.T
+    else:
+        raise ValueError(f"unknown whitening kind: {kind!r}")
+    return w, mu
+
+
+def whiten_vectors(
+    df: DataFrame,
+    w: np.ndarray,
+    mu: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "whitened",
+) -> DataFrame:
+    """Apply ``y = W (x − μ)`` to every vector — the centered twin of
+    :func:`rotate_vectors`, same Arrow-batched BLAS contract (one
+    matmul per batch, matrix shipped as a closure constant, no
+    per-element SQL fold)."""
+    wm = np.asarray(w, dtype=np.float64)
+    m = np.asarray(mu, dtype=np.float64)
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} array<double>"]
+    )
+
+    def apply(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for b in batches:
+            b = b.copy()
+            if len(b):
+                x = np.array(b[vec_col].tolist(), dtype=np.float64)
+                y = (x - m) @ wm.T
+                b[out_col] = list(y.tolist())
+            else:
+                b[out_col] = []
+            yield b
+
+    return df.mapInPandas(apply, schema=out_schema)

@@ -11311,6 +11311,125 @@ def x5_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x13_winsorize_events",
+    r"""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    ), w AS (
+      SELECT e.event_type, e.value, q.lo, q.hi,
+             least(greatest(e.value, q.lo), q.hi) AS wv
+      FROM events e JOIN q ON q.event_type = e.event_type
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(any_value(lo), 6) AS p01,
+           round(any_value(hi), 6) AS p99,
+           sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT
+             AS n_clipped_lo,
+           sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT
+             AS n_clipped_hi,
+           round(sum(value::DECIMAL(25,10))::DOUBLE / count(*), 6)
+             AS mean_raw,
+           round(sum(wv::DECIMAL(25,10))::DOUBLE / count(*), 6)
+             AS mean_winsor
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x13_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — per-group winsorization (round 6): clamp each event
+    type's value to its exact [p01, p99] band and report how much the
+    tails moved the mean — the robust-statistics companion to
+    ``anomaly_zscore_events`` (z-scores FLAG outliers; winsorizing
+    BOUNDS their influence so downstream feature means aren't owned
+    by one fat-fingered row). Two passes: a per-type exact-percentile
+    aggregate (tiny frame, broadcast back) and one clamp-and-
+    aggregate scan with DECIMAL-exact means — the same
+    two-scans-beat-one-giant-window shape the timeseries family
+    documents. At 100 TB swap the exact percentile for
+    ``approx_percentile`` at the documented error; the clamp pass is
+    unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    w = ev.join(F.broadcast(q), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first("lo"), 6).alias("p01"),
+            F.round(F.first("hi"), 6).alias("p99"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_hi"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(F.col("wv").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_winsor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("x9_whitening_check", None)  # NumPy-differential, rows-only
+def x9_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — ZCA whitening certificate (round 6): fit the whitener
+    from ONE Gram sufficient-statistics pass (O(d²) driver math, same
+    contract as ``x9_pca_evr``), apply it Arrow-batched, then verify
+    distributively that the whitened covariance is the identity — a
+    SECOND Gram pass over the whitened vectors whose diagonal must be
+    1 and off-diagonal mass 0. Output: per leading dimension, the
+    whitened mean (→0), variance (→1), and the max |off-diagonal|
+    covariance in its row (→0) — the certificate a retrieval pipeline
+    wants before trusting whitened cosine scores. Eigendecomposition
+    is NumPy-on-the-driver (model-sized); no SQL oracle exists for an
+    eigenproblem, so the driver row is rows-only and the exactness
+    evidence is the NumPy differential at
+    tests/test_decomposition.py."""
+    from vectordb_migrator_spark.operators.decomposition import (
+        gram_matrix,
+        whiten_vectors,
+        whitening_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    gram, colsum, n = gram_matrix(emb, vec_col="embedding")
+    w, mu = whitening_fit(gram, colsum, n)
+    wh = whiten_vectors(emb, w, mu, vec_col="embedding")
+    g2, s2, n2 = gram_matrix(wh, vec_col="whitened")
+    mu2 = s2 / n2
+    cov2 = g2 / n2 - np.outer(mu2, mu2)
+    off = np.abs(cov2 - np.diag(np.diag(cov2)))
+    rows = [
+        (
+            int(i),
+            float(round(mu2[i], 4)) + 0.0,
+            float(round(cov2[i, i], 4)) + 0.0,
+            float(round(off[i].max(), 4)) + 0.0,
+        )
+        for i in range(8)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, mean double, variance double, max_offdiag double"
+    )
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
