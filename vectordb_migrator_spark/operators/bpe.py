@@ -1,0 +1,134 @@
+"""BPE tokenizer training — iterative byte-pair-encoding merge
+learning (Sennrich et al. 2016) over a distributed corpus.
+
+``x5_bpe_pair_stats`` is ONE round of this loop's statistics; this
+module runs the full loop. The Spark-first shape: the corpus is
+scanned ONCE into a (word, freq) vocabulary — at 100 TB the vocab is
+orders of magnitude smaller than the corpus (Heaps' law), so every
+merge iteration is an aggregate over the VOCAB frame, never a corpus
+rescan. Each round: adjacent-pair counts weighted by word frequency
+(one map-side-combined shuffle of symbol pairs), an O(1) top-1
+collect, and a codegen fold that rewrites each word's symbol array in
+place (no Python workers anywhere). ``localCheckpoint`` truncates the
+per-round lineage exactly as the graph loops do.
+
+The loop is deterministic: ties on pair count break lexicographically,
+so the learned merge table is a pure function of the corpus —
+differential-tested against a pure-Python replica in
+tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.functions.text import ws_tokens
+
+
+def bpe_word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) vocabulary — the one corpus-sized pass."""
+    toks = F.filter(ws_tokens(text_col), lambda x: x != "")
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _chars(col: Column) -> Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)), lambda i: col.substr(i, F.lit(1))
+    )
+
+
+def _merge_fold(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into a+b — the
+    exact scan order the reference BPE algorithm uses, as one codegen
+    fold (no UDF)."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 8,
+    min_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(left, right, count)]
+    in learned order. Stops early when no pair reaches ``min_count``.
+
+    The returned table is model-sized (the k-means bounded-collect
+    contract); apply it with :func:`bpe_segment`."""
+    vocab = (
+        bpe_word_freqs(df, text_col)
+        .select("freq", _chars(F.col("word")).alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.element_at("syms", (i + 1).cast("int")).alias(
+                                "a"
+                            ),
+                            F.element_at("syms", (i + 2).cast("int")).alias(
+                                "b"
+                            ),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+        if not top or top[0]["n"] < min_count:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((a, b, n))
+        vocab = vocab.select(
+            "freq", _merge_fold(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge table to every document: whitespace
+    words → characters → the merges replayed IN LEARNED ORDER (the
+    BPE apply contract), flattened back to one token array per doc.
+    ``n_merges`` chained folds over word-sized arrays, all codegen —
+    fine for diagnostic merge counts; a production tokenizer with
+    thousands of merges belongs in an Arrow-batched UDF instead."""
+    toks = F.filter(ws_tokens(text_col), lambda x: x != "")
+    words = F.transform(toks, lambda w: _chars(w))
+    def _applier(a: str, b: str):
+        return lambda s: _merge_fold(s, a, b)
+
+    for m in merges:
+        words = F.transform(words, _applier(m[0], m[1]))
+    return df.withColumn(out_col, F.flatten(words))
