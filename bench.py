@@ -207,6 +207,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         # best of 2: the machine hosts competing load, and a single
         # cold sample conflates Janino compile + noise with steady
@@ -214,11 +215,20 @@ def main() -> None:
         best = None
         for _ in range(2):
             t0 = time.time()
-            df = QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            # Per-query isolation: one data-dependent failure must be
+            # recorded as THAT query's failure, never erase the whole
+            # round's timings (BENCH_r06 was a stack trace because one
+            # query threw at position 138/164).
+            try:
+                df = QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+                break
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 2)
+        if best is not None:
+            timings[name] = round(best, 2)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     summary = {
@@ -227,9 +237,10 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
+        "n_errors": len(errors),
     }
     print(json.dumps(summary))
-    print(json.dumps({**summary, "queries": timings}))
+    print(json.dumps({**summary, "queries": timings, "errors": errors}))
     print(json.dumps(summary))
 
 

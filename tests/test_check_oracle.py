@@ -66,3 +66,24 @@ def test_nullable_int_with_nulls_exempt(spark):
     ).df()
     assert duck_df["gap"].dtype.kind == "f"  # pandas degraded it
     assert unsafe_oracle_dtypes(sdf, duck_df) == []
+
+
+def test_bench_smoke_isolates_failures(spark):
+    """The sf0.1 smoke gate must record a crashing query as THAT
+    query's failure and keep going — the r6 bench artifact was erased
+    because one data-dependent raise at 138/164 had no isolation."""
+    from bench_smoke import run
+
+    def good(s, sf):
+        return s.range(3)
+
+    def bad(s, sf):
+        raise RuntimeError("deliberately zero-valued fixture")
+
+    failures = run(
+        ["g1", "boom", "g2"],
+        sf_dir="unused",
+        spark=spark,
+        queries={"g1": good, "boom": bad, "g2": good},
+    )
+    assert failures == ["boom"]

@@ -68,6 +68,37 @@ def test_cms_estimate_one_sided_and_merge_invariant(spark):
     assert est2 == est
 
 
+def test_log_histogram_nonpositive_policy(spark):
+    """r6 bench-killer class: sf0.1 contains zero-valued events, and a
+    histogram that aborts the job on them is itself a scale bug. The
+    default policy drops non-positive values scan-side; 'error' keeps
+    the old fail-fast contract; anything else is rejected up front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.sketches import log_histogram
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", -3.0), ("a", 10.0), ("b", 100.0)], ["g", "val"]
+    )
+    # default 'drop': only the two positive rows survive
+    hist = log_histogram(df, "val", base=2.0).collect()
+    assert sum(r["n"] for r in hist) == 2
+    grouped = log_histogram(df, "val", base=2.0, group_cols=["g"]).collect()
+    assert {(r["g"], r["n"]) for r in grouped} == {("a", 1), ("b", 1)}
+    # 'error': the old raise-at-read contract
+    with pytest.raises(Exception, match="value <= 0"):
+        log_histogram(df, "val", base=2.0, nonpositive="error").collect()
+    # positive-only input is identical under both policies
+    pos = df.filter(F.col("val") > 0)
+    a = {(r["bucket"], r["n"]) for r in log_histogram(pos, "val", base=2.0).collect()}
+    b = {(r["bucket"], r["n"])
+         for r in log_histogram(pos, "val", base=2.0, nonpositive="error").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="nonpositive"):
+        log_histogram(df, "val", nonpositive="ignore")
+
+
 def test_log_histogram_quantiles_error_bound(spark):
     """Quantile estimates off the log-bucket histogram are >= the true
     quantile and within the geometric error bound (factor base)."""

@@ -107,6 +107,7 @@ def log_histogram(
     *,
     base: float = 1.05,
     group_cols: list[str] | None = None,
+    nonpositive: str = "drop",
 ) -> DataFrame:
     """Geometric-bucket histogram of a POSITIVE value column:
     ``(bucket int, n long)`` with bucket = ⌊log_base(value)⌋. Bucket
@@ -114,23 +115,31 @@ def log_histogram(
     and any quantile read off the merged histogram carries relative
     value error ≤ base−1 (5% at the default) — the log-bucket analog
     of a t-digest, expressible entirely in codegen + one tiny
-    exchange. Non-positive values raise at read time (guard them
-    upstream; token counts / latencies / sizes are the intended
-    inputs). With ``group_cols`` the histogram keeps one bucket table
-    per group — per-key p99s (latency per endpoint, tokens per source)
-    from the same store contract."""
+    exchange. ``nonpositive`` sets the policy for values ≤ 0 (which
+    have no log bucket): ``'drop'`` (default) filters them scan-side —
+    one bad row must never abort a 100 TB job — while ``'error'``
+    raises at read time for pipelines that treat a non-positive
+    latency/size/count as corruption worth failing on. With
+    ``group_cols`` the histogram keeps one bucket table per group —
+    per-key p99s (latency per endpoint, tokens per source) from the
+    same store contract."""
     import math
 
+    if nonpositive not in ("drop", "error"):
+        raise ValueError(
+            f"nonpositive must be 'drop' or 'error', got {nonpositive!r}"
+        )
     v = F.col(value_col).cast("double")
     gcols = list(group_cols or [])
+    if nonpositive == "drop":
+        df = df.filter(v > 0)
+        bucket = F.floor(F.log(v) / F.lit(math.log(base)))
+    else:
+        bucket = F.when(
+            v > 0, F.floor(F.log(v) / F.lit(math.log(base)))
+        ).otherwise(F.raise_error(F.lit("log_histogram: value <= 0")))
     return (
-        df.select(
-            *gcols,
-            F.when(v > 0, F.floor(F.log(v) / F.lit(math.log(base))))
-            .otherwise(F.raise_error(F.lit("log_histogram: value <= 0")))
-            .cast("int")
-            .alias("bucket"),
-        )
+        df.select(*gcols, bucket.cast("int").alias("bucket"))
         .groupBy(*gcols, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

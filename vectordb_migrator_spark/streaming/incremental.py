@@ -793,21 +793,24 @@ def histogram_ingest(
     source_format: str = "parquet",
     reader_options: dict | None = None,
     trigger_once: bool = True,
+    nonpositive: str = "drop",
 ):
     """Continuous quantile maintenance — the log-bucket histogram as a
     mergeable store: per-batch (bucket, batch_id, n) partials append;
     :func:`quantiles_over` reads current quantiles with relative value
     error ≤ base−1 without rescanning history. Replay-idempotent via
-    the (bucket, batch_id) anti-join."""
+    the (bucket, batch_id) anti-join. ``nonpositive`` follows
+    :func:`log_histogram` — 'drop' (default) so one zero-valued row
+    can never wedge the stream, 'error' to fail the batch."""
     from pyspark.sql.utils import AnalysisException
 
     from vectordb_migrator_spark.operators.sketches import log_histogram
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        partials = log_histogram(batch_df, value_col, base=base).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
+        partials = log_histogram(
+            batch_df, value_col, base=base, nonpositive=nonpositive
+        ).withColumn("batch_id", F.lit(batch_id))
         try:
             seen = sess.read.parquet(hist_path).select("bucket", "batch_id")
             partials = partials.join(seen, ["bucket", "batch_id"], "left_anti")

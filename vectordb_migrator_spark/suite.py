@@ -3105,7 +3105,7 @@ def x7_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (
       SELECT floor(ln(val) / ln(1.05))::INT AS bucket, count(*)::BIGINT AS n
-      FROM v GROUP BY 1
+      FROM v WHERE val > 0 GROUP BY 1
     ),
     c AS (
       SELECT bucket, n, sum(n) OVER (ORDER BY bucket)::BIGINT AS cum FROM h
@@ -3284,7 +3284,7 @@ ORACLES["x2_bloom_decontaminate"] = _bloom_decontaminate_sql()
     WITH h AS (
       SELECT event_type, floor(ln(value) / ln(1.05))::INT AS bucket,
              count(*)::BIGINT AS n
-      FROM events GROUP BY event_type, 2
+      FROM events WHERE value > 0 GROUP BY event_type, 2
     ),
     c AS (
       SELECT event_type, bucket, n,
@@ -3314,7 +3314,11 @@ def x7_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape. The histogram is (n_groups × log-range) rows however big
     the event log, cumulative windows partition by group, and every
     estimate carries the same ≤ base−1 relative error bound. Same
-    mergeable store contract as the global variant. Full oracle."""
+    mergeable store contract as the global variant. Non-positive
+    values are dropped scan-side (the operator's default policy —
+    sf0.1 contains zero-valued events and a histogram must not abort
+    the job on them; the oracle filters ``value > 0`` to match).
+    Full oracle."""
     from vectordb_migrator_spark.operators.sketches import (
         histogram_quantiles,
         log_histogram,
