@@ -207,3 +207,42 @@ def test_pagerank_directed_mode(spark):
     # the rest of the mass (their split oscillates with parity)
     assert got[2] == got[3]
     assert got[0] > got[2] and got[1] > got[2]
+
+
+def test_pagerank_directed_sink_and_dangling_mass(spark):
+    """ADVICE r6: directed graphs with pure sinks — the sink must
+    appear in the output (verts = union of src and dst), its incoming
+    contributions must count, and dangling mass must redistribute
+    uniformly so ranks still sum to ~1. Differential vs the standard
+    NumPy power iteration with the same round-12 schedule."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.graph import pagerank
+
+    # 2 is a pure sink (no out-edges); 4 is an isolated self-pointing
+    # source chain end: 4 -> 5, 5 has no out-edges either
+    edges = [(1, 2), (3, 2), (1, 3), (4, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, undirected=False, n_iter=10).collect()
+    }
+    ids = sorted({v for e in edges for v in e})
+    assert set(got) == set(ids)  # sinks 2 and 5 present
+
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[idx[a], idx[b]] = 1.0
+    out_deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        dangling = r[out_deg == 0].sum()
+        safe = np.where(out_deg > 0, r / np.maximum(out_deg, 1.0), 0.0)
+        r = np.round(0.15 / n + 0.85 * (adj.T @ safe + dangling / n), 12)
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # the double-fed sink out-ranks everything
+    assert got[2] == max(got.values())

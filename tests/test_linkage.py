@@ -111,3 +111,15 @@ def test_fuzzy_join_no_cartesian_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_candidates_empty_block_keys_rejected(spark):
+    """ADVICE r6: an empty pass list must fail with a clear message,
+    not a bare IndexError deep in the union loop."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.linkage import blocked_candidates
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError, match="block_keys"):
+        blocked_candidates(df, df, [], left_id="id", right_id="id")

@@ -239,3 +239,14 @@ def test_key_skew_stats_recommends_salt_only_for_skew(spark):
     # clamp honors max_salt
     clamped = key_skew_stats([("hot", hot, "k")], max_salt=8).collect()[0]
     assert clamped["salt"] == 8
+
+
+def test_key_skew_stats_empty_frames_rejected(spark):
+    """ADVICE r6: an empty frame list must fail with a clear message,
+    not an AttributeError on the None union accumulator."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.scale import key_skew_stats
+
+    with pytest.raises(ValueError, match="frames"):
+        key_skew_stats([])

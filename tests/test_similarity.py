@@ -1148,3 +1148,27 @@ def test_maxsim_topk_ties_break_by_doc_id(spark):
     q = spark.createDataFrame([(0, [1.0, 0.0])], "q_id long, qv array<double>")
     out = maxsim_topk(docs, q, k=2).collect()
     assert [r["doc_id"] for r in out] == [5, 7]
+
+
+def test_maxsim_topk_zero_norm_vectors_score_zero(spark):
+    """ADVICE r6: a zero-norm sub-vector contributes similarity 0.0 —
+    it must not drop out of the (doc, q) max via NULL, and a doc whose
+    sub-vectors are ALL zero-norm gets maxsim 0.0, not NULL."""
+    from vectordb_migrator_spark.operators.ranking import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),      # aligned with q
+            (2, [0.0, 0.0]),      # all-zero doc
+            (3, [0.0, 0.0]),
+            (3, [0.0, 1.0]),      # zero vec must not mask this one
+        ],
+        "doc_id long, vec array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.0, 1.0])], "q_id long, qv array<double>"
+    )
+    out = {r["doc_id"]: r["maxsim"] for r in maxsim_topk(docs, q, k=3).collect()}
+    assert out[2] == 0.0          # not NULL
+    assert out[3] == 1.0          # max(0, cos) picked the real vector
+    assert out[1] == 1.0

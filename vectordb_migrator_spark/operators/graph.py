@@ -263,7 +263,13 @@ def pagerank(
 
     With ``undirected`` the edges symmetrize first (the near-dup pair
     case); every vertex then has out-degree ≥ 1, so there is no
-    dangling-mass term. Returns (id, rank) with ranks summing to ~1.
+    dangling-mass term. In directed mode the vertex set is the union
+    of sources AND destinations (a pure sink is still a vertex), and
+    the rank mass of dangling vertices (out-degree 0) redistributes
+    uniformly each iteration — the standard treatment, so ranks still
+    sum to ~1. The dangling sum is a 1-row broadcast per iteration,
+    accumulated in the same DECIMAL(28,18) so the exactness contract
+    holds. Returns (id, rank) with ranks summing to ~1.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if undirected:
@@ -272,7 +278,12 @@ def pagerank(
         )
     e = e.distinct().localCheckpoint(eager=True)
 
-    verts = e.select(F.col("a").alias("id")).distinct()
+    verts = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = e.groupBy(F.col("a").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
@@ -299,16 +310,25 @@ def pagerank(
                 .alias("s")
             )
         )
-        ranks = (
-            verts.join(contrib, "id", "left")
-            .select(
-                "id",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
-                    12,
-                ).alias("rank"),
+        new = verts.join(contrib, "id", "left")
+        if undirected:
+            dang_term = F.lit(0.0)
+        else:
+            dm = ranks.join(deg, "id", "left_anti").agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(28,18)")),
+                    F.lit(0).cast("decimal(28,18)"),
+                ).alias("__dm")
             )
-            .localCheckpoint(eager=True)
-        )
+            new = new.crossJoin(F.broadcast(dm))
+            dang_term = F.col("__dm").cast("double") / F.lit(float(n))
+        ranks = new.select(
+            "id",
+            F.round(
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("s"), F.lit(0.0)) + dang_term),
+                12,
+            ).alias("rank"),
+        ).localCheckpoint(eager=True)
     return ranks

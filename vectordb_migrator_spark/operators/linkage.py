@@ -41,6 +41,8 @@ def blocked_candidates(
     deduplicated on the id pair only — an id-width shuffle, never a
     payload-width one.
     """
+    if not block_keys:
+        raise ValueError("block_keys must be non-empty")
     passes = []
     for i, (lk, rk) in enumerate(block_keys):
         l = left.select(F.col(left_id), lk.alias(f"__bk{i}"))

@@ -398,9 +398,17 @@ def maxsim_topk(
         pairs.select(
             id_col,
             "__qid",
-            F.round(cosine_similarity(F.col("__dv"), F.col("__qv")), 6).alias(
-                "__s"
-            ),
+            # cosine_similarity is NULL for zero-norm vectors; a zero
+            # sub-vector contributes similarity 0, it must not drop
+            # out of the (doc, q) max nor leave a NULL score that
+            # still occupies a top-k slot (nulls sort last)
+            F.round(
+                F.coalesce(
+                    cosine_similarity(F.col("__dv"), F.col("__qv")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("__s"),
         )
         .groupBy(id_col, "__qid")
         .agg(F.max("__s").alias("__m"))

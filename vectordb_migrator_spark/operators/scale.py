@@ -44,6 +44,8 @@ def key_skew_stats(
     One grouped count per frame (map-side partial combine), then a
     per-label rollup over key-count rows — no payload columns ever
     shuffle."""
+    if not frames:
+        raise ValueError("frames must be non-empty")
     per = None
     for label, df, key in frames:
         p = df.select(
