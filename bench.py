@@ -137,6 +137,7 @@ HEADLINE = [
     "x5_langid_confusion",
     "x5_sentence_stats",
     "x5_bpe_pair_stats",
+    "x5_bpe_train",
     "x5_quality_by_lang",
     "x5_quality_tiers",
     "x5_quality_tiers_scalable",

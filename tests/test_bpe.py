@@ -66,3 +66,14 @@ def test_bpe_segment_replays_merges_in_order(spark):
         toks = row["text"].split()
         expect = [s for w in toks for s in vocab[w]]
         assert row["bpe_tokens"] == expect
+
+
+def test_bpe_learn_driver_and_distributed_paths_agree(spark):
+    """The driver fast path (vocab fits) and the distributed loop
+    (driver_threshold=0) are the SAME algorithm — identical merge
+    tables, both matching the pure-Python reference."""
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    fast = bpe_learn(df, n_merges=8)  # vocab ≤ default threshold
+    dist = bpe_learn(df, n_merges=8, driver_threshold=0)
+    want, _ = _py_bpe(CORPUS, 8)
+    assert fast == dist == want

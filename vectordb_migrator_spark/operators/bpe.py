@@ -60,15 +60,61 @@ def _merge_fold(syms: Column, a: str, b: str) -> Column:
     )
 
 
+def _bpe_learn_local(
+    vocab: list[tuple[int, list[str]]], n_merges: int, min_count: int
+) -> list[tuple[str, str, int]]:
+    """The identical merge loop over a collected vocab — same pair
+    statistic, same (n DESC, a, b) tie-break, same greedy
+    left-to-right fold. Differential-tested against the distributed
+    loop (tests/test_bpe.py)."""
+    vocab = [(f, list(s)) for f, s in vocab]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for freq, syms in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((a, b, n))
+        for idx, (freq, syms) in enumerate(vocab):
+            acc: list[str] = []
+            for s in syms:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(s)
+            vocab[idx] = (freq, acc)
+    return merges
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
     *,
     n_merges: int = 8,
     min_count: int = 2,
+    driver_threshold: int = 100_000,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, count)]
     in learned order. Stops early when no pair reaches ``min_count``.
+
+    The corpus-sized pass (word counting) is always distributed; the
+    merge LOOP then runs wherever the vocab fits. A vocab of
+    ``driver_threshold`` or fewer words (Heaps' law keeps vocabs
+    orders of magnitude smaller than corpora — ~1M words for 100 TB
+    of text) collects once and iterates driver-side in plain Python:
+    8 merges over a bounded model-sized table need no cluster round
+    trips. Above the threshold the loop stays distributed — one
+    map-side-combined pair-count shuffle + O(1) top-1 collect +
+    codegen fold per merge. Both paths are the SAME deterministic
+    algorithm (differential-tested), so the learned table is
+    path-independent. Set ``driver_threshold=0`` to force the
+    distributed loop.
 
     The returned table is model-sized (the k-means bounded-collect
     contract); apply it with :func:`bpe_segment`."""
@@ -77,6 +123,13 @@ def bpe_learn(
         .select("freq", _chars(F.col("word")).alias("syms"))
         .localCheckpoint(eager=True)
     )
+    if vocab.count() <= driver_threshold:
+        rows = vocab.collect()
+        return _bpe_learn_local(
+            [(int(r["freq"]), list(r["syms"])) for r in rows],
+            n_merges,
+            min_count,
+        )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pairs = (

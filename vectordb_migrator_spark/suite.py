@@ -2791,6 +2791,82 @@ def x5_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """Oracle for x5_bpe_train — ``n_merges`` UNROLLED BPE iterations.
+    Per iteration: adjacent-pair counts over the (freq, syms) vocab,
+    the (n DESC, a, b) deterministic top-1, then the greedy
+    left-to-right merge fold replayed as a per-word recursive CTE
+    (state = (word, position, accumulated symbols)) — the same scan
+    order as ``operators/bpe.py:_merge_fold``. The vocab is Heaps'-law
+    tiny, so the recursion is (vocab × word-length) rows per merge."""
+    sql = r"""
+    WITH RECURSIVE w AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      FROM documents
+    ), v AS (
+      SELECT word, count(*)::BIGINT AS freq
+      FROM w WHERE word <> '' GROUP BY word
+    ), vocab0 AS MATERIALIZED (
+      SELECT word AS wid, freq, string_split(word, '') AS syms FROM v
+    )"""
+    for k in range(1, n_merges + 1):
+        p = f"vocab{k - 1}"
+        sql += f""", pairs{k} AS (
+      SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq)::BIGINT AS n
+      FROM {p}, unnest(range(1, len(syms))) u(i)
+      GROUP BY 1, 2
+    ), top{k} AS MATERIALIZED (
+      SELECT a, b, n FROM pairs{k} ORDER BY n DESC, a, b LIMIT 1
+    ), fold{k} AS (
+      SELECT wid, freq, syms, 1 AS i, []::VARCHAR[] AS acc FROM {p}
+      UNION ALL
+      SELECT wid, freq, syms, i + 1,
+        CASE WHEN len(acc) > 0
+                  AND acc[-1] = (SELECT a FROM top{k})
+                  AND syms[i] = (SELECT b FROM top{k})
+          THEN list_slice(acc, 1, len(acc) - 1)
+               || [(SELECT a FROM top{k}) || (SELECT b FROM top{k})]
+          ELSE acc || [syms[i]] END
+      FROM fold{k} WHERE i <= len(syms)
+    ), vocab{k} AS MATERIALIZED (
+      SELECT wid, freq, acc AS syms FROM fold{k} WHERE i = len(syms) + 1
+    )"""
+    steps = "\n    UNION ALL ".join(
+        f"SELECT {k} AS step, a AS lhs, b AS rhs, n FROM top{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        sql
+        + f"""
+    SELECT step::BIGINT AS step, lhs, rhs, n FROM ({steps})
+    ORDER BY step"""
+    )
+
+
+@query("x5_bpe_train", _bpe_train_sql(8))
+def x5_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — the FULL distributed BPE merge-learning loop (round 7;
+    ``x5_bpe_pair_stats`` is one round of its statistics): 8 merges
+    over the (word, freq) vocabulary, each round ONE map-side-combined
+    pair-count shuffle + an O(1) top-1 collect + a codegen fold that
+    rewrites word symbol arrays in place — the corpus is scanned once,
+    every iteration runs on the Heaps'-law-small vocab frame
+    (operators/bpe.py:bpe_learn). Deterministic by the (n DESC, a, b)
+    tie-break, so the learned merge table is a pure function of the
+    corpus and carries an exact unrolled-SQL oracle (one recursive
+    fold CTE per merge — the PageRank-oracle pattern for iterative
+    algorithms). Output = the model-sized merge table itself."""
+    from vectordb_migrator_spark.operators.bpe import bpe_learn
+
+    merges = bpe_learn(
+        _t(spark, sf_dir, "documents"), "text", n_merges=8, min_count=2
+    )
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "step long, lhs string, rhs string, n long",
+    ).orderBy("step")
+
+
 @query(
     "x5_fingerprint",
     r"""
@@ -11469,6 +11545,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_winsorize_events",
     "x9_whitening_check",
     # --- (b) new / touched in round 7 (extended as queries land) ---
+    "x5_bpe_train",  # BPE trainer wired into the oracle gate (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
