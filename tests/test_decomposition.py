@@ -233,3 +233,30 @@ def test_whitening_matches_numpy_and_identity_cov(spark):
     assert np.allclose(
         np.cov(got_pca, rowvar=False, bias=True), np.eye(4), atol=1e-6
     )
+
+
+def test_gram_partial_collect_bounded_by_merge_partitions(spark):
+    """r6 verdict #7: the driver collect must be bounded by
+    merge_partitions however many partitions the input scan has —
+    and the merged statistics must still match NumPy exactly enough
+    for the fit."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.decomposition import (
+        _gram_partial_rows,
+        gram_matrix,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(400, 6))
+    df = spark.createDataFrame(
+        [(v.tolist(),) for v in x], "embedding array<double>"
+    ).repartition(64)  # many more input partitions than merge slots
+
+    rows = _gram_partial_rows(df, "embedding", 4)
+    assert 1 <= len(rows) <= 4
+
+    gram, colsum, n = gram_matrix(df, merge_partitions=4)
+    assert n == 400
+    np.testing.assert_allclose(gram, x.T @ x, rtol=1e-9)
+    np.testing.assert_allclose(colsum, x.sum(axis=0), rtol=1e-9)

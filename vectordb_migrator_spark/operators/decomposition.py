@@ -23,23 +23,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def gram_matrix(
-    df: DataFrame,
-    *,
-    vec_col: str = "embedding",
-) -> tuple[np.ndarray, np.ndarray, int]:
-    """``(XᵀX, Σx, n)`` of the vector column — the sufficient
-    statistics for covariance/PCA — via ``mapInPandas`` partial
-    reduction: one ``xᵀx`` BLAS call per Arrow batch, ONE flattened
-    d×d row out per batch, driver-side sum. The collect is
-    O(batches · d²) — model-sized, not corpus-sized (a 64-dim corpus
-    yields 4096 floats per batch regardless of row count).
+_GRAM_SCHEMA = "g array<double>, s array<double>, n long"
 
-    Returns (gram[d,d], colsum[d], n_rows)."""
-    first = df.select(vec_col).first()
-    if first is None:
-        raise ValueError("gram_matrix on an empty frame")
-    d = len(first[0])
+
+def _gram_partial_rows(
+    df: DataFrame, vec_col: str, merge_partitions: int
+) -> list:
+    """The distributed half of :func:`gram_matrix`: per-Arrow-batch
+    ``xᵀx`` partials, then an EXECUTOR-SIDE merge round that sums
+    them down to at most ``merge_partitions`` rows before the driver
+    collect — so driver bytes are O(merge_partitions · d²) however
+    many input partitions the scan has (at 100 TB a corpus scan is
+    10⁵+ tasks; collecting one d×d partial per task would be a
+    gigabyte-class driver sink for d=512)."""
 
     def partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -58,11 +54,52 @@ def gram_matrix(
                 }
             )
 
-    rows = (
+    def merge(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        g = s = None
+        n = 0
+        for b in batches:
+            for i in range(len(b)):
+                gg = np.asarray(b["g"].iloc[i], dtype=np.float64)
+                ss = np.asarray(b["s"].iloc[i], dtype=np.float64)
+                g = gg if g is None else g + gg
+                s = ss if s is None else s + ss
+                n += int(b["n"].iloc[i])
+        if g is not None:
+            yield pd.DataFrame({"g": [g.tolist()], "s": [s.tolist()], "n": [n]})
+
+    return (
         df.select(vec_col)
-        .mapInPandas(partials, schema="g array<double>, s array<double>, n long")
+        .mapInPandas(partials, schema=_GRAM_SCHEMA)
+        .repartition(merge_partitions)  # tiny: one d²-row per batch
+        .mapInPandas(merge, schema=_GRAM_SCHEMA)
         .collect()
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    merge_partitions: int = 16,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """``(XᵀX, Σx, n)`` of the vector column — the sufficient
+    statistics for covariance/PCA — via ``mapInPandas`` partial
+    reduction: one ``xᵀx`` BLAS call per Arrow batch, ONE flattened
+    d×d row out per batch, an executor-side merge down to
+    ``merge_partitions`` rows, then a driver-side sum. The collect is
+    O(merge_partitions · d²) — model-sized and INDEPENDENT of both
+    corpus size and input partition count (a 64-dim corpus collects
+    at most 16 × 4096 floats whatever the scan width).
+
+    Returns (gram[d,d], colsum[d], n_rows)."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("gram_matrix on an empty frame")
+    d = len(first[0])
+
+    rows = _gram_partial_rows(df, vec_col, merge_partitions)
     gram = np.zeros((d, d))
     colsum = np.zeros(d)
     n = 0
