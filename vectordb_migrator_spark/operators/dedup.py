@@ -250,7 +250,12 @@ def simhash_md5_pairs(
             lambda s, x: s.bitwiseOR(x),
         )
 
-    sigs = df.select(
+    # fan_out BELOW the signature projection: the md5 bit-vote
+    # aggregate is the CPU-heavy stage, and projections execute on the
+    # map side of the exchange — repartitioning the already-computed
+    # sigs would single-thread the voting on an under-split scan
+    # (measured 5.7s → 2.1s at sf0.1, local[32])
+    sigs = fan_out(df).select(
         F.col(id_col).alias("id"),
         half(0).alias("sig_lo"),
         half(32).alias("sig_hi"),
@@ -271,7 +276,7 @@ def simhash_md5_pairs(
             ]
         )
     )
-    banded = fan_out(sigs).select("id", "sig_lo", "sig_hi", band.alias("key"))
+    banded = sigs.select("id", "sig_lo", "sig_hi", band.alias("key"))
     a = banded.select(
         "key",
         F.col("id").alias("id_a"),
