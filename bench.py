@@ -181,6 +181,7 @@ HEADLINE = [
     "x13_rolling_corr",
     "x13_seasonal_anomalies",
     "x13_stl_decompose",
+    "x13_changepoints",
     "x13_user_features",
     "x13_event_gaps",
     "x13_hour_of_week_profile",

@@ -193,3 +193,38 @@ def test_seasonal_zscore_uses_hourly_baseline(spark):
     # globally, 100.0 is a perfectly common value → global z misses it
     global_z = {r["event_id"] for r in zscore_anomalies(df).collect()}
     assert 9999 not in global_z
+
+
+def test_cusum_changepoints_detects_level_shift(spark):
+    """A synthetic series with a known mean shift: the |CUSUM| peak
+    must land on the shift boundary, exactly one row is flagged peak,
+    and the statistic matches a NumPy replica."""
+    import datetime as dt
+
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    # 20 days at level 10, then 20 days at level 30 — shift at day 21
+    rows = []
+    for i in range(40):
+        base = 10.0 if i < 20 else 30.0
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+        for j in range(3):
+            rows.append((ts + dt.timedelta(hours=j), base + j))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = cusum_changepoints(df, threshold=3.0).collect()
+    assert len(out) == 40
+    assert sum(r["is_peak"] for r in out) == 1
+    peak = next(r for r in out if r["is_peak"] == 1)
+    # the cumulative deviation is most negative right before the shift
+    assert peak["day"] == "2024-01-20"
+    assert any(r["exceeds"] == 1 for r in out)
+
+    v = np.array([r["v"] for r in out])
+    mu, sd = v.mean(), v.std()
+    want = np.round(np.cumsum((v - mu) / sd), 6)
+    got = np.array([r["cusum"] for r in out])
+    np.testing.assert_allclose(got, want, atol=2e-6)

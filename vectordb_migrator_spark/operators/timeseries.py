@@ -175,3 +175,60 @@ def seasonal_zscore_anomalies(
         .filter(F.abs(F.col("z")) >= threshold)
         .drop("__mu", "__sd", "__hod")
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """CUSUM mean-shift detection over the daily series: standardized
+    cumulative deviation from the global mean, the classic sequential
+    changepoint statistic (Page 1954) — where |CUSUM| peaks is the
+    most likely single shift point, and an excursion beyond
+    ``threshold`` flags that a shift happened at all.
+
+    Shape: ONE map-side-combined daily aggregate over the log, then
+    every window runs on the day-sized frame (thousands of rows
+    however big the corpus — the STL/EWMA argument). The cumulative
+    sum runs in day order in every engine, so rounding the daily mean
+    and the statistic to 6 makes the output engine-exact.
+
+    Returns (day string, v, cusum, is_peak, exceeds) ordered by day;
+    ``is_peak`` marks exactly one row (|cusum| max, earliest day on
+    ties)."""
+    from pyspark.sql import Window as W
+
+    daily = df.groupBy(
+        F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.round(F.avg(value_col), 6).alias("v"))
+    stats = daily.agg(
+        F.avg("v").alias("__mu"), F.stddev_pop("v").alias("__sd")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "cusum",
+            F.round(
+                F.sum(
+                    (F.col("v") - F.col("__mu")) / F.col("__sd")
+                ).over(w),
+                6,
+            ),
+        )
+        .drop("__mu", "__sd")
+    )
+    rk = F.row_number().over(W.orderBy(F.abs(F.col("cusum")).desc(), "day"))
+    return (
+        c.withColumn("is_peak", F.when(rk == 1, 1).otherwise(0).cast("long"))
+        .withColumn(
+            "exceeds",
+            (F.abs(F.col("cusum")) > threshold).cast("long"),
+        )
+        .orderBy("day")
+    )

@@ -9310,6 +9310,51 @@ def x5_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_changepoints",
+    """
+    WITH d AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             round(avg(value), 6) AS v
+      FROM events GROUP BY 1
+    ),
+    s AS (SELECT avg(v) AS mu, stddev_pop(v) AS sd FROM d),
+    c AS (
+      SELECT day, v,
+             round(sum((v - mu) / sd) OVER (ORDER BY day), 6) AS cusum
+      FROM d, s
+    ),
+    r AS (
+      SELECT day, v, cusum,
+             row_number() OVER (ORDER BY abs(cusum) DESC, day) AS rk
+      FROM c
+    )
+    SELECT day, v, cusum,
+           (CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS is_peak,
+           (CASE WHEN abs(cusum) > 3.0 THEN 1 ELSE 0 END)::BIGINT
+             AS exceeds
+    FROM r ORDER BY day
+    """,
+)
+def x13_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — CUSUM mean-shift changepoint detection (round 7): the
+    standardized cumulative deviation of the daily event-value mean
+    (Page 1954); the |CUSUM| peak marks the most likely shift day, an
+    excursion past 3 flags that a level shift happened — the
+    data-drift alarm a 100 TB ingest pipeline runs on every source.
+    ONE map-side-combined daily aggregate touches the log; every
+    window then runs on the day-sized frame (the STL/EWMA shape).
+    Cumulative sums run in day order in both engines, so round-6 makes
+    the statistic engine-exact. Full oracle."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(
+        _t(spark, sf_dir, "events"), threshold=3.0
+    )
+
+
+@query(
     "x13_stl_decompose",
     r"""
     WITH daily AS (
@@ -11546,6 +11591,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_whitening_check",
     # --- (b) new / touched in round 7 (extended as queries land) ---
     "x5_bpe_train",  # BPE trainer wired into the oracle gate (new r7)
+    "x13_changepoints",  # CUSUM mean-shift detection (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
