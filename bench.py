@@ -88,6 +88,7 @@ HEADLINE = [
     "x2_dedup_funnel",
     "x2_cluster_size_histogram",
     "x2_cluster_density",
+    "x2_triangle_counts",
     "x0_leakage_safe_split",
     "x3_cosine_topk",
     "x3_knn_join",

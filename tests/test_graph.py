@@ -246,3 +246,40 @@ def test_pagerank_directed_sink_and_dangling_mass(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     # the double-fed sink out-ranks everything
     assert got[2] == max(got.values())
+
+
+def test_triangle_counts_basic_shapes(spark):
+    from vectordb_migrator_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (every vertex in C(3,2)=3 triangles) plus a
+    # triangle-free path 10-11-12 and an isolated edge 20-21
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(10, 11), (11, 12), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 0, 11: 0, 12: 0, 20: 0, 21: 0}
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from vectordb_migrator_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    verts = list(range(30))
+    edges = sorted(
+        {tuple(sorted(rng.sample(verts, 2))) for _ in range(120)}
+    )
+    adj = set(edges)
+    want = {v: 0 for v in {x for e in edges for x in e}}
+    for a, b, c in itertools.combinations(sorted(want), 3):
+        if (a, b) in adj and (a, c) in adj and (b, c) in adj:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    # feed edges in BOTH orders and with duplicates — must normalize
+    noisy = edges + [(b, a) for a, b in edges[:40]]
+    df = spark.createDataFrame(noisy, "id_a long, id_b long")
+    got = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == want

@@ -332,3 +332,91 @@ def pagerank(
             ).alias("rank"),
         ).localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list — the
+    clustering signal for dup-family shape (a clique'd family is safe
+    keep-one; triangle-free chains mean threshold drift).
+
+    The scale shape is degree orientation (Suri & Vassilvitskii,
+    WWW'11): orient each edge from its (degree, id)-smaller endpoint
+    to the larger one — a PER-EDGE comparison against a broadcastable
+    degree table, no global rank (a row_number over all vertices
+    would funnel the vertex set through one window task). Wedges
+    (a→b, a→c with (deg,id) of b < c) join against the oriented
+    closing edge (b→c), so wedge volume is bounded by Σ min-degree —
+    the hub that would generate deg² wedges under a naive join only
+    ever generates them from its LOW-degree neighbors, which is what
+    kills the last-reducer skew on power-law graphs. Every shuffle
+    carries id/degree longs only.
+
+    Returns (id, triangles) for every vertex of the graph (0 where
+    none), ordered by id."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("u").alias("id")).union(
+        e.select(F.col("v").alias("id"))
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented edge (lo → hi) with (deg, id) of lo < hi; carry hi's
+    # degree for the wedge-side ordering comparison
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dhi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = o.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("dhi").alias("db")
+    )
+    w2 = o.select(
+        F.col("lo").alias("a"), F.col("hi").alias("c"), F.col("dhi").alias("dc")
+    )
+    b_first = (F.col("db") < F.col("dc")) | (
+        (F.col("db") == F.col("dc")) & (F.col("b") < F.col("c"))
+    )
+    tri = (
+        w1.join(w2, "a")
+        .filter(b_first)
+        .join(
+            o.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+            ["b", "c"],
+        )
+    )
+    per_vertex = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.select("id")
+        .join(per_vertex, "id", "left")
+        .select(
+            "id",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        )
+        .orderBy("id")
+    )

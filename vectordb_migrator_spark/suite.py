@@ -11296,6 +11296,64 @@ def _pagerank_sql(n_iter: int = 10, d: float = 0.85) -> str:
     )
 
 
+@query(
+    "x2_triangle_counts",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), verts AS (
+      SELECT DISTINCT id_a AS id FROM pairs
+      UNION SELECT DISTINCT id_b FROM pairs
+    ), tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e1.id_a = e2.id_a AND e1.id_b < e2.id_b
+      JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+    ), pv AS (
+      SELECT v AS id, count(*)::BIGINT AS triangles
+      FROM (SELECT unnest([a, b, c]) AS v FROM tri)
+      GROUP BY v
+    )
+    SELECT verts.id, coalesce(pv.triangles, 0)::BIGINT AS triangles
+    FROM verts LEFT JOIN pv ON pv.id = verts.id
+    ORDER BY verts.id
+    """,
+)
+def x2_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — per-vertex triangle counts over the SAME near-dup pair
+    graph as ``x2_dedup_clusters`` (round 7): the dup-family SHAPE
+    signal — a family rich in triangles is a true clique (safe
+    keep-one dedup), a triangle-free chain means the threshold is
+    linking marginal pairs transitively. Degree-oriented wedge join
+    (Suri & Vassilvitskii WWW'11): edges orient small→large (deg, id)
+    per-edge against the degree table — no global rank window — so
+    wedge volume is Σ min-degree and hub skew never concentrates on
+    one reducer; id/degree longs are the only shuffle payload
+    (operators/graph.py:triangle_counts). The oracle counts the same
+    triangles with the naive id-ordered join (orientation changes the
+    work, never the triangle set)."""
+    from vectordb_migrator_spark.operators.graph import triangle_counts
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    return triangle_counts(pairs)
+
+
 @query("x2_dedup_pagerank", _pagerank_sql())
 def x2_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — centrality-keeper dedup (round 6): PageRank over the SAME
@@ -11592,6 +11650,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- (b) new / touched in round 7 (extended as queries land) ---
     "x5_bpe_train",  # BPE trainer wired into the oracle gate (new r7)
     "x13_changepoints",  # CUSUM mean-shift detection (new r7)
+    "x2_triangle_counts",  # degree-oriented triangle counting (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
