@@ -164,6 +164,7 @@ HEADLINE = [
     "x7_histogram_quantiles",
     "x7_group_quantiles",
     "x12_quality_constraints",
+    "x12_contract_enforce",
     "x12_referential_integrity",
     "x12_source_profile_drift",
     "x12_snapshot_diff",

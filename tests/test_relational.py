@@ -354,3 +354,51 @@ def test_dataset_diff_categories_and_churn(spark):
     assert r["churn_vs_old"] == 0.75  # (1+1+1)/4
     with _pytest.raises(ValueError, match="content column"):
         dataset_diff(old.select("doc_id"), new.select("doc_id"))
+
+
+def test_enforce_rules_quarantine_routing(spark):
+    """Row-level contract gate: violation arrays carry the failed rule
+    names (NULL predicate = violation), clean/quarantine routes
+    partition the frame, and the combo summary accounts every row."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.validation import (
+        enforce_rules,
+        quarantine_summary,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 50.0, "view"),
+            (2, 150.0, "view"),       # value cap
+            (3, 50.0, "error"),       # bad type
+            (4, None, "error"),       # NULL value -> cap+positive, bad type
+        ],
+        "id long, value double, event_type string",
+    )
+    rules = [
+        ("value_le_100", F.col("value") <= 100),
+        ("known_type", F.col("event_type").isin("view", "click")),
+        ("value_positive", F.col("value") > 0),
+    ]
+    gated = enforce_rules(df, rules)
+    got = {r["id"]: sorted(r["violations"]) for r in gated.collect()}
+    assert got == {
+        1: [],
+        2: ["value_le_100"],
+        3: ["known_type"],
+        4: ["known_type", "value_le_100", "value_positive"],
+    }
+    clean = gated.filter(F.size("violations") == 0)
+    quarantined = gated.filter(F.size("violations") > 0)
+    assert clean.count() == 1 and quarantined.count() == 3
+
+    summary = {r["combo"]: (r["n"], r["share"])
+               for r in quarantine_summary(df, rules).collect()}
+    assert summary[""] == (1, 0.25)
+    assert summary["known_type,value_le_100,value_positive"] == (1, 0.25)
+    assert sum(n for n, _ in summary.values()) == 4
+
+    with pytest.raises(ValueError, match="rules"):
+        enforce_rules(df, [])

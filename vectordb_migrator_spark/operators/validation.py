@@ -242,3 +242,58 @@ def dataset_diff(
             6,
         ).alias("churn_vs_old"),
     )
+
+
+def enforce_rules(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    *,
+    violations_col: str = "violations",
+) -> DataFrame:
+    """Row-level contract gate — the quarantine half of the deequ
+    niche that :func:`check_constraints` (aggregate verdicts) doesn't
+    cover: every row gains an array of the rule names it VIOLATES
+    (empty = conforming), the lakehouse "expectations" pattern where
+    bad rows are routed to a quarantine table with machine-readable
+    reasons instead of failing the job.
+
+    ``rules`` are (name, boolean Column) pairs; a NULL predicate
+    result counts as a violation (a null price is not "in range").
+    Pure codegen — one projection, no shuffle, no scan duplication:
+    route with ``.filter(F.size(violations_col) == 0)`` /
+    ``> 0`` and both branches reuse the same gated scan."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    marks = [
+        F.when(pred, F.lit(None).cast("string")).otherwise(F.lit(name))
+        for name, pred in rules
+    ]
+    return df.withColumn(
+        violations_col, F.array_compact(F.array(*marks))
+    )
+
+
+def quarantine_summary(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    *,
+    violations_col: str = "violations",
+) -> DataFrame:
+    """Violation-combination counts from :func:`enforce_rules`: one
+    row per distinct set of failed rules (the empty string = clean),
+    with count and share — the triage table that says whether bad rows
+    share one root cause or are scattered. One gate projection + one
+    map-side-combinable count; share is computed from a window over
+    the combo-sized result, never a rescan."""
+    from pyspark.sql import Window as W
+
+    gated = enforce_rules(df, rules, violations_col=violations_col)
+    combos = gated.groupBy(
+        F.array_join(F.sort_array(F.col(violations_col)), ",").alias("combo")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = F.sum("n").over(W.partitionBy())
+    return combos.select(
+        "combo",
+        "n",
+        F.round(F.col("n") / total, 6).alias("share"),
+    ).orderBy(F.desc("n"), "combo")

@@ -9712,6 +9712,57 @@ def x13_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x12_contract_enforce",
+    """
+    WITH g AS (
+      SELECT coalesce(array_to_string(list_sort(list_filter([
+               CASE WHEN value <= 100 THEN NULL ELSE 'value_le_100' END,
+               CASE WHEN event_type IN ('view','click','purchase','signup')
+                    THEN NULL ELSE 'known_type' END,
+               CASE WHEN value > 0 THEN NULL ELSE 'value_positive' END,
+               CASE WHEN user_id IS NOT NULL THEN NULL
+                    ELSE 'user_present' END
+             ], x -> x IS NOT NULL)), ','), '') AS combo
+      FROM events
+    ),
+    c AS (SELECT combo, count(*)::BIGINT AS n FROM g GROUP BY combo)
+    SELECT combo, n, round(n / sum(n) OVER (), 6) AS share
+    FROM c ORDER BY n DESC, combo
+    """,
+)
+def x12_contract_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — row-level contract enforcement with quarantine triage
+    (round 7): the OTHER half of the deequ niche next to
+    ``x12_quality_constraints``' aggregate verdicts — every event row
+    is gated against named rules (value cap, known type, positive
+    value, user present; NULL predicate = violation) and the summary
+    counts each distinct violation COMBINATION, the table that says
+    whether bad rows share one root cause or are scattered. The gate
+    is one codegen projection (no shuffle, no rescan — clean and
+    quarantine routes share the same gated scan); the combo rollup is
+    one map-side-combinable count. Full oracle."""
+    from vectordb_migrator_spark.operators.validation import (
+        quarantine_summary,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return quarantine_summary(
+        ev,
+        [
+            ("value_le_100", F.col("value") <= 100),
+            (
+                "known_type",
+                F.col("event_type").isin(
+                    "view", "click", "purchase", "signup"
+                ),
+            ),
+            ("value_positive", F.col("value") > 0),
+            ("user_present", F.col("user_id").isNotNull()),
+        ],
+    )
+
+
+@query(
     "x12_quality_constraints",
     """
     WITH m AS (
@@ -11651,6 +11702,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_bpe_train",  # BPE trainer wired into the oracle gate (new r7)
     "x13_changepoints",  # CUSUM mean-shift detection (new r7)
     "x2_triangle_counts",  # degree-oriented triangle counting (new r7)
+    "x12_contract_enforce",  # row-level quarantine gate (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
