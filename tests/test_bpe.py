@@ -77,3 +77,20 @@ def test_bpe_learn_driver_and_distributed_paths_agree(spark):
     dist = bpe_learn(df, n_merges=8, driver_threshold=0)
     want, _ = _py_bpe(CORPUS, 8)
     assert fast == dist == want
+
+
+def test_bpe_vocab_map_matches_segment_counts(spark):
+    """The lookup-table apply (fold per DISTINCT word + join) must
+    count exactly what the per-document segmenter produces."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.bpe import bpe_vocab_map
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges = bpe_learn(df, n_merges=6)
+    wmap = {r["word"]: r["n_tokens"]
+            for r in bpe_vocab_map(df, merges).collect()}
+    seg = bpe_segment(df, merges).collect()
+    for row in seg:
+        want = sum(wmap[w] for w in row["text"].split())
+        assert len(row["bpe_tokens"]) == want

@@ -185,3 +185,24 @@ def bpe_segment(
     for m in merges:
         words = F.transform(words, _applier(m[0], m[1]))
     return df.withColumn(out_col, F.flatten(words))
+
+
+def bpe_vocab_map(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, n_tokens) after replaying the merge table — the fitted
+    tokenizer AS A LOOKUP TABLE: each DISTINCT word is folded once
+    (Heaps'-law-sized work however big the corpus), and applying the
+    tokenizer downstream becomes a broadcast join instead of
+    re-replaying the folds per occurrence. This is how token-count
+    economics run at 100 TB: explode words, join this map, aggregate —
+    the folds never touch the corpus."""
+    syms = _chars(F.col("word"))
+    for m in merges:
+        syms = _merge_fold(syms, m[0], m[1])
+    return bpe_word_freqs(df, text_col).select(
+        "word", F.size(syms).cast("long").alias("n_tokens")
+    )

@@ -2791,14 +2791,17 @@ def x5_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_sql(n_merges: int = 8) -> str:
-    """Oracle for x5_bpe_train — ``n_merges`` UNROLLED BPE iterations.
-    Per iteration: adjacent-pair counts over the (freq, syms) vocab,
-    the (n DESC, a, b) deterministic top-1, then the greedy
-    left-to-right merge fold replayed as a per-word recursive CTE
-    (state = (word, position, accumulated symbols)) — the same scan
-    order as ``operators/bpe.py:_merge_fold``. The vocab is Heaps'-law
-    tiny, so the recursion is (vocab × word-length) rows per merge."""
+def _bpe_ctes(n_merges: int = 8) -> str:
+    """Shared CTE prefix for the BPE oracles — ``n_merges`` UNROLLED
+    iterations ending at ``vocab{n}``/``top{n}``. Per iteration:
+    adjacent-pair counts over the (freq, syms) vocab, the
+    (n DESC, a, b) deterministic top-1, then the greedy left-to-right
+    merge fold replayed as a per-word recursive CTE (state = (word,
+    position, accumulated symbols)) — the same scan order as
+    ``operators/bpe.py:_merge_fold``. The vocab is Heaps'-law tiny, so
+    the recursion is (vocab × word-length) rows per merge; MATERIALIZED
+    per-iteration CTEs stop DuckDB's default inlining from expanding
+    the unroll exponentially."""
     sql = r"""
     WITH RECURSIVE w AS (
       SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
@@ -2831,15 +2834,46 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
     ), vocab{k} AS MATERIALIZED (
       SELECT wid, freq, acc AS syms FROM fold{k} WHERE i = len(syms) + 1
     )"""
+    return sql
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """Oracle for x5_bpe_train: the learned merge table itself."""
     steps = "\n    UNION ALL ".join(
         f"SELECT {k} AS step, a AS lhs, b AS rhs, n FROM top{k}"
         for k in range(1, n_merges + 1)
     )
     return (
-        sql
+        _bpe_ctes(n_merges)
         + f"""
     SELECT step::BIGINT AS step, lhs, rhs, n FROM ({steps})
     ORDER BY step"""
+    )
+
+
+def _tokenizer_fit_apply_sql(n_merges: int = 8) -> str:
+    """Oracle for x0_tokenizer_fit_apply: the final ``vocab{n}`` IS
+    the fitted tokenizer (word → merged symbols), so applying it is a
+    word→token-count join, and the per-source stats roll up from
+    that."""
+    return (
+        _bpe_ctes(n_merges)
+        + f""", wmap AS MATERIALIZED (
+      SELECT wid AS word, len(syms)::BIGINT AS nb FROM vocab{n_merges}
+    ), docw AS (
+      SELECT doc_id, source,
+             unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> '')) AS word
+      FROM documents
+    )
+    SELECT d.source,
+           count(DISTINCT d.doc_id)::BIGINT AS docs,
+           sum(m.nb)::BIGINT AS bpe_tokens,
+           count(*)::BIGINT AS ws_tokens,
+           round(sum(m.nb)::DOUBLE / count(*), 6) AS tokens_per_word
+    FROM docw d JOIN wmap m USING (word)
+    GROUP BY d.source ORDER BY d.source"""
     )
 
 
@@ -2865,6 +2899,57 @@ def x5_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "step long, lhs string, rhs string, n long",
     ).orderBy("step")
+
+
+@query("x0_tokenizer_fit_apply", _tokenizer_fit_apply_sql(8))
+def x0_tokenizer_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — the tokenizer LIFECYCLE composed end to end (round 7):
+    fit the 8-merge BPE table on the corpus (``bpe_learn``), apply it
+    to every document (``bpe_segment`` — the merges replayed in
+    learned order as codegen folds), and report per-source token
+    economics: docs, BPE tokens, whitespace words, and tokens-per-word
+    (the compression ratio that prices a tokenizer change across
+    sources). The apply is the SCALE path: the fitted tokenizer
+    becomes a (word → token-count) lookup (``bpe_vocab_map`` — each
+    DISTINCT word folded once), and the corpus side is explode +
+    broadcast join + aggregate; the merge folds never touch the
+    corpus. The oracle applies the same fitted vocab as a word join
+    off the unrolled-merge CTEs. Docs whose text has no tokens carry
+    no words and drop from both sides identically."""
+    from vectordb_migrator_spark.functions.text import ws_tokens
+    from vectordb_migrator_spark.operators.bpe import (
+        bpe_learn,
+        bpe_vocab_map,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_learn(docs, "text", n_merges=8, min_count=2)
+    wmap = bpe_vocab_map(docs, merges)
+    words = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.filter(ws_tokens("text"), lambda x: x != "")).alias(
+            "word"
+        ),
+    )
+    n_docs = (
+        words.select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"))
+    )
+    stats = (
+        words.join(F.broadcast(wmap), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("bpe_tokens"),
+            F.count(F.lit(1)).cast("long").alias("ws_tokens"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+    )
+    return n_docs.join(stats, "source").orderBy("source")
 
 
 @query(
@@ -11703,6 +11788,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_changepoints",  # CUSUM mean-shift detection (new r7)
     "x2_triangle_counts",  # degree-oriented triangle counting (new r7)
     "x12_contract_enforce",  # row-level quarantine gate (new r7)
+    "x0_tokenizer_fit_apply",  # BPE fit->vocab-map apply (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
