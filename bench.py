@@ -176,6 +176,7 @@ HEADLINE = [
     "x10_source_mixture",
     "x10_mixture_apply",
     "x10_lang_balanced_mixture",
+    "x10_dedup_aware_mixture",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "merge_upsert_orders",

@@ -8006,6 +8006,110 @@ def x10_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x10_dedup_aware_mixture",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS id, least(a, min(b))::BIGINT AS comp
+      FROM reach GROUP BY a
+    ), drop_ids AS (
+      SELECT id FROM comp WHERE id != comp
+    ), gross AS (
+      SELECT source,
+             sum(len(string_split_regex(lower(trim(text)), '\s+')))::DOUBLE
+               AS gross_size
+      FROM documents GROUP BY source
+    ), net AS (
+      SELECT source,
+             sum(len(string_split_regex(lower(trim(text)), '\s+')))::DOUBLE
+               AS net_size
+      FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+      GROUP BY source
+    ), gd AS (SELECT sum(pow(gross_size, 0.5)) AS gdenom FROM gross),
+    nd AS (SELECT sum(pow(net_size, 0.5)) AS ndenom FROM net)
+    SELECT g.source, g.gross_size, n.net_size,
+           round(pow(g.gross_size, 0.5) / gdenom, 6) AS gross_weight,
+           round(pow(n.net_size, 0.5) / ndenom, 6) AS net_weight,
+           round(round(pow(n.net_size, 0.5) / ndenom, 6)
+                 - round(pow(g.gross_size, 0.5) / gdenom, 6), 6) AS shift
+    FROM gross g JOIN net n USING (source), gd, nd
+    ORDER BY source
+    """,
+)
+def x10_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — mixture weights NET of near-duplicates (round 7): a
+    source that syndicates copies self-inflates its token count, so
+    temperature weights computed on the raw corpus over-sample it;
+    compute the alpha=0.5 weights on BOTH the raw corpus and the
+    dedup-representative corpus (near-dup pairs → CC → keep min-id
+    rep) and report the per-source weight shift — the table that says
+    which feeds were riding on duplication. Composes the existing
+    pair/CC/apply operators; the only corpus-sized work is the shared
+    pair kernel + two token aggregates (both map-side combinable);
+    dedup's join side is duplicate-sized. Full oracle (recursive-CTE
+    closure, same as the dedup family)."""
+    from vectordb_migrator_spark.functions.text import token_count_ws
+    from vectordb_migrator_spark.operators.dedup import apply_dedup
+    from vectordb_migrator_spark.operators.graph import connected_components
+    from vectordb_migrator_spark.operators.slicing import source_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    kept = apply_dedup(docs, connected_components(pairs))
+    gross = source_mixture(
+        docs, source_col="source", size_col=token_count_ws("text"), alpha=0.5
+    ).select(
+        "source",
+        F.col("size").alias("gross_size"),
+        F.col("weight").alias("gross_weight"),
+    )
+    net = source_mixture(
+        kept, source_col="source", size_col=token_count_ws("text"), alpha=0.5
+    ).select(
+        "source",
+        F.col("size").alias("net_size"),
+        F.col("weight").alias("net_weight"),
+    )
+    return (
+        gross.join(net, "source")
+        .select(
+            "source",
+            "gross_size",
+            "net_size",
+            "gross_weight",
+            "net_weight",
+            F.round(F.col("net_weight") - F.col("gross_weight"), 6).alias(
+                "shift"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "x5_span_dedup",
     r"""
     WITH t AS (
@@ -11789,6 +11893,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_triangle_counts",  # degree-oriented triangle counting (new r7)
     "x12_contract_enforce",  # row-level quarantine gate (new r7)
     "x0_tokenizer_fit_apply",  # BPE fit->vocab-map apply (new r7)
+    "x10_dedup_aware_mixture",  # mixture net of near-dups (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
