@@ -228,3 +228,64 @@ def test_cusum_changepoints_detects_level_shift(spark):
     want = np.round(np.cumsum((v - mu) / sd), 6)
     got = np.array([r["cusum"] for r in out])
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_cusum_streaming_store_matches_batch(spark, tmp_path):
+    """Round-7 X13×X8: the daily-stats store accumulates per-batch
+    (day, sum, cnt) partials and changepoints_over answers EXACTLY
+    what the batch operator computes over the full data (weighted-sum
+    merge, not mean-of-means); replays append nothing."""
+    import datetime as dt
+
+    from vectordb_migrator_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+    from vectordb_migrator_spark.streaming.incremental import (
+        changepoints_over,
+        daily_stats_ingest,
+    )
+
+    src = str(tmp_path / "in")
+    schema = "ts timestamp, value double"
+    base = dt.datetime(2024, 3, 1)
+    b1 = [
+        (base + dt.timedelta(days=d, hours=h), 5.0 + d + h)
+        for d in range(10)
+        for h in range(3)
+    ]
+    spark.createDataFrame(b1, schema).write.parquet(src)
+
+    def run():
+        q = daily_stats_ingest(
+            spark,
+            source_path=src,
+            source_schema=schema,
+            store_path=str(tmp_path / "store"),
+            checkpoint=str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    # second batch SPLITS day 9 across batches and adds shifted days —
+    # the weighted merge has to reconstruct the true daily mean
+    b2 = [
+        (base + dt.timedelta(days=d, hours=h), 40.0 + h)
+        for d in range(9, 16)
+        for h in range(2)
+    ]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    run()
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = [r.asDict() for r in cusum_changepoints(full).collect()]
+    got = [
+        r.asDict()
+        for r in changepoints_over(spark, str(tmp_path / "store"))
+        .orderBy("day")
+        .collect()
+    ]
+    assert got == want
+
+    n = spark.read.parquet(str(tmp_path / "store")).count()
+    run()  # replay idempotence
+    assert spark.read.parquet(str(tmp_path / "store")).count() == n

@@ -199,13 +199,26 @@ def cusum_changepoints(
     Returns (day string, v, cusum, is_peak, exceeds) ordered by day;
     ``is_peak`` marks exactly one row (|cusum| max, earliest day on
     ties)."""
-    from pyspark.sql import Window as W
-
     daily = df.groupBy(
         F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias(
             "day"
         )
     ).agg(F.round(F.avg(value_col), 6).alias("v"))
+    return cusum_from_daily(daily, threshold=threshold)
+
+
+def cusum_from_daily(
+    daily: DataFrame,
+    *,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """The CUSUM statistic from an already-built (day, v) frame — the
+    shared read path for the batch operator and the streaming store
+    (``streaming.incremental.changepoints_over`` merges per-batch
+    partials into exactly this frame). Everything here runs on the
+    day-sized series."""
+    from pyspark.sql import Window as W
+
     stats = daily.agg(
         F.avg("v").alias("__mu"), F.stddev_pop("v").alias("__sd")
     )

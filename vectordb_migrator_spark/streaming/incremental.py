@@ -855,3 +855,91 @@ def quantiles_over(
         .localCheckpoint(eager=True)
     )
     return histogram_quantiles(hist, qs, base=base)
+
+
+def daily_stats_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    store_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    trigger_once: bool = True,
+):
+    """Continuous changepoint-monitor maintenance — per-batch
+    (day, sum, cnt, batch_id) partials append to a day-sized store;
+    :func:`changepoints_over` reads the current CUSUM table without
+    rescanning history (daily means merge as weighted sums). The
+    store is the (days × batches) grain — kilobytes for years of
+    data. Replay-idempotent via the (day, batch_id) anti-join."""
+    from pyspark.sql.utils import AnalysisException
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        partials = (
+            batch_df.groupBy(
+                F.date_format(
+                    F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd"
+                ).alias("day")
+            )
+            .agg(
+                F.sum(value_col).cast("double").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        try:
+            seen = sess.read.parquet(store_path).select("day", "batch_id")
+            partials = partials.join(seen, ["day", "batch_id"], "left_anti")
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(store_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .options(**(reader_options or {}))
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def changepoints_over(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Current CUSUM changepoint table from a
+    :func:`daily_stats_ingest` store: merge the per-batch partials
+    into daily means (weighted-sum merge, exact — not a mean of
+    means), then run the shared day-sized statistic
+    (``operators.timeseries.cusum_from_daily``). Matches the batch
+    ``cusum_changepoints`` output on the same data exactly."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        cusum_from_daily,
+    )
+
+    daily = (
+        spark.read.parquet(store_path)
+        .groupBy("day")
+        .agg(
+            F.round(
+                F.sum("s") / F.sum("cnt"),
+                6,
+            ).alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    return cusum_from_daily(daily, threshold=threshold)
