@@ -421,3 +421,51 @@ def test_gopher_rules_fire_individually(spark):
     assert out[4]["kept"] is False and out[4]["symbol_ratio"] > 0.1
     assert out[5]["kept"] is False and out[5]["alpha_ratio"] < 0.8
     assert out[6]["kept"] is False and out[6]["stop_hits"] < 2
+
+
+def test_rm3_expansion_model_properties(spark):
+    """RM3 sanity on a controlled corpus: query terms keep weight via
+    the interpolation, strongly co-occurring terms enter the
+    expansion, absent terms don't, and weights match a NumPy replica
+    of the relevance model."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.ranking import (
+        bm25_topk,
+        rm3_expansion,
+    )
+
+    rows = [
+        (1, "spark shuffle join broadcast"),
+        (2, "spark shuffle partition skew"),
+        (3, "spark join broadcast hint"),
+        (4, "cooking pasta recipe tomato"),
+        (5, "cooking soup recipe onion"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rm3_expansion(
+        df, ["spark", "join"], fb_docs=3, fb_terms=10, lam=0.5
+    ).collect()
+    w = {r["term"]: r["weight"] for r in out}
+    # feedback docs are 1-3; cooking vocabulary must not appear
+    assert "cooking" not in w and "recipe" not in w
+    # query terms carry the lambda floor; co-occurring terms present
+    assert w["spark"] > w["shuffle"] > 0
+    assert "broadcast" in w
+
+    # replica: fb = bm25 top-3, P(t|R) = sum score/ws * tf/dl
+    fb = {r["doc_id"]: r["score"]
+          for r in bm25_topk(df, ["spark", "join"], k=3).collect()}
+    ws = sum(fb.values())
+    texts = {i: t.split() for i, t in rows}
+    p_rel: dict = {}
+    for d, s in fb.items():
+        toks = texts[d]
+        for t in set(toks):
+            p_rel[t] = p_rel.get(t, 0.0) + round(
+                s / ws * toks.count(t) / len(toks), 9
+            )
+    for t, weight in w.items():
+        want = 0.5 * (0.5 if t in ("spark", "join") else 0.0) \
+            + 0.5 * p_rel.get(t, 0.0)
+        assert weight == pytest.approx(want, abs=1e-6), t

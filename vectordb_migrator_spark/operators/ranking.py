@@ -423,3 +423,83 @@ def maxsim_topk(
         .orderBy(F.desc("maxsim"), id_col)
         .limit(k)
     )
+
+
+def rm3_expansion(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fb_docs: int = 10,
+    fb_terms: int = 15,
+    lam: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback query expansion (Lavrenko &
+    Croft relevance models + Abdul-Jaleel et al.'s RM3 interpolation):
+    run BM25, treat the top ``fb_docs`` as pseudo-relevant, estimate
+    the relevance model ``P(t|R) = Σ_d (score_d/Σscore) · tf(t,d)/|d|``
+    over their terms, and interpolate with the uniform original query
+    model: ``w(t) = λ·P(t|Q) + (1−λ)·P(t|R)``. Returns the top
+    ``fb_terms`` (term, weight) — the expanded query to feed back into
+    :func:`bm25_topk`.
+
+    Scale shape: the corpus-sized work is exactly ONE BM25 pass; the
+    feedback side is ``fb_docs`` rows joined back by id, so the term
+    model is built over a handful of documents however big the corpus.
+    Per-doc contributions round to 9 and sum as DECIMAL, so the model
+    is order-independent and engine-exact (the MaxSim contract)."""
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    fb = bm25_topk(
+        df, query_terms, id_col=id_col, text_col=text_col,
+        k=fb_docs, k1=k1, b=b,
+    ).localCheckpoint(eager=True)
+    wsum = fb.agg(F.sum("score").alias("__ws"))
+    toks = F.filter(ws_tokens(text_col), lambda x: x != "")
+    per = (
+        df.join(fb, id_col)
+        .select(
+            F.col(id_col),
+            "score",
+            F.size(toks).cast("double").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy(id_col, "term", "score", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    rel = (
+        per.crossJoin(F.broadcast(wsum))
+        .select(
+            "term",
+            F.round(
+                F.col("score") / F.col("__ws") * F.col("tf") / F.col("dl"),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("c"),
+        )
+        .groupBy("term")
+        .agg(F.sum("c").cast("double").alias("p_rel"))
+    )
+    qm = df.sparkSession.createDataFrame(
+        [(t, 1.0 / len(query_terms)) for t in query_terms],
+        "term string, p_q double",
+    )
+    return (
+        rel.join(qm, "term", "full_outer")
+        .select(
+            "term",
+            F.round(
+                F.lit(lam) * F.coalesce("p_q", F.lit(0.0))
+                + F.lit(1.0 - lam) * F.coalesce("p_rel", F.lit(0.0)),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy(F.desc("weight"), "term")
+        .limit(fb_terms)
+    )

@@ -7045,6 +7045,89 @@ def x5_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, ["vector", "hash", "join"], k=10)
 
 
+def _rm3_sql(
+    terms: list[str], fb_docs: int = 10, fb_terms: int = 15, lam: float = 0.5
+) -> str:
+    """Oracle for x5_rm3_expansion: the x5_bm25_topk scoring CTE →
+    top-``fb_docs`` feedback set → relevance-model term weights
+    (round-9 DECIMAL contribution sums = order-independent) →
+    RM3 interpolation with the uniform query model."""
+    dfs = "\n".join(
+        f"             , sum(CASE WHEN list_contains(toks, '{t}') THEN 1"
+        f" ELSE 0 END)::DOUBLE AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    score = "\n        + ".join(
+        f"ln((n_docs - df{i} + 0.5)/(df{i} + 0.5) + 1.0)"
+        f" * len(list_filter(toks, x -> x = '{t}'))::DOUBLE * 2.2"
+        f" / (len(list_filter(toks, x -> x = '{t}'))::DOUBLE"
+        f" + 1.2*(1.0 - 0.75 + 0.75*len(toks)::DOUBLE/avgdl))"
+        for i, t in enumerate(terms)
+    )
+    qvals = ", ".join(f"('{t}', {1.0 / len(terms)!r})" for t in terms)
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n_docs, avg(len(toks))::DOUBLE AS avgdl
+{dfs}
+      FROM t
+    ), fb AS (
+      SELECT doc_id, round({score}, 6) AS score
+      FROM t, stats
+      WHERE round({score}, 6) > 0
+      ORDER BY score DESC, doc_id LIMIT {fb_docs}
+    ), ws AS (SELECT sum(score) AS w FROM fb),
+    ftoks AS (
+      SELECT f.doc_id, f.score,
+             list_filter(t.toks, x -> x <> '') AS toks
+      FROM fb f JOIN t USING (doc_id)
+    ), per AS (
+      SELECT doc_id, score, len(toks)::DOUBLE AS dl,
+             unnest(toks) AS term
+      FROM ftoks
+    ), tfd AS (
+      SELECT doc_id, term, score, dl, count(*)::DOUBLE AS tf
+      FROM per GROUP BY doc_id, term, score, dl
+    ), rel AS (
+      SELECT term,
+             sum(round(score / (SELECT w FROM ws) * tf / dl,
+                       9)::DECIMAL(18,9))::DOUBLE AS p_rel
+      FROM tfd GROUP BY term
+    ), qm AS (
+      SELECT * FROM (VALUES {qvals}) q(term, p_q)
+    )
+    SELECT coalesce(rel.term, qm.term) AS term,
+           round({lam!r} * coalesce(p_q, 0.0)
+                 + {1.0 - lam!r} * coalesce(p_rel, 0.0), 6) AS weight
+    FROM rel FULL OUTER JOIN qm ON rel.term = qm.term
+    ORDER BY weight DESC, term LIMIT {fb_terms}"""
+
+
+@query("x5_rm3_expansion", _rm3_sql(["vector", "hash", "join"]))
+def x5_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — RM3 pseudo-relevance-feedback query expansion (round 7):
+    BM25's top-10 for ['vector','hash','join'] become the pseudo-
+    relevant set, their length-normalized, score-weighted term
+    distribution is the relevance model, and λ=0.5 interpolation with
+    the uniform query model yields the expanded query — the classic
+    sparse-retrieval quality lever (Lavrenko & Croft; RM3). The only
+    corpus-sized work is the ONE BM25 pass; the term model is built
+    over 10 joined-back documents. Per-doc contributions round to 9
+    and sum as DECIMAL (order-independent), so the full oracle
+    hash-matches (operators/ranking.py:rm3_expansion)."""
+    from vectordb_migrator_spark.operators.ranking import rm3_expansion
+
+    return rm3_expansion(
+        _t(spark, sf_dir, "documents"),
+        ["vector", "hash", "join"],
+        fb_docs=10,
+        fb_terms=15,
+        lam=0.5,
+    )
+
+
 @query(
     "x3_label_centroids",
     """
@@ -11894,6 +11977,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_contract_enforce",  # row-level quarantine gate (new r7)
     "x0_tokenizer_fit_apply",  # BPE fit->vocab-map apply (new r7)
     "x10_dedup_aware_mixture",  # mixture net of near-dups (new r7)
+    "x5_rm3_expansion",  # RM3 pseudo-relevance feedback (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
