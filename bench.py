@@ -149,6 +149,7 @@ HEADLINE = [
     "x6_frame_explode",
     "x6_frame_dedup",
     "x6_image_headers",
+    "x6_audio_headers",
     "x9_chunk_documents",
     "x9_int8_quantization",
     "x9_storage_report",

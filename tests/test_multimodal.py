@@ -170,3 +170,69 @@ def test_jpeg_dimensions_marker_scan(spark):
     assert got[2] == (64, 32, "b")
     assert got[3] == (None, None, "c")
     assert got[4] == (None, None, "d")
+
+
+def test_audio_header_info_real_wav_flac_and_unknown(spark):
+    """Round-7 X6: the WAV branch parses bytes written by the stdlib
+    `wave` encoder (ground truth, not our own synthesis); the FLAC
+    branch parses a spec-packed STREAMINFO; compressed containers
+    route to 'unknown'."""
+    import io
+    import wave as wave_mod
+
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        audio_header_info,
+    )
+
+    buf = io.BytesIO()
+    w = wave_mod.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(22050)
+    w.writeframes(b"\x00\x00" * 2 * 500)  # 500 frames
+    w.close()
+    wav_bytes = buf.getvalue()
+
+    # FLAC: fLaC + last-block STREAMINFO(34): rate=44100, ch=1,
+    # bits=16, total_samples=88200 (exactly 2 s)
+    rate, ch, bits, total = 44100, 1, 16, 88200
+    packed = bytes(
+        [
+            rate >> 12,
+            (rate >> 4) & 0xFF,
+            ((rate & 0xF) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4),
+            (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF),
+            (total >> 24) & 0xFF,
+            (total >> 16) & 0xFF,
+            (total >> 8) & 0xFF,
+            total & 0xFF,
+        ]
+    )
+    flac_bytes = (
+        b"fLaC" + bytes([0x80, 0, 0, 34])
+        + bytes([0x10, 0x00, 0x10, 0x00]) + b"\x00" * 6
+        + packed + b"\x00" * 16
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_bytes)), (2, bytearray(flac_bytes)),
+         (3, bytearray(b"ID3\x04rubbish"))],
+        "id long, payload binary",
+    )
+    rows = {
+        r["id"]: r["i"].asDict()
+        for r in df.select("id", audio_header_info(F.col("payload")).alias("i")).collect()
+    }
+    assert rows[1] == {
+        "format": "wav", "sample_rate": 22050, "channels": 2,
+        "bits": 16, "duration_ms": int(2000 * 8000 / (22050 * 2 * 16)),
+    }
+    assert rows[1]["duration_ms"] == 22  # 500 frames / 22050 Hz
+    assert rows[2] == {
+        "format": "flac", "sample_rate": 44100, "channels": 1,
+        "bits": 16, "duration_ms": 2000,
+    }
+    assert rows[3]["format"] == "unknown"
+    assert rows[3]["duration_ms"] is None

@@ -3025,6 +3025,89 @@ def _x6_headers_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x6_audio_headers",
+    """
+    SELECT doc_id,
+           CASE doc_id % 2 WHEN 0 THEN 'wav' ELSE 'flac' END AS format,
+           (8000 + (doc_id % 5) * 2000)::INT AS sample_rate,
+           (1 + (doc_id % 4) // 2)::INT AS channels,
+           16::INT AS bits,
+           ((1000 + doc_id % 977) * 1000
+            // (8000 + (doc_id % 5) * 2000))::BIGINT AS duration_ms
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x6_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — decoder-free AUDIO triage (round 7; the sound twin of
+    ``x6_image_headers``): WAV (canonical RIFF layout, LE fields) and
+    FLAC (STREAMINFO bit-unpacking) sample rate / channels / bit depth
+    / exact integer-math duration read from ~40 header bytes in pure
+    codegen — never the payload; compressed containers route to
+    'unknown' for the decode tier. Payloads are synthesized
+    header-accurately per doc (the container has no audio libs — the
+    PARSER is the product, the fixture just exercises it; real WAV
+    bytes from the stdlib encoder are parsed in
+    tests/test_multimodal.py). Oracle recomputes the planted
+    parameters arithmetically."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        audio_header_info,
+    )
+
+    doc = F.col("doc_id")
+    rate = (F.lit(8000) + (doc % 5) * 2000).cast("long")
+    ch = (F.lit(1) + F.floor((doc % 4) / 2)).cast("long")
+    nsamp = (F.lit(1000) + doc % 977).cast("long")
+    data_size = nsamp * ch * 2
+
+    def h2(v):
+        return F.lpad(F.hex(v % 256), 2, "0")
+
+    def le16(v):
+        return F.concat(h2(v), h2(F.floor(v / 256).cast("long")))
+
+    def le32(v):
+        return F.concat(le16(v), F.lit("0000"))
+
+    wav_hex = F.concat(
+        F.lit("52494646"),
+        le32(data_size + 36),
+        F.lit("57415645666D7420"),
+        F.lit("10000000" "0100"),
+        le16(ch),
+        le32(rate),
+        le32(rate * ch * 2),
+        le16(ch * 2),
+        F.lit("1000"),
+        F.lit("64617461"),
+        le32(data_size),
+    )
+    flac_hex = F.concat(
+        F.lit("664C6143" "80000022" "1000" "1000" "000000" "000000"),
+        h2(F.shiftright(rate, 12)),
+        h2(F.shiftright(rate, 4)),
+        h2((rate % 16) * 16 + (ch - 1) * 2),
+        F.lit("F0" "0000"),
+        h2(F.shiftright(nsamp, 8)),
+        h2(nsamp),
+        F.lit("00" * 16),
+    )
+    payload = F.unhex(F.when(doc % 2 == 0, wav_hex).otherwise(flac_hex))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", audio_header_info(payload).alias("i"))
+        .select(
+            "doc_id",
+            F.col("i.format").alias("format"),
+            F.col("i.sample_rate").alias("sample_rate"),
+            F.col("i.channels").alias("channels"),
+            F.col("i.bits").alias("bits"),
+            F.col("i.duration_ms").alias("duration_ms"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "x6_image_headers",
     """
     SELECT doc_id,
@@ -11978,6 +12061,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_tokenizer_fit_apply",  # BPE fit->vocab-map apply (new r7)
     "x10_dedup_aware_mixture",  # mixture net of near-dups (new r7)
     "x5_rm3_expansion",  # RM3 pseudo-relevance feedback (new r7)
+    "x6_audio_headers",  # decoder-free WAV/FLAC triage (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
