@@ -122,6 +122,7 @@ HEADLINE = [
     "x9_pack_chunks",
     "x4_hybrid_rrf",
     "x5_text_quality",
+    "x5_readability",
     "x5_fingerprint",
     "x5_bm25_topk",
     "x5_rm3_expansion",

@@ -469,3 +469,36 @@ def test_rm3_expansion_model_properties(spark):
         want = 0.5 * (0.5 if t in ("spark", "join") else 0.0) \
             + 0.5 * p_rel.get(t, 0.0)
         assert weight == pytest.approx(want, abs=1e-6), t
+
+
+def test_flesch_reading_ease_known_values(spark):
+    """Flesch on controlled sentences matches hand-computed values;
+    no-vowel words floor at one syllable; empty docs yield NULL."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.functions.text import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),   # 6 words, 2 sents
+            (2, "xyz qrst"),                    # no vowels -> 2 syllables
+            (3, "   "),
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r["r"].asDict()
+        for r in df.select(
+            "id", flesch_reading_ease("text").alias("r")
+        ).collect()
+    }
+    r1 = rows[1]
+    assert (r1["words"], r1["sentences"]) == (6, 2)
+    # the/cat/sat/the/dog/ran = 1 vowel group each
+    assert r1["syllables"] == 6
+    assert r1["flesch"] == round(206.835 - 1.015 * 3 - 84.6 * 1.0, 4)
+    assert rows[2] == {
+        "words": 2, "sentences": 1, "syllables": 2,
+        "flesch": round(206.835 - 1.015 * 2 - 84.6 * 1.0, 4),
+    }
+    assert rows[3]["words"] == 0 and rows[3]["flesch"] is None

@@ -206,3 +206,48 @@ def feature_hash_vector(col: Column | str, *, dim: int = 16) -> Column:
             + F.when(b == i.cast("long"), F.lit(1.0)).otherwise(F.lit(0.0)),
         ),
     )
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading-ease score as a struct ``(words long,
+    sentences long, syllables long, flesch double)`` — the classic
+    readability quality signal (Flesch 1948; used as a curation
+    feature next to the Gopher rules): ``206.835 − 1.015·(W/S) −
+    84.6·(Syl/W)``.
+
+    Deterministic heuristics, pure codegen: sentences = runs of
+    ``[.!?]`` (floored at 1), syllables = vowel-group runs per word
+    (floored at 1 — 'xyz' is one syllable, not zero). Scores round to
+    4, so the expression is engine-exact; empty documents yield NULL
+    flesch."""
+    c = _c(col)
+    toks = F.filter(ws_tokens(c), lambda x: x != "")
+    words = F.size(toks).cast("long")
+    sentences = F.greatest(
+        F.lit(1), F.regexp_count(c, F.lit(r"[.!?]+"))
+    ).cast("long")
+    syllables = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.lit(1), F.regexp_count(w, F.lit(r"[aeiouy]+"))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    flesch = F.when(
+        words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * words / sentences
+            - F.lit(84.6) * syllables / words,
+            4,
+        ),
+    )
+    return F.struct(
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+        flesch.alias("flesch"),
+    )

@@ -2901,6 +2901,76 @@ def x5_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+@query(
+    "x5_readability",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+               AS sentences,
+             coalesce(list_sum(list_transform(toks, w ->
+               greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+               0)::BIGINT AS syllables
+      FROM t
+    ), s AS (
+      SELECT doc_id, words, sentences, syllables,
+             CASE WHEN words > 0 THEN
+               round(206.835 - 1.015 * words / sentences
+                     - 84.6 * syllables / words, 4) END AS flesch
+      FROM m
+    )
+    SELECT doc_id, words, sentences, syllables, flesch,
+           CASE WHEN flesch IS NULL THEN 'empty'
+                WHEN flesch >= 90 THEN 'very_easy'
+                WHEN flesch >= 70 THEN 'easy'
+                WHEN flesch >= 50 THEN 'medium'
+                WHEN flesch >= 30 THEN 'hard'
+                ELSE 'very_hard' END AS band
+    FROM s ORDER BY doc_id
+    """,
+)
+def x5_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — Flesch reading-ease readability (round 7): the classic
+    curation quality feature next to the Gopher rules — word/sentence/
+    syllable counts from deterministic codegen heuristics (sentence =
+    ``[.!?]`` runs floored at 1; syllable = vowel-group runs per word
+    floored at 1), the 206.835 − 1.015·(W/S) − 84.6·(Syl/W) score
+    rounded to 4, and a five-band difficulty label computed off the
+    rounded score. One projection, no shuffle, full oracle
+    (functions/text.py:flesch_reading_ease)."""
+    from vectordb_migrator_spark.functions.text import flesch_reading_ease
+
+    r = F.col("r")
+    fl = F.col("r.flesch")
+    band = (
+        F.when(fl.isNull(), "empty")
+        .when(fl >= 90, "very_easy")
+        .when(fl >= 70, "easy")
+        .when(fl >= 50, "medium")
+        .when(fl >= 30, "hard")
+        .otherwise("very_hard")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", flesch_reading_ease("text").alias("r"))
+        .select(
+            "doc_id",
+            r.getField("words").alias("words"),
+            r.getField("sentences").alias("sentences"),
+            r.getField("syllables").alias("syllables"),
+            fl.alias("flesch"),
+            band.alias("band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("x0_tokenizer_fit_apply", _tokenizer_fit_apply_sql(8))
 def x0_tokenizer_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X0 — the tokenizer LIFECYCLE composed end to end (round 7):
@@ -12140,6 +12210,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_rm3_expansion",  # RM3 pseudo-relevance feedback (new r7)
     "x6_audio_headers",  # decoder-free WAV/FLAC triage (new r7)
     "x9_nf4_quantization",  # QLoRA NormalFloat 4-bit codes (new r7)
+    "x5_readability",  # Flesch reading-ease bands (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
