@@ -62,6 +62,7 @@ HEADLINE = [
     "x0_curation_report",
     "x0_packing_manifest",
     "x0_shard_shuffle",
+    "x0_rendezvous_shards",
     "x0_interleaved_order",
     "x0_curriculum_order",
     "x0_doc_packing",

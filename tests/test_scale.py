@@ -250,3 +250,23 @@ def test_key_skew_stats_empty_frames_rejected(spark):
 
     with pytest.raises(ValueError, match="frames"):
         key_skew_stats([])
+
+
+def test_rendezvous_assign_reshard_stability(spark):
+    """HRW property: every row that moves when growing 5 -> 6 shards
+    moves TO the new shard, survivors never reshuffle, and the moved
+    fraction is near 1/6; assignments are deterministic."""
+    from vectordb_migrator_spark.operators.scale import rendezvous_assign
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    a = rendezvous_assign(df, n_shards=5, out_col="s5")
+    a = rendezvous_assign(a, n_shards=6, out_col="s6").collect()
+    assert all(0 <= r["s5"] <= 4 and 0 <= r["s6"] <= 5 for r in a)
+    moved = [r for r in a if r["s5"] != r["s6"]]
+    assert all(r["s6"] == 5 for r in moved)  # movers go TO the new shard
+    frac = len(moved) / len(a)
+    assert 0.10 < frac < 0.24  # expected 1/6 ≈ 0.167
+
+    b = {r["doc_id"]: r["s5"]
+         for r in rendezvous_assign(df, n_shards=5, out_col="s5").collect()}
+    assert all(b[r["doc_id"]] == r["s5"] for r in a)  # deterministic

@@ -276,3 +276,42 @@ def export_shards(
     manifest = sharded.groupBy("shard").agg(*aggs).orderBy("shard")
     manifest.write.mode("overwrite").parquet(f"{path}__manifest")
     return manifest
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "hrw",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each row
+    goes to ``argmax_i md5(seed:id:i)`` — the hashing scheme whose
+    RESHARD cost is provably minimal: growing from N to N+1 shards
+    moves exactly the rows whose new-shard score wins (expected
+    1/(N+1) of the data), and every mover goes TO the new shard;
+    nothing reshuffles between survivors (vs mod-N hashing, which
+    moves ~half the corpus). That is the property that makes a 100 TB
+    shard layout EXPANDABLE without a full rewrite.
+
+    Pure codegen — n_shards md5 scores per row, first-argmax
+    tie-break (md5 collisions aside, ties are impossible), no shuffle,
+    engine-exact (the md5/conv contract)."""
+    idc = F.col(id_col).cast("string")
+    scores = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(seed), idc, F.lit(str(i)))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            for i in range(n_shards)
+        ]
+    )
+    shard = (F.array_position(scores, F.array_max(scores)) - 1).cast("long")
+    return df.withColumn(out_col, shard)

@@ -4557,6 +4557,65 @@ def x0_interleaved_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x0_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — rendezvous (highest-random-weight) sharding + reshard
+    stability report (round 7): assign every doc to argmax_i
+    md5(seed:id:i) over 8 shards, then RE-assign over 9 and measure
+    per-shard movers — HRW's guarantee is that expanding N→N+1 moves
+    only ~1/(N+1) of rows and every mover goes TO the new shard, so a
+    100 TB layout grows without the ~50% reshuffle mod-N hashing
+    causes. Assignment is pure codegen (n md5 scores per row, no
+    shuffle); the report is one map-side-combinable rollup. Full
+    oracle over identical md5/argmax math
+    (operators/scale.py:rendezvous_assign)."""
+    from vectordb_migrator_spark.operators.scale import rendezvous_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    a = rendezvous_assign(docs, n_shards=8, out_col="shard")
+    a = rendezvous_assign(a, n_shards=9, out_col="shard9")
+    moved = F.sum(
+        F.when(F.col("shard9") != F.col("shard"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            moved.alias("n_moved"),
+            F.round(
+                moved / F.count(F.lit(1)),
+                6,
+            ).alias("move_share"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLES["x0_rendezvous_shards"] = """
+    WITH s AS (
+      SELECT doc_id,
+        [CAST(CONCAT('0x', substr(md5('hrw:' || doc_id::VARCHAR || ':'
+              || i::VARCHAR), 1, 15)) AS BIGINT)
+         for i in range(0, 8)] AS sc8,
+        [CAST(CONCAT('0x', substr(md5('hrw:' || doc_id::VARCHAR || ':'
+              || i::VARCHAR), 1, 15)) AS BIGINT)
+         for i in range(0, 9)] AS sc9
+      FROM documents
+    ), a AS (
+      SELECT doc_id,
+             (list_position(sc8, list_max(sc8)) - 1)::BIGINT AS shard,
+             (list_position(sc9, list_max(sc9)) - 1)::BIGINT AS shard9
+      FROM s
+    )
+    SELECT shard, count(*)::BIGINT AS n,
+           sum(CASE WHEN shard9 != shard THEN 1 ELSE 0 END)::BIGINT
+             AS n_moved,
+           round(sum(CASE WHEN shard9 != shard THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS move_share
+    FROM a GROUP BY shard ORDER BY shard
+"""
+QUERIES["x0_rendezvous_shards"] = x0_rendezvous_shards
+
+
 @query(
     "x0_shard_shuffle",
     r"""
@@ -12211,6 +12270,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_audio_headers",  # decoder-free WAV/FLAC triage (new r7)
     "x9_nf4_quantization",  # QLoRA NormalFloat 4-bit codes (new r7)
     "x5_readability",  # Flesch reading-ease bands (new r7)
+    "x0_rendezvous_shards",  # HRW sharding + reshard stability (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
