@@ -66,6 +66,7 @@ HEADLINE = [
     "x0_interleaved_order",
     "x0_curriculum_order",
     "x0_doc_packing",
+    "x0_length_buckets",
     "x10_token_budget_cap",
     "x1_dedup_exact_text",
     "x1_dedup_canonical",

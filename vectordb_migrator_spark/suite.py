@@ -9441,6 +9441,78 @@ def x0_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x0_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — sequence-length bucketing economics (round 7): the OTHER
+    batching strategy next to ``x0_doc_packing``'s concatenation —
+    for finetuning/inference where documents stay separate, docs pad
+    to their power-of-two length bucket (32..1024, longer truncates to
+    1024) and the table prices each bucket: docs, real tokens, padding
+    tokens, padding share, truncated tokens. The padding share is the
+    compute a trainer burns on pad tokens per bucket — the number that
+    justifies bucketed batching over pad-to-max. ONE map-side
+    combinable aggregate over the corpus; bucket assignment is a
+    codegen CASE ladder. Full oracle."""
+    from vectordb_migrator_spark.functions.text import token_count_ws
+
+    n = token_count_ws("text").cast("long")
+    eff = F.least(n, F.lit(1024))
+    edge = (
+        F.when(eff <= 32, 32)
+        .when(eff <= 64, 64)
+        .when(eff <= 128, 128)
+        .when(eff <= 256, 256)
+        .when(eff <= 512, 512)
+        .otherwise(1024)
+        .cast("long")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        edge.alias("bucket"),
+        eff.alias("eff"),
+        (n - eff).alias("trunc"),
+    )
+    return (
+        d.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("eff").cast("long").alias("tokens"),
+            (F.first("bucket") * F.count(F.lit(1)) - F.sum("eff"))
+            .cast("long")
+            .alias("pad_tokens"),
+            F.round(
+                (F.first("bucket") * F.count(F.lit(1)) - F.sum("eff"))
+                / (F.first("bucket") * F.count(F.lit(1))),
+                6,
+            ).alias("pad_share"),
+            F.sum("trunc").cast("long").alias("trunc_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLES["x0_length_buckets"] = r"""
+    WITH d AS (
+      SELECT len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n
+      FROM documents
+    ), b AS (
+      SELECT least(n, 1024) AS eff, n - least(n, 1024) AS trunc,
+             (CASE WHEN least(n, 1024) <= 32 THEN 32
+                   WHEN least(n, 1024) <= 64 THEN 64
+                   WHEN least(n, 1024) <= 128 THEN 128
+                   WHEN least(n, 1024) <= 256 THEN 256
+                   WHEN least(n, 1024) <= 512 THEN 512
+                   ELSE 1024 END)::BIGINT AS bucket
+      FROM d
+    )
+    SELECT bucket, count(*)::BIGINT AS docs, sum(eff)::BIGINT AS tokens,
+           (bucket * count(*) - sum(eff))::BIGINT AS pad_tokens,
+           round((bucket * count(*) - sum(eff))::DOUBLE
+                 / (bucket * count(*)), 6) AS pad_share,
+           sum(trunc)::BIGINT AS trunc_tokens
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
+QUERIES["x0_length_buckets"] = x0_length_buckets
+
+
 def _tier_case_sql(n: int = 10) -> str:
     whens = " ".join(
         f"WHEN n_tok <= bs[{i}] THEN {i}" for i in range(1, n)
@@ -12271,6 +12343,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_nf4_quantization",  # QLoRA NormalFloat 4-bit codes (new r7)
     "x5_readability",  # Flesch reading-ease bands (new r7)
     "x0_rendezvous_shards",  # HRW sharding + reshard stability (new r7)
+    "x0_length_buckets",  # pad-to-bucket batching economics (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
