@@ -289,3 +289,37 @@ def test_cusum_streaming_store_matches_batch(spark, tmp_path):
     n = spark.read.parquet(str(tmp_path / "store")).count()
     run()  # replay idempotence
     assert spark.read.parquet(str(tmp_path / "store")).count() == n
+
+
+def test_mad_outliers_robust_to_masking(spark):
+    """The masking failure mode: three huge values inflate stddev
+    until the z-gate misses the smallest of them, while the
+    median/MAD gate flags exactly the planted outliers."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        mad_outliers,
+        zscore_anomalies,
+    )
+
+    base = [(i, "a", 10.0 + (i % 7) * 0.1) for i in range(40)]
+    spikes = [(100, "a", 5000.0), (101, "a", 6000.0), (102, "a", 7000.0)]
+    df = spark.createDataFrame(
+        base + spikes, "event_id long, event_type string, value double"
+    )
+    mad_ids = {r["event_id"] for r in mad_outliers(df).collect()}
+    assert mad_ids == {100, 101, 102}
+    z_ids = {r["event_id"]
+             for r in zscore_anomalies(df, threshold=3.0).collect()}
+    assert 100 not in z_ids  # masked: the spikes drag stddev up
+    assert z_ids < {100, 101, 102}  # and nothing normal is flagged
+
+
+def test_mad_outliers_constant_key_not_flagged(spark):
+    """A majority-constant key has MAD 0 -> NULL scores, nothing
+    flagged (not an everything-is-an-outlier explosion)."""
+    from vectordb_migrator_spark.operators.timeseries import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, "k", 5.0) for i in range(20)] + [(99, "k", 9.0)],
+        "event_id long, event_type string, value double",
+    )
+    assert mad_outliers(df).count() == 0

@@ -6832,6 +6832,57 @@ def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_mad_outliers",
+    """
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5)::DOUBLE AS med
+      FROM events GROUP BY event_type
+    ), d AS (
+      SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN m USING (event_type)
+    ), s AS (
+      SELECT event_type,
+             quantile_cont(abs(value - med), 0.5)::DOUBLE AS mad
+      FROM d GROUP BY event_type
+    ), r AS (
+      SELECT d.event_id, d.event_type, d.value, d.med, s.mad,
+             round(0.6745 * (d.value - d.med) / s.mad, 6) AS rz
+      FROM d JOIN s USING (event_type)
+    )
+    SELECT event_id, event_type, round(value, 6) AS value,
+           round(med, 6) AS med, round(mad, 6) AS mad, rz
+    FROM r WHERE abs(rz) >= 3.5
+    ORDER BY event_id
+    """,
+)
+def x13_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — median/MAD robust outliers (round 7): the
+    50%-breakdown-robust twin of ``anomaly_zscore_events`` — extreme
+    rows inflate a mean/stddev gate until it stops firing (masking);
+    the modified z-score 0.6745·(x−med)/MAD (Iglewicz & Hoaglin, cut
+    3.5) doesn't move. Two grouped exact percentiles broadcast back
+    over the scan (the zscore two-pass shape; swap in
+    percentile_approx at 100 TB — same plan, bounded memory). Score
+    rounds to 6 before thresholding; DuckDB's quantile_cont
+    interpolates exactly like Spark's percentile, so the oracle
+    hash-matches (operators/timeseries.py:mad_outliers)."""
+    from vectordb_migrator_spark.operators.timeseries import mad_outliers
+
+    out = mad_outliers(
+        _t(spark, sf_dir, "events").select("event_id", "event_type", "value"),
+        threshold=3.5,
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "med",
+        "mad",
+        "rz",
+    ).orderBy("event_id")
+
+
+@query(
     "anomaly_zscore_events",
     """
     WITH s AS (
@@ -12344,6 +12395,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_readability",  # Flesch reading-ease bands (new r7)
     "x0_rendezvous_shards",  # HRW sharding + reshard stability (new r7)
     "x0_length_buckets",  # pad-to-bucket batching economics (new r7)
+    "x13_mad_outliers",  # median/MAD robust outliers (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
