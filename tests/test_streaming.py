@@ -786,3 +786,60 @@ def test_reader_options_bound_micro_batches(spark, tmp_path):
         .count()
     )
     assert batches == 2
+
+
+def test_gated_ingest_routes_clean_and_quarantine(spark, tmp_path):
+    """Round-7 X12×X8: streaming contract gate — conforming rows reach
+    the clean corpus, violators land in quarantine with sorted rule
+    names and batch id; a second batch appends incrementally."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.streaming.incremental import gated_ingest
+
+    src = str(tmp_path / "in")
+    schema = "id long, value double, kind string"
+    rules = [
+        ("value_positive", F.col("value") > 0),
+        ("known_kind", F.col("kind").isin("a", "b")),
+    ]
+    b1 = [(1, 5.0, "a"), (2, -1.0, "a"), (3, 5.0, "z"), (4, -2.0, "z")]
+    spark.createDataFrame(b1, schema).write.parquet(src)
+
+    def run():
+        q = gated_ingest(
+            spark,
+            source_path=src,
+            source_schema=schema,
+            clean_path=str(tmp_path / "clean"),
+            quarantine_path=str(tmp_path / "quar"),
+            rules=rules,
+            checkpoint=str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    clean = {r["id"] for r in
+             spark.read.parquet(str(tmp_path / "clean")).collect()}
+    quar = {r["id"]: r["violations"] for r in
+            spark.read.parquet(str(tmp_path / "quar")).collect()}
+    assert clean == {1}
+    assert quar == {
+        2: "value_positive",
+        3: "known_kind",
+        4: "known_kind,value_positive",
+    }
+
+    spark.createDataFrame([(5, 1.0, "b"), (6, 0.0, "b")], schema) \
+        .write.mode("append").parquet(src)
+    run()
+    clean2 = {r["id"] for r in
+              spark.read.parquet(str(tmp_path / "clean")).collect()}
+    quar2 = spark.read.parquet(str(tmp_path / "quar"))
+    assert clean2 == {1, 5}
+    assert {r["id"] for r in quar2.collect()} == {2, 3, 4, 6}
+    # replay idempotence: checkpoint advanced, nothing re-appends
+    n_c = spark.read.parquet(str(tmp_path / "clean")).count()
+    n_q = quar2.count()
+    run()
+    assert spark.read.parquet(str(tmp_path / "clean")).count() == n_c
+    assert spark.read.parquet(str(tmp_path / "quar")).count() == n_q

@@ -943,3 +943,65 @@ def changepoints_over(
         .localCheckpoint(eager=True)
     )
     return cusum_from_daily(daily, threshold=threshold)
+
+
+def gated_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    clean_path: str,
+    quarantine_path: str,
+    rules: "list[tuple[str, Any]]",
+    checkpoint: str,
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    trigger_once: bool = True,
+):
+    """Streaming contract enforcement — X12 meets X8: every
+    micro-batch is gated by :func:`~vectordb_migrator_spark.operators
+    .validation.enforce_rules`; conforming rows append to the clean
+    corpus, violators append to a quarantine store WITH their
+    violated-rule names and batch id (the machine-readable reason a
+    triage job reads instead of the stream dying on one bad row —
+    the Delta Live Tables expectations pattern).
+
+    Both writes happen inside one ``foreachBatch`` off the SAME gated
+    frame (one gate evaluation; the projection is codegen, so the two
+    filtered writes re-run the scan but never a shuffle). Replays
+    re-emit the same rows to both stores idempotently only if the
+    upstream checkpoint advanced; the quarantine rows carry
+    ``batch_id`` so a replayed batch's duplicates are identifiable
+    and the store can be compacted by (batch_id) max-wins."""
+    from vectordb_migrator_spark.operators.validation import enforce_rules
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        gated = enforce_rules(batch_df, rules).localCheckpoint(eager=True)
+        gated.filter(F.size("violations") == 0).drop("violations").write.mode(
+            "append"
+        ).parquet(clean_path)
+        (
+            gated.filter(F.size("violations") > 0)
+            .withColumn(
+                "violations",
+                F.array_join(F.sort_array(F.col("violations")), ","),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(quarantine_path)
+        )
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .options(**(reader_options or {}))
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
