@@ -369,3 +369,33 @@ def test_curation_report_no_corpus_rescan(spark):
     p = _plan(spark, "x0_curation_report")
     assert "Scan parquet" not in p and "FileScan" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_round7_plan_shapes(spark):
+    """Round-7 scale locks: the contract gate is one projection with
+    ONE aggregate exchange (no rescan, no join); length bucketing is a
+    single partial-then-final aggregate; rendezvous sharding computes
+    both assignments with NO join or window (pure projection before
+    its one rollup); NF4 quantization never shuffles (fan-out exchange
+    only); MAD outliers broadcast both percentile tables back."""
+    p = _plan(spark, "x12_contract_enforce")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final combo count
+
+    p = _plan(spark, "x0_length_buckets")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p and "Window" not in p
+    assert p.count("HashAggregate") >= 2
+
+    p = _plan(spark, "x0_rendezvous_shards")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p and "Window" not in p
+
+    p = _plan(spark, "x9_nf4_quantization")
+    assert "Join" not in p and "Window" not in p
+    assert "SortMergeJoin" not in p
+
+    p = _plan(spark, "x13_mad_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "Window" not in p
