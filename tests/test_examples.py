@@ -308,3 +308,28 @@ def test_index_maintenance_example(spark, tmp_path):
     assert out["rows"] == 510  # 500 originals + 10 appended
     assert out["partitions"] >= 2
     assert isinstance(out["refit_ran"], bool)
+
+
+def test_curation_planning_pipeline_example(spark):
+    """examples/curation_planning_pipeline.py: the round-7 planning
+    dossier — all five report frames materialize with sane shapes."""
+    sys.path.insert(0, str(ROOT / "examples"))
+    try:
+        import curation_planning_pipeline as ex
+    finally:
+        sys.path.pop(0)
+
+    reports = ex.plan_curation(spark, "/root/testdata/sf0.001")
+    assert set(reports) == {
+        "triage", "readability", "buckets", "token_price", "mixture",
+    }
+    triage = {r["combo"]: r["n"] for r in reports["triage"].collect()}
+    assert "" in triage and sum(triage.values()) > 0
+    bands = {r["band"] for r in reports["readability"].collect()}
+    assert bands <= {"easy", "medium", "hard"} and bands
+    bk = reports["buckets"].collect()
+    assert all(r["pad_tokens"] >= 0 for r in bk)
+    tp = reports["token_price"].collect()
+    assert all(r["tokens_per_word"] >= 1.0 for r in tp)
+    mx = reports["mixture"].collect()
+    assert abs(sum(r["weight"] for r in mx) - 1.0) < 1e-3
