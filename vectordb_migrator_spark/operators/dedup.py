@@ -85,6 +85,52 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def _minhash_md5_sig(text_col: str, shingle_n: int, num_hashes: int):
+    """The md5 MinHash signature expression — one aggregate pass over
+    the shingle array (each shingle hashed ``num_hashes`` times, the
+    tokenize/shingle tree compiled once)."""
+    sh = shingles(text_col, shingle_n)
+
+    def h(i, t):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(i.cast("string"), F.lit(":"), t)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    return F.aggregate(
+        sh,
+        F.array_repeat(F.lit(1 << 33).cast("long"), num_hashes),
+        lambda acc, t: F.transform(acc, lambda m, i: F.least(m, h(i, t))),
+    )
+
+
+def minhash_md5_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig array<long>) — the md5 MinHash signatures themselves,
+    for estimator diagnostics (match-fraction Jaccard estimates) and
+    signature stores; :func:`minhash_md5_pairs` is the banded
+    candidate generator over the same expression. Documents with
+    fewer than ``shingle_n`` tokens are excluded."""
+    toks = F.split(F.lower(ws_strip(F.col(text_col))), r"\s+")
+    return (
+        fan_out(df)
+        .filter(F.size(toks) >= shingle_n)
+        .select(
+            F.col(id_col).alias("id"),
+            _minhash_md5_sig(text_col, shingle_n, num_hashes).alias("sig"),
+        )
+    )
+
+
 def minhash_md5_pairs(
     df: DataFrame,
     *,
@@ -120,22 +166,7 @@ def minhash_md5_pairs(
     r = num_hashes // bands
 
     toks = F.split(F.lower(ws_strip(F.col(text_col))), r"\s+")
-    sh = shingles(text_col, shingle_n)
-
-    def h(i, t):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(i.cast("string"), F.lit(":"), t)), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-
-    sig = F.aggregate(
-        sh,
-        F.array_repeat(F.lit(1 << 33).cast("long"), num_hashes),
-        lambda acc, t: F.transform(acc, lambda m, i: F.least(m, h(i, t))),
-    )
+    sig = _minhash_md5_sig(text_col, shingle_n, num_hashes)
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda j: F.concat_ws(

@@ -8779,7 +8779,9 @@ def x2_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — MinHash-LSH candidates with md5 hash functions: the
     engine-reproducible twin of x2_minhash_lsh_pairs, upgrading the
     MinHash family's correctness evidence from rows-only to a full
-    value-hash oracle (16 hashes, 4 bands of 4, min-id star-cap 50)."""
+    value-hash oracle (16 hashes, 4 bands of 4, min-id star-cap 50).
+    ``x2_minhash_estimate_error`` grades the estimator these
+    candidates rely on."""
     from vectordb_migrator_spark.operators.dedup import minhash_md5_pairs
 
     return minhash_md5_pairs(
@@ -8788,6 +8790,199 @@ def x2_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         max_bucket=50,
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x2_minhash_estimate_error",
+    r"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks) - 1)]) AS g
+      FROM t WHERE len(toks) >= 3
+    ),
+    sig AS (
+      SELECT id,
+             [list_min(list_transform(g,
+                s -> CAST(CONCAT('0x', substr(md5(i::VARCHAR || ':' || s),
+                                              1, 8)) AS BIGINT)))
+              for i in range(0, 16)] AS s
+      FROM sh
+    ),
+    bands AS (
+      SELECT id,
+             j::VARCHAR || '_' ||
+             array_to_string(s[j*4+1 : j*4+4], '_') AS key
+      FROM sig, unnest(range(0, 4)) b(j)
+    ),
+    c AS (SELECT key, count(*) AS n_bkt, min(id) AS anchor
+          FROM bands GROUP BY key),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.key = b.key AND a.id < b.id
+      JOIN c ON c.key = a.key
+      WHERE c.n_bkt <= 50 OR a.id = c.anchor
+    ),
+    est AS (
+      SELECT cand.id_a, cand.id_b,
+             round(len([i for i in range(1, 17)
+                        if sa.s[i] = sb.s[i]]) / 16.0, 6) AS est
+      FROM cand
+      JOIN sig sa ON sa.id = cand.id_a
+      JOIN sig sb ON sb.id = cand.id_b
+    ),
+    ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ),
+    tr AS (
+      SELECT cd.id_a, cd.id_b,
+             round(count(*)::DOUBLE /
+                   (any_value(a.n) + any_value(b.n) - count(*)), 6)
+               AS true_j
+      FROM cand cd
+      JOIN ex a ON a.id = cd.id_a
+      JOIN ex b ON b.id = cd.id_b AND b.gram = a.gram
+      GROUP BY cd.id_a, cd.id_b
+    ),
+    p AS (
+      SELECT round(floor(abs(est.est - tr.true_j) * 20) / 20, 2)
+               AS err_lo,
+             est.est, tr.true_j
+      FROM est JOIN tr ON est.id_a = tr.id_a AND est.id_b = tr.id_b
+    )
+    SELECT err_lo, count(*)::BIGINT AS n_pairs,
+           round(sum(est::DECIMAL(9,6))::DOUBLE / count(*), 6) AS avg_est,
+           round(sum(true_j::DECIMAL(9,6))::DOUBLE / count(*), 6)
+             AS avg_true
+    FROM p GROUP BY err_lo ORDER BY err_lo
+    """,
+)
+def x2_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — MinHash estimator-quality diagnostic (round 7; completes
+    the tuning family next to the S-curve and threshold-sweep tables):
+    for every LSH candidate pair, the 16-hash match-fraction Jaccard
+    ESTIMATE vs the exact shingle-set Jaccard, rolled into 0.05-wide
+    absolute-error buckets with exact DECIMAL-summed averages — the
+    table that says whether 16 hashes are enough before a corpus run
+    commits to them (σ = √(J(1−J)/k) ≈ 0.12 at k=16, so a heavy tail
+    past 0.2 means raise k). Truth is computed ONLY for the
+    candidate-sized pair set (a semi-join-bounded gram join), never
+    all pairs. Full oracle (shared sig/candidate CTEs)."""
+    from pyspark.sql import Window as W2
+
+    from vectordb_migrator_spark.operators.dedup import (
+        minhash_md5_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # shared kernels materialize ONCE: the signature table (16
+    # longs/doc) feeds BOTH the banded candidate generation and the
+    # estimator, and the shingle table feeds the truth join — without
+    # the checkpoints every branch re-tokenizes and re-hashes the
+    # corpus (measured ~60s → ~5s at sf0.01 for the whole query)
+    sigs = minhash_md5_signatures(docs, num_hashes=16).localCheckpoint(
+        eager=True
+    )
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda j: F.concat_ws(
+            "_",
+            j.cast("string"),
+            F.array_join(
+                F.transform(
+                    F.slice("sig", j * 4 + 1, 4), lambda x: x.cast("string")
+                ),
+                "_",
+            ),
+        ),
+    )
+    banded = sigs.select("id", F.explode(band_keys).alias("key"))
+    w = W2.partitionBy("key")
+    marked = banded.withColumn("n_bkt", F.count("*").over(w)).withColumn(
+        "anchor", F.min("id").over(w)
+    )
+    cand = (
+        marked.select("key", F.col("id").alias("id_a"), "n_bkt", "anchor")
+        .join(banded.select("key", F.col("id").alias("id_b")), "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("n_bkt") <= 50) | (F.col("id_a") == F.col("anchor")))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sb"))
+    est = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.size(
+                F.filter(
+                    F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v
+                )
+            )
+            / F.lit(16.0),
+            6,
+        ).alias("est"),
+    )
+    grams = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(shingles("text", 3))).alias("gram"),
+    ).localCheckpoint(eager=True)
+    nsz = grams.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ga = grams.join(
+        cand.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi"
+    ).select(F.col("id").alias("id_a"), "gram")
+    gb = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+    )
+    na = nsz.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = nsz.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    true_j = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("true_j"),
+        )
+    )
+    p = est.join(true_j, ["id_a", "id_b"]).select(
+        F.round(
+            F.floor(F.abs(F.col("est") - F.col("true_j")) * 20) / 20, 2
+        ).alias("err_lo"),
+        "est",
+        "true_j",
+    )
+    return (
+        p.groupBy("err_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("est").cast("decimal(9,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_est"),
+            F.round(
+                F.sum(F.col("true_j").cast("decimal(9,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_true"),
+        )
+        .orderBy("err_lo")
+    )
 
 
 @query(
@@ -12396,6 +12591,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_rendezvous_shards",  # HRW sharding + reshard stability (new r7)
     "x0_length_buckets",  # pad-to-bucket batching economics (new r7)
     "x13_mad_outliers",  # median/MAD robust outliers (new r7)
+    "x2_minhash_estimate_error",  # estimator-quality table (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
