@@ -157,6 +157,7 @@ HEADLINE = [
     "x9_chunk_documents",
     "x9_int8_quantization",
     "x9_nf4_quantization",
+    "x4_nf4_recall",
     "x9_storage_report",
     "x9_sq_error_by_label",
     "x9_pq_error",

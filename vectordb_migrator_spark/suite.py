@@ -4157,10 +4157,9 @@ def x9_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text(d, chunk_size=32, overlap=8).orderBy("doc_id", "chunk_id")
 
 
-def _nf4_sql() -> str:
-    """Oracle for x9_nf4_quantization: the same midpoint-threshold
-    nearest-level search over the same double literals (repr
-    round-trips exactly, so both engines compare identical bits)."""
+def _nf4_literals() -> tuple[str, str]:
+    """(mids, levels) as SQL list literals — repr round-trips the
+    doubles exactly, so both engines compare identical bits."""
     from vectordb_migrator_spark.functions.vector import (
         _NF4_MIDS,
         NF4_LEVELS,
@@ -4168,6 +4167,13 @@ def _nf4_sql() -> str:
 
     mids = "[" + ", ".join(repr(m) for m in _NF4_MIDS) + "]"
     levels = "[" + ", ".join(repr(v) for v in NF4_LEVELS) + "]"
+    return mids, levels
+
+
+def _nf4_sql() -> str:
+    """Oracle for x9_nf4_quantization: the same midpoint-threshold
+    nearest-level search over the same double literals."""
+    mids, levels = _nf4_literals()
     return f"""
     WITH q AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -4232,6 +4238,91 @@ def x9_nf4_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_err"),
     ).orderBy("vec_id")
+
+
+def _nf4_recall_sql() -> str:
+    """Oracle for x4_nf4_recall: exact float top-10 vs top-10 over
+    NF4-dequantized vectors (asymmetric — the probe stays float)."""
+    mids, levels = _nf4_literals()
+    return f"""
+    WITH p AS (SELECT {{probe}} AS pv),
+    truth AS (
+      SELECT vec_id
+      FROM embeddings, p
+      ORDER BY round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) DESC, vec_id
+      LIMIT 10
+    ),
+    q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               AS scale
+      FROM embeddings
+    ),
+    dq AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x ->
+                    {levels}[len(list_filter({mids},
+                        m -> x / scale > m)) + 1] * scale)
+             END AS d
+      FROM q
+    ),
+    approx AS (
+      SELECT dq.vec_id
+      FROM dq, p
+      ORDER BY round(list_dot_product(d, pv) /
+                 (sqrt(list_dot_product(d, d)) *
+                  sqrt(list_dot_product(pv, pv))), 6) DESC, dq.vec_id
+      LIMIT 10
+    )
+    SELECT 10::BIGINT AS k, count(*)::BIGINT AS n_hits,
+           round(count(*) / 10.0, 6) AS recall
+    FROM truth JOIN approx USING (vec_id)"""
+
+
+@query("x4_nf4_recall", None)  # oracle bound below (needs the probe)
+def x4_nf4_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — NF4 in the retrieval path (round 7): recall@10 of
+    brute-force cosine over the NF4-DEQUANTIZED corpus against the
+    exact float truth, asymmetric (the probe stays float — the
+    standard compressed-corpus serving layout). The 8× storage cut of
+    ``x9_nf4_quantization`` is only worth taking if this number holds;
+    this query is the gate. Both rankings are
+    TakeOrderedAndProject(k), the dequantized scan is pure codegen,
+    and the recall join is k-row-sized. Full oracle (same codebook
+    literals)."""
+    from vectordb_migrator_spark.functions.vector import (
+        nf4_dequantize,
+        nf4_quantize,
+    )
+    from vectordb_migrator_spark.operators.similarity import cosine_topk
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    probe = _probe_vector(spark, sf_dir)
+    e = fan_out(_t(spark, sf_dir, "embeddings"))
+    truth = cosine_topk(e, probe, k=10).select("vec_id")
+    dq = e.select(
+        "vec_id", nf4_dequantize(nf4_quantize("embedding")).alias("embedding")
+    )
+    approx = cosine_topk(dq, probe, k=10).select("vec_id")
+    return truth.join(approx, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall"),
+    )
+
+
+def _bind_nf4_recall_oracle() -> None:
+    # the probe literal matches _PROBE_SQL (same vec_id-0 convention
+    # used by every other recall oracle)
+    ORACLES["x4_nf4_recall"] = _nf4_recall_sql().format(probe=_PROBE_SQL)
+
+
+_bind_nf4_recall_oracle()
 
 
 @query(
@@ -12592,6 +12683,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_length_buckets",  # pad-to-bucket batching economics (new r7)
     "x13_mad_outliers",  # median/MAD robust outliers (new r7)
     "x2_minhash_estimate_error",  # estimator-quality table (new r7)
+    "x4_nf4_recall",  # NF4 corpus recall gate (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
