@@ -191,6 +191,7 @@ HEADLINE = [
     "scd2_order_status",
     "anomaly_zscore_events",
     "x13_mad_outliers",
+    "x13_acf",
     "x13_rolling_corr",
     "x13_seasonal_anomalies",
     "x13_stl_decompose",

@@ -323,3 +323,31 @@ def test_mad_outliers_constant_key_not_flagged(spark):
         "event_id long, event_type string, value double",
     )
     assert mad_outliers(df).count() == 0
+
+
+def test_acf_matches_numpy(spark):
+    """The suite ACF query equals the NumPy autocovariance ratio on
+    the same daily series."""
+    import numpy as np
+
+    from vectordb_migrator_spark.suite import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["lag"]: r["acf"]
+           for r in QUERIES["x13_acf"](spark, sf).collect()}
+    import duckdb
+    v = [
+        r[1]
+        for r in duckdb.sql(
+            f"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+                       round(avg(value), 6) AS v
+                FROM read_parquet('{sf}/events.parquet')
+                GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+    ]
+    x = np.array(v)
+    mu = x.mean()
+    denom = ((x - mu) ** 2).sum()
+    for lag in range(1, 15):
+        want = ((x[lag:] - mu) * (x[:-lag] - mu)).sum() / denom
+        assert abs(got[lag] - want) < 2e-6, lag

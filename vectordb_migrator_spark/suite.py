@@ -6923,6 +6923,86 @@ def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_acf",
+    """
+    WITH d AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             round(avg(value), 6) AS v
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT v, row_number() OVER (ORDER BY day) AS rn FROM d
+    ),
+    m AS (SELECT avg(v) AS mu FROM r),
+    s AS (SELECT m.mu, sum((r.v - m.mu) * (r.v - m.mu)) AS denom
+          FROM r, m GROUP BY m.mu),
+    lags AS (SELECT unnest(range(1, 15)) AS lag),
+    num AS (
+      SELECT l.lag,
+             sum((a.v - s.mu) * (b.v - s.mu)) AS num
+      FROM lags l
+      JOIN r a ON TRUE
+      JOIN r b ON a.rn = b.rn + l.lag, s
+      GROUP BY l.lag
+    )
+    SELECT lag::BIGINT AS lag, round(num / s.denom, 6) AS acf
+    FROM num, s ORDER BY lag
+    """,
+)
+def x13_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — autocorrelation function of the daily event-value series
+    at lags 1..14 (round 7): the seasonality DIAGNOSTIC that says
+    which period the STL/hour-of-week operators should model — a
+    weekly rhythm shows as an ACF peak at lag 7. Standard
+    total-variance normalization (r_k = Σ(v_t−μ)(v_{t−k}−μ) /
+    Σ(v_t−μ)²). One daily aggregate touches the log; the lag joins run
+    on the day-sized frame (14 × days rows). Round-6, full oracle."""
+    from pyspark.sql import Window as W2
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"
+            ).alias("day")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    r = daily.select(
+        "v", F.row_number().over(W2.orderBy("day")).alias("rn")
+    ).localCheckpoint(eager=True)
+    mu_df = r.agg(F.avg("v").alias("mu"))
+    s = (
+        r.crossJoin(F.broadcast(mu_df))
+        .agg(
+            F.first("mu").alias("mu"),
+            F.sum(
+                (F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))
+            ).alias("denom"),
+        )
+    )
+    lags = spark.range(1, 15).select(F.col("id").alias("lag"))
+    a = r.select(F.col("rn").alias("ra"), F.col("v").alias("va"))
+    b = r.select(F.col("rn").alias("rb"), F.col("v").alias("vb"))
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("ra") == F.col("rb") + F.col("lag"))
+        .crossJoin(F.broadcast(s))
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.round(
+                F.sum((F.col("va") - F.col("mu")) * (F.col("vb") - F.col("mu")))
+                / F.first("denom"),
+                6,
+            ).alias("acf")
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
     "x13_mad_outliers",
     """
     WITH m AS (
@@ -12684,6 +12764,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_mad_outliers",  # median/MAD robust outliers (new r7)
     "x2_minhash_estimate_error",  # estimator-quality table (new r7)
     "x4_nf4_recall",  # NF4 corpus recall gate (new r7)
+    "x13_acf",  # daily-series autocorrelation diagnostic (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
