@@ -93,6 +93,7 @@ HEADLINE = [
     "x2_cluster_density",
     "x2_triangle_counts",
     "x0_leakage_safe_split",
+    "x10_temporal_split",
     "x3_cosine_topk",
     "x3_knn_join",
     "x3_hard_negatives",
@@ -159,6 +160,7 @@ HEADLINE = [
     "x9_nf4_quantization",
     "x4_nf4_recall",
     "x9_storage_report",
+    "x9_embedding_drift",
     "x9_sq_error_by_label",
     "x9_pq_error",
     "x9_pq_perm_error",
@@ -176,6 +178,7 @@ HEADLINE = [
     "x12_contract_enforce",
     "x12_referential_integrity",
     "x12_source_profile_drift",
+    "x12_freshness",
     "x12_snapshot_diff",
     "x12_layout_advisor",
     "x10_weighted_md5_sample",

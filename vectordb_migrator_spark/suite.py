@@ -6405,6 +6405,64 @@ def x0_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x10_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — leakage-safe TEMPORAL split with an embargo gap (round
+    7): train on the past, evaluate on the future, and leave a buffer
+    between them so windowed features computed near the boundary
+    cannot peek across it (the financial-ML embargo; the time-series
+    sibling of ``x0_leakage_safe_split``'s near-dup flags). Boundaries
+    are the exact 70%/85% timestamp quantiles of the event log; the
+    embargo rows between them belong to NO split. ONE percentile
+    aggregate + one codegen label pass; output is the per-split
+    manifest (rows, time range) a training job validates against.
+    Full oracle (quantile_cont interpolates identically)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    b = ev.agg(
+        F.expr("percentile(cast(ts AS double), 0.70)").alias("t1"),
+        F.expr("percentile(cast(ts AS double), 0.85)").alias("t2"),
+    )
+    lab = (
+        F.when(F.col("ts").cast("double") < F.col("t1"), "train")
+        .when(F.col("ts").cast("double") < F.col("t2"), "embargo")
+        .otherwise("test")
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select(lab.alias("split"), "ts")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "from_ts"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "to_ts"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLES["x10_temporal_split"] = """
+    WITH b AS (
+      SELECT quantile_cont(epoch(ts), 0.70) AS t1,
+             quantile_cont(epoch(ts), 0.85) AS t2
+      FROM events
+    ),
+    l AS (
+      SELECT CASE WHEN epoch(ts) < t1 THEN 'train'
+                  WHEN epoch(ts) < t2 THEN 'embargo'
+                  ELSE 'test' END AS split, ts
+      FROM events, b
+    )
+    SELECT split, count(*)::BIGINT AS n,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS from_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS to_ts
+    FROM l GROUP BY split ORDER BY split
+"""
+QUERIES["x10_temporal_split"] = x10_temporal_split
+
+
 @query(
     "x0_training_pipeline",
     r"""
@@ -7291,6 +7349,161 @@ def x0_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.size("embedding")).cast("long").alias("embedding_dim"),
     )
     return m.crossJoin(F.broadcast(s))
+
+
+
+
+def x9_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — per-label embedding-centroid drift between corpus
+    versions (round 7): re-embedding with a new model or re-ingesting
+    a changed feed silently moves the geometry every ANN index and
+    nearest-centroid gate was built on; this report measures it —
+    per label, v1/v2 row counts and the L2 shift of the class
+    centroid. v2 is derived deterministically (drop vec_id % 11 = 0;
+    shift every dim by +0.05 where vec_id % 7 = 0 — the
+    snapshot-diff convention for fixture-stable version pairs). Scale
+    shape: centroids via posexplode + (label, dim) avg — map-side
+    combinable, no collect_list row holding a whole label; the final
+    join is (labels × dims)-sized. Per-dim means round to 9 before
+    differencing, so the norm is engine-exact at round 6."""
+    e = _t(spark, sf_dir, "embeddings")
+    v2 = e.filter(F.col("vec_id") % 11 != 0).select(
+        "vec_id",
+        "label",
+        F.when(
+            F.col("vec_id") % 7 == 0,
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: x + 0.05
+            ),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+
+    def cents(df, mcol, ncol):
+        flat = df.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        c = flat.groupBy("label", "pos").agg(
+            F.round(F.avg("val"), 9).alias(mcol)
+        )
+        n = df.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias(ncol))
+        return c, n
+
+    c1, n1 = cents(e, "m1", "n1")
+    c2, n2 = cents(v2, "m2", "n2")
+    shift = (
+        c1.join(c2, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("m1") - F.col("m2")) ** 2)), 6
+            ).alias("centroid_shift")
+        )
+    )
+    return (
+        n1.join(n2, "label")
+        .join(shift, "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n1",
+            "n2",
+            "centroid_shift",
+        )
+        .orderBy("label")
+    )
+
+
+ORACLES["x9_embedding_drift"] = """
+    WITH v1 AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    v2 AS (
+      SELECT vec_id, label,
+             CASE WHEN vec_id % 7 = 0
+                  THEN list_transform(v, x -> x + 0.05) ELSE v END AS v
+      FROM v1 WHERE vec_id % 11 != 0
+    ),
+    f1 AS (
+      SELECT label, u.pos AS pos, u.val AS val
+      FROM (SELECT label,
+                   unnest([{'pos': i, 'val': v[i]}
+                           for i in range(1, len(v) + 1)]) AS u
+            FROM v1)
+    ),
+    f2 AS (
+      SELECT label, u.pos AS pos, u.val AS val
+      FROM (SELECT label,
+                   unnest([{'pos': i, 'val': v[i]}
+                           for i in range(1, len(v) + 1)]) AS u
+            FROM v2)
+    ),
+    c1 AS (SELECT label, pos, round(avg(val), 9) AS m1
+           FROM f1 GROUP BY label, pos),
+    c2 AS (SELECT label, pos, round(avg(val), 9) AS m2
+           FROM f2 GROUP BY label, pos),
+    nn1 AS (SELECT label, count(*)::BIGINT AS n1 FROM v1 GROUP BY label),
+    nn2 AS (SELECT label, count(*)::BIGINT AS n2 FROM v2 GROUP BY label),
+    sh AS (
+      SELECT c1.label,
+             round(sqrt(sum((m1 - m2) * (m1 - m2))), 6) AS centroid_shift
+      FROM c1 JOIN c2 USING (label, pos) GROUP BY c1.label
+    )
+    SELECT nn1.label::BIGINT AS label, n1, n2, centroid_shift
+    FROM nn1 JOIN nn2 USING (label) JOIN sh USING (label)
+    ORDER BY label
+"""
+QUERIES["x9_embedding_drift"] = x9_embedding_drift
+
+
+
+
+def x12_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — per-stream freshness monitor (round 7): last event time
+    per event type, its lag behind the freshest stream, and a stale
+    flag at 24h — the broken-producer detector an ops dashboard polls
+    (a feed that silently stopped shows as a growing lag long before
+    any content metric moves). The reference clock is the corpus max
+    (deterministic — wall-clock 'now' would make the query
+    unreplayable); ONE map-side-combinable aggregate; the lag join is
+    against a broadcast 1-row frame. Full oracle."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mx = per.agg(F.max("last_ts").alias("__mx"))
+    lag = (F.col("__mx").cast("double") - F.col("last_ts").cast("double"))
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "n",
+            F.round(lag, 0).cast("long").alias("lag_s"),
+            (lag > 24 * 3600).cast("long").alias("stale_24h"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES["x12_freshness"] = """
+    WITH per AS (
+      SELECT event_type, max(ts) AS last_ts, count(*)::BIGINT AS n
+      FROM events GROUP BY event_type
+    ),
+    mx AS (SELECT max(last_ts) AS m FROM per)
+    SELECT event_type,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts, n,
+           round(epoch(m) - epoch(last_ts))::BIGINT AS lag_s,
+           (CASE WHEN epoch(m) - epoch(last_ts) > 86400 THEN 1 ELSE 0
+            END)::BIGINT AS stale_24h
+    FROM per, mx ORDER BY event_type
+"""
+QUERIES["x12_freshness"] = x12_freshness
 
 
 @query(
@@ -12768,6 +12981,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_minhash_estimate_error",  # estimator-quality table (new r7)
     "x4_nf4_recall",  # NF4 corpus recall gate (new r7)
     "x13_acf",  # daily-series autocorrelation diagnostic (new r7)
+    "x10_temporal_split",  # embargo-gap time split (new r7)
+    "x12_freshness",  # per-stream staleness monitor (new r7)
+    "x9_embedding_drift",  # per-label centroid shift (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
