@@ -502,3 +502,60 @@ def test_remove_repeated_spans_matches_reference(spark, docs):
         for r in remove_repeated_spans(df, n=3).collect()
     }
     assert got == _spans_reference(docs, 3)
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_edges)
+def test_triangle_counts_matches_bruteforce_property(spark, edges):
+    """Hypothesis differential: on arbitrary (possibly self-looped,
+    duplicated, both-direction) edge lists, degree-oriented triangle
+    counting equals the brute-force enumeration."""
+    import itertools
+
+    from vectordb_migrator_spark.operators.graph import triangle_counts
+
+    clean = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    if not clean:
+        return
+    adj = set(clean)
+    verts = sorted({v for e in clean for v in e})
+    want = {v: 0 for v in verts}
+    for a, b, c in itertools.combinations(verts, 3):
+        if (a, b) in adj and (a, c) in adj and (b, c) in adj:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    df = spark.createDataFrame(list(edges), "id_a long, id_b long")
+    got = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=7),
+    st.integers(min_value=20, max_value=60),
+)
+def test_rendezvous_movers_go_to_new_shard_property(spark, n, rows):
+    """HRW invariant for arbitrary N: every row that changes shard
+    when growing N → N+1 lands on the NEW shard."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.scale import rendezvous_assign
+
+    df = spark.range(0, rows).withColumnRenamed("id", "doc_id")
+    a = rendezvous_assign(df, n_shards=n, out_col="s0")
+    a = rendezvous_assign(a, n_shards=n + 1, out_col="s1")
+    bad = a.filter(
+        (F.col("s0") != F.col("s1")) & (F.col("s1") != n)
+    ).count()
+    assert bad == 0
