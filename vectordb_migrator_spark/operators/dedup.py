@@ -285,7 +285,7 @@ def simhash_md5_pairs(
     # aggregate is the CPU-heavy stage, and projections execute on the
     # map side of the exchange — repartitioning the already-computed
     # sigs would single-thread the voting on an under-split scan
-    # (measured 5.7s → 2.1s at sf0.1, local[32])
+    # (measured 5.7s → 3.9s full-query at sf0.1, local[32])
     sigs = fan_out(df).select(
         F.col(id_col).alias("id"),
         half(0).alias("sig_lo"),
