@@ -5243,10 +5243,14 @@ def udtf_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface (Spark 4): explode each event's JSON props
     into (key, val) rows via a LATERAL table function — the escape
     hatch for one-row→many-rows transforms that generators express
-    more naturally than explode chains."""
+    more naturally than explode chains. ``useArrow=True`` runs the
+    generator over Arrow batches (ArrowEvalPython) instead of
+    row-at-a-time pickling — the same boundary contract as
+    mapInPandas, and the one flag tools/plan_audit.py raised on the
+    registry."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="key string, val string")
+    @udtf(returnType="key string, val string", useArrow=True)
     class ParseProps:
         def eval(self, props: str):
             import json
