@@ -179,6 +179,7 @@ HEADLINE = [
     "x12_referential_integrity",
     "x12_source_profile_drift",
     "x12_freshness",
+    "x12_volume_anomaly",
     "x12_snapshot_diff",
     "x12_layout_advisor",
     "x10_weighted_md5_sample",

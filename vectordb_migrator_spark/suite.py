@@ -7465,6 +7465,71 @@ QUERIES["x9_embedding_drift"] = x9_embedding_drift
 
 
 
+def x12_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — daily VOLUME anomaly monitor (round 7): per (stream,
+    day) event counts gated by the median/MAD modified z-score — the
+    data-ops alarm for a feed that doubled or halved overnight
+    (``x13_mad_outliers`` watches VALUES; this watches ROW COUNTS, the
+    thing ingest incidents actually move). Composes the day-grain
+    rollup with :func:`~vectordb_migrator_spark.operators.timeseries
+    .mad_outliers` over the (streams × days)-sized frame — the corpus
+    is touched by ONE map-side-combinable count; every percentile
+    runs on the tiny daily table. Threshold 2.0 here (the synthetic
+    fixture's day-to-day volumes are tame; production volume alarms
+    use the 3.5 cut like the value monitor) on the round-6 score.
+    Full oracle."""
+    from vectordb_migrator_spark.operators.timeseries import mad_outliers
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    out = mad_outliers(
+        daily, key_col="event_type", value_col="n", threshold=2.0
+    )
+    return out.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        "med",
+        "mad",
+        "rz",
+    ).orderBy("event_type", "day")
+
+
+ORACLES["x12_volume_anomaly"] = """
+    WITH d AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*)::DOUBLE AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, quantile_cont(n, 0.5)::DOUBLE AS med
+      FROM d GROUP BY event_type
+    ),
+    j AS (SELECT d.*, m.med FROM d JOIN m USING (event_type)),
+    s AS (
+      SELECT event_type, quantile_cont(abs(n - med), 0.5)::DOUBLE AS mad
+      FROM j GROUP BY event_type
+    ),
+    r AS (
+      SELECT j.event_type, j.day, j.n, j.med, s.mad,
+             round(0.6745 * (j.n - j.med) / s.mad, 6) AS rz
+      FROM j JOIN s USING (event_type)
+    )
+    SELECT event_type, day, n::BIGINT AS n, round(med, 6) AS med,
+           round(mad, 6) AS mad, rz
+    FROM r WHERE abs(rz) >= 2.0
+    ORDER BY event_type, day
+"""
+QUERIES["x12_volume_anomaly"] = x12_volume_anomaly
+
+
 def x12_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12 — per-stream freshness monitor (round 7): last event time
     per event type, its lag behind the freshest stream, and a stale
@@ -12988,6 +13053,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_temporal_split",  # embargo-gap time split (new r7)
     "x12_freshness",  # per-stream staleness monitor (new r7)
     "x9_embedding_drift",  # per-label centroid shift (new r7)
+    "x12_volume_anomaly",  # daily-volume MAD monitor (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
