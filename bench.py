@@ -172,6 +172,7 @@ HEADLINE = [
     "x10_stratified_sample",
     "x7_audience_overlap",
     "x7_cms_heavy_hitters",
+    "x7_kmv_distinct",
     "x7_histogram_quantiles",
     "x7_group_quantiles",
     "x12_quality_constraints",

@@ -241,3 +241,32 @@ def test_bloom_no_false_negatives_and_replica(spark):
     assert all(got[s] for s in keys)  # no false negatives, ever
     fp = sum(got[f"fresh-{i}"] for i in range(300)) / 300
     assert fp <= 0.10  # ~2.5% analytic at 300 keys / 4096 bits / k=4
+
+
+def test_kmv_distinct_exact_small_and_bounded_error_large(spark):
+    """KMV: groups under k distinct keys report the exact count;
+    large groups estimate within a few sigma (1/sqrt(k-2)); the
+    two-level salted reduce equals a direct k-th-smallest
+    computation."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.sketches import kmv_distinct
+
+    rows = [("small", f"u{i}") for i in range(20)]
+    rows += [("big", f"v{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    out = {r["g"]: r for r in
+           kmv_distinct(df, "k", group_cols=["g"], k=64).collect()}
+    assert out["small"]["n_kmin"] == 20 and out["small"]["est"] == 20.0
+    est = out["big"]["est"]
+    assert abs(est - 5000) / 5000 < 0.5  # well within a few sigma of 12.7%
+
+    # replica: k-th smallest of the md5 hash set
+    hs = sorted(
+        int(hashlib.md5(f"v{i}".encode()).hexdigest()[:15], 16)
+        for i in range(5000)
+    )
+    want = round(63.0 * float(1 << 60) / hs[63], 6)
+    assert est == want

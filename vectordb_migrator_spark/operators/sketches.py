@@ -285,3 +285,57 @@ def bloom_might_contain(
         t = word.bitwiseAND(bit) != 0
         test = t if test is None else test & t
     return test
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+    merge_salt: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate (Bar-Yossef et al.
+    2002) with md5 hashes — the ENGINE-EXACT twin of the HLL rollup:
+    DataSketches binaries can only be checked rows-only, while the
+    KMV estimate ``(k−1)·2⁶⁰/v_k`` (v_k = k-th smallest distinct
+    60-bit hash) is reproducible in any engine with md5, so the
+    distinct-count family gains a full value-hash oracle.
+
+    Scale shape — the k-min of a union is the k-min of the two
+    k-mins, so the computation is a two-level mergeable reduce:
+    per (group, salt) partial k-mins over ``merge_salt`` hash-salted
+    cells (each cell state is ≤ k longs — collect_set is bounded by
+    construction, never corpus-sized), then one flatten + sort +
+    slice per group. When a group has fewer than k distinct keys the
+    estimate IS the exact count. Returns (group_cols…, n_kmin,
+    est double)."""
+    gcols = list(group_cols or [])
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    salt = (h % merge_salt).cast("int")
+    partial = (
+        df.select(*gcols, h.alias("__h"), salt.alias("__s"))
+        .groupBy(*gcols, "__s")
+        .agg(
+            F.slice(F.sort_array(F.collect_set("__h")), 1, k).alias("__mins")
+        )
+    )
+    merged = partial.groupBy(*gcols).agg(
+        F.slice(
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("__mins")))),
+            1,
+            k,
+        ).alias("__mins")
+    )
+    n = F.size("__mins")
+    vk = F.element_at("__mins", k).cast("double")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / vk
+    )
+    return merged.select(
+        *gcols,
+        n.cast("long").alias("n_kmin"),
+        F.round(est, 6).alias("est"),
+    )

@@ -3647,6 +3647,73 @@ def x7_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "q")
 
 
+def x7_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — KMV distinct-user estimate per event type vs exact truth
+    (round 7): the md5 k-minimum-values sketch (k=64) upgrades the
+    distinct-count family from rows-only evidence (DataSketches HLL
+    binaries) to a FULL value-hash oracle — (k−1)·2⁶⁰/v_k is
+    reproducible in any engine with md5. The Spark side computes the
+    k-min as a two-level mergeable reduce (per-salt partial k-mins of
+    ≤ k longs each, then one flatten-sort-slice per group — bounded
+    state by construction); the oracle takes the k-th smallest
+    distinct hash directly. Groups under k distinct users report the
+    exact count (the KMV contract). rel_err is the honesty column
+    (σ/μ ≈ 1/√(k−2) ≈ 12.7%% at k=64)."""
+    from vectordb_migrator_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = kmv_distinct(ev, "user_id", group_cols=["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_kmin",
+            "est",
+            "exact",
+            F.round(
+                F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLES["x7_kmv_distinct"] = """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(CONCAT('0x', substr(md5(user_id::VARCHAR), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ),
+    a AS (
+      SELECT event_type,
+             least(count(*), 64)::BIGINT AS n_kmin,
+             max(CASE WHEN rn = 64 THEN h END) AS vk,
+             count(*)::BIGINT AS nd
+      FROM r GROUP BY event_type
+    ),
+    e AS (
+      SELECT a.event_type, a.n_kmin,
+             round(CASE WHEN a.n_kmin < 64 THEN a.n_kmin::DOUBLE
+                   ELSE 63.0 * 1152921504606846976.0 / a.vk END, 6) AS est,
+             a.nd AS exact
+      FROM a
+    )
+    SELECT event_type, n_kmin, est, exact,
+           round(abs(est - exact) / exact, 6) AS rel_err
+    FROM e ORDER BY event_type
+"""
+QUERIES["x7_kmv_distinct"] = x7_kmv_distinct
+
+
 @query("x7_hll_daily_merge")  # Apache DataSketches binary → rows-only
 # check; the estimate's accuracy is asserted in tests vs countDistinct.
 def x7_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13054,6 +13121,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_freshness",  # per-stream staleness monitor (new r7)
     "x9_embedding_drift",  # per-label centroid shift (new r7)
     "x12_volume_anomaly",  # daily-volume MAD monitor (new r7)
+    "x7_kmv_distinct",  # md5 KMV distinct sketch, full oracle (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
