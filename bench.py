@@ -142,6 +142,7 @@ HEADLINE = [
     "x5_hot_grams",
     "x5_gopher_rules",
     "x5_langid_confusion",
+    "x5_classifier_kappa",
     "x5_sentence_stats",
     "x5_bpe_pair_stats",
     "x5_bpe_train",

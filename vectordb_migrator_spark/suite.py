@@ -12208,6 +12208,68 @@ def x5_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x5_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — Cohen's kappa for the NB language classifier (round 7):
+    chance-corrected agreement between predictions and labels,
+    computed off the SAME confusion matrix as
+    ``x5_nb_lang_classifier`` — accuracy alone overstates a
+    majority-biased classifier on skewed label sets (exactly this
+    fixture), and κ = (p_o − p_e)/(1 − p_e) is the number a labeling
+    pipeline actually gates on. The confusion frame is labels², so
+    everything past the shared fit/score pass is driver-trivial; the
+    oracle wraps the classifier's full fit+score SQL as a CTE. Full
+    oracle."""
+    # labels²-sized; checkpoint so the four marginal branches read
+    # the materialized confusion, not four re-runs of the scorer
+    conf = QUERIES["x5_nb_lang_classifier"](spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    t = conf.agg(F.sum("n_docs").cast("double").alias("n"))
+    po = (
+        conf.filter(F.col("lang") == F.col("pred"))
+        .agg(F.sum("n_docs").cast("double").alias("diag"))
+    )
+    rm = conf.groupBy("lang").agg(F.sum("n_docs").cast("double").alias("r"))
+    cm = conf.groupBy("pred").agg(F.sum("n_docs").cast("double").alias("c"))
+    pe = (
+        rm.join(cm, rm["lang"] == cm["pred"])
+        .agg(F.sum(F.col("r") * F.col("c")).alias("rc"))
+    )
+    return (
+        t.crossJoin(po)
+        .crossJoin(pe)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("diag") / F.col("n"), 6).alias("po"),
+            F.round(F.col("rc") / (F.col("n") * F.col("n")), 6).alias("pe"),
+            F.round(
+                (F.col("diag") / F.col("n")
+                 - F.col("rc") / (F.col("n") * F.col("n")))
+                / (1 - F.col("rc") / (F.col("n") * F.col("n"))),
+                6,
+            ).alias("kappa"),
+        )
+    )
+
+
+ORACLES["x5_classifier_kappa"] = (
+    "WITH conf AS (" + ORACLES["x5_nb_lang_classifier"] + """),
+    t AS (SELECT sum(n_docs)::DOUBLE AS n FROM conf),
+    d AS (SELECT sum(n_docs)::DOUBLE AS diag FROM conf WHERE lang = pred),
+    rm AS (SELECT lang, sum(n_docs)::DOUBLE AS r FROM conf GROUP BY lang),
+    cm AS (SELECT pred, sum(n_docs)::DOUBLE AS c FROM conf GROUP BY pred),
+    p AS (SELECT sum(rm.r * cm.c) AS rc
+          FROM rm JOIN cm ON rm.lang = cm.pred)
+    SELECT t.n::BIGINT AS n,
+           round(d.diag / t.n, 6) AS po,
+           round(p.rc / (t.n * t.n), 6) AS pe,
+           round((d.diag / t.n - p.rc / (t.n * t.n))
+                 / (1 - p.rc / (t.n * t.n)), 6) AS kappa
+    FROM t, d, p"""
+)
+QUERIES["x5_classifier_kappa"] = x5_classifier_kappa
+
+
 @query(
     "x10_dsir_select",
     rf"""
@@ -13122,6 +13184,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_embedding_drift",  # per-label centroid shift (new r7)
     "x12_volume_anomaly",  # daily-volume MAD monitor (new r7)
     "x7_kmv_distinct",  # md5 KMV distinct sketch, full oracle (new r7)
+    "x5_classifier_kappa",  # chance-corrected agreement (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
