@@ -188,6 +188,7 @@ HEADLINE = [
     "x10_stratified_weighted",
     "x10_temperature_sweep",
     "x10_source_mixture",
+    "x10_mixture_diversity",
     "x10_mixture_apply",
     "x10_lang_balanced_mixture",
     "x10_dedup_aware_mixture",

@@ -6476,6 +6476,68 @@ def x0_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x10_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — diversity metrics of the source mixture (round 7): the
+    Shannon entropy (raw + normalized by log₂S) and Gini coefficient
+    of per-source token shares — one row that says whether the corpus
+    is balanced or one feed dominates, tracked release-over-release
+    next to the mixture tables. One map-side-combinable token
+    aggregate; every metric then computes on the S-row share frame
+    (the Gini rank is a window over S rows, not the corpus). Full
+    oracle."""
+    from pyspark.sql import Window as W2
+
+    from vectordb_migrator_spark.functions.text import token_count_ws
+
+    per = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(token_count_ws("text")).cast("double").alias("tok"))
+    )
+    tot = per.agg(F.sum("tok").alias("__t"))
+    shares = per.crossJoin(F.broadcast(tot)).select(
+        "source", (F.col("tok") / F.col("__t")).alias("p")
+    )
+    ranked = shares.withColumn(
+        "rk", F.row_number().over(W2.orderBy("p", "source"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy"),
+        F.round(
+            -F.sum(F.col("p") * F.log2("p"))
+            / F.log2(F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("norm_entropy"),
+        F.round(
+            (2 * F.sum(F.col("rk") * F.col("p"))
+             - (F.count(F.lit(1)) + 1))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+ORACLES["x10_mixture_diversity"] = r"""
+    WITH per AS (
+      SELECT source,
+             sum(len(string_split_regex(lower(trim(text)), '\s+')))::DOUBLE
+               AS tok
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(tok) AS tt FROM per),
+    s AS (SELECT source, tok / t.tt AS p FROM per, t),
+    r AS (SELECT p, row_number() OVER (ORDER BY p, source) AS rk FROM s)
+    SELECT count(*)::BIGINT AS n_sources,
+           round(-sum(p * log2(p)), 6) AS entropy,
+           round(-sum(p * log2(p)) / log2(count(*)::DOUBLE), 6)
+             AS norm_entropy,
+           round((2 * sum(rk * p) - (count(*) + 1)) / count(*), 6) AS gini
+    FROM r
+"""
+QUERIES["x10_mixture_diversity"] = x10_mixture_diversity
+
+
 def x10_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 — leakage-safe TEMPORAL split with an embargo gap (round
     7): train on the past, evaluate on the future, and leave a buffer
@@ -13185,6 +13247,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_volume_anomaly",  # daily-volume MAD monitor (new r7)
     "x7_kmv_distinct",  # md5 KMV distinct sketch, full oracle (new r7)
     "x5_classifier_kappa",  # chance-corrected agreement (new r7)
+    "x10_mixture_diversity",  # entropy + Gini of shares (new r7)
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
