@@ -92,6 +92,7 @@ HEADLINE = [
     "x2_cluster_size_histogram",
     "x2_cluster_density",
     "x2_triangle_counts",
+    "x2_kcore",
     "x0_leakage_safe_split",
     "x10_temporal_split",
     "x3_cosine_topk",

@@ -283,3 +283,72 @@ def test_triangle_counts_matches_bruteforce(spark):
     df = spark.createDataFrame(noisy, "id_a long, id_b long")
     got = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert got == want
+
+
+def _peel_kcore(edges, k):
+    """Reference k-core: peel to a fixpoint with plain Python."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        ns = {(a, b) for a, b in es if a in keep and b in keep}
+        if ns == es:
+            break
+        es = ns
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return {v: d for v, d in deg.items() if d >= k}
+
+
+def test_kcore_basic_shapes(spark):
+    from vectordb_migrator_spark.operators.graph import kcore
+
+    # triangle {1,2,3} with a pendant chain 3-10-11 and an isolated
+    # edge 20-21: the 2-core is exactly the triangle
+    edges = [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["deg"] for r in kcore(df, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # 3-core of the same graph is empty
+    assert kcore(df, k=3).count() == 0
+
+
+def test_kcore_deep_peel_chain(spark):
+    from vectordb_migrator_spark.operators.graph import kcore
+
+    # a long pendant chain hanging off a triangle peels one link per
+    # round — exercises several iterations and the early stop
+    edges = [(1, 2), (2, 3), (1, 3)] + [
+        (i, i + 1) for i in range(3, 9)
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["deg"] for r in kcore(df, k=2, n_iter=10).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=0,
+        max_size=80,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_kcore_matches_python_peel(spark, edges, k):
+    from vectordb_migrator_spark.operators.graph import kcore
+
+    want = _peel_kcore(edges, k)
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["deg"] for r in kcore(df, k=k, n_iter=30).collect()}
+    assert got == want

@@ -420,3 +420,78 @@ def triangle_counts(
         )
         .orderBy("id")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 2,
+    n_iter: int = 10,
+) -> DataFrame:
+    """k-core of an undirected edge list by iterative peeling — the
+    density filter for dup-family graphs: the 2-core keeps exactly the
+    vertices that sit on a cycle (genuinely mutually-duplicated
+    groups) and peels away chains and isolated pairs that only link
+    marginal near-dup pairs transitively (the threshold-drift
+    artifact ``triangle_counts`` diagnoses — the k-core is the
+    operator that *acts* on it).
+
+    Peeling contract: up to ``n_iter`` rounds of "drop every vertex
+    with degree < k, then re-derive degrees on the induced subgraph".
+    The result after convergence is the unique maximal subgraph with
+    all degrees ≥ k; peeling is monotone, so once a round removes no
+    edge the loop stops early — the result equals the fixed-``n_iter``
+    unroll (extra peels are no-ops on a stable graph), which is what
+    lets an iterative algorithm carry an exact unrolled-SQL oracle.
+
+    Scale shape, per round: one degree aggregate (id-only, map-side
+    combined) + two semi-joins of the edge list against the surviving
+    vertex set — every shuffle carries (long, long) edge rows or
+    (long,) ids, payloads never enter the loop; ``localCheckpoint``
+    truncates lineage each round exactly as :func:`connected_components`
+    does, and the convergence probe is an O(1) count on the
+    checkpointed frame. Rounds needed = peel depth (max ``n_iter``),
+    independent of graph size — near-dup graphs converge in 2-3.
+
+    Returns (id, deg) for every vertex of the k-core (``deg`` is the
+    degree WITHIN the core), ordered by id."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(n_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("id"))
+            .union(e.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        ne = (
+            e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_new = ne.count()
+        e = ne
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return deg.filter(F.col("deg") >= k).orderBy("id")

@@ -12928,6 +12928,75 @@ def x2_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs)
 
 
+def _kcore_sql(k: int = 2, n_iter: int = 10) -> str:
+    """Oracle for x2_kcore — the SAME near-dup pair graph as
+    x2_dedup_clusters, then ``n_iter`` UNROLLED peel iterations (one
+    degree CTE + one induced-subgraph CTE each). Peeling is monotone,
+    so the operator's early-stop-on-convergence result equals this
+    fixed unroll exactly."""
+    sql = r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), e0 AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+    )"""
+    for i in range(n_iter):
+        sql += f""", d{i} AS MATERIALIZED (
+      SELECT id, count(*)::BIGINT AS deg
+      FROM (SELECT u AS id FROM e{i} UNION ALL SELECT v FROM e{i})
+      GROUP BY id
+    ), e{i + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{i} e
+      JOIN d{i} a ON a.id = e.u AND a.deg >= {k}
+      JOIN d{i} b ON b.id = e.v AND b.deg >= {k}
+    )"""
+    sql += f"""
+    SELECT id, count(*)::BIGINT AS deg
+    FROM (SELECT u AS id FROM e{n_iter} UNION ALL SELECT v FROM e{n_iter})
+    GROUP BY id HAVING count(*) >= {k}
+    ORDER BY id"""
+    return sql
+
+
+@query("x2_kcore", _kcore_sql())
+def x2_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — 2-core of the near-dup pair graph (round 7): the density
+    filter that ACTS on what ``x2_triangle_counts`` diagnoses — the
+    2-core keeps exactly the vertices on a cycle (genuinely
+    mutually-duplicated families), peeling away the chains and
+    isolated pairs that only link marginal near-dup pairs
+    transitively, so a "delete all non-canonicals" policy can be
+    restricted to families where the duplication evidence is mutual.
+    Iterative peel, up to 10 rounds: per round one id-only degree
+    aggregate + two semi-joins of the (long,long) edge list against
+    the surviving vertex set; ``localCheckpoint`` truncates lineage
+    and an O(1) count stops the loop once a round removes nothing —
+    which is exactly when the result equals the oracle's fixed
+    10-iteration unroll (extra peels are no-ops on a stable graph).
+    Rounds = peel depth, independent of graph size
+    (operators/graph.py:kcore)."""
+    from vectordb_migrator_spark.operators.graph import kcore
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    return kcore(pairs, k=2, n_iter=10)
+
+
 @query("x2_dedup_pagerank", _pagerank_sql())
 def x2_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — centrality-keeper dedup (round 6): PageRank over the SAME
@@ -13195,10 +13264,10 @@ def x9_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evidentiary.  Round-7 window (exactly 50 fit): (a) the 16 round-6
 # tail queries no driver round has ever checked (the r6 verdict's
 # What's-missing #2 list, verbatim — established rotation policy),
-# (b) the 16 queries NEW in round 7 plus the 3 semantically touched
+# (b) the 17 queries NEW in round 7 plus the 3 semantically touched
 # (the log_histogram nonpositive policy rewrote both histogram
 # oracles; simhash re-parallelized; gram_matrix gained the merge
-# round), (c) four standing canaries, then (d) 11 rotation-debt
+# round), (c) four standing canaries, then (d) 10 rotation-debt
 # fillers whose last driver evidence is oldest (round 2, recomputed
 # from CORRECTNESS_r0*.json this round; the remaining r2/r3 names
 # spill past slot 50 and stay covered by the local harness). Families
@@ -13228,6 +13297,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_bpe_train",  # BPE trainer wired into the oracle gate (new r7)
     "x13_changepoints",  # CUSUM mean-shift detection (new r7)
     "x2_triangle_counts",  # degree-oriented triangle counting (new r7)
+    "x2_kcore",  # 2-core peel of the near-dup graph (new r7)
     "x12_contract_enforce",  # row-level quarantine gate (new r7)
     "x0_tokenizer_fit_apply",  # BPE fit->vocab-map apply (new r7)
     "x10_dedup_aware_mixture",  # mixture net of near-dups (new r7)
