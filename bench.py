@@ -157,6 +157,7 @@ HEADLINE = [
     "x6_frame_dedup",
     "x6_image_headers",
     "x6_audio_headers",
+    "x6_video_headers",
     "x9_chunk_documents",
     "x9_int8_quantization",
     "x9_nf4_quantization",

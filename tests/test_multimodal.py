@@ -236,3 +236,76 @@ def test_audio_header_info_real_wav_flac_and_unknown(spark):
     }
     assert rows[3]["format"] == "unknown"
     assert rows[3]["duration_ms"] is None
+
+
+def test_video_header_info_mp4_avi_ebml_unknown(spark):
+    """Round-7 X6: MP4 brand + canonical-faststart mvhd duration,
+    a NON-canonical mp4 (mdat before moov) degrades to NULL duration
+    instead of mis-parsing, AVI fixed-offset fields, EBML magic, and
+    the unknown fallback."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        video_header_info,
+    )
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", 600, 3600),  # timescale, duration (6 s)
+    )
+    canonical = (
+        box(b"ftyp", b"isom" + b"\x00\x00\x00\x00")
+        + box(b"moov", mvhd)
+    )
+    # mdat between ftyp and moov — duration must be NULL, brand kept
+    noncanon = (
+        box(b"ftyp", b"mp42" + b"\x00\x00\x00\x00")
+        + box(b"mdat", b"\x00" * 16)
+        + box(b"moov", mvhd)
+    )
+    avih = (
+        b"avih"
+        + struct.pack("<I", 56)
+        + struct.pack(
+            "<IIIIIIIIII",
+            40000,  # us/frame (25 fps)
+            0, 0, 0,
+            250,  # total frames (10 s)
+            0, 1, 0,
+            640, 480,
+        )
+    )
+    avi = b"RIFF" + b"\x00" * 4 + b"AVI LIST" + b"\x00" * 4 + b"hdrl" + avih
+    ebml = b"\x1a\x45\xdf\xa3" + b"\x00" * 8
+    rows = [
+        (1, canonical),
+        (2, noncanon),
+        (3, avi),
+        (4, ebml),
+        (5, b"\x00\x01\x02\x03garbage"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r["id"]: (
+            r["i"]["format"],
+            r["i"]["brand"],
+            r["i"]["width"],
+            r["i"]["height"],
+            r["i"]["duration_ms"],
+        )
+        for r in df.select(
+            "id", video_header_info(F.col("payload")).alias("i")
+        ).collect()
+    }
+    assert got[1] == ("mp4", "isom", None, None, 6000)
+    assert got[2] == ("mp4", "mp42", None, None, None)
+    assert got[3] == ("avi", None, 640, 480, 10000)
+    assert got[4] == ("ebml", None, None, None, None)
+    assert got[5] == ("unknown", None, None, None, None)

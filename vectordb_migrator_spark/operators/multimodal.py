@@ -395,3 +395,82 @@ def audio_header_info(payload: Column) -> Column:
             )
         )
     )
+
+
+def _be_int_at(payload: Column, pos: Column, n: int) -> Column:
+    """Big-endian unsigned int from ``n`` bytes at a DYNAMIC 1-based
+    position column (``F.substr`` accepts column offsets)."""
+    return F.conv(F.hex(F.substr(payload, pos, F.lit(n))), 16, 10).cast(
+        "long"
+    )
+
+
+def video_header_info(payload: Column) -> Column:
+    """Video container triage from the BINARY HEADER — the moving-
+    picture twin of :func:`image_header_info` / :func:`audio_header_info`:
+    pure codegen byte inspection (~70 bytes), scan-speed over billions
+    of payloads, run BEFORE deciding what to route to the decode tier.
+
+    - MP4 / ISO-BMFF: 'ftyp' box first (spec-mandated); emits the
+      major brand (isom/mp42/avc1/... — the codec-family routing key).
+      Duration comes from the mvhd timescale/duration pair WHEN the
+      canonical faststart layout holds (moov immediately after ftyp,
+      mvhd its first child, version 0) — the layout every
+      web-optimized encoder writes; anything else leaves duration
+      NULL rather than mis-parse a box walk. Dimensions live in tkhd
+      (deeper walk) and stay NULL — triage routes to the decode tier.
+    - AVI: canonical 'RIFF…AVI LIST…hdrlavih' layout; width/height/
+      total-frames/µs-per-frame are fixed-offset LE32 fields;
+      duration_ms = frames·µs_per_frame / 1000, exact integer math.
+    - Matroska/WebM: EBML magic → ('ebml', NULLs) — EBML varint
+      walks are decode-tier work.
+    - anything else → ('unknown', NULLs).
+
+    Returns a struct ``(format string, brand string, width int,
+    height int, duration_ms long)``."""
+    sig4 = F.hex(F.substring(payload, 1, 4))
+    ftyp = F.hex(F.substring(payload, 5, 4)) == "66747970"
+    avi = (
+        (sig4 == "52494646")
+        & (F.hex(F.substring(payload, 9, 8)) == "415649204C495354")
+        & (F.hex(F.substring(payload, 21, 8)) == "6864726C61766968")
+    )
+
+    # --- MP4: ftyp size → canonical moov/mvhd probe ---
+    p = _be_int(payload, 1, 4)
+    brand = F.substring(payload, 9, 4).cast("string")
+    moov_ok = (
+        (F.hex(F.substr(payload, p + F.lit(5), F.lit(4))) == "6D6F6F76")
+        & (F.hex(F.substr(payload, p + F.lit(13), F.lit(4))) == "6D766864")
+        & (F.hex(F.substr(payload, p + F.lit(17), F.lit(1))) == "00")
+    )
+    m_ts = _be_int_at(payload, p + F.lit(29), 4)
+    m_dur = _be_int_at(payload, p + F.lit(33), 4)
+    mp4_dur = F.when(
+        moov_ok & (m_ts > 0), F.floor(m_dur * F.lit(1000) / m_ts)
+    ).cast("long")
+
+    # --- AVI avih fixed-offset fields ---
+    a_uspf = _le_int(payload, 33, 4)
+    a_frames = _le_int(payload, 49, 4)
+    a_w = _le_int(payload, 65, 4)
+    a_h = _le_int(payload, 69, 4)
+    a_dur = F.floor(a_frames * a_uspf / F.lit(1000)).cast("long")
+
+    def st(fmt, br, w, h, dur):
+        return F.struct(
+            F.lit(fmt).alias("format"),
+            br.alias("brand"),
+            w.cast("int").alias("width"),
+            h.cast("int").alias("height"),
+            dur.cast("long").alias("duration_ms"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    null_i = F.lit(None).cast("long")
+    return (
+        F.when(ftyp, st("mp4", brand, null_i, null_i, mp4_dur))
+        .when(avi, st("avi", null_s, a_w, a_h, a_dur))
+        .when(sig4 == "1A45DFA3", st("ebml", null_s, null_i, null_i, null_i))
+        .otherwise(st("unknown", null_s, null_i, null_i, null_i))
+    )

@@ -3178,6 +3178,103 @@ def x6_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x6_video_headers",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'avi'
+                ELSE 'ebml' END AS format,
+           CASE WHEN doc_id % 3 = 0 THEN 'isom' END AS brand,
+           (CASE WHEN doc_id % 3 = 1 THEN 320 + doc_id % 256 END)::INT
+             AS width,
+           (CASE WHEN doc_id % 3 = 1 THEN 240 + doc_id % 128 END)::INT
+             AS height,
+           (CASE doc_id % 3
+              WHEN 0 THEN (10000 + doc_id % 9973) * 1000
+                          // (600 + (doc_id % 4) * 300)
+              WHEN 1 THEN (100 + doc_id % 900)
+                          * (20000 + (doc_id % 5) * 10000) // 1000
+            END)::BIGINT AS duration_ms
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x6_video_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — decoder-free VIDEO container triage (round 7; completes
+    the image/audio/video header family): MP4 major brand + mvhd
+    duration (parsed only when the canonical faststart layout holds —
+    ftyp→moov→mvhd v0, the web-encoder shape; dimensions live in tkhd
+    and stay NULL for the decode tier), AVI width/height/frames →
+    exact duration from fixed-offset RIFF fields, Matroska/WebM EBML
+    magic detection. ~70 header bytes in pure codegen, never the
+    payload. Payloads are synthesized header-accurately per doc (no
+    video libs in the container — the PARSER is the product; box-walk
+    edge cases incl. a NON-canonical mp4 layout are exercised on
+    hand-built bytes in tests/test_multimodal.py). Oracle recomputes
+    the planted parameters arithmetically
+    (operators/multimodal.py:video_header_info)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        video_header_info,
+    )
+
+    doc = F.col("doc_id")
+    ts = (F.lit(600) + (doc % 4) * 300).cast("long")
+    dur_units = (F.lit(10000) + doc % 9973).cast("long")
+    uspf = (F.lit(20000) + (doc % 5) * 10000).cast("long")
+    frames = (F.lit(100) + doc % 900).cast("long")
+    w_ = (F.lit(320) + doc % 256).cast("long")
+    h_ = (F.lit(240) + doc % 128).cast("long")
+
+    def h2(v):
+        return F.lpad(F.hex(v % 256), 2, "0")
+
+    def le16(v):
+        return F.concat(h2(v), h2(F.floor(v / 256).cast("long")))
+
+    def le32(v):
+        return F.concat(le16(v), F.lit("0000"))
+
+    def be32(v):
+        return F.lpad(F.hex(v), 8, "0")
+
+    mp4_hex = F.concat(
+        F.lit("00000010" "66747970" "69736F6D" "00000000"),
+        F.lit("00000074" "6D6F6F76"),
+        F.lit("0000006C" "6D766864" "00" "000000"),
+        F.lit("00000000" "00000000"),
+        be32(ts),
+        be32(dur_units),
+    )
+    avi_hex = F.concat(
+        F.lit("52494646" "00000000" "415649204C495354"),
+        F.lit("00000000" "6864726C" "61766968" "38000000"),
+        le32(uspf),
+        F.lit("00000000" "00000000" "00000000"),
+        le32(frames),
+        F.lit("00000000" "01000000" "00000000"),
+        le32(w_),
+        le32(h_),
+    )
+    ebml_hex = F.lit("1A45DFA3" + "00" * 8)
+    payload = F.unhex(
+        F.when(doc % 3 == 0, mp4_hex)
+        .when(doc % 3 == 1, avi_hex)
+        .otherwise(ebml_hex)
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", video_header_info(payload).alias("i"))
+        .select(
+            "doc_id",
+            F.col("i.format").alias("format"),
+            F.col("i.brand").alias("brand"),
+            F.col("i.width").alias("width"),
+            F.col("i.height").alias("height"),
+            F.col("i.duration_ms").alias("duration_ms"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "x6_image_headers",
     """
     SELECT doc_id,
@@ -13303,6 +13400,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_dedup_aware_mixture",  # mixture net of near-dups (new r7)
     "x5_rm3_expansion",  # RM3 pseudo-relevance feedback (new r7)
     "x6_audio_headers",  # decoder-free WAV/FLAC triage (new r7)
+    "x6_video_headers",  # decoder-free MP4/AVI/EBML triage (new r7)
     "x9_nf4_quantization",  # QLoRA NormalFloat 4-bit codes (new r7)
     "x5_readability",  # Flesch reading-ease bands (new r7)
     "x0_rendezvous_shards",  # HRW sharding + reshard stability (new r7)
