@@ -141,6 +141,7 @@ HEADLINE = [
     "x5_keywords",
     "x5_corpus_stats",
     "x5_hot_grams",
+    "x5_zipf_fit",
     "x5_gopher_rules",
     "x5_langid_confusion",
     "x5_classifier_kappa",

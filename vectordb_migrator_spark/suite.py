@@ -3044,6 +3044,86 @@ def x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "x5_zipf_fit",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, count(*)::DOUBLE AS c FROM toks WHERE w <> '' GROUP BY w
+    ), rk AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM wc
+      QUALIFY r <= 200
+    ), pts AS (
+      SELECT ln(r) AS x, ln(c) AS y FROM rk
+    ), s AS (
+      SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT n::BIGINT AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def x5_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — Zipf's-law fit of the corpus rank-frequency curve (round
+    7): least-squares slope of ln(freq) vs ln(rank) over the top-200
+    word ranks, with intercept and R². Natural text sits near slope
+    −1 with high R²; a corpus whose slope drifts (template spam
+    flattens it, boilerplate-stripped dedup steepens it) or whose fit
+    degrades is the one whose tokenizer/mixture assumptions need a
+    second look — the distribution-shape twin of the lexical-diversity
+    and surprisal diagnostics. Scale shape: ONE token-count aggregate
+    over the corpus (map-side combined), then top-200 by
+    (freq desc, word) via TakeOrderedAndProject — no global rank
+    window over the vocabulary — and the regression runs in closed
+    form on 200 points (ulp-level libm drift in ln() washes out at
+    round-6 after the 200-term sums). Ties at the rank boundary break
+    by word, so both engines pick the identical point set."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    top = wc.orderBy(F.desc("c"), "w").limit(200)
+    rk = top.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("c"), "w"))
+    )
+    pts = rk.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log("c").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(num / dxx, 6).alias("slope"),
+        F.round((F.col("sy") - num / dxx * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"),
+        F.round(num * num / (dxx * dyy), 6).alias("r2"),
+    )
+
+
 # =====================================================================
 # X6 — multimodal
 # =====================================================================
@@ -13401,6 +13481,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_rm3_expansion",  # RM3 pseudo-relevance feedback (new r7)
     "x6_audio_headers",  # decoder-free WAV/FLAC triage (new r7)
     "x6_video_headers",  # decoder-free MP4/AVI/EBML triage (new r7)
+    "x5_zipf_fit",  # rank-frequency power-law fit (new r7)
     "x9_nf4_quantization",  # QLoRA NormalFloat 4-bit codes (new r7)
     "x5_readability",  # Flesch reading-ease bands (new r7)
     "x0_rendezvous_shards",  # HRW sharding + reshard stability (new r7)
