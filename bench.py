@@ -95,6 +95,7 @@ HEADLINE = [
     "x2_kcore",
     "x0_leakage_safe_split",
     "x10_temporal_split",
+    "x10_neyman_sample",
     "x3_cosine_topk",
     "x3_knn_join",
     "x3_hard_negatives",

@@ -5476,6 +5476,85 @@ def x10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x10_neyman_sample",
+    """
+    WITH st AS (
+      SELECT source, count(*)::DOUBLE AS n_docs,
+             round(stddev_pop(n_chars), 6) AS sd
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(n_docs * sd) AS t FROM st
+    ), alloc AS (
+      SELECT source, n_docs::BIGINT AS n_docs, sd,
+             floor(100 * round(n_docs * sd / t, 9) + 0.5)::BIGINT AS alloc
+      FROM st, tot
+    ), rk AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(d.doc_id::VARCHAR), d.doc_id)
+               AS pick_rank
+      FROM documents d
+    )
+    SELECT r.source, r.doc_id, r.pick_rank, a.alloc
+    FROM rk r JOIN alloc a USING (source)
+    WHERE r.pick_rank <= a.alloc
+    ORDER BY r.source, r.pick_rank
+    """,
+)
+def x10_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — Neyman-allocated stratified sample (round 7): the
+    variance-optimal upgrade of ``x10_stratified_sample``'s
+    proportional allocation — each source's share of the 100-doc
+    budget is N_h·S_h / ΣN_h·S_h (S_h = length stddev), so
+    high-variance strata get the rows that shrink the estimator
+    variance most (Neyman 1934, the survey-sampling classic applied
+    to corpus QA budgets: "which sources do I hand to human review").
+    Constant-length strata get weight 0 and drop out. Selection is
+    deterministic: rank within stratum by md5(doc_id) — a seeded
+    shuffle both engines replay bit-identically. Scale shape: one
+    grouped moment pass for the allocation (stratum-count-sized), one
+    stratum-keyed rank window for the pick; at 100 TB swap the window
+    for a per-partition local top-(max alloc) pre-filter and the sort
+    touches only candidates. Stddev rounds to 6 and the weight to 9
+    before the half-up floor, so the allocation is engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.round(F.stddev_pop("n_chars"), 6).alias("sd"),
+    )
+    tot = st.agg(F.sum(F.col("n_docs") * F.col("sd")).alias("t"))
+    alloc = st.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "sd",
+        F.floor(
+            F.lit(100)
+            * F.round(F.col("n_docs") * F.col("sd") / F.col("t"), 9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+    rk = d.select(
+        "source",
+        "doc_id",
+        F.row_number()
+        .over(
+            W.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("pick_rank"),
+    )
+    return (
+        rk.join(F.broadcast(alloc), "source")
+        .filter(F.col("pick_rank") <= F.col("alloc"))
+        .select("source", "doc_id", "pick_rank", "alloc")
+        .orderBy("source", "pick_rank")
+    )
+
+
+@query(
     "udtf_json_props",
     """
     SELECT event_id, unnest(json_keys(props)) AS key,
@@ -13482,6 +13561,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_audio_headers",  # decoder-free WAV/FLAC triage (new r7)
     "x6_video_headers",  # decoder-free MP4/AVI/EBML triage (new r7)
     "x5_zipf_fit",  # rank-frequency power-law fit (new r7)
+    "x10_neyman_sample",  # variance-optimal stratified pick (new r7)
     "x9_nf4_quantization",  # QLoRA NormalFloat 4-bit codes (new r7)
     "x5_readability",  # Flesch reading-ease bands (new r7)
     "x0_rendezvous_shards",  # HRW sharding + reshard stability (new r7)
