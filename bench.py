@@ -93,6 +93,7 @@ HEADLINE = [
     "x2_cluster_density",
     "x2_triangle_counts",
     "x2_kcore",
+    "x2_graph_stats",
     "x0_leakage_safe_split",
     "x10_temporal_split",
     "x10_neyman_sample",

@@ -13184,6 +13184,103 @@ def x2_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs)
 
 
+@query(
+    "x2_graph_stats",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), deg AS (
+      SELECT u AS id, count(*)::DOUBLE AS d FROM e GROUP BY u
+    ), j AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v
+    ), s AS (
+      SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM j
+    ), vv AS (
+      SELECT count(*)::DOUBLE AS nv, sum(d) AS sumd FROM deg
+    )
+    SELECT nv::BIGINT AS n_vertices,
+           (m / 2)::BIGINT AS n_edges,
+           round(sumd / nv, 6) AS avg_degree,
+           round(m / (nv * (nv - 1)), 6) AS density,
+           round((m * sxy - sx * sy)
+                 / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)),
+                 6) AS assortativity
+    FROM s, vv
+    """,
+)
+def x2_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — one-row shape summary of the near-dup graph (round 7):
+    vertex/edge counts, mean degree, density, and Newman's degree
+    assortativity (Pearson correlation of endpoint degrees over the
+    symmetrized edge list). The interpretation layer for the whole
+    dedup-graph family: assortativity near +1 means hubs link hubs
+    (template families that should dedup as blocks), strongly negative
+    means star-shaped families around one canonical doc (threshold
+    drift risk — exactly where ``x2_kcore``'s peel and the triangle
+    diagnostic disagree most). Scale shape: one degree aggregate, a
+    degree join carrying (long, double) rows, and a single
+    moment-sums reduce — closed-form Pearson, no second pass;
+    round-6 after the sums absorbs engine addition-order drift."""
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    e = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    deg = e.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    j = (
+        e.join(deg.select(F.col("id").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vv = deg.agg(
+        F.count(F.lit(1)).cast("double").alias("nv"),
+        F.sum("d").alias("sumd"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.crossJoin(vv).select(
+        F.col("nv").cast("long").alias("n_vertices"),
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(F.col("sumd") / F.col("nv"), 6).alias("avg_degree"),
+        F.round(F.col("m") / (F.col("nv") * (F.col("nv") - 1)), 6).alias(
+            "density"
+        ),
+        F.round(num / F.sqrt(dxx * dyy), 6).alias("assortativity"),
+    )
+
+
 def _kcore_sql(k: int = 2, n_iter: int = 10) -> str:
     """Oracle for x2_kcore — the SAME near-dup pair graph as
     x2_dedup_clusters, then ``n_iter`` UNROLLED peel iterations (one
@@ -13562,6 +13659,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_video_headers",  # decoder-free MP4/AVI/EBML triage (new r7)
     "x5_zipf_fit",  # rank-frequency power-law fit (new r7)
     "x10_neyman_sample",  # variance-optimal stratified pick (new r7)
+    "x2_graph_stats",  # density + degree assortativity (new r7)
     "x9_nf4_quantization",  # QLoRA NormalFloat 4-bit codes (new r7)
     "x5_readability",  # Flesch reading-ease bands (new r7)
     "x0_rendezvous_shards",  # HRW sharding + reshard stability (new r7)
