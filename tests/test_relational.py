@@ -402,3 +402,41 @@ def test_enforce_rules_quarantine_routing(spark):
 
     with pytest.raises(ValueError, match="rules"):
         enforce_rules(df, [])
+
+
+def test_referential_audit_planted_orphans(spark):
+    """FK audit: planted orphans and NULL keys land in the right
+    columns (NULL reference is NOT an orphan, per SQL FK semantics),
+    a clean relation reports zeros, and rates divide by the non-null
+    key count. Empty relation list fails loudly."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.validation import (
+        referential_audit,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    child = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 9), (4, 9), (5, None), (6, 3)],
+        "id long, fk long",
+    )
+    clean_child = spark.createDataFrame([(1, 1), (2, 2)], "id long, fk long")
+
+    rows = {
+        r["relation"]: r
+        for r in referential_audit(
+            [
+                ("dirty", child, "fk", parent, "pk"),
+                ("clean", clean_child, "fk", parent, "pk"),
+            ]
+        ).collect()
+    }
+    d = rows["dirty"]
+    assert (d["child_rows"], d["null_keys"], d["orphans"]) == (6, 1, 2)
+    assert d["orphan_rate"] == 0.4  # 2 orphans / 5 non-null keys
+    c = rows["clean"]
+    assert (c["child_rows"], c["null_keys"], c["orphans"]) == (2, 0, 0)
+    assert c["orphan_rate"] == 0.0
+
+    with pytest.raises(ValueError, match="relations"):
+        referential_audit([])

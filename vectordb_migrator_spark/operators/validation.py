@@ -297,3 +297,64 @@ def quarantine_summary(
         "n",
         F.round(F.col("n") / total, 6).alias("share"),
     ).orderBy(F.desc("n"), "combo")
+
+
+def referential_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity audit across a set of parent/child
+    relations — the cross-TABLE twin of :func:`check_constraints`'s
+    row-level rules: each entry ``(name, child, child_key, parent,
+    parent_key)`` yields one report row with the child cardinality,
+    NULL-key count (SQL FK semantics: a NULL reference is not an
+    orphan, but it IS worth surfacing), orphan count (non-null child
+    keys with no matching parent), and orphan rate over non-null
+    keys. A green report is the artifact: pipelines assert
+    ``orphans == 0`` before publishing a snapshot, and a nonzero row
+    names exactly which join in every downstream query will silently
+    drop rows.
+
+    Scale shape, per relation: the child side projects to ONE key
+    column, the parent side to its distinct key — an id-width
+    left-anti join (broadcast when the parent is a dim table, shuffle
+    otherwise; Catalyst decides from stats), then a count-only
+    aggregate. Relations audit independently — no cross-relation
+    state — and the result is a union of one-row frames, so the whole
+    audit is as parallel as the cluster allows."""
+    out = None
+    for name, child, ck, parent, pk in relations:
+        keys = child.select(F.col(ck).alias("__k"))
+        nn = keys.filter(F.col("__k").isNotNull())
+        orphans = nn.join(
+            parent.select(F.col(pk).alias("__k")).distinct(),
+            "__k",
+            "left_anti",
+        )
+        row = (
+            keys.agg(
+                F.count(F.lit(1)).cast("long").alias("child_rows"),
+                F.sum(F.col("__k").isNull().cast("long"))
+                .cast("long")
+                .alias("null_keys"),
+            )
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("orphans")
+                )
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "child_rows",
+                "null_keys",
+                "orphans",
+                F.round(
+                    F.col("orphans")
+                    / (F.col("child_rows") - F.col("null_keys")),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("relations must be non-empty")
+    return out.orderBy("relation")

@@ -11479,6 +11479,77 @@ def x12_contract_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RI_RELATIONS = [
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+
+def _ri_sql() -> str:
+    parts = []
+    for name, child, ck, parent, pk in _RI_RELATIONS:
+        parts.append(f"""
+    SELECT '{name}' AS relation,
+           count(*)::BIGINT AS child_rows,
+           (count(*) FILTER (WHERE c.{ck} IS NULL))::BIGINT AS null_keys,
+           (count(*) FILTER (WHERE c.{ck} IS NOT NULL
+                               AND p.{pk} IS NULL))::BIGINT AS orphans,
+           round((count(*) FILTER (WHERE c.{ck} IS NOT NULL
+                                     AND p.{pk} IS NULL))::DOUBLE
+                 / (count(*) FILTER (WHERE c.{ck} IS NOT NULL)), 6)
+             AS orphan_rate
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON p.{pk} = c.{ck}""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY relation"
+    )
+
+
+@query("x12_referential_integrity", _ri_sql())
+def x12_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — foreign-key integrity audit over the warehouse's six FK
+    relations (round 7): per relation, child cardinality, NULL-key
+    count (SQL FK semantics — a NULL reference is not an orphan but
+    surfaces separately), orphan count, and orphan rate. The
+    cross-TABLE companion of ``x12_quality_constraints``'s row-level
+    gate: a nonzero row names exactly which downstream join will
+    silently drop rows, and release pipelines assert the orphans
+    column is all-zero before publishing. Each relation is an
+    id-width left-anti join against the distinct parent key
+    (broadcast for dim-sized parents, shuffle otherwise — Catalyst
+    picks from stats) plus a count-only aggregate; relations audit
+    independently (operators/validation.py:referential_audit)."""
+    from vectordb_migrator_spark.operators.validation import (
+        referential_audit,
+    )
+
+    tables = {
+        t: _t(spark, sf_dir, t)
+        for t in {
+            "customer", "lineitem", "orders", "part", "supplier", "nation"
+        }
+    }
+    return referential_audit(
+        [
+            (name, tables[child], ck, tables[parent], pk)
+            for name, child, ck, parent, pk in _RI_RELATIONS
+        ]
+    )
+
+
 @query(
     "x12_quality_constraints",
     """
