@@ -183,7 +183,9 @@ HEADLINE = [
     "x7_group_quantiles",
     "x12_quality_constraints",
     "x12_contract_enforce",
+    "x12_corpus_alignment",
     "x12_referential_integrity",
+    "x12_psi_drift",
     "x12_source_profile_drift",
     "x12_freshness",
     "x12_volume_anomaly",

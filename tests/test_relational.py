@@ -440,3 +440,31 @@ def test_referential_audit_planted_orphans(spark):
 
     with pytest.raises(ValueError, match="relations"):
         referential_audit([])
+
+
+def test_psi_drift_planted_shift(spark):
+    """PSI is ~0 for identical distributions, large for a planted
+    location shift, and the detail view decomposes per bin with an
+    eps-clamped contribution for bins the current side never hits."""
+    from vectordb_migrator_spark.operators.validation import psi_drift
+
+    base = [(float(i % 100),) for i in range(1000)]
+    same = spark.createDataFrame(base, "v double")
+    shifted = spark.createDataFrame(
+        [(x + 200.0,) for (x,) in base], "v double"
+    )
+
+    stable = psi_drift(same, same, "v").first()
+    assert stable["psi"] == 0.0 and not stable["drifted"]
+    assert stable["n_ref"] == stable["n_cur"] == 1000
+
+    moved = psi_drift(same, shifted, "v").first()
+    assert moved["drifted"] and moved["psi"] > 1.0
+
+    det = psi_drift(same, shifted, "v", detail=True).collect()
+    assert len(det) == 10
+    # every value of the shifted side lands past the last ref decile
+    top = [r for r in det if r["bin"] == 10][0]
+    assert top["cur_share"] == 1.0
+    low = [r for r in det if r["bin"] == 1][0]
+    assert low["cur_share"] == 0.0 and low["contrib"] > 0

@@ -358,3 +358,122 @@ def referential_audit(
     if out is None:
         raise ValueError("relations must be non-empty")
     return out.orderBy("relation")
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    probs: tuple[float, ...] = (
+        0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9,
+    ),
+    eps: float = 1e-6,
+    threshold: float = 0.2,
+    detail: bool = False,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot and a
+    current one: bin BOTH by the reference's exact-percentile edges
+    (deciles by default) and report Σ (p_cur − p_ref)·ln(p_cur/p_ref)
+    per group — the standard model-monitoring drift score
+    (psi < 0.1 stable, 0.1–0.2 moderate, > 0.2 drifted; ``threshold``
+    sets the flag). Complements :func:`x12_source_profile_drift`-style
+    mean ratios: PSI sees SHAPE changes (variance blowup, bimodality)
+    a mean can't.
+
+    Scale shape: edges reduce the reference to one interpolated-
+    percentile row per group (map-side combinable, no global sort —
+    the :func:`equal_frequency_bins` trick); both snapshots then union
+    into ONE tagged scan, bin via a broadcast-joined when-chain, and
+    aggregate to (group × side × bins) counts — the only exchange is
+    that tiny frame. Shares are clamped at ``eps`` so an empty bin
+    contributes a finite penalty instead of ±inf. NULL values are
+    dropped (they have no bin; profile NULL rates separately with
+    ``check_constraints``).
+
+    ``detail=True`` returns the per-bin decomposition
+    (group, bin, ref_share, cur_share, contrib) instead of the
+    per-group verdict (group, n_ref, n_cur, psi, drifted)."""
+    gcols = list(group_cols or [])
+    v = F.col(value_col)
+    edges = (
+        ref.filter(v.isNotNull())
+        .groupBy(*gcols)
+        .agg(
+            F.percentile(
+                value_col, F.array(*[F.lit(p) for p in probs])
+            ).alias("__e")
+        )
+    )
+    tagged = (
+        ref.filter(v.isNotNull())
+        .select(*gcols, value_col)
+        .withColumn("__side", F.lit("ref"))
+        .unionByName(
+            cur.filter(v.isNotNull())
+            .select(*gcols, value_col)
+            .withColumn("__side", F.lit("cur"))
+        )
+    )
+    joined = (
+        tagged.join(F.broadcast(edges), gcols)
+        if gcols
+        else tagged.crossJoin(F.broadcast(edges))
+    )
+    bin_expr = F.when(v <= F.col("__e")[0], 1)
+    for i in range(1, len(probs)):
+        bin_expr = bin_expr.when(v <= F.col("__e")[i], i + 1)
+    bin_expr = bin_expr.otherwise(len(probs) + 1)
+    counts = (
+        joined.select(*gcols, "__side", bin_expr.alias("bin"))
+        .groupBy(*gcols, "__side", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gcols, "__side")
+    shares = counts.withColumn(
+        "share", F.col("n") / F.sum("n").over(w)
+    )
+    rs = shares.filter(F.col("__side") == "ref").select(
+        *gcols,
+        "bin",
+        F.col("share").alias("ref_share"),
+        F.col("n").alias("ref_n"),
+    )
+    cs = shares.filter(F.col("__side") == "cur").select(
+        *gcols,
+        "bin",
+        F.col("share").alias("cur_share"),
+        F.col("n").alias("cur_n"),
+    )
+    both = rs.join(cs, [*gcols, "bin"], "full_outer").select(
+        *gcols,
+        "bin",
+        F.coalesce("ref_share", F.lit(0.0)).alias("ref_share"),
+        F.coalesce("cur_share", F.lit(0.0)).alias("cur_share"),
+        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+    )
+    pr = F.greatest(F.col("ref_share"), F.lit(eps))
+    pc = F.greatest(F.col("cur_share"), F.lit(eps))
+    both = both.withColumn("contrib", (pc - pr) * F.log(pc / pr))
+    if detail:
+        return both.select(
+            *gcols,
+            "bin",
+            F.round("ref_share", 6).alias("ref_share"),
+            F.round("cur_share", 6).alias("cur_share"),
+            F.round("contrib", 6).alias("contrib"),
+        ).orderBy(*gcols, "bin")
+    out = (
+        both.groupBy(*gcols)
+        .agg(
+            F.sum("ref_n").cast("long").alias("n_ref"),
+            F.sum("cur_n").cast("long").alias("n_cur"),
+            F.round(F.sum("contrib"), 6).alias("psi"),
+        )
+        .withColumn("drifted", F.col("psi") > threshold)
+    )
+    return out.orderBy(*gcols) if gcols else out

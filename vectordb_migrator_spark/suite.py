@@ -11342,7 +11342,7 @@ def x12_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x12_referential_integrity",
+    "x12_corpus_alignment",
     """
     SELECT
       (SELECT count(*) FROM documents d
@@ -11357,12 +11357,14 @@ def x12_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
       (SELECT count(*) FROM embeddings)::BIGINT AS n_embeddings
     """,
 )
-def x12_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X12 — cross-table referential audit: orphan documents (no
+def x12_corpus_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — corpus⇄embedding alignment audit: orphan documents (no
     embedding row) and orphan embeddings (no document), the pre-flight
-    check before manifest assembly. Two anti-joins + two counts, all
-    id-keyed — at scale each anti-join is one shuffle of ids only
-    (AQE broadcasts the smaller id set)."""
+    check before manifest assembly — BOTH directions matter, unlike
+    the one-directional FK audit in ``x12_referential_integrity``.
+    Two anti-joins + two counts, all id-keyed — at scale each
+    anti-join is one shuffle of ids only (AQE broadcasts the smaller
+    id set)."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     d_ids = docs.select(F.col("doc_id").alias("id"))
@@ -11547,6 +11549,95 @@ def x12_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (name, tables[child], ck, tables[parent], pk)
             for name, child, ck, parent, pk in _RI_RELATIONS
         ]
+    )
+
+
+def _psi_sql() -> str:
+    probs = [round(0.1 * i, 1) for i in range(1, 10)]
+    case = " ".join(
+        f"WHEN t.value <= e.q[{i + 1}] THEN {i + 1}"
+        for i in range(len(probs))
+    )
+    return f"""
+    WITH m AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid
+               FROM events),
+    tagged AS (
+      SELECT event_type, value,
+             CASE WHEN epoch(ts) <= m.mid THEN 'ref' ELSE 'cur' END AS side
+      FROM events, m WHERE value IS NOT NULL
+    ),
+    e AS (
+      SELECT event_type, quantile_cont(value, {probs}) AS q
+      FROM tagged WHERE side = 'ref' GROUP BY event_type
+    ),
+    binned AS (
+      SELECT t.event_type, t.side,
+             CASE {case} ELSE {len(probs) + 1} END AS bin
+      FROM tagged t JOIN e USING (event_type)
+    ),
+    counts AS (SELECT event_type, side, bin, count(*)::BIGINT AS n
+               FROM binned GROUP BY 1, 2, 3),
+    shares AS (
+      SELECT event_type, side, bin, n,
+             n::DOUBLE / sum(n) OVER (PARTITION BY event_type, side)
+               AS share
+      FROM counts
+    ),
+    r AS (SELECT event_type, bin, share AS ref_share, n AS ref_n
+          FROM shares WHERE side = 'ref'),
+    c AS (SELECT event_type, bin, share AS cur_share, n AS cur_n
+          FROM shares WHERE side = 'cur'),
+    b AS (
+      SELECT coalesce(r.event_type, c.event_type) AS event_type,
+             coalesce(ref_share, 0) AS pr0,
+             coalesce(cur_share, 0) AS pc0,
+             coalesce(ref_n, 0) AS ref_n,
+             coalesce(cur_n, 0) AS cur_n
+      FROM r FULL OUTER JOIN c
+        ON r.event_type = c.event_type AND r.bin = c.bin
+    )
+    SELECT event_type,
+           sum(ref_n)::BIGINT AS n_ref,
+           sum(cur_n)::BIGINT AS n_cur,
+           round(sum((greatest(pc0, 1e-6) - greatest(pr0, 1e-6))
+                     * ln(greatest(pc0, 1e-6) / greatest(pr0, 1e-6))),
+                 6) AS psi,
+           round(sum((greatest(pc0, 1e-6) - greatest(pr0, 1e-6))
+                     * ln(greatest(pc0, 1e-6) / greatest(pr0, 1e-6))),
+                 6) > 0.2 AS drifted
+    FROM b GROUP BY event_type ORDER BY event_type
+    """
+
+
+@query("x12_psi_drift", _psi_sql())
+def x12_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — Population Stability Index drift between the event log's
+    first and second time halves, per event type (round 7): bin both
+    halves by the FIRST half's exact decile edges and report
+    Σ (p_cur − p_ref)·ln(p_cur/p_ref) — the standard model-monitoring
+    score (> 0.2 flags drift). Complements
+    ``x12_source_profile_drift``'s mean ratios: PSI sees SHAPE changes
+    (variance blowup, bimodality) a mean cannot. Edges reduce the
+    reference to one interpolated-percentile row per group (no global
+    sort); both halves union into ONE tagged scan binned by a
+    broadcast when-chain, and the only exchange is the
+    (groups × sides × 10-bin) count frame
+    (operators/validation.py:psi_drift). Full oracle — quantile_cont
+    interpolates identically to Spark's exact percentile."""
+    from vectordb_migrator_spark.operators.validation import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            (F.min(F.col("ts").cast("double"))
+             + F.max(F.col("ts").cast("double"))) / 2
+        ).alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid))
+    ref = tagged.filter(F.col("ts").cast("double") <= F.col("mid"))
+    cur = tagged.filter(F.col("ts").cast("double") > F.col("mid"))
+    return psi_drift(
+        ref, cur, "value", group_cols=["event_type"]
     )
 
 
@@ -13749,6 +13840,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_histogram_quantiles",  # oracle gained the val>0 filter (r7)
     "x2_simhash_md5_pairs",  # band-bucket cap profiling pass (r7)
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
+    "x12_referential_integrity",  # warehouse FK orphan audit (new r7)
+    "x12_psi_drift",  # PSI shape-drift between time halves (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
