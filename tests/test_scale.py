@@ -270,3 +270,58 @@ def test_rendezvous_assign_reshard_stability(spark):
     b = {r["doc_id"]: r["s5"]
          for r in rendezvous_assign(df, n_shards=5, out_col="s5").collect()}
     assert all(b[r["doc_id"]] == r["s5"] for r in a)  # deterministic
+
+
+def test_jackknife_ci_matches_numpy(spark):
+    """Delete-one-bucket jackknife: the distributed closed-form result
+    matches a NumPy replay of the same md5 bucketing, a group whose
+    units all hash to one bucket reports NULL se, and buckets<2 fails
+    loudly."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pytest
+
+    from vectordb_migrator_spark.operators.scale import jackknife_ci
+
+    rows = [(f"g{ i % 2}", i % 37, float((i * 7) % 101)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, uid long, v double")
+
+    B, seed = 8, 7
+    got = {
+        r["g"]: r
+        for r in jackknife_ci(
+            df, "v", unit_col="uid", buckets=B, group_cols=["g"], seed=seed
+        ).collect()
+    }
+
+    def bucket(uid):
+        return int(hashlib.md5(f"{uid}:{seed}".encode()).hexdigest()[:8], 16) % B
+
+    for g in ("g0", "g1"):
+        sub = [(bucket(u), v) for gg, u, v in rows if gg == g]
+        S = sum(v for _, v in sub)
+        N = len(sub)
+        bs = {}
+        for b, v in sub:
+            s, n = bs.get(b, (0.0, 0))
+            bs[b] = (s + v, n + 1)
+        loo = [(S - s) / (N - n) for s, n in bs.values()]
+        nb = len(loo)
+        mbar = float(np.mean(loo))
+        se = math.sqrt((nb - 1) / nb * sum((m - mbar) ** 2 for m in loo))
+        r = got[g]
+        assert r["n"] == N and r["n_buckets"] == nb
+        assert abs(r["mean"] - S / N) < 1e-6
+        assert abs(r["se"] - se) < 1e-6
+        assert abs(r["ci_lo"] - (round(S / N, 6) - 1.96 * se)) < 1e-5
+        assert abs(r["ci_hi"] - (round(S / N, 6) + 1.96 * se)) < 1e-5
+
+    # one unit only -> single bucket -> no leave-one-out estimate
+    one = spark.createDataFrame([(1, 2.0), (1, 4.0)], "uid long, v double")
+    r = jackknife_ci(one, "v", unit_col="uid", buckets=4).first()
+    assert r["n_buckets"] == 1 and r["se"] is None
+
+    with pytest.raises(ValueError, match="buckets"):
+        jackknife_ci(df, "v", unit_col="uid", buckets=1)

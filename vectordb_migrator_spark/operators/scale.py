@@ -315,3 +315,117 @@ def rendezvous_assign(
     )
     shard = (F.array_position(scores, F.array_max(scores)) - 1).cast("long")
     return df.withColumn(out_col, shard)
+
+
+def jackknife_ci(
+    df: DataFrame,
+    value_col: str,
+    *,
+    unit_col: str,
+    buckets: int = 50,
+    group_cols: list[str] | None = None,
+    z: float = 1.96,
+    seed: int = 7,
+) -> DataFrame:
+    """Delete-one-bucket jackknife confidence interval for the MEAN of
+    ``value_col`` — the variance estimator big A/B pipelines actually
+    use at scale: rows hash by ``unit_col`` into ``buckets`` cohorts
+    (all of one unit's rows leave together, so within-unit correlation
+    is respected — a plain per-row bootstrap would understate the
+    variance), each leave-one-bucket-out mean is recomputed from the
+    bucket aggregates in closed form, and
+    var = (B−1)/B · Σ (θ₍ᵢ₎ − θ̄₍.₎)².
+
+    Scale shape: ONE aggregate reduces the corpus to ≤ groups×B rows
+    of exact decimal (sum, count) partials (map-side combinable, the
+    only exchange); every leave-one-out estimate is then arithmetic on
+    that tiny frame — no resampled rescans, no per-replica shuffles
+    (the reason jackknife beats bootstrap at 100 TB: B re-scans
+    become 0). The md5 bucket coin is engine-reproducible, so the
+    whole CI carries a full SQL oracle. A group whose rows all land in
+    ONE bucket has no leave-one-out estimate and reports NULL se/ci
+    (document upstream; raise ``buckets`` or check unit cardinality).
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    gcols = list(group_cols or [])
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(unit_col).cast("string"),
+                        F.lit(f":{seed}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % buckets
+    )
+    per = (
+        df.select(*gcols, bkt.alias("__b"), F.col(value_col).alias("__v"))
+        .groupBy(*gcols, "__b")
+        .agg(
+            F.sum(F.col("__v").cast("decimal(28,6)")).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    # NOTE: names must differ case-insensitively — Spark resolves
+    # columns case-insensitively by default, so "S" would REPLACE "s".
+    tot = (
+        per.withColumn("__St", F.sum("s").over(w))
+        .withColumn("__Nt", F.sum("n").over(w))
+        .withColumn("nb", F.count(F.lit(1)).over(w))
+    )
+    loo = tot.withColumn(
+        "m",
+        (F.col("__St") - F.col("s")).cast("double")
+        / F.nullif(F.col("__Nt") - F.col("n"), F.lit(0)).cast("double"),
+    )
+    # the centered squared sum needs θ̄₍.₎ first; both passes run on
+    # the tiny (groups × B) bucket frame, not the corpus
+    mbar = loo.groupBy(*gcols).agg(
+        F.avg("m").alias("__mbar"),
+        F.max("nb").alias("__nb"),
+        F.max("__Nt").cast("long").alias("__n_total"),
+        # divide as doubles (not decimal/long) so the oracle's double
+        # division reproduces the value bit-for-bit
+        F.round(
+            F.max("__St").cast("double") / F.max("__Nt").cast("double"),
+            6,
+        ).alias("__mean"),
+    )
+    joined = (
+        loo.select(*gcols, "m").join(F.broadcast(mbar), gcols)
+        if gcols
+        else loo.select("m").crossJoin(F.broadcast(mbar))
+    )
+    var = joined.groupBy(*gcols).agg(
+        F.max("__n_total").alias("n"),
+        F.max("__mean").alias("mean"),
+        F.max("__nb").alias("__nb"),
+        F.sum(
+            (F.col("m") - F.col("__mbar"))
+            * (F.col("m") - F.col("__mbar"))
+        ).alias("__ss"),
+    )
+    se = F.sqrt(
+        (F.col("__nb") - 1).cast("double") / F.col("__nb") * F.col("__ss")
+    )
+    out = var.select(
+        *gcols,
+        "n",
+        "mean",
+        F.col("__nb").cast("long").alias("n_buckets"),
+        F.round(se, 6).alias("se"),
+        F.round(F.col("mean") - F.lit(z) * se, 6).alias("ci_lo"),
+        F.round(F.col("mean") + F.lit(z) * se, 6).alias("ci_hi"),
+    )
+    return out.orderBy(*gcols) if gcols else out

@@ -3891,6 +3891,70 @@ ORACLES["x7_kmv_distinct"] = """
 QUERIES["x7_kmv_distinct"] = x7_kmv_distinct
 
 
+@query(
+    "x7_jackknife_ci",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(CONCAT('0x', substr(md5(user_id::VARCHAR || ':7'),
+                                      1, 8)) AS BIGINT) % 50 AS bkt,
+             sum(value::DECIMAL(28,6)) AS s, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, sum(s) AS st, sum(n) AS nt,
+                 count(*)::BIGINT AS nb
+          FROM b GROUP BY 1),
+    loo AS (
+      SELECT b.event_type,
+             (t.st - b.s)::DOUBLE / nullif(t.nt - b.n, 0)::DOUBLE AS m,
+             t.st, t.nt, t.nb
+      FROM b JOIN t USING (event_type)
+    ),
+    mb AS (
+      SELECT event_type, avg(m) AS mbar, max(nb) AS nb,
+             max(nt)::BIGINT AS n,
+             round(max(st)::DOUBLE / max(nt)::DOUBLE, 6) AS mean
+      FROM loo GROUP BY 1
+    ),
+    v AS (
+      SELECT l.event_type, max(mb.n) AS n, max(mb.mean) AS mean,
+             max(mb.nb) AS nb,
+             sum((l.m - mb.mbar) * (l.m - mb.mbar)) AS ss
+      FROM loo l JOIN mb USING (event_type) GROUP BY 1
+    )
+    SELECT event_type, n, mean, nb::BIGINT AS n_buckets,
+           round(sqrt((nb - 1)::DOUBLE / nb * ss), 6) AS se,
+           round(mean - 1.96 * sqrt((nb - 1)::DOUBLE / nb * ss), 6)
+             AS ci_lo,
+           round(mean + 1.96 * sqrt((nb - 1)::DOUBLE / nb * ss), 6)
+             AS ci_hi
+    FROM v ORDER BY event_type
+    """,
+)
+def x7_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — delete-one-bucket jackknife CI for mean event value per
+    event type (round 7): users hash into 50 cohorts (all of a user's
+    events leave together, respecting within-user correlation), each
+    leave-one-bucket-out mean is closed-form arithmetic on the bucket
+    aggregates, and var = (B−1)/B·Σ(θ₍ᵢ₎−θ̄)². The variance estimator
+    big experimentation pipelines use at corpus scale: ONE exact
+    decimal aggregate pass reduces 100 TB to groups×50 rows; the B
+    "replicas" cost zero rescans (why jackknife beats bootstrap here).
+    md5 cohort coin → engine-reproducible, full oracle
+    (operators/scale.py:jackknife_ci)."""
+    from vectordb_migrator_spark.operators.scale import jackknife_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return jackknife_ci(
+        ev,
+        "value",
+        unit_col="user_id",
+        buckets=50,
+        group_cols=["event_type"],
+        seed=7,
+    )
+
+
 @query("x7_hll_daily_merge")  # Apache DataSketches binary → rows-only
 # check; the estimate's accuracy is asserted in tests vs countDistinct.
 def x7_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13842,6 +13906,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_pca_evr",  # gram_matrix gains executor-side partial merge (r7)
     "x12_referential_integrity",  # warehouse FK orphan audit (new r7)
     "x12_psi_drift",  # PSI shape-drift between time halves (new r7)
+    "x7_jackknife_ci",  # delete-one-bucket jackknife CI (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
