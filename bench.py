@@ -187,6 +187,7 @@ HEADLINE = [
     "x12_referential_integrity",
     "x12_psi_drift",
     "x7_jackknife_ci",
+    "x12_benford",
     "x12_source_profile_drift",
     "x12_freshness",
     "x12_volume_anomaly",

@@ -468,3 +468,32 @@ def test_psi_drift_planted_shift(spark):
     assert top["cur_share"] == 1.0
     low = [r for r in det if r["bin"] == 1][0]
     assert low["cur_share"] == 0.0 and low["contrib"] > 0
+
+
+def test_benford_audit_digits_and_summary(spark):
+    """First-digit extraction is string-exact at cent precision
+    (999.995 rounds up to digit 1, sub-cent values drop), uniform
+    digits produce the known deviation table, and the summary's chi2
+    and MAD match a Python replay."""
+    import math
+
+    from vectordb_migrator_spark.operators.validation import benford_audit
+
+    vals = [float(d) for d in range(1, 10)] + [999.995, 0.005, -5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    det = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    # 9 uniform digits + 999.995 -> 100000 cents -> digit 1
+    assert det[1]["n"] == 2 and all(det[d]["n"] == 1 for d in range(2, 10))
+    assert sum(r["n"] for r in det.values()) == 10  # 0.005, -5 excluded
+    assert abs(det[2]["obs_share"] - 0.1) < 1e-9
+    assert abs(det[2]["exp_share"] - math.log10(1.5)) < 1e-6
+
+    s = benford_audit(df, "v", summary=True).first()
+    obs = {d: det[d]["n"] / 10 for d in det}
+    exp = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    chi2 = 10 * sum((obs[d] - exp[d]) ** 2 / exp[d] for d in range(1, 10))
+    mad = sum(abs(obs[d] - exp[d]) for d in range(1, 10)) / 9
+    assert s["n"] == 10
+    assert abs(s["chi2"] - chi2) < 1e-5
+    assert abs(s["mad"] - mad) < 1e-6
+    assert not s["conforms"]  # uniform digits are far from Benford

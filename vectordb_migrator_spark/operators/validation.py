@@ -477,3 +477,78 @@ def psi_drift(
         .withColumn("drifted", F.col("psi") > threshold)
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    *,
+    min_value: float = 0.01,
+    summary: bool = False,
+) -> DataFrame:
+    """Benford first-significant-digit audit of a positive amount
+    column — the fraud/corruption screen for financial-ish magnitudes
+    (prices, revenues, populations): naturally-occurring multi-scale
+    amounts follow P(d) = log10(1 + 1/d); fabricated or truncated
+    feeds don't. Returns the 9-row digit table (digit, n, obs_share,
+    exp_share, dev) or, with ``summary=True``, one row of
+    (n, chi2, mad, conforms) — Nigrini's mean-absolute-deviation with
+    the 0.015 "acceptable conformity" bar.
+
+    The first digit comes from the STRING of the value in integer
+    cents — ``substr(cast(round(v·100) as bigint), 1, 1)`` — not from
+    ``floor(log10(v))``: the log path flips digits when an engine's
+    log10 lands an ULP under an integer (1000.0 → 2.999…6 → digit 9),
+    while round-to-cents is engine-exact for money-like doubles.
+    Values below ``min_value`` (and non-positive) are excluded — they
+    have no stable first digit at cent precision.
+
+    Scale shape: one filtered scan folding to ≤ 9 count cells
+    (map-side combinable); every share/χ²/MAD step is arithmetic on
+    that 9-row frame."""
+    import math
+
+    v = F.col(value_col).cast("double")
+    digit = F.substring(
+        F.round(v * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(v >= min_value)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    exp_map = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (F.lit(d), F.lit(math.log10(1 + 1 / d)))
+        ]
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    detail = counts.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / total, 6).alias("obs_share"),
+        F.round(exp_map[F.col("digit")], 6).alias("exp_share"),
+        F.round(
+            F.col("n") / total - exp_map[F.col("digit")], 6
+        ).alias("dev"),
+    )
+    if not summary:
+        return detail.orderBy("digit")
+    dev = F.col("n") / total - exp_map[F.col("digit")]
+    per = counts.select(
+        F.col("n"),
+        (dev * dev / exp_map[F.col("digit")]).alias("__c2"),
+        F.abs(dev).alias("__ad"),
+        total.alias("__t"),
+    )
+    return per.agg(
+        F.max("__t").cast("long").alias("n"),
+        F.round(F.max("__t") * F.sum("__c2"), 6).alias("chi2"),
+        F.round(F.avg("__ad"), 6).alias("mad"),
+        (F.avg("__ad") <= 0.015).alias("conforms"),
+    )

@@ -11706,6 +11706,39 @@ def x12_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x12_benford",
+    """
+    WITH d AS (
+      SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1)::INT AS digit
+      FROM orders WHERE o_totalprice >= 0.01
+    ),
+    c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n)::DOUBLE AS tot FROM c)
+    SELECT digit, n,
+           round(n / t.tot, 6) AS obs_share,
+           round(log10(1 + 1.0 / digit), 6) AS exp_share,
+           round(n / t.tot - log10(1 + 1.0 / digit), 6) AS dev
+    FROM c, t ORDER BY digit
+    """,
+)
+def x12_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — Benford first-significant-digit audit of order totals
+    (round 7): naturally-occurring multi-scale amounts follow
+    P(d) = log10(1+1/d); a fabricated or truncated feed doesn't — the
+    classic forensic screen, here as a warehouse data-quality monitor
+    next to ``x12_quality_constraints``. The first digit is read from
+    the integer-cents STRING (round-to-cents is engine-exact, where a
+    floor(log10) path flips digits when an engine's log10 lands an ULP
+    under an integer). One filtered scan folds to ≤ 9 count cells;
+    everything after is arithmetic on the 9-row frame
+    (operators/validation.py:benford_audit). Full oracle."""
+    from vectordb_migrator_spark.operators.validation import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@query(
     "x12_quality_constraints",
     """
     WITH m AS (
@@ -13907,6 +13940,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_referential_integrity",  # warehouse FK orphan audit (new r7)
     "x12_psi_drift",  # PSI shape-drift between time halves (new r7)
     "x7_jackknife_ci",  # delete-one-bucket jackknife CI (new r7)
+    "x12_benford",  # first-digit forensic audit (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
