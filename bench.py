@@ -212,6 +212,8 @@ HEADLINE = [
     "x13_seasonal_anomalies",
     "x13_stl_decompose",
     "x13_changepoints",
+    "x13_forecast_backtest",
+    "x13_theil_sen",
     "x13_user_features",
     "x13_event_gaps",
     "x13_hour_of_week_profile",

@@ -351,3 +351,51 @@ def test_acf_matches_numpy(spark):
     for lag in range(1, 15):
         want = ((x[lag:] - mu) * (x[:-lag] - mu)).sum() / denom
         assert abs(got[lag] - want) < 2e-6, lag
+
+
+def test_seasonal_naive_backtest_known_series(spark):
+    """A perfectly weekly series scores MAE 0 and skill 0; a flat
+    series scores identically under both forecasters (skill 1); short
+    series exclude unlagged points."""
+    import datetime as dt
+
+    from vectordb_migrator_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(21)]
+    weekly = [("w", d, float([5, 1, 1, 1, 1, 9, 9][i % 7]))
+              for i, d in enumerate(days)]
+    flat = [("f", d, 4.0) for d in days]
+    df = spark.createDataFrame(weekly + flat, "g string, day date, v double")
+
+    got = {
+        r["g"]: r
+        for r in seasonal_naive_backtest(
+            df, group_cols=["g"], season=7, horizon=7
+        ).collect()
+    }
+    assert got["w"]["n_scored"] == 7
+    assert got["w"]["mae"] == 0.0 and got["w"]["rmse"] == 0.0
+    assert got["w"]["skill"] == 0.0  # seasonal exact, naive-1 isn't
+    assert got["f"]["mae"] == 0.0 and got["f"]["skill"] is None  # 0/0
+
+
+def test_theil_sen_trend_outlier_robust(spark):
+    """Theil-Sen recovers the true slope of a clean linear series and
+    ignores a single wild outlier that would drag least squares."""
+    import datetime as dt
+
+    from vectordb_migrator_spark.operators.timeseries import theil_sen_trend
+
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(15)]
+    rows = [("a", d, 10.0 + 2.0 * i) for i, d in enumerate(days)]
+    rows[7] = ("a", days[7], 10_000.0)  # one corrupted day
+    df = spark.createDataFrame(rows, "g string, day date, v double")
+
+    r = theil_sen_trend(df, group_cols=["g"]).first()
+    assert r["n_days"] == 15
+    assert abs(r["slope_per_day"] - 2.0) < 1e-6
+    # intercept consistent with v = 10 + 2*(t - t0)
+    t0 = (days[0] - dt.date(1970, 1, 1)).days
+    assert abs(r["intercept"] - (10.0 - 2.0 * t0)) < 1e-6

@@ -294,3 +294,125 @@ def mad_outliers(
         .withColumn("mad", F.round(F.col(mad_c), 6))
         .drop(med_c, mad_c)
     )
+
+
+def seasonal_naive_backtest(
+    daily: DataFrame,
+    *,
+    date_col: str = "day",
+    value_col: str = "v",
+    group_cols: list[str] | None = None,
+    season: int = 7,
+    horizon: int = 7,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (ŷ_t = y_{t−season})
+    over the last ``horizon`` points of each series, scored against
+    the naive-1 baseline (ŷ_t = y_{t−1}): per group, MAE / RMSE /
+    sMAPE of the seasonal forecast plus the ``skill`` ratio
+    mae_seasonal / mae_naive (< 1 ⇒ the seasonal pattern is real and
+    worth exploiting; ≥ 1 ⇒ a dashboard "forecast" is beating nothing).
+    The honest pre-model question for any per-key volume forecast —
+    and the monitor that catches a series whose weekly cycle silently
+    died.
+
+    Runs on an already-aggregated daily frame (thousands of rows
+    however big the raw log — aggregate first, then model), so the
+    lag windows sort per-group series, never the corpus. Points whose
+    lag falls before the series start are excluded from scoring;
+    sMAPE terms where |f|+|a| = 0 are skipped via try_divide."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    w = Window.partitionBy(*gcols).orderBy(date_col)
+    scored = (
+        daily.withColumn("__fs", F.lag(value_col, season).over(w))
+        .withColumn("__fn", F.lag(value_col, 1).over(w))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*gcols).orderBy(F.desc(date_col))
+            ),
+        )
+        .filter(
+            (F.col("__rn") <= horizon)
+            & F.col("__fs").isNotNull()
+            & F.col("__fn").isNotNull()
+        )
+    )
+    a, fs, fn = F.col(value_col), F.col("__fs"), F.col("__fn")
+    out = scored.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.round(F.avg(F.abs(fs - a)), 6).alias("mae"),
+        F.round(F.sqrt(F.avg((fs - a) * (fs - a))), 6).alias("rmse"),
+        F.round(
+            F.avg(
+                F.try_divide(
+                    F.lit(2.0) * F.abs(fs - a), F.abs(fs) + F.abs(a)
+                )
+            ),
+            6,
+        ).alias("smape"),
+        F.round(
+            F.try_divide(F.avg(F.abs(fs - a)), F.avg(F.abs(fn - a))), 6
+        ).alias("skill"),
+    )
+    return out.orderBy(*gcols) if gcols else out
+
+
+def theil_sen_trend(
+    daily: DataFrame,
+    *,
+    date_col: str = "day",
+    value_col: str = "v",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Theil–Sen robust trend per series: slope = exact median of all
+    pairwise slopes (v_j − v_i)/(t_j − t_i), intercept = median of
+    (v_i − slope·t_i) — the estimator that shrugs off the outlier days
+    a least-squares fit chases (breakdown point 29%). Time enters as
+    integer days since epoch, so the slope is per-day in value units.
+
+    O(n²) pairs per series, which is exactly why this operator takes
+    the DAILY frame: model AFTER the rollup, and a year of daily
+    points is ~66k pairs per key — trivial — while the raw event log
+    never self-joins. The pair join is a per-group equi-join (one
+    exchange on the group key); medians are exact interpolated
+    percentiles, engine-reproducible."""
+    gcols = list(group_cols or [])
+    t = F.datediff(F.col(date_col), F.lit("1970-01-01")).cast("double")
+    base = daily.select(
+        *gcols, t.alias("__t"), F.col(value_col).cast("double").alias("__v")
+    )
+    a = base.select(
+        *gcols, F.col("__t").alias("__ta"), F.col("__v").alias("__va")
+    )
+    b = base.select(
+        *gcols, F.col("__t").alias("__tb"), F.col("__v").alias("__vb")
+    )
+    pairs = (
+        (a.join(b, gcols) if gcols else a.crossJoin(b))
+        .filter(F.col("__tb") > F.col("__ta"))
+        .select(
+            *gcols,
+            (
+                (F.col("__vb") - F.col("__va"))
+                / (F.col("__tb") - F.col("__ta"))
+            ).alias("__s"),
+        )
+    )
+    slope = pairs.groupBy(*gcols).agg(
+        F.expr("percentile(__s, 0.5)").alias("__slope")
+    )
+    withs = (
+        base.join(F.broadcast(slope), gcols)
+        if gcols
+        else base.crossJoin(F.broadcast(slope))
+    )
+    out = withs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.max("__slope"), 6).alias("slope_per_day"),
+        F.round(
+            F.expr("percentile(__v - __slope * __t, 0.5)"), 6
+        ).alias("intercept"),
+    )
+    return out.orderBy(*gcols) if gcols else out

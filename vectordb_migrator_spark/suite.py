@@ -11212,6 +11212,103 @@ def x13_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, round(sum(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    lagd AS (
+      SELECT event_type, day, v,
+             lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS fs,
+             lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS fn,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day DESC) AS rn
+      FROM daily
+    )
+    SELECT event_type, count(*)::BIGINT AS n_scored,
+           round(avg(abs(fs - v)), 6) AS mae,
+           round(sqrt(avg((fs - v) * (fs - v))), 6) AS rmse,
+           round(avg(2.0 * abs(fs - v) / nullif(abs(fs) + abs(v), 0)), 6)
+             AS smape,
+           round(avg(abs(fs - v)) / nullif(avg(abs(fn - v)), 0), 6)
+             AS skill
+    FROM lagd WHERE rn <= 7 AND fs IS NOT NULL AND fn IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x13_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — seasonal-naive forecast backtest per event type (round
+    7): score ŷ_t = y_{t−7} over each series' last week against the
+    naive-1 baseline (MAE/RMSE/sMAPE + the skill ratio) — the honest
+    pre-model question for any per-key volume forecast, and the
+    monitor that catches a series whose weekly cycle silently died
+    (skill drifts to ≥ 1). The lag windows run on the pre-aggregated
+    daily frame — thousands of rows however big the raw log
+    (operators/timeseries.py:seasonal_naive_backtest). Full oracle."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    return seasonal_naive_backtest(
+        daily, group_cols=["event_type"], season=7, horizon=7
+    )
+
+
+@query(
+    "x13_theil_sen",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, round(sum(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, (day - DATE '1970-01-01')::DOUBLE AS t, v
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type, (b.v - a.v) / (b.t - a.t) AS s
+      FROM base a
+      JOIN base b ON a.event_type = b.event_type AND b.t > a.t
+    ),
+    sl AS (SELECT event_type, quantile_cont(s, 0.5) AS slope
+           FROM pairs GROUP BY 1)
+    SELECT b.event_type, count(*)::BIGINT AS n_days,
+           round(max(sl.slope), 6) AS slope_per_day,
+           round(quantile_cont(b.v - sl.slope * b.t, 0.5), 6)
+             AS intercept
+    FROM base b JOIN sl USING (event_type)
+    GROUP BY b.event_type ORDER BY b.event_type
+    """,
+)
+def x13_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — Theil–Sen robust trend per event type (round 7): slope =
+    exact median of all pairwise daily slopes, intercept = median of
+    the slope-adjusted levels — the trend estimator that shrugs off
+    the outlier days least squares chases (breakdown point 29%),
+    reported per series as value-units-per-day. O(n²) pairs is safe
+    BECAUSE it runs on the daily rollup (a year is ~66k pairs per
+    key); the raw event log never self-joins
+    (operators/timeseries.py:theil_sen_trend). Full oracle —
+    quantile_cont interpolates identically to Spark's percentile."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    return theil_sen_trend(daily, group_cols=["event_type"])
+
+
+@query(
     "x13_seasonal_anomalies",
     """
     WITH s AS (
@@ -13941,6 +14038,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_psi_drift",  # PSI shape-drift between time halves (new r7)
     "x7_jackknife_ci",  # delete-one-bucket jackknife CI (new r7)
     "x12_benford",  # first-digit forensic audit (new r7)
+    "x13_forecast_backtest",  # seasonal-naive skill scoring (new r7)
+    "x13_theil_sen",  # robust median-slope trend (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
