@@ -133,6 +133,7 @@ HEADLINE = [
     "x5_fingerprint",
     "x5_bm25_topk",
     "x5_rm3_expansion",
+    "x5_phrase_search",
     "x5_boilerplate_removal",
     "x5_span_dedup",
     "x5_ngram_contamination",

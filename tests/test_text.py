@@ -502,3 +502,37 @@ def test_flesch_reading_ease_known_values(spark):
         "flesch": round(206.835 - 1.015 * 2 - 84.6 * 1.0, 4),
     }
     assert rows[3]["words"] == 0 and rows[3]["flesch"] is None
+
+
+def test_phrase_search_consecutive_tokens(spark):
+    """Phrase matching counts only CONSECUTIVE token runs (case-folded),
+    counts overlapping occurrences, handles 3-word phrases and
+    too-short documents, and rejects empty phrases."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.ranking import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the data the data pipeline"),
+            (2, "data the big table"),
+            (3, "THE Data lake"),
+            (4, "the"),
+            (5, "big data big data big data"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["phrase"], r["doc_id"]): r["n_hits"]
+        for r in phrase_search(
+            docs, ["the data", "big data big"]
+        ).collect()
+    }
+    assert got[("the data", 1)] == 2
+    assert ("the data", 2) not in got  # non-adjacent
+    assert got[("the data", 3)] == 1  # case-folded
+    assert ("the data", 4) not in got  # doc shorter than phrase
+    assert got[("big data big", 5)] == 2  # overlapping starts
+
+    with pytest.raises(ValueError, match="phrase"):
+        phrase_search(docs, ["  "])

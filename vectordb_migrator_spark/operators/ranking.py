@@ -503,3 +503,78 @@ def rm3_expansion(
         .orderBy(F.desc("weight"), "term")
         .limit(fb_terms)
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrases: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact multi-word phrase search: for each phrase, every document
+    containing it as CONSECUTIVE whitespace tokens, with the
+    occurrence count — the IR primitive behind quoted-query search and
+    n-gram provenance checks ("which docs contain this exact
+    sentence fragment").
+
+    Spark-first shape: a classic positional inverted index would
+    shuffle a (doc, pos, token) posting row per token — corpus-sized
+    exchanges before the first match. Here matching is a pure codegen
+    higher-order function over each row's token array: count i where
+    toks[i+j] = wordⱼ ∀j. No exchange at all until the (phrase, id,
+    n_hits) result rows — for one-shot or few-phrase search this beats
+    building the index; build ``x0_retrieval_tfidf``-style structures
+    when the workload is many-queries-one-corpus. All phrases scan in
+    ONE pass (a struct-array explode fans results out row-side).
+
+    Matching is on lowercase whitespace tokens (the corpus-wide
+    tokenizer contract, ``functions/text.py:ws_tokens``); empty or
+    whitespace-only phrases are rejected."""
+    from functools import reduce
+
+    specs = []
+    for p in phrases:
+        words = p.lower().split()
+        if not words:
+            raise ValueError(f"phrase must contain at least one token: {p!r}")
+        specs.append((p, words))
+
+    base = df.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    )
+
+    def hits(words: list[str]) -> Column:
+        k = len(words)
+        starts = F.sequence(F.lit(0), F.size("__toks") - k)
+        match = lambda i: reduce(  # noqa: E731
+            Column.__and__,
+            [
+                F.element_at("__toks", (i + j + 1).cast("int"))
+                == F.lit(w)
+                for j, w in enumerate(words)
+            ],
+        )
+        return (
+            F.when(
+                F.size("__toks") >= k,
+                F.size(F.filter(starts, match)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("phrase"), hits(w).alias("n_hits")
+            )
+            for p, w in specs
+        ]
+    )
+    return (
+        base.select(F.col(id_col), F.explode(rows).alias("r"))
+        .select(id_col, F.col("r.phrase").alias("phrase"),
+                F.col("r.n_hits").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )

@@ -8287,6 +8287,64 @@ def x5_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, ["vector", "hash", "join"], k=10)
 
 
+_PHRASES = ["the data", "fast join", "table value"]
+
+
+def _phrase_sql() -> str:
+    parts = []
+    for p in _PHRASES:
+        w = p.split()
+        cond = " AND ".join(
+            f"toks[i + {j}] = '{t}'" for j, t in enumerate(w)
+        )
+        parts.append(f"""
+      SELECT doc_id, '{p}' AS phrase,
+             len([i for i in range(1, len(toks) - {len(w) - 2})
+                  if {cond}])::BIGINT AS n_hits
+      FROM t""")
+    return (
+        r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), h AS ("""
+        + " UNION ALL ".join(parts)
+        + """
+    )
+    SELECT phrase,
+           (count(*) FILTER (WHERE n_hits > 0))::BIGINT AS n_docs,
+           sum(n_hits)::BIGINT AS total_hits
+    FROM h GROUP BY phrase ORDER BY phrase
+    """
+    )
+
+
+@query("x5_phrase_search", _phrase_sql())
+def x5_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — exact consecutive-token phrase search (round 7): per
+    phrase, how many documents contain it and how many total
+    occurrences — quoted-query retrieval and the provenance primitive
+    behind "which docs contain this exact fragment". Spark-first: no
+    positional inverted index (a corpus-sized (doc,pos,token) shuffle
+    before the first match) — matching is a pure codegen higher-order
+    filter over each row's token array, all phrases in ONE scan, and
+    nothing but (phrase, id, hits) rows ever leave the row
+    (operators/ranking.py:phrase_search). Full oracle via DuckDB list
+    comprehensions."""
+    from vectordb_migrator_spark.operators.ranking import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        phrase_search(d, _PHRASES)
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+        )
+        .orderBy("phrase")
+    )
+
+
 def _rm3_sql(
     terms: list[str], fb_docs: int = 10, fb_terms: int = 15, lam: float = 0.5
 ) -> str:
@@ -14040,6 +14098,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_benford",  # first-digit forensic audit (new r7)
     "x13_forecast_backtest",  # seasonal-naive skill scoring (new r7)
     "x13_theil_sen",  # robust median-slope trend (new r7)
+    "x5_phrase_search",  # codegen consecutive-token phrase match (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
