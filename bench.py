@@ -189,6 +189,7 @@ HEADLINE = [
     "x12_psi_drift",
     "x7_jackknife_ci",
     "x12_benford",
+    "x12_zonemap_prune",
     "x12_source_profile_drift",
     "x12_freshness",
     "x12_volume_anomaly",

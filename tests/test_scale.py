@@ -325,3 +325,45 @@ def test_jackknife_ci_matches_numpy(spark):
 
     with pytest.raises(ValueError, match="buckets"):
         jackknife_ci(df, "v", unit_col="uid", buckets=1)
+
+
+def test_zonemap_prune_report_layout_contrast(spark):
+    """Clustering by the predicate column prunes almost all chunks;
+    an uncorrelated layout prunes ~none; matching-row counts are
+    layout-invariant; empty layouts fail loudly."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.scale import zonemap_prune_report
+
+    import random
+
+    n = 1024
+    perm = list(range(n))
+    random.Random(0).shuffle(perm)
+    rows = [(i, float(i), float(perm[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, sorted_v double, perm_v double")
+
+    rep = {
+        r["layout"]: r
+        for r in zonemap_prune_report(
+            df,
+            value_col="sorted_v",
+            lo=100.0,
+            hi=163.0,  # 64 matching rows = 1 of 16 chunks
+            layouts=[("by_value", "sorted_v"), ("by_perm", "perm_v")],
+            tiebreak_col="id",
+            n_chunks=16,
+        ).collect()
+    }
+    bv, bp = rep["by_value"], rep["by_perm"]
+    assert bv["n_chunks"] == bp["n_chunks"] == 16
+    assert bv["rows_matching"] == bp["rows_matching"] == 64
+    assert bv["chunks_hit"] <= 2 and bv["prune_rate"] >= 0.875
+    assert bp["chunks_hit"] >= 14 and bp["prune_rate"] <= 0.125
+    assert bv["scan_efficiency"] > bp["scan_efficiency"]
+
+    with pytest.raises(ValueError, match="layouts"):
+        zonemap_prune_report(
+            df, value_col="sorted_v", lo=0, hi=1, layouts=[],
+            tiebreak_col="id",
+        )

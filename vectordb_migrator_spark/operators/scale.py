@@ -429,3 +429,84 @@ def jackknife_ci(
         F.round(F.col("mean") + F.lit(z) * se, 6).alias("ci_hi"),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def zonemap_prune_report(
+    df: DataFrame,
+    *,
+    value_col: str,
+    lo: float,
+    hi: float,
+    layouts: list[tuple[str, str]],
+    tiebreak_col: str,
+    n_chunks: int = 64,
+) -> DataFrame:
+    """Zone-map (min/max data-skipping) WHAT-IF simulator: for each
+    candidate layout — "cluster the table by column X" — chunk the
+    rows into ``n_chunks`` equal row-groups in that order, compute
+    each chunk's min/max of ``value_col`` (exactly the stats parquet
+    keeps per row group and Delta/Iceberg keep per file), and report
+    how many chunks a ``BETWEEN lo AND hi`` predicate could skip.
+    This quantifies, BEFORE rewriting 100 TB, what
+    ``zorder_write``/``write_partitioned`` would buy a given
+    predicate: clustering by the predicate column typically prunes
+    ~(1 − selectivity) of chunks; an uncorrelated layout prunes ~0.
+
+    Per layout: one 3-column projection (order key, value, tiebreak)
+    through an ntile window — a sort of id-width rows, never the
+    payload — folding straight to ``n_chunks`` stat cells. The
+    tiebreak column MUST be unique (ntile on a non-unique order is
+    partition-order nondeterministic — chunk stats wouldn't be
+    reproducible run to run). At warehouse scale run it on a uniform
+    sample; skip-rate estimates converge fast and the chunk count,
+    not the row count, sets the report's resolution."""
+    out = None
+    for label, order_col in layouts:
+        from pyspark.sql import Window
+
+        chunked = df.select(
+            F.col(value_col).cast("double").alias("__v"),
+            F.col(order_col).alias("__o"),
+            F.col(tiebreak_col).alias("__tb"),
+        ).withColumn(
+            "__chunk",
+            F.ntile(n_chunks).over(Window.orderBy("__o", "__tb")),
+        )
+        stats = chunked.groupBy("__chunk").agg(
+            F.min("__v").alias("mn"),
+            F.max("__v").alias("mx"),
+            F.count(F.lit(1)).cast("long").alias("rows"),
+            F.sum(
+                F.col("__v").between(lo, hi).cast("long")
+            ).cast("long").alias("matching"),
+        )
+        hit = (F.col("mx") >= lo) & (F.col("mn") <= hi)
+        row = stats.agg(
+            F.lit(label).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(hit.cast("long")).cast("long").alias("chunks_hit"),
+            F.round(
+                1 - F.sum(hit.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("prune_rate"),
+            F.sum(F.when(hit, F.col("rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("matching").cast("long").alias("rows_matching"),
+        ).select(
+            "layout",
+            "n_chunks",
+            "chunks_hit",
+            "prune_rate",
+            "rows_scanned",
+            "rows_matching",
+            F.round(
+                F.try_divide(
+                    F.col("rows_matching"), F.col("rows_scanned")
+                ),
+                6,
+            ).alias("scan_efficiency"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("layouts must be non-empty")
+    return out.orderBy("layout")

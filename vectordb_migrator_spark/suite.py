@@ -11860,6 +11860,80 @@ def x12_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZM_LAYOUTS = [
+    ("by_custkey", "o_custkey"),
+    ("by_orderdate", "o_orderdate"),
+    ("by_totalprice", "o_totalprice"),
+]
+_ZM_LO, _ZM_HI, _ZM_CHUNKS = 100000.0, 150000.0, 64
+
+
+def _zonemap_sql() -> str:
+    parts = []
+    for label, oc in _ZM_LAYOUTS:
+        parts.append(f"""
+      SELECT '{label}' AS layout,
+             count(*)::BIGINT AS n_chunks,
+             sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS chunks_hit,
+             round(1 - sum(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*), 6) AS prune_rate,
+             sum(CASE WHEN hit THEN rows ELSE 0 END)::BIGINT
+               AS rows_scanned,
+             sum(matching)::BIGINT AS rows_matching,
+             round(sum(matching)::DOUBLE
+                   / nullif(sum(CASE WHEN hit THEN rows ELSE 0 END), 0),
+                   6) AS scan_efficiency
+      FROM (
+        SELECT mx >= {_ZM_LO} AND mn <= {_ZM_HI} AS hit, rows, matching
+        FROM (
+          SELECT min(v) AS mn, max(v) AS mx, count(*)::BIGINT AS rows,
+                 sum(CASE WHEN v BETWEEN {_ZM_LO} AND {_ZM_HI}
+                     THEN 1 ELSE 0 END)::BIGINT AS matching
+          FROM (
+            SELECT ntile({_ZM_CHUNKS})
+                     OVER (ORDER BY {oc}, o_orderkey) AS chunk,
+                   o_totalprice AS v
+            FROM orders
+          ) GROUP BY chunk
+        )
+      )""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY layout"
+    )
+
+
+@query("x12_zonemap_prune", _zonemap_sql())
+def x12_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — zone-map data-skipping WHAT-IF simulator (round 7): for
+    three candidate clusterings of the orders table, chunk the rows
+    into 64 simulated row-groups in that order, keep each chunk's
+    min/max of o_totalprice (exactly the stats parquet keeps per row
+    group), and report how much a price-band predicate could skip.
+    The advisor that quantifies what ``zorder_write`` /
+    ``write_partitioned`` would buy BEFORE rewriting 100 TB:
+    clustering by the predicate column prunes ~(1 − selectivity) of
+    chunks, an uncorrelated layout prunes ~0 — next to
+    ``x12_layout_advisor``'s cardinality heuristics this is the
+    measured answer. Each layout sorts an id-width 3-column
+    projection only; unique-key tiebreak keeps ntile deterministic
+    (operators/scale.py:zonemap_prune_report). Full oracle."""
+    from vectordb_migrator_spark.operators.scale import (
+        zonemap_prune_report,
+    )
+
+    return zonemap_prune_report(
+        _t(spark, sf_dir, "orders"),
+        value_col="o_totalprice",
+        lo=_ZM_LO,
+        hi=_ZM_HI,
+        layouts=_ZM_LAYOUTS,
+        tiebreak_col="o_orderkey",
+        n_chunks=_ZM_CHUNKS,
+    )
+
+
 @query(
     "x12_benford",
     """
@@ -14099,6 +14173,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_forecast_backtest",  # seasonal-naive skill scoring (new r7)
     "x13_theil_sen",  # robust median-slope trend (new r7)
     "x5_phrase_search",  # codegen consecutive-token phrase match (new r7)
+    "x12_zonemap_prune",  # data-skipping what-if simulator (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
