@@ -188,6 +188,7 @@ HEADLINE = [
     "x12_referential_integrity",
     "x12_psi_drift",
     "x7_jackknife_ci",
+    "x7_cuped",
     "x12_benford",
     "x12_zonemap_prune",
     "x12_source_profile_drift",

@@ -367,3 +367,37 @@ def test_zonemap_prune_report_layout_contrast(spark):
             df, value_col="sorted_v", lo=0, hi=1, layouts=[],
             tiebreak_col="id",
         )
+
+
+def test_cuped_adjust_matches_numpy(spark):
+    """CUPED statistics match a NumPy replay on correlated data
+    (population moments), and a zero-variance covariate reports NULL
+    theta instead of dividing by zero."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.scale import cuped_adjust
+
+    rng = np.random.default_rng(42)
+    x = np.round(rng.normal(50, 10, 400), 6)
+    y = np.round(0.8 * x + rng.normal(0, 5, 400), 6)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "pre double, post double"
+    )
+    r = cuped_adjust(df, metric_col="post", covariate_col="pre").first()
+
+    varx, vary = x.var(), y.var()  # population (ddof=0)
+    cov = ((x - x.mean()) * (y - y.mean())).mean()
+    rho2 = cov**2 / (varx * vary)
+    assert r["n"] == 400
+    assert abs(r["mean"] - y.mean()) < 1e-5
+    assert abs(r["theta"] - cov / varx) < 1e-5
+    assert abs(r["var"] - vary) < 1e-4
+    assert abs(r["var_reduction"] - rho2) < 1e-5
+    assert abs(r["var_adjusted"] - vary * (1 - rho2)) < 1e-4
+    assert r["se_cuped"] < r["se_naive"]
+
+    flat = spark.createDataFrame(
+        [(1.0, float(v)) for v in range(10)], "pre double, post double"
+    )
+    r2 = cuped_adjust(flat, metric_col="post", covariate_col="pre").first()
+    assert r2["theta"] is None and r2["var_reduction"] is None

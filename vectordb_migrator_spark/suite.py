@@ -3955,6 +3955,112 @@ def x7_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x7_cuped",
+    """
+    WITH m AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid
+               FROM events),
+    per AS (
+      SELECT event_type, user_id,
+             sum(CASE WHEN epoch(ts) <= m.mid
+                 THEN value END::DECIMAL(28,6)) AS ps,
+             count(*) FILTER (WHERE epoch(ts) <= m.mid) AS pn,
+             sum(CASE WHEN epoch(ts) > m.mid
+                 THEN value END::DECIMAL(28,6)) AS qs,
+             count(*) FILTER (WHERE epoch(ts) > m.mid) AS qn
+      FROM events, m WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT event_type,
+             round(ps::DOUBLE / pn, 6)::DECIMAL(18,6) AS x,
+             round(qs::DOUBLE / qn, 6)::DECIMAL(18,6) AS y
+      FROM per WHERE pn > 0 AND qn > 0
+    ),
+    a AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM u GROUP BY 1
+    ),
+    s AS (
+      SELECT event_type, n,
+             sy::DOUBLE / n AS mean,
+             sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n)
+               AS varx,
+             syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n)
+               AS vary,
+             sxy::DOUBLE / n - (sx::DOUBLE / n) * (sy::DOUBLE / n)
+               AS cov
+      FROM a
+    ),
+    r AS (
+      SELECT event_type, n, mean, vary,
+             cov / nullif(varx, 0) AS theta,
+             cov * cov / nullif(varx * vary, 0) AS rho2
+      FROM s
+    )
+    SELECT event_type, n,
+           round(mean, 6) AS mean,
+           round(theta, 6) AS theta,
+           round(vary, 6) AS var,
+           round(greatest(vary * (1 - rho2), 0), 6) AS var_adjusted,
+           round(rho2, 6) AS var_reduction,
+           round(sqrt(vary / n), 6) AS se_naive,
+           round(sqrt(greatest(vary * (1 - rho2), 0) / n), 6)
+             AS se_cuped
+    FROM r ORDER BY event_type
+    """,
+)
+def x7_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — CUPED variance reduction per event type (round 7): each
+    user's second-half mean value is the experiment metric Y, their
+    first-half mean the pre-period covariate X; θ = cov/var(X) and
+    var(Y−θ(X−E[X])) = var(Y)(1−ρ²) — the adjustment that makes A/B
+    readouts significant days earlier, and next to
+    ``x7_jackknife_ci`` the second pillar of experimentation
+    statistics at corpus scale. ONE grouped pass builds the unit
+    frame, ONE moment aggregate (6dp-rounded decimal sums →
+    bit-reproducible across engines and partition orders) yields
+    every statistic closed-form
+    (operators/scale.py:cuped_adjust). Full oracle."""
+    from vectordb_migrator_spark.operators.scale import cuped_adjust
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    mid = ev.agg(
+        (
+            (F.min(F.col("ts").cast("double"))
+             + F.max(F.col("ts").cast("double"))) / 2
+        ).alias("mid")
+    )
+    is_pre = F.col("ts").cast("double") <= F.col("mid")
+    per = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(
+                F.when(is_pre, F.col("value")).cast("decimal(28,6)")
+            ).alias("ps"),
+            F.sum(is_pre.cast("long")).alias("pn"),
+            F.sum(
+                F.when(~is_pre, F.col("value")).cast("decimal(28,6)")
+            ).alias("qs"),
+            F.sum((~is_pre).cast("long")).alias("qn"),
+        )
+    )
+    units = per.filter((F.col("pn") > 0) & (F.col("qn") > 0)).select(
+        "event_type",
+        F.round(F.col("ps").cast("double") / F.col("pn"), 6).alias("x"),
+        F.round(F.col("qs").cast("double") / F.col("qn"), 6).alias("y"),
+    )
+    return cuped_adjust(
+        units,
+        metric_col="y",
+        covariate_col="x",
+        group_cols=["event_type"],
+    )
+
+
 @query("x7_hll_daily_merge")  # Apache DataSketches binary → rows-only
 # check; the estimate's accuracy is asserted in tests vs countDistinct.
 def x7_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14174,6 +14280,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_theil_sen",  # robust median-slope trend (new r7)
     "x5_phrase_search",  # codegen consecutive-token phrase match (new r7)
     "x12_zonemap_prune",  # data-skipping what-if simulator (new r7)
+    "x7_cuped",  # CUPED variance-reduction report (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
