@@ -191,6 +191,7 @@ HEADLINE = [
     "x7_cuped",
     "x12_benford",
     "x12_zonemap_prune",
+    "x12_join_cardinality",
     "x12_source_profile_drift",
     "x12_freshness",
     "x12_volume_anomaly",

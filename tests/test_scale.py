@@ -401,3 +401,41 @@ def test_cuped_adjust_matches_numpy(spark):
     )
     r2 = cuped_adjust(flat, metric_col="post", covariate_col="pre").first()
     assert r2["theta"] is None and r2["var_reduction"] is None
+
+
+def test_join_cardinality_fanout_and_explosion(spark):
+    """Exact join sizing: 1:1, fan-out, and many-to-many relations
+    report the true output size (verified against the actual join),
+    the hot key's share, and zero rows for disjoint keys."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.scale import join_cardinality
+
+    left = spark.createDataFrame(
+        [(k, i) for k in (1, 1, 1, 2, 3) for i in range(2)][:8],
+        "k long, i long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12), (9, 13)], "k long, j long"
+    )
+    rep = {
+        r["relation"]: r
+        for r in join_cardinality(
+            [
+                ("m2m", left, "k", right, "k"),
+                ("disjoint", left, "i", right, "j"),
+            ]
+        ).collect()
+    }
+    m = rep["m2m"]
+    truth = left.join(right, "k").count()
+    assert m["join_rows"] == truth
+    assert m["left_rows"] == 8 and m["right_rows"] == 4
+    assert m["max_key_rows"] == 12  # hottest key 1: 6 left x 2 right
+    assert abs(m["top_key_share"] - 12 / truth) < 1e-6
+    d = rep["disjoint"]
+    assert d["join_rows"] == 0 and d["matched_keys"] == 0
+    assert d["top_key_share"] is None
+
+    with pytest.raises(ValueError, match="relations"):
+        join_cardinality([])

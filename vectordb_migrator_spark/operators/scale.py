@@ -579,3 +579,76 @@ def cuped_adjust(
         F.round(F.sqrt(var_adj / n), 6).alias("se_cuped"),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def join_cardinality(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Pre-join cardinality audit: for each prospective equi-join
+    ``(name, left, left_key, right, right_key)``, the EXACT output
+    size Σₖ c_left(k)·c_right(k) plus the expansion factor and the
+    hottest key's contribution — the numbers that say, before a
+    100 TB join is submitted, whether it's 1:1, a benign fan-out, or
+    a many-to-many explosion one hot key will turn into a straggler
+    (then: :func:`salted_join`, or fix the key). Catalyst estimates
+    this from sampled stats; this is the measured answer, at id-width
+    cost.
+
+    Scale shape, per relation: each side folds to a (key, count)
+    frame — the ONLY exchanges are id-width — joined on the key and
+    reduced to one row. Nothing about the payload or the actual join
+    output is materialized; cost ~ two distinct-key aggregations,
+    orders of magnitude below running the join to count it."""
+    out = None
+    for name, left, lk, right, rk in relations:
+        ca = left.groupBy(F.col(lk).alias("__k")).agg(
+            F.count(F.lit(1)).cast("long").alias("na")
+        )
+        cb = right.groupBy(F.col(rk).alias("__k")).agg(
+            F.count(F.lit(1)).cast("long").alias("nb")
+        )
+        j = ca.join(cb, "__k")
+        row = (
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("matched_keys"),
+                F.sum(F.col("na") * F.col("nb"))
+                .cast("long")
+                .alias("join_rows"),
+                F.max(F.col("na") * F.col("nb"))
+                .cast("long")
+                .alias("max_key_rows"),
+            )
+            .crossJoin(
+                ca.agg(F.sum("na").cast("long").alias("left_rows"))
+            )
+            .crossJoin(
+                cb.agg(F.sum("nb").cast("long").alias("right_rows"))
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "left_rows",
+                "right_rows",
+                F.coalesce("matched_keys", F.lit(0)).alias(
+                    "matched_keys"
+                ),
+                F.coalesce("join_rows", F.lit(0)).alias("join_rows"),
+                F.coalesce("max_key_rows", F.lit(0)).alias(
+                    "max_key_rows"
+                ),
+                F.round(
+                    F.coalesce("join_rows", F.lit(0))
+                    / F.greatest("left_rows", "right_rows"),
+                    6,
+                ).alias("expansion"),
+                F.round(
+                    F.try_divide(
+                        F.col("max_key_rows"), F.col("join_rows")
+                    ),
+                    6,
+                ).alias("top_key_share"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("relations must be non-empty")
+    return out.orderBy("relation")

@@ -11966,6 +11966,71 @@ def x12_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JC_RELATIONS = [
+    ("customer_x_nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("lineitem_x_orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem_x_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders_x_customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+]
+
+
+def _jc_sql() -> str:
+    parts = []
+    for name, lt, lk, rt, rk in _JC_RELATIONS:
+        parts.append(f"""
+      SELECT '{name}' AS relation,
+             (SELECT count(*) FROM {lt})::BIGINT AS left_rows,
+             (SELECT count(*) FROM {rt})::BIGINT AS right_rows,
+             coalesce(count(*), 0)::BIGINT AS matched_keys,
+             coalesce(sum(na * nb), 0)::BIGINT AS join_rows,
+             coalesce(max(na * nb), 0)::BIGINT AS max_key_rows,
+             round(coalesce(sum(na * nb), 0)::DOUBLE
+                   / greatest((SELECT count(*) FROM {lt}),
+                              (SELECT count(*) FROM {rt})), 6)
+               AS expansion,
+             round(coalesce(max(na * nb), 0)::DOUBLE
+                   / nullif(coalesce(sum(na * nb), 0), 0), 6)
+               AS top_key_share
+      FROM (SELECT {lk} AS k, count(*)::BIGINT AS na
+            FROM {lt} GROUP BY 1) a
+      JOIN (SELECT {rk} AS k, count(*)::BIGINT AS nb
+            FROM {rt} GROUP BY 1) b USING (k)""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY relation"
+    )
+
+
+@query("x12_join_cardinality", _jc_sql())
+def x12_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — pre-join cardinality audit over four warehouse joins
+    (round 7): the EXACT output size Σₖ c_left(k)·c_right(k),
+    expansion factor, and hottest-key share — the measured answer to
+    "is this join 1:1, a benign fan-out, or an explosion one hot key
+    turns into a straggler" BEFORE submitting a 100 TB join (Catalyst
+    estimates this from sampled stats; this is ground truth at
+    id-width cost). Each side folds to a (key, count) frame — the
+    only exchanges are id-width — and nothing of the join output
+    materializes (operators/scale.py:join_cardinality). Full
+    oracle."""
+    from vectordb_migrator_spark.operators.scale import join_cardinality
+
+    tables = {
+        t: _t(spark, sf_dir, t)
+        for t in {"customer", "nation", "lineitem", "orders", "part"}
+    }
+    return join_cardinality(
+        [
+            (name, tables[lt], lk, tables[rt], rk)
+            for name, lt, lk, rt, rk in _JC_RELATIONS
+        ]
+    )
+
+
 _ZM_LAYOUTS = [
     ("by_custkey", "o_custkey"),
     ("by_orderdate", "o_orderdate"),
@@ -14281,6 +14346,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_phrase_search",  # codegen consecutive-token phrase match (new r7)
     "x12_zonemap_prune",  # data-skipping what-if simulator (new r7)
     "x7_cuped",  # CUPED variance-reduction report (new r7)
+    "x12_join_cardinality",  # exact pre-join sizing audit (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
