@@ -843,3 +843,62 @@ def test_gated_ingest_routes_clean_and_quarantine(spark, tmp_path):
     run()
     assert spark.read.parquet(str(tmp_path / "clean")).count() == n_c
     assert spark.read.parquet(str(tmp_path / "quar")).count() == n_q
+
+
+def test_psi_ingest_matches_batch_psi(spark, tmp_path):
+    """Streaming PSI store: two micro-batched ingests against frozen
+    reference edges reproduce the batch psi_drift score on the same
+    ref/cur split, and replay appends nothing."""
+    from vectordb_migrator_spark.operators.validation import psi_drift
+    from vectordb_migrator_spark.streaming.incremental import (
+        psi_bin_ingest,
+        psi_over,
+    )
+
+    schema = "val double"
+    ref_rows = [(float(i % 100),) for i in range(500)]
+    cur1 = [(float((i % 100) + 40),) for i in range(300)]
+    cur2 = [(float((i % 100) + 40),) for i in range(200)]
+
+    ref = spark.createDataFrame(ref_rows, schema)
+    probs = [0.1 * i for i in range(1, 10)]
+    edges = ref.agg(
+        F.expr(f"percentile(val, array({','.join(str(p) for p in probs)}))")
+    ).first()[0]
+    # frozen reference shares per bin (deciles of the ref itself)
+    bin_of = lambda v: next(  # noqa: E731
+        (i + 1 for i, e in enumerate(edges) if v <= e), len(edges) + 1
+    )
+    from collections import Counter
+
+    rc = Counter(bin_of(v) for (v,) in ref_rows)
+    ref_shares = [rc.get(b, 0) / len(ref_rows)
+                  for b in range(1, len(edges) + 2)]
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(cur1, schema).write.parquet(src)
+
+    def run():
+        q = psi_bin_ingest(
+            spark, source_path=src, source_schema=schema,
+            store_path=str(tmp_path / "store"),
+            checkpoint=str(tmp_path / "ck"),
+            value_col="val", edges=list(edges),
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(cur2, schema).write.mode("append").parquet(src)
+    run()
+
+    got = psi_over(spark, str(tmp_path / "store"), ref_shares).first()
+    want = psi_drift(
+        ref, spark.createDataFrame(cur1 + cur2, schema), "val"
+    ).first()
+    assert got["n_cur"] == 500
+    assert abs(got["psi"] - want["psi"]) < 1e-6
+    assert got["drifted"] == want["drifted"]
+
+    n_store = spark.read.parquet(str(tmp_path / "store")).count()
+    run()  # replay: no new data -> no new partials
+    assert spark.read.parquet(str(tmp_path / "store")).count() == n_store

@@ -1005,3 +1005,113 @@ def gated_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def psi_bin_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    store_path: str,
+    checkpoint: str,
+    value_col: str,
+    edges: list[float],
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    trigger_once: bool = True,
+):
+    """Continuous drift monitoring — the streaming twin of
+    ``operators/validation.py:psi_drift``: the REFERENCE window is
+    frozen offline (its percentile ``edges`` and bin shares computed
+    once); each micro-batch of the live stream then folds to
+    (bin, batch_id, n) partials against those fixed edges — mergeable
+    by addition like every sketch store here, so :func:`psi_over`
+    reads the CURRENT PSI without rescanning stream history.
+    Replay-idempotent via the (bin, batch_id) anti-join. NULL values
+    drop (they have no bin; track null rates separately)."""
+    from pyspark.sql.utils import AnalysisException
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        v = F.col(value_col).cast("double")
+        bin_expr = F.when(v <= edges[0], 1)
+        for i in range(1, len(edges)):
+            bin_expr = bin_expr.when(v <= edges[i], i + 1)
+        bin_expr = bin_expr.otherwise(len(edges) + 1)
+        partials = (
+            batch_df.filter(v.isNotNull())
+            .select(bin_expr.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        try:
+            seen = sess.read.parquet(store_path).select("bin", "batch_id")
+            partials = partials.join(seen, ["bin", "batch_id"], "left_anti")
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(store_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .options(**(reader_options or {}))
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def psi_over(
+    spark: SparkSession,
+    store_path: str,
+    ref_shares: list[float],
+    *,
+    eps: float = 1e-6,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Current PSI of a :func:`psi_bin_ingest` store against the
+    frozen reference: merge the per-batch bin partials (addition),
+    fill bins the stream never hit with share 0, and fold
+    Σ (p_cur − p_ref)·ln(p_cur/p_ref) with the same eps clamp the
+    batch operator uses. ``ref_shares[i]`` is the reference share of
+    bin i+1 (len = n_edges + 1). One tiny-frame read; returns one row
+    (n_cur, psi, drifted)."""
+    k = len(ref_shares)
+    bins = spark.range(1, k + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    ref = bins.withColumn(
+        "ref_share",
+        F.element_at(
+            F.array(*[F.lit(float(s)) for s in ref_shares]), F.col("bin")
+        ),
+    )
+    cur = (
+        spark.read.parquet(store_path)
+        .groupBy("bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    merged = ref.join(cur, "bin", "left").select(
+        "bin",
+        "ref_share",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy())
+    shares = merged.withColumn(
+        "cur_share", F.try_divide(F.col("n"), tot)
+    ).withColumn("cur_share", F.coalesce("cur_share", F.lit(0.0)))
+    pr = F.greatest(F.col("ref_share"), F.lit(eps))
+    pc = F.greatest(F.col("cur_share"), F.lit(eps))
+    return shares.agg(
+        F.sum("n").cast("long").alias("n_cur"),
+        F.round(F.sum((pc - pr) * F.log(pc / pr)), 6).alias("psi"),
+    ).withColumn("drifted", F.col("psi") > threshold)
