@@ -100,6 +100,7 @@ HEADLINE = [
     "x3_cosine_topk",
     "x3_knn_join",
     "x3_hard_negatives",
+    "x3_silhouette",
     "x3_training_triples",
     "x11_sql_api_topk",
     "x4_ivf_topk",

@@ -232,3 +232,41 @@ def test_semdedup_fitted_matches_numpy_replica(spark, embeddings):
         ).collect()
     }
     assert got == ref
+
+
+def test_silhouette_report_separated_vs_overlapping(spark):
+    """Well-separated clusters score near 1; a point sitting on
+    another cluster's centroid scores negative; single-cluster input
+    yields NULL silhouette (no other centroid)."""
+    from vectordb_migrator_spark.operators.clustering import (
+        silhouette_report,
+    )
+
+    tight = [
+        (1, "a", [0.0, 0.0]), (2, "a", [0.2, 0.0]),
+        (3, "b", [10.0, 0.0]), (4, "b", [10.2, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        tight, "vec_id long, cluster string, embedding array<double>"
+    )
+    rep = {r["cluster"]: r for r in silhouette_report(
+        df, cluster_col="cluster"
+    ).collect()}
+    assert rep["a"]["n"] == 2 and rep["a"]["silhouette"] > 0.95
+    assert rep["b"]["silhouette"] > 0.95
+
+    # plant a misassigned point directly on b's centroid region
+    bad = tight + [(5, "a", [10.1, 0.0])]
+    df2 = spark.createDataFrame(
+        bad, "vec_id long, cluster string, embedding array<double>"
+    )
+    rows = silhouette_report(df2, cluster_col="cluster").collect()
+    a_row = [r for r in rows if r["cluster"] == "a"][0]
+    assert a_row["silhouette"] < 0.7  # dragged down by the stray point
+
+    solo = spark.createDataFrame(
+        [(1, "x", [1.0, 1.0])],
+        "vec_id long, cluster string, embedding array<double>",
+    )
+    r = silhouette_report(solo, cluster_col="cluster").first()
+    assert r["silhouette"] is None and r["mean_nearest"] is None

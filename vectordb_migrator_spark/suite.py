@@ -8535,6 +8535,64 @@ def x5_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x3_silhouette",
+    """
+    WITH flat AS (
+      SELECT label, u.pos AS pos, u.val AS val
+      FROM (SELECT label,
+                   unnest([{'pos': i, 'val': embedding[i]::DOUBLE}
+                           for i in range(1, len(embedding) + 1)]) AS u
+            FROM embeddings)
+    ),
+    means AS (
+      SELECT label, pos, avg(val) AS v FROM flat GROUP BY label, pos
+    ),
+    d AS (
+      SELECT p.vec_id, p.label AS own, m.label AS cl,
+             sqrt(sum((p.embedding[m.pos]::DOUBLE - m.v)
+                      * (p.embedding[m.pos]::DOUBLE - m.v))) AS dist
+      FROM embeddings p, means m
+      GROUP BY 1, 2, 3
+    ),
+    ab AS (
+      SELECT vec_id, own,
+             min(CASE WHEN cl = own THEN dist END) AS a,
+             min(CASE WHEN cl <> own THEN dist END) AS b
+      FROM d GROUP BY 1, 2
+    )
+    SELECT own::BIGINT AS label, count(*)::BIGINT AS n,
+           round(avg(a), 6) AS mean_intra,
+           round(avg(b), 6) AS mean_nearest,
+           round(avg((b - a) / nullif(greatest(a, b), 0)), 6)
+             AS silhouette
+    FROM ab GROUP BY own ORDER BY own
+    """,
+)
+def x3_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — centroid-based silhouette of the label clustering (round
+    7): per class, mean distance to the own-class prototype vs the
+    nearest other prototype and the (b−a)/max(a,b) silhouette — the
+    clustering-quality readout that says whether the label structure
+    is actually separable in embedding space (feeding expectations
+    for ``x4_kmeans_ivf`` and the classifier family). The O(n²)
+    pairwise silhouette is replaced by k centroid distances — the
+    only formulation that survives corpus scale: centroids are one
+    (cluster,pos,val) shuffle, each point meets the k-row centroid
+    table via broadcast, and only (id, cluster, dist) rows exist
+    (operators/clustering.py:silhouette_report). Full oracle; 6dp
+    rounding absorbs reduction-order ulps as in
+    ``x3_label_centroids``."""
+    from vectordb_migrator_spark.operators.clustering import (
+        silhouette_report,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "label", F.col("label").cast("long")
+    )
+    return silhouette_report(e, cluster_col="label")
+
+
+@query(
     "x3_label_centroids",
     """
     WITH flat AS (
@@ -14347,6 +14405,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_zonemap_prune",  # data-skipping what-if simulator (new r7)
     "x7_cuped",  # CUPED variance-reduction report (new r7)
     "x12_join_cardinality",  # exact pre-join sizing audit (new r7)
+    "x3_silhouette",  # centroid silhouette clustering quality (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
