@@ -190,6 +190,7 @@ HEADLINE = [
     "x12_psi_drift",
     "x7_jackknife_ci",
     "x7_cuped",
+    "x7_mannwhitney",
     "x12_benford",
     "x12_zonemap_prune",
     "x12_join_cardinality",

@@ -439,3 +439,51 @@ def test_join_cardinality_fanout_and_explosion(spark):
 
     with pytest.raises(ValueError, match="relations"):
         join_cardinality([])
+
+
+def test_mann_whitney_matches_scipy_formula(spark):
+    """U and the tie-corrected z match a direct pairwise computation
+    (including ties); identical distributions sit near z=0; a clean
+    shift is significant; one-sided-only groups report NULL z."""
+    import math
+
+    from vectordb_migrator_spark.operators.scale import mann_whitney
+
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 9.0, 9.0]
+    b = [2.0, 4.0, 6.0, 6.0, 7.0, 9.0, 11.0]
+    rows = [("g", "a", v) for v in a] + [("g", "b", v) for v in b]
+    rows += [("solo", "a", v) for v in (1.0, 2.0)]
+    df = spark.createDataFrame(rows, "g string, side string, v double")
+
+    got = {
+        r["g"]: r
+        for r in mann_whitney(
+            df, "v", side_col="side", side_a="a", group_cols=["g"]
+        ).collect()
+    }
+    # direct pairwise U for side a
+    u = sum(
+        1.0 if x > y else 0.5 if x == y else 0.0 for x in a for y in b
+    )
+    na, nb = len(a), len(b)
+    nn = na + nb
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(a + b).values())
+    var = na * nb / 12 * ((nn + 1) - ties / (nn * (nn - 1)))
+    z = (u - na * nb / 2) / math.sqrt(var)
+    r = got["g"]
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert abs(r["u"] - u) < 1e-9
+    assert abs(r["z"] - z) < 1e-6
+    assert got["solo"]["z"] is None
+
+    shifted = spark.createDataFrame(
+        [("s", "a", float(i)) for i in range(50)]
+        + [("s", "b", float(i + 40)) for i in range(50)],
+        "g string, side string, v double",
+    )
+    rs = mann_whitney(
+        shifted, "v", side_col="side", side_a="a", group_cols=["g"]
+    ).first()
+    assert rs["significant"] and rs["z"] < -1.96

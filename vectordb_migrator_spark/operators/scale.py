@@ -652,3 +652,79 @@ def join_cardinality(
     if out is None:
         raise ValueError("relations must be non-empty")
     return out.orderBy("relation")
+
+
+def mann_whitney(
+    df: DataFrame,
+    value_col: str,
+    *,
+    side_col: str,
+    side_a,
+    group_cols: list[str] | None = None,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Mann–Whitney U test (two-sided, normal approximation with tie
+    correction) between the ``side_a`` rows and the rest — the
+    nonparametric "did the distribution shift" test that stays valid
+    when values are skewed or heavy-tailed (where the t-test behind
+    :func:`jackknife_ci`'s CI leans on means). Reports per group:
+    n_a, n_b, U (for side A), the tie-corrected z, and
+    ``significant`` at |z| > ``z_crit``.
+
+    Scale shape — no ranks, no global sort of rows: U only depends on
+    per-DISTINCT-VALUE counts per side, so the corpus folds to one
+    (group, value, count_a, count_b) aggregate first (map-side
+    combinable); the rank arithmetic
+    U = Σᵥ c_a(v)·(cumB(<v) + ½·c_b(v)) then runs as a window over
+    the distinct-value frame — thousands of rows, not the 100 TB of
+    events a textbook rank() would sort. Tie correction uses the
+    standard Σ(t³−t) term. NULL values drop; a group with one side
+    empty reports NULL z."""
+    gcols = list(group_cols or [])
+    is_a = F.col(side_col) == F.lit(side_a)
+    c = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(is_a.cast("long")).alias("ca"),
+            F.sum((~is_a).cast("long")).alias("cb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = c.withColumn(
+        "__cum_b", F.coalesce(F.sum("cb").over(w), F.lit(0))
+    )
+    t = (F.col("ca") + F.col("cb")).cast("double")
+    agg = c.groupBy(*gcols).agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca")
+            * (F.col("__cum_b") + F.lit(0.5) * F.col("cb"))
+        ).alias("__u"),
+        F.sum(t * t * t - t).alias("__ties"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    var = (
+        na
+        * nb
+        / 12.0
+        * ((n + 1) - F.col("__ties") / (n * (n - 1)))
+    )
+    z = F.try_divide(F.col("__u") - na * nb / 2.0, F.sqrt(var))
+    out = agg.select(
+        *gcols,
+        "n_a",
+        "n_b",
+        F.round("__u", 6).alias("u"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > z_crit).alias("significant"),
+    )
+    return out.orderBy(*gcols) if gcols else out

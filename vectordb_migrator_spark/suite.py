@@ -3956,6 +3956,76 @@ def x7_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x7_mannwhitney",
+    """
+    WITH m AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid
+               FROM events),
+    t AS (SELECT event_type, value,
+                 CASE WHEN epoch(ts) <= m.mid THEN 1 ELSE 0 END AS isa
+          FROM events, m WHERE value IS NOT NULL),
+    c AS (SELECT event_type, value AS v,
+                 sum(isa)::BIGINT AS ca,
+                 sum(1 - isa)::BIGINT AS cb
+          FROM t GROUP BY 1, 2),
+    w AS (SELECT event_type, ca, cb,
+                 coalesce(sum(cb) OVER (PARTITION BY event_type
+                          ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS cum_b
+          FROM c),
+    a AS (SELECT event_type,
+                 sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+                 sum(ca * (cum_b + 0.5 * cb)) AS u,
+                 sum((ca + cb)::DOUBLE * (ca + cb) * (ca + cb)
+                     - (ca + cb)) AS ties
+          FROM w GROUP BY 1),
+    zc AS (
+      SELECT event_type, n_a, n_b, u,
+             (u - n_a::DOUBLE * n_b / 2.0)
+             / nullif(sqrt(n_a::DOUBLE * n_b / 12.0
+                 * (((n_a + n_b)::DOUBLE + 1)
+                    - ties / ((n_a + n_b)::DOUBLE
+                              * ((n_a + n_b)::DOUBLE - 1)))), 0) AS z
+      FROM a
+    )
+    SELECT event_type, n_a, n_b, round(u::DOUBLE, 6) AS u,
+           round(z, 6) AS z,
+           abs(round(z, 6)) > 1.96 AS significant
+    FROM zc ORDER BY event_type
+    """,
+)
+def x7_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — Mann–Whitney U (tie-corrected normal approximation)
+    between the event log's first and second time halves, per event
+    type (round 7): the nonparametric "did the value distribution
+    shift" test that stays valid on skewed/heavy-tailed values, next
+    to ``x7_cuped``/``x7_jackknife_ci``'s mean-based statistics and
+    ``x12_psi_drift``'s binned shape score. No ranks, no global row
+    sort: U depends only on per-DISTINCT-VALUE side counts, so the
+    corpus folds to a (type, value, ca, cb) aggregate and the rank
+    arithmetic windows over that small frame. Every term is an exact
+    double (counts, halves, integer cubes < 2⁵³) so the statistic is
+    engine-exact (operators/scale.py:mann_whitney). Full oracle."""
+    from vectordb_migrator_spark.operators.scale import mann_whitney
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            (F.min(F.col("ts").cast("double"))
+             + F.max(F.col("ts").cast("double"))) / 2
+        ).alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).withColumn(
+        "side",
+        F.when(F.col("ts").cast("double") <= F.col("mid"), "a")
+        .otherwise("b"),
+    )
+    return mann_whitney(
+        tagged, "value", side_col="side", side_a="a",
+        group_cols=["event_type"],
+    )
+
+
+@query(
     "x7_cuped",
     """
     WITH m AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid
@@ -14406,6 +14476,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_cuped",  # CUPED variance-reduction report (new r7)
     "x12_join_cardinality",  # exact pre-join sizing audit (new r7)
     "x3_silhouette",  # centroid silhouette clustering quality (new r7)
+    "x7_mannwhitney",  # tie-corrected rank-sum shift test (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
