@@ -191,6 +191,7 @@ HEADLINE = [
     "x7_jackknife_ci",
     "x7_cuped",
     "x7_mannwhitney",
+    "x7_ks_test",
     "x12_benford",
     "x12_zonemap_prune",
     "x12_join_cardinality",

@@ -487,3 +487,38 @@ def test_mann_whitney_matches_scipy_formula(spark):
         shifted, "v", side_col="side", side_a="a", group_cols=["g"]
     ).first()
     assert rs["significant"] and rs["z"] < -1.96
+
+
+def test_ks_test_matches_scipy_formula(spark):
+    """D matches a direct two-ECDF computation (with ties), identical
+    samples give D=0, a clean shift rejects, and a one-sided group
+    reports NULL D."""
+    from vectordb_migrator_spark.operators.scale import ks_test
+
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 9.0]
+    b = [2.0, 4.0, 6.0, 6.0, 7.0, 9.0, 11.0, 12.0]
+    rows = [("g", "a", v) for v in a] + [("g", "b", v) for v in b]
+    rows += [("same", s, float(v)) for s in ("a", "b") for v in range(10)]
+    rows += [("solo", "a", 1.0)]
+    df = spark.createDataFrame(rows, "g string, side string, v double")
+
+    got = {
+        r["g"]: r
+        for r in ks_test(
+            df, "v", side_col="side", side_a="a", group_cols=["g"]
+        ).collect()
+    }
+    pts = sorted(set(a + b))
+    ecdf = lambda xs, t: sum(1 for x in xs if x <= t) / len(xs)  # noqa: E731
+    d_true = max(abs(ecdf(a, t) - ecdf(b, t)) for t in pts)
+    assert abs(got["g"]["d"] - d_true) < 1e-6
+    assert got["same"]["d"] == 0.0 and not got["same"]["significant"]
+    assert got["solo"]["d"] is None
+
+    big = spark.createDataFrame(
+        [("s", "a", float(i)) for i in range(200)]
+        + [("s", "b", float(i + 150)) for i in range(200)],
+        "g string, side string, v double",
+    )
+    rs = ks_test(big, "v", side_col="side", side_a="a", group_cols=["g"]).first()
+    assert rs["significant"] and rs["d"] == 0.75

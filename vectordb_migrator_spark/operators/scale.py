@@ -728,3 +728,75 @@ def mann_whitney(
         (F.abs(F.round(z, 6)) > z_crit).alias("significant"),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    *,
+    side_col: str,
+    side_a,
+    group_cols: list[str] | None = None,
+    alpha_c: float = 1.358,  # c(α) for α = 0.05
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: D = max |ECDF_a − ECDF_b|
+    per group, with the asymptotic α=0.05 rejection threshold
+    c(α)·√((n_a+n_b)/(n_a·n_b)) — the distribution-shift test that is
+    sensitive everywhere on the CDF (Mann–Whitney concentrates on
+    location; PSI needs bins). Same scalable shape as
+    :func:`mann_whitney`: ECDFs only change at distinct values, so
+    the corpus folds to one (group, value, count_a, count_b)
+    aggregate and D is a running-max window over that small frame —
+    no global row sort, no rank over raw events. D is exact rational
+    arithmetic on counts (engine-exact). NULL values drop; a group
+    with an empty side reports NULL D."""
+    gcols = list(group_cols or [])
+    is_a = F.col(side_col) == F.lit(side_a)
+    c = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(is_a.cast("long")).alias("ca"),
+            F.sum((~is_a).cast("long")).alias("cb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*gcols)
+    c = (
+        c.withColumn("__cum_a", F.sum("ca").over(w))
+        .withColumn("__cum_b", F.sum("cb").over(w))
+        .withColumn("__na", F.sum("ca").over(wtot))
+        .withColumn("__nb", F.sum("cb").over(wtot))
+    )
+    agg = c.groupBy(*gcols).agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.max(
+            F.abs(
+                F.try_divide(
+                    F.col("__cum_a").cast("double"), F.col("__na")
+                )
+                - F.try_divide(
+                    F.col("__cum_b").cast("double"), F.col("__nb")
+                )
+            )
+        ).alias("__d"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    crit = F.lit(alpha_c) * F.sqrt(F.try_divide(na + nb, na * nb))
+    d = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("__d"))
+    out = agg.select(
+        *gcols,
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("d"),
+        F.round(crit, 6).alias("d_crit"),
+        (F.round(d, 6) > F.round(crit, 6)).alias("significant"),
+    )
+    return out.orderBy(*gcols) if gcols else out

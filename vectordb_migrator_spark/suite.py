@@ -3956,6 +3956,70 @@ def x7_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x7_ks_test",
+    """
+    WITH m AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid
+               FROM events),
+    t AS (SELECT event_type, value,
+                 CASE WHEN epoch(ts) <= m.mid THEN 1 ELSE 0 END AS isa
+          FROM events, m WHERE value IS NOT NULL),
+    c AS (SELECT event_type, value AS v,
+                 sum(isa)::BIGINT AS ca,
+                 sum(1 - isa)::BIGINT AS cb
+          FROM t GROUP BY 1, 2),
+    w AS (SELECT event_type, v, ca, cb,
+                 sum(ca) OVER (PARTITION BY event_type ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum_a,
+                 sum(cb) OVER (PARTITION BY event_type ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum_b,
+                 sum(ca) OVER (PARTITION BY event_type) AS na,
+                 sum(cb) OVER (PARTITION BY event_type) AS nb
+          FROM c),
+    a AS (SELECT event_type,
+                 max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+                 max(abs(cum_a::DOUBLE / na - cum_b::DOUBLE / nb))
+                   AS d
+          FROM w GROUP BY 1)
+    SELECT event_type, n_a, n_b, round(d, 6) AS d,
+           round(1.358 * sqrt((n_a::DOUBLE + n_b)
+                              / (n_a::DOUBLE * n_b)), 6) AS d_crit,
+           round(d, 6) > round(1.358 * sqrt((n_a::DOUBLE + n_b)
+                               / (n_a::DOUBLE * n_b)), 6) AS significant
+    FROM a ORDER BY event_type
+    """,
+)
+def x7_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — two-sample Kolmogorov–Smirnov D between the event log's
+    time halves, per event type (round 7): max ECDF gap with the
+    asymptotic α=0.05 threshold — sensitive anywhere on the CDF,
+    completing the shift-test trio (``x7_mannwhitney`` location,
+    ``x12_psi_drift`` binned shape, KS everywhere). ECDFs change only
+    at distinct values, so the corpus folds to one
+    (type, value, ca, cb) aggregate and D is a running-max window on
+    that small frame — no rank over raw events; D is exact rational
+    count arithmetic (engine-exact)
+    (operators/scale.py:ks_test). Full oracle."""
+    from vectordb_migrator_spark.operators.scale import ks_test
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            (F.min(F.col("ts").cast("double"))
+             + F.max(F.col("ts").cast("double"))) / 2
+        ).alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).withColumn(
+        "side",
+        F.when(F.col("ts").cast("double") <= F.col("mid"), "a")
+        .otherwise("b"),
+    )
+    return ks_test(
+        tagged, "value", side_col="side", side_a="a",
+        group_cols=["event_type"],
+    )
+
+
+@query(
     "x7_mannwhitney",
     """
     WITH m AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid
@@ -14477,6 +14541,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_join_cardinality",  # exact pre-join sizing audit (new r7)
     "x3_silhouette",  # centroid silhouette clustering quality (new r7)
     "x7_mannwhitney",  # tie-corrected rank-sum shift test (new r7)
+    "x7_ks_test",  # max-ECDF-gap shift test (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
