@@ -195,6 +195,7 @@ HEADLINE = [
     "x12_benford",
     "x12_zonemap_prune",
     "x12_join_cardinality",
+    "x12_corr_matrix",
     "x12_source_profile_drift",
     "x12_freshness",
     "x12_volume_anomaly",

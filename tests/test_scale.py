@@ -522,3 +522,38 @@ def test_ks_test_matches_scipy_formula(spark):
     )
     rs = ks_test(big, "v", side_col="side", side_a="a", group_cols=["g"]).first()
     assert rs["significant"] and rs["d"] == 0.75
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """All C(k,2) correlations from one scan match NumPy (population
+    moments on 6dp-rounded values), NULLs delete pairwise, and a
+    constant column reports NULL corr."""
+    import numpy as np
+    import pytest
+
+    from vectordb_migrator_spark.operators.scale import corr_matrix
+
+    rng = np.random.default_rng(7)
+    x = np.round(rng.normal(0, 1, 300), 6)
+    y = np.round(0.6 * x + rng.normal(0, 0.5, 300), 6)
+    z = np.round(rng.normal(5, 2, 300), 6)
+    rows = [
+        (float(a), float(b), float(c), 1.0)
+        for a, b, c in zip(x, y, z)
+    ]
+    rows.append((None, 1.0, 1.0, 1.0))  # pairwise-deleted for x pairs
+    df = spark.createDataFrame(rows, "x double, y double, z double, k double")
+
+    got = {
+        (r["col_a"], r["col_b"]): r
+        for r in corr_matrix(df, ["x", "y", "z", "k"]).collect()
+    }
+    assert len(got) == 6
+    assert got[("x", "y")]["n"] == 300
+    assert abs(got[("x", "y")]["corr"] - np.corrcoef(x, y)[0, 1]) < 1e-5
+    assert abs(got[("x", "z")]["corr"] - np.corrcoef(x, z)[0, 1]) < 1e-5
+    assert got[("y", "z")]["n"] == 301
+    assert got[("x", "k")]["corr"] is None  # constant column
+
+    with pytest.raises(ValueError, match="two columns"):
+        corr_matrix(df, ["x"])

@@ -800,3 +800,75 @@ def ks_test(
         (F.round(d, 6) > F.round(crit, 6)).alias("significant"),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Pearson correlation for every pair of the given numeric columns
+    in ONE scan: a single aggregate computes n plus per-column sums,
+    squares, and all C(k,2) cross-product sums, and the pairwise
+    correlations unpivot from that one report row — the profiling
+    query behind feature-redundancy screens and "which measures move
+    together" dashboards, at the cost of one pass however many
+    columns (the naive ``df.stat.corr`` per pair rescans k²/2 times).
+
+    Inputs are rounded to 6dp and summed as exact decimals, so every
+    correlation is bit-reproducible across engines and partition
+    orders (raw double Σxy drifts with reduction order at scale).
+    Rows where either column of a pair is NULL are excluded from that
+    pair (pairwise deletion), handled per-pair in the same single
+    scan. Degenerate pairs (zero variance) report NULL."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+
+    def d6(c: str):
+        return F.round(F.col(c).cast("double"), 6).cast("decimal(18,6)")
+
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        xa, xb = F.when(both, d6(a)), F.when(both, d6(b))
+        p = f"{a}__{b}"
+        aggs += [
+            F.sum(both.cast("long")).alias(f"n_{p}"),
+            F.sum(xa).alias(f"sx_{p}"),
+            F.sum(xb).alias(f"sy_{p}"),
+            F.sum(xa * xa).alias(f"sxx_{p}"),
+            F.sum(xb * xb).alias(f"syy_{p}"),
+            F.sum(xa * xb).alias(f"sxy_{p}"),
+        ]
+    rep = df.agg(*aggs)
+
+    def corr_col(a: str, b: str):
+        p = f"{a}__{b}"
+        n = F.col(f"n_{p}").cast("double")
+        sx = F.col(f"sx_{p}").cast("double")
+        sy = F.col(f"sy_{p}").cast("double")
+        sxx = F.col(f"sxx_{p}").cast("double")
+        syy = F.col(f"syy_{p}").cast("double")
+        sxy = F.col(f"sxy_{p}").cast("double")
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) * (sx / n)
+        vy = syy / n - (sy / n) * (sy / n)
+        return F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"n_{p}").alias("n"),
+            F.round(
+                F.try_divide(cov, F.sqrt(vx * vy)), 6
+            ).alias("corr"),
+        )
+
+    rows = F.array(*[corr_col(a, b) for a, b in pairs])
+    return (
+        rep.select(F.explode(rows).alias("r"))
+        .select("r.col_a", "r.col_b", "r.n", "r.corr")
+        .orderBy("col_a", "col_b")
+    )

@@ -12158,6 +12158,61 @@ def x12_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def _corr_sql() -> str:
+    parts = []
+    for i in range(len(_CORR_COLS)):
+        for j in range(i + 1, len(_CORR_COLS)):
+            a, b = _CORR_COLS[i], _CORR_COLS[j]
+            parts.append(f"""
+      SELECT '{a}' AS col_a, '{b}' AS col_b,
+             count(*)::BIGINT AS n,
+             sum(round({a}, 6)::DECIMAL(18,6)) AS sx,
+             sum(round({b}, 6)::DECIMAL(18,6)) AS sy,
+             sum(round({a}, 6)::DECIMAL(19,6)
+                 * round({a}, 6)::DECIMAL(19,6)) AS sxx,
+             sum(round({b}, 6)::DECIMAL(19,6)
+                 * round({b}, 6)::DECIMAL(19,6)) AS syy,
+             sum(round({a}, 6)::DECIMAL(19,6)
+                 * round({b}, 6)::DECIMAL(19,6)) AS sxy
+      FROM lineitem
+      WHERE {a} IS NOT NULL AND {b} IS NOT NULL""")
+    return (
+        """
+    WITH p AS ("""
+        + " UNION ALL ".join(parts)
+        + """
+    )
+    SELECT col_a, col_b, n,
+           round((sxy::DOUBLE / n - (sx::DOUBLE / n) * (sy::DOUBLE / n))
+                 / nullif(sqrt((sxx::DOUBLE / n
+                                - (sx::DOUBLE / n) * (sx::DOUBLE / n))
+                               * (syy::DOUBLE / n
+                                  - (sy::DOUBLE / n) * (sy::DOUBLE / n))),
+                          0), 6) AS corr
+    FROM p ORDER BY col_a, col_b
+    """
+    )
+
+
+@query("x12_corr_matrix", _corr_sql())
+def x12_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — Pearson correlation matrix of lineitem's four measures in
+    ONE scan (round 7): a single aggregate computes every pair's exact
+    decimal moment sums (inputs 6dp-rounded, so the statistics are
+    bit-reproducible across engines and partition orders), and the
+    C(4,2) correlations unpivot from that one report row — the
+    feature-redundancy / "which measures move together" profiling
+    query, at one pass instead of ``df.stat.corr``'s rescan per pair.
+    Pairwise NULL deletion handled in the same scan
+    (operators/scale.py:corr_matrix). Full oracle."""
+    from vectordb_migrator_spark.operators.scale import corr_matrix
+
+    return corr_matrix(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
 _JC_RELATIONS = [
     ("customer_x_nation", "customer", "c_nationkey",
      "nation", "n_nationkey"),
@@ -14542,6 +14597,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x3_silhouette",  # centroid silhouette clustering quality (new r7)
     "x7_mannwhitney",  # tie-corrected rank-sum shift test (new r7)
     "x7_ks_test",  # max-ECDF-gap shift test (new r7)
+    "x12_corr_matrix",  # one-scan Pearson pair matrix (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
