@@ -67,6 +67,7 @@ HEADLINE = [
     "x0_curriculum_order",
     "x0_doc_packing",
     "x0_length_buckets",
+    "x0_pareto_parts",
     "x10_token_budget_cap",
     "x1_dedup_exact_text",
     "x1_dedup_canonical",
@@ -220,6 +221,7 @@ HEADLINE = [
     "x13_seasonal_anomalies",
     "x13_stl_decompose",
     "x13_changepoints",
+    "x13_markov_transitions",
     "x13_forecast_backtest",
     "x13_theil_sen",
     "x13_user_features",

@@ -497,3 +497,58 @@ def test_benford_audit_digits_and_summary(spark):
     assert abs(s["chi2"] - chi2) < 1e-5
     assert abs(s["mad"] - mad) < 1e-6
     assert not s["conforms"]  # uniform digits are far from Benford
+
+
+def test_transition_matrix_known_sequences(spark):
+    """Lag-1 transitions count correctly per unit, probabilities
+    row-normalize, last events drop, and the tiebreak makes
+    same-timestamp sequences reproducible."""
+    from vectordb_migrator_spark.operators.relational import (
+        transition_matrix,
+    )
+
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        (2, 1, "view"), (2, 2, "view"), (2, 3, "click"),
+        (3, 5, "view"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, "uid long, t long, state string")
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(
+            df, unit_col="uid", state_col="state", order_col="t"
+        ).collect()
+    }
+    assert got[("view", "click")] == (2, 0.666667)
+    assert got[("view", "view")] == (1, 0.333333)
+    assert got[("click", "purchase")] == (1, 1.0)
+    assert len(got) == 3  # u2's trailing click and u3's solo view drop
+
+    # ties on t: tiebreak by id fixes the order
+    tied = spark.createDataFrame(
+        [(1, 1, 10, "a"), (1, 1, 20, "b"), (1, 1, 30, "c")],
+        "uid long, t long, eid long, state string",
+    )
+    seq = transition_matrix(
+        tied, unit_col="uid", state_col="state", order_col="t",
+        tiebreak_col="eid",
+    ).collect()
+    assert {(r["from_state"], r["to_state"]) for r in seq} == {
+        ("a", "b"), ("b", "c")
+    }
+
+
+def test_pareto_classes_cumulative_bounds(spark):
+    """Keys are classed by cumulative share including themselves,
+    with value ties broken by key; shares sum to 1 at the tail."""
+    from vectordb_migrator_spark.operators.relational import pareto_classes
+
+    rows = [("k1", 60.0), ("k2", 25.0), ("k3", 10.0), ("k4", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r for r in pareto_classes(
+        df, key_col="k", value_col="v"
+    ).collect()}
+    assert got["k1"]["class"] == "A" and got["k1"]["cum_share"] == 0.6
+    assert got["k2"]["class"] == "B" and got["k2"]["cum_share"] == 0.85
+    assert got["k3"]["class"] == "B" and got["k3"]["cum_share"] == 0.95  # boundary-inclusive
+    assert got["k4"]["class"] == "C" and got["k4"]["cum_share"] == 1.0

@@ -437,3 +437,104 @@ def range_join_bucketed(
         )
         .drop("__cell")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    *,
+    unit_col: str,
+    state_col: str,
+    order_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-unit state
+    sequences: order each unit's events, pair every state with its
+    successor (lag-1), and report per (from_state, to_state) the count
+    and row-normalized probability — the user-journey /
+    status-lifecycle model behind "what do users do after a click"
+    and anomaly screens on process flows (a transition that never
+    used to happen is a bug or fraud signal).
+
+    One window pass partitioned by unit (the partition IS the unit's
+    sequence, so the sort is per-unit, never global), folding to an
+    s×s count frame however large the event log. Ties in
+    ``order_col`` are broken by ``tiebreak_col`` (pass a unique id
+    for reproducible sequences — timestamp ties are real at event
+    scale). A unit's last event has no successor and drops out."""
+    from pyspark.sql import Window
+
+    order = [F.col(order_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(unit_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(unit_col),
+            F.col(state_col).alias("from_state"),
+            *([F.col(order_col)] + (
+                [F.col(tiebreak_col)] if tiebreak_col else []
+            )),
+        )
+        .withColumn("to_state", F.lead("from_state").over(w))
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("from_state")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(tot), 6)
+        )
+        .orderBy("from_state", "to_state")
+    )
+
+
+def pareto_classes(
+    df: DataFrame,
+    *,
+    key_col: str,
+    value_col: str,
+    bounds: tuple[float, float] = (0.8, 0.95),
+    labels: tuple[str, str, str] = ("A", "B", "C"),
+) -> DataFrame:
+    """ABC / Pareto classification: rank keys by total value, take the
+    running share of the grand total, and label the keys covering the
+    first ``bounds[0]`` of value A, up to ``bounds[1]`` B, the tail C
+    — the 80/20 analysis behind inventory tiers, hot-content caching
+    decisions, and "which 5% of sources are 80% of tokens". A key is
+    classed by the cumulative share INCLUDING itself; ties in value
+    break by key for reproducibility.
+
+    One grouped aggregate (corpus → one row per key, exact decimal
+    sums), then windows over the per-key frame — the only global sort
+    is over keys, not rows. Returns (key, total, cum_share, class)."""
+    per = df.groupBy(F.col(key_col)).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("__s")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("__s"), key_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    classed = (
+        per.withColumn("__cum", F.sum("__s").over(w))
+        .withColumn("__tot", F.sum("__s").over(tot))
+        .select(
+            key_col,
+            F.col("__s").cast("double").alias("total"),
+            F.round(
+                F.col("__cum").cast("double")
+                / F.col("__tot").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .withColumn(
+            "class",
+            F.when(F.col("cum_share") <= bounds[0], labels[0])
+            .when(F.col("cum_share") <= bounds[1], labels[1])
+            .otherwise(labels[2]),
+        )
+    )
+    return classed.orderBy(F.desc("total"), key_col)

@@ -11568,6 +11568,114 @@ def x13_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_markov_transitions",
+    """
+    WITH p AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT from_state, to_state, count(*)::BIGINT AS n,
+           round(count(*)::DOUBLE
+                 / sum(count(*)) OVER (PARTITION BY from_state), 6) AS p
+    FROM p WHERE to_state IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def x13_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — first-order Markov transition matrix of user event types
+    (round 7): each user's events ordered by (ts, event_id), every
+    state paired with its successor, counts row-normalized to
+    transition probabilities — the user-journey model behind "what
+    happens after a click" and process-flow anomaly screens (a
+    transition that never used to happen is a bug or fraud signal).
+    One window pass partitioned BY USER (per-unit sort, never global)
+    folding to an s×s frame however large the log; the unique
+    event_id tiebreak makes same-timestamp sequences reproducible
+    (operators/relational.py:transition_matrix). Full oracle."""
+    from vectordb_migrator_spark.operators.relational import (
+        transition_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    return transition_matrix(
+        ev,
+        unit_col="user_id",
+        state_col="event_type",
+        order_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
+@query(
+    "x0_pareto_parts",
+    """
+    WITH per AS (
+      SELECT l_partkey AS k,
+             sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,6))
+               AS s
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT k, s,
+             sum(s) OVER (ORDER BY s DESC, k
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(s) OVER () AS tot
+      FROM per
+    ),
+    cls AS (
+      SELECT k, s, tot,
+             CASE WHEN round(cum::DOUBLE / tot::DOUBLE, 6) <= 0.8
+                    THEN 'A'
+                  WHEN round(cum::DOUBLE / tot::DOUBLE, 6) <= 0.95
+                    THEN 'B'
+                  ELSE 'C' END AS class
+      FROM c
+    )
+    SELECT class, count(*)::BIGINT AS n_keys,
+           round(sum(s::DOUBLE), 2) AS total_value,
+           round(sum(s::DOUBLE) / max(tot::DOUBLE), 6) AS value_share
+    FROM cls GROUP BY class ORDER BY class
+    """,
+)
+def x0_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — ABC/Pareto classification of parts by revenue (round 7):
+    rank parts by discounted revenue, class the heads covering 80% of
+    value A, to 95% B, the tail C, and report each class's key count
+    and value share — the 80/20 analysis behind inventory tiers,
+    hot-content caching, and "which 5% of sources are 80% of tokens"
+    in a training mix. One exact-decimal grouped aggregate reduces
+    the corpus to a per-key frame; the only global sort is over KEYS
+    (operators/relational.py:pareto_classes). Full oracle."""
+    from vectordb_migrator_spark.operators.relational import (
+        pareto_classes,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rev", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    per_key = pareto_classes(li, key_col="l_partkey", value_col="rev")
+    from pyspark.sql import Window
+
+    tot = F.sum("total").over(Window.partitionBy())
+    return (
+        per_key.withColumn("__tot", tot)
+        .groupBy("class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.round(F.sum("total"), 2).alias("total_value"),
+            F.round(F.sum("total") / F.max("__tot"), 6).alias(
+                "value_share"
+            ),
+        )
+        .orderBy("class")
+    )
+
+
+@query(
     "x13_forecast_backtest",
     """
     WITH daily AS (
@@ -14598,6 +14706,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_mannwhitney",  # tie-corrected rank-sum shift test (new r7)
     "x7_ks_test",  # max-ECDF-gap shift test (new r7)
     "x12_corr_matrix",  # one-scan Pearson pair matrix (new r7)
+    "x13_markov_transitions",  # user-journey state matrix (new r7)
+    "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
     "c1_pgvector_roundtrip",
