@@ -222,6 +222,7 @@ HEADLINE = [
     "x13_stl_decompose",
     "x13_changepoints",
     "x13_markov_transitions",
+    "x13_attribution",
     "x13_forecast_backtest",
     "x13_theil_sen",
     "x13_user_features",

@@ -552,3 +552,45 @@ def test_pareto_classes_cumulative_bounds(spark):
     assert got["k2"]["class"] == "B" and got["k2"]["cum_share"] == 0.85
     assert got["k3"]["class"] == "B" and got["k3"]["cum_share"] == 0.95  # boundary-inclusive
     assert got["k4"]["class"] == "C" and got["k4"]["cum_share"] == 1.0
+
+
+def test_attribution_credits_three_models(spark):
+    """Known journeys: last/first/linear credits land on the right
+    touch types, linear splits 1/k, out-of-window and post-conversion
+    touches get nothing, and every model's total equals the number of
+    attributed conversions."""
+    from vectordb_migrator_spark.operators.relational import (
+        attribution_credits,
+    )
+
+    # user 1: view(t=10) -> click(t=20) -> PURCHASE(t=30)
+    # user 2: click(t=5) [out of window] -> view(t=95) -> PURCHASE(t=100)
+    # user 3: PURCHASE(t=50) with no touches; view(t=60) is after it
+    events = [
+        (1, 10, "view", 101), (1, 20, "click", 102), (1, 30, "purchase", 103),
+        (2, 5, "click", 201), (2, 95, "view", 202), (2, 100, "purchase", 203),
+        (3, 50, "purchase", 301), (3, 60, "view", 302),
+    ]
+    df = spark.createDataFrame(events, "uid long, ts long, et string, eid long")
+    conv = df.filter(F.col("et") == "purchase")
+    touch = df.filter(F.col("et") != "purchase")
+    got = {
+        (r["model"], r["touch_type"]): r["credited"]
+        for r in attribution_credits(
+            conv, touch,
+            unit_col="uid", conv_ts_col="ts", conv_id_col="eid",
+            touch_ts_col="ts", touch_type_col="et", touch_id_col="eid",
+            lookback_s=50,
+        ).collect()
+    }
+    # user1 window [>-20..30]: view+click; user2 window (50..100]: view only
+    assert got[("last_touch", "click")] == 1.0  # user1's last touch
+    assert got[("last_touch", "view")] == 1.0  # user2
+    assert got[("first_touch", "view")] == 2.0  # both users start on view
+    assert ("first_touch", "click") not in got or got[
+        ("first_touch", "click")
+    ] == 0.0
+    assert got[("linear", "view")] == 1.5 and got[("linear", "click")] == 0.5
+    for m in ("last_touch", "first_touch", "linear"):
+        tot = sum(v for (mm, _), v in got.items() if mm == m)
+        assert abs(tot - 2.0) < 1e-9  # user3 unattributed

@@ -538,3 +538,92 @@ def pareto_classes(
         )
     )
     return classed.orderBy(F.desc("total"), key_col)
+
+
+def attribution_credits(
+    conversions: DataFrame,
+    touches: DataFrame,
+    *,
+    unit_col: str,
+    conv_ts_col: str,
+    conv_id_col: str,
+    touch_ts_col: str,
+    touch_type_col: str,
+    touch_id_col: str,
+    lookback_s: int,
+) -> DataFrame:
+    """Multi-touch attribution: for every conversion, the unit's touch
+    events inside the lookback window get credit under three standard
+    models at once — last-touch (1.0 to the latest touch),
+    first-touch (earliest), and linear (1/k each) — reported as
+    credited conversions per (model, touch_type). The marketing/
+    product-analytics question "which interaction actually drives
+    purchases", answered three ways so the disagreement between
+    models is itself visible (last-touch over-credits the bottom of
+    the funnel; the spread is the funnel's shape).
+
+    Scale shape: conversions and touches are two filtered projections
+    of the same log; they meet in ONE equi-join on the unit key (the
+    join AQE handles like any fact-fact join — salt the unit key if
+    one user is pathological) with the time window as a post-join
+    filter; ranks are per-conversion windows (tiny partitions); the
+    three models share the ranked frame, so the join is paid once.
+    Conversions with no in-window touch are excluded (count them
+    upstream against the conversion total)."""
+    from pyspark.sql import Window
+
+    pairs = (
+        conversions.select(
+            F.col(unit_col).alias("__u"),
+            F.col(conv_ts_col).alias("__cts"),
+            F.col(conv_id_col).alias("__cid"),
+        )
+        .join(
+            touches.select(
+                F.col(unit_col).alias("__u"),
+                F.col(touch_ts_col).alias("__tts"),
+                F.col(touch_type_col).alias("touch_type"),
+                F.col(touch_id_col).alias("__tid"),
+            ),
+            "__u",
+        )
+        .filter(
+            (F.col("__tts") <= F.col("__cts"))
+            & (
+                F.col("__tts").cast("double")
+                > F.col("__cts").cast("double") - lookback_s
+            )
+        )
+    )
+    w_last = Window.partitionBy("__cid").orderBy(
+        F.desc("__tts"), F.desc("__tid")
+    )
+    w_first = Window.partitionBy("__cid").orderBy("__tts", "__tid")
+    w_all = Window.partitionBy("__cid")
+    ranked = (
+        pairs.withColumn("__rl", F.row_number().over(w_last))
+        .withColumn("__rf", F.row_number().over(w_first))
+        .withColumn("__k", F.count(F.lit(1)).over(w_all))
+    )
+    models = [
+        ("first_touch", F.when(F.col("__rf") == 1, 1.0).otherwise(0.0)),
+        ("last_touch", F.when(F.col("__rl") == 1, 1.0).otherwise(0.0)),
+        ("linear", F.lit(1.0) / F.col("__k")),
+    ]
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("model"), c.alias("credit")
+                )
+                for m, c in models
+            ]
+        )
+    ).alias("r")
+    return (
+        ranked.select("touch_type", rows)
+        .select("touch_type", "r.model", "r.credit")
+        .groupBy("model", "touch_type")
+        .agg(F.round(F.sum("credit"), 6).alias("credited"))
+        .orderBy("model", "touch_type")
+    )

@@ -11568,6 +11568,80 @@ def x13_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_attribution",
+    """
+    WITH conv AS (
+      SELECT user_id, ts AS cts, event_id AS cid FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    t AS (
+      SELECT user_id, ts AS tts, event_type AS touch_type,
+             event_id AS tid
+      FROM events
+      WHERE event_type IN ('view', 'click', 'signup')
+        AND user_id IS NOT NULL
+    ),
+    pairs AS (
+      SELECT c.cid, t.touch_type, t.tts, t.tid
+      FROM conv c JOIN t USING (user_id)
+      WHERE t.tts <= c.cts
+        AND epoch(t.tts) > epoch(c.cts) - 604800
+    ),
+    r AS (
+      SELECT cid, touch_type,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY tts DESC, tid DESC) AS rl,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY tts, tid) AS rf,
+             count(*) OVER (PARTITION BY cid) AS k
+      FROM pairs
+    ),
+    m AS (
+      SELECT touch_type, 'first_touch' AS model,
+             (CASE WHEN rf = 1 THEN 1.0 ELSE 0.0 END)::DOUBLE AS credit
+      FROM r
+      UNION ALL
+      SELECT touch_type, 'last_touch',
+             (CASE WHEN rl = 1 THEN 1.0 ELSE 0.0 END)::DOUBLE
+      FROM r
+      UNION ALL
+      SELECT touch_type, 'linear', 1.0::DOUBLE / k FROM r
+    )
+    SELECT model, touch_type, round(sum(credit), 6) AS credited
+    FROM m GROUP BY 1, 2 ORDER BY model, touch_type
+    """,
+)
+def x13_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — multi-touch conversion attribution (round 7): every
+    purchase credits the user's view/click/signup touches of the
+    preceding 7 days under last-touch, first-touch, and linear models
+    simultaneously — the product-analytics question "which
+    interaction drives purchases", answered three ways so the models'
+    disagreement (the funnel's shape) is itself visible. ONE unit-key
+    equi-join pays for all three models; ranks are per-conversion
+    windows (operators/relational.py:attribution_credits). Full
+    oracle."""
+    from vectordb_migrator_spark.operators.relational import (
+        attribution_credits,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    return attribution_credits(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type").isin("view", "click", "signup")),
+        unit_col="user_id",
+        conv_ts_col="ts",
+        conv_id_col="event_id",
+        touch_ts_col="ts",
+        touch_type_col="event_type",
+        touch_id_col="event_id",
+        lookback_s=604800,
+    )
+
+
+@query(
     "x13_markov_transitions",
     """
     WITH p AS (
@@ -14707,6 +14781,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_ks_test",  # max-ECDF-gap shift test (new r7)
     "x12_corr_matrix",  # one-scan Pearson pair matrix (new r7)
     "x13_markov_transitions",  # user-journey state matrix (new r7)
+    "x13_attribution",  # three-model conversion attribution (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
