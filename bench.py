@@ -74,6 +74,7 @@ HEADLINE = [
     "x1_dup_rate_by_source",
     "x1_dup_rate_by_lang",
     "x2_ngram_jaccard_pairs",
+    "x2_ppjoin_pairs",
     "x2_containment_pairs",
     "x2_threshold_sweep",
     "x2_source_overlap_matrix",

@@ -1242,3 +1242,104 @@ def incremental_dedup(
         .distinct()
     )
     return batch.join(flagged, id_col, "left_anti")
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard similarity join with PPJoin-style prefix
+    filtering (Xiao et al., WWW'08) — all pairs with shingle Jaccard
+    ≥ ``threshold``, no approximation, but without
+    :func:`ngram_jaccard_pairs`'s every-shingle blocking: each
+    document indexes only its PREFIX — the |d| − ⌈t·|d|⌉ + 1 globally
+    RAREST shingles — because two sets meeting the threshold must
+    share at least one prefix token (pigeonhole on the ⌈t·|d|⌉
+    overlap requirement). At t = 0.5 that halves the posting volume,
+    and because prefixes keep the rarest grams first, the hot
+    stopword-like shingles that create O(N²) buckets never enter the
+    candidate join at all — the skew the full join needs ``max_df``
+    to cap simply doesn't arise.
+
+    Plan: one df-count pass (map-combinable) ranks shingles by
+    global rarity; prefixes equi-join on the shingle to propose
+    candidates (with the PPJoin length filter |small| ≥ t·|large|
+    applied on the id-width candidate rows); only verified candidates
+    re-join the full shingle arrays for the exact
+    ``|A∩B|/(|A|+|B|−|A∩B|)`` — exactness lives in the verify step,
+    so the prefix ordering affects cost, never results."""
+    import math as _math
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold not in (0, 1]: {threshold}")
+    sh = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, n).alias("sh"),
+    ).withColumn("sh_n", F.size("sh")).filter(F.col("sh_n") > 0)
+    ex = sh.select(
+        "id", "sh_n", F.explode("sh").alias("g")
+    ).select(
+        "id", "sh_n",
+        F.xxhash64("g").alias("gh1"),
+        F.xxhash64(F.lit(1), F.col("g")).alias("gh2"),
+    )
+    dfc = ex.groupBy("gh1", "gh2").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("df", "gh1", "gh2")
+    prefix_len = (
+        F.col("sh_n")
+        - F.ceil(F.lit(threshold) * F.col("sh_n")).cast("int")
+        + 1
+    )
+    prefix = (
+        ex.join(dfc, ["gh1", "gh2"])
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= prefix_len)
+        .select("id", "sh_n", "gh1", "gh2")
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("sh_n").alias("na"),
+        "gh1", "gh2",
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("sh_n").alias("nb"),
+        "gh1", "gh2",
+    )
+    cand = (
+        a.join(b, ["gh1", "gh2"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: Jaccard >= t forces t*|large| <= |small|
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("__sa"),
+        F.col("sh_n").alias("na"),
+    )
+    sb = sh.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("__sb"),
+        F.col("sh_n").alias("nb"),
+    )
+    common = F.size(F.array_intersect("__sa", "__sb"))
+    j = common.cast("double") / (
+        F.col("na") + F.col("nb") - common
+    ).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(j, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )

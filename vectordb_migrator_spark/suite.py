@@ -670,6 +670,54 @@ def x1_dedup_exact_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_ppjoin_pairs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(
+               CASE WHEN len(toks) >= 2
+                    THEN [array_to_string(toks[i:i+1], ' ')
+                          for i in range(1, len(toks))]
+                    ELSE [array_to_string(toks, ' ')] END) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+    ),
+    ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram
+      FROM sh WHERE len(g) > 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(count(*)::DOUBLE /
+                 (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE,
+                 6) AS jaccard
+    FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING round(count(*)::DOUBLE /
+                 (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE,
+                 6) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def x2_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — EXACT bigram-Jaccard join (≥ 0.5) with PPJoin prefix
+    filtering (round 7): each doc indexes only its |d|−⌈t·|d|⌉+1
+    globally RAREST shingles — two sets meeting the threshold must
+    share a prefix token (the prefix-filtering lemma) — so the hot
+    shingles that force ``x2_ngram_jaccard_pairs``'s max_df cap never
+    enter the candidate join at all, and the result is still EXACT
+    (verification recomputes full-set Jaccard; the oracle is the
+    brute-force all-shingles join). The exact-similarity-join
+    workhorse of the dedup literature next to the probabilistic
+    MinHash/SimHash family (operators/dedup.py:ppjoin_pairs). Full
+    oracle."""
+    from vectordb_migrator_spark.operators.dedup import ppjoin_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ppjoin_pairs(d, n=2, threshold=0.5)
+
+
+@query(
     "x2_ngram_jaccard_pairs",
     r"""
     WITH sh AS (
@@ -14782,6 +14830,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_corr_matrix",  # one-scan Pearson pair matrix (new r7)
     "x13_markov_transitions",  # user-journey state matrix (new r7)
     "x13_attribution",  # three-model conversion attribution (new r7)
+    "x2_ppjoin_pairs",  # prefix-filtered exact Jaccard join (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
