@@ -828,13 +828,23 @@ def corr_matrix(
         for j in range(i + 1, len(cols))
     ]
 
-    def d6(c: str):
-        return F.round(F.col(c).cast("double"), 6).cast("decimal(18,6)")
-
+    # Project each rounded decimal ONCE; the 6·C(k,2) aggregate
+    # expressions then reference the projected columns instead of
+    # re-expanding the round/cast tree per term (the de-inline that
+    # took x9_pq_perm_error from 11.6s to 2.4s applies here too).
+    proj = df.select(
+        *[
+            F.round(F.col(c).cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias(f"__d6_{c}")
+            for c in cols
+        ]
+    )
     aggs = []
     for a, b in pairs:
-        both = F.col(a).isNotNull() & F.col(b).isNotNull()
-        xa, xb = F.when(both, d6(a)), F.when(both, d6(b))
+        da, db = F.col(f"__d6_{a}"), F.col(f"__d6_{b}")
+        both = da.isNotNull() & db.isNotNull()
+        xa, xb = F.when(both, da), F.when(both, db)
         p = f"{a}__{b}"
         aggs += [
             F.sum(both.cast("long")).alias(f"n_{p}"),
@@ -844,7 +854,7 @@ def corr_matrix(
             F.sum(xb * xb).alias(f"syy_{p}"),
             F.sum(xa * xb).alias(f"sxy_{p}"),
         ]
-    rep = df.agg(*aggs)
+    rep = proj.agg(*aggs)
 
     def corr_col(a: str, b: str):
         p = f"{a}__{b}"
