@@ -224,6 +224,7 @@ HEADLINE = [
     "x13_changepoints",
     "x13_markov_transitions",
     "x13_attribution",
+    "x13_kaplan_meier",
     "x13_forecast_backtest",
     "x13_theil_sen",
     "x13_user_features",

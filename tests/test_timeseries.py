@@ -399,3 +399,26 @@ def test_theil_sen_trend_outlier_robust(spark):
     # intercept consistent with v = 10 + 2*(t - t0)
     t0 = (days[0] - dt.date(1970, 1, 1)).days
     assert abs(r["intercept"] - (10.0 - 2.0 * t0)) < 1e-6
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """KM product-limit matches the hand computation on a classic
+    censored dataset, censored units reduce the risk set without
+    dropping survival, and an everyone-leaves time drives S to 0."""
+    from vectordb_migrator_spark.operators.timeseries import kaplan_meier
+
+    # durations: events at 1,3,3,7; censored at 2,5
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (3.0, 1), (5.0, 0), (7.0, 1)]
+    df = spark.createDataFrame(rows, "dur double, ev int")
+    got = {r["t"]: r for r in kaplan_meier(
+        df, duration_col="dur", event_col="ev"
+    ).collect()}
+    # t=1: n=6, d=1 -> S=5/6
+    assert got[1.0]["n_at_risk"] == 6
+    assert abs(got[1.0]["survival"] - 5 / 6) < 1e-6
+    # t=3: n=4 (6-1 event-1 censored), d=2 -> S=5/6 * 2/4
+    assert got[3.0]["n_at_risk"] == 4 and got[3.0]["n_events"] == 2
+    assert abs(got[3.0]["survival"] - (5 / 6) * 0.5) < 1e-6
+    # t=7: n=1, d=1 -> S=0 exactly (everyone left)
+    assert got[7.0]["survival"] == 0.0
+    assert set(got) == {1.0, 3.0, 7.0}  # censor-only times excluded

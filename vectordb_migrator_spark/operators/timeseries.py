@@ -416,3 +416,71 @@ def theil_sen_trend(
         ).alias("intercept"),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    *,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over a unit-level frame of
+    (duration, event) rows — event=1 is an observed terminal event
+    (churn, failure), event=0 a right-censored unit (still active
+    when observation ended). Returns one row per distinct event time:
+    n_at_risk, n_events, n_censored, and the product-limit survival
+    Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) — the time-to-churn / retention curve
+    computed the statistically honest way (plain "fraction still
+    active after t" is biased the moment observation windows differ).
+
+    Scale shape: the corpus folds to one row per DISTINCT duration
+    (counts of events/censorings per time — map-side combinable);
+    n_at_risk is a reversed cumulative sum and the product-limit runs
+    as exp(Σ ln(1 − d/n)) — windows over the distinct-time frame,
+    thousands of rows however many units. Times with d = n (everyone
+    left) drive Ŝ to exactly 0 via a guard rather than ln(0)."""
+    from pyspark.sql import Window
+
+    d = F.col(duration_col).cast("double")
+    per = durations.groupBy(d.alias("t")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("d"),
+        F.sum((1 - F.col(event_col).cast("int")).cast("long")).alias(
+            "c"
+        ),
+    )
+    w_rev = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = per.withColumn(
+        "n", F.sum(F.col("d") + F.col("c")).over(w_rev)
+    )
+    # survival: cumulative product over event times only; exact-zero
+    # guard for d = n (log undefined)
+    frac = 1 - F.col("d").cast("double") / F.col("n")
+    lg = F.when(F.col("d") > 0, F.log(F.when(frac > 0, frac))).otherwise(
+        F.lit(0.0)
+    )
+    km = (
+        at_risk.withColumn("__lg", lg)
+        .withColumn(
+            "__zero",
+            F.max((F.col("d") == F.col("n")).cast("int")).over(w_fwd),
+        )
+        .withColumn("__ls", F.sum("__lg").over(w_fwd))
+        .select(
+            F.col("t"),
+            F.col("n").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("c").cast("long").alias("n_censored"),
+            F.round(
+                F.when(F.col("__zero") == 1, 0.0).otherwise(
+                    F.exp("__ls")
+                ),
+                6,
+            ).alias("survival"),
+        )
+    )
+    return km.filter(F.col("n_events") > 0).orderBy("t")

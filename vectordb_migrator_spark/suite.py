@@ -11616,6 +11616,92 @@ def x13_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_kaplan_meier",
+    """
+    WITH b AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid,
+                      max(CASE WHEN epoch(ts) <=
+                            (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2
+                             FROM events)
+                          THEN ts END) AS wend
+               FROM events),
+    w AS (SELECT user_id, ts, event_type, value FROM events, b
+          WHERE epoch(ts) <= b.mid AND user_id IS NOT NULL),
+    per AS (SELECT user_id, min(ts) AS fs,
+                   min(CASE WHEN event_type = 'purchase'
+                             AND value > 97 THEN ts END) AS fe
+            FROM w GROUP BY 1),
+    u AS (SELECT date_diff('day', fs,
+                           coalesce(fe, b.wend))::DOUBLE AS t,
+                 CASE WHEN fe IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM per, b),
+    per2 AS (SELECT t, sum(ev)::BIGINT AS d,
+                    sum(1 - ev)::BIGINT AS c
+             FROM u GROUP BY t),
+    r AS (SELECT t, d, c,
+                 sum(d + c) OVER (ORDER BY t DESC
+                                  ROWS UNBOUNDED PRECEDING) AS n
+          FROM per2),
+    s AS (SELECT t, d, c, n,
+                 CASE WHEN d > 0 AND d < n
+                        THEN ln(1 - d::DOUBLE / n)
+                      WHEN d = 0 THEN 0.0 ELSE NULL END AS lg,
+                 max(CASE WHEN d = n THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS z
+          FROM r),
+    f AS (SELECT t, n, d, c, z,
+                 sum(lg) OVER (ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS ls
+          FROM s)
+    SELECT t, n::BIGINT AS n_at_risk, d AS n_events, c AS n_censored,
+           round(CASE WHEN z = 1 THEN 0.0 ELSE exp(ls) END, 6)
+             AS survival
+    FROM f WHERE d > 0 ORDER BY t
+    """,
+)
+def x13_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — Kaplan–Meier time-to-conversion curve (round 7):
+    observing only the log's FIRST time half (administrative
+    censoring at the analysis date), each user's duration runs from
+    their first event to their first high-value purchase
+    (value > 97); users with none by the window's end are
+    right-CENSORED at the window edge — the product-limit estimator
+    is the statistically honest conversion/retention curve when
+    observation windows differ (the naive "fraction converted by t"
+    silently treats censored users as failures). One grouped pass
+    folds the log to per-user durations, a second to one row per
+    DISTINCT duration; the risk set is a reversed cumulative sum and
+    Ŝ(t) = exp(Σ ln(1−dᵢ/nᵢ)) windows over that tiny frame
+    (operators/timeseries.py:kaplan_meier). Full oracle."""
+    from vectordb_migrator_spark.operators.timeseries import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    b = _t(spark, sf_dir, "events").agg(
+        (
+            (F.min(F.col("ts").cast("double"))
+             + F.max(F.col("ts").cast("double"))) / 2
+        ).alias("mid")
+    )
+    w = ev.crossJoin(F.broadcast(b)).filter(
+        F.col("ts").cast("double") <= F.col("mid")
+    )
+    wend = w.agg(F.max("ts").alias("wend"))
+    hit = (F.col("event_type") == "purchase") & (F.col("value") > 97)
+    per = w.groupBy("user_id").agg(
+        F.min("ts").alias("fs"),
+        F.min(F.when(hit, F.col("ts"))).alias("fe"),
+    )
+    units = per.crossJoin(F.broadcast(wend)).select(
+        F.datediff(F.coalesce("fe", "wend"), "fs")
+        .cast("double")
+        .alias("dur"),
+        F.col("fe").isNotNull().cast("int").alias("ev"),
+    )
+    return kaplan_meier(units, duration_col="dur", event_col="ev")
+
+
+@query(
     "x13_attribution",
     """
     WITH conv AS (
@@ -14831,6 +14917,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_markov_transitions",  # user-journey state matrix (new r7)
     "x13_attribution",  # three-model conversion attribution (new r7)
     "x2_ppjoin_pairs",  # prefix-filtered exact Jaccard join (new r7)
+    "x13_kaplan_meier",  # censoring-honest conversion curve (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
