@@ -68,6 +68,7 @@ HEADLINE = [
     "x0_doc_packing",
     "x0_length_buckets",
     "x0_pareto_parts",
+    "x0_market_basket",
     "x10_token_budget_cap",
     "x1_dedup_exact_text",
     "x1_dedup_canonical",

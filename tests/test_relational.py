@@ -594,3 +594,33 @@ def test_attribution_credits_three_models(spark):
     for m in ("last_touch", "first_touch", "linear"):
         tot = sum(v for (mm, _), v in got.items() if mm == m)
         assert abs(tot - 2.0) < 1e-9  # user3 unattributed
+
+
+def test_association_rules_known_baskets(spark):
+    """Support/confidence/lift match hand computation; the support
+    floor drops singleton pairs; duplicate basket lines dedup."""
+    from vectordb_migrator_spark.operators.relational import (
+        association_rules,
+    )
+
+    baskets = {
+        1: ["milk", "bread"], 2: ["milk", "bread", "eggs"],
+        3: ["milk", "bread"], 4: ["milk", "eggs", "eggs"],
+        5: ["bread"], 6: ["juice"],
+    }
+    rows = [(b, i) for b, its in baskets.items() for i in its]
+    df = spark.createDataFrame(rows, "o long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(
+            df, basket_col="o", item_col="item", min_count=2, top_k=10
+        ).collect()
+    }
+    r = got[("bread", "milk")]
+    # n_ab=3, N=6, n_bread=4, n_milk=4
+    assert r["n_ab"] == 3 and r["support"] == 0.5
+    assert r["conf_a_b"] == 0.75 and r["conf_b_a"] == 0.75
+    assert abs(r["lift"] - 6 * 3 / 16) < 1e-6
+    assert ("eggs", "milk") in got  # count 2 (basket 4 dedups eggs)
+    assert got[("eggs", "milk")]["n_ab"] == 2
+    assert ("bread", "eggs") not in got  # count 1 < floor

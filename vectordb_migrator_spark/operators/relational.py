@@ -627,3 +627,88 @@ def attribution_credits(
         .agg(F.round(F.sum("credit"), 6).alias("credited"))
         .orderBy("model", "touch_type")
     )
+
+
+def association_rules(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) pairs:
+    for every co-occurring item pair, support, both directional
+    confidences, and lift = N·n_ab/(n_a·n_b) — the
+    frequently-bought-together / related-content primitive, with the
+    ``min_count`` support floor doing what it does in every Apriori
+    descendant: killing the noise pairs before they dominate.
+
+    Scale shape: baskets dedup to (basket, item) rows, pairs generate
+    INSIDE each basket's collected item list (one groupBy shuffle;
+    pair count bounded by basket size squared — baskets are small by
+    nature, and a pathological mega-basket should be capped upstream),
+    then one pair-count aggregate, a broadcast join against the
+    (item, count) frame for the marginals, and a top-k by lift via
+    TakeOrderedAndProject — never a global sort."""
+    base = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = base.select("__b").distinct().count()
+    items = base.groupBy(F.col("__i")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    buckets = base.groupBy("__b").agg(
+        F.array_sort(F.collect_list("__i")).alias("items")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("items"),
+                    lambda b: F.when(
+                        a < b,
+                        F.struct(a.alias("ia"), b.alias("ib")),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.ia").alias("item_a"), F.col("p.ib").alias("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    ia = items.select(
+        F.col("__i").alias("item_a"), F.col("n_i").alias("n_a")
+    )
+    ib = items.select(
+        F.col("__i").alias("item_b"), F.col("n_i").alias("n_b")
+    )
+    scored = (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.lit(float(n_baskets)), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_b"),
+            F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_a"),
+            F.round(
+                F.lit(float(n_baskets))
+                * F.col("n_ab")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), "item_a", "item_b"
+    ).limit(top_k)

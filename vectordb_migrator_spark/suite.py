@@ -11819,6 +11819,51 @@ def x13_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x0_market_basket",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+               FROM lineitem),
+    n AS (SELECT count(DISTINCT o)::DOUBLE AS nb FROM b),
+    it AS (SELECT i, count(*)::BIGINT AS n_i FROM b GROUP BY 1),
+    p AS (SELECT a.i AS item_a, b2.i AS item_b,
+                 count(*)::BIGINT AS n_ab
+          FROM b a JOIN b b2 ON a.o = b2.o AND a.i < b2.i
+          GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT item_a, item_b, n_ab,
+           round(n_ab / n.nb, 6) AS support,
+           round(n_ab::DOUBLE / ia.n_i, 6) AS conf_a_b,
+           round(n_ab::DOUBLE / ib.n_i, 6) AS conf_b_a,
+           round(n.nb * n_ab / (ia.n_i * ib.n_i), 6) AS lift
+    FROM p
+    CROSS JOIN n
+    JOIN it ia ON ia.i = p.item_a
+    JOIN it ib ON ib.i = p.item_b
+    ORDER BY lift DESC, item_a, item_b LIMIT 20
+    """,
+)
+def x0_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — market-basket association rules over order baskets (round
+    7): top-20 part pairs by lift with support ≥ 3 orders — the
+    frequently-bought-together primitive (and, read as "documents
+    sharing a training batch", the co-occurrence shape behind
+    curriculum diagnostics). Pairs generate INSIDE each basket's
+    collected item list (one shuffle, bounded by basket size);
+    marginals broadcast; top-k via TakeOrderedAndProject
+    (operators/relational.py:association_rules). Full oracle."""
+    from vectordb_migrator_spark.operators.relational import (
+        association_rules,
+    )
+
+    return association_rules(
+        _t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_count=3,
+        top_k=20,
+    )
+
+
+@query(
     "x0_pareto_parts",
     """
     WITH per AS (
@@ -14918,6 +14963,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_attribution",  # three-model conversion attribution (new r7)
     "x2_ppjoin_pairs",  # prefix-filtered exact Jaccard join (new r7)
     "x13_kaplan_meier",  # censoring-honest conversion curve (new r7)
+    "x0_market_basket",  # lift-ranked co-occurrence rules (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
