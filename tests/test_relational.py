@@ -624,3 +624,40 @@ def test_association_rules_known_baskets(spark):
     assert ("eggs", "milk") in got  # count 2 (basket 4 dedups eggs)
     assert got[("eggs", "milk")]["n_ab"] == 2
     assert ("bread", "eggs") not in got  # count 1 < floor
+
+
+def test_schema_evolution_report_classification(spark):
+    """Widenings and nullable additions are safe; drops, narrowings,
+    and required-tightening are breaking; identical schemas diff
+    empty."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from vectordb_migrator_spark.operators.validation import (
+        schema_evolution_report,
+    )
+
+    old = StructType([
+        StructField("id", IntegerType(), False),
+        StructField("price", DoubleType(), True),
+        StructField("legacy", StringType(), True),
+        StructField("note", StringType(), True),
+    ])
+    new = StructType([
+        StructField("id", LongType(), False),        # safe widen
+        StructField("price", IntegerType(), True),   # breaking narrow
+        StructField("note", StringType(), False),    # breaking tighten
+        StructField("tag", StringType(), True),      # safe add
+        StructField("score", DoubleType(), False),   # breaking add
+    ])
+    rep = {(r["column"], r["change"]): r["severity"]
+           for r in schema_evolution_report(old, new)}
+    assert rep[("id", "type")] == "safe"
+    assert rep[("price", "type")] == "breaking"
+    assert rep[("legacy", "dropped")] == "breaking"
+    assert rep[("note", "nullability")] == "breaking"
+    assert rep[("tag", "added")] == "safe"
+    assert rep[("score", "added")] == "breaking"
+    assert schema_evolution_report(old, old) == []

@@ -552,3 +552,73 @@ def benford_audit(
         F.round(F.avg("__ad"), 6).alias("mad"),
         (F.avg("__ad") <= 0.015).alias("conforms"),
     )
+
+
+# keys are DataType.simpleString() names (int/bigint, not
+# integer/long)
+_SAFE_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("int", "double"), ("bigint", "double"),
+    ("date", "timestamp"),
+}
+
+
+def schema_evolution_report(old_schema, new_schema) -> list[dict]:
+    """Schema-contract diff between two Spark schemas (StructType):
+    classify every column change as ``safe`` (added nullable column,
+    numeric/date widening, nullable relaxation alone) or ``breaking``
+    (dropped column, type narrowing or change, added NON-nullable
+    column, nullable→required tightening) — the check a publishing
+    pipeline runs against the previous release's schema before a new
+    snapshot goes out, because a reader compiled against the old
+    contract will silently mis-join or hard-fail on a breaking change.
+
+    Pure metadata (no data scan); nested structs compare by their
+    simpleString. Returns a list of dicts (column, change, severity,
+    detail) — empty means identical contracts."""
+    old = {f.name: f for f in old_schema.fields}
+    new = {f.name: f for f in new_schema.fields}
+    report: list[dict] = []
+    for name in sorted(set(old) | set(new)):
+        if name not in new:
+            report.append({
+                "column": name, "change": "dropped",
+                "severity": "breaking",
+                "detail": f"was {old[name].dataType.simpleString()}",
+            })
+            continue
+        if name not in old:
+            f = new[name]
+            report.append({
+                "column": name, "change": "added",
+                "severity": "safe" if f.nullable else "breaking",
+                "detail": (
+                    f"{f.dataType.simpleString()}"
+                    + ("" if f.nullable else " (non-nullable: old rows"
+                       " have no value a strict reader can supply)")
+                ),
+            })
+            continue
+        fo, fn = old[name], new[name]
+        to, tn = fo.dataType.simpleString(), fn.dataType.simpleString()
+        if to != tn:
+            severity = (
+                "safe" if (to, tn) in _SAFE_WIDENINGS else "breaking"
+            )
+            report.append({
+                "column": name, "change": "type",
+                "severity": severity, "detail": f"{to} -> {tn}",
+            })
+        if fo.nullable != fn.nullable:
+            report.append({
+                "column": name, "change": "nullability",
+                "severity": "safe" if fn.nullable else "breaking",
+                "detail": (
+                    "required -> nullable" if fn.nullable
+                    else "nullable -> required (existing NULLs break)"
+                ),
+            })
+    return report
