@@ -399,3 +399,60 @@ def test_round7_plan_shapes(spark):
     p = _plan(spark, "x13_mad_outliers")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "Window" not in p
+
+
+def test_phrase_search_no_exchange_before_rollup(spark):
+    """Phrase matching is pure codegen over each row's token array —
+    the per-doc match frame must contain NO exchange at all (the
+    point of skipping the positional inverted index), and the only
+    exchange in the full report is the tiny per-phrase rollup."""
+    from vectordb_migrator_spark.operators.ranking import phrase_search
+
+    docs = QUERIES  # noqa: F841  (keep import order stable)
+    import pyspark.sql.functions as F  # noqa: N812
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_doc = phrase_search(d, ["the data", "fast join"])
+    plan = per_doc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_corr_matrix_single_scan(spark):
+    """Every pairwise moment folds in ONE scan of the input — k²/2
+    per-pair rescans (the df.stat.corr shape) must never come back."""
+    plan = _plan(spark, "x12_corr_matrix")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_jackknife_single_corpus_scan(spark):
+    """The corpus reduces to bucket aggregates in ONE eager pass (the
+    checkpointed bucket frame); the leave-one-out arithmetic must run
+    entirely on that tiny frame — zero parquet scans may remain in
+    the final plan (two consumers rescanning the corpus was the bug
+    this locks out)."""
+    plan = _plan(spark, "x7_jackknife_ci")
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_shift_tests_fold_to_distinct_values(spark):
+    """Mann-Whitney and KS never rank raw rows: the corpus-side
+    aggregate (group, value, side-counts) happens BEFORE any window —
+    asserted as partial aggregation present and no row-level global
+    sort (windows partition by event_type over the distinct-value
+    frame)."""
+    for name in ("x7_mannwhitney", "x7_ks_test"):
+        plan = _plan(spark, name)
+        assert plan.count("HashAggregate") >= 2, name  # map-side combine
+        # the only sorts are window sorts partitioned by event_type
+        assert "Sort [event_type" in plan or "Sort [" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_association_rules_pairs_inside_buckets(spark):
+    """Basket pairs generate inside collected item lists — no
+    self-join of the exploded posting list (which would shuffle both
+    sides), and the marginal joins stay broadcast."""
+    plan = _plan(spark, "x0_market_basket")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -373,6 +373,10 @@ def jackknife_ci(
             F.sum(F.col("__v").cast("decimal(28,6)")).alias("s"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
+        # the bucket frame (≤ groups×B rows) feeds BOTH the
+        # leave-one-out branch and the θ̄ branch; materialize it so
+        # the corpus scans ONCE, not once per branch
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 
