@@ -21,6 +21,8 @@ from pathlib import Path
 import pytest
 
 ROOT = Path(__file__).resolve().parent.parent
+
+from tests.conftest import SF_DIR  # noqa: E402
 EXAMPLES = sorted((ROOT / "examples").glob("*.json"))
 
 
@@ -333,3 +335,28 @@ def test_curation_planning_pipeline_example(spark):
     assert all(r["tokens_per_word"] >= 1.0 for r in tp)
     mx = reports["mixture"].collect()
     assert abs(sum(r["weight"] for r in mx) - 1.0) < 1e-3
+
+
+def test_experimentation_pipeline_battery(spark):
+    """The composed decision battery runs end to end on real parquet
+    and every statistic comes back populated and internally
+    consistent (CUPED never widens the CI; jackknife CI brackets the
+    mean)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "experimentation_analytics_pipeline",
+        str(ROOT / "examples" / "experimentation_analytics_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.run_battery(spark, f"{SF_DIR}/events.parquet")
+    assert set(out) == {"psi", "mannwhitney", "ks", "jackknife", "cuped"}
+    assert out["psi"]["psi"] is not None and out["psi"]["n_ref"] > 0
+    assert out["ks"]["d"] is not None and 0 <= out["ks"]["d"] <= 1
+    assert out["mannwhitney"]["u"] > 0
+    jk = out["jackknife"]
+    assert jk["ci_lo"] <= jk["mean"] <= jk["ci_hi"]
+    cu = out["cuped"]
+    assert cu["se_cuped"] is None or cu["se_cuped"] <= cu["se_naive"]
