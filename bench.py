@@ -146,6 +146,7 @@ HEADLINE = [
     "x5_bigram_surprisal",
     "x5_distinctive_terms",
     "x5_keywords",
+    "x5_textrank",
     "x5_corpus_stats",
     "x5_hot_grams",
     "x5_zipf_fit",

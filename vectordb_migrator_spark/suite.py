@@ -14325,6 +14325,104 @@ def x4_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _textrank_sql(n_iter: int = 10, d: float = 0.85) -> str:
+    """Oracle for x5_textrank — adjacent-word co-occurrence edges,
+    then the same unrolled engine-exact PageRank contract as
+    ``_pagerank_sql`` (DECIMAL(28,18) sums, per-iteration round-12)."""
+    sql = r"""
+    WITH t AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), bi AS (
+      SELECT unnest([{'a': toks[i], 'b': toks[i+1]}
+                     for i in range(1, len(toks))]) AS u
+      FROM t WHERE len(toks) >= 2
+    ), pr AS (
+      SELECT DISTINCT least(u.a, u.b) AS a, greatest(u.a, u.b) AS b
+      FROM bi WHERE u.a <> u.b
+    ), edges AS (
+      SELECT a, b FROM pr UNION SELECT b, a FROM pr
+    ), verts AS (
+      SELECT DISTINCT a AS id FROM edges
+    ), deg AS (
+      SELECT a AS id, count(*)::BIGINT AS deg FROM edges GROUP BY a
+    ), nn AS (
+      SELECT count(*)::DOUBLE AS n FROM verts
+    ), r0 AS (
+      SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts
+    )"""
+    for k in range(1, n_iter + 1):
+        sql += f""", r{k} AS (
+      SELECT v.id,
+             round((1.0 - {d}) / (SELECT n FROM nn)
+                   + {d} * coalesce(s.s, 0.0), 12) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.b AS id,
+               sum((r.rank / dg.deg)::DECIMAL(28,18))::DOUBLE AS s
+        FROM edges e
+        JOIN r{k - 1} r ON e.a = r.id
+        JOIN deg dg ON dg.id = e.a
+        GROUP BY e.b) s ON s.id = v.id
+    )"""
+    return (
+        sql
+        + f"""
+    SELECT id AS word, round(rank, 6) AS rank
+    FROM r{n_iter}
+    ORDER BY rank DESC, word LIMIT 20"""
+    )
+
+
+@query("x5_textrank", _textrank_sql())
+def x5_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — TextRank keyword extraction (round 7): PageRank over the
+    adjacent-word co-occurrence graph (Mihalcea & Tarau '04), top-20
+    words by centrality — the unsupervised keyword ranking that,
+    unlike ``x5_keywords``'s TF-IDF, rewards words that BRIDGE many
+    contexts rather than words that are merely frequent. The word
+    graph is a bigram distinct fold (vocabulary-sized however big
+    the corpus); the rank loop reuses the fixed-iteration engine-
+    exact PageRank (DECIMAL contribution sums, round-12 per
+    iteration — operators/graph.py:pagerank), so even this iterative
+    algorithm carries a full unrolled-SQL oracle."""
+    from vectordb_migrator_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pairs = (
+        d.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.filter(
+                    F.zip_with(
+                        F.col("t"),
+                        F.slice(F.col("t"), 2, F.size("t")),
+                        lambda a, b: F.when(
+                            b.isNotNull() & (a != b),
+                            F.struct(
+                                F.least(a, b).alias("wa"),
+                                F.greatest(a, b).alias("wb"),
+                            ),
+                        ),
+                    ),
+                    lambda s: s.isNotNull(),
+                )
+            ).alias("p")
+        )
+        .select("p.wa", "p.wb")
+        .distinct()
+    )
+    ranks = pagerank(pairs, src="wa", dst="wb", undirected=True)
+    return (
+        ranks.select(
+            F.col("id").alias("word"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), "word")
+        .limit(20)
+    )
+
+
 def _pagerank_sql(n_iter: int = 10, d: float = 0.85) -> str:
     """Oracle for x2_dedup_pagerank — the SAME near-dup pair graph as
     x2_dedup_clusters, then ``n_iter`` UNROLLED PageRank iterations
@@ -14964,6 +15062,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_ppjoin_pairs",  # prefix-filtered exact Jaccard join (new r7)
     "x13_kaplan_meier",  # censoring-honest conversion curve (new r7)
     "x0_market_basket",  # lift-ranked co-occurrence rules (new r7)
+    "x5_textrank",  # co-occurrence-graph keyword centrality (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
