@@ -557,3 +557,34 @@ def test_corr_matrix_matches_numpy(spark):
 
     with pytest.raises(ValueError, match="two columns"):
         corr_matrix(df, ["x"])
+
+
+def test_auc_score_matches_sklearn_formula(spark):
+    """AUC matches the direct pairwise probability (ties counted half),
+    a perfect separator scores 1, a reversed one 0, and a one-class
+    group reports NULL."""
+    from vectordb_migrator_spark.operators.scale import auc_score
+
+    scores = [(0.9, 1), (0.8, 1), (0.8, 0), (0.4, 1), (0.3, 0), (0.1, 0)]
+    df = spark.createDataFrame(
+        [("g", s, l) for s, l in scores] + [("solo", 0.5, 1)],
+        "g string, score double, label int",
+    )
+    got = {r["g"]: r for r in auc_score(
+        df, score_col="score", label_col="label", group_cols=["g"]
+    ).collect()}
+    pos = [s for s, l in scores if l == 1]
+    neg = [s for s, l in scores if l == 0]
+    direct = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert abs(got["g"]["auc"] - direct) < 1e-6  # output rounds to 6dp
+    assert got["solo"]["auc"] is None
+
+    perfect = spark.createDataFrame(
+        [("p", float(i), 1 if i >= 5 else 0) for i in range(10)],
+        "g string, score double, label int",
+    )
+    assert auc_score(
+        perfect, score_col="score", label_col="label", group_cols=["g"]
+    ).first()["auc"] == 1.0

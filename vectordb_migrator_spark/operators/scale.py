@@ -886,3 +886,62 @@ def corr_matrix(
         .select("r.col_a", "r.col_b", "r.n", "r.corr")
         .orderBy("col_a", "col_b")
     )
+
+
+def auc_score(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact ROC AUC from the rank statistic — AUC =
+    P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) = U/(n⁺·n⁻) — for a
+    boolean/0-1 ``label_col`` against any numeric score: the
+    classifier/retrieval separability readout, computed WITHOUT
+    materializing the ROC curve or ranking raw rows.
+
+    Same scalable fold as :func:`mann_whitney` (AUC is the
+    Mann–Whitney U, normalized): the corpus reduces to per-DISTINCT-
+    SCORE (positive, negative) counts — map-side combinable — and U
+    is a cumulative window over that small frame. Counts and halves
+    are exact doubles, so AUC is engine-exact. Groups with one class
+    missing report NULL."""
+    gcols = list(group_cols or [])
+    pos = F.col(label_col).cast("int") == 1
+    c = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(*gcols, F.col(score_col).alias("__s"))
+        .agg(
+            F.sum(pos.cast("long")).alias("cp"),
+            F.sum((~pos).cast("long")).alias("cn"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = c.withColumn(
+        "__cum_n", F.coalesce(F.sum("cn").over(w), F.lit(0))
+    )
+    agg = c.groupBy(*gcols).agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        F.sum("cn").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("cp")
+            * (F.col("__cum_n") + F.lit(0.5) * F.col("cn"))
+        ).alias("__u"),
+    )
+    auc = F.try_divide(
+        F.col("__u"),
+        F.col("n_pos").cast("double") * F.col("n_neg"),
+    )
+    out = agg.select(
+        *gcols, "n_pos", "n_neg", F.round(auc, 6).alias("auc")
+    )
+    return out.orderBy(*gcols) if gcols else out

@@ -8717,6 +8717,99 @@ def x5_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_centroid_auc",
+    """
+    WITH flat AS (
+      SELECT u.pos AS pos, u.val AS val
+      FROM (SELECT unnest([{'pos': i, 'val': embedding[i]::DOUBLE}
+                           for i in range(1, len(embedding) + 1)]) AS u
+            FROM embeddings WHERE label = 0)
+    ),
+    c AS (SELECT pos, avg(val) AS v FROM flat GROUP BY pos),
+    s AS (
+      SELECT p.vec_id,
+             CASE WHEN p.label = 0 THEN 1 ELSE 0 END AS lab,
+             round(sum(p.embedding[c.pos]::DOUBLE * c.v)
+                   / (sqrt(sum(p.embedding[c.pos]::DOUBLE
+                               * p.embedding[c.pos]::DOUBLE))
+                      * sqrt(sum(c.v * c.v))), 6) AS score
+      FROM embeddings p, c
+      GROUP BY p.vec_id, p.label
+    ),
+    d AS (
+      SELECT score, sum(lab)::BIGINT AS cp,
+             sum(1 - lab)::BIGINT AS cn
+      FROM s GROUP BY score
+    ),
+    w AS (
+      SELECT cp, cn,
+             coalesce(sum(cn) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cum_n
+      FROM d
+    )
+    SELECT sum(cp)::BIGINT AS n_pos, sum(cn)::BIGINT AS n_neg,
+           round(sum(cp * (cum_n + 0.5 * cn))::DOUBLE
+                 / (sum(cp)::DOUBLE * sum(cn)), 6) AS auc
+    FROM w
+    """,
+)
+def x4_centroid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — ROC AUC of similarity-to-class-prototype as a retrieval
+    separability gauge (round 7): every embedding scores by cosine to
+    the label-0 centroid, label-0 membership is the positive class,
+    and AUC = U/(n⁺·n⁻) says in ONE number whether prototype
+    similarity separates the class (the go/no-go before trusting
+    centroid routing like ``x4_kmeans_ivf``'s). Computed WITHOUT
+    ranking raw rows: scores round to 6dp (absorbing reduction-order
+    ulps, the ``x3_label_centroids`` contract) and fold to
+    per-distinct-score class counts; U is one window over that frame
+    (operators/scale.py:auc_score). Full oracle."""
+    from vectordb_migrator_spark.operators.scale import auc_score
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.col("embedding").cast("array<double>")
+    )
+    cent = (
+        e.filter(F.col("label") == 0)
+        .select(F.posexplode("emb").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("v"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "v"))
+            ).alias("pv")
+        )
+        .select(
+            F.transform(F.col("pv"), lambda s: s.getField("v")).alias(
+                "c"
+            )
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "c", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    se = F.aggregate(
+        F.transform("emb", lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sc = F.aggregate(
+        F.transform("c", lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        F.round(dot / (F.sqrt(se) * F.sqrt(sc)), 6).alias("score"),
+        (F.col("label") == 0).cast("int").alias("lab"),
+    )
+    return auc_score(scored, score_col="score", label_col="lab")
+
+
+@query(
     "x3_silhouette",
     """
     WITH flat AS (
