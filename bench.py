@@ -122,6 +122,7 @@ HEADLINE = [
     "x3_filtered_topk",
     "x3_grouped_topk",
     "x4_recall_report",
+    "x4_centroid_auc",
     "x4_nprobe_sweep",
     "x4_mmr_rerank",
     "x9_matryoshka_topk",

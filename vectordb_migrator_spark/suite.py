@@ -15156,6 +15156,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_kaplan_meier",  # censoring-honest conversion curve (new r7)
     "x0_market_basket",  # lift-ranked co-occurrence rules (new r7)
     "x5_textrank",  # co-occurrence-graph keyword centrality (new r7)
+    "x4_centroid_auc",  # prototype-similarity separability AUC (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
