@@ -154,6 +154,7 @@ HEADLINE = [
     "x5_gopher_rules",
     "x5_langid_confusion",
     "x5_classifier_kappa",
+    "x5_isotonic_calibration",
     "x5_sentence_stats",
     "x5_bpe_pair_stats",
     "x5_bpe_train",

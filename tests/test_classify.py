@@ -194,3 +194,48 @@ def test_nb_score_posterior_properties(spark):
     by_id = {r["id"]: r for r in out}
     # a clean one-class doc is more confident than a mixed doc
     assert by_id[1]["conf"] > by_id[5]["conf"]
+
+
+def test_isotonic_calibration_pav_and_apply(spark):
+    """PAV pools adjacent violators into a nondecreasing step
+    function (hand-checked example), apply maps scores through their
+    segment (including between-segment and out-of-range scores), and
+    the distinct-score guard fails loudly."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.classify import (
+        isotonic_apply,
+        isotonic_calibrate,
+    )
+
+    rows = [(1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1), (5.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    model = isotonic_calibrate(df, score_col="score", label_col="label")
+    ps = [seg["p"] for seg in model]
+    assert ps == sorted(ps)  # nondecreasing by construction
+    assert ps == [0.0, 0.5, 1.0]
+    assert model[1]["score_lo"] == 2.0 and model[1]["score_hi"] == 3.0
+    assert model[2]["n"] == 2
+
+    applied = {
+        r["score"]: r["calibrated"]
+        for r in isotonic_apply(
+            spark.createDataFrame(
+                [(0.5,), (2.5,), (3.0,), (4.5,), (9.0,)], "score double"
+            ),
+            model,
+            score_col="score",
+        ).collect()
+    }
+    assert applied[0.5] == 0.0  # below first segment
+    assert applied[2.5] == 0.5  # inside pooled segment
+    assert applied[3.0] == 0.5
+    assert applied[4.5] == 1.0
+    assert applied[9.0] == 1.0  # above last segment
+
+    with pytest.raises(ValueError, match="max_points"):
+        isotonic_calibrate(
+            df, score_col="score", label_col="label", max_points=2
+        )
+    with pytest.raises(ValueError, match="model"):
+        isotonic_apply(df, [], score_col="score")

@@ -247,3 +247,91 @@ def dsir_weights(
         6,
     )
     return out.withColumn(weight_col, w).drop("__cnts")
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    max_points: int = 100_000,
+) -> list[dict]:
+    """Isotonic (PAV) calibration of a score against a 0/1 label:
+    pool-adjacent-violators over the per-distinct-score positive
+    rates, returning the nondecreasing step function as a list of
+    ``{score_lo, score_hi, p, n}`` segments — the nonparametric
+    calibrator that fixes a confident-but-wrong classifier without
+    assuming Platt's sigmoid shape (pair with the reliability diagram
+    in ``x5_nb_calibration``: the diagram diagnoses, this repairs).
+
+    Scale shape: the corpus folds to one (distinct score → positives,
+    count) aggregate — map-side combinable — and PAV, which is
+    inherently sequential, runs driver-side on that frame: O(distinct
+    scores) work and memory, the same model-sized-driver contract as
+    k-means centroids. ``max_points`` guards the collect; quantize
+    the score upstream (round to 3-4dp) if a raw score exceeds it —
+    calibration needs no more resolution than the bins it will be
+    read at."""
+    pts = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(score_col).cast("double").alias("s"))
+        .agg(
+            F.sum(F.col(label_col).cast("long")).alias("pos"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("s")
+    )
+    rows = pts.collect()
+    if len(rows) > max_points:
+        raise ValueError(
+            f"{len(rows)} distinct scores exceeds max_points="
+            f"{max_points}; quantize the score column first"
+        )
+    # PAV: maintain a stack of blocks (pos, n, lo, hi); merge while
+    # the mean would decrease left-to-right.
+    stack: list[list] = []
+    for r in rows:
+        blk = [float(r["pos"]), float(r["n"]), r["s"], r["s"]]
+        stack.append(blk)
+        while (
+            len(stack) >= 2
+            and stack[-2][0] * stack[-1][1]
+            >= stack[-1][0] * stack[-2][1]
+        ):
+            b = stack.pop()
+            a = stack.pop()
+            stack.append([a[0] + b[0], a[1] + b[1], a[2], b[3]])
+    return [
+        {
+            "score_lo": lo,
+            "score_hi": hi,
+            "p": round(pos / n, 6),
+            "n": int(n),
+        }
+        for pos, n, lo, hi in stack
+    ]
+
+
+def isotonic_apply(
+    df: DataFrame,
+    model: list[dict],
+    *,
+    score_col: str,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Apply an :func:`isotonic_calibrate` step function: scores map
+    to their segment's pooled rate (scores between segments take the
+    left segment's value; below the first segment, its value). Pure
+    codegen when-chain over the broadcast-literal model — no join, no
+    shuffle."""
+    if not model:
+        raise ValueError("model must be non-empty")
+    s = F.col(score_col).cast("double")
+    expr = F.lit(model[-1]["p"])
+    for seg in reversed(model):
+        expr = F.when(s <= seg["score_hi"], F.lit(seg["p"])).otherwise(
+            expr
+        )
+    return df.withColumn(out_col, expr)

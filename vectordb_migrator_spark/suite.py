@@ -14845,6 +14845,38 @@ def x2_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x5_isotonic_calibration")  # PAV is inherently sequential —
+# rows-only check; the pooling math is verified against hand-computed
+# examples in tests/test_classify.py
+def x5_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — isotonic (PAV) score calibration (round 7): pool-adjacent-
+    violators over per-distinct-score positive rates turns any score
+    into a monotone probability — the nonparametric repair step for a
+    confident-but-wrong classifier, next to ``x5_nb_calibration``'s
+    reliability DIAGNOSIS. Here the event value (quantized to cents of
+    its 0-100 range) calibrates against purchase membership; the
+    output is the step function a serving layer broadcasts. The
+    corpus folds to one distinct-score aggregate; PAV runs driver-side
+    on that model-sized frame (the k-means-centroids contract)
+    (operators/classify.py:isotonic_calibrate)."""
+    from vectordb_migrator_spark.operators.classify import (
+        isotonic_calibrate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") / 100.0, 2).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("lab"),
+    )
+    model = isotonic_calibrate(ev, score_col="score", label_col="lab")
+    return spark.createDataFrame(
+        [
+            (m["score_lo"], m["score_hi"], m["p"], m["n"])
+            for m in model
+        ],
+        "score_lo double, score_hi double, p double, n long",
+    ).orderBy("score_lo")
+
+
 @query(
     "x5_nb_calibration",
     rf"""
@@ -15157,6 +15189,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_market_basket",  # lift-ranked co-occurrence rules (new r7)
     "x5_textrank",  # co-occurrence-graph keyword centrality (new r7)
     "x4_centroid_auc",  # prototype-similarity separability AUC (new r7)
+    "x5_isotonic_calibration",  # PAV monotone calibrator (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
