@@ -902,3 +902,64 @@ def test_psi_ingest_matches_batch_psi(spark, tmp_path):
     n_store = spark.read.parquet(str(tmp_path / "store")).count()
     run()  # replay: no new data -> no new partials
     assert spark.read.parquet(str(tmp_path / "store")).count() == n_store
+
+
+def test_transitions_ingest_matches_batch(spark, tmp_path):
+    """Streaming transition maintenance: two micro-batched ingests
+    (boundary pairs recovered from the versioned last-event state)
+    reproduce the batch transition_matrix on the full log, and replay
+    appends nothing."""
+    from vectordb_migrator_spark.operators.relational import (
+        transition_matrix,
+    )
+    from vectordb_migrator_spark.streaming.incremental import (
+        transitions_ingest,
+        transitions_over,
+    )
+
+    schema = "uid long, t long, eid long, state string"
+    b1 = [
+        (1, 1, 11, "view"), (1, 2, 12, "click"),
+        (2, 1, 21, "view"), (2, 3, 22, "view"),
+    ]
+    b2 = [
+        (1, 5, 13, "purchase"),  # boundary: click -> purchase
+        (2, 4, 23, "click"),     # boundary: view -> click
+        (3, 1, 31, "view"), (3, 2, 32, "error"),  # whole journey in b2
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(b1, schema).write.parquet(src)
+
+    def run():
+        q = transitions_ingest(
+            spark, source_path=src, source_schema=schema,
+            store_path=str(tmp_path / "store"),
+            state_path=str(tmp_path / "state"),
+            checkpoint=str(tmp_path / "ck"),
+            unit_col="uid", state_col="state", order_col="t",
+            tiebreak_col="eid",
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    run()
+
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transitions_over(spark, str(tmp_path / "store")).collect()
+    }
+    want = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(
+            spark.createDataFrame(b1 + b2, schema),
+            unit_col="uid", state_col="state", order_col="t",
+            tiebreak_col="eid",
+        ).collect()
+    }
+    assert got == want
+    assert got[("click", "purchase")][0] == 1  # the boundary pair
+
+    n_store = spark.read.parquet(str(tmp_path / "store")).count()
+    run()  # replay: no new data
+    assert spark.read.parquet(str(tmp_path / "store")).count() == n_store

@@ -1115,3 +1115,181 @@ def psi_over(
         F.sum("n").cast("long").alias("n_cur"),
         F.round(F.sum((pc - pr) * F.log(pc / pr)), 6).alias("psi"),
     ).withColumn("drifted", F.col("psi") > threshold)
+
+
+def transitions_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    store_path: str,
+    state_path: str,
+    checkpoint: str,
+    unit_col: str,
+    state_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    trigger_once: bool = True,
+):
+    """Continuous Markov-transition maintenance — the streaming twin
+    of ``operators/relational.py:transition_matrix`` with the one
+    thing a per-batch fold cannot see handled explicitly: the
+    BOUNDARY pair between a unit's last event of batch k−1 and its
+    first event of batch k. Each micro-batch contributes its
+    within-batch lag-1 pairs plus those boundary pairs (read from a
+    per-unit last-event state store), appended as mergeable
+    (from_state, to_state, batch_id, n) partials;
+    :func:`transitions_over` reads current probabilities without
+    rescanning stream history.
+
+    The state store is VERSIONED BY BATCH (``state_path/batch=<k>``
+    holds the per-unit last event as of batch k): a replayed batch k
+    re-reads state version k−1 and regenerates byte-identical pairs,
+    and the (batch_id) anti-join keeps the count store
+    replay-idempotent — the same contract as every sketch store here.
+    Assumes per-unit order_col monotonicity ACROSS batches (the
+    append-log case); a unit's batch rows older than its stored state
+    contribute no boundary pair."""
+    from pyspark.sql.utils import AnalysisException
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(unit_col).orderBy(order_col, tiebreak_col)
+        rows = batch_df.select(
+            F.col(unit_col).alias("__u"),
+            F.col(state_col).alias("__s"),
+            F.col(order_col).alias("__o"),
+            F.col(tiebreak_col).alias("__tb"),
+        )
+        within = (
+            rows.withColumn(
+                "__next",
+                F.lead("__s").over(
+                    Window.partitionBy("__u").orderBy("__o", "__tb")
+                ),
+            )
+            .filter(F.col("__next").isNotNull())
+            .select(
+                F.col("__s").alias("from_state"),
+                F.col("__next").alias("to_state"),
+            )
+        )
+        firsts = (
+            rows.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__u").orderBy("__o", "__tb")
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("__u", "__s", "__o")
+        )
+        lasts = (
+            rows.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__u").orderBy(
+                        F.desc("__o"), F.desc("__tb")
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("__u", "__s", "__o", "__tb")
+        )
+        import os
+
+        prev_version = None
+        versions = (
+            [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(state_path)
+                if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
+            ]
+            if os.path.isdir(state_path)
+            else []
+        )
+        prior = [v for v in versions if v < batch_id]
+        boundary = None
+        if prior:
+            prev_version = max(prior)
+            prev = sess.read.parquet(
+                f"{state_path}/batch={prev_version}"
+            )
+            boundary = (
+                prev.join(firsts, "__u")
+                .filter(prev["__po"] <= F.col("__o"))
+                .select(
+                    F.col("__ps").alias("from_state"),
+                    F.col("__s").alias("to_state"),
+                )
+            )
+        pairs = within if boundary is None else within.unionByName(boundary)
+        partials = (
+            pairs.groupBy("from_state", "to_state")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        try:
+            seen = sess.read.parquet(store_path).select(
+                "from_state", "to_state", "batch_id"
+            )
+            partials = partials.join(
+                seen, ["from_state", "to_state", "batch_id"], "left_anti"
+            )
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(store_path)
+        # new state version: previous state overridden by this batch's
+        # last events (overwrite of THIS version dir only = replay-safe)
+        new_state = lasts.select(
+            "__u",
+            F.col("__s").alias("__ps"),
+            F.col("__o").alias("__po"),
+        )
+        if prev_version is not None:
+            prev = sess.read.parquet(f"{state_path}/batch={prev_version}")
+            carried = prev.join(new_state, "__u", "left_anti")
+            new_state = new_state.unionByName(carried)
+        new_state.write.mode("overwrite").parquet(
+            f"{state_path}/batch={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .options(**(reader_options or {}))
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def transitions_over(spark: SparkSession, store_path: str) -> DataFrame:
+    """Current transition matrix from a :func:`transitions_ingest`
+    store: merge the per-batch pair partials (addition) and
+    row-normalize — identical to the batch operator's output on the
+    same prefix of the stream."""
+    from pyspark.sql import Window
+
+    counts = (
+        spark.read.parquet(store_path)
+        .groupBy("from_state", "to_state")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("from_state")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(tot), 6)
+        )
+        .orderBy("from_state", "to_state")
+    )
