@@ -216,6 +216,7 @@ HEADLINE = [
     "x10_lang_balanced_mixture",
     "x10_dedup_aware_mixture",
     "funnel_view_click_purchase",
+    "x13_funnel_latency",
     "cohort_weekly_retention",
     "merge_upsert_orders",
     "scd2_order_status",

@@ -9284,6 +9284,71 @@ def x5_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_funnel_latency",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.ts1
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT epoch(p.ts2) - epoch(v.ts1) AS s
+      FROM v JOIN p ON v.user_id = p.user_id
+    )
+    SELECT count(*)::BIGINT AS n_converted,
+           round(quantile_cont(s, 0.5), 6) AS p50_s,
+           round(quantile_cont(s, 0.9), 6) AS p90_s,
+           round(quantile_cont(s, 0.99), 6) AS p99_s,
+           round(avg(s), 6) AS mean_s
+    FROM lat
+    """,
+)
+def x13_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — view→purchase conversion latency (round 7): for every
+    user, seconds from first view to first subsequent purchase, with
+    exact p50/p90/p99 + mean — the time-to-convert companion of
+    ``funnel_view_click_purchase``'s stage counts (a funnel that
+    converts in a week is a different product than one converting in
+    a minute) and the latency view ``x13_kaplan_meier`` treats with
+    censoring. Two per-user min-aggregates and one id-width join fold
+    the log to a per-user latency frame; exact interpolated
+    percentiles match quantile_cont. Full oracle."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    lat = v.join(p, "user_id").select(
+        (
+            F.col("ts2").cast("double") - F.col("ts1").cast("double")
+        ).alias("s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.expr("percentile(s, 0.99)"), 6).alias("p99_s"),
+        F.round(F.avg("s"), 6).alias("mean_s"),
+    )
+
+
+@query(
     "funnel_view_click_purchase",
     """
     WITH t1 AS (
@@ -15190,6 +15255,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_textrank",  # co-occurrence-graph keyword centrality (new r7)
     "x4_centroid_auc",  # prototype-similarity separability AUC (new r7)
     "x5_isotonic_calibration",  # PAV monotone calibrator (new r7)
+    "x13_funnel_latency",  # exact time-to-convert percentiles (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (c) standing canaries ---
     "x8_session_window_batch",  # events loader canary
