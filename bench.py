@@ -211,6 +211,7 @@ HEADLINE = [
     "x10_stratified_weighted",
     "x10_temperature_sweep",
     "x10_source_mixture",
+    "x10_source_ablation",
     "x10_mixture_diversity",
     "x10_mixture_apply",
     "x10_lang_balanced_mixture",

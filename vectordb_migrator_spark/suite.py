@@ -12645,6 +12645,68 @@ def _psi_sql() -> str:
     """
 
 
+@query(
+    "x10_source_ablation",
+    r"""
+    WITH per AS (
+      SELECT source,
+             count(*)::BIGINT AS n,
+             sum(len(string_split_regex(lower(trim(text)), '\s+'))
+                 ::DECIMAL(28,6)) AS s
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(n) AS nt, sum(s) AS st FROM per)
+    SELECT source, n,
+           round(s::DOUBLE / n, 6) AS mean_tokens,
+           round((t.st - per.s)::DOUBLE / (t.nt - per.n), 6)
+             AS loo_mean,
+           round((t.st - per.s)::DOUBLE / (t.nt - per.n)
+                 - t.st::DOUBLE / t.nt, 6) AS delta_vs_all
+    FROM per, t ORDER BY source
+    """,
+)
+def x10_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — leave-one-source-out ablation of the corpus token
+    profile (round 7): for each source, what the corpus-mean tokens
+    per document becomes WITHOUT it — the closed-form data-valuation
+    readout ("which feed is dragging the profile") that jackknife
+    arithmetic gives for free from per-source aggregates: the naive
+    loop costs one corpus pass PER source, this costs ONE total.
+    Exact decimal sums make it engine-reproducible. Full oracle."""
+    from vectordb_migrator_spark.functions.text import token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            token_count_ws("text").cast("decimal(28,6)")
+        ).alias("s"),
+    )
+    t = per.agg(F.sum("n").alias("nt"), F.sum("s").alias("st"))
+    loo = (F.col("st") - F.col("s")).cast("double") / (
+        F.col("nt") - F.col("n")
+    ).cast("double")
+    return (
+        per.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n",
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("mean_tokens"),
+            F.round(loo, 6).alias("loo_mean"),
+            F.round(
+                loo
+                - F.col("st").cast("double")
+                / F.col("nt").cast("double"),
+                6,
+            ).alias("delta_vs_all"),
+        )
+        .orderBy("source")
+    )
+
+
 @query("x12_psi_drift", _psi_sql())
 def x12_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12 — Population Stability Index drift between the event log's
@@ -15263,6 +15325,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_centroid_auc",  # prototype-similarity separability AUC (new r7)
     "x5_isotonic_calibration",  # PAV monotone calibrator (new r7)
     "x13_funnel_latency",  # exact time-to-convert percentiles (new r7)
+    "x10_source_ablation",  # one-pass leave-one-source-out (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
