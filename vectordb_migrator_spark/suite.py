@@ -675,9 +675,9 @@ def x1_dedup_exact_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
       SELECT doc_id AS id,
              list_distinct(
-               CASE WHEN len(toks) >= 2
-                    THEN [array_to_string(toks[i:i+1], ' ')
-                          for i in range(1, len(toks))]
+               CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, len(toks) - 1)]
                     ELSE [array_to_string(toks, ' ')] END) AS g
       FROM (SELECT doc_id,
                    string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -700,7 +700,7 @@ def x1_dedup_exact_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x2_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 — EXACT bigram-Jaccard join (≥ 0.5) with PPJoin prefix
+    """X2 — EXACT trigram-Jaccard join (≥ 0.5) with PPJoin prefix
     filtering (round 7): each doc indexes only its |d|−⌈t·|d|⌉+1
     globally RAREST shingles — two sets meeting the threshold must
     share a prefix token (the prefix-filtering lemma) — so the hot
@@ -714,7 +714,7 @@ def x2_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_migrator_spark.operators.dedup import ppjoin_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return ppjoin_pairs(d, n=2, threshold=0.5)
+    return ppjoin_pairs(d, n=3, threshold=0.5)
 
 
 @query(
