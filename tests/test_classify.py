@@ -233,6 +233,12 @@ def test_isotonic_calibration_pav_and_apply(spark):
     assert applied[4.5] == 1.0
     assert applied[9.0] == 1.0  # above last segment
 
+    nulls = isotonic_apply(
+        spark.createDataFrame([(None,)], "score double"),
+        model, score_col="score",
+    ).first()
+    assert nulls["calibrated"] is None
+
     with pytest.raises(ValueError, match="max_points"):
         isotonic_calibrate(
             df, score_col="score", label_col="label", max_points=2

@@ -334,4 +334,8 @@ def isotonic_apply(
         expr = F.when(s <= seg["score_hi"], F.lit(seg["p"])).otherwise(
             expr
         )
-    return df.withColumn(out_col, expr)
+    # a NULL score has no segment — surface NULL, not the top
+    # segment's rate (the otherwise-branch a bare when-chain would hit)
+    return df.withColumn(
+        out_col, F.when(s.isNotNull(), expr)
+    )
