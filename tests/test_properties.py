@@ -559,3 +559,41 @@ def test_rendezvous_movers_go_to_new_shard_property(spark, n, rows):
         (F.col("s0") != F.col("s1")) & (F.col("s1") != n)
     ).count()
     assert bad == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abc xyz "), min_size=3,
+                max_size=30).filter(lambda s: s.strip()),
+        min_size=2,
+        max_size=15,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_ppjoin_equals_bruteforce_property(spark, texts, threshold):
+    """PPJoin (prefix + positional + length filters) returns exactly
+    the brute-force shingle-Jaccard pairs at the threshold for ANY
+    corpus — the filters must only ever cut cost, never results."""
+    from vectordb_migrator_spark.operators.dedup import ppjoin_pairs
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ppjoin_pairs(df, n=3, threshold=threshold).collect()
+    }
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a = set(_py_shingles(docs[i][1], 3))
+            b = set(_py_shingles(docs[j][1], 3))
+            if not a or not b:
+                continue
+            jac = round(len(a & b) / len(a | b), 6)
+            if jac >= threshold:
+                want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
