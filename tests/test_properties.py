@@ -597,3 +597,46 @@ def test_ppjoin_equals_bruteforce_property(spark, texts, threshold):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),  # duration
+            st.booleans(),  # observed event vs censored
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_kaplan_meier_matches_python_reference(spark, units):
+    """KM product-limit matches a direct Python implementation for
+    any mix of tied events and censorings (standard convention:
+    same-time censored units are still at risk at that time)."""
+    from vectordb_migrator_spark.operators.timeseries import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(float(t), int(e)) for t, e in units], "dur double, ev int"
+    )
+    got = {
+        r["t"]: (r["n_at_risk"], r["n_events"], r["survival"])
+        for r in kaplan_meier(
+            df, duration_col="dur", event_col="ev"
+        ).collect()
+    }
+
+    times = sorted({float(t) for t, _ in units})
+    s = 1.0
+    want = {}
+    for t in times:
+        n = sum(1 for d, _ in units if d >= t)
+        dd = sum(1 for d, e in units if d == t and e)
+        if dd == 0:
+            continue
+        s *= 1 - dd / n
+        want[t] = (n, dd, round(s, 6))
+    assert set(got) == set(want)
+    for t, (n, dd, sv) in want.items():
+        assert got[t][0] == n and got[t][1] == dd
+        assert abs(got[t][2] - sv) < 1e-6
