@@ -963,3 +963,47 @@ def test_transitions_ingest_matches_batch(spark, tmp_path):
     n_store = spark.read.parquet(str(tmp_path / "store")).count()
     run()  # replay: no new data
     assert spark.read.parquet(str(tmp_path / "store")).count() == n_store
+
+
+def test_jackknife_ingest_matches_batch(spark, tmp_path):
+    """Streaming jackknife store: two micro-batched ingests reproduce
+    the batch jackknife_ci on the full stream exactly (decimal
+    partials merge by addition), and replay appends nothing."""
+    from vectordb_migrator_spark.operators.scale import jackknife_ci
+    from vectordb_migrator_spark.streaming.incremental import (
+        jackknife_ingest,
+        jackknife_over,
+    )
+
+    schema = "g string, uid long, v double"
+    b1 = [("g", i % 23, float((i * 3) % 50)) for i in range(200)]
+    b2 = [("g", i % 23, float((i * 7) % 50)) for i in range(150)]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(b1, schema).write.parquet(src)
+
+    def run():
+        q = jackknife_ingest(
+            spark, source_path=src, source_schema=schema,
+            store_path=str(tmp_path / "store"),
+            checkpoint=str(tmp_path / "ck"),
+            value_col="v", unit_col="uid", buckets=8,
+            group_cols=["g"],
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    run()
+
+    got = jackknife_over(
+        spark, str(tmp_path / "store"), group_cols=["g"]
+    ).first().asDict()
+    want = jackknife_ci(
+        spark.createDataFrame(b1 + b2, schema), "v",
+        unit_col="uid", buckets=8, group_cols=["g"],
+    ).first().asDict()
+    assert got == want
+
+    n_store = spark.read.parquet(str(tmp_path / "store")).count()
+    run()
+    assert spark.read.parquet(str(tmp_path / "store")).count() == n_store

@@ -1293,3 +1293,162 @@ def transitions_over(spark: SparkSession, store_path: str) -> DataFrame:
         )
         .orderBy("from_state", "to_state")
     )
+
+
+def jackknife_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    store_path: str,
+    checkpoint: str,
+    value_col: str,
+    unit_col: str,
+    buckets: int = 50,
+    seed: int = 7,
+    group_cols: list[str] | None = None,
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    trigger_once: bool = True,
+):
+    """Continuous jackknife-CI maintenance — the streaming twin of
+    ``operators/scale.py:jackknife_ci``: each micro-batch folds to
+    per-(group, md5-cohort) exact decimal (sum, count) partials, which
+    merge by ADDITION like every sketch store here, so
+    :func:`jackknife_over` reads the CURRENT delete-one-bucket CI
+    without rescanning stream history — live experiment dashboards
+    with honest error bars at O(batch) cost per batch.
+    Replay-idempotent via the (group, bucket, batch_id) anti-join."""
+    from pyspark.sql.utils import AnalysisException
+
+    gcols = list(group_cols or [])
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        bkt = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(unit_col).cast("string"),
+                            F.lit(f":{seed}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % buckets
+        )
+        partials = (
+            batch_df.select(
+                *gcols, bkt.alias("bkt"),
+                F.col(value_col).alias("__v"),
+            )
+            .groupBy(*gcols, "bkt")
+            .agg(
+                F.sum(F.col("__v").cast("decimal(28,6)")).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        try:
+            seen = sess.read.parquet(store_path).select(
+                *gcols, "bkt", "batch_id"
+            )
+            partials = partials.join(
+                seen, [*gcols, "bkt", "batch_id"], "left_anti"
+            )
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(store_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .options(**(reader_options or {}))
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def jackknife_over(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    group_cols: list[str] | None = None,
+    z: float = 1.96,
+) -> DataFrame:
+    """Current delete-one-bucket jackknife CI from a
+    :func:`jackknife_ingest` store: merge the per-batch cohort
+    partials (exact decimal addition) and run the closed-form
+    leave-one-out arithmetic on the tiny merged frame — identical to
+    the batch operator on the same stream prefix."""
+    gcols = list(group_cols or [])
+    per = (
+        spark.read.parquet(store_path)
+        .groupBy(*gcols, "bkt")
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("n").cast("long").alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    tot = (
+        per.withColumn("__St", F.sum("s").over(w))
+        .withColumn("__Nt", F.sum("n").over(w))
+        .withColumn("nb", F.count(F.lit(1)).over(w))
+    )
+    loo = tot.withColumn(
+        "m",
+        (F.col("__St") - F.col("s")).cast("double")
+        / F.nullif(F.col("__Nt") - F.col("n"), F.lit(0)).cast("double"),
+    )
+    mbar = loo.groupBy(*gcols).agg(
+        F.avg("m").alias("__mbar"),
+        F.max("nb").alias("__nb"),
+        F.max("__Nt").cast("long").alias("__n_total"),
+        F.round(
+            F.max("__St").cast("double") / F.max("__Nt").cast("double"),
+            6,
+        ).alias("__mean"),
+    )
+    joined = (
+        loo.select(*gcols, "m").join(F.broadcast(mbar), gcols)
+        if gcols
+        else loo.select("m").crossJoin(F.broadcast(mbar))
+    )
+    var = joined.groupBy(*gcols).agg(
+        F.max("__n_total").alias("n"),
+        F.max("__mean").alias("mean"),
+        F.max("__nb").alias("__nb"),
+        F.sum(
+            (F.col("m") - F.col("__mbar"))
+            * (F.col("m") - F.col("__mbar"))
+        ).alias("__ss"),
+    )
+    se = F.sqrt(
+        (F.col("__nb") - 1).cast("double") / F.col("__nb") * F.col("__ss")
+    )
+    out = var.select(
+        *gcols,
+        "n",
+        "mean",
+        F.col("__nb").cast("long").alias("n_buckets"),
+        F.round(se, 6).alias("se"),
+        F.round(F.col("mean") - F.lit(z) * se, 6).alias("ci_lo"),
+        F.round(F.col("mean") + F.lit(z) * se, 6).alias("ci_hi"),
+    )
+    return out.orderBy(*gcols) if gcols else out
