@@ -195,6 +195,7 @@ HEADLINE = [
     "x12_referential_integrity",
     "x12_psi_drift",
     "x7_jackknife_ci",
+    "x7_weighted_quantiles",
     "x7_cuped",
     "x7_mannwhitney",
     "x7_ks_test",

@@ -270,3 +270,34 @@ def test_kmv_distinct_exact_small_and_bounded_error_large(spark):
     )
     want = round(63.0 * float(1 << 60) / hs[63], 6)
     assert est == want
+
+
+def test_weighted_quantiles_threshold_semantics(spark):
+    """Weighted median is the smallest value whose cumulative weight
+    share reaches q; heavy weights pull the quantile; non-positive
+    weights drop; empty qs fails loudly."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.sketches import (
+        weighted_quantiles,
+    )
+
+    rows = [
+        ("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 8.0),
+        ("g", 4.0, 0.0),   # zero weight: ignored
+        ("h", 10.0, 1.0), ("h", 20.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in weighted_quantiles(
+            df, "v", "w", [0.5, 0.9], group_cols=["g"]
+        ).collect()
+    }
+    # g: total 10; cum(1)=1 < 5, cum(2)=2 < 5, cum(3)=10 >= 5 -> 3.0
+    assert got[("g", 0.5)] == 3.0 and got[("g", 0.9)] == 3.0
+    # h: cum(10)=1 >= 0.5*2 -> 10; 0.9*2=1.8 -> 20
+    assert got[("h", 0.5)] == 10.0 and got[("h", 0.9)] == 20.0
+
+    with pytest.raises(ValueError, match="qs"):
+        weighted_quantiles(df, "v", "w", [])

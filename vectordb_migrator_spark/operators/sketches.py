@@ -339,3 +339,61 @@ def kmv_distinct(
         n.cast("long").alias("n_kmin"),
         F.round(est, 6).alias("est"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted quantiles: the smallest value whose cumulative weight
+    share reaches q (left-continuous, no interpolation — the
+    deterministic convention) — what "median price weighted by
+    quantity" or "p90 latency weighted by request cost" actually
+    means, where the unweighted percentile silently pretends every
+    row matters equally.
+
+    Scale shape: the corpus folds to one row per DISTINCT value per
+    group with its EXACT decimal weight sum (map-side combinable);
+    the cumulative threshold scan is a window over that small frame.
+    Engine-exact: weights sum as decimals, thresholds compare as
+    q·total ≤ cum on exact values. Non-positive weights are rejected
+    scan-side (a zero/negative weight has no quantile meaning)."""
+    gcols = list(group_cols or [])
+    per = (
+        df.filter(
+            F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .groupBy(*gcols, F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(F.col(weight_col).cast("decimal(28,6)")).alias("w")
+        )
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*gcols)
+    c = per.withColumn("__cum", F.sum("w").over(wcum)).withColumn(
+        "__tot", F.sum("w").over(wtot)
+    )
+    out = None
+    for q in qs:
+        hit = c.filter(
+            F.col("__cum").cast("double")
+            >= F.lit(q) * F.col("__tot").cast("double")
+        )
+        row = hit.groupBy(*gcols).agg(
+            F.lit(q).alias("q"),
+            F.min("__v").cast("double").alias("value"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("qs must be non-empty")
+    return out.orderBy(*gcols, "q")

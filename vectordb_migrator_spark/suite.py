@@ -3940,6 +3940,52 @@ QUERIES["x7_kmv_distinct"] = x7_kmv_distinct
 
 
 @query(
+    "x7_weighted_quantiles",
+    """
+    WITH per AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             sum(l_quantity::DECIMAL(28,6)) AS w
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, v, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM per
+    )
+    SELECT l_returnflag, q, min(v) AS value FROM (
+      SELECT l_returnflag, 0.5::DOUBLE AS q, v FROM c
+      WHERE cum::DOUBLE >= 0.5 * tot::DOUBLE
+      UNION ALL
+      SELECT l_returnflag, 0.9::DOUBLE, v FROM c
+      WHERE cum::DOUBLE >= 0.9 * tot::DOUBLE
+    ) GROUP BY 1, 2 ORDER BY l_returnflag, q
+    """,
+)
+def x7_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — quantity-weighted price quantiles per return flag (round
+    7): the smallest price whose cumulative QUANTITY share reaches
+    q — what "median price weighted by volume" means, where the
+    unweighted percentile pretends a 1-unit and a 50-unit line
+    matter equally. The corpus folds to one exact-decimal weight per
+    distinct (flag, price); the threshold scan windows over that
+    frame (operators/sketches.py:weighted_quantiles). Full oracle."""
+    from vectordb_migrator_spark.operators.sketches import (
+        weighted_quantiles,
+    )
+
+    return weighted_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        [0.5, 0.9],
+        group_cols=["l_returnflag"],
+    )
+
+
+@query(
     "x7_jackknife_ci",
     """
     WITH b AS (
@@ -15324,6 +15370,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_isotonic_calibration",  # PAV monotone calibrator (new r7)
     "x13_funnel_latency",  # exact time-to-convert percentiles (new r7)
     "x10_source_ablation",  # one-pass leave-one-source-out (new r7)
+    "x7_weighted_quantiles",  # cumulative-weight exact quantiles (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
