@@ -380,8 +380,12 @@ def weighted_quantiles(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wtot = Window.partitionBy(*gcols)
-    c = per.withColumn("__cum", F.sum("w").over(wcum)).withColumn(
-        "__tot", F.sum("w").over(wtot)
+    c = (
+        per.withColumn("__cum", F.sum("w").over(wcum))
+        .withColumn("__tot", F.sum("w").over(wtot))
+        # each q below filters this frame; materialize the (tiny)
+        # distinct-value fold once so the corpus scans ONCE, not per q
+        .localCheckpoint(eager=True)
     )
     out = None
     for q in qs:
