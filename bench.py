@@ -194,6 +194,7 @@ HEADLINE = [
     "x12_corpus_alignment",
     "x12_referential_integrity",
     "x12_psi_drift",
+    "x12_null_matrix",
     "x7_jackknife_ci",
     "x7_weighted_quantiles",
     "x7_cuped",

@@ -12980,6 +12980,78 @@ def x12_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x12_null_matrix",
+    """
+    WITH u AS (
+      SELECT source, 'lang' AS col,
+             (CASE WHEN lang IS NULL OR trim(lang) = ''
+                   THEN 1 ELSE 0 END) AS miss
+      FROM documents
+      UNION ALL
+      SELECT source, 'text',
+             CASE WHEN text IS NULL OR trim(text) = ''
+                  THEN 1 ELSE 0 END
+      FROM documents
+      UNION ALL
+      SELECT source, 'n_chars',
+             CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END
+      FROM documents
+    )
+    SELECT source, col, count(*)::BIGINT AS n,
+           sum(miss)::BIGINT AS missing,
+           round(sum(miss)::DOUBLE / count(*), 6) AS miss_rate
+    FROM u GROUP BY source, col ORDER BY source, col
+    """,
+)
+def x12_null_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — per-source completeness matrix (round 7): missing-value
+    rate (NULL or blank) for every column × source cell — the "which
+    feed broke which field" heatmap that localizes what
+    ``x12_quality_constraints``' global rates can only detect and
+    ``x12_source_profile_drift`` sees only as a mean shift. ONE
+    stack-unpivot scan (the ``x12_layout_advisor`` pattern): columns
+    unpivot plan-side, so N columns cost one pass, not N."""
+    d = _t(spark, sf_dir, "documents")
+
+    def miss(c, blankable):
+        e = F.col(c).isNull()
+        if blankable:
+            e = e | (F.trim(F.col(c)) == "")
+        return e.cast("int")
+
+    stacked = d.select(
+        "source",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("col"),
+                    miss("lang", True).alias("miss"),
+                ),
+                F.struct(
+                    F.lit("text").alias("col"),
+                    miss("text", True).alias("miss"),
+                ),
+                F.struct(
+                    F.lit("n_chars").alias("col"),
+                    miss("n_chars", False).alias("miss"),
+                ),
+            )
+        ).alias("r"),
+    ).select("source", "r.col", "r.miss")
+    return (
+        stacked.groupBy("source", "col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("miss").cast("long").alias("missing"),
+            F.round(F.sum("miss") / F.count(F.lit(1)), 6).alias(
+                "miss_rate"
+            ),
+        )
+        .orderBy("source", "col")
+    )
+
+
+@query(
     "x12_benford",
     """
     WITH d AS (
@@ -15371,6 +15443,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_funnel_latency",  # exact time-to-convert percentiles (new r7)
     "x10_source_ablation",  # one-pass leave-one-source-out (new r7)
     "x7_weighted_quantiles",  # cumulative-weight exact quantiles (new r7)
+    "x12_null_matrix",  # per-source completeness heatmap (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
