@@ -168,6 +168,7 @@ HEADLINE = [
     "x6_frame_dedup",
     "x6_image_headers",
     "x6_audio_headers",
+    "x6_wav_decode",
     "x6_video_headers",
     "x9_chunk_documents",
     "x9_int8_quantization",

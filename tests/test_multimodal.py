@@ -309,3 +309,55 @@ def test_video_header_info_mp4_avi_ebml_unknown(spark):
     assert got[3] == ("avi", None, 640, 480, 10000)
     assert got[4] == ("ebml", None, None, None, None)
     assert got[5] == ("unknown", None, None, None, None)
+
+
+def test_wav_pcm_features_real_decode(spark):
+    """Real stdlib-encoded WAV bytes decode end to end: a square wave
+    reports RMS == amplitude, exact zero-crossing count, duration from
+    the true frame count; stereo reads channel 0; corrupt payloads
+    yield NULLs instead of failing."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        wav_pcm_features,
+    )
+
+    def wav_bytes(samples, sr=8000, channels=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            arr = np.asarray(samples, dtype="<i2")
+            if channels == 2:
+                arr = np.column_stack([arr, np.zeros_like(arr)]).ravel()
+            w.writeframes(arr.tobytes())
+        return buf.getvalue()
+
+    h, A, n = 8, 2000, 160  # half-period 8 -> crossings = (n-1)//h
+    sq = [A if (i // h) % 2 == 0 else -A for i in range(n)]
+    rows = [
+        (1, bytearray(wav_bytes(sq))),
+        (2, bytearray(wav_bytes(sq, channels=2))),
+        (3, bytearray(b"not a wav")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in wav_pcm_features(df).collect()}
+
+    r1 = got[1]
+    assert (r1["sample_rate"], r1["channels"], r1["n_samples"]) == (
+        8000, 1, n,
+    )
+    assert r1["duration_ms"] == n * 1000 // 8000
+    assert r1["rms"] == float(A)  # square wave: every sample is +/-A
+    assert r1["peak"] == A
+    assert r1["zero_crossings"] == (n - 1) // h
+
+    r2 = got[2]
+    assert r2["channels"] == 2 and r2["rms"] == float(A)  # channel 0
+
+    r3 = got[3]
+    assert r3["sample_rate"] is None and r3["rms"] is None

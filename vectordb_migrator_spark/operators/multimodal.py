@@ -474,3 +474,85 @@ def video_header_info(payload: Column) -> Column:
         .when(sig4 == "1A45DFA3", st("ebml", null_s, null_i, null_i, null_i))
         .otherwise(st("unknown", null_s, null_i, null_i, null_i))
     )
+
+
+WAV_PCM_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_samples long, "
+    "duration_ms long, rms double, peak long, zero_crossings long"
+)
+
+
+def wav_pcm_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio decode for the one format that needs no codec:
+    16-bit PCM WAV parses with the stdlib ``wave`` module and
+    ``numpy.frombuffer`` — so unlike the ``decode_image`` stubs this
+    path runs end-to-end in this container on actual bytes. Per file:
+    sample rate, channels, sample/duration counts, RMS level, peak
+    amplitude, and zero-crossing count (the crude pitch/energy
+    features a dedup or silence-filter tier wants) from channel 0.
+
+    Arrow-batched ``mapInPandas`` kernel — the sanctioned Python
+    boundary: payloads stream through in bounded batches, each decode
+    is pure NumPy (no per-sample Python), and only the fixed-width
+    feature row leaves the executor. Undecodable payloads yield NULL
+    features rather than failing the job (one corrupt blob must never
+    kill a 100 TB pass)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {
+                    "doc_id": int(doc_id), "sample_rate": None,
+                    "channels": None, "n_samples": None,
+                    "duration_ms": None, "rms": None, "peak": None,
+                    "zero_crossings": None,
+                }
+                try:
+                    with wave.open(io.BytesIO(bytes(payload))) as w:
+                        if w.getsampwidth() == 2:
+                            sr = w.getframerate()
+                            ch = w.getnchannels()
+                            n = w.getnframes()
+                            raw = np.frombuffer(
+                                w.readframes(n), dtype="<i2"
+                            )
+                            s = raw[::ch].astype(np.float64)
+                            row.update(
+                                sample_rate=sr,
+                                channels=ch,
+                                n_samples=int(s.size),
+                                duration_ms=int(s.size * 1000 // sr),
+                                rms=round(
+                                    float(np.sqrt(np.mean(s * s))), 6
+                                )
+                                if s.size
+                                else None,
+                                peak=int(np.max(np.abs(s)))
+                                if s.size
+                                else None,
+                                zero_crossings=int(
+                                    np.count_nonzero(
+                                        s[1:] * s[:-1] < 0
+                                    )
+                                )
+                                if s.size > 1
+                                else 0,
+                            )
+                except Exception:  # noqa: BLE001 — corrupt blob -> NULLs
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=WAV_PCM_SCHEMA
+    )

@@ -3223,6 +3223,71 @@ def _x6_headers_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x6_wav_decode",
+    """
+    SELECT doc_id,
+           8000::INT AS sample_rate, 1::INT AS channels,
+           (1600 + (doc_id % 7) * 160)::BIGINT AS n_samples,
+           ((1600 + (doc_id % 7) * 160) // 8)::BIGINT AS duration_ms,
+           (1000 + (doc_id % 9) * 500)::DOUBLE AS rms,
+           (1000 + (doc_id % 9) * 500)::BIGINT AS peak,
+           ((1600 + (doc_id % 7) * 160 - 1)
+            // (8 + (doc_id % 5) * 2))::BIGINT AS zero_crossings
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x6_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — REAL audio decode (round 7): 16-bit PCM WAV needs no
+    codec, so unlike the image/video stubs this path decodes actual
+    bytes end to end (stdlib ``wave`` + NumPy inside an Arrow-batched
+    ``mapInPandas`` kernel) and reports RMS / peak / zero-crossing /
+    duration features. The fixture synthesizes a square wave per doc
+    (half-period, amplitude, and length derived from doc_id), whose
+    features are CLOSED-FORM — RMS = amplitude exactly, crossings =
+    (n−1)//half — so the decode of real samples carries a full
+    arithmetic oracle (operators/multimodal.py:wav_pcm_features)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        wav_pcm_features,
+    )
+
+    def gen(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h = 8 + (d % 5) * 2
+                amp = 1000 + (d % 9) * 500
+                n = 1600 + (d % 7) * 160
+                idx = np.arange(n)
+                s = np.where((idx // h) % 2 == 0, amp, -amp).astype(
+                    "<i2"
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(s.tobytes())
+                rows.append(
+                    {"doc_id": d, "payload": bytearray(buf.getvalue())}
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(gen, schema="doc_id long, payload binary")
+    )
+    return wav_pcm_features(payloads).orderBy("doc_id")
+
+
+@query(
     "x6_audio_headers",
     """
     SELECT doc_id,
@@ -15444,6 +15509,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_source_ablation",  # one-pass leave-one-source-out (new r7)
     "x7_weighted_quantiles",  # cumulative-weight exact quantiles (new r7)
     "x12_null_matrix",  # per-source completeness heatmap (new r7)
+    "x6_wav_decode",  # REAL PCM decode with arithmetic oracle (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
