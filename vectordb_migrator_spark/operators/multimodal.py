@@ -3,10 +3,12 @@
 Images/audio/video ride through the pipeline as opaque ``binary``
 columns plus a metadata struct (modality, mime, width/height/duration).
 The Spark-side plumbing — schema, Arrow batch shape, partition sizing —
-is real and tested; the actual media decode is STUBBED (no
-image/audio libraries in this container): ``decode_image`` raises
-``NotImplementedError`` unless given the deterministic fake decoder,
-which is what tests and oracles exercise.
+is real and tested. Decode tiers: 16-bit PCM WAV decodes FOR REAL
+(:func:`wav_pcm_features` — stdlib ``wave`` + NumPy, no codec needed);
+compressed image/audio/video decode is STUBBED (no codec libraries in
+this container): ``decode_image`` raises ``NotImplementedError``
+unless given the deterministic fake decoder, which is what tests and
+oracles exercise.
 
 Scale notes: binary payloads dominate row size, so ops that don't need
 bytes must never deserialize them — feature extraction projects the
