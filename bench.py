@@ -169,6 +169,7 @@ HEADLINE = [
     "x6_image_headers",
     "x6_audio_headers",
     "x6_wav_decode",
+    "x6_bmp_decode",
     "x6_video_headers",
     "x9_chunk_documents",
     "x9_int8_quantization",

@@ -361,3 +361,56 @@ def test_wav_pcm_features_real_decode(spark):
 
     r3 = got[3]
     assert r3["sample_rate"] is None and r3["rms"] is None
+
+
+def _bmp_bytes(w, h, px_fn):
+    """Minimal bottom-up 24-bit BMP writer (BGR, 4-byte row padding)."""
+    import struct
+
+    stride = (w * 3 + 3) // 4 * 4
+    data = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            b, g, r = px_fn(x, y)
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        data += row
+    size = 54 + len(data)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return bytes(hdr + info + data)
+
+
+def test_bmp_decode_features_real_decode(spark):
+    """Real BMP bytes decode end to end: per-channel means match the
+    planted gradients exactly, the top-left pixel proves bottom-up
+    row flipping, odd widths exercise row padding, and corrupt
+    payloads yield NULLs."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        bmp_decode_features,
+    )
+
+    w, h, A = 15, 6, 200  # w*3=45 -> 3 pad bytes per row
+
+    def px(x, y):
+        return (x, y * 3, A)  # b=x, g=3y, r=const
+
+    rows = [
+        (1, bytearray(_bmp_bytes(w, h, px))),
+        (2, bytearray(b"nope")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in bmp_decode_features(df).collect()}
+
+    r1 = got[1]
+    assert (r1["width"], r1["height"], r1["n_pixels"]) == (w, h, w * h)
+    assert r1["mean_b"] == (w - 1) / 2
+    assert r1["mean_g"] == 3 * (h - 1) / 2
+    assert r1["mean_r"] == float(A)
+    # top-left pixel is y=0 -> g=0; an unflipped decoder would read
+    # the bottom row (g = 3*(h-1)) here
+    assert (r1["px00_b"], r1["px00_g"], r1["px00_r"]) == (0, 0, A)
+    assert got[2]["width"] is None

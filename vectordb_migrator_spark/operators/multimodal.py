@@ -558,3 +558,85 @@ def wav_pcm_features(
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema=WAV_PCM_SCHEMA
     )
+
+
+BMP_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double, "
+    "px00_r int, px00_g int, px00_b int"
+)
+
+
+def bmp_decode_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image decode for the codec-free format: uncompressed
+    24-bit BMP parses with ``struct`` + ``numpy.frombuffer`` — the
+    image sibling of :func:`wav_pcm_features`, running end to end on
+    actual bytes in this container. Per image: dimensions, per-channel
+    means (the brightness/color-cast features an image-dedup or
+    quality tier wants), and the TOP-LEFT pixel — which in BMP is the
+    LAST stored row (bottom-up layout), so returning it correctly
+    proves the decoder handles row order and the 4-byte row padding,
+    the two classic BMP decode bugs.
+
+    Arrow-batched ``mapInPandas``: each decode is vectorized NumPy
+    (reshape with padded stride, flip, channel split — no per-pixel
+    Python); undecodable or non-24bpp payloads yield NULL features
+    instead of failing the pass."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {
+                    "doc_id": int(doc_id), "width": None,
+                    "height": None, "n_pixels": None, "mean_r": None,
+                    "mean_g": None, "mean_b": None, "px00_r": None,
+                    "px00_g": None, "px00_b": None,
+                }
+                try:
+                    b = bytes(payload)
+                    if b[:2] == b"BM" and len(b) >= 54:
+                        off = struct.unpack_from("<I", b, 10)[0]
+                        w, h = struct.unpack_from("<ii", b, 18)
+                        planes, bpp = struct.unpack_from("<HH", b, 26)
+                        comp = struct.unpack_from("<I", b, 30)[0]
+                        if bpp == 24 and comp == 0 and w > 0 and h != 0:
+                            flip = h > 0
+                            h = abs(h)
+                            stride = (w * 3 + 3) // 4 * 4
+                            data = np.frombuffer(
+                                b, dtype=np.uint8, count=stride * h,
+                                offset=off,
+                            ).reshape(h, stride)[:, : w * 3]
+                            px = data.reshape(h, w, 3)  # BGR order
+                            if flip:
+                                px = px[::-1]
+                            means = px.astype(np.float64).mean(
+                                axis=(0, 1)
+                            )
+                            row.update(
+                                width=int(w), height=int(h),
+                                n_pixels=int(w) * int(h),
+                                mean_b=round(float(means[0]), 6),
+                                mean_g=round(float(means[1]), 6),
+                                mean_r=round(float(means[2]), 6),
+                                px00_b=int(px[0, 0, 0]),
+                                px00_g=int(px[0, 0, 1]),
+                                px00_r=int(px[0, 0, 2]),
+                            )
+                except Exception:  # noqa: BLE001 — corrupt blob -> NULLs
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=BMP_SCHEMA
+    )

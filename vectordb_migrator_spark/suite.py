@@ -3223,6 +3223,80 @@ def _x6_headers_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x6_bmp_decode",
+    """
+    SELECT doc_id,
+           (15 + (doc_id % 5) * 7)::INT AS width,
+           (8 + (doc_id % 3) * 4)::INT AS height,
+           ((15 + (doc_id % 5) * 7)
+            * (8 + (doc_id % 3) * 4))::BIGINT AS n_pixels,
+           (doc_id % 256)::DOUBLE AS mean_r,
+           (3 * ((8 + (doc_id % 3) * 4) - 1) / 2.0)::DOUBLE AS mean_g,
+           (((15 + (doc_id % 5) * 7) - 1) / 2.0)::DOUBLE AS mean_b,
+           (doc_id % 256)::INT AS px00_r,
+           0::INT AS px00_g,
+           0::INT AS px00_b
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x6_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — REAL image decode (round 7): uncompressed 24-bit BMP
+    needs no codec, so this path decodes actual bytes end to end
+    (struct header parse + vectorized NumPy reshape/flip inside an
+    Arrow-batched ``mapInPandas`` kernel) — the image sibling of
+    ``x6_wav_decode``. Fixtures plant per-doc gradients (blue = x,
+    green = 3y, red = constant) across widths that exercise every
+    4-byte row-padding case and the bottom-up row flip (the two
+    classic BMP bugs — the top-left pixel read wrong exposes both);
+    every feature is closed-form, so the real decode carries a full
+    arithmetic oracle (operators/multimodal.py:bmp_decode_features)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        bmp_decode_features,
+    )
+
+    def gen(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 15 + (d % 5) * 7
+                h = 8 + (d % 3) * 4
+                amp = d % 256
+                stride = (w * 3 + 3) // 4 * 4
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = np.arange(w)[None, :]  # b = x
+                px[:, :, 1] = (3 * np.arange(h))[:, None]  # g = 3y
+                px[:, :, 2] = amp  # r
+                stored = px[::-1]  # bottom-up
+                data = np.zeros((h, stride), dtype=np.uint8)
+                data[:, : w * 3] = stored.reshape(h, w * 3)
+                body = data.tobytes()
+                hdr = struct.pack(
+                    "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+                )
+                info = struct.pack(
+                    "<IiiHHIIiiII",
+                    40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+                )
+                rows.append(
+                    {"doc_id": d, "payload": bytearray(hdr + info + body)}
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(gen, schema="doc_id long, payload binary")
+    )
+    return bmp_decode_features(payloads).orderBy("doc_id")
+
+
+@query(
     "x6_wav_decode",
     """
     SELECT doc_id,
@@ -15510,6 +15584,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_weighted_quantiles",  # cumulative-weight exact quantiles (new r7)
     "x12_null_matrix",  # per-source completeness heatmap (new r7)
     "x6_wav_decode",  # REAL PCM decode with arithmetic oracle (new r7)
+    "x6_bmp_decode",  # REAL BMP decode with arithmetic oracle (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
