@@ -106,6 +106,7 @@ HEADLINE = [
     "x3_silhouette",
     "x3_training_triples",
     "x11_sql_api_topk",
+    "x11_sql_curation",
     "x4_ivf_topk",
     "x4_hamming_topk",
     "x4_binary_rerank",

@@ -14182,6 +14182,65 @@ def x11_sql_api_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x11_sql_curation",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             md5(text) AS fp,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+      FROM documents
+    ),
+    kept AS (SELECT * FROM tok WHERE n_tok >= 20),
+    uniq AS (
+      SELECT doc_id, lang, n_tok FROM (
+        SELECT doc_id, lang, n_tok,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                 AS rn
+        FROM kept) WHERE rn = 1
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS total_tokens,
+           round(avg(n_tok), 6) AS mean_tokens
+    FROM uniq GROUP BY lang ORDER BY lang
+    """,
+)
+def x11_sql_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — a curation pipeline written ENTIRELY as SQL text (round
+    7): length gate → exact-dup removal (md5 fingerprint, min-id
+    keeper) → per-language token budget, submitted via ``spark.sql``
+    over a registered view — proving a SQL-first user drives the same
+    engine (Catalyst compiles this to the identical codegen plan the
+    Column-API ``x0_training_pipeline`` stages get; same pushdown,
+    same map-side combines). Full oracle — near-verbatim, dialect
+    aside."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView(
+        "vm_documents"
+    )
+    return spark.sql(
+        r"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 md5(text) AS fp,
+                 size(split(lower(trim(text)), '\\s+')) AS n_tok
+          FROM vm_documents
+        ),
+        kept AS (SELECT * FROM tok WHERE n_tok >= 20),
+        uniq AS (
+          SELECT doc_id, lang, n_tok FROM (
+            SELECT doc_id, lang, n_tok,
+                   row_number() OVER (PARTITION BY fp
+                                      ORDER BY doc_id) AS rn
+            FROM kept) WHERE rn = 1
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               round(avg(n_tok), 6) AS mean_tokens
+        FROM uniq GROUP BY lang ORDER BY lang
+        """
+    )
+
+
 # ---------------------------------------------------------------------
 # X5/X10 — hashed-feature linear classifiers (fastText / DSIR stand-ins)
 # ---------------------------------------------------------------------
@@ -15585,6 +15644,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_null_matrix",  # per-source completeness heatmap (new r7)
     "x6_wav_decode",  # REAL PCM decode with arithmetic oracle (new r7)
     "x6_bmp_decode",  # REAL BMP decode with arithmetic oracle (new r7)
+    "x11_sql_curation",  # SQL-text-only curation pipeline (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
