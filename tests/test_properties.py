@@ -640,3 +640,75 @@ def test_kaplan_meier_matches_python_reference(spark, units):
     for t, (n, dd, sv) in want.items():
         assert got[t][0] == n and got[t][1] == dd
         assert abs(got[t][2] - sv) < 1e-6
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),  # value
+            st.integers(min_value=1, max_value=9),  # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_quantiles_matches_python_reference(spark, rows):
+    """Left-continuous weighted quantile: smallest value whose
+    cumulative weight share reaches q — matches a direct Python scan
+    for any value/weight mix including ties."""
+    from vectordb_migrator_spark.operators.sketches import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v), float(w)) for v, w in rows], "v double, w double"
+    )
+    qs = [0.25, 0.5, 0.9]
+    got = {
+        r["q"]: r["value"]
+        for r in weighted_quantiles(df, "v", "w", qs).collect()
+    }
+
+    agg: dict = {}
+    for v, w in rows:
+        agg[v] = agg.get(v, 0) + w
+    total = sum(agg.values())
+    for q in qs:
+        cum = 0
+        for v in sorted(agg):
+            cum += agg[v]
+            if cum >= q * total:
+                assert got[q] == float(v), (q, got[q], v)
+                break
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # coarse score: ties
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=40,
+    ).filter(
+        lambda xs: any(l for _, l in xs) and any(not l for _, l in xs)
+    )
+)
+def test_auc_matches_pairwise_probability(spark, rows):
+    """AUC from the rank statistic equals the direct pairwise
+    P(score+ > score-) + half-ties for any tied/untied score mix."""
+    from vectordb_migrator_spark.operators.scale import auc_score
+
+    df = spark.createDataFrame(
+        [(float(s), int(l)) for s, l in rows], "score double, label int"
+    )
+    got = auc_score(df, score_col="score", label_col="label").first()
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    direct = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0
+        for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert abs(got["auc"] - direct) < 1e-6
