@@ -115,6 +115,7 @@ HEADLINE = [
     "x4_opq_adc_recall",
     "x4_ivfpq_topk",
     "x4_ivfpq_stored_topk",
+    "x4_ivfpq_residual_topk",
     "x4_sq_topk",
     "x4_ivf_index_topk",
     "x4_ivf_filtered_topk",

@@ -1172,3 +1172,59 @@ def test_maxsim_topk_zero_norm_vectors_score_zero(spark):
     assert out[2] == 0.0          # not NULL
     assert out[3] == 1.0          # max(0, cos) picked the real vector
     assert out[1] == 1.0
+
+
+def test_ivfpq_residual_exact_when_residuals_are_codewords(spark):
+    """When every vector is centroid + one of the first-16 residual
+    patterns, residual-ADC distances are EXACT squared L2 to the
+    probe, so the top-k equals brute force over the probed clusters —
+    plain-vector PQ with the same budget cannot say that."""
+    import itertools
+
+    from vectordb_migrator_spark.operators.similarity import (
+        ivfpq_residual_topk,
+    )
+
+    # residual patterns: 8 distinct 4-d vectors, used in both clusters
+    pats = [
+        [float(a), float(b), 0.5, -0.25]
+        for a, b in itertools.product((0.0, 1.0), (0.0, 2.0))
+    ] + [
+        [0.25, float(a), float(b), 1.5]
+        for a, b in itertools.product((0.0, 3.0), (1.0, 0.0))
+    ]
+    cents = {0: [0.0, 0.0, 0.0, 0.0], 1: [100.0, 100.0, 100.0, 100.0]}
+    rows = []
+    vid = 0
+    for c in (0, 1):  # ids 0..15 cover every pattern in both clusters
+        for p in pats:
+            rows.append(
+                (vid, c, [cents[c][i] + p[i] for i in range(4)])
+            )
+            vid += 1
+    # extra rows reuse patterns (still exactly representable)
+    for c in (0, 1):
+        for p in pats[:4]:
+            rows.append(
+                (vid, c, [cents[c][i] + p[i] + 0.0 for i in range(4)])
+            )
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    probe = [0.4, 0.9, 0.6, 0.1]
+
+    got = [
+        (r["vec_id"], r["adc_dist"])
+        for r in ivfpq_residual_topk(
+            df, probe, cluster_col="label", m=2, k=5, nprobe=1
+        ).collect()
+    ]
+    # brute force within the probed cluster (cluster 0 — nearest)
+    def l2(v):
+        return round(sum((a - b) ** 2 for a, b in zip(v, probe)), 6)
+
+    want = sorted(
+        ((l2(v), i) for i, c, v in rows if c == 0),
+    )[:5]
+    assert [(i, d) for d, i in want] == got

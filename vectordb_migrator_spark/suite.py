@@ -1710,6 +1710,100 @@ def x4_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x4_ivfpq_residual_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    cent AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, range(1, 65) t(i) GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             sum(c.cv * p.pv[i]) /
+             (sqrt(sum(c.cv * c.cv)) * sqrt(sum(p.pv[i] * p.pv[i])))
+               AS sim
+      FROM cent c, p GROUP BY c.label
+    ),
+    shortlist AS (SELECT label FROM csim
+                  ORDER BY sim DESC, label LIMIT 2),
+    rcb AS (
+      SELECT c.vec_id AS j, t.i AS i,
+             c.embedding[t.i]::DOUBLE - ct.cv AS rv
+      FROM embeddings c
+      CROSS JOIN range(1, 65) t(i)
+      JOIN cent ct ON ct.label = c.label AND ct.i = t.i
+      WHERE c.vec_id < 16
+    ),
+    pres AS (
+      SELECT e.vec_id, e.label, t.i,
+             e.embedding[t.i]::DOUBLE - ct.cv AS rv
+      FROM embeddings e
+      CROSS JOIN range(1, 65) t(i)
+      JOIN cent ct ON ct.label = e.label AND ct.i = t.i
+      WHERE e.label IN (SELECT label FROM shortlist)
+    ),
+    d AS (
+      SELECT pr.vec_id, (pr.i - 1) // 16 AS s, rc.j,
+             sum((pr.rv - rc.rv) * (pr.rv - rc.rv)) AS dist
+      FROM pres pr JOIN rcb rc ON rc.i = pr.i
+      GROUP BY 1, 2, 3
+    ),
+    code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    qres AS (
+      SELECT sl.label, t.i, p.pv[t.i] - ct.cv AS qv
+      FROM shortlist sl
+      CROSS JOIN p
+      CROSS JOIN range(1, 65) t(i)
+      JOIN cent ct ON ct.label = sl.label AND ct.i = t.i
+    ),
+    lut AS (
+      SELECT q.label, (q.i - 1) // 16 AS s, rc.j,
+             sum((q.qv - rc.rv) * (q.qv - rc.rv)) AS pd
+      FROM qres q JOIN rcb rc ON rc.i = q.i
+      GROUP BY 1, 2, 3
+    ),
+    lb AS (SELECT vec_id, label FROM embeddings
+           WHERE label IN (SELECT label FROM shortlist))
+    SELECT code.vec_id, round(sum(lut.pd), 6) AS adc_dist
+    FROM code
+    JOIN lb ON lb.vec_id = code.vec_id
+    JOIN lut ON lut.label = lb.label AND lut.s = code.s
+            AND lut.j = code.j
+    GROUP BY code.vec_id
+    ORDER BY adc_dist, code.vec_id LIMIT 10
+    """,
+)
+def x4_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — IVFADC with RESIDUAL encoding (round 7): vectors quantize
+    r = x − centroid(cluster) instead of x, which is what FAISS's
+    IVFx,PQy actually does — residuals concentrate near the origin,
+    so the same m=4×16 codebook budget spends its resolution where
+    the data lives (the standard recall upgrade over
+    ``x4_ivfpq_topk`` at identical storage; compare their rows).
+    Model-sized driver work only (centroids, 16 codeword residuals,
+    per-shortlisted-cluster LUTs); the scan is codegen — label
+    when-chain picks the centroid literal, per-subspace argmin the
+    code, ADC is m lookups
+    (operators/similarity.py:ivfpq_residual_topk). Full oracle."""
+    from vectordb_migrator_spark.operators.similarity import (
+        ivfpq_residual_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    return ivfpq_residual_topk(
+        emb, probe, cluster_col="label", m=4, k=10, nprobe=2
+    )
+
+
 @query("x4_ivfpq_stored_topk", None)  # same semantics → x4_ivfpq oracle
 def x4_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — IVFADC over the MATERIALIZED layout (round 5): the actual
@@ -15645,6 +15739,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_wav_decode",  # REAL PCM decode with arithmetic oracle (new r7)
     "x6_bmp_decode",  # REAL BMP decode with arithmetic oracle (new r7)
     "x11_sql_curation",  # SQL-text-only curation pipeline (new r7)
+    "x4_ivfpq_residual_topk",  # FAISS-style residual IVFADC (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
