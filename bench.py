@@ -199,6 +199,7 @@ HEADLINE = [
     "x12_referential_integrity",
     "x12_psi_drift",
     "x12_null_matrix",
+    "x12_root_cause",
     "x7_jackknife_ci",
     "x7_weighted_quantiles",
     "x7_cuped",

@@ -661,3 +661,47 @@ def test_schema_evolution_report_classification(spark):
     assert rep[("tag", "added")] == "safe"
     assert rep[("score", "added")] == "breaking"
     assert schema_evolution_report(old, old) == []
+
+
+def test_root_cause_report_planted_shift(spark):
+    """A planted composition shift in ONE dimension value dominates
+    that dimension's surprise ranking with the right explanatory
+    power; an unchanged dimension scores ~0 surprise; absent-in-ref
+    values stay finite; empty dims fail loudly."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.validation import (
+        root_cause_report,
+    )
+
+    ref = spark.createDataFrame(
+        [("us", "web")] * 50 + [("eu", "web")] * 50,
+        "country string, channel string",
+    )
+    # cur: eu doubles, and a brand-new country appears
+    cur = spark.createDataFrame(
+        [("us", "web")] * 50 + [("eu", "web")] * 100 + [("jp", "web")] * 10,
+        "country string, channel string",
+    )
+    rep = {
+        (r["dim"], r["value"]): r
+        for r in root_cause_report(
+            ref, cur, ["country", "channel"]
+        ).collect()
+    }
+    eu = rep[("country", "eu")]
+    assert eu["ref_n"] == 50 and eu["cur_n"] == 100
+    # delta: total 100 -> 160; eu contributes 50/60
+    assert abs(eu["explanatory_power"] - 50 / 60) < 1e-6
+    top_country = [
+        r for (d, _), r in rep.items() if d == "country" and r["rank"] == 1
+    ][0]
+    # a brand-new value is maximally surprising (share eps -> 1/16)
+    assert top_country["value"] == "jp"
+    jp = rep[("country", "jp")]
+    assert jp["ref_n"] == 0 and jp["surprise"] is not None
+    web = rep[("channel", "web")]
+    assert abs(web["surprise"]) < 1e-9  # composition unchanged (100%)
+
+    with pytest.raises(ValueError, match="dims"):
+        root_cause_report(ref, cur, [])

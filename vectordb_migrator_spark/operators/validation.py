@@ -622,3 +622,106 @@ def schema_evolution_report(old_schema, new_schema) -> list[dict]:
                 ),
             })
     return report
+
+
+def root_cause_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    dims: list[str],
+    *,
+    eps: float = 1e-9,
+    top_k: int = 5,
+) -> DataFrame:
+    """Adtributor-style root-cause attribution (Bhagwan et al.,
+    NSDI'14): a metric moved between two periods — WHICH dimension
+    value explains it? For every value of every candidate dimension:
+    ``explanatory_power`` = its share of the total row-count delta,
+    and ``surprise`` = its Jensen–Shannon divergence term between the
+    periods' composition shares (the signal that a value's MIX shifted
+    even when the total didn't). The top-``top_k`` values per
+    dimension, surprise-ranked, is the incident-drilldown table that
+    replaces eyeballing N group-bys.
+
+    Scale shape: ONE tagged union scan per dimension list — each
+    dimension folds to its (value, side) counts via a plan-side
+    unpivot (the ``x12_layout_advisor`` stack pattern), so k
+    dimensions cost one pass, not k; all divergence math runs on the
+    tiny count frame. Shares are eps-clamped so absent-in-one-period
+    values stay finite."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    from pyspark.sql import Window
+
+    def stacked(df: DataFrame, side: str) -> DataFrame:
+        rows = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        F.col(d).cast("string").alias("value"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("r")
+        return df.select(rows).select(
+            "r.dim", "r.value", F.lit(side).alias("side")
+        )
+
+    counts = (
+        stacked(ref, "ref")
+        .unionByName(stacked(cur, "cur"))
+        .groupBy("dim", "value", "side")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("dim", "side")
+    shares = counts.withColumn("tot", F.sum("n").over(w))
+    r = shares.filter(F.col("side") == "ref").select(
+        "dim", "value",
+        F.col("n").alias("ref_n"), F.col("tot").alias("ref_tot"),
+    )
+    c = shares.filter(F.col("side") == "cur").select(
+        "dim", "value",
+        F.col("n").alias("cur_n"), F.col("tot").alias("cur_tot"),
+    )
+    both = (
+        r.join(c, ["dim", "value"], "full_outer")
+        .withColumn("ref_n", F.coalesce("ref_n", F.lit(0)))
+        .withColumn("cur_n", F.coalesce("cur_n", F.lit(0)))
+    )
+    w2 = Window.partitionBy("dim")
+    both = both.withColumn(
+        "ref_tot", F.max("ref_tot").over(w2)
+    ).withColumn("cur_tot", F.max("cur_tot").over(w2))
+    p = F.greatest(F.col("ref_n") / F.col("ref_tot"), F.lit(eps))
+    q = F.greatest(F.col("cur_n") / F.col("cur_tot"), F.lit(eps))
+    surprise = 0.5 * (
+        p * F.log(2 * p / (p + q)) + q * F.log(2 * q / (p + q))
+    )
+    ep = F.try_divide(
+        F.col("cur_n") - F.col("ref_n"),
+        F.col("cur_tot") - F.col("ref_tot"),
+    )
+    scored = both.select(
+        "dim",
+        "value",
+        "ref_n",
+        "cur_n",
+        F.round(ep, 6).alias("explanatory_power"),
+        F.round(surprise, 6).alias("surprise"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("dim").orderBy(
+                F.desc("surprise"), "value"
+            )
+        ),
+    )
+    return (
+        scored.filter(F.col("rank") <= top_k)
+        .select(
+            "dim", "rank", "value", "ref_n", "cur_n",
+            "explanatory_power", "surprise",
+        )
+        .orderBy("dim", "rank")
+    )

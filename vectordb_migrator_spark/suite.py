@@ -13213,6 +13213,121 @@ def x12_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x12_root_cause",
+    """
+    WITH m AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid
+               FROM events),
+    base AS (
+      SELECT event_type,
+             hour(ts)::VARCHAR AS hour_of_day,
+             (((ts::DATE - DATE '1970-01-01') % 7)::INT)::VARCHAR
+               AS day_of_week,
+             CASE WHEN epoch(ts) <= m.mid THEN 'ref' ELSE 'cur' END
+               AS side
+      FROM events, m
+    ),
+    st AS (
+      SELECT 'event_type' AS dim, event_type AS value, side FROM base
+      UNION ALL
+      SELECT 'hour_of_day', hour_of_day, side FROM base
+      UNION ALL
+      SELECT 'day_of_week', day_of_week, side FROM base
+    ),
+    counts AS (
+      SELECT dim, value, side, count(*)::BIGINT AS n
+      FROM st GROUP BY 1, 2, 3
+    ),
+    shares AS (
+      SELECT dim, value, side, n,
+             sum(n) OVER (PARTITION BY dim, side) AS tot
+      FROM counts
+    ),
+    r AS (SELECT dim, value, n AS ref_n, tot AS ref_tot
+          FROM shares WHERE side = 'ref'),
+    c AS (SELECT dim, value, n AS cur_n, tot AS cur_tot
+          FROM shares WHERE side = 'cur'),
+    b0 AS (
+      SELECT coalesce(r.dim, c.dim) AS dim,
+             coalesce(r.value, c.value) AS value,
+             coalesce(ref_n, 0) AS ref_n,
+             coalesce(cur_n, 0) AS cur_n,
+             ref_tot, cur_tot
+      FROM r FULL OUTER JOIN c
+        ON r.dim = c.dim AND r.value = c.value
+    ),
+    b AS (
+      SELECT dim, value, ref_n, cur_n,
+             max(ref_tot) OVER (PARTITION BY dim) AS ref_tot,
+             max(cur_tot) OVER (PARTITION BY dim) AS cur_tot
+      FROM b0
+    ),
+    s AS (
+      SELECT dim, value, ref_n, cur_n,
+             greatest(ref_n::DOUBLE / ref_tot, 1e-9) AS p,
+             greatest(cur_n::DOUBLE / cur_tot, 1e-9) AS q,
+             (cur_n - ref_n)::DOUBLE
+               / nullif(cur_tot - ref_tot, 0) AS ep
+      FROM b
+    ),
+    scored AS (
+      SELECT dim, value, ref_n, cur_n,
+             round(ep, 6) AS explanatory_power,
+             round(0.5 * (p * ln(2 * p / (p + q))
+                          + q * ln(2 * q / (p + q))), 6) AS surprise
+      FROM s
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY dim
+                                ORDER BY surprise DESC, value) AS rank
+      FROM scored
+    )
+    SELECT dim, rank::BIGINT AS rank, value, ref_n, cur_n,
+           explanatory_power, surprise
+    FROM ranked WHERE rank <= 5 ORDER BY dim, rank
+    """,
+)
+def x12_root_cause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — Adtributor-style root-cause attribution (round 7): the
+    event volume moved between the log's time halves — which
+    dimension value explains it? Per candidate dimension (event type,
+    hour-of-day, day-of-week), each value's explanatory power (share
+    of the total delta) and JS-divergence surprise (mix shift even
+    when the total didn't move), top-5 per dimension — the incident
+    drilldown that replaces eyeballing N group-bys. ONE tagged
+    union scan folds all dimensions via a plan-side unpivot; the
+    divergence math runs on the tiny count frame
+    (operators/validation.py:root_cause_report). Full oracle."""
+    from vectordb_migrator_spark.operators.validation import (
+        root_cause_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            (F.min(F.col("ts").cast("double"))
+             + F.max(F.col("ts").cast("double"))) / 2
+        ).alias("mid")
+    )
+    base = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.hour("ts").cast("string").alias("hour_of_day"),
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7)
+        .cast("int")
+        .cast("string")
+        .alias("day_of_week"),
+        (F.col("ts").cast("double") <= F.col("mid")).alias("__is_ref"),
+    )
+    dims = ["event_type", "hour_of_day", "day_of_week"]
+    return root_cause_report(
+        base.filter("__is_ref").drop("__is_ref"),
+        base.filter(~F.col("__is_ref")).drop("__is_ref"),
+        dims,
+        top_k=5,
+    )
+
+
+@query(
     "x12_null_matrix",
     """
     WITH u AS (
@@ -15740,6 +15855,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_bmp_decode",  # REAL BMP decode with arithmetic oracle (new r7)
     "x11_sql_curation",  # SQL-text-only curation pipeline (new r7)
     "x4_ivfpq_residual_topk",  # FAISS-style residual IVFADC (new r7)
+    "x12_root_cause",  # Adtributor drilldown attribution (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
