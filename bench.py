@@ -95,6 +95,7 @@ HEADLINE = [
     "x2_cluster_size_histogram",
     "x2_cluster_density",
     "x2_triangle_counts",
+    "x2_clustering_coefficient",
     "x2_kcore",
     "x2_graph_stats",
     "x0_leakage_safe_split",

@@ -352,3 +352,37 @@ def test_kcore_matches_python_peel(spark, edges, k):
     )
     got = {r["id"]: r["deg"] for r in kcore(df, k=k, n_iter=30).collect()}
     assert got == want
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    """A triangle scores cc=1 everywhere; a path scores 0; the
+    kite (triangle + pendant chain) matches hand computation for both
+    local-average and global transitivity."""
+    from vectordb_migrator_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    r = clustering_coefficient(tri).first()
+    assert (r["n_vertices"], r["n_eligible"]) == (3, 3)
+    assert r["avg_local_cc"] == 1.0 and r["global_cc"] == 1.0
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    rp = clustering_coefficient(path).first()
+    assert rp["avg_local_cc"] == 0.0 and rp["global_cc"] == 0.0
+
+    # kite: triangle 1-2-3 plus chain 3-4
+    kite = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    rk = clustering_coefficient(kite).first()
+    # locals: v1=1, v2=1, v3= 1/(3*2/2)=1/3, v4 ineligible (deg 1)
+    assert rk["n_eligible"] == 3
+    assert abs(rk["avg_local_cc"] - (1 + 1 + 1 / 3) / 3) < 1e-6
+    # transitivity: sum T = 3 triangles*... per-vertex T: 1,1,1 -> 3;
+    # wedges: 1 + 1 + 3 = 5 -> 3/5
+    assert abs(rk["global_cc"] - 0.6) < 1e-6

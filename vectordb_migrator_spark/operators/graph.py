@@ -495,3 +495,58 @@ def kcore(
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
     return deg.filter(F.col("deg") >= k).orderBy("id")
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Graph clustering-coefficient summary: average LOCAL coefficient
+    (2T_v/(d_v(d_v−1)) over vertices with degree ≥ 2) and the GLOBAL
+    transitivity (closed wedges / all wedges) — the small-world
+    readouts that, on a near-dup graph, say whether dup families are
+    tight cliques (high cc → keep-one dedup is safe) or straggly
+    transitive chains (low cc → the threshold links marginal pairs).
+
+    One row out: n_vertices, n_eligible, avg_local_cc, global_cc.
+    Reuses :func:`triangle_counts`' degree-oriented wedge join (the
+    skew-safe shape) plus one degree aggregate — id/degree longs are
+    the only shuffle payloads, and the coefficient math folds on the
+    per-vertex frame. Note Σ_v T_v counts each triangle three times,
+    so transitivity = Σ T_v / Σ wedges_v exactly."""
+    tri = triangle_counts(edges, src=src, dst=dst)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    per = tri.join(deg, "id")
+    wedges = (F.col("deg") * (F.col("deg") - 1) / 2).cast("double")
+    local = F.when(
+        F.col("deg") >= 2, F.col("triangles") / wedges
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum((F.col("deg") >= 2).cast("long"))
+        .cast("long")
+        .alias("n_eligible"),
+        F.round(F.avg(local), 6).alias("avg_local_cc"),
+        F.round(
+            F.try_divide(
+                F.sum("triangles").cast("double"),
+                F.sum(F.when(F.col("deg") >= 2, wedges).otherwise(0.0)),
+            ),
+            6,
+        ).alias("global_cc"),
+    )

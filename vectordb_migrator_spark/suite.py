@@ -15295,6 +15295,74 @@ def x2_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_clustering_coefficient",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e1.id_a = e2.id_a AND e1.id_b < e2.id_b
+      JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+    ), pv AS (
+      SELECT v AS id, count(*)::BIGINT AS triangles
+      FROM (SELECT unnest([a, b, c]) AS v FROM tri)
+      GROUP BY v
+    ), deg AS (
+      SELECT id, count(*)::BIGINT AS deg FROM (
+        SELECT id_a AS id FROM pairs
+        UNION ALL SELECT id_b FROM pairs
+      ) GROUP BY id
+    ), per AS (
+      SELECT d.id, coalesce(pv.triangles, 0) AS t, d.deg,
+             d.deg * (d.deg - 1) / 2.0 AS w
+      FROM deg d LEFT JOIN pv ON pv.id = d.id
+    )
+    SELECT count(*)::BIGINT AS n_vertices,
+           sum(CASE WHEN deg >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_eligible,
+           round(avg(CASE WHEN deg >= 2 THEN t / w END), 6)
+             AS avg_local_cc,
+           round(sum(t)::DOUBLE
+                 / nullif(sum(CASE WHEN deg >= 2 THEN w
+                              ELSE 0 END), 0), 6) AS global_cc
+    FROM per
+    """,
+)
+def x2_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — clustering-coefficient summary of the near-dup graph
+    (round 7): average local coefficient and global transitivity over
+    the SAME pair graph as ``x2_triangle_counts`` — the small-world
+    readout that says whether dup families are tight cliques (high cc
+    → keep-one dedup is safe) or straggly transitive chains (low cc →
+    the threshold links marginal pairs). Reuses the degree-oriented
+    skew-safe wedge join; coefficient math folds on the per-vertex
+    frame (operators/graph.py:clustering_coefficient). Full oracle."""
+    from vectordb_migrator_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).localCheckpoint(eager=True)
+    return clustering_coefficient(pairs)
+
+
+@query(
     "x2_graph_stats",
     r"""
     WITH sh AS (
@@ -15856,6 +15924,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x11_sql_curation",  # SQL-text-only curation pipeline (new r7)
     "x4_ivfpq_residual_topk",  # FAISS-style residual IVFADC (new r7)
     "x12_root_cause",  # Adtributor drilldown attribution (new r7)
+    "x2_clustering_coefficient",  # small-world dup-family readout (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
