@@ -78,6 +78,7 @@ HEADLINE = [
     "x2_ppjoin_pairs",
     "x2_containment_pairs",
     "x2_threshold_sweep",
+    "x2_lsh_plan",
     "x2_source_overlap_matrix",
     "x2_minhash_lsh_pairs",
     "x2_minhash_md5_pairs",

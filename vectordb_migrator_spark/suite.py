@@ -5430,6 +5430,86 @@ def x9_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_lsh_plan",
+    """
+    WITH cfg AS (
+      SELECT b, 64 // b AS r FROM unnest([1, 2, 4, 8, 16, 32, 64]) t(b)
+    ),
+    g AS (SELECT (i::DOUBLE + 0.5) / 200 AS s
+          FROM unnest(range(0, 200)) t(i)),
+    cell AS (
+      SELECT cfg.b, cfg.r, g.s,
+             1 - pow(1 - pow(g.s, cfg.r), cfg.b) AS p
+      FROM cfg CROSS JOIN g
+    ),
+    agg AS (
+      SELECT b, r,
+             round(sum(CASE WHEN s < 0.5 THEN p ELSE 0 END) / 200, 6)
+               AS fp_area,
+             round(sum(CASE WHEN s >= 0.5 THEN 1 - p ELSE 0 END) / 200,
+                   6) AS fn_area
+      FROM cell GROUP BY b, r
+    ),
+    best AS (
+      SELECT min(round(fp_area + fn_area, 6)) AS c FROM agg
+    )
+    SELECT b::INT AS bands, r::INT AS rows_per_band, fp_area, fn_area,
+           round(fp_area + fn_area, 6) AS cost,
+           (round(fp_area + fn_area, 6) = best.c) AS chosen
+    FROM agg, best ORDER BY bands
+    """,
+)
+def x2_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — LSH band-plan auto-tuner (round 7): for a 64-hash
+    signature budget and target threshold 0.5, integrate the S-curve's
+    false-positive area below the threshold and false-negative area
+    above it (200-point midpoint grid) for every (bands, rows)
+    factorization, and flag the cost-minimizing plan — the knob
+    chooser that turns ``x2_lsh_s_curve``'s eyeball table into a
+    decision. Pure generated math, zero corpus scan; full oracle."""
+    cfg = spark.createDataFrame(
+        [(b, 64 // b) for b in (1, 2, 4, 8, 16, 32, 64)], "b int, r int"
+    )
+    g = spark.range(0, 200).select(
+        ((F.col("id") + 0.5) / 200).alias("s")
+    )
+    cell = cfg.crossJoin(g).withColumn(
+        "p", 1 - F.pow(1 - F.pow(F.col("s"), F.col("r")), F.col("b"))
+    )
+    agg = cell.groupBy("b", "r").agg(
+        F.round(
+            F.sum(F.when(F.col("s") < 0.5, F.col("p")).otherwise(0.0))
+            / 200,
+            6,
+        ).alias("fp_area"),
+        F.round(
+            F.sum(
+                F.when(F.col("s") >= 0.5, 1 - F.col("p")).otherwise(0.0)
+            )
+            / 200,
+            6,
+        ).alias("fn_area"),
+    ).withColumn(
+        "cost", F.round(F.col("fp_area") + F.col("fn_area"), 6)
+    )
+    from pyspark.sql import Window
+
+    best = F.min("cost").over(Window.partitionBy())
+    return (
+        agg.withColumn("chosen", F.col("cost") == best)
+        .select(
+            F.col("b").alias("bands"),
+            F.col("r").alias("rows_per_band"),
+            "fp_area",
+            "fn_area",
+            "cost",
+            "chosen",
+        )
+        .orderBy("bands")
+    )
+
+
+@query(
     "x2_lsh_s_curve",
     """
     WITH g AS (SELECT (i::DOUBLE) / 20 AS s
@@ -15925,6 +16005,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_ivfpq_residual_topk",  # FAISS-style residual IVFADC (new r7)
     "x12_root_cause",  # Adtributor drilldown attribution (new r7)
     "x2_clustering_coefficient",  # small-world dup-family readout (new r7)
+    "x2_lsh_plan",  # S-curve cost-minimizing band chooser (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
