@@ -238,6 +238,7 @@ HEADLINE = [
     "x13_stl_decompose",
     "x13_changepoints",
     "x13_markov_transitions",
+    "x13_journey_entropy",
     "x13_attribution",
     "x13_kaplan_meier",
     "x13_forecast_backtest",

@@ -12293,6 +12293,74 @@ def x13_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x13_journey_entropy",
+    """
+    WITH p AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    c AS (
+      SELECT from_state, to_state, count(*)::BIGINT AS n
+      FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT from_state, to_state, n,
+             sum(n) OVER (PARTITION BY from_state) AS row_tot,
+             sum(n) OVER () AS tot
+      FROM c
+    )
+    SELECT from_state,
+           sum(n)::BIGINT AS n_transitions,
+           round(sum(n)::DOUBLE / max(tot), 6) AS share,
+           round(-sum((n::DOUBLE / row_tot)
+                      * log2(n::DOUBLE / row_tot)), 6) AS entropy_bits
+    FROM w GROUP BY from_state ORDER BY from_state
+    """,
+)
+def x13_journey_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — journey predictability (round 7): the Shannon entropy of
+    each state's transition row from the SAME lag-1 fold as
+    ``x13_markov_transitions`` — near 0 bits means the next action is
+    predetermined (prefetch/cache it), near log₂(s) means the journey
+    is noise (stop personalizing on it); the weighted sum is the
+    chain's conditional entropy. One per-user window pass folding to
+    the s×s frame; the entropy math runs on that tiny table. Full
+    oracle."""
+    from vectordb_migrator_spark.operators.relational import (
+        transition_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    tm = transition_matrix(
+        ev,
+        unit_col="user_id",
+        state_col="event_type",
+        order_col="ts",
+        tiebreak_col="event_id",
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy())
+    row_tot = F.sum("n").over(Window.partitionBy("from_state"))
+    frac = F.col("n") / row_tot
+    return (
+        tm.withColumn("__tot", tot)
+        .withColumn("__h", -frac * F.log2(frac))
+        .groupBy("from_state")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.round(F.sum("n") / F.max("__tot"), 6).alias("share"),
+            F.round(F.sum("__h"), 6).alias("entropy_bits"),
+        )
+        .orderBy("from_state")
+    )
+
+
+@query(
     "x13_markov_transitions",
     """
     WITH p AS (
@@ -16006,6 +16074,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_root_cause",  # Adtributor drilldown attribution (new r7)
     "x2_clustering_coefficient",  # small-world dup-family readout (new r7)
     "x2_lsh_plan",  # S-curve cost-minimizing band chooser (new r7)
+    "x13_journey_entropy",  # transition-row predictability (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
