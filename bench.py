@@ -183,6 +183,7 @@ HEADLINE = [
     "x9_embedding_drift",
     "x9_sq_error_by_label",
     "x9_pq_error",
+    "x9_pq_learned_error",
     "x9_pq_perm_error",
     "x9_opq_fit_error",
     "x9_pca_evr",

@@ -1228,3 +1228,49 @@ def test_ivfpq_residual_exact_when_residuals_are_codewords(spark):
         ((l2(v), i) for i, c, v in rows if c == 0),
     )[:5]
     assert [(i, d) for d, i in want] == got
+
+
+def test_pq_learned_codebooks_matches_numpy_lloyd(spark):
+    """The distributed per-subspace Lloyd loop reproduces a NumPy
+    replay (same seeds, same fixed iterations) and never increases
+    in-sample quantization error versus the sampled seeds."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_learned_codebooks,
+        pq_sampled_codebooks,
+    )
+
+    rng = np.random.default_rng(3)
+    X = np.round(rng.normal(0, 1, (120, 8)), 6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    m, k, it = 2, 4, 3
+    got = pq_learned_codebooks(df, m=m, k=k, n_iter=it)
+
+    dsub = 8 // m
+    seeds = pq_sampled_codebooks(df, m=m, k=k)
+
+    def mse(cbs):
+        tot = 0.0
+        for s in range(m):
+            sub = X[:, s * dsub:(s + 1) * dsub]
+            d = ((sub[:, None, :] - np.array(cbs[s])[None]) ** 2).sum(-1)
+            tot += d.min(1).mean()
+        return tot
+
+    # NumPy replay of the same fixed-iteration loop
+    cbs = [np.array(cb, dtype=float) for cb in seeds]
+    for _ in range(it):
+        for s in range(m):
+            sub = X[:, s * dsub:(s + 1) * dsub]
+            d = ((sub[:, None, :] - cbs[s][None]) ** 2).sum(-1)
+            j = d.argmin(1)
+            for c in range(k):
+                if (j == c).any():
+                    cbs[s][c] = sub[j == c].mean(0)
+    for s in range(m):
+        assert np.allclose(np.array(got[s]), cbs[s], atol=1e-9)
+    assert mse(got) <= mse(seeds) + 1e-12

@@ -1281,3 +1281,85 @@ def ivfpq_residual_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def pq_learned_codebooks(
+    df: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Lloyd-refined PQ codebooks: start from
+    :func:`pq_sampled_codebooks`' deterministic seeds and run
+    ``n_iter`` fixed k-means iterations PER SUBSPACE — but all m
+    subspaces train in the SAME distributed pass per iteration (one
+    exploded (s, subvector) frame, persisted once; assignment is a
+    per-s codebook when-chain in codegen; the update is one
+    (s, j, pos) average collect of m·k·dsub doubles — driver-sized).
+    Lloyd never increases in-sample quantization error, so the result
+    is ≤ the sampled codebook's MSE on the training corpus by
+    construction (asserted in tests). Fixed iterations, deterministic
+    seeds — reproducible across runs; codeword averages carry
+    reduction-order ulps, so queries built on it are rows-only
+    checkable (with a NumPy differential in tests). Empty clusters
+    keep their previous codeword."""
+    from pyspark import StorageLevel
+
+    init = pq_sampled_codebooks(
+        df, m=m, k=k, id_col=id_col, vec_col=vec_col
+    )
+    dsub = len(init[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    sub = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("int").alias("s"),
+                            F.slice(v, s * dsub + 1, dsub).alias("sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        cbs = [list(map(list, cb)) for cb in init]
+        for _ in range(n_iter):
+            assign = None
+            for s in range(m):
+                dists = F.transform(
+                    codebook_literal(cbs[s]),
+                    lambda cw: _sq_l2(F.col("sv"), cw),
+                )
+                j = (
+                    F.array_position(dists, F.array_min(dists)) - 1
+                ).cast("int")
+                assign = (
+                    F.when(F.col("s") == s, j)
+                    if assign is None
+                    else assign.when(F.col("s") == s, j)
+                )
+            upd = (
+                sub.withColumn("j", assign)
+                .select("s", "j", F.posexplode("sv").alias("pos", "val"))
+                .groupBy("s", "j", "pos")
+                .agg(F.avg("val").alias("v"))
+                .collect()
+            )
+            new = [
+                [list(cw) for cw in cb] for cb in cbs
+            ]  # empty clusters keep previous words
+            for r in upd:
+                new[r["s"]][r["j"]][r["pos"]] = float(r["v"])
+            cbs = new
+        return cbs
+    finally:
+        sub.unpersist()

@@ -1277,6 +1277,67 @@ def x9_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x9_pq_learned_error")  # Lloyd codeword averages carry
+# reduction-order ulps -> rows-only; the loop is NumPy-differentialed
+# in tests/test_similarity.py and learned<=sampled is asserted there
+def x9_pq_learned_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — the PQ TRAINING path (round 7): Lloyd-refined codebooks
+    (3 fixed k-means iterations per subspace, all subspaces in one
+    distributed pass per iteration, seeded from the deterministic
+    sampled codebooks) versus the sampled seeds, per-subspace
+    reconstruction MSE side by side — Lloyd never increases in-sample
+    error, so the learned rows must dominate, quantifying what
+    training buys before switching the encode path
+    (operators/similarity.py:pq_learned_codebooks; the learned
+    codebooks plug into the same pq_encode/ADC machinery)."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_learned_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    variants = [
+        ("sampled", pq_sampled_codebooks(emb, m=4, k=16)),
+        ("learned", pq_learned_codebooks(emb, m=4, k=16, n_iter=3)),
+    ]
+    v = F.col("embedding").cast("array<double>")
+    rows = []
+    for name, cbs in variants:
+        for s in range(4):
+            sub = F.slice(v, s * 16 + 1, 16)
+            cands = F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cw])
+                    for cw in cbs[s]
+                ]
+            )
+            dists = F.transform(
+                cands,
+                lambda c: F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            rows.append(
+                F.struct(
+                    F.lit(name).alias("variant"),
+                    F.lit(s).cast("int").alias("s"),
+                    F.array_min(dists).alias("mdist"),
+                )
+            )
+    exploded = emb.select(F.explode(F.array(*rows)).alias("e")).select(
+        "e.variant", "e.s", "e.mdist"
+    )
+    return (
+        exploded.groupBy("variant", "s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("mdist"), 6).alias("mse_mean"),
+        )
+        .orderBy("variant", "s")
+    )
+
+
 _PQ_PERM = [int(x) for x in np.random.default_rng(7).permutation(64)]
 _PQ_SIGN = [int(x) for x in np.random.default_rng(8).choice([-1, 1], 64)]
 
@@ -16075,6 +16136,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_clustering_coefficient",  # small-world dup-family readout (new r7)
     "x2_lsh_plan",  # S-curve cost-minimizing band chooser (new r7)
     "x13_journey_entropy",  # transition-row predictability (new r7)
+    "x9_pq_learned_error",  # Lloyd-trained vs sampled codebooks (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
