@@ -206,6 +206,7 @@ HEADLINE = [
     "x7_jackknife_ci",
     "x7_weighted_quantiles",
     "x7_cuped",
+    "x7_power_analysis",
     "x7_mannwhitney",
     "x7_ks_test",
     "x12_benford",

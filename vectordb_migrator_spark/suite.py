@@ -4478,6 +4478,131 @@ def x7_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x7_power_analysis",
+    """
+    WITH m AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid
+               FROM events),
+    per AS (
+      SELECT event_type, user_id,
+             sum(CASE WHEN epoch(ts) <= m.mid
+                 THEN value END::DECIMAL(28,6)) AS ps,
+             count(*) FILTER (WHERE epoch(ts) <= m.mid) AS pn,
+             sum(CASE WHEN epoch(ts) > m.mid
+                 THEN value END::DECIMAL(28,6)) AS qs,
+             count(*) FILTER (WHERE epoch(ts) > m.mid) AS qn
+      FROM events, m WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT event_type,
+             round(ps::DOUBLE / pn, 6)::DECIMAL(18,6) AS x,
+             round(qs::DOUBLE / qn, 6)::DECIMAL(18,6) AS y
+      FROM per WHERE pn > 0 AND qn > 0
+    ),
+    s0 AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM u GROUP BY 1
+    ),
+    s AS (
+      SELECT event_type, n,
+             sy::DOUBLE / n AS mean,
+             sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n)
+               AS varx,
+             syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n)
+               AS vary,
+             sxy::DOUBLE / n - (sx::DOUBLE / n) * (sy::DOUBLE / n)
+               AS cov
+      FROM s0
+    )
+    SELECT event_type, n AS n_units,
+           round(mean, 6) AS mean,
+           round(vary, 6) AS var,
+           round(2 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 * vary / (0.05 * mean * (0.05 * mean)), 6)
+             AS n_per_arm,
+           round(2 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 * greatest(vary * (1 - cov * cov
+                                    / nullif(varx * vary, 0)), 0)
+                 / (0.05 * mean * (0.05 * mean)), 6)
+             AS n_per_arm_cuped
+    FROM s ORDER BY event_type
+    """,
+)
+def x7_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — experiment sample-size planning per event type (round 7):
+    n per arm = 2(z_{α/2}+z_β)²·σ²/δ² for 80% power at α=0.05
+    against a 5%-of-mean effect, computed twice — with the raw
+    unit-level variance and with CUPED's residual variance
+    σ²(1−ρ²) — so the report shows in USERS what the
+    ``x7_cuped`` adjustment buys ("readable N days earlier" made
+    concrete). Reuses the same decimal-exact unit-moment fold;
+    everything after is closed-form arithmetic. Full oracle."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    mid = ev.agg(
+        (
+            (F.min(F.col("ts").cast("double"))
+             + F.max(F.col("ts").cast("double"))) / 2
+        ).alias("mid")
+    )
+    is_pre = F.col("ts").cast("double") <= F.col("mid")
+    per = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(
+                F.when(is_pre, F.col("value")).cast("decimal(28,6)")
+            ).alias("ps"),
+            F.sum(is_pre.cast("long")).alias("pn"),
+            F.sum(
+                F.when(~is_pre, F.col("value")).cast("decimal(28,6)")
+            ).alias("qs"),
+            F.sum((~is_pre).cast("long")).alias("qn"),
+        )
+    )
+    x = F.round(F.col("ps").cast("double") / F.col("pn"), 6).cast(
+        "decimal(18,6)"
+    )
+    y = F.round(F.col("qs").cast("double") / F.col("qn"), 6).cast(
+        "decimal(18,6)"
+    )
+    units = per.filter((F.col("pn") > 0) & (F.col("qn") > 0)).select(
+        "event_type", x.alias("x"), y.alias("y")
+    )
+    agg = units.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    mean = sy / n
+    varx = sxx / n - (sx / n) * (sx / n)
+    vary = syy / n - (sy / n) * (sy / n)
+    cov = sxy / n - (sx / n) * (sy / n)
+    zz = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    delta2 = (0.05 * mean) * (0.05 * mean)
+    rho2 = F.try_divide(cov * cov, varx * vary)
+    resid = F.greatest(vary * (1 - rho2), F.lit(0.0))
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_units"),
+        F.round(mean, 6).alias("mean"),
+        F.round(vary, 6).alias("var"),
+        F.round(2 * zz * vary / delta2, 6).alias("n_per_arm"),
+        F.round(2 * zz * resid / delta2, 6).alias("n_per_arm_cuped"),
+    ).orderBy("event_type")
+
+
+@query(
     "x7_cuped",
     """
     WITH m AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid
@@ -16137,6 +16262,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_lsh_plan",  # S-curve cost-minimizing band chooser (new r7)
     "x13_journey_entropy",  # transition-row predictability (new r7)
     "x9_pq_learned_error",  # Lloyd-trained vs sampled codebooks (new r7)
+    "x7_power_analysis",  # sample-size planning with/without CUPED (new r7)
     "x0_pareto_parts",  # ABC revenue classification (new r7)
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
