@@ -705,3 +705,21 @@ def test_root_cause_report_planted_shift(spark):
 
     with pytest.raises(ValueError, match="dims"):
         root_cause_report(ref, cur, [])
+
+
+def test_referential_audit_all_null_keys_reports_null_rate(spark):
+    """ANSI-mode regression (round-8 ADVICE): a child whose keys are
+    ALL NULL is an in-contract case the audit must REPORT (null_keys
+    = child_rows, orphan_rate NULL via try_divide), not abort with
+    DIVIDE_BY_ZERO on the zero non-null denominator."""
+    from vectordb_migrator_spark.operators.validation import (
+        referential_audit,
+    )
+
+    parent = spark.createDataFrame([(1,)], ["pk"])
+    child = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, fk long"
+    )
+    r = referential_audit([("nulls", child, "fk", parent, "pk")]).head()
+    assert (r["child_rows"], r["null_keys"], r["orphans"]) == (2, 2, 0)
+    assert r["orphan_rate"] is None

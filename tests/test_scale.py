@@ -588,3 +588,24 @@ def test_auc_score_matches_sklearn_formula(spark):
     assert auc_score(
         perfect, score_col="score", label_col="label", group_cols=["g"]
     ).first()["auc"] == 1.0
+
+
+def test_mann_whitney_single_row_group_reports_null_z(spark):
+    """ANSI-mode regression (round-8 ADVICE): a group with exactly
+    one row makes the tie-correction denominator n(n-1) zero; the
+    promise is NULL z for degenerate groups, not a DIVIDE_BY_ZERO
+    abort killing every other group's result."""
+    from vectordb_migrator_spark.operators.scale import mann_whitney
+
+    df = spark.createDataFrame(
+        [("solo", "a", 1.0), ("both", "a", 1.0), ("both", "b", 2.0)],
+        "g string, side string, v double",
+    )
+    rows = {
+        r["g"]: r
+        for r in mann_whitney(
+            df, "v", side_col="side", side_a="a", group_cols=["g"]
+        ).collect()
+    }
+    assert rows["solo"]["z"] is None
+    assert rows["both"]["z"] is not None

@@ -422,3 +422,28 @@ def test_kaplan_meier_textbook_example(spark):
     # t=7: n=1, d=1 -> S=0 exactly (everyone left)
     assert got[7.0]["survival"] == 0.0
     assert set(got) == {1.0, 3.0, 7.0}  # censor-only times excluded
+
+
+def test_cusum_flat_series_yields_null_not_abort(spark):
+    """ANSI-mode regression (round-8 ADVICE): a constant (or single
+    day) series has stddev 0; the standardized deviation must come
+    back NULL via try_divide instead of aborting the job with
+    DIVIDE_BY_ZERO — the failure mode that would kill a streaming
+    changepoints_over read on a fresh one-day store."""
+    import datetime as dt
+
+    from vectordb_migrator_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(days=i), 5.0)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = cusum_changepoints(df, threshold=3.0).collect()
+    assert len(out) == 3
+    assert all(r["cusum"] is None for r in out)
+
+    one_day = spark.createDataFrame(rows[:1], "ts timestamp, value double")
+    assert cusum_changepoints(one_day).count() == 1

@@ -322,8 +322,10 @@ def isotonic_apply(
     out_col: str = "calibrated",
 ) -> DataFrame:
     """Apply an :func:`isotonic_calibrate` step function: scores map
-    to their segment's pooled rate (scores between segments take the
-    left segment's value; below the first segment, its value). Pure
+    to their segment's pooled rate; a score falling BETWEEN segments
+    takes the next-higher (right) segment's value — the conservative
+    convention for a nondecreasing calibrator — below the first
+    segment its value, above the last the last segment's value. Pure
     codegen when-chain over the broadcast-literal model — no join, no
     shuffle."""
     if not model:

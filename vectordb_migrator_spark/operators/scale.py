@@ -720,7 +720,7 @@ def mann_whitney(
         na
         * nb
         / 12.0
-        * ((n + 1) - F.col("__ties") / (n * (n - 1)))
+        * ((n + 1) - F.try_divide(F.col("__ties"), n * (n - 1)))
     )
     z = F.try_divide(F.col("__u") - na * nb / 2.0, F.sqrt(var))
     out = agg.select(

@@ -303,31 +303,31 @@ def kmv_distinct(
     distinct-count family gains a full value-hash oracle.
 
     Scale shape — the k-min of a union is the k-min of the two
-    k-mins, so the computation is a two-level mergeable reduce:
-    per (group, salt) partial k-mins over ``merge_salt`` hash-salted
-    cells (each cell state is ≤ k longs — collect_set is bounded by
-    construction, never corpus-sized), then one flatten + sort +
-    slice per group. When a group has fewer than k distinct keys the
-    estimate IS the exact count. Returns (group_cols…, n_kmin,
-    est double)."""
+    k-mins, so the computation is a bounded-state reduce: first a
+    spill-safe hash-aggregate ``distinct`` over (group, hash) — never
+    an in-buffer array — then a ``row_number`` window per (group,
+    salt) cell keeps only the k smallest hashes per cell (sort is
+    disk-backed, so no aggregation buffer ever holds more than the
+    surviving ≤ merge_salt·k longs per group), then one flatten +
+    sort + slice per group. When a group has fewer than k distinct
+    keys the estimate IS the exact count. Returns (group_cols…,
+    n_kmin, est double)."""
+    from pyspark.sql import Window as W
+
     gcols = list(group_cols or [])
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    salt = (h % merge_salt).cast("int")
-    partial = (
-        df.select(*gcols, h.alias("__h"), salt.alias("__s"))
-        .groupBy(*gcols, "__s")
-        .agg(
-            F.slice(F.sort_array(F.collect_set("__h")), 1, k).alias("__mins")
-        )
+    hashed = df.select(*gcols, h.alias("__h")).distinct()
+    salt = (F.col("__h") % merge_salt).cast("int")
+    cell = W.partitionBy(*gcols, "__s").orderBy("__h")
+    survivors = (
+        hashed.withColumn("__s", salt)
+        .withColumn("__rk", F.row_number().over(cell))
+        .filter(F.col("__rk") <= k)
     )
-    merged = partial.groupBy(*gcols).agg(
-        F.slice(
-            F.sort_array(F.array_distinct(F.flatten(F.collect_list("__mins")))),
-            1,
-            k,
-        ).alias("__mins")
+    merged = survivors.groupBy(*gcols).agg(
+        F.slice(F.sort_array(F.collect_list("__h")), 1, k).alias("__mins")
     )
     n = F.size("__mins")
     vk = F.element_at("__mins", k).cast("double")

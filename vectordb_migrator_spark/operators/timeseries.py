@@ -229,7 +229,7 @@ def cusum_from_daily(
             "cusum",
             F.round(
                 F.sum(
-                    (F.col("v") - F.col("__mu")) / F.col("__sd")
+                    F.try_divide(F.col("v") - F.col("__mu"), F.col("__sd"))
                 ).over(w),
                 6,
             ),

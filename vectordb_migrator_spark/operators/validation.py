@@ -348,8 +348,10 @@ def referential_audit(
                 "null_keys",
                 "orphans",
                 F.round(
-                    F.col("orphans")
-                    / (F.col("child_rows") - F.col("null_keys")),
+                    F.try_divide(
+                        F.col("orphans"),
+                        F.col("child_rows") - F.col("null_keys"),
+                    ),
                     6,
                 ).alias("orphan_rate"),
             )
