@@ -1,0 +1,1974 @@
+"""Registry family ``s04_similarity`` — split from the monolithic
+suite.py (round 8); registration order preserved via the
+package ``__init__`` import sequence."""
+
+from __future__ import annotations
+
+# ruff: noqa: E501
+from vectordb_migrator_spark.suite._shared import (
+    DataFrame,
+    F,
+    ORACLES,
+    SparkSession,
+    W,
+    _PLANES,
+    _PLANES2,
+    _PROBE_SQL,
+    _probe_vector,
+    _t,
+    cosine_topk,
+    ivf_topk,
+    knn_join,
+    lsh_bucket_topk,
+    np,
+    pq_adc_topk,
+    pq_sampled_codebooks,
+    query,
+)
+
+
+
+# =====================================================================
+# X3/X4 — similarity search
+# =====================================================================
+
+
+@query(
+    "x3_cosine_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM embeddings, p
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — brute-force cosine top-k (the exact baseline): score in
+    codegen, TakeOrderedAndProject(k), no shuffle of vectors."""
+    probe = _probe_vector(spark, sf_dir)
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), probe, k=10)
+
+
+@query(
+    "x3_knn_join",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS c_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+      FROM embeddings e, q
+    )
+    SELECT * FROM (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, c_id)::BIGINT AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+)
+def x3_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — k-NN join: broadcast query side × corpus scan, per-query
+    window top-k; shuffle is (n_queries × k) rows only."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return knn_join(queries, corpus, k=5).orderBy("q_id", "rank")
+
+
+@query(
+    "x4_ivf_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    cent AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, range(1, 65) t(i) GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             sum(c.cv * p.pv[i]) /
+             (sqrt(sum(c.cv * c.cv)) * sqrt(sum(p.pv[i] * p.pv[i]))) AS sim
+      FROM cent c, p GROUP BY c.label
+    ),
+    shortlist AS (SELECT label FROM csim ORDER BY sim DESC, label LIMIT 2)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM embeddings, p
+    WHERE label IN (SELECT label FROM shortlist)
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — IVF approximate top-k: per-label mean centroids as the
+    coarse quantizer, nprobe=2; scans nprobe/nlist of the corpus."""
+    probe = _probe_vector(spark, sf_dir)
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        probe,
+        cluster_col="label",
+        k=10,
+        nprobe=2,
+    )
+
+
+def _plane_sig_sql(col: str, planes: list[list[float]] | None = None) -> str:
+    """Replicate random_hyperplane_signature in DuckDB: the planes are
+    deterministic literals, so the sign-bit bucket is exactly
+    SQL-expressible (dot >= 0 per plane, MSB-first packing)."""
+    planes = _PLANES if planes is None else planes
+    terms = [
+        f"(CASE WHEN list_dot_product({col}, "
+        f"[{', '.join(repr(float(x)) for x in pl)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << (len(planes) - 1 - i)} ELSE 0 END)"
+        for i, pl in enumerate(planes)
+    ]
+    return " + ".join(terms)
+
+
+def _lsh_bucket_sql() -> str:
+    sig_expr = _plane_sig_sql
+    return f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {sig_expr('embedding::DOUBLE[]')} AS sig
+      FROM embeddings
+    ),
+    psig AS (SELECT {sig_expr('pv')} AS ps FROM p)
+    SELECT s.vec_id,
+           round(list_dot_product(s.v, p.pv) /
+                 (sqrt(list_dot_product(s.v, s.v)) *
+                  sqrt(list_dot_product(p.pv, p.pv))), 6) AS score
+    FROM sig s, p, psig
+    WHERE s.sig = psig.ps
+    ORDER BY score DESC, s.vec_id LIMIT 10
+    """
+
+
+@query("x4_lsh_bucket_topk", None)  # oracle attached below (computed string)
+def x4_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — random-hyperplane LSH bucketed ANN (seeded deterministic
+    planes inlined as literals)."""
+    probe = _probe_vector(spark, sf_dir)
+    return lsh_bucket_topk(
+        _t(spark, sf_dir, "embeddings"), probe, _PLANES, k=10
+    )
+
+
+ORACLES["x4_lsh_bucket_topk"] = _lsh_bucket_sql()
+
+
+@query("x4_lsh_index_topk", None)  # identical semantics → same oracle
+def x4_lsh_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the MATERIALIZED LSH index: one pass writes the corpus
+    hive-partitioned by bucket signature, then the probe reads ONLY
+    its bucket's directory via partition pruning (`PartitionFilters`
+    at the scan — plan-asserted in tests). Same results and oracle as
+    the in-plan filter variant; at 100 TB this is the difference
+    between evaluating the signature over every file and never
+    opening 63/64 of them."""
+    import tempfile
+
+    from vectordb_migrator_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lsh_index_") + "/idx"
+    build_lsh_index(emb, _PLANES, path)
+    return lsh_index_topk(spark, path, probe, _PLANES, k=10)
+
+
+ORACLES["x4_lsh_index_topk"] = _lsh_bucket_sql()
+
+
+@query("x4_ivf_index_topk", None)  # same semantics → x4_ivf_topk's oracle
+def x4_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the MATERIALIZED IVF index: corpus written hive-partitioned
+    by coarse cluster + a driver-tiny centroid table; the probe ranks
+    centroids driver-side and folds the nprobe winners into a literal
+    partition filter (`PartitionFilters` at the scan, plan-asserted in
+    tests). Same results and oracle as the in-plan semi-join variant
+    `x4_ivf_topk`; at 100 TB the probe lists nprobe directories
+    instead of scanning nlist."""
+    import tempfile
+
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(emb, path, cluster_col="label")
+    return ivf_index_topk(
+        spark, path, probe, cluster_col="label", k=10, nprobe=2
+    )
+
+
+ORACLES["x4_ivf_index_topk"] = ORACLES["x4_ivf_topk"]
+
+
+@query(
+    "x4_ivf_index_batch_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    dims AS (
+      SELECT e.label, r.i, avg(e.embedding[r.i]::DOUBLE) AS m
+      FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) r(i)
+      GROUP BY e.label, r.i
+    ),
+    cent AS (
+      SELECT label AS cluster, list(m ORDER BY i) AS cv
+      FROM dims GROUP BY label
+    ),
+    ranked AS (
+      SELECT q.q_id, c.cluster,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_dot_product(c.cv, q.qv) /
+                        (sqrt(list_dot_product(c.cv, c.cv)) *
+                         sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                        c.cluster) AS rn
+      FROM cent c, q
+    ),
+    probed AS (SELECT q_id, cluster FROM ranked WHERE rn <= 2),
+    scored AS (
+      SELECT p.q_id, e.vec_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+      FROM probed p JOIN q USING (q_id)
+      JOIN embeddings e ON e.label = p.cluster
+    )
+    SELECT q_id, vec_id, score,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, vec_id)::BIGINT AS rank
+    FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank
+    """,
+)
+def x4_ivf_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — BATCHED probe of the materialized IVF layout (round 5):
+    three probes rank the centroid table driver-side, the union of
+    their nprobe clusters folds into ONE partition filter (one corpus
+    scan for the whole batch — the shape that amortizes at thousands
+    of probes/sec), and a broadcast (cluster → probe) frame scores
+    each row only against the probes that probed its cluster."""
+    import tempfile
+
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_batch_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    path = tempfile.mkdtemp(prefix="ivf_batch_")
+    build_ivf_index(emb, path, cluster_col="label")
+    return ivf_index_batch_topk(
+        spark, path, probes, cluster_col="label", k=5, nprobe=2
+    ).orderBy("q_id", "rank")
+
+
+@query("x4_ivf_filtered_topk", None)  # oracle attached below
+def x4_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the production ANN query shape on the materialized IVF
+    layout: metadata PRE-filter (even labels only) stacked with
+    directory pruning (nprobe partitions) and row-group predicate
+    pushdown, then codegen score + TakeOrdered. Every returned row
+    satisfies the predicate (pre-filter semantics)."""
+    import tempfile
+
+    from vectordb_migrator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_filtered_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_filtered_")
+    build_ivf_index(emb, path, cluster_col="label")
+    return ivf_index_filtered_topk(
+        spark,
+        path,
+        probe,
+        F.col("label") % 2 == 0,
+        cluster_col="label",
+        k=10,
+        nprobe=4,
+    )
+
+
+ORACLES["x4_ivf_filtered_topk"] = f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    cent AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, range(1, 65) t(i) GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             sum(c.cv * p.pv[i]) /
+             (sqrt(sum(c.cv * c.cv)) * sqrt(sum(p.pv[i] * p.pv[i]))) AS sim
+      FROM cent c, p GROUP BY c.label
+    ),
+    shortlist AS (SELECT label FROM csim ORDER BY sim DESC, label LIMIT 4)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM embeddings, p
+    WHERE label IN (SELECT label FROM shortlist) AND label % 2 = 0
+    ORDER BY score DESC, vec_id LIMIT 10
+    """
+
+
+def _lsh_multiprobe_sql() -> str:
+    sig_expr = _plane_sig_sql
+    neighbors = ", ".join(
+        f"xor(psig.ps, {1 << i})" for i in range(len(_PLANES))
+    )
+    return f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {sig_expr('embedding::DOUBLE[]')} AS sig
+      FROM embeddings
+    ),
+    psig AS (SELECT {sig_expr('pv')} AS ps FROM p)
+    SELECT s.vec_id,
+           round(list_dot_product(s.v, p.pv) /
+                 (sqrt(list_dot_product(s.v, s.v)) *
+                  sqrt(list_dot_product(p.pv, p.pv))), 6) AS score
+    FROM sig s, p, psig
+    WHERE s.sig IN (psig.ps, {neighbors})
+    ORDER BY score DESC, s.vec_id LIMIT 10
+    """
+
+
+@query("x4_lsh_multiprobe_topk", None)  # oracle attached below
+def x4_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — multi-probe LSH: the probe bucket plus all one-bit-flip
+    neighbor buckets; recall recovery without extra plane sets."""
+    from vectordb_migrator_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+    )
+
+    probe = _probe_vector(spark, sf_dir)
+    return lsh_multiprobe_topk(
+        _t(spark, sf_dir, "embeddings"), probe, _PLANES, k=10
+    )
+
+
+ORACLES["x4_lsh_multiprobe_topk"] = _lsh_multiprobe_sql()
+
+
+@query(
+    "x9_pq_encode",
+    """
+    WITH cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.embedding[t.i]::DOUBLE - c.cv[t.i]) *
+                 (e.embedding[t.i]::DOUBLE - c.cv[t.i])) AS dist
+      FROM embeddings e, range(1, 65) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           max(CASE WHEN s = 0 THEN j END)::INT AS c0,
+           max(CASE WHEN s = 1 THEN j END)::INT AS c1,
+           max(CASE WHEN s = 2 THEN j END)::INT AS c2,
+           max(CASE WHEN s = 3 THEN j END)::INT AS c3
+    FROM code GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def x9_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — PQ code materialization: the m-byte-per-vector compressed
+    corpus a production pipeline stores instead of raw floats (16
+    codewords/subspace → 4 bytes replaces 256). Every code is
+    hash-verified against the SQL argmin."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_encode,
+        pq_sampled_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    enc = pq_encode(emb, cbs)
+    return enc.select(
+        "vec_id",
+        *[
+            F.element_at("pq_code", s + 1).alias(f"c{s}")
+            for s in range(4)
+        ],
+    ).orderBy("vec_id")
+
+
+@query(
+    "x9_pq_error",
+    """
+    WITH cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.embedding[t.i]::DOUBLE - c.cv[t.i]) *
+                 (e.embedding[t.i]::DOUBLE - c.cv[t.i])) AS dist
+      FROM embeddings e, unnest(range(1, 65)) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    md AS (
+      SELECT vec_id, s, min(dist) AS mdist
+      FROM d GROUP BY vec_id, s
+    )
+    SELECT s::INT AS s, count(*)::BIGINT AS n,
+           round(avg(mdist), 6) AS mse_mean,
+           round(max(mdist), 6) AS mse_max
+    FROM md GROUP BY s ORDER BY s
+    """,
+)
+def x9_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — PQ reconstruction-error report per subspace (round 5): the
+    quality half of the PQ storage claim (`x9_pq_encode` says 4 bytes
+    replaces 256; this says what it costs per 16-dim subspace in
+    mean/max squared quantization error — an uneven profile means one
+    subspace's variance dominates and the codebook budget is
+    misallocated, the thing OPQ rotations fix). Codebook distances
+    fold in codegen against broadcast literal centroids; the report is
+    one tiny (s) aggregate."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_sampled_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    v = F.col("embedding").cast("array<double>")
+    rows = []
+    for s in range(4):
+        sub = F.slice(v, s * 16 + 1, 16)
+        cands = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in cbs[s]]
+        )
+        dists = F.transform(
+            cands,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        rows.append(
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                F.array_min(dists).alias("mdist"),
+            )
+        )
+    exploded = emb.select(F.explode(F.array(*rows)).alias("e")).select(
+        F.col("e.s").alias("s"), F.col("e.mdist").alias("mdist")
+    )
+    return (
+        exploded.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("mdist"), 6).alias("mse_mean"),
+            F.round(F.max("mdist"), 6).alias("mse_max"),
+        )
+        .orderBy("s")
+    )
+
+
+@query("x9_pq_learned_error")  # Lloyd codeword averages carry
+# reduction-order ulps -> rows-only; the loop is NumPy-differentialed
+# in tests/test_similarity.py and learned<=sampled is asserted there
+def x9_pq_learned_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — the PQ TRAINING path (round 7): Lloyd-refined codebooks
+    (3 fixed k-means iterations per subspace, all subspaces in one
+    distributed pass per iteration, seeded from the deterministic
+    sampled codebooks) versus the sampled seeds, per-subspace
+    reconstruction MSE side by side — Lloyd never increases in-sample
+    error, so the learned rows must dominate, quantifying what
+    training buys before switching the encode path
+    (operators/similarity.py:pq_learned_codebooks; the learned
+    codebooks plug into the same pq_encode/ADC machinery)."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_learned_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    variants = [
+        ("sampled", pq_sampled_codebooks(emb, m=4, k=16)),
+        ("learned", pq_learned_codebooks(emb, m=4, k=16, n_iter=3)),
+    ]
+    v = F.col("embedding").cast("array<double>")
+    rows = []
+    for name, cbs in variants:
+        for s in range(4):
+            sub = F.slice(v, s * 16 + 1, 16)
+            cands = F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cw])
+                    for cw in cbs[s]
+                ]
+            )
+            dists = F.transform(
+                cands,
+                lambda c: F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            rows.append(
+                F.struct(
+                    F.lit(name).alias("variant"),
+                    F.lit(s).cast("int").alias("s"),
+                    F.array_min(dists).alias("mdist"),
+                )
+            )
+    exploded = emb.select(F.explode(F.array(*rows)).alias("e")).select(
+        "e.variant", "e.s", "e.mdist"
+    )
+    return (
+        exploded.groupBy("variant", "s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("mdist"), 6).alias("mse_mean"),
+        )
+        .orderBy("variant", "s")
+    )
+
+
+_PQ_PERM = [int(x) for x in np.random.default_rng(7).permutation(64)]
+_PQ_SIGN = [int(x) for x in np.random.default_rng(8).choice([-1, 1], 64)]
+
+
+@query("x9_pq_perm_error", None)  # oracle attached below (computed)
+def x9_pq_perm_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — OPQ-style transform check (round 5): a seeded signed
+    PERMUTATION (an exact orthogonal transform — distances preserved,
+    variance reallocated across subspaces) applied to vectors AND
+    codebook seeds before PQ, reporting per-subspace error side by
+    side with the identity layout — the cheap test of OPQ's premise
+    that subspace assignment, not the codebook count, drives PQ error
+    (a real OPQ learns the rotation; the permutation is its
+    engine-reproducible stand-in, hence the full oracle). Same codegen
+    fold shape as ``x9_pq_error``.
+
+    Plan note (round 6): the permuted vector is a 64-``getItem``
+    array expression — referencing it inside the per-candidate
+    ``F.transform`` lambda lets Catalyst inline the whole construction
+    into every one of 16 candidates x 4 subspaces (the documented
+    lambda-inlining trap; 11.6s in BENCH_r05). It is therefore
+    materialized as a real projected column, and each subspace slice
+    likewise, BEFORE the fold — CollapseProject keeps a non-cheap
+    expression referenced more than once as its own projection, so the
+    fold sees bound attributes (plan-locked in tests/test_plans.py)."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_sampled_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    v = F.col("embedding").cast("array<double>")
+    pv = F.array(
+        *[v.getItem(_PQ_PERM[i]) * F.lit(float(_PQ_SIGN[i])) for i in range(64)]
+    )
+    # step 1: build each layout's 64-vector ONCE per row; step 2: slice
+    # per subspace into bound columns the candidate fold references
+    arrs = emb.select(v.alias("__v"), pv.alias("__pv"))
+    sliced = arrs.select(
+        *[F.slice("__v", s * 16 + 1, 16).alias(f"__id{s}") for s in range(4)],
+        *[F.slice("__pv", s * 16 + 1, 16).alias(f"__pm{s}") for s in range(4)],
+    )
+
+    def sub_errs(prefix, books, tag):
+        out = []
+        for s in range(4):
+            sub = F.col(f"{prefix}{s}")
+            cands = F.array(
+                *[F.array(*[F.lit(float(x)) for x in cw]) for cw in books[s]]
+            )
+            dists = F.transform(
+                cands,
+                lambda c: F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            out.append(
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    F.lit(tag).alias("layout"),
+                    F.array_min(dists).alias("mdist"),
+                )
+            )
+        return out
+
+    # permuted codebooks: permute each seed codeword's 64 dims the same
+    # way, then re-slice into subspaces
+    flat_cbs = [
+        [cbs[d // 16][j][d % 16] for d in range(64)] for j in range(16)
+    ]
+    perm_books = [
+        [
+            [flat_cbs[j][_PQ_PERM[i]] * _PQ_SIGN[i] for i in range(s * 16, s * 16 + 16)]
+            for j in range(16)
+        ]
+        for s in range(4)
+    ]
+    rows = sub_errs("__id", cbs, "identity") + sub_errs("__pm", perm_books, "permuted")
+    exploded = sliced.select(F.explode(F.array(*rows)).alias("e")).select(
+        "e.s", "e.layout", "e.mdist"
+    )
+    return (
+        exploded.groupBy("layout", "s")
+        .agg(
+            F.round(F.avg("mdist"), 6).alias("mse_mean"),
+            F.round(F.max("mdist"), 6).alias("mse_max"),
+        )
+        .orderBy("layout", "s")
+    )
+
+
+def _pq_perm_sql() -> str:
+    perm_sql = "[" + ", ".join(str(p + 1) for p in _PQ_PERM) + "]"
+    sign_sql = "[" + ", ".join(str(x) for x in _PQ_SIGN) + "]"
+    return f"""
+    WITH pm AS (SELECT {perm_sql} AS perm, {sign_sql} AS sgn),
+    base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             [embedding[perm[i]]::DOUBLE * sgn[i] for i in
+              range(1, 65)] AS pv
+      FROM embeddings, pm
+    ),
+    cb AS (
+      SELECT b.vec_id AS j, b.v AS cv, b.pv AS pcv
+      FROM base b WHERE b.vec_id < 16
+    ),
+    d AS (
+      SELECT e.vec_id, 'identity' AS layout, (t.i-1) // 16 AS s, c.j,
+             sum((e.v[t.i] - c.cv[t.i]) * (e.v[t.i] - c.cv[t.i])) AS dist
+      FROM base e, unnest(range(1, 65)) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+      UNION ALL
+      SELECT e.vec_id, 'permuted' AS layout, (t.i-1) // 16 AS s, c.j,
+             sum((e.pv[t.i] - c.pcv[t.i]) * (e.pv[t.i] - c.pcv[t.i])) AS dist
+      FROM base e, unnest(range(1, 65)) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    md AS (
+      SELECT vec_id, layout, s, min(dist) AS mdist
+      FROM d GROUP BY vec_id, layout, s
+    )
+    SELECT layout, s::INT AS s,
+           round(avg(mdist), 6) AS mse_mean,
+           round(max(mdist), 6) AS mse_max
+    FROM md GROUP BY layout, s ORDER BY layout, s
+    """
+
+
+ORACLES["x9_pq_perm_error"] = _pq_perm_sql()
+
+
+@query(
+    "x9_opq_fit_error",
+    r"""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    dimvar AS (
+      SELECT i, var_pop(embedding[i]) AS vr
+      FROM embeddings, dims
+      GROUP BY i
+    ),
+    ranked AS (
+      SELECT i AS dim, vr,
+             row_number() OVER (ORDER BY round(vr, 9) DESC, i) AS r
+      FROM dimvar
+    ),
+    serp AS (
+      SELECT dim, vr,
+             CASE WHEN (((r-1)//4) % 2) = 0 THEN (r-1)%4
+                  ELSE 3 - ((r-1)%4) END AS s
+      FROM ranked
+    ),
+    permt AS (
+      SELECT list(dim ORDER BY s, dim) AS p FROM serp
+    ),
+    vs AS (
+      SELECT 'identity' AS layout, ((i-1)//16)::INT AS s,
+             round(sum(vr), 6) AS var_sum
+      FROM dimvar GROUP BY ((i-1)//16)
+      UNION ALL
+      SELECT 'fitted', s::INT, round(sum(vr), 6) FROM serp GROUP BY s
+    ),
+    base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             [embedding[p[j]]::DOUBLE for j in range(1, 65)] AS pv
+      FROM embeddings, permt
+    ),
+    cb AS (SELECT vec_id AS j, v AS cv, pv AS pcv FROM base WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, 'identity' AS layout, (t.i-1)//16 AS s, c.j,
+             sum((e.v[t.i]-c.cv[t.i])*(e.v[t.i]-c.cv[t.i])) AS dist
+      FROM base e, unnest(range(1, 65)) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1)//16, c.j
+      UNION ALL
+      SELECT e.vec_id, 'fitted', (t.i-1)//16, c.j,
+             sum((e.pv[t.i]-c.pcv[t.i])*(e.pv[t.i]-c.pcv[t.i]))
+      FROM base e, unnest(range(1, 65)) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1)//16, c.j
+    ),
+    md AS (
+      SELECT vec_id, layout, s, min(dist) AS mdist
+      FROM d GROUP BY vec_id, layout, s
+    )
+    SELECT md.layout, md.s::INT AS s, vs.var_sum,
+           round(avg(mdist), 6) AS mse_mean,
+           round(max(mdist), 6) AS mse_max
+    FROM md JOIN vs ON vs.layout = md.layout AND vs.s = md.s
+    GROUP BY md.layout, md.s, vs.var_sum
+    ORDER BY md.layout, md.s
+    """,
+)
+def x9_opq_fit_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — OPQ permutation FIT (round 6): where ``x9_pq_perm_error``
+    checks the OPQ premise with a seeded random permutation, this
+    LEARNS the permutation from the corpus — rank dimensions by
+    variance, serpentine-deal them across the 4 subspaces
+    (:func:`opq_balanced_permutation`), and report per-subspace
+    variance mass and PQ reconstruction error for the fitted layout
+    against identity. The fitted rows show variance equalized across
+    subspaces — the thing OPQ's learned rotation buys, at permutation
+    cost. Engine-reproducible end to end: variances round to 9
+    decimals before ranking (cross-engine float noise cannot flip a
+    near-tie), the serpentine deal is closed-form, so the DuckDB
+    oracle rebuilds the SAME permutation from the same parquet.
+
+    Scale shape: two corpus scans — one 64-expression variance
+    aggregate (map-side partial, one row out) and one error pass —
+    the honest minimum for fit-then-report. The fit itself is O(d)
+    driver work on 64 floats. The permuted array and each subspace
+    slice are materialized as projected columns before the candidate
+    fold (the lambda-inlining guard, same as ``x9_pq_perm_error``)."""
+    from vectordb_migrator_spark.operators.similarity import (
+        opq_balanced_permutation,
+        pq_sampled_codebooks,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    # per-dim variance via posexplode + groupBy(pos): the partial
+    # var_pop combines map-side, so the exchange carries 64 rows per
+    # partition — vs a 64-accumulator single agg whose whole-stage
+    # codegen alone takes seconds to JIT. fan_out: the toy single-file
+    # scan comes up 1-partition (no-op on a real cluster)
+    var_rows = (
+        fan_out(emb.select(v.alias("__va")))
+        .select(F.posexplode("__va").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.var_pop("val").alias("vr"))
+        .collect()
+    )
+    variances = [0.0] * 64
+    for r in var_rows:
+        variances[r["pos"]] = float(r["vr"])
+    perm = opq_balanced_permutation(variances, 4)
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    pv = F.array(*[v.getItem(perm[i]) for i in range(64)])
+    arrs = emb.select(v.alias("__v"), pv.alias("__pv"))
+    sliced = arrs.select(
+        *[F.slice("__v", s * 16 + 1, 16).alias(f"__id{s}") for s in range(4)],
+        *[F.slice("__pv", s * 16 + 1, 16).alias(f"__pm{s}") for s in range(4)],
+    )
+    flat = [[cbs[d // 16][j][d % 16] for d in range(64)] for j in range(16)]
+    perm_books = [
+        [[flat[j][perm[i]] for i in range(s * 16, s * 16 + 16)] for j in range(16)]
+        for s in range(4)
+    ]
+    var_id = [sum(variances[s * 16 : (s + 1) * 16]) for s in range(4)]
+    var_fit = [
+        sum(variances[perm[i]] for i in range(s * 16, s * 16 + 16))
+        for s in range(4)
+    ]
+
+    def sub_errs(prefix, books, tag, vsums):
+        out = []
+        for s in range(4):
+            sub = F.col(f"{prefix}{s}")
+            cands = F.array(
+                *[F.array(*[F.lit(float(x)) for x in cw]) for cw in books[s]]
+            )
+            dists = F.transform(
+                cands,
+                lambda c: F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            out.append(
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    F.lit(tag).alias("layout"),
+                    F.lit(round(vsums[s], 6)).cast("double").alias("var_sum"),
+                    F.array_min(dists).alias("mdist"),
+                )
+            )
+        return out
+
+    rows_ = sub_errs("__id", cbs, "identity", var_id) + sub_errs(
+        "__pm", perm_books, "fitted", var_fit
+    )
+    exploded = sliced.select(F.explode(F.array(*rows_)).alias("e")).select(
+        "e.s", "e.layout", "e.var_sum", "e.mdist"
+    )
+    return (
+        exploded.groupBy("layout", "s", "var_sum")
+        .agg(
+            F.round(F.avg("mdist"), 6).alias("mse_mean"),
+            F.round(F.max("mdist"), 6).alias("mse_max"),
+        )
+        .select("layout", "s", "var_sum", "mse_mean", "mse_max")
+        .orderBy("layout", "s")
+    )
+
+
+@query(
+    "x4_pq_adc_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.embedding[t.i]::DOUBLE - c.cv[t.i]) *
+                 (e.embedding[t.i]::DOUBLE - c.cv[t.i])) AS dist
+      FROM embeddings e, range(1, 65) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT (t.i-1) // 16 AS s, c.j,
+             sum((p.pv[t.i] - c.cv[t.i]) * (p.pv[t.i] - c.cv[t.i])) AS pd
+      FROM cb c, p, range(1, 65) t(i)
+      GROUP BY (t.i-1) // 16, c.j
+    )
+    SELECT code.vec_id, round(sum(lut.pd), 6) AS adc_dist
+    FROM code JOIN lut ON lut.s = code.s AND lut.j = code.j
+    GROUP BY code.vec_id
+    ORDER BY adc_dist, code.vec_id LIMIT 10
+    """,
+)
+def x4_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — product-quantization top-k via asymmetric distance
+    computation: m=4 subspaces × 16 sampled codewords (the 16 lowest-id
+    rows' subvectors, so the oracle can rebuild the codebook from the
+    data alone); probe→codeword distances fold into a driver-side LUT
+    and the scan does m lookups + adds per row — no float-vector math.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    codebooks = pq_sampled_codebooks(emb, m=4, k=16)
+    return pq_adc_topk(emb, probe, codebooks, k=10)
+
+
+@query("x4_pq_adc_stored", None)  # oracle shared with x4_pq_adc_topk below
+def x4_pq_adc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — ADC over MATERIALIZED PQ codes: ``pq_encode`` runs once
+    (here into a localCheckpoint standing in for the parquet code
+    store a production pipeline writes), then the query scans ONLY the
+    m-byte codes — ``element_at(lut, code+1)`` sums, no squared-L2
+    folds or per-row argmin anywhere in the scan plan. Same oracle as
+    the inline variant: the SQL reconstructs codes from the data."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_adc_topk_codes,
+        pq_encode,
+        pq_sampled_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    codebooks = pq_sampled_codebooks(emb, m=4, k=16)
+    codes = (
+        pq_encode(emb, codebooks)
+        .select("vec_id", "pq_code")
+        .localCheckpoint(eager=True)
+    )
+    return pq_adc_topk_codes(codes, probe, codebooks, k=10)
+
+
+ORACLES["x4_pq_adc_stored"] = ORACLES["x4_pq_adc_topk"]
+
+
+@query(
+    "x4_ivfpq_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    cent AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, range(1, 65) t(i) GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             sum(c.cv * p.pv[i]) /
+             (sqrt(sum(c.cv * c.cv)) * sqrt(sum(p.pv[i] * p.pv[i]))) AS sim
+      FROM cent c, p GROUP BY c.label
+    ),
+    shortlist AS (SELECT label FROM csim ORDER BY sim DESC, label LIMIT 2),
+    pr AS (SELECT * FROM embeddings
+           WHERE label IN (SELECT label FROM shortlist)),
+    cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.embedding[t.i]::DOUBLE - c.cv[t.i]) *
+                 (e.embedding[t.i]::DOUBLE - c.cv[t.i])) AS dist
+      FROM pr e, range(1, 65) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT (t.i-1) // 16 AS s, c.j,
+             sum((p.pv[t.i] - c.cv[t.i]) * (p.pv[t.i] - c.cv[t.i])) AS pd
+      FROM cb c, p, range(1, 65) t(i)
+      GROUP BY (t.i-1) // 16, c.j
+    )
+    SELECT code.vec_id, round(sum(lut.pd), 6) AS adc_dist
+    FROM code JOIN lut ON lut.s = code.s AND lut.j = code.j
+    GROUP BY code.vec_id
+    ORDER BY adc_dist, code.vec_id LIMIT 10
+    """,
+)
+def x4_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — IVFADC (the FAISS IVFx,PQy layout): label-centroid coarse
+    quantizer prunes to nprobe=2 clusters, then m=4×16 PQ/ADC scores
+    the survivors with LUT lookups only. The two compressions multiply
+    — nprobe/nlist of the corpus × m bytes per vector — and every
+    stage (centroids, shortlist, codes, LUT sums) is SQL-expressible,
+    so the whole composition carries a full hash oracle."""
+    from vectordb_migrator_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    codebooks = pq_sampled_codebooks(emb, m=4, k=16)
+    return ivfpq_topk(
+        emb, probe, codebooks, cluster_col="label", k=10, nprobe=2
+    )
+
+
+@query(
+    "x4_ivfpq_residual_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    cent AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, range(1, 65) t(i) GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             sum(c.cv * p.pv[i]) /
+             (sqrt(sum(c.cv * c.cv)) * sqrt(sum(p.pv[i] * p.pv[i])))
+               AS sim
+      FROM cent c, p GROUP BY c.label
+    ),
+    shortlist AS (SELECT label FROM csim
+                  ORDER BY sim DESC, label LIMIT 2),
+    rcb AS (
+      SELECT c.vec_id AS j, t.i AS i,
+             c.embedding[t.i]::DOUBLE - ct.cv AS rv
+      FROM embeddings c
+      CROSS JOIN range(1, 65) t(i)
+      JOIN cent ct ON ct.label = c.label AND ct.i = t.i
+      WHERE c.vec_id < 16
+    ),
+    pres AS (
+      SELECT e.vec_id, e.label, t.i,
+             e.embedding[t.i]::DOUBLE - ct.cv AS rv
+      FROM embeddings e
+      CROSS JOIN range(1, 65) t(i)
+      JOIN cent ct ON ct.label = e.label AND ct.i = t.i
+      WHERE e.label IN (SELECT label FROM shortlist)
+    ),
+    d AS (
+      SELECT pr.vec_id, (pr.i - 1) // 16 AS s, rc.j,
+             sum((pr.rv - rc.rv) * (pr.rv - rc.rv)) AS dist
+      FROM pres pr JOIN rcb rc ON rc.i = pr.i
+      GROUP BY 1, 2, 3
+    ),
+    code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    qres AS (
+      SELECT sl.label, t.i, p.pv[t.i] - ct.cv AS qv
+      FROM shortlist sl
+      CROSS JOIN p
+      CROSS JOIN range(1, 65) t(i)
+      JOIN cent ct ON ct.label = sl.label AND ct.i = t.i
+    ),
+    lut AS (
+      SELECT q.label, (q.i - 1) // 16 AS s, rc.j,
+             sum((q.qv - rc.rv) * (q.qv - rc.rv)) AS pd
+      FROM qres q JOIN rcb rc ON rc.i = q.i
+      GROUP BY 1, 2, 3
+    ),
+    lb AS (SELECT vec_id, label FROM embeddings
+           WHERE label IN (SELECT label FROM shortlist))
+    SELECT code.vec_id, round(sum(lut.pd), 6) AS adc_dist
+    FROM code
+    JOIN lb ON lb.vec_id = code.vec_id
+    JOIN lut ON lut.label = lb.label AND lut.s = code.s
+            AND lut.j = code.j
+    GROUP BY code.vec_id
+    ORDER BY adc_dist, code.vec_id LIMIT 10
+    """,
+)
+def x4_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — IVFADC with RESIDUAL encoding (round 7): vectors quantize
+    r = x − centroid(cluster) instead of x, which is what FAISS's
+    IVFx,PQy actually does — residuals concentrate near the origin,
+    so the same m=4×16 codebook budget spends its resolution where
+    the data lives (the standard recall upgrade over
+    ``x4_ivfpq_topk`` at identical storage; compare their rows).
+    Model-sized driver work only (centroids, 16 codeword residuals,
+    per-shortlisted-cluster LUTs); the scan is codegen — label
+    when-chain picks the centroid literal, per-subspace argmin the
+    code, ADC is m lookups
+    (operators/similarity.py:ivfpq_residual_topk). Full oracle."""
+    from vectordb_migrator_spark.operators.similarity import (
+        ivfpq_residual_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    return ivfpq_residual_topk(
+        emb, probe, cluster_col="label", m=4, k=10, nprobe=2
+    )
+
+
+@query("x4_ivfpq_stored_topk", None)  # same semantics → x4_ivfpq oracle
+def x4_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — IVFADC over the MATERIALIZED layout (round 5): the actual
+    FAISS-on-disk read path — the stored corpus carries m-byte PQ
+    CODES (never raw vectors), hive-partitioned by coarse cluster,
+    beside a driver-tiny centroid table built from the original
+    vectors. A probe ranks centroids driver-side, folds the nprobe
+    winners into a literal partition filter (directories that never
+    open), and ADC-scores the pruned code scan with LUT sums only.
+    Storage×compute multiply: nprobe/nlist of the corpus read × m
+    bytes per row. Same results and oracle as the in-plan
+    ``x4_ivfpq_topk`` by construction."""
+    import math
+    import tempfile
+
+    from vectordb_migrator_spark.operators.scale import write_partitioned
+    from vectordb_migrator_spark.operators.similarity import (
+        ivf_build_centroids,
+        pq_adc_topk_codes,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    write_partitioned(
+        pq_encode(emb, cbs).select("vec_id", "label", "pq_code"),
+        f"{path}/corpus",
+        partition_cols="label",
+    )
+    ivf_build_centroids(emb, cluster_col="label").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    pn = math.sqrt(sum(float(y) * float(y) for y in probe))
+
+    def cos(c):
+        num = sum(float(x) * float(y) for x, y in zip(c, probe))
+        return num / (math.sqrt(sum(float(x) * float(x) for x in c)) * pn)
+
+    ranked = sorted((-cos(r["centroid"]), r["cluster"]) for r in cents)
+    probed = [c for _, c in ranked[:2]]
+    pruned = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("label").isin(probed)
+    )
+    return pq_adc_topk_codes(pruned, probe, cbs, k=10)
+
+
+ORACLES["x4_ivfpq_stored_topk"] = ORACLES["x4_ivfpq_topk"]
+
+
+@query(
+    "x3_filtered_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv)
+    SELECT vec_id, label::BIGINT AS label,
+           round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM embeddings, p
+    WHERE label IN (1, 3, 5) AND vec_id % 2 = 0
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def x3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — filtered ANN search, THE canonical vector-store query
+    (Qdrant search+filter, Milvus expr+search, pgvector WHERE+ORDER
+    BY): metadata predicates applied BEFORE the similarity ranking
+    (pre-filter semantics — no recall loss from filtering after a
+    fixed-k index probe). The predicate sits under the score projection
+    in one scan, so Catalyst pushes the label filter to parquet
+    (`PushedFilters`) and at 100 TB a label-partitioned corpus prunes
+    directories before reading a byte."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    filtered = emb.filter(
+        F.col("label").isin(1, 3, 5) & (F.col("vec_id") % 2 == 0)
+    ).withColumn("label", F.col("label").cast("long"))
+    return cosine_topk(filtered, probe, k=10, payload_cols=["label"]).select(
+        "vec_id", "label", "score"
+    )
+
+
+@query(
+    "x4_sq_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings
+    ),
+    dq AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> round(x / scale) * scale) END AS dv
+      FROM q
+    )
+    SELECT vec_id,
+           round(list_dot_product(dv, pv) /
+                 (sqrt(list_dot_product(dv, dv)) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM dq, p
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def x4_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — int8 scalar-quantized top-k: the 4×-compression member of
+    the quantized-retrieval family (binary = 32×, PQ = 64×), scoring
+    exact cosine over dequantized codes; the quantizer is data-derived
+    (max|v|/127 per vector) so the oracle rebuilds it in SQL."""
+    from vectordb_migrator_spark.operators.similarity import sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    return sq_topk(emb, probe, k=10)
+
+
+@query(
+    "x3_grouped_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    scored AS (
+      SELECT vec_id, label::BIGINT AS label,
+             round(list_dot_product(embedding::DOUBLE[], pv) /
+                   (sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(pv, pv))), 6) AS score
+      FROM embeddings, p
+    )
+    SELECT vec_id, label, score, rank FROM (
+      SELECT vec_id, label, score,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY score DESC, vec_id)::BIGINT AS rank
+      FROM scored)
+    WHERE rank <= 3 ORDER BY label, rank
+    """,
+)
+def x3_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — grouped top-k: the k best matches WITHIN each group
+    (per-label, per-source, per-language) — the diversified-results /
+    per-shard-merge query. One scan scores in codegen, then a per-group
+    window keeps k rows; the shuffle moving (group, k)-bounded rows is
+    keyed on the group, so at 100 TB it is one healthy exchange — never
+    a global sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    from vectordb_migrator_spark.operators.similarity import probe_literal
+
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+
+    scored = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.round(
+            cosine_similarity(F.col("embedding"), probe_literal(probe)), 6
+        ).alias("score"),
+    )
+    w = W.partitionBy("label").orderBy(F.desc("score"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("label", "rank")
+    )
+
+
+@query(
+    "x3_range_search",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) AS score
+    FROM embeddings, p
+    WHERE round(list_dot_product(embedding::DOUBLE[], pv) /
+                (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(pv, pv))), 6) >= 0.2
+    ORDER BY score DESC, vec_id
+    """,
+)
+def x3_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — radius (range) search: all vectors with cosine >= 0.2 of
+    the probe — the score_threshold / range_search query type Qdrant,
+    Milvus and pgvector expose alongside top-k. A plain Filter over
+    the codegen score: no sort-limit merge, the result streams out
+    partition-parallel (the ORDER BY here is display determinism
+    only)."""
+    from vectordb_migrator_spark.operators.similarity import cosine_range_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    return cosine_range_search(emb, probe, threshold=0.2).orderBy(
+        F.desc("score"), "vec_id"
+    )
+
+
+@query("x4_recall_report", None)  # oracle attached below (computed string)
+def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the quantified recall-vs-cost story for every ANN family:
+    recall@10 / MRR of IVF (label-coarse), LSH (single and
+    multi-probe), binary Hamming, binary+float rerank, and PQ/ADC
+    against the exact cosine top-10. The per-row kernels (cosine
+    score, Hamming distance, LSH signature) are computed ONCE into a
+    persisted `scored` frame — one corpus scan feeds the truth side
+    and every family, which become pure rank-selects over the shared
+    columns instead of six independent score recomputations; only the
+    PQ family still folds its per-row argmin (inherent to inline
+    encoding). The metric math is list-depth-trivial. Every side is
+    SQL-expressible, so the whole report carries a full oracle."""
+    from pyspark import StorageLevel
+
+    from vectordb_migrator_spark.functions.vector import (
+        binary_quantize,
+        cosine_similarity,
+        python_binary_quantize,
+    )
+    from vectordb_migrator_spark.operators.ranking import recall_report
+    from vectordb_migrator_spark.operators.similarity import (
+        ivf_build_centroids,
+        pq_adc_topk_codes,
+        pq_codes,
+        probe_literal,
+        random_hyperplane_signature,
+    )
+
+    from vectordb_migrator_spark.operators.similarity import sq_dequantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    scored = (
+        # scale staged in its own projection (see sq_dequantized: the
+        # inline fold is O(d²) per row)
+        sq_dequantized(emb, out_col="_dv")
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.round(
+                cosine_similarity(F.col("embedding"), probe_literal(probe)), 6
+            ).alias("score"),
+            F.bit_count(
+                binary_quantize(F.col("embedding")).bitwiseXOR(
+                    F.lit(python_binary_quantize(probe)).cast("long")
+                )
+            ).alias("hamming"),
+            random_hyperplane_signature(F.col("embedding"), _PLANES).alias("sig"),
+            F.round(
+                cosine_similarity(F.col("_dv"), probe_literal(probe)), 6
+            ).alias("sq_score"),
+            # PQ codes encoded ONCE into the shared kernel frame; both
+            # PQ families below are then pure LUT scans over the codes
+            pq_codes(F.col("embedding"), cbs).alias("pq_code"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def top10_by_score(df: DataFrame) -> DataFrame:
+        return (
+            df.select("vec_id", "score")
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(10)
+        )
+
+    truth = top10_by_score(scored)
+    probe_sig = random_hyperplane_signature(probe_literal(probe), _PLANES)
+    mp_cond = F.col("sig") == probe_sig
+    for i in range(len(_PLANES)):
+        mp_cond = mp_cond | (
+            F.col("sig") == probe_sig.bitwiseXOR(F.lit(1 << i).cast("long"))
+        )
+    ivf_short = (
+        ivf_build_centroids(scored, cluster_col="label")
+        .select(
+            "cluster",
+            cosine_similarity(F.col("centroid"), probe_literal(probe)).alias(
+                "csim"
+            ),
+        )
+        .orderBy(F.desc("csim"))
+        .limit(2)
+        .select(F.col("cluster").alias("label"))
+    )
+    fams = [
+        (
+            "binary_hamming",
+            scored.select("vec_id", "hamming").orderBy("hamming", "vec_id").limit(10),
+            [("hamming", True)],
+        ),
+        (
+            "binary_rerank",
+            top10_by_score(scored.orderBy("hamming", "vec_id").limit(40)),
+            [("score", False)],
+        ),
+        (
+            "ivf_label",
+            top10_by_score(
+                scored.join(F.broadcast(ivf_short), "label", "left_semi")
+            ),
+            [("score", False)],
+        ),
+        (
+            "lsh_bucket",
+            top10_by_score(scored.filter(F.col("sig") == probe_sig)),
+            [("score", False)],
+        ),
+        (
+            "lsh_multiprobe",
+            top10_by_score(scored.filter(mp_cond)),
+            [("score", False)],
+        ),
+        (
+            "pq_adc",
+            pq_adc_topk_codes(scored, probe, cbs, k=10),
+            [("adc_dist", True)],
+        ),
+        (
+            "ivfpq_adc",
+            pq_adc_topk_codes(
+                scored.join(F.broadcast(ivf_short), "label", "left_semi"),
+                probe,
+                cbs,
+                k=10,
+            ),
+            [("adc_dist", True)],
+        ),
+        (
+            "sq_int8",
+            scored.select("vec_id", "sq_score")
+            .orderBy(F.desc("sq_score"), "vec_id")
+            .limit(10),
+            [("sq_score", False)],
+        ),
+    ]
+    return recall_report(fams, truth, k=10)
+
+
+def _recall_report_sql() -> str:
+    """Full-oracle recall report: per-family top-10 CTEs (reusing the
+    single-query oracle shapes) + a metric block per family."""
+    sig_expr = _plane_sig_sql
+    neighbors = ", ".join(f"xor(psig.ps, {1 << i})" for i in range(len(_PLANES)))
+
+    def metric(name: str, fam: str) -> str:
+        return f"""
+    SELECT '{name}' AS family,
+           (SELECT count(*) FROM truth)::BIGINT AS n_relevant,
+           10::BIGINT AS n_retrieved,
+           count(t.vec_id)::BIGINT AS n_hits,
+           round(count(t.vec_id) /
+                 (SELECT count(*) FROM truth)::DOUBLE, 6) AS recall_at_k,
+           round(coalesce(
+               1.0 / min(CASE WHEN t.vec_id IS NOT NULL THEN f.rank END),
+               0.0), 6) AS mrr
+    FROM {fam} f LEFT JOIN truth t USING (vec_id)"""
+
+    return f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    scored AS (
+      SELECT vec_id, label,
+             round(list_dot_product(embedding::DOUBLE[], pv) /
+                   (sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(pv, pv))), 6) AS score,
+             {sig_expr('embedding::DOUBLE[]')} AS sig,
+             len(list_filter(range(1, len(embedding) + 1),
+                             i -> (embedding[i] > 0) != (pv[i] > 0)))
+               AS hamming
+      FROM embeddings, p
+    ),
+    truth AS (SELECT vec_id FROM scored ORDER BY score DESC, vec_id LIMIT 10),
+    psig AS (SELECT {sig_expr('pv')} AS ps FROM p),
+    fam_bin AS (
+      SELECT vec_id, row_number() OVER (ORDER BY hamming, vec_id) AS rank
+      FROM scored QUALIFY rank <= 10
+    ),
+    fam_rr AS (
+      SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM (SELECT * FROM scored ORDER BY hamming, vec_id LIMIT 40)
+      QUALIFY rank <= 10
+    ),
+    cent AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, range(1, 65) t(i) GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             sum(c.cv * p.pv[i]) /
+             (sqrt(sum(c.cv * c.cv)) * sqrt(sum(p.pv[i] * p.pv[i]))) AS sim
+      FROM cent c, p GROUP BY c.label
+    ),
+    shortlist AS (SELECT label FROM csim ORDER BY sim DESC, label LIMIT 2),
+    fam_ivf AS (
+      SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM scored WHERE label IN (SELECT label FROM shortlist)
+      QUALIFY rank <= 10
+    ),
+    fam_lsh AS (
+      SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM scored, psig WHERE sig = psig.ps QUALIFY rank <= 10
+    ),
+    fam_mp AS (
+      SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM scored, psig WHERE sig IN (psig.ps, {neighbors})
+      QUALIFY rank <= 10
+    ),
+    cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.embedding[t.i]::DOUBLE - c.cv[t.i]) *
+                 (e.embedding[t.i]::DOUBLE - c.cv[t.i])) AS dist
+      FROM embeddings e, range(1, 65) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT (t.i-1) // 16 AS s, c.j,
+             sum((p.pv[t.i] - c.cv[t.i]) * (p.pv[t.i] - c.cv[t.i])) AS pd
+      FROM cb c, p, range(1, 65) t(i)
+      GROUP BY (t.i-1) // 16, c.j
+    ),
+    adc AS (
+      SELECT code.vec_id, round(sum(lut.pd), 6) AS adc_dist
+      FROM code JOIN lut ON lut.s = code.s AND lut.j = code.j
+      GROUP BY code.vec_id
+    ),
+    fam_pq AS (
+      SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rank
+      FROM adc QUALIFY rank <= 10
+    ),
+    adc_ivf AS (
+      SELECT a.vec_id, a.adc_dist FROM adc a JOIN embeddings e USING (vec_id)
+      WHERE e.label IN (SELECT label FROM shortlist)
+    ),
+    fam_ivfpq AS (
+      SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rank
+      FROM adc_ivf QUALIFY rank <= 10
+    ),
+    sqq AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings
+    ),
+    sdq AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> round(x / scale) * scale) END AS dv
+      FROM sqq
+    ),
+    fam_sq AS (
+      SELECT vec_id, row_number() OVER (ORDER BY
+               round(list_dot_product(dv, pv) /
+                     (sqrt(list_dot_product(dv, dv)) *
+                      sqrt(list_dot_product(pv, pv))), 6) DESC, vec_id) AS rank
+      FROM sdq, p QUALIFY rank <= 10
+    )
+    {metric('binary_hamming', 'fam_bin')}
+    UNION ALL {metric('binary_rerank', 'fam_rr')}
+    UNION ALL {metric('ivf_label', 'fam_ivf')}
+    UNION ALL {metric('lsh_bucket', 'fam_lsh')}
+    UNION ALL {metric('lsh_multiprobe', 'fam_mp')}
+    UNION ALL {metric('pq_adc', 'fam_pq')}
+    UNION ALL {metric('ivfpq_adc', 'fam_ivfpq')}
+    UNION ALL {metric('sq_int8', 'fam_sq')}
+    ORDER BY family
+    """
+
+
+ORACLES["x4_recall_report"] = _recall_report_sql()
+
+
+@query(
+    "x4_mmr_rerank",
+    f"""
+    WITH RECURSIVE p AS (SELECT {_PROBE_SQL} AS pv),
+    cand AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS v,
+             round(list_dot_product(embedding::DOUBLE[], pv) /
+                   (sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(pv, pv))), 6) AS score
+      FROM embeddings, p ORDER BY score DESC, vec_id LIMIT 30
+    ),
+    sel AS (
+      SELECT 1 AS step,
+             [(SELECT vec_id FROM cand ORDER BY score DESC, vec_id LIMIT 1)]
+               AS ids,
+             [(SELECT round(score, 6) + 0.0 FROM cand
+               ORDER BY score DESC, vec_id LIMIT 1)] AS scores
+      UNION ALL
+      SELECT step + 1,
+             list_append(ids, nxt.vec_id),
+             list_append(scores, nxt.mmr)
+      FROM sel, LATERAL (
+        SELECT c.vec_id,
+               round(0.5 * c.score - 0.5 * (
+                 SELECT max(list_dot_product(c.v, s.v))
+                 FROM cand s WHERE list_contains(sel.ids, s.vec_id)
+               ), 6) + 0.0 AS mmr
+        FROM cand c
+        WHERE NOT list_contains(sel.ids, c.vec_id)
+        ORDER BY mmr DESC, c.vec_id LIMIT 1
+      ) nxt
+      WHERE step < 10
+    ),
+    last AS (SELECT ids, scores FROM sel ORDER BY step DESC LIMIT 1)
+    SELECT last.ids[t.i] AS vec_id, t.i::INT AS mmr_rank,
+           last.scores[t.i] AS mmr_score
+    FROM last, range(1, 11) t(i)
+    WHERE t.i <= len(last.ids)
+    ORDER BY mmr_rank
+    """,
+)
+def x4_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — maximal-marginal-relevance diversity re-rank: exact cosine
+    top-30 shortlist → greedy λ=0.5 MMR selection of 10. The scan does
+    the distributed work (TakeOrderedAndProject shortlist WITH the
+    vectors as payload); the greedy loop is list-depth driver work.
+    The oracle replicates the greedy selection with a recursive CTE —
+    argmax over 6-decimal-rounded MMR makes the two engines rank
+    identically."""
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+    from vectordb_migrator_spark.operators.ranking import mmr_rerank
+    from vectordb_migrator_spark.operators.similarity import probe_literal
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    shortlist = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.round(
+                cosine_similarity(F.col("embedding"), probe_literal(probe)), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(30)
+    )
+    return mmr_rerank(shortlist, k=10, lamb=0.5)
+
+
+def _mrl_curve_sql() -> str:
+    def top10(d):
+        return f"""
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               round(list_dot_product(embedding[1:{d}]::DOUBLE[], pv[1:{d}]) /
+                     (sqrt(list_dot_product(embedding[1:{d}]::DOUBLE[],
+                                            embedding[1:{d}]::DOUBLE[])) *
+                      sqrt(list_dot_product(pv[1:{d}], pv[1:{d}]))), 6) AS s
+        FROM embeddings, p ORDER BY s DESC, vec_id LIMIT 10)
+        """
+
+    parts = []
+    for d in (8, 16, 32, 64):
+        parts.append(
+            f"""SELECT {d} AS dim,
+            round((SELECT count(*) FROM ({top10(d)}) c
+                   WHERE c.vec_id IN (SELECT vec_id FROM truth)) / 10.0, 6)
+              AS recall_at_10"""
+        )
+    return (
+        f"WITH p AS (SELECT {_PROBE_SQL} AS pv), truth AS ({top10(64)}) "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY dim"
+    )
+
+
+def _nprobe_sweep_sql() -> str:
+    base = f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    cent AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, unnest(range(1, 65)) t(i) GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             row_number() OVER (ORDER BY
+               sum(c.cv * p.pv[i]) /
+               (sqrt(sum(c.cv * c.cv)) * sqrt(sum(p.pv[i] * p.pv[i]))) DESC,
+               c.label) AS crank
+      FROM cent c, p GROUP BY c.label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_dot_product(e.embedding::DOUBLE[], p.pv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(p.pv, p.pv))), 6) AS s
+      FROM embeddings e, p
+    ),
+    truth AS (
+      SELECT vec_id FROM scored ORDER BY s DESC, vec_id LIMIT 10
+    )"""
+    parts = []
+    for np_ in (1, 2, 3, 4):
+        parts.append(
+            f"""SELECT {np_} AS nprobe,
+            round((SELECT count(*) FROM (
+                SELECT sc.vec_id FROM scored sc
+                JOIN csim ON csim.label = sc.label AND csim.crank <= {np_}
+                ORDER BY sc.s DESC, sc.vec_id LIMIT 10) c
+              WHERE c.vec_id IN (SELECT vec_id FROM truth)) / 10.0, 6)
+              AS recall_at_10"""
+        )
+    return base + " " + " UNION ALL ".join(parts) + " ORDER BY nprobe"
+
+
+@query("x4_nprobe_sweep", None)  # oracle attached below (computed)
+def x4_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the nprobe/recall SWEEP (round 5): recall@10 of
+    label-coarse IVF at nprobe 1..4 against exact truth — the tuning
+    table behind every materialized-IVF probe ("how many partitions
+    must a probe open for the recall target"), the ANN twin of the
+    dedup threshold sweep. Each nprobe point is a label-filtered
+    TakeOrdered branch of the union plan — the scored projection
+    re-derives per branch (5 narrow scans at diagnostic cadence; a
+    scheduled run would persist the scored frame once); recall joins
+    are 10-row frames."""
+    import math
+
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+    from vectordb_migrator_spark.operators.similarity import (
+        ivf_build_centroids,
+        probe_literal,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    cents = ivf_build_centroids(emb, cluster_col="label").collect()
+    pn = math.sqrt(sum(float(y) * float(y) for y in probe))
+
+    def cos(c):
+        num = sum(float(x) * float(y) for x, y in zip(c, probe))
+        return num / (math.sqrt(sum(float(x) * float(x) for x in c)) * pn)
+
+    ranked = [
+        c for _, c in sorted((-cos(r["centroid"]), r["cluster"]) for r in cents)
+    ]
+    scored = emb.select(
+        "vec_id",
+        "label",
+        F.round(
+            cosine_similarity(
+                F.col("embedding").cast("array<double>"), probe_literal(probe)
+            ),
+            6,
+        ).alias("s"),
+    )
+    truth = scored.orderBy(F.desc("s"), "vec_id").limit(10).select("vec_id")
+    rows = []
+    for np_ in (1, 2, 3, 4):
+        cand = (
+            scored.filter(F.col("label").isin(ranked[:np_]))
+            .orderBy(F.desc("s"), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+        rows.append(
+            cand.join(truth, "vec_id", "left_semi").agg(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("nprobe")
+
+
+ORACLES["x4_nprobe_sweep"] = _nprobe_sweep_sql()
+
+
+@query("x9_matryoshka_curve", None)  # oracle attached below (computed)
+def x9_matryoshka_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — the Matryoshka recall CURVE (round 5): recall@10 of
+    prefix-dimension retrieval at 8/16/32/64 dims against the full-dim
+    truth — the sizing table for MRL deployment (how many dims the
+    shortlist pass can drop before recall falls off a cliff;
+    ``x9_matryoshka_topk`` runs ONE point of this curve). Each prefix
+    ranking is its own TakeOrdered branch of the union plan (4 narrow
+    scans at diagnostic cadence — a scheduled run persists the corpus
+    projection once); the recall joins are 10-row frames."""
+    from vectordb_migrator_spark.functions.vector import cosine_similarity
+    from vectordb_migrator_spark.operators.similarity import probe_literal
+
+    probe = _probe_vector(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def top10(d):
+        v = F.slice(F.col("embedding").cast("array<double>"), 1, d)
+        return (
+            emb.select(
+                "vec_id",
+                F.round(
+                    cosine_similarity(v, probe_literal(probe[:d])), 6
+                ).alias("s"),
+            )
+            .orderBy(F.desc("s"), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+
+    truth = top10(64)
+    rows = []
+    for d in (8, 16, 32, 64):
+        rec = (
+            top10(d)
+            .join(truth, "vec_id", "left_semi")
+            .agg(
+                F.lit(d).cast("int").alias("dim"),
+                F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10"),
+            )
+        )
+        rows.append(rec)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("dim")
+
+
+ORACLES["x9_matryoshka_curve"] = _mrl_curve_sql()
+
+
+@query(
+    "x9_matryoshka_topk",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    n AS (
+      SELECT vec_id,
+             list_transform(embedding[1:16]::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(
+                                embedding[1:16]::DOUBLE[],
+                                embedding[1:16]::DOUBLE[]))) AS v
+      FROM embeddings
+    )
+    SELECT n.vec_id,
+           round(list_dot_product(n.v, p.pv[1:16]) /
+                 (sqrt(list_dot_product(n.v, n.v)) *
+                  sqrt(list_dot_product(p.pv[1:16], p.pv[1:16]))), 6) AS score
+    FROM n, p
+    ORDER BY score DESC, n.vec_id LIMIT 10
+    """,
+)
+def x9_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — matryoshka (MRL) retrieval: truncate embeddings to their
+    first 16 of 64 dims and re-normalize, then cosine top-k against
+    the truncated probe — the coarse pass that reads a quarter of the
+    vector bytes (materialize the truncated column at scale, like PQ
+    codes; the full vector only reranks the shortlist). One pruned
+    scan + TakeOrderedAndProject, same plan shape as exact top-k."""
+    from vectordb_migrator_spark.functions.vector import matryoshka_truncate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    t = emb.select(
+        "vec_id", matryoshka_truncate(F.col("embedding"), 16).alias("mrl")
+    )
+    return cosine_topk(t, probe[:16], k=10, vec_col="mrl")
+
+
+_LSH_ND_CAP = 12  # sf0.01 buckets reach 18 rows → the star path really runs
+
+
+@query("x2_lsh_near_dup", None)  # oracle attached below (computed string)
+def x2_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — embedding near-dup with hyperplane-LSH blocking: the
+    label-free scale path (buckets bound the quadratic; candidate
+    pairs only form inside a bucket, and buckets over ``max_bucket``
+    degrade to the min-id star — O(N) instead of O(N²) per bucket,
+    connectivity preserved for downstream clustering)."""
+    from vectordb_migrator_spark.operators.dedup import (
+        lsh_embedding_near_dup_pairs,
+    )
+
+    return lsh_embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        _PLANES,
+        threshold=0.25,
+        max_bucket=_LSH_ND_CAP,
+    ).orderBy("id_a", "id_b")
+
+
+# The oracle replicates the star-cap exactly: buckets over the cap
+# contribute only (min-id anchor, other) pairs.
+ORACLES["x2_lsh_near_dup"] = f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS v,
+             {_plane_sig_sql('embedding::DOUBLE[]')} AS sig
+      FROM embeddings
+    ),
+    c AS (
+      SELECT sig, count(*) AS n_bkt, min(vec_id) AS anchor
+      FROM n GROUP BY sig
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v), 6) AS cos
+    FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    JOIN c ON c.sig = a.sig
+    WHERE (c.n_bkt <= {_LSH_ND_CAP} OR a.vec_id = c.anchor)
+      AND list_dot_product(a.v, b.v) >= 0.25
+    ORDER BY id_a, id_b
+    """
+
+
+@query("x2_lsh_near_dup_multi", None)  # oracle attached below
+def x2_lsh_near_dup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — stacked plane sets: two independent LSH bucketings, union
+    of pair frames, dedup on the pair key — the recall knob for
+    LSH-blocked near-dup made concrete (a pair split across one
+    bucketing's cells is usually found by the other). Each set's scan
+    stays blocked and star-capped; the union shuffles only pair
+    triples."""
+    from vectordb_migrator_spark.operators.dedup import (
+        lsh_embedding_near_dup_pairs_multi,
+    )
+
+    return lsh_embedding_near_dup_pairs_multi(
+        _t(spark, sf_dir, "embeddings"),
+        [_PLANES, _PLANES2],
+        threshold=0.25,
+        max_bucket=_LSH_ND_CAP,
+    ).orderBy("id_a", "id_b")
+
+
+def _lsh_near_dup_multi_sql() -> str:
+    def per_set(planes: list[list[float]]) -> str:
+        # signatures over the RAW embedding (e), mirroring the Spark
+        # side, which buckets before normalizing
+        return f"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v), 6) AS cos
+      FROM n a JOIN n b
+        ON {_plane_sig_sql('a.e', planes)} = {_plane_sig_sql('b.e', planes)}
+       AND a.vec_id < b.vec_id
+      JOIN (
+        SELECT {_plane_sig_sql('e', planes)} AS sig,
+               count(*) AS n_bkt, min(vec_id) AS anchor
+        FROM n GROUP BY 1
+      ) c ON c.sig = {_plane_sig_sql('a.e', planes)}
+      WHERE (c.n_bkt <= {_LSH_ND_CAP} OR a.vec_id = c.anchor)
+        AND list_dot_product(a.v, b.v) >= 0.25"""
+
+    return f"""
+    WITH n AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS e,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS v
+      FROM embeddings
+    )
+    SELECT DISTINCT id_a, id_b, cos FROM (
+      {per_set(_PLANES)}
+      UNION ALL
+      {per_set(_PLANES2)}
+    ) ORDER BY id_a, id_b
+    """
+
+
+ORACLES["x2_lsh_near_dup_multi"] = _lsh_near_dup_multi_sql()
