@@ -314,33 +314,51 @@ def referential_audit(
     names exactly which join in every downstream query will silently
     drop rows.
 
-    Scale shape, per relation: the child side projects to ONE key
-    column, the parent side to its distinct key — an id-width
-    left-anti join (broadcast when the parent is a dim table, shuffle
-    otherwise; Catalyst decides from stats), then a count-only
-    aggregate. Relations audit independently — no cross-relation
+    Scale shape, per relation: ONE scan of the child, folded to a
+    (key, count) aggregate first (map-side combinable — the NULL-key
+    group rides along), then an id-width left join of that
+    distinct-key frame against the distinct parent key (broadcast
+    when the parent is a dim table, shuffle otherwise; Catalyst
+    decides from stats), and ONE final aggregate derives all four
+    stats. The join input is distinct-key-sized, not child-row-sized
+    — at 100 TB the lineitem→orders audit joins ~|orders| rows, not
+    ~|lineitem|. Relations audit independently — no cross-relation
     state — and the result is a union of one-row frames, so the whole
     audit is as parallel as the cluster allows."""
     out = None
     for name, child, ck, parent, pk in relations:
-        keys = child.select(F.col(ck).alias("__k"))
-        nn = keys.filter(F.col("__k").isNotNull())
-        orphans = nn.join(
-            parent.select(F.col(pk).alias("__k")).distinct(),
-            "__k",
-            "left_anti",
+        folded = child.groupBy(F.col(ck).alias("__k")).agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+        pkeys = (
+            parent.select(F.col(pk).alias("__k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
         )
         row = (
-            keys.agg(
-                F.count(F.lit(1)).cast("long").alias("child_rows"),
-                F.sum(F.col("__k").isNull().cast("long"))
+            folded.join(pkeys, "__k", "left")
+            .agg(
+                F.coalesce(F.sum("__n"), F.lit(0))
+                .cast("long")
+                .alias("child_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__k").isNull(), F.col("__n"))),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("null_keys"),
-            )
-            .crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("long").alias("orphans")
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__k").isNotNull()
+                            & F.col("__hit").isNull(),
+                            F.col("__n"),
+                        )
+                    ),
+                    F.lit(0),
                 )
+                .cast("long")
+                .alias("orphans"),
             )
             .select(
                 F.lit(name).alias("relation"),
