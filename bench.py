@@ -163,6 +163,7 @@ HEADLINE = [
     "x5_bpe_pair_stats",
     "x5_bpe_train",
     "x0_tokenizer_fit_apply",
+    "x0_bpe_segment_arrow",
     "x5_quality_by_lang",
     "x5_quality_tiers",
     "x5_quality_tiers_scalable",

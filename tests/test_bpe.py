@@ -94,3 +94,104 @@ def test_bpe_vocab_map_matches_segment_counts(spark):
     for row in seg:
         want = sum(wmap[w] for w in row["text"].split())
         assert len(row["bpe_tokens"]) == want
+
+
+def _replay_encode(word, merges):
+    """Pure-Python in-learned-order replay — the codegen path's exact
+    semantics, as the differential reference for the Arrow kernel."""
+    syms = list(word)
+    for m in merges:
+        a, b = m[0], m[1]
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_rank_priority_encode_agrees_with_ordered_replay_large_table():
+    """Round-8 production apply: on a TRAINED table of 1000+ merges,
+    the rank-priority apply loop (the GPT-2/tiktoken order the Arrow
+    kernel runs) must segment every vocabulary word and a batch of
+    unseen words exactly as replaying the table in learned order."""
+    import random
+
+    rng = random.Random(8)
+    alphabet = "abcdefgh"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(3000)
+    ]
+    texts = [" ".join(rng.choices(words, k=40)) for _ in range(200)]
+    merges, _ = _py_bpe(texts, 1200, min_count=1)
+    assert len(merges) >= 1000, "corpus must support a production-sized table"
+
+    from vectordb_migrator_spark.operators.bpe import _rank_priority_encode
+
+    ranks = {(a, b): i for i, (a, b, _n) in enumerate(merges)}
+    unseen = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 16)))
+        for _ in range(500)
+    ]
+    for w in set(words) | set(unseen):
+        assert _rank_priority_encode(w, ranks) == _replay_encode(w, merges), w
+
+
+def test_rank_priority_encode_agrees_on_random_trained_tables():
+    """Property sweep: many tiny random corpora with dense alphabets
+    (the regime where merge interactions are most tangled) — trained
+    tables must segment identically under both apply orders."""
+    import random
+
+    from vectordb_migrator_spark.operators.bpe import _rank_priority_encode
+
+    for seed in range(60):
+        rng = random.Random(seed)
+        alphabet = "abc"
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+            for _ in range(50)
+        ]
+        texts = [" ".join(rng.choices(words, k=12)) for _ in range(12)]
+        merges, _ = _py_bpe(texts, 40, min_count=1)
+        ranks = {(a, b): i for i, (a, b, _n) in enumerate(merges)}
+        probes = words + [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+            for _ in range(50)
+        ]
+        for w in probes:
+            got = _rank_priority_encode(w, ranks)
+            want = _replay_encode(w, merges)
+            assert got == want, (seed, w, merges)
+
+
+def test_bpe_segment_arrow_matches_codegen_path(spark):
+    """The Arrow kernel and the chained-codegen-fold path are the
+    same tokenizer: identical token arrays per document, NULL text
+    passes through as NULL, and the physical plan crosses Python
+    exactly once (mapInPandas → ArrowEvalPython family, never
+    row-at-a-time BatchEvalPython)."""
+    from vectordb_migrator_spark.operators.bpe import bpe_segment_arrow
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)] + [(97, ""), (99, None)],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn(df.filter("text IS NOT NULL"), n_merges=8)
+    want = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment(df, merges).collect()
+    }
+    arrow = bpe_segment_arrow(df, merges)
+    got = {r["doc_id"]: r["bpe_tokens"] for r in arrow.collect()}
+    assert got[99] is None
+    assert got[97] == []
+    for k in want:
+        if k != 99:
+            assert got[k] == want[k], k
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1

@@ -187,6 +187,107 @@ def bpe_segment(
     return df.withColumn(out_col, F.flatten(words))
 
 
+def _rank_priority_encode(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Segment one word with the rank-priority apply loop (the GPT-2 /
+    tiktoken production order): repeatedly find the LOWEST-rank merge
+    whose pair is adjacent in the current segmentation and fold ALL
+    its occurrences greedily left-to-right (the same within-merge scan
+    order as :func:`_merge_fold`). For tables produced by sequential
+    BPE training this yields the segmentation of replaying the table
+    in learned order — agreement is differential-tested against the
+    codegen path in tests/test_bpe.py. Pure function: also the unit
+    under test."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best: tuple[str, str] | None = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        a, b = best
+        acc: list[str] = []
+        for s in syms:
+            if acc and acc[-1] == a and s == b:
+                acc[-1] = a + b
+            else:
+                acc.append(s)
+        syms = acc
+    return syms
+
+
+def bpe_segment_arrow(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """The PRODUCTION apply half of the tokenizer lifecycle: segment
+    every document with an arbitrarily large learned merge table in
+    ONE Arrow-batched ``mapInPandas`` pass — where :func:`bpe_segment`
+    chains one codegen fold per merge (its docstring caps it at
+    diagnostic merge counts) and :func:`bpe_vocab_map` covers token
+    *counting*, this kernel emits the segmented token stream itself
+    for thousands-of-merges tokenizers.
+
+    Scale shape: the merge table rides to executors once as a
+    broadcast rank dict (model-sized); each Arrow batch tokenizes
+    with the SAME whitespace convention as ``ws_tokens`` (ASCII
+    ``\\s`` — Java regex semantics) and segments each DISTINCT word
+    once through a per-batch cache (Zipf: the cache hit rate is the
+    corpus' token/type ratio), so per-batch work is
+    O(distinct words × word length²) dict lookups, not
+    O(rows × merges). Exactly one Python boundary in the plan
+    (ArrowEvalPython via mapInPandas — locked in tests/test_plans.py);
+    NULL text yields NULL tokens."""
+    import re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+    b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
+    # StructType.add mutates in place — never .add onto df.schema
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(StringType()))]
+    )
+    split = re.compile(r"\s+", re.ASCII)
+
+    def segment(batches):
+        r = b_ranks.value
+        cache: dict[str, list[str]] = {}
+
+        def words(text: str) -> list[str]:
+            return [w for w in split.split(text.lower().strip()) if w]
+
+        def enc(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = _rank_priority_encode(w, r)
+            return got
+
+        for pdf in batches:
+            pdf[out_col] = [
+                None
+                if text is None
+                else [t for w in words(text) for t in enc(w)]
+                for text in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(segment, schema)
+
+
 def bpe_vocab_map(
     df: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
