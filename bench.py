@@ -164,6 +164,8 @@ HEADLINE = [
     "x5_bpe_train",
     "x0_tokenizer_fit_apply",
     "x0_bpe_segment_arrow",
+    "c0_migration_throughput",
+    "c2_qdrant_roundtrip_scale",
     "x5_quality_by_lang",
     "x5_quality_tiers",
     "x5_quality_tiers_scalable",

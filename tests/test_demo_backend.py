@@ -1,0 +1,131 @@
+"""The package-shipped file-backed demo backend (round 8) — the
+connector-bench workhorse: client-level contract tests plus a Spark
+round trip through format("qdrant")."""
+
+from __future__ import annotations
+
+import os
+
+from vectordb_migrator_spark.sources.demo_backend import (
+    DemoQdrantClient,
+    qdrant_demo_factory,
+)
+
+FACTORY = (
+    "vectordb_migrator_spark.sources.demo_backend:qdrant_demo_factory"
+)
+
+
+def _mk(tmp_path, n=25, per_call=7):
+    c = DemoQdrantClient({"store_dir": str(tmp_path)})
+    c.create_collection("col", {"size": 2, "distance": "Cosine"})
+    pts = [
+        {"id": i, "vector": [float(i), 0.0], "payload": {"k": str(i % 3)}}
+        for i in range(n)
+    ]
+    for i in range(0, n, per_call):
+        c.upsert("col", pts[i : i + per_call])
+    return DemoQdrantClient({"store_dir": str(tmp_path)}), pts
+
+
+def test_scroll_pages_cover_every_point_across_segments(tmp_path):
+    c, pts = _mk(tmp_path)
+    got, offset = [], None
+    while True:
+        page, offset = c.scroll("col", limit=4, offset=offset)
+        got += page
+        if offset is None:
+            break
+    assert sorted(p.id for p in got) == [p["id"] for p in pts]
+    by_id = {p.id: p for p in got}
+    assert by_id[3].vector == [3.0, 0.0]
+    assert by_id[3].payload == {"k": "0"}
+    assert c.count("col").count == len(pts)
+
+
+def test_offset_seek_matches_the_stable_global_order(tmp_path):
+    """Cursor contract: integer offsets index ONE stable total order
+    (sorted segment names × within-segment line order — not insertion
+    order across parallel writers), so any page equals the full
+    scan's slice."""
+    c, _ = _mk(tmp_path, n=25, per_call=5)
+    full = [p.id for p in c.scroll("col", limit=100)[0]]
+    page, nxt = c.scroll("col", limit=5, offset=12)
+    assert [p.id for p in page] == full[12:17]
+    assert nxt == 17
+    # tail page: next cursor is exhausted
+    page, nxt = c.scroll("col", limit=100, offset=20)
+    assert [p.id for p in page] == full[20:]
+    assert nxt is None
+
+
+def test_id_only_scroll_serves_from_ids_sidecar(tmp_path):
+    """The segmentation pre-pass order (ids sidecars) must be the
+    SAME total order as the data path — cursors planned id-only are
+    redeemed against the jsonl files."""
+    c, _ = _mk(tmp_path, n=10, per_call=4)
+    full = [p.id for p in c.scroll("col", limit=100)[0]]
+    page, nxt = c.scroll(
+        "col", limit=6, offset=2, with_payload=False, with_vectors=False
+    )
+    assert [p.id for p in page] == full[2:8]
+    assert all(p.vector is None and p.payload == {} for p in page)
+
+
+def test_filtered_scroll_and_count(tmp_path):
+    c, _ = _mk(tmp_path)
+    flt = {"must": [{"key": "k", "match": {"value": "1"}}]}
+    page, nxt = c.scroll("col", limit=100, scroll_filter=flt)
+    assert all(p.payload["k"] == "1" for p in page)
+    assert len(page) == c.count("col", count_filter=flt).count > 0
+
+
+def test_delete_collection_removes_segments_and_sidecars(tmp_path):
+    c, _ = _mk(tmp_path, n=6, per_call=3)
+    assert c.collection_exists("col")
+    c2 = DemoQdrantClient({"store_dir": str(tmp_path)})
+    c2.delete_collection("col")
+    assert not c2.collection_exists("col")
+    assert not [f for f in os.listdir(tmp_path) if "col.points" in f]
+
+
+def test_spark_roundtrip_through_demo_backend(spark, tmp_path):
+    """format("qdrant") write → partition-planned read against the
+    demo store: every id, vector, and payload survives."""
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path)
+    df = spark.range(97).select(
+        F.col("id").cast("string").alias("id"),
+        F.array(F.col("id").cast("float"), F.lit(1.0).cast("float")).alias(
+            "vector"
+        ),
+        F.create_map(
+            F.lit("label"), (F.col("id") % 5).cast("string")
+        ).alias("metadata"),
+    )
+    (
+        df.write.format("qdrant")
+        .mode("append")
+        .option("client_factory", FACTORY)
+        .option("store_dir", store)
+        .option("collection_name", "rt")
+        .option("vector_dimension", "2")
+        .option("batch_size", "10")
+        .save()
+    )
+    back = (
+        spark.read.format("qdrant")
+        .option("client_factory", FACTORY)
+        .option("store_dir", store)
+        .option("collection_name", "rt")
+        .option("num_partitions", "4")
+        .option("batch_size", "16")
+        .load()
+    )
+    rows = back.collect()
+    assert len(rows) == 97
+    got = {int(r["id"]): r for r in rows}
+    assert sorted(got) == list(range(97))
+    assert got[42]["vector"] == [42.0, 1.0]
+    assert got[42]["metadata"]["label"] == "2"

@@ -34,6 +34,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # Executor Python workers inherit PYTHONPATH from this process at
+    # JVM start — export the package root so pickled DataSources and
+    # ``client_factory`` import strings resolve on workers in ANY
+    # launch mode, not just under pytest's conftest.
+    from pathlib import Path
+
+    root = str(Path(__file__).resolve().parent.parent)
+    pp = os.environ.get("PYTHONPATH", "")
+    if root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{root}{os.pathsep}{pp}" if pp else root
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

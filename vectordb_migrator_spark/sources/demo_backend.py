@@ -1,0 +1,232 @@
+"""File-backed demo backend — an in-process stand-in for a vector-DB
+server with the qdrant-client call surface the adapters speak.
+
+Why it ships IN the package (not tests/): the reference validates its
+adapters exclusively against mocked clients (its CI has no live
+server either), and this engine's connector layer deserves the same
+treatment at BENCH scale — ``bench.py`` drives a full
+``format("qdrant")`` write + partition-planned scan through this
+backend at sf0.1 row counts, so the Python DataSource machinery
+(batching, cursor segmentation, Arrow boundaries) has throughput
+evidence, not just 25-point correctness tests. It is also the demo /
+development backend for users without a server.
+
+Storage model: one directory per store; each ``upsert`` call writes
+an immutable JSONL segment file plus a ``.count`` sidecar (written
+AFTER the data file — a reader that sees the sidecar sees complete
+data; no cross-process append coordination). ``scroll`` serves the
+concatenation of segment files in sorted-name order under integer
+cursors, seeking via the sidecar index so a page read touches only
+its own segment files — that keeps the driver's segmentation pre-pass
+and per-partition scans O(bytes read), not O(collection) per page.
+Filtered or shard-keyed scrolls fall back to a materialize-and-slice
+path (correct for the modest collections those tests use; the bench
+path passes no filter).
+
+Cited reference behavior: mocked-client adapter tests
+(``tests/test_qdrant_adapter.py``), scroll/upsert surface
+(``adapters/qdrant.py:60-247``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from itertools import islice
+from types import SimpleNamespace
+from typing import Any
+
+
+class DemoQdrantClient:
+    """Qdrant-surface demo client over a ``store_dir`` directory.
+
+    ``connection`` keys: ``store_dir`` (required), everything else
+    ignored — mirroring how the real client takes url/api_key."""
+
+    def __init__(self, connection: dict[str, Any]):
+        self.store = connection.get("store_dir", "/tmp/demo_qdrant")
+        os.makedirs(self.store, exist_ok=True)
+        self._index_cache: dict[str, list[tuple[str, int]]] = {}
+
+    # -- collection DDL -------------------------------------------------
+
+    def _cfg(self, name: str) -> str:
+        return f"{self.store}/{name}.config.json"
+
+    def collection_exists(self, name: str) -> bool:
+        return os.path.exists(self._cfg(name))
+
+    def create_collection(self, collection_name: str, vectors_config) -> None:
+        with open(self._cfg(collection_name), "w") as f:
+            json.dump(vectors_config, f)
+
+    def delete_collection(self, name: str) -> None:
+        if os.path.exists(self._cfg(name)):
+            os.remove(self._cfg(name))
+        for f in os.listdir(self.store):
+            if f.startswith(f"{name}.points."):
+                os.remove(f"{self.store}/{f}")
+        self._index_cache.pop(name, None)
+
+    def get_collection(self, name: str):
+        with open(self._cfg(name)) as f:
+            return json.load(f)
+
+    # -- write ----------------------------------------------------------
+
+    def upsert(
+        self, collection_name: str, points, shard_key_selector=None
+    ) -> None:
+        """One immutable segment per call: data file first, sidecar
+        count after — readers that trust sidecars never see a torn
+        segment."""
+        seg = f"{collection_name}.points.{uuid.uuid4().hex}"
+        path = f"{self.store}/{seg}.jsonl"
+        ids = []
+        with open(path, "w") as f:
+            for p in points:
+                rec = dict(p)
+                if shard_key_selector is not None:
+                    rec["shard_key"] = shard_key_selector
+                f.write(json.dumps(rec) + "\n")
+                ids.append(rec["id"])
+        # ids sidecar serves id-only scrolls (the driver's cursor-
+        # segmentation pre-pass) without parsing vector payload bytes
+        with open(f"{path}.ids", "w") as f:
+            json.dump(ids, f)
+        with open(f"{path}.count", "w") as f:
+            f.write(str(len(ids)))
+
+    # -- read -----------------------------------------------------------
+
+    def _index(self, name: str) -> list[tuple[str, int]]:
+        """(segment path, row count) in sorted-name order; only
+        segments whose sidecar exists (complete writes)."""
+        got = self._index_cache.get(name)
+        if got is not None:
+            return got
+        out = []
+        for f in sorted(os.listdir(self.store)):
+            if f.startswith(f"{name}.points.") and f.endswith(".jsonl"):
+                path = f"{self.store}/{f}"
+                cnt = f"{path}.count"
+                if os.path.exists(cnt):
+                    with open(cnt) as cf:
+                        out.append((path, int(cf.read())))
+        self._index_cache[name] = out
+        return out
+
+    @staticmethod
+    def _point(rec: dict, with_payload: bool, with_vectors: bool):
+        return SimpleNamespace(
+            id=rec["id"],
+            vector=rec.get("vector") if with_vectors else None,
+            payload=dict(rec.get("payload") or {}) if with_payload else {},
+        )
+
+    @staticmethod
+    def _filtered(pts: list, flt) -> list:
+        """The must/must_not DSL subset the predicate translator
+        emits, evaluated with the live server's semantics."""
+        if not flt:
+            return pts
+        for cond in flt.get("must", []):
+            if "has_id" in cond:
+                ids = set(cond["has_id"])
+                pts = [p for p in pts if p.id in ids]
+            elif "value" in cond.get("match", {}):
+                k, v = cond["key"], cond["match"]["value"]
+                pts = [p for p in pts if p.payload.get(k) == v]
+            elif "any" in cond.get("match", {}):
+                k, vs = cond["key"], cond["match"]["any"]
+                pts = [p for p in pts if p.payload.get(k) in vs]
+        for cond in flt.get("must_not", []):
+            if "value" in cond.get("match", {}):
+                k, v = cond["key"], cond["match"]["value"]
+                pts = [p for p in pts if p.payload.get(k) != v]
+        return pts
+
+    def scroll(
+        self,
+        collection_name: str,
+        limit: int,
+        offset=None,
+        with_payload: bool = True,
+        with_vectors: bool = True,
+        scroll_filter=None,
+        shard_key_selector=None,
+    ):
+        start = int(offset or 0)
+        if scroll_filter or shard_key_selector is not None:
+            # materialize-and-slice fallback (small filtered scans)
+            pts = [
+                self._point(json.loads(line), with_payload, with_vectors)
+                for path, _ in self._index(collection_name)
+                for line in open(path)
+                if shard_key_selector is None
+                or json.loads(line).get("shard_key") == shard_key_selector
+            ]
+            pts = self._filtered(pts, scroll_filter)
+            page = pts[start : start + limit]
+            nxt = start + len(page)
+            return page, (nxt if nxt < len(pts) else None)
+        # indexed path: seek via sidecar counts, touching only the
+        # segment files this page overlaps. An id-only scroll (the
+        # driver's segmentation pre-pass sends with_payload=False,
+        # with_vectors=False) serves from the ids sidecars, never
+        # parsing vector bytes.
+        ids_only = not with_vectors and not with_payload
+        index = self._index(collection_name)
+        total = sum(n for _, n in index)
+        page: list = []
+        pos = 0
+        for path, n in index:
+            if pos + n <= start + len(page):
+                pos += n
+                continue
+            skip = start + len(page) - pos
+            ids_file = f"{path}.ids"
+            if ids_only and os.path.exists(ids_file):
+                with open(ids_file) as f:
+                    for i in json.load(f)[skip:]:
+                        page.append(
+                            SimpleNamespace(id=i, vector=None, payload={})
+                        )
+                        if len(page) >= limit:
+                            break
+            else:
+                with open(path) as f:
+                    for line in islice(f, skip, None):
+                        page.append(
+                            self._point(
+                                json.loads(line), with_payload, with_vectors
+                            )
+                        )
+                        if len(page) >= limit:
+                            break
+            pos += n
+            if len(page) >= limit:
+                break
+        nxt = start + len(page)
+        return page, (nxt if nxt < total else None)
+
+    def count(self, collection_name: str, count_filter=None, exact: bool = True):
+        if count_filter:
+            pts = [
+                self._point(json.loads(line), True, False)
+                for path, _ in self._index(collection_name)
+                for line in open(path)
+            ]
+            return SimpleNamespace(
+                count=len(self._filtered(pts, count_filter))
+            )
+        return SimpleNamespace(
+            count=sum(n for _, n in self._index(collection_name))
+        )
+
+
+def qdrant_demo_factory(connection: dict[str, Any]) -> DemoQdrantClient:
+    """``client_factory`` import string:
+    ``vectordb_migrator_spark.sources.demo_backend:qdrant_demo_factory``."""
+    return DemoQdrantClient(connection)

@@ -98,6 +98,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "pipeline_migrate_plan",  # reference-lifecycle flagship
     # --- (c) new / touched in round 8 (extended as queries land) ---
     "x0_bpe_segment_arrow",  # Arrow-batched tokenizer apply (new r8)
+    "c0_migration_throughput",  # end-to-end Migrator bench row (new r8)
+    "c2_qdrant_roundtrip_scale",  # connector sink+scan bench row (new r8)
     "x7_kmv_distinct",  # bounded-state rewrite changed the plan (r8)
     "x13_changepoints",  # flat-series try_divide hardening (r8)
     "x12_referential_integrity",  # all-NULL-key try_divide (r8)
