@@ -166,6 +166,11 @@ HEADLINE = [
     "x0_bpe_segment_arrow",
     "c0_migration_throughput",
     "c2_qdrant_roundtrip_scale",
+    "x7_srm_check",
+    "x7_diff_in_diff",
+    "x5_f1_report",
+    "x12_pk_uniqueness",
+    "x7_ece",
     "x5_quality_by_lang",
     "x5_quality_tiers",
     "x5_quality_tiers_scalable",

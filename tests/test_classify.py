@@ -245,3 +245,61 @@ def test_isotonic_calibration_pav_and_apply(spark):
         )
     with pytest.raises(ValueError, match="model"):
         isotonic_apply(df, [], score_col="score")
+
+
+def test_f1_report_hand_checked_confusion(spark):
+    """3-class toy confusion with an extra prediction-only class:
+    per-class P/R/F1 match hand values, micro equals accuracy, macro
+    averages unweighted, and the pred-only class gets recall NULL."""
+    from vectordb_migrator_spark.operators.classify import f1_report
+
+    #      true=a: pred a,a,b   true=b: pred b,b,b,a   true=c: pred z
+    rows = (
+        [("a", "a"), ("a", "a"), ("a", "b")]
+        + [("b", "b"), ("b", "b"), ("b", "b"), ("b", "a")]
+        + [("c", "z")]
+    )
+    df = spark.createDataFrame(rows, "t string, p string")
+    got = {
+        r["label"]: r
+        for r in f1_report(df, true_col="t", pred_col="p").collect()
+    }
+    a = got["a"]
+    assert (a["support"], a["tp"], a["fp"], a["fn"]) == (3, 2, 1, 1)
+    assert a["precision"] == round(2 / 3, 6) and a["recall"] == round(2 / 3, 6)
+    z = got["z"]
+    assert z["support"] == 0 and z["recall"] is None and z["precision"] == 0.0
+    micro = got["__micro__"]
+    # micro P = R = F1 = accuracy = 5/8
+    assert micro["precision"] == micro["recall"] == micro["f1"] == 0.625
+    macro = got["__macro__"]
+    # macro precision averages over a,b,c,z (c has precision NULL -> skipped)
+    per_prec = [got[k]["precision"] for k in ("a", "b", "c", "z")]
+    want = round(
+        sum(p for p in per_prec if p is not None)
+        / len([p for p in per_prec if p is not None]),
+        6,
+    )
+    assert macro["precision"] == want
+
+
+def test_ece_report_hand_checked_bins(spark):
+    """Two-bin toy: per-bin conf/acc/gap and the summary ECE match
+    hand arithmetic; score 0 joins the first bin (right-closed)."""
+    from vectordb_migrator_spark.operators.classify import ece_report
+
+    rows = [
+        (0.0, 0), (0.05, 0), (0.1, 1),      # bin 0: conf .05, acc 1/3
+        (0.95, 1), (0.85, 1), (0.9, 0),     # bin 8/9
+    ]
+    df = spark.createDataFrame(rows, "s double, y long")
+    got = {r["bin"]: r for r in
+           ece_report(df, score_col="s", label_col="y", n_bins=10).collect()}
+    b0 = got[0]
+    assert b0["n"] == 3
+    assert b0["conf"] == 0.05 and b0["acc"] == round(1 / 3, 6)
+    assert b0["gap"] == round(1 / 3 - 0.05, 6)
+    # 0.85, 0.9 land in bin 8; 0.95 in bin 9
+    assert got[8]["n"] == 2 and got[9]["n"] == 1
+    ece = (3 * abs(1 / 3 - 0.05) + 2 * abs(0.5 - 0.875) + 1 * abs(1 - 0.95)) / 6
+    assert abs(got[-1]["gap"] - round(ece, 6)) < 2e-6

@@ -723,3 +723,44 @@ def test_referential_audit_all_null_keys_reports_null_rate(spark):
     r = referential_audit([("nulls", child, "fk", parent, "pk")]).head()
     assert (r["child_rows"], r["null_keys"], r["orphans"]) == (2, 2, 0)
     assert r["orphan_rate"] is None
+
+
+def test_pk_uniqueness_planted_duplicates_and_composite_key(spark):
+    """Planted duplicate keys, NULL keys, and a composite key: counts
+    land in the right columns and a clean table reports zeros."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.validation import pk_uniqueness
+
+    dirty = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,), (3,)], "k long"
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 2), (2, None)], "a long, b long"
+    )
+    clean = spark.createDataFrame([(1,), (2,)], "k long")
+    rows = {
+        r["tbl"]: r
+        for r in pk_uniqueness(
+            [
+                ("dirty", dirty, ["k"]),
+                ("comp", comp, ["a", "b"]),
+                ("clean", clean, ["k"]),
+            ]
+        ).collect()
+    }
+    d = rows["dirty"]
+    assert (d["n_rows"], d["distinct_keys"], d["dup_keys"]) == (6, 3, 1)
+    assert (d["dup_rows"], d["null_rows"]) == (2, 1)
+    assert d["dup_rate"] == round(2 / 6, 6)
+    c = rows["comp"]
+    # (1,1) unique, (1,2) duplicated, (2,NULL) is a null-key row
+    assert (c["n_rows"], c["distinct_keys"], c["dup_keys"]) == (4, 2, 1)
+    assert (c["dup_rows"], c["null_rows"]) == (1, 1)
+    cl = rows["clean"]
+    assert (cl["dup_keys"], cl["dup_rows"], cl["null_rows"]) == (0, 0, 0)
+
+    with pytest.raises(ValueError, match="tables"):
+        pk_uniqueness([])
+    with pytest.raises(ValueError, match="key columns"):
+        pk_uniqueness([("x", clean, [])])

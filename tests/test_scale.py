@@ -609,3 +609,72 @@ def test_mann_whitney_single_row_group_reports_null_z(spark):
     }
     assert rows["solo"]["z"] is None
     assert rows["both"]["z"] is not None
+
+
+def test_srm_check_flags_planted_imbalance(spark):
+    """Chi-square matches the hand formula; a balanced group passes,
+    a 60/40 split on 1000 units flags, and a variant missing from a
+    group counts zero (the worst SRM there is)."""
+    from vectordb_migrator_spark.operators.scale import srm_check
+
+    rows = (
+        [("bal", "a", i) for i in range(500)]
+        + [("bal", "b", i) for i in range(500, 1000)]
+        + [("skew", "a", i) for i in range(600)]
+        + [("skew", "b", i) for i in range(600, 1000)]
+        + [("solo", "a", i) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string, u long")
+    got = {
+        r["g"]: r
+        for r in srm_check(
+            df,
+            unit_col="u",
+            variant_col="v",
+            expected=[("a", 0.5), ("b", 0.5)],
+            group_cols=["g"],
+        ).collect()
+    }
+    assert got["bal"]["chi2"] == 0.0 and not got["bal"]["srm"]
+    # chi2 = (600-500)^2/500 + (400-500)^2/500 = 40
+    assert got["skew"]["chi2"] == 40.0 and got["skew"]["srm"]
+    assert got["solo"]["n_b"] == 0 and got["solo"]["srm"]
+    # duplicate unit rows must not double-count
+    dup = df.unionAll(df)
+    got2 = {
+        r["g"]: r["n_total"]
+        for r in srm_check(
+            dup, unit_col="u", variant_col="v",
+            expected=[("a", 0.5), ("b", 0.5)], group_cols=["g"],
+        ).collect()
+    }
+    assert got2 == {g: got[g]["n_total"] for g in got}
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    """A planted +5 treatment effect on top of a +2 common time trend
+    is recovered exactly; the SE matches the NumPy cellwise formula."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.scale import diff_in_diff
+
+    rng = np.random.default_rng(7)
+    rows = []
+    cells = {}
+    for treat in (False, True):
+        for post in (False, True):
+            base = 10.0 + (2.0 if post else 0.0) + (1.0 if treat else 0.0)
+            eff = 5.0 if treat and post else 0.0
+            vals = np.round(base + eff + rng.normal(0, 1.0, 400), 4)
+            cells[(treat, post)] = vals
+            rows += [(bool(treat), bool(post), float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, y double")
+    r = diff_in_diff(df, outcome_col="y", treat_col="t", post_col="p").head()
+    did = (
+        cells[(True, True)].mean() - cells[(True, False)].mean()
+    ) - (cells[(False, True)].mean() - cells[(False, False)].mean())
+    se = np.sqrt(sum(v.var(ddof=1) / len(v) for v in cells.values()))
+    assert abs(r["did"] - round(did, 6)) < 2e-6
+    assert abs(r["se"] - round(se, 6)) < 2e-6
+    assert r["significant"]
+    assert r["n_post_t"] == 400

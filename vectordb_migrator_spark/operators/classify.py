@@ -341,3 +341,178 @@ def isotonic_apply(
     return df.withColumn(
         out_col, F.when(s.isNotNull(), expr)
     )
+
+
+def f1_report(
+    df: DataFrame,
+    *,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 plus micro and macro rows
+    (round 8) — the standard classifier report card next to
+    :func:`~vectordb_migrator_spark.operators.classify.nb_score`'s
+    raw predictions and the chance-corrected kappa: per class,
+    support, true/false positives, false negatives, P, R, F1; the
+    ``__micro__`` row pools counts (equals accuracy for single-label
+    classification), the ``__macro__`` row averages the per-class
+    scores unweighted (the imbalance-honest summary). A class
+    appearing only in predictions still gets a row (support 0,
+    recall NULL).
+
+    Scale shape: ONE (true, pred) contingency aggregate over the
+    corpus — map-side combinable, classes² rows at most — then every
+    metric is arithmetic over that tiny frame. NULL predictions or
+    labels drop. Returns (label, support, tp, fp, fn, precision,
+    recall, f1) ordered with the summary rows last."""
+    t, p = F.col(true_col), F.col(pred_col)
+    cm = (
+        df.filter(t.isNotNull() & p.isNotNull())
+        .groupBy(t.alias("__t"), p.alias("__p"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    labels = (
+        cm.select(F.col("__t").alias("label"))
+        .unionByName(cm.select(F.col("__p").alias("label")))
+        .distinct()
+    )
+    tp = cm.filter(F.col("__t") == F.col("__p")).select(
+        F.col("__t").alias("label"), F.col("__n").alias("tp")
+    )
+    support = cm.groupBy(F.col("__t").alias("label")).agg(
+        F.sum("__n").cast("long").alias("support")
+    )
+    predicted = cm.groupBy(F.col("__p").alias("label")).agg(
+        F.sum("__n").cast("long").alias("predicted")
+    )
+    per = (
+        labels.join(tp, "label", "left")
+        .join(support, "label", "left")
+        .join(predicted, "label", "left")
+        .select(
+            "label",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("predicted", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce("support", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    prec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    f1 = F.try_divide(F.lit(2) * prec * rec, prec + rec)
+    per = per.select(
+        "label",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+    micro = per.agg(
+        F.sum("support").cast("long").alias("support"),
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("fp").cast("long").alias("fp"),
+        F.sum("fn").cast("long").alias("fn"),
+    )
+    mp = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    mr = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    micro = micro.select(
+        F.lit("__micro__").alias("label"),
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.round(mp, 6).alias("precision"),
+        F.round(mr, 6).alias("recall"),
+        F.round(F.try_divide(F.lit(2) * mp * mr, mp + mr), 6).alias("f1"),
+    )
+    macro = per.agg(
+        F.sum("support").cast("long").alias("support"),
+        F.lit(None).cast("long").alias("tp"),
+        F.lit(None).cast("long").alias("fp"),
+        F.lit(None).cast("long").alias("fn"),
+        F.round(F.avg("precision"), 6).alias("precision"),
+        F.round(F.avg("recall"), 6).alias("recall"),
+        F.round(F.avg("f1"), 6).alias("f1"),
+    ).select(
+        F.lit("__macro__").alias("label"),
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        "precision",
+        "recall",
+        "f1",
+    )
+    return per.unionByName(micro).unionByName(macro).orderBy("label")
+
+
+def ece_report(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected-calibration-error reliability table (round 8): scores
+    in [0, 1] bucket into ``n_bins`` equal-width bins (right-closed;
+    score 0 joins the first bin); per bin, count, mean confidence,
+    empirical accuracy, and the signed gap. The summary row carries
+    ECE = Σ (n_b/N)·|acc_b − conf_b| (Guo et al., ICML'17) — what a
+    probability-emitting quality/langid classifier must pass before
+    its scores gate a corpus.
+
+    Scale shape: one codegen bin projection + one map-side-combinable
+    aggregate; confidence sums in DECIMAL so the oracle matches
+    exactly. Returns (bin, n, conf, acc, gap) per non-empty bin plus
+    a ``bin = -1`` ECE summary row (conf/acc NULL there, gap = ECE)."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("long")
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.ceil(s * n_bins).cast("int") - F.lit(1)
+        ),
+    )
+    binned = df.filter(s.isNotNull() & y.isNotNull()).select(
+        b.alias("bin"),
+        s.cast("decimal(28,10)").alias("__s"),
+        y.alias("__y"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__s").alias("__conf_sum"),
+        F.sum("__y").cast("long").alias("__hits"),
+    )
+    conf = F.try_divide(F.col("__conf_sum").cast("double"), F.col("n"))
+    acc = F.try_divide(F.col("__hits").cast("double"), F.col("n"))
+    per2 = per.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+        F.round(conf, 6).alias("conf"),
+        F.round(acc, 6).alias("acc"),
+        F.round(acc - conf, 6).alias("gap"),
+        (F.abs(acc - conf) * F.col("n")).alias("__w_gap"),
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("n").over(W.partitionBy())
+    ece = F.sum("__w_gap").over(W.partitionBy()) / total
+    summary = (
+        per2.select(F.round(ece, 6).alias("__ece"))
+        .limit(1)
+        .select(
+            F.lit(-1).cast("long").alias("bin"),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("conf"),
+            F.lit(None).cast("double").alias("acc"),
+            F.col("__ece").alias("gap"),
+        )
+    )
+    return per2.drop("__w_gap").unionByName(summary).orderBy("bin")

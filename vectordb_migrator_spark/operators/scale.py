@@ -945,3 +945,133 @@ def auc_score(
         *gcols, "n_pos", "n_neg", F.round(auc, 6).alias("auc")
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def srm_check(
+    df: DataFrame,
+    *,
+    unit_col: str,
+    variant_col: str,
+    expected: list[tuple[str, float]],
+    group_cols: list[str] | None = None,
+    chi2_crit: float = 3.841459,
+) -> DataFrame:
+    """Sample-ratio mismatch check (round 8) — the first gate every
+    experiment readout must pass: if the DISTINCT-unit split across
+    variants deviates from the designed allocation, randomization is
+    broken and every downstream metric is suspect (Fabijan et al.,
+    KDD'19 diagnoses SRM as the most common A/B pipeline bug).
+    Pearson chi-square over per-variant distinct-unit counts against
+    the ``expected`` shares; ``srm`` flags chi2 above ``chi2_crit``
+    (default: p<0.05 at df=1 — pass the right critical value for more
+    variants).
+
+    Scale shape: ONE distinct on (group, variant, unit) — map-side
+    combinable hash aggregate, spill-safe — then counts fold to a
+    variants-sized frame per group; the chi-square is a codegen
+    expression over that tiny frame. Variants missing from a group
+    count zero (the worst SRM there is). Returns one row per group:
+    group_cols…, per-variant counts folded to (variant, n) pairs is
+    deliberately NOT the shape — the chi-square needs all variants in
+    one row, so counts pivot to n_total plus chi2/srm."""
+    gcols = list(group_cols or [])
+    units = df.select(
+        *gcols, F.col(variant_col).alias("__v"), F.col(unit_col).alias("__u")
+    ).distinct()
+    counts = units.groupBy(*gcols).pivot(
+        "__v", [v for v, _ in expected]
+    ).agg(F.count(F.lit(1)))
+    total = None
+    for v, _ in expected:
+        c = F.coalesce(F.col(f"`{v}`"), F.lit(0))
+        total = c if total is None else total + c
+    chi2 = None
+    for v, share in expected:
+        o = F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("double")
+        e = total.cast("double") * F.lit(float(share))
+        term = F.try_divide((o - e) * (o - e), e)
+        chi2 = term if chi2 is None else chi2 + term
+    out = counts.select(
+        *gcols,
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0))
+            .cast("long")
+            .alias(f"n_{v}")
+            for v, _ in expected
+        ],
+        total.cast("long").alias("n_total"),
+        F.round(chi2, 6).alias("chi2"),
+        (F.round(chi2, 6) > chi2_crit).alias("srm"),
+    )
+    return out.orderBy(*gcols) if gcols else out
+
+
+def diff_in_diff(
+    df: DataFrame,
+    *,
+    outcome_col: str,
+    treat_col: str,
+    post_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator (round 8): the 2×2
+    pre/post × treatment/control design — effect = (post_T − pre_T)
+    − (post_C − pre_C), the workhorse causal readout when treatment
+    was NOT randomized over time (feature launches, infra rollouts).
+    Cell means in exact DECIMAL (associativity-independent), the
+    large-sample SE from per-cell variances
+    (sqrt Σ s²_g/n_g), two-sided z at 1.96.
+
+    Scale shape: ONE aggregate over the corpus computes all four
+    cells' n/Σ/Σ² via conditional sums (map-side combinable, no
+    shuffle beyond the single global fold); every derived quantity is
+    closed-form arithmetic on that 1-row frame. Returns one row:
+    cell means, did, se, z, significant."""
+    t = F.col(treat_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    y = F.col(outcome_col).cast("decimal(28,10)")
+    yd = F.col(outcome_col).cast("double")
+    # squares sum in DECIMAL too: one deterministic product per row,
+    # exact addition — the SE is then order-independent across engines
+    y2 = (yd * yd).cast("decimal(38,10)")
+    cells = {}
+    agg_exprs = []
+    for name, cond in [
+        ("pre_c", ~t & ~p),
+        ("post_c", ~t & p),
+        ("pre_t", t & ~p),
+        ("post_t", t & p),
+    ]:
+        agg_exprs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"__n_{name}"),
+            F.sum(F.when(cond, y)).alias(f"__s_{name}"),
+            F.sum(F.when(cond, y2)).alias(f"__q_{name}"),
+        ]
+        cells[name] = cond
+    a = df.filter(F.col(outcome_col).isNotNull()).agg(*agg_exprs)
+    mean = {}
+    var_over_n = {}
+    for name in cells:
+        n = F.col(f"__n_{name}").cast("double")
+        s = F.col(f"__s_{name}").cast("double")
+        q = F.col(f"__q_{name}").cast("double")
+        mean[name] = F.try_divide(s, n)
+        # s²/n with the unbiased (n-1) denominator
+        var_over_n[name] = F.try_divide(
+            F.try_divide(q - n * mean[name] * mean[name], n - 1), n
+        )
+    did = (mean["post_t"] - mean["pre_t"]) - (mean["post_c"] - mean["pre_c"])
+    se = F.sqrt(
+        var_over_n["pre_c"]
+        + var_over_n["post_c"]
+        + var_over_n["pre_t"]
+        + var_over_n["post_t"]
+    )
+    z = F.try_divide(did, se)
+    return a.select(
+        *[F.col(f"__n_{c}").alias(f"n_{c}") for c in cells],
+        *[F.round(mean[c], 6).alias(f"mean_{c}") for c in cells],
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("significant"),
+    )

@@ -745,3 +745,71 @@ def root_cause_report(
         )
         .orderBy("dim", "rank")
     )
+
+
+def pk_uniqueness(
+    tables: list[tuple[str, DataFrame, list[str]]],
+) -> DataFrame:
+    """Primary-key uniqueness audit (round 8) — the third leg of the
+    warehouse integrity stool next to :func:`check_constraints` (row
+    rules) and :func:`referential_audit` (cross-table FKs): per
+    declared key, total rows, distinct keys, keys appearing more than
+    once, surplus rows those duplicates contribute, NULL-key rows
+    (a NULL key can't be a PK — surfaced separately), and the
+    duplication rate. Release gates assert ``dup_keys == 0`` before
+    a snapshot publishes; a nonzero row names exactly which merge or
+    ingest double-applied.
+
+    Scale shape, per table: ONE scan folded to a (key…, count)
+    aggregate — map-side combinable, spill-safe — then the stats fold
+    that distinct-key frame to one row. Composite keys group on all
+    parts; the NULL bucket is any-part-NULL (SQL PK semantics).
+    Independent per table, unioned one-row frames."""
+    out = None
+    for name, df, keys in tables:
+        if not keys:
+            raise ValueError(f"table {name!r} declares no key columns")
+        null_any = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_any = c if null_any is None else null_any | c
+        folded = (
+            df.select(
+                *[F.col(k) for k in keys], null_any.alias("__null")
+            )
+            .groupBy(*keys, "__null")
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        )
+        nn = F.col("__null") == F.lit(False)
+        row = folded.agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.when(nn, 1)), F.lit(0))
+            .cast("long")
+            .alias("distinct_keys"),
+            F.coalesce(F.sum(F.when(nn & (F.col("__n") > 1), 1)), F.lit(0))
+            .cast("long")
+            .alias("dup_keys"),
+            F.coalesce(
+                F.sum(F.when(nn & (F.col("__n") > 1), F.col("__n") - 1)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("dup_rows"),
+            F.coalesce(F.sum(F.when(~nn, F.col("__n"))), F.lit(0))
+            .cast("long")
+            .alias("null_rows"),
+        ).select(
+            F.lit(name).alias("tbl"),
+            "n_rows",
+            "distinct_keys",
+            "dup_keys",
+            "dup_rows",
+            "null_rows",
+            F.round(
+                F.try_divide(F.col("dup_rows"), F.col("n_rows")), 6
+            ).alias("dup_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("tables must be non-empty")
+    return out.orderBy("tbl")

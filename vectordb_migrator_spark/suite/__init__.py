@@ -100,6 +100,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_bpe_segment_arrow",  # Arrow-batched tokenizer apply (new r8)
     "c0_migration_throughput",  # end-to-end Migrator bench row (new r8)
     "c2_qdrant_roundtrip_scale",  # connector sink+scan bench row (new r8)
+    "x7_srm_check",  # daily sample-ratio-mismatch gate (new r8)
+    "x7_diff_in_diff",  # 2x2 pre/post causal readout (new r8)
+    "x5_f1_report",  # per-class P/R/F1 + micro/macro (new r8)
+    "x12_pk_uniqueness",  # composite-key PK audit, 10 tables (new r8)
+    "x7_ece",  # expected-calibration-error gate (new r8)
     "x7_kmv_distinct",  # bounded-state rewrite changed the plan (r8)
     "x13_changepoints",  # flat-series try_divide hardening (r8)
     "x12_referential_integrity",  # all-NULL-key try_divide (r8)

@@ -238,3 +238,359 @@ def c2_qdrant_roundtrip_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("label_sum"),
         F.max(F.size("vector")).cast("long").alias("dim"),
     )
+
+
+# ----------------------------------------------------------- experiments
+@query(
+    "x7_srm_check",
+    r"""
+    WITH u AS (
+      SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+             user_id
+      FROM events WHERE user_id IS NOT NULL
+    ), c AS (
+      SELECT day,
+             (count(*) FILTER (WHERE v = 'a'))::BIGINT AS n_a,
+             (count(*) FILTER (WHERE v = 'b'))::BIGINT AS n_b
+      FROM u GROUP BY day
+    )
+    SELECT day, n_a, n_b, (n_a + n_b)::BIGINT AS n_total,
+           round((n_a - (n_a + n_b) * 0.5) * (n_a - (n_a + n_b) * 0.5)
+                   / ((n_a + n_b) * 0.5)
+                 + (n_b - (n_a + n_b) * 0.5) * (n_b - (n_a + n_b) * 0.5)
+                   / ((n_a + n_b) * 0.5), 6) AS chi2,
+           round((n_a - (n_a + n_b) * 0.5) * (n_a - (n_a + n_b) * 0.5)
+                   / ((n_a + n_b) * 0.5)
+                 + (n_b - (n_a + n_b) * 0.5) * (n_b - (n_a + n_b) * 0.5)
+                   / ((n_a + n_b) * 0.5), 6) > 3.841459 AS srm
+    FROM c ORDER BY day
+    """,
+)
+def x7_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — daily sample-ratio-mismatch monitor (round 8): the gate
+    every experiment readout passes FIRST — chi-square of the
+    distinct-user split across the deterministic 50/50 assignment
+    (user_id parity), per day. An SRM day means broken randomization
+    (bot filtering, redirect loss, logging bias) and invalidates
+    every metric computed on it — Fabijan et al. (KDD'19) rank it
+    the most common A/B pipeline bug. One spill-safe distinct on
+    (day, variant, user), then codegen arithmetic on the day-sized
+    frame; full oracle (operators/scale.py:srm_check)."""
+    from vectordb_migrator_spark.operators.scale import srm_check
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    d = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("v"),
+        "user_id",
+    )
+    return srm_check(
+        d,
+        unit_col="user_id",
+        variant_col="v",
+        expected=[("a", 0.5), ("b", 0.5)],
+        group_cols=["day"],
+    )
+
+
+@query(
+    "x7_diff_in_diff",
+    """
+    WITH m AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid
+               FROM events),
+    b AS (
+      SELECT (user_id % 2 = 1) AS t, (epoch(ts) > m.mid) AS p,
+             value::DECIMAL(28,10) AS yd,
+             (value * value)::DECIMAL(38,10) AS y2
+      FROM events, m WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), cells AS (
+      SELECT
+        (count(*) FILTER (WHERE NOT t AND NOT p))::BIGINT AS n_pre_c,
+        (count(*) FILTER (WHERE NOT t AND p))::BIGINT AS n_post_c,
+        (count(*) FILTER (WHERE t AND NOT p))::BIGINT AS n_pre_t,
+        (count(*) FILTER (WHERE t AND p))::BIGINT AS n_post_t,
+        (sum(yd) FILTER (WHERE NOT t AND NOT p))::DOUBLE AS s_pre_c,
+        (sum(yd) FILTER (WHERE NOT t AND p))::DOUBLE AS s_post_c,
+        (sum(yd) FILTER (WHERE t AND NOT p))::DOUBLE AS s_pre_t,
+        (sum(yd) FILTER (WHERE t AND p))::DOUBLE AS s_post_t,
+        (sum(y2) FILTER (WHERE NOT t AND NOT p))::DOUBLE AS q_pre_c,
+        (sum(y2) FILTER (WHERE NOT t AND p))::DOUBLE AS q_post_c,
+        (sum(y2) FILTER (WHERE t AND NOT p))::DOUBLE AS q_pre_t,
+        (sum(y2) FILTER (WHERE t AND p))::DOUBLE AS q_post_t
+      FROM b
+    ), d AS (
+      SELECT *,
+        s_pre_c / n_pre_c AS m_pre_c, s_post_c / n_post_c AS m_post_c,
+        s_pre_t / n_pre_t AS m_pre_t, s_post_t / n_post_t AS m_post_t
+      FROM cells
+    ), e AS (
+      SELECT *,
+        ((q_pre_c - n_pre_c * m_pre_c * m_pre_c) / (n_pre_c - 1)) / n_pre_c
+          AS v_pre_c,
+        ((q_post_c - n_post_c * m_post_c * m_post_c) / (n_post_c - 1))
+          / n_post_c AS v_post_c,
+        ((q_pre_t - n_pre_t * m_pre_t * m_pre_t) / (n_pre_t - 1)) / n_pre_t
+          AS v_pre_t,
+        ((q_post_t - n_post_t * m_post_t * m_post_t) / (n_post_t - 1))
+          / n_post_t AS v_post_t,
+        (m_post_t - m_pre_t) - (m_post_c - m_pre_c) AS did_raw
+      FROM d
+    )
+    SELECT n_pre_c, n_post_c, n_pre_t, n_post_t,
+           round(m_pre_c, 6) AS mean_pre_c,
+           round(m_post_c, 6) AS mean_post_c,
+           round(m_pre_t, 6) AS mean_pre_t,
+           round(m_post_t, 6) AS mean_post_t,
+           round(did_raw, 6) AS did,
+           round(sqrt(v_pre_c + v_post_c + v_pre_t + v_post_t), 6) AS se,
+           round(did_raw / sqrt(v_pre_c + v_post_c + v_pre_t + v_post_t), 6)
+             AS z,
+           abs(round(did_raw
+                     / sqrt(v_pre_c + v_post_c + v_pre_t + v_post_t), 6))
+             > 1.96 AS significant
+    FROM e
+    """,
+)
+def x7_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — difference-in-differences readout (round 8): the 2×2
+    pre/post × treatment/control causal estimate for NON-randomized
+    rollouts, next to the randomized-experiment stack (CUPED, SRM,
+    Mann-Whitney, power): treatment = user parity, post = the second
+    half of the event range (the ``x12_psi_drift`` midpoint
+    convention), outcome = event value. Cell sums and squared sums
+    fold in exact DECIMAL so the SE is associativity-independent; the
+    whole estimator is ONE map-side-combinable aggregate plus
+    closed-form arithmetic — no second scan, no shuffle wider than
+    the 1-row fold (operators/scale.py:diff_in_diff)."""
+    from vectordb_migrator_spark.operators.scale import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    mid = ev.agg(
+        (
+            (
+                F.unix_timestamp(F.min("ts"))
+                + F.unix_timestamp(F.max("ts"))
+            )
+            / 2.0
+        ).alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).select(
+        "value",
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        (F.unix_timestamp("ts").cast("double") > F.col("mid")).alias(
+            "post"
+        ),
+    )
+    return diff_in_diff(
+        tagged, outcome_col="value", treat_col="treat", post_col="post"
+    )
+
+
+def _f1_sql() -> str:
+    from vectordb_migrator_spark.suite.s05_text import _langid_case_sql
+
+    case = _langid_case_sql()
+    return f"""
+    WITH cm AS (
+      SELECT lang AS t, {case} AS p, count(*)::BIGINT AS n
+      FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+    ), labels AS (
+      SELECT t AS label FROM cm UNION SELECT p FROM cm
+    ), per AS (
+      SELECT l.label,
+        coalesce((SELECT sum(n) FROM cm WHERE t = l.label), 0)::BIGINT
+          AS support,
+        coalesce((SELECT sum(n) FROM cm WHERE t = l.label AND p = l.label),
+                 0)::BIGINT AS tp,
+        (coalesce((SELECT sum(n) FROM cm WHERE p = l.label), 0)
+         - coalesce((SELECT sum(n) FROM cm WHERE t = l.label
+                       AND p = l.label), 0))::BIGINT AS fp,
+        (coalesce((SELECT sum(n) FROM cm WHERE t = l.label), 0)
+         - coalesce((SELECT sum(n) FROM cm WHERE t = l.label
+                       AND p = l.label), 0))::BIGINT AS fn
+      FROM labels l
+    ), scored AS (
+      SELECT label, support, tp, fp, fn,
+             round(tp::DOUBLE / nullif(tp + fp, 0), 6) AS precision,
+             round(tp::DOUBLE / nullif(tp + fn, 0), 6) AS recall,
+             round(2.0 * (tp::DOUBLE / nullif(tp + fp, 0))
+                       * (tp::DOUBLE / nullif(tp + fn, 0))
+                   / nullif(tp::DOUBLE / nullif(tp + fp, 0)
+                            + tp::DOUBLE / nullif(tp + fn, 0), 0), 6) AS f1
+      FROM per
+    ), micro AS (
+      SELECT '__micro__' AS label,
+             sum(support)::BIGINT AS support, sum(tp)::BIGINT AS tp,
+             sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn,
+             round(sum(tp)::DOUBLE / nullif(sum(tp) + sum(fp), 0), 6)
+               AS precision,
+             round(sum(tp)::DOUBLE / nullif(sum(tp) + sum(fn), 0), 6)
+               AS recall,
+             round(2.0 * (sum(tp)::DOUBLE / nullif(sum(tp) + sum(fp), 0))
+                       * (sum(tp)::DOUBLE / nullif(sum(tp) + sum(fn), 0))
+                   / nullif(sum(tp)::DOUBLE / nullif(sum(tp) + sum(fp), 0)
+                            + sum(tp)::DOUBLE / nullif(sum(tp) + sum(fn), 0),
+                            0), 6) AS f1
+      FROM scored
+    ), macro AS (
+      SELECT '__macro__' AS label,
+             sum(support)::BIGINT AS support,
+             NULL::BIGINT AS tp, NULL::BIGINT AS fp, NULL::BIGINT AS fn,
+             round(avg(precision), 6) AS precision,
+             round(avg(recall), 6) AS recall,
+             round(avg(f1), 6) AS f1
+      FROM scored
+    )
+    SELECT * FROM scored
+    UNION ALL SELECT * FROM micro
+    UNION ALL SELECT * FROM macro
+    ORDER BY label
+    """
+
+
+@query("x5_f1_report", _f1_sql())
+def x5_f1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — per-class precision/recall/F1 report card (round 8) for
+    the stopword-argmax language classifier against the corpus's
+    ground-truth ``lang``: the metric trio every curation classifier
+    owes its users, completing the evaluation suite next to
+    ``x5_langid_confusion`` (raw cells) and ``x5_classifier_kappa``
+    (chance-corrected agreement) — F1 is what you quote, and the
+    ``__macro__`` row is the imbalance-honest summary while
+    ``__micro__`` equals accuracy. ONE (true, pred) contingency
+    aggregate; every metric is arithmetic over the classes²-sized
+    frame (operators/classify.py:f1_report)."""
+    from vectordb_migrator_spark.functions.text import lang_id
+    from vectordb_migrator_spark.operators.classify import f1_report
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    scored = d.select("lang", lang_id("text").alias("pred"))
+    return f1_report(scored, true_col="lang", pred_col="pred")
+
+
+def _pk_sql() -> str:
+    tables = [
+        ("customer", ["c_custkey"]),
+        ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]),
+        ("events", ["event_id"]),
+        ("lineitem", ["l_orderkey", "l_linenumber"]),
+        ("nation", ["n_nationkey"]),
+        ("orders", ["o_orderkey"]),
+        ("part", ["p_partkey"]),
+        ("region", ["r_regionkey"]),
+        ("supplier", ["s_suppkey"]),
+    ]
+    parts = []
+    for name, keys in tables:
+        null_any = " OR ".join(f"{k} IS NULL" for k in keys)
+        key_list = ", ".join(keys)
+        parts.append(f"""
+    SELECT '{name}' AS tbl,
+           coalesce(sum(n), 0)::BIGINT AS n_rows,
+           coalesce(sum(CASE WHEN NOT nl THEN 1 END), 0)::BIGINT
+             AS distinct_keys,
+           coalesce(sum(CASE WHEN NOT nl AND n > 1 THEN 1 END), 0)::BIGINT
+             AS dup_keys,
+           coalesce(sum(CASE WHEN NOT nl AND n > 1 THEN n - 1 END),
+                    0)::BIGINT AS dup_rows,
+           coalesce(sum(CASE WHEN nl THEN n END), 0)::BIGINT AS null_rows,
+           round(coalesce(sum(CASE WHEN NOT nl AND n > 1 THEN n - 1 END),
+                          0)::DOUBLE / nullif(coalesce(sum(n), 0), 0), 6)
+             AS dup_rate
+    FROM (SELECT {key_list}, ({null_any}) AS nl, count(*)::BIGINT AS n
+          FROM {name} GROUP BY ALL)""")
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY tbl"
+    )
+
+
+@query("x12_pk_uniqueness", _pk_sql())
+def x12_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — primary-key uniqueness audit across all ten warehouse
+    tables (round 8): the third integrity leg next to
+    ``x12_quality_constraints`` (row rules) and
+    ``x12_referential_integrity`` (FK orphans) — per declared key
+    (lineitem audits its COMPOSITE (orderkey, linenumber) key), rows,
+    distinct keys, duplicated keys, the surplus rows they contribute,
+    NULL-key rows, and the dup rate. Release pipelines assert
+    ``dup_keys == 0`` before publishing; a nonzero row names exactly
+    which ingest double-applied. One (key, count) fold per table —
+    map-side combinable, spill-safe — then one-row stats, unioned
+    (operators/validation.py:pk_uniqueness)."""
+    from vectordb_migrator_spark.operators.validation import pk_uniqueness
+
+    spec = [
+        ("customer", ["c_custkey"]),
+        ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]),
+        ("events", ["event_id"]),
+        ("lineitem", ["l_orderkey", "l_linenumber"]),
+        ("nation", ["n_nationkey"]),
+        ("orders", ["o_orderkey"]),
+        ("part", ["p_partkey"]),
+        ("region", ["r_regionkey"]),
+        ("supplier", ["s_suppkey"]),
+    ]
+    return pk_uniqueness(
+        [(name, _t(spark, sf_dir, name), keys) for name, keys in spec]
+    )
+
+
+@query(
+    "x7_ece",
+    """
+    WITH s AS (
+      SELECT least(value / 100.0, 1.0) AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    ), binned AS (
+      SELECT least(9, greatest(0, ceil(score * 10)::INT - 1))::BIGINT
+               AS bin,
+             score::DECIMAL(28,10) AS sd, y
+      FROM s
+    ), per AS (
+      SELECT bin, count(*)::BIGINT AS n,
+             sum(sd) AS conf_sum, sum(y)::BIGINT AS hits
+      FROM binned GROUP BY bin
+    ), scored AS (
+      SELECT bin, n,
+             round(conf_sum::DOUBLE / n, 6) AS conf,
+             round(hits::DOUBLE / n, 6) AS acc,
+             round(hits::DOUBLE / n - conf_sum::DOUBLE / n, 6) AS gap,
+             abs(hits::DOUBLE / n - conf_sum::DOUBLE / n) * n AS w_gap
+      FROM per
+    )
+    SELECT bin, n, conf, acc, gap FROM scored
+    UNION ALL
+    SELECT -1, NULL, NULL, NULL,
+           round(sum(w_gap) / sum(n), 6)
+    FROM scored
+    ORDER BY bin
+    """,
+)
+def x7_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — expected calibration error of a probability-shaped score
+    (round 8): the event value scaled to [0, 1] read as "probability
+    this event is a purchase", graded in ten equal-width bins — per
+    bin the confidence/accuracy gap, and the ``bin = -1`` summary row
+    carries ECE = Σ (n_b/N)·|acc_b − conf_b| (Guo et al., ICML'17),
+    the ONE number a pipeline thresholds before trusting any score as
+    a sampling weight. Complements ``x5_nb_calibration`` (reliability
+    DIAGRAM for the NB classifier): this is the scalar gate, on a
+    different scoring surface. One codegen bin projection + one
+    map-side-combinable aggregate, DECIMAL confidence sums
+    (operators/classify.py:ece_report)."""
+    from vectordb_migrator_spark.operators.classify import ece_report
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    s = ev.select(
+        F.least(F.col("value") / 100.0, F.lit(1.0)).alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    return ece_report(s, score_col="score", label_col="y", n_bins=10)
