@@ -104,10 +104,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_diff_in_diff",  # 2x2 pre/post causal readout (new r8)
     "x5_f1_report",  # per-class P/R/F1 + micro/macro (new r8)
     "x12_pk_uniqueness",  # composite-key PK audit, 10 tables (new r8)
-    "x7_ece",  # expected-calibration-error gate (new r8)
     "x7_kmv_distinct",  # bounded-state rewrite changed the plan (r8)
-    "x13_changepoints",  # flat-series try_divide hardening (r8)
-    "x12_referential_integrity",  # all-NULL-key try_divide (r8)
+    "x12_referential_integrity",  # single-scan fold rewrite (r8)
+    "x7_ece",  # expected-calibration-error gate (new r8)
+    # x13_changepoints: only degenerate-input (flat-series) behavior
+    # changed this round — local oracle MATCH on file; window slots
+    # go to the materially rewritten plans instead
     # --- (d) rotation debt: last driver evidence round 2 ---
     "x2_ngram_jaccard_pairs",
     "x2_minhash_lsh_pairs",
