@@ -414,3 +414,131 @@ def test_bmp_decode_features_real_decode(spark):
     # the bottom row (g = 3*(h-1)) here
     assert (r1["px00_b"], r1["px00_g"], r1["px00_r"]) == (0, 0, A)
     assert got[2]["width"] is None
+
+
+def test_png_filter_bytes_match_rfc2083_formulas():
+    """Spec-pinned encoder check (breaks encoder/decoder shared-bug
+    symmetry): forward-filtered bytes for tiny hand rows equal the
+    RFC 2083 §6 difference formulas computed by hand."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        _png_filter_row,
+    )
+
+    line = np.array([10, 20, 40, 70], dtype=np.uint8)
+    prev = np.array([5, 10, 15, 20], dtype=np.uint8)
+    # Sub (bpp=1): x - left -> [10, 10, 20, 30]
+    assert _png_filter_row(line, prev, 1, 1).tolist() == [10, 10, 20, 30]
+    # Up: x - up -> [5, 10, 25, 50]
+    assert _png_filter_row(line, prev, 1, 2).tolist() == [5, 10, 25, 50]
+    # Average: x - floor((left+up)/2) -> [10-2, 20-10, 40-17, 70-30]
+    assert _png_filter_row(line, prev, 1, 3).tolist() == [8, 10, 23, 40]
+    # Paeth: predictors are 5, 10, 20, 40 (hand Paeth) -> deltas
+    assert _png_filter_row(line, prev, 1, 4).tolist() == [5, 10, 20, 30]
+    # modulo-256 wrap
+    wrap = np.array([1, 0], dtype=np.uint8)
+    assert _png_filter_row(wrap, np.zeros(2, np.uint8), 1, 1).tolist() == [
+        1,
+        255,
+    ]
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """Encode → decode returns the exact pixel array for every filter
+    type and every supported color type; filtered streams decode to
+    the SAME pixels as the filter-0 stream of the same image."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_unfilter,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(42)
+
+    def decode_px(b, w, h, ch):
+        import struct
+        import zlib
+
+        pos, idat = 8, bytearray()
+        while pos + 8 <= len(b):
+            ln = struct.unpack_from(">I", b, pos)[0]
+            tag = b[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                idat += b[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        raw = zlib.decompress(bytes(idat))
+        return _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+
+    for ct, ch in [(0, 1), (4, 2), (2, 3), (6, 4)]:
+        px = rng.integers(0, 256, (7, 5, ch), dtype=np.uint8)
+        base = png_encode(px, color_type=ct)  # all filter 0
+        assert base[:8] == _PNG_SIG
+        np.testing.assert_array_equal(decode_px(base, 5, 7, ch), px)
+        for ft in (1, 2, 3, 4):
+            enc = png_encode(px, color_type=ct, row_filters=[ft])
+            np.testing.assert_array_equal(decode_px(enc, 5, 7, ch), px)
+        mixed = png_encode(px, color_type=ct, row_filters=[0, 1, 2, 3, 4])
+        np.testing.assert_array_equal(decode_px(mixed, 5, 7, ch), px)
+
+
+def test_png_decode_features_real_and_degenerate(spark):
+    """The Spark kernel: real RGB and gray PNGs decode to closed-form
+    stats; 16-bit, palette, interlaced, and corrupt payloads yield
+    NULL features, never a misparse or a failed pass."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        _PNG_SIG,
+        png_decode_features,
+        png_encode,
+    )
+
+    w, h = 6, 4
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 9
+    rgb[:, :, 1] = np.arange(w)[None, :]
+    rgb[:, :, 2] = np.arange(h)[:, None]
+    gray = (np.arange(w)[None, :] + np.arange(h)[:, None]).astype(np.uint8)
+
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    bad_depth = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    interlaced = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    rows = [
+        (1, bytearray(png_encode(rgb, color_type=2, row_filters=[4, 3, 2, 1]))),
+        (2, bytearray(png_encode(gray, color_type=0, row_filters=[1, 2]))),
+        (3, bytearray(bad_depth)),
+        (4, bytearray(interlaced)),
+        (5, bytearray(b"\x89PNG but not really")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in png_decode_features(df).collect()}
+    r1 = got[1]
+    assert (r1["width"], r1["height"], r1["channels"]) == (6, 4, 3)
+    assert r1["mean_r"] == 9.0
+    assert r1["mean_g"] == (w - 1) / 2 and r1["mean_b"] == (h - 1) / 2
+    assert (r1["px00_r"], r1["px00_g"], r1["px00_b"]) == (9, 0, 0)
+    r2 = got[2]
+    assert r2["channels"] == 1
+    assert r2["mean_r"] == r2["mean_g"] == (w - 1) / 2 + (h - 1) / 2
+    assert (r2["px00_r"], r2["px00_g"], r2["px00_b"]) == (0, 0, 0)
+    for d in (3, 4, 5):
+        assert got[d]["width"] is None and got[d]["mean_r"] is None

@@ -640,3 +640,230 @@ def bmp_decode_features(
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema=BMP_SCHEMA
     )
+
+
+# ------------------------------------------------------------------ PNG
+
+PNG_SCHEMA = (
+    "doc_id long, width int, height int, channels int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double, "
+    "px00_r int, px00_g int, px00_b int"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type -> channel count for the supported 8-bit subset
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse the five PNG row filters (RFC 2083 §6) on the inflated
+    scanline stream: each row is 1 filter byte + ``stride`` bytes.
+    None/Up vectorize; Sub/Average/Paeth recur along x (rows here are
+    image-width-sized — tiny next to the corpus)."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for yy in range(h):
+        ft = raw[pos]
+        pos += 1
+        rec = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up
+            rec = (rec + prev) & 0xFF
+        elif ft == 1:  # Sub — per-lane prefix sum mod 256
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ft}")
+        out[yy] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _png_filter_row(line, prev, bpp: int, ft: int):
+    """FORWARD-filter one row (the encoder side of the five filters)
+    — spec-pinned in tests against RFC 2083's difference formulas."""
+    import numpy as np
+
+    line = line.astype(np.int32)
+    prev = prev.astype(np.int32)
+    if ft == 0:
+        return line.astype(np.uint8)
+    if ft == 2:  # Up — fully vectorized
+        return ((line - prev) & 0xFF).astype(np.uint8)
+    if ft == 1:  # Sub — shift by bpp, vectorized
+        out = line.copy()
+        out[bpp:] = (line[bpp:] - line[:-bpp]) & 0xFF
+        return out.astype(np.uint8)
+    out = np.zeros_like(line)
+    for x in range(len(line)):
+        a = line[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[x] = (line[x] - pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def png_encode(px, *, color_type: int, row_filters=None) -> bytes:
+    """Minimal REAL PNG encoder for fixtures and demos: 8-bit
+    gray/gray+alpha/RGB/RGBA, non-interlaced, one IDAT. ``px`` is an
+    (h, w, ch) or (h, w) uint8 array; ``row_filters`` optionally
+    forces the filter byte per row (cycling fixtures through all five
+    is how the decoder's unfilter paths get exercised on REAL
+    streams). Chunk CRCs are real zlib.crc32 — any standards-
+    compliant reader accepts the output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if _PNG_CHANNELS.get(color_type) != ch:
+        raise ValueError(f"color_type {color_type} needs "
+                         f"{_PNG_CHANNELS.get(color_type)} channels, got {ch}")
+    flat = px.reshape(h, w * ch)
+    stream = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for yy in range(h):
+        ft = int(row_filters[yy % len(row_filters)]) if row_filters else 0
+        stream.append(ft)
+        stream += _png_filter_row(flat[yy], prev, ch, ft).tobytes()
+        prev = flat[yy]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL PNG decode (round 8) — the compressed-image tier the
+    round-7 header triage stopped short of: PNG's only codec is
+    zlib, which is stdlib, so the full pipeline (chunk walk → IDAT
+    inflate → the five-filter unfilter → pixel stats) runs on actual
+    bytes in this container. Supported: 8-bit gray / gray+alpha /
+    RGB / RGBA, non-interlaced (the overwhelming majority of real
+    PNGs); 16-bit, palette, and Adam7 payloads yield NULL features —
+    never a misparse — as do corrupt streams.
+
+    Features per image: dimensions, channel count, per-channel means
+    (gray replicates to r=g=b; alpha excluded from means), and the
+    top-left pixel — wrong unfiltering shows up there first. Same
+    Arrow-batched ``mapInPandas`` shape as
+    :func:`bmp_decode_features`; payload bytes never leave the
+    executor."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {
+                    "doc_id": int(doc_id), "width": None, "height": None,
+                    "channels": None, "n_pixels": None, "mean_r": None,
+                    "mean_g": None, "mean_b": None, "px00_r": None,
+                    "px00_g": None, "px00_b": None,
+                }
+                try:
+                    b = bytes(payload)
+                    if b[:8] == _PNG_SIG:
+                        pos, idat, ihdr = 8, bytearray(), None
+                        while pos + 8 <= len(b):
+                            ln = struct.unpack_from(">I", b, pos)[0]
+                            tag = b[pos + 4 : pos + 8]
+                            body = b[pos + 8 : pos + 8 + ln]
+                            pos += 12 + ln
+                            if tag == b"IHDR":
+                                ihdr = struct.unpack(">IIBBBBB", body)
+                            elif tag == b"IDAT":
+                                idat += body
+                            elif tag == b"IEND":
+                                break
+                        if ihdr:
+                            w, h, depth, ct, comp, filt, inter = ihdr
+                            ch = _PNG_CHANNELS.get(ct)
+                            if (
+                                ch and depth == 8 and comp == 0
+                                and filt == 0 and inter == 0
+                                and w > 0 and h > 0
+                            ):
+                                raw = zlib.decompress(bytes(idat))
+                                stride = w * ch
+                                if len(raw) == h * (stride + 1):
+                                    px = _png_unfilter(
+                                        raw, h, stride, ch
+                                    ).reshape(h, w, ch)
+                                    means = px.astype(np.float64).mean(
+                                        axis=(0, 1)
+                                    )
+                                    if ct in (0, 4):  # gray(+alpha)
+                                        r = g = bl = means[0]
+                                        p0 = [int(px[0, 0, 0])] * 3
+                                    else:
+                                        r, g, bl = means[0], means[1], means[2]
+                                        p0 = [int(px[0, 0, k]) for k in range(3)]
+                                    row.update(
+                                        width=int(w), height=int(h),
+                                        channels=int(ch),
+                                        n_pixels=int(w) * int(h),
+                                        mean_r=round(float(r), 6),
+                                        mean_g=round(float(g), 6),
+                                        mean_b=round(float(bl), 6),
+                                        px00_r=p0[0], px00_g=p0[1],
+                                        px00_b=p0[2],
+                                    )
+                except Exception:  # noqa: BLE001 — corrupt blob -> NULLs
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=PNG_SCHEMA
+    )

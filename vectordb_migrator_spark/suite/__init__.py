@@ -107,6 +107,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_kmv_distinct",  # bounded-state rewrite changed the plan (r8)
     "x12_referential_integrity",  # single-scan fold rewrite (r8)
     "x7_ece",  # expected-calibration-error gate (new r8)
+    "x6_png_decode",  # REAL zlib PNG decode, five-filter unfilter (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

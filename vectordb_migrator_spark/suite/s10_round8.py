@@ -594,3 +594,103 @@ def x7_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
     return ece_report(s, score_col="score", label_col="y", n_bins=10)
+
+
+# ------------------------------------------------------------- multimodal
+@query(
+    "x6_png_decode",
+    """
+    SELECT doc_id,
+           (6 + (doc_id % 6) * 3)::INT AS width,
+           (4 + (doc_id % 4) * 2)::INT AS height,
+           (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::INT
+             AS channels,
+           ((6 + (doc_id % 6) * 3) * (4 + (doc_id % 4) * 2))::BIGINT
+             AS n_pixels,
+           (CASE doc_id % 3
+              WHEN 0 THEN ((6 + (doc_id % 6) * 3) - 1) / 2.0
+                          + ((4 + (doc_id % 4) * 2) - 1) / 2.0
+              WHEN 1 THEN (doc_id % 200)::DOUBLE
+              ELSE ((6 + (doc_id % 6) * 3) - 1) / 2.0 END)::DOUBLE
+             AS mean_r,
+           (CASE doc_id % 3
+              WHEN 0 THEN ((6 + (doc_id % 6) * 3) - 1) / 2.0
+                          + ((4 + (doc_id % 4) * 2) - 1) / 2.0
+              WHEN 1 THEN ((6 + (doc_id % 6) * 3) - 1) / 2.0
+              ELSE ((4 + (doc_id % 4) * 2) - 1) / 2.0 END)::DOUBLE
+             AS mean_g,
+           (CASE doc_id % 3
+              WHEN 0 THEN ((6 + (doc_id % 6) * 3) - 1) / 2.0
+                          + ((4 + (doc_id % 4) * 2) - 1) / 2.0
+              WHEN 1 THEN ((4 + (doc_id % 4) * 2) - 1) / 2.0
+              ELSE (doc_id % 200)::DOUBLE END)::DOUBLE AS mean_b,
+           (CASE doc_id % 3 WHEN 1 THEN doc_id % 200 ELSE 0 END)::INT
+             AS px00_r,
+           0::INT AS px00_g,
+           (CASE doc_id % 3 WHEN 2 THEN doc_id % 200 ELSE 0 END)::INT
+             AS px00_b
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x6_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — REAL compressed-image decode (round 8): PNG's only codec
+    is stdlib zlib, so the full pipeline — chunk walk, IDAT inflate,
+    the five-filter unfilter (None/Sub/Up/Average/Paeth), pixel
+    stats — runs on actual compressed bytes end to end, completing
+    the decode-tier ladder above BMP (uncompressed) and the header
+    triage (no decode). Fixtures plant per-doc gradients across
+    gray/RGB/RGBA color types with the row filter CYCLING through
+    all five per image, so one wrong unfilter path shifts the
+    closed-form means and the top-left pixel the oracle pins. The
+    encoder itself is spec-pinned in tests/test_multimodal.py against
+    RFC 2083's difference formulas, breaking encoder/decoder
+    shared-bug symmetry
+    (operators/multimodal.py:png_decode_features)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        png_decode_features,
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from vectordb_migrator_spark.operators.multimodal import png_encode
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 6 + (d % 6) * 3
+                h = 4 + (d % 4) * 2
+                amp = d % 200
+                kind = d % 3
+                if kind == 0:  # gray: v = x + y
+                    px = (
+                        np.arange(w)[None, :] + np.arange(h)[:, None]
+                    ).astype(np.uint8)
+                    ct = 0
+                elif kind == 1:  # RGB: r const, g = x, b = y
+                    px = np.zeros((h, w, 3), dtype=np.uint8)
+                    px[:, :, 0] = amp
+                    px[:, :, 1] = np.arange(w)[None, :]
+                    px[:, :, 2] = np.arange(h)[:, None]
+                    ct = 2
+                else:  # RGBA: r = x, g = y, b const, a = 255
+                    px = np.zeros((h, w, 4), dtype=np.uint8)
+                    px[:, :, 0] = np.arange(w)[None, :]
+                    px[:, :, 1] = np.arange(h)[:, None]
+                    px[:, :, 2] = amp
+                    px[:, :, 3] = 255
+                    ct = 6
+                payload = png_encode(
+                    px, color_type=ct, row_filters=[0, 1, 2, 3, 4]
+                )
+                rows.append({"doc_id": d, "payload": bytearray(payload)})
+            yield pd.DataFrame(rows)
+
+    payloads = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(gen, schema="doc_id long, payload binary")
+    )
+    return png_decode_features(payloads).orderBy("doc_id")
