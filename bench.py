@@ -98,6 +98,8 @@ HEADLINE = [
     "x2_triangle_counts",
     "x2_clustering_coefficient",
     "x2_kcore",
+    "x2_label_propagation",
+    "x2_adamic_adar",
     "x2_graph_stats",
     "x0_leakage_safe_split",
     "x10_temporal_split",

@@ -386,3 +386,116 @@ def test_clustering_coefficient_known_graphs(spark):
     # transitivity: sum T = 3 triangles*... per-vertex T: 1,1,1 -> 3;
     # wedges: 1 + 1 + 3 = 5 -> 3/5
     assert abs(rk["global_cc"] - 0.6) < 1e-6
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def _lpa_python(edges, n_iter):
+    """Synchronous label propagation, smallest-label tie-break. A
+    self-loop counts as one vote for the vertex's own previous label,
+    matching the operator's distinct undirected edge list."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for v, nbrs in adj.items():
+            if not nbrs:
+                nxt[v] = labels[v]
+                continue
+            counts = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_two_cliques_one_bridge(spark):
+    from vectordb_migrator_spark.operators.graph import label_propagation
+
+    # two triangles {1,2,3} and {7,8,9} bridged by (3,7): LPA keeps
+    # the dense cores separate where CC would merge them
+    edges = [(1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9), (3, 7)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["label"] for r in label_propagation(df, n_iter=3).collect()}
+    assert got == _lpa_python(edges, 3)
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[7], got[8], got[9]}) == 1
+    assert got[1] != got[8]
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=14,
+    ),
+    n_iter=st.integers(1, 3),
+)
+@settings(max_examples=12, deadline=None)
+def test_label_propagation_matches_python(spark, edges, n_iter):
+    from vectordb_migrator_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(df, n_iter=n_iter).collect()
+    }
+    assert got == _lpa_python(edges, n_iter)
+
+
+# ---------------------------------------------------------- Adamic-Adar
+
+
+def test_adamic_adar_path_graph(spark):
+    from math import log
+
+    from vectordb_migrator_spark.operators.graph import adamic_adar
+
+    # path 1-2-3-4: non-edges with common neighbors are (1,3) via 2,
+    # (2,4) via 3; deg(2)=deg(3)=2 so both score 1/ln 2
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    rows = adamic_adar(df, k=10).collect()
+    got = {(r["a"], r["b"]): (r["common"], r["score"]) for r in rows}
+    want_score = round(round(1.0 / log(2.0), 9), 6)
+    assert got == {(1, 3): (1, want_score), (2, 4): (1, want_score)}
+
+
+def test_adamic_adar_drops_existing_edges_and_ranks(spark):
+    from vectordb_migrator_spark.operators.graph import adamic_adar
+
+    # K4 minus edge (1,4): only (1,4) is a scorable non-edge
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], ["id_a", "id_b"]
+    )
+    rows = adamic_adar(df, k=10).collect()
+    assert [(r["a"], r["b"], r["common"]) for r in rows] == [(1, 4, 2)]
+
+
+# ------------------------------------------------------ co-occurrence
+
+
+def test_co_occurrence_edges_support_floor(spark):
+    from vectordb_migrator_spark.operators.graph import co_occurrence_edges
+
+    rows = [
+        (10, 1), (10, 2), (10, 3),
+        (20, 1), (20, 2),
+        (30, 1), (30, 3),
+        (30, 3),  # duplicate (basket, item) row must not inflate support
+    ]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    got = {
+        (r["id_a"], r["id_b"]): r["support"]
+        for r in co_occurrence_edges(
+            df, basket_col="bk", item_col="it", min_support=2
+        ).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 2}

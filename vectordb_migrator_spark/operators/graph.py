@@ -550,3 +550,179 @@ def clustering_coefficient(
             6,
         ).alias("global_cc"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected graph — community detection by iterated neighbor-label
+    majority, the cheap mesoscale complement of
+    :func:`connected_components` (which only answers reachability):
+    LPA splits a weakly-bridged component into its dense cores, the
+    granularity a dedup triage actually wants. Deterministic variant:
+    SYNCHRONOUS updates (all vertices step on the previous round's
+    labels) with ties broken toward the SMALLEST label, so the result
+    is a pure function of the graph — no runtime randomness, exact
+    oracle replay per iteration.
+
+    Scale shape, per round: one (vertex, neighbor-label) shuffle off
+    the edge list (long, long rows), one map-side-combinable count,
+    one per-vertex window keeping the (count DESC, label ASC) top-1 —
+    bounded state throughout; ``localCheckpoint`` truncates lineage
+    per round like the CC loop. Fixed ``n_iter`` keeps the unrolled
+    SQL oracle exact (the PageRank-oracle pattern); LPA oscillates on
+    bipartite-ish graphs under synchronous update, so callers treat
+    the result at round k as the answer, not a fixpoint claim.
+
+    Returns (id, label) for every vertex that appears in an edge."""
+    from pyspark.sql import Window as W
+
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    top = W.partitionBy("id").orderBy(F.desc("__n"), F.asc("label"))
+    for _ in range(n_iter):
+        msgs = und.join(
+            labels.withColumnRenamed("id", "v"), "v"
+        ).select(F.col("u").alias("id"), "label")
+        counts = msgs.groupBy("id", "label").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        labels = (
+            counts.withColumn("__rk", F.row_number().over(top))
+            .filter(F.col("__rk") == 1)
+            .select("id", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def adamic_adar(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 50,
+) -> DataFrame:
+    """Adamic–Adar link prediction over the undirected graph: for
+    vertex pairs NOT already linked, score = Σ_z 1/ln(deg z) over
+    common neighbors z (Adamic & Adar 2003) — rare shared neighbors
+    count more than hub co-membership. On the near-dup graph this
+    ranks the pairs a thresholded similarity join MISSED but the
+    neighborhood structure vouches for: the review queue for lowering
+    the dedup threshold.
+
+    Scale shape: degree table (one count), wedge join e(u,z)⋈e(z,w)
+    with u<w — the same wedge the triangle counter walks, so the same
+    skew caveat: wedge volume is Σ deg(z)², and a hub z fans out
+    quadratically (cap degrees upstream for adversarial graphs; dup
+    graphs post-threshold are star-capped already). Existing edges
+    drop via one anti-join; TakeOrdered(k) with the (score DESC,
+    u, v) deterministic tie-break returns the model-sized queue."""
+    und = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).cast("double").alias("__d")
+    )
+    e1 = und.select(F.col("v").alias("z"), F.col("u").alias("a"))
+    e2 = und.select(F.col("v").alias("z"), F.col("u").alias("b"))
+    wedges = (
+        e1.join(e2, "z")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg, "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            # per-term round(9) + DECIMAL sum: the score is exact and
+            # associativity-independent, so the oracle hash matches
+            F.round(
+                F.sum(
+                    F.round(F.lit(1.0) / F.log("__d"), 9).cast(
+                        "decimal(28,9)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    existing = pairs.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).distinct()
+    return (
+        wedges.join(existing, ["a", "b"], "left_anti")
+        .orderBy(F.desc("score"), "a", "b")
+        .limit(k)
+    )
+
+
+def co_occurrence_edges(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Co-occurrence graph off (basket, item) rows: an undirected
+    edge (id_a < id_b) for every item pair sharing >= ``min_support``
+    baskets — the co-purchase / co-view / co-citation graph that
+    link-prediction (:func:`adamic_adar`) and community detection
+    (:func:`label_propagation`) consume. The support floor is the
+    noise gate: singleton co-occurrences in a busy corpus are chance,
+    and dropping them is what keeps the graph sparse enough that
+    wedge-walking stays linear.
+
+    Scale shape (the :func:`~..relational.association_rules` kernel):
+    dedup to (basket, item), ONE groupBy-basket shuffle collecting the
+    sorted item list, pair fan-out INSIDE the list (bounded by basket
+    size squared — no self-join of the raw fact table), then one
+    map-side-combinable pair count. A pathological mega-basket should
+    be size-capped upstream.
+
+    Returns (id_a, id_b, support), id_a < id_b."""
+    base = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    buckets = base.groupBy("__b").agg(
+        F.array_sort(F.collect_list("__i")).alias("items")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("items"),
+                    lambda b: F.when(
+                        a < b,
+                        F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

@@ -106,8 +106,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_pk_uniqueness",  # composite-key PK audit, 10 tables (new r8)
     "x7_kmv_distinct",  # bounded-state rewrite changed the plan (r8)
     "x12_referential_integrity",  # single-scan fold rewrite (r8)
-    "x7_ece",  # expected-calibration-error gate (new r8)
+    "x7_ece",  # expected-calibration-error gate (new r8) [51+: local
+    # oracle + judge rerun carry these; the 50-window is full above]
     "x6_png_decode",  # REAL zlib PNG decode, five-filter unfilter (new r8)
+    "x2_label_propagation",  # sync LPA communities, unrolled oracle (new r8)
+    "x2_adamic_adar",  # link prediction on the co-purchase graph (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vectordb_migrator_spark.operators.dedup import ngram_jaccard_pairs
 from vectordb_migrator_spark.suite._shared import _t, query
 from vectordb_migrator_spark.suite.s05_text import _bpe_ctes
 
@@ -694,3 +695,140 @@ def x6_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(gen, schema="doc_id long, payload binary")
     )
     return png_decode_features(payloads).orderBy("doc_id")
+
+
+# ------------------------------------------------------------------ graph
+# The shared near-dup pair kernel's SQL replica (the same CTE text the
+# round-7 triangle/kcore/coefficient oracles inline): 3-gram shingles,
+# Jaccard >= 0.2, id_a < id_b.
+_NGRAM_PAIRS_CTE = r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    )"""
+
+
+def _lpa_sql(n_iter: int = 3) -> str:
+    sql = _NGRAM_PAIRS_CTE + """, lab0 AS MATERIALIZED (
+      SELECT DISTINCT u AS id, u AS lab FROM e
+    )"""
+    for k in range(1, n_iter + 1):
+        sql += f""", m{k} AS (
+      SELECT e.u AS id, l.lab FROM e JOIN lab{k - 1} l ON l.id = e.v
+    ), c{k} AS (
+      SELECT id, lab, count(*)::BIGINT AS n FROM m{k} GROUP BY id, lab
+    ), lab{k} AS MATERIALIZED (
+      SELECT id, lab FROM (
+        SELECT id, lab,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY n DESC, lab) AS rn
+        FROM c{k}) WHERE rn = 1
+    )"""
+    return sql + f"""
+    SELECT lab::BIGINT AS community, count(*)::BIGINT AS size,
+           min(id)::BIGINT AS min_id, max(id)::BIGINT AS max_id
+    FROM lab{n_iter} GROUP BY lab ORDER BY community"""
+
+
+@query("x2_label_propagation", _lpa_sql(3))
+def x2_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — synchronous label-propagation communities (round 8) on
+    the SAME near-dup pair graph as the triangle/k-core/coefficient
+    family: where connected components answer "reachable at all?",
+    LPA's neighbor-label majority splits a weakly-bridged component
+    into its dense cores after 3 deterministic rounds (smallest-label
+    tie-break, synchronous update — a pure function of the graph, so
+    the unrolled per-iteration SQL oracle replays it exactly, the
+    PageRank-oracle pattern). Per round: one neighbor-label shuffle +
+    one count + one per-vertex top-1 window — all bounded state
+    (operators/graph.py:label_propagation)."""
+    from vectordb_migrator_spark.operators.graph import label_propagation
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).localCheckpoint(eager=True)
+    lp = label_propagation(pairs, n_iter=3)
+    return (
+        lp.groupBy(F.col("label").cast("long").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .orderBy("community")
+    )
+
+
+@query(
+    "x2_adamic_adar",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ), cp AS MATERIALIZED (
+      SELECT a.it AS id_a, b.it AS id_b
+      FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), e AS (
+      SELECT id_a AS u, id_b AS v FROM cp
+      UNION SELECT id_b, id_a FROM cp
+    ), deg AS (
+      SELECT u AS z, count(*)::DOUBLE AS d FROM e GROUP BY u
+    ), wed AS (
+      SELECT e1.u AS a, e2.u AS b, e1.v AS z
+      FROM e e1 JOIN e e2 ON e1.v = e2.v AND e1.u < e2.u
+    ), sc AS (
+      SELECT a, b, count(*)::BIGINT AS common,
+             round(sum(round(1.0 / ln(d.d), 9)::DECIMAL(28,9))::DOUBLE, 6)
+               AS score
+      FROM wed JOIN deg d ON d.z = wed.z GROUP BY a, b
+    )
+    SELECT a, b, common, score FROM sc
+    WHERE NOT EXISTS (SELECT 1 FROM cp p
+                      WHERE p.id_a = sc.a AND p.id_b = sc.b)
+    ORDER BY score DESC, a, b LIMIT 50
+    """,
+)
+def x2_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — Adamic–Adar link prediction on the part co-purchase
+    graph (round 8): items sharing >= 2 orders are edges; for part
+    pairs NOT linked, score = Σ 1/ln(deg) over common co-purchase
+    partners — rare shared partners vouch harder than hubs — the
+    related-items queue the support threshold missed. (The near-dup
+    doc graph is the WRONG input here: Jaccard >= t is transitively
+    closed on this corpus, so it has no open wedges — link prediction
+    needs a co-occurrence graph, where open triangles are the norm.)
+    Co-purchase edges come from the in-basket pair kernel (one
+    groupBy-orderkey shuffle, fan-out bounded by order size squared,
+    never a lineitem self-join); then the wedge join off the degree
+    table (the triangle counter's shape), one anti-join against
+    existing edges, per-term round(9) + DECIMAL sums so the score is
+    associativity-independent, TakeOrdered(50)
+    (operators/graph.py:adamic_adar, co_occurrence_edges)."""
+    from vectordb_migrator_spark.operators.graph import (
+        adamic_adar,
+        co_occurrence_edges,
+    )
+
+    edges = co_occurrence_edges(
+        _t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_support=2,
+    ).localCheckpoint(eager=True)
+    return adamic_adar(edges, k=50)
