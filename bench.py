@@ -190,6 +190,7 @@ HEADLINE = [
     "x9_int8_quantization",
     "x9_nf4_quantization",
     "x4_nf4_recall",
+    "x4_matryoshka_recall",
     "x9_storage_report",
     "x9_embedding_drift",
     "x9_sq_error_by_label",

@@ -111,6 +111,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_png_decode",  # REAL zlib PNG decode, five-filter unfilter (new r8)
     "x2_label_propagation",  # sync LPA communities, unrolled oracle (new r8)
     "x2_adamic_adar",  # link prediction on the co-purchase graph (new r8)
+    "x4_matryoshka_recall",  # MRL prefix-dim recall gate (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

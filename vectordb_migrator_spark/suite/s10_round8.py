@@ -832,3 +832,86 @@ def x2_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_support=2,
     ).localCheckpoint(eager=True)
     return adamic_adar(edges, k=50)
+
+
+# ------------------------------------------------------------ matryoshka
+def _matryoshka_sql() -> str:
+    """Oracle for x4_matryoshka_recall: per prefix length d, recall@10
+    of cosine over the FIRST d dims against the full-width truth.
+    (Renormalization is a no-op for cosine ranking, so plain prefix
+    slices are the whole mechanism.)"""
+    parts = []
+    for d in (8, 16, 32, 64):
+        parts.append(f"""
+    SELECT {d}::BIGINT AS dim, 10::BIGINT AS k,
+           count(*)::BIGINT AS n_hits,
+           round(count(*) / 10.0, 6) AS recall
+    FROM truth JOIN (
+      SELECT vec_id FROM q, p
+      ORDER BY round(list_dot_product(v[1:{d}], pv[1:{d}]) /
+                 (sqrt(list_dot_product(v[1:{d}], v[1:{d}])) *
+                  sqrt(list_dot_product(pv[1:{d}], pv[1:{d}]))), 6)
+               DESC, vec_id
+      LIMIT 10) a USING (vec_id)""")
+    return (
+        """
+    WITH p AS (SELECT {probe} AS pv),
+    q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    truth AS (
+      SELECT vec_id FROM q, p
+      ORDER BY round(list_dot_product(v, pv) /
+                 (sqrt(list_dot_product(v, v)) *
+                  sqrt(list_dot_product(pv, pv))), 6) DESC, vec_id
+      LIMIT 10)
+    """
+        + " UNION ALL ".join(parts)
+        + " ORDER BY dim"
+    )
+
+
+@query("x4_matryoshka_recall", None)  # oracle bound below (needs probe)
+def x4_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — Matryoshka (MRL, Kusupati et al. 2022) truncation recall
+    gate (round 8): recall@10 of brute-force cosine over PREFIX dims
+    d ∈ {8,16,32,64} against the full-width truth — the measurement
+    that licenses serving a 64-dim corpus from its first 16 dims (4×
+    less scan bandwidth and index footprint; at 100 TB the prefix IS
+    the hot tier, the tail dims a rerank fetch). Cosine ranking is
+    renormalization-invariant, so truncation is a pure ``F.slice`` —
+    every per-dim ranking stays a narrow scan +
+    TakeOrderedAndProject(k), no vector shuffle, and the recall joins
+    are k-row-sized. Full oracle, d=64 row doubling as the
+    self-check anchor (recall 1.0 by construction)
+    (operators/similarity.py:cosine_topk)."""
+    from vectordb_migrator_spark.operators.similarity import cosine_topk
+    from vectordb_migrator_spark.operators.util import fan_out
+    from vectordb_migrator_spark.suite._shared import _probe_vector
+
+    probe = _probe_vector(spark, sf_dir)
+    e = fan_out(_t(spark, sf_dir, "embeddings"))
+    truth = cosine_topk(e, probe, k=10).select("vec_id")
+    out = None
+    for d in (8, 16, 32, 64):
+        sliced = e.select(
+            "vec_id", F.slice(F.col("embedding"), 1, d).alias("embedding")
+        )
+        appr = cosine_topk(sliced, probe[:d], k=10).select("vec_id")
+        row = truth.join(appr, "vec_id").agg(
+            F.lit(d).cast("long").alias("dim"),
+            F.lit(10).cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("dim")
+
+
+def _bind_matryoshka_oracle() -> None:
+    from vectordb_migrator_spark.suite._shared import _PROBE_SQL, ORACLES
+
+    ORACLES["x4_matryoshka_recall"] = _matryoshka_sql().format(
+        probe=_PROBE_SQL
+    )
+
+
+_bind_matryoshka_oracle()
