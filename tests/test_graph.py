@@ -499,3 +499,90 @@ def test_co_occurrence_edges_support_floor(spark):
         ).collect()
     }
     assert got == {(1, 2): 2, (1, 3): 2}
+
+
+# --------------------------------------------------- personalized PR
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.graph import pagerank
+
+    # 4-cycle with a chord + isolated pair; seeds = {1, 10}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (10, 11)]
+    seeds = [1, 10]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, n_iter=10, seeds=seeds).collect()
+    }
+
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    base = np.zeros(n)
+    r = np.zeros(n)
+    for s in seeds:
+        base[idx[s]] = 0.15 / len(seeds)
+        r[idx[s]] = 1.0 / len(seeds)
+    for _ in range(10):
+        r = np.round(base + 0.85 * (adj.T @ (r / deg)), 12)
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    # proximity, not global importance: seed 1's direct neighbors
+    # out-rank the cycle vertex two hops out
+    assert got[2] > got[4] - 1e-12 and got[3] > 0
+    # mass conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_personalized_pagerank_directed_dangling_to_seeds(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.graph import pagerank
+
+    # 2 is a pure sink: its mass must restart at the seed, not spread
+    edges = [(1, 2), (3, 2), (1, 3)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            df, undirected=False, n_iter=10, seeds=[1]
+        ).collect()
+    }
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[idx[a], idx[b]] = 1.0
+    out_deg = adj.sum(axis=1)
+    base = np.zeros(n)
+    base[idx[1]] = 0.15
+    r = np.zeros(n)
+    r[idx[1]] = 1.0
+    for _ in range(10):
+        dangling = r[out_deg == 0].sum()
+        safe = np.where(out_deg > 0, r / np.maximum(out_deg, 1.0), 0.0)
+        contrib = adj.T @ safe
+        restart = np.zeros(n)
+        restart[idx[1]] = dangling
+        r = np.round(base + 0.85 * (contrib + restart), 12)
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    import pytest
+
+    from vectordb_migrator_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError):
+        pagerank(df, seeds=[])

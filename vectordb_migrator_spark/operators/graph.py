@@ -245,6 +245,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     undirected: bool = True,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the edge list — vertex centrality
     for picking the *canonical* member of a dup family (the hub every
@@ -270,7 +271,16 @@ def pagerank(
     sum to ~1. The dangling sum is a 1-row broadcast per iteration,
     accumulated in the same DECIMAL(28,18) so the exactness contract
     holds. Returns (id, rank) with ranks summing to ~1.
-    """
+
+    ``seeds`` switches to PERSONALIZED PageRank (random walk with
+    restart): the teleport term concentrates on the seed set instead
+    of spreading uniformly — init mass 1/|S| on seeds, base term
+    (1-d)/|S| on seeds and 0 elsewhere, directed dangling mass
+    redistributed over the seeds. Ranks then measure proximity to the
+    seeds: the expansion queue around a known-bad (contaminated,
+    spam, leaked) document set. Seeds are a model-sized Python list
+    (an ``isin`` literal — never a join); the exactness contract is
+    unchanged, so the unrolled SQL oracle still replays it."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if undirected:
         e = e.union(
@@ -290,11 +300,23 @@ def pagerank(
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
-    base = (1.0 - damping) / n
+    if seeds is not None and len(seeds) == 0:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+    if seeds is None:
+        base_col = F.lit((1.0 - damping) / n)
+        init_col = F.lit(1.0 / n).cast("double")
+    else:
+        is_seed = F.col("id").isin(list(seeds))
+        base_col = F.when(
+            is_seed, F.lit((1.0 - damping) / len(seeds))
+        ).otherwise(F.lit(0.0))
+        init_col = (
+            F.when(is_seed, F.lit(1.0 / len(seeds)))
+            .otherwise(F.lit(0.0))
+            .cast("double")
+        )
 
-    ranks = verts.withColumn(
-        "rank", F.lit(1.0 / n).cast("double")
-    ).localCheckpoint(eager=True)
+    ranks = verts.withColumn("rank", init_col).localCheckpoint(eager=True)
     for _ in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("id", "a"), "a")
@@ -321,11 +343,18 @@ def pagerank(
                 ).alias("__dm")
             )
             new = new.crossJoin(F.broadcast(dm))
-            dang_term = F.col("__dm").cast("double") / F.lit(float(n))
+            if seeds is None:
+                dang_term = F.col("__dm").cast("double") / F.lit(float(n))
+            else:
+                # restart semantics: dangling mass teleports to seeds
+                dang_term = F.when(
+                    F.col("id").isin(list(seeds)),
+                    F.col("__dm").cast("double") / F.lit(float(len(seeds))),
+                ).otherwise(F.lit(0.0))
         ranks = new.select(
             "id",
             F.round(
-                F.lit(base)
+                base_col
                 + F.lit(damping)
                 * (F.coalesce(F.col("s"), F.lit(0.0)) + dang_term),
                 12,

@@ -915,3 +915,80 @@ def _bind_matryoshka_oracle() -> None:
 
 
 _bind_matryoshka_oracle()
+
+
+def _ppr_sql(n_iter: int = 10, d: float = 0.85, n_seeds: int = 5) -> str:
+    """Oracle for x2_personalized_pagerank: the shared pair-graph CTE,
+    a deterministic seed set (the n_seeds smallest vertex ids), then
+    ``n_iter`` unrolled random-walk-with-restart iterations under the
+    engine-exactness contract (DECIMAL(28,18) sums, round-12/iter)."""
+    base = f"{1.0 - d} / {n_seeds}"
+    sql = _NGRAM_PAIRS_CTE + f""", verts AS (
+      SELECT DISTINCT u AS id FROM e
+    ), deg AS (
+      SELECT u AS id, count(*)::BIGINT AS deg FROM e GROUP BY u
+    ), seeds AS MATERIALIZED (
+      SELECT id FROM verts ORDER BY id LIMIT {n_seeds}
+    ), r0 AS (
+      SELECT v.id,
+             CASE WHEN s.id IS NOT NULL
+                  THEN 1.0 / {n_seeds} ELSE 0.0 END AS rank
+      FROM verts v LEFT JOIN seeds s USING (id)
+    )"""
+    for k in range(1, n_iter + 1):
+        sql += f""", r{k} AS (
+      SELECT v.id,
+             round(CASE WHEN s.id IS NOT NULL THEN {base} ELSE 0.0 END
+                   + {d} * coalesce(c.s, 0.0), 12) AS rank
+      FROM verts v LEFT JOIN seeds s USING (id)
+      LEFT JOIN (
+        SELECT e.v AS id,
+               sum((r.rank / dg.deg)::DECIMAL(28,18))::DOUBLE AS s
+        FROM e JOIN r{k - 1} r ON e.u = r.id
+        JOIN deg dg ON dg.id = e.u
+        GROUP BY e.v) c USING (id)
+    )"""
+    return (
+        sql
+        + f"""
+    SELECT v.id, round(r.rank, 6) AS rank,
+           (CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS is_seed
+    FROM verts v
+    JOIN r{n_iter} r ON r.id = v.id
+    LEFT JOIN seeds s ON s.id = v.id
+    ORDER BY v.id"""
+    )
+
+
+@query("x2_personalized_pagerank", _ppr_sql())
+def x2_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — personalized PageRank / random walk with restart
+    (round 8) on the near-dup pair graph: the teleport term
+    concentrates on a seed set (here the 5 smallest vertex ids,
+    standing in for a known-bad document list — benchmark
+    contamination, spam, a takedown), so ranks measure PROXIMITY TO
+    THE SEEDS, not global importance: the expansion queue for "what
+    else is structurally tied to the documents we already know are
+    bad". Seeds ride as an ``isin`` literal (model-sized — never a
+    join); same per-iteration (long, double) loop and DECIMAL
+    round-12 exactness contract as global PageRank, so the unrolled
+    SQL oracle replays all 10 iterations exactly
+    (operators/graph.py:pagerank seeds=)."""
+    from vectordb_migrator_spark.operators.graph import pagerank
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).localCheckpoint(eager=True)
+    verts = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # query parameter, not data movement: n_seeds rows
+    seed_ids = [r["id"] for r in verts.orderBy("id").limit(5).collect()]
+    pr = pagerank(pairs, seeds=seed_ids)
+    return pr.select(
+        "id",
+        F.round("rank", 6).alias("rank"),
+        F.col("id").isin(seed_ids).cast("long").alias("is_seed"),
+    ).orderBy("id")
