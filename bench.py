@@ -101,6 +101,7 @@ HEADLINE = [
     "x2_label_propagation",
     "x2_adamic_adar",
     "x2_personalized_pagerank",
+    "x2_cdc_pairs",
     "x2_graph_stats",
     "x0_leakage_safe_split",
     "x10_temporal_split",

@@ -1391,3 +1391,115 @@ def ppjoin_pairs(
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    avg_tokens: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/gear-hash idea lifted
+    to word streams): a token is a chunk BOUNDARY iff its md5-derived
+    hash ≡ 0 (mod ``avg_tokens``), so boundaries are a function of
+    CONTENT ONLY — inserting or deleting a sentence re-chunks just the
+    chunk it lands in, while every fixed-width shingle window after
+    the edit shifts. Chunk-level exact dedup therefore catches
+    insert-shifted near-duplicates that whole-doc fingerprints miss,
+    at exact-hash (not similarity-join) cost; expected chunk length is
+    ``avg_tokens`` words.
+
+    Scale shape: the whole chunker is ONE linear ``F.aggregate`` fold
+    over the token array — a running (done chunks, current chunk)
+    struct in pure codegen, no explode, no per-doc window, no shuffle
+    of any kind until the caller joins on chunk hashes. md5 + base-16
+    conv keeps boundaries bit-identical in Spark and DuckDB (the
+    md5-twin convention), so the full chunk table carries a value-hash
+    oracle.
+
+    Returns (id, chunk_no, chunk_text, chunk_md5), chunk_no 0-based
+    in document order."""
+    toks = F.filter(
+        F.split(F.lower(ws_strip(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+    def is_bnd(t: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % F.lit(avg_tokens)
+        ) == 0
+
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("done"),
+        F.lit("").alias("cur"),
+        F.lit(False).alias("has"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        new_cur = F.when(
+            acc["has"], F.concat(acc["cur"], F.lit(" "), t)
+        ).otherwise(t)
+        closed = is_bnd(t)
+        return F.struct(
+            F.when(closed, F.array_append(acc["done"], new_cur))
+            .otherwise(acc["done"])
+            .alias("done"),
+            F.when(closed, F.lit("")).otherwise(new_cur).alias("cur"),
+            (~closed).alias("has"),
+        )
+
+    def fin(acc: Column) -> Column:
+        return F.when(
+            acc["has"], F.array_append(acc["done"], acc["cur"])
+        ).otherwise(acc["done"])
+
+    out = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.aggregate(toks, acc0, step, fin).alias("__chunks"),
+    )
+    return out.select(
+        "id",
+        F.posexplode("__chunks").alias("chunk_no", "chunk_text"),
+    ).select(
+        "id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        "chunk_text",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def cdc_pair_candidates(
+    chunks: DataFrame,
+    *,
+    min_shared: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Shift-robust near-dup candidates off a :func:`cdc_chunks`
+    table: documents sharing >= ``min_shared`` distinct chunk hashes.
+    The equi-join on chunk_md5 is the same blocked-join shape as
+    every LSH family — per-hash fan-out is capped by the
+    ``max_bucket`` min-id star rule (a boilerplate chunk shared by
+    thousands of docs must not go quadratic), and ``min_shared``
+    plays the band-count role in the precision dial.
+
+    Returns (id_a, id_b, shared) with id_a < id_b."""
+    d = chunks.select("id", "chunk_md5").distinct()
+    freq = d.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("id").alias("__anchor")
+    )
+    a = d.withColumnRenamed("id", "id_a")
+    b = d.withColumnRenamed("id", "id_b")
+    return (
+        a.join(b, "chunk_md5")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(freq, "chunk_md5")
+        .filter(
+            (F.col("__n") <= max_bucket)
+            | (F.col("id_a") == F.col("__anchor"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

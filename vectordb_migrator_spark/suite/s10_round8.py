@@ -992,3 +992,90 @@ def x2_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rank", 6).alias("rank"),
         F.col("id").isin(seed_ids).cast("long").alias("is_seed"),
     ).orderBy("id")
+
+
+# ----------------------------------------------------------------- CDC
+_CDC_CHUNKS_CTE = r"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT t.id, t.toks[u.i] AS tok, u.i AS i,
+             (CAST(CONCAT('0x', substr(md5(t.toks[u.i]), 1, 8)) AS BIGINT)
+              % 8 = 0) AS bnd
+      FROM t, unnest(range(1, len(t.toks) + 1)) u(i)
+    ), ck AS (
+      SELECT id, i, tok,
+             coalesce(sum(CASE WHEN bnd THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS chunk_no
+      FROM tok
+    ), chunks AS (
+      SELECT id, chunk_no::BIGINT AS chunk_no,
+             md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+      FROM ck GROUP BY id, chunk_no
+    )"""
+
+
+@query(
+    "x2_cdc_chunks",
+    _CDC_CHUNKS_CTE
+    + """
+    SELECT id, chunk_no, chunk_md5 FROM chunks ORDER BY id, chunk_no""",
+)
+def x2_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — content-defined chunking of the corpus (round 8): token
+    boundaries where the md5 hash ≡ 0 (mod 8), so chunk frames are a
+    function of content alone — an inserted sentence re-chunks one
+    chunk instead of shifting every downstream window (the
+    rsync/LBFS/gear-hash idea on word streams). The full (id,
+    chunk_no, chunk_md5) table is oracle-checked, which pins every
+    boundary decision and every chunk's exact text. The chunker is
+    ONE linear codegen fold over the token array — no explode, no
+    per-doc window, no shuffle (operators/dedup.py:cdc_chunks)."""
+    from vectordb_migrator_spark.operators.dedup import cdc_chunks
+
+    return (
+        cdc_chunks(_t(spark, sf_dir, "documents"), avg_tokens=8)
+        .select("id", "chunk_no", "chunk_md5")
+        .orderBy("id", "chunk_no")
+    )
+
+
+@query(
+    "x2_cdc_pairs",
+    _CDC_CHUNKS_CTE
+    + """
+    , d AS (SELECT DISTINCT id, chunk_md5 FROM chunks),
+    f AS (SELECT chunk_md5, count(*) AS n, min(id) AS anchor
+          FROM d GROUP BY 1)
+    SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared
+    FROM d a JOIN d b ON a.chunk_md5 = b.chunk_md5 AND a.id < b.id
+    JOIN f ON f.chunk_md5 = a.chunk_md5
+    WHERE f.n <= 50 OR a.id = f.anchor
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY id_a, id_b""",
+)
+def x2_cdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — shift-robust near-dup candidates via shared CDC chunks
+    (round 8): documents sharing >= 2 content-defined chunk hashes.
+    This is the dedup family's answer to INSERT-SHIFTED duplicates —
+    a paragraph prepended to a copy leaves every fixed shingle window
+    displaced (n-gram Jaccard decays) but only ONE chunk differs, so
+    chunk-equality still links the pair at exact-hash-join cost. Same
+    blocked-join scale shape as the LSH families: equi-join on
+    chunk_md5 with the min-id star cap on hub chunks (boilerplate
+    shared by thousands must not go quadratic), min_shared as the
+    precision dial (operators/dedup.py:cdc_pair_candidates)."""
+    from vectordb_migrator_spark.operators.dedup import (
+        cdc_chunks,
+        cdc_pair_candidates,
+    )
+
+    chunks = cdc_chunks(_t(spark, sf_dir, "documents"), avg_tokens=8)
+    return cdc_pair_candidates(
+        chunks, min_shared=2, max_bucket=50
+    ).orderBy("id_a", "id_b")
