@@ -678,3 +678,59 @@ def test_diff_in_diff_recovers_planted_effect(spark):
     assert abs(r["se"] - round(se, 6)) < 2e-6
     assert r["significant"]
     assert r["n_post_t"] == 400
+
+
+# ---------------------------------------------------------------- SPRT
+
+
+def test_sprt_trace_matches_python(spark):
+    import math
+
+    from vectordb_migrator_spark.operators.scale import sprt_trace
+
+    # variant 'x': all successes -> crosses the H1 boundary fast at
+    # p0=0.2 vs p1=0.8; variant 'y': all failures -> crosses H0
+    rows = []
+    for d in range(1, 7):
+        for i in range(3):
+            rows.append(("x", f"2024-01-0{d}", 1))
+            rows.append(("y", f"2024-01-0{d}", 0))
+    df = spark.createDataFrame(rows, "variant string, period string, s int")
+    got = sprt_trace(
+        df,
+        period_col="period",
+        variant_col="variant",
+        success_col="s",
+        p0=0.2,
+        p1=0.8,
+    ).collect()
+
+    w1 = round(math.log(0.8 / 0.2), 12)
+    w0 = round(math.log(0.2 / 0.8), 12)
+    ub = round(math.log(0.95 / 0.05), 6)
+    lb = round(math.log(0.05 / 0.95), 6)
+    by_key = {(r["variant"], r["period"]): r for r in got}
+    stopped_seen = {"x": False, "y": False}
+    for d in range(1, 7):
+        day = f"2024-01-0{d}"
+        n = 3 * d
+        rx = by_key[("x", day)]
+        assert (rx["n"], rx["k"]) == (n, n)
+        want_llr = round(n * w1, 6)
+        assert abs(rx["llr"] - want_llr) < 1e-9
+        want_dec = "accept_h1" if want_llr >= ub else "continue"
+        assert rx["decision"] == want_dec
+        stopped_seen["x"] = stopped_seen["x"] or want_dec != "continue"
+        assert rx["stopped"] == stopped_seen["x"]
+
+        ry = by_key[("y", day)]
+        assert (ry["n"], ry["k"]) == (n, 0)
+        want_llr = round(n * w0, 6)
+        assert abs(ry["llr"] - want_llr) < 1e-9
+        want_dec = "accept_h0" if want_llr <= lb else "continue"
+        assert ry["decision"] == want_dec
+        stopped_seen["y"] = stopped_seen["y"] or want_dec != "continue"
+        assert ry["stopped"] == stopped_seen["y"]
+    # both arms eventually decided, in opposite directions
+    assert by_key[("x", "2024-01-06")]["decision"] == "accept_h1"
+    assert by_key[("y", "2024-01-06")]["decision"] == "accept_h0"

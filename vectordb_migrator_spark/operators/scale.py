@@ -1075,3 +1075,85 @@ def diff_in_diff(
         F.round(z, 6).alias("z"),
         (F.abs(F.round(z, 6)) > 1.96).alias("significant"),
     )
+
+
+def sprt_trace(
+    trials: DataFrame,
+    *,
+    period_col: str,
+    variant_col: str,
+    success_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (1945) over a
+    Bernoulli trial stream, traced per period — the always-valid
+    early-stopping readout a fixed-horizon t-test can't give: peek
+    every day, stop the moment the cumulative log-likelihood ratio
+    leaves (B, A), with type-I/II error still controlled at
+    (alpha, beta). H0: p = ``p0`` vs H1: p = ``p1``; per
+    (variant, period) the trace reports cumulative trials n,
+    successes k, llr = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)),
+    the boundary decision, and whether a decision had been reached
+    by that period (`stopped` — everything after the first crossing
+    is moot, Wald says ignore it).
+
+    Exactness: the two log-weights and both boundaries are computed
+    ONCE in Python, rounded to 12, and inlined as literals, so Spark
+    and any SQL oracle multiply the SAME doubles — no cross-engine
+    ln() ulp drift; llr rounds to 6 per row.
+
+    Scale shape: one (variant, period) count/sum aggregate collapses
+    the trial stream (map-side combinable), then every window runs on
+    the periods×variants-sized frame — the 100 TB of raw trials never
+    meets a window. Returns one row per (variant, period)."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    w1 = round(math.log(p1 / p0), 12)
+    w0 = round(math.log((1.0 - p1) / (1.0 - p0)), 12)
+    ub = round(math.log((1.0 - beta) / alpha), 6)
+    lb = round(math.log(beta / (1.0 - alpha)), 6)
+
+    day = (
+        trials.select(
+            F.col(variant_col).alias("variant"),
+            F.col(period_col).alias("period"),
+            F.col(success_col).cast("long").alias("__s"),
+        )
+        .groupBy("variant", "period")
+        .agg(
+            F.count(F.lit(1)).alias("__n_p"),
+            F.sum("__s").alias("__k_p"),
+        )
+    )
+    cum = W.partitionBy("variant").orderBy("period").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    n = F.sum("__n_p").over(cum).cast("long")
+    k = F.sum("__k_p").over(cum).cast("long")
+    llr = F.round(
+        k.cast("double") * F.lit(w1)
+        + (n - k).cast("double") * F.lit(w0),
+        6,
+    )
+    decision = (
+        F.when(llr >= F.lit(ub), F.lit("accept_h1"))
+        .when(llr <= F.lit(lb), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    out = day.select(
+        "variant",
+        "period",
+        n.alias("n"),
+        k.alias("k"),
+        llr.alias("llr"),
+        decision.alias("decision"),
+    )
+    return out.withColumn(
+        "stopped",
+        F.max((F.col("decision") != "continue").cast("int")).over(cum) == 1,
+    ).orderBy("variant", "period")

@@ -115,6 +115,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_personalized_pagerank",  # seeded random-walk expansion (new r8)
     "x2_cdc_chunks",  # content-defined chunking, full chunk table (new r8)
     "x2_cdc_pairs",  # shift-robust chunk-share candidates (new r8)
+    "x7_sprt",  # Wald sequential early-stopping trace (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

@@ -1079,3 +1079,79 @@ def x2_cdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_pair_candidates(
         chunks, min_shared=2, max_bucket=50
     ).orderBy("id_a", "id_b")
+
+
+def _sprt_sql(p0: float = 0.18, p1: float = 0.22) -> str:
+    """Oracle for x7_sprt: the same inlined log-weight/boundary
+    literals the operator computes (round-12 weights, round-6
+    boundaries), so both engines multiply identical doubles."""
+    import math
+
+    w1 = round(math.log(p1 / p0), 12)
+    w0 = round(math.log((1.0 - p1) / (1.0 - p0)), 12)
+    ub = round(math.log(0.95 / 0.05), 6)
+    lb = round(math.log(0.05 / 0.95), 6)
+    return f"""
+    WITH tr AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS period,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+      FROM events WHERE user_id IS NOT NULL
+    ), d AS (
+      SELECT variant, period, count(*)::BIGINT AS n_p, sum(s)::BIGINT AS k_p
+      FROM tr GROUP BY 1, 2
+    ), c AS (
+      SELECT variant, period,
+             (sum(n_p) OVER w)::BIGINT AS n,
+             (sum(k_p) OVER w)::BIGINT AS k
+      FROM d WINDOW w AS (PARTITION BY variant ORDER BY period
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), l AS (
+      SELECT variant, period, n, k,
+             round(k * {w1}::DOUBLE + (n - k) * {w0}::DOUBLE, 6) AS llr
+      FROM c
+    ), dec AS (
+      SELECT *, CASE WHEN llr >= {ub} THEN 'accept_h1'
+                     WHEN llr <= {lb} THEN 'accept_h0'
+                     ELSE 'continue' END AS decision
+      FROM l
+    )
+    SELECT variant, period, n, k, llr, decision,
+           max(CASE WHEN decision <> 'continue' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY variant ORDER BY period
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+             AS stopped
+    FROM dec ORDER BY variant, period"""
+
+
+@query("x7_sprt", _sprt_sql())
+def x7_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — Wald SPRT early-stopping trace (round 8), completing the
+    experimentation battery (SRM gate → CUPED variance cut → this —
+    the always-valid 'can we stop the test today?' readout a
+    fixed-horizon t-test forbids peeking at): per variant and day,
+    cumulative purchase-rate trials against H0 p=0.18 vs H1 p=0.22
+    at alpha=beta=0.05, with the boundary decision and the sticky
+    `stopped` flag (post-crossing rows are moot by Wald's argument).
+    Log-weights and boundaries are inlined Python-rounded literals,
+    so Spark and DuckDB multiply identical doubles. The trial stream
+    collapses to a (variant, day) frame before any window touches it
+    (operators/scale.py:sprt_trace)."""
+    from vectordb_migrator_spark.operators.scale import sprt_trace
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    trials = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("variant"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "period"
+        ),
+        (F.col("event_type") == "purchase").cast("int").alias("s"),
+    )
+    return sprt_trace(
+        trials,
+        period_col="period",
+        variant_col="variant",
+        success_col="s",
+        p0=0.18,
+        p1=0.22,
+    )
