@@ -120,3 +120,50 @@ def test_training_pipeline_stage_invariants(spark):
         for r in doc_rows:
             assert r["pack_id"] == o // 64 and r["pack_offset"] == o % 64
             o += r["n_tokens"]
+
+
+# ----------------------------------------------------------------- FIM
+
+
+def test_fim_transform_matches_hashlib_replica(spark):
+    import hashlib
+    import re
+
+    from vectordb_migrator_spark.operators.chunking import fim_transform
+
+    def h(tag, doc_id):
+        return int(
+            hashlib.md5(f"{tag}{doc_id}".encode()).hexdigest()[:8], 16
+        )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three"),
+        (3, ""),           # empty doc: n_tok 0, psm is '' or sentinels only
+        (4, "lonely"),
+        (5, "  spaced   out   tokens  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in fim_transform(df, fim_rate=2).collect()}
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        n = len(toks)
+        apply = h("fim:", doc_id) % 2 == 0
+        r = got[doc_id]
+        assert r["n_tok"] == n
+        assert r["fim"] == int(apply)
+        if not apply:
+            assert r["u"] is None and r["v"] is None
+            assert r["psm"] == " ".join(toks)
+            continue
+        c1, c2 = h("fimu:", doc_id) % (n + 1), h("fimv:", doc_id) % (n + 1)
+        u, v = min(c1, c2), max(c1, c2)
+        assert (r["u"], r["v"]) == (u, v)
+        want = " ".join(
+            ["<PRE>"] + toks[:u] + ["<SUF>"] + toks[v:] + ["<MID>"]
+            + toks[u:v]
+        )
+        assert r["psm"] == want, doc_id
+    # determinism across calls
+    again = {r["id"]: r["psm"] for r in fim_transform(df).collect()}
+    assert again == {k: v["psm"] for k, v in got.items()}

@@ -99,3 +99,88 @@ def pack_chunks(
             - F.floor(offset_before / F.lit(budget)).cast("long") * budget,
         }
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fim_rate: int = 2,
+    pre_tok: str = "<PRE>",
+    suf_tok: str = "<SUF>",
+    mid_tok: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022):
+    for a deterministic md5-coin fraction (1/``fim_rate``) of
+    documents, pick two content-keyed split points u <= v over the
+    token stream and emit PSM order — ``<PRE> prefix <SUF> suffix
+    <MID> middle`` — so an autoregressive LM learns infilling from
+    plain left-to-right loss; the rest pass through unchanged. Splits
+    and the apply-coin hash the DOC ID (md5 + base-16 conv, the
+    engine-reproducible twin convention), so the same document gets
+    the same transform on every run, engine, and retry — the property
+    a resumable 100 TB preprocessing job needs.
+
+    Pure codegen: tokenize once, three ``F.slice`` segments, sentinel
+    concat via flattened array join — no explode, no shuffle, no
+    Python. Returns (id, fim, n_tok, u, v, psm) with u/v NULL on
+    pass-through rows; ``psm`` is the training-ready string."""
+
+    def h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    toks = F.filter(
+        F.split(F.lower(ws_strip(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("__t"),
+        (h("fim:") % F.lit(fim_rate) == 0).alias("__apply"),
+    ).withColumn("n_tok", F.size("__t").cast("long"))
+
+    def cut(tag):
+        raw = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return raw % (F.col("n_tok") + 1)
+
+    cut1, cut2 = cut("fimu:"), cut("fimv:")
+    u = F.least(cut1, cut2)
+    v = F.greatest(cut1, cut2)
+    pre = F.slice("__t", F.lit(1), u)
+    mid = F.slice("__t", u + 1, v - u)
+    suf = F.slice("__t", v + 1, F.col("n_tok") - v)
+    psm_arr = F.concat(
+        F.array(F.lit(pre_tok)),
+        pre,
+        F.array(F.lit(suf_tok)),
+        suf,
+        F.array(F.lit(mid_tok)),
+        mid,
+    )
+    return base.select(
+        "id",
+        F.col("__apply").cast("long").alias("fim"),
+        "n_tok",
+        F.when(F.col("__apply"), u).alias("u"),
+        F.when(F.col("__apply"), v).alias("v"),
+        F.when(F.col("__apply"), F.array_join(psm_arr, " "))
+        .otherwise(F.array_join("__t", " "))
+        .alias("psm"),
+    )

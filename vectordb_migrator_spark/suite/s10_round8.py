@@ -1155,3 +1155,54 @@ def x7_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         p0=0.18,
         p1=0.22,
     )
+
+
+@query(
+    "x0_fim_transform",
+    r"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), b AS (
+      SELECT id, toks, len(toks)::BIGINT AS n_tok,
+             (CAST(CONCAT('0x', substr(md5('fim:' || id), 1, 8)) AS BIGINT)
+              % 2 = 0) AS apply,
+             CAST(CONCAT('0x', substr(md5('fimu:' || id), 1, 8)) AS BIGINT)
+               % (len(toks) + 1) AS c1,
+             CAST(CONCAT('0x', substr(md5('fimv:' || id), 1, 8)) AS BIGINT)
+               % (len(toks) + 1) AS c2
+      FROM t
+    ), s AS (
+      SELECT id, toks, n_tok, apply,
+             least(c1, c2) AS u, greatest(c1, c2) AS v
+      FROM b
+    )
+    SELECT id, (CASE WHEN apply THEN 1 ELSE 0 END)::BIGINT AS fim, n_tok,
+           CASE WHEN apply THEN u END::BIGINT AS u,
+           CASE WHEN apply THEN v END::BIGINT AS v,
+           CASE WHEN apply THEN array_to_string(
+                  ['<PRE>'] || toks[1:u] || ['<SUF>']
+                  || toks[v+1:n_tok] || ['<MID>'] || toks[u+1:v], ' ')
+                ELSE array_to_string(toks, ' ') END AS psm
+    FROM s ORDER BY id
+    """,
+)
+def x0_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — fill-in-the-middle training transform (round 8): half the
+    corpus (a deterministic md5 coin on the doc id) reorders to PSM —
+    ``<PRE> prefix <SUF> suffix <MID> middle`` with content-keyed
+    split points — so an autoregressive LM learns infilling from
+    plain next-token loss (the code-LLM staple); the other half passes
+    through. Everything (coin, cuts) hashes the DOC ID, so the same
+    document transforms identically on every run, engine, and retry —
+    what a resumable 100 TB preprocessing job needs. Pure codegen:
+    tokenize once, three slices, sentinel join; no explode, no
+    shuffle. The oracle checks the exact transformed string per doc
+    (operators/chunking.py:fim_transform)."""
+    from vectordb_migrator_spark.operators.chunking import fim_transform
+
+    return fim_transform(
+        _t(spark, sf_dir, "documents"), fim_rate=2
+    ).orderBy("id")
