@@ -734,3 +734,93 @@ def test_sprt_trace_matches_python(spark):
     # both arms eventually decided, in opposite directions
     assert by_key[("x", "2024-01-06")]["decision"] == "accept_h1"
     assert by_key[("y", "2024-01-06")]["decision"] == "accept_h0"
+
+
+def test_sprt_streaming_store_matches_batch(spark, tmp_path):
+    """Round-8 X7×X8: sprt_ingest accumulates (variant, day, n, k)
+    partials and sprt_over answers EXACTLY what the batch sprt_trace
+    computes over the full trial stream (counts merge by summation);
+    replays append nothing."""
+    import datetime as dt
+
+    from vectordb_migrator_spark.operators.scale import sprt_trace
+    from vectordb_migrator_spark.streaming.incremental import (
+        sprt_ingest,
+        sprt_over,
+    )
+
+    src = str(tmp_path / "in")
+    schema = "ts timestamp, user_id long, event_type string"
+    base = dt.datetime(2024, 5, 1)
+    b1 = [
+        (
+            base + dt.timedelta(days=d, hours=h),
+            u,
+            "purchase" if (u + d + h) % 4 == 0 else "view",
+        )
+        for d in range(6)
+        for h in range(3)
+        for u in range(8)
+    ]
+    spark.createDataFrame(b1, schema).write.parquet(src)
+
+    kw = dict(
+        source_path=src,
+        source_schema=schema,
+        store_path=str(tmp_path / "store"),
+        checkpoint=str(tmp_path / "ck"),
+        variant_expr="CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END",
+        success_expr="event_type = 'purchase'",
+    )
+
+    def run():
+        sprt_ingest(spark, **kw).awaitTermination(120)
+
+    run()
+    # second batch splits day 5 across batches and adds new days
+    b2 = [
+        (
+            base + dt.timedelta(days=d, hours=h + 6),
+            u,
+            "purchase" if (u * d + h) % 3 == 0 else "click",
+        )
+        for d in range(5, 9)
+        for h in range(2)
+        for u in range(8)
+    ]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    run()
+
+    full = spark.createDataFrame(b1 + b2, schema).select(
+        F.expr("CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END").alias(
+            "variant"
+        ),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "period"
+        ),
+        (F.col("event_type") == "purchase").cast("int").alias("s"),
+    )
+    want = [
+        r.asDict()
+        for r in sprt_trace(
+            full,
+            period_col="period",
+            variant_col="variant",
+            success_col="s",
+            p0=0.2,
+            p1=0.3,
+        ).collect()
+    ]
+    got = [
+        r.asDict()
+        for r in sprt_over(
+            spark, str(tmp_path / "store"), p0=0.2, p1=0.3
+        )
+        .orderBy("variant", "period")
+        .collect()
+    ]
+    assert got == want and len(got) >= 9
+
+    n = spark.read.parquet(str(tmp_path / "store")).count()
+    run()  # replay idempotence
+    assert spark.read.parquet(str(tmp_path / "store")).count() == n

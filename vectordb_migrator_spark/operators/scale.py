@@ -1109,6 +1109,38 @@ def sprt_trace(
     the trial stream (map-side combinable), then every window runs on
     the periods×variants-sized frame — the 100 TB of raw trials never
     meets a window. Returns one row per (variant, period)."""
+    day = (
+        trials.select(
+            F.col(variant_col).alias("variant"),
+            F.col(period_col).alias("period"),
+            F.col(success_col).cast("long").alias("__s"),
+        )
+        .groupBy("variant", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n_p"),
+            F.sum("__s").alias("k_p"),
+        )
+    )
+    return sprt_from_daily(
+        day, p0=p0, p1=p1, alpha=alpha, beta=beta
+    )
+
+
+def sprt_from_daily(
+    day: DataFrame,
+    *,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """The day-grain SPRT kernel shared by :func:`sprt_trace` and the
+    streaming store readout (``streaming.incremental.sprt_over``):
+    input is the pre-aggregated (variant, period, n_p, k_p) frame —
+    per-period trial/success counts, the mergeable sufficient
+    statistic — so every window here runs on a periods×variants-sized
+    frame. Same literal-inlining exactness contract as
+    :func:`sprt_trace`."""
     import math
 
     from pyspark.sql import Window as W
@@ -1118,23 +1150,11 @@ def sprt_trace(
     ub = round(math.log((1.0 - beta) / alpha), 6)
     lb = round(math.log(beta / (1.0 - alpha)), 6)
 
-    day = (
-        trials.select(
-            F.col(variant_col).alias("variant"),
-            F.col(period_col).alias("period"),
-            F.col(success_col).cast("long").alias("__s"),
-        )
-        .groupBy("variant", "period")
-        .agg(
-            F.count(F.lit(1)).alias("__n_p"),
-            F.sum("__s").alias("__k_p"),
-        )
-    )
     cum = W.partitionBy("variant").orderBy("period").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    n = F.sum("__n_p").over(cum).cast("long")
-    k = F.sum("__k_p").over(cum).cast("long")
+    n = F.sum("n_p").over(cum).cast("long")
+    k = F.sum("k_p").over(cum).cast("long")
     llr = F.round(
         k.cast("double") * F.lit(w1)
         + (n - k).cast("double") * F.lit(w0),

@@ -1452,3 +1452,100 @@ def jackknife_over(
         F.round(F.col("mean") + F.lit(z) * se, 6).alias("ci_hi"),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def sprt_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    store_path: str,
+    checkpoint: str,
+    variant_expr: str,
+    success_expr: str,
+    ts_col: str = "ts",
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    trigger_once: bool = True,
+):
+    """Continuous sequential-test maintenance: per batch, trials fold
+    to (variant, day, n, k, batch_id) partials — the SPRT's mergeable
+    sufficient statistic — appended to a day-sized store;
+    :func:`sprt_over` reads the current early-stopping trace without
+    rescanning trial history. ``variant_expr`` / ``success_expr`` are
+    SQL expressions over the source schema (e.g. the md5-coin variant
+    assignment), evaluated inside the batch so the raw stream needs no
+    pre-shaping. Replay-idempotent via the (variant, day, batch_id)
+    anti-join, exactly the :func:`daily_stats_ingest` contract."""
+    from pyspark.sql.utils import AnalysisException
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        partials = (
+            batch_df.select(
+                F.expr(variant_expr).alias("variant"),
+                F.date_format(
+                    F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd"
+                ).alias("day"),
+                F.expr(success_expr).cast("long").alias("__s"),
+            )
+            .groupBy("variant", "day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_p"),
+                F.sum("__s").cast("long").alias("k_p"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        try:
+            seen = sess.read.parquet(store_path).select(
+                "variant", "day", "batch_id"
+            )
+            partials = partials.join(
+                seen, ["variant", "day", "batch_id"], "left_anti"
+            )
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(store_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .options(**(reader_options or {}))
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sprt_over(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Current SPRT trace from a :func:`sprt_ingest` store: merge the
+    per-batch (variant, day) partials by plain summation (counts are
+    exactly mergeable — no approximation), then run the shared
+    day-grain kernel (``operators.scale.sprt_from_daily``). Matches
+    the batch ``sprt_trace`` output on the same data exactly."""
+    from vectordb_migrator_spark.operators.scale import sprt_from_daily
+
+    day = (
+        spark.read.parquet(store_path)
+        .groupBy("variant", F.col("day").alias("period"))
+        .agg(
+            F.sum("n_p").cast("long").alias("n_p"),
+            F.sum("k_p").cast("long").alias("k_p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return sprt_from_daily(day, p0=p0, p1=p1, alpha=alpha, beta=beta)
