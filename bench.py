@@ -188,6 +188,7 @@ HEADLINE = [
     "x6_audio_headers",
     "x6_wav_decode",
     "x6_bmp_decode",
+    "x6_thumbnail",
     "x6_png_decode",
     "x6_video_headers",
     "x9_chunk_documents",

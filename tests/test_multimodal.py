@@ -542,3 +542,45 @@ def test_png_decode_features_real_and_degenerate(spark):
     assert (r2["px00_r"], r2["px00_g"], r2["px00_b"]) == (0, 0, 0)
     for d in (3, 4, 5):
         assert got[d]["width"] is None and got[d]["mean_r"] is None
+
+
+def test_thumbnail_features_exact_sampling(spark):
+    """Nearest-neighbor 4x4 resize: exact src=(dst*size)//4 sampling
+    on a hand-built gradient BMP; undecodable payloads yield NULLs."""
+    import struct
+
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        thumbnail_features,
+    )
+
+    w, h = 10, 6
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = np.arange(w)[None, :]          # b = x
+    px[:, :, 1] = (2 * np.arange(h))[:, None]    # g = 2y
+    px[:, :, 2] = 9                              # r const
+    stride = (w * 3 + 3) // 4 * 4
+    data = np.zeros((h, stride), dtype=np.uint8)
+    data[:, : w * 3] = px[::-1].reshape(h, w * 3)
+    body = data.tobytes()
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    rows = [
+        (1, bytearray(hdr + info + body)),
+        (2, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in thumbnail_features(df, thumb=4).collect()}
+
+    xi = [(j * w) // 4 for j in range(4)]   # 0,2,5,7
+    yi = [(i * h) // 4 for i in range(4)]   # 0,1,3,4
+    want = []
+    for y in yi:
+        for x in xi:
+            want += [9, 2 * y, x]  # RGB
+    assert got[1]["tw"] == got[1]["th"] == 4
+    assert got[1]["thumb_csv"] == ",".join(str(v) for v in want)
+    assert got[2]["thumb_csv"] is None and got[2]["tw"] is None

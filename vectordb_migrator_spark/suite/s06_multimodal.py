@@ -70,37 +70,12 @@ def _x6_headers_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x6_bmp_decode",
-    """
-    SELECT doc_id,
-           (15 + (doc_id % 5) * 7)::INT AS width,
-           (8 + (doc_id % 3) * 4)::INT AS height,
-           ((15 + (doc_id % 5) * 7)
-            * (8 + (doc_id % 3) * 4))::BIGINT AS n_pixels,
-           (doc_id % 256)::DOUBLE AS mean_r,
-           (3 * ((8 + (doc_id % 3) * 4) - 1) / 2.0)::DOUBLE AS mean_g,
-           (((15 + (doc_id % 5) * 7) - 1) / 2.0)::DOUBLE AS mean_b,
-           (doc_id % 256)::INT AS px00_r,
-           0::INT AS px00_g,
-           0::INT AS px00_b
-    FROM documents ORDER BY doc_id
-    """,
-)
-def x6_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 — REAL image decode (round 7): uncompressed 24-bit BMP
-    needs no codec, so this path decodes actual bytes end to end
-    (struct header parse + vectorized NumPy reshape/flip inside an
-    Arrow-batched ``mapInPandas`` kernel) — the image sibling of
-    ``x6_wav_decode``. Fixtures plant per-doc gradients (blue = x,
-    green = 3y, red = constant) across widths that exercise every
-    4-byte row-padding case and the bottom-up row flip (the two
-    classic BMP bugs — the top-left pixel read wrong exposes both);
-    every feature is closed-form, so the real decode carries a full
-    arithmetic oracle (operators/multimodal.py:bmp_decode_features)."""
-    from vectordb_migrator_spark.operators.multimodal import (
-        bmp_decode_features,
-    )
+def bmp_gradient_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 24-bit BMP payloads with closed-form gradients
+    (blue = x, green = 3y, red = doc_id%256) over widths exercising
+    every 4-byte row-padding case and the bottom-up flip — the shared
+    fixture frame for every real-decode query (x6_bmp_decode,
+    x6_thumbnail)."""
 
     def gen(batches):
         import struct
@@ -136,12 +111,48 @@ def x6_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    payloads = (
+    return (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
         .mapInPandas(gen, schema="doc_id long, payload binary")
     )
-    return bmp_decode_features(payloads).orderBy("doc_id")
+
+
+@query(
+    "x6_bmp_decode",
+    """
+    SELECT doc_id,
+           (15 + (doc_id % 5) * 7)::INT AS width,
+           (8 + (doc_id % 3) * 4)::INT AS height,
+           ((15 + (doc_id % 5) * 7)
+            * (8 + (doc_id % 3) * 4))::BIGINT AS n_pixels,
+           (doc_id % 256)::DOUBLE AS mean_r,
+           (3 * ((8 + (doc_id % 3) * 4) - 1) / 2.0)::DOUBLE AS mean_g,
+           (((15 + (doc_id % 5) * 7) - 1) / 2.0)::DOUBLE AS mean_b,
+           (doc_id % 256)::INT AS px00_r,
+           0::INT AS px00_g,
+           0::INT AS px00_b
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x6_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — REAL image decode (round 7): uncompressed 24-bit BMP
+    needs no codec, so this path decodes actual bytes end to end
+    (struct header parse + vectorized NumPy reshape/flip inside an
+    Arrow-batched ``mapInPandas`` kernel) — the image sibling of
+    ``x6_wav_decode``. Fixtures plant per-doc gradients (blue = x,
+    green = 3y, red = constant) across widths that exercise every
+    4-byte row-padding case and the bottom-up row flip (the two
+    classic BMP bugs — the top-left pixel read wrong exposes both);
+    every feature is closed-form, so the real decode carries a full
+    arithmetic oracle (operators/multimodal.py:bmp_decode_features)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        bmp_decode_features,
+    )
+
+    return bmp_decode_features(
+        bmp_gradient_fixtures(spark, sf_dir)
+    ).orderBy("doc_id")
 
 
 @query(

@@ -1206,3 +1206,42 @@ def x0_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_transform(
         _t(spark, sf_dir, "documents"), fim_rate=2
     ).orderBy("id")
+
+
+@query(
+    "x6_thumbnail",
+    r"""
+    SELECT doc_id, 4::INT AS tw, 4::INT AS th,
+           array_to_string(
+             flatten(flatten(
+               [[[ (doc_id % 256)::VARCHAR,
+                   (3 * ((i * (8 + (doc_id % 3) * 4)) // 4))::VARCHAR,
+                   ((j * (15 + (doc_id % 5) * 7)) // 4)::VARCHAR ]
+                 for j in range(0, 4)]
+                for i in range(0, 4)]
+             )), ',') AS thumb_csv
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x6_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — REAL image RESIZE on real decoded pixels (round 8): the
+    fingerprint step every perceptual image-dedup pipeline starts
+    with (aHash/dHash are a threshold away from this output). Decode
+    the shared gradient BMP fixtures, nearest-neighbor downsample to
+    a 4×4 grid (src = (dst·size)//4 floor map, one np.ix_ fancy index
+    per image), and emit the full row-major RGB grid as a CSV — the
+    oracle replays every sampled pixel's value AND position
+    closed-form from the gradient formulas, so the decode, the row
+    flip, the padding, and the index map are all pinned. Payloads
+    never shuffle; output is 48 ints per image
+    (operators/multimodal.py:thumbnail_features)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        thumbnail_features,
+    )
+    from vectordb_migrator_spark.suite.s06_multimodal import (
+        bmp_gradient_fixtures,
+    )
+
+    return thumbnail_features(
+        bmp_gradient_fixtures(spark, sf_dir), thumb=4
+    ).orderBy("doc_id")
