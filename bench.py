@@ -173,6 +173,7 @@ HEADLINE = [
     "c2_qdrant_roundtrip_scale",
     "x7_srm_check",
     "x7_sprt",
+    "x7_bh_fdr",
     "x7_diff_in_diff",
     "x5_f1_report",
     "x12_pk_uniqueness",

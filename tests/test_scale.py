@@ -824,3 +824,65 @@ def test_sprt_streaming_store_matches_batch(spark, tmp_path):
     n = spark.read.parquet(str(tmp_path / "store")).count()
     run()  # replay idempotence
     assert spark.read.parquet(str(tmp_path / "store")).count() == n
+
+
+def test_bh_fdr_matches_python_stepup(spark):
+    import math
+
+    from vectordb_migrator_spark.operators.scale import bh_fdr
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+          0.212, 0.216, 0.222, 0.251, 0.269, 0.275, 0.34]
+    rows = [(f"t{i:02d}", p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "name string, p double")
+    got = {
+        r["name"]: (r["rank"], r["discovery"])
+        for r in bh_fdr(
+            df, p_col="p", key_cols=["name"], q=0.15
+        ).collect()
+    }
+    m = len(ps)
+    srt = sorted(rows, key=lambda t: (round(t[1], 6), t[0]))
+    kstar = max(
+        (i + 1 for i, (_, p) in enumerate(srt)
+         if round(p, 6) <= round(0.15 * (i + 1) / m, 6)),
+        default=0,
+    )
+    for i, (name, _p) in enumerate(srt):
+        assert got[name] == (i + 1, i + 1 <= kstar), name
+    # non-trivial step-up: rank 4 (p=0.041) fails its OWN threshold
+    # (0.15*4/15 = 0.04) but rank 6 hits its boundary exactly
+    # (0.06 <= 0.06), so the step-up pulls ranks 4-5 in anyway
+    assert kstar == 6
+    assert got["t03"] == (4, True)
+    assert math.isclose(0.15 * 4 / 15, 0.04, abs_tol=1e-12)
+
+
+def test_ks_p_value_kolmogorov_series(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.scale import ks_p_value
+
+    df = spark.createDataFrame(
+        [(0.5, 100, 100), (0.05, 100, 100), (0.9, 50, 60)],
+        "d double, n_a long, n_b long",
+    )
+    got = [
+        r["p"]
+        for r in df.select(
+            ks_p_value(F.col("d"), F.col("n_a"), F.col("n_b")).alias("p")
+        ).collect()
+    ]
+    for (d, na, nb), p in zip([(0.5, 100, 100), (0.05, 100, 100),
+                               (0.9, 50, 60)], got):
+        lam2 = d * d * na * nb / (na + nb)
+        s = sum(
+            (-1) ** (k - 1) * math.exp(-2 * k * k * lam2)
+            for k in range(1, 6)
+        )
+        want = round(min(1.0, max(0.0, 2 * s)), 6)
+        assert abs(p - want) < 1e-9
+    # big D on decent n: decisive; tiny D: p -> 1
+    assert got[0] < 1e-5 and got[1] > 0.999

@@ -1177,3 +1177,72 @@ def sprt_from_daily(
         "stopped",
         F.max((F.col("decision") != "continue").cast("int")).over(cum) == 1,
     ).orderBy("variant", "period")
+
+
+def ks_p_value(d: Column, n_a: Column, n_b: Column) -> Column:
+    """Asymptotic two-sample Kolmogorov p-value from the KS statistic
+    and side sizes: λ = D·√(n_a·n_b/(n_a+n_b)), p ≈ 2·Σ_{k=1..5}
+    (−1)^{k−1} e^{−2k²λ²} (the Kolmogorov series, truncated — terms
+    decay like e^{−2k²} so five are far below round-6), clamped to
+    [0, 1] and rounded to 6. D is exact rational on counts and sqrt
+    is correctly rounded, so cross-engine drift is confined to exp's
+    last ulp — orders below the rounding."""
+    lam2 = (
+        d * d * (n_a.cast("double") * n_b.cast("double"))
+        / (n_a.cast("double") + n_b.cast("double"))
+    )
+    series = None
+    for k in range(1, 6):
+        term = F.exp(F.lit(-2.0 * k * k) * lam2)
+        term = term if k % 2 == 1 else -term
+        series = term if series is None else series + term
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(2.0) * series))
+    return F.round(p, 6)
+
+
+def bh_fdr(
+    tests: DataFrame,
+    *,
+    p_col: str = "p",
+    key_cols: list[str] | None = None,
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control over a battery of
+    hypothesis tests — run one test per slice (event type, segment,
+    feature) and this decides WHICH rejections survive multiplicity:
+    sort p ascending, find the largest rank k with p_(k) ≤ q·k/m,
+    reject ranks 1..k. The difference between "5 of 100 slices moved"
+    and "5 slices crossed α by chance" — every per-slice monitoring
+    battery needs this step before paging anyone.
+
+    Ranking uses the ROUNDED p (round-6) with the key columns as the
+    tie-break, so rank order — and therefore the discovery set — is
+    engine-reproducible even when two tests land on the same p.
+
+    Scale shape: the input IS the battery (one row per already-
+    aggregated test — model-sized by construction), so the global
+    rank window is over m rows, never raw data. Returns the input
+    keys + p, rank, bh_threshold, and the discovery flag."""
+    from pyspark.sql import Window as W
+
+    kcols = list(key_cols or [])
+    m = F.count(F.lit(1)).over(W.partitionBy())
+    rnk = F.row_number().over(
+        W.partitionBy().orderBy(F.round(F.col(p_col), 6), *kcols)
+    )
+    base = tests.select(
+        *kcols,
+        F.round(F.col(p_col), 6).alias("p"),
+        rnk.alias("rank"),
+        F.round(
+            F.lit(q) * rnk.cast("double") / m.cast("double"), 6
+        ).alias("bh_threshold"),
+    )
+    kstar = F.max(
+        F.when(F.col("p") <= F.col("bh_threshold"), F.col("rank")).otherwise(
+            F.lit(0)
+        )
+    ).over(W.partitionBy())
+    return base.withColumn(
+        "discovery", F.col("rank") <= kstar
+    ).orderBy("rank")

@@ -1245,3 +1245,87 @@ def x6_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbnail_features(
         bmp_gradient_fixtures(spark, sf_dir), thumb=4
     ).orderBy("doc_id")
+
+
+@query(
+    "x7_bh_fdr",
+    """
+    WITH t AS (SELECT event_type,
+                      CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS isa,
+                      value
+               FROM events
+               WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    c AS (SELECT event_type, value AS val,
+                 sum(isa)::BIGINT AS ca,
+                 sum(1 - isa)::BIGINT AS cb
+          FROM t GROUP BY 1, 2),
+    w AS (SELECT event_type,
+                 sum(ca) OVER (PARTITION BY event_type ORDER BY val
+                               ROWS UNBOUNDED PRECEDING) AS cum_a,
+                 sum(cb) OVER (PARTITION BY event_type ORDER BY val
+                               ROWS UNBOUNDED PRECEDING) AS cum_b,
+                 sum(ca) OVER (PARTITION BY event_type) AS na,
+                 sum(cb) OVER (PARTITION BY event_type) AS nb
+          FROM c),
+    a AS (SELECT event_type,
+                 max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+                 round(max(abs(cum_a::DOUBLE / na - cum_b::DOUBLE / nb)),
+                       6) AS d
+          FROM w GROUP BY 1),
+    l AS (SELECT event_type,
+                 d * d * (n_a::DOUBLE * n_b) / (n_a::DOUBLE + n_b) AS lam2
+          FROM a),
+    pv AS (SELECT event_type,
+                  round(least(1.0, greatest(0.0,
+                    2.0 * (exp(-2.0 * lam2) - exp(-8.0 * lam2)
+                           + exp(-18.0 * lam2) - exp(-32.0 * lam2)
+                           + exp(-50.0 * lam2)))), 6) AS p
+           FROM l),
+    r AS (SELECT event_type, p,
+                 row_number() OVER (ORDER BY p, event_type) AS rank,
+                 count(*) OVER () AS m
+          FROM pv),
+    b AS (SELECT event_type, p, rank::BIGINT AS rank,
+                 round(0.10 * rank / m, 6) AS bh_threshold
+          FROM r)
+    SELECT event_type, p, rank, bh_threshold,
+           rank <= max(CASE WHEN p <= bh_threshold THEN rank ELSE 0 END)
+                     OVER () AS discovery
+    FROM b ORDER BY rank
+    """,
+)
+def x7_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — Benjamini–Hochberg FDR control over a per-slice test
+    battery (round 8): one KS test per event type (variant a vs b on
+    the value distribution), Kolmogorov-series p-values, then the
+    step-up rule decides which rejections survive multiplicity — the
+    mandatory correction between "k slices crossed alpha" and paging
+    someone (at 5 slices it matters; at the 10^4-slice batteries the
+    monitoring family emits, uncorrected alpha IS the pager noise).
+    The KS fold is the shared distinct-value kernel (no rank over raw
+    events); p ranks on round-6 values with the slice as tie-break so
+    the discovery set is engine-reproducible; the BH window runs on
+    the m-row battery, never the data
+    (operators/scale.py:ks_p_value, bh_fdr)."""
+    from vectordb_migrator_spark.operators.scale import (
+        bh_fdr,
+        ks_p_value,
+        ks_test,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    trials = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("v"),
+        "value",
+    )
+    ks = ks_test(
+        trials, "value", side_col="v", side_a="a", group_cols=["event_type"]
+    )
+    tests = ks.select(
+        "event_type",
+        ks_p_value(F.col("d"), F.col("n_a"), F.col("n_b")).alias("p"),
+    )
+    return bh_fdr(tests, p_col="p", key_cols=["event_type"], q=0.10)
