@@ -190,6 +190,7 @@ HEADLINE = [
     "x6_wav_decode",
     "x6_bmp_decode",
     "x6_thumbnail",
+    "x6_ahash_clusters",
     "x6_png_decode",
     "x6_video_headers",
     "x9_chunk_documents",

@@ -584,3 +584,48 @@ def test_thumbnail_features_exact_sampling(spark):
     assert got[1]["tw"] == got[1]["th"] == 4
     assert got[1]["thumb_csv"] == ",".join(str(v) for v in want)
     assert got[2]["thumb_csv"] is None and got[2]["tw"] is None
+
+
+def test_ahash_features_integer_exact(spark):
+    """aHash bits = integer 'above mean' on the 4x4 gray thumb; a
+    brightness shift (+c on every channel) leaves the hash invariant;
+    undecodable payloads yield NULL."""
+    import struct
+
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import ahash_features
+
+    def bmp(px):
+        h, w = px.shape[:2]
+        stride = (w * 3 + 3) // 4 * 4
+        data = np.zeros((h, stride), dtype=np.uint8)
+        data[:, : w * 3] = px[::-1].reshape(h, w * 3)
+        body = data.tobytes()
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+            2835, 2835, 0, 0,
+        )
+        return bytearray(hdr + info + body)
+
+    w, h = 8, 8
+    base = np.zeros((h, w, 3), dtype=np.uint8)
+    base[:, :, 0] = (10 * np.arange(w))[None, :]   # strong x gradient
+    shifted = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    rows = [
+        (1, bmp(base)),
+        (2, bmp(shifted)),
+        (3, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["ahash"] for r in ahash_features(df).collect()}
+
+    xi = [(j * w) // 4 for j in range(4)]
+    gray = [10 * x for x in xi] * 4          # rows identical
+    tot = sum(gray)
+    want = "".join("1" if g * 16 > tot else "0" for g in gray)
+    assert got[1] == want
+    assert got[2] == got[1]          # brightness-shift invariant
+    assert got[3] is None
+    assert set(got[1]) == {"0", "1"} and len(got[1]) == 16

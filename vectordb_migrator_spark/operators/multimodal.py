@@ -937,3 +937,54 @@ def thumbnail_features(
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema=THUMB_SCHEMA
     )
+
+
+AHASH_SCHEMA = "doc_id long, ahash string"
+
+
+def ahash_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    thumb: int = 4,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded pixels — the
+    classic image near-dup fingerprint: nearest-neighbor downsample
+    to ``thumb``×``thumb`` (the :func:`thumbnail_features` floor map),
+    per-cell gray = r+g+b (an integer SUM, not a float mean — no
+    rounding to disagree about), bit = 1 iff cell·T² > Σgray (the
+    integer-exact form of "cell above the mean"), read out row-major
+    as a bit string. Equal strings = perceptually-similar candidates;
+    the engine-exact integer pipeline means the hash — and therefore
+    the cluster assignment — carries a full closed-form oracle.
+
+    Same embarrassingly-parallel shape as the other decode kernels:
+    Arrow-batched ``mapInPandas``, one fancy-index + one comparison
+    per image, payloads never shuffle, output is one short string."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_cells = thumb * thumb
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {"doc_id": int(doc_id), "ahash": None}
+                px = _bmp_pixels(payload)
+                if px is not None:
+                    h, w = px.shape[:2]
+                    if w >= thumb and h >= thumb:
+                        xi = (np.arange(thumb) * w) // thumb
+                        yi = (np.arange(thumb) * h) // thumb
+                        tb = px[np.ix_(yi, xi)].astype(np.int64)
+                        gray = tb.sum(axis=2).reshape(-1)  # r+g+b
+                        bits = (gray * n_cells) > gray.sum()
+                        row["ahash"] = "".join(
+                            "1" if b else "0" for b in bits
+                        )
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=AHASH_SCHEMA
+    )

@@ -1329,3 +1329,55 @@ def x7_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ks_p_value(F.col("d"), F.col("n_a"), F.col("n_b")).alias("p"),
     )
     return bh_fdr(tests, p_col="p", key_cols=["event_type"], q=0.10)
+
+
+@query(
+    "x6_ahash_clusters",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+        flatten([[ (doc_id % 256)
+                   + 3 * ((i * (8 + (doc_id % 3) * 4)) // 4)
+                   + ((j * (15 + (doc_id % 5) * 7)) // 4)
+                  for j in range(0, 4)]
+                 for i in range(0, 4)]) AS gray
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             array_to_string(
+               [CASE WHEN x * 16 > list_sum(gray) THEN '1' ELSE '0' END
+                for x in gray], '') AS ahash
+      FROM g
+    )
+    SELECT ahash, count(*)::BIGINT AS n_images,
+           min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+    FROM h GROUP BY ahash ORDER BY ahash
+    """,
+)
+def x6_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — perceptual average-hash dedup on REAL decoded pixels
+    (round 8), the back half of the pipeline x6_thumbnail opened:
+    4×4 nearest-neighbor thumb → integer gray = r+g+b per cell →
+    bit = cell·16 > Σgray (the integer-exact "above the mean") →
+    16-bit string; equal strings are perceptual near-dup clusters
+    (robust to scaling and brightness-preserving edits by
+    construction of the hash). The whole pipeline is integer
+    arithmetic on decoded bytes, so the cluster table carries a full
+    closed-form oracle from the gradient-fixture formulas. Grouping
+    is one map-side-combinable aggregate on a 16-char key
+    (operators/multimodal.py:ahash_features)."""
+    from vectordb_migrator_spark.operators.multimodal import ahash_features
+    from vectordb_migrator_spark.suite.s06_multimodal import (
+        bmp_gradient_fixtures,
+    )
+
+    h = ahash_features(bmp_gradient_fixtures(spark, sf_dir), thumb=4)
+    return (
+        h.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+        .orderBy("ahash")
+    )
