@@ -230,6 +230,7 @@ HEADLINE = [
     "x7_ks_test",
     "x12_benford",
     "x12_zonemap_prune",
+    "x12_zorder_layout",
     "x12_join_cardinality",
     "x12_corr_matrix",
     "x12_source_profile_drift",

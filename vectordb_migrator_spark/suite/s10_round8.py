@@ -1381,3 +1381,134 @@ def x6_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ahash")
     )
+
+
+def _zorder_layout_sql() -> str:
+    """Oracle for x12_zorder_layout: exact integer min-max bucketing,
+    the same bit-interleave as scale.zorder_value (bit i of column j
+    at position i·N+j), ntile chunking with the unique tie-break."""
+    layouts = [
+        ("linear_orderkey", "ok"),
+        ("linear_partkey", "val"),
+        ("zorder", "zv"),
+    ]
+    parts = []
+    for label, oc in layouts:
+        parts.append(f"""
+      SELECT '{label}' AS layout,
+             count(*)::BIGINT AS n_chunks,
+             sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS chunks_hit,
+             round(1 - sum(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*), 6) AS prune_rate,
+             sum(CASE WHEN hit THEN rows ELSE 0 END)::BIGINT
+               AS rows_scanned,
+             sum(matching)::BIGINT AS rows_matching,
+             round(sum(matching)::DOUBLE
+                   / nullif(sum(CASE WHEN hit THEN rows ELSE 0 END), 0),
+                   6) AS scan_efficiency
+      FROM (
+        SELECT mx >= (SELECT lo FROM p) AND mn <= (SELECT hi FROM p)
+                 AS hit, rows, matching
+        FROM (
+          SELECT min(val) AS mn, max(val) AS mx,
+                 count(*)::BIGINT AS rows,
+                 sum(CASE WHEN val BETWEEN (SELECT lo FROM p)
+                                       AND (SELECT hi FROM p)
+                     THEN 1 ELSE 0 END)::BIGINT AS matching
+          FROM (
+            SELECT ntile(64) OVER (ORDER BY {oc}, tb) AS chunk, val
+            FROM z
+          ) GROUP BY chunk
+        )
+      )""")
+    return (
+        """
+    WITH b AS (
+      SELECT min(l_orderkey) AS xmn, max(l_orderkey) AS xmx,
+             min(l_partkey) AS ymn, max(l_partkey) AS ymx
+      FROM lineitem
+    ), p AS (
+      SELECT ymn + (ymx - ymn) * 40 // 100 AS lo,
+             ymn + (ymx - ymn) * 45 // 100 AS hi
+      FROM b
+    ), v AS (
+      SELECT l_partkey AS val, l_orderkey AS ok,
+             l_orderkey * 8 + l_linenumber AS tb,
+             ((l_orderkey - xmn) * 256) // (xmx - xmn + 1) AS bx,
+             ((l_partkey - ymn) * 256) // (ymx - ymn + 1) AS by_
+      FROM lineitem, b
+    ), z AS (
+      SELECT val, ok, tb,
+             list_sum([((bx // (1 << i)) % 2) * (1 << (2 * i))
+                       + ((by_ // (1 << i)) % 2) * (1 << (2 * i + 1))
+                       for i in range(0, 8)]) AS zv
+      FROM v
+    )
+    SELECT * FROM ("""
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY layout"
+    )
+
+
+@query("x12_zorder_layout", _zorder_layout_sql())
+def x12_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — the z-order WHAT-IF (round 8): does one Morton-curve
+    sort buy zone-map pruning on BOTH join keys? Bucket l_orderkey ×
+    l_partkey into 256×256 cells with exact integer min-max scaling,
+    interleave via the existing ``zorder_value`` kernel, and run the
+    same 64-chunk zone-map simulation as ``x12_zonemap_prune`` for a
+    ~5% l_partkey band under three layouts: linear-by-orderkey
+    (prunes ~nothing for this predicate), linear-by-partkey (prunes
+    best but sacrifices orderkey locality), and the z-curve (most of
+    the partkey pruning while preserving orderkey clustering — the
+    measured case for OPTIMIZE ZORDER before rewriting 100 TB).
+    Bounds and band edges are exact integer formulas, so the full
+    report carries a value-hash oracle
+    (operators/scale.py:zorder_value, zonemap_prune_report)."""
+    from vectordb_migrator_spark.operators.scale import (
+        zonemap_prune_report,
+        zorder_value,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    b = li.agg(
+        F.min("l_orderkey").alias("xmn"),
+        F.max("l_orderkey").alias("xmx"),
+        F.min("l_partkey").alias("ymn"),
+        F.max("l_partkey").alias("ymx"),
+    ).first()
+    xmn, xmx, ymn, ymx = b["xmn"], b["xmx"], b["ymn"], b["ymx"]
+    lo = ymn + (ymx - ymn) * 40 // 100
+    hi = ymn + (ymx - ymn) * 45 // 100
+    bx = F.floor(
+        ((F.col("l_orderkey").cast("long") - F.lit(xmn)) * F.lit(256))
+        / F.lit(xmx - xmn + 1)
+    ).cast("long")
+    by = F.floor(
+        ((F.col("l_partkey").cast("long") - F.lit(ymn)) * F.lit(256))
+        / F.lit(ymx - ymn + 1)
+    ).cast("long")
+    df = (
+        li.withColumn("__bx", bx)
+        .withColumn("__by", by)
+        .withColumn("__z", zorder_value(["__bx", "__by"], bits=8))
+        .withColumn(
+            "__tb",
+            F.col("l_orderkey").cast("long") * 8 + F.col("l_linenumber"),
+        )
+    )
+    return zonemap_prune_report(
+        df,
+        value_col="l_partkey",
+        lo=float(lo),
+        hi=float(hi),
+        layouts=[
+            ("linear_orderkey", "l_orderkey"),
+            ("linear_partkey", "l_partkey"),
+            ("zorder", "__z"),
+        ],
+        tiebreak_col="__tb",
+        n_chunks=64,
+    )
