@@ -265,6 +265,7 @@ HEADLINE = [
     "x13_kaplan_meier",
     "x13_forecast_backtest",
     "x13_theil_sen",
+    "x13_ols_trend",
     "x13_user_features",
     "x13_event_gaps",
     "x13_hour_of_week_profile",

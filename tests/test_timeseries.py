@@ -447,3 +447,38 @@ def test_cusum_flat_series_yields_null_not_abort(spark):
 
     one_day = spark.createDataFrame(rows[:1], "ts timestamp, value double")
     assert cusum_changepoints(one_day).count() == 1
+
+
+def test_ols_trend_matches_numpy(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.timeseries import ols_trend
+
+    rows = []
+    # series A: clean line v = 2t + 5; series B: line + one outlier;
+    # series C: single point (NULL report); series D: constant t
+    for t in range(10):
+        rows.append(("a", float(t), 2.0 * t + 5.0))
+        rows.append(("b", float(t), 1.5 * t + (100.0 if t == 7 else 0.0)))
+    rows.append(("c", 3.0, 9.9))
+    rows += [("d", 1.0, 1.0), ("d", 1.0, 5.0)]
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    got = {
+        r["g"]: r
+        for r in ols_trend(
+            df, t_col="t", value_col="v", group_cols=["g"]
+        ).collect()
+    }
+
+    for g in ("a", "b"):
+        t = np.array([r[1] for r in rows if r[0] == g])
+        v = np.array([r[2] for r in rows if r[0] == g])
+        slope, intercept = np.polyfit(t, v, 1)
+        r = np.corrcoef(t, v)[0, 1]
+        assert abs(got[g]["slope"] - round(slope, 6)) < 1e-5, g
+        assert abs(got[g]["intercept"] - round(intercept, 6)) < 1e-5, g
+        assert abs(got[g]["r2"] - round(r * r, 6)) < 1e-5, g
+    assert got["a"]["r2"] == 1.0
+    assert got["b"]["r2"] < 1.0
+    assert got["c"]["slope"] is None and got["c"]["n"] == 1
+    assert got["d"]["slope"] is None  # zero time-variance

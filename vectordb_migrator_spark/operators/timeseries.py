@@ -484,3 +484,68 @@ def kaplan_meier(
         )
     )
     return km.filter(F.col("n_events") > 0).orderBy("t")
+
+
+def ols_trend(
+    df: DataFrame,
+    *,
+    t_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-series ordinary-least-squares trend — slope, intercept,
+    and R² from the five classic moments (n, Σt, Σv, Σt², Σtv, Σv²)
+    in ONE map-side-combinable aggregate: the efficiency/exactness
+    complement of :func:`theil_sen_trend` (which buys outlier
+    robustness with a pairwise-slope median). Reading both is the
+    diagnostic: OLS ≈ Theil–Sen → trust the trend; OLS dragged away →
+    outlier days are steering it.
+
+    Inputs round to 6dp and the moments sum as exact decimals
+    (the :func:`~..scale.corr_matrix` contract), so slope/intercept/
+    R² are bit-reproducible across engines and partition orders.
+    Series with < 2 points or zero time-variance report NULLs.
+    ``t_col`` must be numeric (e.g. integer day index)."""
+    gcols = list(group_cols or [])
+    proj = df.select(
+        *gcols,
+        F.col(t_col).cast("double").alias("__t"),
+        F.round(F.col(value_col).cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("__v"),
+    ).filter(F.col("__t").isNotNull() & F.col("__v").isNotNull())
+    t6 = F.col("__t").cast("decimal(18,6)")
+    m = proj.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(t6).cast("decimal(38,6)").alias("st"),
+        F.sum("__v").cast("decimal(38,6)").alias("sv"),
+        F.sum(t6 * t6).cast("decimal(38,12)").alias("stt"),
+        F.sum(t6 * F.col("__v")).cast("decimal(38,12)").alias("stv"),
+        F.sum(F.col("__v") * F.col("__v"))
+        .cast("decimal(38,12)")
+        .alias("svv"),
+    )
+    n = F.col("n").cast("double")
+    st, sv = F.col("st").cast("double"), F.col("sv").cast("double")
+    stt = F.col("stt").cast("double")
+    stv = F.col("stv").cast("double")
+    svv = F.col("svv").cast("double")
+    var_t = n * stt - st * st
+    cov = n * stv - st * sv
+    var_v = n * svv - sv * sv
+    slope = F.try_divide(cov, var_t)
+    intercept = (sv - slope * st) / n
+    r2 = F.try_divide(cov * cov, var_t * var_v)
+    guard = (F.col("n") >= 2) & (var_t != 0)
+    return m.select(
+        *gcols,
+        "n",
+        F.round(F.when(guard, slope), 6).alias("slope"),
+        F.round(F.when(guard, intercept), 6).alias("intercept"),
+        F.round(F.when(guard, r2), 6).alias("r2"),
+    ).orderBy(*gcols) if gcols else m.select(
+        "n",
+        F.round(F.when(guard, slope), 6).alias("slope"),
+        F.round(F.when(guard, intercept), 6).alias("intercept"),
+        F.round(F.when(guard, r2), 6).alias("r2"),
+    )

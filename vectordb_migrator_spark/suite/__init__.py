@@ -121,6 +121,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_bh_fdr",  # Benjamini-Hochberg FDR over the KS battery (new r8)
     "x6_ahash_clusters",  # perceptual-hash image dedup (new r8)
     "x12_zorder_layout",  # z-curve zone-map what-if, full oracle (new r8)
+    "x13_ols_trend",  # exact-moment OLS + R2 per series (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

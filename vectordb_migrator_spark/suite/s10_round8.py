@@ -1512,3 +1512,80 @@ def x12_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="__tb",
         n_chunks=64,
     )
+
+
+@query(
+    "x13_ols_trend",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(sum(round(value, 6)::DECIMAL(18,6)) / count(*), 6)
+               AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', day)::DECIMAL(19,6)
+               AS t6,
+             v::DECIMAL(19,6) AS v6
+      FROM d
+    ), m AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(t6)::DECIMAL(38,6) AS st,
+             sum(v6)::DECIMAL(38,6) AS sv,
+             sum(t6 * t6)::DECIMAL(38,12) AS stt,
+             sum(t6 * v6)::DECIMAL(38,12) AS stv,
+             sum(v6 * v6)::DECIMAL(38,12) AS svv
+      FROM t GROUP BY 1
+    ), c AS (
+      SELECT event_type, n,
+             n * stt::DOUBLE - st::DOUBLE * st::DOUBLE AS var_t,
+             n * stv::DOUBLE - st::DOUBLE * sv::DOUBLE AS cov,
+             n * svv::DOUBLE - sv::DOUBLE * sv::DOUBLE AS var_v,
+             st::DOUBLE AS std, sv::DOUBLE AS svd
+      FROM m
+    )
+    SELECT event_type, n,
+           round(CASE WHEN n >= 2 AND var_t <> 0
+                 THEN cov / var_t END, 6) AS slope,
+           round(CASE WHEN n >= 2 AND var_t <> 0
+                 THEN (svd - (cov / var_t) * std) / n END, 6)
+             AS intercept,
+           round(CASE WHEN n >= 2 AND var_t <> 0 AND var_v <> 0
+                 THEN cov * cov / (var_t * var_v) END, 6) AS r2
+    FROM c ORDER BY event_type
+    """,
+)
+def x13_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — per-series OLS trend with R² (round 8): slope/intercept
+    from the five classic moments in ONE map-side-combinable
+    aggregate over the daily-mean frame — the exact/cheap complement
+    of ``x13_theil_sen`` (pairwise-slope median): when the two slopes
+    agree the trend is clean, when OLS is dragged away outlier days
+    are steering it, and R² says how much of the series the line
+    explains at all. Moments sum as exact decimals over round-6
+    inputs (the corr_matrix contract), so the whole report is
+    bit-reproducible cross-engine; t is the integer epoch-day index
+    (operators/timeseries.py:ols_trend)."""
+    from vectordb_migrator_spark.operators.timeseries import ols_trend
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("v")
+    )
+    frame = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias(
+            "t"
+        ),
+        "v",
+    )
+    return ols_trend(
+        frame, t_col="t", value_col="v", group_cols=["event_type"]
+    )
