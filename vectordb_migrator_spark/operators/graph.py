@@ -729,9 +729,11 @@ def co_occurrence_edges(
     Returns (id_a, id_b, support), id_a < id_b."""
     base = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    )
+    # collect_set dedups (basket, item) inside the SAME aggregation —
+    # one shuffle where distinct-then-collect_list would pay two
     buckets = base.groupBy("__b").agg(
-        F.array_sort(F.collect_list("__i")).alias("items")
+        F.array_sort(F.collect_set("__i")).alias("items")
     )
     pair_structs = F.flatten(
         F.transform(
