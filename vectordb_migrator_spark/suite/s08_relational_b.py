@@ -63,7 +63,7 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.2
-    )
+    ).localCheckpoint(eager=True)
     return connected_components(pairs).orderBy("id")
 
 
@@ -86,7 +86,7 @@ def x2_dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.2
-    )
+    ).localCheckpoint(eager=True)
     return connected_components_two_phase(pairs).orderBy("id")
 
 
@@ -138,7 +138,9 @@ def x2_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_migrator_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2).localCheckpoint(
+        eager=True
+    )
     clusters = connected_components(pairs)
     return apply_dedup(docs, clusters).select("doc_id").orderBy("doc_id")
 
@@ -283,7 +285,7 @@ def x2_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.2
-    )
+    ).localCheckpoint(eager=True)
     sizes = (
         connected_components(pairs)
         .groupBy("comp")
@@ -345,7 +347,9 @@ def x2_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two duplicate-sized id⋈source joins against a column-pruned
     scan); the matrix is at most n_sources² rows."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2).localCheckpoint(
+        eager=True
+    )
     src = docs.select("doc_id", "source")
     return (
         pairs.join(
@@ -412,7 +416,7 @@ def x2_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.0
-    )
+    ).localCheckpoint(eager=True)
     b = (
         pairs.select(
             F.least(
@@ -493,7 +497,7 @@ def x2_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(pairs)
     sizes = clusters.groupBy("comp").agg(
         F.count(F.lit(1)).cast("long").alias("family_size")
-    )
+    ).localCheckpoint(eager=True)
     edges = (
         pairs.join(
             clusters.withColumnRenamed("id", "id_a"), "id_a"
@@ -581,7 +585,9 @@ def x2_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "n_tok", token_count_ws("text").cast("long")
     )
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2).localCheckpoint(
+        eager=True
+    )
     clusters = connected_components(pairs)
     return (
         apply_dedup_best(docs, clusters, quality_col="n_tok")
@@ -661,7 +667,9 @@ def x0_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2).localCheckpoint(
+        eager=True
+    )
     edges = pairs.select(
         F.col("id_a").alias("doc_id"), F.col("id_b").alias("other")
     ).unionAll(
