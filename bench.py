@@ -154,6 +154,7 @@ HEADLINE = [
     "x5_unigram_surprisal",
     "x5_ccnet_buckets",
     "x5_bigram_surprisal",
+    "x5_pmi_collocations",
     "x5_distinctive_terms",
     "x5_keywords",
     "x5_textrank",

@@ -651,3 +651,93 @@ def curation_sections(grain: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("section", "k")
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 30,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information:
+    PMI(w1,w2) = log2( p(w1 w2) / (p(w1)·p(w2)) ) over adjacent word
+    pairs, with the classic ``min_count`` floor (Church & Hanks 1990
+    — raw PMI without a floor surfaces hapax noise). High-PMI pairs
+    are the corpus's multiword units: exactly what a tokenizer vocab,
+    a phrase index (``x5_phrase_search``), or a boilerplate hunt
+    wants ranked. The complement of ``bigram_surprisal``: that scores
+    DOCUMENTS under a transition model, this scores the TRANSITIONS
+    themselves.
+
+    Scale shape: bigrams form scan-side in codegen (token array
+    zipped with its shift — no positional join); ONE bigram-count
+    shuffle and ONE unigram-count shuffle build the tables; the two
+    1-row totals broadcast onto the floored bigram list (the vocab
+    joins carry no hint — AQE sizes them);
+    TakeOrdered(top_k) on (round-6 PMI DESC,
+    pair ASC) keeps the ranking engine-reproducible under ties.
+
+    Returns (w1, w2, n_pair, n_w1, n_w2, pmi)."""
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    arr = F.filter(ws_tokens(text_col), lambda x: x != "")
+    toks = df.select(F.explode(arr).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    bigrams = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws("\x1f", a, b),
+    )
+    bi = (
+        df.select(F.explode(bigrams).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+        .select(
+            F.split_part(F.col("b"), F.lit("\x1f"), F.lit(1)).alias("w1"),
+            F.split_part(F.col("b"), F.lit("\x1f"), F.lit(2)).alias("w2"),
+            "n_pair",
+        )
+    )
+    n_uni = uni.agg(F.sum("n_w").cast("double").alias("__nu"))
+    n_bi = (
+        df.select(
+            F.greatest(F.size(arr) - 1, F.lit(0)).cast("long").alias("__c")
+        )
+        .agg(F.sum("__c").cast("double").alias("__nb"))
+    )
+    # vocab joins carry no broadcast hint: the unigram table is
+    # vocab-sized (unbounded at corpus scale) while the floored
+    # bigram side shrinks with min_count — AQE picks the right side
+    joined = (
+        bi.join(
+            uni.withColumnRenamed("w", "w1").withColumnRenamed(
+                "n_w", "n_w1"
+            ),
+            "w1",
+        )
+        .join(
+            uni.withColumnRenamed("w", "w2").withColumnRenamed(
+                "n_w", "n_w2"
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.round(
+        F.log2(
+            (F.col("n_pair") / F.col("__nb"))
+            / (
+                (F.col("n_w1") / F.col("__nu"))
+                * (F.col("n_w2") / F.col("__nu"))
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select("w1", "w2", "n_pair", "n_w1", "n_w2", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )

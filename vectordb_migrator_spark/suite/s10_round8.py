@@ -1589,3 +1589,46 @@ def x13_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_trend(
         frame, t_col="t", value_col="v", group_cols=["event_type"]
     )
+
+
+@query(
+    "x5_pmi_collocations",
+    r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT u.w AS w, count(*)::BIGINT AS n_w
+      FROM t, unnest(t.toks) u(w) GROUP BY 1
+    ), big AS (
+      SELECT t.toks[i] AS w1, t.toks[i + 1] AS w2,
+             count(*)::BIGINT AS n_pair
+      FROM t, unnest(range(1, len(t.toks))) u(i)
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ), nu AS (SELECT sum(n_w)::DOUBLE AS v FROM uni),
+    nb AS (SELECT sum(greatest(len(toks) - 1, 0))::DOUBLE AS v FROM t)
+    SELECT b.w1, b.w2, b.n_pair, a.n_w AS n_w1, c.n_w AS n_w2,
+           round(log2((b.n_pair / (SELECT v FROM nb))
+                      / ((a.n_w / (SELECT v FROM nu))
+                         * (c.n_w / (SELECT v FROM nu)))), 6) AS pmi
+    FROM big b JOIN uni a ON a.w = b.w1 JOIN uni c ON c.w = b.w2
+    ORDER BY pmi DESC, b.w1, b.w2 LIMIT 30
+    """,
+)
+def x5_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — PMI collocation mining (round 8): adjacent word pairs
+    ranked by log2(p(pair)/(p(w1)·p(w2))) with the Church & Hanks
+    min-count floor — the corpus's multiword units, feeding tokenizer
+    vocab candidates, the phrase index, and boilerplate hunts. The
+    complement of ``x5_bigram_surprisal``: that scores documents
+    under a transition model, this ranks the transitions themselves.
+    Bigrams form scan-side in codegen (array zipped with its shift);
+    one bigram shuffle + one unigram shuffle, 1-row totals broadcast,
+    TakeOrdered(30) on (round-6 PMI, pair) so ties rank
+    engine-reproducibly (operators/cleaning.py:pmi_collocations)."""
+    from vectordb_migrator_spark.operators.cleaning import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=30
+    )
