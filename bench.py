@@ -268,6 +268,7 @@ HEADLINE = [
     "x13_theil_sen",
     "x13_ols_trend",
     "x13_user_features",
+    "x13_rfm_segments",
     "x13_event_gaps",
     "x13_hour_of_week_profile",
     "range_join_value_bands",

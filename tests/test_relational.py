@@ -764,3 +764,33 @@ def test_pk_uniqueness_planted_duplicates_and_composite_key(spark):
         pk_uniqueness([])
     with pytest.raises(ValueError, match="key columns"):
         pk_uniqueness([("x", clean, [])])
+
+
+def test_rfm_segments_deterministic_tiles(spark):
+    import datetime as dt
+
+    from vectordb_migrator_spark.operators.relational import rfm_segments
+
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    # user u: u+1 events, each value 10*u, last event at day u
+    for u in range(5):
+        for i in range(u + 1):
+            rows.append((u, base + dt.timedelta(days=u, hours=i), 10.0 * u))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = rfm_segments(
+        df, user_col="user_id", ts_col="ts", value_col="value"
+    ).collect()
+    # 5 users, 5 tiles: each user its own tile on every axis.
+    # recency: anchor day 4; user u last seen day u -> r = 4-u;
+    # ORDER BY r DESC puts u=0 (stalest) in tile 1, u=4 in tile 5.
+    # f and m both increase with u, so every axis scores u+1.
+    assert len(out) == 5
+    for r in out:
+        assert r["r_score"] == r["f_score"] == r["m_score"]
+        assert r["users"] == 1
+    by_tile = {r["r_score"]: r for r in out}
+    assert by_tile[1]["avg_recency_days"] == 4.0
+    assert by_tile[5]["avg_recency_days"] == 0.0
+    assert by_tile[5]["avg_frequency"] == 5.0
+    assert by_tile[5]["avg_monetary"] == 200.0  # 5 events * 40

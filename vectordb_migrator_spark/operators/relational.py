@@ -712,3 +712,83 @@ def association_rules(
     return scored.orderBy(
         F.desc("lift"), "item_a", "item_b"
     ).limit(top_k)
+
+
+def rfm_segments(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the
+    classic lifecycle readout: per user, days since last event,
+    event count, and value sum, each scored into ``n_tiles``
+    quantile tiles (5 = freshest / most frequent / highest spend),
+    then rolled up per (r, f, m) cell with user count and cell
+    means. Marketing's "champions / at-risk / hibernating" grid is a
+    relabeling of these cells.
+
+    Determinism: every ntile orders by (metric, user) — a total
+    order — so tile assignment is engine-reproducible. Scale shape:
+    events fold to ONE per-user aggregate (map-side combinable);
+    the ntile windows then run on the user frame, not events. The
+    single-partition global sort of the user frame is the honest
+    cost of exact quantile tiles at this size — at a
+    billions-of-users scale swap ntile for broadcast percentile
+    boundaries (the ``quality_tiers_scalable`` pattern).
+
+    Returns (r_score, f_score, m_score, users, avg_recency_days,
+    avg_frequency, avg_monetary)."""
+    from pyspark.sql import Window as W
+
+    base = df.filter(F.col(user_col).isNotNull())
+    anchor = base.agg(
+        F.max(F.date_trunc("day", F.col(ts_col))).alias("__mx")
+    )
+    per_user = (
+        base.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.max(F.date_trunc("day", F.col(ts_col))).alias("__last"),
+            F.count(F.lit(1)).cast("long").alias("f"),
+            F.round(
+                F.sum(F.round(F.col(value_col), 6).cast("decimal(18,6)")),
+                6,
+            ).cast("double").alias("m"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "u",
+            F.datediff(F.col("__mx"), F.col("__last"))
+            .cast("long")
+            .alias("r"),
+            "f",
+            "m",
+        )
+    )
+    scored = per_user.select(
+        "u",
+        "r",
+        "f",
+        "m",
+        F.ntile(n_tiles)
+        .over(W.orderBy(F.desc("r"), F.asc("u")))
+        .alias("r_score"),
+        F.ntile(n_tiles)
+        .over(W.orderBy(F.asc("f"), F.asc("u")))
+        .alias("f_score"),
+        F.ntile(n_tiles)
+        .over(W.orderBy(F.asc("m"), F.asc("u")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("users"),
+            F.round(F.avg("r"), 6).alias("avg_recency_days"),
+            F.round(F.avg("f"), 6).alias("avg_frequency"),
+            F.round(F.avg("m"), 6).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -1632,3 +1632,53 @@ def x5_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(
         _t(spark, sf_dir, "documents"), min_count=5, top_k=30
     )
+
+
+@query(
+    "x13_rfm_segments",
+    """
+    WITH b AS (
+      SELECT user_id AS u, date_trunc('day', ts) AS d, value
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ), mx AS (SELECT max(d) AS v FROM b),
+    pu AS (
+      SELECT u,
+             date_diff('day', max(d), (SELECT v FROM mx))::BIGINT AS r,
+             count(*)::BIGINT AS f,
+             round(sum(round(value, 6)::DECIMAL(18,6)), 6)::DOUBLE AS m
+      FROM b GROUP BY u
+    ), sc AS (
+      SELECT u, r, f, m,
+             ntile(5) OVER (ORDER BY r DESC, u) AS r_score,
+             ntile(5) OVER (ORDER BY f ASC, u) AS f_score,
+             ntile(5) OVER (ORDER BY m ASC, u) AS m_score
+      FROM pu
+    )
+    SELECT r_score::INT AS r_score, f_score::INT AS f_score,
+           m_score::INT AS m_score,
+           count(*)::BIGINT AS users,
+           round(avg(r), 6) AS avg_recency_days,
+           round(avg(f), 6) AS avg_frequency,
+           round(avg(m), 6) AS avg_monetary
+    FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def x13_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — RFM lifecycle segmentation (round 8): per user, days
+    since last valued event, event count, and value sum, each scored
+    into quintiles over a (metric, user) total order — deterministic
+    tile assignment, engine-reproducible — then rolled up per
+    (r, f, m) cell with user counts and cell means: the grid that
+    marketing's champions/at-risk/hibernating labels rename. Events
+    fold to ONE per-user aggregate before any window; the global
+    ntile runs on the user frame (swap for broadcast percentile
+    boundaries past ~10^8 users — the quality_tiers_scalable
+    pattern). NULL-valued events are excluded on both engines (their
+    NULL-ordering conventions differ)
+    (operators/relational.py:rfm_segments)."""
+    from vectordb_migrator_spark.operators.relational import rfm_segments
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return rfm_segments(
+        ev, user_col="user_id", ts_col="ts", value_col="value"
+    )
