@@ -199,6 +199,7 @@ HEADLINE = [
     "x9_nf4_quantization",
     "x4_nf4_recall",
     "x4_matryoshka_recall",
+    "x4_compression_ladder",
     "x9_storage_report",
     "x9_embedding_drift",
     "x9_sq_error_by_label",

@@ -1682,3 +1682,149 @@ def x13_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(
         ev, user_col="user_id", ts_col="ts", value_col="value"
     )
+
+
+def _compression_ladder_sql() -> str:
+    """Oracle for x4_compression_ladder: one truth CTE, one approx
+    ranking per storage tier (int8 / NF4 dequantized cosine, binary
+    sign-Hamming), recall joined per tier — the same per-method
+    expressions the standalone tier oracles use."""
+    from vectordb_migrator_spark.suite.s08_relational_a import (
+        _nf4_literals,
+    )
+
+    mids, levels = _nf4_literals()
+    tiers = {
+        "1_fp32": ("SELECT vec_id FROM truth", 256),
+        "2_int8": (
+            """
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(v, x -> round(x / scale) * scale)
+               END AS dv
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_max(list_transform(embedding::DOUBLE[],
+                                             x -> abs(x))) / 127.0
+                       AS scale
+              FROM embeddings)), p
+      ORDER BY round(list_dot_product(dv, pv) /
+                 (sqrt(list_dot_product(dv, dv)) *
+                  sqrt(list_dot_product(pv, pv))), 6) DESC, vec_id
+      LIMIT 10""",
+            64,
+        ),
+        "3_nf4": (
+            f"""
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(v, x ->
+                      {levels}[len(list_filter({mids},
+                          m -> x / scale > m)) + 1] * scale)
+               END AS dv
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_max(list_transform(embedding::DOUBLE[],
+                                             x -> abs(x))) AS scale
+              FROM embeddings)), p
+      ORDER BY round(list_dot_product(dv, pv) /
+                 (sqrt(list_dot_product(dv, dv)) *
+                  sqrt(list_dot_product(pv, pv))), 6) DESC, vec_id
+      LIMIT 10""",
+            32,
+        ),
+        "4_binary": (
+            """
+      SELECT vec_id FROM embeddings, p
+      ORDER BY len(list_filter(range(1, len(embedding) + 1),
+                               i -> (embedding[i] > 0) != (pv[i] > 0))),
+               vec_id
+      LIMIT 10""",
+            8,
+        ),
+    }
+    parts = []
+    for name, (sub, nbytes) in tiers.items():
+        parts.append(f"""
+    SELECT '{name}' AS tier, {nbytes}::BIGINT AS bytes_per_vector,
+           round(256.0 / {nbytes}, 6) AS compression_x,
+           10::BIGINT AS k, count(*)::BIGINT AS n_hits,
+           round(count(*) / 10.0, 6) AS recall
+    FROM truth JOIN ({sub}) a USING (vec_id)""")
+    return (
+        """
+    WITH p AS (SELECT {probe} AS pv),
+    truth AS (
+      SELECT vec_id FROM embeddings, p
+      ORDER BY round(list_dot_product(embedding::DOUBLE[], pv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(pv, pv))), 6) DESC, vec_id
+      LIMIT 10)
+    """
+        + " UNION ALL ".join(parts)
+        + " ORDER BY tier"
+    )
+
+
+@query("x4_compression_ladder", None)  # oracle bound below (needs probe)
+def x4_compression_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the storage/recall frontier in ONE report (round 8):
+    recall@10 against float truth for each quantization tier the
+    engine ships — fp32 anchor (1×), int8 scalar (4×), NF4 (8×),
+    sign-binary (32×) — with bytes/vector and compression ratio in
+    the row. This is the table a capacity plan actually reads: at
+    100 TB of embeddings, "which tier serves and which tier reranks"
+    IS this frontier. Each tier is the same narrow scan +
+    TakeOrderedAndProject(k) its standalone query uses; the recall
+    joins are k-row-sized; the fp32 row doubles as the self-check
+    anchor (recall 1.0 by construction)
+    (operators/similarity.py:sq_topk, hamming_topk;
+    functions/vector.py:nf4_quantize)."""
+    from vectordb_migrator_spark.functions.vector import (
+        nf4_dequantize,
+        nf4_quantize,
+    )
+    from vectordb_migrator_spark.operators.similarity import (
+        cosine_topk,
+        hamming_topk,
+        sq_topk,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+    from vectordb_migrator_spark.suite._shared import _probe_vector
+
+    probe = _probe_vector(spark, sf_dir)
+    e = fan_out(_t(spark, sf_dir, "embeddings"))
+    truth = cosine_topk(e, probe, k=10).select("vec_id")
+    nf4 = e.select(
+        "vec_id", nf4_dequantize(nf4_quantize("embedding")).alias("embedding")
+    )
+    tiers = [
+        ("1_fp32", 256, truth),
+        ("2_int8", 64, sq_topk(e, probe, k=10).select("vec_id")),
+        ("3_nf4", 32, cosine_topk(nf4, probe, k=10).select("vec_id")),
+        ("4_binary", 8, hamming_topk(e, probe, k=10).select("vec_id")),
+    ]
+    out = None
+    for name, nbytes, appr in tiers:
+        row = truth.join(appr, "vec_id").agg(
+            F.lit(name).alias("tier"),
+            F.lit(nbytes).cast("long").alias("bytes_per_vector"),
+            F.round(F.lit(256.0 / nbytes), 6).alias("compression_x"),
+            F.lit(10).cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("tier")
+
+
+def _bind_compression_ladder_oracle() -> None:
+    from vectordb_migrator_spark.suite._shared import _PROBE_SQL, ORACLES
+
+    ORACLES["x4_compression_ladder"] = _compression_ladder_sql().format(
+        probe=_PROBE_SQL
+    )
+
+
+_bind_compression_ladder_oracle()
