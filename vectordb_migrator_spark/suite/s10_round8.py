@@ -1828,3 +1828,126 @@ def _bind_compression_ladder_oracle() -> None:
 
 
 _bind_compression_ladder_oracle()
+
+
+def _multi_signal_sql() -> str:
+    """Oracle for x2_multi_signal_clusters: the ngram-pair CTE and
+    the CDC-pair CTE (disjoint names), a tagged edge union, the
+    recursive-CTE transitive closure (the x2_dedup_clusters pattern),
+    and per-family detector provenance counts."""
+    cdc_body = _CDC_CHUNKS_CTE.split("WITH", 1)[1]
+    return (
+        _NGRAM_PAIRS_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+        + ","
+        + cdc_body
+        + """
+    , cdcp AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM (SELECT DISTINCT id, chunk_md5 FROM chunks) a
+      JOIN (SELECT DISTINCT id, chunk_md5 FROM chunks) b
+        ON a.chunk_md5 = b.chunk_md5 AND a.id < b.id
+      JOIN (SELECT chunk_md5, count(DISTINCT id) AS n,
+                   min(id) AS anchor
+            FROM chunks GROUP BY 1) f
+        ON f.chunk_md5 = a.chunk_md5
+      WHERE f.n <= 50 OR a.id = f.anchor
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), tagged AS (
+      SELECT id_a, id_b, 'jaccard' AS det FROM pairs
+      UNION ALL SELECT id_a, id_b, 'cdc' FROM cdcp
+    ), edges AS (
+      SELECT DISTINCT id_a AS a, id_b AS b FROM tagged
+      UNION SELECT id_b, id_a FROM tagged
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS id, least(a, min(b))::BIGINT AS comp
+      FROM reach GROUP BY a
+    ), fam AS (
+      SELECT t.id_a, t.id_b, t.det, c.comp
+      FROM tagged t JOIN comp c ON c.id = t.id_a
+    )
+    , sizes AS (
+      SELECT comp, count(*)::BIGINT AS size FROM comp GROUP BY comp
+    ), prov AS (
+      SELECT comp,
+             sum(CASE WHEN det = 'jaccard' THEN 1 ELSE 0 END)::BIGINT
+               AS jaccard_edges,
+             sum(CASE WHEN det = 'cdc' THEN 1 ELSE 0 END)::BIGINT
+               AS cdc_edges
+      FROM fam GROUP BY comp
+    )
+    SELECT s.comp, s.size,
+           coalesce(p.jaccard_edges, 0)::BIGINT AS jaccard_edges,
+           coalesce(p.cdc_edges, 0)::BIGINT AS cdc_edges
+    FROM sizes s LEFT JOIN prov p USING (comp)
+    ORDER BY s.comp"""
+    )
+
+
+@query("x2_multi_signal_clusters", _multi_signal_sql())
+def x2_multi_signal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — multi-signal dedup closure (round 8): production dedup
+    never trusts one detector, so this unions the n-gram Jaccard
+    pairs with the shift-robust CDC chunk-share pairs into ONE edge
+    set, closes components over the union, and reports per family
+    how many edges each detector contributed — the provenance a
+    curation owner reads to see which families exist ONLY because of
+    the shift-robust signal (fixed shingling alone would have split
+    them). Both pair kernels are the star-capped blocked joins their
+    standalone queries use; the closure shuffles (long, long) ids;
+    the provenance rollup is one duplicate-sized join. Full oracle
+    via the recursive-CTE closure over the same tagged union
+    (operators/dedup.py:cdc_pair_candidates,
+    operators/graph.py:connected_components)."""
+    from vectordb_migrator_spark.operators.dedup import (
+        cdc_chunks,
+        cdc_pair_candidates,
+    )
+    from vectordb_migrator_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    cdc = cdc_pair_candidates(
+        cdc_chunks(docs, avg_tokens=8), min_shared=2, max_bucket=50
+    ).select("id_a", "id_b")
+    tagged = (
+        jac.select("id_a", "id_b").withColumn("det", F.lit("jaccard"))
+        .unionAll(cdc.withColumn("det", F.lit("cdc")))
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(
+        tagged.select("id_a", "id_b").distinct()
+    ).localCheckpoint(eager=True)
+    fam = tagged.join(
+        comp.withColumnRenamed("id", "id_a"), "id_a"
+    ).select("comp", "det")
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    provenance = fam.groupBy("comp").agg(
+        F.coalesce(
+            F.sum((F.col("det") == "jaccard").cast("long")), F.lit(0)
+        ).cast("long").alias("jaccard_edges"),
+        F.coalesce(
+            F.sum((F.col("det") == "cdc").cast("long")), F.lit(0)
+        ).cast("long").alias("cdc_edges"),
+    )
+    return (
+        sizes.join(provenance, "comp", "left")
+        .select(
+            "comp",
+            "size",
+            F.coalesce("jaccard_edges", F.lit(0)).cast("long").alias(
+                "jaccard_edges"
+            ),
+            F.coalesce("cdc_edges", F.lit(0)).cast("long").alias(
+                "cdc_edges"
+            ),
+        )
+        .orderBy("comp")
+    )
