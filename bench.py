@@ -115,6 +115,7 @@ HEADLINE = [
     "x3_training_triples",
     "x11_sql_api_topk",
     "x11_sql_curation",
+    "x11_sql_near_dup",
     "x4_ivf_topk",
     "x4_hamming_topk",
     "x4_binary_rerank",

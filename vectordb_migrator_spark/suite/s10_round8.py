@@ -1951,3 +1951,59 @@ def x2_multi_signal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("comp")
     )
+
+
+@query(
+    "x11_sql_near_dup",
+    _NGRAM_PAIRS_CTE
+    + """
+    SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""",
+)
+def x11_sql_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — the near-dup pair kernel written ENTIRELY as SQL text
+    (round 8): 3-gram shingling via higher-order functions
+    (transform over a sequence + array_distinct), explode, the
+    gram-keyed self-join with the Jaccard HAVING gate — submitted
+    through ``spark.sql`` over a registered view, proving a SQL-only
+    user can run the repo's single most-composed kernel (everything
+    from the cluster closures to the graph family builds on these
+    pairs) without touching the Column API. Catalyst compiles the
+    HOF shingling into the same codegen the operator gets; the join
+    and aggregate shapes are identical. Full oracle: the same CTE
+    text every graph-family oracle inlines, dialect aside."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView(
+        "vm_documents"
+    )
+    return spark.sql(
+        r"""
+        WITH t AS (
+          -- REPARTITION hint = the SQL-text spelling of fan_out():
+          -- a one-file toy scan would otherwise shingle+join on a
+          -- single partition (no-op on real multi-file corpora)
+          SELECT /*+ REPARTITION(32) */ doc_id AS id,
+                 split(lower(regexp_replace(text, '^\\s+|\\s+$', '')),
+                       '\\s+') AS toks
+          FROM vm_documents
+        ), sh AS (
+          -- the operator's zip_with chain, verbatim in SQL: gram i =
+          -- tok[i] ++ tok[i+1] ++ tok[i+2], no per-gram sub-arrays
+          SELECT id,
+                 array_distinct(
+                   zip_with(
+                     zip_with(slice(toks, 1, size(toks) - 2),
+                              slice(toks, 2, size(toks) - 2),
+                              (a, b) -> concat(a, ' ', b)),
+                     slice(toks, 3, size(toks) - 2),
+                     (a, b) -> concat(a, ' ', b))) AS g
+          FROM t WHERE size(toks) >= 3
+        ), ex AS (
+          SELECT id, size(g) AS n, explode(g) AS gram FROM sh
+        )
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING count(*) / CAST(min(a.n) + min(b.n) - count(*) AS DOUBLE)
+               >= 0.2
+        ORDER BY id_a, id_b
+        """
+    )
