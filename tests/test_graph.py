@@ -586,3 +586,16 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError):
         pagerank(df, seeds=[])
+
+
+def test_adamic_adar_self_loop_does_not_abort(spark):
+    """A self-loop-only wedge center has deg 1 (ln = 0); its term
+    must become NULL via try_divide, not an ANSI divide-by-zero."""
+    from vectordb_migrator_spark.operators.graph import adamic_adar
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3)], ["id_a", "id_b"]
+    )
+    rows = adamic_adar(df, k=10).collect()
+    got = {(r["a"], r["b"]) for r in rows}
+    assert (2, 3) in got  # the real wedge through 1 still scores

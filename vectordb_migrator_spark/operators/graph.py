@@ -681,12 +681,15 @@ def adamic_adar(
         .agg(
             F.count(F.lit(1)).cast("long").alias("common"),
             # per-term round(9) + DECIMAL sum: the score is exact and
-            # associativity-independent, so the oracle hash matches
+            # associativity-independent, so the oracle hash matches.
+            # try_divide: a wedge center normally has deg >= 2, but a
+            # self-loop-only vertex (deg 1, ln = 0) must yield a NULL
+            # term, not an ANSI divide-by-zero job abort
             F.round(
                 F.sum(
-                    F.round(F.lit(1.0) / F.log("__d"), 9).cast(
-                        "decimal(28,9)"
-                    )
+                    F.round(
+                        F.try_divide(F.lit(1.0), F.log("__d")), 9
+                    ).cast("decimal(28,9)")
                 ).cast("double"),
                 6,
             ).alias("score"),
