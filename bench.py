@@ -180,6 +180,7 @@ HEADLINE = [
     "x7_diff_in_diff",
     "x5_f1_report",
     "x12_pk_uniqueness",
+    "x12_fd_violations",
     "x7_ece",
     "x5_quality_by_lang",
     "x5_quality_tiers",

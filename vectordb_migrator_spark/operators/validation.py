@@ -813,3 +813,74 @@ def pk_uniqueness(
     if out is None:
         raise ValueError("tables must be non-empty")
     return out.orderBy("tbl")
+
+
+def fd_audit(
+    df: DataFrame,
+    dependencies: list[tuple[str, str]],
+    *,
+    max_examples: int = 3,
+) -> DataFrame:
+    """Functional-dependency audit: for each claimed FD "X determines
+    Y", count the X values that map to MORE than one distinct Y — the
+    schema-design / merge-bug detector (a violated customer→nation or
+    sku→brand dependency is how silent join fan-out and bad
+    dimensional models get caught). Reports, per dependency: distinct
+    X count, violating-X count, violation rate, and up to
+    ``max_examples`` offending X values (smallest first, so the
+    example list is deterministic and the row hash-stable).
+
+    Scale shape: ONE (X, Y)-distinct aggregate per dependency — the
+    same map-side-combinable dedup every profiler row costs — folded
+    to per-X distinct-Y counts, then to one report row; example
+    collection is a bounded sort of the violating keys only. NULL X
+    rows are excluded (an FD is a statement about present keys); a
+    NULL Y counts as a value (two rows NULL/non-NULL under one X ARE
+    a violation)."""
+    out = None
+    for lhs, rhs in dependencies:
+        per_x = (
+            df.filter(F.col(lhs).isNotNull())
+            .select(
+                F.col(lhs).cast("string").alias("__x"),
+                F.col(rhs).cast("string").alias("__y"),
+            )
+            .distinct()
+            .groupBy("__x")
+            .agg(F.count(F.lit(1)).alias("__ny"))
+        )
+        viol = per_x.filter(F.col("__ny") > 1)
+        examples = (
+            viol.orderBy("__x")
+            .limit(max_examples)
+            # array_sort: collect_list order is partition-order-
+            # dependent even after limit; the sorted join is what
+            # makes the report row hash-stable
+            .agg(
+                F.array_join(
+                    F.array_sort(F.collect_list("__x")), ","
+                ).alias("__ex")
+            )
+        )
+        row = (
+            per_x.agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum((F.col("__ny") > 1).cast("long"))
+                .cast("long")
+                .alias("violations"),
+            )
+            .crossJoin(F.broadcast(examples))
+            .select(
+                F.lit(f"{lhs}->{rhs}").alias("dependency"),
+                "n_keys",
+                "violations",
+                F.round(
+                    F.try_divide(F.col("violations"), F.col("n_keys")), 6
+                ).alias("violation_rate"),
+                F.col("__ex").alias("example_keys"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("dependencies must be non-empty")
+    return out.orderBy("dependency")

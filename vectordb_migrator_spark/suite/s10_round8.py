@@ -2007,3 +2007,64 @@ def x11_sql_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY id_a, id_b
         """
     )
+
+
+_FD_DEPS = [
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("events", "user_id", "event_type"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+]
+
+
+def _fd_audit_sql() -> str:
+    parts = []
+    for tbl, lhs, rhs in _FD_DEPS:
+        parts.append(f"""
+    SELECT '{lhs}->{rhs}' AS dependency,
+           (SELECT count(*) FROM per_{tbl})::BIGINT AS n_keys,
+           (SELECT count(*) FROM per_{tbl} WHERE ny > 1)::BIGINT
+             AS violations,
+           round((SELECT count(*) FROM per_{tbl} WHERE ny > 1)::DOUBLE
+                 / (SELECT count(*) FROM per_{tbl}), 6)
+             AS violation_rate,
+           (SELECT coalesce(string_agg(x, ',' ORDER BY x), '') FROM
+              (SELECT x FROM per_{tbl} WHERE ny > 1
+               ORDER BY x LIMIT 3)) AS example_keys""")
+    ctes = ", ".join(
+        f"""per_{tbl} AS (
+      SELECT x, count(*)::BIGINT AS ny FROM (
+        SELECT DISTINCT {lhs}::VARCHAR AS x, {rhs}::VARCHAR AS y
+        FROM {tbl} WHERE {lhs} IS NOT NULL)
+      GROUP BY x
+    )"""
+        for tbl, lhs, rhs in _FD_DEPS
+    )
+    return (
+        "WITH " + ctes + "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY dependency"
+    )
+
+
+@query("x12_fd_violations", _fd_audit_sql())
+def x12_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — functional-dependency audit across the warehouse
+    (round 8): for each claimed "X determines Y", the X values that
+    map to more than one distinct Y — how bad dimensional models and
+    silent join fan-out get caught before they corrupt a report. The
+    battery mixes a dependency that must HOLD (nation key → region,
+    a real FK-backed FD — a nonzero row here is a data bug) with
+    behavioral non-FDs (customer-nation → market segment, user →
+    event type, order → return flag) whose violation RATES are the
+    profile. Per dependency: one (X, Y)-distinct aggregate folded to
+    per-X Y-counts, bounded deterministic example keys
+    (lexicographic, hash-stable)
+    (operators/validation.py:fd_audit)."""
+    from vectordb_migrator_spark.operators.validation import fd_audit
+
+    out = None
+    for tbl, lhs, rhs in _FD_DEPS:
+        row = fd_audit(_t(spark, sf_dir, tbl), [(lhs, rhs)])
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dependency")
