@@ -259,6 +259,7 @@ HEADLINE = [
     "scd2_order_status",
     "anomaly_zscore_events",
     "x13_mad_outliers",
+    "x13_anomaly_ensemble",
     "x13_acf",
     "x13_rolling_corr",
     "x13_seasonal_anomalies",

@@ -482,3 +482,37 @@ def test_ols_trend_matches_numpy(spark):
     assert got["b"]["r2"] < 1.0
     assert got["c"]["slope"] is None and got["c"]["n"] == 1
     assert got["d"]["slope"] is None  # zero time-variance
+
+
+def test_anomaly_ensemble_vote_semantics(spark):
+    """A one-day spike trips z but not CUSUM; a sustained level shift
+    trips CUSUM (and MAD) where z stays quiet — and only days with
+    two agreeing detectors flag."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        anomaly_ensemble,
+    )
+
+    # alternating 10/11 baseline (MAD stays positive) + one spike
+    days = [(f"2024-01-{d:02d}", 10.0 + (d % 2)) for d in range(1, 21)]
+    days[9] = ("2024-01-10", 60.0)  # spike day
+    df = spark.createDataFrame(days, "day string, v double")
+    got = {r["day"]: r for r in anomaly_ensemble(df).collect()}
+    spike = got["2024-01-10"]
+    assert spike["z_flag"] == 1 and spike["mad_flag"] == 1
+    assert spike["votes"] >= 2 and spike["flagged"]
+    # an early ordinary day: all three detectors quiet
+    quiet = got["2024-01-05"]
+    assert quiet["votes"] == 0 and not quiet["flagged"]
+
+
+def test_anomaly_ensemble_constant_series_no_abort(spark):
+    from vectordb_migrator_spark.operators.timeseries import (
+        anomaly_ensemble,
+    )
+
+    df = spark.createDataFrame(
+        [(f"2024-02-{d:02d}", 5.0) for d in range(1, 11)],
+        "day string, v double",
+    )
+    out = anomaly_ensemble(df).collect()  # sd = 0, MAD = 0: no abort
+    assert all(r["votes"] == 0 and not r["flagged"] for r in out)

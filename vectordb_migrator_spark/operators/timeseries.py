@@ -549,3 +549,75 @@ def ols_trend(
         F.round(F.when(guard, intercept), 6).alias("intercept"),
         F.round(F.when(guard, r2), 6).alias("r2"),
     )
+
+
+def anomaly_ensemble(
+    daily: DataFrame,
+    *,
+    z_threshold: float = 2.0,
+    mad_threshold: float = 3.5,
+    cusum_threshold: float = 3.0,
+) -> DataFrame:
+    """Ensemble anomaly vote over a (day, v) daily series: three
+    detectors with DISJOINT blind spots — z-score (sharp spikes, but
+    maskable: extreme days inflate the stddev), MAD modified-z
+    (50%-breakdown robust to exactly that masking), CUSUM (sustained
+    small shifts neither point detector sees) — each votes per day,
+    and ``flagged`` requires >= 2 votes: single-detector noise does
+    not page anyone, two independent mechanisms agreeing does. This
+    is the composition rule monitoring stacks converge on, here as
+    one operator with an exact oracle.
+
+    Everything runs on the day-sized frame (the caller folds the
+    corpus to daily means first — the shared pre-aggregation every
+    X13 statistic uses); scores round to 6 before thresholding so
+    the vote set is engine-stable; MAD = 0 and sd = 0 yield NULL
+    scores (no vote), never an ANSI abort."""
+    from pyspark.sql import Window as W
+
+    stats = daily.agg(
+        F.avg("v").alias("__mu"),
+        F.stddev_pop("v").alias("__sd"),
+        F.expr("percentile(v, 0.5)").alias("__med"),
+    )
+    with_stats = daily.crossJoin(F.broadcast(stats))
+    mad = with_stats.agg(
+        F.expr("percentile(abs(v - __med), 0.5)").alias("__mad")
+    )
+    base = with_stats.crossJoin(F.broadcast(mad))
+    z = F.round(F.try_divide(F.col("v") - F.col("__mu"), F.col("__sd")), 6)
+    rz = F.round(
+        F.lit(0.6745)
+        * F.try_divide(F.col("v") - F.col("__med"), F.col("__mad")),
+        6,
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cusum = F.round(
+        F.sum(
+            F.try_divide(F.col("v") - F.col("__mu"), F.col("__sd"))
+        ).over(w),
+        6,
+    )
+    scored = base.select(
+        "day",
+        "v",
+        (F.abs(z) > F.lit(z_threshold)).cast("long").alias("z_flag"),
+        (F.abs(rz) >= F.lit(mad_threshold)).cast("long").alias("mad_flag"),
+        (F.abs(cusum) > F.lit(cusum_threshold))
+        .cast("long")
+        .alias("cusum_flag"),
+    )
+    votes = (
+        F.coalesce(F.col("z_flag"), F.lit(0))
+        + F.coalesce(F.col("mad_flag"), F.lit(0))
+        + F.coalesce(F.col("cusum_flag"), F.lit(0))
+    )
+    return scored.select(
+        "day",
+        "v",
+        F.coalesce("z_flag", F.lit(0)).cast("long").alias("z_flag"),
+        F.coalesce("mad_flag", F.lit(0)).cast("long").alias("mad_flag"),
+        F.coalesce("cusum_flag", F.lit(0)).cast("long").alias("cusum_flag"),
+        votes.cast("long").alias("votes"),
+        (votes >= 2).alias("flagged"),
+    ).orderBy("day")

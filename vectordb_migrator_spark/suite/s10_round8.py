@@ -2068,3 +2068,75 @@ def x12_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = fd_audit(_t(spark, sf_dir, tbl), [(lhs, rhs)])
         out = row if out is None else out.unionByName(row)
     return out.orderBy("dependency")
+
+
+@query(
+    "x13_anomaly_ensemble",
+    """
+    WITH d AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             round(sum(round(value, 6)::DECIMAL(18,6)) / count(*), 6)
+               ::DOUBLE AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), s AS (
+      SELECT avg(v) AS mu, stddev_pop(v) AS sd,
+             quantile_cont(v, 0.5) AS med
+      FROM d
+    ), m AS (
+      SELECT quantile_cont(abs(v - (SELECT med FROM s)), 0.5) AS mad
+      FROM d
+    ), sc AS (
+      SELECT day, v,
+             CASE WHEN sd = 0 THEN NULL
+                  ELSE round((v - mu) / sd, 6) END AS z,
+             CASE WHEN (SELECT mad FROM m) = 0 THEN NULL
+                  ELSE round(0.6745 * (v - med)
+                             / (SELECT mad FROM m), 6) END AS rz,
+             round(sum(CASE WHEN sd = 0 THEN NULL
+                            ELSE (v - mu) / sd END)
+                   OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW), 6) AS cusum
+      FROM d, s
+    ), fl AS (
+      SELECT day, v,
+             coalesce((abs(z) > 2.0)::INT, 0)::BIGINT AS z_flag,
+             coalesce((abs(rz) >= 3.5)::INT, 0)::BIGINT AS mad_flag,
+             coalesce((abs(cusum) > 3.0)::INT, 0)::BIGINT AS cusum_flag
+      FROM sc
+    )
+    SELECT day, v, z_flag, mad_flag, cusum_flag,
+           (z_flag + mad_flag + cusum_flag)::BIGINT AS votes,
+           z_flag + mad_flag + cusum_flag >= 2 AS flagged
+    FROM fl ORDER BY day
+    """,
+)
+def x13_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — ensemble anomaly vote over the daily value series
+    (round 8): z-score (sharp spikes, maskable), MAD modified-z
+    (robust to exactly that masking), and CUSUM (sustained small
+    shifts the point detectors miss) each vote per day; ``flagged``
+    requires two independent mechanisms to agree — the composition
+    rule that keeps single-detector noise off the pager. The corpus
+    folds to daily means first (the shared X13 pre-aggregation);
+    every score rounds to 6 before thresholding so the vote set is
+    engine-stable; degenerate stats (sd = 0, MAD = 0) vote nothing
+    instead of aborting (operators/timeseries.py:anomaly_ensemble)."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        anomaly_ensemble,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("v")
+    )
+    return anomaly_ensemble(daily)
