@@ -886,3 +886,44 @@ def test_ks_p_value_kolmogorov_series(spark):
         assert abs(p - want) < 1e-9
     # big D on decent n: decisive; tiny D: p -> 1
     assert got[0] < 1e-5 and got[1] > 0.999
+
+
+def test_cmh_test_matches_scipy_style_hand_math(spark):
+    """Classic stratified 2x2 example, CMH with continuity correction
+    and the MH common odds ratio vs a hand replica; a single-row
+    stratum contributes no variance term and must not abort."""
+    from vectordb_migrator_spark.operators.scale import cmh_test
+
+    # stratum s1: a=10 b=5 c=4 d=11 | s2: a=8 b=12 c=7 d=13
+    rows = []
+    for s, counts in (("s1", (10, 5, 4, 11)), ("s2", (8, 12, 7, 13))):
+        a, b, c, d = counts
+        rows += [(s, "t", True)] * a + [(s, "t", False)] * b
+        rows += [(s, "c", True)] * c + [(s, "c", False)] * d
+    rows.append(("s3", "t", True))  # degenerate n=1 stratum
+    df = spark.createDataFrame(rows, "s string, v string, outc boolean")
+    r = cmh_test(
+        df, strata_col="s", exposure_col="v", exposed="t",
+        outcome_col="outc",
+    ).first()
+
+    def term(a, b, c, d):
+        n = a + b + c + d
+        e = round((a + b) * (a + c) / n, 9)
+        var = round(
+            (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)), 9
+        )
+        return e, var, round(a * d / n, 9), round(b * c / n, 9)
+
+    e1, v1, ad1, bc1 = term(10, 5, 4, 11)
+    e2, v2, ad2, bc2 = term(8, 12, 7, 13)
+    # s3: e = 1*1/1 = 1, var NULL, ad = 0, bc = 0
+    se, sv = e1 + e2 + 1.0, v1 + v2
+    sum_a = 10 + 8 + 1
+    want_cmh = round((abs(sum_a - se) - 0.5) ** 2 / sv, 6)
+    assert r["n_strata"] == 3 and r["sum_a"] == sum_a
+    assert abs(r["cmh_chi2"] - want_cmh) < 1e-9
+    assert abs(r["or_mh"] - round((ad1 + ad2) / (bc1 + bc2), 6)) < 1e-9
+    # pooled OR uses the collapsed table
+    ta, tb, tc, td = 19, 17, 11, 24
+    assert abs(r["or_pooled"] - round(ta * td / (tb * tc), 6)) < 1e-9

@@ -1246,3 +1246,84 @@ def bh_fdr(
     return base.withColumn(
         "discovery", F.col("rank") <= kstar
     ).orderBy("rank")
+
+
+def cmh_test(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    exposure_col: str,
+    exposed,
+    outcome_col: str,
+    chi2_crit: float = 3.841459,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 test — the Simpson's-
+    paradox guard the experiment battery needs: a pooled conversion
+    comparison can reverse sign when exposure is unevenly distributed
+    across strata (weekday, country, surface); CMH tests the common
+    effect ACROSS the per-stratum 2×2 tables instead, plus the
+    Mantel–Haenszel common odds ratio Σ(a·d/n)/Σ(b·c/n), reported
+    next to the naive pooled odds ratio so the paradox is visible in
+    one row. Continuity-corrected: (|Σa − ΣE| − ½)² / ΣVar with
+    E = (a+b)(a+c)/n and Var = (a+b)(c+d)(a+c)(b+d)/(n²(n−1)).
+
+    Exactness: every per-stratum term (E, Var, ad/n, bc/n) rounds to
+    9 and sums as DECIMAL(28,9) — associativity-independent, so the
+    single report row carries a value-hash oracle. Scale shape: ONE
+    (stratum, exposure, outcome) count aggregate collapses the
+    corpus; all the algebra runs on the strata-sized frame.
+    Single-row strata (n = 1) contribute NULL Var terms and drop via
+    the DECIMAL sum's NULL-skipping — no ANSI aborts."""
+    is_exp = F.col(exposure_col) == F.lit(exposed)
+    is_out = F.col(outcome_col).cast("boolean")
+    cells = df.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.sum((is_exp & is_out).cast("long")).alias("a"),
+        F.sum((is_exp & ~is_out).cast("long")).alias("b"),
+        F.sum((~is_exp & is_out).cast("long")).alias("c"),
+        F.sum((~is_exp & ~is_out).cast("long")).alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in ("a", "b", "c", "d"))
+    n = a + b + c + d
+    e = F.round(F.try_divide((a + b) * (a + c), n), 9)
+    var = F.round(
+        F.try_divide(
+            (a + b) * (c + d) * (a + c) * (b + d), n * n * (n - 1)
+        ),
+        9,
+    )
+    ad = F.round(F.try_divide(a * d, n), 9)
+    bc = F.round(F.try_divide(b * c, n), 9)
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(28,9)")).cast("double")
+
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+        dsum(e).alias("__e"),
+        dsum(var).alias("__v"),
+        dsum(ad).alias("__ad"),
+        dsum(bc).alias("__bc"),
+        F.sum("a").alias("__ta"),
+        F.sum("b").alias("__tb"),
+        F.sum("c").alias("__tc"),
+        F.sum("d").alias("__td"),
+    )
+    dev = F.abs(F.col("sum_a").cast("double") - F.col("__e")) - F.lit(0.5)
+    cmh = F.try_divide(dev * dev, F.col("__v"))
+    pooled_or = F.try_divide(
+        F.col("__ta").cast("double") * F.col("__td"),
+        F.col("__tb").cast("double") * F.col("__tc"),
+    )
+    return agg.select(
+        "n_strata",
+        "sum_a",
+        F.round(F.col("__e"), 6).alias("expected_a"),
+        F.round(F.col("__v"), 6).alias("variance"),
+        F.round(cmh, 6).alias("cmh_chi2"),
+        F.round(F.try_divide(F.col("__ad"), F.col("__bc")), 6).alias(
+            "or_mh"
+        ),
+        F.round(pooled_or, 6).alias("or_pooled"),
+        (F.round(cmh, 6) > F.lit(chi2_crit)).alias("significant"),
+    )

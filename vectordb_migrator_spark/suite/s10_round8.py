@@ -2140,3 +2140,86 @@ def x13_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v")
     )
     return anomaly_ensemble(daily)
+
+
+@query(
+    "x7_cmh_test",
+    """
+    WITH t AS (
+      SELECT event_type AS s,
+             (user_id % 2 = 0) AS exp,
+             (value > 50.0) AS outc
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ), cells AS (
+      SELECT s,
+             sum(CASE WHEN exp AND outc THEN 1 ELSE 0 END)::BIGINT AS a,
+             sum(CASE WHEN exp AND NOT outc THEN 1 ELSE 0 END)::BIGINT
+               AS b,
+             sum(CASE WHEN NOT exp AND outc THEN 1 ELSE 0 END)::BIGINT
+               AS c,
+             sum(CASE WHEN NOT exp AND NOT outc THEN 1 ELSE 0 END)
+               ::BIGINT AS d
+      FROM t GROUP BY s
+    ), terms AS (
+      SELECT a, b, c, d,
+             (a + b + c + d)::DOUBLE AS n,
+             round((a + b)::DOUBLE * (a + c)
+                   / (a + b + c + d), 9) AS e,
+             CASE WHEN a + b + c + d > 1 THEN
+               round((a + b)::DOUBLE * (c + d) * (a + c) * (b + d)
+                     / ((a + b + c + d)::DOUBLE * (a + b + c + d)
+                        * (a + b + c + d - 1)), 9) END AS var,
+             round(a::DOUBLE * d / (a + b + c + d), 9) AS ad,
+             round(b::DOUBLE * c / (a + b + c + d), 9) AS bc
+      FROM cells
+    ), agg AS (
+      SELECT count(*)::BIGINT AS n_strata,
+             sum(a)::BIGINT AS sum_a,
+             sum(e::DECIMAL(28,9))::DOUBLE AS se,
+             sum(var::DECIMAL(28,9))::DOUBLE AS sv,
+             sum(ad::DECIMAL(28,9))::DOUBLE AS sad,
+             sum(bc::DECIMAL(28,9))::DOUBLE AS sbc,
+             sum(a)::DOUBLE AS ta, sum(b)::DOUBLE AS tb,
+             sum(c)::DOUBLE AS tc, sum(d)::DOUBLE AS td
+      FROM terms
+    )
+    SELECT n_strata, sum_a,
+           round(se, 6) AS expected_a,
+           round(sv, 6) AS variance,
+           round((abs(sum_a - se) - 0.5) * (abs(sum_a - se) - 0.5)
+                 / sv, 6) AS cmh_chi2,
+           round(sad / sbc, 6) AS or_mh,
+           round(ta * td / (tb * tc), 6) AS or_pooled,
+           round((abs(sum_a - se) - 0.5) * (abs(sum_a - se) - 0.5)
+                 / sv, 6) > 3.841459 AS significant
+    FROM agg
+    """,
+)
+def x7_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — Cochran–Mantel–Haenszel stratified test (round 8), the
+    Simpson's-paradox guard completing the experiment battery: the
+    variant's effect on high-value conversion tested ACROSS
+    per-event-type 2×2 tables (a pooled comparison can reverse sign
+    when exposure is uneven across strata), with the Mantel–Haenszel
+    common odds ratio reported NEXT TO the naive pooled one so the
+    paradox is visible in a single row. One (stratum, exposure,
+    outcome) count aggregate collapses the corpus; per-stratum terms
+    round to 9 and sum as DECIMAL, so the report hash-matches
+    (operators/scale.py:cmh_test)."""
+    from vectordb_migrator_spark.operators.scale import cmh_test
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    t = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("v"),
+        (F.col("value") > 50.0).alias("outc"),
+    )
+    return cmh_test(
+        t,
+        strata_col="event_type",
+        exposure_col="v",
+        exposed="a",
+        outcome_col="outc",
+    )
