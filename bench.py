@@ -204,6 +204,7 @@ HEADLINE = [
     "x4_nf4_recall",
     "x4_matryoshka_recall",
     "x4_compression_ladder",
+    "x4_matryoshka_rerank",
     "x9_storage_report",
     "x9_embedding_drift",
     "x9_sq_error_by_label",

@@ -2223,3 +2223,106 @@ def x7_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         exposed="a",
         outcome_col="outc",
     )
+
+
+def _matryoshka_rerank_sql() -> str:
+    """Oracle for x4_matryoshka_rerank: 16-dim prefix shortlist of 50,
+    full-width cosine rerank to 10, hit flags vs the full-scan truth."""
+    return """
+    WITH p AS (SELECT {probe} AS pv),
+    q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    short AS (
+      SELECT vec_id, v FROM q, p
+      ORDER BY round(list_dot_product(v[1:16], pv[1:16]) /
+                 (sqrt(list_dot_product(v[1:16], v[1:16])) *
+                  sqrt(list_dot_product(pv[1:16], pv[1:16]))), 6)
+               DESC, vec_id
+      LIMIT 50
+    ),
+    rer AS (
+      SELECT vec_id,
+             round(list_dot_product(v, pv) /
+                   (sqrt(list_dot_product(v, v)) *
+                    sqrt(list_dot_product(pv, pv))), 6) AS score
+      FROM short, p
+      ORDER BY score DESC, vec_id LIMIT 10
+    ),
+    truth AS (
+      SELECT vec_id, row_number() OVER (ORDER BY sc DESC, vec_id)
+               AS trank
+      FROM (SELECT vec_id,
+                   round(list_dot_product(v, pv) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(pv, pv))), 6) AS sc
+            FROM q, p)
+      ORDER BY sc DESC, vec_id LIMIT 10
+    )
+    SELECT r.vec_id,
+           row_number() OVER (ORDER BY r.score DESC, r.vec_id)::BIGINT
+             AS rank,
+           r.score,
+           (t.vec_id IS NOT NULL) AS in_truth
+    FROM rer r LEFT JOIN truth t USING (vec_id)
+    ORDER BY rank"""
+
+
+@query("x4_matryoshka_rerank", None)  # oracle bound below (needs probe)
+def x4_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the MRL TWO-STAGE serving pattern (round 8), the query
+    ``x4_matryoshka_recall`` motivates: shortlist 50 candidates by
+    cosine over the FIRST 16 dims (4× less scan bandwidth — at 100 TB
+    the prefix is the hot tier), then rerank the 50-row shortlist at
+    full width and keep 10, each row flagged against the full-scan
+    truth. Stage 1 is a narrow prefix scan + TakeOrdered(50); stage 2
+    touches full vectors for 50 rows only — the full-precision read
+    amplification IS the shortlist size, never the corpus. Full
+    oracle replays both stages
+    (operators/similarity.py:cosine_topk)."""
+    from vectordb_migrator_spark.operators.similarity import cosine_topk
+    from vectordb_migrator_spark.operators.util import fan_out
+    from vectordb_migrator_spark.suite._shared import _probe_vector
+    from pyspark.sql import Window as W
+
+    probe = _probe_vector(spark, sf_dir)
+    e = fan_out(_t(spark, sf_dir, "embeddings"))
+    sliced = e.select(
+        "vec_id",
+        "embedding",
+        F.slice(F.col("embedding"), 1, 16).alias("__pfx"),
+    )
+    short = cosine_topk(
+        sliced,
+        probe[:16],
+        k=50,
+        vec_col="__pfx",
+        payload_cols=["embedding"],
+    ).select("vec_id", "embedding")
+    rer = cosine_topk(short, probe, k=10)
+    truth = cosine_topk(e, probe, k=10).select("vec_id")
+    return (
+        rer.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("score"), "vec_id"))
+            .cast("long"),
+        )
+        .join(truth.withColumn("__t", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "rank",
+            "score",
+            F.col("__t").isNotNull().alias("in_truth"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _bind_matryoshka_rerank_oracle() -> None:
+    from vectordb_migrator_spark.suite._shared import _PROBE_SQL, ORACLES
+
+    ORACLES["x4_matryoshka_rerank"] = _matryoshka_rerank_sql().format(
+        probe=_PROBE_SQL
+    )
+
+
+_bind_matryoshka_rerank_oracle()
