@@ -270,6 +270,7 @@ HEADLINE = [
     "x13_markov_transitions",
     "x13_journey_entropy",
     "x13_attribution",
+    "x13_mix_decomposition",
     "x13_kaplan_meier",
     "x13_forecast_backtest",
     "x13_theil_sen",

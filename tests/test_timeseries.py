@@ -516,3 +516,42 @@ def test_anomaly_ensemble_constant_series_no_abort(spark):
     )
     out = anomaly_ensemble(df).collect()  # sd = 0, MAD = 0: no abort
     assert all(r["votes"] == 0 and not r["flagged"] for r in out)
+
+
+def test_mix_decomposition_identity_and_effects(spark):
+    from vectordb_migrator_spark.operators.timeseries import (
+        mix_decomposition,
+    )
+
+    rows = []
+    # seg 'grow': volume doubles, rate constant 10
+    rows += [("grow", "a", 10.0)] * 4 + [("grow", "b", 10.0)] * 8
+    # seg 'rate': volume constant 4, rate 10 -> 15
+    rows += [("rate", "a", 10.0)] * 4 + [("rate", "b", 15.0)] * 4
+    # seg 'gone': only in period a (pure negative volume effect)
+    rows += [("gone", "a", 20.0)] * 3
+    df = spark.createDataFrame(rows, "segment string, p string, value double")
+    got = {
+        r["segment"]: r
+        for r in mix_decomposition(
+            df, segment_col="segment", period_col="p",
+            value_col="value", period_a="a", period_b="b",
+        ).collect()
+    }
+    g = got["grow"]
+    assert (g["volume_effect"], g["rate_effect"], g["interaction"]) == (
+        40.0, 0.0, 0.0,
+    )
+    r = got["rate"]
+    assert (r["volume_effect"], r["rate_effect"], r["interaction"]) == (
+        0.0, 20.0, 0.0,
+    )
+    z = got["gone"]
+    assert z["n_b"] == 0 and z["rate_b"] == 0.0
+    assert z["volume_effect"] == -60.0
+    # per-segment identity: effects always sum to total change
+    for v in got.values():
+        assert abs(
+            v["volume_effect"] + v["rate_effect"] + v["interaction"]
+            - v["total_change"]
+        ) < 1e-6

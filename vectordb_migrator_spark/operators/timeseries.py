@@ -621,3 +621,86 @@ def anomaly_ensemble(
         votes.cast("long").alias("votes"),
         (votes >= 2).alias("flagged"),
     ).orderBy("day")
+
+
+def mix_decomposition(
+    df: DataFrame,
+    *,
+    segment_col: str,
+    period_col: str,
+    value_col: str,
+    period_a,
+    period_b,
+) -> DataFrame:
+    """Period-over-period volume/rate decomposition per segment — the
+    canonical FP&A "why did the total move" answer: for each segment,
+    ΔT = n_b·r_b − n_a·r_a splits EXACTLY into volume effect
+    (Δn)·r_a, rate effect n_a·(Δr), and interaction (Δn)·(Δr) — which
+    tells you whether a metric moved because a segment GREW, because
+    its per-event value shifted, or both at once; the per-segment
+    rows sum to the total change, so nothing is left unattributed.
+    (``attribution_credits`` answers "which touchpoint", Adtributor
+    "which dimension"; this answers "volume or rate".)
+
+    Exactness: per-period sums fold as round-6 decimals; rates and
+    effects round to 6 — hash-stable. Segments absent from a period
+    enter with n = 0, r = 0 (pure volume effect). ONE
+    (segment, period) aggregate collapses the corpus; all algebra
+    runs on the segments-sized frame."""
+    per = (
+        df.filter(F.col(period_col).isin([period_a, period_b]))
+        .groupBy(
+            F.col(segment_col).alias("segment"),
+            F.col(period_col).alias("__p"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(
+                F.round(F.col(value_col), 6).cast("decimal(18,6)")
+            ).alias("__s"),
+        )
+    )
+    wide = per.groupBy("segment").agg(
+        F.coalesce(
+            F.max(F.when(F.col("__p") == period_a, F.col("__n"))),
+            F.lit(0),
+        ).cast("double").alias("n_a"),
+        F.coalesce(
+            F.max(F.when(F.col("__p") == period_a, F.col("__s"))),
+            F.lit(0).cast("decimal(18,6)"),
+        ).cast("double").alias("s_a"),
+        F.coalesce(
+            F.max(F.when(F.col("__p") == period_b, F.col("__n"))),
+            F.lit(0),
+        ).cast("double").alias("n_b"),
+        F.coalesce(
+            F.max(F.when(F.col("__p") == period_b, F.col("__s"))),
+            F.lit(0).cast("decimal(18,6)"),
+        ).cast("double").alias("s_b"),
+    )
+    r_a = F.round(F.coalesce(F.try_divide("s_a", "n_a"), F.lit(0.0)), 6)
+    r_b = F.round(F.coalesce(F.try_divide("s_b", "n_b"), F.lit(0.0)), 6)
+    scored = wide.select(
+        "segment",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        r_a.alias("rate_a"),
+        r_b.alias("rate_b"),
+    )
+    dn = F.col("n_b") - F.col("n_a")
+    dr = F.col("rate_b") - F.col("rate_a")
+    return scored.select(
+        "segment",
+        "n_a",
+        "n_b",
+        "rate_a",
+        "rate_b",
+        F.round(dn * F.col("rate_a"), 6).alias("volume_effect"),
+        F.round(F.col("n_a") * dr, 6).alias("rate_effect"),
+        F.round(dn * dr, 6).alias("interaction"),
+        F.round(
+            F.col("n_b") * F.col("rate_b")
+            - F.col("n_a") * F.col("rate_a"),
+            6,
+        ).alias("total_change"),
+    ).orderBy("segment")

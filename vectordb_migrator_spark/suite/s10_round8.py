@@ -2326,3 +2326,88 @@ def _bind_matryoshka_rerank_oracle() -> None:
 
 
 _bind_matryoshka_rerank_oracle()
+
+
+@query(
+    "x13_mix_decomposition",
+    """
+    WITH m AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid
+               FROM events),
+    t AS (SELECT event_type AS segment,
+                 CASE WHEN epoch(ts) <= m.mid THEN 'a' ELSE 'b' END
+                   AS p,
+                 value
+          FROM events, m WHERE value IS NOT NULL),
+    per AS (
+      SELECT segment, p, count(*)::BIGINT AS n,
+             sum(round(value, 6)::DECIMAL(18,6)) AS s
+      FROM t GROUP BY 1, 2
+    ), wide AS (
+      SELECT segment,
+             coalesce(max(CASE WHEN p = 'a' THEN n END), 0)::DOUBLE
+               AS n_a,
+             coalesce(max(CASE WHEN p = 'a' THEN s END),
+                      0::DECIMAL(18,6))::DOUBLE AS s_a,
+             coalesce(max(CASE WHEN p = 'b' THEN n END), 0)::DOUBLE
+               AS n_b,
+             coalesce(max(CASE WHEN p = 'b' THEN s END),
+                      0::DECIMAL(18,6))::DOUBLE AS s_b
+      FROM per GROUP BY segment
+    ), sc AS (
+      SELECT segment, n_a, n_b,
+             round(CASE WHEN n_a = 0 THEN 0.0 ELSE s_a / n_a END, 6)
+               AS rate_a,
+             round(CASE WHEN n_b = 0 THEN 0.0 ELSE s_b / n_b END, 6)
+               AS rate_b
+      FROM wide
+    )
+    SELECT segment, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           rate_a, rate_b,
+           round((n_b - n_a) * rate_a, 6) AS volume_effect,
+           round(n_a * (rate_b - rate_a), 6) AS rate_effect,
+           round((n_b - n_a) * (rate_b - rate_a), 6) AS interaction,
+           round(n_b * rate_b - n_a * rate_a, 6) AS total_change
+    FROM sc ORDER BY segment
+    """,
+)
+def x13_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — period-over-period volume/rate decomposition (round 8):
+    per event type, the first-half → second-half change in total
+    value splits EXACTLY into volume effect (count moved), rate
+    effect (per-event value moved), and interaction — the canonical
+    "did the metric move because the segment grew or because its
+    rate shifted" answer that completes the attribution family
+    (``x13_attribution`` = which touchpoint, ``x12_root_cause`` =
+    which dimension, this = volume or rate). One (segment, period)
+    aggregate collapses the corpus; effects sum to the total change
+    by construction, so nothing is unattributed
+    (operators/timeseries.py:mix_decomposition)."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        mix_decomposition,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mid = ev.agg(
+        (
+            (
+                F.min(F.col("ts").cast("double"))
+                + F.max(F.col("ts").cast("double"))
+            )
+            / 2
+        ).alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(F.col("ts").cast("double") <= F.col("mid"), "a")
+        .otherwise("b")
+        .alias("p"),
+        "value",
+    )
+    return mix_decomposition(
+        tagged,
+        segment_col="event_type",
+        period_col="p",
+        value_col="value",
+        period_a="a",
+        period_b="b",
+    )
