@@ -278,6 +278,7 @@ HEADLINE = [
     "x13_user_features",
     "x13_rfm_segments",
     "x13_event_gaps",
+    "x13_interarrival_profile",
     "x13_hour_of_week_profile",
     "range_join_value_bands",
     "bin_equal_frequency_events",

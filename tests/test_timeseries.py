@@ -555,3 +555,38 @@ def test_mix_decomposition_identity_and_effects(spark):
             v["volume_effect"] + v["rate_effect"] + v["interaction"]
             - v["total_change"]
         ) < 1e-6
+
+
+def test_interarrival_profile_poisson_vs_metronome(spark):
+    import datetime as dt
+    import math
+    import random
+
+    from vectordb_migrator_spark.operators.timeseries import (
+        interarrival_profile,
+    )
+
+    base = dt.datetime(2024, 4, 1)
+    rows = []
+    # metronome: exact 60s gaps -> sd 0, burstiness -1, exp fit bad
+    t = base
+    for i in range(60):
+        rows.append(("tick", t, i))
+        t += dt.timedelta(seconds=60)
+    # seeded exponential-ish gaps -> burstiness near 0, exp fit ok
+    rng = random.Random(7)
+    t = base
+    for i in range(400):
+        rows.append(("poisson", t, 1000 + i))
+        t += dt.timedelta(seconds=-60.0 * math.log(1 - rng.random()))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long")
+    got = {
+        r["key"]: r for r in interarrival_profile(df).collect()
+    }
+    tick = got["tick"]
+    assert tick["mean_gap_s"] == 60.0 and tick["cv"] == 0.0
+    assert tick["burstiness"] == -1.0
+    assert not tick["exponential_fit_ok"]  # step CDF vs smooth exp
+    poi = got["poisson"]
+    assert abs(poi["burstiness"]) < 0.15
+    assert poi["exponential_fit_ok"]

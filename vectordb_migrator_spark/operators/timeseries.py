@@ -704,3 +704,99 @@ def mix_decomposition(
             6,
         ).alias("total_change"),
     ).orderBy("segment")
+
+
+def interarrival_profile(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival process profile per key: mean gap, coefficient
+    of variation, Goh–Barabási burstiness B = (σ−μ)/(σ+μ) (−1 =
+    metronome, 0 = Poisson, →1 = bursty), and a Kolmogorov–Smirnov
+    goodness-of-fit D against the fitted exponential (rate = 1/mean) —
+    the diagnostic that says whether gap-based SLA alerting
+    (``event_gaps``) can assume memorylessness at all: exponential
+    fits license "p99 gap ≈ −ln(.01)/λ" math, bursty processes break
+    it.
+
+    Shape: one lag window per key (in-partition sort, ties broken by
+    the id column), then moment sums as round-6 decimals; the KS pass
+    ranks gaps per key (the distinct-value ECDF trick does not apply
+    against a continuous CDF, so this IS an in-partition sort of
+    gap-width rows — at extreme scale sample gaps per key first).
+    F(t) rounds to 9 before the ECDF diffs and D to 6, keeping the
+    report hash-stable across engines. Keys with < 2 gaps report
+    NULL stats."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(ts_col, id_col)
+    sec = F.col(ts_col).cast("double")
+    gaps = (
+        df.select(
+            F.col(key_col).alias("key"),
+            (sec - F.lag(sec).over(w)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    g6 = F.round(F.col("g"), 6).cast("decimal(18,6)")
+    m = gaps.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(g6).cast("decimal(38,6)").alias("__s"),
+        F.sum(g6 * g6).cast("decimal(38,12)").alias("__ss"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("__s").cast("double") / n
+    var = F.col("__ss").cast("double") / n - mu * mu
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    stats = m.select(
+        "key",
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(F.try_divide(sd, mu), 6).alias("cv"),
+        F.round(F.try_divide(sd - mu, sd + mu), 6).alias("burstiness"),
+        F.when(F.col("n_gaps") >= 2, mu).alias("__mu_raw"),
+    )
+    wk = W.partitionBy("key").orderBy("g")
+    ranked = (
+        gaps.withColumn("__i", F.row_number().over(wk))
+        .join(
+            stats.select("key", "__mu_raw"),
+            "key",
+        )
+        .withColumn(
+            "__f",
+            F.round(
+                F.lit(1.0)
+                - F.exp(-F.try_divide(F.col("g"), F.col("__mu_raw"))),
+                9,
+            ),
+        )
+    )
+    wn = W.partitionBy("key")
+    d = ranked.withColumn("__n", F.count(F.lit(1)).over(wn)).select(
+        "key",
+        F.greatest(
+            F.abs(F.col("__i") / F.col("__n") - F.col("__f")),
+            F.abs((F.col("__i") - 1) / F.col("__n") - F.col("__f")),
+        ).alias("__d"),
+    )
+    ks = d.groupBy("key").agg(F.round(F.max("__d"), 6).alias("ks_d"))
+    crit = F.round(F.lit(1.358) / F.sqrt(n), 6)
+    return (
+        stats.drop("__mu_raw")
+        .join(ks, "key", "left")
+        .select(
+            "key",
+            "n_gaps",
+            "mean_gap_s",
+            "cv",
+            "burstiness",
+            "ks_d",
+            (F.col("ks_d") <= crit).alias("exponential_fit_ok"),
+        )
+        .orderBy("key")
+    )

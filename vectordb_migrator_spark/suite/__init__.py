@@ -132,6 +132,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_cmh_test",  # stratified Simpson's-paradox guard (new r8)
     "x4_matryoshka_rerank",  # MRL prefix shortlist + full rerank (new r8)
     "x13_mix_decomposition",  # volume/rate change attribution (new r8)
+    "x13_interarrival_profile",  # burstiness + exponential GoF (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

@@ -2411,3 +2411,68 @@ def x13_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         period_a="a",
         period_b="b",
     )
+
+
+@query(
+    "x13_interarrival_profile",
+    """
+    WITH g0 AS (
+      SELECT event_type AS key,
+             epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS g
+      FROM events
+    ), gg AS (SELECT key, g FROM g0 WHERE g IS NOT NULL),
+    m AS (
+      SELECT key, count(*)::BIGINT AS n_gaps,
+             sum(round(g, 6)::DECIMAL(18,6))::DECIMAL(38,6) AS s,
+             sum(round(g, 6)::DECIMAL(19,6)
+                 * round(g, 6)::DECIMAL(19,6))::DECIMAL(38,12) AS ss
+      FROM gg GROUP BY key
+    ), st AS (
+      SELECT key, n_gaps,
+             s::DOUBLE / n_gaps AS mu,
+             sqrt(greatest(ss::DOUBLE / n_gaps
+                           - (s::DOUBLE / n_gaps)
+                             * (s::DOUBLE / n_gaps), 0.0)) AS sd
+      FROM m
+    ), rk AS (
+      SELECT gg.key, gg.g,
+             row_number() OVER (PARTITION BY gg.key ORDER BY gg.g)
+               AS i,
+             count(*) OVER (PARTITION BY gg.key) AS n,
+             round(1.0 - exp(-(gg.g / st.mu)), 9) AS f
+      FROM gg JOIN st ON st.key = gg.key WHERE st.n_gaps >= 2
+    ), ks AS (
+      SELECT key,
+             round(max(greatest(abs(i::DOUBLE / n - f),
+                                abs((i - 1)::DOUBLE / n - f))), 6)
+               AS ks_d
+      FROM rk GROUP BY key
+    )
+    SELECT st.key, st.n_gaps,
+           round(mu, 6) AS mean_gap_s,
+           round(CASE WHEN mu = 0 THEN NULL ELSE sd / mu END, 6) AS cv,
+           round(CASE WHEN sd + mu = 0 THEN NULL
+                 ELSE (sd - mu) / (sd + mu) END, 6) AS burstiness,
+           ks.ks_d,
+           ks.ks_d <= round(1.358 / sqrt(st.n_gaps), 6)
+             AS exponential_fit_ok
+    FROM st LEFT JOIN ks USING (key) ORDER BY st.key
+    """,
+)
+def x13_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — inter-arrival process profile (round 8): per event type,
+    mean gap, CV, Goh–Barabási burstiness (−1 metronome, 0 Poisson,
+    →1 bursty), and a KS goodness-of-fit D against the fitted
+    exponential — the diagnostic that says whether the gap-based SLA
+    math ``x13_event_gaps`` feeds (p99 gap ≈ −ln(.01)/λ) is licensed
+    at all: memorylessness holds only if the exponential fits. Gaps
+    come from the same tie-broken lag window as event_gaps; moments
+    sum as decimals; F(t) rounds to 9 before the ECDF diffs so the
+    engines' exp ulps vanish
+    (operators/timeseries.py:interarrival_profile)."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        interarrival_profile,
+    )
+
+    return interarrival_profile(_t(spark, sf_dir, "events"))
