@@ -182,6 +182,7 @@ HEADLINE = [
     "x5_f1_report",
     "x12_pk_uniqueness",
     "x12_fd_violations",
+    "x12_key_discovery",
     "x7_ece",
     "x5_quality_by_lang",
     "x5_quality_tiers",

@@ -884,3 +884,65 @@ def fd_audit(
     if out is None:
         raise ValueError("dependencies must be non-empty")
     return out.orderBy("dependency")
+
+
+def key_discovery(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    composites: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Candidate-key discovery — the inverse of the PK audit
+    (``pk_uniqueness`` verifies DECLARED keys; this finds them): per
+    column (and per opted-in composite pair), row count, NULL count,
+    exact distinct count, uniqueness ratio, and ``is_key`` = fully
+    distinct with zero NULLs. The schema-inference primitive behind
+    "what can this table join on" and dedup-key selection.
+
+    Composites are OPT-IN named pairs, never the full combinatorial
+    lattice — at k columns the pair set alone is k²/2 distinct
+    aggregates, and discovery workloads know their candidates. One
+    aggregate per candidate (map-side combinable distinct); at
+    warehouse scale swap exact ndv for approx_count_distinct and keep
+    ``is_key`` as ndv == rows within the sketch's epsilon as a
+    SCREEN, then verify survivors exactly."""
+    out = None
+    n_rows = df.count()
+    cands: list[tuple[str, "Column"]] = [
+        (c, F.col(c).cast("string")) for c in columns
+    ]
+    for a, b in composites or []:
+        cands.append(
+            (
+                f"{a}+{b}",
+                F.concat_ws(
+                    "\x1f",
+                    F.col(a).cast("string"),
+                    F.col(b).cast("string"),
+                ),
+            )
+        )
+    for name, expr in cands:
+        row = df.agg(
+            F.lit(name).alias("candidate"),
+            F.lit(n_rows).cast("long").alias("n_rows"),
+            F.sum(expr.isNull().cast("long"))
+            .cast("long")
+            .alias("n_null"),
+            F.count_distinct(expr).cast("long").alias("ndv"),
+        ).select(
+            "candidate",
+            "n_rows",
+            "n_null",
+            "ndv",
+            F.round(F.try_divide(F.col("ndv"), F.col("n_rows")), 6).alias(
+                "uniqueness"
+            ),
+            (
+                (F.col("ndv") == F.col("n_rows")) & (F.col("n_null") == 0)
+            ).alias("is_key"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("columns must be non-empty")
+    return out.orderBy("candidate")

@@ -133,6 +133,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_matryoshka_rerank",  # MRL prefix shortlist + full rerank (new r8)
     "x13_mix_decomposition",  # volume/rate change attribution (new r8)
     "x13_interarrival_profile",  # burstiness + exponential GoF (new r8)
+    "x12_key_discovery",  # candidate-key inference (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

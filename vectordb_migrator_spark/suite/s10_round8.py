@@ -2476,3 +2476,71 @@ def x13_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return interarrival_profile(_t(spark, sf_dir, "events"))
+
+
+_KEY_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _key_discovery_sql() -> str:
+    parts = [
+        f"""
+    SELECT '{c}' AS candidate,
+           count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_null,
+           count(DISTINCT {c})::BIGINT AS ndv,
+           round(count(DISTINCT {c})::DOUBLE / count(*), 6)
+             AS uniqueness,
+           count(DISTINCT {c}) = count(*)
+             AND sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) = 0
+             AS is_key
+    FROM orders"""
+        for c in _KEY_COLS
+    ]
+    comp = """
+    SELECT 'o_custkey+o_orderdate' AS candidate,
+           count(*)::BIGINT AS n_rows,
+           0::BIGINT AS n_null,
+           count(DISTINCT concat_ws(chr(31), o_custkey::VARCHAR,
+                                    o_orderdate::VARCHAR))::BIGINT
+             AS ndv,
+           round(count(DISTINCT concat_ws(chr(31), o_custkey::VARCHAR,
+                                          o_orderdate::VARCHAR))::DOUBLE
+                 / count(*), 6) AS uniqueness,
+           count(DISTINCT concat_ws(chr(31), o_custkey::VARCHAR,
+                                    o_orderdate::VARCHAR)) = count(*)
+             AS is_key
+    FROM orders"""
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts + [comp])
+        + ") ORDER BY candidate"
+    )
+
+
+@query("x12_key_discovery", _key_discovery_sql())
+def x12_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — candidate-key discovery over the orders table (round 8):
+    the inverse of ``x12_pk_uniqueness`` (that audits DECLARED keys;
+    this finds them): per column and one opted-in composite, exact
+    ndv, NULL count, uniqueness ratio, and the is_key verdict — the
+    schema-inference row behind "what can this table join on" and
+    dedup-key selection. Composites are opt-in named pairs, never the
+    combinatorial lattice; each candidate is one map-side-combinable
+    distinct aggregate, with the documented approx_count_distinct
+    screen-then-verify swap at warehouse scale
+    (operators/validation.py:key_discovery)."""
+    from vectordb_migrator_spark.operators.validation import key_discovery
+
+    return key_discovery(
+        _t(spark, sf_dir, "orders"),
+        _KEY_COLS,
+        composites=[("o_custkey", "o_orderdate")],
+    )
