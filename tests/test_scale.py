@@ -927,3 +927,45 @@ def test_cmh_test_matches_scipy_style_hand_math(spark):
     # pooled OR uses the collapsed table
     ta, tb, tc, td = 19, 17, 11, 24
     assert abs(r["or_pooled"] - round(ta * td / (tb * tc), 6)) < 1e-9
+
+
+def test_ratio_metric_ci_matches_numpy_delta_method(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.scale import ratio_metric_ci
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for u in range(40):
+        y = int(rng.integers(1, 10))
+        x = int(rng.integers(0, y + 1))
+        for _ in range(y):
+            pass
+        rows.append(("a", u, x, y))
+    for u in range(40, 75):
+        y = int(rng.integers(1, 8))
+        rows.append(("b", u, int(rng.integers(0, y + 1)), y))
+    rows.append(("c", 99, 1, 2))  # single-unit variant: NULL se
+    df = spark.createDataFrame(rows, "v string, u long, x long, y long")
+    got = {
+        r["variant"]: r
+        for r in ratio_metric_ci(
+            df, unit_col="u", variant_col="v",
+            numerator_col="x", denominator_col="y",
+        ).collect()
+    }
+    for v in ("a", "b"):
+        xs = np.array([r[2] for r in rows if r[0] == v], dtype=float)
+        ys = np.array([r[3] for r in rows if r[0] == v], dtype=float)
+        n = len(xs)
+        r = xs.sum() / ys.sum()
+        cov = np.cov(xs, ys, ddof=1)
+        var_r = (
+            cov[0, 0] - 2 * r * cov[0, 1] + r * r * cov[1, 1]
+        ) / (n * ys.mean() ** 2)
+        se = float(np.sqrt(max(var_r, 0.0)))
+        g = got[v]
+        assert abs(g["ratio"] - round(r, 6)) < 1e-9
+        assert abs(g["se"] - round(se, 6)) < 1e-6, v
+        assert abs(g["ci_lo"] - round(r - 1.959964 * se, 6)) < 1e-5
+    assert got["c"]["se"] is None and got["c"]["ci_lo"] is None

@@ -1327,3 +1327,69 @@ def cmh_test(
         F.round(pooled_or, 6).alias("or_pooled"),
         (F.round(cmh, 6) > F.lit(chi2_crit)).alias("significant"),
     )
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    *,
+    unit_col: str,
+    variant_col: str,
+    numerator_col: str,
+    denominator_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (CTR,
+    conversions-per-session, revenue-per-order) — the A/B readout a
+    per-row mean gets WRONG: the unit of randomization is the user,
+    so the metric is Σx/Σy over user-level pairs and its variance
+    must account for the x–y covariance within users
+    (Var(r) ≈ (s_xx − 2·r·s_xy + r²·s_yy) / (n·ȳ²), Deng et al.
+    KDD'18's standard practice). Reports per variant: units, sums,
+    the ratio, its delta-method SE, and the z-interval.
+
+    Exactness: per-unit numerators/denominators fold to ONE
+    (variant, unit) aggregate; x and y are typically counts, so the
+    moment sums (Σx, Σy, Σx², Σy², Σxy) are exact integer arithmetic
+    — the report is bit-identical across engines with no rounding
+    tricks needed; outputs round to 6. Degenerate variants (n < 2 or
+    Σy = 0) report NULL se/CI."""
+    per_unit = df.groupBy(
+        F.col(variant_col).alias("variant"),
+        F.col(unit_col).alias("__u"),
+    ).agg(
+        F.sum(F.col(numerator_col).cast("long")).alias("__x"),
+        F.sum(F.col(denominator_col).cast("long")).alias("__y"),
+    )
+    m = per_unit.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("__x").cast("long").alias("sum_x"),
+        F.sum("__y").cast("long").alias("sum_y"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+    )
+    n = F.col("n_units").cast("double")
+    sx, sy = F.col("sum_x").cast("double"), F.col("sum_y").cast("double")
+    xbar, ybar = sx / n, sy / n
+    r = F.try_divide(sx, sy)
+    # sample covariances (n-1 denominator)
+    cxx = F.try_divide(F.col("__sxx") - n * xbar * xbar, n - 1)
+    cyy = F.try_divide(F.col("__syy") - n * ybar * ybar, n - 1)
+    cxy = F.try_divide(F.col("__sxy") - n * xbar * ybar, n - 1)
+    var_r = F.try_divide(
+        cxx - F.lit(2.0) * r * cxy + r * r * cyy, n * ybar * ybar
+    )
+    se = F.when(
+        (F.col("n_units") >= 2) & (F.col("sum_y") > 0),
+        F.sqrt(F.greatest(var_r, F.lit(0.0))),
+    )
+    return m.select(
+        "variant",
+        "n_units",
+        "sum_x",
+        "sum_y",
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - F.lit(z) * se, 6).alias("ci_lo"),
+        F.round(r + F.lit(z) * se, 6).alias("ci_hi"),
+    ).orderBy("variant")

@@ -134,6 +134,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_mix_decomposition",  # volume/rate change attribution (new r8)
     "x13_interarrival_profile",  # burstiness + exponential GoF (new r8)
     "x12_key_discovery",  # candidate-key inference (new r8)
+    "x7_ratio_ci",  # delta-method CI for ratio metrics (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

@@ -2544,3 +2544,79 @@ def x12_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _KEY_COLS,
         composites=[("o_custkey", "o_orderdate")],
     )
+
+
+@query(
+    "x7_ratio_ci",
+    """
+    WITH t AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+             user_id AS u,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+             1 AS y
+      FROM events WHERE user_id IS NOT NULL
+    ), pu AS (
+      SELECT variant, u, sum(x)::BIGINT AS x, sum(y)::BIGINT AS y
+      FROM t GROUP BY 1, 2
+    ), m AS (
+      SELECT variant, count(*)::BIGINT AS n_units,
+             sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+             sum(x * y)::BIGINT AS sxy
+      FROM pu GROUP BY 1
+    ), c AS (
+      SELECT variant, n_units, sum_x, sum_y,
+             n_units::DOUBLE AS n,
+             sum_x::DOUBLE / sum_y AS r,
+             (sxx - n_units * (sum_x::DOUBLE / n_units)
+                            * (sum_x::DOUBLE / n_units))
+               / (n_units - 1) AS cxx,
+             (syy - n_units * (sum_y::DOUBLE / n_units)
+                            * (sum_y::DOUBLE / n_units))
+               / (n_units - 1) AS cyy,
+             (sxy - n_units * (sum_x::DOUBLE / n_units)
+                            * (sum_y::DOUBLE / n_units))
+               / (n_units - 1) AS cxy
+      FROM m
+    ), s AS (
+      SELECT variant, n_units, sum_x, sum_y, r,
+             CASE WHEN n_units >= 2 AND sum_y > 0 THEN
+               sqrt(greatest((cxx - 2 * r * cxy + r * r * cyy)
+                             / (n * (sum_y::DOUBLE / n)
+                                  * (sum_y::DOUBLE / n)), 0.0))
+             END AS se
+      FROM c
+    )
+    SELECT variant, n_units, sum_x, sum_y,
+           round(r, 6) AS ratio, round(se, 6) AS se,
+           round(r - 1.959964 * se, 6) AS ci_lo,
+           round(r + 1.959964 * se, 6) AS ci_hi
+    FROM s ORDER BY variant
+    """,
+)
+def x7_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — delta-method CI for the per-user purchase RATE (round 8):
+    the metric is Σ purchases / Σ events per variant with USERS as
+    the randomization unit, so the variance must carry the within-
+    user numerator–denominator covariance — the correction a naive
+    per-row proportion CI omits (and understates). Counts make every
+    moment sum exact integer arithmetic: the report is bit-identical
+    across engines before the final round-6. One (variant, user)
+    fold, then variants-sized algebra
+    (operators/scale.py:ratio_metric_ci)."""
+    from vectordb_migrator_spark.operators.scale import ratio_metric_ci
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    t = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("v"),
+        F.col("user_id").alias("u"),
+        (F.col("event_type") == "purchase").cast("int").alias("x"),
+        F.lit(1).alias("y"),
+    )
+    return ratio_metric_ci(
+        t,
+        unit_col="u",
+        variant_col="v",
+        numerator_col="x",
+        denominator_col="y",
+    )
