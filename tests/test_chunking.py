@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from hypothesis import given, settings, strategies as st
 import pytest
 from pyspark.sql import functions as F
 
@@ -167,3 +168,41 @@ def test_fim_transform_matches_hashlib_replica(spark):
     # determinism across calls
     again = {r["id"]: r["psm"] for r in fim_transform(df).collect()}
     assert again == {k: v["psm"] for k, v in got.items()}
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("pq r\nz"), max_size=30),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_fim_transform_is_a_permutation(spark, texts):
+    """Invariant: a FIM row's PSM stream is the three sentinels plus
+    EXACTLY the original token multiset (reordered, never altered);
+    a pass-through row is the identity join."""
+    import re
+
+    from collections import Counter
+
+    from vectordb_migrator_spark.operators.chunking import fim_transform
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in fim_transform(df, fim_rate=2).collect()}
+    for i, t in rows:
+        toks = [w for w in re.split(r"\s+", t.strip().lower()) if w]
+        r = got[i]
+        out = r["psm"].split(" ") if r["psm"] else []
+        if r["fim"]:
+            assert Counter(out) == Counter(
+                toks + ["<PRE>", "<SUF>", "<MID>"]
+            )
+            # prefix tokens stay contiguous right after <PRE>
+            u = r["u"]
+            assert out[1 : 1 + u] == toks[:u]
+        else:
+            assert out == toks or (not toks and out == [""]) or (
+                not toks and not out
+            )
