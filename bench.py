@@ -202,6 +202,7 @@ HEADLINE = [
     "x6_video_headers",
     "x9_chunk_documents",
     "x9_int8_quantization",
+    "x9_affine_quantization",
     "x9_nf4_quantization",
     "x4_nf4_recall",
     "x4_matryoshka_recall",

@@ -206,3 +206,43 @@ def test_fim_transform_is_a_permutation(spark, texts):
             assert out == toks or (not toks and out == [""]) or (
                 not toks and not out
             )
+
+
+def test_affine_quantize_roundtrip_and_onesided_advantage(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.functions.vector import (
+        affine_dequantize,
+        affine_quantize,
+        int8_dequantize,
+        int8_quantize,
+    )
+
+    # one-sided (ReLU-like) vector: affine error ~half of symmetric
+    v = [0.0, 0.1, 0.25, 0.5, 0.75, 1.0, 0.33, 0.66]
+    rows = [(1, v), (2, [3.0] * 8), (3, [-1.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = df.select(
+        "id",
+        "v",
+        affine_quantize("v").alias("a"),
+        int8_quantize("v").alias("s"),
+    ).select(
+        "id",
+        "v",
+        F.col("a.zero_point").alias("zp"),
+        affine_dequantize("a").alias("da"),
+        int8_dequantize("s").alias("ds"),
+    )
+    got = {r["id"]: r for r in out.collect()}
+    r1 = got[1]
+    err_a = max(abs(x - y) for x, y in zip(v, r1["da"]))
+    err_s = max(abs(x - y) for x, y in zip(v, r1["ds"]))
+    assert err_a <= err_s  # affine wins on one-sided data
+    assert err_a <= (1.0 - 0.0) / 255.0 / 2 + 1e-12
+    assert r1["zp"] == 0  # min is 0 -> zero point at origin
+    # constant vector: scale-0 convention, all-zero codes
+    r2 = got[2]
+    assert all(x == 0.0 for x in r2["da"])
+    # symmetric-range vector: zero point centers at 128-ish
+    assert abs(got[3]["zp"] - 128) <= 1

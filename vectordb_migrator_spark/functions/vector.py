@@ -207,3 +207,68 @@ def nf4_dequantize(qs: Column | str) -> Column:
         qs.getField("q"),
         lambda i: F.element_at(levels, i + 1) * scale,
     )
+
+
+def affine_quantize(a: Column | str) -> Column:
+    """ASYMMETRIC uint8 (affine) scalar quantization — the other
+    standard 8-bit scheme next to :func:`int8_quantize`'s symmetric
+    one: ``scale = (max − min) / 255``, ``zero_point =
+    round(−min/scale)`` clamped to [0, 255], ``q_i = round(v_i/scale)
+    + zero_point``. For skewed value ranges (ReLU activations,
+    non-centered embeddings) the affine grid spends ALL 256 codes on
+    the occupied interval where the symmetric grid wastes half —
+    reconstruction error halves on one-sided data. Returns
+    ``struct(scale double, zero_point int, q array<int>)``; constant
+    vectors quantize to scale 0, zero_point 0, all-zero codes (the
+    value lives in the dequantize min term, carried by scale = 0
+    convention: dequantize returns min + 0)."""
+    a = _as_double(a)
+    mn = F.aggregate(
+        a, F.element_at(a, 1), lambda s, x: F.least(s, x)
+    )
+    mx = F.aggregate(
+        a, F.element_at(a, 1), lambda s, x: F.greatest(s, x)
+    )
+    scale = (mx - mn) / F.lit(255.0)
+    zp = F.when(scale == 0.0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.greatest(F.lit(0), F.round(-mn / scale, 0).cast("int")),
+        )
+    )
+    q = F.when(
+        scale == 0.0, F.transform(a, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            a,
+            lambda x: F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    (F.round(x / scale, 0).cast("int") + zp),
+                ),
+            ),
+        )
+    )
+    return F.struct(
+        scale.alias("scale"), zp.alias("zero_point"), q.alias("q")
+    )
+
+
+def affine_dequantize(qs: Column | str, mn: Column | None = None) -> Column:
+    """Inverse of :func:`affine_quantize`:
+    ``v_i ≈ (q_i − zero_point) · scale``; a constant vector
+    (scale 0) dequantizes to ``mn`` when the caller carries the
+    original minimum, else zeros."""
+    qs = F.col(qs) if isinstance(qs, str) else qs
+    scale = qs.getField("scale")
+    zp = qs.getField("zero_point")
+    base = F.transform(
+        qs.getField("q"),
+        lambda x: (x.cast("double") - zp.cast("double")) * scale,
+    )
+    if mn is None:
+        return base
+    return F.when(
+        scale == 0.0, F.transform(base, lambda _: mn)
+    ).otherwise(base)

@@ -2620,3 +2620,83 @@ def x7_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         numerator_col="x",
         denominator_col="y",
     )
+
+
+@query(
+    "x9_affine_quantization",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_min(embedding::DOUBLE[]) AS mn,
+             (list_max(embedding::DOUBLE[])
+              - list_min(embedding::DOUBLE[])) / 255.0 AS scale
+      FROM embeddings
+    ), z AS (
+      SELECT vec_id, v, mn, scale,
+             CASE WHEN scale = 0 THEN 0
+                  ELSE least(255, greatest(0,
+                         round(-mn / scale)::INT)) END AS zp
+      FROM q
+    ), c AS (
+      SELECT vec_id, scale, zp,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x ->
+                         least(255, greatest(0,
+                           round(x / scale)::INT + zp))) END AS codes,
+             v, mn
+      FROM z
+    )
+    SELECT vec_id, round(scale, 6) AS scale, zp AS zero_point,
+           array_to_string(codes, ',') AS q,
+           round(CASE WHEN scale = 0 THEN 0.0 ELSE
+             list_max([abs(v[i] - (codes[i] - zp) * scale)
+                       for i in range(1, len(v) + 1)]) END, 6)
+             AS max_err
+    FROM c ORDER BY vec_id
+    """,
+)
+def x9_affine_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — asymmetric uint8 (affine) quantization of the embedding
+    column + max reconstruction error (round 8): the zero-point
+    scheme that spends all 256 codes on the occupied [min, max]
+    interval — on one-sided data (ReLU features) the symmetric int8
+    grid wastes half its range and doubles the error; reading this
+    row next to ``x9_int8_quantization`` quantifies that choice on
+    THIS corpus. Pure codegen transforms, shuffle-free
+    (functions/vector.py:affine_quantize)."""
+    from vectordb_migrator_spark.functions.vector import affine_quantize
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    e = fan_out(_t(spark, sf_dir, "embeddings"))
+    qs = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        affine_quantize("embedding").alias("qs"),
+    )
+    err = F.aggregate(
+        F.zip_with(
+            "v",
+            F.transform(
+                F.col("qs.q"),
+                lambda x: (
+                    x.cast("double") - F.col("qs.zero_point").cast("double")
+                )
+                * F.col("qs.scale"),
+            ),
+            lambda a, b: F.abs(a - b),
+        ),
+        F.lit(0.0),
+        lambda s, x: F.greatest(s, x),
+    )
+    return qs.select(
+        "vec_id",
+        F.round(F.col("qs.scale"), 6).alias("scale"),
+        F.col("qs.zero_point").alias("zero_point"),
+        F.array_join(
+            F.transform(F.col("qs.q"), lambda x: x.cast("string")), ","
+        ).alias("q"),
+        F.round(
+            F.when(F.col("qs.scale") == 0.0, F.lit(0.0)).otherwise(err), 6
+        ).alias("max_err"),
+    ).orderBy("vec_id")
