@@ -269,6 +269,7 @@ HEADLINE = [
     "x13_rolling_corr",
     "x13_seasonal_anomalies",
     "x13_stl_decompose",
+    "x13_seasonal_strength",
     "x13_changepoints",
     "x13_markov_transitions",
     "x13_journey_entropy",

@@ -2700,3 +2700,96 @@ def x9_affine_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("qs.scale") == 0.0, F.lit(0.0)).otherwise(err), 6
         ).alias("max_err"),
     ).orderBy("vec_id")
+
+
+@query(
+    "x13_seasonal_strength",
+    r"""
+    WITH daily AS (
+      SELECT ts::DATE AS day, round(sum(value), 6) AS v
+      FROM events GROUP BY ts::DATE
+    ),
+    tr AS (
+      SELECT day, v,
+             round(avg(v) OVER (ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+                   6) AS trend
+      FROM daily
+    ),
+    det AS (
+      SELECT day, v, trend, v - trend AS detr,
+             ((day - DATE '1970-01-01') % 7)::INT AS dow
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow, round(avg(detr), 6) AS seasonal FROM det GROUP BY dow
+    ),
+    comps AS (
+      SELECT d.day, d.trend, s.seasonal,
+             round(d.v - d.trend - s.seasonal, 6) AS resid
+      FROM det d JOIN seas s USING (dow)
+    )
+    SELECT count(*)::BIGINT AS n_days,
+           round(var_pop(resid), 6) AS var_resid,
+           round(var_pop(seasonal + resid), 6) AS var_deseasonal_base,
+           round(var_pop(trend + resid), 6) AS var_detrend_base,
+           round(greatest(0.0, 1 - var_pop(resid)
+                                 / var_pop(seasonal + resid)), 6)
+             AS seasonal_strength,
+           round(greatest(0.0, 1 - var_pop(resid)
+                                 / var_pop(trend + resid)), 6)
+             AS trend_strength
+    FROM comps
+    """,
+)
+def x13_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — Hyndman seasonal/trend strength off the STL-lite
+    decomposition (round 8): F_s = max(0, 1 − Var(R)/Var(S+R)) and
+    F_t likewise with the trend — the two scalars that turn
+    ``x13_stl_decompose``'s component table into a decision ("is the
+    weekly cycle strong enough that seasonal adjustment is mandatory
+    before alerting?"). Same day-sized frame, one variance fold
+    (Hyndman & Athanasopoulos, FPP3 §13.3)."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    det = (
+        daily.select(
+            "day", "v", F.round(F.avg("v").over(w), 6).alias("trend")
+        )
+        .withColumn("detr", F.col("v") - F.col("trend"))
+        .withColumn(
+            "dow",
+            (F.datediff("day", F.lit("1970-01-01")) % 7).cast("int"),
+        )
+    )
+    seas = det.groupBy("dow").agg(
+        F.round(F.avg("detr"), 6).alias("seasonal")
+    )
+    full = det.join(seas, "dow").select(
+        "trend",
+        "seasonal",
+        F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias(
+            "resid"
+        ),
+    )
+    vr = F.var_pop("resid")
+    vs = F.var_pop(F.col("seasonal") + F.col("resid"))
+    vt = F.var_pop(F.col("trend") + F.col("resid"))
+    return full.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(vr, 6).alias("var_resid"),
+        F.round(vs, 6).alias("var_deseasonal_base"),
+        F.round(vt, 6).alias("var_detrend_base"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.try_divide(vr, vs)), 6
+        ).alias("seasonal_strength"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.try_divide(vr, vt)), 6
+        ).alias("trend_strength"),
+    )
