@@ -179,6 +179,7 @@ HEADLINE = [
     "x7_bh_fdr",
     "x7_cmh_test",
     "x7_ratio_ci",
+    "x7_eb_shrinkage",
     "x7_diff_in_diff",
     "x5_f1_report",
     "x12_pk_uniqueness",

@@ -969,3 +969,28 @@ def test_ratio_metric_ci_matches_numpy_delta_method(spark):
         assert abs(g["se"] - round(se, 6)) < 1e-6, v
         assert abs(g["ci_lo"] - round(r - 1.959964 * se, 6)) < 1e-5
     assert got["c"]["se"] is None and got["c"]["ci_lo"] is None
+
+
+def test_eb_shrinkage_reorders_small_samples(spark):
+    from vectordb_migrator_spark.operators.scale import eb_shrink_rates
+
+    rows = []
+    # lucky: 2/2; steady: 80/100; plenty of background units to pin
+    # the prior near 0.3
+    rows += [("lucky", 1, 1)] * 2
+    rows += [("steady", 1, 1)] * 80 + [("steady", 0, 1)] * 20
+    for i in range(30):
+        rows += [(f"bg{i:02d}", 1, 1)] * 3 + [(f"bg{i:02d}", 0, 1)] * 7
+    df = spark.createDataFrame(rows, "u string, s int, one int")
+    out = eb_shrink_rates(
+        df, unit_col="u", success_col="s", trial_col="one", top_k=50
+    ).collect()
+    by = {r["unit"]: r for r in out}
+    lucky, steady = by["lucky"], by["steady"]
+    # raw says lucky (1.0) beats steady (0.8); shrinkage flips it
+    assert lucky["raw_rate"] > steady["raw_rate"]
+    assert steady["shrunk_rate"] > lucky["shrunk_rate"]
+    # shrinkage pulls toward the prior mean, never past the raw rate
+    assert steady["shrunk_rate"] < steady["raw_rate"]
+    assert lucky["shrunk_rate"] < lucky["raw_rate"]
+    assert out[0]["unit"] == "steady"  # leaderboard head

@@ -1393,3 +1393,77 @@ def ratio_metric_ci(
         F.round(r - F.lit(z) * se, 6).alias("ci_lo"),
         F.round(r + F.lit(z) * se, 6).alias("ci_hi"),
     ).orderBy("variant")
+
+
+def eb_shrink_rates(
+    df: DataFrame,
+    *,
+    unit_col: str,
+    success_col: str,
+    trial_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-unit rates (beta-binomial
+    moment matching): a unit with 2/2 successes must not outrank one
+    with 95/100 — shrinking every rate toward the corpus prior,
+    weighted by its own evidence, is the standard fix (the
+    baseball-batting-average construction): method-of-moments
+    α = m·(m(1−m)/v − 1), β = (1−m)·(…) from the mean/variance of
+    the raw unit rates, then shrunk = (x + α)/(n + α + β). Returns
+    the top ``top_k`` units by shrunken rate with both raw and shrunk
+    columns — the fair leaderboard.
+
+    Exactness: raw rates are exact rationals; the prior moments
+    round to 9 before α/β so both engines shrink with identical
+    doubles; ranking uses (round-6 shrunk DESC, unit) so the
+    leaderboard is engine-reproducible. One (unit) aggregate
+    collapses the corpus; the prior is a 1-row broadcast. Degenerate
+    priors (v = 0 or non-positive α/β) fall back to no shrinkage
+    (α = β = 0), reported via the alpha/beta columns."""
+    per = df.groupBy(F.col(unit_col).alias("unit")).agg(
+        F.sum(F.col(success_col).cast("long")).alias("x"),
+        F.sum(F.col(trial_col).cast("long")).alias("n"),
+    ).filter(F.col("n") > 0)
+    rate = F.col("x").cast("double") / F.col("n").cast("double")
+    rated = per.withColumn("raw_rate", rate)
+    mom = rated.agg(
+        F.round(F.avg("raw_rate"), 9).alias("__m"),
+        F.round(F.var_pop("raw_rate"), 9).alias("__v"),
+    )
+    k = F.try_divide(
+        F.col("__m") * (F.lit(1.0) - F.col("__m")), F.col("__v")
+    ) - F.lit(1.0)
+    prior = mom.select(
+        F.round(
+            F.when(k > 0, F.col("__m") * k).otherwise(F.lit(0.0)), 9
+        ).alias("alpha"),
+        F.round(
+            F.when(k > 0, (F.lit(1.0) - F.col("__m")) * k).otherwise(
+                F.lit(0.0)
+            ),
+            9,
+        ).alias("beta"),
+    )
+    out = rated.crossJoin(F.broadcast(prior))
+    shrunk = F.round(
+        (F.col("x").cast("double") + F.col("alpha"))
+        / (
+            F.col("n").cast("double")
+            + F.col("alpha")
+            + F.col("beta")
+        ),
+        6,
+    )
+    return (
+        out.select(
+            "unit",
+            "x",
+            "n",
+            F.round("raw_rate", 6).alias("raw_rate"),
+            "alpha",
+            "beta",
+            shrunk.alias("shrunk_rate"),
+        )
+        .orderBy(F.desc("shrunk_rate"), "unit")
+        .limit(top_k)
+    )

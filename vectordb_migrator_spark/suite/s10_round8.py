@@ -2793,3 +2793,58 @@ def x13_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(0.0), F.lit(1.0) - F.try_divide(vr, vt)), 6
         ).alias("trend_strength"),
     )
+
+
+@query(
+    "x7_eb_shrinkage",
+    """
+    WITH pu AS (
+      SELECT user_id AS unit,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::BIGINT AS x,
+             count(*)::BIGINT AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), rated AS (
+      SELECT unit, x, n, x::DOUBLE / n AS raw_rate FROM pu WHERE n > 0
+    ), mom AS (
+      SELECT round(avg(raw_rate), 9) AS m,
+             round(var_pop(raw_rate), 9) AS v
+      FROM rated
+    ), prior AS (
+      SELECT CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                  THEN round(m * (m * (1 - m) / v - 1), 9)
+                  ELSE 0.0 END AS alpha,
+             CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                  THEN round((1 - m) * (m * (1 - m) / v - 1), 9)
+                  ELSE 0.0 END AS beta
+      FROM mom
+    )
+    SELECT unit, x, n, round(raw_rate, 6) AS raw_rate,
+           p.alpha, p.beta,
+           round((x + p.alpha) / (n + p.alpha + p.beta), 6)
+             AS shrunk_rate
+    FROM rated, prior p
+    ORDER BY shrunk_rate DESC, unit LIMIT 20
+    """,
+)
+def x7_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — empirical-Bayes rate leaderboard (round 8): per-user
+    purchase rates shrunk toward the beta-binomial prior fitted by
+    moment matching, so a 2/2 user cannot outrank a 95/100 one — the
+    fair small-sample leaderboard (the classic batting-average
+    construction), and the missing piece between the raw per-group
+    rates the rollups report and the decisions people make on them.
+    One user fold + a 1-row broadcast prior; moments round to 9 so
+    both engines shrink with identical doubles; top-20 ranks on
+    (round-6 shrunk, unit) (operators/scale.py:eb_shrink_rates)."""
+    from vectordb_migrator_spark.operators.scale import eb_shrink_rates
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    t = ev.select(
+        "user_id",
+        (F.col("event_type") == "purchase").cast("int").alias("s"),
+        F.lit(1).alias("one"),
+    )
+    return eb_shrink_rates(
+        t, unit_col="user_id", success_col="s", trial_col="one"
+    )
