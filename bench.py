@@ -108,6 +108,7 @@ HEADLINE = [
     "x0_leakage_safe_split",
     "x10_temporal_split",
     "x10_neyman_sample",
+    "x10_post_stratification",
     "x3_cosine_topk",
     "x3_knn_join",
     "x3_hard_negatives",

@@ -994,3 +994,31 @@ def test_eb_shrinkage_reorders_small_samples(spark):
     assert steady["shrunk_rate"] < steady["raw_rate"]
     assert lucky["shrunk_rate"] < lucky["raw_rate"]
     assert out[0]["unit"] == "steady"  # leaderboard head
+
+
+def test_post_stratify_recovers_population_mean(spark):
+    from vectordb_migrator_spark.operators.scale import post_stratify
+
+    # population: stratum A mean 10 (80 rows), stratum B mean 100
+    # (20 rows) -> population mean 28. Sample oversamples B 1:1.
+    pop = [("A", 10.0)] * 80 + [("B", 100.0)] * 20
+    smp = [("A", 10.0)] * 20 + [("B", 100.0)] * 20
+    pop_df = spark.createDataFrame(pop, "s string, v double")
+    smp_df = spark.createDataFrame(smp, "s string, v double")
+    r = post_stratify(
+        smp_df, pop_df, stratum_col="s", value_col="v"
+    ).first()
+    assert r["naive_mean"] == 55.0          # biased toward B
+    assert r["weighted_mean"] == 28.0       # exact population mean
+    assert r["uncovered_pop_share"] == 0.0
+    assert r["n_eff"] < r["n_sample"]       # weighting costs precision
+
+    # a population stratum missing from the sample is reported
+    pop2 = pop + [("C", 0.0)] * 100
+    r2 = post_stratify(
+        smp_df,
+        spark.createDataFrame(pop2, "s string, v double"),
+        stratum_col="s",
+        value_col="v",
+    ).first()
+    assert r2["uncovered_pop_share"] == 0.5

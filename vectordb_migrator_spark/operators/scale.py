@@ -1467,3 +1467,80 @@ def eb_shrink_rates(
         .orderBy(F.desc("shrunk_rate"), "unit")
         .limit(top_k)
     )
+
+
+def post_stratify(
+    sample: DataFrame,
+    population: DataFrame,
+    *,
+    stratum_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Post-stratification estimator: reweight a (possibly biased)
+    sample so each stratum counts in proportion to its POPULATION
+    share — w_s = pop_share_s / sample_share_s — then report the
+    weighted mean next to the naive one and the Kish effective sample
+    size n_eff = (Σw)²/Σw² (how much precision the weighting cost).
+    The survey-sampling repair every convenience sample (a skewed
+    crawl, an early-adopter cohort) needs before its mean is quoted
+    as a population number.
+
+    Exactness: shares are exact count rationals; per-row weights and
+    weighted sums fold as round-9 decimals, so the one-row report is
+    hash-stable. Two (stratum) count aggregates + one value fold —
+    the population frame contributes counts only, never values.
+    Sample strata absent from the population get weight 0 (they
+    represent nobody); population strata absent from the sample are
+    reported via ``uncovered_pop_share`` — the honest coverage gap
+    the estimator cannot fix."""
+    pop = population.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("__np")
+    )
+    smp = sample.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("__ns")
+    )
+    n_pop = pop.agg(F.sum("__np").alias("t")).first()["t"]
+    n_smp = smp.agg(F.sum("__ns").alias("t")).first()["t"]
+    if not n_pop or not n_smp:
+        raise ValueError("population and sample must be non-empty")
+    joined = smp.join(pop, "__s", "left")
+    w = F.round(
+        F.coalesce(
+            (F.col("__np").cast("double") / F.lit(float(n_pop)))
+            / (F.col("__ns").cast("double") / F.lit(float(n_smp))),
+            F.lit(0.0),
+        ),
+        9,
+    )
+    weights = joined.select("__s", w.alias("__w"))
+    rows = sample.select(
+        F.col(stratum_col).alias("__s"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).join(F.broadcast(weights), "__s")
+    uncovered = (
+        pop.join(smp, "__s", "left_anti")
+        .agg(F.coalesce(F.sum("__np"), F.lit(0)).alias("t"))
+        .first()["t"]
+    )
+
+    def d9(col):
+        return F.sum(F.round(col, 9).cast("decimal(28,9)")).cast("double")
+
+    return rows.agg(
+        F.lit(n_smp).cast("long").alias("n_sample"),
+        F.round(F.avg("__v"), 6).alias("naive_mean"),
+        F.round(
+            F.try_divide(
+                d9(F.col("__w") * F.col("__v")), d9(F.col("__w"))
+            ),
+            6,
+        ).alias("weighted_mean"),
+        F.round(
+            F.try_divide(
+                d9(F.col("__w")) * d9(F.col("__w")),
+                d9(F.col("__w") * F.col("__w")),
+            ),
+            6,
+        ).alias("n_eff"),
+        F.round(F.lit(uncovered / n_pop), 6).alias("uncovered_pop_share"),
+    )

@@ -2848,3 +2848,74 @@ def x7_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eb_shrink_rates(
         t, unit_col="user_id", success_col="s", trial_col="one"
     )
+
+
+@query(
+    "x10_post_stratification",
+    """
+    WITH base AS (
+      SELECT event_type AS s, value,
+             CAST(CONCAT('0x', substr(md5('ps:' || event_id), 1, 8))
+                  AS BIGINT) % 10 AS coin
+      FROM events WHERE value IS NOT NULL
+    ), smp AS (
+      SELECT s, value FROM base
+      WHERE coin < CASE WHEN s = 'purchase' THEN 6 ELSE 2 END
+    ), pop_c AS (SELECT s, count(*)::BIGINT AS np FROM base GROUP BY s),
+    smp_c AS (SELECT s, count(*)::BIGINT AS ns FROM smp GROUP BY s),
+    tot AS (SELECT (SELECT sum(np) FROM pop_c)::DOUBLE AS tp,
+                   (SELECT sum(ns) FROM smp_c)::DOUBLE AS ts),
+    wts AS (
+      SELECT c.s,
+             round(coalesce((p.np / tot.tp) / (c.ns / tot.ts), 0.0), 9)
+               AS w
+      FROM smp_c c LEFT JOIN pop_c p USING (s), tot
+    ), rows_w AS (
+      SELECT smp.value AS v, wts.w FROM smp JOIN wts USING (s)
+    ), agg AS (
+      SELECT (SELECT ts FROM tot)::BIGINT AS n_sample,
+             round(avg(v), 6) AS naive_mean,
+             sum(round(w * v, 9)::DECIMAL(28,9))::DOUBLE AS swv,
+             sum(round(w, 9)::DECIMAL(28,9))::DOUBLE AS sw,
+             sum(round(w * w, 9)::DECIMAL(28,9))::DOUBLE AS sww
+      FROM rows_w
+    )
+    SELECT n_sample, naive_mean,
+           round(swv / sw, 6) AS weighted_mean,
+           round(sw * sw / sww, 6) AS n_eff,
+           round((SELECT coalesce(sum(np), 0) FROM pop_c
+                  WHERE s NOT IN (SELECT s FROM smp_c))
+                 / (SELECT tp FROM tot), 6) AS uncovered_pop_share
+    FROM agg
+    """,
+)
+def x10_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — post-stratification repair of a biased sample (round 8):
+    a deterministic md5-coin sample that OVERSAMPLES purchases 3×
+    (the convenience-sample failure mode), reweighted so every event
+    type counts at its population share — the weighted mean recovers
+    the population-representative value where the naive mean is
+    pulled toward the oversampled stratum, and the Kish n_eff prices
+    the variance cost of the fix. Two stratum-count folds + one
+    value fold; weights are exact count rationals rounded to 9
+    (operators/scale.py:post_stratify)."""
+    from vectordb_migrator_spark.operators.scale import post_stratify
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ps:"), F.col("event_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    smp = ev.filter(
+        coin
+        < F.when(F.col("event_type") == "purchase", 6).otherwise(2)
+    )
+    return post_stratify(
+        smp, ev, stratum_col="event_type", value_col="value"
+    )
