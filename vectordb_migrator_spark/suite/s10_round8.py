@@ -2919,3 +2919,90 @@ def x10_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return post_stratify(
         smp, ev, stratum_col="event_type", value_col="value"
     )
+
+
+@query(
+    "x9_effective_dim",
+    """
+    WITH e AS (
+      SELECT embedding::DOUBLE[] AS v FROM embeddings
+    ), ex AS (
+      SELECT u.i AS dim, round(e.v[u.i], 6)::DECIMAL(18,6) AS x
+      FROM e, unnest(range(1, len(e.v) + 1)) u(i)
+    ), m AS (
+      SELECT dim, count(*)::BIGINT AS n,
+             sum(x)::DECIMAL(38,6) AS s,
+             sum(x::DECIMAL(19,6) * x::DECIMAL(19,6))::DECIMAL(38,12)
+               AS ss
+      FROM ex GROUP BY dim
+    ), vper AS (
+      SELECT dim,
+             round(ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n),
+                   9) AS var_d
+      FROM m
+    ), agg AS (
+      SELECT count(*)::BIGINT AS n_dims,
+             sum(var_d::DECIMAL(28,9))::DOUBLE AS sv,
+             sum((var_d * var_d)::DECIMAL(28,18))::DOUBLE AS svv,
+             max(var_d) AS vmax, min(var_d) AS vmin
+      FROM vper
+    )
+    SELECT n_dims,
+           round(sv, 6) AS total_variance,
+           round(sv * sv / svv, 6) AS effective_dim,
+           round(sv * sv / svv / n_dims, 6) AS dim_utilization,
+           round(vmax, 6) AS max_dim_var,
+           round(vmin, 6) AS min_dim_var
+    FROM agg
+    """,
+)
+def x9_effective_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — effective dimensionality of the embedding space
+    (round 8): the participation ratio (Σv_d)²/Σv_d² over per-
+    dimension variances — the diagonal (rotation-free) estimate of
+    how many dimensions the corpus actually uses, the one-row health
+    check that says whether Matryoshka truncation and PQ subspace
+    splits have headroom (utilization ≈ 1 = isotropic, « 1 = a few
+    dims carry everything; the eigenvalue version lives in the
+    rows-only PCA family — this diagonal form keeps a full oracle).
+    One explode + one (dim) moment fold, decimal-exact
+    (variances round to 9 before the ratio)."""
+    ex = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim0", "x"
+            )
+        )
+        .select(
+            (F.col("dim0") + 1).alias("dim"),
+            F.round(F.col("x"), 6).cast("decimal(18,6)").alias("x"),
+        )
+    )
+    x19 = F.col("x").cast("decimal(19,6)")
+    m = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,6)").alias("s"),
+        F.sum(x19 * x19).cast("decimal(38,12)").alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    var_d = F.round(
+        F.col("ss").cast("double") / n
+        - (F.col("s").cast("double") / n) * (F.col("s").cast("double") / n),
+        9,
+    )
+    vper = m.select(var_d.alias("var_d"))
+    sv = F.sum(F.col("var_d").cast("decimal(28,9)")).cast("double")
+    svv = F.sum(
+        (F.col("var_d") * F.col("var_d")).cast("decimal(28,18)")
+    ).cast("double")
+    return vper.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.round(sv, 6).alias("total_variance"),
+        F.round(sv * sv / svv, 6).alias("effective_dim"),
+        F.round(sv * sv / svv / F.count(F.lit(1)), 6).alias(
+            "dim_utilization"
+        ),
+        F.round(F.max("var_d"), 6).alias("max_dim_var"),
+        F.round(F.min("var_d"), 6).alias("min_dim_var"),
+    )
