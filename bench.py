@@ -251,6 +251,7 @@ HEADLINE = [
     "x12_volume_anomaly",
     "x12_snapshot_diff",
     "x12_layout_advisor",
+    "x12_encoding_advisor",
     "x10_weighted_md5_sample",
     "x10_stratified_weighted",
     "x10_temperature_sweep",

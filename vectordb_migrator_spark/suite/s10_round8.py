@@ -3006,3 +3006,82 @@ def x9_effective_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("var_d"), 6).alias("max_dim_var"),
         F.round(F.min("var_d"), 6).alias("min_dim_var"),
     )
+
+
+_ENC_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+
+
+def _encoding_advisor_sql() -> str:
+    parts = [
+        f"""
+    SELECT '{c}' AS column_name,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT {c})::BIGINT AS ndv,
+           round(ceil(log2(greatest(count(DISTINCT {c}), 2))), 6)
+             AS dict_code_bits,
+           round((SELECT -sum(round(p * log2(p), 9)::DECIMAL(28,9))
+                  FROM (SELECT count(*)::DOUBLE
+                               / (SELECT count(*) FROM orders) AS p
+                        FROM orders GROUP BY {c}))::DOUBLE, 6)
+             AS entropy_bits,
+           round((SELECT -sum(round(p * log2(p), 9)::DECIMAL(28,9))
+                  FROM (SELECT count(*)::DOUBLE
+                               / (SELECT count(*) FROM orders) AS p
+                        FROM orders GROUP BY {c}))::DOUBLE, 6)
+             < 0.5 * round(ceil(log2(greatest(count(DISTINCT {c}), 2))), 6)
+             AS rle_dict_win
+    FROM orders"""
+        for c in _ENC_COLS
+    ]
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY column_name"
+    )
+
+
+@query("x12_encoding_advisor", _encoding_advisor_sql())
+def x12_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — column-encoding advisor (round 8): per column, exact
+    ndv, the dictionary code width ceil(log2 ndv), and the value
+    distribution's Shannon entropy — when entropy sits far below the
+    code width (skewed distributions), dictionary+RLE pages compress
+    massively and the column is a clustering candidate; when entropy
+    ≈ code width (near-uniform), dictionary encoding buys little
+    beyond the width itself. The measured input to parquet encoding
+    and sort-order decisions, next to ``x12_layout_advisor``'s
+    cardinality heuristics. One grouped count per column folds to a
+    value-distribution frame; entropy terms round to 9 and sum as
+    decimals."""
+    docs = _t(spark, sf_dir, "orders")
+    n_rows = docs.count()
+    out = None
+    for c in _ENC_COLS:
+        dist = docs.groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
+        p = F.col("__n").cast("double") / F.lit(float(n_rows))
+        ent = F.sum(
+            F.round(-p * F.log2(p), 9).cast("decimal(28,9)")
+        ).cast("double")
+        row = dist.agg(
+            F.lit(c).alias("column_name"),
+            F.lit(n_rows).cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("ndv"),
+            F.round(
+                F.ceil(F.log2(F.greatest(F.count(F.lit(1)), F.lit(2))))
+                .cast("double"),
+                6,
+            ).alias("dict_code_bits"),
+            F.round(ent, 6).alias("entropy_bits"),
+            (
+                F.round(ent, 6)
+                < F.lit(0.5)
+                * F.round(
+                    F.ceil(
+                        F.log2(F.greatest(F.count(F.lit(1)), F.lit(2)))
+                    ).cast("double"),
+                    6,
+                )
+            ).alias("rle_dict_win"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("column_name")
