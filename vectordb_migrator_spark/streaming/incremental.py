@@ -1549,3 +1549,89 @@ def sprt_over(
         .localCheckpoint(eager=True)
     )
     return sprt_from_daily(day, p0=p0, p1=p1, alpha=alpha, beta=beta)
+
+
+def cdc_chunk_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    avg_tokens: int = 8,
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    trigger_once: bool = True,
+):
+    """Continuous maintenance of the shift-robust dedup index — the
+    CDC sibling of the shingle store ``deduped_ingest`` keeps: each
+    micro-batch chunks its documents (``operators.dedup.cdc_chunks``,
+    the linear codegen fold) and appends the distinct (id, chunk_md5)
+    rows; :func:`cdc_pairs_over` then answers "which documents share
+    chunks" against the STORE without ever rescanning corpus text.
+    Chunk hashes are content-only, so the store composes across
+    batches with no rebuild — an inserted paragraph in tomorrow's
+    copy still collides with yesterday's chunks. Replay-idempotent
+    via the per-id anti-join (a replayed batch's ids already sit in
+    the store)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from vectordb_migrator_spark.operators.dedup import cdc_chunks
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        chunks = (
+            cdc_chunks(
+                batch_df,
+                id_col=id_col,
+                text_col=text_col,
+                avg_tokens=avg_tokens,
+            )
+            .select("id", "chunk_md5")
+            .distinct()
+        )
+        try:
+            seen = sess.read.parquet(store_path).select("id").distinct()
+            chunks = chunks.join(seen, "id", "left_anti")
+        except AnalysisException:
+            pass
+        chunks.write.mode("append").parquet(store_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .options(**(reader_options or {}))
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cdc_pairs_over(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    min_shared: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Current shift-robust candidate pairs from a
+    :func:`cdc_chunk_ingest` store: the same star-capped chunk-hash
+    join the batch ``cdc_pair_candidates`` runs, applied to the
+    accumulated (id, chunk_md5) index — matches the batch operator
+    on the full corpus exactly, with zero corpus rescans."""
+    from vectordb_migrator_spark.operators.dedup import (
+        cdc_pair_candidates,
+    )
+
+    chunks = spark.read.parquet(store_path)
+    return cdc_pair_candidates(
+        chunks, min_shared=min_shared, max_bucket=max_bucket
+    )
