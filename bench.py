@@ -206,6 +206,7 @@ HEADLINE = [
     "x9_int8_quantization",
     "x9_affine_quantization",
     "x9_effective_dim",
+    "x9_pq_code_balance",
     "x9_nf4_quantization",
     "x4_nf4_recall",
     "x4_matryoshka_recall",

@@ -3085,3 +3085,100 @@ def x12_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("column_name")
+
+
+@query(
+    "x9_pq_code_balance",
+    """
+    WITH cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, (t.i-1) // 16 AS s, c.j,
+             sum((e.embedding[t.i]::DOUBLE - c.cv[t.i]) *
+                 (e.embedding[t.i]::DOUBLE - c.cv[t.i])) AS dist
+      FROM embeddings e, range(1, 65) t(i), cb c
+      GROUP BY e.vec_id, (t.i-1) // 16, c.j
+    ),
+    code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    hist AS (
+      SELECT s, j, count(*)::BIGINT AS n FROM code GROUP BY s, j
+    ),
+    tot AS (SELECT s, sum(n)::DOUBLE AS t FROM hist GROUP BY s)
+    SELECT h.s::INT AS subspace,
+           (SELECT t FROM tot WHERE tot.s = h.s)::BIGINT AS n_vectors,
+           count(*)::BIGINT AS codes_used,
+           round(count(*) / 16.0, 6) AS utilization,
+           round(-sum(round((h.n / (SELECT t FROM tot WHERE tot.s = h.s))
+                            * log2(h.n / (SELECT t FROM tot
+                                          WHERE tot.s = h.s)), 9)
+                      ::DECIMAL(28,9))::DOUBLE, 6) AS code_entropy,
+           round(max(h.n) / (SELECT t FROM tot WHERE tot.s = h.s), 6)
+             AS max_cell_share
+    FROM hist h GROUP BY h.s ORDER BY subspace
+    """,
+)
+def x9_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — PQ codebook-utilization diagnostic (round 8): per
+    subspace, how many of the 16 codewords the corpus actually uses,
+    the code histogram's entropy against the 4-bit budget, and the
+    hottest cell's share — a collapsed codebook (few codes, low
+    entropy) is the failure mode behind bad ADC recall, and this row
+    is how you see it without running a recall sweep. Codes are the
+    same deterministic sampled-codebook assignment the ADC queries
+    use (oracle rebuilds them from the data alone); one (s, j) count
+    fold on top (operators/similarity.py:pq_encode)."""
+    from pyspark.sql import Window as W
+
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_encode,
+        pq_sampled_codebooks,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    codebooks = pq_sampled_codebooks(emb, m=4, k=16)
+    codes = pq_encode(emb, codebooks).select(
+        F.posexplode("pq_code").alias("subspace", "j")
+    )
+    hist = codes.groupBy("subspace", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = F.sum("n").over(W.partitionBy("subspace"))
+    h = hist.withColumn("__t", tot.cast("double"))
+    p = F.col("n").cast("double") / F.col("__t")
+    return (
+        h.groupBy("subspace")
+        .agg(
+            F.max("__t").cast("long").alias("n_vectors"),
+            F.count(F.lit(1)).cast("long").alias("codes_used"),
+            F.round(F.count(F.lit(1)) / F.lit(16.0), 6).alias(
+                "utilization"
+            ),
+            F.round(
+                -F.sum(
+                    F.round(p * F.log2(p), 9).cast("decimal(28,9)")
+                ).cast("double"),
+                6,
+            ).alias("code_entropy"),
+            F.round(F.max("n").cast("double") / F.max("__t"), 6).alias(
+                "max_cell_share"
+            ),
+        )
+        .withColumn("subspace", F.col("subspace").cast("int"))
+        .select(
+            "subspace",
+            "n_vectors",
+            "codes_used",
+            "utilization",
+            "code_entropy",
+            "max_cell_share",
+        )
+        .orderBy("subspace")
+    )
