@@ -286,6 +286,7 @@ HEADLINE = [
     "x13_ols_trend",
     "x13_user_features",
     "x13_rfm_segments",
+    "x13_stickiness",
     "x13_event_gaps",
     "x13_interarrival_profile",
     "x13_hour_of_week_profile",

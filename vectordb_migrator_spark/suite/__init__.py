@@ -142,6 +142,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_effective_dim",  # participation-ratio dim health (new r8)
     "x12_encoding_advisor",  # entropy vs dict-width advisor (new r8)
     "x9_pq_code_balance",  # codebook-utilization diagnostic (new r8)
+    "x13_stickiness",  # DAU/WAU engagement ratio (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

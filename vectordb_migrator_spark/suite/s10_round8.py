@@ -3182,3 +3182,68 @@ def x9_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace")
     )
+
+
+@query(
+    "x13_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT ts::DATE AS day, user_id AS u
+      FROM events WHERE user_id IS NOT NULL
+    ), days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT ud.u)::BIGINT AS wau
+      FROM days d JOIN ud
+        ON ud.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           round(dau.dau::DOUBLE / wau.wau, 6) AS stickiness
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    ORDER BY day
+    """,
+)
+def x13_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — DAU/WAU stickiness (round 8): per day, distinct active
+    users, trailing-7-day distinct actives, and their ratio — the
+    product-analytics engagement staple (stickiness ≈ how many of
+    the weekly base returns daily). Scale shape: the event log folds
+    ONCE to the distinct (day, user) frame; the trailing-7 distinct
+    is a days×7 range join over that id-width frame (sliding
+    DISTINCT cannot be a plain window — re-counting users across the
+    window is the point), then one count per anchor day. Full
+    oracle."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"), F.col("user_id").alias("u")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    anchor = days.withColumnRenamed("day", "__anchor")
+    wau = (
+        anchor.join(
+            ud,
+            (F.col("day") >= F.date_sub(F.col("__anchor"), 6))
+            & (F.col("day") <= F.col("__anchor")),
+        )
+        .groupBy("__anchor")
+        .agg(F.countDistinct("u").cast("long").alias("wau"))
+        .withColumnRenamed("__anchor", "day")
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
