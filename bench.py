@@ -176,6 +176,7 @@ HEADLINE = [
     "c0_migration_throughput",
     "c2_qdrant_roundtrip_scale",
     "x7_srm_check",
+    "x7_chi2_independence",
     "x7_sprt",
     "x7_bh_fdr",
     "x7_cmh_test",

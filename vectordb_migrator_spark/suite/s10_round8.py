@@ -3247,3 +3247,90 @@ def x13_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "x7_chi2_independence",
+    """
+    WITH t AS (
+      SELECT event_type AS r,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS c
+      FROM events WHERE user_id IS NOT NULL
+    ), cell AS (
+      SELECT r, c, count(*)::BIGINT AS n FROM t GROUP BY r, c
+    ), mar AS (
+      SELECT cell.r, cell.c, cell.n,
+             sum(cell.n) OVER (PARTITION BY cell.r) AS nr,
+             sum(cell.n) OVER (PARTITION BY cell.c) AS nc,
+             sum(cell.n) OVER () AS nt
+      FROM cell
+    ), chi AS (
+      SELECT sum(round(
+               (n - nr::DOUBLE * nc / nt) * (n - nr::DOUBLE * nc / nt)
+               / (nr::DOUBLE * nc / nt), 9)::DECIMAL(28,9))::DOUBLE
+               AS chi2,
+             count(DISTINCT r)::BIGINT AS n_rows_dim,
+             count(DISTINCT c)::BIGINT AS n_cols_dim,
+             max(nt)::BIGINT AS n_total
+      FROM mar
+    )
+    SELECT n_total, n_rows_dim, n_cols_dim,
+           ((n_rows_dim - 1) * (n_cols_dim - 1))::BIGINT AS dof,
+           round(chi2, 6) AS chi2,
+           round(chi2, 6) > 9.487729 AS significant
+    FROM chi
+    """,
+)
+def x7_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — R×C chi-square test of independence (round 8): is event
+    type distributed independently of the variant? The contingency
+    generalization of the 2-proportion SRM gate (here 5×2, dof 4,
+    critical 9.487729 at p<.05) — the one-row check that the variant
+    did not change the SHAPE of user behavior even when every
+    per-type rate gate stays green. One (r, c) count aggregate
+    collapses the corpus; expected counts and the chi2 fold run on
+    the cells frame with round-9 decimal term sums. Full oracle."""
+    from pyspark.sql import Window as W
+
+    t = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("r"),
+            F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias(
+                "c"
+            ),
+        )
+    )
+    cell = t.groupBy("r", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nr = F.sum("n").over(W.partitionBy("r")).cast("double")
+    nc = F.sum("n").over(W.partitionBy("c")).cast("double")
+    nt = F.sum("n").over(W.partitionBy()).cast("double")
+    e = nr * nc / nt
+    mar = cell.select(
+        "r",
+        "c",
+        "n",
+        F.round((F.col("n") - e) * (F.col("n") - e) / e, 9)
+        .cast("decimal(28,9)")
+        .alias("__term"),
+        nt.cast("long").alias("__nt"),
+    )
+    chi = mar.agg(
+        F.max("__nt").cast("long").alias("n_total"),
+        F.countDistinct("r").cast("long").alias("n_rows_dim"),
+        F.countDistinct("c").cast("long").alias("n_cols_dim"),
+        F.sum("__term").cast("double").alias("__chi2"),
+    )
+    return chi.select(
+        "n_total",
+        "n_rows_dim",
+        "n_cols_dim",
+        ((F.col("n_rows_dim") - 1) * (F.col("n_cols_dim") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round("__chi2", 6).alias("chi2"),
+        (F.round("__chi2", 6) > F.lit(9.487729)).alias("significant"),
+    )
