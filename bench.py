@@ -74,6 +74,7 @@ HEADLINE = [
     "x1_dedup_exact_text",
     "x1_dedup_canonical",
     "x1_dup_rate_by_source",
+    "x1_dup_token_mass",
     "x1_dup_rate_by_lang",
     "x2_ngram_jaccard_pairs",
     "x2_ppjoin_pairs",

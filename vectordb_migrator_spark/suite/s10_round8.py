@@ -3334,3 +3334,68 @@ def x7_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__chi2", 6).alias("chi2"),
         (F.round("__chi2", 6) > F.lit(9.487729)).alias("significant"),
     )
+
+
+@query(
+    "x1_dup_token_mass",
+    r"""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS fp,
+             len(list_filter(string_split_regex(lower(trim(text)),
+                                                '\s+'),
+                             x -> x <> ''))::BIGINT AS n_tok
+      FROM documents
+    ), g AS (
+      SELECT fp, count(*)::BIGINT AS copies,
+             sum(n_tok)::BIGINT AS toks,
+             min(n_tok)::BIGINT AS keeper_toks
+      FROM t GROUP BY fp
+    )
+    SELECT count(*)::BIGINT AS n_groups,
+           sum(copies)::BIGINT AS n_docs,
+           sum(toks)::BIGINT AS total_tokens,
+           sum(toks - keeper_toks)::BIGINT AS duplicate_tokens,
+           round(sum(toks - keeper_toks)::DOUBLE / sum(toks), 6)
+             AS dup_token_share,
+           sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS dup_groups
+    FROM g
+    """,
+)
+def x1_dup_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact-dup TOKEN mass (round 8): the dedup ROI in the
+    currency that matters — what share of corpus tokens are duplicate
+    copies (training compute and storage pay per token, not per
+    document; a few duplicated long documents can dominate a dup-rate
+    number computed over docs). One fingerprint fold; identical texts
+    have identical token counts, so keeper tokens = min per group.
+    Full oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+    ).cast("long")
+    t = docs.select(F.md5("text").alias("fp"), toks.alias("n_tok"))
+    g = t.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("copies"),
+        F.sum("n_tok").cast("long").alias("toks"),
+        F.min("n_tok").cast("long").alias("keeper_toks"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum(F.col("toks") - F.col("keeper_toks"))
+        .cast("long")
+        .alias("duplicate_tokens"),
+        F.round(
+            F.sum(F.col("toks") - F.col("keeper_toks"))
+            / F.sum("toks").cast("double"),
+            6,
+        ).alias("dup_token_share"),
+        F.sum((F.col("copies") > 1).cast("long"))
+        .cast("long")
+        .alias("dup_groups"),
+    )
