@@ -97,6 +97,7 @@ HEADLINE = [
     "x2_dedup_funnel",
     "x2_cluster_size_histogram",
     "x2_cluster_density",
+    "x2_cluster_purity",
     "x2_triangle_counts",
     "x2_clustering_coefficient",
     "x2_kcore",

@@ -3399,3 +3399,78 @@ def x1_dup_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_groups"),
     )
+
+
+@query(
+    "x2_cluster_purity",
+    _NGRAM_PAIRS_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + """
+    , reach AS (
+      SELECT u AS a, v AS b FROM e
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u
+    ), comp AS (
+      SELECT a AS id, least(a, min(b))::BIGINT AS comp
+      FROM reach GROUP BY a
+    ), mem AS (
+      SELECT c.comp, c.id, d.source
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    ), per AS (
+      SELECT comp, source, count(*)::BIGINT AS n FROM mem
+      GROUP BY comp, source
+    ), agg AS (
+      SELECT comp, sum(n)::BIGINT AS size,
+             count(*)::BIGINT AS n_sources,
+             max(n)::BIGINT AS top_n
+      FROM per GROUP BY comp
+    )
+    SELECT comp, size, n_sources,
+           round(top_n::DOUBLE / size, 6) AS purity,
+           n_sources > 1 AS cross_source
+    FROM agg ORDER BY comp
+    """,
+)
+def x2_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — dup-family source purity (round 8): per near-dup
+    component, how many sources its members span and the majority-
+    source share — the closure-level view of what
+    ``x2_source_overlap_matrix`` shows pairwise: a family spanning
+    sources is content laundering or syndication (one copy should
+    survive corpus-wide), a pure family is intra-source
+    re-publication (dedup locally). Pair kernel + CC shuffle ids
+    only; the source join is duplicate-sized. Full recursive-CTE
+    oracle (operators/graph.py:connected_components)."""
+    from vectordb_migrator_spark.operators.graph import (
+        connected_components,
+    )
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2).localCheckpoint(
+        eager=True
+    )
+    comp = connected_components(pairs)
+    mem = comp.join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    per = mem.groupBy("comp", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        per.groupBy("comp")
+        .agg(
+            F.sum("n").cast("long").alias("size"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.max("n").cast("long").alias("__top"),
+        )
+        .select(
+            "comp",
+            "size",
+            "n_sources",
+            F.round(F.col("__top") / F.col("size").cast("double"), 6).alias(
+                "purity"
+            ),
+            (F.col("n_sources") > 1).alias("cross_source"),
+        )
+        .orderBy("comp")
+    )
