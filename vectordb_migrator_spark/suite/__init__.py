@@ -146,6 +146,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_chi2_independence",  # RxC contingency shape gate (new r8)
     "x1_dup_token_mass",  # dedup ROI in tokens (new r8)
     "x2_cluster_purity",  # dup-family source-purity closure (new r8)
+    "x9_norm_profile",  # embedding-norm normalization gate (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

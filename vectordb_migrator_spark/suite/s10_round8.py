@@ -3474,3 +3474,62 @@ def x2_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("comp")
     )
+
+
+@query(
+    "x9_norm_profile",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])), 6)
+               AS l2
+      FROM embeddings
+    )
+    SELECT count(*)::BIGINT AS n_vectors,
+           round(avg(l2), 6) AS mean_norm,
+           round(stddev_pop(l2), 6) AS sd_norm,
+           round(quantile_cont(l2, 0.05), 6) AS p05,
+           round(quantile_cont(l2, 0.5), 6) AS p50,
+           round(quantile_cont(l2, 0.95), 6) AS p95,
+           sum(CASE WHEN l2 < 1e-6 THEN 1 ELSE 0 END)::BIGINT
+             AS near_zero,
+           round(stddev_pop(l2) / avg(l2), 6) AS norm_cv,
+           stddev_pop(l2) / avg(l2) < 0.01 AS looks_normalized
+    FROM n
+    """,
+)
+def x9_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — embedding L2-norm profile (round 8): the one-row "did
+    normalization happen" gate every embedding ingest needs before
+    cosine math is trusted — mean/sd/percentiles of the norm, the
+    count of near-zero vectors (which poison cosine with NULLs or
+    garbage), and a normalized verdict when the coefficient of
+    variation sits under 1%. One narrow scan; norms round to 6
+    before the fold so the profile is engine-stable. Full oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda s, x: s + x * x,
+            )
+        ),
+        6,
+    )
+    n = e.select(l2.alias("l2"))
+    cv = F.stddev_pop("l2") / F.avg("l2")
+    return n.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("l2"), 6).alias("mean_norm"),
+        F.round(F.stddev_pop("l2"), 6).alias("sd_norm"),
+        F.round(F.expr("percentile(l2, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(l2, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l2, 0.95)"), 6).alias("p95"),
+        F.sum((F.col("l2") < 1e-6).cast("long"))
+        .cast("long")
+        .alias("near_zero"),
+        F.round(cv, 6).alias("norm_cv"),
+        (cv < 0.01).alias("looks_normalized"),
+    )
