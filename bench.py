@@ -148,6 +148,7 @@ HEADLINE = [
     "x9_pack_chunks",
     "x4_hybrid_rrf",
     "x5_text_quality",
+    "x5_encoding_artifacts",
     "x5_readability",
     "x5_fingerprint",
     "x5_bm25_topk",

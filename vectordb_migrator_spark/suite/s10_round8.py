@@ -3533,3 +3533,66 @@ def x9_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cv, 6).alias("norm_cv"),
         (cv < 0.01).alias("looks_normalized"),
     )
+
+
+@query(
+    "x5_encoding_artifacts",
+    r"""
+    WITH t AS (
+      SELECT doc_id, length(text)::BIGINT AS n_chars,
+             length(regexp_replace(text, '[^\x00-\x08\x0B\x0C\x0E-\x1F]',
+                                   '', 'g'))::BIGINT AS ctrl,
+             length(regexp_replace(text, '[^�]', '', 'g'))::BIGINT
+               AS repl
+      FROM documents
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN ctrl > 0 OR repl > 0 THEN 1 ELSE 0 END)
+             ::BIGINT AS dirty_docs,
+           sum(ctrl)::BIGINT AS control_chars,
+           sum(repl)::BIGINT AS replacement_chars,
+           round(sum(CASE WHEN ctrl > 0 OR repl > 0 THEN 1 ELSE 0 END)
+                 ::DOUBLE / count(*), 6) AS dirty_share,
+           round(sum(ctrl + repl)::DOUBLE
+                 / greatest(sum(n_chars), 1), 6) AS artifact_char_rate
+    FROM t
+    """,
+)
+def x5_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — encoding-artifact gate (round 8): counts of control
+    characters and U+FFFD replacement characters (the scar tissue of
+    a bad decode step upstream) per corpus — mojibake correlates with
+    wholesale pipeline breakage, so a nonzero artifact rate on a new
+    source is a quarantine trigger before any quality model wastes
+    compute scoring garbage. Pure codegen regex counting on one scan;
+    tab/newline stay legal (the character classes exclude them).
+    Full oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    ctrl = F.length(
+        F.regexp_replace(
+            F.col("text"), r"[^\x00-\x08\x0B\x0C\x0E-\x1F]", ""
+        )
+    ).cast("long")
+    repl = F.length(
+        F.regexp_replace(F.col("text"), "[^�]", "")
+    ).cast("long")
+    t = docs.select(
+        F.length("text").cast("long").alias("n_chars"),
+        ctrl.alias("ctrl"),
+        repl.alias("repl"),
+    )
+    dirty = ((F.col("ctrl") > 0) | (F.col("repl") > 0)).cast("long")
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(dirty).cast("long").alias("dirty_docs"),
+        F.sum("ctrl").cast("long").alias("control_chars"),
+        F.sum("repl").cast("long").alias("replacement_chars"),
+        F.round(F.sum(dirty) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "dirty_share"
+        ),
+        F.round(
+            (F.sum("ctrl") + F.sum("repl"))
+            / F.greatest(F.sum("n_chars"), F.lit(1)).cast("double"),
+            6,
+        ).alias("artifact_char_rate"),
+    )
