@@ -149,6 +149,7 @@ HEADLINE = [
     "x4_hybrid_rrf",
     "x5_text_quality",
     "x5_encoding_artifacts",
+    "x5_oov_rate",
     "x5_readability",
     "x5_fingerprint",
     "x5_bm25_topk",

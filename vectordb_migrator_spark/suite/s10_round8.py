@@ -3596,3 +3596,72 @@ def x5_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("artifact_char_rate"),
     )
+
+
+@query(
+    "x5_oov_rate",
+    r"""
+    WITH tok AS (
+      SELECT lang, u.w AS w
+      FROM (SELECT lang,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents) d, unnest(d.toks) u(w)
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+        FROM tok GROUP BY w
+      ) WHERE rk <= 1000
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS oov_tokens,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (w)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def x5_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — out-of-vocabulary rate per language (round 8): fix the
+    top-1000 corpus-wide vocabulary (count-desc, word tie-break) and
+    measure each language's token share outside it — the
+    tokenizer-fit signal that shows which slices a shared vocab
+    under-serves (their text will fragment into more subwords and pay
+    more compute per byte). One token fold builds the vocab; the OOV
+    pass is a broadcast-sized left join against the 1000-row vocab.
+    Full oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    tok = docs.select("lang", F.explode(toks).alias("w"))
+    from pyspark.sql import Window as W
+
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("n"), F.asc("w"))),
+        )
+        .filter(F.col("rk") <= 1000)
+        .select("w", F.lit(1).alias("__in"))
+    )
+    j = tok.join(F.broadcast(vocab), "w", "left")
+    oov = F.col("__in").isNull().cast("long")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("oov_tokens"),
+            F.round(
+                F.sum(oov) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
