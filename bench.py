@@ -191,6 +191,7 @@ HEADLINE = [
     "x12_pk_uniqueness",
     "x12_fd_violations",
     "x12_key_discovery",
+    "x12_row_dupes",
     "x7_ece",
     "x5_quality_by_lang",
     "x5_quality_tiers",

@@ -149,6 +149,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_norm_profile",  # embedding-norm normalization gate (new r8)
     "x5_encoding_artifacts",  # mojibake/control-char gate (new r8)
     "x5_oov_rate",  # per-language vocab coverage (new r8)
+    "x12_row_dupes",  # full-row double-load detector (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

@@ -3665,3 +3665,90 @@ def x5_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+
+_ROWDUP_COLS = {
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "orders": [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ],
+}
+
+
+def _row_dupes_sql() -> str:
+    """Oracle for x12_row_dupes: the distinct count of row
+    fingerprints equals the distinct count of row tuples whenever the
+    per-column string cast is injective WITHIN the engine — which it
+    is for these types (shortest-roundtrip floats, canonical
+    dates/timestamps) — so the counts agree even though the two
+    engines' string renderings differ."""
+    parts = []
+    for t, cols in _ROWDUP_COLS.items():
+        fp = ", ".join(
+            f"coalesce({c}::VARCHAR, chr(0))" for c in cols
+        )
+        parts.append(f"""
+    SELECT '{t}' AS table_name,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT concat_ws(chr(31), {fp}))::BIGINT
+             AS distinct_rows,
+           (count(*) - count(DISTINCT concat_ws(chr(31), {fp})))
+             ::BIGINT AS duplicate_rows,
+           round((count(*)
+                  - count(DISTINCT concat_ws(chr(31), {fp})))::DOUBLE
+                 / count(*), 6) AS dup_row_rate
+    FROM {t}""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY table_name"
+    )
+
+
+@query("x12_row_dupes", _row_dupes_sql())
+def x12_row_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — full-row duplicate audit (round 8): per table, how many
+    physical rows are exact copies of another — the double-load /
+    replayed-batch detector (a replay that slipped past an
+    idempotence guard shows up here before it shows up as doubled
+    revenue). One count-distinct over a null-tagged row fingerprint
+    per table; the distinct count is cast-injectivity-invariant, so
+    it carries a full oracle even though the engines render values
+    differently."""
+    out = None
+    for t, cols in _ROWDUP_COLS.items():
+        df = _t(spark, sf_dir, t)
+        fp = F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in cols
+            ],
+        )
+        row = df.agg(
+            F.lit(t).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(fp).cast("long").alias("distinct_rows"),
+        ).select(
+            "table_name",
+            "n_rows",
+            "distinct_rows",
+            (F.col("n_rows") - F.col("distinct_rows"))
+            .cast("long")
+            .alias("duplicate_rows"),
+            F.round(
+                (F.col("n_rows") - F.col("distinct_rows"))
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("dup_row_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")
