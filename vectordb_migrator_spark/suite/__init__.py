@@ -32,7 +32,8 @@ from vectordb_migrator_spark.suite import s08_relational_c  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s09_extensions_a  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s09_extensions_b  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s09_extensions_c  # noqa: F401,E402
-from vectordb_migrator_spark.suite import s10_round8  # noqa: F401,E402
+from vectordb_migrator_spark.suite import s10_round8_a  # noqa: F401,E402
+from vectordb_migrator_spark.suite import s10_round8_b  # noqa: F401,E402
 
 # =====================================================================
 # Driver-window ordering
