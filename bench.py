@@ -192,6 +192,7 @@ HEADLINE = [
     "x12_fd_violations",
     "x12_key_discovery",
     "x12_row_dupes",
+    "x12_timestamp_audit",
     "x7_ece",
     "x5_quality_by_lang",
     "x5_quality_tiers",

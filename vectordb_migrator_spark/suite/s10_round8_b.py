@@ -2383,3 +2383,76 @@ def x12_row_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("table_name")
+
+
+@query(
+    "x12_timestamp_audit",
+    """
+    WITH t AS (
+      SELECT ts,
+             CASE WHEN epoch(ts) <= 0 THEN 1 ELSE 0 END AS epoch_zero,
+             CASE WHEN ts > TIMESTAMP '2026-01-01' THEN 1 ELSE 0 END
+               AS future,
+             CASE WHEN date_trunc('day', ts) = ts THEN 1 ELSE 0 END
+               AS midnight
+      FROM events
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS null_ts,
+           sum(epoch_zero)::BIGINT AS epoch_zero_rows,
+           sum(future)::BIGINT AS future_rows,
+           sum(midnight)::BIGINT AS midnight_rows,
+           round(sum(midnight)::DOUBLE / count(*), 6)
+             AS midnight_share,
+           round(sum(midnight)::DOUBLE / count(*), 6) > 0.1
+             AS truncation_suspected
+    FROM t
+    """,
+)
+def x12_timestamp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — timestamp sanity audit (round 8): NULLs, epoch-zero
+    sentinels (1970 rows = a failed parse defaulted), future rows
+    (clock skew or unit confusion — ms read as s lands in 50,000 AD,
+    s read as ms lands in 1970), and the exact-midnight share — a
+    midnight spike means some upstream truncated timestamps to dates,
+    which silently breaks every sessionization and inter-arrival
+    statistic downstream. One aggregate over one scan, the
+    quality-constraints shape. Full oracle (the future cutoff is a
+    fixed literal, not now(), so the row is reproducible)."""
+    ev = _t(spark, sf_dir, "events")
+    midnight = (
+        F.date_trunc("day", F.col("ts")) == F.col("ts")
+    ).cast("long")
+    epoch_zero = (F.col("ts").cast("double") <= 0).cast("long")
+    future = (
+        F.col("ts") > F.lit("2026-01-01").cast("timestamp")
+    ).cast("long")
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("ts").isNull().cast("long"))
+        .cast("long")
+        .alias("null_ts"),
+        F.coalesce(F.sum(epoch_zero), F.lit(0))
+        .cast("long")
+        .alias("epoch_zero_rows"),
+        F.coalesce(F.sum(future), F.lit(0))
+        .cast("long")
+        .alias("future_rows"),
+        F.coalesce(F.sum(midnight), F.lit(0))
+        .cast("long")
+        .alias("midnight_rows"),
+        F.round(
+            F.coalesce(F.sum(midnight), F.lit(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("midnight_share"),
+        (
+            F.round(
+                F.coalesce(F.sum(midnight), F.lit(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            > 0.1
+        ).alias("truncation_suspected"),
+    )
