@@ -111,6 +111,7 @@ HEADLINE = [
     "x10_temporal_split",
     "x10_neyman_sample",
     "x10_post_stratification",
+    "x10_split_balance",
     "x3_cosine_topk",
     "x3_knn_join",
     "x3_hard_negatives",

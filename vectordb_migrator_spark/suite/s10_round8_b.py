@@ -2456,3 +2456,99 @@ def x12_timestamp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 0.1
         ).alias("truncation_suspected"),
     )
+
+
+@query(
+    "x10_split_balance",
+    """
+    WITH t AS (
+      SELECT lang AS r,
+             CASE
+               WHEN CAST(CONCAT('0x', substr(md5(concat('split:', doc_id)),
+                                             1, 8)) AS BIGINT)
+                    / 4294967296.0 < 0.8 THEN 'train'
+               WHEN CAST(CONCAT('0x', substr(md5(concat('split:', doc_id)),
+                                             1, 8)) AS BIGINT)
+                    / 4294967296.0 < 0.9 THEN 'val'
+               ELSE 'test'
+             END AS c
+      FROM documents
+    ), cell AS (
+      SELECT r, c, count(*)::BIGINT AS n FROM t GROUP BY r, c
+    ), mar AS (
+      SELECT cell.r, cell.c, cell.n,
+             sum(cell.n) OVER (PARTITION BY cell.r) AS nr,
+             sum(cell.n) OVER (PARTITION BY cell.c) AS nc,
+             sum(cell.n) OVER () AS nt
+      FROM cell
+    ), chi AS (
+      SELECT sum(round(
+               (n - nr::DOUBLE * nc / nt) * (n - nr::DOUBLE * nc / nt)
+               / (nr::DOUBLE * nc / nt), 9)::DECIMAL(28,9))::DOUBLE
+               AS chi2,
+             count(DISTINCT r)::BIGINT AS n_langs,
+             max(nt)::BIGINT AS n_docs
+      FROM mar
+    )
+    SELECT n_docs, n_langs,
+           ((n_langs - 1) * 2)::BIGINT AS dof,
+           round(chi2, 6) AS chi2,
+           round(chi2, 6) > 15.507313 AS imbalance_suspected
+    FROM chi
+    """,
+)
+def x10_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — split-balance certificate (round 8): chi-square
+    independence of language × md5-coin train/val/test assignment —
+    the check that the deterministic splitter did not accidentally
+    correlate with a stratum (a lang-skewed eval set silently biases
+    every benchmark number downstream). Uses the SAME split
+    expression as ``x0_training_manifest``, so this certifies the
+    split the pipeline actually ships; critical value 15.507 = p<.05
+    at dof 8 (5 langs × 3 splits). One (lang, split) count aggregate;
+    the chi2 folds on the cells frame. Full oracle."""
+    from pyspark.sql import Window as W
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    t = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("r"),
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+        .alias("c"),
+    )
+    cell = t.groupBy("r", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nr = F.sum("n").over(W.partitionBy("r")).cast("double")
+    nc = F.sum("n").over(W.partitionBy("c")).cast("double")
+    nt = F.sum("n").over(W.partitionBy()).cast("double")
+    e = nr * nc / nt
+    mar = cell.select(
+        "r",
+        F.round((F.col("n") - e) * (F.col("n") - e) / e, 9)
+        .cast("decimal(28,9)")
+        .alias("__term"),
+        nt.cast("long").alias("__nt"),
+    )
+    chi = mar.agg(
+        F.max("__nt").cast("long").alias("n_docs"),
+        F.countDistinct("r").cast("long").alias("n_langs"),
+        F.sum("__term").cast("double").alias("__chi2"),
+    )
+    return chi.select(
+        "n_docs",
+        "n_langs",
+        ((F.col("n_langs") - 1) * 2).cast("long").alias("dof"),
+        F.round("__chi2", 6).alias("chi2"),
+        (F.round("__chi2", 6) > F.lit(15.507313)).alias(
+            "imbalance_suspected"
+        ),
+    )
