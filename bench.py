@@ -66,6 +66,7 @@ HEADLINE = [
     "x0_interleaved_order",
     "x0_curriculum_order",
     "x0_doc_packing",
+    "x0_context_fit",
     "x0_fim_transform",
     "x0_length_buckets",
     "x0_pareto_parts",

@@ -2552,3 +2552,68 @@ def x10_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "imbalance_suspected"
         ),
     )
+
+
+@query(
+    "x0_context_fit",
+    r"""
+    WITH t AS (
+      SELECT len(list_filter(string_split_regex(lower(trim(text)),
+                                                '\s+'),
+                             x -> x <> ''))::BIGINT AS n_tok
+      FROM documents
+    ), w AS (
+      SELECT u.win AS context FROM (VALUES (64), (128), (256), (512))
+        u(win)
+    )
+    SELECT w.context::BIGINT AS context,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN n_tok <= w.context THEN 1 ELSE 0 END)::BIGINT
+             AS fits,
+           round(sum(CASE WHEN n_tok <= w.context THEN 1 ELSE 0 END)
+                 ::DOUBLE / count(*), 6) AS fit_share,
+           sum(greatest(n_tok - w.context, 0))::BIGINT
+             AS truncated_tokens,
+           round(sum(greatest(n_tok - w.context, 0))::DOUBLE
+                 / sum(n_tok), 6) AS token_loss_share
+    FROM t, w GROUP BY w.context ORDER BY context
+    """,
+)
+def x0_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — context-window fit report (round 8): per candidate window
+    (64/128/256/512 tokens), the share of documents that fit whole
+    and the token mass a hard truncation would discard — the
+    measured input to the chunk-vs-truncate decision and the
+    complement of ``x0_doc_packing`` (packing asks how to fill
+    windows; this asks what each window size costs in lost text).
+    One token-count fold crossed with the 4-row window frame. Full
+    oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+    ).cast("long")
+    t = docs.select(n_tok.alias("n_tok"))
+    w = spark.createDataFrame(
+        [(64,), (128,), (256,), (512,)], "context long"
+    )
+    j = t.crossJoin(F.broadcast(w))
+    fits = (F.col("n_tok") <= F.col("context")).cast("long")
+    lost = F.greatest(F.col("n_tok") - F.col("context"), F.lit(0))
+    return (
+        j.groupBy("context")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(fits).cast("long").alias("fits"),
+            F.round(
+                F.sum(fits) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("fit_share"),
+            F.sum(lost).cast("long").alias("truncated_tokens"),
+            F.round(
+                F.sum(lost) / F.sum("n_tok").cast("double"), 6
+            ).alias("token_loss_share"),
+        )
+        .orderBy("context")
+    )
