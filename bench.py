@@ -158,6 +158,7 @@ HEADLINE = [
     "x5_rm3_expansion",
     "x5_phrase_search",
     "x5_boilerplate_removal",
+    "x5_boilerplate_mass",
     "x5_span_dedup",
     "x5_ngram_contamination",
     "x5_unigram_surprisal",

@@ -2617,3 +2617,81 @@ def x0_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("context")
     )
+
+
+@query(
+    "x5_boilerplate_mass",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             array_to_string(toks[i:i+2], ' ') AS gram
+      FROM t, unnest(range(1, len(toks) - 1)) u(i)
+      WHERE len(toks) >= 3
+    ), df AS (
+      SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs,
+             count(*)::BIGINT AS occ
+      FROM g GROUP BY gram
+    )
+    SELECT sum(occ)::BIGINT AS total_gram_occurrences,
+           count(*)::BIGINT AS distinct_grams,
+           sum(CASE WHEN n_docs >= 20 THEN occ ELSE 0 END)::BIGINT
+             AS boilerplate_occurrences,
+           sum(CASE WHEN n_docs >= 20 THEN 1 ELSE 0 END)::BIGINT
+             AS boilerplate_grams,
+           round(sum(CASE WHEN n_docs >= 20 THEN occ ELSE 0 END)
+                 ::DOUBLE / sum(occ), 6) AS boilerplate_share
+    FROM df
+    """,
+)
+def x5_boilerplate_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — boilerplate gram mass (round 8): what share of all 3-gram
+    occurrences belongs to grams appearing in >= 20 documents — the
+    single number that says how much of the corpus is template
+    scaffolding (headers, footers, licenses) rather than content,
+    and therefore what a boilerplate-removal pass
+    (``x5_boilerplate_removal``) stands to reclaim; ``x5_hot_grams``
+    names the offenders, this prices them. One gram fold with a
+    per-gram (df, occurrences) aggregate. Full oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    # shingles() dedups per doc; occurrence mass needs RAW grams, so
+    # the zip chain below keeps duplicates (same gram expression,
+    # minus the array_distinct)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    raw = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 2, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+                F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    )
+    df = raw.groupBy("gram").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("occ"),
+    )
+    hot = (F.col("n_docs") >= 20).cast("long")
+    return df.agg(
+        F.sum("occ").cast("long").alias("total_gram_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+        F.sum(F.col("occ") * hot).cast("long").alias(
+            "boilerplate_occurrences"
+        ),
+        F.sum(hot).cast("long").alias("boilerplate_grams"),
+        F.round(
+            F.sum(F.col("occ") * hot) / F.sum("occ").cast("double"), 6
+        ).alias("boilerplate_share"),
+    )
