@@ -107,6 +107,7 @@ HEADLINE = [
     "x2_personalized_pagerank",
     "x2_cdc_pairs",
     "x2_multi_signal_clusters",
+    "x2_detector_recall",
     "x2_graph_stats",
     "x0_leakage_safe_split",
     "x10_temporal_split",

@@ -152,6 +152,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_split_balance",  # lang x split independence cert (new r8)
     "x0_context_fit",  # window-size truncation-cost report (new r8)
     "x5_boilerplate_mass",  # template-scaffolding share (new r8)
+    "x2_detector_recall",  # planted-dup recall certificate (new r8)
     "x5_encoding_artifacts",  # mojibake/control-char gate (new r8)
     "x5_oov_rate",  # per-language vocab coverage (new r8)
     "x12_row_dupes",  # full-row double-load detector (new r8)

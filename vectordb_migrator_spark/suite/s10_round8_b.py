@@ -2695,3 +2695,135 @@ def x5_boilerplate_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("occ") * hot) / F.sum("occ").cast("double"), 6
         ).alias("boilerplate_share"),
     )
+
+
+def _detector_recall_sql() -> str:
+    """Oracle for x2_detector_recall: plant insert-shifted copies of
+    the 50 lowest-id documents (id + 100000, a fixed prefix), then
+    replay BOTH detector kernels over the augmented corpus and count
+    recovered planted pairs per detector."""
+    aug = r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             'planted prefix sentence for recall measurement ' || text
+      FROM documents WHERE doc_id < 50
+    ), t AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM aug
+    ), sh AS (
+      SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks) - 1)]) AS g
+      FROM t WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), jacc AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE
+             >= 0.2
+    ), tok AS (
+      SELECT t.id, t.toks[u.i] AS tok, u.i AS i,
+             (CAST(CONCAT('0x', substr(md5(t.toks[u.i]), 1, 8))
+                   AS BIGINT) % 8 = 0) AS bnd
+      FROM t, unnest(range(1, len(t.toks) + 1)) u(i)
+    ), ck AS (
+      SELECT id, i, tok,
+             coalesce(sum(CASE WHEN bnd THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS chunk_no
+      FROM tok
+    ), chunks AS (
+      SELECT id, chunk_no, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+      FROM ck GROUP BY id, chunk_no
+    ), d AS (SELECT DISTINCT id, h FROM chunks),
+    f AS (SELECT h, count(*) AS n, min(id) AS anchor FROM d GROUP BY h),
+    cdcp AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM d a JOIN d b ON a.h = b.h AND a.id < b.id
+      JOIN f ON f.h = a.h
+      WHERE f.n <= 50 OR a.id = f.anchor
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), planted AS (
+      SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT count(*)::BIGINT AS n_planted,
+           sum(CASE WHEN j.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS jaccard_found,
+           sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS cdc_found,
+           sum(CASE WHEN j.id_a IS NOT NULL OR c.id_a IS NOT NULL
+               THEN 1 ELSE 0 END)::BIGINT AS union_found,
+           round(sum(CASE WHEN j.id_a IS NOT NULL OR c.id_a IS NOT NULL
+                     THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS union_recall
+    FROM planted p
+    LEFT JOIN jacc j ON j.id_a = p.id_a AND j.id_b = p.id_b
+    LEFT JOIN cdcp c ON c.id_a = p.id_a AND c.id_b = p.id_b"""
+    return aug
+
+
+@query("x2_detector_recall", _detector_recall_sql())
+def x2_detector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — detector recall certificate (round 8): plant
+    insert-shifted copies of 50 documents (a fixed prefix prepended —
+    the adversarial case fixed-window shingles handle worst), run
+    BOTH near-dup detectors over the augmented corpus, and report how
+    many planted pairs each recovers — measured recall on
+    ground-truth duplicates, per detector and for the union, inside
+    the engine itself (the number the multi-signal closure's
+    provenance hints at, made exact). Both kernels keep their
+    production shapes; the planted frame is a deterministic transform
+    of the corpus, so the whole experiment carries a full oracle."""
+    from vectordb_migrator_spark.operators.dedup import (
+        cdc_chunks,
+        cdc_pair_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted_src = docs.filter(F.col("doc_id") < 50)
+    aug = docs.unionAll(
+        planted_src.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(
+                F.lit(
+                    "planted prefix sentence for recall measurement "
+                ),
+                F.col("text"),
+            ).alias("text"),
+        )
+    ).localCheckpoint(eager=True)
+    jac = ngram_jaccard_pairs(aug, n=3, threshold=0.2).select(
+        "id_a", "id_b", F.lit(1).alias("__j")
+    )
+    cdc = cdc_pair_candidates(
+        cdc_chunks(aug, avg_tokens=8), min_shared=2, max_bucket=50
+    ).select("id_a", "id_b", F.lit(1).alias("__c"))
+    planted = planted_src.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+    )
+    j = planted.join(jac, ["id_a", "id_b"], "left").join(
+        cdc, ["id_a", "id_b"], "left"
+    )
+    found_j = F.col("__j").isNotNull().cast("long")
+    found_c = F.col("__c").isNotNull().cast("long")
+    found_u = (
+        F.col("__j").isNotNull() | F.col("__c").isNotNull()
+    ).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted"),
+        F.sum(found_j).cast("long").alias("jaccard_found"),
+        F.sum(found_c).cast("long").alias("cdc_found"),
+        F.sum(found_u).cast("long").alias("union_found"),
+        F.round(
+            F.sum(found_u) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("union_recall"),
+    )
