@@ -218,6 +218,7 @@ HEADLINE = [
     "x9_affine_quantization",
     "x9_effective_dim",
     "x9_norm_profile",
+    "x4_metric_agreement",
     "x9_pq_code_balance",
     "x9_nf4_quantization",
     "x4_nf4_recall",

@@ -153,6 +153,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_context_fit",  # window-size truncation-cost report (new r8)
     "x5_boilerplate_mass",  # template-scaffolding share (new r8)
     "x2_detector_recall",  # planted-dup recall certificate (new r8)
+    "x4_metric_agreement",  # dot-vs-cosine top-k overlap (new r8)
     "x5_encoding_artifacts",  # mojibake/control-char gate (new r8)
     "x5_oov_rate",  # per-language vocab coverage (new r8)
     "x12_row_dupes",  # full-row double-load detector (new r8)

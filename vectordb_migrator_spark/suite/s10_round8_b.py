@@ -2827,3 +2827,89 @@ def x2_detector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(found_u) / F.count(F.lit(1)).cast("double"), 6
         ).alias("union_recall"),
     )
+
+
+def _metric_agreement_sql() -> str:
+    return """
+    WITH p AS (SELECT {probe} AS pv),
+    q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cos AS (
+      SELECT vec_id FROM q, p
+      ORDER BY round(list_dot_product(v, pv) /
+                 (sqrt(list_dot_product(v, v)) *
+                  sqrt(list_dot_product(pv, pv))), 6) DESC, vec_id
+      LIMIT 10
+    ),
+    dot AS (
+      SELECT vec_id FROM q, p
+      ORDER BY round(list_dot_product(v, pv), 6) DESC, vec_id
+      LIMIT 10
+    )
+    SELECT 10::BIGINT AS k,
+           (SELECT count(*) FROM cos JOIN dot USING (vec_id))::BIGINT
+             AS overlap,
+           round((SELECT count(*) FROM cos JOIN dot USING (vec_id))
+                 / 10.0, 6) AS agreement,
+           (SELECT count(*) FROM cos JOIN dot USING (vec_id)) = 10
+             AS metrics_interchangeable
+    """
+
+
+@query("x4_metric_agreement", None)  # oracle bound below (needs probe)
+def x4_metric_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — dot-vs-cosine agreement (round 8): overlap of the top-10
+    under raw dot product and under cosine for the standard probe —
+    the empirical answer to "can serving skip the norm division"
+    (identical on normalized corpora, divergent when norms vary; read
+    next to ``x9_norm_profile``, which predicts this from the norm
+    CV). Two narrow scans + TakeOrdered(10) each; the agreement join
+    is 10-row-sized. Full oracle."""
+    from vectordb_migrator_spark.operators.similarity import (
+        cosine_topk,
+        probe_literal,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+    from vectordb_migrator_spark.suite._shared import _probe_vector
+
+    probe = _probe_vector(spark, sf_dir)
+    e = fan_out(_t(spark, sf_dir, "embeddings"))
+    cos = cosine_topk(e, probe, k=10).select("vec_id")
+    p = probe_literal(probe)
+    dot = (
+        e.select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        p,
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    ov = cos.join(dot, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("agreement"),
+        (F.count(F.lit(1)) == 10).alias("metrics_interchangeable"),
+    )
+    return ov
+
+
+def _bind_metric_agreement_oracle() -> None:
+    from vectordb_migrator_spark.suite._shared import _PROBE_SQL, ORACLES
+
+    ORACLES["x4_metric_agreement"] = _metric_agreement_sql().format(
+        probe=_PROBE_SQL
+    )
+
+
+_bind_metric_agreement_oracle()
