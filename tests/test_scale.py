@@ -1022,3 +1022,138 @@ def test_post_stratify_recovers_population_mean(spark):
         value_col="v",
     ).first()
     assert r2["uncovered_pop_share"] == 0.5
+
+
+def test_anova_oneway_matches_numpy(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.scale import anova_oneway
+
+    rng = np.random.default_rng(7)
+    groups = {"a": 10.0, "b": 12.0, "c": 10.5}
+    rows = []
+    vals = {}
+    for g, mu in groups.items():
+        v = np.round(rng.normal(mu, 2.0, 40), 3)
+        vals[g] = v
+        rows += [(g, float(x)) for x in v]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", group_col="g").first()
+
+    allv = np.concatenate(list(vals.values()))
+    grand = allv.mean()
+    ssb = sum(len(v) * (v.mean() - grand) ** 2 for v in vals.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in vals.values())
+    f = (ssb / 2) / (ssw / (len(allv) - 3))
+    assert r["n_total"] == 120 and r["k_groups"] == 3
+    assert abs(r["ss_between"] - ssb) < 1e-2
+    assert abs(r["ss_within"] - ssw) < 1e-2
+    assert abs(r["f_stat"] - f) < 1e-3
+    assert abs(r["eta_sq"] - ssb / (ssb + ssw)) < 1e-5
+
+
+def test_anova_single_group_reports_null_f(spark):
+    from vectordb_migrator_spark.operators.scale import anova_oneway
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    r = anova_oneway(df, "v", group_col="g").first()
+    assert r["f_stat"] is None  # dof_between = 0 -> NULL, no ANSI abort
+
+
+def test_spearman_rho_known_values(spark):
+    from vectordb_migrator_spark.operators.scale import spearman_rho
+
+    # perfectly monotone (nonlinear) relation -> rho exactly 1
+    df = spark.createDataFrame(
+        [(float(x), float(x**3)) for x in range(1, 11)],
+        "x double, y double",
+    )
+    r = spearman_rho(df, "x", "y").first()
+    assert r["rho"] == 1.0
+
+    # textbook anti-monotone -> -1
+    df2 = spark.createDataFrame(
+        [(float(x), float(-x)) for x in range(1, 11)],
+        "x double, y double",
+    )
+    assert spearman_rho(df2, "x", "y").first()["rho"] == -1.0
+
+
+def test_spearman_rho_ties_average_ranks(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.scale import spearman_rho
+
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 4.0, 5.0]
+    ys = [2.0, 1.0, 3.0, 5.0, 4.0, 6.0, 6.0, 7.0]
+
+    def avg_ranks(v):
+        v = np.asarray(v)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=float)
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    expected = np.corrcoef(rx, ry)[0, 1]
+    df = spark.createDataFrame(
+        list(zip(xs, ys)), "x double, y double"
+    )
+    r = spearman_rho(df, "x", "y").first()
+    assert abs(r["rho"] - expected) < 1e-6
+
+
+def test_permutation_test_md5_detects_planted_effect(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.scale import (
+        permutation_test_md5,
+    )
+
+    # strong planted effect: even units ~ 100, odd units ~ 1
+    rows = []
+    for u in range(60):
+        base = 100.0 if u % 2 == 0 else 1.0
+        rows += [(u, base + (u % 7) * 0.01)]
+    df = spark.createDataFrame(rows, "u long, v double")
+    r = permutation_test_md5(
+        df,
+        unit_col="u",
+        value_col="v",
+        variant_expr=(F.col("u") % 2 == 0),
+        n_perms=100,
+    ).first()
+    assert r["observed_diff"] > 98
+    assert r["p_value"] == round(1 / 101, 6)  # nothing as extreme
+    assert bool(r["significant"])
+
+    # no effect: label by parity but values iid-ish -> p not tiny
+    rows2 = [(u, float((u * 37) % 11)) for u in range(60)]
+    df2 = spark.createDataFrame(rows2, "u long, v double")
+    r2 = permutation_test_md5(
+        df2,
+        unit_col="u",
+        value_col="v",
+        variant_expr=(F.col("u") % 3 == 0),
+        n_perms=100,
+    ).first()
+    assert r2["p_value"] > 0.05
+
+    # deterministic: identical re-run, bit-identical p
+    r3 = permutation_test_md5(
+        df2,
+        unit_col="u",
+        value_col="v",
+        variant_expr=(F.col("u") % 3 == 0),
+        n_perms=100,
+    ).first()
+    assert r3["p_value"] == r2["p_value"]

@@ -590,3 +590,44 @@ def test_interarrival_profile_poisson_vs_metronome(spark):
     poi = got["poisson"]
     assert abs(poi["burstiness"]) < 0.15
     assert poi["exponential_fit_ok"]
+
+
+def test_periodogram_daily_finds_planted_weekly_cycle(spark):
+    import datetime
+    import math
+
+    from vectordb_migrator_spark.operators.timeseries import (
+        periodogram_daily,
+    )
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = [
+        (
+            d0 + datetime.timedelta(days=i),
+            100.0 + 30.0 * math.cos(2 * math.pi * i / 7),
+        )
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "day date, y double")
+    out = periodogram_daily(df, day_col="day", value_col="y").collect()
+    by_p = {r["period"]: r for r in out}
+    assert bool(by_p[7]["dominant"])
+    assert sum(1 for r in out if r["dominant"]) == 1
+    # the planted cycle carries essentially all grid power
+    assert by_p[7]["power_share"] > 0.9
+    shares = [r["power_share"] for r in out]
+    assert abs(sum(shares) - 1.0) < 1e-3
+
+
+def test_periodogram_trig_table_is_unit_circle(spark):
+    from vectordb_migrator_spark.operators.timeseries import (
+        periodogram_trig_table,
+    )
+
+    rows = periodogram_trig_table((2, 7))
+    assert len(rows) == 9
+    for p, r, c, s in rows:
+        assert 0 <= r < p
+        assert abs(c * c + s * s - 1.0) < 1e-8
+    # residue 0 is always angle 0
+    assert all(c == 1.0 and s == 0.0 for p, r, c, s in rows if r == 0)

@@ -57,3 +57,28 @@ def test_key_discovery_single_and_composite(spark):
 
     with pytest.raises(ValueError):
         key_discovery(df, [])
+
+
+def test_id_gap_audit_finds_planted_holes(spark):
+    from vectordb_migrator_spark.operators.validation import id_gap_audit
+
+    # keys 0..999 with two holes: [100, 149] (50 ids) and a
+    # cross-bucket hole [60..64] (5 ids) when bucket=32
+    keys = [k for k in range(1000) if not (100 <= k <= 149) and not (60 <= k <= 64)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = id_gap_audit(df, "k", bucket=32, top_gaps=3).collect()
+    assert out[0]["gap_rank"] == 1
+    assert out[0]["missing_ids"] == 50
+    assert out[0]["hole_start"] == 100 and out[0]["hole_end"] == 149
+    assert out[1]["missing_ids"] == 5
+    assert out[1]["hole_start"] == 60 and out[1]["hole_end"] == 64
+    assert out[0]["total_missing"] == 55
+    assert out[0]["n_keys"] == 945
+    assert abs(out[0]["fill_ratio"] - 945 / 1000) < 1e-6
+
+
+def test_id_gap_audit_dense_sequence_reports_nothing(spark):
+    from vectordb_migrator_spark.operators.validation import id_gap_audit
+
+    df = spark.createDataFrame([(k,) for k in range(500)], "k long")
+    assert id_gap_audit(df, "k", bucket=64).count() == 0

@@ -1544,3 +1544,258 @@ def post_stratify(
         ).alias("n_eff"),
         F.round(F.lit(uncovered / n_pop), 6).alias("uncovered_pop_share"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str,
+    f_crit: float = 2.372,
+) -> DataFrame:
+    """One-way ANOVA F-test across the ``group_col`` levels — "do the
+    group means differ anywhere", the k-sample generalization of the
+    two-sample mean gates (:func:`jackknife_ci` CIs answer pairwise;
+    ANOVA answers the family in one statistic without k² comparisons).
+    Reports SS_between / SS_within, F, and eta² (the share of variance
+    the grouping explains — the effect size that tells a 100 TB
+    pipeline whether a "significant" F is also a *material* one).
+
+    Scale shape: ONE map-side-combinable aggregate folds the corpus to
+    a k-row (group, n, Σv, Σv²) moment frame; every downstream formula
+    runs on those k rows. Inputs are 6dp-rounded and moment sums are
+    exact DECIMAL, so the statistic is bit-reproducible across engines
+    and partition orders. Per-group between/within terms are rounded
+    to 6dp before the final decimal fold for the same reason. NULL
+    values drop; a single-group or empty input reports NULL F
+    (``try_divide``), never an ANSI divide-by-zero abort.
+
+    ``f_crit`` defaults to F(4, ∞) at α=0.05 — override per dof.
+    """
+    v6 = F.round(F.col(value_col).cast("double"), 6)
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(v6.cast("decimal(18,6)")).alias("__sx"),
+            F.sum(
+                (v6.cast("decimal(19,6)") * v6.cast("decimal(19,6)"))
+            ).alias("__sxx"),
+        )
+    )
+    # per-group double terms, 6dp-rounded so the k-row fold is exact
+    mean_g = F.col("__sx").cast("double") / F.col("__n")
+    within_g = F.round(
+        F.col("__sxx").cast("double") - F.col("__n") * mean_g * mean_g, 6
+    )
+    terms = g.select(
+        "__n",
+        "__sx",
+        within_g.cast("decimal(28,6)").alias("__ssw"),
+        F.round(
+            F.col("__sx").cast("double") * F.col("__sx").cast("double")
+            / F.col("__n"),
+            6,
+        ).cast("decimal(28,6)").alias("__bsq"),
+    )
+    agg = terms.agg(
+        F.sum("__n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__sx").alias("__gsum"),
+        F.sum("__ssw").cast("double").alias("__ssw"),
+        F.sum("__bsq").cast("double").alias("__bsq"),
+    )
+    grand = F.col("__gsum").cast("double")
+    ssb = F.col("__bsq") - grand * grand / F.col("n_total")
+    msb = F.try_divide(ssb, (F.col("k_groups") - 1).cast("double"))
+    msw = F.try_divide(
+        F.col("__ssw"), (F.col("n_total") - F.col("k_groups")).cast("double")
+    )
+    f_stat = F.round(F.try_divide(msb, msw), 6)
+    return agg.select(
+        "n_total",
+        "k_groups",
+        (F.col("k_groups") - 1).cast("long").alias("dof_between"),
+        (F.col("n_total") - F.col("k_groups")).cast("long").alias(
+            "dof_within"
+        ),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(F.col("__ssw"), 4).alias("ss_within"),
+        f_stat.alias("f_stat"),
+        F.round(F.try_divide(ssb, ssb + F.col("__ssw")), 6).alias("eta_sq"),
+        (f_stat > F.lit(f_crit)).alias("significant"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation between two (already unit-level)
+    metric columns — Pearson on average-ranks, the monotone-association
+    measure that survives outliers and nonlinearity (Pearson on raw
+    heavy-tailed usage metrics is dominated by whales; on ranks every
+    unit votes once). Ties get textbook average ranks.
+
+    Scale shape: the input is expected to be a PRE-AGGREGATED unit
+    frame (per-user, per-day — orders of magnitude below the event
+    log); ranks are ``rank() + (t-1)/2`` window expressions over that
+    frame (one exchange per axis), and the Pearson fold on ranks uses
+    exact DECIMAL moments (ranks are exact multiples of ½, so
+    DECIMAL(19,1) carries them losslessly — the correlation is
+    engine-exact, no float-order term). NULLs in either column drop.
+    Output: n, rho, and the t-approximation significance at |t|>1.96.
+    """
+    from pyspark.sql import Window as W
+
+    rows = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+
+    def avg_rank(col: str) -> F.Column:
+        r = F.rank().over(W.orderBy(F.col(col)))
+        t = F.count(F.lit(1)).over(W.partitionBy(F.col(col)))
+        return (
+            r.cast("double") + (t.cast("double") - 1) / 2
+        ).cast("decimal(19,1)")
+
+    ranked = rows.select(
+        avg_rank("__x").alias("__rx"), avg_rank("__y").alias("__ry")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("__sxy").cast("double") / n - (
+        F.col("__sx").cast("double") / n
+    ) * (F.col("__sy").cast("double") / n)
+    vx = F.col("__sxx").cast("double") / n - (
+        F.col("__sx").cast("double") / n
+    ) * (F.col("__sx").cast("double") / n)
+    vy = F.col("__syy").cast("double") / n - (
+        F.col("__sy").cast("double") / n
+    ) * (F.col("__sy").cast("double") / n)
+    rho = F.round(F.try_divide(cov, F.sqrt(vx * vy)), 6)
+    t_stat = F.round(
+        rho * F.sqrt(
+            F.try_divide((n - 2), (F.lit(1.0) - rho * rho))
+        ),
+        6,
+    )
+    return agg.select(
+        "n",
+        rho.alias("rho"),
+        t_stat.alias("t_stat"),
+        (F.abs(t_stat) > F.lit(1.959964)).alias("significant"),
+    )
+
+
+def permutation_test_md5(
+    df: DataFrame,
+    *,
+    unit_col: str,
+    value_col: str,
+    variant_expr,
+    n_perms: int = 200,
+) -> DataFrame:
+    """Unit-level permutation test of a mean difference — the
+    assumption-free significance gate (no normality, no variance
+    model: under H₀ labels are exchangeable, so the observed diff is
+    compared against the label-reshuffle null distribution).
+    Permutations are DETERMINISTIC: permutation b reassigns unit u to
+    side A iff the first hex digit of ``md5(u || ':' || b)`` < '8' —
+    a seeded coin that is identical in Spark and any SQL engine, so
+    the whole null distribution (and therefore the p-value) is
+    engine-exact, not Monte-Carlo-flaky.
+
+    Scale shape: the corpus folds ONCE to a per-unit (unit, value,
+    observed side) frame; only that pre-aggregate is replicated
+    ``n_perms``× (explode of a literal range — units × B rows of 3
+    columns, map-side combinable straight into the per-permutation
+    means). The event log is never multiplied. p-value uses the
+    standard +1 correction: (1 + #{b : |diff_b| ≥ |diff_obs|})/(B+1).
+    """
+    unit = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("__u"))
+        .agg(
+            F.sum(
+                F.round(F.col(value_col).cast("double"), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("__v"),
+            F.max(variant_expr.cast("boolean")).alias("__obs_a"),
+        )
+        .select(
+            "__u",
+            F.round(F.col("__v").cast("double"), 6).alias("__v"),
+            "__obs_a",
+        )
+    )
+
+    def mean_diff(side_a: F.Column, frame: DataFrame, keys: list[str]):
+        va = F.round(F.col("__v"), 6).cast("decimal(28,6)")
+        return frame.groupBy(*[F.col(k) for k in keys]).agg(
+            F.try_divide(
+                F.sum(F.when(side_a, va)).cast("double"),
+                F.sum(side_a.cast("long")).cast("double"),
+            ).alias("__ma"),
+            F.try_divide(
+                F.sum(F.when(~side_a, va)).cast("double"),
+                F.sum((~side_a).cast("long")).cast("double"),
+            ).alias("__mb"),
+        )
+
+    obs = mean_diff(F.col("__obs_a"), unit.withColumn("__k", F.lit(1)), ["__k"])
+    obs_diff = obs.select(
+        F.round(F.col("__ma") - F.col("__mb"), 6).alias("__obs_diff")
+    )
+
+    b_frame = obs_diff.crossJoin(
+        obs_diff.sparkSession.range(n_perms).select(F.col("id").alias("__b"))
+    ).select("__b", "__obs_diff")
+    perms = unit.crossJoin(F.broadcast(b_frame))
+    coin = F.substring(
+        F.md5(
+            F.concat(
+                F.col("__u").cast("string"),
+                F.lit(":"),
+                F.col("__b").cast("string"),
+            )
+        ),
+        1,
+        1,
+    ) < F.lit("8")
+    per_b = mean_diff(coin, perms, ["__b", "__obs_diff"]).select(
+        "__b",
+        "__obs_diff",
+        F.round(F.col("__ma") - F.col("__mb"), 6).alias("__d"),
+    )
+    extreme = (F.abs(F.col("__d")) >= F.abs(F.col("__obs_diff"))).cast(
+        "long"
+    )
+    out = per_b.agg(
+        F.lit(n_perms).cast("long").alias("n_perms"),
+        F.max("__obs_diff").alias("observed_diff"),
+        F.sum(extreme).cast("long").alias("n_extreme"),
+        F.round(
+            (F.sum(extreme) + 1) / F.lit(float(n_perms + 1)), 6
+        ).alias("p_value"),
+    )
+    return out.select(
+        "n_perms",
+        "observed_diff",
+        "n_extreme",
+        "p_value",
+        (F.col("p_value") < F.lit(0.05)).alias("significant"),
+    )

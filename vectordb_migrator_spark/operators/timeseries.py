@@ -800,3 +800,114 @@ def interarrival_profile(
         )
         .orderBy("key")
     )
+
+
+def periodogram_trig_table(
+    periods: tuple[int, ...],
+) -> list[tuple[int, int, float, float]]:
+    """(period, residue, cos, sin) rows for every day-index residue of
+    every candidate period, 9dp-rounded — the shared literal both the
+    Spark plan and any SQL oracle consume, so the spectrum never
+    depends on whose libm computed the transcendentals."""
+    import math
+
+    rows = []
+    for p in periods:
+        for r in range(p):
+            ang = 2.0 * math.pi * r / p
+            rows.append(
+                (int(p), int(r), round(math.cos(ang), 9), round(math.sin(ang), 9))
+            )
+    return rows
+
+
+def periodogram_daily(
+    daily: DataFrame,
+    *,
+    day_col: str = "day",
+    value_col: str = "y",
+    periods: tuple[int, ...] = (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14),
+    min_day=None,
+) -> DataFrame:
+    """Discrete-Fourier periodogram over a pre-aggregated daily series
+    — spectral power at each candidate period, the detector that tells
+    you WHICH cycle a metric follows (weekly? 3-day batch cadence?)
+    before you commit a seasonal model to it (``seasonal_strength``
+    assumes period-7 and measures how strong; this one finds the
+    period). Power at period p is the squared projection of the
+    mean-centered series onto (cos, sin) at frequency 1/p, normalized
+    by n — Schuster's periodogram at a fixed period grid.
+
+    Scale shape: the input is the DAY-sized pre-aggregate (365 rows a
+    year no matter the event volume); cos/sin come from a BROADCAST
+    literal residue table (:func:`periodogram_trig_table` — at integer
+    periods the angle only depends on ``day_index mod p``, so the trig
+    is a Σp-row lookup, never a per-row transcendental whose last ulp
+    differs between libms). The whole computation is a
+    (days × |periods|) broadcast join plus one map-side-combinable
+    fold to |periods| rows. The mean and the per-term products are
+    6dp-rounded into DECIMAL sums — the spectrum is bit-reproducible
+    across engines and partition orders. Output: period, power,
+    share of grid power, and ``dominant`` on the argmax row (smallest
+    period wins ties).
+    """
+    from pyspark.sql import Window as W
+
+    spark = daily.sparkSession
+    d0 = (
+        F.lit(min_day)
+        if min_day is not None
+        else F.min(day_col).over(W.partitionBy())
+    )
+    base = daily.select(
+        F.datediff(F.col(day_col), d0).cast("long").alias("__d"),
+        F.round(F.col(value_col).cast("double"), 6).alias("__y"),
+    )
+    mean_row = base.agg(
+        F.round(
+            F.sum(F.col("__y").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__mu"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    trig = spark.createDataFrame(
+        periodogram_trig_table(periods),
+        "period long, __r long, __cos double, __sin double",
+    )
+    x = (
+        base.crossJoin(F.broadcast(mean_row))
+        .crossJoin(
+            F.broadcast(
+                trig.select("period").distinct()
+            )
+        )
+        .withColumn("__r", F.pmod(F.col("__d"), F.col("period")))
+        .join(F.broadcast(trig), ["period", "__r"])
+    )
+    yc = F.col("__y") - F.col("__mu")
+    ct = F.round(yc * F.col("__cos"), 6).cast("decimal(28,6)")
+    st = F.round(yc * F.col("__sin"), 6).cast("decimal(28,6)")
+    per_p = x.groupBy("period").agg(
+        F.sum(ct).cast("double").alias("__c"),
+        F.sum(st).cast("double").alias("__s"),
+        F.max("__n").alias("__n"),
+    )
+    power = F.round(
+        (F.col("__c") * F.col("__c") + F.col("__s") * F.col("__s"))
+        / F.col("__n"),
+        6,
+    )
+    scored = per_p.select("period", power.alias("power"))
+    tot = F.sum(F.col("power").cast("decimal(28,6)")).over(W.partitionBy())
+    best = F.row_number().over(
+        W.orderBy(F.desc("power"), F.asc("period"))
+    )
+    return scored.select(
+        "period",
+        "power",
+        F.round(
+            F.try_divide(F.col("power"), tot.cast("double")), 6
+        ).alias("power_share"),
+        (best == 1).alias("dominant"),
+    ).orderBy("period")

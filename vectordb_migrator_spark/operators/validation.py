@@ -946,3 +946,91 @@ def key_discovery(
     if out is None:
         raise ValueError("columns must be non-empty")
     return out.orderBy("candidate")
+
+
+def id_gap_audit(
+    df: DataFrame,
+    key_col: str,
+    *,
+    bucket: int = 1024,
+    top_gaps: int = 5,
+) -> DataFrame:
+    """Sequence-gap audit over a monotone surrogate key — "did a load
+    drop a range?" Missing-id mass and WHERE it is: a batch that
+    silently lost a partition shows up as one contiguous hole, while
+    organic sparsity (TPC-H orderkeys use 4 of every 32) shows up as
+    uniform small gaps. Reports the global fill ratio plus the
+    ``top_gaps`` largest holes with their [after, before] bounds.
+
+    Scale shape: NO global sort of keys. Keys bucket by
+    ``key div bucket``; within-bucket neighbor gaps come from a lag
+    window PARTITIONED by bucket (partition-local sort of ~``bucket``
+    keys), and cross-bucket boundary gaps from a lag over the
+    bucket-summary frame (rows = keyspan/bucket, day-sized at any
+    scale). The result is exact — every gap is either within one
+    bucket or between two adjacent non-empty buckets' max/min.
+    Duplicate keys collapse first (distinct), so the audit composes
+    with non-unique staging tables.
+    """
+    from pyspark.sql import Window as W
+
+    k = df.select(F.col(key_col).cast("long").alias("__k")).filter(
+        F.col("__k").isNotNull()
+    ).distinct()
+    b = k.withColumn("__b", (F.col("__k") / bucket).cast("long"))
+    win = W.partitionBy("__b").orderBy("__k")
+    within = b.select(
+        "__k",
+        (F.col("__k") - F.lag("__k").over(win)).alias("__gap"),
+        F.lag("__k").over(win).alias("__after"),
+    ).filter(F.col("__gap").isNotNull() & (F.col("__gap") > 1))
+    summ = b.groupBy("__b").agg(
+        F.min("__k").alias("__mn"),
+        F.max("__k").alias("__mx"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    bwin = W.orderBy("__b")
+    boundary = summ.select(
+        (F.col("__mn") - F.lag("__mx").over(bwin)).alias("__gap"),
+        F.lag("__mx").over(bwin).alias("__after"),
+    ).filter(F.col("__gap").isNotNull() & (F.col("__gap") > 1))
+    gaps = within.select("__gap", "__after").unionByName(
+        boundary.select("__gap", "__after")
+    )
+    totals = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("__k").alias("lo"),
+        F.max("__k").alias("hi"),
+    )
+    # top-N first (TakeOrdered — no global sort materializes), THEN
+    # rank the N survivors with a trivial window
+    top = gaps.orderBy(F.desc("__gap"), F.asc("__after")).limit(top_gaps)
+    ranked = top.crossJoin(F.broadcast(totals)).select(
+        F.row_number()
+        .over(W.orderBy(F.desc("__gap"), F.asc("__after")))
+        .cast("long")
+        .alias("gap_rank"),
+        (F.col("__gap") - 1).cast("long").alias("missing_ids"),
+        (F.col("__after") + 1).cast("long").alias("hole_start"),
+        (F.col("__after") + F.col("__gap") - 1).cast("long").alias(
+            "hole_end"
+        ),
+        "n_keys",
+        "lo",
+        "hi",
+    )
+    span = (F.col("hi") - F.col("lo") + 1).cast("double")
+    return (
+        ranked.select(
+            "gap_rank",
+            "missing_ids",
+            "hole_start",
+            "hole_end",
+            "n_keys",
+            (F.col("hi") - F.col("lo") + 1 - F.col("n_keys"))
+            .cast("long")
+            .alias("total_missing"),
+            F.round(F.col("n_keys") / span, 6).alias("fill_ratio"),
+        )
+        .orderBy("gap_rank")
+    )

@@ -34,6 +34,7 @@ from vectordb_migrator_spark.suite import s09_extensions_b  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s09_extensions_c  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s10_round8_a  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s10_round8_b  # noqa: F401,E402
+from vectordb_migrator_spark.suite import s10_round8_c  # noqa: F401,E402
 
 # =====================================================================
 # Driver-window ordering
@@ -157,6 +158,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_encoding_artifacts",  # mojibake/control-char gate (new r8)
     "x5_oov_rate",  # per-language vocab coverage (new r8)
     "x12_row_dupes",  # full-row double-load detector (new r8)
+    "x7_anova",  # one-way F across event types (new r8)
+    "x7_spearman",  # rank correlation, activity vs value (new r8)
+    "x7_permutation_test",  # md5-seeded exact permutation gate (new r8)
+    "x13_periodogram",  # DFT dominant-period detector (new r8)
+    "x12_id_gaps",  # surrogate-key sequence-gap audit (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

@@ -1,0 +1,381 @@
+"""Round-8 (late) registry module C — inference and audit extensions:
+one-way ANOVA, Spearman rank correlation, a deterministic (md5-seeded)
+permutation test, a DFT periodogram with an injected trig table, and
+the id-sequence gap audit. Registered via the shared ``query``
+decorator; every entry carries a full DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.suite._shared import _t, query
+
+
+# ---------------------------------------------------------------------
+# x7_anova — one-way ANOVA across event types
+# ---------------------------------------------------------------------
+
+@query(
+    "x7_anova",
+    """
+    WITH g AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             sum(round(value, 6)::DECIMAL(18,6)) AS sx,
+             sum(round(value, 6)::DECIMAL(19,6)
+                 * round(value, 6)::DECIMAL(19,6)) AS sxx
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), t AS (
+      SELECT n, sx,
+             round(sxx::DOUBLE
+                   - n * (sx::DOUBLE / n) * (sx::DOUBLE / n), 6)
+               ::DECIMAL(28,6) AS ssw,
+             round(sx::DOUBLE * sx::DOUBLE / n, 6)::DECIMAL(28,6) AS bsq
+      FROM g
+    ), a AS (
+      SELECT sum(n)::BIGINT AS n_total, count(*)::BIGINT AS k_groups,
+             sum(sx) AS gsum,
+             sum(ssw)::DOUBLE AS ssw, sum(bsq)::DOUBLE AS bsq
+      FROM t
+    ), s AS (
+      SELECT n_total, k_groups, ssw,
+             bsq - gsum::DOUBLE * gsum::DOUBLE / n_total AS ssb
+      FROM a
+    )
+    SELECT n_total, k_groups,
+           (k_groups - 1)::BIGINT AS dof_between,
+           (n_total - k_groups)::BIGINT AS dof_within,
+           round(ssb, 4) AS ss_between,
+           round(ssw, 4) AS ss_within,
+           round((ssb / (k_groups - 1)::DOUBLE)
+                 / nullif(ssw / (n_total - k_groups)::DOUBLE, 0), 6)
+             AS f_stat,
+           round(ssb / nullif(ssb + ssw, 0), 6) AS eta_sq,
+           round((ssb / (k_groups - 1)::DOUBLE)
+                 / nullif(ssw / (n_total - k_groups)::DOUBLE, 0), 6)
+             > 2.372 AS significant
+    FROM s
+    """,
+)
+def x7_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — one-way ANOVA across event types (round 8): do the five
+    event types differ in mean value ANYWHERE, in one F statistic
+    (the k-sample gate that replaces C(5,2) pairwise tests and their
+    multiplicity problem), plus eta² so a significant-but-immaterial
+    grouping is visible as such. One map-side-combined moment
+    aggregate folds the corpus to 5 rows; 6dp-rounded decimal moments
+    make the statistic engine-exact
+    (operators/scale.py:anova_oneway). Full oracle."""
+    from vectordb_migrator_spark.operators.scale import anova_oneway
+
+    return anova_oneway(
+        _t(spark, sf_dir, "events"), "value", group_col="event_type"
+    )
+
+
+# ---------------------------------------------------------------------
+# x7_spearman — rank correlation: user activity vs mean event value
+# ---------------------------------------------------------------------
+
+@query(
+    "x7_spearman",
+    """
+    WITH u AS (
+      SELECT user_id,
+             count(*)::DOUBLE AS x,
+             round(sum(round(value, 6)::DECIMAL(18,6))::DOUBLE
+                   / count(*), 6) AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id
+    ), r AS (
+      SELECT ((rank() OVER (ORDER BY x))::DOUBLE
+              + ((count(*) OVER (PARTITION BY x))::DOUBLE - 1) / 2)
+               ::DECIMAL(19,1) AS rx,
+             ((rank() OVER (ORDER BY y))::DOUBLE
+              + ((count(*) OVER (PARTITION BY y))::DOUBLE - 1) / 2)
+               ::DECIMAL(19,1) AS ry
+      FROM u
+    ), a AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+             sum(rx * ry) AS sxy
+      FROM r
+    ), s AS (
+      SELECT n,
+             round((sxy::DOUBLE / n
+                    - (sx::DOUBLE / n) * (sy::DOUBLE / n))
+                   / nullif(sqrt((sxx::DOUBLE / n
+                                  - (sx::DOUBLE / n) * (sx::DOUBLE / n))
+                                 * (syy::DOUBLE / n
+                                    - (sy::DOUBLE / n)
+                                      * (sy::DOUBLE / n))), 0), 6)
+               AS rho
+      FROM a
+    )
+    SELECT n, rho,
+           round(rho * sqrt((n - 2)
+                            / nullif(1.0 - rho * rho, 0)), 6) AS t_stat,
+           abs(round(rho * sqrt((n - 2)
+                                / nullif(1.0 - rho * rho, 0)), 6))
+             > 1.959964 AS significant
+    FROM s
+    """,
+)
+def x7_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — Spearman rank correlation (round 8) between per-user
+    activity (event count) and per-user mean event value — "do heavy
+    users behave differently", measured monotonically so whales and
+    heavy tails can't fabricate (or hide) the association the way
+    they do under Pearson (``x12_corr_matrix``). Average ranks for
+    ties; the corpus folds to the user frame first, ranks are windows
+    over that pre-aggregate, and the rank moments are exact
+    DECIMAL(19,1) sums — engine-exact end to end
+    (operators/scale.py:spearman_rho). Full oracle."""
+    from vectordb_migrator_spark.operators.scale import spearman_rho
+
+    ev = _t(spark, sf_dir, "events")
+    unit = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x"),
+            F.round(
+                F.sum(
+                    F.round(F.col("value").cast("double"), 6).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("y"),
+        )
+    )
+    return spearman_rho(unit, "x", "y")
+
+
+# ---------------------------------------------------------------------
+# x7_permutation_test — md5-seeded exact permutation inference
+# ---------------------------------------------------------------------
+
+@query(
+    "x7_permutation_test",
+    """
+    WITH unit AS (
+      SELECT user_id AS u,
+             round(sum(round(value, 6)::DECIMAL(18,6))::DOUBLE, 6) AS v,
+             max(user_id % 2 = 0) AS obs_a
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id
+    ), obs AS (
+      SELECT round(
+               sum(CASE WHEN obs_a THEN round(v, 6)::DECIMAL(28,6)
+                   END)::DOUBLE
+                 / sum(CASE WHEN obs_a THEN 1 ELSE 0 END)::DOUBLE
+               - sum(CASE WHEN NOT obs_a THEN round(v, 6)::DECIMAL(28,6)
+                     END)::DOUBLE
+                 / sum(CASE WHEN NOT obs_a THEN 1 ELSE 0 END)::DOUBLE,
+               6) AS obs_diff
+      FROM unit
+    ), per_b AS (
+      SELECT b,
+             round(
+               sum(CASE WHEN substr(md5(u::VARCHAR || ':' || b::VARCHAR),
+                               1, 1) < '8'
+                        THEN round(v, 6)::DECIMAL(28,6) END)::DOUBLE
+                 / sum(CASE WHEN substr(md5(u::VARCHAR || ':'
+                                            || b::VARCHAR), 1, 1) < '8'
+                            THEN 1 ELSE 0 END)::DOUBLE
+               - sum(CASE WHEN NOT (substr(md5(u::VARCHAR || ':'
+                                                || b::VARCHAR), 1, 1)
+                                    < '8')
+                          THEN round(v, 6)::DECIMAL(28,6) END)::DOUBLE
+                 / sum(CASE WHEN NOT (substr(md5(u::VARCHAR || ':'
+                                                  || b::VARCHAR), 1, 1)
+                                      < '8')
+                            THEN 1 ELSE 0 END)::DOUBLE,
+               6) AS d
+      FROM unit, range(200) t(b) GROUP BY b
+    )
+    SELECT 200::BIGINT AS n_perms,
+           (SELECT obs_diff FROM obs) AS observed_diff,
+           sum(CASE WHEN abs(d) >= abs((SELECT obs_diff FROM obs))
+                    THEN 1 ELSE 0 END)::BIGINT AS n_extreme,
+           round((sum(CASE WHEN abs(d)
+                                >= abs((SELECT obs_diff FROM obs))
+                           THEN 1 ELSE 0 END) + 1) / 201.0, 6)
+             AS p_value,
+           round((sum(CASE WHEN abs(d)
+                                >= abs((SELECT obs_diff FROM obs))
+                           THEN 1 ELSE 0 END) + 1) / 201.0, 6) < 0.05
+             AS significant
+    FROM per_b
+    """,
+)
+def x7_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — deterministic permutation test (round 8) of the user-level
+    mean-total difference between the even/odd user-id variants: the
+    assumption-free significance gate — no normality, no variance
+    model, exact exchangeability logic — with the null distribution
+    built from 200 md5-SEEDED label reshuffles (permutation b assigns
+    user u to side A iff md5(u:b)'s first hex digit < '8'), so the
+    p-value is engine-exact, not Monte-Carlo-flaky. The event log
+    folds ONCE to the per-user frame; only that pre-aggregate is
+    replicated 200× (operators/scale.py:permutation_test_md5). Full
+    oracle."""
+    from vectordb_migrator_spark.operators.scale import (
+        permutation_test_md5,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    return permutation_test_md5(
+        ev,
+        unit_col="user_id",
+        value_col="value",
+        variant_expr=(F.col("user_id") % 2 == 0),
+        n_perms=200,
+    )
+
+
+# ---------------------------------------------------------------------
+# x13_periodogram — dominant-period detection on the daily series
+# ---------------------------------------------------------------------
+
+
+def _periodogram_sql() -> str:
+    from vectordb_migrator_spark.operators.timeseries import (
+        periodogram_trig_table,
+    )
+
+    rows = periodogram_trig_table((2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
+    values = ", ".join(
+        f"({p}, {r}, CAST({c!r} AS DOUBLE), CAST({s!r} AS DOUBLE))"
+        for p, r, c, s in rows
+    )
+    return f"""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, count(*)::DOUBLE AS y
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT date_diff('day', (SELECT min(day) FROM d), day)::BIGINT
+               AS dd,
+             round(y, 6) AS y
+      FROM d
+    ), m AS (
+      SELECT round(sum(y::DECIMAL(28,6))::DOUBLE / count(*), 6) AS mu,
+             count(*)::DOUBLE AS n
+      FROM b
+    ), trig(period, r, c, s) AS (VALUES {values}),
+    x AS (
+      SELECT trig.period,
+             sum(round((b.y - m.mu) * trig.c, 6)::DECIMAL(28,6))::DOUBLE
+               AS cc,
+             sum(round((b.y - m.mu) * trig.s, 6)::DECIMAL(28,6))::DOUBLE
+               AS ss,
+             max(m.n) AS n
+      FROM b, m, trig
+      WHERE trig.r = b.dd % trig.period
+      GROUP BY trig.period
+    ), sc AS (
+      SELECT period::BIGINT AS period,
+             round((cc * cc + ss * ss) / n, 6) AS power
+      FROM x
+    )
+    SELECT period, power,
+           round(power / nullif(
+             (sum(power::DECIMAL(28,6)) OVER ())::DOUBLE, 0), 6)
+             AS power_share,
+           row_number() OVER (ORDER BY power DESC, period) = 1
+             AS dominant
+    FROM sc ORDER BY period
+    """
+
+
+@query("x13_periodogram", _periodogram_sql())
+def x13_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — Schuster periodogram of the daily event count (round 8):
+    spectral power at candidate periods 2..14 days, normalized to
+    share-of-grid, with the dominant period flagged — the detector
+    that FINDS the cycle (``x13_seasonal_strength`` assumes period 7
+    and scores it; this one asks which period the data actually
+    follows, catching 3-day batch cadences or biweekly pulls a
+    weekly model would alias). Day-sized input; cos/sin come from a
+    broadcast residue lookup shared verbatim with the oracle, so not
+    one transcendental is evaluated at query time and the spectrum is
+    bit-identical across engines
+    (operators/timeseries.py:periodogram_daily). Full oracle."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        periodogram_daily,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return periodogram_daily(daily, day_col="day", value_col="y")
+
+
+# ---------------------------------------------------------------------
+# x12_id_gaps — surrogate-key sequence-gap audit
+# ---------------------------------------------------------------------
+
+@query(
+    "x12_id_gaps",
+    """
+    WITH k AS (
+      SELECT DISTINCT l_orderkey::BIGINT AS k FROM lineitem
+      WHERE l_orderkey IS NOT NULL
+    ), b AS (
+      SELECT k, k // 1024 AS b FROM k
+    ), w AS (
+      SELECT k - lag(k) OVER (PARTITION BY b ORDER BY k) AS gap,
+             lag(k) OVER (PARTITION BY b ORDER BY k) AS after
+      FROM b
+    ), s AS (
+      SELECT b, min(k) AS mn, max(k) AS mx FROM b GROUP BY b
+    ), bd AS (
+      SELECT mn - lag(mx) OVER (ORDER BY b) AS gap,
+             lag(mx) OVER (ORDER BY b) AS after
+      FROM s
+    ), g AS (
+      SELECT gap, after FROM w WHERE gap IS NOT NULL AND gap > 1
+      UNION ALL
+      SELECT gap, after FROM bd WHERE gap IS NOT NULL AND gap > 1
+    ), t AS (
+      SELECT count(*)::BIGINT AS n_keys, min(k) AS lo, max(k) AS hi
+      FROM k
+    ), top AS (
+      SELECT gap, after FROM g ORDER BY gap DESC, after LIMIT 5
+    )
+    SELECT row_number() OVER (ORDER BY gap DESC, after)::BIGINT
+             AS gap_rank,
+           (gap - 1)::BIGINT AS missing_ids,
+           (after + 1)::BIGINT AS hole_start,
+           (after + gap - 1)::BIGINT AS hole_end,
+           n_keys,
+           (hi - lo + 1 - n_keys)::BIGINT AS total_missing,
+           round(n_keys::DOUBLE / (hi - lo + 1), 6) AS fill_ratio
+    FROM top, t ORDER BY gap_rank
+    """,
+)
+def x12_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — id-sequence gap audit on lineitem's order key (round 8):
+    the five largest holes in the referenced-key sequence with their
+    bounds, total missing mass, and fill ratio (~1.7% of orderkeys
+    never appear in lineitem in this corpus — orders with no lines).
+    A dropped load partition is ONE contiguous hole; organic sparsity
+    is uniform small gaps, so the top-gap profile separates the two
+    at a glance. No global key sort: gaps are within-bucket lag
+    windows (partition-local) plus boundary lags over the
+    bucket-summary frame; the top-5 is a TakeOrdered
+    (operators/validation.py:id_gap_audit). Full oracle."""
+    from vectordb_migrator_spark.operators.validation import id_gap_audit
+
+    return id_gap_audit(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", bucket=1024, top_gaps=5
+    )
