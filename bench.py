@@ -189,6 +189,9 @@ HEADLINE = [
     "x7_bh_fdr",
     "x7_cmh_test",
     "x7_ratio_ci",
+    "x7_anova",
+    "x7_spearman",
+    "x7_permutation_test",
     "x7_eb_shrinkage",
     "x7_diff_in_diff",
     "x5_f1_report",
@@ -197,6 +200,7 @@ HEADLINE = [
     "x12_key_discovery",
     "x12_row_dupes",
     "x12_timestamp_audit",
+    "x12_id_gaps",
     "x7_ece",
     "x5_quality_by_lang",
     "x5_quality_tiers",
@@ -303,6 +307,7 @@ HEADLINE = [
     "x13_event_gaps",
     "x13_interarrival_profile",
     "x13_hour_of_week_profile",
+    "x13_periodogram",
     "range_join_value_bands",
     "bin_equal_frequency_events",
     "histogram_event_values",
