@@ -190,6 +190,7 @@ HEADLINE = [
     "x7_cmh_test",
     "x7_ratio_ci",
     "x7_anova",
+    "x9_anisotropic_loss",
     "x7_spearman",
     "x7_permutation_test",
     "x7_eb_shrinkage",

@@ -1274,3 +1274,49 @@ def test_pq_learned_codebooks_matches_numpy_lloyd(spark):
     for s in range(m):
         assert np.allclose(np.array(got[s]), cbs[s], atol=1e-9)
     assert mse(got) <= mse(seeds) + 1e-12
+
+
+def test_pq_anisotropic_report_matches_numpy(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_anisotropic_report,
+        pq_sampled_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = np.round(rng.standard_normal((40, 8)), 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = pq_sampled_codebooks(df, m=2, k=4)
+    r = pq_anisotropic_report(df, cbs, t=0.2).first()
+
+    # NumPy replica: per-subspace argmin (tie-break smallest j), then
+    # parallel/orthogonal decomposition of the residual
+    cb = np.array(cbs)  # (m, k, dsub)
+    tot_p, tot_t = [], []
+    for x in vecs:
+        rec = np.empty(8)
+        for s in range(2):
+            sub = x[s * 4 : (s + 1) * 4]
+            dists = ((cb[s] - sub) ** 2).sum(axis=1)
+            rec[s * 4 : (s + 1) * 4] = cb[s][int(np.argmin(dists))]
+        res = rec - x
+        xsq = float(x @ x)
+        par = (float(res @ x) ** 2) / xsq if xsq > 0 else 0.0
+        tot_p.append(par)
+        tot_t.append(float(res @ res))
+    mt, mp = np.mean(tot_t), np.mean(tot_p)
+    assert abs(r["mse_total"] - mt) < 1e-4
+    assert abs(r["mse_parallel"] - mp) < 1e-4
+    assert abs(r["mse_orthogonal"] - (mt - mp)) < 1e-4
+    # d=8 here: anisotropy factor is share * 8
+    assert abs(r["anisotropy_factor"] - (mp / mt) * 8) < 1e-3
+    # loss_at_t uses w=(d-1)t^2/(1-t^2) with d=8, t=0.2 -> 7*.04/.96
+    w = 7 * 0.04 / 0.96
+    assert abs(r["loss_at_t"] - (w * mp + (mt - mp))) < 1e-3
+    # decomposition invariants
+    assert 0.0 <= r["parallel_share"] <= 1.0
+    assert r["mse_orthogonal"] >= 0

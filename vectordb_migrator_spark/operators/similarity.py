@@ -1363,3 +1363,111 @@ def pq_learned_codebooks(
         return cbs
     finally:
         sub.unpersist()
+
+
+def pq_anisotropic_report(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    t: float = 0.2,
+) -> DataFrame:
+    """Score-aware (anisotropic) quantization-loss decomposition —
+    the ScaNN diagnostic (Guo et al. 2020, "Accelerating Large-Scale
+    Inference with Anisotropic Vector Quantization"): split each
+    vector's PQ reconstruction error into the component PARALLEL to
+    the vector and the ORTHOGONAL remainder. Inner-product retrieval
+    only suffers from the parallel part on high-scoring pairs, so a
+    codebook whose parallel share exceeds the isotropic baseline
+    (1/d) is losing recall it could trade for more orthogonal error —
+    the measurement that says whether anisotropic training (or just
+    OPQ) would pay before anyone re-trains a codebook.
+
+    Per vector (pure codegen, no shuffle until the final fold): each
+    subspace's argmin codeword comes from one ``array_min`` over a
+    ``(dist, j, dot)`` struct array against broadcast literal
+    codebooks (same kernel as ``pq_codes``); r·x, |r|², |x|² assemble
+    from per-subspace partials in fixed index order; the corpus then
+    folds ONCE to a single report row with 6dp-rounded DECIMAL sums
+    (engine-exact means). ``loss_at_t`` is the ScaNN surrogate
+    w·η∥ + η⊥ with w = (d−1)·t²/(1−t²).
+
+    Reference for parity: the reference engine stores raw vectors
+    only (core/migrator.py loop) — this is extension surface.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    d = m * dsub
+    par_sq_num = None  # (r.x) built as Σ_s (c_s.x_s - |x_s|^2)
+    rsq = None
+    xsq = None
+    for s in range(m):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        cands = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cw])
+                for cw in codebooks[s]
+            ]
+        )
+        idx = F.array(
+            *[F.lit(j).cast("int") for j in range(len(codebooks[s]))]
+        )
+        scored = F.zip_with(
+            cands,
+            idx,
+            lambda c, j: F.struct(
+                F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                j.alias("j"),
+                F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (b - a) * a),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dot"),
+            ),
+        )
+        best = F.array_min(scored)
+        sub_xsq = F.aggregate(
+            sub, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+        rsq = best["dist"] if rsq is None else rsq + best["dist"]
+        par_sq_num = (
+            best["dot"] if par_sq_num is None else par_sq_num + best["dot"]
+        )
+        xsq = sub_xsq if xsq is None else xsq + sub_xsq
+    eta_par = F.when(xsq > 0, par_sq_num * par_sq_num / xsq).otherwise(
+        F.lit(0.0)
+    )
+    per_vec = df.select(
+        F.round(rsq, 6).cast("decimal(28,6)").alias("__rsq"),
+        F.round(eta_par, 6).cast("decimal(28,6)").alias("__par"),
+    )
+    w = (d - 1) * t * t / (1.0 - t * t)
+    agg = per_vec.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("__rsq").cast("double") / F.count(F.lit(1))).alias("__mt"),
+        (F.sum("__par").cast("double") / F.count(F.lit(1))).alias("__mp"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("__mt"), 6).alias("mse_total"),
+        F.round(F.col("__mp"), 6).alias("mse_parallel"),
+        F.round(F.col("__mt") - F.col("__mp"), 6).alias("mse_orthogonal"),
+        F.round(F.try_divide(F.col("__mp"), F.col("__mt")), 6).alias(
+            "parallel_share"
+        ),
+        F.round(F.lit(1.0 / d), 6).alias("isotropic_share"),
+        F.round(
+            F.try_divide(F.col("__mp"), F.col("__mt")) * F.lit(float(d)),
+            6,
+        ).alias("anisotropy_factor"),
+        F.round(
+            F.lit(w) * F.col("__mp")
+            + (F.col("__mt") - F.col("__mp")),
+            6,
+        ).alias("loss_at_t"),
+    )

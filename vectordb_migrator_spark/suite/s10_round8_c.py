@@ -379,3 +379,80 @@ def x12_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return id_gap_audit(
         _t(spark, sf_dir, "lineitem"), "l_orderkey", bucket=1024, top_gaps=5
     )
+
+
+# ---------------------------------------------------------------------
+# x9_anisotropic_loss — ScaNN score-aware quantization decomposition
+# ---------------------------------------------------------------------
+
+@query(
+    "x9_anisotropic_loss",
+    """
+    WITH cb AS (
+      SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 16
+    ), d AS (
+      SELECT e.vec_id, (t.i - 1) // 16 AS s, c.j,
+             sum((e.embedding[t.i]::DOUBLE - c.cv[t.i])
+                 * (e.embedding[t.i]::DOUBLE - c.cv[t.i])) AS dist,
+             sum((c.cv[t.i] - e.embedding[t.i]::DOUBLE)
+                 * e.embedding[t.i]::DOUBLE) AS dotp
+      FROM embeddings e, unnest(range(1, 65)) t(i), cb c
+      GROUP BY e.vec_id, (t.i - 1) // 16, c.j
+    ), md AS (
+      SELECT vec_id, s, dist, dotp FROM (
+        SELECT vec_id, s, dist, dotp,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), xq AS (
+      SELECT e.vec_id,
+             sum(e.embedding[t.i]::DOUBLE * e.embedding[t.i]::DOUBLE)
+               AS xsq
+      FROM embeddings e, unnest(range(1, 65)) t(i)
+      GROUP BY e.vec_id
+    ), pv AS (
+      SELECT round(sum(md.dist), 6)::DECIMAL(28,6) AS rsq,
+             round(CASE WHEN max(xq.xsq) > 0
+                        THEN sum(md.dotp) * sum(md.dotp) / max(xq.xsq)
+                        ELSE 0 END, 6)::DECIMAL(28,6) AS par
+      FROM md JOIN xq USING (vec_id) GROUP BY md.vec_id
+    ), a AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(rsq)::DOUBLE / count(*) AS mt,
+             sum(par)::DOUBLE / count(*) AS mp
+      FROM pv
+    )
+    SELECT n,
+           round(mt, 6) AS mse_total,
+           round(mp, 6) AS mse_parallel,
+           round(mt - mp, 6) AS mse_orthogonal,
+           round(mp / nullif(mt, 0), 6) AS parallel_share,
+           round(1.0 / 64, 6) AS isotropic_share,
+           round(mp / nullif(mt, 0) * 64.0, 6) AS anisotropy_factor,
+           round(2.625 * mp + (mt - mp), 6) AS loss_at_t
+    FROM a
+    """,
+)
+def x9_anisotropic_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — anisotropic (score-aware) quantization-loss decomposition
+    (round 8): split the PQ reconstruction error into the component
+    PARALLEL to each vector and the orthogonal remainder — ScaNN's
+    insight (Guo et al. 2020) that inner-product retrieval only pays
+    for the parallel part on high-scoring pairs. ``parallel_share``
+    vs the isotropic 1/d baseline (``anisotropy_factor`` ≈ 1 means
+    the codebook wastes nothing; ≫ 1 means anisotropic training or
+    OPQ would buy recall at equal bytes) and the ScaNN surrogate
+    ``loss_at_t`` (w·η∥ + η⊥ at t=0.2) make the retrain decision a
+    report, not a hunch. Argmin + residual partials all in codegen
+    against broadcast codebooks; ONE corpus fold to the report row
+    (operators/similarity.py:pq_anisotropic_report). Full oracle."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_anisotropic_report,
+        pq_sampled_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    return pq_anisotropic_report(emb, cbs, t=0.2)
