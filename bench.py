@@ -193,6 +193,7 @@ HEADLINE = [
     "x9_anisotropic_loss",
     "x7_spearman",
     "x7_permutation_test",
+    "x7_tost",
     "x7_eb_shrinkage",
     "x7_diff_in_diff",
     "x5_f1_report",
@@ -309,6 +310,7 @@ HEADLINE = [
     "x13_interarrival_profile",
     "x13_hour_of_week_profile",
     "x13_periodogram",
+    "x13_granger",
     "range_join_value_bands",
     "bin_equal_frequency_events",
     "histogram_event_values",

@@ -1157,3 +1157,30 @@ def test_permutation_test_md5_detects_planted_effect(spark):
         n_perms=100,
     ).first()
     assert r3["p_value"] == r2["p_value"]
+
+
+def test_tost_equivalence_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.scale import tost_equivalence
+
+    # identical distributions, large n -> equivalent within 2%
+    rows = [(u, 100.0 + (u % 13) * 0.1) for u in range(2000)]
+    df = spark.createDataFrame(rows, "u long, v double")
+    r = tost_equivalence(
+        df, "v", variant_expr=(F.col("u") % 2 == 0)
+    ).first()
+    assert abs(r["diff"]) < r["margin"]
+    assert bool(r["equivalent"])
+
+    # a 10% planted shift -> NOT equivalent at a 2% margin
+    rows2 = [
+        (u, (110.0 if u % 2 == 0 else 100.0) + (u % 13) * 0.1)
+        for u in range(2000)
+    ]
+    df2 = spark.createDataFrame(rows2, "u long, v double")
+    r2 = tost_equivalence(
+        df2, "v", variant_expr=(F.col("u") % 2 == 0)
+    ).first()
+    assert not bool(r2["equivalent"])
+    assert r2["diff"] > r2["margin"]

@@ -631,3 +631,41 @@ def test_periodogram_trig_table_is_unit_circle(spark):
         assert abs(c * c + s * s - 1.0) < 1e-8
     # residue 0 is always angle 0
     assert all(c == 1.0 and s == 0.0 for p, r, c, s in rows if r == 0)
+
+
+def test_granger_lag1_detects_planted_direction(spark):
+    import datetime
+
+    from vectordb_migrator_spark.operators.timeseries import granger_lag1
+
+    # y_t = x_{t-1} (pure lag copy): x->y must dominate; x is a
+    # deterministic pseudo-random walk with no dependence on y
+    d0 = datetime.date(2024, 1, 1)
+    xs = [((i * 37) % 23) + ((i * 11) % 7) for i in range(40)]
+    rows = []
+    for i in range(40):
+        # y follows yesterday's x plus small deterministic noise (a
+        # perfectly-fit y would make rss_u = 0 -> NULL F by contract)
+        y = (xs[i - 1] if i > 0 else 0) + (i * 13) % 3
+        rows.append((d0 + datetime.timedelta(days=i), xs[i], y))
+    df = spark.createDataFrame(rows, "day date, x long, y long")
+    out = {r["direction"]: r for r in granger_lag1(df).collect()}
+    assert bool(out["x->y"]["significant"])
+    assert out["x->y"]["f_stat"] > 100  # near-perfect fit
+    assert out["x->y"]["rss_unrestricted"] < out["x->y"]["rss_restricted"]
+    assert not bool(out["y->x"]["significant"])
+
+
+def test_granger_lag1_short_series_null_f(spark):
+    import datetime
+
+    from vectordb_migrator_spark.operators.timeseries import granger_lag1
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = [(d0 + datetime.timedelta(days=i), i, i) for i in range(3)]
+    df = spark.createDataFrame(rows, "day date, x long, y long")
+    out = granger_lag1(df).collect()
+    # n = 2 lagged rows -> rss_u/(n-3) divides by -1? n-3 = -1 is fine
+    # arithmetic; the perfectly-collinear x/y makes det 0 -> NULL b's
+    for r in out:
+        assert r["f_stat"] is None or r["f_stat"] >= 0

@@ -1799,3 +1799,73 @@ def permutation_test_md5(
         "p_value",
         (F.col("p_value") < F.lit(0.05)).alias("significant"),
     )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    value_col: str,
+    *,
+    variant_expr,
+    rel_margin: float = 0.02,
+    z_crit: float = 1.644854,
+) -> DataFrame:
+    """Two-one-sided-tests (TOST) equivalence gate — the test that can
+    POSITIVELY conclude "the variants are the same within ±margin",
+    which a non-significant difference test never does (absence of
+    evidence ≠ evidence of absence — the ship/no-ship question for
+    refactors, infra swaps, and holdback checks). Margin is
+    ``rel_margin`` × the control mean; equivalence holds iff BOTH
+    one-sided z's clear ``z_crit`` (α=0.05 per side).
+
+    Scale shape: one map-side-combinable moment fold (n, Σv, Σv² per
+    side from 6dp-rounded DECIMAL sums) collapses the corpus; every
+    statistic derives from those six numbers, engine-exact. Welch
+    (unpooled) SE. A side with <2 rows reports NULL z's
+    (``try_divide``), never an ANSI abort.
+    """
+    is_a = variant_expr
+    v6 = F.round(F.col(value_col).cast("double"), 6)
+    m = df.filter(F.col(value_col).isNotNull()).agg(
+        F.sum(is_a.cast("long")).cast("long").alias("n_a"),
+        F.sum((~is_a).cast("long")).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, v6.cast("decimal(18,6)"))).alias("sa"),
+        F.sum(F.when(~is_a, v6.cast("decimal(18,6)"))).alias("sb"),
+        F.sum(
+            F.when(
+                is_a, v6.cast("decimal(19,6)") * v6.cast("decimal(19,6)")
+            )
+        ).alias("qa"),
+        F.sum(
+            F.when(
+                ~is_a, v6.cast("decimal(19,6)") * v6.cast("decimal(19,6)")
+            )
+        ).alias("qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    va = F.try_divide(
+        F.col("qa").cast("double") - na * ma * ma, na - 1
+    )
+    vb = F.try_divide(
+        F.col("qb").cast("double") - nb * mb * mb, nb - 1
+    )
+    se = F.sqrt(F.try_divide(va, na) + F.try_divide(vb, nb))
+    diff = ma - mb
+    margin = F.abs(mb) * rel_margin
+    z_lower = F.round(F.try_divide(diff + margin, se), 6)
+    z_upper = F.round(F.try_divide(margin - diff, se), 6)
+    equivalent = (z_lower > F.lit(z_crit)) & (z_upper > F.lit(z_crit))
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(margin, 6).alias("margin"),
+        z_lower.alias("z_lower"),
+        z_upper.alias("z_upper"),
+        equivalent.alias("equivalent"),
+    )

@@ -911,3 +911,86 @@ def periodogram_daily(
         ).alias("power_share"),
         (best == 1).alias("dominant"),
     ).orderBy("period")
+
+
+def granger_lag1(
+    daily: DataFrame,
+    *,
+    day_col: str = "day",
+    x_col: str = "x",
+    y_col: str = "y",
+    f_crit: float = 3.841459,
+) -> DataFrame:
+    """Lag-1 Granger-causality screen between two daily integer series
+    — "does yesterday's X help predict today's Y beyond Y's own
+    yesterday?", both directions in one report. The nested-model F:
+    restricted OLS y_t ~ y_{t-1} versus unrestricted
+    y_t ~ y_{t-1} + x_{t-1}, F = (RSS_r − RSS_u) / (RSS_u / (n−3)),
+    solved in closed form from centered second moments (2×2 Cramer —
+    no iterative fit). A significant X→Y with an insignificant Y→X is
+    the lead-lag structure worth a real model; significance both ways
+    usually means a shared driver.
+
+    Scale shape: the input is the DAY-sized pre-aggregate; lags are
+    one window over that tiny frame and the moments are EXACT integer
+    sums (counts × counts stay in BIGINT), so every downstream double
+    is bit-identical across engines — no rounding games needed.
+    ``f_crit`` defaults to F(1, ∞) at α=0.05. Series shorter than 4
+    points — and a PERFECT unrestricted fit (rss_u = 0, F undefined /
+    infinite) — report NULL F (``try_divide``), never an abort.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(day_col)
+    lagged = daily.select(
+        F.col(y_col).cast("long").alias("__y"),
+        F.lag(F.col(y_col).cast("long")).over(w).alias("__yl"),
+        F.lag(F.col(x_col).cast("long")).over(w).alias("__xl"),
+        F.col(x_col).cast("long").alias("__x"),
+    ).filter(F.col("__yl").isNotNull())
+
+    def direction(tag: str, y: str, y1: str, x1: str) -> DataFrame:
+        m = lagged.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(y).alias("sy"),
+            F.sum(y1).alias("s1"),
+            F.sum(x1).alias("s2"),
+            F.sum(F.col(y) * F.col(y)).alias("syy"),
+            F.sum(F.col(y1) * F.col(y1)).alias("s11"),
+            F.sum(F.col(x1) * F.col(x1)).alias("s22"),
+            F.sum(F.col(y) * F.col(y1)).alias("s1y"),
+            F.sum(F.col(y) * F.col(x1)).alias("s2y"),
+            F.sum(F.col(y1) * F.col(x1)).alias("s12"),
+        )
+        n = F.col("n").cast("double")
+        # centered moments (exact integer sums -> deterministic doubles)
+        cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+        c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+        c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+        c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+        c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+        c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+        rss_r = cyy - F.try_divide(c1y * c1y, c11)
+        det = c11 * c22 - c12 * c12
+        b1 = F.try_divide(c1y * c22 - c2y * c12, det)
+        b2 = F.try_divide(c2y * c11 - c1y * c12, det)
+        rss_u = cyy - b1 * c1y - b2 * c2y
+        f_stat = F.round(
+            F.try_divide(
+                rss_r - rss_u, F.try_divide(rss_u, n - 3)
+            ),
+            6,
+        )
+        return m.select(
+            F.lit(tag).alias("direction"),
+            F.col("n"),
+            F.round(b2, 6).alias("cross_coef"),
+            F.round(rss_r, 4).alias("rss_restricted"),
+            F.round(rss_u, 4).alias("rss_unrestricted"),
+            f_stat.alias("f_stat"),
+            (f_stat > F.lit(f_crit)).alias("significant"),
+        )
+
+    fwd = direction("x->y", "__y", "__yl", "__xl")
+    rev = direction("y->x", "__x", "__xl", "__yl")
+    return fwd.unionByName(rev).orderBy("direction")

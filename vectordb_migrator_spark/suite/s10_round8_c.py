@@ -456,3 +456,178 @@ def x9_anisotropic_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cbs = pq_sampled_codebooks(emb, m=4, k=16)
     return pq_anisotropic_report(emb, cbs, t=0.2)
+
+
+# ---------------------------------------------------------------------
+# x13_granger — lag-1 Granger-causality screen (click vs purchase)
+# ---------------------------------------------------------------------
+
+
+def _granger_direction_sql(tag: str, y: str, y1: str, x1: str) -> str:
+    """One direction's closed-form nested-model F, mirroring
+    operators/timeseries.py:granger_lag1 operation-for-operation
+    (exact BIGINT moment sums -> deterministic double algebra)."""
+    return f"""
+      SELECT '{tag}' AS direction, n,
+             round(b2, 6) AS cross_coef,
+             round(rss_r, 4) AS rss_restricted,
+             round(rss_u, 4) AS rss_unrestricted,
+             round((rss_r - rss_u)
+                   / nullif(rss_u / (n - 3), 0), 6) AS f_stat,
+             round((rss_r - rss_u)
+                   / nullif(rss_u / (n - 3), 0), 6) > 3.841459
+               AS significant
+      FROM (
+        SELECT n, rss_r,
+               cyy - b1 * c1y - b2 * c2y AS rss_u, b2
+        FROM (
+          SELECT n, cyy, c1y, c2y,
+                 cyy - c1y * c1y / nullif(c11, 0) AS rss_r,
+                 (c1y * c22 - c2y * c12)
+                   / nullif(c11 * c22 - c12 * c12, 0) AS b1,
+                 (c2y * c11 - c1y * c12)
+                   / nullif(c11 * c22 - c12 * c12, 0) AS b2
+          FROM (
+            SELECT count(*)::BIGINT AS n,
+                   sum({y}*{y}) - sum({y}) * sum({y})
+                     / count(*)::DOUBLE AS cyy,
+                   sum({y1}*{y1}) - sum({y1}) * sum({y1})
+                     / count(*)::DOUBLE AS c11,
+                   sum({x1}*{x1}) - sum({x1}) * sum({x1})
+                     / count(*)::DOUBLE AS c22,
+                   sum({y}*{y1}) - sum({y1}) * sum({y})
+                     / count(*)::DOUBLE AS c1y,
+                   sum({y}*{x1}) - sum({x1}) * sum({y})
+                     / count(*)::DOUBLE AS c2y,
+                   sum({y1}*{x1}) - sum({y1}) * sum({x1})
+                     / count(*)::DOUBLE AS c12
+            FROM f
+          )
+        )
+      )"""
+
+
+def _granger_sql() -> str:
+    fwd = _granger_direction_sql("x->y", "y", "yl", "xl")
+    rev = _granger_direction_sql("y->x", "x", "xl", "yl")
+    return f"""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               ::BIGINT AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::BIGINT AS y
+      FROM events GROUP BY 1
+    ), l AS (
+      SELECT y, lag(y) OVER (ORDER BY day) AS yl,
+             x, lag(x) OVER (ORDER BY day) AS xl
+      FROM d
+    ), f AS (
+      SELECT * FROM l WHERE yl IS NOT NULL
+    )
+    SELECT * FROM ({fwd} UNION ALL {rev}) ORDER BY direction
+    """
+
+
+@query("x13_granger", _granger_sql())
+def x13_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — lag-1 Granger-causality screen (round 8) between the
+    daily click and purchase series, BOTH directions: does
+    yesterday's clicks predict today's purchases beyond purchases'
+    own autoregression (and vice versa)? Nested-model F solved in
+    closed form from centered moments — the lead-lag triage that
+    decides whether a real forecasting model is worth building and
+    in which direction. The event log folds to the 30-row day frame;
+    lags are one window over it and every moment is an EXACT BIGINT
+    sum, so the double algebra is bit-identical across engines
+    (operators/timeseries.py:granger_lag1). Full oracle."""
+    from vectordb_migrator_spark.operators.timeseries import granger_lag1
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    return granger_lag1(daily, day_col="day", x_col="x", y_col="y")
+
+
+# ---------------------------------------------------------------------
+# x7_tost — equivalence (two one-sided tests) gate
+# ---------------------------------------------------------------------
+
+@query(
+    "x7_tost",
+    """
+    WITH m AS (
+      SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_a,
+             sum(CASE WHEN NOT (user_id % 2 = 0) THEN 1 ELSE 0 END)
+               ::BIGINT AS n_b,
+             sum(CASE WHEN user_id % 2 = 0
+                      THEN round(value, 6)::DECIMAL(18,6) END) AS sa,
+             sum(CASE WHEN NOT (user_id % 2 = 0)
+                      THEN round(value, 6)::DECIMAL(18,6) END) AS sb,
+             sum(CASE WHEN user_id % 2 = 0
+                      THEN round(value, 6)::DECIMAL(19,6)
+                           * round(value, 6)::DECIMAL(19,6) END) AS qa,
+             sum(CASE WHEN NOT (user_id % 2 = 0)
+                      THEN round(value, 6)::DECIMAL(19,6)
+                           * round(value, 6)::DECIMAL(19,6) END) AS qb
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), s AS (
+      SELECT n_a, n_b,
+             sa::DOUBLE / n_a::DOUBLE AS ma,
+             sb::DOUBLE / n_b::DOUBLE AS mb,
+             (qa::DOUBLE - n_a::DOUBLE * (sa::DOUBLE / n_a::DOUBLE)
+                           * (sa::DOUBLE / n_a::DOUBLE))
+               / nullif(n_a::DOUBLE - 1, 0) AS va,
+             (qb::DOUBLE - n_b::DOUBLE * (sb::DOUBLE / n_b::DOUBLE)
+                           * (sb::DOUBLE / n_b::DOUBLE))
+               / nullif(n_b::DOUBLE - 1, 0) AS vb
+      FROM m
+    ), z AS (
+      SELECT n_a, n_b, ma, mb,
+             ma - mb AS diff,
+             sqrt(va / n_a::DOUBLE + vb / n_b::DOUBLE) AS se,
+             abs(mb) * 0.02 AS margin
+      FROM s
+    )
+    SELECT n_a, n_b,
+           round(ma, 6) AS mean_a,
+           round(mb, 6) AS mean_b,
+           round(diff, 6) AS diff,
+           round(se, 6) AS se,
+           round(margin, 6) AS margin,
+           round((diff + margin) / nullif(se, 0), 6) AS z_lower,
+           round((margin - diff) / nullif(se, 0), 6) AS z_upper,
+           round((diff + margin) / nullif(se, 0), 6) > 1.644854
+             AND round((margin - diff) / nullif(se, 0), 6) > 1.644854
+             AS equivalent
+    FROM z
+    """,
+)
+def x7_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — TOST equivalence gate (round 8) between the even/odd
+    user-id variants on event value: the test that can POSITIVELY
+    conclude "same within ±2% of control" — what a non-significant
+    difference test never licenses, and the right gate for refactors,
+    infra swaps, and holdbacks where the desired outcome is NO
+    change. Both one-sided Welch z's must clear 1.645. One
+    map-side-combined moment fold (6dp decimal sums) collapses the
+    corpus; engine-exact (operators/scale.py:tost_equivalence). Full
+    oracle."""
+    from vectordb_migrator_spark.operators.scale import tost_equivalence
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return tost_equivalence(
+        ev,
+        "value",
+        variant_expr=(F.col("user_id") % 2 == 0),
+        rel_margin=0.02,
+    )
