@@ -669,3 +669,68 @@ def test_granger_lag1_short_series_null_f(spark):
     # arithmetic; the perfectly-collinear x/y makes det 0 -> NULL b's
     for r in out:
         assert r["f_stat"] is None or r["f_stat"] >= 0
+
+
+def test_periodogram_streaming_store_matches_batch(spark, tmp_path):
+    """X13×X8: periodogram_over answers EXACTLY what the batch
+    periodogram computes over the full data — daily counts merge as
+    sums of per-batch counts, so batch splits can't skew the series."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.timeseries import (
+        periodogram_daily,
+    )
+    from vectordb_migrator_spark.streaming.incremental import (
+        daily_stats_ingest,
+        periodogram_over,
+    )
+
+    src = str(tmp_path / "in")
+    schema = "ts timestamp, value double"
+    base = dt.datetime(2024, 3, 1)
+
+    def day_events(d):
+        # planted weekly cycle in EVENT COUNT: 3..17 events per day
+        n = 10 + int(round(7 * math.cos(2 * math.pi * d / 7)))
+        return [(base + dt.timedelta(days=d, minutes=m), 1.0) for m in range(n)]
+
+    b1 = [e for d in range(20) for e in day_events(d)]
+    spark.createDataFrame(b1, schema).write.parquet(src)
+
+    def run():
+        q = daily_stats_ingest(
+            spark,
+            source_path=src,
+            source_schema=schema,
+            store_path=str(tmp_path / "store"),
+            checkpoint=str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    # second batch splits day 19 and extends the series
+    b2 = [e for d in range(19, 28) for e in day_events(d + 100)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    run()
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    daily = full.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    want = [
+        r.asDict()
+        for r in periodogram_daily(daily, day_col="day", value_col="y")
+        .orderBy("period")
+        .collect()
+    ]
+    got = [
+        r.asDict()
+        for r in periodogram_over(spark, str(tmp_path / "store"))
+        .orderBy("period")
+        .collect()
+    ]
+    assert got == want
+    assert next(r for r in got if r["dominant"])["period"] == 7

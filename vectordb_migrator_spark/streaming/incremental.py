@@ -1635,3 +1635,34 @@ def cdc_pairs_over(
     return cdc_pair_candidates(
         chunks, min_shared=min_shared, max_bucket=max_bucket
     )
+
+
+def periodogram_over(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    periods: tuple[int, ...] = (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14),
+) -> DataFrame:
+    """Current dominant-period spectrum from a
+    :func:`daily_stats_ingest` store: merge the per-batch partials
+    into exact daily counts (sums of counts — associative, so batch
+    splits and replays can't skew the series), then run the shared
+    day-sized periodogram
+    (``operators.timeseries.periodogram_daily``). Matches the batch
+    operator on the same data exactly — the continuous twin of
+    ``x13_periodogram``, answering "did the metric's CYCLE change"
+    (a weekly pattern collapsing to a 3-day cadence is a pipeline
+    regime change CUSUM sees only as noise) without rescanning
+    history."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        periodogram_daily,
+    )
+
+    daily = (
+        spark.read.parquet(store_path)
+        .groupBy("day")
+        .agg(F.sum("cnt").cast("double").alias("y"))
+        .select(F.to_date("day").alias("day"), "y")
+        .localCheckpoint(eager=True)
+    )
+    return periodogram_daily(daily, day_col="day", value_col="y", periods=periods)
