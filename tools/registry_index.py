@@ -23,11 +23,10 @@ TWINS = {
     "x10_weighted_sample": "x10_weighted_md5_sample",
     "x2_minhash_lsh_pairs": "x2_minhash_md5_pairs",
     "x2_simhash_pairs": "x2_simhash_md5_pairs",
-    "x4_brp_approx_join": "x2_embedding_near_dup",
 }
 
 FOOT = (
-    "† rows-only (no SQL-expressible oracle). Six of the † names are\n"
+    "† rows-only (no SQL-expressible oracle). Five of the † names are\n"
     "Spark-internal-hash or fitted variants whose kernel is ALSO verified\n"
     "under a full value-hash oracle by an engine-reproducible twin:\n"
     + "\n".join(
