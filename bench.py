@@ -194,6 +194,7 @@ HEADLINE = [
     "x7_spearman",
     "x7_permutation_test",
     "x7_tost",
+    "x5_heaps_fit",
     "x7_eb_shrinkage",
     "x7_diff_in_diff",
     "x5_f1_report",

@@ -166,6 +166,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_anisotropic_loss",  # ScaNN score-aware PQ loss split (new r8)
     "x13_granger",  # lag-1 lead-lag nested-model F screen (new r8)
     "x7_tost",  # TOST equivalence gate, Welch z (new r8)
+    "x5_heaps_fit",  # Heaps-law vocab growth + 10x extrapolation (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

@@ -631,3 +631,159 @@ def x7_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
         variant_expr=(F.col("user_id") % 2 == 0),
         rel_margin=0.02,
     )
+
+
+# ---------------------------------------------------------------------
+# x5_heaps_fit — Heaps'-law vocabulary-growth fit
+# ---------------------------------------------------------------------
+
+@query(
+    "x5_heaps_fit",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+                                               '\s+')) AS w
+      FROM documents
+    ), tkf AS (
+      SELECT doc_id, w FROM tk WHERE w <> ''
+    ), firsts AS (
+      SELECT w, min(doc_id) AS fd FROM tkf GROUP BY w
+    ), dc AS (
+      SELECT doc_id, count(*)::BIGINT AS nt FROM tkf GROUP BY doc_id
+    ), mx AS (
+      SELECT max(doc_id) + 1 AS m FROM documents
+    ), ck AS (
+      SELECT r.i, ceil(mx.m * r.i / 10.0)::BIGINT AS t
+      FROM mx, range(1, 11) r(i)
+    ), nv AS (
+      SELECT i,
+             (SELECT sum(nt) FROM dc WHERE doc_id < ck.t)::DOUBLE
+               AS n_tok,
+             (SELECT count(*) FROM firsts WHERE fd < ck.t)::DOUBLE
+               AS vocab
+      FROM ck
+    ), pts AS (
+      SELECT ln(n_tok) AS x, ln(vocab) AS y FROM nv
+    ), s AS (
+      SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pts
+    ), fit AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS lnk,
+             (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      FROM s
+    )
+    SELECT n::BIGINT AS n_checkpoints,
+           (SELECT sum(nt) FROM dc)::BIGINT AS total_tokens,
+           (SELECT count(*) FROM firsts)::BIGINT AS vocab,
+           round(beta, 6) AS beta,
+           round(exp(lnk), 6) AS k,
+           round(r2, 6) AS r2,
+           round(exp(lnk + beta * ln(10.0
+                 * (SELECT sum(nt) FROM dc)::DOUBLE)), 2)
+             AS vocab_at_10x
+    FROM fit
+    """,
+)
+def x5_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — Heaps'-law fit of vocabulary growth (round 8): V(N) ≈
+    K·N^β estimated from 10 corpus-prefix checkpoints (by doc id, the
+    fixed ingest order) — the growth-curve twin of ``x5_zipf_fit``'s
+    rank curve, and the capacity planner for anything vocab-shaped
+    (BPE merge budgets, hash-vocab sizes, term-index memory:
+    ``vocab_at_10x`` extrapolates the vocabulary at 10× the corpus).
+    β drifting up across snapshots means the corpus is getting
+    noisier (OCR junk, unseen languages), down means dedup/templates.
+    Scale shape: checkpoint vocab counts need NO per-checkpoint
+    rescan — ONE (token → first-doc) aggregate and one per-doc token
+    count feed 10 conditional sums; the regression is closed-form on
+    10 points (ln ulps wash out at round-6, the zipf precedent).
+    Full oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("w"),
+    )
+    firsts = tk.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    dc = tk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+
+    def t_i(i: int):
+        return F.ceil(F.col("m") * F.lit(i) / F.lit(10.0)).cast("long")
+
+    v_agg = firsts.crossJoin(F.broadcast(mx)).agg(
+        *[
+            F.sum((F.col("fd") < t_i(i)).cast("long"))
+            .cast("double")
+            .alias(f"v{i}")
+            for i in range(1, 11)
+        ],
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    n_agg = dc.crossJoin(F.broadcast(mx)).agg(
+        *[
+            F.sum(F.when(F.col("doc_id") < t_i(i), F.col("nt")))
+            .cast("double")
+            .alias(f"n{i}")
+            for i in range(1, 11)
+        ],
+        F.sum("nt").cast("long").alias("total_tokens"),
+    )
+    both = v_agg.crossJoin(n_agg)
+    pts = both.select(
+        "vocab",
+        "total_tokens",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.log(F.col(f"n{i}")).alias("x"),
+                        F.log(F.col(f"v{i}")).alias("y"),
+                    )
+                    for i in range(1, 11)
+                ]
+            )
+        ).alias("p"),
+    )
+    s = pts.groupBy("vocab", "total_tokens").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("p.x").alias("sx"),
+        F.sum("p.y").alias("sy"),
+        F.sum(F.col("p.x") * F.col("p.x")).alias("sxx"),
+        F.sum(F.col("p.y") * F.col("p.y")).alias("syy"),
+        F.sum(F.col("p.x") * F.col("p.y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    beta = num / dxx
+    lnk = (F.col("sy") - beta * F.col("sx")) / F.col("n")
+    return s.select(
+        F.col("n").cast("long").alias("n_checkpoints"),
+        "total_tokens",
+        "vocab",
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(lnk), 6).alias("k"),
+        F.round(num * num / (dxx * dyy), 6).alias("r2"),
+        F.round(
+            F.exp(
+                lnk
+                + beta
+                * F.log(
+                    F.lit(10.0) * F.col("total_tokens").cast("double")
+                )
+            ),
+            2,
+        ).alias("vocab_at_10x"),
+    )
