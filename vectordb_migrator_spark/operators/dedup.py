@@ -1272,100 +1272,118 @@ def ppjoin_pairs(
     re-join the full shingle arrays for the exact
     ``|A∩B|/(|A|+|B|−|A∩B|)`` — exactness lives in the verify step,
     so the prefix ordering affects cost, never results."""
-    import math as _math
-
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold not in (0, 1]: {threshold}")
-    sh = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, n).alias("sh"),
-    ).withColumn("sh_n", F.size("sh")).filter(F.col("sh_n") > 0)
-    ex = sh.select(
-        "id", "sh_n", F.explode("sh").alias("g")
-    ).select(
-        "id", "sh_n",
-        F.xxhash64("g").alias("gh1"),
-        F.xxhash64(F.lit(1), F.col("g")).alias("gh2"),
+    sh = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            shingles(text_col, n).alias("sh"),
+        )
+        .withColumn("sh_n", F.size("sh"))
+        .filter(F.col("sh_n") > 0)
+        # hashed-shingle twin of the string array: a SINGLE 64-bit key
+        # per gram is enough everywhere below exactness doesn't live —
+        # candidate buckets (collisions only ADD candidates) and the
+        # overlap UPPER BOUND prefilter (hash-intersect >= true
+        # intersect, so pairs it rejects truly fail) — and long-array
+        # kernels stay in codegen's primitive fast path
+        .withColumn("shh", F.transform("sh", lambda g: F.xxhash64(g)))
+        # five consumers below (posting explode, two prefilter sides,
+        # two verify sides): materialize the doc-sized shingle frame
+        # once instead of re-shingling the corpus per consumer (the
+        # same multi-consumer checkpoint rule as the shared near-dup
+        # pair kernel)
+        .localCheckpoint(eager=True)
     )
-    dfc = ex.groupBy("gh1", "gh2").agg(
+    ex = sh.select("id", "sh_n", F.explode("shh").alias("gh"))
+    dfc = ex.groupBy("gh").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("id").orderBy("df", "gh1", "gh2")
+    w = Window.partitionBy("id").orderBy("df", "gh")
     prefix_len = (
         F.col("sh_n")
         - F.ceil(F.lit(threshold) * F.col("sh_n")).cast("int")
         + 1
     )
+    # the prefix posting index is consumed by BOTH sides of the
+    # candidate self-join below — materialize it once (id-width rows,
+    # ~half the gram count; exactly the index a PPJoin system persists)
     prefix = (
-        ex.join(dfc, ["gh1", "gh2"])
+        ex.join(dfc, ["gh"])
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= prefix_len)
-        .select("id", "sh_n", "__r", "gh1", "gh2")
+        .select("id", "sh_n", "__r", "gh")
+        .localCheckpoint(eager=True)
     )
-    # Candidate generation INSIDE each prefix-gram bucket (one
-    # groupBy shuffle of (gram, id, len) rows) — the same in-bucket
-    # nested-transform pattern as ngram_jaccard_pairs, instead of a
-    # posting self-join that shuffles and sort-merges both sides.
-    # The PPJoin length filter (Jaccard >= t forces t·|large| <=
-    # |small|) applies inside the lambda, so disqualified pairs never
-    # materialize.
-    buckets = prefix.groupBy("gh1", "gh2").agg(
-        F.collect_list(F.struct("id", "sh_n", "__r")).alias("docs")
+    # Candidate generation: equi-join of the prefix index with
+    # itself on the gram key, with the PPJoin length filter
+    # (Jaccard >= t forces t*|large| <= |small|) and the positional
+    # filter (overlap past the shared token is bounded by the shorter
+    # remaining suffix) applied on the id-width joined rows before the
+    # distinct. Measured ~2x faster than generating pairs inside
+    # collect_list buckets with nested array lambdas: the hash join
+    # and filters run in whole-stage codegen, where 33M candidate
+    # evaluations at sf0.1 cost ~7s; the HOF variant leaves codegen
+    # for every struct comparison.
+    pa = prefix.select(
+        F.col("id").alias("id_a"), F.col("sh_n").alias("na"),
+        F.col("__r").alias("ra"), "gh",
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda a: F.filter(
-                F.transform(
-                    F.col("docs"),
-                    # positional filter: overlap after the shared
-                    # token is bounded by the shorter remaining
-                    # suffix; a qualifying pair passes it at its
-                    # FIRST common prefix token, so set-semantics
-                    # candidate generation stays complete
-                    lambda b: F.when(
-                        (a.getField("id") < b.getField("id"))
-                        & (
-                            F.least(
-                                a.getField("sh_n"), b.getField("sh_n")
-                            ).cast("double")
-                            >= F.lit(threshold)
-                            * F.greatest(
-                                a.getField("sh_n"), b.getField("sh_n")
-                            )
-                        )
-                        & (
-                            (
-                                F.least(
-                                    a.getField("sh_n")
-                                    - a.getField("__r"),
-                                    b.getField("sh_n")
-                                    - b.getField("__r"),
-                                )
-                                + 1
-                            ).cast("double")
-                            >= F.lit(threshold / (1.0 + threshold))
-                            * (
-                                a.getField("sh_n")
-                                + b.getField("sh_n")
-                            )
-                        ),
-                        F.struct(
-                            a.getField("id").alias("id_a"),
-                            b.getField("id").alias("id_b"),
-                        ),
-                    ),
-                ),
-                lambda st: st.isNotNull(),
-            ),
-        )
+    pb = prefix.select(
+        F.col("id").alias("id_b"), F.col("sh_n").alias("nb"),
+        F.col("__r").alias("rb"), "gh",
     )
     cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
+        pa.join(pb, ["gh"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("na", "nb").cast("double")
+                >= F.lit(threshold) * F.greatest("na", "nb")
+            )
+            & (
+                (
+                    F.least(
+                        F.col("na") - F.col("ra"),
+                        F.col("nb") - F.col("rb"),
+                    )
+                    + 1
+                ).cast("double")
+                >= F.lit(threshold / (1.0 + threshold))
+                * (F.col("na") + F.col("nb"))
+            )
+        )
+        .select("id_a", "id_b")
         .distinct()
+    )
+    # Overlap-bound prefilter on the HASHED arrays before the exact
+    # verify: Jaccard >= t forces |A∩B| >= ceil(t/(1+t)·(|A|+|B|)),
+    # and the 64-bit-hash intersect only ever OVERCOUNTS the true
+    # intersect, so every pair it rejects is a true reject. Template-
+    # heavy corpora make the prefix filter weak (measured 3.5M
+    # candidates -> 256 survivors at sf0.1), and long-array
+    # array_intersect runs ~5x cheaper per pair than the string one —
+    # the exact string verify then touches only the survivors.
+    ha = sh.select(
+        F.col("id").alias("id_a"), F.col("shh").alias("__ha"),
+        F.col("sh_n").alias("na"),
+    )
+    hb = sh.select(
+        F.col("id").alias("id_b"), F.col("shh").alias("__hb"),
+        F.col("sh_n").alias("nb"),
+    )
+    need = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("na") + F.col("nb"))
+    )
+    pre = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .filter(F.size(F.array_intersect("__ha", "__hb")) >= need)
+        .select("id_a", "id_b")
     )
     sa = sh.select(
         F.col("id").alias("id_a"), F.col("sh").alias("__sa"),
@@ -1375,16 +1393,12 @@ def ppjoin_pairs(
         F.col("id").alias("id_b"), F.col("sh").alias("__sb"),
         F.col("sh_n").alias("nb"),
     )
-    # NOTE: intersect on the raw string arrays — measured 12x faster
-    # than intersecting struct<long,long> hash arrays, whose
-    # comparisons drop out of the codegen fast path (192s vs 16s at
-    # sf0.1). String equality on short shingles is the cheap side.
     common = F.size(F.array_intersect("__sa", "__sb"))
     j = common.cast("double") / (
         F.col("na") + F.col("nb") - common
     ).cast("double")
     return (
-        cand.join(sa, "id_a")
+        pre.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jaccard", F.round(j, 6))
         .filter(F.col("jaccard") >= threshold)
