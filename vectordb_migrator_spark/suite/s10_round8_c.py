@@ -453,9 +453,11 @@ def x9_anisotropic_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_sampled_codebooks,
     )
 
+    from vectordb_migrator_spark.operators.util import fan_out
+
     emb = _t(spark, sf_dir, "embeddings")
     cbs = pq_sampled_codebooks(emb, m=4, k=16)
-    return pq_anisotropic_report(emb, cbs, t=0.2)
+    return pq_anisotropic_report(fan_out(emb), cbs, t=0.2)
 
 
 # ---------------------------------------------------------------------
@@ -703,8 +705,10 @@ def x5_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     count feed 10 conditional sums; the regression is closed-form on
     10 points (ln ulps wash out at round-6, the zipf precedent).
     Full oracle."""
+    from vectordb_migrator_spark.operators.util import fan_out
+
     docs = _t(spark, sf_dir, "documents")
-    tk = docs.select(
+    tk = fan_out(docs).select(
         "doc_id",
         F.explode(
             F.filter(
@@ -787,3 +791,133 @@ def x5_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("vocab_at_10x"),
     )
+
+
+# ---------------------------------------------------------------------
+# core SQL surface: full window-rank family + GROUPING SETS
+# ---------------------------------------------------------------------
+
+@query(
+    "window_rank_functions",
+    """
+    WITH t AS (
+      SELECT o_orderpriority AS pri, o_orderkey AS k,
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey < 200
+    )
+    SELECT pri, k,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER w AS rn,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           ntile(4) OVER w AS quartile,
+           lag(k, 1) OVER w AS prev_k,
+           lead(k, 1) OVER w AS next_k,
+           first_value(k) OVER w AS first_k,
+           last_value(k) OVER (PARTITION BY pri ORDER BY price DESC, k
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS last_k,
+           nth_value(k, 2) OVER (PARTITION BY pri
+                                 ORDER BY price DESC, k
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING) AS second_k
+    FROM t
+    WINDOW w AS (PARTITION BY pri ORDER BY price DESC, k)
+    ORDER BY pri, rn
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core SQL surface — the COMPLETE window-rank family in one
+    query (rank, dense_rank, row_number, percent_rank, cume_dist,
+    ntile, lag/lead, first/last/nth_value with explicit frames) over
+    a deterministic (price DESC, key) order: the breadth check that
+    every ranking shape an analyst reaches for exists and agrees
+    cross-engine, including the frame-sensitive last/nth_value whose
+    default RANGE frame is the classic silent-wrong-answer. Bounded
+    input (key < 200) keeps the window partition-local. Full
+    oracle."""
+    from pyspark.sql import Window as W
+
+    t = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice"), 2).alias("price"),
+        )
+    )
+    w = W.partitionBy("pri").orderBy(F.desc("price"), F.asc("k"))
+    wf = W.partitionBy("pri").orderBy(F.desc("price"), F.asc("k")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return t.select(
+        "pri",
+        "k",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("k", 1).over(w).alias("prev_k"),
+        F.lead("k", 1).over(w).alias("next_k"),
+        F.first("k").over(w).alias("first_k"),
+        F.last("k").over(wf).alias("last_k"),
+        F.nth_value("k", 2).over(wf).alias("second_k"),
+    ).orderBy("pri", "rn")
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           grouping(o_orderpriority)::BIGINT + 2 * grouping(o_orderstatus)
+             ::BIGINT AS gid,
+           count(*)::BIGINT AS n_orders,
+           round(sum(round(o_totalprice, 2)::DECIMAL(18,2))::DOUBLE, 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, pri, status
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core SQL surface — explicit GROUPING SETS (the general form
+    cube/rollup specialize) with grouping() provenance flags: the
+    four aggregation grains a reporting layer asks for in one scan
+    instead of four, with ``gid`` disambiguating an 'ALL' label from
+    a literal value. Decimal revenue sums keep the totals
+    engine-exact. Full oracle."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupingSets(
+        [
+            [F.col("o_orderpriority"), F.col("o_orderstatus")],
+            [F.col("o_orderpriority")],
+            [F.col("o_orderstatus")],
+            [],
+        ],
+        F.col("o_orderpriority"),
+        F.col("o_orderstatus"),
+    ).agg(
+        (
+            F.grouping("o_orderpriority").cast("long")
+            + F.lit(2) * F.grouping("o_orderstatus").cast("long")
+        ).alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+    )
+    return g.select(
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        "gid",
+        "n_orders",
+        "revenue",
+    ).orderBy("gid", "pri", "status")
