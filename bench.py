@@ -316,6 +316,8 @@ HEADLINE = [
     "bin_equal_frequency_events",
     "histogram_event_values",
     "cube_order_status_priority",
+    "grouping_sets_revenue",
+    "window_rank_functions",
 ]
 
 

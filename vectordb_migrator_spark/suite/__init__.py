@@ -167,6 +167,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_granger",  # lag-1 lead-lag nested-model F screen (new r8)
     "x7_tost",  # TOST equivalence gate, Welch z (new r8)
     "x5_heaps_fit",  # Heaps-law vocab growth + 10x extrapolation (new r8)
+    "window_rank_functions",  # full window-rank family, one query (new r8)
+    "grouping_sets_revenue",  # explicit GROUPING SETS + grouping() (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead
