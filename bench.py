@@ -204,6 +204,7 @@ HEADLINE = [
     "x12_row_dupes",
     "x12_timestamp_audit",
     "x12_id_gaps",
+    "x12_cardinality_estimate",
     "x7_ece",
     "x5_quality_by_lang",
     "x5_quality_tiers",
@@ -312,6 +313,7 @@ HEADLINE = [
     "x13_hour_of_week_profile",
     "x13_periodogram",
     "x13_granger",
+    "x13_cohort_decay",
     "range_join_value_bands",
     "bin_equal_frequency_events",
     "histogram_event_values",

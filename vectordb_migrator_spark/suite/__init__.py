@@ -169,6 +169,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_heaps_fit",  # Heaps-law vocab growth + 10x extrapolation (new r8)
     "window_rank_functions",  # full window-rank family, one query (new r8)
     "grouping_sets_revenue",  # explicit GROUPING SETS + grouping() (new r8)
+    "x12_cardinality_estimate",  # key-sampled join-size estimate vs truth (new r8)
+    "x13_cohort_decay",  # exponential retention decay fit (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

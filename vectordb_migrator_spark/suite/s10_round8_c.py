@@ -921,3 +921,243 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue",
     ).orderBy("gid", "pri", "status")
+
+
+# ---------------------------------------------------------------------
+# x12_cardinality_estimate — key-sampled join-size estimation vs truth
+# ---------------------------------------------------------------------
+
+
+def _card_est_direction_sql(name: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+      SELECT '{name}' AS relation,
+             exact_rows,
+             round(est_rows, 2) AS est_rows,
+             round(abs(est_rows - exact_rows) / exact_rows, 6)
+               AS rel_error,
+             sampled_keys
+      FROM (
+        SELECT
+          (SELECT coalesce(sum(na * nb), 0) FROM (
+             SELECT count(*) AS na, {lk} AS k FROM {lt} GROUP BY {lk}
+           ) a JOIN (
+             SELECT count(*) AS nb, {rk} AS k FROM {rt} GROUP BY {rk}
+           ) b USING (k))::BIGINT AS exact_rows,
+          (SELECT coalesce(sum(na * nb), 0) FROM (
+             SELECT count(*) AS na, {lk} AS k FROM {lt}
+             WHERE substr(md5({lk}::VARCHAR), 1, 2) < '1a'
+             GROUP BY {lk}
+           ) a JOIN (
+             SELECT count(*) AS nb, {rk} AS k FROM {rt}
+             WHERE substr(md5({rk}::VARCHAR), 1, 2) < '1a'
+             GROUP BY {rk}
+           ) b USING (k)) * 256.0 / 26.0 AS est_rows,
+          (SELECT count(DISTINCT {lk}) FROM {lt}
+           WHERE substr(md5({lk}::VARCHAR), 1, 2) < '1a')::BIGINT
+            AS sampled_keys
+      )"""
+
+
+@query(
+    "x12_cardinality_estimate",
+    "SELECT * FROM ("
+    + _card_est_direction_sql(
+        "orders_x_lineitem", "orders", "o_orderkey", "lineitem",
+        "l_orderkey",
+    )
+    + " UNION ALL "
+    + _card_est_direction_sql(
+        "part_x_lineitem", "part", "p_partkey", "lineitem", "l_partkey"
+    )
+    + ") ORDER BY relation",
+)
+def x12_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — sampled join-cardinality estimation vs ground truth
+    (round 8): estimate |A ⋈ B| from a ~10% KEY-domain sample (key k
+    enters iff md5(k)'s first hex byte < 0x1A — sampling the key
+    DOMAIN, not rows, keeps the per-key na·nb product intact, which
+    row-Bernoulli sampling biases quadratically) scaled by 1/p, next
+    to the exact count and the relative error. This is the
+    estimate-before-you-shuffle discipline at 100 TB: the exact
+    column is what ``x12_join_cardinality`` charges a full pass for;
+    this row says how close a 10% key sketch gets for 10% the cost.
+    md5 sampling makes the estimate engine-exact, not a seed lottery.
+    Full oracle."""
+    out = None
+    for name, lt, lk, rt, rk in [
+        ("orders_x_lineitem", "orders", "o_orderkey", "lineitem",
+         "l_orderkey"),
+        ("part_x_lineitem", "part", "p_partkey", "lineitem",
+         "l_partkey"),
+    ]:
+        left = _t(spark, sf_dir, lt).select(F.col(lk).alias("k"))
+        right = _t(spark, sf_dir, rt).select(F.col(rk).alias("k"))
+        coin = F.substring(F.md5(F.col("k").cast("string")), 1, 2) < "1a"
+        la = left.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+        ra = right.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+        exact = la.join(ra, "k").agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+            .cast("long")
+            .alias("exact_rows")
+        )
+        ls = left.filter(coin).groupBy("k").agg(
+            F.count(F.lit(1)).alias("na")
+        )
+        rs = right.filter(coin).groupBy("k").agg(
+            F.count(F.lit(1)).alias("nb")
+        )
+        est = ls.join(rs, "k").agg(
+            (
+                F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+                * F.lit(256.0)
+                / F.lit(26.0)
+            ).alias("est_rows")
+        )
+        nk = left.filter(coin).agg(
+            F.countDistinct("k").cast("long").alias("sampled_keys")
+        )
+        row = (
+            exact.crossJoin(est)
+            .crossJoin(nk)
+            .select(
+                F.lit(name).alias("relation"),
+                "exact_rows",
+                F.round(F.col("est_rows"), 2).alias("est_rows"),
+                F.round(
+                    F.abs(F.col("est_rows") - F.col("exact_rows"))
+                    / F.col("exact_rows"),
+                    6,
+                ).alias("rel_error"),
+                "sampled_keys",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("relation")
+
+
+# ---------------------------------------------------------------------
+# x13_cohort_decay — exponential retention-decay fit across cohorts
+# ---------------------------------------------------------------------
+
+@query(
+    "x13_cohort_decay",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('day', ts) AS day
+      FROM events WHERE user_id IS NOT NULL
+    ), m AS (
+      SELECT min(day) AS d0 FROM e
+    ), u AS (
+      SELECT DISTINCT user_id,
+             (date_diff('day', m.d0, e.day) // 7)::BIGINT AS wk
+      FROM e, m
+    ), c AS (
+      SELECT user_id, min(wk) AS cw FROM u GROUP BY user_id
+    ), sz AS (
+      SELECT cw, count(*)::BIGINT AS size FROM c GROUP BY cw
+    ), act AS (
+      SELECT c.cw, (u.wk - c.cw)::BIGINT AS off,
+             count(*)::BIGINT AS active
+      FROM u JOIN c USING (user_id) GROUP BY c.cw, (u.wk - c.cw)
+    ), pts AS (
+      SELECT off::DOUBLE AS x, ln(active::DOUBLE / size) AS y
+      FROM act JOIN sz USING (cw) WHERE off >= 1
+    ), s AS (
+      SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pts
+    ), fit AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      FROM s
+    ), w1 AS (
+      SELECT round(sum(round(active::DOUBLE / size, 6)
+                       ::DECIMAL(18,6))::DOUBLE
+                   / count(*), 6) AS w1_retention
+      FROM act JOIN sz USING (cw) WHERE off = 1
+    )
+    SELECT n::BIGINT AS n_points,
+           round(slope, 6) AS decay_rate,
+           CASE WHEN slope < 0
+                THEN round(0.6931471805599453 / (-slope), 6) END
+             AS half_life_weeks,
+           round(r2, 6) AS r2,
+           (SELECT w1_retention FROM w1) AS w1_retention
+    FROM fit
+    """,
+)
+def x13_cohort_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — exponential retention-decay fit (round 8): pool every
+    cohort's (week-offset, ln retention) points and fit
+    ln r = a + λ·t — the one-number engagement readout (λ and its
+    half-life in weeks) that turns the retention TABLE
+    (``cohort_weekly_retention``) into a forecastable decay constant,
+    plus R² to say whether retention is actually exponential (a high
+    λ with poor fit usually means a loyal-core + tourists mixture,
+    not uniform decay). Week indexes are integer day-arithmetic (no
+    calendar-week semantics to disagree on); the corpus folds to the
+    (cohort, offset) frame before any math; OLS is closed-form on
+    ~dozen points. Full oracle."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    m = e.agg(F.min("day").alias("d0"))
+    u = (
+        e.crossJoin(F.broadcast(m))
+        .select(
+            "user_id",
+            F.floor(F.datediff("day", "d0") / 7).cast("long").alias("wk"),
+        )
+        .distinct()
+    )
+    c = u.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    sz = c.groupBy("cw").agg(F.count(F.lit(1)).cast("long").alias("size"))
+    act = (
+        u.join(c, "user_id")
+        .groupBy("cw", (F.col("wk") - F.col("cw")).cast("long").alias("off"))
+        .agg(F.count(F.lit(1)).cast("long").alias("active"))
+    )
+    joined = act.join(sz, "cw")
+    pts = joined.filter(F.col("off") >= 1).select(
+        F.col("off").cast("double").alias("x"),
+        F.log(F.col("active").cast("double") / F.col("size")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    w1 = joined.filter(F.col("off") == 1).agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("active").cast("double") / F.col("size"), 6
+                ).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("w1_retention")
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / dxx
+    return (
+        s.crossJoin(F.broadcast(w1))
+        .select(
+            F.col("n").cast("long").alias("n_points"),
+            F.round(slope, 6).alias("decay_rate"),
+            F.when(
+                slope < 0,
+                F.round(F.lit(0.6931471805599453) / (-slope), 6),
+            ).alias("half_life_weeks"),
+            F.round(num * num / (dxx * dyy), 6).alias("r2"),
+            "w1_retention",
+        )
+    )
