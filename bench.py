@@ -191,6 +191,7 @@ HEADLINE = [
     "x7_ratio_ci",
     "x7_anova",
     "x9_anisotropic_loss",
+    "x9_hadamard_rotation",
     "x7_spearman",
     "x7_permutation_test",
     "x7_tost",

@@ -260,3 +260,43 @@ def test_gram_partial_collect_bounded_by_merge_partitions(spark):
     assert n == 400
     np.testing.assert_allclose(gram, x.T @ x, rtol=1e-9)
     np.testing.assert_allclose(colsum, x.sum(axis=0), rtol=1e-9)
+
+
+def test_hadamard_rotation_flattens_planted_outliers(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.decomposition import (
+        hadamard_rotation_report,
+    )
+
+    rng = np.random.default_rng(5)
+    # outlier-coordinate corpus: one hot dim carries 30x the energy —
+    # exactly the shape per-vector int8 max-scaling wastes bits on
+    x = np.round(rng.standard_normal((64, 64)) * 0.05, 4)
+    x[:, 7] += 3.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    r = hadamard_rotation_report(df).first()
+    assert r["n"] == 64
+    assert bool(r["norm_preserved"])  # exact integer certificate
+    assert r["peak_to_rms_after"] < 0.5 * r["peak_to_rms_before"]
+    assert r["mse_improvement_x"] > 3.0  # int8 error collapses
+
+
+def test_hadamard_rotation_isometric_on_flat_vectors(spark):
+    from vectordb_migrator_spark.operators.decomposition import (
+        hadamard_rotation_report,
+    )
+
+    # already-flat vectors: rotation cannot help, and must not hurt
+    # by more than the re-rounding epsilon
+    df = spark.createDataFrame(
+        [(i, [1.0 if (j + i) % 2 == 0 else -1.0 for j in range(64)])
+         for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    r = hadamard_rotation_report(df).first()
+    assert bool(r["norm_preserved"])
+    assert r["peak_to_rms_before"] == 1.0  # |v|/rms = 1 exactly

@@ -310,3 +310,123 @@ def whiten_vectors(
             yield b
 
     return df.mapInPandas(apply, schema=out_schema)
+
+
+def hadamard_rotation_report(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    d: int = 64,
+    scale: int = 10_000,
+    err_scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Outlier-flattening diagnostic for the Walsh-Hadamard rotation —
+    the incoherence-processing step modern quantization stacks (QuIP,
+    QuaRot, SpinQuant lineage) apply before low-bit codes: rotating by
+    H/√d preserves norms exactly but spreads any outlier coordinate's
+    energy across all d dims, so per-vector int8 scaling (max/127)
+    wastes far fewer bits on one hot coordinate. Reports
+    peak-to-RMS (the outlier statistic the rotation is supposed to
+    crush) and per-vector-scaled int8 reconstruction MSE, before vs
+    after, plus the exact norm-preservation certificate.
+
+    Engine-exactness by construction: coordinates quantize to fixed
+    point (``floor(x·10⁴ + ½)`` with explicit sign handling), the
+    Hadamard product ``Σⱼ ±x_int[j]`` with sign
+    ``(−1)^popcount(i AND j)`` is exact int64 arithmetic (order-free —
+    no float association to disagree on), the int8 round is explicit
+    half-away-from-zero, and every per-vector statistic leaves the
+    Arrow batch as a fixed-point INTEGER (``floor(v·10⁶ + ½)`` /
+    ``floor(err·10¹²)``), so the corpus fold is exact integer sums on
+    both engines. The floats in between are single IEEE op sequences
+    both engines replay identically; squared-sum magnitudes stay
+    under 2⁵³ by the ``scale`` choice. Scale: one Arrow-batched
+    ``mapInPandas`` (a d×d int matmul per batch, no shuffle) emits 5
+    numbers per vector; ONE fold makes the report.
+    """
+    import pandas as pd
+
+    # Sylvester-Hadamard signs: H[i, j] = (-1)^popcount(i & j)
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    pc = np.zeros((d, d), dtype=np.int64)
+    v = (ii & jj).astype(np.int64)
+    while v.any():
+        pc += v & 1
+        v >>= 1
+    H = np.where(pc % 2 == 0, 1, -1).astype(np.int64)
+
+    def half_away(x: np.ndarray) -> np.ndarray:
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    out_schema = (
+        "norm_ok boolean, iptr_b long, iptr_a long, "
+        "imse_b long, imse_a long"
+    )
+
+    def apply(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.array(b[vec_col].tolist(), dtype=np.float64)[:, :d]
+            xint = half_away(x * scale).astype(np.int64)
+            rot = xint @ H.T  # exact int64, order-free
+            norm_ok = (rot * rot).sum(1) == d * (xint * xint).sum(1)
+
+            def stats(z: np.ndarray, unit: float):
+                # z: exact integers in float64 (sums stay < 2^53);
+                # unit converts fixed-point back to original x units
+                # BEFORE the err fixed-pointing so floor(err*1e12)
+                # stays far from int64 range
+                mx = np.abs(z).max(1)
+                mx = np.where(mx == 0, 1.0, mx)
+                rms = np.sqrt((z * z).sum(1) / d)
+                iptr = np.floor(mx / rms * 1e6 + 0.5).astype(np.int64)
+                q = half_away(127.0 * (z / mx[:, None]))
+                diff = (z - q * mx[:, None] / 127.0) / unit
+                ierr = np.floor(diff * diff * err_scale).astype(
+                    np.int64
+                ).sum(1)
+                return iptr, ierr
+
+            iptr_b, imse_b = stats(xint.astype(np.float64), float(scale))
+            iptr_a, imse_a = stats(
+                rot.astype(np.float64), 8.0 * scale
+            )
+            yield pd.DataFrame(
+                {
+                    "norm_ok": norm_ok,
+                    "iptr_b": iptr_b,
+                    "iptr_a": iptr_a,
+                    "imse_b": imse_b,
+                    "imse_a": imse_a,
+                }
+            )
+
+    per_vec = df.mapInPandas(apply, schema=out_schema)
+    agg = per_vec.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("norm_ok").alias("norm_preserved"),
+        F.sum("iptr_b").alias("__pb"),
+        F.sum("iptr_a").alias("__pa"),
+        F.sum("imse_b").alias("__eb"),
+        F.sum("imse_a").alias("__ea"),
+    )
+    # errors already left the kernel in original coordinate units
+    # (the before path divides by scale, the after path by 8·scale =
+    # √d·scale, undoing the H/√d normalization)
+    nd = F.col("n").cast("double")
+    mse_b = F.col("__eb") / nd / F.lit(float(d) * err_scale)
+    mse_a = F.col("__ea") / nd / F.lit(float(d) * err_scale)
+    return agg.select(
+        "n",
+        "norm_preserved",
+        F.round(F.col("__pb") / nd / F.lit(1e6), 6).alias(
+            "peak_to_rms_before"
+        ),
+        F.round(F.col("__pa") / nd / F.lit(1e6), 6).alias(
+            "peak_to_rms_after"
+        ),
+        F.round(mse_b * F.lit(1e9), 6).alias("int8_mse_before_e9"),
+        F.round(mse_a * F.lit(1e9), 6).alias("int8_mse_after_e9"),
+        F.round(F.try_divide(mse_b, mse_a), 6).alias("mse_improvement_x"),
+    )

@@ -1161,3 +1161,110 @@ def x13_cohort_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1_retention",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# x9_hadamard_rotation — incoherence processing for low-bit quantization
+# ---------------------------------------------------------------------
+
+
+def _hadamard_sql() -> str:
+    def q_expr(v: str, mx: str) -> str:
+        return (
+            f"(CASE WHEN {v} >= 0 "
+            f"THEN floor(127.0 * ({v}::DOUBLE / {mx}) + 0.5) "
+            f"ELSE -floor(127.0 * ((-{v})::DOUBLE / {mx}) + 0.5) END)"
+        )
+
+    def diff_list(z: str, mx: str, unit: str) -> str:
+        return (
+            f"[ (v::DOUBLE - {q_expr('v', mx)} * {mx} / 127.0) / {unit} "
+            f"for v in {z} ]"
+        )
+
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> (CASE WHEN x >= 0
+                          THEN floor(x * 10000.0 + 0.5)
+                          ELSE -floor(-x * 10000.0 + 0.5) END)::BIGINT)
+               AS xint
+      FROM embeddings
+    ), rotated AS (
+      SELECT vec_id, xint,
+             [ list_sum([ xint[j+1]
+                          * (1 - 2 * (bit_count(i & j) % 2))
+                          for j in range(64) ])
+               for i in range(64) ] AS rot
+      FROM base
+    ), m AS (
+      SELECT vec_id, xint, rot,
+             CASE WHEN list_max([abs(v) for v in xint]) = 0 THEN 1.0
+                  ELSE list_max([abs(v) for v in xint])::DOUBLE END
+               AS mxb,
+             CASE WHEN list_max([abs(v) for v in rot]) = 0 THEN 1.0
+                  ELSE list_max([abs(v) for v in rot])::DOUBLE END
+               AS mxa,
+             sqrt(list_sum([v*v for v in xint])::DOUBLE / 64) AS rmsb,
+             sqrt(list_sum([v*v for v in rot])::DOUBLE / 64) AS rmsa,
+             list_sum([v*v for v in rot])
+               = 64 * list_sum([v*v for v in xint]) AS norm_ok
+      FROM rotated
+    ), dl AS (
+      SELECT vec_id, norm_ok,
+             floor(mxb / rmsb * 1000000.0 + 0.5)::BIGINT AS iptr_b,
+             floor(mxa / rmsa * 1000000.0 + 0.5)::BIGINT AS iptr_a,
+             {diff_list('xint', 'mxb', '10000.0')} AS db,
+             {diff_list('rot', 'mxa', '80000.0')} AS da
+      FROM m
+    ), pv AS (
+      SELECT vec_id, norm_ok, iptr_b, iptr_a,
+             list_sum([ floor(dd*dd*1000000000000.0)::BIGINT
+                        for dd in db ]) AS imse_b,
+             list_sum([ floor(dd*dd*1000000000000.0)::BIGINT
+                        for dd in da ]) AS imse_a
+      FROM dl
+    )
+    SELECT count(*)::BIGINT AS n,
+           bool_and(norm_ok) AS norm_preserved,
+           round(sum(iptr_b)::DOUBLE / count(*) / 1000000.0, 6)
+             AS peak_to_rms_before,
+           round(sum(iptr_a)::DOUBLE / count(*) / 1000000.0, 6)
+             AS peak_to_rms_after,
+           round(sum(imse_b)::DOUBLE / count(*) / 64000000000000.0
+                 * 1000000000.0, 6) AS int8_mse_before_e9,
+           round(sum(imse_a)::DOUBLE / count(*) / 64000000000000.0
+                 * 1000000000.0, 6) AS int8_mse_after_e9,
+           round((sum(imse_b)::DOUBLE / count(*) / 64000000000000.0)
+                 / nullif(sum(imse_a)::DOUBLE / count(*)
+                          / 64000000000000.0, 0), 6)
+             AS mse_improvement_x
+    FROM pv
+    """
+
+
+@query("x9_hadamard_rotation", _hadamard_sql())
+def x9_hadamard_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — Walsh–Hadamard incoherence processing (round 8): the
+    rotate-before-you-quantize step of the QuIP/QuaRot lineage,
+    measured — H/√d preserves every norm EXACTLY (certified per
+    vector in integer arithmetic) while flattening outlier
+    coordinates, so per-vector int8 max-scaling stops spending its
+    codebook on one hot dimension. Reports peak-to-RMS and int8
+    reconstruction MSE before vs after, and the improvement factor —
+    the evidence for inserting the rotation ahead of
+    ``x9_int8_quantization`` on corpora whose ``x9_norm_profile``
+    shows heavy coordinates. One Arrow-batched mapInPandas (an exact
+    int64 d×d matmul per batch, no shuffle) emits 5 fixed-point
+    numbers per vector; ONE integer fold makes the report — every
+    cross-engine float is a single shared IEEE op sequence
+    (operators/decomposition.py:hadamard_rotation_report). Full
+    oracle."""
+    from vectordb_migrator_spark.operators.decomposition import (
+        hadamard_rotation_report,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hadamard_rotation_report(fan_out(emb))
