@@ -315,6 +315,7 @@ HEADLINE = [
     "x13_periodogram",
     "x13_granger",
     "x13_cohort_decay",
+    "x13_p_chart",
     "range_join_value_bands",
     "bin_equal_frequency_events",
     "histogram_event_values",

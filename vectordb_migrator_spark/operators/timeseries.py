@@ -994,3 +994,63 @@ def granger_lag1(
     fwd = direction("x->y", "__y", "__yl", "__xl")
     rev = direction("y->x", "__x", "__xl", "__yl")
     return fwd.unionByName(rev).orderBy("direction")
+
+
+def p_chart(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    flag_expr=None,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Shewhart p-chart over a daily proportion — statistical process
+    control for rates: each day's flagged share is tested against the
+    binomial ±kσ limits around the PROCESS center p̄ = Σflagged/Σn,
+    with per-day limits widening on low-volume days (√(p̄(1−p̄)/n_d))
+    so a quiet Sunday can't false-alarm. The control-chart complement
+    of the MAD/z anomaly detectors: those learn a robust location
+    from the data's own spread; the p-chart tests against the
+    binomial noise floor a true constant rate would produce, so it
+    flags days whose deviation is statistically impossible at that
+    volume, not merely unusual.
+
+    Scale shape: ONE (day, n, flagged) map-side-combinable fold
+    collapses the event log; the center is a 1-row broadcast over the
+    day frame; everything downstream is day-sized arithmetic with
+    exact integer counts (the doubles are single shared IEEE op
+    sequences). Returns one row per day with p, center, LCL/UCL, and
+    the out-of-control verdict.
+    """
+    flag = (
+        flag_expr if flag_expr is not None else F.lit(False)
+    ).cast("long")
+    daily = df.groupBy(
+        F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
+        .alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(flag).cast("long").alias("flagged"),
+    )
+    center = daily.agg(
+        (
+            F.sum("flagged").cast("double") / F.sum("n").cast("double")
+        ).alias("__pbar")
+    )
+    x = daily.crossJoin(F.broadcast(center))
+    se = F.sqrt(
+        F.col("__pbar") * (F.lit(1.0) - F.col("__pbar"))
+        / F.col("n").cast("double")
+    )
+    p = F.col("flagged").cast("double") / F.col("n").cast("double")
+    ucl = F.col("__pbar") + F.lit(sigma) * se
+    lcl = F.greatest(F.col("__pbar") - F.lit(sigma) * se, F.lit(0.0))
+    return x.select(
+        "day",
+        "n",
+        "flagged",
+        F.round(p, 6).alias("p"),
+        F.round(F.col("__pbar"), 6).alias("center"),
+        F.round(lcl, 6).alias("lcl"),
+        F.round(ucl, 6).alias("ucl"),
+        ((p > ucl) | (p < lcl)).alias("out_of_control"),
+    ).orderBy("day")

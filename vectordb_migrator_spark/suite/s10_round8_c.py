@@ -1268,3 +1268,53 @@ def x9_hadamard_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return hadamard_rotation_report(fan_out(emb))
+
+
+# ---------------------------------------------------------------------
+# x13_p_chart — Shewhart control limits on the daily error rate
+# ---------------------------------------------------------------------
+
+@query(
+    "x13_p_chart",
+    """
+    WITH d AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               ::BIGINT AS flagged
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT sum(flagged)::DOUBLE / sum(n)::DOUBLE AS pbar FROM d
+    )
+    SELECT day, n, flagged,
+           round(flagged::DOUBLE / n::DOUBLE, 6) AS p,
+           round(pbar, 6) AS center,
+           round(greatest(pbar - 3.0 * sqrt(pbar * (1.0 - pbar)
+                                            / n::DOUBLE), 0.0), 6)
+             AS lcl,
+           round(pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n::DOUBLE), 6)
+             AS ucl,
+           (flagged::DOUBLE / n::DOUBLE
+              > pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n::DOUBLE))
+           OR (flagged::DOUBLE / n::DOUBLE
+              < greatest(pbar - 3.0 * sqrt(pbar * (1.0 - pbar)
+                                           / n::DOUBLE), 0.0))
+             AS out_of_control
+    FROM d, c ORDER BY day
+    """,
+)
+def x13_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — Shewhart p-chart on the daily error RATE (round 8):
+    statistical process control, the methodology the MAD/z detectors
+    don't cover — each day's error share is tested against the
+    binomial ±3σ limits a truly constant process rate would produce
+    at that day's volume, so low-volume days get honestly wider
+    limits instead of false alarms, and a flagged day is
+    statistically impossible under the process center, not merely
+    unusual versus recent history. One (day, n, flagged) fold
+    collapses the log; the center broadcasts over the day frame
+    (operators/timeseries.py:p_chart). Full oracle."""
+    from vectordb_migrator_spark.operators.timeseries import p_chart
+
+    ev = _t(spark, sf_dir, "events")
+    return p_chart(ev, flag_expr=(F.col("event_type") == "error"))
