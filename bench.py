@@ -85,6 +85,7 @@ HEADLINE = [
     "x2_source_overlap_matrix",
     "x2_minhash_lsh_pairs",
     "x2_minhash_md5_pairs",
+    "x2_oph_estimate",
     "x2_minhash_estimate_error",
     "x2_simhash_md5_pairs",
     "x2_lsh_near_dup",

@@ -1517,3 +1517,89 @@ def cdc_pair_candidates(
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def oph_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    rot_c: int = 1 << 33,
+) -> DataFrame:
+    """One-Permutation-Hashing MinHash signatures with rotation
+    densification (Li, Owen & Zhang 2012; Shrivastava & Li 2014) —
+    the production MinHash economy: classic k-hash MinHash evaluates
+    k hashes PER SHINGLE (``minhash_md5_signatures``); OPH hashes
+    each shingle ONCE, routes it to bin ``h mod k``, and keeps the
+    per-bin minimum — k× fewer hash evaluations for the same
+    signature width, the difference between 16 passes and 1 over a
+    100 TB shingle stream. Short documents leave bins empty; rotation
+    densification fills bin b from the nearest non-empty bin to the
+    right (cyclic), offset by j·C so borrowed values never collide
+    with genuine minima — keeping the matched-bin fraction an
+    unbiased Jaccard estimator.
+
+    Pure codegen: one ``aggregate`` fold builds the k-slot array
+    scan-side (no shuffle, no per-shingle k-hash fan-out), one
+    ``transform`` densifies. Returns (id, sig array<long> with NULLs,
+    dense array<long>, empty_share double).
+    """
+    from vectordb_migrator_spark.functions.text import ws_strip
+
+    def h(t):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit("oph:"), t)), 1, 8), 16, 10
+        ).cast("long")
+
+    sh = shingles(text_col, shingle_n)
+    empty = F.array_repeat(F.lit(None).cast("long"), k)
+    sig = F.aggregate(
+        sh,
+        empty,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda m, i: F.when(
+                F.pmod(h(t), F.lit(k)) == i.cast("long"),
+                F.least(F.coalesce(m, F.lit(1 << 62).cast("long")), h(t)),
+            ).otherwise(m),
+        ),
+    )
+    dens = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda b: F.element_at(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda j: F.when(
+                        F.element_at(
+                            F.col("sig"), (F.pmod(b + j, F.lit(k)) + 1).cast("int")
+                        ).isNotNull(),
+                        F.element_at(
+                            F.col("sig"), (F.pmod(b + j, F.lit(k)) + 1).cast("int")
+                        )
+                        + j.cast("long") * F.lit(rot_c).cast("long"),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+            1,
+        ),
+    )
+    toks = F.split(F.lower(ws_strip(F.col(text_col))), r"\s+")
+    return (
+        fan_out(df)
+        .filter(F.size(toks) >= shingle_n)
+        .select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .select(
+            "id",
+            "sig",
+            dens.alias("dense"),
+            (
+                F.size(F.filter(F.col("sig"), lambda v: v.isNull()))
+                / F.lit(float(k))
+            ).alias("empty_share"),
+        )
+    )

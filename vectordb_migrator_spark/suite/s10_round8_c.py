@@ -1318,3 +1318,149 @@ def x13_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return p_chart(ev, flag_expr=(F.col("event_type") == "error"))
+
+
+# ---------------------------------------------------------------------
+# x2_oph_estimate — one-permutation MinHash estimator quality
+# ---------------------------------------------------------------------
+
+@query(
+    "x2_oph_estimate",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ), sig AS (
+      SELECT id,
+             [list_min(list_transform(
+                list_filter(g, s ->
+                  CAST(CONCAT('0x', substr(md5('oph:' || s), 1, 8))
+                       AS BIGINT) % 16 = i),
+                s -> CAST(CONCAT('0x', substr(md5('oph:' || s), 1, 8))
+                          AS BIGINT)))
+              for i in range(16)] AS s
+      FROM sh
+    ), dn AS (
+      SELECT id,
+             round(len([v for v in s if v IS NULL]) / 16.0, 6)
+               AS empty_share,
+             [ [s[((b+j)%16)+1] + j * 8589934592
+                for j in range(16) if s[((b+j)%16)+1] IS NOT NULL][1]
+               for b in range(16) ] AS dense
+      FROM sig
+    ), ex AS (
+      SELECT id, len(g)::BIGINT AS n, unnest(g) AS gram FROM sh
+    ), pairsj AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(count(*)::DOUBLE /
+                   (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE,
+                   6) AS true_j
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(*)::DOUBLE /
+             (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.2
+    ), est AS (
+      SELECT p.id_a, p.id_b, p.true_j,
+             round(len([i for i in range(1, 17)
+                        if da.dense[i] = db.dense[i]]) / 16.0, 6)
+               AS est
+      FROM pairsj p
+      JOIN dn da ON da.id = p.id_a
+      JOIN dn db ON db.id = p.id_b
+    )
+    SELECT (SELECT count(*) FROM dn)::BIGINT AS n_docs,
+           (SELECT round(sum(empty_share::DECIMAL(9,6))::DOUBLE
+                         / count(*), 6) FROM dn) AS mean_empty_share,
+           count(*)::BIGINT AS n_pairs,
+           round(sum(round(abs(est - true_j), 6)::DECIMAL(9,6))::DOUBLE
+                 / count(*), 6) AS mae,
+           round(sum(round(est - true_j, 6)::DECIMAL(9,6))::DOUBLE
+                 / count(*), 6) AS bias,
+           CAST(16.0 AS DOUBLE) AS hash_evals_saved_x
+    FROM est
+    """,
+)
+def x2_oph_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — one-permutation MinHash estimator quality (round 8): OPH
+    hashes every shingle ONCE and bins it (vs 16 evaluations per
+    shingle in ``x2_minhash_estimate_error``'s classic signatures —
+    the 16× hash-economy that matters over a 100 TB shingle stream),
+    with rotation densification filling short documents' empty bins
+    unbiasedly. Reports the matched-bin Jaccard estimator's MAE and
+    bias against exact shingle Jaccard on the true near-dup pairs,
+    plus the mean empty-bin share (how hard densification is
+    working). Signature build is one scan-side codegen fold — no
+    shuffle, no k-hash fan-out
+    (operators/dedup.py:oph_signatures). Full oracle."""
+    from vectordb_migrator_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        oph_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = oph_signatures(docs, shingle_n=3, k=16).localCheckpoint(
+        eager=True
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        "id_a", "id_b", F.col("jaccard").alias("true_j")
+    )
+    da = sigs.select(F.col("id").alias("id_a"), F.col("dense").alias("__da"))
+    db = sigs.select(F.col("id").alias("id_b"), F.col("dense").alias("__db"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("__da"), F.col("__db"), lambda x, y: x == y),
+            lambda t: t,
+        )
+    )
+    est = (
+        pairs.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .select(
+            "true_j",
+            F.round(matches / F.lit(16.0), 6).alias("est"),
+        )
+    )
+    doc_stats = sigs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(
+                F.round(F.col("empty_share"), 6).cast("decimal(9,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_empty_share"),
+    )
+    pair_stats = est.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(
+                F.round(F.abs(F.col("est") - F.col("true_j")), 6).cast(
+                    "decimal(9,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sum(
+                F.round(F.col("est") - F.col("true_j"), 6).cast(
+                    "decimal(9,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bias"),
+    )
+    return doc_stats.crossJoin(pair_stats).select(
+        "n_docs",
+        "mean_empty_share",
+        "n_pairs",
+        "mae",
+        "bias",
+        F.round(F.lit(16.0), 6).alias("hash_evals_saved_x"),
+    )
