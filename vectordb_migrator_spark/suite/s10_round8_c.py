@@ -1464,3 +1464,73 @@ def x2_oph_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bias",
         F.round(F.lit(16.0), 6).alias("hash_evals_saved_x"),
     )
+
+
+# ---------------------------------------------------------------------
+# x7_gini — concentration of event volume across users
+# ---------------------------------------------------------------------
+
+@query(
+    "x7_gini",
+    """
+    WITH u AS (
+      SELECT user_id, count(*)::BIGINT AS x
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), r AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM u
+    ), a AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx,
+             sum(i * x)::BIGINT AS six
+      FROM r
+    )
+    SELECT n AS n_users, sx AS n_events,
+           round(2.0 * six / (n * sx::DOUBLE)
+                 - (n + 1) / n::DOUBLE, 6) AS gini,
+           round(sx::DOUBLE / n, 6) AS mean_events,
+           2.0 * six / (n * sx::DOUBLE) - (n + 1) / n::DOUBLE > 0.4
+             AS concentrated
+    FROM a
+    """,
+)
+def x7_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — Gini coefficient of per-user event volume (round 8): the
+    scalar inequality measure behind the Pareto table
+    (``x0_pareto_parts`` answers "how much do the top 20% carry";
+    Gini integrates the whole Lorenz curve into one comparable
+    number, the statistic to TREND across snapshots — a rising Gini
+    means the corpus is becoming a few whales' diary, which skews
+    every per-user estimator upstream). Exact rank formula
+    G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n over the PRE-AGGREGATED user
+    frame (the only sort is over users, never events; ties broken by
+    user id so both engines rank identically — Gini itself is
+    tie-order invariant, the determinism is for the oracle). All
+    moments are exact BIGINT. Full oracle."""
+    from pyspark.sql import Window as W
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    r = u.select(
+        "x",
+        F.row_number().over(W.orderBy("x", "user_id")).alias("i"),
+    )
+    a = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+    )
+    n = F.col("n")
+    gini = F.lit(2.0) * F.col("six") / (
+        n * F.col("sx").cast("double")
+    ) - (n + 1) / n.cast("double")
+    return a.select(
+        n.alias("n_users"),
+        F.col("sx").alias("n_events"),
+        F.round(gini, 6).alias("gini"),
+        F.round(F.col("sx").cast("double") / n, 6).alias("mean_events"),
+        (gini > F.lit(0.4)).alias("concentrated"),
+    )
