@@ -175,6 +175,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_p_chart",  # Shewhart binomial control limits on error rate (new r8)
     "x2_oph_estimate",  # one-permutation MinHash, 16x hash economy (new r8)
     "x7_gini",  # Lorenz/Gini whale-concentration scalar (new r8)
+    "x10_uncertainty_sample",  # least-confidence active learning (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

@@ -1534,3 +1534,90 @@ def x7_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sx").cast("double") / n, 6).alias("mean_events"),
         (gini > F.lit(0.4)).alias("concentrated"),
     )
+
+
+# ---------------------------------------------------------------------
+# x10_uncertainty_sample — active-learning labeling batch
+# ---------------------------------------------------------------------
+
+
+def _bind_uncertainty_oracle() -> None:
+    from vectordb_migrator_spark.suite._shared import ORACLES
+
+    cal = ORACLES["x5_nb_calibration"]
+    head = cal[: cal.index("), binned AS")] + ")"
+    ORACLES["x10_uncertainty_sample"] = head + """
+    , sel AS (
+      SELECT lang, conf FROM post ORDER BY conf, doc_id LIMIT 50
+    ), comp AS (
+      SELECT lang, count(*)::BIGINT AS n_selected,
+             round(sum(conf::DECIMAL(18,6))::DOUBLE / count(*), 6)
+               AS mean_conf
+      FROM sel GROUP BY lang
+    ), corp AS (
+      SELECT lang, count(*)::BIGINT AS n_corpus FROM documents
+      GROUP BY lang
+    )
+    SELECT c.lang, comp.n_selected,
+           round(comp.n_selected / 50.0, 6) AS batch_share,
+           round(c.n_corpus::DOUBLE /
+                 (SELECT count(*) FROM documents), 6) AS corpus_share,
+           comp.mean_conf
+    FROM corp c JOIN comp ON comp.lang = c.lang
+    ORDER BY c.lang
+    """
+
+
+_bind_uncertainty_oracle()
+
+
+@query("x10_uncertainty_sample", None)  # oracle bound above
+def x10_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — least-confidence uncertainty sampling (round 8): the
+    active-learning step that decides WHICH 50 documents are worth a
+    human label — the ones the NB language classifier is least sure
+    about (smallest winning posterior, doc-id tie-break), where one
+    label buys the most decision-boundary information; random
+    sampling would spend most of the budget on documents the model
+    already classifies confidently. Reports the batch's per-language
+    composition against the corpus shares (an over-represented
+    language in the batch is where the classifier's confusion lives
+    — read next to ``x5_langid_confusion``) and the batch's mean
+    confidence. Fit and the zero-shuffle scoring pass are the shared
+    NB kernel; selection is one TakeOrdered(50)
+    (operators/classify.py:nb_fit/nb_score). Full oracle."""
+    from vectordb_migrator_spark.operators.classify import nb_fit, nb_score
+
+    docs = _t(spark, sf_dir, "documents")
+    model = nb_fit(docs, "text", "lang", dim=64, alpha=1.0)
+    scored = nb_score(
+        docs, model, "text", dim=64, posterior_col="conf"
+    )
+    sel = scored.orderBy("conf", "doc_id").limit(50)
+    comp = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.round(
+            F.sum(F.col("conf").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_conf"),
+    )
+    total = docs.count()
+    corp = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus")
+    )
+    return (
+        corp.join(comp, "lang")
+        .select(
+            "lang",
+            "n_selected",
+            F.round(F.col("n_selected") / F.lit(50.0), 6).alias(
+                "batch_share"
+            ),
+            F.round(
+                F.col("n_corpus").cast("double") / F.lit(float(total)), 6
+            ).alias("corpus_share"),
+            "mean_conf",
+        )
+        .orderBy("lang")
+    )
