@@ -197,6 +197,7 @@ HEADLINE = [
     "x7_permutation_test",
     "x7_tost",
     "x7_gini",
+    "x10_uncertainty_sample",
     "x5_heaps_fit",
     "x7_eb_shrinkage",
     "x7_diff_in_diff",
