@@ -52,6 +52,8 @@ HEADLINE = [
     "asof_purchase_click",
     "sessionize_events",
     "x8_session_window_batch",
+    "x8_tumbling_window_batch",
+    "x8_sliding_window_batch",
     "x8_interval_join_batch",
     "timeseries_gap_fill",
     "x0_training_pipeline",

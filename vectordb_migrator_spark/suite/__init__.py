@@ -176,6 +176,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_oph_estimate",  # one-permutation MinHash, 16x hash economy (new r8)
     "x7_gini",  # Lorenz/Gini whale-concentration scalar (new r8)
     "x10_uncertainty_sample",  # least-confidence active learning (new r8)
+    "x8_tumbling_window_batch",  # native window() grid, oracle-proven (new r8)
+    "x8_sliding_window_batch",  # overlapping window() phases proven (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

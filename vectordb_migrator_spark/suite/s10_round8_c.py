@@ -1621,3 +1621,108 @@ def x10_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------
+# x8 — native window() semantics proven in batch (tumbling + sliding)
+# ---------------------------------------------------------------------
+
+@query(
+    "x8_tumbling_window_batch",
+    """
+    SELECT strftime(to_timestamp((epoch(ts)::BIGINT // 21600) * 21600),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)::BIGINT AS n,
+           round(sum(round(value, 6)::DECIMAL(18,6))::DOUBLE, 4)
+             AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def x8_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — the native ``F.window`` tumbling aggregation, batch
+    semantics (round 8): 6-hour epoch-aligned windows per event type
+    — the exact groupBy a Structured Streaming job runs behind a
+    watermark, proven against a calendar-free epoch-division oracle
+    so the streaming rollups inherit oracle-certified bucketing
+    (``x8_session_window_batch`` covers gaps; this covers the fixed
+    grid). One map-side-combinable aggregate. Full oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(
+                    F.round(F.col("value").cast("double"), 6).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(
+                F.col("w.start"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "x8_sliding_window_batch",
+    """
+    WITH s AS (
+      SELECT u.k AS k, ts, value FROM events,
+           (VALUES (0), (1)) u(k)
+      WHERE epoch(ts)::BIGINT >= ((epoch(ts)::BIGINT - u.k * 10800)
+                                  // 21600) * 21600 + u.k * 10800
+    )
+    SELECT strftime(to_timestamp(((epoch(ts)::BIGINT - k * 10800)
+                                  // 21600) * 21600 + k * 10800),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*)::BIGINT AS n,
+           round(sum(round(value, 6)::DECIMAL(18,6))::DOUBLE, 4)
+             AS total_value
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def x8_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — the native ``F.window`` SLIDING aggregation, batch
+    semantics (round 8): 6-hour windows sliding every 3 hours — each
+    event lands in exactly two overlapping windows, the shape hourly
+    dashboards smooth with. The oracle replays the overlap as two
+    phase-shifted epoch-aligned tumbling grids unioned, proving
+    Spark's window assignment (including the phase arithmetic) row
+    for row. One aggregate over the 2× window-exploded frame. Full
+    oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(
+                    F.round(F.col("value").cast("double"), 6).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(
+                F.col("w.start"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
