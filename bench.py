@@ -186,6 +186,7 @@ HEADLINE = [
     "x0_bpe_segment_arrow",
     "c0_migration_throughput",
     "c2_qdrant_roundtrip_scale",
+    "c3_milvus_roundtrip_scale",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",

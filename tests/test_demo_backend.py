@@ -129,3 +129,51 @@ def test_spark_roundtrip_through_demo_backend(spark, tmp_path):
     assert sorted(got) == list(range(97))
     assert got[42]["vector"] == [42.0, 1.0]
     assert got[42]["metadata"]["label"] == "2"
+
+
+def test_demo_milvus_server_roundtrip_and_sharding(tmp_path):
+    from vectordb_migrator_spark.sources.demo_backend import (
+        DemoMilvusServer,
+        create_milvus_demo_collection,
+        milvus_demo_factory,
+    )
+
+    store = str(tmp_path / "mv")
+    create_milvus_demo_collection(
+        store,
+        "col",
+        {"fields": [
+            {"name": "pk", "is_primary": True, "type": "INT64"},
+            {"name": "vec", "type": "FLOAT_VECTOR", "dim": 2},
+            {"name": "label", "type": "VARCHAR"},
+        ]},
+    )
+    cl = milvus_demo_factory({"store_dir": store})
+    assert isinstance(cl, DemoMilvusServer)
+    assert cl.has_collection("col") and not cl.has_collection("nope")
+    # two insert calls from "different partitions"
+    cl.insert("col", [{"pk": i, "vec": [float(i), 0.0], "label": f"l{i % 3}"}
+                      for i in range(7)])
+    milvus_demo_factory({"store_dir": store}).insert(
+        "col", [{"pk": 7 + i, "vec": [0.0, float(i)], "label": "x"}
+                for i in range(5)]
+    )
+    allrows = cl.query("col", filter="", output_fields=["pk"])
+    assert sorted(r["pk"] for r in allrows) == list(range(12))
+    # residue shard clauses partition the data exactly
+    shards = [
+        {r["pk"] for r in cl.query(
+            "col", filter=f"(((pk % 3) + 3) % 3) == {i}",
+            output_fields=["pk"])}
+        for i in range(3)
+    ]
+    assert set().union(*shards) == set(range(12))
+    assert sum(len(s) for s in shards) == 12
+    # literal predicates + conjunction
+    got = cl.query("col", filter='label == "x" and pk >= 10',
+                   output_fields=["pk", "label"])
+    assert sorted(r["pk"] for r in got) == [10, 11]
+    # unsupported dialect raises, never silently matches
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cl.query("col", filter="pk like '%3'")

@@ -230,3 +230,152 @@ def qdrant_demo_factory(connection: dict[str, Any]) -> DemoQdrantClient:
     """``client_factory`` import string:
     ``vectordb_migrator_spark.sources.demo_backend:qdrant_demo_factory``."""
     return DemoQdrantClient(connection)
+
+
+class DemoMilvusServer:
+    """Milvus-surface demo server over a ``store_dir`` directory —
+    the file-backed twin of :class:`DemoQdrantClient` for the
+    ``format("milvus")`` connector, so the columnar-insert +
+    expr-pushdown + PK-residue-sharded scan path has BENCH-scale
+    throughput evidence too (the mocked-client tests prove
+    correctness on 12 rows; this carries the 60k-row round trip).
+
+    Storage: a ``{name}.config.json`` schema file (collections are
+    created via :func:`create_milvus_demo_collection` — the SINK
+    performs no DDL, matching the reference) plus immutable JSONL
+    segments per ``insert`` call with ``.count`` sidecars (a reader
+    that sees the sidecar sees complete data). ``query`` evaluates
+    the narrow expr dialect the engine actually emits — conjunctions
+    of the non-negative PK-residue shard clause, ``field op literal``
+    and ``field in [..]`` (the same contract the test fake documents;
+    anything else raises rather than silently matching everything).
+    """
+
+    def __init__(self, connection: dict[str, Any]):
+        self.store = connection.get("store_dir", "/tmp/demo_milvus")
+        os.makedirs(self.store, exist_ok=True)
+
+    def _cfg(self, name: str) -> str:
+        return f"{self.store}/{name}.config.json"
+
+    def has_collection(self, name: str) -> bool:
+        return os.path.exists(self._cfg(name))
+
+    def describe_collection(self, name: str) -> dict[str, Any]:
+        with open(self._cfg(name)) as f:
+            return json.load(f)
+
+    # -- write ----------------------------------------------------------
+
+    def insert(self, collection_name: str, data: list) -> None:
+        seg = f"{self.store}/{collection_name}.seg.{uuid.uuid4().hex}"
+        with open(seg + ".jsonl", "w") as f:
+            for rec in data:
+                f.write(json.dumps(rec) + "\n")
+        with open(seg + ".count", "w") as f:  # sidecar last = commit
+            f.write(str(len(data)))
+
+    # -- read -----------------------------------------------------------
+
+    @staticmethod
+    def _literal(tok: str):
+        tok = tok.strip()
+        if tok.startswith('"') and tok.endswith('"'):
+            return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        return float(tok) if "." in tok else int(tok)
+
+    @classmethod
+    def _eval_conjunct(cls, row: dict, part: str) -> bool:
+        import math
+        import re
+
+        part = part.strip()
+        while part.startswith("(") and part.endswith(")"):
+            inner = part[1:-1].strip()
+            # only strip when the parens actually wrap the whole clause
+            depth = 0
+            ok = True
+            for ch in inner:
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth < 0:
+                    ok = False
+                    break
+            if not ok:
+                break
+            part = inner
+        m = re.match(
+            r"^\(\((\w+) % (\d+)\) \+ (\d+)\) % (\d+) == (\d+)$", part
+        ) or re.match(
+            r"^\(\(\((\w+) % (\d+)\) \+ (\d+)\) % (\d+)\) == (\d+)$", part
+        )
+        if m:
+            field = m.group(1)
+            n1, add, n2, want = (int(g) for g in m.groups()[1:])
+            v = row.get(field)
+            if v is None:
+                return False
+            return int(math.fmod(int(math.fmod(v, n1)) + add, n2)) == want
+        m = re.match(r"^(\w+) in \[(.*)\]$", part)
+        if m:
+            field, body = m.group(1), m.group(2)
+            vals = (
+                [cls._literal(t) for t in body.split(",")]
+                if body.strip()
+                else []
+            )
+            return row.get(field) is not None and row[field] in vals
+        m = re.match(r"^(\w+) (==|!=|>=|<=|>|<) (.+)$", part)
+        if m:
+            field, op, lit = m.group(1), m.group(2), cls._literal(m.group(3))
+            v = row.get(field)
+            if v is None:
+                return False
+            return {
+                "==": v == lit, "!=": v != lit, ">=": v >= lit,
+                "<=": v <= lit, ">": v > lit, "<": v < lit,
+            }[op]
+        raise ValueError(f"demo milvus cannot evaluate conjunct: {part!r}")
+
+    def query(
+        self,
+        collection_name: str,
+        filter: str = "",
+        output_fields: list | None = None,
+        limit: int | None = None,
+    ) -> list:
+        import glob as _glob
+        import re
+
+        rows: list[dict] = []
+        for seg in sorted(
+            _glob.glob(f"{self.store}/{collection_name}.seg.*.jsonl")
+        ):
+            if not os.path.exists(seg[: -len(".jsonl")] + ".count"):
+                continue  # uncommitted segment
+            with open(seg) as f:
+                for line in f:
+                    rows.append(json.loads(line))
+        if filter:
+            for part in re.split(r"\s+and\s+", filter):
+                rows = [r for r in rows if self._eval_conjunct(r, part)]
+        if limit is not None:
+            rows = rows[:limit]
+        return [
+            {k: r.get(k) for k in (output_fields or r)} for r in rows
+        ]
+
+
+def create_milvus_demo_collection(
+    store_dir: str, name: str, schema_info: dict[str, Any]
+) -> None:
+    """Driver-side DDL for the demo server (the sink itself refuses
+    DDL, matching the reference's adapters/milvus.py:155-158)."""
+    os.makedirs(store_dir, exist_ok=True)
+    with open(f"{store_dir}/{name}.config.json", "w") as f:
+        json.dump(schema_info, f)
+
+
+def milvus_demo_factory(connection: dict[str, Any]) -> DemoMilvusServer:
+    """``client_factory`` entry point for config/option wiring."""
+    return DemoMilvusServer(connection)

@@ -1726,3 +1726,90 @@ def x8_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------
+# c3 — the Milvus connector round trip at bench row counts
+# ---------------------------------------------------------------------
+
+@query(
+    "c3_milvus_roundtrip_scale",
+    """
+    SELECT count(*)::BIGINT AS points,
+           count(DISTINCT e.vec_id * 30 + t.i)::BIGINT AS ids,
+           sum(e.label)::BIGINT AS label_sum,
+           max(len(e.embedding))::BIGINT AS dim
+    FROM embeddings e, range(30) t(i)
+    """,
+)
+def c3_milvus_roundtrip_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/K3 — the native ``format("milvus")`` connector round trip
+    at bench row counts (round 8): collection DDL driver-side (the
+    sink refuses DDL, matching the reference), canonical frame →
+    columnar-conform batched INSERT through the Python DataSource
+    sink (C4 null-id skip, C6 schema conform, INT64 pk coercion,
+    sources/pyds.py:746), then a PK-residue-sharded scan back (16
+    partitions, each a server-side ``((pk % N) + N) % N == i``
+    filter, sources/pyds.py:562) against the file-backed demo server
+    — the second connector protocol with throughput evidence next to
+    ``c2_qdrant_roundtrip_scale``, covering the columnar-insert +
+    expr-pushdown path the Qdrant row doesn't. The certify aggregate
+    proves every point survived with pk, payload, and vector intact.
+    Full oracle (replication-expressed)."""
+    import tempfile
+
+    from vectordb_migrator_spark.sources.demo_backend import (
+        create_milvus_demo_collection,
+    )
+    from vectordb_migrator_spark.suite.s10_round8_a import _replicated
+
+    store = tempfile.mkdtemp(prefix="demo_milvus_")
+    factory = (
+        "vectordb_migrator_spark.sources.demo_backend:milvus_demo_factory"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    create_milvus_demo_collection(
+        store,
+        "bench",
+        {
+            "fields": [
+                {"name": "pk", "is_primary": True, "type": "INT64"},
+                {"name": "vec", "type": "FLOAT_VECTOR", "dim": dim},
+                {"name": "label", "type": "VARCHAR"},
+            ]
+        },
+    )
+    canon = _replicated(spark, sf_dir).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.create_map(
+            F.lit("label"), F.col("label").cast("string")
+        ).alias("metadata"),
+    )
+    (
+        canon.write.format("milvus")
+        .mode("append")
+        .option("client_factory", factory)
+        .option("store_dir", store)
+        .option("collection_name", "bench")
+        .option("batch_size", "1000")
+        .save()
+    )
+    back = (
+        spark.read.format("milvus")
+        .option("client_factory", factory)
+        .option("store_dir", store)
+        .option("collection_name", "bench")
+        .option("num_partitions", "16")
+        .option("batch_size", "2000")
+        .load()
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("points"),
+        F.countDistinct("id").cast("long").alias("ids"),
+        F.sum(F.col("metadata").getItem("label").cast("long"))
+        .cast("long")
+        .alias("label_sum"),
+        F.max(F.size("vector")).cast("long").alias("dim"),
+    )
