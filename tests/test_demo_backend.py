@@ -177,3 +177,37 @@ def test_demo_milvus_server_roundtrip_and_sharding(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cl.query("col", filter="pk like '%3'")
+
+
+def test_demo_pinecone_client_sorted_pages_and_prefixes(tmp_path):
+    from vectordb_migrator_spark.sources.demo_backend import (
+        pinecone_demo_factory,
+    )
+
+    cl = pinecone_demo_factory({"store_dir": str(tmp_path / "pc")})
+    cl.create_index(name="idx", dimension=2, metric="cosine")
+    assert cl.list_indexes() == ["idx"]
+    ix = cl.Index("idx")
+    ix.upsert(
+        vectors=[
+            {"id": str(i), "values": [float(i), 0.0],
+             "metadata": {"m": str(i % 2)}}
+            for i in (3, 1, 20, 11, 2)
+        ]
+    )
+    # a second segment UPDATES id 1 (upsert semantics: last wins)
+    pinecone_demo_factory({"store_dir": str(tmp_path / "pc")}).Index(
+        "idx"
+    ).upsert(vectors=[{"id": "1", "values": [9.0, 9.0], "metadata": {}}])
+
+    pages = list(ix.list(limit=2))
+    flat = [i for p in pages for i in p]
+    assert flat == sorted(flat)  # lexicographic contract
+    assert set(flat) == {"1", "11", "2", "20", "3"}
+    assert all(len(p) <= 2 for p in pages)
+    # prefix filtering is the scan's parallel axis
+    assert [i for p in ix.list(prefix="2", limit=10) for i in p] == ["2", "20"]
+    # fetch returns the LATEST value for an updated id
+    got = ix.fetch(ids=["1", "3"])["vectors"]
+    assert got["1"]["values"] == [9.0, 9.0]
+    assert got["3"]["metadata"] == {"m": "1"}

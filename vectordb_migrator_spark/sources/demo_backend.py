@@ -379,3 +379,110 @@ def create_milvus_demo_collection(
 def milvus_demo_factory(connection: dict[str, Any]) -> DemoMilvusServer:
     """``client_factory`` entry point for config/option wiring."""
     return DemoMilvusServer(connection)
+
+
+class _DemoPineconeIndex:
+    def __init__(self, store: str, name: str):
+        self.store = store
+        self.name = name
+        # one materialization per reader task: list() then page-wise
+        # fetch() must not re-parse every segment per page
+        self._cache: dict[str, dict] = {}
+
+    def _seg_glob(self, namespace: str) -> str:
+        ns = namespace or "default"
+        return f"{self.store}/{self.name}.{ns}.seg.*"
+
+    def upsert(self, vectors: list, namespace: str = "") -> None:
+        self._cache.pop(namespace or "", None)
+        self._cache.pop(namespace or "default", None)
+        self._cache.clear()  # any cached view may now be stale
+        ns = namespace or "default"
+        seg = f"{self.store}/{self.name}.{ns}.seg.{uuid.uuid4().hex}"
+        with open(seg + ".jsonl", "w") as f:
+            for rec in vectors:
+                f.write(json.dumps(rec) + "\n")
+        with open(seg + ".count", "w") as f:  # sidecar last = commit
+            f.write(str(len(vectors)))
+
+    def _all(self, namespace: str) -> dict:
+        import glob as _glob
+
+        if namespace in self._cache:
+            return self._cache[namespace]
+        out: dict[str, dict] = {}
+        # sorted segment order -> deterministic; within one segment,
+        # later lines win (upsert semantics: last write for an id)
+        for seg in sorted(_glob.glob(self._seg_glob(namespace) + ".jsonl")):
+            if not os.path.exists(seg[: -len(".jsonl")] + ".count"):
+                continue
+            with open(seg) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    out[str(rec["id"])] = rec
+        self._cache[namespace] = out
+        return out
+
+    def list(self, prefix=None, namespace: str = "", limit: int = 100):
+        ids = sorted(
+            i
+            for i in self._all(namespace)
+            if prefix is None or i.startswith(prefix)
+        )
+        for i in range(0, len(ids), limit):
+            yield ids[i : i + limit]
+
+    def fetch(self, ids: list, namespace: str = "") -> dict:
+        allrecs = self._all(namespace)
+        return {
+            "vectors": {
+                i: {
+                    "values": allrecs[i].get("values") or [],
+                    "metadata": allrecs[i].get("metadata") or {},
+                }
+                for i in ids
+                if i in allrecs
+            }
+        }
+
+
+class DemoPineconeClient:
+    """Pinecone-surface demo client over a ``store_dir`` directory —
+    the file-backed twin of :class:`DemoQdrantClient` for the
+    ``format("pinecone")`` connector: idempotent-by-id upsert
+    segments with commit sidecars, SORTED ``list()`` id pages with
+    prefix filtering (the lexicographic contract the id-watermark
+    stream reader leans on), and ``fetch``-by-id pages — so the
+    prefix-partitioned scan + batched upsert path gets bench-scale
+    throughput evidence (the mocked-client tests prove correctness
+    on toy counts)."""
+
+    def __init__(self, connection: dict[str, Any]):
+        self.store = connection.get("store_dir", "/tmp/demo_pinecone")
+        os.makedirs(self.store, exist_ok=True)
+
+    def _cfg(self, name: str) -> str:
+        return f"{self.store}/{name}.index.json"
+
+    def list_indexes(self) -> list[str]:
+        return [
+            f[: -len(".index.json")]
+            for f in sorted(os.listdir(self.store))
+            if f.endswith(".index.json")
+        ]
+
+    def create_index(self, name: str, dimension: int, metric: str = "cosine", **_):
+        with open(self._cfg(name), "w") as f:
+            json.dump({"name": name, "dimension": dimension, "metric": metric}, f)
+
+    def describe_index(self, name: str) -> dict:
+        with open(self._cfg(name)) as f:
+            return json.load(f)
+
+    def Index(self, name: str) -> _DemoPineconeIndex:  # noqa: N802 — client API
+        return _DemoPineconeIndex(self.store, name)
+
+
+def pinecone_demo_factory(connection: dict[str, Any]) -> DemoPineconeClient:
+    """``client_factory`` entry point for config/option wiring."""
+    return DemoPineconeClient(connection)

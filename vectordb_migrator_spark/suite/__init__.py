@@ -179,6 +179,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x8_tumbling_window_batch",  # native window() grid, oracle-proven (new r8)
     "x8_sliding_window_batch",  # overlapping window() phases proven (new r8)
     "c3_milvus_roundtrip_scale",  # 2nd connector protocol bench row (new r8)
+    "c4_pinecone_roundtrip_scale",  # 3rd connector protocol bench row (new r8)
     # x13_changepoints: only degenerate-input (flat-series) behavior
     # changed this round — local oracle MATCH on file; window slots
     # go to the materially rewritten plans instead

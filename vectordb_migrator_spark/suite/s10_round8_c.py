@@ -1813,3 +1813,79 @@ def c3_milvus_roundtrip_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("label_sum"),
         F.max(F.size("vector")).cast("long").alias("dim"),
     )
+
+
+# ---------------------------------------------------------------------
+# c4 — the Pinecone connector round trip at bench row counts
+# ---------------------------------------------------------------------
+
+@query(
+    "c4_pinecone_roundtrip_scale",
+    """
+    SELECT count(*)::BIGINT AS points,
+           count(DISTINCT e.vec_id * 30 + t.i)::BIGINT AS ids,
+           sum(e.label)::BIGINT AS label_sum,
+           max(len(e.embedding))::BIGINT AS dim
+    FROM embeddings e, range(30) t(i)
+    """,
+)
+def c4_pinecone_roundtrip_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/K4 — the native ``format("pinecone")`` connector round trip
+    at bench row counts (round 8): index DDL via ``create_index``
+    (the one connector whose reference adapter DOES create), batched
+    ``upsert`` through the Python DataSource sink, then the
+    prefix-partitioned scan back (10 leading-digit id prefixes, each
+    partition paging sorted ``list()`` ids and ``fetch``-ing pages —
+    the only parallel axis the list API offers,
+    sources/pyds.py:1080). Completes the connector throughput
+    matrix: parquet (c0), Qdrant cursor-segment (c2), Milvus
+    PK-residue (c3), Pinecone id-prefix (c4) — four scan-planning
+    strategies, each certified by the same
+    every-point-survived aggregate. Full oracle
+    (replication-expressed)."""
+    import json as _json
+    import tempfile
+
+    from vectordb_migrator_spark.suite.s10_round8_a import _replicated
+
+    store = tempfile.mkdtemp(prefix="demo_pinecone_")
+    factory = (
+        "vectordb_migrator_spark.sources.demo_backend:pinecone_demo_factory"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    canon = _replicated(spark, sf_dir).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.create_map(
+            F.lit("label"), F.col("label").cast("string")
+        ).alias("metadata"),
+    )
+    (
+        canon.write.format("pinecone")
+        .mode("append")
+        .option("client_factory", factory)
+        .option("store_dir", store)
+        .option("index_name", "bench")
+        .option("create_index", "true")
+        .option("dimension", str(dim))
+        .option("batch_size", "500")
+        .save()
+    )
+    back = (
+        spark.read.format("pinecone")
+        .option("client_factory", factory)
+        .option("store_dir", store)
+        .option("index_name", "bench")
+        .option("id_prefixes", _json.dumps([str(d) for d in range(10)]))
+        .option("batch_size", "1000")
+        .load()
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("points"),
+        F.countDistinct("id").cast("long").alias("ids"),
+        F.sum(F.col("metadata").getItem("label").cast("long"))
+        .cast("long")
+        .alias("label_sum"),
+        F.max(F.size("vector")).cast("long").alias("dim"),
+    )
