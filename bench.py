@@ -382,7 +382,17 @@ def main() -> None:
         "n_errors": len(errors),
     }
     print(json.dumps(summary))
-    print(json.dumps({**summary, "queries": timings, "errors": errors}))
+    full = {**summary, "queries": timings, "errors": errors}
+    print(json.dumps(full))
+    # The driver records only a 2,000-char tail of stdout, which
+    # truncates per-query evidence for most of the suite — persist the
+    # full artifact to a committed file so every row survives the round
+    # (round-8 verdict, What's missing #2).
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    try:
+        full_path.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
+    except OSError as exc:  # never let artifact IO break the bench run
+        print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
     print(json.dumps(summary))
 
 

@@ -177,6 +177,16 @@ def test_demo_milvus_server_roundtrip_and_sharding(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cl.query("col", filter="pk like '%3'")
+    # a quoted literal containing " and " must not be split mid-literal
+    cl.insert("col", [{"pk": 100, "vec": [1.0, 1.0], "label": "a and b"}])
+    got = cl.query("col", filter='label == "a and b" and pk >= 0',
+                   output_fields=["pk"])
+    assert [r["pk"] for r in got] == [100]
+    # splitter unit behavior: quotes and parens shield the keyword
+    split = DemoMilvusServer._split_top_level_and
+    assert split('a == "x and y" and b >= 1') == ['a == "x and y"', "b >= 1"]
+    assert split("(a and b) and c") == ["(a and b)", "c"]
+    assert split("a == 1") == ["a == 1"]
 
 
 def test_demo_pinecone_client_sorted_pages_and_prefixes(tmp_path):

@@ -1,8 +1,14 @@
 """The one-command pre-commit gate for new or changed queries.
 
-Runs the three local gates that have each caught a class of
+Runs the four local gates that have each caught a class of
 local-pass/driver-fail in past rounds, in cheapest-first order:
 
+0. **plain-session parity** (``tools/plain_session_parity.py``, in a
+   subprocess so the JVM is genuinely fresh) — builds each query in a
+   BARE SparkSession with none of ``get_spark``'s setup, the driver's
+   exact harness shape (the class that broke the round-8 connector
+   rows: queries silently depending on Python DataSource
+   registration / session config).
 1. **plan lint** (``tools/plan_audit.py``) — builds the physical plan
    and flags ``CartesianProduct`` / row-at-a-time ``BatchEvalPython``
    (the 100 TB smells; no execution, so it runs first).
@@ -48,19 +54,28 @@ def main() -> int:
         print(f"unknown queries: {unknown}")
         return 2
 
+    import subprocess
+
+    print(f"=== gate 0: plain-session parity ({len(names)} queries) ===")
+    rc = subprocess.call(
+        [sys.executable, "tools/plain_session_parity.py", *names],
+        cwd=Path(__file__).resolve().parent.parent,
+    )
+    if rc:
+        print("PLAIN-SESSION PARITY GATE FAILED")
+        return 1
+
     spark = get_spark("gate", cpus=16)
 
     import plan_audit
 
-    print(f"=== gate 1/3: plan lint ({len(names)} queries) ===")
+    print(f"=== gate 1: plan lint ({len(names)} queries) ===")
     res = plan_audit.audit(names, "/root/testdata/sf0.01", spark=spark)
     if res["flagged"] or res["errors"]:
         print(f"PLAN GATE FAILED: {res}")
         return 1
 
-    import subprocess
-
-    print(f"=== gate 2/3: sf0.01 oracle ===")
+    print(f"=== gate 2: sf0.01 oracle ===")
     rc = subprocess.call(
         [sys.executable, "tools/check_oracle.py", *names],
         cwd=Path(__file__).resolve().parent.parent,
@@ -71,7 +86,7 @@ def main() -> int:
 
     import bench_smoke
 
-    print(f"=== gate 3/3: sf0.1 bench smoke ===")
+    print(f"=== gate 3: sf0.1 bench smoke ===")
     failures = bench_smoke.run(names, "/root/testdata/sf0.1", spark=spark)
     if failures:
         print(f"SMOKE GATE FAILED: {failures}")

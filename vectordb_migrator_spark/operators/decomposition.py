@@ -344,7 +344,16 @@ def hadamard_rotation_report(
     ``mapInPandas`` (a d×d int matmul per batch, no shuffle) emits 5
     numbers per vector; ONE fold makes the report.
     """
+    import math
+
     import pandas as pd
+
+    # The Sylvester construction below only exists for power-of-two d,
+    # and the after-path fixed-point unit is sqrt(d)·scale — both
+    # silently wrong for other d if unchecked (round-9 advice fix).
+    if d <= 0 or (d & (d - 1)) != 0:
+        raise ValueError(f"hadamard_rotation_report requires power-of-two d, got {d}")
+    after_unit = math.sqrt(d) * scale
 
     # Sylvester-Hadamard signs: H[i, j] = (-1)^popcount(i & j)
     ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
@@ -380,6 +389,10 @@ def hadamard_rotation_report(
                 mx = np.abs(z).max(1)
                 mx = np.where(mx == 0, 1.0, mx)
                 rms = np.sqrt((z * z).sum(1) / d)
+                # an all-zero vector has rms 0 -> inf/NaN would turn
+                # into INT64_MIN garbage under astype; with both
+                # guards it contributes iptr=1e6 (ratio 1), q=0, err=0
+                rms = np.where(rms == 0, 1.0, rms)
                 iptr = np.floor(mx / rms * 1e6 + 0.5).astype(np.int64)
                 q = half_away(127.0 * (z / mx[:, None]))
                 diff = (z - q * mx[:, None] / 127.0) / unit
@@ -389,9 +402,7 @@ def hadamard_rotation_report(
                 return iptr, ierr
 
             iptr_b, imse_b = stats(xint.astype(np.float64), float(scale))
-            iptr_a, imse_a = stats(
-                rot.astype(np.float64), 8.0 * scale
-            )
+            iptr_a, imse_a = stats(rot.astype(np.float64), after_unit)
             yield pd.DataFrame(
                 {
                     "norm_ok": norm_ok,
@@ -412,8 +423,8 @@ def hadamard_rotation_report(
         F.sum("imse_a").alias("__ea"),
     )
     # errors already left the kernel in original coordinate units
-    # (the before path divides by scale, the after path by 8·scale =
-    # √d·scale, undoing the H/√d normalization)
+    # (the before path divides by scale, the after path by √d·scale,
+    # undoing the H/√d normalization)
     nd = F.col("n").cast("double")
     mse_b = F.col("__eb") / nd / F.lit(float(d) * err_scale)
     mse_a = F.col("__ea") / nd / F.lit(float(d) * err_scale)

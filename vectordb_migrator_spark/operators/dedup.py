@@ -1360,9 +1360,18 @@ def ppjoin_pairs(
         .distinct()
     )
     # Overlap-bound prefilter on the HASHED arrays before the exact
-    # verify: Jaccard >= t forces |A∩B| >= ceil(t/(1+t)·(|A|+|B|)),
-    # and the 64-bit-hash intersect only ever OVERCOUNTS the true
-    # intersect, so every pair it rejects is a true reject. Template-
+    # verify: Jaccard >= t forces |A∩B| >= ceil(t/(1+t)·(|A|+|B|)).
+    # Cross-set collisions (a shingle of A\B colliding with one of
+    # B\A) inflate the hashed intersect — harmless, the exact verify
+    # filters them. The one direction that could in principle reject
+    # a qualifying pair is a collision between two DISTINCT shingles
+    # both inside A∩B: the deduped hash arrays then count that pair
+    # of shingles once, undercounting the true overlap by one. That
+    # is a same-64-bit-xxhash event between two specific shingles of
+    # one document pair (~2⁻⁶⁴ per pair; zero observed across the
+    # corpus in the exactness tests), so the bound is exact-safe up
+    # to that astronomically small caveat rather than strictly.
+    # Template-
     # heavy corpora make the prefix filter weak (measured 3.5M
     # candidates -> 256 survivors at sf0.1), and long-array
     # array_intersect runs ~5x cheaper per pair than the string one —

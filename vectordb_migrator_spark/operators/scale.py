@@ -1724,6 +1724,9 @@ def permutation_test_md5(
     columns, map-side combinable straight into the per-permutation
     means). The event log is never multiplied. p-value uses the
     standard +1 correction: (1 + #{b : |diff_b| ≥ |diff_obs|})/(B+1).
+    A permutation that lands every unit on one side has an undefined
+    diff and counts as extreme — the conservative convention, so tiny
+    unit counts can only over-state p, never under-state it.
     """
     unit = (
         df.filter(F.col(value_col).isNotNull())
@@ -1781,8 +1784,13 @@ def permutation_test_md5(
         "__obs_diff",
         F.round(F.col("__ma") - F.col("__mb"), 6).alias("__d"),
     )
-    extreme = (F.abs(F.col("__d")) >= F.abs(F.col("__obs_diff"))).cast(
-        "long"
+    # A degenerate permutation (every unit on one side) makes one mean
+    # NULL, so __d is NULL; count it as extreme (conservative) rather
+    # than letting it drop out of the sum and bias p anti-conservative
+    # on tiny unit counts (round-9 advice fix).
+    extreme = F.coalesce(
+        (F.abs(F.col("__d")) >= F.abs(F.col("__obs_diff"))).cast("long"),
+        F.lit(1).cast("long"),
     )
     out = per_b.agg(
         F.lit(n_perms).cast("long").alias("n_perms"),

@@ -337,6 +337,53 @@ class DemoMilvusServer:
             }[op]
         raise ValueError(f"demo milvus cannot evaluate conjunct: {part!r}")
 
+    @staticmethod
+    def _split_top_level_and(expr: str) -> list:
+        """Split a boolean expr at ``and`` keywords that sit OUTSIDE
+        string literals and parentheses, so a quoted literal that
+        contains " and " (legal in the engine's escaped filter
+        strings) is never split mid-literal (round-9 advice fix —
+        the bare ``\\s+and\\s+`` regex failed closed on those)."""
+        parts: list = []
+        buf: list = []
+        depth = 0
+        quote = ""
+        i, n = 0, len(expr)
+        while i < n:
+            ch = expr[i]
+            if quote:
+                buf.append(ch)
+                if ch == "\\" and i + 1 < n:  # escaped char in literal
+                    buf.append(expr[i + 1])
+                    i += 2
+                    continue
+                if ch == quote:
+                    quote = ""
+            elif ch in ("'", '"'):
+                quote = ch
+                buf.append(ch)
+            elif ch == "(":
+                depth += 1
+                buf.append(ch)
+            elif ch == ")":
+                depth -= 1
+                buf.append(ch)
+            elif (
+                depth == 0
+                and ch in " \t"
+                and expr[i + 1 : i + 4].lower() == "and"
+                and (i + 4 >= n or expr[i + 4] in " \t")
+            ):
+                parts.append("".join(buf))
+                buf = []
+                i += 4
+                continue
+            else:
+                buf.append(ch)
+            i += 1
+        parts.append("".join(buf))
+        return [p.strip() for p in parts if p.strip()]
+
     def query(
         self,
         collection_name: str,
@@ -345,7 +392,6 @@ class DemoMilvusServer:
         limit: int | None = None,
     ) -> list:
         import glob as _glob
-        import re
 
         rows: list[dict] = []
         for seg in sorted(
@@ -357,7 +403,7 @@ class DemoMilvusServer:
                 for line in f:
                     rows.append(json.loads(line))
         if filter:
-            for part in re.split(r"\s+and\s+", filter):
+            for part in self._split_top_level_and(filter):
                 rows = [r for r in rows if self._eval_conjunct(r, part)]
         if limit is not None:
             rows = rows[:limit]

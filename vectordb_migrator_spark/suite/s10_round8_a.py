@@ -196,9 +196,17 @@ def c2_qdrant_roundtrip_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     call surface the reference's mocked-client adapter tests exercise
     (tests/test_qdrant_adapter.py), at 30× their row counts per sf.
     The label payload rides as a string and is summed after cast, so
-    the oracle checks payload VALUES, not just counts."""
+    the oracle checks payload VALUES, not just counts.
+
+    Self-contained: registers the package's Python DataSources on
+    the session it is handed (idempotent), so the query also runs in
+    a plain SparkSession that never went through ``session.get_spark``
+    (the round-8 driver-harness failure mode)."""
     import tempfile
 
+    from ..sources.pyds import register_data_sources
+
+    register_data_sources(spark)
     store = tempfile.mkdtemp(prefix="demo_qdrant_")
     factory = (
         "vectordb_migrator_spark.sources.demo_backend:qdrant_demo_factory"

@@ -202,13 +202,16 @@ def x7_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 200::BIGINT AS n_perms,
            (SELECT obs_diff FROM obs) AS observed_diff,
-           sum(CASE WHEN abs(d) >= abs((SELECT obs_diff FROM obs))
+           sum(CASE WHEN d IS NULL
+                      OR abs(d) >= abs((SELECT obs_diff FROM obs))
                     THEN 1 ELSE 0 END)::BIGINT AS n_extreme,
-           round((sum(CASE WHEN abs(d)
+           round((sum(CASE WHEN d IS NULL
+                             OR abs(d)
                                 >= abs((SELECT obs_diff FROM obs))
                            THEN 1 ELSE 0 END) + 1) / 201.0, 6)
              AS p_value,
-           round((sum(CASE WHEN abs(d)
+           round((sum(CASE WHEN d IS NULL
+                             OR abs(d)
                                 >= abs((SELECT obs_diff FROM obs))
                            THEN 1 ELSE 0 END) + 1) / 201.0, 6) < 0.05
              AS significant
@@ -1755,14 +1758,19 @@ def c3_milvus_roundtrip_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``c2_qdrant_roundtrip_scale``, covering the columnar-insert +
     expr-pushdown path the Qdrant row doesn't. The certify aggregate
     proves every point survived with pk, payload, and vector intact.
-    Full oracle (replication-expressed)."""
+    Full oracle (replication-expressed). Self-contained: registers
+    the package's Python DataSources on the session it is handed
+    (idempotent), so it also runs in a plain SparkSession that never
+    went through ``session.get_spark``."""
     import tempfile
 
     from vectordb_migrator_spark.sources.demo_backend import (
         create_milvus_demo_collection,
     )
+    from vectordb_migrator_spark.sources.pyds import register_data_sources
     from vectordb_migrator_spark.suite.s10_round8_a import _replicated
 
+    register_data_sources(spark)
     store = tempfile.mkdtemp(prefix="demo_milvus_")
     factory = (
         "vectordb_migrator_spark.sources.demo_backend:milvus_demo_factory"
@@ -1842,12 +1850,17 @@ def c4_pinecone_roundtrip_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     PK-residue (c3), Pinecone id-prefix (c4) — four scan-planning
     strategies, each certified by the same
     every-point-survived aggregate. Full oracle
-    (replication-expressed)."""
+    (replication-expressed). Self-contained: registers the package's
+    Python DataSources on the session it is handed (idempotent), so
+    it also runs in a plain SparkSession that never went through
+    ``session.get_spark``."""
     import json as _json
     import tempfile
 
+    from vectordb_migrator_spark.sources.pyds import register_data_sources
     from vectordb_migrator_spark.suite.s10_round8_a import _replicated
 
+    register_data_sources(spark)
     store = tempfile.mkdtemp(prefix="demo_pinecone_")
     factory = (
         "vectordb_migrator_spark.sources.demo_backend:pinecone_demo_factory"
