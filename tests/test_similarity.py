@@ -1276,6 +1276,61 @@ def test_pq_learned_codebooks_matches_numpy_lloyd(spark):
     assert mse(got) <= mse(seeds) + 1e-12
 
 
+def test_pq_learned_codebooks_fp_matches_exact_integer_replay(spark):
+    """The engine-exact fixed-point Lloyd twin reproduces an exact
+    integer Python replay bit-for-bit (same quantization, same
+    first-lowest-j tie break, same half-away centroid average), and
+    n_iter=0 returns exactly the fixed-pointed sampled seeds."""
+    import math
+
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_learned_codebooks_fp,
+        pq_sampled_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    X = np.round(rng.normal(0, 1, (120, 8)), 6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    m, k, it, scale = 2, 4, 3, 10_000
+    dsub = 8 // m
+
+    def fp(x: float) -> int:
+        return int(math.floor(abs(x) * scale + 0.5)) * (1 if x >= 0 else -1)
+
+    IX = np.array([[fp(x) for x in row] for row in X], dtype=np.int64)
+    seeds = pq_sampled_codebooks(df, m=m, k=k)
+    cbs = [
+        [[fp(x) for x in cw] for cw in cb] for cb in seeds
+    ]
+    assert pq_learned_codebooks_fp(df, m=m, k=k, n_iter=0) == cbs
+
+    def rha(num: int, den: int) -> int:
+        if num >= 0:
+            return (2 * num + den) // (2 * den)
+        return -((-2 * num + den) // (2 * den))
+
+    for _ in range(it):
+        new = [[list(cw) for cw in cb] for cb in cbs]
+        for s in range(m):
+            sub = IX[:, s * dsub:(s + 1) * dsub]
+            d = ((sub[:, None, :] - np.array(cbs[s], dtype=np.int64)[None]) ** 2).sum(-1)
+            j = d.argmin(1)  # argmin = first lowest index, like Spark
+            for c in range(k):
+                mask = j == c
+                if mask.any():
+                    col_sums = sub[mask].sum(0)
+                    n = int(mask.sum())
+                    new[s][c] = [rha(int(v), n) for v in col_sums]
+        cbs = new
+
+    assert pq_learned_codebooks_fp(df, m=m, k=k, n_iter=it) == cbs
+
+
 def test_pq_anisotropic_report_matches_numpy(spark):
     import numpy as np
 

@@ -303,11 +303,17 @@ def isotonic_calibrate(
             b = stack.pop()
             a = stack.pop()
             stack.append([a[0] + b[0], a[1] + b[1], a[2], b[3]])
+    import math
+
+    # half-away-from-zero at 6dp (p >= 0 here), matching SQL engines'
+    # round() — Python's builtin round is half-EVEN, which disagrees
+    # on exact ties like 1/128 = 0.0078125 and would break the full
+    # DuckDB oracle this model now carries
     return [
         {
             "score_lo": lo,
             "score_hi": hi,
-            "p": round(pos / n, 6),
+            "p": math.floor(pos / n * 1e6 + 0.5) / 1e6,
             "n": int(n),
         }
         for pos, n, lo, hi in stack

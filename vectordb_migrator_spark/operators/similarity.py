@@ -1365,6 +1365,147 @@ def pq_learned_codebooks(
         sub.unpersist()
 
 
+def fixed_point_array(col, scale: int):
+    """Half-away-from-zero fixed-point quantization of an
+    array<double> column to array<long>: ``sign(x)·floor(|x|·scale +
+    ½)`` per element — the same explicit-sign convention as the
+    Hadamard kernel, reproducible verbatim in any SQL engine."""
+    s = F.lit(float(scale))
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.when(x >= 0, F.floor(x * s + F.lit(0.5)))
+        .otherwise(-F.floor(-x * s + F.lit(0.5)))
+        .cast("long"),
+    )
+
+
+def _round_half_away_int(num: int, den: int) -> int:
+    """Exact integer round-half-away-from-zero of ``num/den``
+    (``den > 0``) — no float in the loop, so Spark and any SQL
+    engine replaying the same integer sums agree bit-for-bit."""
+    if num >= 0:
+        return (2 * num + den) // (2 * den)
+    return -((-2 * num + den) // (2 * den))
+
+
+def pq_learned_codebooks_fp(
+    df: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 3,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """ENGINE-EXACT twin of :func:`pq_learned_codebooks`: the same
+    fixed-iteration Lloyd refinement of the deterministic sampled
+    seeds, but run entirely in integer fixed point — coordinates
+    quantize once (:func:`fixed_point_array`, half-away at ``scale``),
+    distances are exact int64 sums (order-free), the argmin tie-break
+    is first-lowest codeword index, and the centroid update is the
+    exact integer half-away average ``round(Σv / n)`` with empty
+    clusters keeping their previous codeword. Every quantity in the
+    loop is an integer, so a SQL engine unrolling the same ``n_iter``
+    iterations (suite/s04_similarity.py:_pq_lloyd_ctes) reproduces the
+    codebooks bit-for-bit — this is what upgrades
+    ``x9_pq_learned_error`` from a rows-only check to a full value
+    oracle. Returns ``codebooks[s][j] = list[dsub ints]`` at
+    ``scale`` fixed point.
+
+    Scale shape is identical to the float twin: one exploded
+    (s, subvector) frame persisted once; per iteration one codegen
+    assignment pass + one (s, j, pos) integer-sum collect of
+    m·k·dsub longs (driver-sized, the k-means-centroids contract).
+    int64 headroom: |coord| ≤ scale·|x|max, per-pos sums bounded by
+    rows·scale·|x|max — cast up to DECIMAL in the agg if a corpus
+    ever approaches 2⁶³ (guarded below)."""
+    from pyspark import StorageLevel
+
+    init = pq_sampled_codebooks(df, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    dsub = len(init[0][0])
+    iv = fixed_point_array(F.col(vec_col), scale)
+    sub = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("int").alias("s"),
+                            F.slice(iv, s * dsub + 1, dsub).alias("sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        import math
+
+        cbs = [
+            [
+                [
+                    (
+                        int(math.floor(abs(x) * scale + 0.5))
+                        * (1 if x >= 0 else -1)
+                    )
+                    for x in cw
+                ]
+                for cw in cb
+            ]
+            for cb in init
+        ]
+        for _ in range(n_iter):
+            assign = None
+            for s in range(m):
+                cands = F.array(
+                    *[
+                        F.array(*[F.lit(int(x)) for x in cw])
+                        for cw in cbs[s]
+                    ]
+                )
+                dists = F.transform(
+                    cands,
+                    lambda cw: F.aggregate(
+                        F.zip_with(
+                            F.col("sv"), cw, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+                j = (F.array_position(dists, F.array_min(dists)) - 1).cast(
+                    "int"
+                )
+                assign = (
+                    F.when(F.col("s") == s, j)
+                    if assign is None
+                    else assign.when(F.col("s") == s, j)
+                )
+            upd = (
+                sub.withColumn("j", assign)
+                .select("s", "j", F.posexplode("sv").alias("pos", "val"))
+                .groupBy("s", "j", "pos")
+                .agg(
+                    F.sum("val").alias("sv_sum"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            new = [[list(cw) for cw in cb] for cb in cbs]
+            for r in upd:
+                new[r["s"]][r["j"]][r["pos"]] = _round_half_away_int(
+                    int(r["sv_sum"]), int(r["n"])
+                )
+            cbs = new
+        return cbs
+    finally:
+        sub.unpersist()
+
+
 def pq_anisotropic_report(
     df: DataFrame,
     codebooks: list[list[list[float]]],

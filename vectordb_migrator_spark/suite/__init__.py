@@ -104,11 +104,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_oov_rate",
     "x12_row_dupes",
     "x7_anova",
-    "x7_spearman",
-    "x7_permutation_test",
-    "x13_periodogram",
+    "x7_permutation_test",  # also touched r9: degenerate-perm coalesce
+    # --- (c) converted rows-only -> FULL oracle this round (plans
+    # materially rewritten, need fresh driver evidence) ---
+    "x9_pq_learned_error",  # engine-exact fixed-point Lloyd rewrite
+    "x5_isotonic_calibration",  # minimax closed-form oracle attached
     # ----- 50-window boundary: entries below are the round-10 queue -----
-    # 12 never-verified-anywhere remainder
+    # 14 never-verified-anywhere remainder
+    "x7_spearman",
+    "x13_periodogram",
     "x12_id_gaps",
     "x9_anisotropic_loss",
     "x7_tost",

@@ -504,36 +504,119 @@ def x9_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x9_pq_learned_error")  # Lloyd codeword averages carry
-# reduction-order ulps -> rows-only; the loop is NumPy-differentialed
-# in tests/test_similarity.py and learned<=sampled is asserted there
+def _pq_lloyd_sql(n_iter: int = 3, m: int = 4, k: int = 16, dsub: int = 16) -> str:
+    """Unrolled DuckDB replay of the ENGINE-EXACT fixed-point Lloyd
+    loop (operators/similarity.py:pq_learned_codebooks_fp): seeds are
+    the fixed-pointed subvectors of vec_id 0..k-1, each iteration is
+    assignment (exact int64 distances, first-lowest-j tie break) +
+    exact integer half-away centroid average, empty clusters keep the
+    previous codeword (LEFT JOIN + coalesce). MATERIALIZED per-
+    iteration codebooks stop exponential CTE inlining — the same trick
+    as the BPE-train oracle. Final readout: per (variant, s) count and
+    mean min-distance in original units² (÷ scale²)."""
+    d = m * dsub
+    iters = []
+    for t in range(1, n_iter + 1):
+        prev = f"cb{t - 1}"
+        iters.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT sub.vec_id, sub.s, cb.j,
+             list_sum([ (sub.sv[i] - cb.cw[i]) * (sub.sv[i] - cb.cw[i])
+                        for i in range(1, {dsub + 1}) ]) AS dist
+      FROM sub JOIN {prev} cb USING (s)
+    ), w{t} AS MATERIALIZED (
+      SELECT vec_id, s, j,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist, j) AS rn
+      FROM a{t}
+    ), u{t} AS MATERIALIZED (
+      SELECT sub.s, w.j, g.i AS pos,
+             sum(sub.sv[g.i]) AS ssum, count(*) AS n
+      FROM sub
+      JOIN w{t} w ON w.vec_id = sub.vec_id AND w.s = sub.s AND w.rn = 1
+      CROSS JOIN range(1, {dsub + 1}) g(i)
+      GROUP BY sub.s, w.j, g.i
+    ), cb{t} AS MATERIALIZED (
+      SELECT c.s, c.j, coalesce(u.cw, c.cw) AS cw
+      FROM {prev} c LEFT JOIN (
+        SELECT s, j,
+               list((CASE WHEN ssum >= 0 THEN (2 * ssum + n) // (2 * n)
+                          ELSE -((-2 * ssum + n) // (2 * n))
+                     END)::BIGINT ORDER BY pos) AS cw
+        FROM u{t} GROUP BY s, j
+      ) u ON u.s = c.s AND u.j = c.j
+    )"""
+        )
+    return f"""
+    WITH iv AS MATERIALIZED (
+      SELECT vec_id,
+             [ (CASE WHEN x >= 0 THEN floor(x * 10000.0 + 0.5)
+                     ELSE -floor(-x * 10000.0 + 0.5)
+                END)::BIGINT
+               for x in embedding ] AS iv
+      FROM embeddings
+    ), sub AS MATERIALIZED (
+      SELECT vec_id, g.s::INT AS s,
+             iv[g.s * {dsub} + 1 : (g.s + 1) * {dsub}] AS sv
+      FROM iv CROSS JOIN range({m}) g(s)
+    ), cb0 AS MATERIALIZED (
+      SELECT g.s::INT AS s, vec_id::INT AS j,
+             iv[g.s * {dsub} + 1 : (g.s + 1) * {dsub}] AS cw
+      FROM iv CROSS JOIN range({m}) g(s)
+      WHERE vec_id < {k}
+    ),{",".join(iters)}
+    , final AS (
+      SELECT 'sampled' AS variant, s, j, cw FROM cb0
+      UNION ALL
+      SELECT 'learned' AS variant, s, j, cw FROM cb{n_iter}
+    ), md AS (
+      SELECT f.variant, sub.vec_id, sub.s,
+             min(list_sum([ (sub.sv[i] - f.cw[i]) * (sub.sv[i] - f.cw[i])
+                            for i in range(1, {dsub + 1}) ])) AS mdist
+      FROM sub JOIN final f USING (s)
+      GROUP BY f.variant, sub.vec_id, sub.s
+    )
+    SELECT variant, s, count(*)::BIGINT AS n,
+           round(sum(mdist)::DOUBLE / count(*)::DOUBLE
+                 / 100000000.0, 6) AS mse_mean
+    FROM md GROUP BY variant, s ORDER BY variant, s
+    """
+
+
+@query("x9_pq_learned_error", _pq_lloyd_sql())
 def x9_pq_learned_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X9 — the PQ TRAINING path (round 7): Lloyd-refined codebooks
-    (3 fixed k-means iterations per subspace, all subspaces in one
-    distributed pass per iteration, seeded from the deterministic
-    sampled codebooks) versus the sampled seeds, per-subspace
-    reconstruction MSE side by side — Lloyd never increases in-sample
-    error, so the learned rows must dominate, quantifying what
-    training buys before switching the encode path
-    (operators/similarity.py:pq_learned_codebooks; the learned
-    codebooks plug into the same pq_encode/ADC machinery)."""
+    """X9 — the PQ TRAINING path (round 7; ENGINE-EXACT rewrite round
+    9): Lloyd-refined codebooks (3 fixed k-means iterations per
+    subspace, all subspaces in one distributed pass per iteration,
+    seeded from the deterministic sampled codebooks) versus the
+    sampled seeds, per-subspace reconstruction MSE side by side —
+    Lloyd never increases in-sample error, so the learned rows must
+    dominate, quantifying what training buys before switching the
+    encode path. The loop now runs in integer fixed point
+    (operators/similarity.py:pq_learned_codebooks_fp — exact int64
+    distances, exact integer half-away centroid averages), so the
+    formerly rows-only check is a FULL value oracle: DuckDB unrolls
+    the same 3 iterations and reproduces the codebooks bit-for-bit
+    (closing the round-8 verdict's rows-only item; the float-path
+    twin keeps its NumPy differential in tests/test_similarity.py)."""
     from vectordb_migrator_spark.operators.similarity import (
-        pq_learned_codebooks,
+        fixed_point_array,
+        pq_learned_codebooks_fp,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     variants = [
-        ("sampled", pq_sampled_codebooks(emb, m=4, k=16)),
-        ("learned", pq_learned_codebooks(emb, m=4, k=16, n_iter=3)),
+        ("sampled", pq_learned_codebooks_fp(emb, m=4, k=16, n_iter=0)),
+        ("learned", pq_learned_codebooks_fp(emb, m=4, k=16, n_iter=3)),
     ]
-    v = F.col("embedding").cast("array<double>")
+    iv = fixed_point_array(F.col("embedding"), 10_000)
     rows = []
     for name, cbs in variants:
         for s in range(4):
-            sub = F.slice(v, s * 16 + 1, 16)
+            sub = F.slice(iv, s * 16 + 1, 16)
             cands = F.array(
                 *[
-                    F.array(*[F.lit(float(x)) for x in cw])
+                    F.array(*[F.lit(int(x)) for x in cw])
                     for cw in cbs[s]
                 ]
             )
@@ -541,7 +624,7 @@ def x9_pq_learned_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cands,
                 lambda c: F.aggregate(
                     F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
+                    F.lit(0).cast("long"),
                     lambda acc, x: acc + x,
                 ),
             )
@@ -559,7 +642,12 @@ def x9_pq_learned_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.groupBy("variant", "s")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.avg("mdist"), 6).alias("mse_mean"),
+            F.round(
+                F.sum(F.col("mdist").cast("decimal(28,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e8),
+                6,
+            ).alias("mse_mean"),
         )
         .orderBy("variant", "s")
     )

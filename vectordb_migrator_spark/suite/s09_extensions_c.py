@@ -1231,9 +1231,56 @@ def x2_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x5_isotonic_calibration")  # PAV is inherently sequential —
-# rows-only check; the pooling math is verified against hand-computed
-# examples in tests/test_classify.py
+@query(
+    "x5_isotonic_calibration",
+    # PAV is sequential, but its SOLUTION has the closed minimax form
+    # fitted_i = max_{j<=i} min_{k>=i} wavg(j..k) (isotonic regression
+    # is a unique projection; level-set runs = the PAV pools, and the
+    # stack's >=-merge likewise fuses equal-mean neighbors). With
+    # integer (pos, n) prefix sums every interval average is an exact
+    # rational whose double is correctly rounded, so min/max over the
+    # doubles equals the double of the exact minimax — engine-exact.
+    # O(n²) interval pairs over ~300 distinct scores: trivial.
+    r"""
+    WITH pts AS (
+      SELECT round(value / 100.0, 2)::DOUBLE AS s,
+             sum(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END)::DOUBLE AS pos,
+             count(*)::DOUBLE AS n
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ), idx AS (
+      SELECT s, pos, n, row_number() OVER (ORDER BY s) AS i FROM pts
+    ), pre AS (
+      SELECT i, s, pos, n,
+             sum(pos) OVER (ORDER BY i) AS cp,
+             sum(n) OVER (ORDER BY i) AS cn
+      FROM idx
+    ), avgjk AS (
+      SELECT a.i AS j, b.i AS k,
+             (b.cp - (a.cp - a.pos)) / (b.cn - (a.cn - a.n)) AS av
+      FROM pre a JOIN pre b ON b.i >= a.i
+    ), mn AS (
+      SELECT j, k AS i,
+             min(av) OVER (PARTITION BY j ORDER BY k DESC) AS m
+      FROM avgjk
+    ), fit AS (
+      SELECT i, max(m) AS f FROM mn GROUP BY i
+    ), runs AS (
+      SELECT f.i, f.f, p.s, p.n,
+             sum(CASE WHEN f.pf IS NULL OR f.pf <> f.f
+                      THEN 1 ELSE 0 END) OVER (ORDER BY f.i) AS grp
+      FROM (SELECT i, f, lag(f) OVER (ORDER BY i) AS pf FROM fit) f
+      JOIN idx p USING (i)
+    )
+    SELECT min(s) AS score_lo,
+           max(s) AS score_hi,
+           round(max(f), 6) AS p,
+           sum(n)::BIGINT AS n
+    FROM runs GROUP BY grp ORDER BY score_lo
+    """,
+)
 def x5_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — isotonic (PAV) score calibration (round 7): pool-adjacent-
     violators over per-distinct-score positive rates turns any score
@@ -1244,7 +1291,10 @@ def x5_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is the step function a serving layer broadcasts. The
     corpus folds to one distinct-score aggregate; PAV runs driver-side
     on that model-sized frame (the k-means-centroids contract)
-    (operators/classify.py:isotonic_calibrate)."""
+    (operators/classify.py:isotonic_calibrate). FULL oracle as of
+    round 9: DuckDB replays the solution via the exact minimax closed
+    form (see the SQL header comment) — the sequential stack was the
+    algorithm, not the semantics."""
     from vectordb_migrator_spark.operators.classify import (
         isotonic_calibrate,
     )
