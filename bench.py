@@ -188,6 +188,7 @@ HEADLINE = [
     "c2_qdrant_roundtrip_scale",
     "c3_milvus_roundtrip_scale",
     "c4_pinecone_roundtrip_scale",
+    "c5_qdrant_scan_partitioning",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",

@@ -35,6 +35,7 @@ from vectordb_migrator_spark.suite import s09_extensions_c  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s10_round8_a  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s10_round8_b  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s10_round8_c  # noqa: F401,E402
+from vectordb_migrator_spark.suite import s11_round9  # noqa: F401,E402
 
 # =====================================================================
 # =====================================================================
@@ -59,6 +60,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c2_qdrant_roundtrip_scale",  # r8 driver FAIL -> self-registers now
     "c3_milvus_roundtrip_scale",  # judge-reproduced fail -> self-registers
     "c4_pinecone_roundtrip_scale",  # judge-reproduced fail -> self-registers
+    "c5_qdrant_scan_partitioning",  # NEW r9: scan-parallelism certificate
     # --- (b) never driver-checked (47 of 69, all full oracles) ---
     "x7_ece",
     "x2_label_propagation",
@@ -103,14 +105,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_encoding_artifacts",
     "x5_oov_rate",
     "x12_row_dupes",
-    "x7_anova",
     "x7_permutation_test",  # also touched r9: degenerate-perm coalesce
     # --- (c) converted rows-only -> FULL oracle this round (plans
     # materially rewritten, need fresh driver evidence) ---
     "x9_pq_learned_error",  # engine-exact fixed-point Lloyd rewrite
     "x5_isotonic_calibration",  # minimax closed-form oracle attached
     # ----- 50-window boundary: entries below are the round-10 queue -----
-    # 14 never-verified-anywhere remainder
+    # 15 never-verified-anywhere remainder
+    "x7_anova",
     "x7_spearman",
     "x13_periodogram",
     "x12_id_gaps",

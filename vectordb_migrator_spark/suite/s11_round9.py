@@ -1,0 +1,105 @@
+"""Registry family ``s11_round9`` — round-9 queries (connector
+partition-planning parallelism evidence and later additions)."""
+
+from __future__ import annotations
+
+# ruff: noqa: E501
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_migrator_spark.suite._shared import _t, query
+
+
+@query(
+    "c5_qdrant_scan_partitioning",
+    # both scans must return IDENTICAL content; n_parts certifies the
+    # cursor-segmentation pre-pass planned ceil(n/ceil(n/16)) segments
+    # and every one materialized as a live Spark partition
+    r"""
+    WITH n AS (
+      SELECT count(*) AS c,
+             count(DISTINCT vec_id) AS ids,
+             sum(label) AS ls
+      FROM embeddings
+    )
+    SELECT 'p1' AS mode, 1::BIGINT AS n_parts,
+           c::BIGINT AS points, ids::BIGINT AS ids, ls::BIGINT AS label_sum
+    FROM n
+    UNION ALL
+    SELECT 'p16' AS mode,
+           ceil(c::DOUBLE / ceil(c::DOUBLE / 16.0))::BIGINT AS n_parts,
+           c::BIGINT AS points, ids::BIGINT AS ids, ls::BIGINT AS label_sum
+    FROM n
+    ORDER BY mode
+    """,
+)
+def c5_qdrant_scan_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1/S2 — the connector scan layer's PARALLELISM certificate
+    (round 9, r8 verdict item 6): one upsert into the file-backed demo
+    backend, then the SAME collection scanned single-partition and
+    16-partition through ``format("qdrant")``'s cursor-segmentation
+    pre-pass (sources/pyds.py:partitions — a count probe sizes
+    ``ceil(n/16)`` cursor segments, each becoming one Spark task that
+    scrolls only its budget). The certify aggregate proves the two
+    plans return IDENTICAL content — partition planning loses and
+    duplicates nothing — and ``n_parts`` (count of distinct live
+    ``spark_partition_id`` values) proves the planned segments
+    actually materialize 1:1 as parallel tasks, which is the
+    1000-executor scale story for the 1,378-line pyds layer: scan
+    parallelism is planner-controlled, not single-cursor like the
+    reference's one-scroll loop (adapters/qdrant.py:99-106). The
+    wall-clock speedup twin lives in
+    tests/test_demo_backend.py::test_qdrant_scan_partition_planning_parallelism
+    (1.5x conservative bound on 8 cores). Self-registers its Python
+    DataSources, so it runs in a plain session. Full oracle."""
+    import tempfile
+
+    from vectordb_migrator_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
+    store = tempfile.mkdtemp(prefix="demo_qdrant_par_")
+    factory = (
+        "vectordb_migrator_spark.sources.demo_backend:qdrant_demo_factory"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    canon = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.create_map(
+            F.lit("label"), F.col("label").cast("string")
+        ).alias("metadata"),
+    )
+    (
+        canon.write.format("qdrant")
+        .mode("append")
+        .option("client_factory", factory)
+        .option("store_dir", store)
+        .option("collection_name", "par")
+        .option("vector_dimension", str(dim))
+        .option("batch_size", "2000")
+        .save()
+    )
+
+    def certify(parts: int, mode: str) -> DataFrame:
+        scan = (
+            spark.read.format("qdrant")
+            .option("client_factory", factory)
+            .option("store_dir", store)
+            .option("collection_name", "par")
+            .option("num_partitions", str(parts))
+            .option("batch_size", "2000")
+            .load()
+            .withColumn("__p", F.spark_partition_id())
+        )
+        return scan.agg(
+            F.lit(mode).alias("mode"),
+            F.countDistinct("__p").cast("long").alias("n_parts"),
+            F.count(F.lit(1)).cast("long").alias("points"),
+            F.countDistinct("id").cast("long").alias("ids"),
+            F.sum(F.col("metadata").getItem("label").cast("long"))
+            .cast("long")
+            .alias("label_sum"),
+        )
+
+    return certify(1, "p1").unionAll(certify(16, "p16")).orderBy("mode")
