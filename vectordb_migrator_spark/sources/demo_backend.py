@@ -32,10 +32,23 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from itertools import islice
 from types import SimpleNamespace
 from typing import Any
+
+
+def _seg_id() -> str:
+    """Monotonic-then-unique segment id. Readers merge segments in
+    sorted-NAME order, and upsert semantics ("last write for an id
+    wins", Pinecone ``_all``) require that order to be WRITE order —
+    a bare ``uuid4().hex`` name sorts randomly, so a later upsert of
+    an existing id could lose to an earlier segment. A zero-padded
+    wall-clock-ns prefix makes sorted order = commit order (same
+    machine ⇒ one clock); the uuid suffix keeps concurrent writer
+    tasks collision-free."""
+    return f"{time.time_ns():020d}.{uuid.uuid4().hex}"
 
 
 class DemoQdrantClient:
@@ -81,7 +94,7 @@ class DemoQdrantClient:
         """One immutable segment per call: data file first, sidecar
         count after — readers that trust sidecars never see a torn
         segment."""
-        seg = f"{collection_name}.points.{uuid.uuid4().hex}"
+        seg = f"{collection_name}.points.{_seg_id()}"
         path = f"{self.store}/{seg}.jsonl"
         ids = []
         with open(path, "w") as f:
@@ -268,7 +281,7 @@ class DemoMilvusServer:
     # -- write ----------------------------------------------------------
 
     def insert(self, collection_name: str, data: list) -> None:
-        seg = f"{self.store}/{collection_name}.seg.{uuid.uuid4().hex}"
+        seg = f"{self.store}/{collection_name}.seg.{_seg_id()}"
         with open(seg + ".jsonl", "w") as f:
             for rec in data:
                 f.write(json.dumps(rec) + "\n")
@@ -444,7 +457,7 @@ class _DemoPineconeIndex:
         self._cache.pop(namespace or "default", None)
         self._cache.clear()  # any cached view may now be stale
         ns = namespace or "default"
-        seg = f"{self.store}/{self.name}.{ns}.seg.{uuid.uuid4().hex}"
+        seg = f"{self.store}/{self.name}.{ns}.seg.{_seg_id()}"
         with open(seg + ".jsonl", "w") as f:
             for rec in vectors:
                 f.write(json.dumps(rec) + "\n")
