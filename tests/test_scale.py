@@ -1184,3 +1184,55 @@ def test_tost_equivalence_verdicts(spark):
     ).first()
     assert not bool(r2["equivalent"])
     assert r2["diff"] > r2["margin"]
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_clusters_units(spark):
+    from vectordb_migrator_spark.operators.scale import (
+        poisson_bootstrap_ci,
+    )
+
+    # 500 units x 4 rows each, values ~ unit-level signal + row noise
+    rows = [
+        (u, float(50 + (u % 11) - 5 + (i % 3)))
+        for u in range(500)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "u long, v double")
+    r = poisson_bootstrap_ci(
+        df, "v", unit_col="u", replicates=39, seed=7
+    ).first()
+    assert r["n"] == 2000
+    # point estimate is the exact sample mean
+    true_mean = sum(v for _, v in rows) / len(rows)
+    assert abs(r["mean"] - true_mean) < 1e-6
+    # percentile interval brackets the mean with sane width
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    assert 0 < r["boot_se"] < 1.0
+    assert (r["ci_hi"] - r["ci_lo"]) < 8 * r["boot_se"] + 1e-9
+
+    # deterministic: same seed -> bit-identical CI; new seed -> new draw
+    r2 = poisson_bootstrap_ci(
+        df, "v", unit_col="u", replicates=39, seed=7
+    ).first()
+    assert (r2["ci_lo"], r2["ci_hi"]) == (r["ci_lo"], r["ci_hi"])
+    r3 = poisson_bootstrap_ci(
+        df, "v", unit_col="u", replicates=39, seed=8
+    ).first()
+    assert (r3["ci_lo"], r3["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
+
+    # unit-clustered weights: a units-as-rows frame where one unit's
+    # rows are split across many rows must produce the SAME replicate
+    # weight for every row of the unit — so a frame with duplicated
+    # unit rows has wider (not narrower) CI than iid rows would claim
+    import pyspark.sql.functions as F
+
+    one_unit = spark.createDataFrame(
+        [(1, float(i)) for i in range(100)], "u long, v double"
+    )
+    r_clustered = poisson_bootstrap_ci(
+        one_unit, "v", unit_col="u", replicates=39, seed=7
+    ).first()
+    # one unit -> every replicate mean equals the sample mean (all
+    # rows share one weight) -> zero bootstrap variance
+    assert r_clustered["boot_se"] == 0.0
+    assert r_clustered["ci_lo"] == r_clustered["ci_hi"] == r_clustered["mean"]

@@ -1877,3 +1877,149 @@ def tost_equivalence(
         z_upper.alias("z_upper"),
         equivalent.alias("equivalent"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^{-1}/k! partial
+# sums), written as literals so Spark and the SQL oracle compare u
+# against bit-identical constants.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    *,
+    unit_col: str,
+    replicates: int = 39,
+    group_cols: list[str] | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """One-pass Poisson bootstrap CI for the mean of ``value_col`` —
+    the resampling scheme streaming A/B systems use at corpus scale:
+    a with-replacement resample of n rows is ~Multinomial(n, 1/n),
+    which factorizes into independent Poisson(1) weights per unit, so
+    ONE scan with a deterministic per-(unit, replicate) weight
+    replaces B full resample rescans. Weights are drawn per UNIT
+    (``unit_col``), not per row — all of a unit's rows enter or leave
+    a replicate together, respecting within-unit correlation exactly
+    like ``jackknife_ci``'s cohorts (the per-row bootstrap understates
+    variance under correlated rows).
+
+    Where the delete-one jackknife gives a symmetric ±z·se interval,
+    the bootstrap gives a PERCENTILE interval that follows the
+    statistic's actual skew. With the default ``replicates=39`` the
+    min/max replicate means are the 2.5%/97.5% percentile estimates
+    under the k = α(B+1) order-statistic rule (0.025·40 = 1) — so the
+    CI is exactly min/max over the replicate frame, engine-portable
+    with no interpolation convention to match.
+
+    Scale shape: explode ×B (constant fan-out, no skew), then one
+    map-side-combinable aggregate to groups×B rows of exact-decimal
+    partials; everything after is arithmetic on that tiny frame. The
+    md5 weight coin is engine-reproducible → full SQL oracle.
+    """
+    if replicates < 2:
+        raise ValueError("replicates must be >= 2")
+    gcols = list(group_cols or [])
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("__unit").cast("string"),
+                        F.lit(":"),
+                        F.col("__r").cast("string"),
+                        F.lit(f":{seed}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = F.when(u < F.lit(_POISSON1_CDF[0]), F.lit(0))
+    for k, c in enumerate(_POISSON1_CDF[1:], start=1):
+        w = w.when(u < F.lit(c), F.lit(k))
+    w = w.otherwise(F.lit(len(_POISSON1_CDF))).cast("long")
+    rep = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *gcols,
+            F.col(unit_col).alias("__unit"),
+            F.col(value_col).alias("__v"),
+        )
+        .withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(replicates - 1)))
+        )
+        .withColumn("__w", w)
+        .groupBy(*gcols, "__r")
+        .agg(
+            F.sum(
+                F.col("__w") * F.col("__v").cast("decimal(28,6)")
+            ).alias("ws"),
+            F.sum("__w").cast("long").alias("ww"),
+            # the raw (sum, count) partials are identical for every
+            # replicate (the explode copies each row into each r), so
+            # the point estimate rides the same single scan for free
+            F.sum(F.col("__v").cast("decimal(28,6)")).alias("sv"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    m = F.try_divide(
+        F.col("ws").cast("double"), F.col("ww").cast("double")
+    ).alias("__m")
+    reps = rep.select(*gcols, "sv", "n", m)
+    sum_m = F.sum("__m")
+    sum_m2 = F.sum(F.col("__m") * F.col("__m"))
+    # replicates whose resample drew zero total weight have NULL
+    # means and drop out; the variance uses the surviving count
+    cnt = F.count("__m").cast("double")
+    return (
+        reps.groupBy(*gcols)
+        .agg(
+            F.max("n").alias("n"),
+            F.round(
+                F.max("sv").cast("double") / F.max("n").cast("double"), 6
+            ).alias("mean"),
+            F.round(
+                F.sqrt(
+                    (sum_m2 - sum_m * sum_m / cnt)
+                    / (cnt - F.lit(1.0))
+                ),
+                6,
+            ).alias("boot_se"),
+            F.round(F.min("__m"), 6).alias("ci_lo"),
+            F.round(F.max("__m"), 6).alias("ci_hi"),
+        )
+        .orderBy(*gcols)
+        if gcols
+        else reps.groupBy()
+        .agg(
+            F.max("n").alias("n"),
+            F.round(
+                F.max("sv").cast("double") / F.max("n").cast("double"), 6
+            ).alias("mean"),
+            F.round(
+                F.sqrt(
+                    (sum_m2 - sum_m * sum_m / cnt)
+                    / (cnt - F.lit(1.0))
+                ),
+                6,
+            ).alias("boot_se"),
+            F.round(F.min("__m"), 6).alias("ci_lo"),
+            F.round(F.max("__m"), 6).alias("ci_hi"),
+        )
+    )

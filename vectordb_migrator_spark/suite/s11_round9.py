@@ -103,3 +103,81 @@ def c5_qdrant_scan_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return certify(1, "p1").unionAll(certify(16, "p16")).orderBy("mode")
+
+
+@query(
+    "x7_poisson_bootstrap",
+    r"""
+    WITH r AS (SELECT unnest(range(0, 39)) AS b),
+    x AS (
+      SELECT e.event_type, r.b, e.value,
+             (CAST(CONCAT('0x', substr(md5(e.user_id::VARCHAR || ':'
+                                           || r.b::VARCHAR || ':7'),
+                                       1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0 AS u
+      FROM events e CROSS JOIN r
+      WHERE e.value IS NOT NULL
+    ),
+    w AS (
+      SELECT event_type, b, value,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.9999167588507119 THEN 6
+                  ELSE 7 END AS w
+      FROM x
+    ),
+    rep AS (
+      SELECT event_type, b,
+             sum(w * value::DECIMAL(28,6)) AS ws,
+             sum(w)::BIGINT AS ww,
+             sum(value::DECIMAL(28,6)) AS sv,
+             count(*)::BIGINT AS n
+      FROM w GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, sv, n,
+             ws::DOUBLE / nullif(ww, 0)::DOUBLE AS m
+      FROM rep
+    )
+    SELECT event_type,
+           max(n) AS n,
+           round(max(sv)::DOUBLE / max(n)::DOUBLE, 6) AS mean,
+           round(sqrt((sum(m * m) - sum(m) * sum(m) / count(m))
+                      / (count(m) - 1)), 6)
+             AS boot_se,
+           round(min(m), 6) AS ci_lo,
+           round(max(m), 6) AS ci_hi
+    FROM m GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x7_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — one-pass Poisson bootstrap CI for mean event value per
+    event type (round 9): the resampling twin of ``x7_jackknife_ci``.
+    A with-replacement resample factorizes into independent
+    Poisson(1) weights per unit, so B=39 replicates cost ONE corpus
+    scan (explode ×39 + a map-side-combinable aggregate to
+    groups×39 exact-decimal partials) instead of 39 rescans — the
+    streaming-bootstrap trick large experimentation platforms run at
+    100 TB. Weights are drawn per USER (every event of a user enters
+    or leaves a replicate together — within-user correlation), and
+    with B=39 the min/max replicate means ARE the 2.5%/97.5%
+    percentile CI under the k = α(B+1) order-statistic rule, so
+    unlike the jackknife's symmetric ±1.96·se band this interval
+    follows the metric's skew. md5 weight coin → engine-reproducible;
+    full oracle (operators/scale.py:poisson_bootstrap_ci)."""
+    from vectordb_migrator_spark.operators.scale import (
+        poisson_bootstrap_ci,
+    )
+
+    return poisson_bootstrap_ci(
+        _t(spark, sf_dir, "events"),
+        "value",
+        unit_col="user_id",
+        replicates=39,
+        group_cols=["event_type"],
+        seed=7,
+    )
