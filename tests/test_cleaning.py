@@ -27,3 +27,77 @@ def test_pmi_collocations_matches_hand_math(spark):
     assert all(v["n_pair"] >= 5 for v in got.values())
     # 'york is' (10 of 10 york, 10 of 10 is... is appears 10) exists
     assert ("york", "is") in got
+
+
+def test_kneser_ney_ppl_matches_python_replica(spark):
+    import math
+    from collections import Counter
+
+    from vectordb_migrator_spark.operators.cleaning import kneser_ney_ppl
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog and a bird"),
+        (4, "san francisco san francisco san francisco"),
+        (5, "the cat sat on the mat"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in kneser_ney_ppl(df).collect()
+    }
+
+    # pure-Python interpolated-KN replica
+    D = 0.75
+    bigrams = []
+    per_doc: dict[int, list] = {}
+    for did, text in docs:
+        toks = [t for t in text.lower().strip().split() if t]
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[did] = bgs
+        bigrams.extend(bgs)
+    c = Counter(bigrams)
+    ctx_c = Counter()
+    n_types = Counter()
+    n_cont = Counter()
+    for (v, w), k in c.items():
+        ctx_c[v] += k
+        n_types[v] += 1
+        n_cont[w] += 1
+    T = len(c)
+
+    def p(v, w):
+        return (c[(v, w)] - D) / ctx_c[v] + D * n_types[v] / ctx_c[v] * (
+            n_cont[w] / T
+        )
+
+    for did, bgs in per_doc.items():
+        s = sum(-math.log2(p(v, w)) for v, w in bgs) / len(bgs)
+        assert abs(got[did]["surprisal"] - s) < 1e-5, did
+        assert abs(got[did]["ppl"] - 2.0**s) < 1e-3, did
+        assert got[did]["n_big"] == len(bgs)
+
+    # identical docs score identically
+    assert got[1]["ppl"] == got[5]["ppl"]
+
+    # KN is a proper distribution: sum over the full vocab of P(w|v)
+    # is 1 for every context (discount mass exactly re-allocated)
+    vocab = set(w for _, w in c) | set(v for v, _ in c)
+    for v in ctx_c:
+        tot = sum(
+            (max(c[(v, w)] - D, 0.0) / ctx_c[v])
+            + D * n_types[v] / ctx_c[v] * (n_cont[w] / T)
+            for w in vocab
+        )
+        # sums to <=1 with equality when every word has been seen as
+        # a continuation (n_cont covers vocab); here 'the'/'a'/'san'
+        # never end a bigram... so assert the re-allocation identity
+        disc = sum(max(c[(v, w)] - D, 0.0) for w in vocab) / ctx_c[v]
+        lam = D * n_types[v] / ctx_c[v]
+        assert abs((disc + lam) - 1.0) < 1e-12
+
+    # the continuation effect: 'francisco' is frequent (3 occurrences)
+    # but follows only ONE context, so its continuation count equals
+    # that of rare-but-diverse words, not its raw frequency
+    assert n_cont[("francisco")] == 1

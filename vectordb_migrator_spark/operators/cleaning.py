@@ -741,3 +741,91 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_k)
     )
+
+
+def kneser_ney_ppl(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney
+    bigram LM trained on the corpus itself — the actual algorithm
+    behind the CCNet/KenLM perplexity quality filter (here at bigram
+    order), one modeling step past :func:`bigram_surprisal`'s
+    additive smoothing: absolute discounting plus the CONTINUATION
+    unigram (how many distinct contexts a word follows — why
+    "Francisco", frequent but one-context, stops inflating p).
+
+        P(w|v) = (c(v,w) − D)/c(v·) + D·N1+(v·)/c(v·) · N1+(·w)/T
+
+    with D = 0.75 (exactly representable — c−D is engine-exact),
+    N1+(v·)/N1+(·w) the distinct right/left neighbor counts and T the
+    total bigram-type count. Scoring the training corpus means every
+    bigram has c ≥ 1 > D, so p > 0 with no OOV branch to specify.
+
+    Returns ``(id_col, surprisal, ppl, n_big)``: mean −log2 p, its
+    2^x perplexity, and the bigram count, for docs with ≥ 2 tokens.
+
+    Scale design: bigrams form scan-side in codegen (array zip — no
+    positional join); ONE (w1,w2) map-side-combinable count shuffle
+    builds the model, and all three model frames (context totals,
+    continuation counts, T) derive from that counts frame
+    (ReuseExchange). The model is corpus-vocabulary-sized, so scoring
+    joins are key-partitioned shuffle joins — the layout distributed
+    LM-training pipelines actually use — not bounded broadcasts; the
+    per-document rollup is the final exchange.
+    """
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    d = float(discount)
+    arr = F.filter(ws_tokens(text_col), lambda x: x != "")
+    w1s = F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0)))
+    w2s = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    bg = (
+        df.select(
+            F.col(id_col),
+            F.arrays_zip(w1s.alias("w1"), w2s.alias("w2")).alias("__z"),
+        )
+        .filter(F.size("__z") >= 1)
+        .select(id_col, F.explode("__z").alias("__b"))
+        .select(
+            id_col,
+            F.col("__b.w1").alias("w1"),
+            F.col("__b.w2").alias("w2"),
+        )
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    ctx = counts.groupBy("w1").agg(
+        F.sum("c").alias("ctx_c"), F.count("*").alias("n_types")
+    )
+    cont = counts.groupBy("w2").agg(F.count("*").alias("n_cont"))
+    tt = counts.agg(F.count("*").cast("double").alias("t"))
+    term1 = (F.col("c").cast("double") - F.lit(d)) / F.col(
+        "ctx_c"
+    ).cast("double")
+    lam = (
+        F.lit(d)
+        * F.col("n_types").cast("double")
+        / F.col("ctx_c").cast("double")
+    )
+    pcont = F.col("n_cont").cast("double") / F.col("t")
+    p = term1 + lam * pcont
+    per = (
+        bg.join(counts, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .groupBy(id_col)
+        .agg(
+            F.avg(-F.log2(p)).alias("__s"),
+            F.count("*").cast("long").alias("n_big"),
+        )
+    )
+    return per.select(
+        id_col,
+        F.round(F.col("__s"), 6).alias("surprisal"),
+        F.round(F.pow(F.lit(2.0), F.col("__s")), 4).alias("ppl"),
+        "n_big",
+    )

@@ -181,3 +181,62 @@ def x7_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         seed=7,
     )
+
+
+@query(
+    "x5_kneser_ney_ppl",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    bgx AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) r(i)
+      WHERE len(toks) >= 2
+    ),
+    counts AS (
+      SELECT w1, w2, count(*)::BIGINT AS c FROM bgx GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, sum(c)::BIGINT AS ctx_c, count(*)::BIGINT AS n_types
+      FROM counts GROUP BY 1
+    ),
+    cont AS (SELECT w2, count(*)::BIGINT AS n_cont FROM counts GROUP BY 1),
+    tt AS (SELECT count(*)::DOUBLE AS t FROM counts),
+    sel AS (
+      SELECT b.doc_id,
+             avg(-log2((c.c::DOUBLE - 0.75) / x.ctx_c::DOUBLE
+                       + 0.75 * x.n_types::DOUBLE / x.ctx_c::DOUBLE
+                         * (n.n_cont::DOUBLE / tt.t))) AS s,
+             count(*)::BIGINT AS n_big
+      FROM bgx b
+      JOIN counts c USING (w1, w2)
+      JOIN ctx x USING (w1)
+      JOIN cont n ON n.w2 = b.w2, tt
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, round(s, 6) AS surprisal,
+           round(pow(2.0, s), 4) AS ppl, n_big
+    FROM sel ORDER BY doc_id
+    """,
+)
+def x5_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — per-document interpolated Kneser-Ney bigram perplexity
+    (round 9): the real algorithm behind CCNet/KenLM perplexity
+    quality filtering, one modeling step past additive-smoothed
+    ``x5_bigram_surprisal`` — absolute discounting (D = 0.75, exactly
+    binary-representable so c−D is engine-exact) interpolated with the
+    CONTINUATION unigram N1+(·w)/T, which deflates frequent-but-
+    single-context words the raw unigram over-trusts. Scored on the
+    training corpus every bigram has c ≥ 1 > D, so there is no OOV
+    branch to pin down cross-engine. One (w1,w2) count shuffle builds
+    the model; context totals, continuation counts and T all derive
+    from that frame (ReuseExchange); scoring joins are key-partitioned
+    — the distributed-LM-training layout, not a bounded broadcast.
+    Full oracle (operators/cleaning.py:kneser_ney_ppl)."""
+    from vectordb_migrator_spark.operators.cleaning import kneser_ney_ppl
+
+    return kneser_ney_ppl(_t(spark, sf_dir, "documents")).orderBy("doc_id")
