@@ -303,3 +303,32 @@ def test_ece_report_hand_checked_bins(spark):
     assert got[8]["n"] == 2 and got[9]["n"] == 1
     ece = (3 * abs(1 / 3 - 0.05) + 2 * abs(0.5 - 0.875) + 1 * abs(1 - 0.95)) / 6
     assert abs(got[-1]["gap"] - round(ece, 6)) < 2e-6
+
+
+def test_bradley_terry_recovers_planted_strengths(spark):
+    from vectordb_migrator_spark.operators.classify import bradley_terry
+
+    # planted: A beats B 3:1, B beats C 3:1, A beats C 9:1 (a
+    # consistent BT world with s_A/s_B = s_B/s_C = 3)
+    rows = (
+        [("A", "B")] * 30 + [("B", "A")] * 10
+        + [("B", "C")] * 30 + [("C", "B")] * 10
+        + [("A", "C")] * 45 + [("C", "A")] * 5
+    )
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = {r["item"]: r for r in bradley_terry(df, iterations=20).collect()}
+    sA, sB, sC = out["A"]["score"], out["B"]["score"], out["C"]["score"]
+    assert sA > sB > sC
+    # the fitted ratios recover the planted 3x gaps (MM converged)
+    assert abs(sA / sB - 3.0) < 0.35
+    assert abs(sB / sC - 3.0) < 0.35
+    # win counts and match totals are the raw tallies
+    assert out["A"]["wins"] == 75 and out["A"]["n_contests"] == 90
+    assert out["C"]["wins"] == 15 and out["C"]["n_contests"] == 90
+    # normalization: scores average to 1
+    assert abs((sA + sB + sC) / 3.0 - 1.0) < 1e-6
+
+    # determinism: identical rerun is bit-identical
+    out2 = {r["item"]: r["score"] for r in
+            bradley_terry(df, iterations=20).collect()}
+    assert out2 == {k: v["score"] for k, v in out.items()}

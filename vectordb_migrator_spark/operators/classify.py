@@ -36,6 +36,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from vectordb_migrator_spark.functions.text import (
@@ -522,3 +523,139 @@ def ece_report(
         )
     )
     return per2.drop("__w_gap").unionByName(summary).orderBy("bin")
+
+
+def bradley_terry(
+    contests: DataFrame,
+    *,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iterations: int = 5,
+) -> DataFrame:
+    """Bradley-Terry preference-strength fit by Hunter's MM algorithm
+    (Hunter 2004, "MM algorithms for generalized Bradley-Terry
+    models") — the model behind preference-pair curation for reward
+    modeling / RLHF data prep: given raw pairwise outcomes
+    ``(winner, loser)``, estimate a strength s_i per item such that
+    P(i beats j) = s_i/(s_i+s_j), via the fixed-point update
+
+        s_i ← W_i / Σ_{j≠i} n_ij / (s_i + s_j)
+
+    (W_i = total wins, n_ij = total contests between i and j),
+    renormalized to mean 1 each round. A FIXED ``iterations`` unroll
+    (not convergence-tested) keeps the computation an exact dataflow
+    both engines replay — the same determinism trick as the
+    fixed-point Lloyd and BPE unrolls.
+
+    Scale shape: the only corpus-sized work is the reduction of raw
+    contests to ``(i, j, n)`` pair counts and ``(i, W)`` win counts —
+    one map-side-combinable shuffle each. The items²-bounded
+    sufficient statistic then folds to ONE row of index-aligned
+    arrays, and ALL MM rounds run inside a single ``F.aggregate``
+    higher-order expression over that row — zero per-iteration jobs,
+    zero driver round-trips, iteration cost independent of corpus
+    size (25 brands → a 625-element array fold).
+
+    Returns ``(item, score, wins, n_contests)`` sorted by item.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    w = F.col(winner_col).alias("i")
+    lo = F.col(loser_col).alias("j")
+    directed = contests.select(w, lo).groupBy("i", "j").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    rev = directed.select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "n"
+    )
+    matches = (
+        directed.unionByName(rev)
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    wins = directed.groupBy("i").agg(F.sum("n").cast("long").alias("w"))
+    items = (
+        matches.groupBy("i")
+        .agg(F.sum("n").cast("long").alias("n_contests"))
+        .join(wins, "i", "left")
+        .select(
+            "i",
+            F.coalesce(F.col("w"), F.lit(0)).cast("double").alias("w"),
+            "n_contests",
+        )
+    )
+    # index-align: item ordinal by name (the oracle's ORDER BY i)
+    idx_w = Window.orderBy("i")
+    items_idx = items.select(
+        "i", "w", "n_contests", (F.row_number().over(idx_w) - 1).alias("idx")
+    )
+    m_idx = (
+        matches.join(
+            items_idx.select("i", F.col("idx").alias("ia")), "i"
+        )
+        .join(
+            items_idx.select(
+                F.col("i").alias("j"), F.col("idx").alias("ja")
+            ),
+            "j",
+        )
+        .select("ia", "ja", "n")
+    )
+    one = (
+        items_idx.agg(
+            F.sort_array(
+                F.collect_list(F.struct("idx", "i", "w", "n_contests"))
+            ).alias("its")
+        )
+        .crossJoin(
+            m_idx.agg(
+                F.sort_array(
+                    F.collect_list(F.struct("ia", "ja", "n"))
+                ).alias("ms")
+            )
+        )
+    )
+    ws = F.transform(F.col("its"), lambda t: t["w"])
+    s0 = F.transform(F.col("its"), lambda t: F.lit(1.0))
+
+    def step(s):
+        upd = F.transform(
+            ws,
+            lambda w_val, idx: w_val
+            / F.aggregate(
+                F.filter(F.col("ms"), lambda m: m["ia"] == idx),
+                F.lit(0.0),
+                lambda acc, m: acc
+                + m["n"].cast("double")
+                / (
+                    F.element_at(s, idx + 1)
+                    + F.element_at(s, m["ja"] + 1)
+                ),
+            ),
+        )
+        tot = F.aggregate(upd, F.lit(0.0), lambda a, x: a + x)
+        n_it = F.size(upd).cast("double")
+        return F.transform(upd, lambda x: x * n_it / tot)
+
+    final_s = F.aggregate(
+        F.sequence(F.lit(1), F.lit(iterations)),
+        s0,
+        lambda acc, _: step(acc),
+    )
+    return (
+        one.select(
+            F.col("its"), final_s.alias("ss")
+        )
+        .select(
+            F.posexplode("its").alias("pos", "t"), F.col("ss")
+        )
+        .select(
+            F.col("t.i").alias("item"),
+            F.round(F.element_at("ss", F.col("pos") + 1), 6).alias(
+                "score"
+            ),
+            F.col("t.w").cast("long").alias("wins"),
+            F.col("t.n_contests").alias("n_contests"),
+        )
+        .orderBy("item")
+    )

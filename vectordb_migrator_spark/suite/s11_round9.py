@@ -240,3 +240,136 @@ def x5_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_migrator_spark.operators.cleaning import kneser_ney_ppl
 
     return kneser_ney_ppl(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "x7_bradley_terry",
+    r"""
+    WITH ob AS (
+      SELECT l.l_orderkey AS okey, p.p_brand AS brand,
+             sum(l.l_extendedprice::DECIMAL(28,6)) AS v
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    contests AS (
+      SELECT CASE WHEN a.v > b.v THEN a.brand ELSE b.brand END AS i,
+             CASE WHEN a.v > b.v THEN b.brand ELSE a.brand END AS j
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      WHERE a.v <> b.v
+    ),
+    directed AS (
+      SELECT i, j, count(*)::BIGINT AS n FROM contests GROUP BY 1, 2
+    ),
+    matches AS (
+      SELECT i, j, sum(n)::BIGINT AS n FROM (
+        SELECT i, j, n FROM directed
+        UNION ALL SELECT j AS i, i AS j, n FROM directed
+      ) GROUP BY 1, 2
+    ),
+    wins AS (SELECT i, sum(n)::BIGINT AS w FROM directed GROUP BY 1),
+    nc AS (SELECT i, sum(n)::BIGINT AS n_contests FROM matches GROUP BY 1),
+    it0 AS (
+      SELECT m.i, coalesce(w.w, 0)::DOUBLE AS w, 1.0::DOUBLE AS s
+      FROM (SELECT DISTINCT i FROM matches) m
+      LEFT JOIN wins w USING (i)
+    ),
+    it1 AS (
+      SELECT i, w, s * (count(*) OVER ()) / (sum(s) OVER ()) AS s
+      FROM (
+        SELECT m.i, max(a.w) AS w,
+               max(a.w) / sum(m.n::DOUBLE / (a.s + b.s)) AS s
+        FROM matches m
+        JOIN it0 a ON m.i = a.i
+        JOIN it0 b ON m.j = b.i
+        GROUP BY m.i)
+    ),
+    it2 AS (
+      SELECT i, w, s * (count(*) OVER ()) / (sum(s) OVER ()) AS s
+      FROM (
+        SELECT m.i, max(a.w) AS w,
+               max(a.w) / sum(m.n::DOUBLE / (a.s + b.s)) AS s
+        FROM matches m
+        JOIN it1 a ON m.i = a.i
+        JOIN it1 b ON m.j = b.i
+        GROUP BY m.i)
+    ),
+    it3 AS (
+      SELECT i, w, s * (count(*) OVER ()) / (sum(s) OVER ()) AS s
+      FROM (
+        SELECT m.i, max(a.w) AS w,
+               max(a.w) / sum(m.n::DOUBLE / (a.s + b.s)) AS s
+        FROM matches m
+        JOIN it2 a ON m.i = a.i
+        JOIN it2 b ON m.j = b.i
+        GROUP BY m.i)
+    ),
+    it4 AS (
+      SELECT i, w, s * (count(*) OVER ()) / (sum(s) OVER ()) AS s
+      FROM (
+        SELECT m.i, max(a.w) AS w,
+               max(a.w) / sum(m.n::DOUBLE / (a.s + b.s)) AS s
+        FROM matches m
+        JOIN it3 a ON m.i = a.i
+        JOIN it3 b ON m.j = b.i
+        GROUP BY m.i)
+    ),
+    it5 AS (
+      SELECT i, w, s * (count(*) OVER ()) / (sum(s) OVER ()) AS s
+      FROM (
+        SELECT m.i, max(a.w) AS w,
+               max(a.w) / sum(m.n::DOUBLE / (a.s + b.s)) AS s
+        FROM matches m
+        JOIN it4 a ON m.i = a.i
+        JOIN it4 b ON m.j = b.i
+        GROUP BY m.i)
+    )
+    SELECT s.i AS item, round(s.s, 6) AS score,
+           s.w::BIGINT AS wins, nc.n_contests
+    FROM it5 s JOIN nc USING (i) ORDER BY item
+    """,
+)
+def x7_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — Bradley-Terry preference strength over part brands (round
+    9): the model behind preference-pair curation for reward-model /
+    RLHF training data. Contests derive deterministically from the
+    corpus — within each order, every brand pair is a contest won by
+    the brand with the larger exact-decimal revenue in that order
+    (ties skipped, so the outcome is engine-exact) — then Hunter's MM
+    update s_i = W_i / SUM n_ij/(s_i+s_j) runs as a FIXED 5-round
+    unroll renormalized to mean 1, the same determinism trick as the
+    fixed-point Lloyd/BPE unrolls. Corpus-sized work is ONE pair-count
+    reduction; every MM round is a join+agg on the 25-brand model
+    frame, so iteration cost is independent of scale. Full oracle
+    (operators/classify.py:bradley_terry)."""
+    from vectordb_migrator_spark.operators.classify import bradley_terry
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy("l_orderkey", "p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias(
+                "v"
+            )
+        )
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    contests = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .filter(F.col("a.v") != F.col("b.v"))
+        .select(
+            F.when(F.col("a.v") > F.col("b.v"), F.col("a.p_brand"))
+            .otherwise(F.col("b.p_brand"))
+            .alias("winner"),
+            F.when(F.col("a.v") > F.col("b.v"), F.col("b.p_brand"))
+            .otherwise(F.col("a.p_brand"))
+            .alias("loser"),
+        )
+    )
+    return bradley_terry(contests, iterations=5)
