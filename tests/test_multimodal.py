@@ -629,3 +629,87 @@ def test_ahash_features_integer_exact(spark):
     assert got[2] == got[1]          # brightness-shift invariant
     assert got[3] is None
     assert set(got[1]) == {"0", "1"} and len(got[1]) == 16
+
+
+def test_gif_lzw_spec_pin_and_roundtrip():
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        gif_lzw_decode,
+        gif_lzw_encode,
+    )
+
+    # Hand-derived spec pin, 7 zeros at min-code-size 2 (CLEAR=4,
+    # EOI=5): codes [4,0,6,7,0,5]. The encoder's table is one entry
+    # ahead of the decoder's at transmit time, so width covers
+    # (encoder_table_size - 1): grow on next_code > 2^width. Code 7
+    # is emitted at 3 bits (table size 8 -> max referencable 7), the
+    # codes after at 4. LSB-first packing:
+    #   001 000 011 111 | 0000 1010 -> 0x84 0x0F 0x05
+    assert gif_lzw_encode([0] * 7, 2) == bytes([0x84, 0x0F, 0x05])
+
+    rng = np.random.RandomState(0)
+    cases = [
+        (2, [0] * 7),
+        (2, [3] * 10000),                    # cScSc repeatedly
+        (2, list(rng.randint(0, 4, 500))),
+        (4, list(rng.randint(0, 16, 5000))), # width growth to >9 bits
+        (4, list(range(16)) * 300),
+        (2, [0]),
+    ]
+    for mcs, seq in cases:
+        assert gif_lzw_decode(gif_lzw_encode(seq, mcs), mcs) == [
+            int(x) for x in seq
+        ]
+
+
+def test_gif_lzw_decodes_public_sample_stream():
+    from vectordb_migrator_spark.operators.multimodal import gif_lzw_decode
+
+    # Image-data bytes of the canonical 10x10 sample GIF documented
+    # in Matthew Flickinger's "What's In A GIF" walkthrough (public
+    # reference bytes, produced by a real-world encoder) — true
+    # interop evidence independent of this module's encoder.
+    data = bytes.fromhex("8C2D99872A1CDC33A00275EC95FAA8DE608C04914C0100")
+    out = gif_lzw_decode(data, 2)
+    assert len(out) == 100
+    rows = [out[i * 10 : (i + 1) * 10] for i in range(10)]
+    assert rows[0] == [1, 1, 1, 1, 1, 2, 2, 2, 2, 2]
+    assert rows[3] == [1, 1, 1, 0, 0, 0, 0, 2, 2, 2]
+    assert rows[5] == [2, 2, 2, 0, 0, 0, 0, 1, 1, 1]
+    assert rows[9] == [2, 2, 2, 2, 2, 1, 1, 1, 1, 1]
+
+
+def test_gif_decode_features_roundtrip_and_corruption(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        gif_decode_features,
+        gif_encode,
+    )
+
+    pal8 = [(7 * i, 11 * i, 13 * i) for i in range(8)]
+    idx = (np.arange(6)[None, :] + np.arange(4)[:, None] + 3) % 8
+    payload = gif_encode(idx, pal8)
+    # header sanity: GIF87a magic + global color table flag
+    assert payload[:6] == b"GIF87a" and payload[10] & 0x80
+
+    rows = [
+        (1, bytearray(payload)),
+        (2, bytearray(payload[: len(payload) // 2])),  # truncated
+        (3, bytearray(b"not a gif at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in gif_decode_features(df).collect()}
+
+    ok = got[1]
+    assert (ok["width"], ok["height"], ok["n_colors"]) == (6, 4, 8)
+    assert ok["n_pixels"] == 24
+    assert ok["idx_sum"] == int(idx.sum())
+    assert ok["sum_r"] == 7 * int(idx.sum())
+    assert ok["sum_g"] == 11 * int(idx.sum())
+    assert ok["sum_b"] == 13 * int(idx.sum())
+    assert (ok["px00_r"], ok["px00_g"], ok["px00_b"]) == (21, 33, 39)
+
+    for bad in (2, 3):
+        assert got[bad]["width"] is None and got[bad]["idx_sum"] is None

@@ -988,3 +988,261 @@ def ahash_features(
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema=AHASH_SCHEMA
     )
+
+
+# ------------------------------------------------------------------- GIF
+# Minimal REAL GIF87a codec: variable-width LZW per the GIF spec
+# (Appendix F of GIF89a), LSB-first bit packing, 255-byte sub-blocks.
+# The encoder exists for fixtures; the decoder is the operator.
+
+
+class _LZWBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: emits an initial CLEAR, grows the code width
+    when the next free code reaches 2**width (cap 12 bits, CLEAR +
+    reset at table overflow), ends with EOI. Returns the packed code
+    bytes (no sub-block framing)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    wtr = _LZWBitWriter()
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    wtr.put(clear, width)
+    cur: tuple = ()
+    for sym in indices:
+        sym = int(sym)
+        cand = cur + (sym,)
+        if cand in table:
+            cur = cand
+            continue
+        wtr.put(table[cur], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code == (1 << 12) + 1:
+            wtr.put(clear, width)
+            table, next_code, width = fresh()
+        cur = (sym,)
+    if cur:
+        wtr.put(table[cur], width)
+        # the decoder performs one more add (+ growth check) after
+        # reading this final data code; mirror it so EOI's width
+        # matches what any spec decoder expects
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+    wtr.put(eoi, width)
+    return wtr.flush()
+
+
+def gif_lzw_decode(data: bytes, min_code_size: int) -> list:
+    """Inverse of :func:`gif_lzw_encode`, with the cScSc
+    (code == next_code) special case. Raises on malformed streams."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit cursor
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            raise ValueError("truncated LZW stream")
+        v = 0
+        for k in range(width):
+            byte = data[(pos + k) >> 3]
+            v |= ((byte >> ((pos + k) & 7)) & 1) << k
+        pos += width
+        return v
+
+    out: list = []
+    table: list = []
+    width = min_code_size + 1
+    prev: tuple | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)  # cScSc
+            table.append(entry)
+        else:
+            raise ValueError("code beyond table")
+        out.extend(entry)
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def gif_encode(indices, palette) -> bytes:
+    """Minimal REAL GIF87a encoder for fixtures and demos: one image,
+    global color table, real variable-width LZW, a comment extension
+    (so decoders must skip extension blocks), 255-byte sub-block
+    framing. ``indices`` is an (h, w) array of palette indices;
+    ``palette`` a list of (r, g, b). Palette length must be a power
+    of two in [2, 256]."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    n = len(palette)
+    if n < 2 or n & (n - 1):
+        raise ValueError("palette length must be a power of two >= 2")
+    size_bits = n.bit_length() - 2  # field stores log2(n) - 1
+    mcs = max(2, n.bit_length() - 1)  # LZW min code size
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (size_bits & 0x07), 0, 0])
+    for r, g, b in palette:
+        out += bytes([r & 0xFF, g & 0xFF, b & 0xFF])
+    # comment extension: decoders must walk sub-blocks they ignore
+    out += b"\x21\xfe\x07fixture\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(mcs)
+    data = gif_lzw_encode(idx.reshape(-1), mcs)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_decode_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL GIF decode (round 9) — the third real decode tier after
+    BMP (uncompressed) and PNG (zlib): GIF's only codec is LZW, which
+    needs no library at all, so the full pipeline — header walk,
+    global color table, extension-block skip, sub-block reassembly,
+    variable-width LZW decompress (CLEAR/EOI, code growth, the cScSc
+    case), palette mapping, pixel stats — runs on actual compressed
+    bytes. Supported: GIF87a/GIF89a, single non-interlaced image,
+    global color table (the fixture shape and the dominant archival
+    shape); interlaced or local-palette images yield NULL features —
+    never a misparse — as do corrupt streams.
+
+    Features per image: dimensions, palette size, pixel count, the
+    exact integer SUM of palette indices (a one-bit LZW error moves
+    it), per-channel byte sums after palette mapping, and the
+    top-left mapped pixel. Same Arrow-batched ``mapInPandas`` shape
+    as :func:`png_decode_features`; payload bytes never leave the
+    executor."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {
+                    "doc_id": int(doc_id), "width": None, "height": None,
+                    "n_colors": None, "n_pixels": None, "idx_sum": None,
+                    "sum_r": None, "sum_g": None, "sum_b": None,
+                    "px00_r": None, "px00_g": None, "px00_b": None,
+                }
+                try:
+                    b = bytes(payload)
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h = struct.unpack_from("<HH", b, 6)
+                        packed = b[10]
+                        pos = 13
+                        pal = None
+                        if packed & 0x80:
+                            n = 2 << (packed & 0x07)
+                            pal = np.frombuffer(
+                                b, np.uint8, n * 3, pos
+                            ).reshape(n, 3)
+                            pos += n * 3
+                        while pos < len(b) and b[pos] == 0x21:
+                            pos += 2  # introducer + label
+                            while b[pos] != 0:
+                                pos += 1 + b[pos]
+                            pos += 1
+                        if (
+                            pal is not None
+                            and pos < len(b)
+                            and b[pos] == 0x2C
+                        ):
+                            iw, ih = struct.unpack_from("<HH", b, pos + 5)
+                            ipacked = b[pos + 9]
+                            pos += 10
+                            if not (ipacked & 0xC0):  # no local pal,
+                                mcs = b[pos]  # not interlaced
+                                pos += 1
+                                data = bytearray()
+                                while b[pos] != 0:
+                                    ln = b[pos]
+                                    data += b[pos + 1 : pos + 1 + ln]
+                                    pos += 1 + ln
+                                idx = np.array(
+                                    gif_lzw_decode(bytes(data), mcs),
+                                    dtype=np.int64,
+                                )
+                                if len(idx) == iw * ih and int(
+                                    idx.max(initial=0)
+                                ) < len(pal):
+                                    rgb = pal[idx]
+                                    row.update(
+                                        width=int(iw), height=int(ih),
+                                        n_colors=len(pal),
+                                        n_pixels=int(iw) * int(ih),
+                                        idx_sum=int(idx.sum()),
+                                        sum_r=int(rgb[:, 0].sum()),
+                                        sum_g=int(rgb[:, 1].sum()),
+                                        sum_b=int(rgb[:, 2].sum()),
+                                        px00_r=int(rgb[0, 0]),
+                                        px00_g=int(rgb[0, 1]),
+                                        px00_b=int(rgb[0, 2]),
+                                    )
+                except Exception:
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, width int, height int, n_colors int, "
+        "n_pixels long, idx_sum long, sum_r long, sum_g long, "
+        "sum_b long, px00_r int, px00_g int, px00_b int"
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)

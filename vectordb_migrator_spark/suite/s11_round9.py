@@ -373,3 +373,85 @@ def x7_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bradley_terry(contests, iterations=5)
+
+
+@query(
+    "x6_gif_decode",
+    """
+    WITH g AS (
+      SELECT xs.range AS x, ys.range AS y
+      FROM range(0, 11) xs, range(0, 7) ys
+    ),
+    dims AS (
+      SELECT doc_id,
+             (5 + doc_id % 7)::INT AS w,
+             (3 + doc_id % 5)::INT AS h,
+             (CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8
+              ELSE 16 END)::INT AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, d.n,
+             ((g.x + g.y + d.doc_id) % d.n)::BIGINT AS idx
+      FROM dims d JOIN g ON g.x < d.w AND g.y < d.h
+    )
+    SELECT doc_id,
+           max(w) AS width, max(h) AS height, max(n) AS n_colors,
+           (max(w) * max(h))::BIGINT AS n_pixels,
+           sum(idx)::BIGINT AS idx_sum,
+           (7 * sum(idx))::BIGINT AS sum_r,
+           (11 * sum(idx))::BIGINT AS sum_g,
+           (13 * sum(idx))::BIGINT AS sum_b,
+           (7 * (max(doc_id) % max(n)))::INT AS px00_r,
+           (11 * (max(doc_id) % max(n)))::INT AS px00_g,
+           (13 * (max(doc_id) % max(n)))::INT AS px00_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x6_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — REAL GIF decode (round 9): the third real-decode tier
+    after BMP (uncompressed) and PNG (stdlib zlib). GIF's only codec
+    is LZW, which needs no library, so the full pipeline — header
+    walk, global color table, extension-block skip, sub-block
+    reassembly, variable-width LZW (CLEAR/EOI, code growth, the
+    cScSc case), palette mapping — runs on actual compressed bytes.
+    Fixtures plant idx = (x + y + doc_id) mod n gradients across
+    palette sizes 4/8/16 with palette[i] = (7i, 11i, 13i), so the
+    oracle recomputes the exact integer index/channel sums from a
+    grid join — one wrong LZW bit moves idx_sum. The decoder is
+    interop-pinned in tests/test_multimodal.py against the public
+    "What's In A GIF" reference bytes (a real-world encoder's
+    output), breaking encoder/decoder shared-bug symmetry
+    (operators/multimodal.py:gif_decode_features)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        gif_decode_features,
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from vectordb_migrator_spark.operators.multimodal import gif_encode
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 5 + (d % 7)
+                h = 3 + (d % 5)
+                n = (4, 8, 16)[d % 3]
+                idx = (
+                    np.arange(w)[None, :] + np.arange(h)[:, None] + d
+                ) % n
+                pal = [(7 * i, 11 * i, 13 * i) for i in range(n)]
+                rows.append(
+                    {"doc_id": d, "payload": bytearray(gif_encode(idx, pal))}
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(gen, schema="doc_id long, payload binary")
+    )
+    return gif_decode_features(payloads).orderBy("doc_id")
