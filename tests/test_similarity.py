@@ -1375,3 +1375,46 @@ def test_pq_anisotropic_report_matches_numpy(spark):
     # decomposition invariants
     assert 0.0 <= r["parallel_share"] <= 1.0
     assert r["mse_orthogonal"] >= 0
+
+
+def test_soar_double_assignment_recovers_boundary_vector(spark):
+    from vectordb_migrator_spark.operators.similarity import (
+        soar_ivf_recall_report,
+    )
+
+    # two planted clusters in 2-D: A hugs (1, 0), B hugs (0, 1); the
+    # probe points at A. Vector 99 sits at 47 degrees: its NEAREST
+    # centroid is B (primary assignment), but it is close enough to
+    # the probe to belong in the true top-5 — exactly the neighbor
+    # single-assignment IVF at nprobe=1 loses and SOAR's secondary
+    # assignment recovers.
+    import math
+
+    rows = []
+    for i in range(20):  # cluster A, label 0
+        a = 0.12 * (i % 5) / 5.0
+        rows.append((i, [math.cos(a), math.sin(a)], 0))
+    for i in range(20, 40):  # cluster B, label 1
+        a = math.pi / 2 - 0.12 * (i % 5) / 5.0
+        rows.append((i, [math.cos(a), math.sin(a)], 1))
+    a47 = math.radians(47.0)
+    rows.append((99, [math.cos(a47), math.sin(a47)], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["mode"]: r
+        for r in soar_ivf_recall_report(
+            df, [1.0, 0.0], cluster_col="label", k=21
+        ).collect()
+    }
+    # vector 99's primary centroid is B -> single scan = list A only
+    assert got["single"]["n_scanned"] == 20
+    # double assignment spills it (and every vector's 2nd-nearest is
+    # the other centroid here) into list A
+    assert got["double"]["n_scanned"] == 41
+    # truth@21 contains all of A plus vector 99; single misses 99
+    assert got["single"]["n_hits"] == 20
+    assert got["double"]["n_hits"] == 21
+    assert got["double"]["recall"] > got["single"]["recall"]
+    assert got["double"]["recall"] == 1.0

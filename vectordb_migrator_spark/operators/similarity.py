@@ -1612,3 +1612,97 @@ def pq_anisotropic_report(
             6,
         ).alias("loss_at_t"),
     )
+
+
+def soar_ivf_recall_report(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    cluster_col: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SOAR-style multi-assignment IVF recall certificate (Sun et al.
+    2023, "SOAR: Improved Indexing for Approximate Nearest Neighbor
+    Search" — the ScaNN spilling idea): every vector is assigned to
+    its TWO nearest coarse centroids instead of one, so a probe that
+    searches a single posting list (nprobe=1) still finds neighbors
+    whose primary centroid was a near-miss. This report measures
+    exactly that trade: recall@k and rows-scanned of nprobe=1 search
+    under single vs double assignment, against the brute-force truth.
+
+    Spilling buys recall with REPLICATED STORAGE (≤2× postings)
+    instead of extra probes — the right trade at 100 TB when the
+    scan is partition-pruned (each posting list is a directory; a
+    probe still opens exactly one) and latency is probe-bound.
+
+    Determinism: assignment ranks round cosine to 9 decimals with
+    cluster-ascending tie-break; truth ranks round to 6 with id
+    tie-break (the corpus-wide ``cosine_topk`` convention) — both
+    engine-portable, so the whole report carries a full SQL oracle.
+
+    Scale shape: centroids are model-sized (broadcast); assignment is
+    one scan × nlist broadcast join with a per-vector top-2 window on
+    (id, cluster, sim) partials; the assignment frame (2 rows/vector
+    — it IS the index build, materialized once) is the only thing
+    rescanned per mode; truth is one TakeOrderedAndProject.
+    """
+    p = probe_literal(probe)
+    cent = ivf_build_centroids(df, cluster_col=cluster_col, vec_col=vec_col)
+    best = (
+        cent.select(
+            "cluster",
+            F.round(cosine_similarity(F.col("centroid"), p), 9).alias(
+                "csim"
+            ),
+        )
+        .orderBy(F.desc("csim"), "cluster")
+        .limit(1)
+        .select(F.col("cluster").alias("best_cluster"))
+    )
+    vsim = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            "cluster",
+            F.round(
+                cosine_similarity(F.col("__v"), F.col("centroid")), 9
+            ).alias("sim"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.desc("sim"), F.col("cluster"))
+    )
+    assign = (
+        vsim.withColumn("rk", rk)
+        .filter(F.col("rk") <= 2)
+        .select(id_col, "cluster", "rk")
+        .localCheckpoint(eager=True)
+    )
+    truth = cosine_topk(df, probe, k=k, id_col=id_col, vec_col=vec_col).select(
+        id_col
+    )
+
+    def mode_stats(max_rank: int, name: str) -> DataFrame:
+        scanned = assign.filter(
+            (F.col("rk") <= max_rank)
+        ).join(F.broadcast(best), F.col("cluster") == F.col("best_cluster"))
+        n = scanned.agg(F.count("*").cast("long").alias("n_scanned"))
+        h = (
+            scanned.join(truth, id_col, "left_semi")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+        )
+        return n.crossJoin(h).select(
+            F.lit(name).alias("mode"),
+            "n_scanned",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+
+    return (
+        mode_stats(1, "single")
+        .unionByName(mode_stats(2, "double"))
+        .orderBy("mode")
+    )

@@ -7,7 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vectordb_migrator_spark.suite._shared import _t, query
+from vectordb_migrator_spark.suite._shared import (
+    _PROBE_SQL,
+    _probe_vector,
+    _t,
+    query,
+)
 
 
 @query(
@@ -455,3 +460,91 @@ def x6_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(gen, schema="doc_id long, payload binary")
     )
     return gif_decode_features(payloads).orderBy("doc_id")
+
+
+@query(
+    "x4_soar_recall",
+    f"""
+    WITH p AS (SELECT {_PROBE_SQL} AS pv),
+    centd AS (
+      SELECT label AS cluster, i, avg(embedding[i]::DOUBLE) AS cv
+      FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT cluster, list(cv ORDER BY i) AS cvec
+      FROM centd GROUP BY cluster
+    ),
+    best AS (
+      SELECT cluster AS best_cluster FROM (
+        SELECT c.cluster,
+               round(list_dot_product(c.cvec, p.pv) /
+                     (sqrt(list_dot_product(c.cvec, c.cvec)) *
+                      sqrt(list_dot_product(p.pv, p.pv))), 9) AS csim
+        FROM cent c, p)
+      ORDER BY csim DESC, cluster LIMIT 1
+    ),
+    vsim AS (
+      SELECT e.vec_id, c.cluster,
+             round(list_dot_product(e.embedding::DOUBLE[], c.cvec) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS sim
+      FROM embeddings e, cent c
+    ),
+    assign AS (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cluster) AS rk
+      FROM vsim QUALIFY rk <= 2
+    ),
+    truth AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               round(list_dot_product(embedding::DOUBLE[], p.pv) /
+                     (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(p.pv, p.pv))), 6) AS score
+        FROM embeddings, p)
+      ORDER BY score DESC, vec_id LIMIT 10
+    ),
+    modes AS (
+      SELECT 'single' AS mode, 1 AS max_rk
+      UNION ALL SELECT 'double', 2
+    )
+    SELECT m.mode,
+           count(*)::BIGINT AS n_scanned,
+           sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hits,
+           round(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / 10.0, 6) AS recall
+    FROM modes m
+    JOIN assign a ON a.rk <= m.max_rk
+    JOIN best b ON a.cluster = b.best_cluster
+    LEFT JOIN truth t ON t.vec_id = a.vec_id
+    GROUP BY m.mode ORDER BY m.mode
+    """,
+)
+def x4_soar_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — SOAR-style multi-assignment (spilled) IVF recall
+    certificate (round 9; Sun et al. 2023 / ScaNN spilling): every
+    vector joins its TWO nearest coarse centroids' posting lists, so
+    an nprobe=1 probe recovers neighbors whose primary centroid was a
+    near-miss — recall is bought with ≤2× replicated postings instead
+    of extra probes, the right trade at 100 TB where each posting
+    list is a partition-pruned directory and latency is probe-bound.
+    Reports recall@10 and rows-scanned for single vs double
+    assignment under the SAME nprobe=1 probe, against brute-force
+    truth. Assignment ranks round cosine to 9 decimals (cluster-asc
+    ties); truth uses the corpus cosine_topk convention. Full oracle
+    (operators/similarity.py:soar_ivf_recall_report)."""
+    from vectordb_migrator_spark.operators.similarity import (
+        soar_ivf_recall_report,
+    )
+
+    probe = _probe_vector(spark, sf_dir)
+    return soar_ivf_recall_report(
+        _t(spark, sf_dir, "embeddings"),
+        probe,
+        cluster_col="label",
+        k=10,
+    )
