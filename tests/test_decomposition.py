@@ -300,3 +300,41 @@ def test_hadamard_rotation_isometric_on_flat_vectors(spark):
     r = hadamard_rotation_report(df).first()
     assert bool(r["norm_preserved"])
     assert r["peak_to_rms_before"] == 1.0  # |v|/rms = 1 exactly
+
+
+def test_rabitq_estimator_corr_constant_and_exact_case(spark):
+    import numpy as np
+    import pytest
+
+    from vectordb_migrator_spark.operators.decomposition import (
+        rabitq_estimate_report,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randn(64) * 0.5]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probe = [float(x) for x in rng.randn(64) * 0.5]
+    r = rabitq_estimate_report(df, probe, d=64, k=10).first()
+    assert r["n"] == 300
+    # for incoherent (gaussian) vectors the corrective factor
+    # concentrates at E|g| / sqrt(E g^2) = sqrt(2/pi) ~ 0.7979
+    assert abs(r["avg_corr"] - 0.7979) < 0.01
+    assert 0 < r["mean_abs_err"] < 0.2
+    assert 0 <= r["recall_at_10"] <= 1.0
+
+    # exact-code case: x = e1 rotates to a constant-sign vector
+    # (Sylvester H's first column is all +1), so the sign code IS the
+    # direction: corr = 1 and the corrected estimate equals the true
+    # cosine exactly
+    e1 = [1.0] + [0.0] * 63
+    df1 = spark.createDataFrame(
+        [(0, e1)], "vec_id long, embedding array<float>"
+    )
+    r1 = rabitq_estimate_report(df1, probe, d=64, k=10).first()
+    assert r1["avg_corr"] == 1.0
+    assert r1["mean_abs_err"] == 0.0
+
+    with pytest.raises(ValueError):
+        rabitq_estimate_report(df, probe, d=63)

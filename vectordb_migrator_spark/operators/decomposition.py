@@ -441,3 +441,133 @@ def hadamard_rotation_report(
         F.round(mse_a * F.lit(1e9), 6).alias("int8_mse_after_e9"),
         F.round(F.try_divide(mse_b, mse_a), 6).alias("mse_improvement_x"),
     )
+
+
+def rabitq_estimate_report(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d: int = 64,
+    scale: int = 10_000,
+    k: int = 10,
+) -> DataFrame:
+    """RaBitQ-style 1-bit quantization with a corrected inner-product
+    estimator (Gao & Long, SIGMOD 2024, "RaBitQ: Quantizing High-
+    Dimensional Vectors with a Theoretical Error Bound") — the modern
+    binary-code ANN tier: rotate (here the exact Walsh-Hadamard the
+    QuIP report uses; RaBitQ's random rotation serves the same
+    incoherence purpose), keep ONE SIGN BIT per dimension, and undo
+    the quantization bias with the per-vector corrective factor
+    corr = ⟨x̂_rot, sign(x_rot)⟩/√d — yielding the (nearly) unbiased
+    estimate  cos_est = ⟨q̂_rot, ŝ⟩ / corr = S1·‖x‖ / (‖q‖·Σ|x_rot|)
+    (the √d factors cancel), where S1 = Σ sign(x_rot_i)·q_rot_i.
+
+    Everything that decides a bit is exact: coordinates fix-point at
+    ``scale``, the Hadamard matmul is order-free int64, signs and
+    Σ|x_rot| are integers, and the probe rotates driver-side in the
+    same integers — so estimates are single IEEE op sequences both
+    engines replay identically and the report carries a full SQL
+    oracle. Reports corpus size, the mean corrective factor (the
+    1-bit code's quality — E[corr] ≈ √(2/π) ≈ 0.7979 for incoherent
+    vectors), mean |cos_est − cos_true|, and recall@k of the
+    estimated ranking against exact cosine.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` (d×d int matmul
+    per batch — this IS the index build; codes are 64 bits/vector in
+    production) emits 4 integers per vector; the estimate/error
+    arithmetic is pure codegen; two TakeOrderedAndProject(k) heaps
+    and ONE fold make the report. An all-zero vector has no sign
+    code; it reports corr 0 and is excluded from the error mean.
+    """
+    import math
+
+    import pandas as pd
+
+    if d <= 0 or (d & (d - 1)) != 0:
+        raise ValueError(f"rabitq_estimate_report requires power-of-two d, got {d}")
+
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    pc = np.zeros((d, d), dtype=np.int64)
+    v = (ii & jj).astype(np.int64)
+    while v.any():
+        pc += v & 1
+        v >>= 1
+    H = np.where(pc % 2 == 0, 1, -1).astype(np.int64)
+
+    def half_away(x: np.ndarray) -> np.ndarray:
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    pint = half_away(np.asarray(probe[:d], dtype=np.float64) * scale).astype(
+        np.int64
+    )
+    rotq = H @ pint  # exact ints
+    q2 = int((rotq * rotq).sum())
+
+    def apply(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.array(b[vec_col].tolist(), dtype=np.float64)[:, :d]
+            xint = half_away(x * scale).astype(np.int64)
+            rot = xint @ H.T
+            sgn = np.where(rot >= 0, 1, -1)
+            yield pd.DataFrame(
+                {
+                    "vid": b[id_col].astype("int64"),
+                    "s1": (sgn * rotq[None, :]).sum(1),
+                    "a": np.abs(rot).sum(1),
+                    "sx2": (rot * rot).sum(1),
+                    "dq": (rot * rotq[None, :]).sum(1),
+                }
+            )
+
+    per = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        apply, schema="vid long, s1 long, a long, sx2 long, dq long"
+    )
+    nx = F.sqrt(F.col("sx2").cast("double"))
+    nq = F.lit(math.sqrt(float(q2)))
+    est = (
+        F.col("s1").cast("double")
+        * nx
+        / (nq * F.nullif(F.col("a"), F.lit(0)).cast("double"))
+    )
+    tru = F.col("dq").cast("double") / (
+        nq * F.when(F.col("sx2") == 0, F.lit(1.0)).otherwise(nx)
+    )
+    corr = F.col("a").cast("double") / (
+        F.when(F.col("sx2") == 0, F.lit(1.0)).otherwise(nx)
+        * F.lit(math.sqrt(float(d)))
+    )
+    scored = per.select(
+        "vid",
+        F.floor(corr * F.lit(1e6) + F.lit(0.5)).cast("long").alias("ic"),
+        F.floor(F.abs(est - tru) * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("ierr"),
+        F.round(est, 9).alias("est"),
+        F.round(tru, 9).alias("tru"),
+    ).localCheckpoint(eager=True)
+    top_est = scored.orderBy(F.desc("est"), "vid").limit(k).select("vid")
+    top_tru = scored.orderBy(F.desc("tru"), "vid").limit(k).select("vid")
+    hits = top_est.join(top_tru, "vid", "left_semi").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    rep = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("ic") / F.count(F.lit(1)) / F.lit(1e6), 6).alias(
+            "avg_corr"
+        ),
+        F.round(
+            F.sum("ierr") / F.count("ierr") / F.lit(1e9), 6
+        ).alias("mean_abs_err"),
+    )
+    return rep.crossJoin(hits).select(
+        "n",
+        "avg_corr",
+        "mean_abs_err",
+        F.round(F.col("n_hits") / F.lit(float(k)), 6).alias(
+            f"recall_at_{k}"
+        ),
+    )

@@ -548,3 +548,89 @@ def x4_soar_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_col="label",
         k=10,
     )
+
+
+def _rabitq_sql() -> str:
+    rot_expr = (
+        "[ list_sum([ xint[j+1] * (1 - 2 * (bit_count(i & j) % 2)) "
+        "for j in range(64) ]) for i in range(64) ]"
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> (CASE WHEN x >= 0
+                          THEN floor(x * 10000.0 + 0.5)
+                          ELSE -floor(-x * 10000.0 + 0.5) END)::BIGINT)
+               AS xint
+      FROM embeddings
+    ),
+    rotated AS (
+      SELECT vec_id, {rot_expr} AS rot FROM base
+    ),
+    probe AS (
+      SELECT rot AS rq, list_sum([v * v for v in rot])::DOUBLE AS q2
+      FROM rotated WHERE vec_id = 0
+    ),
+    per AS (
+      SELECT r.vec_id AS vid,
+             list_sum([ (CASE WHEN r.rot[i+1] >= 0 THEN 1 ELSE -1 END)
+                        * p.rq[i+1] for i in range(64) ])::DOUBLE AS s1,
+             list_sum([abs(v) for v in r.rot])::DOUBLE AS a,
+             list_sum([v * v for v in r.rot])::DOUBLE AS sx2,
+             list_sum([ r.rot[i+1] * p.rq[i+1]
+                        for i in range(64) ])::DOUBLE AS dq,
+             sqrt(p.q2) AS nq
+      FROM rotated r, probe p
+    ),
+    scored AS (
+      SELECT vid,
+             floor(a / (CASE WHEN sx2 = 0 THEN 1.0 ELSE sqrt(sx2) END)
+                   / 8.0 * 1000000.0 + 0.5)::BIGINT AS ic,
+             floor(abs(s1 * sqrt(sx2) / (nq * nullif(a, 0))
+                       - dq / (nq * (CASE WHEN sx2 = 0 THEN 1.0
+                                          ELSE sqrt(sx2) END)))
+                   * 1000000000.0 + 0.5)::BIGINT AS ierr,
+             round(s1 * sqrt(sx2) / (nq * nullif(a, 0)), 9) AS est,
+             round(dq / (nq * (CASE WHEN sx2 = 0 THEN 1.0
+                               ELSE sqrt(sx2) END)), 9) AS tru
+      FROM per
+    ),
+    te AS (SELECT vid FROM scored
+           ORDER BY est DESC NULLS LAST, vid LIMIT 10),
+    tt AS (SELECT vid FROM scored
+           ORDER BY tru DESC NULLS LAST, vid LIMIT 10),
+    h AS (SELECT count(*)::BIGINT AS n_hits
+          FROM te WHERE vid IN (SELECT vid FROM tt))
+    SELECT count(*)::BIGINT AS n,
+           round(sum(ic)::DOUBLE / count(*) / 1000000.0, 6) AS avg_corr,
+           round(sum(ierr)::DOUBLE / count(ierr) / 1000000000.0, 6)
+             AS mean_abs_err,
+           round(max(h.n_hits) / 10.0, 6) AS recall_at_10
+    FROM scored, h
+    """
+
+
+@query("x9_rabitq_estimate", _rabitq_sql())
+def x9_rabitq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — RaBitQ-style 1-bit code with corrected inner-product
+    estimator (round 9; Gao & Long SIGMOD'24): the modern binary-
+    quantization tier above the plain sign codes of
+    ``x4_hamming_topk``/``x4_binary_rerank`` — rotate (exact int64
+    Walsh-Hadamard, the same incoherence step as
+    ``x9_hadamard_rotation``), keep one sign bit per dim, and divide
+    by the per-vector corrective factor corr = Σ|x_rot|/(‖x‖√d) to
+    de-bias: cos_est = S1·‖x‖/(‖q‖·Σ|x_rot|). Reports mean corr
+    (≈ √(2/π) ≈ 0.798 for incoherent data — the theory's predicted
+    constant), mean |cos_est − cos_true|, and recall@10 of the
+    estimated ranking. All code-deciding arithmetic is exact
+    integers, so the report carries a full oracle
+    (operators/decomposition.py:rabitq_estimate_report)."""
+    from vectordb_migrator_spark.operators.decomposition import (
+        rabitq_estimate_report,
+    )
+
+    probe = _probe_vector(spark, sf_dir)
+    return rabitq_estimate_report(
+        _t(spark, sf_dir, "embeddings"), probe, d=64, k=10
+    )
