@@ -766,3 +766,54 @@ def test_p_chart_flags_only_the_broken_day(spark):
     # band must widen
     r0 = out[0]
     assert r0["ucl"] - r0["lcl"] > 0
+
+
+def test_holt_winters_backtest_matches_python_replica(spark):
+    import datetime
+    import math
+
+    from vectordb_migrator_spark.operators.timeseries import (
+        holt_winters_backtest,
+    )
+
+    # planted series consistent with the model: level 100, trend 2/day,
+    # weekly seasonal pattern summing to zero, 8 weeks long
+    seas = [5.0, -3.0, 2.0, -1.0, 4.0, -6.0, -1.0]
+    t0 = datetime.date(2026, 1, 5)
+    ys = [100.0 + 2.0 * t + seas[t % 7] for t in range(56)]
+    rows = [
+        ("a", t0 + datetime.timedelta(days=t), ys[t]) for t in range(56)
+    ] + [("short", t0, 1.0)]  # < 21 days -> dropped
+    daily = spark.createDataFrame(rows, "event_type string, day date, v double")
+    got = holt_winters_backtest(daily, group_cols=["event_type"]).collect()
+    assert [r["event_type"] for r in got] == ["a"]
+    r = got[0]
+    assert r["n_days"] == 56
+
+    # pure-Python replica of the exact recursion
+    l = sum(ys[:7]) / 7.0
+    b = (sum(ys[7:14]) / 7.0 - sum(ys[:7]) / 7.0) / 7.0
+    s = [y - sum(ys[:7]) / 7.0 for y in ys[:7]]
+    sae = sse = 0.0
+    n = len(ys)
+    for t in range(8, n + 1):
+        y = ys[t - 1]
+        s1 = s[0]
+        f = l + b + s1
+        l2 = 0.5 * (y - s1) + 0.5 * (l + b)
+        b2 = 0.25 * (l2 - l) + 0.75 * b
+        s = s[1:] + [0.25 * (y - l2) + 0.75 * s1]
+        if t > n - 7:
+            sae += abs(f - y)
+            sse += (f - y) * (f - y)
+        l, b = l2, b2
+    assert abs(r["mae"] - round(sae / 7.0, 6)) < 1e-9
+    assert abs(r["rmse"] - round(math.sqrt(sse / 7.0), 6)) < 1e-9
+    assert abs(r["level"] - round(l, 6)) < 1e-9
+    assert abs(r["trend"] - round(b, 6)) < 1e-9
+
+    # the model family fits the generator: trend heading toward the
+    # planted 2/day (beta=1/4 adapts slowly from the trend-biased
+    # seasonal init), final-week error below the seasonal amplitude
+    assert 1.0 < r["trend"] < 3.0
+    assert r["mae"] < 4.0

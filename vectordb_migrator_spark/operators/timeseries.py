@@ -1054,3 +1054,114 @@ def p_chart(
         F.round(ucl, 6).alias("ucl"),
         ((p > ucl) | (p < lcl)).alias("out_of_control"),
     ).orderBy("day")
+
+
+def holt_winters_backtest(
+    daily: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str = "v",
+    season: int = 7,
+    horizon: int = 7,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) one-step
+    backtest per series — the model tier above
+    :func:`seasonal_naive_backtest`: level + trend + a ``season``-slot
+    seasonal state, scored on each series' last ``horizon`` days.
+    Smoothing constants are fixed at α=1/2, β=γ=1/4 — exactly
+    binary-representable, so every recursion step is an IEEE op
+    sequence both engines replay bit-for-bit (the determinism trick
+    that lets a RECURSIVE model carry a full SQL oracle via a
+    recursive-CTE twin).
+
+    Init (standard): L₀ = mean of week 1, B₀ = (mean week 2 − mean
+    week 1)/7, Sᵢ = yᵢ − L₀. Update for t ≥ 8:
+
+        f_t = L + B + S_{t−7}                     (one-step forecast)
+        L'  = α(y_t − S_{t−7}) + (1−α)(L + B)
+        B'  = β(L' − L) + (1−β)B
+        S'  = γ(y_t − L') + (1−γ)S_{t−7}
+
+    Series shorter than 3 seasons are dropped (init needs 2, scoring
+    needs 1 more).
+
+    Scale shape: the corpus reduces to one pre-aggregated daily frame
+    (map-side combinable); each series folds to ONE array row and the
+    entire recursion runs inside a single ``F.aggregate`` expression —
+    no per-step jobs, no driver loop, series count is the only
+    parallelism dimension (exactly how a per-key forecast fleet
+    shards at 100 TB).
+
+    Returns per group: ``n_days, mae, rmse, level, trend``.
+    """
+    if season != 7 or horizon != 7:
+        # the SQL oracle twin hardcodes weekly shape; keep them honest
+        raise ValueError("holt_winters_backtest ships season=horizon=7")
+    gcols = list(group_cols)
+    arr = daily.groupBy(*gcols).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", value_col))),
+            lambda s: s[value_col],
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    n = F.size(ys)
+
+    def mean7(sl):
+        return (
+            F.aggregate(sl, F.lit(0.0), lambda a, x: a + x) / F.lit(7.0)
+        )
+
+    l0 = mean7(F.slice(ys, 1, 7))
+    b0 = (mean7(F.slice(ys, 8, 7)) - mean7(F.slice(ys, 1, 7))) / F.lit(
+        7.0
+    )
+    s0 = F.transform(F.slice(ys, 1, 7), lambda x: x - mean7(F.slice(ys, 1, 7)))
+    state0 = F.struct(
+        l0.alias("l"),
+        b0.alias("b"),
+        s0.alias("s"),
+        F.lit(0.0).alias("sae"),
+        F.lit(0.0).alias("sse"),
+    )
+
+    def upd(acc, t):
+        y = F.element_at(ys, t)
+        s1 = F.element_at(acc["s"], 1)
+        f = acc["l"] + acc["b"] + s1
+        l2 = F.lit(0.5) * (y - s1) + F.lit(0.5) * (acc["l"] + acc["b"])
+        b2 = F.lit(0.25) * (l2 - acc["l"]) + F.lit(0.75) * acc["b"]
+        snew = F.concat(
+            F.slice(acc["s"], 2, 6),
+            F.array(F.lit(0.25) * (y - l2) + F.lit(0.75) * s1),
+        )
+        scored = t > (n - F.lit(7))
+        err = f - y
+        return F.struct(
+            l2.alias("l"),
+            b2.alias("b"),
+            snew.alias("s"),
+            (
+                acc["sae"]
+                + F.when(scored, F.abs(err)).otherwise(F.lit(0.0))
+            ).alias("sae"),
+            (
+                acc["sse"] + F.when(scored, err * err).otherwise(F.lit(0.0))
+            ).alias("sse"),
+        )
+
+    fin = F.aggregate(
+        F.sequence(F.lit(8), n), state0, upd
+    )
+    return (
+        arr.filter(n >= 21)
+        .select(
+            *gcols,
+            n.cast("long").alias("n_days"),
+            F.round(fin["sae"] / F.lit(7.0), 6).alias("mae"),
+            F.round(F.sqrt(fin["sse"] / F.lit(7.0)), 6).alias("rmse"),
+            F.round(fin["l"], 6).alias("level"),
+            F.round(fin["b"], 6).alias("trend"),
+        )
+        .orderBy(*gcols)
+    )

@@ -634,3 +634,77 @@ def x9_rabitq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rabitq_estimate_report(
         _t(spark, sf_dir, "embeddings"), probe, d=64, k=10
     )
+
+
+@query(
+    "x13_holt_winters",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, ts::DATE AS day, round(sum(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type, list(v ORDER BY day) AS ys
+      FROM daily GROUP BY 1
+    ),
+    init AS (
+      SELECT event_type, ys, len(ys) AS n,
+             list_reduce(ys[1:7], (a, b) -> a + b) / 7.0 AS l0,
+             (list_reduce(ys[8:14], (a, b) -> a + b) / 7.0
+              - list_reduce(ys[1:7], (a, b) -> a + b) / 7.0) / 7.0 AS b0,
+             [y - list_reduce(ys[1:7], (a, b) -> a + b) / 7.0
+              for y in ys[1:7]] AS s0
+      FROM arr WHERE len(ys) >= 21
+    ),
+    rec AS (
+      SELECT event_type, ys, n, 8 AS t, l0 AS l, b0 AS b, s0 AS s,
+             0.0::DOUBLE AS sae, 0.0::DOUBLE AS sse
+      FROM init
+      UNION ALL
+      SELECT event_type, ys, n, t + 1,
+             0.5 * (ys[t] - s[1]) + 0.5 * (l + b),
+             0.25 * ((0.5 * (ys[t] - s[1]) + 0.5 * (l + b)) - l)
+               + 0.75 * b,
+             s[2:7] || [0.25 * (ys[t]
+                                - (0.5 * (ys[t] - s[1])
+                                   + 0.5 * (l + b)))
+                        + 0.75 * s[1]],
+             sae + CASE WHEN t > n - 7
+                        THEN abs((l + b + s[1]) - ys[t])
+                        ELSE 0.0 END,
+             sse + CASE WHEN t > n - 7
+                        THEN ((l + b + s[1]) - ys[t])
+                             * ((l + b + s[1]) - ys[t])
+                        ELSE 0.0 END
+      FROM rec WHERE t <= n
+    )
+    SELECT event_type, n::BIGINT AS n_days,
+           round(sae / 7.0, 6) AS mae,
+           round(sqrt(sse / 7.0), 6) AS rmse,
+           round(l, 6) AS level,
+           round(b, 6) AS trend
+    FROM rec WHERE t = n + 1 ORDER BY event_type
+    """,
+)
+def x13_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — additive Holt-Winters one-step backtest per event type
+    (round 9): the model tier above ``x13_forecast_backtest``'s
+    seasonal naive — level + trend + a 7-slot seasonal state, scored
+    on each series' final week. Smoothing constants α=1/2, β=γ=1/4
+    are exactly binary-representable, so the recursion is an IEEE op
+    sequence both engines replay identically — a RECURSIVE model
+    with a full value oracle (recursive-CTE twin). The corpus folds
+    to one daily frame, each series to ONE array row, and the whole
+    recursion runs inside a single F.aggregate expression — no
+    per-step jobs, no driver loop; series count is the parallelism
+    dimension (operators/timeseries.py:holt_winters_backtest)."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        holt_winters_backtest,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    return holt_winters_backtest(daily, group_cols=["event_type"])
