@@ -1236,3 +1236,40 @@ def test_poisson_bootstrap_ci_brackets_mean_and_clusters_units(spark):
     # rows share one weight) -> zero bootstrap variance
     assert r_clustered["boot_se"] == 0.0
     assert r_clustered["ci_lo"] == r_clustered["ci_hi"] == r_clustered["mean"]
+
+
+def test_x12_bucketed_join_query_shape_is_exchange_free(spark):
+    """The registry query's exact shape (16x16 buckets on the order
+    key, external-path tables, different column names joined with an
+    explicit predicate) must run the sort-merge join with NO Exchange
+    on either side, and the external path must hold the bytes."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="bkt_shape_")
+    o = spark.createDataFrame(
+        [(i, f"P{i % 5}") for i in range(400)], ["o_orderkey", "o_p"]
+    )
+    li = spark.createDataFrame(
+        [(i % 400, float(i)) for i in range(2000)],
+        ["l_orderkey", "l_price"],
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_shape_o")
+    spark.sql("DROP TABLE IF EXISTS bkt_shape_l")
+    write_bucketed(
+        o, "bkt_shape_o", bucket_cols="o_orderkey", num_buckets=16,
+        sort_cols=["o_orderkey"], path=base + "/o",
+    )
+    write_bucketed(
+        li, "bkt_shape_l", bucket_cols="l_orderkey", num_buckets=16,
+        sort_cols=["l_orderkey"], path=base + "/l",
+    )
+    assert os.listdir(base + "/o")  # bytes at the external path
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        ot = spark.table("bkt_shape_o")
+        lt = spark.table("bkt_shape_l")
+        j = lt.join(ot, lt["l_orderkey"] == ot["o_orderkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        agg = j.groupBy("o_p").agg(F.count("*").alias("n"))
+        assert sum(r["n"] for r in agg.collect()) == 2000

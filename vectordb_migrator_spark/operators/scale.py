@@ -121,6 +121,7 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` hash-bucketed by the given key(s) (and
     optionally sorted within buckets). Joins and aggregations between
@@ -136,6 +137,10 @@ def write_bucketed(
     )
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        # external table: bucket METADATA lives in the (in-memory)
+        # catalog, bytes at the caller's path — no warehouse-dir writes
+        w = w.option("path", path)
     w.saveAsTable(table_name)
 
 

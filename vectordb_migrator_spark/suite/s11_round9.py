@@ -708,3 +708,71 @@ def x13_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("value"), 6).alias("v"))
     )
     return holt_winters_backtest(daily, group_cols=["event_type"])
+
+
+@query(
+    "x12_bucketed_join",
+    """
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_lines,
+           round(sum((l.l_extendedprice * (1 - l.l_discount))
+                     ::DECIMAL(28,6))::DOUBLE, 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — the bucketed-layout amortization play, end to end as a
+    BENCH row (round 9): orders and lineitem are re-written
+    hash-bucketed by order key into co-located external tables (the
+    shuffle is paid ONCE, at write time), then joined bucket-to-bucket
+    — with both sides bucketed 16×16 on the join key, the sort-merge
+    join runs with NO Exchange on either side (plan-asserted in
+    tests/test_scale.py; broadcast disabled there to expose it). This
+    is the layout every 100 TB fact table joined repeatedly on the
+    same key should have; the timed row covers write + co-located
+    join + rollup so the bench sees the full amortization cost, not
+    just the cheap join. Result is the revenue rollup, value-checked
+    against a plain-join oracle (operators/scale.py:write_bucketed)."""
+    import tempfile
+
+    from vectordb_migrator_spark.operators.scale import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="bkt_r9_")
+    spark.sql("DROP TABLE IF EXISTS bkt_r9_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_r9_lineitem")
+    write_bucketed(
+        _t(spark, sf_dir, "orders"),
+        "bkt_r9_orders",
+        bucket_cols="o_orderkey",
+        num_buckets=16,
+        sort_cols=["o_orderkey"],
+        path=base + "/orders",
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem"),
+        "bkt_r9_lineitem",
+        bucket_cols="l_orderkey",
+        num_buckets=16,
+        sort_cols=["l_orderkey"],
+        path=base + "/lineitem",
+    )
+    o = spark.table("bkt_r9_orders")
+    li = spark.table("bkt_r9_lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1) - F.col("l_discount"))
+                    ).cast("decimal(28,6)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
