@@ -189,6 +189,15 @@ HEADLINE = [
     "c3_milvus_roundtrip_scale",
     "c4_pinecone_roundtrip_scale",
     "c5_qdrant_scan_partitioning",
+    # round-9 additions
+    "x7_poisson_bootstrap",
+    "x5_kneser_ney_ppl",
+    "x7_bradley_terry",
+    "x6_gif_decode",
+    "x4_soar_recall",
+    "x9_rabitq_estimate",
+    "x13_holt_winters",
+    "x12_bucketed_join",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",
