@@ -198,6 +198,7 @@ HEADLINE = [
     "x9_rabitq_estimate",
     "x13_holt_winters",
     "x12_bucketed_join",
+    "x7_mmd_two_sample",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",

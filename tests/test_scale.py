@@ -1273,3 +1273,55 @@ def test_x12_bucketed_join_query_shape_is_exchange_free(spark):
         assert "Exchange" not in plan
         agg = j.groupBy("o_p").agg(F.count("*").alias("n"))
         assert sum(r["n"] for r in agg.collect()) == 2000
+
+
+def test_mmd_two_sample_separates_mean_and_covariance_drift(spark):
+    from vectordb_migrator_spark.operators.scale import mmd_two_sample
+
+    d = 64
+    ones = [1.0] * d
+    alt = [1.0 if i % 2 == 0 else -1.0 for i in range(d)]
+
+    # identical populations -> exactly zero
+    rows = [(i, ones if i % 2 == 0 else [-x for x in ones], i % 2)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, grp int"
+    )
+    r0 = mmd_two_sample(
+        df, group_expr=(F.col("vec_id") % 4 < 2), d=d
+    ).first()
+    # both groups contain the same multiset {+ones, -ones} -> moments
+    # equal -> mmd2 exactly 0
+    assert r0["mmd2"] == 0.0
+
+    # same MEANS (both zero), different CORRELATION structure:
+    # group a = +-ones (S = all-ones matrix), group b = +-alt
+    # (S = checkerboard). The mean term must stay 0; the Frobenius
+    # term = sum over the 2048 sign-flipped entries of (1-(-1))^2 / d^2 = 2.
+    rows2 = (
+        [(i, ones if i % 2 == 0 else [-x for x in ones], 0)
+         for i in range(40)]
+        + [(100 + i, alt if i % 2 == 0 else [-x for x in alt], 1)
+           for i in range(40)]
+    )
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, grp int"
+    )
+    r1 = mmd_two_sample(df2, group_expr=(F.col("grp") == 0), d=d).first()
+    assert r1["n_a"] == 40 and r1["n_b"] == 40
+    assert r1["mean_term"] == 0.0
+    assert abs(r1["cov_term"] - 2.0) < 1e-9
+    assert abs(r1["mmd2"] - 2.0) < 1e-9
+
+    # pure mean shift: b = a + 0.5*ones -> mean term 2*d*(0.5^2)/d = 0.5
+    rows3 = (
+        [(i, [0.0] * d, 0) for i in range(40)]
+        + [(100 + i, [0.5] * d, 1) for i in range(40)]
+    )
+    df3 = spark.createDataFrame(
+        rows3, "vec_id long, embedding array<float>, grp int"
+    )
+    r2 = mmd_two_sample(df3, group_expr=(F.col("grp") == 0), d=d).first()
+    assert abs(r2["mean_term"] - 0.5) < 1e-9
+    assert r2["mean_term"] > r2["cov_term"] - 1e-9

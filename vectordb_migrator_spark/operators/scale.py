@@ -2028,3 +2028,125 @@ def poisson_bootstrap_ci(
             F.round(F.max("__m"), 6).alias("ci_hi"),
         )
     )
+
+
+def mmd_two_sample(
+    df: DataFrame,
+    *,
+    group_expr,
+    vec_col: str = "embedding",
+    d: int = 64,
+) -> DataFrame:
+    """Kernel two-sample test statistic (MMD², Gretton et al. 2012)
+    between the two vector populations split by boolean
+    ``group_expr``, for the QUADRATIC kernel k(x,y) = (1 + ⟨x,y⟩/d)²
+    — the kernel choice that makes the O(n²)-pair statistic collapse
+    to a CLOSED FORM over first and second moments:
+
+        MMD²  =  2·‖μ_A − μ_B‖²/d  +  ‖S_A − S_B‖²_F / d²
+
+    (μ = mean vector, S = E[xxᵀ] second-moment matrix; the V-statistic
+    over the expanded kernel telescopes — means catch location drift,
+    the Frobenius term catches covariance/shape drift that
+    ``x9_embedding_drift``-style mean-only monitors miss).
+
+    Scale shape: ONE corpus scan emits (group, i, partial-μ) and
+    (group, i·d+j, partial-S) exact-decimal partials with map-side
+    combine; everything after is arithmetic on 2·(d + d²) model rows.
+    No pairwise joins, no sampling — the exact statistic at any
+    corpus size, which is the entire point of choosing a polynomial
+    kernel at 100 TB.
+
+    Returns one row: ``n_a, n_b, mean_term, cov_term, mmd2``.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.when(group_expr, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        v.alias("__v"),
+    )
+    mu = (
+        base.select("g", F.posexplode("__v").alias("i", "x"))
+        .groupBy("g", "i")
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "g",
+            "i",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "m"
+            ),
+            "n",
+        )
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("__v"),
+            lambda xi, i: F.transform(
+                F.col("__v"),
+                lambda xj, j: F.struct(
+                    (i * F.lit(d) + j).alias("ij"),
+                    (xi * xj).alias("p"),
+                ),
+            ),
+        )
+    )
+    smom = (
+        base.select("g", F.explode(pairs).alias("e"))
+        .select("g", F.col("e.ij").alias("ij"), F.col("e.p").alias("p"))
+        .groupBy("g", "ij")
+        .agg(
+            F.sum(F.col("p").cast("decimal(28,12)")).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "g",
+            "ij",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "sm"
+            ),
+        )
+    )
+    mua = mu.filter(F.col("g") == "a").select(
+        "i", F.col("m").alias("ma"), F.col("n").alias("na")
+    )
+    mub = mu.filter(F.col("g") == "b").select(
+        "i", F.col("m").alias("mb"), F.col("n").alias("nb")
+    )
+    mean_term = (
+        mua.join(mub, "i")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            (
+                F.lit(2.0)
+                * F.sum(
+                    (F.col("ma") - F.col("mb"))
+                    * (F.col("ma") - F.col("mb"))
+                )
+                / F.lit(float(d))
+            ).alias("mean_term"),
+        )
+    )
+    sa = smom.filter(F.col("g") == "a").select(
+        "ij", F.col("sm").alias("sa")
+    )
+    sb = smom.filter(F.col("g") == "b").select(
+        "ij", F.col("sm").alias("sb")
+    )
+    cov_term = sa.join(sb, "ij").agg(
+        (
+            F.sum(
+                (F.col("sa") - F.col("sb")) * (F.col("sa") - F.col("sb"))
+            )
+            / F.lit(float(d) * d)
+        ).alias("cov_term")
+    )
+    return mean_term.crossJoin(cov_term).select(
+        "n_a",
+        "n_b",
+        F.round("mean_term", 9).alias("mean_term"),
+        F.round("cov_term", 9).alias("cov_term"),
+        F.round(F.col("mean_term") + F.col("cov_term"), 9).alias("mmd2"),
+    )

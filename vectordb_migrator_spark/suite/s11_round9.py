@@ -776,3 +776,62 @@ def x12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "x7_mmd_two_sample",
+    """
+    WITH base AS (
+      SELECT CASE WHEN label = 0 THEN 'a' ELSE 'b' END AS g,
+             embedding::DOUBLE[] AS v
+      FROM embeddings
+    ),
+    mu AS (
+      SELECT g, i,
+             sum(v[i]::DECIMAL(28,12))::DOUBLE / count(*)::DOUBLE AS m,
+             count(*)::BIGINT AS n
+      FROM base, range(1, 65) t(i) GROUP BY g, i
+    ),
+    smom AS (
+      SELECT g, (i - 1) * 64 + (j - 1) AS ij,
+             sum((v[i] * v[j])::DECIMAL(28,12))::DOUBLE
+               / count(*)::DOUBLE AS sm
+      FROM base, range(1, 65) ti(i), range(1, 65) tj(j)
+      GROUP BY 1, 2
+    ),
+    mt AS (
+      SELECT max(a.n) AS n_a, max(b.n) AS n_b,
+             2.0 * sum((a.m - b.m) * (a.m - b.m)) / 64.0 AS mean_term
+      FROM (SELECT * FROM mu WHERE g = 'a') a
+      JOIN (SELECT * FROM mu WHERE g = 'b') b USING (i)
+    ),
+    ct AS (
+      SELECT sum((a.sm - b.sm) * (a.sm - b.sm)) / 4096.0 AS cov_term
+      FROM (SELECT * FROM smom WHERE g = 'a') a
+      JOIN (SELECT * FROM smom WHERE g = 'b') b USING (ij)
+    )
+    SELECT n_a, n_b,
+           round(mean_term, 9) AS mean_term,
+           round(cov_term, 9) AS cov_term,
+           round(mean_term + cov_term, 9) AS mmd2
+    FROM mt, ct
+    """,
+)
+def x7_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — kernel two-sample test (MMD², Gretton et al. 2012)
+    between label-0 and other embeddings under the QUADRATIC kernel
+    (round 9): the kernel choice makes the O(n²)-pair statistic
+    collapse to a closed form over first/second moments —
+    MMD² = 2‖μA−μB‖²/d + ‖SA−SB‖²_F/d² — so ONE exact-decimal
+    moment scan (map-side combinable to 2·(d+d²) model rows) computes
+    the exact statistic at any corpus size: location drift in the
+    mean term, covariance/shape drift in the Frobenius term that
+    mean-only embedding monitors miss. Full oracle
+    (operators/scale.py:mmd_two_sample)."""
+    from vectordb_migrator_spark.operators.scale import mmd_two_sample
+
+    return mmd_two_sample(
+        _t(spark, sf_dir, "embeddings"),
+        group_expr=(F.col("label") == 0),
+        d=64,
+    )
