@@ -33,8 +33,23 @@ FOOT = (
         f"`{a}` ↔ `{b}`" + ("," if i < len(TWINS) - 1 else ".")
         for i, (a, b) in enumerate(TWINS.items())
     )
-    + "\nEvery remaining † query is backed by a differential or runtime\n"
-    "test in `tests/` (NumPy/pure-Python replicas, plan locks)."
+    + "\nThe other nine are rows-only for a specific, named reason —\n"
+    "each is float-ITERATIVE or wraps a Spark-internal sketch whose\n"
+    "bit layout SQL cannot replay — and each carries a NumPy/pure-\n"
+    "Python differential or invariant test instead:\n"
+    "`x4_brp_approx_join`/`x4_kmeans_ivf` (MLlib BRP-LSH internal\n"
+    "hash; float Lloyd iterations — the ENGINE-EXACT fixed-point\n"
+    "Lloyd twin `x9_pq_learned_error` IS fully oracled),\n"
+    "`x7_approx_distinct`/`x7_audience_overlap`/`x7_hll_daily_merge`\n"
+    "(HyperLogLog++ register layout internal to Spark; the mergeable\n"
+    "distinct-count surface is fully oracled via `x7_kmv_distinct`),\n"
+    "`x7_approx_percentile` (Greenwald-Khanna internal summary; exact\n"
+    "quantiles fully oracled via `x7_group_quantiles`/\n"
+    "`x7_weighted_quantiles`), `x9_pca_evr`/`x9_whitening_check`/\n"
+    "`x9_opq_rotation_error` (LAPACK eigen/SVD — iterative float\n"
+    "linear algebra with sign/rotation gauge freedom; invariants\n"
+    "(EVR sums to 1, whitened covariance ≈ I, rotation orthogonality)\n"
+    "are asserted in tests instead)."
 )
 
 
