@@ -127,6 +127,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "x2_oph_estimate",
     "x7_gini",
     "x8_sliding_window_batch",
+    # 10 NEW round-9 queries (gate-verified this round: plan lint +
+    # sf0.01 oracle + sf0.1 smoke + plain-session parity) — fresh
+    # driver evidence next
+    "x7_poisson_bootstrap",
+    "x5_kneser_ney_ppl",
+    "x7_bradley_terry",
+    "x6_gif_decode",
+    "x4_soar_recall",
+    "x9_rabitq_estimate",
+    "x13_holt_winters",
+    "x12_bucketed_join",
+    "x7_mmd_two_sample",
     # 10 judge-oracle-sampled MATCH in the r8 verdict (evidence recorded)
     "x0_fim_transform",
     "x10_uncertainty_sample",
