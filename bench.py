@@ -199,6 +199,7 @@ HEADLINE = [
     "x13_holt_winters",
     "x12_bucketed_join",
     "x7_mmd_two_sample",
+    "x0_dpo_pairs",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectordb_migrator_spark.suite._shared import (
+    ORACLES,
     _PROBE_SQL,
     _probe_vector,
     _t,
@@ -835,3 +836,102 @@ def x7_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_expr=(F.col("label") == 0),
         d=64,
     )
+
+
+def _dpo_pairs_sql() -> str:
+    from vectordb_migrator_spark.suite.s05_text import _LANG_SCORE_SQL
+
+    stop_r = (
+        f"round({_LANG_SCORE_SQL['en']}::DOUBLE / "
+        r"len(string_split_regex(lower(trim(text)), '\s+'))::DOUBLE, 6)"
+    )
+    punct_r = (
+        "round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+        "::DOUBLE / length(text)::DOUBLE, 6)"
+    )
+    return f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             round({stop_r} - {punct_r}, 6) AS qs
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, qs,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY qs DESC, doc_id) AS rb,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY qs ASC, doc_id DESC) AS rw,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM q
+    )
+    SELECT b.lang AS lang, b.rb::BIGINT AS pair_rank,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           round(b.qs - w.qs, 6) AS margin
+    FROM r b JOIN r w ON b.lang = w.lang AND b.rb = w.rw
+    WHERE b.rb <= least(50, b.n // 2)
+    ORDER BY b.lang, pair_rank
+    """
+
+
+@query("x0_dpo_pairs", None)  # oracle attached below (computed string)
+def x0_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — max-margin preference-pair construction for DPO/reward-
+    model tuning (round 9): within each language stratum, the i-th
+    BEST document by a deterministic quality key (stopword ratio
+    minus punctuation ratio — the corpus's cheap fluency proxy) is
+    paired with the i-th WORST, up to min(50, n/2) pairs — the
+    standard widest-margin pairing that makes preference labels least
+    ambiguous. Emits (chosen, rejected, margin); downstream tuning
+    consumes exactly this shape, and ``x7_bradley_terry`` is the
+    model that would re-fit strengths from such pairs. Two window
+    ranks + one self-join on (lang, rank) — all on (id, score) rows,
+    payloads never shuffle. Full oracle."""
+    from vectordb_migrator_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+    )
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.round(stopword_ratio("text"), 6)
+            - F.round(punct_ratio("text"), 6),
+            6,
+        ).alias("qs"),
+    )
+    rb = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.desc("qs"), "doc_id")
+    )
+    rw = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.asc("qs"), F.desc("doc_id"))
+    )
+    n = F.count(F.lit(1)).over(W.partitionBy("lang"))
+    r = q.select("doc_id", "lang", "qs", rb.alias("rb"), rw.alias("rw"),
+                 n.alias("n"))
+    b = r.alias("b")
+    w = r.alias("w")
+    return (
+        b.join(
+            w,
+            (F.col("b.lang") == F.col("w.lang"))
+            & (F.col("b.rb") == F.col("w.rw")),
+        )
+        .filter(
+            F.col("b.rb")
+            <= F.least(F.lit(50), F.floor(F.col("b.n") / 2))
+        )
+        .select(
+            F.col("b.lang").alias("lang"),
+            F.col("b.rb").cast("long").alias("pair_rank"),
+            F.col("b.doc_id").alias("chosen_id"),
+            F.col("w.doc_id").alias("rejected_id"),
+            F.round(F.col("b.qs") - F.col("w.qs"), 6).alias("margin"),
+        )
+        .orderBy("lang", "pair_rank")
+    )
+
+
+ORACLES["x0_dpo_pairs"] = _dpo_pairs_sql()
