@@ -2059,10 +2059,17 @@ def mmd_two_sample(
 
     Returns one row: ``n_a, n_b, mean_term, cov_term, mmd2``.
     """
+    from vectordb_migrator_spark.operators.util import fan_out
+
     v = F.col(vec_col).cast("array<double>")
-    base = df.select(
-        F.when(group_expr, F.lit("a")).otherwise(F.lit("b")).alias("g"),
-        v.alias("__v"),
+    # the pair expansion is d(d+1)/2 cells per row — CPU-heavy enough
+    # that a single-file local scan must fan out first (no-op on a
+    # partition-parallel cluster scan)
+    base = fan_out(
+        df.select(
+            F.when(group_expr, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+            v.alias("__v"),
+        )
     )
     mu = (
         base.select("g", F.posexplode("__v").alias("i", "x"))
@@ -2080,13 +2087,16 @@ def mmd_two_sample(
             "n",
         )
     )
+    # S is symmetric: build only the upper triangle (d(d+1)/2 cells
+    # instead of d²) and weight off-diagonal cells 2× in the Frobenius
+    # fold — halves the explode width AND the aggregate state
     pairs = F.flatten(
         F.transform(
             F.col("__v"),
             lambda xi, i: F.transform(
-                F.col("__v"),
-                lambda xj, j: F.struct(
-                    (i * F.lit(d) + j).alias("ij"),
+                F.slice(F.col("__v"), i + 1, F.lit(d) - i),
+                lambda xj, jo: F.struct(
+                    (i * F.lit(d) + i + jo).alias("ij"),
                     (xi * xj).alias("p"),
                 ),
             ),
@@ -2135,10 +2145,16 @@ def mmd_two_sample(
     sb = smom.filter(F.col("g") == "b").select(
         "ij", F.col("sm").alias("sb")
     )
+    wgt = F.when(
+        (F.col("ij") % F.lit(d)) == F.floor(F.col("ij") / F.lit(d)),
+        F.lit(1.0),
+    ).otherwise(F.lit(2.0))
     cov_term = sa.join(sb, "ij").agg(
         (
             F.sum(
-                (F.col("sa") - F.col("sb")) * (F.col("sa") - F.col("sb"))
+                wgt
+                * (F.col("sa") - F.col("sb"))
+                * (F.col("sa") - F.col("sb"))
             )
             / F.lit(float(d) * d)
         ).alias("cov_term")

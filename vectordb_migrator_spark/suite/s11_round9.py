@@ -798,6 +798,7 @@ def x12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum((v[i] * v[j])::DECIMAL(28,12))::DOUBLE
                / count(*)::DOUBLE AS sm
       FROM base, range(1, 65) ti(i), range(1, 65) tj(j)
+      WHERE j >= i
       GROUP BY 1, 2
     ),
     mt AS (
@@ -807,7 +808,8 @@ def x12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN (SELECT * FROM mu WHERE g = 'b') b USING (i)
     ),
     ct AS (
-      SELECT sum((a.sm - b.sm) * (a.sm - b.sm)) / 4096.0 AS cov_term
+      SELECT sum((CASE WHEN ij % 64 = ij // 64 THEN 1.0 ELSE 2.0 END)
+                 * (a.sm - b.sm) * (a.sm - b.sm)) / 4096.0 AS cov_term
       FROM (SELECT * FROM smom WHERE g = 'a') a
       JOIN (SELECT * FROM smom WHERE g = 'b') b USING (ij)
     )
