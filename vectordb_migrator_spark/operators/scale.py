@@ -1959,13 +1959,18 @@ def poisson_bootstrap_ci(
     for k, c in enumerate(_POISSON1_CDF[1:], start=1):
         w = w.when(u < F.lit(c), F.lit(k))
     w = w.otherwise(F.lit(len(_POISSON1_CDF))).cast("long")
+    from vectordb_migrator_spark.operators.util import fan_out
+
     rep = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(
-            *gcols,
-            F.col(unit_col).alias("__unit"),
-            F.col(value_col).alias("__v"),
+        fan_out(
+            df.filter(F.col(value_col).isNotNull()).select(
+                *gcols,
+                F.col(unit_col).alias("__unit"),
+                F.col(value_col).alias("__v"),
+            )
         )
+        # the xB explode and the per-row md5 coins are CPU-bound —
+        # fan out a single-file local scan first (cluster no-op)
         .withColumn(
             "__r", F.explode(F.sequence(F.lit(0), F.lit(replicates - 1)))
         )
