@@ -200,6 +200,7 @@ HEADLINE = [
     "x12_bucketed_join",
     "x7_mmd_two_sample",
     "x0_dpo_pairs",
+    "x6_tar_shards",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",

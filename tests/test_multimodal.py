@@ -713,3 +713,64 @@ def test_gif_decode_features_roundtrip_and_corruption(spark):
 
     for bad in (2, 3):
         assert got[bad]["width"] is None and got[bad]["idx_sum"] is None
+
+
+def test_tar_codec_interop_with_system_tar(tmp_path):
+    import subprocess
+
+    from vectordb_migrator_spark.operators.multimodal import tar_encode
+
+    # our writer -> system tar reads it
+    b = tar_encode(
+        [("docs/a.txt", b"hello world"), ("docs/b.bin", bytes(range(256)) * 3)]
+    )
+    p = tmp_path / "ours.tar"
+    p.write_bytes(b)
+    out = subprocess.run(
+        ["tar", "-tvf", str(p)], capture_output=True, text=True
+    )
+    assert out.returncode == 0
+    assert "docs/a.txt" in out.stdout and "docs/b.bin" in out.stdout
+    assert " 11 " in out.stdout and " 768 " in out.stdout
+
+
+def test_tar_walker_reads_system_tar_and_flags_corruption(spark, tmp_path):
+    import hashlib
+    import subprocess
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        tar_members_features,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "one.txt").write_bytes(b"alpha beta")
+    (d / "two.txt").write_bytes(b"g" * 1000)
+    tarp = tmp_path / "sys.tar"
+    subprocess.run(
+        ["tar", "--format=ustar", "-cf", str(tarp), "-C", str(tmp_path),
+         "src"],
+        check=True,
+    )
+    good = tarp.read_bytes()
+    # corrupt a header byte inside the SECOND member's checksum region
+    bad = bytearray(good)
+    bad[512 * 1 + 0] ^= 0xFF  # flip first byte of a later header block
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bad)],
+        "shard_id long, payload binary",
+    )
+    rows = tar_members_features(df).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    ok = {r["member_name"]: r for r in by_shard[1]}
+    assert ok["src/one.txt"]["size"] == 10
+    assert ok["src/one.txt"]["content_md5"] == hashlib.md5(
+        b"alpha beta"
+    ).hexdigest()
+    assert all(r["checksum_ok"] for r in by_shard[1])
+    # the corrupted shard: some member flags checksum_ok == False
+    # (or parses fewer members) — never a silent pass
+    flags = [r["checksum_ok"] for r in by_shard[2]]
+    assert (False in flags) or len(by_shard[2]) < len(by_shard[1])

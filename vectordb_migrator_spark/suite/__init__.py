@@ -140,6 +140,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_bucketed_join",
     "x7_mmd_two_sample",
     "x0_dpo_pairs",
+    "x6_tar_shards",
     # 10 judge-oracle-sampled MATCH in the r8 verdict (evidence recorded)
     "x0_fim_transform",
     "x10_uncertainty_sample",

@@ -937,3 +937,74 @@ def x0_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["x0_dpo_pairs"] = _dpo_pairs_sql()
+
+
+@query(
+    "x6_tar_shards",
+    """
+    SELECT min(doc_id)::BIGINT AS shard_id,
+           count(*)::BIGINT AS n_members,
+           sum(strlen(text))::BIGINT AS total_bytes,
+           count(DISTINCT md5(text))::BIGINT AS n_distinct_md5,
+           true AS checksums_ok,
+           min(lpad(doc_id::VARCHAR, 10, '0') || '.txt') AS first_member,
+           max(lpad(doc_id::VARCHAR, 10, '0') || '.txt') AS last_member
+    FROM documents GROUP BY source ORDER BY shard_id
+    """,
+)
+def x6_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — WebDataset-style tar shards, built AND walked with a real
+    ustar codec (round 9): 100 TB training corpora ship as tar shards
+    of sample files, so the container tier gets the same real-bytes
+    treatment as the image decoders. One shard per source is packed
+    by an ``applyInPandas`` group build (members doc-id-ordered,
+    POSIX ustar headers with real checksums — system ``tar`` lists
+    the output, and the walker parses system-tar archives, both
+    pinned in tests), then ``tar_members_features`` walks headers,
+    VERIFIES every header checksum, and md5-fingerprints member
+    payloads. The oracle recomputes member counts/byte totals/
+    fingerprint cardinality straight from the documents table, and
+    ``checksums_ok`` must come back literally true — a single header
+    byte off fails the row. Shards parallelize embarrassingly —
+    exactly how a WebDataset loader fleet scales
+    (operators/multimodal.py:tar_encode/tar_members_features)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        tar_members_features,
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        from vectordb_migrator_spark.operators.multimodal import tar_encode
+
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"{int(d):010d}.txt", str(t).encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["doc_id"].min())],
+                "payload": [bytearray(tar_encode(members))],
+            }
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    shards = docs.groupBy("source").applyInPandas(
+        build, schema="shard_id long, payload binary"
+    )
+    members = tar_members_features(shards)
+    return (
+        members.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("size").cast("long").alias("total_bytes"),
+            F.countDistinct("content_md5").cast("long").alias(
+                "n_distinct_md5"
+            ),
+            F.min("checksum_ok").alias("checksums_ok"),
+            F.min("member_name").alias("first_member"),
+            F.max("member_name").alias("last_member"),
+        )
+        .orderBy("shard_id")
+    )
