@@ -201,6 +201,7 @@ HEADLINE = [
     "x7_mmd_two_sample",
     "x0_dpo_pairs",
     "x6_tar_shards",
+    "x7_conformal_interval",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",

@@ -1325,3 +1325,42 @@ def test_mmd_two_sample_separates_mean_and_covariance_drift(spark):
     r2 = mmd_two_sample(df3, group_expr=(F.col("grp") == 0), d=d).first()
     assert abs(r2["mean_term"] - 0.5) < 1e-9
     assert r2["mean_term"] > r2["cov_term"] - 1e-9
+
+
+def test_split_conformal_matches_python_replica_and_covers(spark):
+    import hashlib
+    import math
+
+    from vectordb_migrator_spark.operators.scale import (
+        split_conformal_report,
+    )
+
+    rows = [(u, float(50 + (u * 37) % 100) + (u % 13) * 0.25)
+            for u in range(3000)]
+    df = spark.createDataFrame(rows, "u long, v double")
+    r = split_conformal_report(
+        df, "v", unit_col="u", alpha=0.1, seed=7
+    ).first()
+
+    # pure-Python replica of the exact md5-split + quantile rule
+    def split(u):
+        h = int(hashlib.md5(f"{u}:conf:7".encode()).hexdigest()[:8], 16)
+        x = (h + 0.5) / 4294967296.0
+        return "train" if x < 0.4 else ("cal" if x < 0.7 else "test")
+
+    tr = [v for u, v in rows if split(u) == "train"]
+    ca = [v for u, v in rows if split(u) == "cal"]
+    te = [v for u, v in rows if split(u) == "test"]
+    mu = sum(tr) / len(tr)
+    res = sorted(abs(v - mu) for v in ca)
+    k = math.ceil((len(ca) + 1) * 0.9)
+    q = res[k - 1]
+    cov = sum(1 for v in te if abs(v - mu) <= q) / len(te)
+    assert r["n_train"] == len(tr)
+    assert r["n_cal"] == len(ca)
+    assert r["n_test"] == len(te)
+    assert abs(r["qhat"] - round(q, 6)) < 1e-9
+    assert abs(r["coverage"] - round(cov, 6)) < 1e-9
+    assert abs(r["avg_width"] - round(2 * q, 6)) < 1e-9
+    # the finite-sample guarantee holds empirically
+    assert r["coverage"] >= 0.9 - 0.03

@@ -1008,3 +1008,80 @@ def x6_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@query(
+    "x7_conformal_interval",
+    """
+    WITH base AS (
+      SELECT event_type, value::DOUBLE AS y,
+             CASE WHEN u < 0.4 THEN 'train'
+                  WHEN u < 0.7 THEN 'cal'
+                  ELSE 'test' END AS s
+      FROM (
+        SELECT event_type, value,
+               (CAST(CONCAT('0x', substr(md5(user_id::VARCHAR
+                                            || ':conf:7'), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0 AS u
+        FROM events WHERE value IS NOT NULL)
+    ),
+    mu AS (
+      SELECT event_type,
+             sum(y::DECIMAL(28,6))::DOUBLE / count(*)::DOUBLE AS mu,
+             count(*)::BIGINT AS n_train
+      FROM base WHERE s = 'train' GROUP BY 1
+    ),
+    resid AS (
+      SELECT b.event_type, b.s, m.n_train, abs(b.y - m.mu) AS r
+      FROM base b JOIN mu m USING (event_type)
+    ),
+    cal AS (
+      SELECT event_type, n_train, r,
+             row_number() OVER (PARTITION BY event_type ORDER BY r)
+               AS k,
+             count(*) OVER (PARTITION BY event_type) AS n_cal
+      FROM resid WHERE s = 'cal'
+    ),
+    q AS (
+      SELECT event_type, n_train, n_cal::BIGINT AS n_cal, r AS q
+      FROM cal WHERE k = ceil((n_cal + 1) * 0.9)
+    ),
+    t AS (SELECT event_type, r FROM resid WHERE s = 'test')
+    SELECT q.event_type,
+           max(q.n_train)::BIGINT AS n_train,
+           max(q.n_cal)::BIGINT AS n_cal,
+           count(*)::BIGINT AS n_test,
+           round(max(q.q), 6) AS qhat,
+           round(sum(CASE WHEN t.r <= q.q THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS coverage,
+           round(2.0 * max(q.q), 6) AS avg_width
+    FROM t JOIN q USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x7_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — split conformal prediction interval per event type (round
+    9; Vovk / Lei et al. 2018): the distribution-free coverage
+    wrapper serving pipelines put around ANY point predictor — fit on
+    a train split, q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest absolute
+    calibration residual, and ±q̂ covers fresh points with
+    probability ≥ 1−α regardless of the data distribution. Splits
+    are md5 coins on user_id (train/cal/test 40/30/30), the
+    predictor is the train-split mean (the wrapper is the operator,
+    not the model), and the report certifies coverage empirically on
+    the held-out test split — expect ≈ 0.9 at α = 0.1. The only sort
+    is per-group over CALIBRATION rows (never the corpus); coverage
+    is a map-side fold. Full oracle
+    (operators/scale.py:split_conformal_report)."""
+    from vectordb_migrator_spark.operators.scale import (
+        split_conformal_report,
+    )
+
+    return split_conformal_report(
+        _t(spark, sf_dir, "events"),
+        "value",
+        unit_col="user_id",
+        group_cols=["event_type"],
+        alpha=0.1,
+        seed=7,
+    )
