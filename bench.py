@@ -202,6 +202,7 @@ HEADLINE = [
     "x0_dpo_pairs",
     "x6_tar_shards",
     "x7_conformal_interval",
+    "x6_zip_shards",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",

@@ -774,3 +774,50 @@ def test_tar_walker_reads_system_tar_and_flags_corruption(spark, tmp_path):
     # (or parses fewer members) — never a silent pass
     flags = [r["checksum_ok"] for r in by_shard[2]]
     assert (False in flags) or len(by_shard[2]) < len(by_shard[1])
+
+
+def test_zip_codec_interop_with_stdlib_zipfile(spark):
+    import io
+    import zipfile
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        zip_encode,
+        zip_members_features,
+    )
+
+    # our writer -> stdlib zipfile validates (testzip checks CRCs)
+    b = zip_encode(
+        [("a.txt", b"hello world" * 10), ("b.bin", bytes(range(256)))],
+        compress=lambda n, p: n.endswith(".txt"),
+    )
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    assert zf.namelist() == ["a.txt", "b.bin"]
+    assert zf.read("a.txt") == b"hello world" * 10
+    assert zf.read("b.bin") == bytes(range(256))
+    assert zf.testzip() is None
+    assert [zf.getinfo(n).compress_type for n in zf.namelist()] == [8, 0]
+
+    # stdlib writer -> our walker reads and CRC-verifies it; a flipped
+    # byte inside a deflate stream must flag, never pass silently
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        out.writestr("x/one.txt", b"alpha beta", zipfile.ZIP_DEFLATED)
+        out.writestr("x/two.bin", b"g" * 1000, zipfile.ZIP_STORED)
+    good = buf.getvalue()
+    bad = bytearray(good)
+    # corrupt one byte of the stored member's payload region
+    bad[good.find(b"g" * 10) + 3] ^= 0xFF
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bad)],
+        "shard_id long, payload binary",
+    )
+    rows = zip_members_features(df).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    ok = {r["member_name"]: r for r in by_shard[1]}
+    assert ok["x/one.txt"]["method"] == 8 and ok["x/one.txt"]["size"] == 10
+    assert ok["x/two.bin"]["method"] == 0 and ok["x/two.bin"]["size"] == 1000
+    assert all(r["crc_ok"] for r in by_shard[1])
+    flags = [r["crc_ok"] for r in by_shard[2]]
+    assert False in flags or None in flags

@@ -1358,3 +1358,160 @@ def tar_members_features(
         "content_md5 string, checksum_ok boolean"
     )
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+# ------------------------------------------------------------------- ZIP
+# Minimal REAL ZIP writer/walker (PKWARE APPNOTE): local file headers,
+# raw-deflate (wbits=-15) or stored members, CRC-32 verify, central
+# directory + EOCD. The compressed-container sibling of the tar tier.
+
+
+def zip_encode(members: list, *, compress=None) -> bytes:
+    """Minimal REAL ZIP archive for fixtures and demos: ``members`` is
+    ``(name, payload_bytes)``; ``compress`` (default: deflate) may be
+    a callable ``name, payload -> bool`` choosing deflate vs stored
+    per member. Real CRC-32s, raw-deflate streams, a correct central
+    directory — stdlib ``zipfile`` opens the output (pinned in
+    tests)."""
+    import struct
+    import zlib
+
+    out = bytearray()
+    central = bytearray()
+    offsets = []
+    for name, payload in members:
+        nb = name.encode()
+        want = True if compress is None else bool(compress(name, payload))
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        if want:
+            co = zlib.compressobj(level=6, wbits=-15)
+            data = co.compress(payload) + co.flush()
+            method = 8
+        else:
+            data = payload
+            method = 0
+        offsets.append(len(out))
+        out += struct.pack(
+            "<IHHHHHIIIHH",
+            0x04034B50, 20, 0, method, 0, 0x21,
+            crc, len(data), len(payload), len(nb), 0,
+        )
+        out += nb + data
+    cd_start = len(out)
+    for (name, payload), off in zip(members, offsets):
+        nb = name.encode()
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        # re-derive method/data length from the local header we wrote
+        method = struct.unpack_from("<H", out, off + 8)[0]
+        dlen = struct.unpack_from("<I", out, off + 18)[0]
+        central += struct.pack(
+            "<IHHHHHHIIIHHHHHII",
+            0x02014B50, 20, 20, 0, method, 0, 0x21,
+            crc, dlen, len(payload), len(nb), 0, 0, 0, 0, 0, off,
+        )
+        central += nb
+    out += central
+    out += struct.pack(
+        "<IHHHHIIH",
+        0x06054B50, 0, 0, len(members), len(members),
+        len(central), cd_start, 0,
+    )
+    return bytes(out)
+
+
+def zip_members_features(
+    df: DataFrame,
+    *,
+    id_col: str = "shard_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL ZIP walk (round 9) — the COMPRESSED-container sibling of
+    :func:`tar_members_features`: locate the end-of-central-directory
+    record from the tail, walk the central directory (the authoritative
+    member index — the reason ZIP supports listing without scanning
+    bytes), read each local header, inflate raw-deflate members with
+    stdlib zlib (stored members pass through), and VERIFY the CRC-32
+    and declared sizes against the decompressed bytes. Malformed
+    archives yield NULL rows — never a misparse.
+
+    One row per member: ``(shard_id, member_name, method, size,
+    comp_size, content_md5, crc_ok)``. Same Arrow-batched
+    ``mapInPandas`` shape as the tar walker; shard bytes never leave
+    the executor."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf[id_col], pdf[payload_col]):
+                sid = int(sid)
+                try:
+                    b = bytes(payload)
+                    eocd = b.rfind(b"\x50\x4b\x05\x06")
+                    if eocd < 0:
+                        raise ValueError("no EOCD")
+                    n_entries = struct.unpack_from("<H", b, eocd + 10)[0]
+                    cd_off = struct.unpack_from("<I", b, eocd + 16)[0]
+                    pos = cd_off
+                    for _ in range(n_entries):
+                        if struct.unpack_from("<I", b, pos)[0] != 0x02014B50:
+                            raise ValueError("bad CD entry")
+                        method = struct.unpack_from("<H", b, pos + 10)[0]
+                        crc, csize, usize = struct.unpack_from(
+                            "<III", b, pos + 16
+                        )
+                        nlen, elen, clen = struct.unpack_from(
+                            "<HHH", b, pos + 28
+                        )
+                        lho = struct.unpack_from("<I", b, pos + 42)[0]
+                        name = b[pos + 46 : pos + 46 + nlen].decode()
+                        # local header: skip its (possibly different)
+                        # name/extra lengths to find the data
+                        lnlen, lelen = struct.unpack_from(
+                            "<HH", b, lho + 26
+                        )
+                        dstart = lho + 30 + lnlen + lelen
+                        data = b[dstart : dstart + csize]
+                        if len(data) < csize:
+                            raise ValueError("truncated member")
+                        if method == 8:
+                            raw = zlib.decompress(data, -15)
+                        elif method == 0:
+                            raw = data
+                        else:
+                            raise ValueError(f"method {method}")
+                        ok = (
+                            len(raw) == usize
+                            and (zlib.crc32(raw) & 0xFFFFFFFF) == crc
+                        )
+                        rows.append(
+                            {
+                                "shard_id": sid, "member_name": name,
+                                "method": method, "size": len(raw),
+                                "comp_size": csize,
+                                "content_md5": hashlib.md5(
+                                    raw
+                                ).hexdigest(),
+                                "crc_ok": ok,
+                            }
+                        )
+                        pos += 46 + nlen + elen + clen
+                except Exception:
+                    rows.append(
+                        {
+                            "shard_id": sid, "member_name": None,
+                            "method": None, "size": None,
+                            "comp_size": None, "content_md5": None,
+                            "crc_ok": None,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "shard_id long, member_name string, method int, size long, "
+        "comp_size long, content_md5 string, crc_ok boolean"
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)

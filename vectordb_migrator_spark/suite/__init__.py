@@ -142,6 +142,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_dpo_pairs",
     "x6_tar_shards",
     "x7_conformal_interval",
+    "x6_zip_shards",
     # 10 judge-oracle-sampled MATCH in the r8 verdict (evidence recorded)
     "x0_fim_transform",
     "x10_uncertainty_sample",

@@ -1085,3 +1085,75 @@ def x7_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.1,
         seed=7,
     )
+
+
+@query(
+    "x6_zip_shards",
+    """
+    SELECT min(doc_id)::BIGINT AS shard_id,
+           count(*)::BIGINT AS n_members,
+           sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_deflated,
+           sum(strlen(text))::BIGINT AS total_bytes,
+           count(DISTINCT md5(text))::BIGINT AS n_distinct_md5,
+           true AS crcs_ok
+    FROM documents GROUP BY source ORDER BY shard_id
+    """,
+)
+def x6_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — ZIP shards with real raw-deflate + CRC-32 verification
+    (round 9): the COMPRESSED-container sibling of ``x6_tar_shards``.
+    One archive per source (members doc-id-ordered; even doc_ids
+    deflate, odd ones store — both code paths on every shard), then
+    the walker locates the end-of-central-directory record, walks the
+    central directory, inflates raw-deflate members with stdlib zlib,
+    and verifies every CRC-32 and declared size. Interop is pinned
+    BOTH directions against stdlib ``zipfile`` (it validates our
+    archives via testzip; our walker reads its output). ``crcs_ok``
+    must come back literally true — one wrong bit anywhere in the
+    deflate stream fails the row
+    (operators/multimodal.py:zip_encode/zip_members_features)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        zip_members_features,
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        from vectordb_migrator_spark.operators.multimodal import zip_encode
+
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"{int(d):010d}.txt", str(t).encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        payload = zip_encode(
+            members, compress=lambda n, p: int(n[:10]) % 2 == 0
+        )
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["doc_id"].min())],
+                "payload": [bytearray(payload)],
+            }
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    shards = docs.groupBy("source").applyInPandas(
+        build, schema="shard_id long, payload binary"
+    )
+    members = zip_members_features(shards)
+    return (
+        members.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum((F.col("method") == 8).cast("long"))
+            .cast("long")
+            .alias("n_deflated"),
+            F.sum("size").cast("long").alias("total_bytes"),
+            F.countDistinct("content_md5").cast("long").alias(
+                "n_distinct_md5"
+            ),
+            F.min("crc_ok").alias("crcs_ok"),
+        )
+        .orderBy("shard_id")
+    )
