@@ -360,3 +360,26 @@ def test_experimentation_pipeline_battery(spark):
     assert jk["ci_lo"] <= jk["mean"] <= jk["ci_hi"]
     cu = out["cuped"]
     assert cu["se_cuped"] is None or cu["se_cuped"] <= cu["se_naive"]
+
+
+def test_preference_data_pipeline_example(spark):
+    """examples/preference_data_pipeline.py: the round-9 preference-
+    prep pass end to end at sf0.001 — gate, contests, BT strengths,
+    bootstrap CIs, checksum-verified tar shards."""
+    sys.path.insert(0, str(ROOT / "examples"))
+    try:
+        import preference_data_pipeline as ex
+    finally:
+        sys.path.pop(0)
+
+    out = ex.run_pipeline(spark, f"{SF_DIR}/documents.parquet")
+    assert out["gate"]["n_kept"] > 0
+    strengths = {r["item"]: r for r in out["strengths"]}
+    assert len(strengths) >= 2
+    # normalized to mean 1
+    mean_s = sum(r["score"] for r in strengths.values()) / len(strengths)
+    assert abs(mean_s - 1.0) < 1e-4
+    for r in out["ppl_ci"]:
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    assert out["shards"]["all_checksums_ok"] is True
+    assert out["shards"]["n_members"] == out["gate"]["n_kept"]
