@@ -203,6 +203,7 @@ HEADLINE = [
     "x6_tar_shards",
     "x7_conformal_interval",
     "x6_zip_shards",
+    "x10_kcenter_coreset",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",

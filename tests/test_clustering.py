@@ -270,3 +270,60 @@ def test_silhouette_report_separated_vs_overlapping(spark):
     )
     r = silhouette_report(solo, cluster_col="cluster").first()
     assert r["silhouette"] is None and r["mean_nearest"] is None
+
+
+def test_kcenter_coreset_matches_python_replica(spark):
+    import hashlib
+    import math
+
+    from vectordb_migrator_spark.operators.clustering import kcenter_coreset
+
+    # three tight planted clusters + one far outlier, 2-D
+    pts = (
+        [(i, [0.0 + 0.001 * i, 0.0]) for i in range(10)]
+        + [(100 + i, [5.0, 5.0 + 0.001 * i]) for i in range(10)]
+        + [(200 + i, [-4.0 + 0.001 * i, 6.0]) for i in range(10)]
+        + [(999, [50.0, -50.0])]
+    )
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = kcenter_coreset(df, k=4, sample_size=31, seed=7).collect()
+
+    # pure-Python replica of the exact greedy (fixed-point int dists)
+    def fx(v):
+        return [
+            int(math.floor(x * 10000 + 0.5))
+            if x >= 0
+            else -int(math.floor(-x * 10000 + 0.5))
+            for x in v
+        ]
+
+    ranked = sorted(
+        pts, key=lambda p: (hashlib.md5(f"{p[0]}:kc:7".encode()).hexdigest(), p[0])
+    )[:31]
+    ranked = sorted(ranked, key=lambda p: p[0])
+    ids = [p[0] for p in ranked]
+    vs = [fx(p[1]) for p in ranked]
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    dist = [sqd(v, vs[0]) for v in vs]
+    sel, rad = [0], [max(dist)]
+    for _ in range(3):
+        md = max(dist)
+        bi = dist.index(md)
+        sel.append(bi)
+        dist = [min(d, sqd(v, vs[bi])) for d, v in zip(dist, vs)]
+        rad.append(max(dist))
+    expect = [
+        (r + 1, ids[s], round(math.sqrt(rv) / 10000.0, 6))
+        for r, (s, rv) in enumerate(zip(sel, rad))
+    ]
+    assert [(g["center_rank"], g["vec_id"], g["radius"]) for g in got] == expect
+
+    # geometry: the 4 centers cover all 4 planted groups, and the
+    # radius collapses once every group has a center
+    groups = {i // 100 for _, i, _ in [(0, g["vec_id"], 0) for g in got]}
+    assert len({g["vec_id"] // 100 for g in got}) == 4
+    assert got[-1]["radius"] < 0.1
+    assert got[0]["radius"] > 10

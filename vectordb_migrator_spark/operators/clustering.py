@@ -250,3 +250,158 @@ def silhouette_report(
         )
         .orderBy(cluster_col)
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    sample_size: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+    seed: int = 7,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985) — the
+    farthest-point heuristic behind coreset construction for active
+    learning and fine-tuning-data selection (Sener & Savarese 2018):
+    repeatedly pick the point farthest from the current centers; the
+    result 2-approximates the optimal k-center cover, and the final
+    covering radius certifies how well k exemplars represent the set.
+
+    Determinism by construction: candidates are a fixed-size md5-rank
+    sample (the standard move — greedy k-center is O(n·k); at 100 TB
+    you run it on a deterministic sample, never the corpus),
+    coordinates quantize to fixed point at ``scale``, and ALL
+    distances are exact int64 squared distances — argmax ties break
+    toward the smaller id, so the whole greedy trajectory replays
+    bit-for-bit on any engine (full SQL oracle via a recursive CTE).
+
+    Scale shape: one scan ranks the md5 sample (TakeOrdered of
+    ``sample_size`` rows); the sample folds to ONE row of id/vector
+    arrays, and the entire greedy loop runs inside a single
+    ``F.aggregate`` expression — zero per-step jobs, like the
+    Bradley-Terry MM and Holt-Winters folds.
+
+    Returns ``(center_rank, vec_id, radius)`` — radius = the max
+    over sample points of the distance to their nearest selected
+    center AFTER this pick (in original coordinate units, the
+    monotone coverage curve).
+    """
+    if k < 1 or sample_size < k:
+        raise ValueError("need sample_size >= k >= 1")
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":kc:{seed}"))
+    )
+    xint = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.when(
+            x >= 0, F.floor(x * scale + F.lit(0.5))
+        )
+        .otherwise(-F.floor(-x * scale + F.lit(0.5)))
+        .cast("long"),
+    )
+    samp = (
+        df.select(F.col(id_col).alias("__id"), xint.alias("__x"), key.alias("__k"))
+        .orderBy("__k", "__id")
+        .limit(sample_size)
+    )
+    one = samp.orderBy("__id").agg(
+        F.collect_list("__id").alias("ids"),
+        F.collect_list("__x").alias("vs"),
+    )
+    # collect_list after orderBy in a single-partition agg is not a
+    # contract — re-sort pairs explicitly for a deterministic layout
+    one = one.select(
+        F.transform(
+            F.array_sort(
+                F.arrays_zip(F.col("ids").alias("i"), F.col("vs").alias("v"))
+            ),
+            lambda s: s["i"],
+        ).alias("ids"),
+        F.transform(
+            F.array_sort(
+                F.arrays_zip(F.col("ids").alias("i"), F.col("vs").alias("v"))
+            ),
+            lambda s: s["v"],
+        ).alias("vs"),
+    )
+    n = F.size(F.col("ids"))
+
+    def sqd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    # state: sel = array of picked ORDINALS, rad = array of covering
+    # radii after each pick, dist = per-point min sq dist to selection
+    first = F.element_at(F.col("vs"), 1)
+    dist0 = F.transform(F.col("vs"), lambda v: sqd(v, first))
+    state0 = F.struct(
+        F.array(F.lit(0)).alias("sel"),
+        F.array(F.array_max(dist0)).alias("rad"),
+        dist0.alias("dist"),
+    )
+
+    def step(acc, _):
+        # argmax of dist, first index on ties (ids ascending => the
+        # smallest id among the farthest points)
+        best = F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            F.struct(
+                F.lit(-1).cast("long").alias("bd"),
+                F.lit(0).alias("bi"),
+            ),
+            lambda b, i: F.when(
+                F.element_at(acc["dist"], i + 1) > b["bd"],
+                F.struct(
+                    F.element_at(acc["dist"], i + 1).alias("bd"),
+                    i.alias("bi"),
+                ),
+            ).otherwise(b),
+        )
+        newc = F.element_at(F.col("vs"), best["bi"] + 1)
+        dist2 = F.zip_with(
+            acc["dist"],
+            F.col("vs"),
+            lambda dv, v: F.least(dv, sqd(v, newc)),
+        )
+        return F.struct(
+            F.concat(acc["sel"], F.array(best["bi"])).alias("sel"),
+            F.concat(acc["rad"], F.array(F.array_max(dist2))).alias(
+                "rad"
+            ),
+            dist2.alias("dist"),
+        )
+
+    fin = (
+        F.aggregate(F.sequence(F.lit(2), F.lit(k)), state0, step)
+        if k > 1
+        else state0
+    )
+    out = one.select(
+        F.col("ids"), fin["sel"].alias("sel"), fin["rad"].alias("rad")
+    )
+    return (
+        out.select(
+            F.posexplode(
+                F.arrays_zip(
+                    F.col("sel").alias("s"), F.col("rad").alias("r")
+                )
+            ).alias("pos", "t"),
+            F.col("ids"),
+        )
+        .select(
+            (F.col("pos") + 1).cast("long").alias("center_rank"),
+            F.element_at(F.col("ids"), F.col("t.s") + 1).alias(
+                id_col
+            ),
+            F.round(
+                F.sqrt(F.col("t.r").cast("double")) / F.lit(float(scale)),
+                6,
+            ).alias("radius"),
+        )
+        .orderBy("center_rank")
+    )

@@ -143,6 +143,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_tar_shards",
     "x7_conformal_interval",
     "x6_zip_shards",
+    "x10_kcenter_coreset",
     # 10 judge-oracle-sampled MATCH in the r8 verdict (evidence recorded)
     "x0_fim_transform",
     "x10_uncertainty_sample",

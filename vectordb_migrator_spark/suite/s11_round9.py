@@ -1157,3 +1157,82 @@ def x6_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@query(
+    "x10_kcenter_coreset",
+    """
+    WITH RECURSIVE samp AS (
+      SELECT vec_id AS id,
+             list_transform(embedding::DOUBLE[],
+               x -> (CASE WHEN x >= 0
+                          THEN floor(x * 10000.0 + 0.5)
+                          ELSE -floor(-x * 10000.0 + 0.5) END)::BIGINT)
+               AS v
+      FROM embeddings
+      ORDER BY md5(vec_id::VARCHAR || ':kc:7'), vec_id LIMIT 256
+    ),
+    one AS (
+      SELECT list(id ORDER BY id) AS ids, list(v ORDER BY id) AS vs
+      FROM samp
+    ),
+    init AS (
+      SELECT ids, vs, len(ids) AS n,
+             [ list_sum([ (x[t+1] - vs[1][t+1]) * (x[t+1] - vs[1][t+1])
+                          for t in range(64) ]) for x in vs ] AS dist
+      FROM one
+    ),
+    rec AS (
+      SELECT ids, vs, n, 1 AS rk,
+             [0] AS sel,
+             [list_max(dist)] AS rad,
+             dist
+      FROM init
+      UNION ALL
+      SELECT ids, vs, n, rk + 1,
+             sel || [bi],
+             rad || [list_max(nd)],
+             nd
+      FROM (
+        SELECT *,
+               [ least(dist[j+1],
+                       list_sum([ (vs[j+1][t+1] - vs[bi+1][t+1])
+                                  * (vs[j+1][t+1] - vs[bi+1][t+1])
+                                  for t in range(64) ]))
+                 for j in range(n) ] AS nd
+        FROM (
+          SELECT *,
+                 [ i for i in range(n)
+                   if dist[i+1] = list_max(dist) ][1] AS bi
+          FROM rec WHERE rk < 8
+        )
+      )
+    ),
+    fin AS (SELECT * FROM rec WHERE rk = 8)
+    SELECT (g.i + 1)::BIGINT AS center_rank,
+           f.ids[f.sel[g.i + 1] + 1]::BIGINT AS vec_id,
+           round(sqrt(f.rad[g.i + 1]::DOUBLE) / 10000.0, 6) AS radius
+    FROM fin f, unnest(range(len(f.sel))) g(i)
+    ORDER BY center_rank
+    """,
+)
+def x10_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — greedy k-center coreset selection (Gonzalez 1985; the
+    Sener & Savarese 2018 active-learning/fine-tuning-data selector),
+    round 9: repeatedly pick the sample point farthest from the
+    current centers; the monotone covering radius certifies how well
+    k exemplars represent the set (2-approx of optimal). Candidates
+    are a fixed md5-rank sample (greedy k-center is O(n·k) — at
+    100 TB you run it on a deterministic sample), coordinates
+    fix-point at 10⁴ and ALL distances are exact int64 squares with
+    first-index (smallest-id) argmax ties — the greedy trajectory
+    replays bit-for-bit, full oracle via a recursive CTE. The whole
+    loop runs inside ONE F.aggregate expression — zero per-step jobs
+    (operators/clustering.py:kcenter_coreset)."""
+    from vectordb_migrator_spark.operators.clustering import (
+        kcenter_coreset,
+    )
+
+    return kcenter_coreset(
+        _t(spark, sf_dir, "embeddings"), k=8, sample_size=256, seed=7
+    )
