@@ -204,6 +204,7 @@ HEADLINE = [
     "x7_conformal_interval",
     "x6_zip_shards",
     "x10_kcenter_coreset",
+    "x12_k_anonymity",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",

@@ -144,6 +144,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_conformal_interval",
     "x6_zip_shards",
     "x10_kcenter_coreset",
+    "x12_k_anonymity",
     # 10 judge-oracle-sampled MATCH in the r8 verdict (evidence recorded)
     "x0_fim_transform",
     "x10_uncertainty_sample",

@@ -1236,3 +1236,75 @@ def x10_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_coreset(
         _t(spark, sf_dir, "embeddings"), k=8, sample_size=256, seed=7
     )
+
+
+@query(
+    "x12_k_anonymity",
+    """
+    WITH q AS (
+      SELECT event_type,
+             extract(hour FROM ts) AS hr,
+             CASE WHEN value IS NULL THEN -1
+                  ELSE least(floor(value / 25.0), 7) END AS vband,
+             user_id
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, hr, vband,
+             count(*)::BIGINT AS n_rows,
+             count(DISTINCT user_id)::BIGINT AS n_users
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT count(*)::BIGINT AS n_classes,
+           sum(n_rows)::BIGINT AS n_rows,
+           min(n_users)::BIGINT AS min_class_users,
+           sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_violating_classes,
+           sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END)::BIGINT
+             AS n_rows_at_risk,
+           round(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END)
+                 ::DOUBLE / sum(n_rows), 6) AS at_risk_share
+    FROM g
+    """,
+)
+def x12_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — k-anonymity audit over the quasi-identifier release shape
+    (round 9): before an event log ships (to vendors, to training),
+    the privacy question is whether the QUASI-IDENTIFIERS — here
+    (event_type, hour, value band), the columns an adversary can know
+    from outside — isolate fewer than k distinct users in some
+    equivalence class (Sweeney 2002). ONE map-side-combinable
+    aggregate reduces the corpus to its equivalence classes; the
+    report counts classes below k=5, the rows they expose, and the
+    at-risk share — the number a release gate thresholds. Full
+    oracle."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.when(F.col("value").isNull(), F.lit(-1))
+        .otherwise(F.least(F.floor(F.col("value") / 25.0), F.lit(7)))
+        .alias("vband"),
+        "user_id",
+    )
+    g = q.groupBy("event_type", "hr", "vband").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    risk = F.col("n_users") < 5
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("n_users").cast("long").alias("min_class_users"),
+        F.sum(risk.cast("long")).cast("long").alias(
+            "n_violating_classes"
+        ),
+        F.sum(F.when(risk, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.when(risk, F.col("n_rows")).otherwise(F.lit(0)))
+            / F.sum("n_rows"),
+            6,
+        ).alias("at_risk_share"),
+    )
