@@ -1007,3 +1007,80 @@ def test_jackknife_ingest_matches_batch(spark, tmp_path):
     n_store = spark.read.parquet(str(tmp_path / "store")).count()
     run()
     assert spark.read.parquet(str(tmp_path / "store")).count() == n_store
+
+
+def test_mmd_ingest_matches_batch(spark, tmp_path):
+    """Streaming MMD drift monitor: moment stores built by two
+    micro-batched ingests reproduce the batch mmd_two_sample on the
+    same ref/cur split BIT-FOR-BIT (decimal partials merge by
+    addition), and replay appends nothing."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.scale import mmd_two_sample
+    from vectordb_migrator_spark.streaming.incremental import (
+        mmd_moment_ingest,
+        mmd_over,
+    )
+
+    d = 8
+    rng = np.random.RandomState(3)
+    ref_rows = [
+        (i, [float(x) for x in rng.randn(d)]) for i in range(200)
+    ]
+    cur1 = [
+        (1000 + i, [float(x) + 0.3 for x in rng.randn(d)])
+        for i in range(120)
+    ]
+    cur2 = [
+        (2000 + i, [float(x) + 0.3 for x in rng.randn(d)])
+        for i in range(80)
+    ]
+    schema = "vec_id long, embedding array<double>"
+
+    ref_src = str(tmp_path / "ref_in")
+    spark.createDataFrame(ref_rows, schema).write.parquet(ref_src)
+    q = mmd_moment_ingest(
+        spark, source_path=ref_src, source_schema=schema,
+        store_path=str(tmp_path / "ref_store"),
+        checkpoint=str(tmp_path / "ref_ck"), d=d,
+    )
+    q.awaitTermination(120)
+
+    cur_src = str(tmp_path / "cur_in")
+    spark.createDataFrame(cur1, schema).write.parquet(cur_src)
+
+    def run_cur():
+        q = mmd_moment_ingest(
+            spark, source_path=cur_src, source_schema=schema,
+            store_path=str(tmp_path / "cur_store"),
+            checkpoint=str(tmp_path / "cur_ck"), d=d,
+        )
+        q.awaitTermination(120)
+
+    run_cur()
+    spark.createDataFrame(cur2, schema).write.mode("append").parquet(
+        cur_src
+    )
+    run_cur()
+
+    got = mmd_over(
+        spark, str(tmp_path / "cur_store"), str(tmp_path / "ref_store"),
+        d=d,
+    ).first()
+    union = spark.createDataFrame(ref_rows + cur1 + cur2, schema)
+    want = mmd_two_sample(
+        union, group_expr=(F.col("vec_id") < 1000), d=d
+    ).first()
+    assert (got["n_a"], got["n_b"]) == (want["n_a"], want["n_b"]) == (200, 200)
+    # decimal partials merge exactly -> identical rounded values
+    assert got["mean_term"] == want["mean_term"]
+    assert got["cov_term"] == want["cov_term"]
+    assert got["mmd2"] == want["mmd2"]
+    # the planted 0.3 mean shift is visible
+    assert got["mean_term"] > 0.01
+
+    n_store = spark.read.parquet(str(tmp_path / "cur_store")).count()
+    run_cur()  # replay: no new data -> no new partials
+    assert (
+        spark.read.parquet(str(tmp_path / "cur_store")).count() == n_store
+    )

@@ -1666,3 +1666,178 @@ def periodogram_over(
         .localCheckpoint(eager=True)
     )
     return periodogram_daily(daily, day_col="day", value_col="y", periods=periods)
+
+
+def mmd_moment_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    store_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    d: int = 64,
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    trigger_once: bool = True,
+):
+    """Continuous embedding-drift monitoring — the streaming twin of
+    ``operators/scale.py:mmd_two_sample``: the quadratic-kernel MMD²
+    is a closed form over FIRST and SECOND moments, and moments are
+    the archetypal mergeable sketch — each micro-batch folds to
+    ``(kind, key, s, n)`` partials (kind 'mu': per-dimension
+    exact-decimal sums; kind 's2': upper-triangle pairwise-product
+    sums, the same ``ij = i·d + j`` layout and slice construction the
+    batch operator uses), appended to the store and merged by
+    ADDITION at read time — so :func:`mmd_over` reports the CURRENT
+    MMD² against a frozen reference store without rescanning stream
+    history, and matches the batch operator bit-for-bit (decimal
+    partials are associativity-free). Replay-idempotent via the
+    (kind, key, batch_id) anti-join."""
+    from pyspark.sql.utils import AnalysisException
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        v = F.col(vec_col).cast("array<double>")
+        base = batch_df.select(v.alias("__v"))
+        mu = (
+            base.select(F.posexplode("__v").alias("i", "x"))
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .select(
+                F.lit("mu").alias("kind"),
+                F.col("i").cast("long").alias("key"),
+                "s",
+                "n",
+            )
+        )
+        pairs = F.flatten(
+            F.transform(
+                F.col("__v"),
+                lambda xi, i: F.transform(
+                    F.slice(F.col("__v"), i + 1, F.lit(d) - i),
+                    lambda xj, jo: F.struct(
+                        (i * F.lit(d) + i + jo).alias("ij"),
+                        (xi * xj).alias("p"),
+                    ),
+                ),
+            )
+        )
+        s2 = (
+            base.select(F.explode(pairs).alias("e"))
+            .groupBy(F.col("e.ij").alias("key"))
+            .agg(
+                F.sum(F.col("e.p").cast("decimal(28,12)")).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .select(
+                F.lit("s2").alias("kind"),
+                F.col("key").cast("long").alias("key"),
+                "s",
+                "n",
+            )
+        )
+        partials = mu.unionByName(s2).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        try:
+            seen = sess.read.parquet(store_path).select(
+                "kind", "key", "batch_id"
+            )
+            partials = partials.join(
+                seen, ["kind", "key", "batch_id"], "left_anti"
+            )
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(store_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .options(**(reader_options or {}))
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def mmd_over(
+    spark: SparkSession,
+    cur_store: str,
+    ref_store: str,
+    *,
+    d: int = 64,
+) -> DataFrame:
+    """Current MMD² of a :func:`mmd_moment_ingest` store against a
+    frozen reference store (built by the same ingest over the
+    reference corpus): merge each store's exact-decimal partials by
+    addition, form the per-key means with the SAME division the batch
+    operator uses, and fold the closed form
+    2‖μA−μB‖²/d + ‖SA−SB‖²_F/d² with the upper-triangle weights —
+    bit-identical to ``mmd_two_sample`` on the same rows. Two
+    model-row reads; returns one row (n_a, n_b, mean_term, cov_term,
+    mmd2)."""
+
+    def merged(path: str, tag: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .groupBy("kind", "key")
+            .agg(
+                F.sum("s").alias("s"),
+                F.sum("n").cast("long").alias("n"),
+            )
+            .select(
+                "kind",
+                "key",
+                (F.col("s").cast("double") / F.col("n").cast("double"))
+                .alias(f"m_{tag}"),
+                F.col("n").alias(f"n_{tag}"),
+            )
+        )
+    a = merged(ref_store, "a")
+    b = merged(cur_store, "b")
+    j = a.join(b, ["kind", "key"])
+    mu = j.filter(F.col("kind") == "mu")
+    s2 = j.filter(F.col("kind") == "s2")
+    mean_term = mu.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        (
+            F.lit(2.0)
+            * F.sum(
+                (F.col("m_a") - F.col("m_b"))
+                * (F.col("m_a") - F.col("m_b"))
+            )
+            / F.lit(float(d))
+        ).alias("mean_term"),
+    )
+    wgt = F.when(
+        (F.col("key") % F.lit(d)) == F.floor(F.col("key") / F.lit(d)),
+        F.lit(1.0),
+    ).otherwise(F.lit(2.0))
+    cov_term = s2.agg(
+        (
+            F.sum(
+                wgt
+                * (F.col("m_a") - F.col("m_b"))
+                * (F.col("m_a") - F.col("m_b"))
+            )
+            / F.lit(float(d) * d)
+        ).alias("cov_term")
+    )
+    return mean_term.crossJoin(cov_term).select(
+        "n_a",
+        "n_b",
+        F.round("mean_term", 9).alias("mean_term"),
+        F.round("cov_term", 9).alias("cov_term"),
+        F.round(F.col("mean_term") + F.col("cov_term"), 9).alias("mmd2"),
+    )
