@@ -205,6 +205,7 @@ HEADLINE = [
     "x6_zip_shards",
     "x10_kcenter_coreset",
     "x12_k_anonymity",
+    "x5_compression_ratio",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",

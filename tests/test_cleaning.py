@@ -101,3 +101,42 @@ def test_kneser_ney_ppl_matches_python_replica(spark):
     # but follows only ONE context, so its continuation count equals
     # that of rare-but-diverse words, not its raw frequency
     assert n_cont[("francisco")] == 1
+
+
+def test_compression_ratio_detects_repetition(spark):
+    import zlib
+
+    from vectordb_migrator_spark.operators.cleaning import (
+        compression_ratio,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "buy cheap pills " * 50),       # templated spam
+        (3, "a"),                            # tiny
+        (4, ""),                             # empty -> NULL ratio
+        (5, "x7#pQ z9@mK w2$vN r5&bT q8!cJ " * 2),  # high-entropy-ish
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+
+    # exact agreement with direct zlib on the same bytes
+    for did, t in docs:
+        raw = t.encode()
+        if not raw:
+            assert got[did]["ratio"] is None
+            assert got[did]["raw_bytes"] == 0
+            continue
+        assert got[did]["raw_bytes"] == len(raw)
+        assert got[did]["zlib_bytes"] == len(zlib.compress(raw, 6))
+        assert got[did]["ratio"] == round(
+            len(zlib.compress(raw, 6)) / len(raw), 6
+        )
+
+    # the signal: heavy repetition compresses far better than prose
+    assert got[2]["ratio"] < got[1]["ratio"] < got[5]["ratio"]
+    assert got[2]["ratio"] < 0.1
+
+    # determinism across re-runs
+    again = {r["doc_id"]: r["ratio"] for r in compression_ratio(df).collect()}
+    assert again == {k: v["ratio"] for k, v in got.items()}

@@ -49,7 +49,10 @@ FOOT = (
     "`x9_opq_rotation_error` (LAPACK eigen/SVD — iterative float\n"
     "linear algebra with sign/rotation gauge freedom; invariants\n"
     "(EVR sums to 1, whitened covariance ≈ I, rotation orthogonality)\n"
-    "are asserted in tests instead)."
+    "are asserted in tests instead); `x5_compression_ratio` (a DEFLATE\n"
+    "bitstream is not SQL-expressible; the codec's INFLATE side IS\n"
+    "value-oracled by `x6_png_decode`/`x6_zip_shards`, and the\n"
+    "entropy-based twin `x12_encoding_advisor` is fully oracled)."
 )
 
 

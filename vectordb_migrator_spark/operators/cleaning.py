@@ -829,3 +829,65 @@ def kneser_ney_ppl(
         F.round(F.pow(F.lit(2.0), F.col("__s")), 4).alias("ppl"),
         "n_big",
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression-ratio quality signal (the RefinedWeb/Dolma
+    "gzip ratio" filter): templated spam, keyword stuffing and
+    boilerplate compress far better than natural prose, so
+    ``compressed_bytes / raw_bytes`` is one of the cheapest
+    high-precision junk detectors a corpus pipeline runs. Uses REAL
+    stdlib zlib at a FIXED level (the byte stream is deterministic
+    for a fixed zlib version + level, so results are stable across
+    runs and partitionings; the INFLATE side of the same codec is
+    value-oracle-verified by x6_png_decode / x6_zip_shards).
+
+    Returns ``(id_col, raw_bytes, zlib_bytes, ratio)`` with ratio
+    rounded to 6; empty documents report ratio NULL.
+
+    Scale shape: embarrassingly parallel Arrow-batched
+    ``mapInPandas`` — one pass, no shuffle; text bytes never leave
+    the executor. No SQL oracle (a DEFLATE bitstream is not
+    SQL-expressible); verified by differential tests (known-string
+    fixtures, repetition monotonicity, determinism) plus the
+    oracled entropy-based twin ``x12_encoding_advisor``.
+    """
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                if not raw:
+                    out.append(
+                        {
+                            "doc_id": int(did), "raw_bytes": 0,
+                            "zlib_bytes": 0, "ratio": None,
+                        }
+                    )
+                    continue
+                comp = zlib.compress(raw, level)
+                out.append(
+                    {
+                        "doc_id": int(did),
+                        "raw_bytes": len(raw),
+                        "zlib_bytes": len(comp),
+                        "ratio": round(len(comp) / len(raw), 6),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel,
+        schema="doc_id long, raw_bytes long, zlib_bytes long, ratio double",
+    )

@@ -1308,3 +1308,25 @@ def x12_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("at_risk_share"),
     )
+
+
+@query("x5_compression_ratio", None)  # rows-only: DEFLATE bitstream
+def x5_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — zlib compression-ratio quality filter (round 9): the
+    RefinedWeb/Dolma "gzip ratio" junk detector — templated spam and
+    keyword stuffing compress far better than prose, so
+    compressed/raw bytes is one of the cheapest high-precision
+    filters a corpus pipeline runs. REAL stdlib zlib at fixed level 6
+    in one Arrow-batched pass, no shuffle. Rows-only (a DEFLATE
+    bitstream is not SQL-expressible): verified by differential tests
+    in tests/test_cleaning.py, and the same codec's INFLATE side IS
+    value-oracled by x6_png_decode/x6_zip_shards; the SQL-expressible
+    entropy twin is x12_encoding_advisor
+    (operators/cleaning.py:compression_ratio)."""
+    from vectordb_migrator_spark.operators.cleaning import (
+        compression_ratio,
+    )
+
+    return compression_ratio(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
