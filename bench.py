@@ -206,6 +206,7 @@ HEADLINE = [
     "x10_kcenter_coreset",
     "x12_k_anonymity",
     "x5_compression_ratio",
+    "x5_self_bleu",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",

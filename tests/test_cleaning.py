@@ -140,3 +140,54 @@ def test_compression_ratio_detects_repetition(spark):
     # determinism across re-runs
     again = {r["doc_id"]: r["ratio"] for r in compression_ratio(df).collect()}
     assert again == {k: v["ratio"] for k, v in got.items()}
+
+
+def test_self_bleu2_detects_mode_collapse(spark):
+    from vectordb_migrator_spark.operators.cleaning import self_bleu2
+
+    # a collapsed corpus: 10 near-identical docs + 10 diverse docs
+    collapsed = [
+        (i, "the same template sentence about products " + str(i % 2))
+        for i in range(10)
+    ]
+    diverse_texts = [
+        "quantum chemistry of copper complexes",
+        "medieval trade routes across the baltic",
+        "recursive descent parsers in haskell",
+        "volcanic soil nutrients for coffee",
+        "bayesian priors for rare diseases",
+        "jazz harmony and tritone substitutions",
+        "glacier melt dynamics in patagonia",
+        "supply chain contracts under uncertainty",
+        "antibody affinity maturation pathways",
+        "byzantine fault tolerance protocols",
+    ]
+    diverse = [(100 + i, t) for i, t in enumerate(diverse_texts)]
+
+    col = self_bleu2(
+        spark.createDataFrame(collapsed, "doc_id long, text string"),
+        sample_size=10,
+    ).collect()
+    div = self_bleu2(
+        spark.createDataFrame(diverse, "doc_id long, text string"),
+        sample_size=10,
+    ).collect()
+    mean_col = sum(r["bleu2"] for r in col) / len(col)
+    mean_div = sum(r["bleu2"] for r in div) / len(div)
+    # near-identical docs score near 1; diverse docs near 0
+    assert mean_col > 0.8
+    assert mean_div < 0.2
+    assert mean_col > mean_div + 0.5
+
+    # an exact duplicate pair scores bleu 1.0 against each other
+    dup = self_bleu2(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "completely different words here")],
+            "doc_id long, text string",
+        ),
+        sample_size=3,
+    ).collect()
+    by = {r["doc_id"]: r for r in dup}
+    assert by[1]["bleu2"] == 1.0 and by[2]["bleu2"] == 1.0
+    assert by[3]["bleu2"] == 0.0

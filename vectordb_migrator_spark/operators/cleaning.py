@@ -22,6 +22,7 @@ driver action — the whole operator stays lazy.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from vectordb_migrator_spark.operators.util import fan_out
@@ -890,4 +891,159 @@ def compression_ratio(
     return df.select(id_col, text_col).mapInPandas(
         kernel,
         schema="doc_id long, raw_bytes long, zlib_bytes long, ratio double",
+    )
+
+
+def self_bleu2(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_size: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Self-BLEU-2 corpus-diversity diagnostic (Zhu et al. 2018,
+    Texygen): each sampled document is scored as a BLEU-2 hypothesis
+    against the OTHER samples as references — high Self-BLEU means
+    the corpus repeats itself (the mode-collapse signal every
+    synthetic-data pipeline must watch; complements the
+    within-document ``x5_lexical_diversity`` with a BETWEEN-document
+    measure). Standard smoothing-free BLEU: clipped n-gram precision
+    (clip by the max reference count, n = 1, 2), brevity penalty
+    against the closest reference length (ties toward the shorter),
+    geometric mean; a hypothesis with zero clipped matches at either
+    order scores 0; sub-2-token docs score NULL.
+
+    Determinism: the sample is an md5 rank (the standard move —
+    Self-BLEU is O(sample²), never corpus-wide), every count is an
+    exact integer, clipping uses the (max, unique-argmax, second-max)
+    decomposition so "max over the OTHERS" needs no per-hypothesis
+    rescan, and the only floats are final ratios — full SQL oracle.
+
+    Scale shape: one md5-rank TakeOrdered picks the sample; all
+    scoring joins run on sample²-bounded gram frames.
+
+    Returns per sampled doc: ``(id_col, n_tok, p1, p2, bp, bleu2)``.
+    """
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":sb:{seed}"))
+    )
+    toks = F.filter(ws_tokens(text_col), lambda x: x != "")
+    samp = (
+        df.select(F.col(id_col).alias("h"), toks.alias("__t"), key.alias("__k"))
+        .orderBy("__k", "h")
+        .limit(sample_size)
+        .select("h", "__t", F.size("__t").alias("len"))
+        .localCheckpoint(eager=True)
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        if n == 1:
+            g = F.col("__t")
+        else:
+            g = F.zip_with(
+                F.slice(
+                    F.col("__t"),
+                    1,
+                    F.greatest(F.size("__t") - 1, F.lit(0)),
+                ),
+                F.slice(
+                    F.col("__t"),
+                    2,
+                    F.greatest(F.size("__t") - 1, F.lit(0)),
+                ),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return (
+            samp.select("h", F.explode(g).alias("g"))
+            .groupBy("h", "g")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    def clipped(n: int) -> DataFrame:
+        cnt = gram_counts(n)
+        # (max, #docs at max, second max) per gram: "max over the
+        # other docs" without a per-hypothesis rescan
+        stats = cnt.groupBy("g").agg(
+            F.max("c").alias("m1"),
+            F.count("*").alias("nd"),
+        )
+        at_max = (
+            cnt.join(stats, "g")
+            .groupBy("g")
+            .agg(
+                F.max("m1").alias("m1"),
+                F.sum((F.col("c") == F.col("m1")).cast("long")).alias(
+                    "n1"
+                ),
+                F.max(
+                    F.when(F.col("c") < F.col("m1"), F.col("c"))
+                ).alias("m2"),
+            )
+        )
+        maxother = F.when(
+            (F.col("c") == F.col("m1")) & (F.col("n1") == 1),
+            F.coalesce(F.col("m2"), F.lit(0)),
+        ).otherwise(F.col("m1"))
+        return (
+            cnt.join(at_max, "g")
+            .groupBy("h")
+            .agg(
+                F.sum(F.least(F.col("c"), maxother)).alias(f"clip{n}"),
+                F.sum("c").alias(f"tot{n}"),
+            )
+        )
+
+    # brevity penalty: closest reference length, ties to the shorter
+    a = samp.select(F.col("h"), F.col("len").alias("hl"))
+    b = samp.select(F.col("h").alias("r"), F.col("len").alias("rl"))
+    rk = F.row_number().over(
+        Window.partitionBy("h").orderBy(
+            F.abs(F.col("rl") - F.col("hl")), F.col("rl"), F.col("r")
+        )
+    )
+    bp = (
+        a.join(b, F.col("h") != F.col("r"))
+        .withColumn("__rk", rk)
+        .filter(F.col("__rk") == 1)
+        .select(
+            "h",
+            "hl",
+            F.when(F.col("hl") > F.col("rl"), F.lit(1.0))
+            .otherwise(
+                F.exp(
+                    F.lit(1.0)
+                    - F.col("rl").cast("double")
+                    / F.col("hl").cast("double")
+                )
+            )
+            .alias("bp"),
+        )
+    )
+    j = bp.join(clipped(1), "h").join(clipped(2), "h", "left")
+    p1 = F.col("clip1").cast("double") / F.col("tot1").cast("double")
+    p2 = F.col("clip2").cast("double") / F.col("tot2").cast("double")
+    bleu = (
+        F.when(F.col("tot2").isNull(), F.lit(None).cast("double"))
+        .when(
+            (F.col("clip1") > 0) & (F.col("clip2") > 0),
+            F.col("bp")
+            * F.exp(F.lit(0.5) * (F.log(p1) + F.log(p2))),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        j.select(
+            F.col("h").alias(id_col),
+            F.col("hl").cast("long").alias("n_tok"),
+            F.round(p1, 6).alias("p1"),
+            F.round(
+                F.when(F.col("tot2").isNotNull(), p2), 6
+            ).alias("p2"),
+            F.round("bp", 6).alias("bp"),
+            F.round(bleu, 6).alias("bleu2"),
+        )
+        .orderBy(id_col)
     )

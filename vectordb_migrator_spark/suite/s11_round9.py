@@ -1330,3 +1330,105 @@ def x5_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(_t(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "x5_self_bleu",
+    r"""
+    WITH samp AS (
+      SELECT doc_id AS h,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '') AS t
+      FROM documents
+      ORDER BY md5(doc_id::VARCHAR || ':sb:7'), doc_id LIMIT 32
+    ),
+    sl AS (SELECT h, t, len(t) AS len FROM samp),
+    c1 AS (
+      SELECT h, g, count(*)::BIGINT AS c
+      FROM (SELECT h, unnest(t) AS g FROM sl) GROUP BY 1, 2
+    ),
+    c2 AS (
+      SELECT h, g, count(*)::BIGINT AS c
+      FROM (SELECT h, t[i] || ' ' || t[i+1] AS g
+            FROM sl, unnest(range(1, len(t))) r(i)
+            WHERE len(t) >= 2)
+      GROUP BY 1, 2
+    ),
+    a1 AS (SELECT g, max(c) AS m1 FROM c1 GROUP BY g),
+    am1 AS (
+      SELECT c1.g, max(a1.m1) AS m1,
+             sum(CASE WHEN c1.c = a1.m1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             max(CASE WHEN c1.c < a1.m1 THEN c1.c END) AS m2
+      FROM c1 JOIN a1 USING (g) GROUP BY c1.g
+    ),
+    cl1 AS (
+      SELECT c1.h,
+             sum(least(c1.c,
+                       CASE WHEN c1.c = am1.m1 AND am1.n1 = 1
+                            THEN coalesce(am1.m2, 0)
+                            ELSE am1.m1 END))::BIGINT AS clip1,
+             sum(c1.c)::BIGINT AS tot1
+      FROM c1 JOIN am1 USING (g) GROUP BY 1
+    ),
+    a2 AS (SELECT g, max(c) AS m1 FROM c2 GROUP BY g),
+    am2 AS (
+      SELECT c2.g, max(a2.m1) AS m1,
+             sum(CASE WHEN c2.c = a2.m1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             max(CASE WHEN c2.c < a2.m1 THEN c2.c END) AS m2
+      FROM c2 JOIN a2 USING (g) GROUP BY c2.g
+    ),
+    cl2 AS (
+      SELECT c2.h,
+             sum(least(c2.c,
+                       CASE WHEN c2.c = am2.m1 AND am2.n1 = 1
+                            THEN coalesce(am2.m2, 0)
+                            ELSE am2.m1 END))::BIGINT AS clip2,
+             sum(c2.c)::BIGINT AS tot2
+      FROM c2 JOIN am2 USING (g) GROUP BY 1
+    ),
+    bp AS (
+      SELECT h, hl,
+             CASE WHEN hl > rl THEN 1.0
+                  ELSE exp(1.0 - rl::DOUBLE / hl::DOUBLE) END AS bp
+      FROM (
+        SELECT a.h, a.len AS hl, b.len AS rl,
+               row_number() OVER (PARTITION BY a.h
+                                  ORDER BY abs(b.len - a.len),
+                                           b.len, b.h) AS rk
+        FROM sl a JOIN sl b ON a.h != b.h)
+      WHERE rk = 1
+    )
+    SELECT bp.h AS doc_id, hl::BIGINT AS n_tok,
+           round(clip1::DOUBLE / tot1::DOUBLE, 6) AS p1,
+           round(CASE WHEN tot2 IS NOT NULL
+                      THEN clip2::DOUBLE / tot2::DOUBLE END, 6) AS p2,
+           round(bp, 6) AS bp,
+           round(CASE WHEN tot2 IS NULL THEN NULL
+                      WHEN clip1 > 0 AND clip2 > 0
+                      THEN bp * exp(0.5 * (ln(clip1::DOUBLE
+                                              / tot1::DOUBLE)
+                                           + ln(clip2::DOUBLE
+                                                / tot2::DOUBLE)))
+                      ELSE 0.0 END, 6) AS bleu2
+    FROM bp JOIN cl1 USING (h) LEFT JOIN cl2 USING (h)
+    ORDER BY doc_id
+    """,
+)
+def x5_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — Self-BLEU-2 corpus-diversity diagnostic (round 9; Zhu et
+    al. 2018, Texygen): each md5-sampled document is scored as a
+    BLEU-2 hypothesis against the other samples as references — high
+    Self-BLEU = the corpus repeats itself, THE mode-collapse signal a
+    synthetic-data pipeline watches (between-document, complementing
+    the within-document ``x5_lexical_diversity``). Smoothing-free
+    BLEU: clipped n-gram precisions via the (max, unique-argmax,
+    second-max) decomposition (no per-hypothesis rescan), brevity
+    penalty against the closest reference length (ties shorter),
+    geometric mean, zero-match → 0, <2 tokens → NULL. Sample is
+    O(sample²) by construction — never corpus-wide. Full oracle
+    (operators/cleaning.py:self_bleu2)."""
+    from vectordb_migrator_spark.operators.cleaning import self_bleu2
+
+    return self_bleu2(
+        _t(spark, sf_dir, "documents"), sample_size=32, seed=7
+    )
