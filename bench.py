@@ -207,6 +207,7 @@ HEADLINE = [
     "x12_k_anonymity",
     "x5_compression_ratio",
     "x5_self_bleu",
+    "x9_rvq_error",
     "x7_srm_check",
     "x7_chi2_independence",
     "x7_sprt",

@@ -1418,3 +1418,52 @@ def test_soar_double_assignment_recovers_boundary_vector(spark):
     assert got["double"]["n_hits"] == 21
     assert got["double"]["recall"] > got["single"]["recall"]
     assert got["double"]["recall"] == 1.0
+
+
+def test_rvq_error_ladder_decreases_and_zeroes_codewords(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.similarity import (
+        rvq_error_report,
+    )
+
+    rng = np.random.RandomState(5)
+    # 16 codeword seeds; 15 SHARED offsets seed the residual codebook
+    # (rows 16..30); 200 corpus points = seed + one of those offsets,
+    # so a correct stage 2 reconstructs them exactly
+    seeds = [rng.randn(8) * 4 for _ in range(16)]
+    offsets = [rng.randn(8) * 0.25 for _ in range(15)]
+    rows = [(i, [float(x) for x in seeds[i]]) for i in range(16)]
+    for j in range(15):
+        rows.append(
+            (16 + j, [float(x) for x in seeds[j] + offsets[j]])
+        )
+    for i in range(200):
+        rows.append(
+            (
+                100 + i,
+                [
+                    float(x)
+                    for x in seeds[i % 16] + offsets[i % 15]
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["stage"]: r for r in rvq_error_report(df, k=16).collect()}
+    assert got[1]["n"] == got[2]["n"] == 231
+    # monotone by construction (zero codeword) and strictly better
+    # here (the shared offsets are in the residual codebook)
+    assert got[2]["mse_mean"] < got[1]["mse_mean"]
+    assert got[2]["mse_max"] <= got[1]["mse_max"] + 1e-9
+    # every corpus point's residual IS a codeword -> stage-2 ~ exact
+    assert got[2]["mse_mean"] < 0.01
+    # a corpus without ids 0..30 refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        rvq_error_report(
+            spark.createDataFrame(
+                [(50, [0.0] * 8)], "vec_id long, embedding array<float>"
+            ),
+            k=16,
+        )

@@ -1706,3 +1706,121 @@ def soar_ivf_recall_report(
         .unionByName(mode_stats(2, "double"))
         .orderBy("mode")
     )
+
+
+def rvq_error_report(
+    df: DataFrame,
+    *,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual vector quantization (RVQ) error ladder — the ADDITIVE
+    codec family (SoundStream/Encodec's quantizer; the alternative to
+    PQ's subspace split): stage 1 snaps the FULL vector to its
+    nearest codeword, stage 2 quantizes what stage 1 left behind, and
+    errors fall stage over stage because later codebooks model the
+    residual distribution directly. Reports per-stage corpus
+    mean/max squared reconstruction error — the ladder a codec owner
+    reads to decide how many stages the recall budget needs.
+
+    Deterministic from the data alone (so an external SQL oracle can
+    rebuild it, like ``pq_sampled_codebooks``): stage-1 codewords are
+    the ``k`` lowest-id vectors; stage-2 codewords are the ZERO
+    vector (the "no correction" option — it makes the ladder
+    monotone BY CONSTRUCTION, stage-2 error ≤ stage-1) plus the
+    residuals of the NEXT ``k−1`` lowest-id rows under stage 1
+    (computed driver-side with the identical argmin/arithmetic the
+    engine uses — ties to the lowest codeword index; the stage-1
+    seed rows themselves have zero residuals and would degenerate).
+    A Lloyd-refined codebook per stage plugs into the same encode
+    path when recall matters more than simplicity.
+
+    Scale shape: both codebooks are driver-sized literals (2·k
+    codewords); encoding is pure codegen (a fold per codeword over
+    the broadcast literal), and the report is one tiny aggregate —
+    at 100 TB the materialized artifact is 2 bytes/vector of codes.
+    """
+    rows = (
+        df.filter(F.col(id_col) < 2 * k - 1)
+        .orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    if len(vecs) != 2 * k - 1:
+        raise ValueError(
+            f"need ids 0..{2 * k - 2} present to seed the codebooks"
+        )
+    cb1 = vecs[:k]
+
+    def py_sqd(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            s += d * d
+        return s
+
+    dim = len(cb1[0])
+    cb2 = [[0.0] * dim]
+    for v in vecs[k:]:
+        dists = [py_sqd(v, c) for c in cb1]
+        j = dists.index(min(dists))
+        cb2.append([x - y for x, y in zip(v, cb1[j])])
+
+    def lit_cb(cb):
+        return F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in cw) + ")"
+                for cw in cb
+            )
+            + ")"
+        )
+
+    v = F.col(vec_col).cast("array<double>")
+
+    def dl(vec, cb_lit):
+        return F.transform(
+            cb_lit,
+            lambda c: F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    d1l = dl(v, lit_cb(cb1))
+    base = df.select(
+        v.alias("__v"),
+        d1l.alias("__d1l"),
+    ).select(
+        F.array_min("__d1l").alias("d1"),
+        F.zip_with(
+            F.col("__v"),
+            F.element_at(
+                lit_cb(cb1),
+                (
+                    F.array_position(
+                        F.col("__d1l"), F.array_min("__d1l")
+                    )
+                ).cast("int"),
+            ),
+            lambda a, b: a - b,
+        ).alias("__r"),
+    )
+    d2 = F.array_min(dl(F.col("__r"), lit_cb(cb2)))
+    per = base.select("d1", d2.alias("d2"))
+    s1 = per.agg(
+        F.lit(1).cast("int").alias("stage"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("d1"), 6).alias("mse_mean"),
+        F.round(F.max("d1"), 6).alias("mse_max"),
+    )
+    s2 = per.agg(
+        F.lit(2).cast("int").alias("stage"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("d2"), 6).alias("mse_mean"),
+        F.round(F.max("d2"), 6).alias("mse_max"),
+    )
+    return s1.unionByName(s2).orderBy("stage")

@@ -146,6 +146,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_kcenter_coreset",
     "x12_k_anonymity",
     "x5_self_bleu",
+    "x9_rvq_error",
     # 10 judge-oracle-sampled MATCH in the r8 verdict (evidence recorded)
     "x0_fim_transform",
     "x10_uncertainty_sample",

@@ -1432,3 +1432,73 @@ def x5_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return self_bleu2(
         _t(spark, sf_dir, "documents"), sample_size=32, seed=7
     )
+
+
+@query(
+    "x9_rvq_error",
+    """
+    WITH cb1r AS (
+      SELECT vec_id AS j, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 16
+    ),
+    cb1 AS (SELECT list(cv ORDER BY j) AS cbs FROM cb1r),
+    enc1 AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             [ list_sum([ (e.embedding[t+1]::DOUBLE - c[t+1])
+                          * (e.embedding[t+1]::DOUBLE - c[t+1])
+                          for t in range(64) ]) for c in l.cbs ] AS dl
+      FROM embeddings e, cb1 l
+    ),
+    a1 AS (
+      SELECT vec_id, v, list_min(dl) AS d1,
+             [ i for i in range(16)
+               if dl[i+1] = list_min(dl) ][1] AS c1
+      FROM enc1
+    ),
+    res AS (
+      SELECT a.vec_id, a.d1,
+             [ a.v[t+1] - l.cbs[a.c1 + 1][t+1]
+               for t in range(64) ] AS r
+      FROM a1 a, cb1 l
+    ),
+    cb2 AS (
+      SELECT [[0.0 for t in range(64)]]
+             || list(r ORDER BY vec_id) AS cbs
+      FROM res WHERE vec_id >= 16 AND vec_id < 31
+    ),
+    enc2 AS (
+      SELECT res.vec_id, res.d1,
+             list_min([ list_sum([ (res.r[t+1] - c[t+1])
+                                   * (res.r[t+1] - c[t+1])
+                                   for t in range(64) ])
+                        for c in l.cbs ]) AS d2
+      FROM res, cb2 l
+    )
+    SELECT 1::INT AS stage, count(*)::BIGINT AS n,
+           round(avg(d1), 6) AS mse_mean, round(max(d1), 6) AS mse_max
+    FROM enc2
+    UNION ALL
+    SELECT 2::INT, count(*)::BIGINT, round(avg(d2), 6), round(max(d2), 6)
+    FROM enc2
+    ORDER BY stage
+    """,
+)
+def x9_rvq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — residual vector quantization error ladder (round 9): the
+    ADDITIVE codec family (SoundStream/Encodec's quantizer, the
+    alternative to PQ's subspace split) — stage 1 snaps the full
+    vector to its nearest codeword, stage 2 quantizes the residual,
+    and the per-stage corpus mean/max squared error is the ladder a
+    codec owner reads to size the stage count. Codebooks are
+    deterministic from the data alone (stage-1 = the 16 lowest-id
+    vectors; stage-2 = the zero "no correction" codeword — making the
+    ladder monotone by construction — plus the residuals of the next
+    15 rows under stage 1, argmin ties to the lowest index), so the
+    oracle rebuilds both; encoding is pure
+    codegen against broadcast literals, and the artifact at scale is
+    2 bytes/vector (operators/similarity.py:rvq_error_report)."""
+    from vectordb_migrator_spark.operators.similarity import (
+        rvq_error_report,
+    )
+
+    return rvq_error_report(_t(spark, sf_dir, "embeddings"), k=16)
