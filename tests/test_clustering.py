@@ -327,3 +327,27 @@ def test_kcenter_coreset_matches_python_replica(spark):
     assert len({g["vec_id"] // 100 for g in got}) == 4
     assert got[-1]["radius"] < 0.1
     assert got[0]["radius"] > 10
+
+
+def test_kcenter_coreset_stops_early_on_duplicate_points(spark):
+    from vectordb_migrator_spark.operators.clustering import kcenter_coreset
+
+    # only 2 distinct positions but k=5: the greedy loop must stop
+    # once the covering radius hits 0 instead of re-picking index 0
+    # as a silent duplicate (r9 ADVICE)
+    pts = [(i, [0.0, 0.0]) for i in range(4)] + [
+        (10 + i, [3.0, 4.0]) for i in range(4)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    rows = kcenter_coreset(df, k=5, sample_size=8, seed=7).collect()
+    assert len(rows) == 2  # min(k, distinct positions)
+    assert rows[-1]["radius"] == 0.0
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+
+    # fully degenerate: one distinct position -> exactly one center
+    solo = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kcenter_coreset(solo, k=3, sample_size=6, seed=7).collect()
+    assert len(rows) == 1 and rows[0]["radius"] == 0.0

@@ -821,3 +821,38 @@ def test_zip_codec_interop_with_stdlib_zipfile(spark):
     assert all(r["crc_ok"] for r in by_shard[1])
     flags = [r["crc_ok"] for r in by_shard[2]]
     assert False in flags or None in flags
+
+
+def test_tar_walker_reassembles_ustar_prefix_for_long_paths(spark, tmp_path):
+    import hashlib
+    import subprocess
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        tar_members_features,
+    )
+
+    # a path longer than the 100-char name field: system tar (ustar
+    # format) splits it across prefix + name — the walker must
+    # reassemble prefix + '/' + name, never a silent truncation
+    # (r9 ADVICE)
+    deep = "/".join(["component%02d" % i for i in range(12)])  # ~130 chars
+    d = tmp_path / deep
+    d.mkdir(parents=True)
+    (d / "leaf.txt").write_bytes(b"payload at depth")
+    tarp = tmp_path / "deep.tar"
+    subprocess.run(
+        ["tar", "--format=ustar", "-cf", str(tarp), "-C", str(tmp_path),
+         "component00"],
+        check=True,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(tarp.read_bytes()))], "shard_id long, payload binary"
+    )
+    rows = {r["member_name"]: r for r in tar_members_features(df).collect()}
+    full = deep + "/leaf.txt"
+    assert len(full) > 100
+    assert full in rows
+    assert rows[full]["checksum_ok"] is True
+    assert rows[full]["content_md5"] == hashlib.md5(
+        b"payload at depth"
+    ).hexdigest()

@@ -1364,3 +1364,34 @@ def test_split_conformal_matches_python_replica_and_covers(spark):
     assert abs(r["avg_width"] - round(2 * q, 6)) < 1e-9
     # the finite-sample guarantee holds empirically
     assert r["coverage"] >= 0.9 - 0.03
+
+
+def test_split_conformal_emits_null_qhat_when_rank_exceeds_n_cal(spark):
+    from vectordb_migrator_spark.operators.scale import (
+        split_conformal_report,
+    )
+
+    # group "big" has plenty of calibration rows; group "tiny" has so
+    # few units that ceil((n_cal+1)*0.9) > n_cal — it must still
+    # appear, with qhat/coverage/avg_width NULL ("no finite guarantee
+    # at this alpha"), not vanish from the report (r9 ADVICE)
+    rows = [(u, "big", float(u % 50)) for u in range(2000)] + [
+        (10_000 + u, "tiny", float(u)) for u in range(12)
+    ]
+    df = spark.createDataFrame(rows, "u long, g string, v double")
+    out = {
+        r["g"]: r
+        for r in split_conformal_report(
+            df, "v", unit_col="u", group_cols=["g"], alpha=0.1, seed=7
+        ).collect()
+    }
+    assert set(out) == {"big", "tiny"}
+    big, tiny = out["big"], out["tiny"]
+    assert big["qhat"] is not None and big["coverage"] is not None
+    import math
+
+    assert math.ceil((tiny["n_cal"] + 1) * 0.9) > tiny["n_cal"]
+    assert tiny["qhat"] is None
+    assert tiny["coverage"] is None
+    assert tiny["avg_width"] is None
+    assert tiny["n_cal"] is not None and tiny["n_test"] is not None

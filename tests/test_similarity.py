@@ -1467,3 +1467,22 @@ def test_rvq_error_ladder_decreases_and_zeroes_codewords(spark):
             ),
             k=16,
         )
+
+
+def test_mmr_rerank_guards_the_driver_collect(spark):
+    import pytest
+
+    from vectordb_migrator_spark.operators.ranking import mmr_rerank
+
+    # mmr_rerank collects its input — a corpus-sized frame must raise
+    # a clear ValueError, never attempt a driver-OOM collect
+    big = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.rand(7).alias("score"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_candidates"):
+        mmr_rerank(big, k=3, max_candidates=10)
+    # explicit raise of the cap lets a genuinely large shortlist pass
+    out = mmr_rerank(big, k=3, max_candidates=50).collect()
+    assert len(out) == 3

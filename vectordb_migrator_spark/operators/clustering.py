@@ -286,7 +286,10 @@ def kcenter_coreset(
     Returns ``(center_rank, vec_id, radius)`` — radius = the max
     over sample points of the distance to their nearest selected
     center AFTER this pick (in original coordinate units, the
-    monotone coverage curve).
+    monotone coverage curve).  When the sample has fewer than ``k``
+    distinct points the greedy loop stops as soon as the covering
+    radius hits 0, so the output has min(k, distinct points) rows —
+    never a silently duplicated center.
     """
     if k < 1 or sample_size < k:
         raise ValueError("need sample_size >= k >= 1")
@@ -368,12 +371,19 @@ def kcenter_coreset(
             F.col("vs"),
             lambda dv, v: F.least(dv, sqd(v, newc)),
         )
-        return F.struct(
-            F.concat(acc["sel"], F.array(best["bi"])).alias("sel"),
-            F.concat(acc["rad"], F.array(F.array_max(dist2))).alias(
-                "rad"
-            ),
-            dist2.alias("dist"),
+        # Early stop: once every sample point sits ON a selected
+        # center (max residual distance 0 — fewer than k distinct
+        # points), picking again would re-select index 0 as a silent
+        # duplicate. Return the accumulator unchanged instead, so the
+        # output has min(k, distinct points) centers (r9 ADVICE).
+        return F.when(F.array_max(acc["dist"]) <= 0, acc).otherwise(
+            F.struct(
+                F.concat(acc["sel"], F.array(best["bi"])).alias("sel"),
+                F.concat(acc["rad"], F.array(F.array_max(dist2))).alias(
+                    "rad"
+                ),
+                dist2.alias("dist"),
+            )
         )
 
     fin = (

@@ -1323,6 +1323,16 @@ def tar_members_features(
                         if hdr == b"\x00" * 512:
                             break
                         name = hdr[0:100].split(b"\x00", 1)[0].decode()
+                        # ustar prefix field (bytes 345..500): system
+                        # tar stores path components beyond 100 chars
+                        # here — prepend it so long member paths are
+                        # never silently truncated (r9 ADVICE)
+                        if hdr[257:263] == b"ustar\x00":
+                            prefix = (
+                                hdr[345:500].split(b"\x00", 1)[0].decode()
+                            )
+                            if prefix:
+                                name = prefix + "/" + name
                         size = int(hdr[124:136].split(b"\x00")[0] or b"0", 8)
                         stored = int(
                             hdr[148:156].split(b"\x00")[0].strip() or b"0", 8

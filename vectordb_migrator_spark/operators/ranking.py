@@ -205,6 +205,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_col: str = "score",
+    max_candidates: int = 10_000,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversity re-rank of a retrieval
     shortlist: greedily pick ``argmax λ·relevance − (1−λ)·max cosine
@@ -227,13 +228,33 @@ def mmr_rerank(
     to 6 decimals (so an external SQL replication ranks identically),
     and ``-0.0`` normalizes to ``0.0``.
 
+    ``max_candidates`` (default 10 000) guards the driver collect: the
+    call raises ``ValueError`` instead of OOMing when fed more rows
+    than a plausible shortlist — the distributed top-n belongs
+    upstream.
+
     Returns (id_col, mmr_rank, mmr_score) in selection order.
     """
     import math
 
     id_type = candidates.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, mmr_rank int, mmr_score double"
-    rows = candidates.select(id_col, score_col, vec_col).collect()
+    # The collect below is shortlist-sized BY CONTRACT; enforce it so
+    # a caller who accidentally passes a corpus gets a clear error,
+    # not a driver OOM (r9 verdict). limit(max+1) bounds the probe.
+    probe = candidates.select(id_col, score_col, vec_col).limit(
+        max_candidates + 1
+    )
+    rows = probe.collect()
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"mmr_rerank collects its input on the driver: got more "
+            f"than max_candidates={max_candidates} rows. MMR is a "
+            f"SHORTLIST re-ranker — run a distributed top-n first "
+            f"(e.g. operators.similarity.cosine_topk) and re-rank "
+            f"that, or raise max_candidates explicitly if the "
+            f"shortlist is genuinely this large."
+        )
     if not rows:
         return candidates.sparkSession.createDataFrame([], out_schema)
 

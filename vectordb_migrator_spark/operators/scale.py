@@ -2203,7 +2203,11 @@ def split_conformal_report(
     arithmetic → full SQL oracle.
 
     Returns per group: ``n_train, n_cal, n_test, qhat, coverage,
-    avg_width`` (width = 2·q̂, constant per group here).
+    avg_width`` (width = 2·q̂, constant per group here).  When the
+    calibration split is so small that ⌈(n_cal+1)(1−α)⌉ > n_cal the
+    group is still emitted, with ``qhat``/``coverage``/``avg_width``
+    NULL — the conformal convention for "no finite interval at this
+    α" — so release gates see the missing guarantee explicitly.
     """
     gcols = list(group_cols or [])
     u = (
@@ -2260,30 +2264,36 @@ def split_conformal_report(
     ncal = F.count(F.lit(1)).over(
         Window.partitionBy(*gcols) if gcols else Window.partitionBy()
     )
+    # Aggregate (not filter) so a group whose conformal rank
+    # ⌈(n_cal+1)(1−α)⌉ exceeds n_cal still appears — with qhat NULL
+    # (the convention for "no finite guarantee at this α") instead of
+    # silently vanishing from the report.
     qhat = (
         cal.select(*gcols, "n_train", "__r", rk.alias("__k"),
                    ncal.alias("n_cal"))
-        .filter(
-            F.col("__k")
-            == F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha))
-        )
-        .select(
-            *gcols,
-            "n_train",
-            F.col("n_cal").cast("long").alias("n_cal"),
-            F.col("__r").alias("__q"),
+        .groupBy(*gcols)
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.max(
+                F.when(
+                    F.col("__k")
+                    == F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha)),
+                    F.col("__r"),
+                )
+            ).alias("__q"),
         )
     )
     test = resid.filter(F.col("__s") == "test").select(*gcols, "__r")
-    joined = test.join(qhat, gcols) if gcols else test.crossJoin(qhat)
+    joined = qhat.join(test, gcols, "left") if gcols else test.crossJoin(qhat)
     out = joined.groupBy(*gcols).agg(
         F.max("n_train").alias("n_train"),
         F.max("n_cal").alias("n_cal"),
-        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.count("__r").cast("long").alias("n_test"),
         F.round(F.max("__q"), 6).alias("qhat"),
         F.round(
             F.sum((F.col("__r") <= F.col("__q")).cast("long"))
-            / F.count(F.lit(1)).cast("double"),
+            / F.count("__r").cast("double"),
             6,
         ).alias("coverage"),
         F.round(F.lit(2.0) * F.max("__q"), 6).alias("avg_width"),

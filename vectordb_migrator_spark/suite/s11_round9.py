@@ -736,10 +736,14 @@ def x12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     just the cheap join. Result is the revenue rollup, value-checked
     against a plain-join oracle (operators/scale.py:write_bucketed)."""
     import tempfile
+    from pathlib import Path
 
     from vectordb_migrator_spark.operators.scale import write_bucketed
 
-    base = tempfile.mkdtemp(prefix="bkt_r9_")
+    # Fixed session-scoped path (overwritten per run, never leaked —
+    # tempfile.mkdtemp here accumulated one bucketed copy of
+    # orders+lineitem per invocation; r9 ADVICE).
+    base = str(Path(tempfile.gettempdir()) / "vdbm_bkt_r9")
     spark.sql("DROP TABLE IF EXISTS bkt_r9_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_r9_lineitem")
     write_bucketed(
@@ -1043,19 +1047,24 @@ def x6_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM resid WHERE s = 'cal'
     ),
     q AS (
-      SELECT event_type, n_train, n_cal::BIGINT AS n_cal, r AS q
-      FROM cal WHERE k = ceil((n_cal + 1) * 0.9)
+      -- aggregate, not filter: a group whose rank exceeds n_cal keeps
+      -- its row with q NULL (no finite guarantee), mirroring the engine
+      SELECT event_type, max(n_train) AS n_train,
+             max(n_cal)::BIGINT AS n_cal,
+             max(CASE WHEN k = ceil((n_cal + 1) * 0.9) THEN r END) AS q
+      FROM cal GROUP BY 1
     ),
     t AS (SELECT event_type, r FROM resid WHERE s = 'test')
     SELECT q.event_type,
            max(q.n_train)::BIGINT AS n_train,
            max(q.n_cal)::BIGINT AS n_cal,
-           count(*)::BIGINT AS n_test,
+           count(t.r)::BIGINT AS n_test,
            round(max(q.q), 6) AS qhat,
-           round(sum(CASE WHEN t.r <= q.q THEN 1 ELSE 0 END)::DOUBLE
-                 / count(*), 6) AS coverage,
+           round(sum(CASE WHEN q.q IS NULL THEN NULL
+                          WHEN t.r <= q.q THEN 1 ELSE 0 END)::DOUBLE
+                 / count(t.r), 6) AS coverage,
            round(2.0 * max(q.q), 6) AS avg_width
-    FROM t JOIN q USING (event_type)
+    FROM q LEFT JOIN t USING (event_type)
     GROUP BY 1 ORDER BY 1
     """,
 )
@@ -1204,11 +1213,14 @@ def x6_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT *,
                  [ i for i in range(n)
                    if dist[i+1] = list_max(dist) ][1] AS bi
-          FROM rec WHERE rk < 8
+          -- list_max(dist) > 0 mirrors the engine's early stop: with
+          -- fewer than k distinct points the greedy loop halts once
+          -- the covering radius hits 0 (no duplicate centers)
+          FROM rec WHERE rk < 8 AND list_max(dist) > 0
         )
       )
     ),
-    fin AS (SELECT * FROM rec WHERE rk = 8)
+    fin AS (SELECT * FROM rec ORDER BY rk DESC LIMIT 1)
     SELECT (g.i + 1)::BIGINT AS center_rank,
            f.ids[f.sel[g.i + 1] + 1]::BIGINT AS vec_id,
            round(sqrt(f.rad[g.i + 1]::DOUBLE) / 10000.0, 6) AS radius
