@@ -3,12 +3,15 @@
 Images/audio/video ride through the pipeline as opaque ``binary``
 columns plus a metadata struct (modality, mime, width/height/duration).
 The Spark-side plumbing — schema, Arrow batch shape, partition sizing —
-is real and tested. Decode tiers: 16-bit PCM WAV decodes FOR REAL
-(:func:`wav_pcm_features` — stdlib ``wave`` + NumPy, no codec needed);
-compressed image/audio/video decode is STUBBED (no codec libraries in
-this container): ``decode_image`` raises ``NotImplementedError``
-unless given the deterministic fake decoder, which is what tests and
-oracles exercise.
+is real and tested. Decode tiers (all stdlib+NumPy, no codec library):
+16-bit PCM WAV (:func:`wav_pcm_features`), uncompressed BMP
+(:func:`bmp_decode_features`), PNG inflate (:func:`png_decode_features`),
+GIF LZW (:func:`gif_decode_features`), and baseline JPEG —
+SOF0 Huffman + dequant + IDCT + YCbCr, :func:`jpeg_decode_features` —
+are REAL and interop/spec-pinned; :func:`decode_image` dispatches
+JPEG/BMP payloads to them. Only resize still needs an image library
+(honest ``NotImplementedError``); :func:`fake_decoder` remains solely
+as the deterministic stand-in for text-payload plumbing tests.
 
 Scale notes: binary payloads dominate row size, so ops that don't need
 bytes must never deserialize them — feature extraction projects the
@@ -52,14 +55,45 @@ def attach_payload(
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - real decoder absent
-    """STUB — real image decode requires PIL/opencv, not present in
-    this container. The Spark plumbing calls a decoder with this
-    signature; swap in a real one in production."""
-    raise NotImplementedError(
-        "image decoding requires an image library (PIL/opencv); "
-        "use fake_decoder for tests"
+def decode_image(payload: bytes) -> dict:
+    """REAL image decode dispatcher (round 10) — no longer a stub:
+    JPEG payloads run the full baseline SOF0 pipeline
+    (:func:`jpeg_decode`), BMP payloads the uncompressed walk
+    (:func:`_bmp_pixels`); PNG/GIF have dedicated DataFrame-level
+    decoders (:func:`png_decode_features` / :func:`gif_decode_features`).
+    Returns the :func:`extract_features` contract: ``checksum`` = the
+    rolling hash over the decoded RGB bytes (decode-sensitive: one
+    wrong Huffman bit moves it) and a 4-dim ``feature`` of
+    (width, height, n_components, mean luma). Non-image payloads
+    raise ``ValueError`` — explicit, never silently wrong."""
+    b = bytes(payload)
+    if b[:2] == b"\xff\xd8":
+        rgb, nc = jpeg_decode(b)
+    elif b[:2] == b"BM":
+        bgr = _bmp_pixels(b)
+        if bgr is None:
+            raise ValueError("unsupported or corrupt BMP payload")
+        rgb = bgr[:, :, ::-1]
+        nc = 3
+    else:
+        raise ValueError(
+            "decode_image handles JPEG/BMP payloads; use "
+            "png_decode_features / gif_decode_features for PNG/GIF, "
+            "or pass an explicit decoder"
+        )
+    h, w = rgb.shape[:2]
+    checksum = 0
+    for byte in rgb.tobytes():
+        checksum = (checksum * 31 + byte) % _HASH_MOD
+    luma = (
+        0.299 * float(rgb[:, :, 0].mean())
+        + 0.587 * float(rgb[:, :, 1].mean())
+        + 0.114 * float(rgb[:, :, 2].mean())
     )
+    return {
+        "checksum": checksum,
+        "feature": [float(w), float(h), float(nc), luma],
+    }
 
 
 def fake_decoder(payload: bytes) -> dict:
@@ -87,9 +121,10 @@ def extract_features(
     """Decode / feature-extract over Arrow batches (``mapInPandas``).
 
     Batch shape: the iterator yields pandas frames whose ``payload``
-    column holds raw bytes; output conforms to FEATURE_SCHEMA. With no
-    decoder supplied the stub raises — making the missing-library
-    dependency explicit rather than silently wrong.
+    column holds raw bytes; output conforms to FEATURE_SCHEMA. The
+    default decoder is the REAL :func:`decode_image` (JPEG/BMP); it
+    raises on non-image payloads — explicit rather than silently
+    wrong.
     """
     dec = decoder or decode_image
 
@@ -1523,5 +1558,531 @@ def zip_members_features(
     schema = (
         "shard_id long, member_name string, method int, size long, "
         "comp_size long, content_md5 string, crc_ok boolean"
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+# ------------------------------------------------------------------ JPEG
+# REAL baseline JPEG (ITU T.81 SOF0) codec in stdlib+NumPy — the
+# fourth real decode tier after BMP / PNG / GIF, and the most common
+# image format on any real training corpus. The encoder exists for
+# fixtures and demos (like gif_encode / png_encode); the decoder is
+# table-driven (Huffman + quant tables are READ from the file's
+# DHT/DQT segments, never shared constants with the encoder) and is
+# additionally pinned in tests against a bitstream hand-assembled
+# from the spec's Annex K tables, independent of jpeg_encode.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU T.81 Annex K.3 typical Huffman tables (public spec constants).
+# BITS = number of codes per length 1..16; HUFFVAL = symbols in code
+# order. Used by the ENCODER only — the decoder rebuilds its tables
+# from the DHT segments of whatever file it is given.
+_K3_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_K3_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman assignment per T.81 C.2: symbol -> (code, len)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    c[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return c  # C @ s @ C.T = DCT coefficients; C.T @ S @ C = inverse
+
+
+def _round_half_up(a):
+    import numpy as np
+
+    return np.sign(a) * np.floor(np.abs(a) + 0.5)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F >> (7 - ((8 - self.n) % 8)), (8 - self.n) % 8)
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int) -> tuple:
+    """Magnitude category + extension bits for a DC diff / AC coeff
+    (T.81 F.1.2.1): negative values encode as v + 2^s - 1."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def jpeg_encode(px, *, qtable=None, restart_interval: int = 0) -> bytes:
+    """Minimal REAL baseline JPEG (SOF0) encoder for fixtures and
+    demos: grayscale (h, w) or RGB (h, w, 3) uint8 input, 4:4:4 (no
+    subsampling), Annex K.3 luminance Huffman tables for every
+    component, one quant table (default: all ones — DC-only inputs
+    then round-trip exactly), MCU-edge replicate padding, real byte
+    stuffing, optional DRI/RSTn restart markers. Output decodes in
+    any baseline JPEG decoder."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.int64)
+    gray = a.ndim == 2
+    if gray:
+        a = a[:, :, None]
+    h, w, ncomp = a.shape
+    if ncomp not in (1, 3):
+        raise ValueError("expected grayscale or RGB input")
+    q = np.ones((8, 8), dtype=np.int64) if qtable is None else np.asarray(
+        qtable, dtype=np.int64
+    ).reshape(8, 8)
+
+    if ncomp == 3:
+        r, g, b = a[:, :, 0].astype(float), a[:, :, 1].astype(float), a[
+            :, :, 2
+        ].astype(float)
+        y = _round_half_up(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = _round_half_up(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = _round_half_up(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+    else:
+        planes = [a[:, :, 0].astype(float)]
+
+    # pad to 8-multiples by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+
+    dc_map = _huff_codes(*_K3_DC_LUMA)
+    ac_map = _huff_codes(*_K3_AC_LUMA)
+    C = _dct_matrix()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (Pq=0 8-bit, Tq=0)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+    out += bytes(int(q.reshape(-1)[_ZIGZAG[i]]) for i in range(64))
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, qtable 0
+    # DHT: DC table 0 + AC table 0
+    for cls, (bits, vals) in ((0, _K3_DC_LUMA), (1, _K3_AC_LUMA)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    out += b"\x00\x3f\x00"  # spectral 0..63, no approximation
+
+    wtr = _JpegBitWriter()
+    pred = [0] * ncomp
+    mcu_i = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                out += wtr.flush()
+                out += bytes(
+                    [0xFF, 0xD0 + ((mcu_i // restart_interval) - 1) % 8]
+                )
+                wtr = _JpegBitWriter()
+                pred = [0] * ncomp
+            mcu_i += 1
+            for ci, plane in enumerate(planes):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = C @ (blk - 128.0) @ C.T
+                qc = _round_half_up(coef / q).astype(np.int64)
+                zz = qc.reshape(-1)[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s, bitsv = _mag_bits(diff)
+                code, ln = dc_map[s]
+                wtr.put(code, ln)
+                if s:
+                    wtr.put(bitsv, s)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_map[0xF0]  # ZRL
+                        wtr.put(code, ln)
+                        run -= 16
+                    s, bitsv = _mag_bits(v)
+                    code, ln = ac_map[(run << 4) | s]
+                    wtr.put(code, ln)
+                    wtr.put(bitsv, s)
+                    run = 0
+                if run:
+                    code, ln = ac_map[0x00]  # EOB
+                    wtr.put(code, ln)
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an unstuffed entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit cursor
+
+    def bit(self) -> int:
+        i = self.pos
+        if (i >> 3) >= len(self.data):
+            raise ValueError("truncated entropy segment")
+        self.pos += 1
+        return (self.data[i >> 3] >> (7 - (i & 7))) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s raw bits to a signed coefficient."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_decode(payload: bytes):
+    """REAL baseline JPEG decoder (ITU T.81 sequential DCT, SOF0/SOF1):
+    marker walk, DQT (8/16-bit) and DHT parsed FROM THE FILE, Huffman
+    entropy decode (DC prediction + EXTEND, AC run-length with
+    ZRL/EOB), byte unstuffing, DRI/RSTn restart handling, dequantize,
+    un-zigzag, exact float IDCT (vectorized across all blocks), level
+    shift, and JFIF YCbCr->RGB for 3-component scans. Supported
+    surface: 8-bit precision, 1 or 3 components, no subsampling
+    (4:4:4) — the fixture shape and the dominant ML-corpus shape
+    after re-encode; progressive (SOF2) or subsampled files raise
+    ``ValueError`` (callers surface NULL rows — never a misparse).
+
+    Returns ``(rgb, n_components)`` where rgb is (h, w, 3) uint8.
+    """
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict = {}
+    htables: dict = {}  # (class, id) -> {(len, code): symbol}
+    frame = None
+    restart_interval = 0
+    inv_zz = [0] * 64
+    for i, z in enumerate(_ZIGZAG):
+        inv_zz[z] = i
+
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        seg = b[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                sp += 1
+                if pq:
+                    raw = struct.unpack_from(">64H", seg, sp)
+                    sp += 128
+                else:
+                    raw = seg[sp : sp + 64]
+                    sp += 64
+                t = np.zeros(64, dtype=np.int64)
+                for i in range(64):
+                    t[_ZIGZAG[i]] = raw[i]
+                qtables[tq] = t.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0x0F
+                bits = list(seg[sp + 1 : sp + 17])
+                nv = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + nv])
+                table, code, k = {}, 0, 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htables[(tc, th)] = table
+                sp += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                if hv != 0x11:
+                    raise ValueError("subsampled JPEG not supported")
+                comps.append({"id": cid, "tq": tq})
+            if nc not in (1, 3):
+                raise ValueError("only 1 or 3 components supported")
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arith)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                comp = next(
+                    c for c in frame["comps"] if c["id"] == cs
+                )
+                scan.append(
+                    {"comp": comp, "dc": tt >> 4, "ac": tt & 0x0F}
+                )
+            # unstuff the entropy-coded data, splitting at RSTn
+            ep = pos + seglen
+            segments, cur = [], bytearray()
+            while ep + 1 < len(b):
+                byte = b[ep]
+                if byte != 0xFF:
+                    cur.append(byte)
+                    ep += 1
+                    continue
+                nxt = b[ep + 1]
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    ep += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    ep += 2
+                else:
+                    break  # a real marker ends the scan
+            segments.append(bytes(cur))
+            return _jpeg_decode_scan(
+                frame, scan, segments, qtables, htables,
+                restart_interval, inv_zz,
+            )
+        pos += seglen
+    raise ValueError("no SOS marker found")
+
+
+def _jpeg_decode_scan(
+    frame, scan, segments, qtables, htables, ri, inv_zz
+):
+    import numpy as np
+
+    h, w = frame["h"], frame["w"]
+    nc = len(scan)
+    bw, bh = -(-w // 8), -(-h // 8)
+    n_mcu = bw * bh
+    coeffs = np.zeros((n_mcu, nc, 64), dtype=np.int64)
+    pred = [0] * nc
+    seg_i = 0
+    rdr = _JpegBitReader(segments[0])
+    for m in range(n_mcu):
+        if ri and m and m % ri == 0:
+            seg_i += 1  # RSTn: byte-align + reset DC prediction
+            if seg_i >= len(segments):
+                raise ValueError("missing restart segment")
+            rdr = _JpegBitReader(segments[seg_i])
+            pred = [0] * nc
+        for ci, sc in enumerate(scan):
+            dct = htables.get((0, sc["dc"]))
+            act = htables.get((1, sc["ac"]))
+            if dct is None or act is None:
+                raise ValueError("missing Huffman table")
+            s = rdr.huff(dct)
+            diff = _extend(rdr.bits(s), s) if s else 0
+            pred[ci] += diff
+            coeffs[m, ci, 0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = rdr.huff(act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                coeffs[m, ci, k] = _extend(rdr.bits(s), s)
+                k += 1
+    # dequantize + un-zigzag + one vectorized IDCT over all blocks
+    C = _dct_matrix()
+    planes = []
+    for ci, sc in enumerate(scan):
+        q = qtables.get(sc["comp"]["tq"])
+        if q is None:
+            raise ValueError("missing quant table")
+        dq = coeffs[:, ci, :][:, inv_zz].reshape(n_mcu, 8, 8) * q[None]
+        spatial = np.einsum(
+            "ux,muv,vy->mxy", C, dq.astype(np.float64), C
+        )
+        px = np.clip(_round_half_up(spatial) + 128, 0, 255)
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        for m in range(n_mcu):
+            by, bx = divmod(m, bw)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px[m]
+        planes.append(plane[:h, :w])
+    if nc == 1:
+        g = planes[0]
+        return np.stack([g, g, g], axis=-1), 1
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = np.clip(_round_half_up(y + 1.402 * cr), 0, 255)
+    g = np.clip(
+        _round_half_up(y - 0.344136 * cb - 0.714136 * cr), 0, 255
+    )
+    b = np.clip(_round_half_up(y + 1.772 * cb), 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8), 3
+
+
+def jpeg_decode_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL JPEG decode (round 10) — the fourth real decode tier
+    after BMP, PNG, and GIF, and the format that dominates any real
+    image corpus: full SOF0 pipeline (marker walk, file-driven
+    DQT/DHT, Huffman entropy decode with DC prediction and EXTEND,
+    restart markers, dequant, un-zigzag, exact float IDCT, JFIF
+    YCbCr->RGB) on actual entropy-coded bytes. Unsupported shapes
+    (progressive, subsampled) and corrupt streams yield NULL rows —
+    never a misparse.
+
+    Features per image: dimensions, component count, pixel count,
+    per-channel byte sums and the top-left pixel — one wrong Huffman
+    bit or IDCT slip moves the sums. Same Arrow-batched
+    ``mapInPandas`` shape as the other decoders; payload bytes never
+    leave the executor."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {
+                    "doc_id": int(doc_id), "width": None, "height": None,
+                    "n_components": None, "n_pixels": None,
+                    "sum_r": None, "sum_g": None, "sum_b": None,
+                    "px00_r": None, "px00_g": None, "px00_b": None,
+                }
+                try:
+                    rgb, nc = jpeg_decode(bytes(payload))
+                    hh, ww = rgb.shape[:2]
+                    row.update(
+                        width=int(ww), height=int(hh),
+                        n_components=int(nc),
+                        n_pixels=int(ww) * int(hh),
+                        sum_r=int(rgb[:, :, 0].sum(dtype="int64")),
+                        sum_g=int(rgb[:, :, 1].sum(dtype="int64")),
+                        sum_b=int(rgb[:, :, 2].sum(dtype="int64")),
+                        px00_r=int(rgb[0, 0, 0]),
+                        px00_g=int(rgb[0, 0, 1]),
+                        px00_b=int(rgb[0, 0, 2]),
+                    )
+                except Exception:
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, width int, height int, n_components int, "
+        "n_pixels long, sum_r long, sum_g long, sum_b long, "
+        "px00_r int, px00_g int, px00_b int"
     )
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)

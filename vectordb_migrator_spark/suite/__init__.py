@@ -36,6 +36,7 @@ from vectordb_migrator_spark.suite import s10_round8_a  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s10_round8_b  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s10_round8_c  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s11_round9  # noqa: F401,E402
+from vectordb_migrator_spark.suite import s12_round10  # noqa: F401,E402
 
 # =====================================================================
 # =====================================================================
@@ -101,6 +102,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # the 1 rows-only backlog name (driver records a rows-only row)
     "x5_compression_ratio",
     # --- (b) NEW round-10 queries (inserted as they land) ---
+    "x6_jpeg_decode",
     # ----- 50-window boundary -----
 ]
 
