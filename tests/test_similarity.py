@@ -1486,3 +1486,110 @@ def test_mmr_rerank_guards_the_driver_collect(spark):
     # explicit raise of the cap lets a genuinely large shortlist pass
     out = mmr_rerank(big, k=3, max_candidates=50).collect()
     assert len(out) == 3
+
+
+def test_knn_graph_beam_recall_matches_python_replica(spark):
+    import hashlib
+
+    from vectordb_migrator_spark.operators.similarity import (
+        knn_graph_beam_recall,
+    )
+
+    # 2-D planted points, ids 0..39; replicate the exact fixed-point
+    # walk in pure Python and compare every reported row
+    pts = [(i, [float((i * 13) % 40) / 7.0, float((i * 29) % 40) / 5.0])
+           for i in range(40)]
+    probe = [1.0, 2.0]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = [
+        tuple(r)
+        for r in knn_graph_beam_recall(
+            df, probe, k=5, degree=3, beam_width=4, hops=4,
+            report_hops=(1, 4), n_entries=2, sample_size=16, seed=7,
+        ).collect()
+    ]
+
+    def fx(v):
+        return [
+            int(x * 10000 + 0.5) if x >= 0 else -int(-x * 10000 + 0.5)
+            for x in v
+        ]
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    pfx = fx(probe)
+    # float32 storage: replicate via Spark's cast by reading back doubles
+    stored = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in df.collect()
+    }
+    samp = sorted(
+        stored,
+        key=lambda i: (hashlib.md5(f"{i}:kg:7".encode()).hexdigest(), i),
+    )[:16]
+    v = {i: fx(stored[i]) for i in samp}
+    qd = {i: sqd(v[i], pfx) for i in samp}
+    edges = {}
+    for a in samp:
+        nb = sorted((sqd(v[a], v[b]), b) for b in samp if b != a)
+        edges[a] = [b for _, b in nb[:3]]
+    entries = sorted(
+        samp,
+        key=lambda i: (hashlib.md5(f"{i}:kgentry:7".encode()).hexdigest(), i),
+    )[:2]
+    truth = set(sorted(samp, key=lambda i: (qd[i], i))[:5])
+    beam, visited = set(entries), set(entries)
+    expect = []
+    for t in range(1, 5):
+        exp = {b for a in beam for b in edges[a]}
+        visited |= exp
+        beam = set(sorted(beam | exp, key=lambda i: (qd[i], i))[:4])
+        if t in (1, 4):
+            res = set(sorted(beam, key=lambda i: (qd[i], i))[:5])
+            hits = len(res & truth)
+            expect.append(
+                (16, 16 * 3, 2, 4, t, len(visited), hits,
+                 round(hits / 5.0, 6))
+            )
+    assert got == expect
+
+
+def test_knn_graph_beam_walks_a_planted_line(spark):
+    from vectordb_migrator_spark.operators.similarity import (
+        knn_graph_beam_recall,
+    )
+
+    # points on a line: the k-NN graph is a chain, so recall@k REQUIRES
+    # walking — shallow walks miss, deep walks reach the probe's end
+    pts = [(i, [float(i), 0.0]) for i in range(20)]
+    probe = [19.0, 0.0]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    rows = {
+        r["hops"]: r
+        for r in knn_graph_beam_recall(
+            df, probe, k=3, degree=2, beam_width=3, hops=20,
+            report_hops=(1, 20), n_entries=1, sample_size=20, seed=7,
+        ).collect()
+    }
+    assert rows[1]["recall_at_k"] < 1.0  # can't cross the chain in 1 hop
+    assert rows[20]["recall_at_k"] == 1.0  # full walk reaches the far end
+    assert rows[20]["n_visited"] <= 20
+    # visited grows monotonically with depth
+    assert rows[1]["n_visited"] <= rows[20]["n_visited"]
+
+
+def test_knn_graph_beam_recall_validates_params(spark):
+    import pytest
+
+    from vectordb_migrator_spark.operators.similarity import (
+        knn_graph_beam_recall,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="hops"):
+        knn_graph_beam_recall(df, [0.0, 0.0], hops=0)
+    with pytest.raises(ValueError, match="report_hops"):
+        knn_graph_beam_recall(df, [0.0, 0.0], hops=2, report_hops=(3,))

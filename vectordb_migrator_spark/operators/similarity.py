@@ -1824,3 +1824,186 @@ def rvq_error_report(
         F.round(F.max("d2"), 6).alias("mse_max"),
     )
     return s1.unionByName(s2).orderBy("stage")
+
+
+def knn_graph_beam_recall(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    k: int = 10,
+    degree: int = 6,
+    beam_width: int = 8,
+    hops: int = 3,
+    report_hops: tuple | None = None,
+    n_entries: int = 2,
+    sample_size: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+    seed: int = 7,
+) -> DataFrame:
+    """Graph-ANN recall certificate (round 10) — the HNSW/NSW family
+    every modern vector DB defaults to, reduced to its testable core:
+    build an exact k-NN GRAPH over a bounded node set, greedy
+    BEAM-SEARCH route a probe through it from fixed entry points, and
+    report recall@k against the exact truth plus the visited-node
+    count — the structural trade (recall bought by walking a fraction
+    of the graph instead of scanning everything) that graph indexes
+    exist for.
+
+    Determinism by construction (the kcenter/rabitq recipe): nodes
+    are a fixed md5-rank sample, coordinates quantize to int64 fixed
+    point at ``scale``, ALL distances are exact int64 squared L2, and
+    every ranking breaks ties by ascending id — so graph edges, the
+    beam trajectory, and the final top-k replay bit-for-bit on any
+    engine (full SQL oracle via hop-unrolled CTEs).
+
+    Semantics per hop ``t``: candidates = beam ∪ out-neighbors(beam);
+    beam = the ``beam_width`` candidates nearest the probe (beam is
+    re-ranked WITH its expansions, so the best-so-far never drops).
+    Entry points are the ``n_entries`` smallest md5 ranks under an
+    independent salt. ``n_visited`` counts distinct nodes whose
+    probe-distance the walk evaluated (entries + every expansion).
+
+    Scale shape: the O(n²) graph build runs on the bounded sample
+    (broadcast self-join — at 100 TB graph construction is its own
+    blocked/recursive pipeline; this certificate verifies the ROUTING
+    math); each hop is one broadcast join + one top-B window over
+    at most beam·(degree+1) rows; ``hops`` is a fixed unroll, so the
+    whole walk is one declarative plan — zero driver loops over data.
+
+    Returns one row per reported depth — (n_nodes, n_edges,
+    n_entries, beam_width, hops, n_visited, n_hits, recall_at_k) —
+    for each ``t`` in ``report_hops`` (default: just ``hops``). The
+    walk runs ONCE to max depth and snapshots at the reported hops
+    (a beam at depth 4 extends the depth-2 beam, so snapshots of one
+    walk equal independent shorter walks), giving the
+    recall-vs-visited curve for the cost of the deepest walk.
+    """
+    if hops < 1 or beam_width < 1 or degree < 1:
+        raise ValueError("need hops, beam_width, degree >= 1")
+    report = tuple(report_hops) if report_hops else (hops,)
+    if any(t < 0 or t > hops for t in report):
+        raise ValueError("report_hops must lie in [0, hops]")
+    pfix = [
+        int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5)
+        for x in probe
+    ]
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":kg:{seed}")))
+    xint = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.when(x >= 0, F.floor(x * scale + F.lit(0.5)))
+        .otherwise(-F.floor(-x * scale + F.lit(0.5)))
+        .cast("long"),
+    )
+    plit = F.array(*[F.lit(v).cast("long") for v in pfix])
+    qd = F.aggregate(
+        F.zip_with(F.col("__x"), plit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    samp = (
+        df.select(F.col(id_col).alias("__id"), xint.alias("__x"), key.alias("__k"))
+        .orderBy("__k", "__id")
+        .limit(sample_size)
+        .select("__id", "__x", qd.alias("__qd"))
+        .localCheckpoint(eager=True)  # sample once; graph + truth + walk reuse it
+    )
+    # exact k-NN graph over the sample: broadcast self-join, top-degree
+    # outgoing edges per node by (distance, dst id)
+    b = F.broadcast(
+        samp.select(F.col("__id").alias("dst"), F.col("__x").alias("__xb"))
+    )
+    pair_d = F.aggregate(
+        F.zip_with(F.col("__x"), F.col("__xb"), lambda p, q: (p - q) * (p - q)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    erk = F.row_number().over(
+        W.partitionBy("src").orderBy("__d", "dst")
+    )
+    edges = (
+        samp.select(F.col("__id").alias("src"), "__x")
+        .join(b, F.col("src") != F.col("dst"))
+        .select("src", "dst", pair_d.alias("__d"))
+        .withColumn("__rk", erk)
+        .filter(F.col("__rk") <= degree)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # the index build, materialized once
+    )
+    ekey = F.md5(
+        F.concat(F.col("__id").cast("string"), F.lit(f":kgentry:{seed}"))
+    )
+    beam = (
+        samp.select("__id", "__qd", ekey.alias("__e"))
+        .orderBy("__e", "__id")
+        .limit(n_entries)
+        .select("__id", "__qd")
+    )
+    nodes = samp.select("__id", "__qd")
+    visited = beam
+    brk = F.row_number().over(W.partitionBy().orderBy("__qd", "__id"))
+    truth = (
+        nodes.withColumn("__rk", brk).filter(F.col("__rk") <= k).select("__id")
+    )
+    ne = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    nn = samp.agg(F.count("*").cast("long").alias("n_nodes"))
+
+    def snapshot(t: int, beam_t: DataFrame, visited_t: DataFrame) -> DataFrame:
+        result = (
+            beam_t.withColumn("__rk", brk)
+            .filter(F.col("__rk") <= k)
+            .select("__id")
+        )
+        hits = result.join(truth, "__id", "left_semi").agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        nv = visited_t.select("__id").distinct().agg(
+            F.count("*").cast("long").alias("n_visited")
+        )
+        return (
+            nn.crossJoin(ne)
+            .crossJoin(nv)
+            .crossJoin(hits)
+            .select(
+                "n_nodes",
+                "n_edges",
+                F.lit(n_entries).cast("long").alias("n_entries"),
+                F.lit(beam_width).cast("long").alias("beam_width"),
+                F.lit(t).cast("long").alias("hops"),
+                "n_visited",
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(float(k)), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+
+    out = snapshot(0, beam, visited) if 0 in report else None
+    for t in range(1, hops + 1):
+        expand = (
+            beam.select(F.col("__id").alias("src"))
+            .join(F.broadcast(edges), "src")
+            .select(F.col("dst").alias("__id"))
+            .join(F.broadcast(nodes), "__id")
+            .select("__id", "__qd")
+        )
+        visited = visited.unionByName(expand)
+        beam = (
+            beam.unionByName(expand)
+            .distinct()
+            .withColumn("__rk", brk)
+            .filter(F.col("__rk") <= beam_width)
+            .select("__id", "__qd")
+        )
+        # truncate lineage: each hop nests a union+distinct+window
+        # under the last, and past a few hops Catalyst re-analysis of
+        # the deepening plan dominates the (tiny) data work. The
+        # frames are beam-sized, so checkpointing is cheap.
+        if t % 3 == 0 and t < hops:
+            beam = beam.localCheckpoint(eager=True)
+            visited = visited.localCheckpoint(eager=True)
+        if t in report:
+            snap = snapshot(t, beam, visited)
+            out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("hops")

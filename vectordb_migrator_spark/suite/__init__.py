@@ -103,6 +103,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_compression_ratio",
     # --- (b) NEW round-10 queries (inserted as they land) ---
     "x6_jpeg_decode",
+    "x4_knn_graph_recall",
     # ----- 50-window boundary -----
 ]
 

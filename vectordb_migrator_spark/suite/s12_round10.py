@@ -103,3 +103,117 @@ def x6_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(gen, schema="doc_id long, payload binary")
     )
     return jpeg_decode_features(payloads).orderBy("doc_id")
+
+
+def _kg_sql() -> str:
+    """Hop-unrolled DuckDB oracle for x4_knn_graph_recall: the md5
+    sample, the exact int64 k-NN graph, the beam walk at hops 2/4/6,
+    and the visited-node accounting, all replayed in SQL."""
+    fx = (
+        "list_transform({col}, x -> (CASE WHEN x >= 0 THEN "
+        "floor(x * 10000.0 + 0.5) ELSE -floor(-x * 10000.0 + 0.5) "
+        "END)::BIGINT)"
+    )
+    d2 = (
+        "list_sum([ ({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1]) "
+        "for i in range(64) ])::BIGINT"
+    )
+    hop = """
+    b{t} AS MATERIALIZED (
+      SELECT id, qd FROM (
+        SELECT id, qd, row_number() OVER (ORDER BY qd, id) AS rk
+        FROM (
+          SELECT DISTINCT id, qd FROM (
+            SELECT id, qd FROM b{p}
+            UNION ALL
+            SELECT q.id, q.qd
+            FROM b{p} JOIN edges e ON e.src = b{p}.id
+                      JOIN qd q ON q.id = e.dst))
+      ) WHERE rk <= 12
+    ),
+    v{t} AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT id FROM v{p}
+        UNION ALL
+        SELECT e.dst AS id FROM b{p} JOIN edges e ON e.src = b{p}.id)
+    )"""
+    mode = """
+    SELECT (SELECT count(*) FROM samp)::BIGINT AS n_nodes,
+           (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+           2::BIGINT AS n_entries,
+           12::BIGINT AS beam_width,
+           {t}::BIGINT AS hops,
+           (SELECT count(*) FROM v{t})::BIGINT AS n_visited,
+           (SELECT count(*) FROM (
+              SELECT id FROM (
+                SELECT id, row_number() OVER (ORDER BY qd, id) AS rk
+                FROM b{t}) WHERE rk <= 10) r
+            JOIN truth USING (id))::BIGINT AS n_hits,
+           round((SELECT count(*) FROM (
+              SELECT id FROM (
+                SELECT id, row_number() OVER (ORDER BY qd, id) AS rk
+                FROM b{t}) WHERE rk <= 10) r
+            JOIN truth USING (id)) / 10.0, 6) AS recall_at_k"""
+    hops = "".join(
+        "," + hop.format(t=t, p=t - 1) for t in range(1, 7)
+    )
+    modes = " UNION ALL ".join(mode.format(t=t) for t in (2, 4, 6))
+    return f"""
+    WITH p AS (
+      SELECT {fx.format(col="(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)")} AS pv
+    ),
+    samp AS MATERIALIZED (
+      SELECT vec_id AS id, {fx.format(col="embedding::DOUBLE[]")} AS v
+      FROM embeddings
+      ORDER BY md5(vec_id::VARCHAR || ':kg:7'), vec_id LIMIT 256
+    ),
+    qd AS MATERIALIZED (
+      SELECT s.id, {d2.format(a="s.v", b="p.pv")} AS qd FROM samp s, p
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT a.id AS src, b.id AS dst,
+               row_number() OVER (PARTITION BY a.id
+                 ORDER BY {d2.format(a="a.v", b="b.v")}, b.id) AS rk
+        FROM samp a JOIN samp b ON a.id <> b.id)
+      WHERE rk <= 6
+    ),
+    b0 AS MATERIALIZED (
+      SELECT id, qd FROM qd
+      ORDER BY md5(id::VARCHAR || ':kgentry:7'), id LIMIT 2
+    ),
+    v0 AS (SELECT id FROM b0),
+    truth AS MATERIALIZED (
+      SELECT id FROM (
+        SELECT id, row_number() OVER (ORDER BY qd, id) AS rk FROM qd)
+      WHERE rk <= 10
+    ){hops}
+    SELECT * FROM ({modes}) ORDER BY hops
+    """
+
+
+@query("x4_knn_graph_recall", _kg_sql())
+def x4_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — graph-ANN recall certificate (round 10): the HNSW/NSW
+    family every modern vector DB defaults to (including the
+    reference's Qdrant backend, whose hnsw_config the connector
+    plumbs through), reduced to its testable core — an exact k-NN
+    graph over a bounded md5 sample, greedy beam-search routing from
+    fixed entry points, and the recall@10-vs-visited-nodes curve at
+    hops 2/4/6: the walk visits a FRACTION of the graph and recall
+    climbs with walk depth, which is the structural trade graph
+    indexes exist for. All arithmetic is int64 fixed point with
+    id-ascending ties, so graph edges, the beam trajectory, and the
+    final top-k replay bit-for-bit in the hop-unrolled SQL oracle
+    (operators/similarity.py:knn_graph_beam_recall)."""
+    from vectordb_migrator_spark.operators.similarity import (
+        knn_graph_beam_recall,
+    )
+    from vectordb_migrator_spark.suite._shared import _probe_vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    return knn_graph_beam_recall(
+        emb, probe, hops=6, report_hops=(2, 4, 6), beam_width=12,
+        degree=6, n_entries=2, sample_size=256, k=10, seed=7,
+    )
