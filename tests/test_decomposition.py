@@ -338,3 +338,68 @@ def test_rabitq_estimator_corr_constant_and_exact_case(spark):
 
     with pytest.raises(ValueError):
         rabitq_estimate_report(df, probe, d=63)
+
+
+def test_power_iteration_pc1_matches_python_replica(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.decomposition import (
+        power_iteration_pc1,
+    )
+
+    # planted dominant direction: dim 2 has 10x the variance
+    rng = np.random.RandomState(11)
+    x = rng.randn(200, 8)
+    x[:, 2] *= 10.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "id long, embedding array<float>",
+    )
+    got = power_iteration_pc1(df, d=8, iters=8).first()
+
+    # exact pure-Python replica of the integer trajectory (reads the
+    # float32-stored values back, like the engine does)
+    stored = np.array(
+        [r["embedding"] for r in df.orderBy("id").collect()], dtype=np.float64
+    )
+    xi = np.where(
+        stored >= 0,
+        np.floor(stored * 100 + 0.5),
+        -np.floor(-stored * 100 + 0.5),
+    ).astype(object)  # python ints -> no overflow anywhere
+    n = len(xi)
+    sx = xi.sum(axis=0)
+    c = n * (xi.T @ xi) - np.outer(sx, sx)
+    m = int(abs(c).max())
+    g = max(1, m >> 18)
+    b = np.vectorize(lambda v: (v // g) if v >= 0 else -((-v) // g))(c)
+    prev = cur = np.array([10_000] * 8, dtype=object)
+    for _ in range(8):
+        w = b @ cur
+        mw = int(abs(w).max())
+        if mw <= 0:
+            break
+        prev, cur = cur, np.vectorize(
+            lambda v: (v * 10_000) // mw
+            if v >= 0
+            else -(((-v) * 10_000) // mw)
+        )(w)
+    vtv, ptp = int(cur @ cur), int(prev @ prev)
+    vp, vbv = int(cur @ prev), int(cur @ (b @ cur))
+    trace = int(np.trace(b))
+    assert got["n"] == n
+    assert got["evr1"] == round(float(vbv) / float(vtv) / float(trace), 6)
+    assert got["align"] == round(
+        float(vp) / float(np.sqrt(float(vtv) * float(ptp))), 6
+    )
+    assert got["top_dim"] == 2  # the planted dominant direction
+    assert got["evr1"] > 0.9  # 10x-variance dim dominates the trace
+    assert abs(got["align"]) > 0.999  # converged
+
+    # degenerate scatter -> NULL metrics, never a division error
+    const = spark.createDataFrame(
+        [(i, [3.0] * 8) for i in range(5)], "id long, embedding array<float>"
+    )
+    r = power_iteration_pc1(const, d=8).first()
+    assert r["evr1"] is None and r["align"] is None
+    assert r["top_dim"] is None and r["top_loading"] is None

@@ -571,3 +571,210 @@ def rabitq_estimate_report(
             f"recall_at_{k}"
         ),
     )
+
+
+def power_iteration_pc1(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    d: int = 64,
+    iters: int = 8,
+    coord_scale: int = 100,
+    vec_scale: int = 10_000,
+    b_shift: int = 18,
+) -> DataFrame:
+    """Fixed-point power iteration for the dominant principal
+    component (round 10) — the engine-exact anchor for the PCA family
+    (the LAPACK-gauge caveat that keeps x9_pca_evr rows-only does not
+    apply here): the whole pipeline is integer arithmetic with a
+    pinned iteration count, so the trajectory replays bit-for-bit on
+    any engine, the way the fixed-point Lloyd unroll anchored PQ.
+
+    Construction: coordinates quantize at ``coord_scale``; the exact
+    centered scatter ``C = n·Σxxᵀ − (Σx)(Σx)ᵀ`` accumulates as int64
+    (associative — partition order cannot change it); C rescales by
+    the integer division ``g = max(1, max|C| >> b_shift)`` to keep
+    every later product inside both int64 and the 2⁵³ double-exact
+    window; the iterate renormalizes each step to ``vec_scale`` by
+    exact integer division (ties and signs explicit). Reported
+    metrics: ``evr1`` = Rayleigh quotient of the final iterate over
+    trace (the explained-variance ratio of PC1), ``align`` = cosine
+    between the last two iterates (convergence certificate ≈ 1), and
+    the argmax loading coordinate — all computed from exact integers,
+    with only the final divisions in IEEE doubles.
+
+    Scale shape: the scatter is the classic partial-reduce — each
+    Arrow batch computes its LOCAL integer XᵀX (one NumPy matmul) and
+    partitions emit one d² partial, so O(partitions·d²) bytes move,
+    never O(N·d²); the entire ``iters``-step loop then runs inside
+    ONE ``F.aggregate`` expression on that single row — zero per-step
+    jobs. Degenerate input (zero scatter) yields NULL metrics, never
+    a division error.
+
+    Returns one row: (n, d, iters, evr1, align, top_dim, top_loading).
+    """
+    if iters < 1:
+        raise ValueError("need iters >= 1")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            xi = np.where(
+                x >= 0,
+                np.floor(x * coord_scale + 0.5),
+                -np.floor(-x * coord_scale + 0.5),
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "sxx": [(xi.T @ xi).reshape(-1)],
+                    "sx": [xi.sum(axis=0, dtype=np.int64)],
+                    "n": [len(pdf)],
+                }
+            )
+
+    import pandas as pd  # noqa: F401 — kernel type annotation
+
+    partials = df.select(vec_col).mapInPandas(
+        kernel, schema=f"sxx array<long>, sx array<long>, n long"
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), d * d)
+    zeros_d = F.array_repeat(F.lit(0).cast("long"), d)
+    one = partials.agg(
+        F.aggregate(
+            F.collect_list("sxx"), zeros,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("sxx"),
+        F.aggregate(
+            F.collect_list("sx"), zeros_d,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("sx"),
+        F.sum("n").cast("long").alias("n"),
+    )
+
+    seq_d = F.sequence(F.lit(0), F.lit(d - 1))
+    seq_dd = F.sequence(F.lit(0), F.lit(d * d - 1))
+
+    # exact centered scatter C[k] = n*sxx[k] - sx[i]*sx[j], k = i*d+j
+    cexp = F.transform(
+        seq_dd,
+        lambda k: F.col("n") * F.element_at(F.col("sxx"), k + 1)
+        - F.element_at(F.col("sx"), F.floor(k / d).cast("int") + 1)
+        * F.element_at(F.col("sx"), (k % d).cast("int") + 1),
+    )
+    one = one.select("n", cexp.alias("c"))
+    m = F.array_max(F.transform(F.col("c"), F.abs))
+    g = F.greatest(F.lit(1).cast("long"), F.shiftright(m, b_shift))
+
+    def idiv(a, q):
+        # exact integer floor division for a >= 0: (a - a % q) / q is
+        # an exact integer and both operands stay inside 2^53
+        return ((a - a % q) / q).cast("long")
+
+    bexp = F.transform(
+        F.col("c"),
+        lambda x: F.when(x >= 0, idiv(x, g)).otherwise(-idiv(-x, g)),
+    )
+    one = one.select("n", "c", m.alias("cmax"), bexp.alias("b"))
+
+    def matvec(v):
+        return F.transform(
+            seq_d,
+            lambda i: F.aggregate(
+                seq_d,
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.element_at(F.col("b"), i * d + j + 1)
+                * F.element_at(v, j + 1),
+            ),
+        )
+
+    v0 = F.array_repeat(F.lit(vec_scale).cast("long"), d)
+    state0 = F.struct(v0.alias("prev"), v0.alias("cur"))
+
+    def step(acc, _):
+        w = matvec(acc["cur"])
+        mw = F.array_max(F.transform(w, F.abs))
+        scaled = F.transform(
+            w,
+            lambda x: F.when(
+                x >= 0, idiv(x * vec_scale, mw)
+            ).otherwise(-idiv(-x * vec_scale, mw)),
+        )
+        return F.when(
+            mw <= 0, acc
+        ).otherwise(F.struct(acc["cur"].alias("prev"), scaled.alias("cur")))
+
+    fin = F.aggregate(F.sequence(F.lit(1), F.lit(iters)), state0, step)
+    one = one.select("n", "b", "cmax", fin["prev"].alias("pv"),
+                     fin["cur"].alias("cv"))
+
+    def dot(a, bb):
+        return F.aggregate(
+            F.zip_with(a, bb, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    vtv = dot(F.col("cv"), F.col("cv"))
+    ptp = dot(F.col("pv"), F.col("pv"))
+    vp = dot(F.col("cv"), F.col("pv"))
+    vbv = F.aggregate(
+        F.zip_with(
+            F.col("cv"), matvec(F.col("cv")), lambda x, y: x * y
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    trace_b = F.aggregate(
+        seq_d,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.element_at(F.col("b"), i * d + i + 1),
+    )
+    best = F.aggregate(
+        seq_d,
+        F.struct(F.lit(-1).cast("long").alias("bl"), F.lit(0).alias("bi")),
+        lambda acc, i: F.when(
+            F.abs(F.element_at(F.col("cv"), i + 1)) > acc["bl"],
+            F.struct(
+                F.abs(F.element_at(F.col("cv"), i + 1)).alias("bl"),
+                i.alias("bi"),
+            ),
+        ).otherwise(acc),
+    )
+    degen = F.col("cmax") <= 0
+    return one.select(
+        "n",
+        F.lit(d).cast("int").alias("d"),
+        F.lit(iters).cast("int").alias("iters"),
+        F.when(degen, F.lit(None).cast("double")).otherwise(
+            F.round(
+                vbv.cast("double")
+                / vtv.cast("double")
+                / trace_b.cast("double"),
+                6,
+            )
+        ).alias("evr1"),
+        F.when(degen, F.lit(None).cast("double")).otherwise(
+            F.round(
+                vp.cast("double")
+                / F.sqrt(vtv.cast("double") * ptp.cast("double")),
+                6,
+            )
+        ).alias("align"),
+        F.when(degen, F.lit(None).cast("int")).otherwise(
+            best["bi"].cast("int")
+        ).alias("top_dim"),
+        F.when(degen, F.lit(None).cast("long")).otherwise(
+            F.aggregate(
+                seq_d,
+                F.lit(0).cast("long"),
+                lambda acc, i: F.when(
+                    i == best["bi"], F.element_at(F.col("cv"), i + 1)
+                ).otherwise(acc),
+            )
+        ).alias("top_loading"),
+    )

@@ -104,6 +104,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- (b) NEW round-10 queries (inserted as they land) ---
     "x6_jpeg_decode",
     "x4_knn_graph_recall",
+    "x9_power_iteration",
     # ----- 50-window boundary -----
 ]
 

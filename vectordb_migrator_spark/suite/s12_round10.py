@@ -217,3 +217,145 @@ def x4_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, probe, hops=6, report_hops=(2, 4, 6), beam_width=12,
         degree=6, n_entries=2, sample_size=256, k=10, seed=7,
     )
+
+
+def _pi_sql() -> str:
+    """Recursive-CTE DuckDB oracle for x9_power_iteration: exact
+    integer scatter, the shift/divide rescale, the 8-step fixed-point
+    power iteration, and the final IEEE metric divisions, all
+    mirrored operation for operation."""
+    fx = (
+        "list_transform(embedding::DOUBLE[], x -> (CASE WHEN x >= 0 "
+        "THEN floor(x * 100.0 + 0.5) ELSE -floor(-x * 100.0 + 0.5) "
+        "END)::BIGINT)"
+    )
+    return f"""
+    WITH RECURSIVE base AS MATERIALIZED (
+      SELECT {fx} AS v FROM embeddings
+    ),
+    mom AS MATERIALIZED (
+      SELECT (i - 1) * 64 + (j - 1) AS ij,
+             sum(v[i] * v[j])::BIGINT AS sxx
+      FROM base, range(1, 65) ti(i), range(1, 65) tj(j)
+      GROUP BY 1
+    ),
+    sums AS MATERIALIZED (
+      SELECT i - 1 AS i, sum(v[i])::BIGINT AS sx, count(*)::BIGINT AS n
+      FROM base, range(1, 65) t(i) GROUP BY 1
+    ),
+    one AS (
+      SELECT (SELECT list(sxx ORDER BY ij) FROM mom) AS sxx,
+             (SELECT list(sx ORDER BY i) FROM sums) AS sx,
+             (SELECT max(n) FROM sums) AS n
+    ),
+    cmat AS (
+      SELECT n,
+             [ (n * sxx[k + 1]
+                - sx[(k // 64) + 1] * sx[(k % 64) + 1])::BIGINT
+               for k in range(4096) ] AS c
+      FROM one
+    ),
+    bmat AS MATERIALIZED (
+      SELECT n,
+             list_max(list_transform(c, x -> abs(x))) AS cmax,
+             [ (CASE WHEN x >= 0
+                THEN ((x - x % g) / g)
+                ELSE -(((-x) - (-x) % g) / g) END)::BIGINT
+               for x in c ] AS b
+      FROM (
+        SELECT n, c,
+               greatest(1::BIGINT,
+                        list_max(list_transform(c, x -> abs(x))) >> 18)
+                 AS g
+        FROM cmat)
+    ),
+    it AS (
+      SELECT 0 AS rk,
+             [10000::BIGINT for _ in range(64)] AS prev,
+             [10000::BIGINT for _ in range(64)] AS cur
+      UNION ALL
+      -- mw <= 0 keeps BOTH prev and cur (the engine's F.when(...)
+      -- returns the whole accumulator unchanged)
+      SELECT rk + 1,
+             CASE WHEN mw <= 0 THEN prev ELSE cur END,
+             CASE WHEN mw <= 0 THEN cur
+                  ELSE [ (CASE WHEN x >= 0
+                          THEN ((x * 10000 - (x * 10000) % mw) / mw)
+                          ELSE -(((-x) * 10000 - ((-x) * 10000) % mw)
+                                 / mw) END)::BIGINT
+                         for x in w ] END
+      FROM (
+        SELECT rk, prev, cur, w,
+               list_max(list_transform(w, x -> abs(x))) AS mw
+        FROM (
+          SELECT it.rk, it.prev, it.cur,
+                 [ list_sum([ b.b[i * 64 + j + 1] * it.cur[j + 1]
+                              for j in range(64) ])::BIGINT
+                   for i in range(64) ] AS w
+          FROM it, bmat b WHERE it.rk < 8))
+    ),
+    fin AS (
+      SELECT prev AS pv, cur AS cv FROM it WHERE rk = 8
+    ),
+    met AS (
+      SELECT b.n, b.cmax, b.b, f.pv, f.cv,
+             list_sum([ f.cv[i + 1] * f.cv[i + 1]
+                        for i in range(64) ])::BIGINT AS vtv,
+             list_sum([ f.pv[i + 1] * f.pv[i + 1]
+                        for i in range(64) ])::BIGINT AS ptp,
+             list_sum([ f.cv[i + 1] * f.pv[i + 1]
+                        for i in range(64) ])::BIGINT AS vp,
+             list_sum([ f.cv[i + 1] *
+                        list_sum([ b.b[i * 64 + j + 1] * f.cv[j + 1]
+                                   for j in range(64) ])
+                        for i in range(64) ])::BIGINT AS vbv,
+             list_sum([ b.b[i * 64 + i + 1]
+                        for i in range(64) ])::BIGINT AS trace_b,
+             [ i for i in range(64)
+               if abs(f.cv[i + 1]) =
+                  list_max(list_transform(f.cv, x -> abs(x))) ][1]
+               AS top_dim
+      FROM bmat b, fin f
+    )
+    SELECT n,
+           64::INT AS d,
+           8::INT AS iters,
+           CASE WHEN cmax <= 0 THEN NULL
+                ELSE round(vbv::DOUBLE / vtv::DOUBLE / trace_b::DOUBLE,
+                           6) END AS evr1,
+           CASE WHEN cmax <= 0 THEN NULL
+                ELSE round(vp::DOUBLE /
+                           sqrt(vtv::DOUBLE * ptp::DOUBLE), 6)
+                END AS align,
+           CASE WHEN cmax <= 0 THEN NULL ELSE top_dim::INT END
+             AS top_dim,
+           CASE WHEN cmax <= 0 THEN NULL
+                ELSE cv[top_dim + 1] END AS top_loading
+    FROM met
+    """
+
+
+@query("x9_power_iteration", _pi_sql())
+def x9_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — fixed-point power iteration for the dominant principal
+    component (round 10): the engine-exact anchor for the PCA family,
+    built the way the integer Lloyd unroll anchored PQ. The exact
+    int64 centered scatter n·Σxxᵀ−(Σx)(Σx)ᵀ accumulates as
+    partition-order-independent integer partials (one local NumPy
+    XᵀX per Arrow batch — O(partitions·d²) bytes move); an integer
+    shift/divide rescale bounds every later product inside the 2⁵³
+    double-exact window; and the whole 8-step iteration runs inside
+    ONE F.aggregate on a single row — zero per-step jobs. Reported:
+    evr1 (PC1 explained-variance ratio via the Rayleigh quotient),
+    align (cosine of the last two iterates — the convergence
+    certificate), and the argmax loading coordinate. Full oracle via
+    a recursive CTE replaying the identical integer trajectory
+    (operators/decomposition.py:power_iteration_pc1)."""
+    from vectordb_migrator_spark.operators.decomposition import (
+        power_iteration_pc1,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    return power_iteration_pc1(
+        fan_out(_t(spark, sf_dir, "embeddings").select("embedding"))
+    )
