@@ -1395,3 +1395,54 @@ def test_split_conformal_emits_null_qhat_when_rank_exceeds_n_cal(spark):
     assert tiny["coverage"] is None
     assert tiny["avg_width"] is None
     assert tiny["n_cal"] is not None and tiny["n_test"] is not None
+
+
+def test_mann_whitney_matches_python_replica_and_edges(spark):
+    import math
+
+    from vectordb_migrator_spark.operators.scale import mann_whitney_report
+
+    # group "shift": sample A shifted up by 5 (clearly significant);
+    # group "same": identical distributions (not significant);
+    # group "tied": every value equal (sigma = 0 -> NULL z)
+    rows = []
+    for u in range(120):
+        a = u % 2 == 0
+        rows.append((u, "shift", float(u % 13) + (5.0 if a else 0.0)))
+        rows.append((u, "same", float((u * 7) % 23)))
+        rows.append((u, "tied", 42.0))
+    df = spark.createDataFrame(rows, "user_id long, g string, value double")
+    got = {
+        r["g"]: r
+        for r in mann_whitney_report(
+            df, "value", group_cols=["g"],
+            split_expr=(df["user_id"] % 2 == 0),
+        ).collect()
+    }
+
+    def replica(vals):  # [(value, is_a)] -> (n1, n2, u1, z)
+        sv = sorted(v for v, _ in vals)
+        # 2*avg rank per value: 2*minrank + t - 1
+        first, cnt = {}, {}
+        for i, v in enumerate(sv):
+            first.setdefault(v, i + 1)
+            cnt[v] = cnt.get(v, 0) + 1
+        n1 = sum(1 for _, a in vals if a)
+        n2 = len(vals) - n1
+        r2a = sum(2 * first[v] + cnt[v] - 1 for v, a in vals if a)
+        ties = sum(t * t * t - t for t in cnt.values())
+        u1 = (r2a - n1 * (n1 + 1)) / 2.0
+        n = n1 + n2
+        mu = n1 * n2 / 2.0
+        var = n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+        z = round((u1 - mu) / math.sqrt(var), 6) if var > 0 else None
+        return n1, n2, round(u1, 1), z
+
+    for g in ("shift", "same"):
+        vals = [(v, u % 2 == 0) for u, gg, v in rows if gg == g]
+        n1, n2, u1, z = replica(vals)
+        r = got[g]
+        assert (r["n1"], r["n2"], r["u1"], r["z"]) == (n1, n2, u1, z)
+    assert got["shift"]["significant"] is True
+    assert got["same"]["significant"] is False
+    assert got["tied"]["z"] is None and got["tied"]["significant"] is None

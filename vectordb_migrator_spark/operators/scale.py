@@ -2299,3 +2299,107 @@ def split_conformal_report(
         F.round(F.lit(2.0) * F.max("__q"), 6).alias("avg_width"),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def mann_whitney_report(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    split_expr=None,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test (Wilcoxon two-sample) — the
+    distribution-free "did the values shift" gate that complements
+    the mean-based family (t-interval/TOST/ANOVA compare means; U
+    compares the whole distribution and survives heavy tails and
+    outliers, which is why release pipelines lean on it for latency
+    and score drift). Sample A = rows where ``split_expr`` is true,
+    B = the rest; one report row per ``group_cols`` group.
+
+    Exactness by construction: average ranks for ties are kept as the
+    INTEGER ``2·rank`` (2·avg = 2·minrank + t − 1 for a tie run of
+    size t), so the rank sum, U, the tie-correction term Σ(t³−t) and
+    every count are exact int64; only the final μ/σ/z divisions run
+    in IEEE doubles (rounded 6dp) — fully SQL-replicable.
+
+    Scale shape: one per-group sort for the rank window (the one
+    documented sort, the same shape every rank statistic needs), one
+    (group, value) tie aggregate that reuses the ranked exchange, and
+    a map-side-combinable fold to one row per group. Degenerate
+    groups (either sample empty, or all values tied so σ = 0) report
+    NULL z — never a divide-by-zero.
+
+    Returns per group: ``n1, n2, u1, z, significant`` (|z| > z_crit
+    at the default two-sided α = 0.05).
+    """
+    from pyspark.sql import Window as W
+
+    gcols = list(group_cols or [])
+    if split_expr is None:
+        raise ValueError("split_expr (the sample-A membership) is required")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        F.col(value_col).cast("double").alias("__v"),
+        F.when(split_expr, F.lit(1)).otherwise(F.lit(0)).alias("__a"),
+    )
+    w_rank = (
+        W.partitionBy(*gcols).orderBy("__v")
+        if gcols
+        else W.partitionBy().orderBy("__v")
+    )
+    w_tie = (
+        W.partitionBy(*gcols, "__v") if gcols else W.partitionBy("__v")
+    )
+    ranked = base.select(
+        *gcols,
+        "__a",
+        # 2·average-rank = 2·min-rank + (tie size − 1): exact int64
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        ).cast("long").alias("__r2"),
+        F.count(F.lit(1)).over(w_tie).cast("long").alias("__t"),
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum("__a").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("__a")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("__a") == 1, F.col("__r2"))).cast("long").alias(
+            "__r2a"
+        ),
+        # each tie run of size t contributes t·(t³−t) summed per ROW,
+        # i.e. Σ_runs (t³−t) = Σ_rows (t²−1)  — exact int64
+        F.sum(F.col("__t") * F.col("__t") - F.lit(1)).cast("long").alias(
+            "__ties"
+        ),
+    )
+    n = F.col("n1") + F.col("n2")
+    u1 = (
+        F.col("__r2a").cast("double") - F.col("n1") * (F.col("n1") + 1)
+    ) / F.lit(2.0)
+    mu = F.col("n1").cast("double") * F.col("n2") / F.lit(2.0)
+    var = (
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / F.lit(12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("__ties").cast("double") / (n * (n - 1)).cast("double")
+        )
+    )
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0),
+        F.round((u1 - mu) / F.sqrt(var), 6),
+    )
+    out = agg.select(
+        *gcols,
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u1"),
+        z.alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(z_crit)).alias(
+            "significant"
+        ),
+    )
+    return out.orderBy(*gcols) if gcols else out

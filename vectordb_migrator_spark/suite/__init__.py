@@ -105,6 +105,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_jpeg_decode",
     "x4_knn_graph_recall",
     "x9_power_iteration",
+    "x6_jpeg_color_decode",
+    "x7_mann_whitney",
     # ----- 50-window boundary -----
 ]
 

@@ -359,3 +359,185 @@ def x9_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_pc1(
         fan_out(_t(spark, sf_dir, "embeddings").select("embedding"))
     )
+
+
+def _jc_sql() -> str:
+    """Block-grid DuckDB oracle for x6_jpeg_color_decode: the exact
+    RGB -> YCbCr -> RGB double-precision chain (round-half-up + clamp
+    at each stage, mirroring the codec's IEEE arithmetic) applied per
+    constant block, times the block's pixel count."""
+    rh = "(CASE WHEN ({x}) >= 0 THEN floor(({x}) + 0.5) ELSE -floor(-({x}) + 0.5) END)"
+    cl = "least(greatest({x}, 0.0), 255.0)"
+
+    def chain(expr):
+        return cl.format(x=rh.format(x=expr))
+
+    y = chain("0.299 * r + 0.587 * g + 0.114 * b")
+    cb = chain("128 - 0.168736 * r - 0.331264 * g + 0.5 * b")
+    cr = chain("128 + 0.5 * r - 0.418688 * g - 0.081312 * b")
+    r2 = chain("y + 1.402 * (cr - 128)")
+    g2 = chain("y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)")
+    b2 = chain("y + 1.772 * (cb - 128)")
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             (8 * (1 + doc_id % 3) + doc_id % 5)::INT AS w,
+             (8 * (1 + doc_id % 2) + doc_id % 3)::INT AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT xs.range AS bx, ys.range AS by
+      FROM range(0, 4) xs, range(0, 3) ys
+    ),
+    blocks AS (
+      SELECT d.doc_id, d.w, d.h, g.bx, g.by,
+             ((37 * g.bx + 59 * g.by + d.doc_id) % 256)::DOUBLE AS r,
+             ((17 * g.bx + 43 * g.by + 2 * d.doc_id + 7) % 256)::DOUBLE AS g,
+             ((29 * g.bx + 31 * g.by + 3 * d.doc_id + 13) % 256)::DOUBLE AS b,
+             (least(d.w, 8 * (g.bx + 1)) - 8 * g.bx)::BIGINT AS nx,
+             (least(d.h, 8 * (g.by + 1)) - 8 * g.by)::BIGINT AS ny
+      FROM dims d JOIN grid g ON 8 * g.bx < d.w AND 8 * g.by < d.h
+    ),
+    ycc AS (
+      SELECT doc_id, w, h, bx, by, nx, ny,
+             {y} AS y, {cb} AS cb, {cr} AS cr
+      FROM blocks
+    ),
+    dec AS (
+      SELECT doc_id, w, h, bx, by, nx, ny,
+             {r2}::BIGINT AS dr, {g2}::BIGINT AS dg, {b2}::BIGINT AS db
+      FROM ycc
+    )
+    SELECT doc_id,
+           max(w) AS width, max(h) AS height,
+           3::INT AS n_components,
+           (max(w) * max(h))::BIGINT AS n_pixels,
+           sum(dr * nx * ny)::BIGINT AS sum_r,
+           sum(dg * nx * ny)::BIGINT AS sum_g,
+           sum(db * nx * ny)::BIGINT AS sum_b,
+           max(CASE WHEN bx = 0 AND by = 0 THEN dr END)::INT AS px00_r,
+           max(CASE WHEN bx = 0 AND by = 0 THEN dg END)::INT AS px00_g,
+           max(CASE WHEN bx = 0 AND by = 0 THEN db END)::INT AS px00_b
+    FROM dec GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("x6_jpeg_color_decode", _jc_sql())
+def x6_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — REAL color JPEG decode (round 10): driver evidence for
+    the 3-component path the gray query can't reach — three
+    interleaved YCbCr blocks per MCU, per-component DC predictors,
+    and the JFIF YCbCr->RGB conversion. Fixtures plant BLOCK-CONSTANT
+    RGB gradients with a unit quant table: each block is DC-only in
+    every component, so the decode chain RGB -> (round, clamp) YCbCr
+    -> entropy code -> decode -> (round, clamp) RGB is reproducible
+    arithmetic end to end, and the oracle replays the identical IEEE
+    double chain per block times the block's pixel count. One wrong
+    predictor, interleave slot, or conversion constant moves the
+    channel sums (operators/multimodal.py:jpeg_decode)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_decode_features,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from vectordb_migrator_spark.operators.multimodal import jpeg_encode
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 8 * (1 + d % 3) + d % 5
+                h = 8 * (1 + d % 2) + d % 3
+                px = np.empty((h, w, 3), np.uint8)
+                for by in range(-(-h // 8)):
+                    for bx in range(-(-w // 8)):
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0] = (
+                            37 * bx + 59 * by + d
+                        ) % 256
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 1] = (
+                            17 * bx + 43 * by + 2 * d + 7
+                        ) % 256
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 2] = (
+                            29 * bx + 31 * by + 3 * d + 13
+                        ) % 256
+                rows.append(
+                    {"doc_id": d, "payload": bytearray(jpeg_encode(px))}
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = (
+        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
+        .mapInPandas(gen, schema="doc_id long, payload binary")
+    )
+    return jpeg_decode_features(payloads).orderBy("doc_id")
+
+
+@query(
+    "x7_mann_whitney",
+    """
+    WITH base AS (
+      SELECT event_type, value::DOUBLE AS v,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, a,
+             (2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+              + count(*) OVER (PARTITION BY event_type, v)
+              - 1)::BIGINT AS r2,
+             count(*) OVER (PARTITION BY event_type, v)::BIGINT AS t
+      FROM base
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(a)::BIGINT AS n1,
+             sum(1 - a)::BIGINT AS n2,
+             sum(CASE WHEN a = 1 THEN r2 END)::BIGINT AS r2a,
+             sum(t * t - 1)::BIGINT AS ties
+      FROM ranked GROUP BY 1
+    ),
+    met AS (
+      SELECT event_type, n1, n2,
+             (r2a::DOUBLE - n1 * (n1 + 1)) / 2.0 AS u1r,
+             n1::DOUBLE * n2 / 2.0 AS mu,
+             n1::DOUBLE * n2 / 12.0 *
+               ((n1 + n2 + 1)::DOUBLE
+                - ties::DOUBLE / ((n1 + n2) * (n1 + n2 - 1))::DOUBLE)
+               AS var
+      FROM agg
+    )
+    SELECT event_type, n1, n2,
+           round(u1r, 1) AS u1,
+           CASE WHEN n1 > 0 AND n2 > 0 AND var > 0
+                THEN round((u1r - mu) / sqrt(var), 6) END AS z,
+           CASE WHEN n1 > 0 AND n2 > 0 AND var > 0
+                THEN abs(round((u1r - mu) / sqrt(var), 6)) > 1.959964
+                END AS significant
+    FROM met ORDER BY event_type
+    """,
+)
+def x7_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — Mann–Whitney U rank-sum test per event type (round 10):
+    the distribution-free two-sample gate the mean-based family
+    (t-interval / TOST / ANOVA) can't replace on heavy-tailed metrics
+    — sample A = even user_ids, B = odd, the canonical A/B split.
+    Average ranks for ties are carried as the INTEGER 2·rank, so the
+    rank sum, U, and the Σ(t³−t) tie correction are exact int64 on
+    both engines; only the final z divisions run in IEEE doubles.
+    The one sort is the per-group rank window every rank statistic
+    needs; everything after is a map-side-combinable fold
+    (operators/scale.py:mann_whitney_report)."""
+    from vectordb_migrator_spark.operators.scale import (
+        mann_whitney_report,
+    )
+
+    return mann_whitney_report(
+        _t(spark, sf_dir, "events"),
+        "value",
+        group_cols=["event_type"],
+        split_expr=F.col("user_id") % 2 == 0,
+    )
