@@ -1593,3 +1593,31 @@ def test_knn_graph_beam_recall_validates_params(spark):
         knn_graph_beam_recall(df, [0.0, 0.0], hops=0)
     with pytest.raises(ValueError, match="report_hops"):
         knn_graph_beam_recall(df, [0.0, 0.0], hops=2, report_hops=(3,))
+
+
+def test_knn_graph_components_detects_shattering(spark):
+    from vectordb_migrator_spark.operators.similarity import (
+        knn_graph_components,
+    )
+
+    # two well-separated tight clusters of 8: a degree-3 k-NN graph
+    # cannot bridge them -> 2 components, reachable_frac = 0.5
+    pts = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(8)] + [
+        (100 + i, [50.0 + 0.01 * i, 50.0]) for i in range(8)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    r = knn_graph_components(
+        df, [0.0, 0.0], degree=3, sample_size=16, seed=7
+    ).first()
+    assert r["n_nodes"] == 16 and r["n_edges"] == 16 * 3
+    assert r["n_components"] == 2
+    assert r["largest_comp"] == 8 and r["smallest_comp"] == 8
+    assert r["reachable_frac"] == 0.5
+
+    # a chain is connected at degree 2 -> single component
+    line = [(i, [float(i), 0.0]) for i in range(12)]
+    df2 = spark.createDataFrame(line, "vec_id long, embedding array<float>")
+    r2 = knn_graph_components(
+        df2, [0.0, 0.0], degree=2, sample_size=12, seed=7
+    ).first()
+    assert r2["n_components"] == 1 and r2["reachable_frac"] == 1.0

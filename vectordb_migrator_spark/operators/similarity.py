@@ -1826,6 +1826,71 @@ def rvq_error_report(
     return s1.unionByName(s2).orderBy("stage")
 
 
+
+def _knn_graph_sample_edges(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    degree: int,
+    sample_size: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    seed: int,
+):
+    """Shared build for the graph-ANN certificates: the md5-rank node
+    sample with int64 fixed-point coordinates and probe distances,
+    and the exact k-NN graph over it (broadcast self-join, top-degree
+    outgoing edges per node by (distance, dst id)). Both frames are
+    localCheckpointed — the sample is scanned once, the graph is the
+    index build materialized once."""
+    pfix = [
+        int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5)
+        for x in probe
+    ]
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":kg:{seed}")))
+    xint = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.when(x >= 0, F.floor(x * scale + F.lit(0.5)))
+        .otherwise(-F.floor(-x * scale + F.lit(0.5)))
+        .cast("long"),
+    )
+    plit = F.array(*[F.lit(v).cast("long") for v in pfix])
+    qd = F.aggregate(
+        F.zip_with(F.col("__x"), plit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    samp = (
+        df.select(F.col(id_col).alias("__id"), xint.alias("__x"), key.alias("__k"))
+        .orderBy("__k", "__id")
+        .limit(sample_size)
+        .select("__id", "__x", qd.alias("__qd"))
+        .localCheckpoint(eager=True)
+    )
+    b = F.broadcast(
+        samp.select(F.col("__id").alias("dst"), F.col("__x").alias("__xb"))
+    )
+    pair_d = F.aggregate(
+        F.zip_with(F.col("__x"), F.col("__xb"), lambda p, q: (p - q) * (p - q)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    erk = F.row_number().over(
+        W.partitionBy("src").orderBy("__d", "dst")
+    )
+    edges = (
+        samp.select(F.col("__id").alias("src"), "__x")
+        .join(b, F.col("src") != F.col("dst"))
+        .select("src", "dst", pair_d.alias("__d"))
+        .withColumn("__rk", erk)
+        .filter(F.col("__rk") <= degree)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    return samp, edges
+
+
 def knn_graph_beam_recall(
     df: DataFrame,
     probe: list[float],
@@ -1885,51 +1950,9 @@ def knn_graph_beam_recall(
     report = tuple(report_hops) if report_hops else (hops,)
     if any(t < 0 or t > hops for t in report):
         raise ValueError("report_hops must lie in [0, hops]")
-    pfix = [
-        int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5)
-        for x in probe
-    ]
-    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":kg:{seed}")))
-    xint = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.when(x >= 0, F.floor(x * scale + F.lit(0.5)))
-        .otherwise(-F.floor(-x * scale + F.lit(0.5)))
-        .cast("long"),
-    )
-    plit = F.array(*[F.lit(v).cast("long") for v in pfix])
-    qd = F.aggregate(
-        F.zip_with(F.col("__x"), plit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
-    samp = (
-        df.select(F.col(id_col).alias("__id"), xint.alias("__x"), key.alias("__k"))
-        .orderBy("__k", "__id")
-        .limit(sample_size)
-        .select("__id", "__x", qd.alias("__qd"))
-        .localCheckpoint(eager=True)  # sample once; graph + truth + walk reuse it
-    )
-    # exact k-NN graph over the sample: broadcast self-join, top-degree
-    # outgoing edges per node by (distance, dst id)
-    b = F.broadcast(
-        samp.select(F.col("__id").alias("dst"), F.col("__x").alias("__xb"))
-    )
-    pair_d = F.aggregate(
-        F.zip_with(F.col("__x"), F.col("__xb"), lambda p, q: (p - q) * (p - q)),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
-    erk = F.row_number().over(
-        W.partitionBy("src").orderBy("__d", "dst")
-    )
-    edges = (
-        samp.select(F.col("__id").alias("src"), "__x")
-        .join(b, F.col("src") != F.col("dst"))
-        .select("src", "dst", pair_d.alias("__d"))
-        .withColumn("__rk", erk)
-        .filter(F.col("__rk") <= degree)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)  # the index build, materialized once
+    samp, edges = _knn_graph_sample_edges(
+        df, probe, degree=degree, sample_size=sample_size,
+        id_col=id_col, vec_col=vec_col, scale=scale, seed=seed,
     )
     ekey = F.md5(
         F.concat(F.col("__id").cast("string"), F.lit(f":kgentry:{seed}"))
@@ -2007,3 +2030,70 @@ def knn_graph_beam_recall(
             snap = snapshot(t, beam, visited)
             out = snap if out is None else out.unionByName(snap)
     return out.orderBy("hops")
+
+
+def knn_graph_components(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    degree: int = 6,
+    sample_size: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+    seed: int = 7,
+) -> DataFrame:
+    """Connectivity certificate for the k-NN graph (round 10) — the
+    companion to :func:`knn_graph_beam_recall`: beam search can only
+    ever reach the entry point's connected component, so the
+    component structure of the (undirected) k-NN graph IS the
+    reachability ceiling of graph-ANN routing. Classic failure mode:
+    clustered corpora shatter a low-degree k-NN graph into one
+    component per cluster, and recall silently caps at the entry
+    cluster — this report makes that visible as
+    ``reachable_frac < 1``.
+
+    Same deterministic build as the recall certificate (md5 sample,
+    int64 fixed-point distances, id-ascending ties); components via
+    the library min-label-propagation kernel (exact, convergence
+    asserted). Full SQL oracle: a transitive-closure recursive CTE
+    computes min-reachable-id per node.
+
+    Returns one row: (n_nodes, n_edges, n_components, largest_comp,
+    smallest_comp, reachable_frac = largest/n rounded 6).
+    """
+    from vectordb_migrator_spark.operators.graph import (
+        connected_components,
+    )
+
+    samp, edges = _knn_graph_sample_edges(
+        df, probe, degree=degree, sample_size=sample_size,
+        id_col=id_col, vec_col=vec_col, scale=scale, seed=seed,
+    )
+    comps = connected_components(edges, src="src", dst="dst")
+    sizes = comps.groupBy("comp").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    stats = sizes.agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.max("sz").alias("largest_comp"),
+        F.min("sz").alias("smallest_comp"),
+    )
+    nn = samp.agg(F.count("*").cast("long").alias("n_nodes"))
+    ne = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        nn.crossJoin(ne)
+        .crossJoin(stats)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_components",
+            "largest_comp",
+            "smallest_comp",
+            F.round(
+                F.col("largest_comp").cast("double")
+                / F.col("n_nodes").cast("double"),
+                6,
+            ).alias("reachable_frac"),
+        )
+    )

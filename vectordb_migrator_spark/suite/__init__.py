@@ -107,6 +107,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_power_iteration",
     "x6_jpeg_color_decode",
     "x7_mann_whitney",
+    "x4_knn_graph_components",
     # ----- 50-window boundary -----
 ]
 

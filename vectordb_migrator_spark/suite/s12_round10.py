@@ -541,3 +541,82 @@ def x7_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         split_expr=F.col("user_id") % 2 == 0,
     )
+
+
+def _kgc_sql() -> str:
+    """Transitive-closure DuckDB oracle for x4_knn_graph_components:
+    same sample + exact k-NN graph as the recall certificate, then
+    min-reachable-id per node via a recursive CTE."""
+    fx = (
+        "list_transform(embedding::DOUBLE[], x -> (CASE WHEN x >= 0 "
+        "THEN floor(x * 10000.0 + 0.5) ELSE -floor(-x * 10000.0 + 0.5) "
+        "END)::BIGINT)"
+    )
+    d2 = (
+        "list_sum([ (a.v[i+1] - b.v[i+1]) * (a.v[i+1] - b.v[i+1]) "
+        "for i in range(64) ])::BIGINT"
+    )
+    return f"""
+    WITH RECURSIVE samp AS MATERIALIZED (
+      SELECT vec_id AS id, {fx} AS v
+      FROM embeddings
+      ORDER BY md5(vec_id::VARCHAR || ':kg:7'), vec_id LIMIT 256
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT a.id AS src, b.id AS dst,
+               row_number() OVER (PARTITION BY a.id
+                 ORDER BY {d2}, b.id) AS rk
+        FROM samp a JOIN samp b ON a.id <> b.id)
+      WHERE rk <= 6
+    ),
+    und AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT dst AS a, src AS b FROM edges
+    ),
+    reach AS (
+      SELECT id, id AS r FROM samp
+      UNION
+      SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id
+    ),
+    comps AS (
+      SELECT id, min(r) AS comp FROM reach GROUP BY id
+    ),
+    sizes AS (
+      SELECT comp, count(*)::BIGINT AS sz FROM comps GROUP BY comp
+    )
+    SELECT (SELECT count(*) FROM samp)::BIGINT AS n_nodes,
+           (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+           count(*)::BIGINT AS n_components,
+           max(sz) AS largest_comp,
+           min(sz) AS smallest_comp,
+           round(max(sz)::DOUBLE /
+                 (SELECT count(*) FROM samp)::DOUBLE, 6)
+             AS reachable_frac
+    FROM sizes
+    """
+
+
+@query("x4_knn_graph_components", _kgc_sql())
+def x4_knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — k-NN graph connectivity certificate (round 10): beam
+    search can only reach the entry point's connected component, so
+    the component structure of the undirected k-NN graph is the
+    reachability ceiling of graph-ANN routing (the classic shattered
+    low-degree-graph failure mode surfaces as reachable_frac < 1).
+    Same deterministic md5-sample + int64 graph build as
+    x4_knn_graph_recall; components via the library
+    min-label-propagation + pointer-jumping kernel; the oracle
+    recomputes min-reachable-id per node with a transitive-closure
+    recursive CTE (operators/similarity.py:knn_graph_components)."""
+    from vectordb_migrator_spark.operators.similarity import (
+        knn_graph_components,
+    )
+    from vectordb_migrator_spark.suite._shared import _probe_vector
+
+    return knn_graph_components(
+        _t(spark, sf_dir, "embeddings"),
+        _probe_vector(spark, sf_dir),
+        degree=6, sample_size=256, seed=7,
+    )
