@@ -817,3 +817,68 @@ def test_holt_winters_backtest_matches_python_replica(spark):
     # seasonal init), final-week error below the seasonal amplitude
     assert 1.0 < r["trend"] < 3.0
     assert r["mae"] < 4.0
+
+
+def test_cusum_changepoint_matches_python_replica(spark):
+    import datetime
+    import math
+
+    from vectordb_migrator_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    # "shift": stable baseline, then a +3-ish persistent level shift
+    vals_shift = [10.0 + ((i * 7) % 5) * 0.5 for i in range(14)] + [
+        13.0 + ((i * 3) % 4) * 0.5 for i in range(16)
+    ]
+    # "stable": same generator throughout (no alarm expected)
+    vals_stable = [10.0 + ((i * 7) % 5) * 0.5 for i in range(30)]
+    # "flat": zero-variance baseline -> NULL metrics
+    vals_flat = [5.0] * 20
+    for g, vs in (("shift", vals_shift), ("stable", vals_stable),
+                  ("flat", vals_flat)):
+        for i, v in enumerate(vs):
+            rows.append((g, d0 + datetime.timedelta(days=i), v))
+    df = spark.createDataFrame(rows, "g string, day date, v double")
+    got = {
+        r["g"]: r
+        for r in cusum_changepoint(
+            df, "v", time_col="day", group_cols=["g"], baseline=14
+        ).collect()
+    }
+
+    def replica(vs):
+        mu = 0.0
+        for y in vs[:14]:
+            mu += round(y, 6)
+        mu /= 14.0
+        var = 0.0
+        for y in vs[:14]:
+            var += (round(y, 6) - mu) * (round(y, 6) - mu)
+        sd = math.sqrt(var / 14.0)
+        sp = sn = mp = mn = 0.0
+        alarm = 0
+        for t in range(15, len(vs) + 1):
+            z = (round(vs[t - 1], 6) - mu) / sd
+            sp = max(0.0, sp + z - 0.5)
+            sn = max(0.0, sn - z - 0.5)
+            mp, mn = max(mp, sp), max(mn, sn)
+            if alarm == 0 and (sp > 4.0 or sn > 4.0):
+                alarm = t
+        return (len(vs), round(mu, 6), round(sd, 6), round(mp, 6),
+                round(mn, 6), alarm if alarm else None, alarm > 0)
+
+    for g, vs in (("shift", vals_shift), ("stable", vals_stable)):
+        r = got[g]
+        assert (
+            r["n_days"], r["baseline_mean"], r["baseline_sd"],
+            r["max_cusum_pos"], r["max_cusum_neg"], r["alarm_day"],
+            r["alarmed"],
+        ) == replica(vs)
+    assert got["shift"]["alarmed"] is True
+    assert got["stable"]["alarmed"] is False
+    flat = got["flat"]
+    assert flat["baseline_sd"] is None and flat["alarmed"] is None
+    assert flat["max_cusum_pos"] is None and flat["alarm_day"] is None

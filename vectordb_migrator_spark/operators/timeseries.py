@@ -1165,3 +1165,121 @@ def holt_winters_backtest(
         )
         .orderBy(*gcols)
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str,
+    *,
+    time_col: str = "day",
+    group_cols: list[str] | None = None,
+    baseline: int = 14,
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint / drift alarm (Page 1954) — the
+    control-chart gate a training pipeline puts on its daily metric
+    streams: standardize each post-baseline observation against the
+    first ``baseline`` points, accumulate S⁺ = max(0, S⁺ + z − k) and
+    S⁻ = max(0, S⁻ − z − k), and alarm the first time either exceeds
+    ``h`` — the sequential test that catches small persistent shifts
+    a per-day threshold misses (k = reference value in σ units,
+    ``h`` = decision interval; defaults are the classic 0.5/4).
+
+    Determinism: series values are 6dp-rounded, the baseline mean/sd
+    and the whole recursion are a fixed IEEE op sequence both engines
+    replay identically (the Holt-Winters convention — k and the
+    fold order are binary-exact), so the alarm day is a full-oracle
+    integer. Groups shorter than ``baseline``+1 points are dropped;
+    a zero-variance baseline reports NULL metrics, never a division
+    error.
+
+    Scale shape: one scan groups each series to a single array row
+    (series count = the parallelism dimension), and the entire
+    recursion runs inside ONE ``F.aggregate`` — zero per-step jobs.
+
+    Returns per group: ``n_days, baseline_mean, baseline_sd,
+    max_cusum_pos, max_cusum_neg, alarm_day`` (1-based index into the
+    day-ordered series, NULL if no alarm) and ``alarmed``.
+    """
+    gcols = list(group_cols or [])
+    base = df.select(
+        *gcols,
+        F.col(time_col).alias("__d"),
+        F.round(F.col(value_col).cast("double"), 6).alias("__v"),
+    )
+    arr = (
+        base.groupBy(*gcols)
+        .agg(F.collect_list(F.struct("__d", "__v")).alias("__p"))
+        .select(
+            *gcols,
+            F.transform(
+                F.array_sort("__p"), lambda s: s["__v"]
+            ).alias("ys"),
+        )
+        .filter(F.size("ys") >= baseline + 1)
+    )
+    n = F.size("ys")
+    head = F.slice(F.col("ys"), 1, baseline)
+    mu = F.aggregate(
+        head, F.lit(0.0), lambda acc, y: acc + y
+    ) / F.lit(float(baseline))
+    arr = arr.select(*gcols, "ys", n.alias("n"), mu.alias("mu"))
+    var = F.aggregate(
+        F.slice(F.col("ys"), 1, baseline),
+        F.lit(0.0),
+        lambda acc, y: acc + (y - F.col("mu")) * (y - F.col("mu")),
+    ) / F.lit(float(baseline))
+    arr = arr.select(*gcols, "ys", "n", "mu", F.sqrt(var).alias("sd"))
+
+    state0 = F.struct(
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+        F.lit(0.0).alias("mp"),
+        F.lit(0.0).alias("mn"),
+        F.lit(0).alias("alarm"),
+    )
+
+    def step(acc, t):
+        z = (F.element_at(F.col("ys"), t) - F.col("mu")) / F.col("sd")
+        sp = F.greatest(F.lit(0.0), acc["sp"] + z - F.lit(k))
+        sn = F.greatest(F.lit(0.0), acc["sn"] - z - F.lit(k))
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.greatest(acc["mp"], sp).alias("mp"),
+            F.greatest(acc["mn"], sn).alias("mn"),
+            F.when(acc["alarm"] > 0, acc["alarm"])
+            .otherwise(
+                F.when((sp > F.lit(h)) | (sn > F.lit(h)), t).otherwise(
+                    F.lit(0)
+                )
+            )
+            .alias("alarm"),
+        )
+
+    fin = F.aggregate(
+        F.sequence(F.lit(baseline + 1), F.col("n")), state0, step
+    )
+    degen = F.col("sd") <= 0
+    out = arr.select(
+        *gcols,
+        F.col("n").cast("long").alias("n_days"),
+        F.round("mu", 6).alias("baseline_mean"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(F.round("sd", 6))
+        .alias("baseline_sd"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(F.round(fin["mp"], 6))
+        .alias("max_cusum_pos"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(F.round(fin["mn"], 6))
+        .alias("max_cusum_neg"),
+        F.when(degen | (fin["alarm"] <= 0), F.lit(None).cast("int"))
+        .otherwise(fin["alarm"].cast("int"))
+        .alias("alarm_day"),
+        F.when(degen, F.lit(None).cast("boolean"))
+        .otherwise(fin["alarm"] > 0)
+        .alias("alarmed"),
+    )
+    return out.orderBy(*gcols) if gcols else out

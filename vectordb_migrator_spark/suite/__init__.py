@@ -108,6 +108,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_jpeg_color_decode",
     "x7_mann_whitney",
     "x4_knn_graph_components",
+    "x13_cusum_changepoint",
     # ----- 50-window boundary -----
 ]
 

@@ -620,3 +620,89 @@ def x4_knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         _probe_vector(spark, sf_dir),
         degree=6, sample_size=256, seed=7,
     )
+
+
+@query(
+    "x13_cusum_changepoint",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, ts::DATE AS day, round(sum(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type, list(v ORDER BY day) AS ys
+      FROM daily GROUP BY 1 HAVING count(*) >= 15
+    ),
+    prep AS (
+      SELECT event_type, ys, len(ys) AS n,
+             list_reduce(ys[1:14], (a, b) -> a + b) / 14.0 AS mu
+      FROM arr
+    ),
+    prep2 AS (
+      SELECT event_type, ys, n, mu,
+             sqrt(list_reduce([ (y - mu) * (y - mu)
+                                for y in ys[1:14] ],
+                              (a, b) -> a + b) / 14.0) AS sd
+      FROM prep
+    ),
+    rec AS (
+      SELECT event_type, ys, n, mu, sd, 14 AS t,
+             0.0::DOUBLE AS sp, 0.0::DOUBLE AS sn,
+             0.0::DOUBLE AS mp, 0.0::DOUBLE AS mn, 0 AS alarm
+      FROM prep2 WHERE sd > 0
+      UNION ALL
+      SELECT event_type, ys, n, mu, sd, t + 1,
+             greatest(0.0, sp + (ys[t + 1] - mu) / sd - 0.5),
+             greatest(0.0, sn - (ys[t + 1] - mu) / sd - 0.5),
+             greatest(mp, greatest(0.0, sp + (ys[t + 1] - mu) / sd
+                                         - 0.5)),
+             greatest(mn, greatest(0.0, sn - (ys[t + 1] - mu) / sd
+                                         - 0.5)),
+             CASE WHEN alarm > 0 THEN alarm
+                  WHEN greatest(0.0, sp + (ys[t + 1] - mu) / sd - 0.5)
+                         > 4.0
+                    OR greatest(0.0, sn - (ys[t + 1] - mu) / sd - 0.5)
+                         > 4.0
+                  THEN t + 1 ELSE 0 END
+      FROM rec WHERE t < n
+    ),
+    fin AS (SELECT * FROM rec WHERE t = n)
+    SELECT p.event_type,
+           p.n::BIGINT AS n_days,
+           round(p.mu, 6) AS baseline_mean,
+           CASE WHEN p.sd > 0 THEN round(p.sd, 6) END AS baseline_sd,
+           CASE WHEN p.sd > 0 THEN round(f.mp, 6) END AS max_cusum_pos,
+           CASE WHEN p.sd > 0 THEN round(f.mn, 6) END AS max_cusum_neg,
+           CASE WHEN p.sd > 0 AND f.alarm > 0 THEN f.alarm END::INT
+             AS alarm_day,
+           CASE WHEN p.sd > 0 THEN f.alarm > 0 END AS alarmed
+    FROM prep2 p LEFT JOIN fin f USING (event_type)
+    ORDER BY p.event_type
+    """,
+)
+def x13_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — two-sided CUSUM drift alarm per event type (round 10):
+    the Page (1954) control chart a training pipeline puts on its
+    daily metric streams — standardize each post-baseline day against
+    the first 14, accumulate S+/S− with reference value k = 0.5σ, and
+    alarm when either side crosses h = 4σ: the sequential test that
+    catches small persistent shifts per-day thresholds miss. Series
+    values are 6dp-rounded and the recursion is a fixed IEEE op
+    sequence with binary-exact k (the Holt-Winters convention), so
+    max S+/S− and the integer alarm day replay identically in the
+    recursive-CTE oracle. The whole recursion runs in ONE F.aggregate
+    — zero per-step jobs
+    (operators/timeseries.py:cusum_changepoint)."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    return cusum_changepoint(
+        daily, "v", time_col="day", group_cols=["event_type"],
+        baseline=14, k=0.5, h=4.0,
+    )
