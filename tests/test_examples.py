@@ -383,3 +383,29 @@ def test_preference_data_pipeline_example(spark):
         assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
     assert out["shards"]["all_checksums_ok"] is True
     assert out["shards"]["n_members"] == out["gate"]["n_kept"]
+
+
+def test_release_gate_pipeline_example(spark):
+    """examples/release_gate_pipeline.py: the round-10 release gate
+    end to end at sf0.001 — CUSUM alarms, Mann-Whitney shift, conformal
+    intervals, per-type ship verdict."""
+    sys.path.insert(0, str(ROOT / "examples"))
+    try:
+        import release_gate_pipeline as ex
+    finally:
+        sys.path.pop(0)
+
+    out = ex.run_pipeline(spark, f"{SF_DIR}/events.parquet")
+    assert out["verdict"], "at least one event type gated"
+    for et, v in out["verdict"].items():
+        assert set(v) == {"drift_alarm", "rank_shift",
+                          "finite_interval", "ship"}
+        # the verdict is the conjunction it claims to be
+        assert v["ship"] == (
+            not v["drift_alarm"]
+            and not v["rank_shift"]
+            and v["finite_interval"]
+        )
+        c = out["conformal"][et]
+        if c["qhat"] is not None:
+            assert c["coverage"] is not None
