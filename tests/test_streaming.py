@@ -1084,3 +1084,87 @@ def test_mmd_ingest_matches_batch(spark, tmp_path):
     assert (
         spark.read.parquet(str(tmp_path / "cur_store")).count() == n_store
     )
+
+
+def test_cusum_ingest_matches_batch(spark, tmp_path):
+    """Streaming CUSUM drift monitor: a daily-partial store built by a
+    micro-batched ingest reproduces the batch cusum_changepoint on the
+    same rows BIT-FOR-BIT (decimal partials merge by addition), and
+    replay appends nothing."""
+    import datetime
+
+    from vectordb_migrator_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+    from vectordb_migrator_spark.streaming.incremental import (
+        cusum_daily_ingest,
+        cusum_over,
+    )
+
+    d0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for g, shift in (("a", 4.0), ("b", 0.0)):
+        for i in range(30):
+            # several raw events per day so partial sums matter
+            for e in range(3):
+                v = 10.0 + ((i * 7 + e) % 5) * 0.31
+                if i >= 14:
+                    v += shift
+                rows.append(
+                    (g, d0 + datetime.timedelta(days=i, hours=e), v)
+                )
+    schema = "event_type string, ts timestamp, value double"
+    chunk1 = [r for r in rows if r[1].day % 2 == 0]
+    chunk2 = [r for r in rows if r[1].day % 2 == 1]
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    spark.createDataFrame(chunk1, schema).write.parquet(src)
+
+    def run():
+        q = cusum_daily_ingest(
+            spark, source_path=src, source_schema=schema,
+            store_path=store, checkpoint=str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(chunk2, schema).write.mode("append").parquet(src)
+    run()
+
+    got = sorted(tuple(r) for r in cusum_over(spark, store).collect())
+    daily = (
+        spark.createDataFrame(rows, schema)
+        .groupBy(
+            F.col("event_type").alias("g"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("v")
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in cusum_changepoint(
+            daily, "v", time_col="day", group_cols=["g"]
+        ).collect()
+    )
+    assert got == want
+    by_g = {r[0]: r for r in got}
+    assert by_g["a"][-1] is True  # the planted +4 shift alarms
+    assert by_g["b"][-1] is False
+
+    # replay idempotence: re-running on the SAME checkpoint with no
+    # new files appends nothing (and the (g, day, batch_id) anti-join
+    # guards foreachBatch re-delivery of an already-stored batch id
+    # after a crash) — the report is unchanged
+    n_store = spark.read.parquet(store).count()
+    run()
+    assert spark.read.parquet(store).count() == n_store
+    again = sorted(tuple(r) for r in cusum_over(spark, store).collect())
+    assert again == got

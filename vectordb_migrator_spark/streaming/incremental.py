@@ -1841,3 +1841,106 @@ def mmd_over(
         F.round("cov_term", 9).alias("cov_term"),
         F.round(F.col("mean_term") + F.col("cov_term"), 9).alias("mmd2"),
     )
+
+
+def cusum_daily_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    store_path: str,
+    checkpoint: str,
+    group_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    trigger_once: bool = True,
+):
+    """Continuous metric-drift monitoring — the streaming twin of
+    ``operators/timeseries.py:cusum_changepoint``: the CUSUM chart
+    consumes one number per (group, day), and daily sums are the
+    archetypal mergeable sketch — each micro-batch folds to
+    ``(group, day, exact-decimal sum, n)`` partials appended to the
+    store and merged by ADDITION at read time, so
+    :func:`cusum_over` re-runs the alarm recursion over the CURRENT
+    day series without rescanning stream history and matches the
+    batch operator bit-for-bit on the same rows (decimal partials are
+    associativity-free; the recursion input is the identical rounded
+    series however the stream was batched). Replay-idempotent via the
+    (group, day, batch_id) anti-join."""
+    from pyspark.sql.utils import AnalysisException
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        partials = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .groupBy(
+                F.col(group_col).alias("g"),
+                F.to_date(F.col(time_col)).alias("day"),
+            )
+            .agg(
+                F.sum(
+                    F.col(value_col).cast("decimal(28,12)")
+                ).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        try:
+            seen = sess.read.parquet(store_path).select(
+                "g", "day", "batch_id"
+            )
+            partials = partials.join(
+                seen, ["g", "day", "batch_id"], "left_anti"
+            )
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(store_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .options(**(reader_options or {}))
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cusum_over(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    baseline: int = 14,
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Current CUSUM drift report of a :func:`cusum_daily_ingest`
+    store: merge the exact-decimal daily partials by addition, round
+    to the batch operator's 6dp series convention, and run the SAME
+    ``cusum_changepoint`` recursion — bit-identical to the batch
+    operator fed the same daily sums. One model-row read (days ×
+    groups); returns the batch report schema."""
+    from vectordb_migrator_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    daily = (
+        spark.read.parquet(store_path)
+        .groupBy("g", "day")
+        .agg(F.sum("s").alias("s"))
+        .select(
+            "g", "day", F.round(F.col("s").cast("double"), 6).alias("v")
+        )
+    )
+    return cusum_changepoint(
+        daily, "v", time_col="day", group_cols=["g"],
+        baseline=baseline, k=k, h=h,
+    )
