@@ -1064,3 +1064,53 @@ def test_jpeg_features_null_on_corrupt_and_progressive(spark):
     assert rows[1]["sum_r"] == 42 * 64 and rows[1]["n_components"] == 1
     for bad in (2, 3, 4):
         assert rows[bad]["width"] is None and rows[bad]["sum_r"] is None
+
+
+def test_jpeg_dc_thumbnail_is_exact_block_means(spark):
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_thumbnail_features,
+    )
+
+    # block-constant gray: each thumb pixel IS the planted block value
+    px = np.zeros((18, 21), np.uint8)
+    exp = np.zeros((3, 3), np.uint8)
+    for by in range(3):
+        for bx in range(3):
+            v = (37 * bx + 59 * by + 5) % 256
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+            exp[by, bx] = v
+    thumb, nc = jpeg_decode(jpeg_encode(px, restart_interval=2),
+                            dc_only=True)
+    assert nc == 1 and thumb.shape == (3, 3, 3)
+    assert np.array_equal(thumb[:, :, 0], exp)
+
+    # non-constant blocks: thumb pixel = round(block DC * Q / 8) + 128,
+    # i.e. the quantized block mean — compare against direct means
+    rng = np.random.RandomState(5)
+    px2 = rng.randint(0, 256, (16, 24)).astype(np.uint8)
+    thumb2 = jpeg_decode(jpeg_encode(px2), dc_only=True)[0][:, :, 0]
+    for by in range(2):
+        for bx in range(3):
+            blk = px2[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            s = blk.astype(float) - 128.0
+            dc = np.floor(np.abs(s.sum() / 8.0) + 0.5) * np.sign(
+                s.sum()
+            )  # encoder's quantized DC (Q=1)
+            want = min(255, max(0, round(dc / 8.0) + 128))
+            assert abs(int(thumb2[by, bx]) - want) <= 1
+
+    # the DataFrame op: NULL row for a corrupt payload, real features
+    good = jpeg_encode(px)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[:25]))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in jpeg_thumbnail_features(df).collect()}
+    assert rows[1]["thumb_w"] == 3 and rows[1]["thumb_h"] == 3
+    assert rows[1]["sum_r"] == int(exp.sum())
+    assert rows[1]["px00_r"] == int(exp[0, 0])
+    assert rows[2]["thumb_w"] is None and rows[2]["sum_r"] is None

@@ -236,18 +236,25 @@ def dsir_weights(
         )
         for b in range(dim)
     ]
-    out = df.withColumn("__cnts", feature_hash_vector(text_col, dim=dim))
+    # zip_with references the (expensive) hashed-counts tree exactly
+    # ONCE — the element_at-per-dimension fold this replaces made
+    # Catalyst inline the whole tokenize+md5 tree into all `dim`
+    # lambda invocations after projection collapse (measured 64× the
+    # md5 work at dim=64: 55 s → 1.5 s at sf0.1). Same index-ascending
+    # summation order, so the rounded weight is value-identical.
     w = F.round(
         F.aggregate(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.zip_with(
+                feature_hash_vector(text_col, dim=dim),
+                F.lit(delta),
+                lambda c, d: c * d,
+            ),
             F.lit(0.0),
-            lambda acc, i: acc
-            + F.element_at("__cnts", (i + 1).cast("int"))
-            * F.element_at(F.lit(delta), (i + 1).cast("int")),
+            lambda acc, x: acc + x,
         ),
         6,
     )
-    return out.withColumn(weight_col, w).drop("__cnts")
+    return df.withColumn(weight_col, w)
 
 
 def isotonic_calibrate(

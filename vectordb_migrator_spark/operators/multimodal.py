@@ -1822,7 +1822,7 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def jpeg_decode(payload: bytes):
+def jpeg_decode(payload: bytes, *, dc_only: bool = False):
     """REAL baseline JPEG decoder (ITU T.81 sequential DCT, SOF0/SOF1):
     marker walk, DQT (8/16-bit) and DHT parsed FROM THE FILE, Huffman
     entropy decode (DC prediction + EXTEND, AC run-length with
@@ -1835,6 +1835,10 @@ def jpeg_decode(payload: bytes):
     ``ValueError`` (callers surface NULL rows — never a misparse).
 
     Returns ``(rgb, n_components)`` where rgb is (h, w, 3) uint8.
+    With ``dc_only=True`` it returns the 1/8-scale DC thumbnail
+    instead — (ceil(h/8), ceil(w/8), 3) — the classic library-free
+    JPEG resize (the DC coefficient is 8x the block mean), skipping
+    IDCT and full-plane assembly.
     """
     import struct
 
@@ -1950,14 +1954,15 @@ def jpeg_decode(payload: bytes):
             segments.append(bytes(cur))
             return _jpeg_decode_scan(
                 frame, scan, segments, qtables, htables,
-                restart_interval, inv_zz,
+                restart_interval, inv_zz, dc_only=dc_only,
             )
         pos += seglen
     raise ValueError("no SOS marker found")
 
 
 def _jpeg_decode_scan(
-    frame, scan, segments, qtables, htables, ri, inv_zz
+    frame, scan, segments, qtables, htables, ri, inv_zz,
+    dc_only: bool = False,
 ):
     import numpy as np
 
@@ -1999,6 +2004,23 @@ def _jpeg_decode_scan(
                     raise ValueError("AC index overflow")
                 coeffs[m, ci, k] = _extend(rdr.bits(s), s)
                 k += 1
+    if dc_only:
+        # 1/8-scale thumbnail straight from the DC coefficients — the
+        # classic decode-free resize: the DC term IS 8x the block mean,
+        # so thumb pixel = round(DC*Q00/8) + 128 per block. Entropy
+        # decoding still walks every coefficient (the bitstream has no
+        # skip index), but IDCT and full-plane assembly are skipped.
+        planes = []
+        for ci, sc in enumerate(scan):
+            q = qtables.get(sc["comp"]["tq"])
+            if q is None:
+                raise ValueError("missing quant table")
+            dc = coeffs[:, ci, 0].astype(np.float64) * float(q[0, 0])
+            px = np.clip(_round_half_up(dc / 8.0) + 128, 0, 255)
+            planes.append(
+                px.reshape(bh, bw).astype(np.uint8)
+            )
+        return _jpeg_planes_to_rgb(planes, nc)
     # dequantize + un-zigzag + one vectorized IDCT over all blocks
     C = _dct_matrix()
     planes = []
@@ -2016,6 +2038,12 @@ def _jpeg_decode_scan(
             by, bx = divmod(m, bw)
             plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px[m]
         planes.append(plane[:h, :w])
+    return _jpeg_planes_to_rgb(planes, nc)
+
+
+def _jpeg_planes_to_rgb(planes, nc):
+    import numpy as np
+
     if nc == 1:
         g = planes[0]
         return np.stack([g, g, g], axis=-1), 1
@@ -2083,6 +2111,62 @@ def jpeg_decode_features(
     schema = (
         "doc_id long, width int, height int, n_components int, "
         "n_pixels long, sum_r long, sum_g long, sum_b long, "
+        "px00_r int, px00_g int, px00_b int"
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+def jpeg_thumbnail_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """1/8-scale JPEG thumbnails straight from the DC coefficients
+    (round 10) — the REAL library-free resize path every thumbnailer
+    and vision-data pipeline uses for JPEG corpora: the DC term of
+    each 8x8 block is 8x the block mean, so a (ceil(h/8), ceil(w/8))
+    preview falls out of the entropy decode with no IDCT and no
+    full-resolution pixel materialization — at 100 TB that is the
+    difference between shipping previews and shipping the corpus.
+    Unsupported/corrupt payloads yield NULL rows, same contract as
+    the full decoder.
+
+    One row per image: thumbnail dimensions plus per-channel sums and
+    the top-left thumb pixel (decode-sensitive: a DC-prediction slip
+    anywhere moves the sums). Arrow-batched ``mapInPandas``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {
+                    "doc_id": int(doc_id), "thumb_w": None,
+                    "thumb_h": None, "n_components": None,
+                    "sum_r": None, "sum_g": None, "sum_b": None,
+                    "px00_r": None, "px00_g": None, "px00_b": None,
+                }
+                try:
+                    rgb, nc = jpeg_decode(bytes(payload), dc_only=True)
+                    th, tw = rgb.shape[:2]
+                    row.update(
+                        thumb_w=int(tw), thumb_h=int(th),
+                        n_components=int(nc),
+                        sum_r=int(rgb[:, :, 0].sum(dtype="int64")),
+                        sum_g=int(rgb[:, :, 1].sum(dtype="int64")),
+                        sum_b=int(rgb[:, :, 2].sum(dtype="int64")),
+                        px00_r=int(rgb[0, 0, 0]),
+                        px00_g=int(rgb[0, 0, 1]),
+                        px00_b=int(rgb[0, 0, 2]),
+                    )
+                except Exception:
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, thumb_w int, thumb_h int, n_components int, "
+        "sum_r long, sum_g long, sum_b long, "
         "px00_r int, px00_g int, px00_b int"
     )
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)

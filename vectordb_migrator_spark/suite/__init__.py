@@ -109,7 +109,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_mann_whitney",
     "x4_knn_graph_components",
     "x13_cusum_changepoint",
-    # ----- 50-window boundary -----
+    # ----- 50-window boundary: entries below queue for round 11 -----
+    "x6_jpeg_thumbnail",
 ]
 
 

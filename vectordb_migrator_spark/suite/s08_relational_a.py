@@ -1727,8 +1727,13 @@ def udtf_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for k, v in json.loads(props).items():
                     yield str(k), str(v)
 
+    from vectordb_migrator_spark.operators.util import fan_out
+
     spark.udtf.register("parse_props", ParseProps)
-    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    # fan out the single-file scan: the LATERAL UDTF is per-row Python
+    # work, and an under-split scan would single-thread it (the same
+    # lesson as every decode query; 21 s -> ~3 s at sf0.1)
+    fan_out(_t(spark, sf_dir, "events")).createOrReplaceTempView("events_v")
     return spark.sql(
         """
         SELECT event_id, p.key, p.val

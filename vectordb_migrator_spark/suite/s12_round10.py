@@ -706,3 +706,84 @@ def x13_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, "v", time_col="day", group_cols=["event_type"],
         baseline=14, k=0.5, h=4.0,
     )
+
+
+@query(
+    "x6_jpeg_thumbnail",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             (8 * (1 + doc_id % 3) + doc_id % 5)::INT AS w,
+             (8 * (1 + doc_id % 2) + doc_id % 3)::INT AS h
+      FROM documents
+    ),
+    g AS (
+      SELECT xs.range AS bx, ys.range AS by
+      FROM range(0, 4) xs, range(0, 3) ys
+    ),
+    blocks AS (
+      SELECT d.doc_id, d.w, d.h,
+             ((37 * g.bx + 59 * g.by + d.doc_id) % 256)::BIGINT AS v
+      FROM dims d JOIN g ON 8 * g.bx < d.w AND 8 * g.by < d.h
+    )
+    SELECT doc_id,
+           ceil(max(w) / 8.0)::INT AS thumb_w,
+           ceil(max(h) / 8.0)::INT AS thumb_h,
+           1::INT AS n_components,
+           sum(v)::BIGINT AS sum_r,
+           sum(v)::BIGINT AS sum_g,
+           sum(v)::BIGINT AS sum_b,
+           (doc_id % 256)::INT AS px00_r,
+           (doc_id % 256)::INT AS px00_g,
+           (doc_id % 256)::INT AS px00_b
+    FROM blocks GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x6_jpeg_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — 1/8-scale JPEG thumbnails from DC coefficients (round
+    10): the REAL library-free resize path for JPEG corpora — the DC
+    term is 8x the block mean, so the preview falls out of the
+    entropy decode with no IDCT and no full-resolution pixels (at
+    100 TB: previews without materializing the corpus). Same
+    block-constant gray fixtures as x6_jpeg_decode (restart intervals
+    rotated), where each thumb pixel equals the planted block value
+    exactly, so the oracle is a direct block-grid sum
+    (operators/multimodal.py:jpeg_thumbnail_features)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_thumbnail_features,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from vectordb_migrator_spark.operators.multimodal import jpeg_encode
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 8 * (1 + d % 3) + d % 5
+                h = 8 * (1 + d % 2) + d % 3
+                px = np.empty((h, w), np.uint8)
+                for by in range(-(-h // 8)):
+                    for bx in range(-(-w // 8)):
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            37 * bx + 59 * by + d
+                        ) % 256
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "payload": bytearray(
+                            jpeg_encode(px, restart_interval=d % 4)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = (
+        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
+        .mapInPandas(gen, schema="doc_id long, payload binary")
+    )
+    return jpeg_thumbnail_features(payloads).orderBy("doc_id")
