@@ -1446,3 +1446,55 @@ def test_mann_whitney_matches_python_replica_and_edges(spark):
     assert got["shift"]["significant"] is True
     assert got["same"]["significant"] is False
     assert got["tied"]["z"] is None and got["tied"]["significant"] is None
+
+
+def test_ks_two_sample_matches_python_replica_and_detects_shape(spark):
+    import math
+
+    from vectordb_migrator_spark.operators.scale import ks_two_sample_report
+
+    rows = []
+    for u in range(200):
+        a = u % 2 == 0
+        # "spread": same mean, sample A has 3x the spread (U would
+        # barely see it; KS must)
+        base = float((u * 7) % 21) - 10.0
+        rows.append((u, "spread", 50.0 + (base * 3.0 if a else base)))
+        # "same": identical distributions
+        rows.append((u, "same", float((u * 11) % 17)))
+        # "empty_b": only sample A present -> NULL D
+        if a:
+            rows.append((u, "empty_b", 1.0))
+    df = spark.createDataFrame(rows, "user_id long, g string, value double")
+    got = {
+        r["g"]: r
+        for r in ks_two_sample_report(
+            df, "value", group_cols=["g"],
+            split_expr=(df["user_id"] % 2 == 0),
+        ).collect()
+    }
+
+    def replica(vals):
+        va = sorted(v for v, a in vals if a)
+        vb = sorted(v for v, a in vals if not a)
+        n1, n2 = len(va), len(vb)
+        dnum = 0
+        for v in sorted(set(va + vb)):
+            ca = sum(1 for x in va if x <= v)
+            cb = sum(1 for x in vb if x <= v)
+            dnum = max(dnum, abs(n2 * ca - n1 * cb))
+        d = dnum / (n1 * n2)
+        lam = round(d * math.sqrt(n1 * n2 / (n1 + n2)), 6)
+        return n1, n2, dnum, round(d, 6), lam
+
+    for g in ("spread", "same"):
+        vals = [(v, u % 2 == 0) for u, gg, v in rows if gg == g]
+        n1, n2, dnum, d, lam = replica(vals)
+        r = got[g]
+        assert (r["n1"], r["n2"], r["d_num"], r["d"], r["lambda"]) == (
+            n1, n2, dnum, d, lam,
+        )
+    assert got["spread"]["significant"] is True  # pure shape change
+    assert got["same"]["significant"] is False
+    eb = got["empty_b"]
+    assert eb["d"] is None and eb["significant"] is None

@@ -2403,3 +2403,101 @@ def mann_whitney_report(
         ),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def ks_two_sample_report(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    split_expr=None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test — the shape-sensitive
+    companion to :func:`mann_whitney_report`: U detects location
+    shifts; D = sup|F₁−F₂| detects ANY distributional difference
+    (variance, tails, bimodality), which is what a training pipeline
+    wants when "the metric moved" is not yet a hypothesis. Sample A =
+    rows where ``split_expr`` is true, B = the rest; one report row
+    per ``group_cols`` group.
+
+    Exactness by construction: the supremum is taken over the pooled
+    ORDER STATISTICS as the integer ``|n₂·cum₁(v) − n₁·cum₂(v)|``
+    (cross-multiplied ECDFs — no division inside the max), evaluated
+    AFTER each distinct pooled value (the right-continuous ECDF
+    convention, correct under ties), so D's numerator and every count
+    are exact int64; only the final D = num/(n₁·n₂) and the
+    asymptotic two-sided p-bound λ = D·√(n₁n₂/(n₁+n₂)) run in IEEE
+    doubles (rounded 6dp) — fully SQL-replicable. ``significant``
+    uses the classic large-sample rejection λ > c(α) with
+    c(0.05) = 1.358102 (Smirnov); pass another ``alpha``-matched
+    critical value via the constant if needed.
+
+    Scale shape: one per-group sort for the cumulative window (the
+    same exchange every rank statistic pays), a per-(group, value)
+    tie-collapse that reuses it, and a map-side-combinable max fold.
+    Degenerate groups (either sample empty) report NULL D.
+
+    Returns per group: ``n1, n2, d_num, d, lambda, significant``.
+    """
+    from pyspark.sql import Window as W
+
+    gcols = list(group_cols or [])
+    if split_expr is None:
+        raise ValueError("split_expr (the sample-A membership) is required")
+    crit = {0.05: 1.358102, 0.01: 1.627624, 0.1: 1.223848}.get(alpha)
+    if crit is None:
+        raise ValueError("alpha must be one of 0.1, 0.05, 0.01")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        F.col(value_col).cast("double").alias("__v"),
+        F.when(split_expr, F.lit(1)).otherwise(F.lit(0)).alias("__a"),
+    )
+    # collapse ties first: per (group, value), how many rows from each
+    # sample — the ECDF only changes at distinct values
+    tie = base.groupBy(*gcols, "__v").agg(
+        F.sum("__a").cast("long").alias("__ca"),
+        F.sum(F.lit(1) - F.col("__a")).cast("long").alias("__cb"),
+    )
+    w_cum = (
+        W.partitionBy(*gcols).orderBy("__v")
+        if gcols
+        else W.partitionBy().orderBy("__v")
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy(*gcols) if gcols else W.partitionBy()
+    stepped = tie.select(
+        *gcols,
+        F.sum("__ca").over(w_cum).alias("__cum_a"),
+        F.sum("__cb").over(w_cum).alias("__cum_b"),
+        F.sum("__ca").over(w_all).alias("n1"),
+        F.sum("__cb").over(w_all).alias("n2"),
+    )
+    agg = stepped.groupBy(*gcols).agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(
+            F.abs(
+                F.col("n2") * F.col("__cum_a")
+                - F.col("n1") * F.col("__cum_b")
+            )
+        ).cast("long").alias("d_num"),
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    d = F.col("d_num").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2").cast("double")
+    )
+    lam = d * F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        / (F.col("n1") + F.col("n2")).cast("double")
+    )
+    out = agg.select(
+        *gcols,
+        "n1",
+        "n2",
+        F.when(ok, F.col("d_num")).alias("d_num"),
+        F.when(ok, F.round(d, 6)).alias("d"),
+        F.when(ok, F.round(lam, 6)).alias("lambda"),
+        F.when(ok, F.round(lam, 6) > F.lit(crit)).alias("significant"),
+    )
+    return out.orderBy(*gcols) if gcols else out

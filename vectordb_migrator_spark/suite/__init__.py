@@ -111,6 +111,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x13_cusum_changepoint",
     # ----- 50-window boundary: entries below queue for round 11 -----
     "x6_jpeg_thumbnail",
+    "x7_ks_two_sample",
 ]
 
 

@@ -787,3 +787,73 @@ def x6_jpeg_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(gen, schema="doc_id long, payload binary")
     )
     return jpeg_thumbnail_features(payloads).orderBy("doc_id")
+
+
+@query(
+    "x7_ks_two_sample",
+    """
+    WITH base AS (
+      SELECT event_type, value::DOUBLE AS v,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+      FROM events WHERE value IS NOT NULL
+    ),
+    tie AS (
+      SELECT event_type, v,
+             sum(a)::BIGINT AS ca,
+             sum(1 - a)::BIGINT AS cb
+      FROM base GROUP BY 1, 2
+    ),
+    stepped AS (
+      SELECT event_type,
+             sum(ca) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(cb) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum_b,
+             sum(ca) OVER (PARTITION BY event_type) AS n1,
+             sum(cb) OVER (PARTITION BY event_type) AS n2
+      FROM tie
+    ),
+    agg AS (
+      SELECT event_type,
+             max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+             max(abs(n2 * cum_a - n1 * cum_b))::BIGINT AS d_num
+      FROM stepped GROUP BY 1
+    )
+    SELECT event_type, n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN d_num END AS d_num,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(d_num::DOUBLE / (n1::DOUBLE * n2::DOUBLE), 6)
+                END AS d,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(d_num::DOUBLE / (n1::DOUBLE * n2::DOUBLE)
+                           * sqrt(n1::DOUBLE * n2::DOUBLE
+                                  / (n1 + n2)::DOUBLE), 6)
+                END AS lambda,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(d_num::DOUBLE / (n1::DOUBLE * n2::DOUBLE)
+                           * sqrt(n1::DOUBLE * n2::DOUBLE
+                                  / (n1 + n2)::DOUBLE), 6) > 1.358102
+                END AS significant
+    FROM agg ORDER BY event_type
+    """,
+)
+def x7_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — two-sample Kolmogorov–Smirnov test per event type (round
+    10): the shape-sensitive companion to x7_mann_whitney — U detects
+    location shifts, D = sup|F1−F2| detects ANY distributional
+    difference (variance, tails, bimodality). The supremum is the
+    exact integer |n2·cum1 − n1·cum2| over tie-collapsed pooled order
+    statistics (cross-multiplied ECDFs, no division inside the max),
+    so D's numerator is int64 on both engines; only the final D and
+    the Smirnov λ run in IEEE doubles. Same A/B split as the U test
+    (operators/scale.py:ks_two_sample_report)."""
+    from vectordb_migrator_spark.operators.scale import (
+        ks_two_sample_report,
+    )
+
+    return ks_two_sample_report(
+        _t(spark, sf_dir, "events"),
+        "value",
+        group_cols=["event_type"],
+        split_expr=F.col("user_id") % 2 == 0,
+    )
