@@ -351,3 +351,77 @@ def test_kcenter_coreset_stops_early_on_duplicate_points(spark):
     )
     rows = kcenter_coreset(solo, k=3, sample_size=6, seed=7).collect()
     assert len(rows) == 1 and rows[0]["radius"] == 0.0
+
+
+def test_facility_location_matches_python_replica(spark):
+    import hashlib
+
+    from vectordb_migrator_spark.operators.clustering import (
+        facility_location_select,
+    )
+
+    # two dense modes + outliers: facility location must spend early
+    # picks on the modes (coverage), unlike k-center's outlier-first
+    pts = (
+        [(i, [1.0 + 0.001 * i, 0.0]) for i in range(12)]
+        + [(100 + i, [0.0, 1.0 + 0.001 * i]) for i in range(12)]
+        + [(999, [-5.0, -5.0])]  # big norm but NEGATIVE direction:
+        # 0-floored coverage ignores it, so modes win the early picks
+    )
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = [
+        tuple(r)
+        for r in facility_location_select(
+            df, k=4, sample_size=25, seed=7
+        ).collect()
+    ]
+
+    def fx(v):
+        import math
+
+        nrm = math.sqrt(sum(x * x for x in v))
+        v = [x / nrm for x in v] if nrm else list(v)
+        return [
+            int(math.floor(x * 10000 + 0.5))
+            if x >= 0
+            else -int(math.floor(-x * 10000 + 0.5))
+            for x in v
+        ]
+
+    samp = sorted(
+        pts, key=lambda p: (hashlib.md5(f"{p[0]}:fl:7".encode()).hexdigest(), p[0])
+    )[:25]
+    samp = sorted(samp, key=lambda p: p[0])
+    ids = [p[0] for p in samp]
+    vs = [fx(p[1]) for p in samp]
+    n = len(ids)
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    sims = [[dot(vs[i], vs[j]) for j in range(n)] for i in range(n)]
+    sel, gains, cov = [], [], [0] * n
+    for _ in range(4):
+        best_g, best_i = -1, 0
+        for c in range(n):
+            if c in sel:
+                continue
+            g = sum(max(0, sims[j][c] - cov[j]) for j in range(n))
+            if g > best_g:
+                best_g, best_i = g, c
+        sel.append(best_i)
+        gains.append(best_g)
+        cov = [max(cov[j], sims[j][best_i], 0) for j in range(n)]
+    expect = [
+        (r + 1, ids[s], g, sum(gains[: r + 1]))
+        for r, (s, g) in enumerate(zip(sel, gains))
+    ]
+    assert got == expect
+    # submodularity: marginal gains never increase
+    gs = [g for _, _, g, _ in got]
+    assert all(gs[i] >= gs[i + 1] for i in range(len(gs) - 1))
+    # coverage behavior: both planted modes are hit within the first
+    # two picks, and the outlier is NOT the first pick
+    first_two = {got[0][1] // 100, got[1][1] // 100}
+    assert first_two == {0, 1}
+    assert got[0][1] != 999

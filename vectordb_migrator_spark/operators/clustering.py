@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectordb_migrator_spark.operators.similarity import ivf_build_centroids
@@ -414,4 +414,185 @@ def kcenter_coreset(
             ).alias("radius"),
         )
         .orderBy("center_rank")
+    )
+
+
+def facility_location_select(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    sample_size: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+    seed: int = 7,
+) -> DataFrame:
+    """Greedy facility-location data selection (round 10) — the
+    classic submodular coverage maximizer behind CRAIG-style coreset
+    and fine-tuning-data selection: repeatedly pick the point whose
+    addition most increases ``F(S) = Σ_j max(0, max_{s∈S} sim(j, s))``
+    (0-floored so negative similarities never "cover"); the 1−1/e
+    greedy guarantee makes the selection defensible, and the
+    monotonically NON-INCREASING marginal gains are the submodularity
+    certificate the output carries. Complements
+    :func:`kcenter_coreset`: k-center minimizes the worst gap
+    (outlier-hunting), facility location maximizes total coverage
+    (mode-hunting).
+
+    Determinism by construction (the kcenter recipe): candidates are
+    a fixed md5-rank sample, coordinates quantize to int64 fixed
+    point, similarities are exact int64 dot products, and every
+    argmax breaks ties toward the smaller ordinal (= smaller id) — so
+    the greedy trajectory replays bit-for-bit (full SQL oracle via a
+    recursive CTE). The O(n²) similarity matrix lives in ONE row
+    bounded by ``sample_size`` (at 100 TB you select on a
+    deterministic sample, never the corpus) and the whole greedy loop
+    runs inside a single ``F.aggregate`` — zero per-step jobs.
+
+    Returns ``(sel_rank, vec_id, gain, objective)`` — gain = the
+    marginal coverage this pick added (non-increasing), objective =
+    the running F(S).
+    """
+    if k < 1 or sample_size < k:
+        raise ValueError("need sample_size >= k >= 1")
+    from vectordb_migrator_spark.functions.vector import l2_normalize
+
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":fl:{seed}"))
+    )
+    # normalize BEFORE fixed-pointing: similarity = quantized COSINE.
+    # With raw dot products a single large-norm point self-covers more
+    # than an entire mode and greedy degenerates to norm-sorting; unit
+    # vectors make coverage about direction. The normalize is the same
+    # fixed-order IEEE fold both engines replay identically.
+    xint = F.transform(
+        l2_normalize(F.col(vec_col)),
+        lambda x: F.when(
+            x >= 0, F.floor(x * scale + F.lit(0.5))
+        )
+        .otherwise(-F.floor(-x * scale + F.lit(0.5)))
+        .cast("long"),
+    )
+    samp = (
+        df.select(F.col(id_col).alias("__id"), xint.alias("__x"), key.alias("__k"))
+        .orderBy("__k", "__id")
+        .limit(sample_size)
+    )
+    one = samp.orderBy("__id").agg(
+        F.collect_list("__id").alias("ids"),
+        F.collect_list("__x").alias("vs"),
+    )
+    one = one.select(
+        F.transform(
+            F.array_sort(
+                F.arrays_zip(F.col("ids").alias("i"), F.col("vs").alias("v"))
+            ),
+            lambda s: s["i"],
+        ).alias("ids"),
+        F.transform(
+            F.array_sort(
+                F.arrays_zip(F.col("ids").alias("i"), F.col("vs").alias("v"))
+            ),
+            lambda s: s["v"],
+        ).alias("vs"),
+    )
+    n = F.size(F.col("ids"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    # the n² similarity matrix, flat (row-major), computed once
+    sims = F.transform(
+        F.sequence(F.lit(0), n * n - 1),
+        lambda t: dot(
+            F.element_at(F.col("vs"), F.floor(t / n).cast("int") + 1),
+            F.element_at(F.col("vs"), (t % n).cast("int") + 1),
+        ),
+    )
+    one = one.select("ids", n.alias("n"), sims.alias("sims"))
+    nn = F.col("n")
+
+    # state: sel = picked ordinals, gains, obj, cov[j] = current
+    # 0-floored best similarity of j to the selection
+    cov0 = F.array_repeat(F.lit(0).cast("long"), 0)  # placeholder
+    state0 = F.struct(
+        F.array().cast("array<int>").alias("sel"),
+        F.array().cast("array<long>").alias("gains"),
+        F.lit(0).cast("long").alias("obj"),
+        F.transform(
+            F.sequence(F.lit(1), nn), lambda _: F.lit(0).cast("long")
+        ).alias("cov"),
+    )
+
+    def gain_of(c, cov):
+        # Σ_j max(0, sim(j, c) - cov_j); sims row-major so sim(j, c)
+        # = sims[j*n + c]
+        return F.aggregate(
+            F.sequence(F.lit(0), nn - 1),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.greatest(
+                F.lit(0).cast("long"),
+                F.element_at(F.col("sims"), j * nn + c + 1)
+                - F.element_at(cov, j + 1),
+            ),
+        )
+
+    def step(acc, _):
+        # one gains array per step (each candidate's gain computed
+        # ONCE), argmax via array_position — first index on ties =
+        # smallest ordinal, matching the recursive-CTE oracle
+        gl = F.transform(
+            F.sequence(F.lit(0), nn - 1),
+            lambda c: F.when(
+                F.array_contains(acc["sel"], c.cast("int")),
+                F.lit(-1).cast("long"),  # already selected: skip
+            ).otherwise(gain_of(c, acc["cov"])),
+        )
+        bg = F.array_max(gl)
+        best = F.struct(
+            bg.alias("bg"),
+            (F.array_position(gl, bg) - 1).cast("int").alias("bi"),
+        )
+        newcov = F.transform(
+            F.sequence(F.lit(0), nn - 1),
+            lambda j: F.greatest(
+                F.element_at(acc["cov"], j + 1),
+                F.element_at(F.col("sims"), j * nn + best["bi"] + 1),
+                F.lit(0).cast("long"),
+            ),
+        )
+        return F.struct(
+            F.concat(acc["sel"], F.array(best["bi"])).alias("sel"),
+            F.concat(acc["gains"], F.array(best["bg"])).alias("gains"),
+            (acc["obj"] + best["bg"]).alias("obj"),
+            newcov.alias("cov"),
+        )
+
+    fin = F.aggregate(F.sequence(F.lit(1), F.lit(k)), state0, step)
+    out = one.select("ids", fin["sel"].alias("sel"), fin["gains"].alias("g"))
+    return (
+        out.select(
+            F.posexplode(
+                F.arrays_zip(F.col("sel").alias("s"), F.col("g").alias("g"))
+            ).alias("pos", "t"),
+            F.col("ids"),
+        )
+        .select(
+            (F.col("pos") + 1).cast("long").alias("sel_rank"),
+            F.element_at(F.col("ids"), F.col("t.s") + 1).alias(id_col),
+            F.col("t.g").alias("gain"),
+            F.sum(F.col("t.g"))
+            .over(
+                Window.orderBy("pos").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("objective"),
+        )
+        .orderBy("sel_rank")
     )

@@ -112,6 +112,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # ----- 50-window boundary: entries below queue for round 11 -----
     "x6_jpeg_thumbnail",
     "x7_ks_two_sample",
+    "x10_facility_location",
 ]
 
 

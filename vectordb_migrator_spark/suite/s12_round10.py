@@ -857,3 +857,97 @@ def x7_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         split_expr=F.col("user_id") % 2 == 0,
     )
+
+
+def _fl_sql() -> str:
+    """Recursive-CTE DuckDB oracle for x10_facility_location: md5
+    sample, exact int64 dot-product similarity matrix, and the greedy
+    0-floored facility-location loop with smallest-ordinal ties."""
+    fx = (
+        "list_transform(nv, x -> (CASE WHEN x >= 0 "
+        "THEN floor(x * 10000.0 + 0.5) ELSE -floor(-x * 10000.0 + 0.5) "
+        "END)::BIGINT)"
+    )
+    return f"""
+    WITH RECURSIVE samp AS MATERIALIZED (
+      SELECT id, {fx} AS v FROM (
+        SELECT id,
+               CASE WHEN nrm = 0 THEN dv
+                    ELSE list_transform(dv, x -> x / nrm) END AS nv
+        FROM (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS dv,
+                 sqrt(list_sum([ (embedding::DOUBLE[])[i + 1]
+                                 * (embedding::DOUBLE[])[i + 1]
+                                 for i in range(64) ])) AS nrm
+          FROM embeddings))
+      ORDER BY md5(id::VARCHAR || ':fl:7'), id LIMIT 128
+    ),
+    one AS (
+      SELECT list(id ORDER BY id) AS ids, list(v ORDER BY id) AS vs
+      FROM samp
+    ),
+    simm AS MATERIALIZED (
+      SELECT ids, len(ids) AS n,
+             [ list_sum([ vs[(t // len(ids)) + 1][c + 1]
+                          * vs[(t % len(ids)) + 1][c + 1]
+                          for c in range(64) ])::BIGINT
+               for t in range(len(ids) * len(ids)) ] AS sims
+      FROM one
+    ),
+    rec AS (
+      SELECT ids, n, sims, 0 AS rk,
+             []::INT[] AS sel, []::BIGINT[] AS gains,
+             [ 0::BIGINT for _ in range(n) ] AS cov
+      FROM simm
+      UNION ALL
+      SELECT ids, n, sims, rk + 1,
+             sel || [bi::INT],
+             gains || [bg],
+             [ greatest(cov[j + 1], sims[j * n + bi + 1], 0::BIGINT)
+               for j in range(n) ]
+      FROM (
+        SELECT *,
+               list_max(gl) AS bg,
+               [ c for c in range(n) if gl[c + 1] = list_max(gl) ][1]
+                 AS bi
+        FROM (
+          SELECT *,
+                 [ CASE WHEN list_contains(sel, c::INT)
+                        THEN (-1)::BIGINT
+                        ELSE list_sum([ greatest(0::BIGINT,
+                                        sims[j * n + c + 1] - cov[j + 1])
+                                        for j in range(n) ])::BIGINT
+                   END for c in range(n) ] AS gl
+          FROM rec WHERE rk < 8))
+    ),
+    fin AS (SELECT * FROM rec WHERE rk = 8)
+    SELECT (g.i + 1)::BIGINT AS sel_rank,
+           f.ids[f.sel[g.i + 1] + 1]::BIGINT AS vec_id,
+           f.gains[g.i + 1] AS gain,
+           list_sum(f.gains[1 : g.i + 1])::BIGINT AS objective
+    FROM fin f, unnest(range(len(f.sel))) g(i)
+    ORDER BY sel_rank
+    """
+
+
+@query("x10_facility_location", _fl_sql())
+def x10_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — greedy facility-location data selection (round 10): the
+    classic submodular coverage maximizer behind CRAIG-style coreset
+    and fine-tuning-data selection — repeatedly pick the point whose
+    addition most increases Σ_j max(0, max_{s∈S} sim(j,s)); the 1−1/e
+    greedy guarantee makes the selection defensible and the
+    non-increasing marginal gains are the submodularity certificate
+    the output carries. Complements x10_kcenter_coreset: k-center
+    minimizes the worst gap (outliers), facility location maximizes
+    total coverage (modes). md5 sample, exact int64 dot products,
+    smallest-ordinal ties — the greedy trajectory replays bit-for-bit
+    in a recursive-CTE oracle; whole loop in ONE F.aggregate
+    (operators/clustering.py:facility_location_select)."""
+    from vectordb_migrator_spark.operators.clustering import (
+        facility_location_select,
+    )
+
+    return facility_location_select(
+        _t(spark, sf_dir, "embeddings"), k=8, sample_size=128, seed=7
+    )
