@@ -1114,3 +1114,41 @@ def test_jpeg_dc_thumbnail_is_exact_block_means(spark):
     assert rows[1]["sum_r"] == int(exp.sum())
     assert rows[1]["px00_r"] == int(exp[0, 0])
     assert rows[2]["thumb_w"] is None and rows[2]["sum_r"] is None
+
+
+def test_jpeg_decoder_is_hang_and_alloc_safe():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    good = bytearray(jpeg_encode(np.full((8, 8), 9, np.uint8)))
+
+    # zero-length marker segment: must raise, never spin forever
+    # (pos += seglen with seglen == 0 would stop advancing)
+    zero_seg = bytes(good[:2]) + b"\xff\xdb\x00\x00" + bytes(good[2:])
+    with pytest.raises(ValueError, match="segment length"):
+        jpeg_decode(zero_seg)
+
+    # crafted SOF declaring 65535x65535: must raise before allocating
+    # gigabytes of coefficient storage
+    sof = good.find(b"\xff\xc0")
+    huge = bytearray(good)
+    struct.pack_into(">HH", huge, sof + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="max_pixels"):
+        jpeg_decode(bytes(huge))
+
+    # byte-flip fuzz: every mutation either decodes or raises promptly
+    # — no hangs, no silent misparse of the spec guards
+    for i in range(2, len(good), 7):
+        mut = bytearray(good)
+        mut[i] ^= 0xFF
+        try:
+            jpeg_decode(bytes(mut))
+        except Exception:
+            pass

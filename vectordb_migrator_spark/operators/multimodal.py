@@ -1822,7 +1822,9 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def jpeg_decode(payload: bytes, *, dc_only: bool = False):
+def jpeg_decode(
+    payload: bytes, *, dc_only: bool = False, max_pixels: int = 25_000_000
+):
     """REAL baseline JPEG decoder (ITU T.81 sequential DCT, SOF0/SOF1):
     marker walk, DQT (8/16-bit) and DHT parsed FROM THE FILE, Huffman
     entropy decode (DC prediction + EXTEND, AC run-length with
@@ -1833,6 +1835,9 @@ def jpeg_decode(payload: bytes, *, dc_only: bool = False):
     (4:4:4) — the fixture shape and the dominant ML-corpus shape
     after re-encode; progressive (SOF2) or subsampled files raise
     ``ValueError`` (callers surface NULL rows — never a misparse).
+
+    ``max_pixels`` bounds the declared SOF dimensions so a crafted
+    header cannot demand a multi-GB allocation (raise, never OOM).
 
     Returns ``(rgb, n_components)`` where rgb is (h, w, 3) uint8.
     With ``dc_only=True`` it returns the 1/8-scale DC thumbnail
@@ -1869,6 +1874,11 @@ def jpeg_decode(payload: bytes, *, dc_only: bool = False):
         if marker == 0xD9:
             break
         (seglen,) = struct.unpack_from(">H", b, pos)
+        if seglen < 2:
+            # a length below 2 can't even cover the length field; on
+            # corrupt input `pos += seglen` would stop advancing and
+            # the marker walk would spin forever — fail instead
+            raise ValueError("corrupt marker segment length")
         seg = b[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             sp = 0
@@ -1913,6 +1923,11 @@ def jpeg_decode(payload: bytes, *, dc_only: bool = False):
                 comps.append({"id": cid, "tq": tq})
             if nc not in (1, 3):
                 raise ValueError("only 1 or 3 components supported")
+            if fh * fw > max_pixels or fh == 0 or fw == 0:
+                # a crafted/corrupt SOF can declare 65535x65535 and
+                # demand a multi-GB coefficient allocation before any
+                # pixel data exists — bound it (raise, never OOM)
+                raise ValueError("image dimensions exceed max_pixels")
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
