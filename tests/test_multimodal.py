@@ -1152,3 +1152,95 @@ def test_jpeg_decoder_is_hang_and_alloc_safe():
             jpeg_decode(bytes(mut))
         except Exception:
             pass
+
+
+def test_decoders_are_decompression_bomb_safe(spark):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        gif_decode_features,
+        png_decode_features,
+        zip_members_features,
+    )
+
+    # PNG bomb: tiny IDAT inflating to ~2 GB of declared 25k x 25k
+    # gray scanlines (dims bound + capped inflate -> NULL, fast)
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    w = h = 25_000
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * 1000)  # claims far more than it has
+    bomb_png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+    # GIF bomb: header declares 20k x 20k; the capped LZW decode must
+    # raise as soon as output passes w*h, not expand the whole stream
+    gif_bomb = (
+        b"GIF87a" + struct.pack("<HH", 20_000, 20_000)
+        + bytes([0x80, 0, 0]) + bytes(6)  # 2-color palette
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 20_000, 20_000) + b"\x00"
+        + bytes([2])  # min code size
+        + bytes([1, 0x44]) + b"\x00\x3b"  # a tiny (bogus) data block
+    )
+
+    # ZIP bomb: member declares usize far above the deflate truth,
+    # plus one declaring less than the stream holds — both must fail
+    # the size check with a CAPPED inflate, never balloon
+    payload = zlib.compressobj(9, zlib.DEFLATED, -15)
+    deflated = payload.compress(b"A" * 100_000) + payload.flush()
+
+    def zip_with_usize(usize):
+        crc = zlib.crc32(b"A" * 100_000) & 0xFFFFFFFF
+        name = b"a.bin"
+        lfh = (
+            b"PK\x03\x04" + struct.pack(
+                "<HHHHHIIIHH", 20, 0, 8, 0, 0, crc, len(deflated),
+                usize, len(name), 0,
+            ) + name + deflated
+        )
+        cd = (
+            b"PK\x01\x02" + struct.pack(
+                "<HHHHHHIIIHHHHHII", 20, 20, 0, 8, 0, 0, crc,
+                len(deflated), usize, len(name), 0, 0, 0, 0, 0, 0,
+            ) + name
+        )
+        eocd = b"PK\x05\x06" + struct.pack(
+            "<HHHHIIH", 0, 0, 1, 1, len(cd), len(lfh), 0
+        )
+        return lfh + cd + eocd
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(bomb_png)),
+            (2, bytearray(gif_bomb)),
+        ],
+        "doc_id long, payload binary",
+    )
+    png_rows = {r["doc_id"]: r for r in png_decode_features(df).collect()}
+    assert png_rows[1]["width"] is None  # bomb -> NULL, promptly
+    gif_rows = {r["doc_id"]: r for r in gif_decode_features(df).collect()}
+    assert gif_rows[2]["width"] is None
+
+    zdf = spark.createDataFrame(
+        [
+            (1, bytearray(zip_with_usize(10))),       # claims too little
+            (2, bytearray(zip_with_usize(100_000))),  # honest
+        ],
+        "shard_id long, payload binary",
+    )
+    zrows = {r["shard_id"]: r for r in zip_members_features(zdf).collect()}
+    assert zrows[2]["size"] == 100_000  # honest member still reads
+    assert zrows[2]["crc_ok"] is True
+    # the lying member must not verify: the capped inflate stops at
+    # usize+1, the size check fails, crc_ok is False — never a silent
+    # pass and never a ballooned allocation
+    assert zrows[1]["crc_ok"] is False

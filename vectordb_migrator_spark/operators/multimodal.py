@@ -880,9 +880,19 @@ def png_decode_features(
                                 ch and depth == 8 and comp == 0
                                 and filt == 0 and inter == 0
                                 and w > 0 and h > 0
+                                and w * h <= 25_000_000
                             ):
-                                raw = zlib.decompress(bytes(idat))
                                 stride = w * ch
+                                # cap the inflate at the expected
+                                # scanline bytes: a crafted IDAT must
+                                # not be able to balloon past the
+                                # declared image (PNG-bomb guard); one
+                                # extra byte makes oversize fail the
+                                # length check below instead of
+                                # passing truncated
+                                raw = zlib.decompressobj().decompress(
+                                    bytes(idat), h * (stride + 1) + 1
+                                )
                                 if len(raw) == h * (stride + 1):
                                     px = _png_unfilter(
                                         raw, h, stride, ch
@@ -1093,9 +1103,15 @@ def gif_lzw_encode(indices, min_code_size: int) -> bytes:
     return wtr.flush()
 
 
-def gif_lzw_decode(data: bytes, min_code_size: int) -> list:
+def gif_lzw_decode(
+    data: bytes, min_code_size: int, *, max_out: int | None = None
+) -> list:
     """Inverse of :func:`gif_lzw_encode`, with the cScSc
-    (code == next_code) special case. Raises on malformed streams."""
+    (code == next_code) special case. Raises on malformed streams,
+    and — when ``max_out`` is given (callers know the expected pixel
+    count) — on streams that expand past it: LZW amplifies up to
+    ~4096x, so an uncapped decode of a crafted stream is a
+    decompression bomb."""
     clear = 1 << min_code_size
     eoi = clear + 1
     pos = 0  # bit cursor
@@ -1138,6 +1154,8 @@ def gif_lzw_decode(data: bytes, min_code_size: int) -> list:
         else:
             raise ValueError("code beyond table")
         out.extend(entry)
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("LZW output exceeds expected size")
         if len(table) >= (1 << width) and width < 12:
             width += 1
         prev = entry
@@ -1238,6 +1256,7 @@ def gif_decode_features(
                             pal is not None
                             and pos < len(b)
                             and b[pos] == 0x2C
+                            and w * h <= 25_000_000
                         ):
                             iw, ih = struct.unpack_from("<HH", b, pos + 5)
                             ipacked = b[pos + 9]
@@ -1251,7 +1270,10 @@ def gif_decode_features(
                                     data += b[pos + 1 : pos + 1 + ln]
                                     pos += 1 + ln
                                 idx = np.array(
-                                    gif_lzw_decode(bytes(data), mcs),
+                                    gif_lzw_decode(
+                                        bytes(data), mcs,
+                                        max_out=int(iw) * int(ih),
+                                    ),
                                     dtype=np.int64,
                                 )
                                 if len(idx) == iw * ih and int(
@@ -1523,7 +1545,13 @@ def zip_members_features(
                         if len(data) < csize:
                             raise ValueError("truncated member")
                         if method == 8:
-                            raw = zlib.decompress(data, -15)
+                            # cap at the declared size: a zip-bomb
+                            # member cannot balloon past its header
+                            # claim; one extra byte makes oversize
+                            # fail the size check below
+                            raw = zlib.decompressobj(-15).decompress(
+                                data, usize + 1
+                            )
                         elif method == 0:
                             raw = data
                         else:
