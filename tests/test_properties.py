@@ -712,3 +712,84 @@ def test_auc_matches_pairwise_probability(spark, rows):
         for p in pos for n in neg
     ) / (len(pos) * len(neg))
     assert abs(got["auc"] - direct) < 1e-6
+
+
+@given(
+    blocks=st.lists(
+        st.lists(st.integers(min_value=0, max_value=255), min_size=1,
+                 max_size=4),
+        min_size=1,
+        max_size=3,
+    ),
+    extra_w=st.integers(min_value=0, max_value=7),
+    extra_h=st.integers(min_value=0, max_value=7),
+    ri=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_block_constant_roundtrip_property(blocks, extra_w, extra_h, ri):
+    """Pure-codec property (no Spark): ANY block-constant gray image —
+    arbitrary per-block values, dims off the 8-grid, restart markers
+    on/off — survives encode+decode EXACTLY with the unit quant table
+    (DC-only blocks are an integer pipeline end to end), and the
+    dc_only thumbnail equals the planted block values."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    bh, bw = len(blocks), max(len(r) for r in blocks)
+    grid = [[row[min(c, len(row) - 1)] for c in range(bw)] for row in blocks]
+    h = bh * 8 - extra_h
+    w = bw * 8 - extra_w
+    px = np.zeros((h, w), np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = grid[by][bx]
+    payload = jpeg_encode(px, restart_interval=ri)
+    rgb, nc = jpeg_decode(payload)
+    assert nc == 1 and rgb.shape == (h, w, 3)
+    assert np.array_equal(rgb[:, :, 0], px)
+    thumb, _ = jpeg_decode(payload, dc_only=True)
+    assert np.array_equal(
+        thumb[:, :, 0], np.array(grid, np.uint8)[: thumb.shape[0]]
+    )
+
+
+@given(
+    members=st.lists(
+        st.tuples(
+            st.text(alphabet=st.sampled_from("abcdef_/0123456789"),
+                    min_size=1, max_size=30).filter(
+                lambda s: not s.startswith("/") and "//" not in s
+            ),
+            st.binary(min_size=0, max_size=600),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_tar_zip_codec_roundtrip_property(members):
+    """Pure-codec property: arbitrary member names/payloads survive
+    tar_encode and zip_encode, and both stdlib readers agree byte for
+    byte (the interop direction the walkers are pinned on)."""
+    import io
+    import tarfile
+    import zipfile
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        tar_encode,
+        zip_encode,
+    )
+
+    t = tarfile.open(fileobj=io.BytesIO(tar_encode(members)))
+    got = {m.name: t.extractfile(m).read() for m in t.getmembers()}
+    assert got == dict(members)
+
+    z = zipfile.ZipFile(io.BytesIO(zip_encode(members)))
+    assert z.testzip() is None
+    got = {n: z.read(n) for n in z.namelist()}
+    assert got == dict(members)
