@@ -409,3 +409,26 @@ def test_release_gate_pipeline_example(spark):
         c = out["conformal"][et]
         if c["qhat"] is not None:
             assert c["coverage"] is not None
+
+
+def test_image_corpus_pipeline_example(spark):
+    """examples/image_corpus_pipeline.py: the round-10 JPEG tier end
+    to end at sf0.001 — header triage, DC previews, full-decode spot
+    check, degenerate filtering, checksum-verified tar shards."""
+    sys.path.insert(0, str(ROOT / "examples"))
+    try:
+        import image_corpus_pipeline as ex
+    finally:
+        sys.path.pop(0)
+
+    out = ex.run_pipeline(spark, f"{SF_DIR}/documents.parquet")
+    t = out["triage"]
+    assert t["rejected"] > 0  # the planted junk is caught, not decoded
+    assert t["parsed"] + t["rejected"] == t["total"]
+    assert out["previews"]["thumbnailed"] == t["parsed"]
+    assert out["previews"]["flat_images"] > 0  # planted dups caught
+    assert out["spot_check"]["decoded"] > 0
+    assert out["spot_check"]["failed"] == 0  # triaged corpus decodes
+    s = out["shards"]
+    assert s["all_checksums_ok"] is True
+    assert s["n_members"] == s["n_kept"]
