@@ -1244,3 +1244,73 @@ def test_decoders_are_decompression_bomb_safe(spark):
     # usize+1, the size check fails, crc_ok is False — never a silent
     # pass and never a ballooned allocation
     assert zrows[1]["crc_ok"] is False
+
+
+def test_jpeg_420_mcu_constant_exact_and_loss_profile():
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    def rh(a):
+        return np.sign(a) * np.floor(np.abs(a) + 0.5)
+
+    def cl(a):
+        return np.minimum(np.maximum(a, 0), 255)
+
+    # MCU-constant color, dims off the 16-grid: the full 4:2:0 chain
+    # (subsample of four equal chroma samples = identity) is exact
+    h, w = 30, 37
+    px = np.zeros((h, w, 3), np.uint8)
+    for my in range(2):
+        for mx in range(3):
+            for c in range(3):
+                px[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16, c] = (
+                    37 * mx + 59 * my + 11 * c + 5
+                ) % 256
+    rgb, nc = jpeg_decode(jpeg_encode(px, subsampling="420"))
+    assert nc == 3 and rgb.shape == (h, w, 3)
+    for my in range(2):
+        for mx in range(3):
+            r0, g0, b0 = (
+                float((37 * mx + 59 * my + 11 * c + 5) % 256)
+                for c in range(3)
+            )
+            y = cl(rh(0.299 * r0 + 0.587 * g0 + 0.114 * b0))
+            cb = cl(rh(128 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0))
+            cr = cl(rh(128 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0))
+            exp = (
+                cl(rh(y + 1.402 * (cr - 128))),
+                cl(rh(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))),
+                cl(rh(y + 1.772 * (cb - 128))),
+            )
+            reg = rgb[
+                my * 16 : min(h, my * 16 + 16),
+                mx * 16 : min(w, mx * 16 + 16),
+            ].astype(float)
+            for c in range(3):
+                assert np.all(reg[:, :, c] == exp[c])
+
+    # loss profile: smooth content barely loses; alternating extreme
+    # chroma loses a lot — exactly what 2x2 chroma averaging means
+    yy, xx = np.mgrid[0:24, 0:32]
+    smooth = np.stack(
+        [(xx * 3) % 256, (yy * 2 + xx) % 256, (yy * 4) % 256], axis=-1
+    ).astype(np.uint8)
+    got = jpeg_decode(jpeg_encode(smooth, subsampling="420"))[0]
+    assert int(np.max(np.abs(got.astype(int) - smooth.astype(int)))) <= 6
+    checker = np.zeros((16, 16, 3), np.uint8)
+    checker[::2, :, 0] = 255
+    checker[1::2, :, 2] = 255
+    got2 = jpeg_decode(jpeg_encode(checker, subsampling="420"))[0]
+    assert int(np.max(np.abs(got2.astype(int) - checker.astype(int)))) > 50
+
+    # guards: 4:2:0 needs RGB; unknown subsampling rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="RGB"):
+        jpeg_encode(np.zeros((8, 8), np.uint8), subsampling="420")
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_encode(np.zeros((8, 8, 3), np.uint8), subsampling="422")

@@ -1702,14 +1702,18 @@ def _mag_bits(v: int) -> tuple:
     return s, (v if v >= 0 else v + (1 << s) - 1)
 
 
-def jpeg_encode(px, *, qtable=None, restart_interval: int = 0) -> bytes:
+def jpeg_encode(
+    px, *, qtable=None, restart_interval: int = 0, subsampling: str = "444"
+) -> bytes:
     """Minimal REAL baseline JPEG (SOF0) encoder for fixtures and
-    demos: grayscale (h, w) or RGB (h, w, 3) uint8 input, 4:4:4 (no
-    subsampling), Annex K.3 luminance Huffman tables for every
-    component, one quant table (default: all ones — DC-only inputs
-    then round-trip exactly), MCU-edge replicate padding, real byte
-    stuffing, optional DRI/RSTn restart markers. Output decodes in
-    any baseline JPEG decoder."""
+    demos: grayscale (h, w) or RGB (h, w, 3) uint8 input, 4:4:4 or
+    4:2:0 (``subsampling="420"``, RGB only: luma 2x2, chroma averaged
+    over 2x2 with round-half-up — the dominant real-world shape),
+    Annex K.3 luminance Huffman tables for every component, one quant
+    table (default: all ones — DC-only inputs then round-trip
+    exactly), MCU-edge replicate padding, real byte stuffing,
+    optional DRI/RSTn restart markers. Output decodes in any baseline
+    JPEG decoder."""
     import struct
 
     import numpy as np
@@ -1725,6 +1729,11 @@ def jpeg_encode(px, *, qtable=None, restart_interval: int = 0) -> bytes:
         qtable, dtype=np.int64
     ).reshape(8, 8)
 
+    sub420 = subsampling == "420"
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if sub420 and ncomp != 3:
+        raise ValueError("4:2:0 requires an RGB input")
     if ncomp == 3:
         r, g, b = a[:, :, 0].astype(float), a[:, :, 1].astype(float), a[
             :, :, 2
@@ -1736,11 +1745,41 @@ def jpeg_encode(px, *, qtable=None, restart_interval: int = 0) -> bytes:
     else:
         planes = [a[:, :, 0].astype(float)]
 
-    # pad to 8-multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
-    ]
+    if sub420:
+        # chroma: 2x2 mean with round-half-up (pad odd edges by
+        # replication first so every cell has four samples)
+        def down(p):
+            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
+            p = np.pad(p, ((0, ph2 - h), (0, pw2 - w)), mode="edge")
+            q = (
+                p[0::2, 0::2] + p[0::2, 1::2]
+                + p[1::2, 0::2] + p[1::2, 1::2]
+            ) / 4.0
+            return _round_half_up(q)
+
+        planes = [planes[0], down(planes[1]), down(planes[2])]
+        # pad luma to 16-multiples (MCU edge), chroma to 8-multiples
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        planes = [
+            np.pad(
+                planes[0], ((0, ph - h), (0, pw - w)), mode="edge"
+            ),
+            *[
+                np.pad(
+                    p,
+                    ((0, ph // 2 - p.shape[0]), (0, pw // 2 - p.shape[1])),
+                    mode="edge",
+                )
+                for p in planes[1:]
+            ],
+        ]
+    else:
+        # pad to 8-multiples by edge replication
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [
+            np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            for p in planes
+        ]
 
     dc_map = _huff_codes(*_K3_DC_LUMA)
     ac_map = _huff_codes(*_K3_AC_LUMA)
@@ -1753,7 +1792,8 @@ def jpeg_encode(px, *, qtable=None, restart_interval: int = 0) -> bytes:
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        out += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, qtable 0
+        hv = 0x22 if (sub420 and ci == 0) else 0x11
+        out += bytes([ci + 1, hv, 0])  # id, sampling, qtable 0
     # DHT: DC table 0 + AC table 0
     for cls, (bits, vals) in ((0, _K3_DC_LUMA), (1, _K3_AC_LUMA)):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
@@ -1769,8 +1809,15 @@ def jpeg_encode(px, *, qtable=None, restart_interval: int = 0) -> bytes:
     wtr = _JpegBitWriter()
     pred = [0] * ncomp
     mcu_i = 0
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    mcu_px = 16 if sub420 else 8
+    blocks_of = (
+        ([(0, 0, 0), (0, 8, 0), (8, 0, 0), (8, 8, 0)]
+         + [(0, 0, 1), (0, 0, 2)])
+        if sub420
+        else [(0, 0, ci) for ci in range(ncomp)]
+    )
+    for by in range(ph // mcu_px):
+        for bx in range(pw // mcu_px):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
                 out += wtr.flush()
                 out += bytes(
@@ -1779,8 +1826,12 @@ def jpeg_encode(px, *, qtable=None, restart_interval: int = 0) -> bytes:
                 wtr = _JpegBitWriter()
                 pred = [0] * ncomp
             mcu_i += 1
-            for ci, plane in enumerate(planes):
-                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            for oy, ox, ci in blocks_of:
+                plane = planes[ci]
+                scale_f = 2 if (sub420 and ci > 0) else 1
+                y0 = (by * mcu_px + oy) // scale_f
+                x0 = (bx * mcu_px + ox) // scale_f
+                blk = plane[y0 : y0 + 8, x0 : x0 + 8]
                 coef = C @ (blk - 128.0) @ C.T
                 qc = _round_half_up(coef / q).astype(np.int64)
                 zz = qc.reshape(-1)[_ZIGZAG]
@@ -1859,10 +1910,12 @@ def jpeg_decode(
     ZRL/EOB), byte unstuffing, DRI/RSTn restart handling, dequantize,
     un-zigzag, exact float IDCT (vectorized across all blocks), level
     shift, and JFIF YCbCr->RGB for 3-component scans. Supported
-    surface: 8-bit precision, 1 or 3 components, no subsampling
-    (4:4:4) — the fixture shape and the dominant ML-corpus shape
-    after re-encode; progressive (SOF2) or subsampled files raise
-    ``ValueError`` (callers surface NULL rows — never a misparse).
+    surface: 8-bit precision, 1 or 3 components, 4:4:4 AND 4:2:0
+    (luma 2x2 / chroma 1x1 interleaved MCUs with replicate chroma
+    upsampling) — together the shapes that cover virtually every
+    ML-corpus JPEG; progressive (SOF2) or other sampling layouts
+    raise ``ValueError`` (callers surface NULL rows — never a
+    misparse).
 
     ``max_pixels`` bounds the declared SOF dimensions so a crafted
     header cannot demand a multi-GB allocation (raise, never OOM).
@@ -1946,11 +1999,20 @@ def jpeg_decode(
             comps = []
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
-                if hv != 0x11:
-                    raise ValueError("subsampled JPEG not supported")
-                comps.append({"id": cid, "tq": tq})
+                comps.append(
+                    {"id": cid, "tq": tq, "hi": hv >> 4, "vi": hv & 0x0F}
+                )
             if nc not in (1, 3):
                 raise ValueError("only 1 or 3 components supported")
+            factors = [(c["hi"], c["vi"]) for c in comps]
+            if not (
+                all(f == (1, 1) for f in factors)
+                or (nc == 3 and factors == [(2, 2), (1, 1), (1, 1)])
+            ):
+                # supported sampling: 4:4:4 (all 1x1) and 4:2:0
+                # (luma 2x2, chroma 1x1) — the two shapes that cover
+                # virtually every ML-corpus JPEG
+                raise ValueError("unsupported sampling factors")
             if fh * fw > max_pixels or fh == 0 or fw == 0:
                 # a crafted/corrupt SOF can declare 65535x65535 and
                 # demand a multi-GB coefficient allocation before any
@@ -2011,9 +2073,17 @@ def _jpeg_decode_scan(
 
     h, w = frame["h"], frame["w"]
     nc = len(scan)
-    bw, bh = -(-w // 8), -(-h // 8)
-    n_mcu = bw * bh
-    coeffs = np.zeros((n_mcu, nc, 64), dtype=np.int64)
+    hmax = max(sc["comp"]["hi"] for sc in scan)
+    vmax = max(sc["comp"]["vi"] for sc in scan)
+    mw, mh = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    n_mcu = mw * mh
+    coeffs = [
+        np.zeros(
+            (n_mcu * sc["comp"]["hi"] * sc["comp"]["vi"], 64),
+            dtype=np.int64,
+        )
+        for sc in scan
+    ]
     pred = [0] * nc
     seg_i = 0
     rdr = _JpegBitReader(segments[0])
@@ -2025,62 +2095,102 @@ def _jpeg_decode_scan(
             rdr = _JpegBitReader(segments[seg_i])
             pred = [0] * nc
         for ci, sc in enumerate(scan):
+            hi, vi = sc["comp"]["hi"], sc["comp"]["vi"]
             dct = htables.get((0, sc["dc"]))
             act = htables.get((1, sc["ac"]))
             if dct is None or act is None:
                 raise ValueError("missing Huffman table")
-            s = rdr.huff(dct)
-            diff = _extend(rdr.bits(s), s) if s else 0
-            pred[ci] += diff
-            coeffs[m, ci, 0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = rdr.huff(act)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                coeffs[m, ci, k] = _extend(rdr.bits(s), s)
-                k += 1
+            for bsub in range(hi * vi):
+                s = rdr.huff(dct)
+                diff = _extend(rdr.bits(s), s) if s else 0
+                pred[ci] += diff
+                row = coeffs[ci][m * hi * vi + bsub]
+                row[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = rdr.huff(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    row[k] = _extend(rdr.bits(s), s)
+                    k += 1
+
+    def comp_grid(ci):
+        """(block grid width, height) of component ci's padded plane."""
+        hi, vi = scan[ci]["comp"]["hi"], scan[ci]["comp"]["vi"]
+        return mw * hi, mh * vi
+
+    def scatter(ci, px_blocks, block_px: int):
+        """Place per-block data into component ci's padded plane.
+        ``px_blocks`` is (n_blocks, block_px, block_px)."""
+        hi, vi = scan[ci]["comp"]["hi"], scan[ci]["comp"]["vi"]
+        bw, bh = comp_grid(ci)
+        plane = np.zeros((bh * block_px, bw * block_px), dtype=np.uint8)
+        for m in range(n_mcu):
+            myy, mxx = divmod(m, mw)
+            for bsub in range(hi * vi):
+                byi, bxi = divmod(bsub, hi)
+                by, bx = myy * vi + byi, mxx * hi + bxi
+                plane[
+                    by * block_px : (by + 1) * block_px,
+                    bx * block_px : (bx + 1) * block_px,
+                ] = px_blocks[m * hi * vi + bsub]
+        return plane
+
+    def upsample(ci, plane, unit: int):
+        """Crop to the component's natural size (in ``unit``-pixel
+        cells) and replicate up to full resolution."""
+        hi, vi = scan[ci]["comp"]["hi"], scan[ci]["comp"]["vi"]
+        cw_px = -(-(w * hi) // hmax)  # natural comp width in pixels
+        ch_px = -(-(h * vi) // vmax)
+        cw = cw_px if unit == 1 else -(-cw_px // 8)
+        ch = ch_px if unit == 1 else -(-ch_px // 8)
+        plane = plane[:ch, :cw]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        th = h if unit == 1 else -(-h // 8)
+        tw = w if unit == 1 else -(-w // 8)
+        return plane[:th, :tw]
+
+    planes = []
     if dc_only:
         # 1/8-scale thumbnail straight from the DC coefficients — the
         # classic decode-free resize: the DC term IS 8x the block mean,
         # so thumb pixel = round(DC*Q00/8) + 128 per block. Entropy
         # decoding still walks every coefficient (the bitstream has no
         # skip index), but IDCT and full-plane assembly are skipped.
-        planes = []
         for ci, sc in enumerate(scan):
             q = qtables.get(sc["comp"]["tq"])
             if q is None:
                 raise ValueError("missing quant table")
-            dc = coeffs[:, ci, 0].astype(np.float64) * float(q[0, 0])
+            dc = coeffs[ci][:, 0].astype(np.float64) * float(q[0, 0])
             px = np.clip(_round_half_up(dc / 8.0) + 128, 0, 255)
-            planes.append(
-                px.reshape(bh, bw).astype(np.uint8)
-            )
+            plane = scatter(ci, px.reshape(-1, 1, 1).astype(np.uint8), 1)
+            planes.append(upsample(ci, plane, 8))
         return _jpeg_planes_to_rgb(planes, nc)
     # dequantize + un-zigzag + one vectorized IDCT over all blocks
     C = _dct_matrix()
-    planes = []
     for ci, sc in enumerate(scan):
         q = qtables.get(sc["comp"]["tq"])
         if q is None:
             raise ValueError("missing quant table")
-        dq = coeffs[:, ci, :][:, inv_zz].reshape(n_mcu, 8, 8) * q[None]
+        nb = coeffs[ci].shape[0]
+        dq = coeffs[ci][:, inv_zz].reshape(nb, 8, 8) * q[None]
         spatial = np.einsum(
             "ux,muv,vy->mxy", C, dq.astype(np.float64), C
         )
-        px = np.clip(_round_half_up(spatial) + 128, 0, 255)
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-        for m in range(n_mcu):
-            by, bx = divmod(m, bw)
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px[m]
-        planes.append(plane[:h, :w])
+        px = np.clip(_round_half_up(spatial) + 128, 0, 255).astype(
+            np.uint8
+        )
+        plane = scatter(ci, px, 8)
+        planes.append(upsample(ci, plane, 1))
     return _jpeg_planes_to_rgb(planes, nc)
 
 

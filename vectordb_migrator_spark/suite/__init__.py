@@ -113,6 +113,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_jpeg_thumbnail",
     "x7_ks_two_sample",
     "x10_facility_location",
+    "x6_jpeg_420_decode",
 ]
 
 

@@ -951,3 +951,127 @@ def x10_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facility_location_select(
         _t(spark, sf_dir, "embeddings"), k=8, sample_size=128, seed=7
     )
+
+
+def _j420_sql() -> str:
+    """MCU-grid DuckDB oracle for x6_jpeg_420_decode: with MCU-constant
+    RGB fixtures the whole 4:2:0 chain (RGB -> round/clamp YCbCr ->
+    2x2 chroma average of four equal values -> entropy code -> decode
+    -> replicate-upsample -> round/clamp RGB) is the same IEEE chain
+    as 4:4:4, replayed per 16x16 MCU times its clipped pixel count."""
+    rh = "(CASE WHEN ({x}) >= 0 THEN floor(({x}) + 0.5) ELSE -floor(-({x}) + 0.5) END)"
+    cl = "least(greatest({x}, 0.0), 255.0)"
+
+    def chain(expr):
+        return cl.format(x=rh.format(x=expr))
+
+    y = chain("0.299 * r + 0.587 * g + 0.114 * b")
+    cb = chain("128 - 0.168736 * r - 0.331264 * g + 0.5 * b")
+    cr = chain("128 + 0.5 * r - 0.418688 * g - 0.081312 * b")
+    r2 = chain("y + 1.402 * (cr - 128)")
+    g2 = chain("y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)")
+    b2 = chain("y + 1.772 * (cb - 128)")
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             (16 * (1 + doc_id % 2) + doc_id % 9)::INT AS w,
+             (16 * (1 + doc_id % 3) + doc_id % 5)::INT AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT xs.range AS mx, ys.range AS my
+      FROM range(0, 3) xs, range(0, 4) ys
+    ),
+    mcus AS (
+      SELECT d.doc_id, d.w, d.h, g.mx, g.my,
+             ((37 * g.mx + 59 * g.my + d.doc_id) % 256)::DOUBLE AS r,
+             ((17 * g.mx + 43 * g.my + 2 * d.doc_id + 7) % 256)::DOUBLE AS g,
+             ((29 * g.mx + 31 * g.my + 3 * d.doc_id + 13) % 256)::DOUBLE AS b,
+             (least(d.w, 16 * (g.mx + 1)) - 16 * g.mx)::BIGINT AS nx,
+             (least(d.h, 16 * (g.my + 1)) - 16 * g.my)::BIGINT AS ny
+      FROM dims d JOIN grid g ON 16 * g.mx < d.w AND 16 * g.my < d.h
+    ),
+    ycc AS (
+      SELECT doc_id, w, h, mx, my, nx, ny,
+             {y} AS y, {cb} AS cb, {cr} AS cr
+      FROM mcus
+    ),
+    dec AS (
+      SELECT doc_id, w, h, mx, my, nx, ny,
+             {r2}::BIGINT AS dr, {g2}::BIGINT AS dg, {b2}::BIGINT AS db
+      FROM ycc
+    )
+    SELECT doc_id,
+           max(w) AS width, max(h) AS height,
+           3::INT AS n_components,
+           (max(w) * max(h))::BIGINT AS n_pixels,
+           sum(dr * nx * ny)::BIGINT AS sum_r,
+           sum(dg * nx * ny)::BIGINT AS sum_g,
+           sum(db * nx * ny)::BIGINT AS sum_b,
+           max(CASE WHEN mx = 0 AND my = 0 THEN dr END)::INT AS px00_r,
+           max(CASE WHEN mx = 0 AND my = 0 THEN dg END)::INT AS px00_g,
+           max(CASE WHEN mx = 0 AND my = 0 THEN db END)::INT AS px00_b
+    FROM dec GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("x6_jpeg_420_decode", _j420_sql())
+def x6_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — 4:2:0 chroma-subsampled JPEG decode (round 10): THE
+    dominant real-world JPEG shape — each MCU interleaves four luma
+    blocks with one Cb and one Cr covering a 16x16 region, chroma is
+    2x2-averaged at encode and replicate-upsampled at decode.
+    Fixtures plant MCU-CONSTANT RGB gradients with a unit quant
+    table: the four chroma samples averaged per cell are equal, so
+    the entire chain is the SAME reproducible IEEE arithmetic as
+    4:4:4 and the oracle replays it per MCU times its clipped pixel
+    count. Dims deliberately off the 16-grid exercise the luma-16 /
+    chroma-8 edge padding and the upsample crop. One wrong interleave
+    slot, DC predictor, or upsample offset moves the channel sums
+    (operators/multimodal.py:jpeg_decode)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_decode_features,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from vectordb_migrator_spark.operators.multimodal import jpeg_encode
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 16 * (1 + d % 2) + d % 9
+                h = 16 * (1 + d % 3) + d % 5
+                px = np.empty((h, w, 3), np.uint8)
+                for my in range(-(-h // 16)):
+                    for mx in range(-(-w // 16)):
+                        sl = (
+                            slice(my * 16, my * 16 + 16),
+                            slice(mx * 16, mx * 16 + 16),
+                        )
+                        px[sl[0], sl[1], 0] = (37 * mx + 59 * my + d) % 256
+                        px[sl[0], sl[1], 1] = (
+                            17 * mx + 43 * my + 2 * d + 7
+                        ) % 256
+                        px[sl[0], sl[1], 2] = (
+                            29 * mx + 31 * my + 3 * d + 13
+                        ) % 256
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "payload": bytearray(
+                            jpeg_encode(px, subsampling="420")
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = (
+        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
+        .mapInPandas(gen, schema="doc_id long, payload binary")
+    )
+    return jpeg_decode_features(payloads).orderBy("doc_id")
