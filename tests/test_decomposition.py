@@ -403,3 +403,22 @@ def test_power_iteration_pc1_matches_python_replica(spark):
     r = power_iteration_pc1(const, d=8).first()
     assert r["evr1"] is None and r["align"] is None
     assert r["top_dim"] is None and r["top_loading"] is None
+
+
+def test_power_iteration_pc1_overflow_guard_raises(spark):
+    # r10 ADVICE: past n*mx > ~2.1e9 the int64 scatter would WRAP
+    # silently (non-ANSI Spark) — the query must raise, not return
+    # wrong principal components. One row with a 3e7-magnitude
+    # coordinate at coord_scale=100 puts n*mx = 3e9 over the bound.
+    import pytest
+
+    from vectordb_migrator_spark.operators.decomposition import (
+        power_iteration_pc1,
+    )
+
+    big = spark.createDataFrame(
+        [(0, [3.0e7] + [0.0] * 7), (1, [1.0] * 8)],
+        "id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="int64-exact"):
+        power_iteration_pc1(big, d=8).first()

@@ -1154,6 +1154,57 @@ def test_jpeg_decoder_is_hang_and_alloc_safe():
             pass
 
 
+def test_jpeg_truncated_segments_raise_valueerror_only():
+    # r10 ADVICE: streams cut mid-DQT/DHT/SOF used to escape as raw
+    # IndexError/struct.error; the contract is ValueError for EVERY
+    # corrupt payload. Truncate a real stream at every byte boundary:
+    # each prefix must either decode or raise exactly ValueError.
+    import numpy as np
+    import pytest
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    good = jpeg_encode(
+        np.arange(16 * 16, dtype=np.uint8).reshape(16, 16),
+        restart_interval=1,
+    )
+    for cut in range(len(good)):
+        try:
+            jpeg_decode(good[:cut])
+        except ValueError:
+            pass  # the documented contract
+        # any other exception type propagates and fails the test
+
+    # and specifically: a DQT whose declared length covers only half
+    # the table (the exact ADVICE repro shape)
+    dqt = good.find(b"\xff\xdb")
+    half_table = good[: dqt + 2 + 2 + 20]  # marker+len+20 of 65 bytes
+    with pytest.raises(ValueError):
+        jpeg_decode(half_table)
+
+
+def test_rolling_hash31_matches_scalar_loop():
+    # the vectorized checksum must be bit-identical to the per-byte
+    # Horner loop it replaced (r10 ADVICE perf fix)
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        _HASH_MOD,
+        _rolling_hash31,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 31, 255, 4096, 70_000, 131_073):
+        data = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+        h = 0
+        for b in data:
+            h = (h * 31 + b) % _HASH_MOD
+        assert _rolling_hash31(data) == h, n
+
+
 def test_decoders_are_decompression_bomb_safe(spark):
     import struct
     import zlib

@@ -611,6 +611,16 @@ def power_iteration_pc1(
     jobs. Degenerate input (zero scatter) yields NULL metrics, never
     a division error.
 
+    Overflow bound (r10 ADVICE): the centered scatter entry
+    ``n·Σxᵢxⱼ − (Σxᵢ)(Σxⱼ)`` is bounded by ``2·n²·mx²`` where ``mx``
+    is the largest quantized |coordinate| — Spark's non-ANSI int64
+    would WRAP silently past 2⁶³. The kernel therefore tracks ``mx``
+    exactly and the query raises (``assert_true``) when
+    ``n·mx > 2.147e9`` (= ⌊√((2⁶³−1)/2)⌋) instead of returning wrong
+    numbers: with coord_scale=100 and unit-norm vectors that is
+    ~2·10⁷ rows guaranteed-safe by the worst case, far more in
+    practice since mx is measured, not assumed.
+
     Returns one row: (n, d, iters, evr1, align, top_dim, top_loading).
     """
     if iters < 1:
@@ -633,13 +643,14 @@ def power_iteration_pc1(
                     "sxx": [(xi.T @ xi).reshape(-1)],
                     "sx": [xi.sum(axis=0, dtype=np.int64)],
                     "n": [len(pdf)],
+                    "mx": [int(np.abs(xi).max(initial=0))],
                 }
             )
 
     import pandas as pd  # noqa: F401 — kernel type annotation
 
     partials = df.select(vec_col).mapInPandas(
-        kernel, schema=f"sxx array<long>, sx array<long>, n long"
+        kernel, schema=f"sxx array<long>, sx array<long>, n long, mx long"
     )
     zeros = F.array_repeat(F.lit(0).cast("long"), d * d)
     zeros_d = F.array_repeat(F.lit(0).cast("long"), d)
@@ -653,6 +664,7 @@ def power_iteration_pc1(
             lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
         ).alias("sx"),
         F.sum("n").cast("long").alias("n"),
+        F.max("mx").cast("long").alias("mx"),
     )
 
     seq_d = F.sequence(F.lit(0), F.lit(d - 1))
@@ -665,7 +677,21 @@ def power_iteration_pc1(
         - F.element_at(F.col("sx"), F.floor(k / d).cast("int") + 1)
         * F.element_at(F.col("sx"), (k % d).cast("int") + 1),
     )
-    one = one.select("n", cexp.alias("c"))
+    # int64-exact guard: every scatter entry is bounded by 2·n²·mx²,
+    # so n·mx ≤ ⌊√((2⁶³−1)/2)⌋ keeps the whole computation wrap-free;
+    # past it, raise loudly rather than return silently-wrapped PCs.
+    in_bound = F.assert_true(
+        # compare in doubles: the product itself must not wrap, and
+        # near the 2.1e9 threshold doubles are exact (well under 2⁵³)
+        F.col("n").cast("double") * F.col("mx").cast("double")
+        <= F.lit(2_147_483_648.0),
+        "power_iteration_pc1: n * max|quantized coordinate| exceeds "
+        "the int64-exact scatter bound (2*n^2*mx^2 would wrap); "
+        "lower coord_scale or pre-sample the input",
+    )
+    one = one.select(
+        "n", F.when(in_bound.isNull(), cexp).alias("c")
+    )
     m = F.array_max(F.transform(F.col("c"), F.abs))
     g = F.greatest(F.lit(1).cast("long"), F.shiftright(m, b_shift))
 
