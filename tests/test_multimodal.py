@@ -1154,6 +1154,210 @@ def test_jpeg_decoder_is_hang_and_alloc_safe():
             pass
 
 
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) streams persist the SAME quantized
+    coefficients as baseline streams of the same input, so decode
+    must agree bit for bit — across gray/RGB, 4:4:4/4:2:0, custom
+    quant tables, restart intervals, dims off the MCU grid, and the
+    dc_only thumbnail path."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(24):
+        gray = trial % 2 == 0
+        sub = "420" if (not gray and trial % 3 == 0) else "444"
+        h = int(rng.integers(5, 40))
+        w = int(rng.integers(5, 40))
+        shape = (h, w) if gray else (h, w, 3)
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        qt = None if trial % 2 else (
+            np.arange(64).reshape(8, 8) % 13 + 1
+        )
+        ri = [0, 1, 2, 5][trial % 4]
+        base = jpeg_decode(jpeg_encode(px, qtable=qt, subsampling=sub))
+        payload = jpeg_encode_progressive(
+            px, qtable=qt, subsampling=sub, restart_interval=ri
+        )
+        prog = jpeg_decode(payload)
+        assert base[1] == prog[1], trial
+        assert np.array_equal(base[0], prog[0]), trial
+        tb = jpeg_decode(
+            jpeg_encode(px, qtable=qt, subsampling=sub), dc_only=True
+        )
+        tp = jpeg_decode(payload, dc_only=True)
+        assert np.array_equal(tb[0], tp[0]), trial
+
+
+def test_jpeg_progressive_decoder_pinned_against_hand_assembled_stream():
+    """Progressive decoder pin INDEPENDENT of jpeg_encode_progressive:
+    marker segments, Huffman tables, and the per-scan symbol/bit
+    sequences below are hand-derived from T.81 G.2 (spectral
+    selection + successive approximation), exercising DC first+refine,
+    AC first with ZRL and EOBn runs, and AC refinement with
+    newly-nonzero placement and correction bits. One component, 8x24
+    (3 blocks), unit quant table. Planted zigzag coefficients:
+    block0 DC=11 AC1=6 AC3=1 AC19=-2; block1 DC=-6; block2 DC=5
+    AC1=3. Expected pixels recomputed with the spec IDCT formula."""
+    import struct
+
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        _ZIGZAG,
+        jpeg_decode,
+    )
+
+    def pack(bitseq):
+        """(value, nbits) tuples -> stuffed entropy bytes, 1-padded."""
+        acc, n, out = 0, 0, bytearray()
+        for v, ln in bitseq:
+            acc = (acc << ln) | (v & ((1 << ln) - 1))
+            n += ln
+        pad = (8 - n % 8) % 8
+        acc = (acc << pad) | ((1 << pad) - 1)
+        n += pad
+        for i in range(n // 8 - 1, -1, -1):
+            byte = (acc >> (8 * i)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    # SOF2: 8-bit, h=8, w=24, 1 component, 1x1 sampling
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 24, 1)
+    out += bytes([1, 0x11, 0])
+    # DHT DC0: two codes of length 2 -> symbols 3, 4 (codes 00, 01)
+    out += b"\xff\xc4" + struct.pack(">H", 21)
+    out += b"\x00" + bytes([0, 2] + [0] * 14) + bytes([3, 4])
+    # DHT AC0: six codes of length 3 -> 0x00,0x01,0x02,0x10,0x11,0xF0
+    # (codes 000..101 in canonical order)
+    out += b"\xff\xc4" + struct.pack(">H", 25)
+    out += b"\x10" + bytes([0, 0, 6] + [0] * 13)
+    out += bytes([0x00, 0x01, 0x02, 0x10, 0x11, 0xF0])
+    EOB, S1, S2, EOB2, R1S1, ZRL = (
+        (0b000, 3), (0b001, 3), (0b010, 3), (0b011, 3), (0b100, 3),
+        (0b101, 3),
+    )
+    DC3, DC4 = (0b00, 2), (0b01, 2)
+
+    def sos(ss, se, ahal, body):
+        return (
+            b"\xff\xda" + struct.pack(">HB", 8, 1)
+            + bytes([1, 0x00, ss, se, ahal]) + body
+        )
+
+    # scan 1 — DC first, Al=1: shifted DCs 5,-3,2 -> diffs 5,-8,5
+    out += sos(0, 0, 0x01, pack([
+        DC3, (0b101, 3),           # +5
+        DC4, (0b0111, 4),          # -8 (raw = -8 + 15)
+        DC3, (0b101, 3),           # +5
+    ]))
+    # scan 2 — AC first 1..63, Al=1: block0 k1=+3(=6>>1), 17 zeros,
+    # k19=-1(=|-2|>>1); EOB run of 2 (block0 tail + block1); block2
+    # k1=+1(=3>>1) then EOB run of 1
+    out += sos(1, 63, 0x01, pack([
+        S2, (0b11, 2),             # k1: (0,2) +3
+        ZRL,                       # 16 zeros
+        R1S1, (0b0, 1),            # run 1, size 1 -> -1 at k19
+        EOB2, (0b0, 1),            # EOBn r=1, extra 0 -> run of 2
+        S1, (0b1, 1),              # block2 k1: (0,1) +1
+        EOB,                       # EOB run of 1
+    ]))
+    # scan 3 — AC refine 1..63, Ah=1, Al=0: block0 newly-nonzero at
+    # k3 (run of 1 zero-history) with correction bit for k1 (6&1=0);
+    # k19 bit 0 trails into the EOB run; block1 empty; block2 k1
+    # correction bit 1 (3&1); EOBn run of 3 with extra bit 1, then
+    # the two buffered correction bits 0 (k19), 1 (block2 k1)
+    out += sos(1, 63, 0x10, pack([
+        R1S1, (0b1, 1),            # (1<<4)|1, sign +
+        (0b0, 1),                  # correction bit for k1
+        EOB2, (0b1, 1),            # EOBn r=1, extra 1 -> run of 3
+        (0b0, 1), (0b1, 1),        # buffered bits: k19, block2 k1
+    ]))
+    # scan 4 — DC refine, Ah=1, Al=0: bits 11&1, -6&1, 5&1 = 1,0,1
+    out += sos(0, 0, 0x10, pack([(0b1, 1), (0b0, 1), (0b1, 1)]))
+    out += b"\xff\xd9"
+
+    rgb, nc = jpeg_decode(bytes(out))
+    assert nc == 1 and rgb.shape == (8, 24, 3)
+
+    # expected: spec IDCT (T.81 A.3.3) of the planted coefficients
+    planted = [
+        {0: 11, 1: 6, 3: 1, 19: -2},
+        {0: -6},
+        {0: 5, 1: 3},
+    ]
+    for b_i, coefs in enumerate(planted):
+        S = np.zeros((8, 8))
+        for zk, v in coefs.items():
+            nat = _ZIGZAG[zk]
+            S[nat // 8, nat % 8] = v
+        px = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        acc += (
+                            cu * cv * S[v, u]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                px[y, x] = acc / 4.0
+        want = np.clip(
+            np.sign(px) * np.floor(np.abs(px) + 0.5) + 128, 0, 255
+        ).astype(np.uint8)
+        got = rgb[:, b_i * 8 : b_i * 8 + 8, 0]
+        assert np.array_equal(got, want), b_i
+
+
+def test_jpeg_progressive_hostile_payloads():
+    """The hostile-payload contract extends to SOF2: byte-flip fuzz
+    and byte-boundary truncation decode or raise ValueError (never
+    hang, never another exception type), and a crafted stream that
+    repeats cheap refinement scans hits the scan-count bound."""
+    import numpy as np
+    import pytest
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    px = (np.arange(24 * 16 * 3, dtype=np.uint8).reshape(24, 16, 3)) % 256
+    good = jpeg_encode_progressive(px, restart_interval=2)
+    for i in range(2, len(good), 5):
+        mut = bytearray(good)
+        mut[i] ^= 0xFF
+        try:
+            jpeg_decode(bytes(mut))
+        except ValueError:
+            pass
+    for cut in range(0, len(good), 3):
+        try:
+            jpeg_decode(good[:cut])
+        except ValueError:
+            pass
+    # scan bomb: replay the final (1-bit-per-block DC refine) scan
+    # 150 times — must hit the scan-count cap, not grind through
+    small = jpeg_encode_progressive(np.full((8, 8), 77, np.uint8))
+    last_sos = small.rfind(b"\xff\xda")
+    eoi = small.rfind(b"\xff\xd9")
+    bomb = small[:eoi] + small[last_sos:eoi] * 150 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="too many progressive scans"):
+        jpeg_decode(bomb)
+
+
 def test_jpeg_truncated_segments_raise_valueerror_only():
     # r10 ADVICE: streams cut mid-DQT/DHT/SOF used to escape as raw
     # IndexError/struct.error; the contract is ValueError for EVERY

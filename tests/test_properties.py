@@ -758,6 +758,51 @@ def test_jpeg_block_constant_roundtrip_property(blocks, extra_w, extra_h, ri):
 
 
 @given(
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    h=st.integers(min_value=3, max_value=34),
+    w=st.integers(min_value=3, max_value=34),
+    gray=st.booleans(),
+    sub420=st.booleans(),
+    ri=st.integers(min_value=0, max_value=3),
+    qscale=st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(
+    seed, h, w, gray, sub420, ri, qscale
+):
+    """Pure-codec property (no Spark): for ANY input, progressive
+    (SOF2) encode persists exactly the quantized coefficients of the
+    baseline encoder, so jpeg_decode of both streams must agree bit
+    for bit — full decode and dc_only thumbnail, every sampling shape
+    and restart interval."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    sub = "420" if (sub420 and not gray) else "444"
+    qt = np.arange(64).reshape(8, 8) % qscale + 1
+    base = jpeg_encode(px, qtable=qt, subsampling=sub)
+    prog = jpeg_encode_progressive(
+        px, qtable=qt, subsampling=sub, restart_interval=ri
+    )
+    b_rgb, b_nc = jpeg_decode(base)
+    p_rgb, p_nc = jpeg_decode(prog)
+    assert b_nc == p_nc
+    assert np.array_equal(b_rgb, p_rgb)
+    assert np.array_equal(
+        jpeg_decode(base, dc_only=True)[0],
+        jpeg_decode(prog, dc_only=True)[0],
+    )
+
+
+@given(
     members=st.lists(
         st.tuples(
             st.text(alphabet=st.sampled_from("abcdef_/0123456789"),

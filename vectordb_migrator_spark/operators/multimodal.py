@@ -1729,38 +1729,13 @@ def _mag_bits(v: int) -> tuple:
     return s, (v if v >= 0 else v + (1 << s) - 1)
 
 
-def jpeg_encode(
-    px, *, qtable=None, restart_interval: int = 0, subsampling: str = "444"
-) -> bytes:
-    """Minimal REAL baseline JPEG (SOF0) encoder for fixtures and
-    demos: grayscale (h, w) or RGB (h, w, 3) uint8 input, 4:4:4 or
-    4:2:0 (``subsampling="420"``, RGB only: luma 2x2, chroma averaged
-    over 2x2 with round-half-up — the dominant real-world shape),
-    Annex K.3 luminance Huffman tables for every component, one quant
-    table (default: all ones — DC-only inputs then round-trip
-    exactly), MCU-edge replicate padding, real byte stuffing,
-    optional DRI/RSTn restart markers. Output decodes in any baseline
-    JPEG decoder."""
-    import struct
-
+def _jpeg_prepare_planes(a, h: int, w: int, ncomp: int, sub420: bool):
+    """Color-convert, optionally 4:2:0-subsample (2x2 mean with
+    round-half-up), and MCU-pad (edge replication) the input into
+    per-component float planes — shared by the baseline and
+    progressive encoders so both persist identical samples."""
     import numpy as np
 
-    a = np.asarray(px, dtype=np.int64)
-    gray = a.ndim == 2
-    if gray:
-        a = a[:, :, None]
-    h, w, ncomp = a.shape
-    if ncomp not in (1, 3):
-        raise ValueError("expected grayscale or RGB input")
-    q = np.ones((8, 8), dtype=np.int64) if qtable is None else np.asarray(
-        qtable, dtype=np.int64
-    ).reshape(8, 8)
-
-    sub420 = subsampling == "420"
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    if sub420 and ncomp != 3:
-        raise ValueError("4:2:0 requires an RGB input")
     if ncomp == 3:
         r, g, b = a[:, :, 0].astype(float), a[:, :, 1].astype(float), a[
             :, :, 2
@@ -1807,6 +1782,43 @@ def jpeg_encode(
             np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
             for p in planes
         ]
+    return planes
+
+
+def jpeg_encode(
+    px, *, qtable=None, restart_interval: int = 0, subsampling: str = "444"
+) -> bytes:
+    """Minimal REAL baseline JPEG (SOF0) encoder for fixtures and
+    demos: grayscale (h, w) or RGB (h, w, 3) uint8 input, 4:4:4 or
+    4:2:0 (``subsampling="420"``, RGB only: luma 2x2, chroma averaged
+    over 2x2 with round-half-up — the dominant real-world shape),
+    Annex K.3 luminance Huffman tables for every component, one quant
+    table (default: all ones — DC-only inputs then round-trip
+    exactly), MCU-edge replicate padding, real byte stuffing,
+    optional DRI/RSTn restart markers. Output decodes in any baseline
+    JPEG decoder."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.int64)
+    gray = a.ndim == 2
+    if gray:
+        a = a[:, :, None]
+    h, w, ncomp = a.shape
+    if ncomp not in (1, 3):
+        raise ValueError("expected grayscale or RGB input")
+    q = np.ones((8, 8), dtype=np.int64) if qtable is None else np.asarray(
+        qtable, dtype=np.int64
+    ).reshape(8, 8)
+
+    sub420 = subsampling == "420"
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if sub420 and ncomp != 3:
+        raise ValueError("4:2:0 requires an RGB input")
+    planes = _jpeg_prepare_planes(a, h, w, ncomp, sub420)
+    ph, pw = planes[0].shape
 
     dc_map = _huff_codes(*_K3_DC_LUMA)
     ac_map = _huff_codes(*_K3_AC_LUMA)
@@ -1888,6 +1900,306 @@ def jpeg_encode(
                     code, ln = ac_map[0x00]  # EOB
                     wtr.put(code, ln)
     out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# AC Huffman table for the progressive encoder: every (run, size)
+# symbol with size <= 10 at a flat 9-bit code length (176 symbols fit
+# comfortably in the 511 available 9-bit codes). Unlike the K.3
+# baseline table this includes the EOBn symbols (r<<4, r = 0..14) that
+# progressive spectral-selection scans need for end-of-band runs. The
+# decoder reads whatever DHT the file carries, so a non-optimal table
+# costs bytes, never correctness.
+_FLAT9_AC = (
+    [0] * 8 + [176] + [0] * 7,
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+def _jpeg_quantized_blocks(planes, q):
+    """Per-component grids of quantized zigzag coefficients,
+    (block_rows, block_cols, 64) int64 — computed per block with the
+    EXACT float-op sequence the baseline encoder uses
+    (``C @ (blk - 128.0) @ C.T`` then round-half-up of ``coef / q``)
+    so baseline and progressive streams persist identical
+    coefficients bit for bit."""
+    import numpy as np
+
+    C = _dct_matrix()
+    out = []
+    for p in planes:
+        ph, pw = p.shape
+        bh, bw = ph // 8, pw // 8
+        zz = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = C @ (blk - 128.0) @ C.T
+                qc = _round_half_up(coef / q).astype(np.int64)
+                zz[by, bx] = qc.reshape(-1)[_ZIGZAG]
+        out.append(zz)
+    return out
+
+
+def jpeg_encode_progressive(
+    px, *, qtable=None, restart_interval: int = 0, subsampling: str = "444"
+) -> bytes:
+    """Minimal REAL progressive JPEG (SOF2) encoder for fixtures,
+    demos, and round-trip tests: spectral selection (one interleaved
+    DC scan, then AC bands 1-5 and 6-63 per component) combined with
+    successive approximation (AC coded at Al=2 then refined 2->1->0;
+    DC at Al=1 refined to 0) — the scan-script shape cjpeg emits by
+    default, so the decoder sees the same stream structure a real
+    scraped web corpus carries. Grayscale or RGB, 4:4:4 or 4:2:0,
+    optional DRI/RSTn restart markers in every scan.
+
+    The quantized coefficients are computed with the exact float-op
+    sequence of :func:`jpeg_encode`, so progressive decode MUST equal
+    baseline decode of the same input bit for bit — the property the
+    tests pin. AC scans use a flat 9-bit Huffman table carrying the
+    EOBn end-of-band symbols; the DC scan reuses the Annex K.3 table.
+    """
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.int64)
+    gray = a.ndim == 2
+    if gray:
+        a = a[:, :, None]
+    h, w, ncomp = a.shape
+    if ncomp not in (1, 3):
+        raise ValueError("expected grayscale or RGB input")
+    q = np.ones((8, 8), dtype=np.int64) if qtable is None else np.asarray(
+        qtable, dtype=np.int64
+    ).reshape(8, 8)
+    sub420 = subsampling == "420"
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if sub420 and ncomp != 3:
+        raise ValueError("4:2:0 requires an RGB input")
+
+    planes = _jpeg_prepare_planes(a, h, w, ncomp, sub420)
+    zz = _jpeg_quantized_blocks(planes, q)
+    ph, pw = planes[0].shape
+    mcu_px = 16 if sub420 else 8
+    mw, mh = pw // mcu_px, ph // mcu_px
+    hmax = 2 if sub420 else 1
+    ri = restart_interval
+
+    dc_map = _huff_codes(*_K3_DC_LUMA)
+    ac_map = _huff_codes(*_FLAT9_AC)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"  # DQT
+    out += bytes(int(q.reshape(-1)[_ZIGZAG[i]]) for i in range(64))
+    # SOF2 (progressive DCT, Huffman)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hv = 0x22 if (sub420 and ci == 0) else 0x11
+        out += bytes([ci + 1, hv, 0])
+    # DHT: DC table 0 (K.3) + AC table 0 (flat-9 incl. EOBn)
+    for cls, (bits, vals) in ((0, _K3_DC_LUMA), (1, _FLAT9_AC)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
+
+    def sos_header(comp_idx, ss, se, ah, al_):
+        hdr = bytearray(
+            b"\xff\xda"
+            + struct.pack(">HB", 6 + 2 * len(comp_idx), len(comp_idx))
+        )
+        for ci in comp_idx:
+            hdr += bytes([ci + 1, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al_])
+        return bytes(hdr)
+
+    def mcu_blocks(my, mx):
+        """(ci, by, bx) of every data block in MCU (my, mx), in the
+        interleave order the decoder walks."""
+        for ci in range(ncomp):
+            f = 2 if (sub420 and ci == 0) else 1
+            for byi in range(f):
+                for bxi in range(f):
+                    yield ci, my * f + byi, mx * f + bxi
+
+    def dc_scan(al_, refine):
+        body = bytearray()
+        wtr = _JpegBitWriter()
+        pred = [0] * ncomp
+        rstn = 0
+        m = 0
+        for my in range(mh):
+            for mx in range(mw):
+                if ri and m and m % ri == 0:
+                    body += wtr.flush()
+                    body += bytes([0xFF, 0xD0 + rstn % 8])
+                    rstn += 1
+                    wtr = _JpegBitWriter()
+                    pred = [0] * ncomp
+                m += 1
+                for ci, by, bx in mcu_blocks(my, mx):
+                    full = int(zz[ci][by, bx, 0])
+                    if refine:
+                        wtr.put(full & 1, 1)
+                        continue
+                    v = full >> al_  # arithmetic shift, per G.1.2.1
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    s, bitsv = _mag_bits(diff)
+                    code, ln = dc_map[s]
+                    wtr.put(code, ln)
+                    if s:
+                        wtr.put(bitsv, s)
+        body += wtr.flush()
+        return body
+
+    def ac_scan(ci, ss_, se_, ah_, al_):
+        grid = zz[ci]
+        f = 2 if (sub420 and ci == 0) else 1
+        # natural (not MCU-padded) block grid of this component
+        # (vmax == hmax for both supported sampling shapes)
+        cw_px = -(-(w * f) // hmax)
+        ch_px = -(-(h * f) // hmax)
+        cw_b, ch_b = -(-cw_px // 8), -(-ch_px // 8)
+        body = bytearray()
+        wtr = _JpegBitWriter()
+        st = {"eobrun": 0, "bits": []}
+        rstn = 0
+
+        def emit_eobrun():
+            n = st["eobrun"]
+            if n:
+                r = n.bit_length() - 1
+                code, ln = ac_map[r << 4]
+                wtr.put(code, ln)
+                if r:
+                    wtr.put(n - (1 << r), r)
+                st["eobrun"] = 0
+            for bb in st["bits"]:
+                wtr.put(bb, 1)
+            st["bits"] = []
+
+        for m in range(ch_b * cw_b):
+            if ri and m and m % ri == 0:
+                emit_eobrun()
+                body += wtr.flush()
+                body += bytes([0xFF, 0xD0 + rstn % 8])
+                rstn += 1
+                wtr = _JpegBitWriter()
+            by, bx = divmod(m, cw_b)
+            row = grid[by, bx]
+            if ah_ == 0:
+                # first scan for this band: signed values at Al
+                vals = []
+                for k in range(ss_, se_ + 1):
+                    c = int(row[k])
+                    mag = (c if c >= 0 else -c) >> al_
+                    vals.append(mag if c >= 0 else -mag)
+                keob = -1
+                for i, v in enumerate(vals):
+                    if v:
+                        keob = i
+                if keob < 0:
+                    st["eobrun"] += 1
+                    if st["eobrun"] == 0x7FFF:
+                        emit_eobrun()
+                    continue
+                emit_eobrun()
+                r = 0
+                for i in range(keob + 1):
+                    v = vals[i]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = ac_map[0xF0]  # ZRL
+                        wtr.put(code, ln)
+                        r -= 16
+                    s, bitsv = _mag_bits(v)
+                    code, ln = ac_map[(r << 4) | s]
+                    wtr.put(code, ln)
+                    wtr.put(bitsv, s)
+                    r = 0
+                if keob < len(vals) - 1:
+                    st["eobrun"] += 1
+                    if st["eobrun"] == 0x7FFF:
+                        emit_eobrun()
+            else:
+                # refinement: newly-nonzero symbols + correction bits
+                # (mirrors T.81 G.1.2.3 / encode_mcu_AC_refine)
+                absv = [
+                    (abs(int(row[k])) >> al_) for k in range(ss_, se_ + 1)
+                ]
+                keob = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        keob = i
+                br = []
+                if keob < 0:
+                    for t in absv:
+                        if t > 1:
+                            br.append(t & 1)
+                    st["eobrun"] += 1
+                    st["bits"].extend(br)
+                    if st["eobrun"] == 0x7FFF:
+                        emit_eobrun()
+                    continue
+                r = 0
+                for i in range(keob + 1):
+                    t = absv[i]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        emit_eobrun()
+                        code, ln = ac_map[0xF0]
+                        wtr.put(code, ln)
+                        r -= 16
+                        for bb in br:
+                            wtr.put(bb, 1)
+                        br = []
+                    if t > 1:  # history-nonzero: correction bit
+                        br.append(t & 1)
+                        continue
+                    # t == 1: newly nonzero this pass
+                    emit_eobrun()
+                    code, ln = ac_map[(r << 4) | 1]
+                    wtr.put(code, ln)
+                    wtr.put(1 if int(row[ss_ + i]) >= 0 else 0, 1)
+                    for bb in br:
+                        wtr.put(bb, 1)
+                    br = []
+                    r = 0
+                for i in range(keob + 1, len(absv)):
+                    if absv[i] > 1:
+                        br.append(absv[i] & 1)
+                if r > 0 or br or keob < len(absv) - 1:
+                    st["eobrun"] += 1
+                    st["bits"].extend(br)
+                    if st["eobrun"] == 0x7FFF:
+                        emit_eobrun()
+        emit_eobrun()
+        body += wtr.flush()
+        return body
+
+    # scan script: DC(Al=1) -> AC bands at Al=2 -> AC refine 2->1 ->
+    # AC refine 1->0 -> DC refine 1->0 (per-component AC scans)
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1) + dc_scan(1, False)
+    for (ss_, se_) in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            out += sos_header([ci], ss_, se_, 0, 2) + ac_scan(
+                ci, ss_, se_, 0, 2
+            )
+    for (ah_, al_) in ((2, 1), (1, 0)):
+        for (ss_, se_) in ((1, 5), (6, 63)):
+            for ci in range(ncomp):
+                out += sos_header([ci], ss_, se_, ah_, al_) + ac_scan(
+                    ci, ss_, se_, ah_, al_
+                )
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0) + dc_scan(0, True)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1990,11 +2302,14 @@ def _jpeg_decode_walk(
     htables: dict = {}  # (class, id) -> {(len, code): symbol}
     frame = None
     restart_interval = 0
+    coeffs = None  # progressive: persistent per-component grids
+    n_scans = 0
+    saw_eoi = False
     inv_zz = [0] * 64
     for i, z in enumerate(_ZIGZAG):
         inv_zz[z] = i
 
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = b[pos + 1]
@@ -2005,7 +2320,10 @@ def _jpeg_decode_walk(
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
+            saw_eoi = True
             break
+        if pos + 2 > len(b):
+            raise ValueError("truncated marker segment")
         (seglen,) = struct.unpack_from(">H", b, pos)
         if seglen < 2:
             # a length below 2 can't even cover the length field; on
@@ -2044,7 +2362,7 @@ def _jpeg_decode_walk(
                     code <<= 1
                 htables[(tc, th)] = table
                 sp += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 seq., SOF2 prog.
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -2052,7 +2370,11 @@ def _jpeg_decode_walk(
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
                 comps.append(
-                    {"id": cid, "tq": tq, "hi": hv >> 4, "vi": hv & 0x0F}
+                    {
+                        "id": cid, "tq": tq,
+                        "hi": hv >> 4, "vi": hv & 0x0F,
+                        "fci": ci,  # frame-order index (scan lookup)
+                    }
                 )
             if nc not in (1, 3):
                 raise ValueError("only 1 or 3 components supported")
@@ -2070,10 +2392,17 @@ def _jpeg_decode_walk(
                 # demand a multi-GB coefficient allocation before any
                 # pixel data exists — bound it (raise, never OOM)
                 raise ValueError("image dimensions exceed max_pixels")
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["hi"] for c in comps)
+            vmax = max(c["vi"] for c in comps)
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "hmax": hmax, "vmax": vmax,
+                "mw": -(-fw // (8 * hmax)), "mh": -(-fh // (8 * vmax)),
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arith)")
+            raise ValueError("unsupported JPEG (lossless/hier/arith)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -2089,6 +2418,9 @@ def _jpeg_decode_walk(
                 scan.append(
                     {"comp": comp, "dc": tt >> 4, "ac": tt & 0x0F}
                 )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            aa = seg[3 + 2 * ns]
+            ah, al = aa >> 4, aa & 0x0F
             # unstuff the entropy-coded data, splitting at RSTn
             ep = pos + seglen
             segments, cur = [], bytearray()
@@ -2109,11 +2441,38 @@ def _jpeg_decode_walk(
                 else:
                     break  # a real marker ends the scan
             segments.append(bytes(cur))
-            return _jpeg_decode_scan(
-                frame, scan, segments, qtables, htables,
-                restart_interval, inv_zz, dc_only=dc_only,
+            if not frame["progressive"]:
+                return _jpeg_decode_scan(
+                    frame, scan, segments, qtables, htables,
+                    restart_interval, inv_zz, dc_only=dc_only,
+                )
+            # progressive: accumulate this scan's coefficient bits
+            # into the persistent per-component grids and keep
+            # walking markers until EOI
+            n_scans += 1
+            if n_scans > 100:
+                # a crafted stream could declare thousands of cheap
+                # refinement scans; bound the work (real files < ~20)
+                raise ValueError("too many progressive scans")
+            if coeffs is None:
+                coeffs = [
+                    np.zeros(
+                        (frame["mh"] * c["vi"], frame["mw"] * c["hi"], 64),
+                        dtype=np.int64,
+                    )
+                    for c in frame["comps"]
+                ]
+            _jpeg_progressive_scan(
+                frame, scan, ss, se, ah, al, segments,
+                restart_interval, htables, coeffs,
             )
+            pos = ep
+            continue
         pos += seglen
+    if saw_eoi and coeffs is not None:
+        return _jpeg_finish(frame, qtables, coeffs, inv_zz, dc_only)
+    if coeffs is not None:
+        raise ValueError("truncated progressive stream (no EOI)")
     raise ValueError("no SOS marker found")
 
 
@@ -2121,21 +2480,23 @@ def _jpeg_decode_scan(
     frame, scan, segments, qtables, htables, ri, inv_zz,
     dc_only: bool = False,
 ):
+    """Baseline (single-scan) entropy decode into per-component block
+    grids, then the shared :func:`_jpeg_finish` dequant/IDCT tail."""
     import numpy as np
 
-    h, w = frame["h"], frame["w"]
-    nc = len(scan)
-    hmax = max(sc["comp"]["hi"] for sc in scan)
-    vmax = max(sc["comp"]["vi"] for sc in scan)
-    mw, mh = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    mw, mh = frame["mw"], frame["mh"]
     n_mcu = mw * mh
-    coeffs = [
-        np.zeros(
-            (n_mcu * sc["comp"]["hi"] * sc["comp"]["vi"], 64),
-            dtype=np.int64,
+    nc = len(scan)
+    if sorted(sc["comp"]["fci"] for sc in scan) != list(range(nc)) or (
+        nc != len(frame["comps"])
+    ):
+        raise ValueError("baseline scan must cover every component once")
+    coeffs = [None] * nc
+    for sc in scan:
+        c = sc["comp"]
+        coeffs[c["fci"]] = np.zeros(
+            (mh * c["vi"], mw * c["hi"], 64), dtype=np.int64
         )
-        for sc in scan
-    ]
     pred = [0] * nc
     seg_i = 0
     rdr = _JpegBitReader(segments[0])
@@ -2146,17 +2507,20 @@ def _jpeg_decode_scan(
                 raise ValueError("missing restart segment")
             rdr = _JpegBitReader(segments[seg_i])
             pred = [0] * nc
+        myy, mxx = divmod(m, mw)
         for ci, sc in enumerate(scan):
             hi, vi = sc["comp"]["hi"], sc["comp"]["vi"]
             dct = htables.get((0, sc["dc"]))
             act = htables.get((1, sc["ac"]))
             if dct is None or act is None:
                 raise ValueError("missing Huffman table")
+            grid = coeffs[sc["comp"]["fci"]]
             for bsub in range(hi * vi):
+                byi, bxi = divmod(bsub, hi)
                 s = rdr.huff(dct)
                 diff = _extend(rdr.bits(s), s) if s else 0
                 pred[ci] += diff
-                row = coeffs[ci][m * hi * vi + bsub]
+                row = grid[myy * vi + byi, mxx * hi + bxi]
                 row[0] = pred[ci]
                 k = 1
                 while k < 64:
@@ -2172,33 +2536,185 @@ def _jpeg_decode_scan(
                         raise ValueError("AC index overflow")
                     row[k] = _extend(rdr.bits(s), s)
                     k += 1
+    return _jpeg_finish(frame, qtables, coeffs, inv_zz, dc_only)
 
-    def comp_grid(ci):
-        """(block grid width, height) of component ci's padded plane."""
-        hi, vi = scan[ci]["comp"]["hi"], scan[ci]["comp"]["vi"]
-        return mw * hi, mh * vi
 
-    def scatter(ci, px_blocks, block_px: int):
-        """Place per-block data into component ci's padded plane.
-        ``px_blocks`` is (n_blocks, block_px, block_px)."""
-        hi, vi = scan[ci]["comp"]["hi"], scan[ci]["comp"]["vi"]
-        bw, bh = comp_grid(ci)
-        plane = np.zeros((bh * block_px, bw * block_px), dtype=np.uint8)
-        for m in range(n_mcu):
+def _jpeg_progressive_scan(
+    frame, scan, ss, se, ah, al, segments, ri, htables, coeffs
+):
+    """Decode ONE progressive (SOF2) scan into the persistent
+    per-component coefficient grids, per ITU T.81 G.2: DC first /
+    refinement scans (interleaved MCU order, or a single component's
+    natural block grid), AC first scans with EOBn run-length coding
+    (spectral selection), and AC refinement scans with correction
+    bits (successive approximation). Restart markers byte-align the
+    reader and reset DC prediction + the EOB run."""
+
+    if not (0 <= ss <= se <= 63) or ah > 13 or al > 13:
+        raise ValueError("bad progressive scan parameters")
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan must have Se = 0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("AC scans must be single-component")
+    if ah and ah != al + 1:
+        raise ValueError("successive approximation must refine one bit")
+    p1 = 1 << al
+    state = {
+        "eobrun": 0,
+        "seg": 0,
+        "rdr": _JpegBitReader(segments[0]),
+        "pred": [0] * len(scan),
+    }
+
+    def restart():
+        state["seg"] += 1
+        if state["seg"] >= len(segments):
+            raise ValueError("missing restart segment")
+        state["rdr"] = _JpegBitReader(segments[state["seg"]])
+        state["pred"] = [0] * len(scan)
+        state["eobrun"] = 0
+
+    def dc_unit(ci, row):
+        rdr = state["rdr"]
+        if ah == 0:  # first DC scan: coded like baseline, scaled <<Al
+            dct = htables.get((0, scan[ci]["dc"]))
+            if dct is None:
+                raise ValueError("missing Huffman table")
+            s = rdr.huff(dct)
+            diff = _extend(rdr.bits(s), s) if s else 0
+            state["pred"][ci] += diff
+            row[0] = state["pred"][ci] << al
+        else:  # refinement: one raw bit per block (two's-complement OR)
+            if rdr.bit():
+                row[0] = int(row[0]) | p1
+
+    def ac_first(row):
+        rdr = state["rdr"]
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        act = htables.get((1, scan[0]["ac"]))
+        if act is None:
+            raise ValueError("missing Huffman table")
+        k = ss
+        while k <= se:
+            rs = rdr.huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                # EOBn: run of (1<<r)+bits block-ends incl. this one
+                state["eobrun"] = (1 << r) - 1 + (
+                    rdr.bits(r) if r else 0
+                )
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            row[k] = _extend(rdr.bits(s), s) << al
+            k += 1
+
+    def ac_refine(row):
+        rdr = state["rdr"]
+        k = ss
+        if state["eobrun"] == 0:
+            act = htables.get((1, scan[0]["ac"]))
+            if act is None:
+                raise ValueError("missing Huffman table")
+            while k <= se:
+                rs = rdr.huff(act)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) + (
+                            rdr.bits(r) if r else 0
+                        )
+                        break  # correction sweep + decrement below
+                    # ZRL: skip 16 zero-history positions
+                elif s == 1:
+                    newval = p1 if rdr.bit() else -p1
+                else:
+                    raise ValueError("bad refinement magnitude")
+                # advance over r zero-history positions, reading a
+                # correction bit for each nonzero-history coefficient
+                # passed over (T.81 G.1.2.3 / decode_mcu_AC_refine)
+                while k <= se:
+                    v = int(row[k])
+                    if v != 0:
+                        if rdr.bit() and (v & p1) == 0:
+                            row[k] = v + (p1 if v >= 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    row[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            # EOB-run block (or the tail of the block that decoded
+            # the EOBn): correction bits only, for nonzero history
+            while k <= se:
+                v = int(row[k])
+                if v != 0:
+                    if rdr.bit() and (v & p1) == 0:
+                        row[k] = v + (p1 if v >= 0 else -p1)
+                k += 1
+            state["eobrun"] -= 1
+
+    if ss == 0 and len(scan) > 1:
+        # interleaved DC scan over the frame MCU grid
+        mw, mh = frame["mw"], frame["mh"]
+        for m in range(mw * mh):
+            if ri and m and m % ri == 0:
+                restart()
             myy, mxx = divmod(m, mw)
-            for bsub in range(hi * vi):
-                byi, bxi = divmod(bsub, hi)
-                by, bx = myy * vi + byi, mxx * hi + bxi
-                plane[
-                    by * block_px : (by + 1) * block_px,
-                    bx * block_px : (bx + 1) * block_px,
-                ] = px_blocks[m * hi * vi + bsub]
-        return plane
+            for ci, sc in enumerate(scan):
+                hi, vi = sc["comp"]["hi"], sc["comp"]["vi"]
+                grid = coeffs[sc["comp"]["fci"]]
+                for bsub in range(hi * vi):
+                    byi, bxi = divmod(bsub, hi)
+                    dc_unit(ci, grid[myy * vi + byi, mxx * hi + bxi])
+    else:
+        # single-component scan: the component's NATURAL block grid
+        # (not padded to MCU multiples), row-major — T.81 A.2.2
+        c = scan[0]["comp"]
+        grid = coeffs[c["fci"]]
+        cw_px = -(-(frame["w"] * c["hi"]) // frame["hmax"])
+        ch_px = -(-(frame["h"] * c["vi"]) // frame["vmax"])
+        cw_b, ch_b = -(-cw_px // 8), -(-ch_px // 8)
+        for m in range(ch_b * cw_b):
+            if ri and m and m % ri == 0:
+                restart()
+            by, bx = divmod(m, cw_b)
+            row = grid[by, bx]
+            if ss == 0:
+                dc_unit(0, row)
+            elif ah == 0:
+                ac_first(row)
+            else:
+                ac_refine(row)
 
-    def upsample(ci, plane, unit: int):
+
+def _jpeg_finish(frame, qtables, coeffs, inv_zz, dc_only):
+    """Shared tail of baseline and progressive decode: dequantize,
+    un-zigzag, vectorized exact-float IDCT (or the DC-only 1/8-scale
+    preview), assemble/crop/replicate-upsample per-component planes,
+    then JFIF YCbCr->RGB. ``coeffs`` is one (block_rows, block_cols,
+    64) int64 zigzag-order grid per frame component."""
+    import numpy as np
+
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    nc = len(comps)
+
+    def upsample(c, plane, unit: int):
         """Crop to the component's natural size (in ``unit``-pixel
         cells) and replicate up to full resolution."""
-        hi, vi = scan[ci]["comp"]["hi"], scan[ci]["comp"]["vi"]
+        hi, vi = c["hi"], c["vi"]
         cw_px = -(-(w * hi) // hmax)  # natural comp width in pixels
         ch_px = -(-(h * vi) // vmax)
         cw = cw_px if unit == 1 else -(-cw_px // 8)
@@ -2218,31 +2734,41 @@ def _jpeg_decode_scan(
         # so thumb pixel = round(DC*Q00/8) + 128 per block. Entropy
         # decoding still walks every coefficient (the bitstream has no
         # skip index), but IDCT and full-plane assembly are skipped.
-        for ci, sc in enumerate(scan):
-            q = qtables.get(sc["comp"]["tq"])
+        for ci, c in enumerate(comps):
+            q = qtables.get(c["tq"])
             if q is None:
                 raise ValueError("missing quant table")
-            dc = coeffs[ci][:, 0].astype(np.float64) * float(q[0, 0])
-            px = np.clip(_round_half_up(dc / 8.0) + 128, 0, 255)
-            plane = scatter(ci, px.reshape(-1, 1, 1).astype(np.uint8), 1)
-            planes.append(upsample(ci, plane, 8))
+            dc = coeffs[ci][:, :, 0].astype(np.float64) * float(q[0, 0])
+            px = np.clip(_round_half_up(dc / 8.0) + 128, 0, 255).astype(
+                np.uint8
+            )
+            planes.append(upsample(c, px, 8))
         return _jpeg_planes_to_rgb(planes, nc)
-    # dequantize + un-zigzag + one vectorized IDCT over all blocks
+    # dequantize + un-zigzag + one vectorized IDCT over all blocks,
+    # then a pure reshape/transpose assembles the plane (no Python
+    # loop over MCUs)
     C = _dct_matrix()
-    for ci, sc in enumerate(scan):
-        q = qtables.get(sc["comp"]["tq"])
+    for ci, c in enumerate(comps):
+        q = qtables.get(c["tq"])
         if q is None:
             raise ValueError("missing quant table")
-        nb = coeffs[ci].shape[0]
-        dq = coeffs[ci][:, inv_zz].reshape(nb, 8, 8) * q[None]
+        bh, bw = coeffs[ci].shape[:2]
+        nb = bh * bw
+        dq = coeffs[ci].reshape(nb, 64)[:, inv_zz].reshape(nb, 8, 8) * q[
+            None
+        ]
         spatial = np.einsum(
             "ux,muv,vy->mxy", C, dq.astype(np.float64), C
         )
         px = np.clip(_round_half_up(spatial) + 128, 0, 255).astype(
             np.uint8
         )
-        plane = scatter(ci, px, 8)
-        planes.append(upsample(ci, plane, 1))
+        plane = (
+            px.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        planes.append(upsample(c, plane, 1))
     return _jpeg_planes_to_rgb(planes, nc)
 
 

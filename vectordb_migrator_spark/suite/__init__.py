@@ -37,6 +37,7 @@ from vectordb_migrator_spark.suite import s10_round8_b  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s10_round8_c  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s11_round9  # noqa: F401,E402
 from vectordb_migrator_spark.suite import s12_round10  # noqa: F401,E402
+from vectordb_migrator_spark.suite import s13_round11  # noqa: F401,E402
 
 # =====================================================================
 # =====================================================================
@@ -60,6 +61,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_facility_location",
     "x6_jpeg_420_decode",
     # --- (b) NEW round-11 queries (inserted as they land) ---
+    "x6_jpeg_progressive",
 ]
 
 
