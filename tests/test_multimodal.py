@@ -1358,6 +1358,85 @@ def test_jpeg_progressive_hostile_payloads():
         jpeg_decode(bomb)
 
 
+def test_jpeg_exif_parse_and_hostile_payloads(spark):
+    """EXIF tier: builder->parser round trip in both TIFF byte
+    orders, inline vs offset ASCII values, decode still works with
+    APP1/APP2 spliced in, and hostile shapes (truncation at every
+    byte, an IFD entry-count bomb, an out-of-range value offset)
+    degrade to NULL fields — never an exception."""
+    import struct
+
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        exif_app1_segment,
+        icc_app2_segment,
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_exif_features,
+        jpeg_exif_meta,
+    )
+
+    base = jpeg_encode(np.full((16, 8), 50, np.uint8))
+    for bo in ("II", "MM"):
+        app1 = exif_app1_segment(
+            orientation=6, datetime="2020:03:05 12:07:00",
+            make="cam-3", byte_order=bo,
+        )
+        jb = base[:2] + app1 + icc_app2_segment() + base[2:]
+        m = jpeg_exif_meta(jb)
+        assert m["byte_order"] == bo and m["orientation"] == 6
+        assert m["exif_datetime"] == "2020:03:05 12:07:00"
+        assert m["make"] == "cam-3" and m["icc_present"] is True
+        assert (m["width"], m["height"]) == (8, 16)
+        assert m["progressive"] is False
+        rgb, _ = jpeg_decode(jb)  # decoder skips APPn unharmed
+        assert rgb[0, 0, 0] == 50
+
+    # inline (<= 4 byte) ASCII value
+    short = base[:2] + exif_app1_segment(make="ab", byte_order="MM") + base[2:]
+    assert jpeg_exif_meta(short)["make"] == "ab"
+    # non-JPEG and Exif-less payloads
+    assert jpeg_exif_meta(b"junk")["has_exif"] is None
+    assert jpeg_exif_meta(base)["has_exif"] is False
+
+    # truncation at every byte: never raises
+    app1 = exif_app1_segment(
+        orientation=3, datetime="2020:01:01 00:00:00", make="x" * 40
+    )
+    jb = base[:2] + app1 + base[2:]
+    for cut in range(len(jb)):
+        jpeg_exif_meta(jb[:cut])
+
+    # IFD entry-count bomb: declared 0xFFFF entries, 2 bytes of data
+    bomb_tiff = b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", 0xFFFF)
+    bomb = (
+        base[:2]
+        + b"\xff\xe1"
+        + struct.pack(">H", 2 + 6 + len(bomb_tiff))
+        + b"Exif\x00\x00" + bomb_tiff
+        + base[2:]
+    )
+    m = jpeg_exif_meta(bomb)
+    assert m["has_exif"] is True and m["orientation"] is None
+
+    # out-of-range ASCII value offset: field skipped, no exception
+    evil = bytearray(exif_app1_segment(datetime="2020:01:01 00:00:00"))
+    # the DateTime value offset lives in the last entry's value slot;
+    # overwrite it with a huge offset
+    evil[-21:-17] = struct.pack("<I", 10_000_000)
+    m = jpeg_exif_meta(base[:2] + bytes(evil) + base[2:])
+    assert m["has_exif"] is True
+
+    # DataFrame shape: the operator is the batch twin of the parser
+    df = spark.createDataFrame(
+        [(1, bytearray(jb)), (2, bytearray(b"nope"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in jpeg_exif_features(df).collect()}
+    assert rows[1]["orientation"] == 3 and rows[2]["width"] is None
+
+
 def test_jpeg_truncated_segments_raise_valueerror_only():
     # r10 ADVICE: streams cut mid-DQT/DHT/SOF used to escape as raw
     # IndexError/struct.error; the contract is ValueError for EVERY

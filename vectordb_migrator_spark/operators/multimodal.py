@@ -2848,6 +2848,198 @@ def jpeg_decode_features(
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
 
 
+def exif_app1_segment(
+    *,
+    orientation: int | None = None,
+    datetime: str | None = None,
+    make: str | None = None,
+    byte_order: str = "II",
+) -> bytes:
+    """Build an APP1 Exif segment (marker + length + ``Exif\\0\\0`` +
+    TIFF header + IFD0) carrying the given tags — the fixture-side
+    twin of :func:`jpeg_exif_features`, like jpeg_encode is to
+    jpeg_decode. Tags emitted in ascending order per TIFF 6.0: Make
+    (0x010F, ASCII), Orientation (0x0112, SHORT), DateTime (0x0132,
+    ASCII, 20 bytes). ``byte_order`` is ``"II"`` (little-endian) or
+    ``"MM"`` (big-endian) — both shapes exist in real corpora."""
+    import struct
+
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    e = "<" if byte_order == "II" else ">"
+    entries = []  # (tag, type, count, packed 4-byte value, extra data)
+    extra = bytearray()
+    # data area begins after: TIFF hdr (8) + count (2) + 12n + next (4)
+    n = sum(x is not None for x in (orientation, datetime, make))
+    data_base = 8 + 2 + 12 * n + 4
+    if make is not None:
+        payload = make.encode("ascii") + b"\x00"
+        entries.append(
+            (0x010F, 2, len(payload),
+             struct.pack(f"{e}I", data_base + len(extra)))
+            if len(payload) > 4
+            else (0x010F, 2, len(payload), payload.ljust(4, b"\x00"))
+        )
+        if len(payload) > 4:
+            extra += payload
+    if orientation is not None:
+        entries.append(
+            (0x0112, 3, 1, struct.pack(f"{e}HH", orientation, 0))
+        )
+    if datetime is not None:
+        payload = datetime.encode("ascii") + b"\x00"
+        entries.append(
+            (0x0132, 2, len(payload),
+             struct.pack(f"{e}I", data_base + len(extra)))
+        )
+        extra += payload
+    tiff = bytearray(byte_order.encode("ascii"))
+    tiff += struct.pack(f"{e}H", 42) + struct.pack(f"{e}I", 8)
+    tiff += struct.pack(f"{e}H", len(entries))
+    for tag, typ, cnt, val in entries:
+        tiff += struct.pack(f"{e}HHI", tag, typ, cnt) + val
+    tiff += struct.pack(f"{e}I", 0)  # no next IFD
+    tiff += extra
+    body = b"Exif\x00\x00" + bytes(tiff)
+    import struct as _s
+
+    return b"\xff\xe1" + _s.pack(">H", 2 + len(body)) + body
+
+
+def icc_app2_segment(profile: bytes = b"\x00" * 16) -> bytes:
+    """Minimal APP2 ICC_PROFILE segment (chunk 1 of 1) — enough for
+    presence detection, which is what curation pipelines key on."""
+    import struct
+
+    body = b"ICC_PROFILE\x00" + bytes([1, 1]) + bytes(profile)
+    return b"\xff\xe2" + struct.pack(">H", 2 + len(body)) + body
+
+
+def jpeg_exif_meta(payload: bytes) -> dict:
+    """Parse JPEG header metadata WITHOUT decoding pixels: APP1 Exif
+    (byte order, Orientation 0x0112, DateTime 0x0132, Make 0x010F
+    from IFD0), APP2 ICC-profile presence, SOF dimensions, and
+    whether the frame is progressive (SOF2). Orientation matters:
+    values 5-8 transpose the image, so thumbnails / perceptual-dedup
+    geometry on a real photo corpus are wrong without it — and it
+    costs a ~1 KB header read instead of a decode (the 100 TB triage
+    point). Hostile-input hardened: IFD entry count capped, every
+    offset bounds-checked, ASCII values capped at 256 bytes; corrupt
+    structures degrade to NULL fields, never an exception. Returns
+    NULLs-everywhere for non-JPEG payloads."""
+    import struct
+
+    out = {
+        "has_exif": None, "byte_order": None, "orientation": None,
+        "exif_datetime": None, "make": None, "icc_present": None,
+        "width": None, "height": None, "progressive": None,
+    }
+    b = bytes(payload)
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return out
+    out["has_exif"] = False
+    out["icc_present"] = False
+    pos, n_seg = 2, 0
+    while pos + 4 <= len(b) and n_seg < 64:
+        if b[pos] != 0xFF:
+            break
+        marker = b[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            break  # EOI / entropy data: header region over
+        n_seg += 1
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        if seglen < 2:
+            break
+        seg = b[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker in (0xC0, 0xC1, 0xC2) and len(seg) >= 5:
+            out["height"], out["width"] = struct.unpack_from(">HH", seg, 1)
+            out["progressive"] = marker == 0xC2
+        elif marker == 0xE2 and seg.startswith(b"ICC_PROFILE\x00"):
+            out["icc_present"] = True
+        elif marker == 0xE1 and seg.startswith(b"Exif\x00\x00"):
+            t = seg[6:]
+            if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+                continue
+            e = "<" if t[:2] == b"II" else ">"
+            try:
+                magic, ifd0 = struct.unpack_from(f"{e}HI", t, 2)
+                if magic != 42 or ifd0 + 2 > len(t):
+                    continue
+                (n_ent,) = struct.unpack_from(f"{e}H", t, ifd0)
+                n_ent = min(n_ent, 64)  # entry-count bomb cap
+                out["has_exif"] = True
+                out["byte_order"] = t[:2].decode("ascii")
+                for i in range(n_ent):
+                    off = ifd0 + 2 + 12 * i
+                    if off + 12 > len(t):
+                        break
+                    tag, typ, cnt = struct.unpack_from(f"{e}HHI", t, off)
+                    if tag == 0x0112 and typ == 3 and cnt == 1:
+                        (v,) = struct.unpack_from(f"{e}H", t, off + 8)
+                        out["orientation"] = int(v)
+                    elif tag in (0x010F, 0x0132) and typ == 2:
+                        if cnt > 256:  # ASCII-length bomb cap
+                            continue
+                        if cnt <= 4:
+                            raw = t[off + 8 : off + 8 + cnt]
+                        else:
+                            (voff,) = struct.unpack_from(
+                                f"{e}I", t, off + 8
+                            )
+                            if voff + cnt > len(t):
+                                continue
+                            raw = t[voff : voff + cnt]
+                        val = raw.split(b"\x00", 1)[0].decode(
+                            "ascii", "replace"
+                        )
+                        key = "make" if tag == 0x010F else "exif_datetime"
+                        out[key] = val
+            except struct.error:
+                continue
+    return out
+
+
+def jpeg_exif_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """EXIF/APPn metadata tier (round 11): per-image header metadata —
+    Exif byte order / Orientation / DateTime / Make, ICC presence,
+    SOF dimensions, progressive flag — from a pure-bytes marker walk
+    that never entropy-decodes. On a real photo corpus this is the
+    FIRST curation pass: orientation rewrites thumbnail and
+    perceptual-hash geometry, capture time drives dedup windows and
+    temporal splits, and it reads ~1 KB per image where a decode
+    reads megapixels. Same Arrow-batched ``mapInPandas`` shape as the
+    decode tiers; corrupt headers degrade to NULL fields."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {"doc_id": int(doc_id)}
+                row.update(jpeg_exif_meta(bytes(payload)))
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, has_exif boolean, byte_order string, "
+        "orientation int, exif_datetime string, make string, "
+        "icc_present boolean, width int, height int, "
+        "progressive boolean"
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
 def jpeg_thumbnail_features(
     df: DataFrame,
     *,

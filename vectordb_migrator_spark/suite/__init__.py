@@ -62,6 +62,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_jpeg_420_decode",
     # --- (b) NEW round-11 queries (inserted as they land) ---
     "x6_jpeg_progressive",
+    "x6_jpeg_exif",
 ]
 
 

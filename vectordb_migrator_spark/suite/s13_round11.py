@@ -153,3 +153,92 @@ def x6_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(gen, schema="doc_id long, payload binary")
     )
     return jpeg_decode_features(payloads).orderBy("doc_id")
+
+
+@query(
+    "x6_jpeg_exif",
+    """
+    SELECT doc_id,
+           (doc_id % 7 <> 0) AS has_exif,
+           CASE WHEN doc_id % 7 <> 0 THEN
+             (CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END)
+           END AS byte_order,
+           CASE WHEN doc_id % 7 <> 0 THEN (1 + doc_id % 8) END::INT
+             AS orientation,
+           CASE WHEN doc_id % 7 <> 0 THEN printf(
+             '2020:03:%02d 12:%02d:00',
+             (1 + doc_id % 28)::INT, (doc_id % 60)::INT
+           ) END AS exif_datetime,
+           CASE WHEN doc_id % 7 <> 0 THEN 'cam-' || (doc_id % 5)::VARCHAR
+           END AS make,
+           (doc_id % 3 = 0) AS icc_present,
+           (8 * (1 + doc_id % 3))::INT AS width,
+           (8 * (1 + doc_id % 2))::INT AS height,
+           (doc_id % 5 = 0) AS progressive
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x6_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — EXIF/APPn metadata tier (round 11): Exif byte order /
+    Orientation / DateTime / Make out of APP1 IFD0 (both II and MM
+    TIFF byte orders — fixtures alternate), ICC-profile presence from
+    APP2, SOF dimensions and the progressive flag — all from a
+    pure-bytes marker walk that reads ~1 KB per image and never
+    entropy-decodes. On a real photo corpus this is the first
+    curation pass: Orientation values 5-8 transpose the image (so
+    thumbnail and perceptual-dedup geometry are wrong without it) and
+    DateTime drives dedup windows / temporal splits. Fixtures splice
+    hand-built APP1/APP2 segments into baseline AND progressive
+    streams, with every-7th image Exif-less and every-3rd carrying
+    ICC — one wrong endian read, IFD offset, or inline-vs-offset
+    ASCII decision moves a column
+    (operators/multimodal.py:jpeg_exif_meta)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_exif_features,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from vectordb_migrator_spark.operators.multimodal import (
+            exif_app1_segment,
+            icc_app2_segment,
+            jpeg_encode,
+            jpeg_encode_progressive,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = np.full(
+                    (8 * (1 + d % 2), 8 * (1 + d % 3)), d % 256, np.uint8
+                )
+                enc = (
+                    jpeg_encode_progressive if d % 5 == 0 else jpeg_encode
+                )
+                jb = enc(px)
+                extra = b""
+                if d % 7 != 0:
+                    extra += exif_app1_segment(
+                        orientation=1 + d % 8,
+                        datetime=(
+                            f"2020:03:{1 + d % 28:02d} 12:{d % 60:02d}:00"
+                        ),
+                        make=f"cam-{d % 5}",
+                        byte_order="II" if d % 2 == 0 else "MM",
+                    )
+                if d % 3 == 0:
+                    extra += icc_app2_segment()
+                rows.append(
+                    {"doc_id": d, "payload": bytearray(jb[:2] + extra + jb[2:])}
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = (
+        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
+        .mapInPandas(gen, schema="doc_id long, payload binary")
+    )
+    return jpeg_exif_features(payloads).orderBy("doc_id")
