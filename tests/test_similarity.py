@@ -1621,3 +1621,53 @@ def test_knn_graph_components_detects_shattering(spark):
         df2, [0.0, 0.0], degree=2, sample_size=12, seed=7
     ).first()
     assert r2["n_components"] == 1 and r2["reachable_frac"] == 1.0
+
+
+def test_graph_pq_route_exact_codewords_collapse_to_exact_route(spark):
+    """Planted invariant for the DiskANN-style hybrid router: when
+    every vector sits EXACTLY on a codeword (the codebook is the
+    whole sample, so each subvector finds a zero-distance match),
+    the per-node ADC estimate equals the exact probe distance, and
+    the PQ-routed walk and the exact walk must produce IDENTICAL
+    visited counts, hits, and recall."""
+    from vectordb_migrator_spark.operators.similarity import (
+        graph_pq_route_recall,
+    )
+
+    protos = [
+        [float(a)] * 4 + [float(b)] * 4
+        for a, b in ((0, 0), (3, 1), (7, 2), (2, 6))
+    ]
+    rows = [(i, protos[i % 4]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = graph_pq_route_recall(
+        df, [1.0] * 8, k=4, degree=3, beam_width=5, hops=3,
+        n_entries=2, sample_size=24, m=2, pq_k=24, seed=7,
+    ).collect()
+    assert [r["route"] for r in out] == ["exact", "pq_adc"]
+    ex, pq = out
+    for col in ("n_nodes", "n_edges", "n_visited", "n_hits",
+                "recall_at_k"):
+        assert ex[col] == pq[col], col
+    assert ex["n_nodes"] == 24 and 0.0 <= ex["recall_at_k"] <= 1.0
+
+
+def test_graph_pq_route_validates_params(spark):
+    import pytest
+
+    from vectordb_migrator_spark.operators.similarity import (
+        graph_pq_route_recall,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="hops"):
+        graph_pq_route_recall(df, [0.0] * 8, hops=0)
+    with pytest.raises(ValueError, match="divide"):
+        graph_pq_route_recall(df, [0.0] * 7, m=2)
+    with pytest.raises(ValueError, match="sample smaller"):
+        graph_pq_route_recall(
+            df, [0.0] * 8, sample_size=5, pq_k=16, m=2
+        )

@@ -2032,6 +2032,215 @@ def knn_graph_beam_recall(
     return out.orderBy("hops")
 
 
+def graph_pq_route_recall(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    k: int = 10,
+    degree: int = 6,
+    beam_width: int = 12,
+    hops: int = 4,
+    n_entries: int = 2,
+    sample_size: int = 192,
+    m: int = 4,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+    seed: int = 7,
+) -> DataFrame:
+    """DiskANN-flavored hybrid routing certificate (round 11): beam
+    search over the k-NN graph routed by PQ-ADC APPROXIMATE distances
+    with an EXACT rerank of the final beam — the way every modern
+    disk-resident graph index (DiskANN/Vamana, HNSW+PQ) actually runs
+    at 100 TB: full vectors live on disk, the walk steers by
+    in-memory PQ codes, and only the final beam pays exact-distance
+    I/O. The certificate runs the PQ-routed walk AND the exact-routed
+    twin at the same beam width over the same graph, reporting
+    recall@k and visited counts side by side — the quality cost of
+    approximate routing, isolated from the graph itself.
+
+    Determinism by construction (the knn_graph recipe extended to the
+    quantizer): md5-rank node sample, int64 fixed-point coordinates,
+    codebooks = the first ``pq_k`` sample rows under an independent
+    md5 salt (sub-sliced per subspace), PQ codes by exact int64
+    subvector argmin (ties -> lowest codeword index), ADC lookup
+    table from exact int64 probe-to-codeword distances, and every
+    ranking tie-broken by ascending id — so codes, the ADC estimate,
+    both beam trajectories, and the reranked top-k replay bit-for-bit
+    in the hop-unrolled SQL oracle.
+
+    Scale shape: codebooks are a model-sized driver collect (pq_k
+    rows); PQ codes + the per-node ADC estimate are ONE codegen pass
+    over the sample, localCheckpointed so hops re-join a materialized
+    frame; each hop is a broadcast join + a top-B window over at most
+    beam·(degree+1) rows; the fixed ``hops`` unroll keeps the whole
+    walk declarative (zero driver loops over data).
+
+    Returns two rows — route ∈ ('exact', 'pq_adc') — with (n_nodes,
+    n_edges, m, pq_k, beam_width, hops, n_visited, n_hits,
+    recall_at_k), where the pq_adc row's top-k is the exact rerank of
+    its final beam.
+    """
+    if hops < 1 or beam_width < 1 or degree < 1:
+        raise ValueError("need hops, beam_width, degree >= 1")
+    d = len(probe)
+    if d % m:
+        raise ValueError("probe dimension must divide m")
+    dsub = d // m
+    samp, edges = _knn_graph_sample_edges(
+        df, probe, degree=degree, sample_size=sample_size,
+        id_col=id_col, vec_col=vec_col, scale=scale, seed=seed,
+    )
+    # codebooks: first pq_k sample rows under an independent salt,
+    # codeword j of subspace s = that row's s-th subvector (int64)
+    cbk = F.md5(
+        F.concat(F.col("__id").cast("string"), F.lit(f":pqcb:{seed}"))
+    )
+    cb_rows = (
+        samp.select("__id", "__x", cbk.alias("__c"))
+        .orderBy("__c", "__id")
+        .limit(pq_k)
+        .collect()
+    )
+    if len(cb_rows) < pq_k:
+        raise ValueError("sample smaller than pq_k")
+    codebooks = [
+        [list(r["__x"][s * dsub : (s + 1) * dsub]) for r in cb_rows]
+        for s in range(m)
+    ]
+    pfix = [
+        int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5)
+        for x in probe
+    ]
+    adc = [
+        [
+            sum(
+                (pfix[s * dsub + i] - cw[i]) ** 2 for i in range(dsub)
+            )
+            for cw in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    # one codegen pass: PQ-encode each node and look up its ADC
+    # distance estimate (exact ints end to end)
+    ad = None
+    for s in range(m):
+        cands = F.array(
+            *[
+                F.array(*[F.lit(int(x)) for x in cw])
+                for cw in codebooks[s]
+            ]
+        )
+        sv = F.slice(F.col("__x"), s * dsub + 1, dsub)
+        dists = F.transform(
+            cands,
+            lambda cw: F.aggregate(
+                F.zip_with(sv, cw, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ),
+        )
+        j = F.array_position(dists, F.array_min(dists)).cast("int")
+        term = F.element_at(
+            F.array(*[F.lit(int(v)) for v in adc[s]]), j
+        )
+        ad = term if ad is None else ad + term
+    nodes = samp.select(
+        "__id", "__qd", ad.cast("long").alias("__ad")
+    ).localCheckpoint(eager=True)
+
+    ekey = F.md5(
+        F.concat(F.col("__id").cast("string"), F.lit(f":kgentry:{seed}"))
+    )
+    entries = (
+        nodes.select("__id", "__qd", "__ad", ekey.alias("__e"))
+        .orderBy("__e", "__id")
+        .limit(n_entries)
+        .select("__id", "__qd", "__ad")
+        .localCheckpoint(eager=True)
+    )
+    trk = F.row_number().over(W.partitionBy().orderBy("__qd", "__id"))
+    truth = (
+        nodes.withColumn("__rk", trk)
+        .filter(F.col("__rk") <= k)
+        .select("__id")
+        .localCheckpoint(eager=True)
+    )
+    nn = samp.agg(F.count("*").cast("long").alias("n_nodes"))
+    ne = edges.agg(F.count("*").cast("long").alias("n_edges"))
+
+    def walk(rank_col: str):
+        brk = F.row_number().over(
+            W.partitionBy().orderBy(rank_col, "__id")
+        )
+        beam, visited = entries, entries.select("__id")
+        for t in range(1, hops + 1):
+            expand = (
+                beam.select(F.col("__id").alias("src"))
+                .join(F.broadcast(edges), "src")
+                .select(F.col("dst").alias("__id"))
+                .join(F.broadcast(nodes), "__id")
+                .select("__id", "__qd", "__ad")
+            )
+            visited = visited.unionByName(expand.select("__id"))
+            beam = (
+                beam.unionByName(expand)
+                .distinct()
+                .withColumn("__rk", brk)
+                .filter(F.col("__rk") <= beam_width)
+                .select("__id", "__qd", "__ad")
+            )
+            if t % 3 == 0 and t < hops:
+                beam = beam.localCheckpoint(eager=True)
+                visited = visited.localCheckpoint(eager=True)
+        return beam, visited
+
+    def report(route: str, beam: DataFrame, visited: DataFrame):
+        # exact rerank of the final beam (for the exact route this is
+        # the ranking the walk already used — same operation, so both
+        # rows are produced by identical machinery)
+        rrk = F.row_number().over(W.partitionBy().orderBy("__qd", "__id"))
+        result = (
+            beam.withColumn("__rk", rrk)
+            .filter(F.col("__rk") <= k)
+            .select("__id")
+        )
+        hits = result.join(truth, "__id", "left_semi").agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        nv = visited.select("__id").distinct().agg(
+            F.count("*").cast("long").alias("n_visited")
+        )
+        return (
+            nn.crossJoin(ne)
+            .crossJoin(nv)
+            .crossJoin(hits)
+            .select(
+                F.lit(route).alias("route"),
+                "n_nodes",
+                "n_edges",
+                F.lit(m).cast("int").alias("m"),
+                F.lit(pq_k).cast("int").alias("pq_k"),
+                F.lit(beam_width).cast("long").alias("beam_width"),
+                F.lit(hops).cast("long").alias("hops"),
+                "n_visited",
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(float(k)), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+
+    eb, ev = walk("__qd")
+    pb, pv = walk("__ad")
+    return (
+        report("exact", eb, ev)
+        .unionByName(report("pq_adc", pb, pv))
+        .orderBy("route")
+    )
+
+
 def knn_graph_components(
     df: DataFrame,
     probe: list[float],

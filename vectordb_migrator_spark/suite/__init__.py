@@ -63,6 +63,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- (b) NEW round-11 queries (inserted as they land) ---
     "x6_jpeg_progressive",
     "x6_jpeg_exif",
+    "x4_graph_pq_route",
 ]
 
 

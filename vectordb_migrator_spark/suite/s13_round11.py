@@ -242,3 +242,164 @@ def x6_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(gen, schema="doc_id long, payload binary")
     )
     return jpeg_exif_features(payloads).orderBy("doc_id")
+
+
+def _pqr_sql() -> str:
+    """Hop-unrolled DuckDB oracle for x4_graph_pq_route: the md5
+    sample, exact int64 k-NN graph, sampled PQ codebooks, per-node
+    codes + ADC estimates, BOTH beam walks (exact- and ADC-ranked),
+    the exact rerank of each final beam, and the visited accounting,
+    all replayed in SQL."""
+    fx = (
+        "list_transform({col}, x -> (CASE WHEN x >= 0 THEN "
+        "floor(x * 10000.0 + 0.5) ELSE -floor(-x * 10000.0 + 0.5) "
+        "END)::BIGINT)"
+    )
+    d2 = (
+        "list_sum([ ({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1]) "
+        "for i in range(64) ])::BIGINT"
+    )
+    sub2 = (
+        "list_sum([ ({a}[ts.s*16+i+1] - {b}[ts.s*16+i+1]) * "
+        "({a}[ts.s*16+i+1] - {b}[ts.s*16+i+1]) for i in range(16) "
+        "])::BIGINT"
+    )
+    hop = """
+    {n}{t} AS MATERIALIZED (
+      SELECT id, qd, ad FROM (
+        SELECT id, qd, ad,
+               row_number() OVER (ORDER BY {rank}, id) AS rk
+        FROM (
+          SELECT DISTINCT id, qd, ad FROM (
+            SELECT id, qd, ad FROM {n}{p}
+            UNION ALL
+            SELECT n.id, n.qd, n.ad
+            FROM {n}{p} JOIN edges ed ON ed.src = {n}{p}.id
+                        JOIN nodes n ON n.id = ed.dst))
+      ) WHERE rk <= 12
+    ),
+    v{n}{t} AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT id FROM v{n}{p}
+        UNION ALL
+        SELECT ed.dst AS id
+        FROM {n}{p} JOIN edges ed ON ed.src = {n}{p}.id)
+    )"""
+    mode = """
+    SELECT '{route}' AS route,
+           (SELECT count(*) FROM samp)::BIGINT AS n_nodes,
+           (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+           4::INT AS m,
+           16::INT AS pq_k,
+           12::BIGINT AS beam_width,
+           4::BIGINT AS hops,
+           (SELECT count(*) FROM v{n}4)::BIGINT AS n_visited,
+           (SELECT count(*) FROM (
+              SELECT id FROM (
+                SELECT id, row_number() OVER (ORDER BY qd, id) AS rk
+                FROM {n}4) WHERE rk <= 10) r
+            JOIN truth USING (id))::BIGINT AS n_hits,
+           round((SELECT count(*) FROM (
+              SELECT id FROM (
+                SELECT id, row_number() OVER (ORDER BY qd, id) AS rk
+                FROM {n}4) WHERE rk <= 10) r
+            JOIN truth USING (id)) / 10.0, 6) AS recall_at_k"""
+    hops = "".join(
+        "," + hop.format(n="e", t=t, p=t - 1, rank="qd")
+        for t in range(1, 5)
+    ) + "".join(
+        "," + hop.format(n="q", t=t, p=t - 1, rank="ad")
+        for t in range(1, 5)
+    )
+    modes = " UNION ALL ".join(
+        (mode.format(route="exact", n="e"), mode.format(route="pq_adc", n="q"))
+    )
+    return f"""
+    WITH p AS (
+      SELECT {fx.format(col="(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)")} AS pv
+    ),
+    samp AS MATERIALIZED (
+      SELECT vec_id AS id, {fx.format(col="embedding::DOUBLE[]")} AS v
+      FROM embeddings
+      ORDER BY md5(vec_id::VARCHAR || ':kg:7'), vec_id LIMIT 192
+    ),
+    qd AS MATERIALIZED (
+      SELECT s.id, {d2.format(a="s.v", b="p.pv")} AS qd FROM samp s, p
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT a.id AS src, b.id AS dst,
+               row_number() OVER (PARTITION BY a.id
+                 ORDER BY {d2.format(a="a.v", b="b.v")}, b.id) AS rk
+        FROM samp a JOIN samp b ON a.id <> b.id)
+      WHERE rk <= 6
+    ),
+    cb AS MATERIALIZED (
+      SELECT j, v FROM (
+        SELECT row_number() OVER (
+                 ORDER BY md5(id::VARCHAR || ':pqcb:7'), id) AS j, v
+        FROM samp) WHERE j <= 16
+    ),
+    codes AS MATERIALIZED (
+      SELECT id, s, j FROM (
+        SELECT a.id, ts.s, c.j,
+               row_number() OVER (PARTITION BY a.id, ts.s
+                 ORDER BY {sub2.format(a="a.v", b="c.v")}, c.j) AS rk
+        FROM samp a, cb c, range(0, 4) ts(s))
+      WHERE rk = 1
+    ),
+    adct AS MATERIALIZED (
+      SELECT c.j, ts.s, {sub2.format(a="p.pv", b="c.v")} AS d
+      FROM cb c, range(0, 4) ts(s), p
+    ),
+    nodes AS MATERIALIZED (
+      SELECT q.id, q.qd, a.ad
+      FROM qd q JOIN (
+        SELECT codes.id, sum(adct.d)::BIGINT AS ad
+        FROM codes JOIN adct ON adct.s = codes.s AND adct.j = codes.j
+        GROUP BY 1) a USING (id)
+    ),
+    e0 AS MATERIALIZED (
+      SELECT id, qd, ad FROM nodes
+      ORDER BY md5(id::VARCHAR || ':kgentry:7'), id LIMIT 2
+    ),
+    q0 AS (SELECT * FROM e0),
+    ve0 AS (SELECT id FROM e0),
+    vq0 AS (SELECT id FROM e0),
+    truth AS MATERIALIZED (
+      SELECT id FROM (
+        SELECT id, row_number() OVER (ORDER BY qd, id) AS rk
+        FROM nodes)
+      WHERE rk <= 10
+    ){hops}
+    SELECT * FROM ({modes}) ORDER BY route
+    """
+
+
+@query("x4_graph_pq_route", _pqr_sql())
+def x4_graph_pq_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — DiskANN-flavored hybrid routing certificate (round 11):
+    beam search over the exact k-NN graph steered by PQ-ADC
+    APPROXIMATE distances with an EXACT rerank of the final beam,
+    side by side with the exact-routed twin at the same beam width —
+    how every disk-resident graph index (DiskANN/Vamana, HNSW+PQ)
+    actually runs at 100 TB: the walk reads in-memory PQ codes, only
+    the final beam pays full-vector I/O. The two output rows isolate
+    the recall cost of approximate steering from the graph itself.
+    Deterministic end to end: md5 node sample, int64 fixed-point
+    coordinates, codebooks = md5-salted sample rows, exact int64
+    subvector argmin codes (lowest-index ties), int64 ADC table,
+    id-ascending ranking ties — the hop-unrolled oracle replays
+    codes, both trajectories, and the reranked top-k bit-for-bit
+    (operators/similarity.py:graph_pq_route_recall)."""
+    from vectordb_migrator_spark.operators.similarity import (
+        graph_pq_route_recall,
+    )
+    from vectordb_migrator_spark.suite._shared import _probe_vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    return graph_pq_route_recall(
+        emb, probe, k=10, degree=6, beam_width=12, hops=4,
+        n_entries=2, sample_size=192, m=4, pq_k=16, seed=7,
+    )
