@@ -422,3 +422,44 @@ def test_power_iteration_pc1_overflow_guard_raises(spark):
     )
     with pytest.raises(Exception, match="int64-exact"):
         power_iteration_pc1(big, d=8).first()
+
+
+def test_power_iteration_pc2_planted_directions(spark):
+    """Deflation certificate: two planted orthogonal high-variance
+    axes (var 1.0 on dim 2, 0.36 on dim 5 over 0.0025 noise) must
+    come back as evr1 > evr2 with both near their variance shares,
+    the iterates near-orthogonal, and PC2 converged."""
+    import random
+
+    from vectordb_migrator_spark.operators.decomposition import (
+        power_iteration_pc2,
+    )
+
+    random.seed(3)
+    rows = []
+    for i in range(400):
+        v = [random.gauss(0, 0.05) for _ in range(8)]
+        v[2] += random.gauss(0, 1.0)
+        v[5] += random.gauss(0, 0.6)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    r = power_iteration_pc2(df, d=8).first()
+    assert r["evr1"] > r["evr2"] > 0.2
+    assert r["cum_evr"] > 0.95
+    assert abs(r["ortho"]) < 0.01  # deflation annihilated PC1
+    assert r["align2"] > 0.999
+
+    # rank-1 input: PC2 metrics NULL, evr1 kept
+    one_dir = spark.createDataFrame(
+        [(i, [float(i % 5)] + [0.0] * 7) for i in range(50)],
+        "id long, embedding array<float>",
+    )
+    r1 = power_iteration_pc2(one_dir, d=8).first()
+    assert r1["evr1"] is not None and r1["evr1"] > 0.99
+    # constant input: everything NULL, never a division error
+    const = spark.createDataFrame(
+        [(i, [2.0] * 8) for i in range(5)],
+        "id long, embedding array<float>",
+    )
+    rc = power_iteration_pc2(const, d=8).first()
+    assert rc["evr1"] is None and rc["evr2"] is None

@@ -573,6 +573,146 @@ def rabitq_estimate_report(
     )
 
 
+def _fp_idiv(a, q):
+    """Exact integer truncating division for a >= 0: ``(a - a % q)/q``
+    is an exact integer and both operands stay inside 2^53."""
+    return ((a - a % q) / q).cast("long")
+
+
+def _fp_sidiv(x, q):
+    """Signed twin of :func:`_fp_idiv` (truncation toward zero)."""
+    return F.when(x >= 0, _fp_idiv(x, q)).otherwise(-_fp_idiv(-x, q))
+
+
+def _fp_matvec(b, v, d: int):
+    """Integer matrix-vector product of the row-major d×d array
+    column ``b`` with the d-array column ``v``."""
+    seq_d = F.sequence(F.lit(0), F.lit(d - 1))
+    return F.transform(
+        seq_d,
+        lambda i: F.aggregate(
+            seq_d,
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.element_at(b, i * d + j + 1) * F.element_at(v, j + 1),
+        ),
+    )
+
+
+def _fp_dot(a, bb):
+    """Exact int64 dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, bb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def _fp_power(b, d: int, iters: int, vec_scale: int):
+    """The whole ``iters``-step fixed-point power iteration over the
+    matrix column ``b`` in ONE ``F.aggregate`` — each step is an
+    integer matvec followed by an exact renormalization to
+    ``vec_scale`` by truncating division; a zero matvec keeps the
+    accumulator unchanged. Returns a struct(prev, cur) expression."""
+    v0 = F.array_repeat(F.lit(vec_scale).cast("long"), d)
+    state0 = F.struct(v0.alias("prev"), v0.alias("cur"))
+
+    def step(acc, _):
+        w = _fp_matvec(b, acc["cur"], d)
+        mw = F.array_max(F.transform(w, F.abs))
+        scaled = F.transform(
+            w,
+            lambda x: F.when(
+                x >= 0, _fp_idiv(x * vec_scale, mw)
+            ).otherwise(-_fp_idiv(-x * vec_scale, mw)),
+        )
+        return F.when(mw <= 0, acc).otherwise(
+            F.struct(acc["cur"].alias("prev"), scaled.alias("cur"))
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(iters)), state0, step)
+
+
+def _fp_scatter_b(
+    df: DataFrame, vec_col: str, d: int, coord_scale: int, b_shift: int,
+    caller: str,
+) -> DataFrame:
+    """Shared front half of the fixed-point eigen family
+    (:func:`power_iteration_pc1` / :func:`power_iteration_pc2`):
+    int64 per-batch X'X partials, the n·mx overflow guard, the exact
+    centered scatter, and the shift/divide rescale. Returns ONE row
+    with (n, cmax, b) where b is the rescaled scatter, row-major."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            xi = np.where(
+                x >= 0,
+                np.floor(x * coord_scale + 0.5),
+                -np.floor(-x * coord_scale + 0.5),
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "sxx": [(xi.T @ xi).reshape(-1)],
+                    "sx": [xi.sum(axis=0, dtype=np.int64)],
+                    "n": [len(pdf)],
+                    "mx": [int(np.abs(xi).max(initial=0))],
+                }
+            )
+
+    import pandas as pd  # noqa: F401 — kernel type annotation
+
+    partials = df.select(vec_col).mapInPandas(
+        kernel, schema="sxx array<long>, sx array<long>, n long, mx long"
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), d * d)
+    zeros_d = F.array_repeat(F.lit(0).cast("long"), d)
+    one = partials.agg(
+        F.aggregate(
+            F.collect_list("sxx"), zeros,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("sxx"),
+        F.aggregate(
+            F.collect_list("sx"), zeros_d,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("sx"),
+        F.sum("n").cast("long").alias("n"),
+        F.max("mx").cast("long").alias("mx"),
+    )
+
+    seq_dd = F.sequence(F.lit(0), F.lit(d * d - 1))
+    # exact centered scatter C[k] = n*sxx[k] - sx[i]*sx[j], k = i*d+j
+    cexp = F.transform(
+        seq_dd,
+        lambda k: F.col("n") * F.element_at(F.col("sxx"), k + 1)
+        - F.element_at(F.col("sx"), F.floor(k / d).cast("int") + 1)
+        * F.element_at(F.col("sx"), (k % d).cast("int") + 1),
+    )
+    # int64-exact guard: every scatter entry is bounded by 2·n²·mx²,
+    # so n·mx ≤ ⌊√((2⁶³−1)/2)⌋ keeps the whole computation wrap-free;
+    # past it, raise loudly rather than return silently-wrapped PCs.
+    in_bound = F.assert_true(
+        # compare in doubles: the product itself must not wrap, and
+        # near the 2.1e9 threshold doubles are exact (well under 2⁵³)
+        F.col("n").cast("double") * F.col("mx").cast("double")
+        <= F.lit(2_147_483_648.0),
+        f"{caller}: n * max|quantized coordinate| exceeds "
+        "the int64-exact scatter bound (2*n^2*mx^2 would wrap); "
+        "lower coord_scale or pre-sample the input",
+    )
+    one = one.select(
+        "n", F.when(in_bound.isNull(), cexp).alias("c")
+    )
+    m = F.array_max(F.transform(F.col("c"), F.abs))
+    g = F.greatest(F.lit(1).cast("long"), F.shiftright(m, b_shift))
+    bexp = F.transform(F.col("c"), lambda x: _fp_sidiv(x, g))
+    return one.select("n", m.alias("cmax"), bexp.alias("b"))
+
+
 def power_iteration_pc1(
     df: DataFrame,
     *,
@@ -626,135 +766,18 @@ def power_iteration_pc1(
     if iters < 1:
         raise ValueError("need iters >= 1")
 
-    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        for pdf in batches:
-            x = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            xi = np.where(
-                x >= 0,
-                np.floor(x * coord_scale + 0.5),
-                -np.floor(-x * coord_scale + 0.5),
-            ).astype(np.int64)
-            yield pd.DataFrame(
-                {
-                    "sxx": [(xi.T @ xi).reshape(-1)],
-                    "sx": [xi.sum(axis=0, dtype=np.int64)],
-                    "n": [len(pdf)],
-                    "mx": [int(np.abs(xi).max(initial=0))],
-                }
-            )
-
-    import pandas as pd  # noqa: F401 — kernel type annotation
-
-    partials = df.select(vec_col).mapInPandas(
-        kernel, schema=f"sxx array<long>, sx array<long>, n long, mx long"
+    one = _fp_scatter_b(
+        df, vec_col, d, coord_scale, b_shift, "power_iteration_pc1"
     )
-    zeros = F.array_repeat(F.lit(0).cast("long"), d * d)
-    zeros_d = F.array_repeat(F.lit(0).cast("long"), d)
-    one = partials.agg(
-        F.aggregate(
-            F.collect_list("sxx"), zeros,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("sxx"),
-        F.aggregate(
-            F.collect_list("sx"), zeros_d,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("sx"),
-        F.sum("n").cast("long").alias("n"),
-        F.max("mx").cast("long").alias("mx"),
-    )
-
     seq_d = F.sequence(F.lit(0), F.lit(d - 1))
-    seq_dd = F.sequence(F.lit(0), F.lit(d * d - 1))
-
-    # exact centered scatter C[k] = n*sxx[k] - sx[i]*sx[j], k = i*d+j
-    cexp = F.transform(
-        seq_dd,
-        lambda k: F.col("n") * F.element_at(F.col("sxx"), k + 1)
-        - F.element_at(F.col("sx"), F.floor(k / d).cast("int") + 1)
-        * F.element_at(F.col("sx"), (k % d).cast("int") + 1),
-    )
-    # int64-exact guard: every scatter entry is bounded by 2·n²·mx²,
-    # so n·mx ≤ ⌊√((2⁶³−1)/2)⌋ keeps the whole computation wrap-free;
-    # past it, raise loudly rather than return silently-wrapped PCs.
-    in_bound = F.assert_true(
-        # compare in doubles: the product itself must not wrap, and
-        # near the 2.1e9 threshold doubles are exact (well under 2⁵³)
-        F.col("n").cast("double") * F.col("mx").cast("double")
-        <= F.lit(2_147_483_648.0),
-        "power_iteration_pc1: n * max|quantized coordinate| exceeds "
-        "the int64-exact scatter bound (2*n^2*mx^2 would wrap); "
-        "lower coord_scale or pre-sample the input",
-    )
-    one = one.select(
-        "n", F.when(in_bound.isNull(), cexp).alias("c")
-    )
-    m = F.array_max(F.transform(F.col("c"), F.abs))
-    g = F.greatest(F.lit(1).cast("long"), F.shiftright(m, b_shift))
-
-    def idiv(a, q):
-        # exact integer floor division for a >= 0: (a - a % q) / q is
-        # an exact integer and both operands stay inside 2^53
-        return ((a - a % q) / q).cast("long")
-
-    bexp = F.transform(
-        F.col("c"),
-        lambda x: F.when(x >= 0, idiv(x, g)).otherwise(-idiv(-x, g)),
-    )
-    one = one.select("n", "c", m.alias("cmax"), bexp.alias("b"))
-
-    def matvec(v):
-        return F.transform(
-            seq_d,
-            lambda i: F.aggregate(
-                seq_d,
-                F.lit(0).cast("long"),
-                lambda acc, j: acc
-                + F.element_at(F.col("b"), i * d + j + 1)
-                * F.element_at(v, j + 1),
-            ),
-        )
-
-    v0 = F.array_repeat(F.lit(vec_scale).cast("long"), d)
-    state0 = F.struct(v0.alias("prev"), v0.alias("cur"))
-
-    def step(acc, _):
-        w = matvec(acc["cur"])
-        mw = F.array_max(F.transform(w, F.abs))
-        scaled = F.transform(
-            w,
-            lambda x: F.when(
-                x >= 0, idiv(x * vec_scale, mw)
-            ).otherwise(-idiv(-x * vec_scale, mw)),
-        )
-        return F.when(
-            mw <= 0, acc
-        ).otherwise(F.struct(acc["cur"].alias("prev"), scaled.alias("cur")))
-
-    fin = F.aggregate(F.sequence(F.lit(1), F.lit(iters)), state0, step)
+    fin = _fp_power(F.col("b"), d, iters, vec_scale)
     one = one.select("n", "b", "cmax", fin["prev"].alias("pv"),
                      fin["cur"].alias("cv"))
 
-    def dot(a, bb):
-        return F.aggregate(
-            F.zip_with(a, bb, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-
-    vtv = dot(F.col("cv"), F.col("cv"))
-    ptp = dot(F.col("pv"), F.col("pv"))
-    vp = dot(F.col("cv"), F.col("pv"))
-    vbv = F.aggregate(
-        F.zip_with(
-            F.col("cv"), matvec(F.col("cv")), lambda x, y: x * y
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
+    vtv = _fp_dot(F.col("cv"), F.col("cv"))
+    ptp = _fp_dot(F.col("pv"), F.col("pv"))
+    vp = _fp_dot(F.col("cv"), F.col("pv"))
+    vbv = _fp_dot(F.col("cv"), _fp_matvec(F.col("b"), F.col("cv"), d))
     trace_b = F.aggregate(
         seq_d,
         F.lit(0).cast("long"),
@@ -803,4 +826,157 @@ def power_iteration_pc1(
                 ).otherwise(acc),
             )
         ).alias("top_loading"),
+    )
+
+
+def power_iteration_pc2(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    d: int = 64,
+    iters: int = 8,
+    coord_scale: int = 100,
+    vec_scale: int = 10_000,
+    b_shift: int = 18,
+    t_shift: int = 26,
+) -> DataFrame:
+    """Fixed-point deflation for the SECOND principal component
+    (round 11) — the r10 verdict's ask: extend the engine-exact PC1
+    anchor (:func:`power_iteration_pc1`) past the LAPACK-gauge
+    barrier that keeps ``x9_pca_evr`` rows-only, by deflating the
+    rescaled scatter with DETERMINISTIC integer arithmetic and power-
+    iterating the deflated matrix.
+
+    Deflation (Hotelling, integer form): with v₁ the PC1 iterate and
+    T = B·v₁, the ideal deflation B − T·Tᵀ/(v₁ᵀT) annihilates v₁
+    exactly when v₁ is an eigenvector. To keep every product in
+    int64, T first rescales by ``g₂ = max(1, max|T| >> t_shift)``
+    (so tᵢtⱼ ≤ 2^52) and the denominator by ``g₂²``; the subtraction
+    then uses exact truncating division — a deterministic integer
+    approximation of the rational deflation, replayed term for term
+    by the SQL oracle. The deflated matrix rescales through the same
+    ``b_shift`` gate before the second power loop. BOTH loops and the
+    deflation run inside ONE Catalyst expression tree on a single
+    row; the heavy data pass is still the one O(partitions·d²)
+    scatter reduce.
+
+    Reported: ``evr1``/``evr2`` = Rayleigh quotients of the two
+    iterates over the ORIGINAL rescaled scatter's trace (explained-
+    variance ratios), ``cum_evr`` = their sum, ``ortho`` = cosine of
+    the two iterates (≈0 is the deflation certificate), ``align2`` =
+    PC2 convergence cosine. Degenerate scatter → all-NULL metrics; a
+    rank-1 scatter (deflated matrix zero) → NULL PC2 metrics with
+    evr1 kept.
+
+    Returns one row: (n, d, iters, evr1, evr2, cum_evr, ortho,
+    align2).
+    """
+    if iters < 1:
+        raise ValueError("need iters >= 1")
+
+    one = _fp_scatter_b(
+        df, vec_col, d, coord_scale, b_shift, "power_iteration_pc2"
+    )
+    seq_d = F.sequence(F.lit(0), F.lit(d - 1))
+    seq_dd = F.sequence(F.lit(0), F.lit(d * d - 1))
+    fin1 = _fp_power(F.col("b"), d, iters, vec_scale)
+    one = one.select("n", "b", "cmax", fin1["cur"].alias("v1"))
+    one = one.select(
+        "n", "b", "cmax", "v1",
+        _fp_matvec(F.col("b"), F.col("v1"), d).alias("t0"),
+    )
+    # rescale T so t_i*t_j stays inside 2^52, scale the denominator
+    # v1'T by g2^2 to match, then subtract the integer outer product
+    mt = F.array_max(F.transform(F.col("t0"), F.abs))
+    g2 = F.greatest(F.lit(1).cast("long"), F.shiftright(mt, t_shift))
+    s = _fp_dot(F.col("v1"), F.col("t0"))
+    one = one.select(
+        "n", "b", "cmax", "v1",
+        F.transform(F.col("t0"), lambda x: _fp_sidiv(x, g2)).alias("t"),
+        s.alias("s"),
+        F.greatest(F.lit(1).cast("long"), _fp_idiv(s, g2 * g2)).alias(
+            "sg"
+        ),
+    )
+    c2 = F.transform(
+        seq_dd,
+        lambda k: F.element_at(F.col("b"), k + 1)
+        - _fp_sidiv(
+            F.element_at(F.col("t"), F.floor(k / d).cast("int") + 1)
+            * F.element_at(F.col("t"), (k % d).cast("int") + 1),
+            F.col("sg"),
+        ),
+    )
+    one = one.select("n", "b", "cmax", "v1", "s", c2.alias("c2"))
+    m2 = F.array_max(F.transform(F.col("c2"), F.abs))
+    g3 = F.greatest(F.lit(1).cast("long"), F.shiftright(m2, b_shift))
+    one = one.select(
+        "n", "b", "cmax", "v1", "s", m2.alias("c2max"),
+        F.transform(F.col("c2"), lambda x: _fp_sidiv(x, g3)).alias("b2"),
+    )
+    fin2 = _fp_power(F.col("b2"), d, iters, vec_scale)
+    one = one.select(
+        "n", "b", "cmax", "v1", "s", "c2max",
+        fin2["prev"].alias("p2"), fin2["cur"].alias("v2"),
+    )
+
+    v1v1 = _fp_dot(F.col("v1"), F.col("v1"))
+    v2v2 = _fp_dot(F.col("v2"), F.col("v2"))
+    p2p2 = _fp_dot(F.col("p2"), F.col("p2"))
+    v2p2 = _fp_dot(F.col("v2"), F.col("p2"))
+    v1v2 = _fp_dot(F.col("v1"), F.col("v2"))
+    v2bv2 = _fp_dot(F.col("v2"), _fp_matvec(F.col("b"), F.col("v2"), d))
+    trace_b = F.aggregate(
+        seq_d,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.element_at(F.col("b"), i * d + i + 1),
+    )
+    degen = F.col("cmax") <= 0
+    degen2 = degen | (F.col("c2max") <= 0)
+    return one.select(
+        "n",
+        F.lit(d).cast("int").alias("d"),
+        F.lit(iters).cast("int").alias("iters"),
+        F.when(degen, F.lit(None).cast("double")).otherwise(
+            # evr1 = v1'Bv1/(v1'v1)/trace = s/(v1'v1)/trace
+            F.round(
+                F.col("s").cast("double")
+                / v1v1.cast("double")
+                / trace_b.cast("double"),
+                6,
+            )
+        ).alias("evr1"),
+        F.when(degen2, F.lit(None).cast("double")).otherwise(
+            F.round(
+                v2bv2.cast("double")
+                / v2v2.cast("double")
+                / trace_b.cast("double"),
+                6,
+            )
+        ).alias("evr2"),
+        F.when(degen2, F.lit(None).cast("double")).otherwise(
+            F.round(
+                F.col("s").cast("double")
+                / v1v1.cast("double")
+                / trace_b.cast("double")
+                + v2bv2.cast("double")
+                / v2v2.cast("double")
+                / trace_b.cast("double"),
+                6,
+            )
+        ).alias("cum_evr"),
+        F.when(degen2, F.lit(None).cast("double")).otherwise(
+            F.round(
+                v1v2.cast("double")
+                / F.sqrt(v1v1.cast("double") * v2v2.cast("double")),
+                6,
+            )
+        ).alias("ortho"),
+        F.when(degen2, F.lit(None).cast("double")).otherwise(
+            F.round(
+                v2p2.cast("double")
+                / F.sqrt(v2v2.cast("double") * p2p2.cast("double")),
+                6,
+            )
+        ).alias("align2"),
     )

@@ -64,6 +64,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_jpeg_progressive",
     "x6_jpeg_exif",
     "x4_graph_pq_route",
+    "x9_power_deflation",
 ]
 
 

@@ -403,3 +403,201 @@ def x4_graph_pq_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, probe, k=10, degree=6, beam_width=12, hops=4,
         n_entries=2, sample_size=192, m=4, pq_k=16, seed=7,
     )
+
+
+def _pd_sql() -> str:
+    """Recursive-CTE DuckDB oracle for x9_power_deflation: the exact
+    integer scatter + rescale, the PC1 power loop, the integer
+    Hotelling deflation (T rescale by g2, denominator by g2², exact
+    truncating divisions), the second rescale + power loop, and the
+    final IEEE metric divisions — every integer operation mirrored."""
+    fx = (
+        "list_transform(embedding::DOUBLE[], x -> (CASE WHEN x >= 0 "
+        "THEN floor(x * 100.0 + 0.5) ELSE -floor(-x * 100.0 + 0.5) "
+        "END)::BIGINT)"
+    )
+
+    def sidiv(x, q):
+        return (
+            f"(CASE WHEN ({x}) >= 0 THEN ((({x}) - ({x}) % ({q})) / ({q}))"
+            f" ELSE -(((-({x})) - (-({x})) % ({q})) / ({q})) END)::BIGINT"
+        )
+
+    power = """
+    it{sfx} AS (
+      SELECT 0 AS rk,
+             [10000::BIGINT for _ in range(64)] AS prev,
+             [10000::BIGINT for _ in range(64)] AS cur
+      UNION ALL
+      SELECT rk + 1,
+             CASE WHEN mw <= 0 THEN prev ELSE cur END,
+             CASE WHEN mw <= 0 THEN cur
+                  ELSE [ (CASE WHEN x >= 0
+                          THEN ((x * 10000 - (x * 10000) % mw) / mw)
+                          ELSE -(((-x) * 10000 - ((-x) * 10000) % mw)
+                                 / mw) END)::BIGINT
+                         for x in w ] END
+      FROM (
+        SELECT rk, prev, cur, w,
+               list_max(list_transform(w, x -> abs(x))) AS mw
+        FROM (
+          SELECT it{sfx}.rk, it{sfx}.prev, it{sfx}.cur,
+                 [ list_sum([ m.{mat}[i * 64 + j + 1]
+                              * it{sfx}.cur[j + 1]
+                              for j in range(64) ])::BIGINT
+                   for i in range(64) ] AS w
+          FROM it{sfx}, {src} m WHERE it{sfx}.rk < 8))
+    )"""
+    tt = "(d3.t[(k // 64) + 1] * d3.t[(k % 64) + 1])"
+    return f"""
+    WITH RECURSIVE base AS MATERIALIZED (
+      SELECT {fx} AS v FROM embeddings
+    ),
+    mom AS MATERIALIZED (
+      SELECT (i - 1) * 64 + (j - 1) AS ij,
+             sum(v[i] * v[j])::BIGINT AS sxx
+      FROM base, range(1, 65) ti(i), range(1, 65) tj(j)
+      GROUP BY 1
+    ),
+    sums AS MATERIALIZED (
+      SELECT i - 1 AS i, sum(v[i])::BIGINT AS sx, count(*)::BIGINT AS n
+      FROM base, range(1, 65) t(i) GROUP BY 1
+    ),
+    one AS (
+      SELECT (SELECT list(sxx ORDER BY ij) FROM mom) AS sxx,
+             (SELECT list(sx ORDER BY i) FROM sums) AS sx,
+             (SELECT max(n) FROM sums) AS n
+    ),
+    cmat AS (
+      SELECT n,
+             [ (n * sxx[k + 1]
+                - sx[(k // 64) + 1] * sx[(k % 64) + 1])::BIGINT
+               for k in range(4096) ] AS c
+      FROM one
+    ),
+    bmat AS MATERIALIZED (
+      SELECT n,
+             list_max(list_transform(c, x -> abs(x))) AS cmax,
+             [ {sidiv("x", "g")} for x in c ] AS b
+      FROM (
+        SELECT n, c,
+               greatest(1::BIGINT,
+                        list_max(list_transform(c, x -> abs(x))) >> 18)
+                 AS g
+        FROM cmat)
+    ),{power.format(sfx="", mat="b", src="bmat")},
+    fin AS (
+      SELECT cur AS v1 FROM it WHERE rk = 8
+    ),
+    defl AS (
+      SELECT b.n, b.cmax, b.b, f.v1,
+             [ list_sum([ b.b[i * 64 + j + 1] * f.v1[j + 1]
+                          for j in range(64) ])::BIGINT
+               for i in range(64) ] AS t0
+      FROM bmat b, fin f
+    ),
+    d2 AS (
+      SELECT *,
+             greatest(1::BIGINT,
+                      list_max(list_transform(t0, x -> abs(x))) >> 26)
+               AS g2,
+             list_sum([ v1[i + 1] * t0[i + 1]
+                        for i in range(64) ])::BIGINT AS s
+      FROM defl
+    ),
+    d3 AS (
+      SELECT n, cmax, b, v1, s,
+             [ {sidiv("x", "g2")} for x in t0 ] AS t,
+             greatest(1::BIGINT,
+                      ((s - s % (g2 * g2)) / (g2 * g2))::BIGINT) AS sg
+      FROM d2
+    ),
+    c2m AS (
+      SELECT n, cmax, b, v1, s,
+             [ (d3.b[k + 1] - {sidiv(tt, "d3.sg")})::BIGINT
+               for k in range(4096) ] AS c2
+      FROM d3
+    ),
+    b2mat AS MATERIALIZED (
+      SELECT n, cmax, b, v1, s,
+             list_max(list_transform(c2, x -> abs(x))) AS c2max,
+             [ {sidiv("x", "g3")} for x in c2 ] AS b2
+      FROM (
+        SELECT *,
+               greatest(1::BIGINT,
+                        list_max(list_transform(c2, x -> abs(x))) >> 18)
+                 AS g3
+        FROM c2m)
+    ),{power.format(sfx="2", mat="b2", src="b2mat")},
+    fin2 AS (
+      SELECT prev AS p2, cur AS v2 FROM it2 WHERE rk = 8
+    ),
+    met AS (
+      SELECT m.n, m.cmax, m.c2max, m.s,
+             list_sum([ m.v1[i + 1] * m.v1[i + 1]
+                        for i in range(64) ])::BIGINT AS v1v1,
+             list_sum([ f.v2[i + 1] * f.v2[i + 1]
+                        for i in range(64) ])::BIGINT AS v2v2,
+             list_sum([ f.p2[i + 1] * f.p2[i + 1]
+                        for i in range(64) ])::BIGINT AS p2p2,
+             list_sum([ f.v2[i + 1] * f.p2[i + 1]
+                        for i in range(64) ])::BIGINT AS v2p2,
+             list_sum([ m.v1[i + 1] * f.v2[i + 1]
+                        for i in range(64) ])::BIGINT AS v1v2,
+             list_sum([ f.v2[i + 1] *
+                        list_sum([ m.b[i * 64 + j + 1] * f.v2[j + 1]
+                                   for j in range(64) ])
+                        for i in range(64) ])::BIGINT AS v2bv2,
+             list_sum([ m.b[i * 64 + i + 1]
+                        for i in range(64) ])::BIGINT AS trace_b
+      FROM b2mat m, fin2 f
+    )
+    SELECT n,
+           64::INT AS d,
+           8::INT AS iters,
+           CASE WHEN cmax <= 0 THEN NULL
+                ELSE round(s::DOUBLE / v1v1::DOUBLE / trace_b::DOUBLE,
+                           6) END AS evr1,
+           CASE WHEN cmax <= 0 OR c2max <= 0 THEN NULL
+                ELSE round(v2bv2::DOUBLE / v2v2::DOUBLE
+                           / trace_b::DOUBLE, 6) END AS evr2,
+           CASE WHEN cmax <= 0 OR c2max <= 0 THEN NULL
+                ELSE round(s::DOUBLE / v1v1::DOUBLE / trace_b::DOUBLE
+                           + v2bv2::DOUBLE / v2v2::DOUBLE
+                             / trace_b::DOUBLE, 6) END AS cum_evr,
+           CASE WHEN cmax <= 0 OR c2max <= 0 THEN NULL
+                ELSE round(v1v2::DOUBLE /
+                           sqrt(v1v1::DOUBLE * v2v2::DOUBLE), 6)
+                END AS ortho,
+           CASE WHEN cmax <= 0 OR c2max <= 0 THEN NULL
+                ELSE round(v2p2::DOUBLE /
+                           sqrt(v2v2::DOUBLE * p2p2::DOUBLE), 6)
+                END AS align2
+    FROM met
+    """
+
+
+@query("x9_power_deflation", _pd_sql())
+def x9_power_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — fixed-point deflation for PC2 (round 11): the r10
+    verdict's ask — grow the engine-exact eigen family past PC1 by
+    deflating the rescaled int64 scatter with the PC1 iterate
+    (integer Hotelling: B − ⌊t·tᵀ/s_g⌋ with T = B·v₁ rescaled so
+    every product stays inside 2⁵³) and power-iterating the deflated
+    matrix, all inside ONE Catalyst expression on one row. Reports
+    the PC1+PC2 explained-variance pair over the original scatter's
+    trace, their cumulative sum, the iterate cosine (≈0 — the
+    deflation certificate), and the PC2 convergence cosine. Every
+    integer step (both power loops, both rescale gates, the
+    truncating deflation divisions) replays bit-for-bit in the
+    recursive-CTE oracle — the LAPACK-gauge caveat that keeps
+    x9_pca_evr rows-only does not apply
+    (operators/decomposition.py:power_iteration_pc2)."""
+    from vectordb_migrator_spark.operators.decomposition import (
+        power_iteration_pc2,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    return power_iteration_pc2(
+        fan_out(_t(spark, sf_dir, "embeddings").select("embedding"))
+    )
