@@ -2501,3 +2501,107 @@ def ks_two_sample_report(
         F.when(ok, F.round(lam, 6) > F.lit(crit)).alias("significant"),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def ks_bin_expr(value_col: str, edges: list[float]):
+    """The shared binning rule of the binned-KS family: bin i+1 for
+    the first edge with v <= edges[i], else len(edges)+1. One
+    definition so the batch operator and the streaming ingest can
+    never disagree on a boundary."""
+    v = F.col(value_col).cast("double")
+    bin_expr = F.when(v <= edges[0], 1)
+    for i in range(1, len(edges)):
+        bin_expr = bin_expr.when(v <= edges[i], i + 1)
+    return bin_expr.otherwise(len(edges) + 1)
+
+
+def ks_binned_report(
+    df: DataFrame,
+    value_col: str,
+    *,
+    edges: list[float],
+    group_cols: list[str] | None = None,
+    split_expr=None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Binned-ECDF two-sample Kolmogorov–Smirnov — the KS variant a
+    STREAMING pipeline can actually run: the exact test
+    (:func:`ks_two_sample_report`) needs the pooled order statistics
+    (a per-group sort over all history), but with fixed bin ``edges``
+    the sufficient statistic collapses to per-(group, bin) counts —
+    mergeable by pure addition, so micro-batch partials reproduce the
+    batch answer bit for bit (see ``streaming/incremental.py:
+    ks_binned_ingest`` / ``ks_over``, this operator's streaming twin).
+    D is evaluated on the binned ECDFs: ``max_bins |n₂·cum_a −
+    n₁·cum_b|`` in exact int64 (cross-multiplied, no division inside
+    the max). Binned D lower-bounds the exact D (coarsening can only
+    hide crossings), so ``significant`` fires conservatively; edges
+    come from the frozen reference window exactly like
+    ``psi_bin_ingest``'s.
+
+    Returns per group: ``n1, n2, n_bins, d_num, d, lambda,
+    significant`` — the exact-test schema plus the bin count.
+    """
+    from pyspark.sql import Window as W
+
+    gcols = list(group_cols or [])
+    if split_expr is None:
+        raise ValueError("split_expr (the sample-A membership) is required")
+    if not edges:
+        raise ValueError("edges must be non-empty")
+    crit = {0.05: 1.358102, 0.01: 1.627624, 0.1: 1.223848}.get(alpha)
+    if crit is None:
+        raise ValueError("alpha must be one of 0.1, 0.05, 0.01")
+    n_bins = len(edges) + 1
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        ks_bin_expr(value_col, edges).alias("__bin"),
+        F.when(split_expr, F.lit(1)).otherwise(F.lit(0)).alias("__a"),
+    )
+    cnt = base.groupBy(*gcols, "__bin").agg(
+        F.sum("__a").cast("long").alias("__ca"),
+        F.sum(F.lit(1) - F.col("__a")).cast("long").alias("__cb"),
+    )
+    w_cum = (
+        W.partitionBy(*gcols).orderBy("__bin")
+        if gcols
+        else W.partitionBy().orderBy("__bin")
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy(*gcols) if gcols else W.partitionBy()
+    stepped = cnt.select(
+        *gcols,
+        F.sum("__ca").over(w_cum).alias("__cum_a"),
+        F.sum("__cb").over(w_cum).alias("__cum_b"),
+        F.sum("__ca").over(w_all).alias("n1"),
+        F.sum("__cb").over(w_all).alias("n2"),
+    )
+    agg = stepped.groupBy(*gcols).agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(
+            F.abs(
+                F.col("n2") * F.col("__cum_a")
+                - F.col("n1") * F.col("__cum_b")
+            )
+        ).cast("long").alias("d_num"),
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    d = F.col("d_num").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2").cast("double")
+    )
+    lam = d * F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        / (F.col("n1") + F.col("n2")).cast("double")
+    )
+    out = agg.select(
+        *gcols,
+        "n1",
+        "n2",
+        F.lit(n_bins).cast("int").alias("n_bins"),
+        F.when(ok, F.col("d_num")).alias("d_num"),
+        F.when(ok, F.round(d, 6)).alias("d"),
+        F.when(ok, F.round(lam, 6)).alias("lambda"),
+        F.when(ok, F.round(lam, 6) > F.lit(crit)).alias("significant"),
+    )
+    return out.orderBy(*gcols) if gcols else out

@@ -1944,3 +1944,149 @@ def cusum_over(
         daily, "v", time_col="day", group_cols=["g"],
         baseline=baseline, k=k, h=h,
     )
+
+
+def ks_binned_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    store_path: str,
+    checkpoint: str,
+    value_col: str,
+    edges: list[float],
+    group_col: str = "event_type",
+    split_expr=None,
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    trigger_once: bool = True,
+):
+    """Continuous two-sample drift monitoring — the streaming twin of
+    ``operators/scale.py:ks_binned_report`` (r10 verdict ask #5): the
+    exact KS needs pooled order statistics, but against FIXED bin
+    ``edges`` the sufficient statistic is per-(group, bin) counts for
+    each sample — mergeable by pure addition like every sketch store
+    here. Each micro-batch folds to ``(g, bin, ca, cb, batch_id)``
+    partials using the SAME ``ks_bin_expr`` binning rule as the batch
+    operator, so :func:`ks_over` reproduces the batch report
+    BIT-FOR-BIT on the same rows however the stream was batched.
+    Replay-idempotent via the (g, bin, batch_id) anti-join. NULL
+    values drop (no bin; track null rates separately)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from vectordb_migrator_spark.operators.scale import ks_bin_expr
+
+    if split_expr is None:
+        raise ValueError("split_expr (the sample-A membership) is required")
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        partials = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .select(
+                F.col(group_col).alias("g"),
+                ks_bin_expr(value_col, edges).alias("bin"),
+                F.when(split_expr, F.lit(1)).otherwise(F.lit(0)).alias(
+                    "a"
+                ),
+            )
+            .groupBy("g", "bin")
+            .agg(
+                F.sum("a").cast("long").alias("ca"),
+                F.sum(F.lit(1) - F.col("a")).cast("long").alias("cb"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        try:
+            seen = sess.read.parquet(store_path).select(
+                "g", "bin", "batch_id"
+            )
+            partials = partials.join(
+                seen, ["g", "bin", "batch_id"], "left_anti"
+            )
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(store_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .options(**(reader_options or {}))
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ks_over(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    n_edges: int,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Current binned-KS drift report of a :func:`ks_binned_ingest`
+    store: merge the per-batch bin partials by addition and run the
+    SAME integer fold as the batch operator — prefix-cumulate the
+    per-bin counts in bin order and take ``max |n2·cum_a − n1·cum_b|``
+    in exact int64 — bit-identical to ``ks_binned_report`` fed the
+    same rows. One tiny-frame read (groups × bins); returns the batch
+    schema (g, n1, n2, n_bins, d_num, d, lambda, significant)."""
+    from pyspark.sql import Window as W
+
+    crit = {0.05: 1.358102, 0.01: 1.627624, 0.1: 1.223848}.get(alpha)
+    if crit is None:
+        raise ValueError("alpha must be one of 0.1, 0.05, 0.01")
+    cnt = (
+        spark.read.parquet(store_path)
+        .groupBy("g", "bin")
+        .agg(
+            F.sum("ca").cast("long").alias("ca"),
+            F.sum("cb").cast("long").alias("cb"),
+        )
+    )
+    w_cum = W.partitionBy("g").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy("g")
+    stepped = cnt.select(
+        "g",
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("n1"),
+        F.sum("cb").over(w_all).alias("n2"),
+    )
+    agg = stepped.groupBy("g").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(
+            F.abs(
+                F.col("n2") * F.col("cum_a") - F.col("n1") * F.col("cum_b")
+            )
+        ).cast("long").alias("d_num"),
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    d = F.col("d_num").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2").cast("double")
+    )
+    lam = d * F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        / (F.col("n1") + F.col("n2")).cast("double")
+    )
+    return agg.select(
+        "g",
+        "n1",
+        "n2",
+        F.lit(n_edges + 1).cast("int").alias("n_bins"),
+        F.when(ok, F.col("d_num")).alias("d_num"),
+        F.when(ok, F.round(d, 6)).alias("d"),
+        F.when(ok, F.round(lam, 6)).alias("lambda"),
+        F.when(ok, F.round(lam, 6) > F.lit(crit)).alias("significant"),
+    ).orderBy("g")

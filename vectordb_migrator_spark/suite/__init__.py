@@ -65,6 +65,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_jpeg_exif",
     "x4_graph_pq_route",
     "x9_power_deflation",
+    "x7_ks_binned",
 ]
 
 

@@ -405,6 +405,86 @@ def x4_graph_pq_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x7_ks_binned",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN value <= 5 THEN 1
+                  WHEN value <= 10 THEN 2
+                  WHEN value <= 20 THEN 3
+                  WHEN value <= 40 THEN 4
+                  WHEN value <= 80 THEN 5
+                  WHEN value <= 160 THEN 6
+                  WHEN value <= 320 THEN 7
+                  ELSE 8 END AS bin,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+      FROM events WHERE value IS NOT NULL
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             sum(a)::BIGINT AS ca,
+             sum(1 - a)::BIGINT AS cb
+      FROM base GROUP BY 1, 2
+    ),
+    stepped AS (
+      SELECT event_type,
+             sum(ca) OVER (PARTITION BY event_type ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(cb) OVER (PARTITION BY event_type ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cum_b,
+             sum(ca) OVER (PARTITION BY event_type) AS n1,
+             sum(cb) OVER (PARTITION BY event_type) AS n2
+      FROM cnt
+    ),
+    agg AS (
+      SELECT event_type,
+             max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+             max(abs(n2 * cum_a - n1 * cum_b))::BIGINT AS d_num
+      FROM stepped GROUP BY 1
+    )
+    SELECT event_type, n1, n2, 8::INT AS n_bins,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN d_num END AS d_num,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(d_num::DOUBLE / (n1::DOUBLE * n2::DOUBLE), 6)
+                END AS d,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(d_num::DOUBLE / (n1::DOUBLE * n2::DOUBLE)
+                           * sqrt(n1::DOUBLE * n2::DOUBLE
+                                  / (n1 + n2)::DOUBLE), 6)
+                END AS lambda,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(d_num::DOUBLE / (n1::DOUBLE * n2::DOUBLE)
+                           * sqrt(n1::DOUBLE * n2::DOUBLE
+                                  / (n1 + n2)::DOUBLE), 6) > 1.358102
+                END AS significant
+    FROM agg ORDER BY event_type
+    """,
+)
+def x7_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — binned-ECDF two-sample KS per event type (round 11): the
+    KS variant a streaming pipeline can actually run — against fixed
+    bin edges the sufficient statistic collapses to per-(group, bin)
+    counts, mergeable by pure addition, which is what makes the
+    bit-for-bit streaming twin (streaming/incremental.py:
+    ks_binned_ingest/ks_over, runtime-tested against this operator)
+    possible where the exact test's pooled order statistics are not.
+    D = max over bin prefixes of the exact integer
+    |n2·cum_a − n1·cum_b| (cross-multiplied binned ECDFs); binned D
+    lower-bounds exact D, so the alarm is conservative. Same A/B
+    split as the exact test, same fixed edges as a frozen reference
+    window (operators/scale.py:ks_binned_report)."""
+    from vectordb_migrator_spark.operators.scale import ks_binned_report
+
+    return ks_binned_report(
+        _t(spark, sf_dir, "events"),
+        "value",
+        edges=[5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0],
+        group_cols=["event_type"],
+        split_expr=F.col("user_id") % 2 == 0,
+    )
+
+
 def _pd_sql() -> str:
     """Recursive-CTE DuckDB oracle for x9_power_deflation: the exact
     integer scatter + rescale, the PC1 power loop, the integer
