@@ -879,15 +879,83 @@ def embedding_near_dup_pairs(
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         )
+    if block_col:
+        # Arrow fast path for the uncapped blocked case (r10 verdict
+        # ask #8): the self-join + interpreted higher-order cosine
+        # (4 array folds per pair) dominated the bench row; one
+        # applyInPandas kernel per block computes the SAME IEEE
+        # arithmetic vectorized — per-dimension accumulation loops
+        # preserve the zip_with/aggregate left-fold ADDITION ORDER, so
+        # every cos double is BIT-IDENTICAL to the join plan
+        # (A/B-asserted in tests), while the block's pair matrix is
+        # one BLAS-shaped NumPy pass instead of 200k lambda evals.
+        # Row-chunking bounds the matrix at CH×n doubles; the capped
+        # (max_bucket) star path above handles genuinely skewed
+        # blocks, exactly as before. Rounding stays Spark-side.
+        def kernel(pdf):
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {
+                    "id_a": pd.array([], dtype="int64"),
+                    "id_b": pd.array([], dtype="int64"),
+                    "cos": pd.array([], dtype="float64"),
+                }
+            )
+            n = len(pdf)
+            if n < 2:
+                return empty
+            pdf = pdf.sort_values("id", kind="mergesort")
+            ids = pdf["id"].to_numpy()
+            v = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            d = v.shape[1]
+            # l2_norm of the (already normalized) vectors, preserving
+            # the fold's addition order: ((0 + x0²) + x1²) + ...
+            nn = np.zeros(n)
+            for i in range(d):
+                nn = nn + v[:, i] * v[:, i]
+            nrm = np.sqrt(nn)
+            out = []
+            ch = 2048
+            for s0 in range(0, n, ch):
+                s1 = min(s0 + ch, n)
+                num = np.zeros((s1 - s0, n))
+                for i in range(d):
+                    num = num + v[s0:s1, i][:, None] * v[:, i][None, :]
+                den = nrm[s0:s1][:, None] * nrm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = num / den
+                ok = (den != 0.0) & (cos >= threshold)
+                rr, cc = np.nonzero(ok)
+                keep = ids[cc] > ids[rr + s0]
+                rr, cc = rr[keep], cc[keep]
+                if len(rr):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[rr + s0],
+                                "id_b": ids[cc],
+                                "cos": cos[rr, cc],
+                            }
+                        )
+                    )
+            return pd.concat(out) if out else empty
+
+        return (
+            normed.groupBy("blk")
+            .applyInPandas(kernel, "id_a long, id_b long, cos double")
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        )
     a = normed.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-        *([F.col("blk")] if block_col else []),
+        F.col("id").alias("id_a"), F.col("v").alias("v_a")
     )
     b = normed.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-        *([F.col("blk")] if block_col else []),
+        F.col("id").alias("id_b"), F.col("v").alias("v_b")
     )
-    joined = a.join(b, ["blk"]) if block_col else a.crossJoin(b)
+    joined = a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine_similarity("v_a", "v_b"))
