@@ -447,7 +447,11 @@ def facility_location_select(
     recursive CTE). The O(n²) similarity matrix lives in ONE row
     bounded by ``sample_size`` (at 100 TB you select on a
     deterministic sample, never the corpus) and the whole greedy loop
-    runs inside a single ``F.aggregate`` — zero per-step jobs.
+    runs inside one Arrow-batched kernel over that row — zero
+    per-step jobs (r11 profiling: the original single-``F.aggregate``
+    unroll was execution-bound in interpreted higher-order evaluation,
+    ~9 s at sf0.1; the kernel computes the IDENTICAL exact-int64
+    trajectory in milliseconds).
 
     Returns ``(sel_rank, vec_id, gain, objective)`` — gain = the
     marginal coverage this pick added (non-increasing), objective =
@@ -496,103 +500,53 @@ def facility_location_select(
             lambda s: s["v"],
         ).alias("vs"),
     )
-    n = F.size(F.col("ids"))
+    # similarity matrix + greedy loop as ONE Arrow-batched kernel
+    # over the single sample row (round-11 profiling: the original
+    # one-expression F.aggregate unroll spent ~9 s at sf0.1 purely in
+    # interpreted higher-order evaluation — ~131k nested folds — not
+    # Janino compile; the kernel computes the IDENTICAL int64
+    # quantities, so the greedy trajectory and the recursive-CTE
+    # oracle are unchanged bit for bit, in milliseconds). Every value
+    # is an exact int64: sims = V·Vᵀ (bounded by d·scale², far inside
+    # int64), gains = Σ_j max(0, sim(j,c) − cov_j), argmax first
+    # index on ties = smallest ordinal.
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda p, q: p * q),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-
-    # the n² similarity matrix, flat (row-major), computed once
-    sims = F.transform(
-        F.sequence(F.lit(0), n * n - 1),
-        lambda t: dot(
-            F.element_at(F.col("vs"), F.floor(t / n).cast("int") + 1),
-            F.element_at(F.col("vs"), (t % n).cast("int") + 1),
-        ),
-    )
-    one = one.select("ids", n.alias("n"), sims.alias("sims"))
-    nn = F.col("n")
-
-    # state: sel = picked ordinals, gains, obj, cov[j] = current
-    # 0-floored best similarity of j to the selection
-    cov0 = F.array_repeat(F.lit(0).cast("long"), 0)  # placeholder
-    state0 = F.struct(
-        F.array().cast("array<int>").alias("sel"),
-        F.array().cast("array<long>").alias("gains"),
-        F.lit(0).cast("long").alias("obj"),
-        F.transform(
-            F.sequence(F.lit(1), nn), lambda _: F.lit(0).cast("long")
-        ).alias("cov"),
-    )
-
-    def gain_of(c, cov):
-        # Σ_j max(0, sim(j, c) - cov_j); sims row-major so sim(j, c)
-        # = sims[j*n + c]
-        return F.aggregate(
-            F.sequence(F.lit(0), nn - 1),
-            F.lit(0).cast("long"),
-            lambda acc, j: acc
-            + F.greatest(
-                F.lit(0).cast("long"),
-                F.element_at(F.col("sims"), j * nn + c + 1)
-                - F.element_at(cov, j + 1),
-            ),
-        )
-
-    def step(acc, _):
-        # one gains array per step (each candidate's gain computed
-        # ONCE), argmax via array_position — first index on ties =
-        # smallest ordinal, matching the recursive-CTE oracle
-        gl = F.transform(
-            F.sequence(F.lit(0), nn - 1),
-            lambda c: F.when(
-                F.array_contains(acc["sel"], c.cast("int")),
-                F.lit(-1).cast("long"),  # already selected: skip
-            ).otherwise(gain_of(c, acc["cov"])),
-        )
-        bg = F.array_max(gl)
-        best = F.struct(
-            bg.alias("bg"),
-            (F.array_position(gl, bg) - 1).cast("int").alias("bi"),
-        )
-        newcov = F.transform(
-            F.sequence(F.lit(0), nn - 1),
-            lambda j: F.greatest(
-                F.element_at(acc["cov"], j + 1),
-                F.element_at(F.col("sims"), j * nn + best["bi"] + 1),
-                F.lit(0).cast("long"),
-            ),
-        )
-        return F.struct(
-            F.concat(acc["sel"], F.array(best["bi"])).alias("sel"),
-            F.concat(acc["gains"], F.array(best["bg"])).alias("gains"),
-            (acc["obj"] + best["bg"]).alias("obj"),
-            newcov.alias("cov"),
-        )
-
-    fin = F.aggregate(F.sequence(F.lit(1), F.lit(k)), state0, step)
-    out = one.select("ids", fin["sel"].alias("sel"), fin["gains"].alias("g"))
-    return (
-        out.select(
-            F.posexplode(
-                F.arrays_zip(F.col("sel").alias("s"), F.col("g").alias("g"))
-            ).alias("pos", "t"),
-            F.col("ids"),
-        )
-        .select(
-            (F.col("pos") + 1).cast("long").alias("sel_rank"),
-            F.element_at(F.col("ids"), F.col("t.s") + 1).alias(id_col),
-            F.col("t.g").alias("gain"),
-            F.sum(F.col("t.g"))
-            .over(
-                Window.orderBy("pos").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids = list(row["ids"])
+                v = np.array(
+                    [np.asarray(x, dtype=np.int64) for x in row["vs"]]
                 )
-            )
-            .alias("objective"),
-        )
-        .orderBy("sel_rank")
-    )
+                n = len(ids)
+                sims = v @ v.T  # exact int64
+                cov = np.zeros(n, dtype=np.int64)
+                sel_mask = np.zeros(n, dtype=bool)
+                out = []
+                obj = 0
+                for rank in range(1, k + 1):
+                    gains = np.maximum(
+                        sims - cov[:, None], 0
+                    ).sum(axis=0)
+                    gains[sel_mask] = -1
+                    bi = int(np.argmax(gains))  # first max = min ordinal
+                    bg = int(gains[bi])
+                    obj += bg
+                    cov = np.maximum(
+                        cov, np.maximum(sims[:, bi], 0)
+                    )
+                    sel_mask[bi] = True
+                    out.append(
+                        {
+                            "sel_rank": rank,
+                            id_col: int(ids[bi]),
+                            "gain": bg,
+                            "objective": obj,
+                        }
+                    )
+                yield pd.DataFrame(out)
+
+    schema = f"sel_rank long, {id_col} long, gain long, objective long"
+    return one.mapInPandas(kernel, schema).orderBy("sel_rank")
