@@ -1648,3 +1648,57 @@ def test_jpeg_420_mcu_constant_exact_and_loss_profile():
         jpeg_encode(np.zeros((8, 8), np.uint8), subsampling="420")
     with pytest.raises(ValueError, match="subsampling"):
         jpeg_encode(np.zeros((8, 8, 3), np.uint8), subsampling="422")
+
+
+def test_oriented_thumbnail_semantics(spark):
+    """apply_exif_orientation must implement the TIFF semantics: dims
+    swap exactly for orientations 5-8, sums are invariant, and the
+    corner that lands at [0,0] follows the 8-case mapping; the
+    DataFrame operator composes EXIF parse + DC decode + transform."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        apply_exif_orientation,
+        exif_app1_segment,
+        jpeg_encode,
+        jpeg_oriented_thumbnail_features,
+    )
+
+    x = np.arange(12, dtype=np.uint8).reshape(3, 4)[..., None]
+    corners = {1: 0, 2: 3, 3: 11, 4: 8, 5: 0, 6: 8, 7: 11, 8: 3}
+    for o, want in corners.items():
+        y = apply_exif_orientation(x, o)
+        assert int(y[0, 0, 0]) == want, o
+        assert y.sum() == x.sum()
+        assert y.shape[:2] == ((4, 3) if o >= 5 else (3, 4)), o
+    # None / out-of-range -> identity
+    assert apply_exif_orientation(x, None).shape[:2] == (3, 4)
+    assert apply_exif_orientation(x, 9)[0, 0, 0] == 0
+
+    # operator: 16x24 block-constant image rotated 90 CW (o=6)
+    px = np.zeros((16, 24), np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 10 * bx + by
+    jb = jpeg_encode(px)
+    jb6 = jb[:2] + exif_app1_segment(orientation=6) + jb[2:]
+    df = spark.createDataFrame(
+        [(1, bytearray(jb6)), (2, bytearray(jb)), (3, bytearray(b"x"))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in jpeg_oriented_thumbnail_features(df).collect()
+    }
+    # o=6: thumb 3x2 -> 2x3 wait: thumb grid th=2, tw=3; rotated CW ->
+    # (tw, th) = (2, 3); px00 = original bottom-left block = by=1,bx=0
+    assert rows[1]["orientation"] == 6
+    assert (rows[1]["thumb_w"], rows[1]["thumb_h"]) == (2, 3)
+    assert rows[1]["px00_r"] == 1  # block (bx=0, by=1) = 10*0+1
+    assert rows[1]["sum_r"] == sum(
+        10 * bx + by for by in range(2) for bx in range(3)
+    )
+    assert rows[2]["orientation"] is None  # no Exif -> identity
+    assert (rows[2]["thumb_w"], rows[2]["thumb_h"]) == (3, 2)
+    assert rows[2]["px00_r"] == 0
+    assert rows[3]["thumb_w"] is None  # junk -> NULL row

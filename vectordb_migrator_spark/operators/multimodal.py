@@ -3040,6 +3040,94 @@ def jpeg_exif_features(
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
 
 
+def apply_exif_orientation(arr, orientation: int | None):
+    """Apply a TIFF/Exif orientation (1-8) to an (h, w, c) array —
+    the transform every correct thumbnailer must run before hashing
+    or display: 2/4 mirror, 3 rotates 180°, 5-8 TRANSPOSE the
+    geometry (90°/270° rotations and the two diagonal flips), so
+    width/height swap. None or out-of-range values are treated as 1
+    (the Exif default)."""
+    o = orientation if orientation in range(1, 9) else 1
+    if o == 2:
+        return arr[:, ::-1]
+    if o == 3:
+        return arr[::-1, ::-1]
+    if o == 4:
+        return arr[::-1, :]
+    t = arr.transpose(1, 0, *range(2, arr.ndim))
+    if o == 5:
+        return t
+    if o == 6:  # rotate 90 CW
+        return t[:, ::-1]
+    if o == 7:
+        return t[::-1, ::-1]
+    if o == 8:  # rotate 90 CCW
+        return t[::-1, :]
+    return arr
+
+
+def jpeg_oriented_thumbnail_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Orientation-corrected 1/8-scale thumbnails (round 11): the
+    composition a real photo-corpus pipeline actually runs — parse
+    the Exif Orientation from APP1 (:func:`jpeg_exif_meta`), decode
+    the DC-only preview (:func:`jpeg_decode` ``dc_only=True``), and
+    apply the orientation transform BEFORE any downstream hashing:
+    orientations 5-8 transpose the image, so perceptual hashes,
+    ahash-dedup, and display previews computed on the raw decode are
+    simply wrong for a quarter of real phone photos. One row per
+    image: the parsed orientation (NULL when absent → identity), the
+    post-transform dimensions, channel sums (invariant under the
+    isometry — a self-check the oracle exploits) and the
+    post-transform top-left pixel (which corner lands there IS the
+    orientation semantics). Unsupported/corrupt payloads yield NULL
+    rows; Arrow-batched ``mapInPandas``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {
+                    "doc_id": int(doc_id), "orientation": None,
+                    "thumb_w": None, "thumb_h": None,
+                    "sum_r": None, "sum_g": None, "sum_b": None,
+                    "px00_r": None, "px00_g": None, "px00_b": None,
+                }
+                try:
+                    b = bytes(payload)
+                    meta = jpeg_exif_meta(b)
+                    rgb, _ = jpeg_decode(b, dc_only=True)
+                    rgb = apply_exif_orientation(
+                        rgb, meta["orientation"]
+                    )
+                    th, tw = rgb.shape[:2]
+                    row.update(
+                        orientation=meta["orientation"],
+                        thumb_w=int(tw), thumb_h=int(th),
+                        sum_r=int(rgb[:, :, 0].sum(dtype="int64")),
+                        sum_g=int(rgb[:, :, 1].sum(dtype="int64")),
+                        sum_b=int(rgb[:, :, 2].sum(dtype="int64")),
+                        px00_r=int(rgb[0, 0, 0]),
+                        px00_g=int(rgb[0, 0, 1]),
+                        px00_b=int(rgb[0, 0, 2]),
+                    )
+                except Exception:
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, orientation int, thumb_w int, thumb_h int, "
+        "sum_r long, sum_g long, sum_b long, "
+        "px00_r int, px00_g int, px00_b int"
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
 def jpeg_thumbnail_features(
     df: DataFrame,
     *,

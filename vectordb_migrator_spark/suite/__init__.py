@@ -66,6 +66,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_graph_pq_route",
     "x9_power_deflation",
     "x7_ks_binned",
+    "x6_oriented_thumbnail",
 ]
 
 

@@ -485,6 +485,112 @@ def x7_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x6_oriented_thumbnail",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             (8 * (1 + doc_id % 3) + doc_id % 5)::INT AS w,
+             (8 * (1 + doc_id % 2) + doc_id % 3)::INT AS h,
+             CASE WHEN doc_id % 7 <> 0 THEN (1 + doc_id % 8) END::INT AS o
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, o,
+             ((w + 7) // 8)::INT AS tw, ((h + 7) // 8)::INT AS th,
+             coalesce(o, 1) AS oo
+      FROM dims
+    ),
+    t2 AS (
+      SELECT *,
+             CASE WHEN oo IN (2, 3, 7, 8) THEN tw - 1 ELSE 0 END AS cbx,
+             CASE WHEN oo IN (3, 4, 6, 7) THEN th - 1 ELSE 0 END AS cby
+      FROM t
+    ),
+    g AS (
+      SELECT xs.range AS bx, ys.range AS by
+      FROM range(0, 4) xs, range(0, 3) ys
+    ),
+    cells AS (
+      SELECT t2.doc_id, t2.o, t2.oo, t2.tw, t2.th, t2.cbx, t2.cby,
+             g.bx, g.by,
+             ((37 * g.bx + 59 * g.by + t2.doc_id) % 256)::BIGINT AS v
+      FROM t2 JOIN g ON g.bx < t2.tw AND g.by < t2.th
+    )
+    SELECT doc_id,
+           max(o) AS orientation,
+           (CASE WHEN max(oo) >= 5 THEN max(th) ELSE max(tw) END)::INT
+             AS thumb_w,
+           (CASE WHEN max(oo) >= 5 THEN max(tw) ELSE max(th) END)::INT
+             AS thumb_h,
+           sum(v)::BIGINT AS sum_r,
+           sum(v)::BIGINT AS sum_g,
+           sum(v)::BIGINT AS sum_b,
+           max(CASE WHEN bx = cbx AND by = cby THEN v END)::INT AS px00_r,
+           max(CASE WHEN bx = cbx AND by = cby THEN v END)::INT AS px00_g,
+           max(CASE WHEN bx = cbx AND by = cby THEN v END)::INT AS px00_b
+    FROM cells GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x6_oriented_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — orientation-corrected DC thumbnails (round 11): the
+    composition a real photo pipeline runs before any perceptual
+    hashing — parse Exif Orientation from APP1, decode the 1/8-scale
+    DC preview, apply the orientation isometry. Orientations 5-8
+    TRANSPOSE the image (phone photos: a quarter of real corpora), so
+    ahash/dedup geometry computed on the raw decode is simply wrong
+    without this step. Fixtures: block-constant gray gradients (thumb
+    pixel == planted block value, integer-exact) with spliced APP1
+    orientations rotating 1-8 and every 7th image Exif-less
+    (identity). The oracle checks the THREE discriminating facts per
+    image: dims swap exactly for o>=5, channel sums are invariant
+    under the isometry, and WHICH corner block lands at px00 is the
+    orientation semantics — one wrong flip/transpose moves it
+    (operators/multimodal.py:jpeg_oriented_thumbnail_features,
+    apply_exif_orientation)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_oriented_thumbnail_features,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from vectordb_migrator_spark.operators.multimodal import (
+            exif_app1_segment,
+            jpeg_encode,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 8 * (1 + d % 3) + d % 5
+                h = 8 * (1 + d % 2) + d % 3
+                px = np.empty((h, w), np.uint8)
+                for by in range(-(-h // 8)):
+                    for bx in range(-(-w // 8)):
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            37 * bx + 59 * by + d
+                        ) % 256
+                jb = jpeg_encode(px)
+                if d % 7 != 0:
+                    app1 = exif_app1_segment(
+                        orientation=1 + d % 8,
+                        byte_order="II" if d % 2 == 0 else "MM",
+                    )
+                    jb = jb[:2] + app1 + jb[2:]
+                rows.append({"doc_id": d, "payload": bytearray(jb)})
+            yield pd.DataFrame(rows)
+
+    payloads = (
+        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
+        .mapInPandas(gen, schema="doc_id long, payload binary")
+    )
+    return jpeg_oriented_thumbnail_features(payloads).orderBy("doc_id")
+
+
 def _pd_sql() -> str:
     """Recursive-CTE DuckDB oracle for x9_power_deflation: the exact
     integer scatter + rescale, the PC1 power loop, the integer
