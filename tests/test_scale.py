@@ -1498,3 +1498,39 @@ def test_ks_two_sample_matches_python_replica_and_detects_shape(spark):
     assert got["same"]["significant"] is False
     eb = got["empty_b"]
     assert eb["d"] is None and eb["significant"] is None
+
+
+def test_neyman_allocation_properties(spark):
+    """Hamilton rounding: Σalloc == budget exactly; noisier strata
+    get more budget at equal size; constant strata weigh 0; an
+    all-constant input yields NULL allocs, never a division error."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.scale import neyman_allocation
+
+    rows = []
+    for i in range(300):
+        rows.append((i, "noisy", float((i * 97) % 100)))      # wide
+        rows.append((i, "quiet", 50.0 + (i % 3) * 0.01))      # narrow
+        rows.append((i, "const", 7.0))                        # zero var
+    df = spark.createDataFrame(rows, "id long, src string, v double")
+    out = {
+        r["stratum"]: r
+        for r in neyman_allocation(
+            df, "v", stratum_col="src", budget=777
+        ).collect()
+    }
+    assert sum(r["alloc"] for r in out.values()) == 777
+    assert out["noisy"]["alloc"] > out["quiet"]["alloc"]
+    assert out["const"]["weight"] == 0 and out["const"]["alloc"] == 0
+    assert abs(out["noisy"]["share"] - out["noisy"]["alloc"] / 777) < 1e-9
+
+    flat = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", 5.0) for i in range(50)],
+        "id long, src string, v double",
+    )
+    got = neyman_allocation(flat, "v", stratum_col="src").collect()
+    assert all(r["alloc"] is None for r in got)
+
+    with pytest.raises(ValueError, match="budget"):
+        neyman_allocation(df, "v", stratum_col="src", budget=0)

@@ -2605,3 +2605,92 @@ def ks_binned_report(
         F.when(ok, F.round(lam, 6) > F.lit(crit)).alias("significant"),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def neyman_allocation(
+    df: DataFrame,
+    value_col: str,
+    *,
+    stratum_col: str,
+    budget: int = 1000,
+    scale: int = 100,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation with Hamilton
+    largest-remainder rounding (round 11) — the budget-split primitive
+    behind every "sample K rows per source, weighted by how noisy the
+    source is" curation step: the variance-minimizing allocation puts
+    ``n_h ∝ N_h·S_h`` (stratum size × stratum std — big uniform strata
+    need FEWER samples than small noisy ones), and Hamilton rounding
+    turns the real-valued quotas into integers that sum EXACTLY to the
+    budget (floor every quota, hand the leftovers to the largest
+    fractional remainders).
+
+    Determinism by construction: values quantize to int64 at
+    ``scale`` (half-away), the weight is ``floor(sqrt(n·Σq² − (Σq)²))``
+    — algebraically N_h·S_h·scale, computed from exact integer
+    sufficient statistics with the one IEEE sqrt both engines round
+    identically (sqrt is correctly rounded by IEEE 754; the int→double
+    cast is the same on both) — quota floors use exact integer
+    division (``(a − a%T)/T`` inside 2⁵³), and leftover distribution
+    ranks by (remainder desc, stratum asc). All-constant strata weigh
+    0; if EVERY stratum is constant the allocation is NULL (no
+    variance signal), never a division error.
+
+    int64 headroom: ``n_h·Σq²`` must stay under 2⁶³ — with the
+    default ``scale`` that is ~10⁵ rows per stratum at |v| ≤ 500;
+    lower ``scale`` for bigger strata.
+
+    Scale shape: one partial-aggregable pass for the sufficient
+    statistics (n, Σq, Σq² per stratum — map-side combinable), then
+    window ranks over the STRATA frame (groups, not rows). Returns
+    per stratum: ``(stratum, n_rows, weight, alloc, share)`` with
+    Σalloc = budget exactly (property-tested).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    v = F.col(value_col).cast("double")
+    q = F.when(
+        v >= 0, F.floor(v * scale + F.lit(0.5))
+    ).otherwise(-F.floor(-v * scale + F.lit(0.5))).cast("long")
+    stats = (
+        df.filter(v.isNotNull())
+        .select(F.col(stratum_col).alias("stratum"), q.alias("q"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("q").cast("long").alias("sx"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("sxx"),
+        )
+    )
+    svar = F.col("n_rows") * F.col("sxx") - F.col("sx") * F.col("sx")
+    w = F.floor(F.sqrt(svar.cast("double"))).cast("long")
+    stats = stats.select("stratum", "n_rows", w.alias("weight"))
+    tot = F.sum("weight").over(Window.partitionBy())
+    bw = F.col("weight") * F.lit(int(budget)).cast("long")
+
+    def idiv(a, t):
+        return ((a - a % t) / t).cast("long")
+
+    quotas = stats.select(
+        "stratum", "n_rows", "weight",
+        tot.alias("t"),
+        F.when(tot > 0, idiv(bw, tot)).alias("base"),
+        F.when(tot > 0, bw % tot).alias("rem"),
+    )
+    spent = F.sum("base").over(Window.partitionBy())
+    rk = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("rem").desc(), "stratum")
+    )
+    alloc = F.col("base") + F.when(
+        rk <= (F.lit(int(budget)) - spent), F.lit(1)
+    ).otherwise(F.lit(0))
+    out = quotas.select(
+        "stratum", "n_rows", "weight",
+        F.when(F.col("t") > 0, alloc).cast("long").alias("alloc"),
+    )
+    return out.select(
+        "stratum", "n_rows", "weight", "alloc",
+        F.round(
+            F.col("alloc").cast("double") / F.lit(float(budget)), 6
+        ).alias("share"),
+    ).orderBy("stratum")

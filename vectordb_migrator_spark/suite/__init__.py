@@ -67,6 +67,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_power_deflation",
     "x7_ks_binned",
     "x6_oriented_thumbnail",
+    "x10_neyman_allocation",
 ]
 
 

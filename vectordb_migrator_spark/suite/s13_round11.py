@@ -591,6 +591,76 @@ def x6_oriented_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_oriented_thumbnail_features(payloads).orderBy("doc_id")
 
 
+@query(
+    "x10_neyman_allocation",
+    """
+    WITH base AS (
+      SELECT event_type AS stratum,
+             (CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+                   ELSE -floor(-value * 100.0 + 0.5) END)::BIGINT AS q
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT stratum, count(*)::BIGINT AS n_rows,
+             sum(q)::BIGINT AS sx, sum(q * q)::BIGINT AS sxx
+      FROM base GROUP BY 1
+    ),
+    wts AS (
+      SELECT stratum, n_rows,
+             floor(sqrt((n_rows * sxx - sx * sx)::DOUBLE))::BIGINT
+               AS weight
+      FROM stats
+    ),
+    quo AS (
+      SELECT *, sum(weight) OVER () AS t, weight * 1000 AS bw FROM wts
+    ),
+    quo2 AS (
+      SELECT stratum, n_rows, weight, t,
+             CASE WHEN t > 0
+                  THEN ((bw - bw % t) / t)::BIGINT END AS base,
+             CASE WHEN t > 0 THEN bw % t END AS rem
+      FROM quo
+    ),
+    fin AS (
+      SELECT *, sum(base) OVER () AS spent,
+             row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+      FROM quo2
+    )
+    SELECT stratum, n_rows, weight,
+           (CASE WHEN t > 0 THEN base +
+              (CASE WHEN rk <= 1000 - spent THEN 1 ELSE 0 END)
+            END)::BIGINT AS alloc,
+           round((CASE WHEN t > 0 THEN base +
+              (CASE WHEN rk <= 1000 - spent THEN 1 ELSE 0 END)
+            END)::DOUBLE / 1000.0, 6) AS share
+    FROM fin ORDER BY stratum
+    """,
+)
+def x10_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — Neyman-optimal stratified sampling allocation with
+    Hamilton largest-remainder rounding (round 11): the budget-split
+    every balanced-sampling curation step needs — n_h ∝ N_h·S_h, so
+    big uniform strata get FEWER samples than small noisy ones, and
+    the integer allocations sum EXACTLY to the budget (floors +
+    leftovers to the largest remainders, ties by stratum). Weight =
+    floor(sqrt(n·Σq² − (Σq)²)) over int64-quantized values — exact
+    integer sufficient statistics with the one IEEE-correctly-rounded
+    sqrt both engines share; quota floors use exact integer division.
+    One wrong remainder rank or floor moves an alloc
+    (operators/scale.py:neyman_allocation)."""
+    from vectordb_migrator_spark.operators.scale import (
+        neyman_allocation,
+    )
+
+    return neyman_allocation(
+        _t(spark, sf_dir, "events"),
+        "value",
+        stratum_col="event_type",
+        budget=1000,
+        scale=100,
+    )
+
+
 def _pd_sql() -> str:
     """Recursive-CTE DuckDB oracle for x9_power_deflation: the exact
     integer scatter + rescale, the PC1 power loop, the integer
