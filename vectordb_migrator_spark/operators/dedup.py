@@ -1680,3 +1680,70 @@ def oph_signatures(
             ).alias("empty_share"),
         )
     )
+
+
+def decontamination_report(
+    df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Eval-set decontamination scan (round 11) — the GPT-3-style
+    n-gram overlap filter every serious training-data pipeline runs
+    before training: a candidate document is contaminated when too
+    many of its word n-grams appear ANYWHERE in the held-out
+    benchmark set, because even partial leakage inflates eval scores.
+    Reported per candidate: distinct-shingle count, how many of them
+    hit the benchmark's shingle set, the containment ratio, and the
+    ``threshold`` flag.
+
+    Shingling is the library convention (:func:`shingles` — distinct
+    lowercased word n-grams, whole-text gram for sub-n documents), so
+    the scan composes with the MinHash/Jaccard dedup family on the
+    same side-tables. Scale shape: benchmarks are tiny next to a
+    corpus (MBs vs TBs), so the eval shingle set BROADCASTS and the
+    candidate side is one explode → left-semi join → per-doc count —
+    the corpus is scanned once and never shuffles its text; at 100 TB
+    the eval set rides along as a broadcast exactly like a dim table.
+    """
+    train = shingle_table(df, id_col=id_col, text_col=text_col, n=n)
+    ev = (
+        shingle_table(eval_df, id_col=id_col, text_col=text_col, n=n)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    ex = train.select("id", F.explode("sh").alias("gram"))
+    hits = (
+        ex.join(F.broadcast(ev), "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    out = (
+        train.select("id", "sh_n")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("sh_n").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias(
+                "n_hit"
+            ),
+        )
+    )
+    cont = F.when(
+        F.col("n_shingles") > 0,
+        F.round(
+            F.col("n_hit").cast("double")
+            / F.col("n_shingles").cast("double"),
+            6,
+        ),
+    )
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_hit",
+        cont.alias("containment"),
+        (cont >= F.lit(threshold)).alias("contaminated"),
+    ).orderBy(id_col)

@@ -68,6 +68,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_ks_binned",
     "x6_oriented_thumbnail",
     "x10_neyman_allocation",
+    "x0_decontamination",
 ]
 
 

@@ -661,6 +661,69 @@ def x10_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x0_decontamination",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, len(toks) - 1)]
+                    ELSE [array_to_string(toks, ' ')] END) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(g) AS gram FROM sh WHERE id % 50 = 0
+    ),
+    train AS (
+      SELECT id, len(g)::BIGINT AS n_shingles, unnest(g) AS gram
+      FROM sh WHERE id % 50 <> 0
+    ),
+    hits AS (
+      SELECT t.id, any_value(t.n_shingles) AS n_shingles,
+             count(ev.gram)::BIGINT AS n_hit
+      FROM train t LEFT JOIN ev ON t.gram = ev.gram
+      GROUP BY t.id
+    )
+    SELECT id AS doc_id, n_shingles, n_hit,
+           CASE WHEN n_shingles > 0
+                THEN round(n_hit::DOUBLE / n_shingles::DOUBLE, 6)
+                END AS containment,
+           CASE WHEN n_shingles > 0
+                THEN round(n_hit::DOUBLE / n_shingles::DOUBLE, 6)
+                     >= 0.05
+                END AS contaminated
+    FROM hits ORDER BY doc_id
+    """,
+)
+def x0_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0 — eval-set decontamination scan (round 11): the GPT-3-style
+    n-gram overlap filter run before every serious training job —
+    documents whose word-trigram containment against the held-out
+    benchmark set crosses the threshold are flagged (even partial
+    leakage inflates evals). The benchmark here is the planted
+    every-50th document; the remaining corpus is scanned once, the
+    benchmark shingle set broadcasts (the 100 TB shape: the eval set
+    is a dim table). Shingling is the library convention shared with
+    the MinHash/Jaccard family, so the oracle reuses the established
+    DuckDB shingle CTE verbatim
+    (operators/dedup.py:decontamination_report)."""
+    from vectordb_migrator_spark.operators.dedup import (
+        decontamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontamination_report(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=3,
+        threshold=0.05,
+    )
+
+
 def _pd_sql() -> str:
     """Recursive-CTE DuckDB oracle for x9_power_deflation: the exact
     integer scatter + rescale, the PC1 power loop, the integer
