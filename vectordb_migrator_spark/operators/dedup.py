@@ -1747,3 +1747,56 @@ def decontamination_report(
         cont.alias("containment"),
         (cont >= F.lit(threshold)).alias("contaminated"),
     ).orderBy(id_col)
+
+
+def ngram_novelty_report(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty (round 11) — the corpus-redundancy
+    / memorization-pressure metric: with documents in id order (the
+    stand-in for arrival order), a document's novelty is the fraction
+    of its distinct word n-grams that no EARLIER document contains.
+    Low-novelty tails are where train-time memorization and wasted
+    tokens live; the curve over ingest order is the classic
+    "how much new text is this crawl actually adding" diagnostic.
+
+    Implementation is two aggregations over the same shingle
+    side-table the dedup family persists: first-occurrence doc per
+    gram (min id), then per-doc counts of grams whose first occurrence
+    IS the doc. Both are map-side-combinable group-bys on the gram
+    hash — the text itself never shuffles. Returns (id, n_shingles,
+    n_novel, novelty) per document.
+    """
+    train = shingle_table(df, id_col=id_col, text_col=text_col, n=n)
+    ex = train.select("id", F.explode("sh").alias("gram"))
+    first = ex.groupBy("gram").agg(F.min("id").alias("first_id"))
+    novel = (
+        ex.join(first, "gram")
+        .filter(F.col("id") == F.col("first_id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return (
+        train.select("id", "sh_n")
+        .join(novel, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("sh_n").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias(
+                "n_novel"
+            ),
+            F.when(
+                F.col("sh_n") > 0,
+                F.round(
+                    F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                    / F.col("sh_n").cast("double"),
+                    6,
+                ),
+            ).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )

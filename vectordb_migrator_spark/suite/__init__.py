@@ -69,6 +69,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_oriented_thumbnail",
     "x10_neyman_allocation",
     "x0_decontamination",
+    "x5_ngram_novelty",
 ]
 
 

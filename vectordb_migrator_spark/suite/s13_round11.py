@@ -724,6 +724,56 @@ def x0_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x5_ngram_novelty",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, len(toks) - 1)]
+                    ELSE [array_to_string(toks, ' ')] END) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+    ),
+    ex AS (
+      SELECT id, len(g)::BIGINT AS n_shingles, unnest(g) AS gram
+      FROM sh
+    ),
+    first AS (
+      SELECT gram, min(id) AS first_id FROM ex GROUP BY 1
+    )
+    SELECT ex.id AS doc_id,
+           any_value(ex.n_shingles) AS n_shingles,
+           sum(CASE WHEN f.first_id = ex.id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel,
+           CASE WHEN any_value(ex.n_shingles) > 0 THEN
+             round(sum(CASE WHEN f.first_id = ex.id THEN 1 ELSE 0
+                       END)::DOUBLE
+                   / any_value(ex.n_shingles)::DOUBLE, 6)
+           END AS novelty
+    FROM ex JOIN first f USING (gram)
+    GROUP BY ex.id ORDER BY doc_id
+    """,
+)
+def x5_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — per-document n-gram novelty (round 11): with documents in
+    id (arrival) order, the fraction of each document's distinct
+    trigrams that NO earlier document contains — the
+    corpus-redundancy / memorization-pressure diagnostic ("how much
+    new text is this crawl adding"). Two map-side-combinable
+    aggregations over the dedup family's shingle side-table
+    (first-occurrence doc per gram, then per-doc novel counts); the
+    text never shuffles (operators/dedup.py:ngram_novelty_report)."""
+    from vectordb_migrator_spark.operators.dedup import (
+        ngram_novelty_report,
+    )
+
+    return ngram_novelty_report(_t(spark, sf_dir, "documents"), n=3)
+
+
 def _pd_sql() -> str:
     """Recursive-CTE DuckDB oracle for x9_power_deflation: the exact
     integer scatter + rescale, the PC1 power loop, the integer
