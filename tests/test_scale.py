@@ -1534,3 +1534,45 @@ def test_neyman_allocation_properties(spark):
 
     with pytest.raises(ValueError, match="budget"):
         neyman_allocation(df, "v", stratum_col="src", budget=0)
+
+
+def test_temperature_mixing_flattens_toward_uniform(spark):
+    """Higher roots flatten the distribution: the dominant domain's
+    share strictly decreases from root 1 -> 2 -> 4 while the smallest
+    domain's share increases; every root's allocations sum exactly to
+    the budget; invalid roots are rejected."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.scale import (
+        temperature_mixing,
+    )
+
+    rows = (
+        [(i, "big") for i in range(640)]
+        + [(i + 1000, "mid") for i in range(80)]
+        + [(i + 2000, "tiny") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = temperature_mixing(
+        df, domain_col="lang", budget=9973
+    ).collect()
+    by = {(r["root"], r["domain"]): r for r in out}
+    for root in (1, 2, 4):
+        assert (
+            sum(r["alloc"] for r in out if r["root"] == root) == 9973
+        ), root
+    assert (
+        by[(1, "big")]["share"]
+        > by[(2, "big")]["share"]
+        > by[(4, "big")]["share"]
+    )
+    assert (
+        by[(1, "tiny")]["share"]
+        < by[(2, "tiny")]["share"]
+        < by[(4, "tiny")]["share"]
+    )
+    # root=1 reproduces raw proportions (640/730 of the budget +-1)
+    assert abs(by[(1, "big")]["alloc"] - 9973 * 640 / 730) <= 1
+
+    with pytest.raises(ValueError, match="roots"):
+        temperature_mixing(df, domain_col="lang", roots=(3,))

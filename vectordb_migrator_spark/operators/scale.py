@@ -2665,28 +2665,8 @@ def neyman_allocation(
     svar = F.col("n_rows") * F.col("sxx") - F.col("sx") * F.col("sx")
     w = F.floor(F.sqrt(svar.cast("double"))).cast("long")
     stats = stats.select("stratum", "n_rows", w.alias("weight"))
-    tot = F.sum("weight").over(Window.partitionBy())
-    bw = F.col("weight") * F.lit(int(budget)).cast("long")
-
-    def idiv(a, t):
-        return ((a - a % t) / t).cast("long")
-
-    quotas = stats.select(
-        "stratum", "n_rows", "weight",
-        tot.alias("t"),
-        F.when(tot > 0, idiv(bw, tot)).alias("base"),
-        F.when(tot > 0, bw % tot).alias("rem"),
-    )
-    spent = F.sum("base").over(Window.partitionBy())
-    rk = F.row_number().over(
-        Window.partitionBy().orderBy(F.col("rem").desc(), "stratum")
-    )
-    alloc = F.col("base") + F.when(
-        rk <= (F.lit(int(budget)) - spent), F.lit(1)
-    ).otherwise(F.lit(0))
-    out = quotas.select(
-        "stratum", "n_rows", "weight",
-        F.when(F.col("t") > 0, alloc).cast("long").alias("alloc"),
+    out = hamilton_apportion(
+        stats, key_col="stratum", weight_col="weight", budget=budget
     )
     return out.select(
         "stratum", "n_rows", "weight", "alloc",
@@ -2694,3 +2674,123 @@ def neyman_allocation(
             F.col("alloc").cast("double") / F.lit(float(budget)), 6
         ).alias("share"),
     ).orderBy("stratum")
+
+
+def hamilton_apportion(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) integer apportionment: split an
+    integer ``budget`` across rows ∝ their int64 ``weight_col`` so the
+    allocations sum EXACTLY to the budget — floor every quota with
+    exact integer division (``(a − a%T)/T`` inside 2⁵³), then hand the
+    leftover units to the largest remainders (ties toward the smaller
+    key). The shared tail of :func:`neyman_allocation` and
+    ``temperature_mixing``; with ``group_cols`` each group apportions
+    its own budget independently (windows partition by group).
+    Zero/NULL total weight → NULL allocs, never a division error.
+    Appends an ``alloc`` column; all input columns pass through."""
+    gcols = list(group_cols or [])
+    w_all = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    )
+    tot = F.sum(weight_col).over(w_all)
+    bw = F.col(weight_col) * F.lit(int(budget)).cast("long")
+
+    def idiv(a, t):
+        return ((a - a % t) / t).cast("long")
+
+    quotas = df.select(
+        "*",
+        tot.alias("__t"),
+        F.when(tot > 0, idiv(bw, tot)).alias("__base"),
+        F.when(tot > 0, bw % tot).alias("__rem"),
+    )
+    spent = F.sum("__base").over(w_all)
+    rk = F.row_number().over(
+        w_all.orderBy(F.col("__rem").desc(), key_col)
+    )
+    alloc = F.col("__base") + F.when(
+        rk <= (F.lit(int(budget)) - spent), F.lit(1)
+    ).otherwise(F.lit(0))
+    return quotas.select(
+        *df.columns,
+        F.when(F.col("__t") > 0, alloc).cast("long").alias("alloc"),
+    )
+
+
+def temperature_mixing(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    roots: tuple = (1, 2, 4),
+    budget: int = 10_000,
+    wscale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled domain mixing (round 11) — the sampling
+    table every multilingual / multi-domain LLM run publishes (mT5's
+    p_i ∝ n_i^(1/τ)): raw proportional sampling starves small domains,
+    uniform drowns big ones in repetition, and the temperature knob
+    interpolates. One output row per (root, domain) with the domain's
+    document count, its quantized weight n^(1/root), the
+    Hamilton-apportioned integer token/sample budget (Σ = ``budget``
+    exactly per root), and the share.
+
+    Determinism: ``roots`` are restricted to powers of two so the
+    weight chain is identity / sqrt / sqrt∘sqrt — IEEE sqrt is
+    correctly rounded, so ``floor(n^(1/root)·wscale)`` is bit-equal on
+    any engine (no transcendental pow); the apportionment is the
+    exact-integer :func:`hamilton_apportion` partitioned per root.
+    int64 headroom: budget·wscale·n must stay inside 2⁵³ for the
+    exact quota floors — with the defaults that is n ≤ ~9·10⁵ docs per
+    domain; lower ``wscale`` for bigger corpora.
+
+    Scale shape: one map-side-combinable count per domain, then
+    window ranks over the (roots × domains) frame — group-sized, not
+    row-sized.
+    """
+    for r in roots:
+        if r not in (1, 2, 4):
+            raise ValueError(
+                "roots must come from (1, 2, 4) — identity/sqrt/"
+                "sqrt∘sqrt keep the weight chain correctly rounded"
+            )
+    counts = df.groupBy(
+        F.col(domain_col).alias("domain")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    frames = []
+    for r in roots:
+        nd = F.col("n_docs").cast("double")
+        if r == 1:
+            w = nd
+        elif r == 2:
+            w = F.sqrt(nd)
+        else:
+            w = F.sqrt(F.sqrt(nd))
+        frames.append(
+            counts.select(
+                F.lit(int(r)).cast("int").alias("root"),
+                "domain",
+                "n_docs",
+                F.floor(w * F.lit(float(wscale))).cast("long").alias(
+                    "weight_q"
+                ),
+            )
+        )
+    allw = frames[0]
+    for f in frames[1:]:
+        allw = allw.unionByName(f)
+    out = hamilton_apportion(
+        allw, key_col="domain", weight_col="weight_q",
+        budget=budget, group_cols=["root"],
+    )
+    return out.select(
+        "root", "domain", "n_docs", "weight_q", "alloc",
+        F.round(
+            F.col("alloc").cast("double") / F.lit(float(budget)), 6
+        ).alias("share"),
+    ).orderBy("root", "domain")

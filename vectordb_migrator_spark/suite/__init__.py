@@ -70,6 +70,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_neyman_allocation",
     "x0_decontamination",
     "x5_ngram_novelty",
+    "x10_temperature_mixing",
 ]
 
 

@@ -774,6 +774,75 @@ def x5_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty_report(_t(spark, sf_dir, "documents"), n=3)
 
 
+@query(
+    "x10_temperature_mixing",
+    """
+    WITH counts AS (
+      SELECT lang AS domain, count(*)::BIGINT AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    wts AS (
+      SELECT r.root, c.domain, c.n_docs,
+             floor(
+               (CASE r.root
+                  WHEN 1 THEN n_docs::DOUBLE
+                  WHEN 2 THEN sqrt(n_docs::DOUBLE)
+                  ELSE sqrt(sqrt(n_docs::DOUBLE)) END) * 1000000.0
+             )::BIGINT AS weight_q
+      FROM counts c, (VALUES (1), (2), (4)) r(root)
+    ),
+    quo AS (
+      SELECT *, sum(weight_q) OVER (PARTITION BY root) AS t,
+             weight_q * 10000 AS bw
+      FROM wts
+    ),
+    quo2 AS (
+      SELECT root, domain, n_docs, weight_q, t,
+             CASE WHEN t > 0
+                  THEN ((bw - bw % t) / t)::BIGINT END AS base,
+             CASE WHEN t > 0 THEN bw % t END AS rem
+      FROM quo
+    ),
+    fin AS (
+      SELECT *, sum(base) OVER (PARTITION BY root) AS spent,
+             row_number() OVER (PARTITION BY root
+                                ORDER BY rem DESC, domain) AS rk
+      FROM quo2
+    )
+    SELECT root::INT AS root, domain, n_docs, weight_q,
+           (CASE WHEN t > 0 THEN base +
+              (CASE WHEN rk <= 10000 - spent THEN 1 ELSE 0 END)
+            END)::BIGINT AS alloc,
+           round((CASE WHEN t > 0 THEN base +
+              (CASE WHEN rk <= 10000 - spent THEN 1 ELSE 0 END)
+            END)::DOUBLE / 10000.0, 6) AS share
+    FROM fin ORDER BY root, domain
+    """,
+)
+def x10_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — temperature-scaled domain mixing (round 11): the
+    sampling table every multilingual / multi-domain LLM run
+    publishes (mT5's p_i ∝ n_i^(1/τ)) — proportional sampling starves
+    small domains, uniform drowns big ones, the temperature knob
+    interpolates. Domains = the documents language column; roots
+    restricted to 1/2/4 so the weight chain is identity / sqrt /
+    sqrt∘sqrt (IEEE-correctly-rounded on both engines, no
+    transcendental pow); Hamilton apportionment (shared with
+    x10_neyman_allocation) makes each root's allocations sum to the
+    budget EXACTLY (operators/scale.py:temperature_mixing,
+    hamilton_apportion)."""
+    from vectordb_migrator_spark.operators.scale import (
+        temperature_mixing,
+    )
+
+    return temperature_mixing(
+        _t(spark, sf_dir, "documents"),
+        domain_col="lang",
+        roots=(1, 2, 4),
+        budget=10_000,
+    )
+
+
 def _pd_sql() -> str:
     """Recursive-CTE DuckDB oracle for x9_power_deflation: the exact
     integer scatter + rescale, the PC1 power loop, the integer
