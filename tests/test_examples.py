@@ -432,3 +432,25 @@ def test_image_corpus_pipeline_example(spark):
     s = out["shards"]
     assert s["all_checksums_ok"] is True
     assert s["n_members"] == s["n_kept"]
+
+
+def test_text_curation_budget_pipeline_example(spark):
+    """examples/text_curation_budget_pipeline.py: the round-11
+    curation chain end to end at sf0.001 — decontaminate -> novelty
+    floor -> temperature budgets -> deterministic draw; the drawn
+    sample must respect every language's Hamilton allocation exactly
+    (up to pool availability) and the allocations sum to the budget."""
+    sys.path.insert(0, str(ROOT / "examples"))
+    try:
+        import text_curation_budget_pipeline as ex
+    finally:
+        sys.path.pop(0)
+
+    out = ex.run_pipeline(
+        spark, f"{SF_DIR}/documents.parquet", budget=60
+    )
+    assert sum(out["alloc"].values()) == 60
+    for lang, n in out["sample_by_lang"].items():
+        assert n <= out["alloc"][lang]
+    assert out["sample_count"] <= 60
+    assert out["sample_count"] > 0
