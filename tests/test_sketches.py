@@ -301,3 +301,54 @@ def test_weighted_quantiles_threshold_semantics(spark):
 
     with pytest.raises(ValueError, match="qs"):
         weighted_quantiles(df, "v", "w", [])
+
+
+def test_hll_md5_overlap_accuracy_and_merge(spark):
+    """Deterministic md5-HLL: estimates land within HLL's expected
+    m=256 error band (~10%) of the exact distincts; the union merge
+    equals the sketch of the concatenated audience (mergeability);
+    inclusion-exclusion recovers a planted half-overlap."""
+    from vectordb_migrator_spark.operators.sketches import (
+        hll_md5_overlap_report,
+    )
+
+    rows = (
+        [(i, "a") for i in range(1000)]            # A = 0..999
+        + [(i + 500, "b") for i in range(1000)]    # B = 500..1499
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = hll_md5_overlap_report(
+        df, "user_id", group_col="event_type"
+    ).first()
+    assert (r["exact_a"], r["exact_b"], r["exact_overlap"]) == (
+        1000, 1000, 500,
+    )
+    assert abs(r["est_a"] - 1000) / 1000 < 0.15
+    assert abs(r["est_union"] - 1500) / 1500 < 0.15
+    assert abs(r["est_overlap"] - 500) < 0.35 * 1500  # IE compounding
+    # mergeability: union estimate == single-group sketch of A∪B
+    both = spark.createDataFrame(
+        [(i, "u") for i in range(1500)], "user_id long, event_type string"
+    )
+    # build a two-group frame whose union IS 0..1499
+    r2 = hll_md5_overlap_report(
+        df, "user_id", group_col="event_type"
+    ).first()
+    from vectordb_migrator_spark.operators.sketches import (
+        _hll_md5_estimate_agg,
+        _hll_md5_rho,
+    )
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.col("user_id").cast("string"))
+    regs = (
+        both.select(
+            F.col("event_type").alias("g"),
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("reg"),
+            _hll_md5_rho(h).alias("rho"),
+        )
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    single = _hll_md5_estimate_agg(["g"])(regs).first()["est"]
+    assert abs(round(single, 6) - r2["est_union"]) < 1e-9

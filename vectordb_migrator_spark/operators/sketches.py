@@ -401,3 +401,188 @@ def weighted_quantiles(
     if out is None:
         raise ValueError("qs must be non-empty")
     return out.orderBy(*gcols, "q")
+
+
+def _hll_md5_rho(h: Column) -> Column:
+    """ρ for a deterministic md5-register HLL: 1 + the number of
+    leading zero BITS in the 60-bit window at hex chars 3..17 of the
+    md5 (60 bits keep every intermediate inside int64). Computed from
+    the hex string itself — strip leading '0' chars, then a 16-case
+    map for the first nonzero digit's leading bits — so the identical
+    string arithmetic replays in DuckDB."""
+    s = F.substring(h, 3, 15)
+    stripped = F.regexp_replace(s, "^0+", "")
+    nz = F.lit(15) - F.length(stripped)
+    d = F.substring(stripped, 1, 1)
+    lead = (
+        F.when(d == "1", 3)
+        .when(d.isin("2", "3"), 2)
+        .when(d.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.when(F.length(stripped) == 0, F.lit(61)).otherwise(
+        nz * 4 + lead + 1
+    ).cast("int")
+
+
+def _hll_md5_estimate_agg(key_cols: list[str]):
+    """The HLL estimator over a (key..., reg, m) register frame:
+    S = Σ 2^{-M_j} with absent registers contributing 2⁰ = 1 (the
+    2^{-M} terms are exact binary fractions via 1/(1<<M), so no pow),
+    bias-corrected raw = α_m·m²/S with m = 256, and the standard
+    small-range linear-counting branch m·ln(m/V)."""
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    s_term = 1.0 / F.expr("shiftleft(cast(1 as bigint), m)").cast(
+        "double"
+    )
+    return (
+        lambda regs: regs.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_regs"),
+            F.sum(s_term).alias("s_present"),
+        )
+        .select(
+            *key_cols,
+            "n_regs",
+            (F.lit(256) - F.col("n_regs")).cast("long").alias("v_zero"),
+            (
+                F.lit(alpha * 256.0 * 256.0)
+                / (
+                    (F.lit(256) - F.col("n_regs")).cast("double")
+                    + F.col("s_present")
+                )
+            ).alias("raw"),
+        )
+        .select(
+            *key_cols,
+            "n_regs",
+            "v_zero",
+            F.when(
+                (F.col("raw") <= 2.5 * 256.0) & (F.col("v_zero") > 0),
+                F.lit(256.0)
+                * F.log(F.lit(256.0) / F.col("v_zero").cast("double")),
+            )
+            .otherwise(F.col("raw"))
+            .alias("est"),
+        )
+    )
+
+
+def hll_md5_overlap_report(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str,
+) -> DataFrame:
+    """Pairwise audience overlap from DETERMINISTIC md5-register
+    HyperLogLogs (round 11) — the full-oracle twin of the rows-only
+    Spark-sketch ``x7_audience_overlap``, built the way the md5-MinHash
+    twin upgraded the MinHash family: registers are ``md5`` bits
+    (first 8 bits → register, next 60 → ρ), so the sketch, the
+    register-wise MAX merge (the property HLL exists for — the union
+    sketch of two audiences is elementwise max, no re-scan), the
+    inclusion-exclusion estimate |A∩B| ≈ E(A)+E(B)−E(A∪B), and the
+    exact truth all replay bit-for-bit in SQL.
+
+    Scale shape: ONE pass builds all (group, register) maxima
+    (map-side-combinable); pair estimates merge 256-row register
+    frames, never rescanning members — at 100 TB the register table
+    IS the stored sketch, exactly like the reference's audience
+    workflow. Exact distincts ride along for the error columns (at
+    scale you would drop them; they are the certificate here).
+
+    Returns per unordered group pair: (g_a, g_b, exact_a, exact_b,
+    exact_overlap, est_a, est_b, est_union, est_overlap, abs_err).
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("reg"),
+        _hll_md5_rho(h).alias("rho"),
+        F.col(value_col).cast("string").alias("v"),
+    )
+    regs = base.groupBy("g", "reg").agg(F.max("rho").alias("m"))
+    est_one = _hll_md5_estimate_agg(["g"])(regs).select(
+        "g", F.col("est")
+    )
+    exact_one = base.groupBy("g").agg(
+        F.countDistinct("v").cast("long").alias("exact")
+    )
+    gs = regs.select("g").distinct()
+    pairs = (
+        gs.select(F.col("g").alias("g_a"))
+        .join(gs.select(F.col("g").alias("g_b")))
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    # union sketch per pair: register-wise max over both groups
+    u = (
+        pairs.join(
+            regs,
+            (F.col("g") == F.col("g_a")) | (F.col("g") == F.col("g_b")),
+        )
+        .groupBy("g_a", "g_b", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    est_u = _hll_md5_estimate_agg(["g_a", "g_b"])(u).select(
+        "g_a", "g_b", F.col("est").alias("est_union")
+    )
+    exact_pair = (
+        base.select("g", "v")
+        .distinct()
+        .groupBy("v")
+        .agg(F.collect_set("g").alias("gs"))
+        .select(F.explode("gs").alias("g_a"), F.col("gs"))
+        .select("g_a", F.explode("gs").alias("g_b"))
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    out = (
+        pairs.join(
+            est_one.select(
+                F.col("g").alias("g_a"), F.col("est").alias("est_a")
+            ),
+            "g_a",
+        )
+        .join(
+            est_one.select(
+                F.col("g").alias("g_b"), F.col("est").alias("est_b")
+            ),
+            "g_b",
+        )
+        .join(est_u, ["g_a", "g_b"])
+        .join(
+            exact_one.select(
+                F.col("g").alias("g_a"), F.col("exact").alias("exact_a")
+            ),
+            "g_a",
+        )
+        .join(
+            exact_one.select(
+                F.col("g").alias("g_b"), F.col("exact").alias("exact_b")
+            ),
+            "g_b",
+        )
+        .join(exact_pair, ["g_a", "g_b"], "left")
+    )
+    est_overlap = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return out.select(
+        "g_a",
+        "g_b",
+        "exact_a",
+        "exact_b",
+        F.coalesce("exact_overlap", F.lit(0)).cast("long").alias(
+            "exact_overlap"
+        ),
+        F.round("est_a", 6).alias("est_a"),
+        F.round("est_b", 6).alias("est_b"),
+        F.round("est_union", 6).alias("est_union"),
+        F.round(est_overlap, 6).alias("est_overlap"),
+        F.round(
+            F.abs(
+                est_overlap
+                - F.coalesce("exact_overlap", F.lit(0)).cast("double")
+            ),
+            6,
+        ).alias("abs_err"),
+    ).orderBy("g_a", "g_b")

@@ -71,6 +71,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x0_decontamination",
     "x5_ngram_novelty",
     "x10_temperature_mixing",
+    "x7_hll_md5_overlap",
 ]
 
 

@@ -843,6 +843,123 @@ def x10_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_sql() -> str:
+    """DuckDB oracle for x7_hll_md5_overlap: the md5-register HLL
+    (register = first 8 md5 bits, ρ from the next 60 via the same
+    string arithmetic), the register-wise-max union merge, the
+    bias-corrected estimator with the linear-counting branch, and the
+    exact truths — replayed term for term."""
+    alpha_m2 = repr(0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0)
+    rho = """
+             CASE WHEN length(stripped) = 0 THEN 61
+                  ELSE (15 - length(stripped)) * 4 +
+                       (CASE WHEN d = '1' THEN 3
+                             WHEN d IN ('2', '3') THEN 2
+                             WHEN d IN ('4', '5', '6', '7') THEN 1
+                             ELSE 0 END) + 1 END"""
+    est = """
+      SELECT {keys}, count(*)::BIGINT AS n_regs,
+             sum(1.0 / (1::BIGINT << m)) AS s_present
+      FROM {src} GROUP BY {keys}"""
+    fin = f"""
+      SELECT {{keys}},
+             CASE WHEN ({alpha_m2} / ((256 - n_regs) + s_present))
+                       <= 640.0 AND (256 - n_regs) > 0
+                  THEN 256.0 * ln(256.0 / (256 - n_regs)::DOUBLE)
+                  ELSE {alpha_m2} / ((256 - n_regs) + s_present)
+             END AS est
+      FROM ({{agg}})"""
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT g, reg, v,
+             {rho} AS rho
+      FROM (
+        SELECT event_type AS g,
+               CAST(CONCAT('0x', substr(md5(user_id::VARCHAR), 1, 2))
+                    AS BIGINT)::INT AS reg,
+               user_id::VARCHAR AS v,
+               regexp_replace(substr(md5(user_id::VARCHAR), 3, 15),
+                              '^0+', '') AS stripped,
+               substr(regexp_replace(
+                 substr(md5(user_id::VARCHAR), 3, 15), '^0+', ''),
+                 1, 1) AS d
+        FROM events)
+    ),
+    regs AS MATERIALIZED (
+      SELECT g, reg, max(rho) AS m FROM base GROUP BY 1, 2
+    ),
+    est_one AS (
+      {fin.format(keys="g", agg=est.format(keys="g", src="regs"))}
+    ),
+    exact_one AS (
+      SELECT g, count(DISTINCT v)::BIGINT AS exact FROM base GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.g AS g_a, b.g AS g_b
+      FROM (SELECT DISTINCT g FROM regs) a,
+           (SELECT DISTINCT g FROM regs) b
+      WHERE a.g < b.g
+    ),
+    u AS (
+      SELECT p.g_a, p.g_b, r.reg, max(r.m) AS m
+      FROM pairs p JOIN regs r ON r.g = p.g_a OR r.g = p.g_b
+      GROUP BY 1, 2, 3
+    ),
+    est_u AS (
+      {fin.format(keys="g_a, g_b",
+                  agg=est.format(keys="g_a, g_b", src="u"))}
+    ),
+    exact_pair AS (
+      SELECT a.g AS g_a, b.g AS g_b,
+             count(*)::BIGINT AS exact_overlap
+      FROM (SELECT DISTINCT g, v FROM base) a
+      JOIN (SELECT DISTINCT g, v FROM base) b
+        ON a.v = b.v AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT p.g_a, p.g_b,
+           xa.exact AS exact_a, xb.exact AS exact_b,
+           coalesce(xp.exact_overlap, 0)::BIGINT AS exact_overlap,
+           round(ea.est, 6) AS est_a,
+           round(eb.est, 6) AS est_b,
+           round(eu.est, 6) AS est_union,
+           round(ea.est + eb.est - eu.est, 6) AS est_overlap,
+           round(abs(ea.est + eb.est - eu.est
+                     - coalesce(xp.exact_overlap, 0)::DOUBLE), 6)
+             AS abs_err
+    FROM pairs p
+    JOIN est_one ea ON ea.g = p.g_a
+    JOIN est_one eb ON eb.g = p.g_b
+    JOIN est_u eu USING (g_a, g_b)
+    JOIN exact_one xa ON xa.g = p.g_a
+    JOIN exact_one xb ON xb.g = p.g_b
+    LEFT JOIN exact_pair xp USING (g_a, g_b)
+    ORDER BY g_a, g_b
+    """
+
+
+@query("x7_hll_md5_overlap", _hll_sql())
+def x7_hll_md5_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — audience overlap from DETERMINISTIC md5-register
+    HyperLogLogs (round 11): the full-oracle twin of the rows-only
+    Spark-sketch x7_audience_overlap, upgraded the way the md5-MinHash
+    twin upgraded the MinHash family — register = first 8 md5 bits,
+    ρ = leading zeros of the next 60 (string arithmetic both engines
+    replay), union sketch = register-wise MAX (the mergeability HLL
+    exists for), |A∩B| by inclusion-exclusion, with exact distincts
+    alongside as the accuracy certificate. One pass builds all
+    register maxima; pair estimates merge 256-row frames, never
+    rescanning members (operators/sketches.py:
+    hll_md5_overlap_report)."""
+    from vectordb_migrator_spark.operators.sketches import (
+        hll_md5_overlap_report,
+    )
+
+    return hll_md5_overlap_report(
+        _t(spark, sf_dir, "events"), "user_id", group_col="event_type"
+    )
+
+
 def _pd_sql() -> str:
     """Recursive-CTE DuckDB oracle for x9_power_deflation: the exact
     integer scatter + rescale, the PC1 power loop, the integer
