@@ -82,3 +82,39 @@ def test_id_gap_audit_dense_sequence_reports_nothing(spark):
 
     df = spark.createDataFrame([(k,) for k in range(500)], "k long")
     assert id_gap_audit(df, "k", bucket=64).count() == 0
+
+
+def test_benford_report_planted_distributions(spark):
+    """A Benford-sampled column passes (chi2 small); a constant-digit
+    column is flagged with the break localized to its digit; digits
+    never seen still appear with n=0; non-positive rows are excluded."""
+    import math
+    import random
+
+    from vectordb_migrator_spark.operators.validation import (
+        benford_report,
+    )
+
+    random.seed(11)
+    # draw leading digits from the Benford pmf, random magnitudes
+    probs = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    rows = []
+    for i in range(4000):
+        d = random.choices(range(1, 10), weights=probs)[0]
+        mag = 10 ** random.randint(0, 3)
+        rows.append((i, float(d * mag + random.random() * mag * 0.9)))
+    rows.append((99990, -5.0))  # excluded
+    rows.append((99991, None))  # excluded
+    good = spark.createDataFrame(rows, "id long, v double")
+    rep = benford_report(good, "v").collect()
+    assert [r["digit"] for r in rep] == list(range(1, 10))
+    assert rep[0]["n_total"] == 4000
+    assert not rep[0]["suspicious"], rep[0]["chi2"]
+
+    bad = spark.createDataFrame(
+        [(i, 700.0 + i % 50) for i in range(2000)], "id long, v double"
+    )
+    rep2 = {r["digit"]: r for r in benford_report(bad, "v").collect()}
+    assert rep2[1]["suspicious"]
+    assert rep2[7]["n"] == 2000 and rep2[1]["n"] == 0
+    assert rep2[7]["chi2_contrib"] > rep2[5]["chi2_contrib"]

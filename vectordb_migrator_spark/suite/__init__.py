@@ -72,6 +72,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x5_ngram_novelty",
     "x10_temperature_mixing",
     "x7_hll_md5_overlap",
+    "x12_benford_chi2",
 ]
 
 

@@ -960,6 +960,77 @@ def x7_hll_md5_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _benford_sql() -> str:
+    """DuckDB oracle for x12_benford: the same nine literal Benford
+    probabilities (embedded from one Python computation so both
+    engines fold identical doubles), integer-cents leading digit via
+    integer-to-string, and the chi-squared fold."""
+    import math
+
+    probs = [repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+    plist = ", ".join(f"({d + 1}, {p})" for d, p in enumerate(probs))
+    return f"""
+    WITH counts AS (
+      SELECT substr(floor(l_extendedprice * 100 + 0.5)::BIGINT::VARCHAR,
+                    1, 1)::INT AS digit,
+             count(*)::BIGINT AS n
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+      GROUP BY 1
+    ),
+    digits AS (
+      SELECT d.digit::INT AS digit, d.p::DOUBLE AS exp_share
+      FROM (VALUES {plist}) d(digit, p)
+    ),
+    full_t AS (
+      SELECT dg.digit, dg.exp_share, coalesce(c.n, 0)::BIGINT AS n
+      FROM digits dg LEFT JOIN counts c USING (digit)
+    ),
+    staged AS (
+      SELECT digit, n, sum(n) OVER () AS n_total,
+             round(n::DOUBLE / (sum(n) OVER ())::DOUBLE, 6) AS obs_share,
+             round(exp_share, 6) AS exp_share_r,
+             (n::DOUBLE - (sum(n) OVER ())::DOUBLE * exp_share)
+             * (n::DOUBLE - (sum(n) OVER ())::DOUBLE * exp_share)
+             / ((sum(n) OVER ())::DOUBLE * exp_share) AS contrib
+      FROM full_t
+    )
+    SELECT digit, n, n_total::BIGINT AS n_total, obs_share,
+           exp_share_r AS exp_share,
+           round(contrib, 6) AS chi2_contrib,
+           round(sum(contrib) OVER (), 6) AS chi2,
+           round(sum(contrib) OVER (), 6) > 15.507 AS suspicious
+    FROM staged ORDER BY digit
+    """
+
+
+@query("x12_benford_chi2", _benford_sql())
+def x12_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — Benford CHI-SQUARED audit (round 11): the formal test
+    layer over the round-7 per-digit deviation audit (x12_benford) —
+    same forensic screen, now with the df=8 chi-squared statistic,
+    per-digit contributions that LOCALIZE the break, and the 5%
+    critical-value flag, on a different money column (lineitem
+    extended price vs order totals). It remains the
+    classic fabricated-/degenerate-data screen for money-like
+    columns — natural multi-magnitude amounts follow
+    P(d) = log10(1+1/d); synthetic or truncated data does not, and
+    the per-digit chi-squared contributions localize the break.
+    Determinism: integer-cents leading digit via integer→string (the
+    one string form engines agree on, unlike double formatting) and
+    the nine Benford probabilities embedded as identical literal
+    doubles on both sides (operators/validation.py:benford_report).
+    TPC-H prices are uniform-ish, not Benford — the point of the
+    audit row is the honest chi2, whatever it says."""
+    from vectordb_migrator_spark.operators.validation import (
+        benford_report,
+    )
+
+    return benford_report(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+
+
 def _pd_sql() -> str:
     """Recursive-CTE DuckDB oracle for x9_power_deflation: the exact
     integer scatter + rescale, the PC1 power loop, the integer
