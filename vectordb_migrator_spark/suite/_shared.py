@@ -95,6 +95,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # a duplicate registration SILENTLY shadows the earlier
+            # query (import order wins) — round 11 briefly lost the
+            # round-7 x12_benford this way; fail loudly instead
+            raise ValueError(
+                f"query {name!r} is already registered "
+                f"({QUERIES[name].__module__}); pick a new name"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
