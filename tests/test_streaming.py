@@ -1253,3 +1253,66 @@ def test_ks_binned_ingest_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert by_g["a"][5] <= exact["a"] + 1e-9
+
+
+def test_novelty_ingest_matches_batch(spark, tmp_path):
+    """Streaming ingest-time novelty: with an id-ordered stream the
+    concatenated at-ingest scores are BIT-FOR-BIT the batch
+    ngram_novelty_report on the full corpus (a later larger id can
+    never steal a gram's first occurrence), and replay appends
+    nothing to either store."""
+    from vectordb_migrator_spark.operators.dedup import (
+        ngram_novelty_report,
+    )
+    from vectordb_migrator_spark.streaming.incremental import (
+        novelty_ingest,
+        novelty_over,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),          # exact copy of 1
+        (3, "c d e f g"),          # partial overlap
+        (4, "h i j k l"),          # fresh
+        (5, "f g h zz yy"),        # overlaps 3 and 4's grams? (f g h)
+        (6, "a b c xx ww"),        # overlaps 1
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "grams")
+    scores = str(tmp_path / "scores")
+    # id-ordered chunks: 1-3 then 4-6
+    spark.createDataFrame(rows[:3], schema).write.parquet(src)
+
+    def run():
+        q = novelty_ingest(
+            spark, source_path=src, source_schema=schema,
+            store_path=store, scores_path=scores,
+            checkpoint=str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows[3:], schema).write.mode("append").parquet(
+        src
+    )
+    run()
+
+    got = sorted(tuple(r) for r in novelty_over(spark, scores).collect())
+    want = sorted(
+        tuple(r)
+        for r in ngram_novelty_report(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    )
+    assert got == want
+
+    before = (
+        spark.read.parquet(scores).count(),
+        spark.read.parquet(store).count(),
+    )
+    run()  # same checkpoint, no new files
+    assert (
+        spark.read.parquet(scores).count(),
+        spark.read.parquet(store).count(),
+    ) == before

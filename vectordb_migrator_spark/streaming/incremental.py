@@ -2090,3 +2090,145 @@ def ks_over(
         F.when(ok, F.round(lam, 6)).alias("lambda"),
         F.when(ok, F.round(lam, 6) > F.lit(crit)).alias("significant"),
     ).orderBy("g")
+
+
+def novelty_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    store_path: str,
+    scores_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    trigger_once: bool = True,
+):
+    """Ingest-time n-gram novelty — the streaming twin of
+    ``operators/dedup.py:ngram_novelty_report`` in its production
+    shape: each arriving document is scored AGAINST EVERYTHING SEEN SO
+    FAR at the moment it lands ("how much new text is this crawl
+    adding"), and the only state carried between batches is the
+    (gram, min_id) first-occurrence table — mergeable by pure MIN,
+    the same way the CUSUM/KS stores merge by addition. Per batch:
+    shingle, fold the batch's own gram minima, join the store's
+    minima (min of mins = the global first occurrence), score each
+    batch document (novel gram = one whose global minimum IS the
+    document), append the scores and the new gram partials.
+
+    Equivalence contract: when the stream respects id order (ids only
+    grow across batches — the append-log norm), the concatenated
+    ingest-time scores are BIT-FOR-BIT the batch operator's output on
+    the full corpus, because a later-arriving larger id can never
+    steal a gram's minimum (runtime-tested). Out-of-order arrivals
+    get honest ARRIVAL-order novelty — the at-ingest semantics a gate
+    actually acts on. Replay-idempotent via (gram|doc, batch_id)
+    anti-joins on both stores."""
+    from pyspark.sql.utils import AnalysisException
+
+    from vectordb_migrator_spark.operators.dedup import shingle_table
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sh = shingle_table(
+            batch_df, id_col=id_col, text_col=text_col, n=n
+        )
+        ex = sh.select("id", F.explode("sh").alias("gram"))
+        bmin = ex.groupBy("gram").agg(F.min("id").alias("bmin"))
+        try:
+            hist = (
+                sess.read.parquet(store_path)
+                .groupBy("gram")
+                .agg(F.min("min_id").alias("hmin"))
+            )
+            gmin = bmin.join(hist, "gram", "left").select(
+                "gram",
+                "bmin",
+                F.least(
+                    F.col("bmin"), F.coalesce("hmin", F.col("bmin"))
+                ).alias("gmin"),
+            )
+        except AnalysisException:
+            gmin = bmin.select(
+                "gram", "bmin", F.col("bmin").alias("gmin")
+            )
+        novel = (
+            ex.join(gmin.select("gram", "gmin"), "gram")
+            .filter(F.col("gmin") == F.col("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+        )
+        scores = (
+            sh.select("id", "sh_n")
+            .join(novel, "id", "left")
+            .select(
+                F.col("id"),
+                F.col("sh_n").cast("long").alias("n_shingles"),
+                F.coalesce("n_novel", F.lit(0)).cast("long").alias(
+                    "n_novel"
+                ),
+                F.when(
+                    F.col("sh_n") > 0,
+                    F.round(
+                        F.coalesce("n_novel", F.lit(0)).cast("double")
+                        / F.col("sh_n").cast("double"),
+                        6,
+                    ),
+                ).alias("novelty"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        partials = gmin.select(
+            "gram", F.col("bmin").alias("min_id")
+        ).withColumn("batch_id", F.lit(batch_id))
+        try:
+            seen = sess.read.parquet(scores_path).select("id", "batch_id")
+            scores = scores.join(seen, ["id", "batch_id"], "left_anti")
+        except AnalysisException:
+            pass
+        scores.write.mode("append").parquet(scores_path)
+        try:
+            seeng = sess.read.parquet(store_path).select(
+                "gram", "batch_id"
+            )
+            partials = partials.join(
+                seeng, ["gram", "batch_id"], "left_anti"
+            )
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(store_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .options(**(reader_options or {}))
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def novelty_over(spark: SparkSession, scores_path: str) -> DataFrame:
+    """Current per-document novelty scores of a :func:`novelty_ingest`
+    run, in the batch operator's schema and order — one score per
+    document (the at-ingest value; replay re-delivery appends
+    nothing)."""
+    return (
+        spark.read.parquet(scores_path)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            "n_novel",
+            "novelty",
+        )
+        .orderBy("doc_id")
+    )
