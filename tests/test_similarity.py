@@ -1671,3 +1671,37 @@ def test_graph_pq_route_validates_params(spark):
         graph_pq_route_recall(
             df, [0.0] * 8, sample_size=5, pq_k=16, m=2
         )
+
+
+def test_ivf_fp_certificate_planted_clusters(spark):
+    """Planted geometry: 4 tight clusters; ids 0..7 seed the fit, the
+    probe sits in cluster 0, and nprobe=2 must scan a strict subset
+    of the corpus while recalling the full exact top-k (the nearest
+    points all live in the probed clusters)."""
+    import pytest
+
+    from vectordb_migrator_spark.operators.similarity import (
+        ivf_fp_certificate,
+    )
+
+    centers = [
+        [0.0] * 8,
+        [10.0] + [0.0] * 7,
+        [0.0, 10.0] + [0.0] * 6,
+        [0.0, 0.0, 10.0] + [0.0] * 5,
+    ]
+    rows = []
+    for i in range(48):
+        c = centers[i % 4]
+        rows.append((i, [v + (i % 5) * 0.01 for v in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_fp_certificate(
+        df, [0.01] * 8, k_clusters=8, nprobe=2, topk=6, n_iter=3
+    ).collect()
+    assert [r["rank"] for r in out] == list(range(1, 7))
+    assert all(r["hit"] for r in out)  # probed clusters hold the truth
+    assert 0 < out[0]["n_candidates"] < 48
+    assert out[0]["d2"] <= out[-1]["d2"]
+
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_fp_certificate(df, [0.0] * 8, nprobe=0)

@@ -1506,6 +1506,122 @@ def pq_learned_codebooks_fp(
         sub.unpersist()
 
 
+def ivf_fp_certificate(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    k_clusters: int = 8,
+    nprobe: int = 2,
+    topk: int = 10,
+    n_iter: int = 3,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ENGINE-EXACT IVF retrieval certificate (round 11) — the
+    fixed-point twin of the rows-only ``x4_kmeans_ivf``, built the way
+    the integer Lloyd unroll converted the PQ family: the coarse
+    quantizer is :func:`pq_learned_codebooks_fp` with ONE subspace
+    (m=1 ⇒ plain k-means on the full vector, every quantity int64),
+    assignment and probe routing are exact integer distances with
+    lowest-index ties, and the final ranking is exact int64 L2 — so
+    the fitted centroids, the probed clusters, the candidate set, and
+    the returned top-k replay bit-for-bit in the unrolled-Lloyd SQL
+    oracle. The float ``x4_kmeans_ivf`` stays as the
+    production-shaped differential twin; this row is its value-hash
+    anchor.
+
+    Returns ``topk`` rows: (rank, vec_id, d2 — the int64 squared
+    distance at ``scale`` fixed point, hit — membership in the exact
+    brute-force top-k, n_candidates — how much of the corpus the
+    probe actually scanned, the IVF trade made visible).
+
+    Scale shape: the fit is the PQ operator's (one persisted exploded
+    frame, k·d integer partials per iteration); assignment is one
+    codegen pass; candidates filter to ``nprobe`` clusters BEFORE any
+    ranking, and both rankings are TakeOrdered-shaped windows.
+    """
+    if nprobe < 1 or nprobe > k_clusters:
+        raise ValueError("need 1 <= nprobe <= k_clusters")
+    cbs = pq_learned_codebooks_fp(
+        df, m=1, k=k_clusters, n_iter=n_iter, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cents = cbs[0]  # k centroids of d ints each
+    pfix = [
+        int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5)
+        for x in probe
+    ]
+    # probe routing happens on the driver over k model-sized rows
+    pdists = [
+        (sum((pfix[i] - cw[i]) ** 2 for i in range(len(pfix))), j)
+        for j, cw in enumerate(cents)
+    ]
+    probed = sorted(pdists)[:nprobe]
+    probed_js = [j for _, j in probed]
+
+    iv = fixed_point_array(F.col(vec_col), scale)
+    cands_lit = F.array(
+        *[F.array(*[F.lit(int(x)) for x in cw]) for cw in cents]
+    )
+    cdists = F.transform(
+        cands_lit,
+        lambda cw: F.aggregate(
+            F.zip_with(F.col("__iv"), cw, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ),
+    )
+    assign = (F.array_position(cdists, F.array_min(cdists)) - 1).cast(
+        "int"
+    )
+    plit = F.array(*[F.lit(int(v)) for v in pfix])
+    d2 = F.aggregate(
+        F.zip_with(F.col("__iv"), plit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), iv.alias("__iv")
+    ).select("__id", "__iv", assign.alias("__j"), d2.alias("__d2"))
+    base = base.localCheckpoint(eager=True)
+    rk = F.row_number().over(W.partitionBy().orderBy("__d2", "__id"))
+    exact = (
+        base.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= topk)
+        .select("__id")
+    )
+    cand = base.filter(F.col("__j").isin(*probed_js))
+    nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    ivf = (
+        cand.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= topk)
+        .select(
+            F.col("__rk").cast("long").alias("rank"),
+            F.col("__id").alias(id_col),
+            F.col("__d2").alias("d2"),
+        )
+    )
+    return (
+        ivf.join(
+            exact.select(F.col("__id").alias(id_col)).withColumn(
+                "hit", F.lit(True)
+            ),
+            id_col,
+            "left",
+        )
+        .crossJoin(nc)
+        .select(
+            "rank",
+            id_col,
+            "d2",
+            F.coalesce("hit", F.lit(False)).alias("hit"),
+            "n_candidates",
+        )
+        .orderBy("rank")
+    )
+
+
 def pq_anisotropic_report(
     df: DataFrame,
     codebooks: list[list[list[float]]],

@@ -73,6 +73,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x10_temperature_mixing",
     "x7_hll_md5_overlap",
     "x12_benford_chi2",
+    "x4_ivf_fp",
 ]
 
 

@@ -1031,6 +1031,134 @@ def x12_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivffp_sql(n_iter: int = 3, k: int = 8, d: int = 64) -> str:
+    """Unrolled-Lloyd DuckDB oracle for x4_ivf_fp: the m=1 instance of
+    the proven x9_pq_learned_error iteration template (exact int64
+    assignment with lowest-j ties, exact integer half-away centroid
+    averages, empty clusters keep the previous codeword), then the
+    IVF readout — probe-to-centroid routing, nprobe=2 cluster
+    candidates, exact int64 top-10, brute-force hit flags."""
+    fx = (
+        "list_transform({col}, x -> (CASE WHEN x >= 0 THEN "
+        "floor(x * 10000.0 + 0.5) ELSE -floor(-x * 10000.0 + 0.5) "
+        "END)::BIGINT)"
+    )
+    iters = []
+    for t in range(1, n_iter + 1):
+        prev = f"cb{t - 1}"
+        iters.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT sub.vec_id, sub.s, cb.j,
+             list_sum([ (sub.sv[i] - cb.cw[i]) * (sub.sv[i] - cb.cw[i])
+                        for i in range(1, {d + 1}) ]) AS dist
+      FROM sub JOIN {prev} cb USING (s)
+    ), w{t} AS MATERIALIZED (
+      SELECT vec_id, s, j,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist, j) AS rn
+      FROM a{t}
+    ), u{t} AS MATERIALIZED (
+      SELECT sub.s, w.j, g.i AS pos,
+             sum(sub.sv[g.i]) AS ssum, count(*) AS n
+      FROM sub
+      JOIN w{t} w ON w.vec_id = sub.vec_id AND w.s = sub.s AND w.rn = 1
+      CROSS JOIN range(1, {d + 1}) g(i)
+      GROUP BY sub.s, w.j, g.i
+    ), cb{t} AS MATERIALIZED (
+      SELECT c.s, c.j, coalesce(u.cw, c.cw) AS cw
+      FROM {prev} c LEFT JOIN (
+        SELECT s, j,
+               list((CASE WHEN ssum >= 0 THEN (2 * ssum + n) // (2 * n)
+                          ELSE -((-2 * ssum + n) // (2 * n))
+                     END)::BIGINT ORDER BY pos) AS cw
+        FROM u{t} GROUP BY s, j
+      ) u ON u.s = c.s AND u.j = c.j
+    )""")
+    return f"""
+    WITH iv AS MATERIALIZED (
+      SELECT vec_id, {fx.format(col="embedding::DOUBLE[]")} AS iv
+      FROM embeddings
+    ), sub AS MATERIALIZED (
+      SELECT vec_id, 0::INT AS s, iv AS sv FROM iv
+    ), cb0 AS MATERIALIZED (
+      SELECT 0::INT AS s, vec_id::INT AS j, iv AS cw
+      FROM iv WHERE vec_id < {k}
+    ),{",".join(iters)}
+    , p AS (
+      SELECT {fx.format(col="(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)")} AS pv
+    ), pd AS (
+      SELECT cb.j,
+             list_sum([ (p.pv[i] - cb.cw[i]) * (p.pv[i] - cb.cw[i])
+                        for i in range(1, {d + 1}) ]) AS dist
+      FROM cb{n_iter} cb, p
+    ), pc AS (
+      SELECT j FROM (
+        SELECT j, row_number() OVER (ORDER BY dist, j) AS rn FROM pd)
+      WHERE rn <= 2
+    ), asg AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT a.vec_id, a.j,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY a.dist, a.j) AS rn
+        FROM (
+          SELECT sub.vec_id, cb.j,
+                 list_sum([ (sub.sv[i] - cb.cw[i])
+                            * (sub.sv[i] - cb.cw[i])
+                            for i in range(1, {d + 1}) ]) AS dist
+          FROM sub JOIN cb{n_iter} cb USING (s)) a)
+      WHERE rn = 1
+    ), d2t AS MATERIALIZED (
+      SELECT iv.vec_id,
+             list_sum([ (iv.iv[i] - p.pv[i]) * (iv.iv[i] - p.pv[i])
+                        for i in range(1, {d + 1}) ])::BIGINT AS d2
+      FROM iv, p
+    ), exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY d2, vec_id) AS rk
+        FROM d2t)
+      WHERE rk <= 10
+    ), cand AS MATERIALIZED (
+      SELECT d.vec_id, d.d2
+      FROM d2t d JOIN asg USING (vec_id)
+      WHERE asg.j IN (SELECT j FROM pc)
+    )
+    SELECT rk::BIGINT AS rank, vec_id, d2,
+           vec_id IN (SELECT vec_id FROM exact) AS hit,
+           (SELECT count(*) FROM cand)::BIGINT AS n_candidates
+    FROM (
+      SELECT vec_id, d2,
+             row_number() OVER (ORDER BY d2, vec_id) AS rk
+      FROM cand)
+    WHERE rk <= 10 ORDER BY rank
+    """
+
+
+@query("x4_ivf_fp", _ivffp_sql())
+def x4_ivf_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — ENGINE-EXACT IVF retrieval certificate (round 11): the
+    fixed-point twin of the rows-only x4_kmeans_ivf, converted the
+    way the integer Lloyd unroll converted PQ training — the coarse
+    quantizer is pq_learned_codebooks_fp with ONE subspace (= plain
+    k-means on the full vector, every quantity int64), assignment /
+    probe routing / final ranking are exact integer distances with
+    lowest-index ties, so the fitted centroids, the probed clusters,
+    the candidate set, the top-10, and the brute-force hit flags all
+    replay bit-for-bit in the unrolled-Lloyd oracle. n_candidates
+    makes the IVF trade visible: the probe scanned a fraction of the
+    corpus for the recall the hit column reports
+    (operators/similarity.py:ivf_fp_certificate)."""
+    from vectordb_migrator_spark.operators.similarity import (
+        ivf_fp_certificate,
+    )
+    from vectordb_migrator_spark.suite._shared import _probe_vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    return ivf_fp_certificate(
+        emb, probe, k_clusters=8, nprobe=2, topk=10, n_iter=3,
+    )
+
+
 def _pd_sql() -> str:
     """Recursive-CTE DuckDB oracle for x9_power_deflation: the exact
     integer scatter + rescale, the PC1 power loop, the integer
