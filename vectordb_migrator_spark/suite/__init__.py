@@ -74,6 +74,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x7_hll_md5_overlap",
     "x12_benford_chi2",
     "x4_ivf_fp",
+    "x6_jpeg_progressive_thumb",
 ]
 
 

@@ -244,6 +244,137 @@ def x6_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_exif_features(payloads).orderBy("doc_id")
 
 
+def _jpt_sql() -> str:
+    """Thumb-grid DuckDB oracle for x6_jpeg_progressive_thumb: on the
+    MCU-constant 4:2:0 progressive fixtures every luma block is
+    DC-only, so each 16x16 MCU contributes up to 2x2 thumbnail pixels
+    of ONE color — the same IEEE YCbCr round-trip as the full-decode
+    oracle, weighted by the MCU's clipped THUMB-pixel count."""
+    rh = "(CASE WHEN ({x}) >= 0 THEN floor(({x}) + 0.5) ELSE -floor(-({x}) + 0.5) END)"
+    cl = "least(greatest({x}, 0.0), 255.0)"
+
+    def chain(expr):
+        return cl.format(x=rh.format(x=expr))
+
+    y = chain("0.299 * r + 0.587 * g + 0.114 * b")
+    cb = chain("128 - 0.168736 * r - 0.331264 * g + 0.5 * b")
+    cr = chain("128 + 0.5 * r - 0.418688 * g - 0.081312 * b")
+    r2 = chain("y + 1.402 * (cr - 128)")
+    g2 = chain("y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)")
+    b2 = chain("y + 1.772 * (cb - 128)")
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             (16 * (1 + doc_id % 3) + doc_id % 7)::INT AS w,
+             (16 * (1 + doc_id % 2) + doc_id % 11)::INT AS h,
+             ((16 * (1 + doc_id % 3) + doc_id % 7 + 7) // 8)::INT AS tw,
+             ((16 * (1 + doc_id % 2) + doc_id % 11 + 7) // 8)::INT AS th
+      FROM documents
+    ),
+    grid AS (
+      SELECT xs.range AS mx, ys.range AS my
+      FROM range(0, 4) xs, range(0, 3) ys
+    ),
+    mcus AS (
+      SELECT d.doc_id, d.tw, d.th, g.mx, g.my,
+             ((41 * g.mx + 23 * g.my + 5 * d.doc_id) % 256)::DOUBLE AS r,
+             ((13 * g.mx + 61 * g.my + 3 * d.doc_id + 11) % 256)::DOUBLE AS g,
+             ((53 * g.mx + 19 * g.my + 7 * d.doc_id + 29) % 256)::DOUBLE AS b,
+             (least(d.tw, 2 * (g.mx + 1)) - 2 * g.mx)::BIGINT AS nx,
+             (least(d.th, 2 * (g.my + 1)) - 2 * g.my)::BIGINT AS ny
+      FROM dims d JOIN grid g ON 2 * g.mx < d.tw AND 2 * g.my < d.th
+    ),
+    ycc AS (
+      SELECT doc_id, tw, th, mx, my, nx, ny,
+             {y} AS y, {cb} AS cb, {cr} AS cr
+      FROM mcus
+    ),
+    dec AS (
+      SELECT doc_id, tw, th, mx, my, nx, ny,
+             {r2}::BIGINT AS dr, {g2}::BIGINT AS dg, {b2}::BIGINT AS db
+      FROM ycc
+    )
+    SELECT doc_id,
+           max(tw) AS thumb_w, max(th) AS thumb_h,
+           3::INT AS n_components,
+           sum(dr * nx * ny)::BIGINT AS sum_r,
+           sum(dg * nx * ny)::BIGINT AS sum_g,
+           sum(db * nx * ny)::BIGINT AS sum_b,
+           max(CASE WHEN mx = 0 AND my = 0 THEN dr END)::INT AS px00_r,
+           max(CASE WHEN mx = 0 AND my = 0 THEN dg END)::INT AS px00_g,
+           max(CASE WHEN mx = 0 AND my = 0 THEN db END)::INT AS px00_b
+    FROM dec GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("x6_jpeg_progressive_thumb", _jpt_sql())
+def x6_jpeg_progressive_thumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — DC thumbnails from PROGRESSIVE streams (round 11): the
+    pairing progressive encoding exists for — the DC coefficients
+    arrive in the FIRST scan, so a 1/8-scale preview of a progressive
+    corpus needs only the cheap scans, and `dc_only=True` skips IDCT
+    and full-plane assembly exactly as on baseline. Same MCU-constant
+    4:2:0 fixtures as x6_jpeg_progressive (restart intervals rotate),
+    decoded through jpeg_thumbnail_features: the thumb grid is
+    ceil(w/8)×ceil(h/8), each 16×16 MCU owns up to 2×2 thumb pixels
+    of one color, and the oracle replays the IEEE chain per MCU times
+    its clipped THUMB-pixel count. One wrong DC-refinement bit or
+    upsample offset moves the sums
+    (operators/multimodal.py:jpeg_decode dc_only + progressive)."""
+    from vectordb_migrator_spark.operators.multimodal import (
+        jpeg_thumbnail_features,
+    )
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from vectordb_migrator_spark.operators.multimodal import (
+            jpeg_encode_progressive,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 16 * (1 + d % 3) + d % 7
+                h = 16 * (1 + d % 2) + d % 11
+                px = np.empty((h, w, 3), np.uint8)
+                for my in range(-(-h // 16)):
+                    for mx in range(-(-w // 16)):
+                        sl = (
+                            slice(my * 16, my * 16 + 16),
+                            slice(mx * 16, mx * 16 + 16),
+                        )
+                        px[sl[0], sl[1], 0] = (41 * mx + 23 * my + 5 * d) % 256
+                        px[sl[0], sl[1], 1] = (
+                            13 * mx + 61 * my + 3 * d + 11
+                        ) % 256
+                        px[sl[0], sl[1], 2] = (
+                            53 * mx + 19 * my + 7 * d + 29
+                        ) % 256
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "payload": bytearray(
+                            jpeg_encode_progressive(
+                                px,
+                                subsampling="420",
+                                restart_interval=d % 4,
+                            )
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = (
+        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
+        .mapInPandas(gen, schema="doc_id long, payload binary")
+    )
+    return jpeg_thumbnail_features(payloads).orderBy("doc_id")
+
+
 def _pqr_sql() -> str:
     """Hop-unrolled DuckDB oracle for x4_graph_pq_route: the md5
     sample, exact int64 k-NN graph, sampled PQ codebooks, per-node
