@@ -1800,3 +1800,99 @@ def ngram_novelty_report(
         )
         .orderBy(id_col)
     )
+
+
+def semantic_dedup_fp(
+    df: DataFrame,
+    *,
+    k_clusters: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.6,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ENGINE-EXACT SemDeDup (round 11) — the fixed-point twin of the
+    rows-only ``x2_semdedup_fitted``, completing the conversion
+    pattern that anchored PQ training and IVF: the cluster centroids
+    come from the integer Lloyd fit (:func:`~vectordb_migrator_spark.
+    operators.similarity.pq_learned_codebooks_fp` at m=1), assignment
+    is exact int64 distance with lowest-index ties, and the SemDeDup
+    keep rule — drop a row iff a SAME-CLUSTER row with a smaller id is
+    cosine-similar above ``threshold`` — runs on QUANTIZED cosines:
+    L2-normalize (the fixed-order IEEE fold both engines replay),
+    fix-point at ``scale``, exact int64 dot, integer threshold
+    ``round(threshold·scale²)``. Centroids, assignments, every pair
+    decision, and the survivor set replay bit-for-bit in SQL.
+
+    Returns the survivors as ``(id_col, cluster)`` ordered by id —
+    the float :func:`semantic_dedup` stays as the production-shaped
+    operator (arbitrary centroids, max_bucket star cap); this is its
+    value-hash anchor. Scale shape: the fit is the PQ operator's;
+    the pair test is the same cluster-blocked self-join, bounded by
+    cluster sizes (block + cap with the float twin when skew bites).
+    """
+    from vectordb_migrator_spark.functions.vector import l2_normalize
+    from vectordb_migrator_spark.operators.similarity import (
+        fixed_point_array,
+        pq_learned_codebooks_fp,
+    )
+
+    cbs = pq_learned_codebooks_fp(
+        df, m=1, k=k_clusters, n_iter=n_iter, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cents = cbs[0]
+    t_int = int(round(threshold * scale * scale))
+    iv = fixed_point_array(F.col(vec_col), scale)
+    cands = F.array(
+        *[F.array(*[F.lit(int(x)) for x in cw]) for cw in cents]
+    )
+    cdists = F.transform(
+        cands,
+        lambda cw: F.aggregate(
+            F.zip_with(F.col("__iv"), cw, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ),
+    )
+    assign = (F.array_position(cdists, F.array_min(cdists)) - 1).cast(
+        "int"
+    )
+    nint = fixed_point_array(l2_normalize(F.col(vec_col)), scale)
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            iv.alias("__iv"),
+            nint.alias("__nv"),
+        )
+        .select("__id", "__nv", assign.alias("cluster"))
+        .localCheckpoint(eager=True)
+    )
+    a = base.select(
+        F.col("__id").alias("__ida"), F.col("__nv").alias("__nva"),
+        "cluster",
+    )
+    b = base.select(
+        F.col("__id").alias("__idb"), F.col("__nv").alias("__nvb"),
+        "cluster",
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__nva"), F.col("__nvb"), lambda p, q: p * q
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    losers = (
+        a.join(b, ["cluster"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(dot >= F.lit(t_int))
+        .select(F.col("__idb").alias("__id"))
+        .distinct()
+    )
+    return (
+        base.join(losers, "__id", "left_anti")
+        .select(F.col("__id").alias(id_col), "cluster")
+        .orderBy(id_col)
+    )

@@ -75,6 +75,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x12_benford_chi2",
     "x4_ivf_fp",
     "x6_jpeg_progressive_thumb",
+    "x2_semdedup_fp",
 ]
 
 

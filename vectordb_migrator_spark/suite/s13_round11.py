@@ -1162,18 +1162,21 @@ def x12_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivffp_sql(n_iter: int = 3, k: int = 8, d: int = 64) -> str:
-    """Unrolled-Lloyd DuckDB oracle for x4_ivf_fp: the m=1 instance of
-    the proven x9_pq_learned_error iteration template (exact int64
-    assignment with lowest-j ties, exact integer half-away centroid
-    averages, empty clusters keep the previous codeword), then the
-    IVF readout — probe-to-centroid routing, nprobe=2 cluster
-    candidates, exact int64 top-10, brute-force hit flags."""
-    fx = (
-        "list_transform({col}, x -> (CASE WHEN x >= 0 THEN "
-        "floor(x * 10000.0 + 0.5) ELSE -floor(-x * 10000.0 + 0.5) "
-        "END)::BIGINT)"
-    )
+_FX_SQL = (
+    "list_transform({col}, x -> (CASE WHEN x >= 0 THEN "
+    "floor(x * 10000.0 + 0.5) ELSE -floor(-x * 10000.0 + 0.5) "
+    "END)::BIGINT)"
+)
+
+
+def _lloyd_prologue(n_iter: int, k: int, d: int) -> str:
+    """The shared unrolled-Lloyd WITH-prologue (m=1 instance of the
+    proven x9_pq_learned_error template): fixed-point vectors,
+    lowest-id seeds, and ``n_iter`` iterations of exact int64
+    assignment (lowest-j ties) + exact integer half-away centroid
+    averages with empty clusters keeping the previous codeword.
+    Used by both x4_ivf_fp and x2_semdedup_fp; ends after cb{n_iter}
+    (no trailing comma)."""
     iters = []
     for t in range(1, n_iter + 1):
         prev = f"cb{t - 1}"
@@ -1207,14 +1210,23 @@ def _ivffp_sql(n_iter: int = 3, k: int = 8, d: int = 64) -> str:
     )""")
     return f"""
     WITH iv AS MATERIALIZED (
-      SELECT vec_id, {fx.format(col="embedding::DOUBLE[]")} AS iv
+      SELECT vec_id, {_FX_SQL.format(col="embedding::DOUBLE[]")} AS iv
       FROM embeddings
     ), sub AS MATERIALIZED (
       SELECT vec_id, 0::INT AS s, iv AS sv FROM iv
     ), cb0 AS MATERIALIZED (
       SELECT 0::INT AS s, vec_id::INT AS j, iv AS cw
       FROM iv WHERE vec_id < {k}
-    ),{",".join(iters)}
+    ),{",".join(iters)}"""
+
+
+def _ivffp_sql(n_iter: int = 3, k: int = 8, d: int = 64) -> str:
+    """Unrolled-Lloyd DuckDB oracle for x4_ivf_fp: the shared Lloyd
+    prologue, then the IVF readout — probe-to-centroid routing,
+    nprobe=2 cluster candidates, exact int64 top-10, brute-force hit
+    flags."""
+    fx = _FX_SQL
+    return f"""{_lloyd_prologue(n_iter, k, d)}
     , p AS (
       SELECT {fx.format(col="(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)")} AS pv
     ), pd AS (
@@ -1287,6 +1299,78 @@ def x4_ivf_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = _probe_vector(spark, sf_dir)
     return ivf_fp_certificate(
         emb, probe, k_clusters=8, nprobe=2, topk=10, n_iter=3,
+    )
+
+
+def _semfp_sql(
+    n_iter: int = 3, k: int = 8, d: int = 64, threshold: float = 0.4
+) -> str:
+    """Unrolled-Lloyd DuckDB oracle for x2_semdedup_fp: the shared
+    Lloyd prologue, exact int64 cluster assignment, the
+    normalize→fix-point chain (the facility_location-proven
+    fragments), and the SemDeDup drop rule on quantized cosines."""
+    t_int = int(round(threshold * 10_000 * 10_000))
+    return f"""{_lloyd_prologue(n_iter, k, d)}
+    , asg AS MATERIALIZED (
+      SELECT vec_id, j AS cluster FROM (
+        SELECT a.vec_id, a.j,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY a.dist, a.j) AS rn
+        FROM (
+          SELECT sub.vec_id, cb.j,
+                 list_sum([ (sub.sv[i] - cb.cw[i])
+                            * (sub.sv[i] - cb.cw[i])
+                            for i in range(1, {d + 1}) ]) AS dist
+          FROM sub JOIN cb{n_iter} cb USING (s)) a)
+      WHERE rn = 1
+    ), nv_t AS MATERIALIZED (
+      SELECT vec_id,
+             {_FX_SQL.format(
+                 col="(CASE WHEN nrm = 0 THEN dv "
+                     "ELSE list_transform(dv, x -> x / nrm) END)")}
+               AS nv
+      FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS dv,
+               sqrt(list_sum([ (embedding::DOUBLE[])[i + 1]
+                               * (embedding::DOUBLE[])[i + 1]
+                               for i in range({d}) ])) AS nrm
+        FROM embeddings)
+    ), n2 AS MATERIALIZED (
+      SELECT a.vec_id, a.cluster, n.nv
+      FROM asg a JOIN nv_t n USING (vec_id)
+    ), losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM n2 a JOIN n2 b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_sum([ a.nv[i + 1] * b.nv[i + 1]
+                       for i in range({d}) ]) >= {t_int}
+    )
+    SELECT vec_id, cluster::INT AS cluster
+    FROM asg
+    WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    ORDER BY vec_id
+    """
+
+
+@query("x2_semdedup_fp", _semfp_sql())
+def x2_semdedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — ENGINE-EXACT SemDeDup (round 11): the fixed-point twin of
+    the rows-only x2_semdedup_fitted, completing the integer-Lloyd
+    conversion pattern (PQ training → IVF → SemDeDup): centroids from
+    the m=1 fixed-point Lloyd fit, exact int64 assignment with
+    lowest-index ties, and the SemDeDup keep rule (drop iff a
+    same-cluster smaller-id row is cosine-similar above threshold) on
+    QUANTIZED cosines — normalize with the fixed-order IEEE fold,
+    fix-point at 1e4, int64 dot against an integer threshold. The
+    fitted centroids, every pair decision, and the survivor set
+    replay bit-for-bit in the unrolled-Lloyd oracle; the float
+    semantic_dedup stays as the production operator
+    (operators/dedup.py:semantic_dedup_fp)."""
+    from vectordb_migrator_spark.operators.dedup import semantic_dedup_fp
+
+    return semantic_dedup_fp(
+        _t(spark, sf_dir, "embeddings"),
+        k_clusters=8, n_iter=3, threshold=0.4,
     )
 
 
