@@ -838,3 +838,93 @@ def test_tar_zip_codec_roundtrip_property(members):
     assert z.testzip() is None
     got = {n: z.read(n) for n in z.namelist()}
     assert got == dict(members)
+
+
+@given(
+    orientation=st.one_of(st.none(), st.integers(min_value=1, max_value=8)),
+    make=st.one_of(
+        st.none(),
+        st.text(alphabet=st.sampled_from(
+            "abcdefghijklmnopqrstuvwxyz0123456789-_ "), min_size=1,
+            max_size=40),
+    ),
+    dt=st.one_of(st.none(), st.tuples(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=28),
+        st.integers(min_value=0, max_value=23),
+        st.integers(min_value=0, max_value=59),
+    )),
+    big_endian=st.booleans(),
+    icc=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_exif_builder_parser_roundtrip_property(
+    orientation, make, dt, big_endian, icc
+):
+    """Pure-codec property: ANY combination of Exif fields survives
+    exif_app1_segment -> splice -> jpeg_exif_meta in both TIFF byte
+    orders, absent fields come back None, and the carrier image still
+    decodes."""
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        exif_app1_segment,
+        icc_app2_segment,
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_exif_meta,
+    )
+
+    datetime = (
+        None if dt is None
+        else f"2021:{dt[0]:02d}:{dt[1]:02d} {dt[2]:02d}:{dt[3]:02d}:00"
+    )
+    base = jpeg_encode(np.full((8, 16), 33, np.uint8))
+    extra = b""
+    if orientation is not None or make is not None or datetime is not None:
+        extra += exif_app1_segment(
+            orientation=orientation, datetime=datetime, make=make,
+            byte_order="MM" if big_endian else "II",
+        )
+    if icc:
+        extra += icc_app2_segment()
+    jb = base[:2] + extra + base[2:]
+    m = jpeg_exif_meta(jb)
+    has = orientation is not None or make is not None or datetime is not None
+    assert m["has_exif"] is has
+    assert m["orientation"] == orientation if has else m["orientation"] is None
+    assert m["make"] == make if has else m["make"] is None
+    assert m["exif_datetime"] == datetime if has else True
+    assert m["icc_present"] is icc
+    assert (m["width"], m["height"], m["progressive"]) == (16, 8, False)
+    rgb, _ = jpeg_decode(jb)
+    assert int(rgb[0, 0, 0]) == 33
+
+
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=10**9),
+                     min_size=1, max_size=20),
+    budget=st.integers(min_value=1, max_value=100_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_hamilton_apportion_sum_exact_property(spark, weights, budget):
+    """Hamilton apportionment property: for ANY non-negative integer
+    weights with a positive total, allocations sum EXACTLY to the
+    budget and stay within the quota bracket — every row gets its
+    exact floor quota or one more (the defining Hamilton property)."""
+    from vectordb_migrator_spark.operators.scale import hamilton_apportion
+
+    df = spark.createDataFrame(
+        [(i, int(w)) for i, w in enumerate(weights)], "k long, w long"
+    )
+    rows = hamilton_apportion(
+        df, key_col="k", weight_col="w", budget=budget
+    ).collect()
+    total = sum(weights)
+    if total == 0:
+        assert all(r["alloc"] is None for r in rows)
+        return
+    assert sum(r["alloc"] for r in rows) == budget
+    for r in rows:
+        fq = budget * weights[r["k"]] // total  # exact integer floor
+        assert r["alloc"] in (fq, fq + 1), (r["k"], fq, r["alloc"])
