@@ -1396,6 +1396,19 @@ def test_jpeg_exif_parse_and_hostile_payloads(spark):
     # inline (<= 4 byte) ASCII value
     short = base[:2] + exif_app1_segment(make="ab", byte_order="MM") + base[2:]
     assert jpeg_exif_meta(short)["make"] == "ab"
+    # r11 ADVICE: a short DateTime (<= 4 bytes w/ NUL) must also take
+    # the TIFF-mandated inline branch — it parsed back as garbage when
+    # stored via an offset pointer
+    for bo in ("II", "MM"):
+        for dt in ("abc", "x", ""):
+            jb_s = (
+                base[:2]
+                + exif_app1_segment(datetime=dt, make="maker9", byte_order=bo)
+                + base[2:]
+            )
+            m_s = jpeg_exif_meta(jb_s)
+            assert m_s["exif_datetime"] == dt, (bo, dt)
+            assert m_s["make"] == "maker9"
     # non-JPEG and Exif-less payloads
     assert jpeg_exif_meta(b"junk")["has_exif"] is None
     assert jpeg_exif_meta(base)["has_exif"] is False

@@ -105,6 +105,10 @@ def test_benford_report_planted_distributions(spark):
         rows.append((i, float(d * mag + random.random() * mag * 0.9)))
     rows.append((99990, -5.0))  # excluded
     rows.append((99991, None))  # excluded
+    # r11 ADVICE: a positive value quantizing to 0 cents has leading
+    # digit '0' — it must be EXCLUDED from n_total, not silently
+    # dropped from the digit rows while still inflating the total
+    rows.append((99992, 0.004))
     good = spark.createDataFrame(rows, "id long, v double")
     rep = benford_report(good, "v").collect()
     assert [r["digit"] for r in rep] == list(range(1, 10))

@@ -810,6 +810,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     max_bucket: int | None = None,
     allow_all_pairs: bool = False,
+    kernel_block_cap: int = 65536,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column.
 
@@ -832,6 +833,21 @@ def embedding_near_dup_pairs(
     clustering, and blocks at or under the cap are byte-identical to
     the uncapped plan (property-tested). The cap is a window over the
     existing block partitioning — no extra shuffle.
+
+    ``kernel_block_cap`` bounds the uncapped blocked Arrow path (r11
+    ADVICE): the kernel materializes a whole block in one Python
+    worker (n×d vectors plus a 2048×n float64 pair slab), so one
+    skewed block could OOM where the distributed self-join merely
+    slowed down. Blocks over the cap route through the self-join plan
+    instead — bit-identical arithmetic (A/B-asserted), so the split
+    is invisible in the output.
+
+    Rows whose vector contains a non-finite value (NaN/±Inf) or a
+    NULL element are excluded up front (r11 ADVICE): Spark's join
+    comparison treats NaN as greater than every double (NaN >= t is
+    TRUE) while the NumPy kernel's ``cos >= t`` is False — filtering
+    both paths keeps them bit-identical, and a NaN "similarity" is
+    meaningless anyway.
     """
     if block_col is None and not allow_all_pairs:
         raise ValueError(
@@ -840,6 +856,11 @@ def embedding_near_dup_pairs(
             "bucket, SemDeDup cluster) or opt in explicitly with "
             "allow_all_pairs=True for small-corpus verification."
         )
+    finite = F.forall(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: (~F.isnan(x)) & (F.abs(x) != F.lit(float("inf"))),
+    )
+    df = df.filter(F.coalesce(finite, F.lit(False)))
     normed = df.select(
         F.col(id_col).alias("id"),
         l2_normalize(vec_col).alias("v"),
@@ -944,10 +965,36 @@ def embedding_near_dup_pairs(
                     )
             return pd.concat(out) if out else empty
 
-        return (
-            normed.groupBy("blk")
+        # Route only bounded blocks through the kernel (r11 ADVICE):
+        # a block past kernel_block_cap falls back to the distributed
+        # self-join plan, whose doubles the kernel reproduces
+        # bit-for-bit — the union is therefore independent of the cap.
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("blk")
+        marked = normed.withColumn("n_bkt", F.count("*").over(w))
+        bounded = (
+            marked.filter(F.col("n_bkt") <= kernel_block_cap)
+            .drop("n_bkt")
+            .groupBy("blk")
             .applyInPandas(kernel, "id_a long, id_b long, cos double")
-            .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        )
+        big = marked.filter(F.col("n_bkt") > kernel_block_cap).drop("n_bkt")
+        big_pairs = (
+            big.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "blk")
+            .join(
+                big.select(
+                    F.col("id").alias("id_b"), F.col("v").alias("v_b"), "blk"
+                ),
+                ["blk"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine_similarity("v_a", "v_b"))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+        return bounded.unionAll(big_pairs).select(
+            "id_a", "id_b", F.round("cos", 6).alias("cos")
         )
     a = normed.select(
         F.col("id").alias("id_a"), F.col("v").alias("v_a")

@@ -2887,12 +2887,18 @@ def exif_app1_segment(
             (0x0112, 3, 1, struct.pack(f"{e}HH", orientation, 0))
         )
     if datetime is not None:
+        # TIFF 6.0: values that fit in 4 bytes MUST be inline — same
+        # branch as Make (r11 ADVICE: a short datetime stored via an
+        # offset pointer parsed back as garbage).
         payload = datetime.encode("ascii") + b"\x00"
         entries.append(
             (0x0132, 2, len(payload),
              struct.pack(f"{e}I", data_base + len(extra)))
+            if len(payload) > 4
+            else (0x0132, 2, len(payload), payload.ljust(4, b"\x00"))
         )
-        extra += payload
+        if len(payload) > 4:
+            extra += payload
     tiff = bytearray(byte_order.encode("ascii"))
     tiff += struct.pack(f"{e}H", 42) + struct.pack(f"{e}I", 8)
     tiff += struct.pack(f"{e}H", len(entries))

@@ -2202,7 +2202,7 @@ def graph_pq_route_recall(
         raise ValueError("need hops, beam_width, degree >= 1")
     d = len(probe)
     if d % m:
-        raise ValueError("probe dimension must divide m")
+        raise ValueError("m must divide the probe dimension")
     dsub = d // m
     samp, edges = _knn_graph_sample_edges(
         df, probe, degree=degree, sample_size=sample_size,

@@ -1059,8 +1059,10 @@ def benford_report(
     the INTEGER's decimal string — integer-to-string is identical on
     every engine, where double formatting is not. The nine Benford
     probabilities are embedded as literal doubles (computed once
-    here), so both engines fold the same constants. Non-positive and
-    NULL values are excluded (Benford applies to magnitudes).
+    here), so both engines fold the same constants. NULL values and
+    values quantizing to zero or negative cents are excluded (Benford
+    applies to magnitudes, and a sub-half-cent value has no stable
+    first digit at cent precision).
 
     Scale shape: one map-side-combinable digit count; the chi-squared
     fold runs over the 9-row digit frame.
@@ -1072,7 +1074,12 @@ def benford_report(
     cents = F.floor(v * cents_scale + F.lit(0.5)).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     counts = (
-        df.filter(v.isNotNull() & (v > 0))
+        # filter on the QUANTIZED value (r11 ADVICE): a positive value
+        # that quantizes to 0 cents has leading digit '0' and would
+        # silently fall out of the 1-9 left join below while still
+        # counting toward n_total — exclude it here, consistently with
+        # the docstring's "no stable first digit at cent precision".
+        df.filter(v.isNotNull() & (cents > 0))
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -1106,7 +1106,8 @@ def _benford_sql() -> str:
                     1, 1)::INT AS digit,
              count(*)::BIGINT AS n
       FROM lineitem
-      WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+      WHERE l_extendedprice IS NOT NULL
+        AND floor(l_extendedprice * 100 + 0.5)::BIGINT > 0
       GROUP BY 1
     ),
     digits AS (
