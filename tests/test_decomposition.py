@@ -463,3 +463,113 @@ def test_power_iteration_pc2_planted_directions(spark):
     )
     rc = power_iteration_pc2(const, d=8).first()
     assert rc["evr1"] is None and rc["evr2"] is None
+
+
+def test_whitening_fp_certificate_planted_directions(spark):
+    """r12: two planted orthogonal variance axes -> corr12 near 0
+    (the whiteness certificate), projection EVRs agree with both the
+    Rayleigh quotient and a NumPy eigh differential, gap_ratio near
+    the planted variance ratio, iterates near-orthogonal."""
+    import random
+
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.decomposition import (
+        whitening_fp_certificate,
+    )
+
+    random.seed(7)
+    rows = []
+    for i in range(500):
+        v = [random.gauss(0, 0.05) for _ in range(8)]
+        v[1] += random.gauss(0, 1.0)
+        v[6] += random.gauss(0, 0.5)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    r = whitening_fp_certificate(df, d=8).first()
+
+    x = np.array([row[1] for row in rows])
+    cov = np.cov(x, rowvar=False, bias=True)
+    ev = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    evr = ev / ev.sum()
+    assert abs(r["evr1_proj"] - evr[0]) < 0.02
+    assert abs(r["evr2_proj"] - evr[1]) < 0.02
+    assert abs(r["evr1_proj"] - r["evr1_rayleigh"]) < 0.01
+    assert abs(r["corr12"]) < 0.05  # whitened off-diagonal
+    assert abs(r["ortho"]) < 0.01
+    assert 2.5 < r["gap_ratio"] < 6.0  # planted 1.0 vs 0.25 variance
+
+    # rank-1 input: deflation leaves only truncation residue, PC2
+    # realigns with PC1 — the certificate FLAGS it (ortho -> 1) and
+    # corr12 -> 1 is the true statement (two projections of rank-1
+    # data are perfectly correlated); evr1 kept
+    one_dir = spark.createDataFrame(
+        [(i, [float(i % 5)] + [0.0] * 7) for i in range(50)],
+        "id long, embedding array<float>",
+    )
+    r1 = whitening_fp_certificate(one_dir, d=8).first()
+    assert r1["evr1_proj"] is not None and r1["evr1_proj"] > 0.99
+    assert abs(r1["ortho"]) > 0.99 and abs(r1["corr12"]) > 0.99
+    # constant input: all metrics NULL, never a division error
+    const = spark.createDataFrame(
+        [(i, [2.0] * 8) for i in range(5)],
+        "id long, embedding array<float>",
+    )
+    rc = whitening_fp_certificate(const, d=8).first()
+    assert rc["evr1_proj"] is None and rc["corr12"] is None
+
+
+def test_evr_ladder_fp_matches_numpy_ladder(spark):
+    """r12: three planted variance axes -> the fixed-point ladder's
+    EVRs track NumPy's top-3 eigenvalue shares, cum_evr is their
+    running sum, every component converged (align -> 1) and deflated
+    (max_cross -> 0); on rank-2 input component 3's max_cross
+    certificate flags the exhausted deflation."""
+    import random
+
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.decomposition import (
+        evr_ladder_fp,
+    )
+
+    random.seed(13)
+    rows = []
+    for i in range(600):
+        v = [random.gauss(0, 0.04) for _ in range(8)]
+        v[0] += random.gauss(0, 1.2)
+        v[3] += random.gauss(0, 0.7)
+        v[5] += random.gauss(0, 0.4)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    out = {r["component"]: r for r in evr_ladder_fp(df, d=8).collect()}
+    assert sorted(out) == [1, 2, 3]
+
+    x = np.array([row[1] for row in rows])
+    cov = np.cov(x, rowvar=False, bias=True)
+    ev = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    evr = ev / ev.sum()
+    for j in (1, 2, 3):
+        assert abs(out[j]["evr"] - evr[j - 1]) < 0.02, j
+        assert out[j]["align"] > 0.995, j
+    assert out[1]["max_cross"] is None
+    assert out[2]["max_cross"] < 0.02 and out[3]["max_cross"] < 0.02
+    assert abs(
+        out[3]["cum_evr"]
+        - round(out[1]["evr"] + out[2]["evr"] + out[3]["evr"], 6)
+    ) < 1e-9
+    assert out[1]["evr"] > out[2]["evr"] > out[3]["evr"]
+
+    # rank-2 input: components 1-2 genuine (tiny max_cross), the
+    # third deflation is truncation residue only — v3 realigns with
+    # the span of v1/v2 and max_cross flags it
+    rows2 = [
+        (i, [float(i % 7), float((3 * i) % 5), 0.0, 0.0])
+        for i in range(60)
+    ]
+    df2 = spark.createDataFrame(rows2, "id long, embedding array<float>")
+    out2 = {r["component"]: r for r in evr_ladder_fp(df2, d=4).collect()}
+    assert out2[1]["evr"] is not None and out2[2]["evr"] is not None
+    assert abs(round(out2[2]["cum_evr"], 5) - 1.0) < 2e-4
+    assert out2[2]["max_cross"] < 0.01
+    assert out2[3]["max_cross"] > 0.5  # exhaustion certificate

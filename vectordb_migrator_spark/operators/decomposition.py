@@ -713,6 +713,67 @@ def _fp_scatter_b(
     return one.select("n", m.alias("cmax"), bexp.alias("b"))
 
 
+def _fp_deflate(
+    one: DataFrame,
+    d: int,
+    *,
+    mat_col: str,
+    vec_col: str,
+    out_mat: str,
+    out_cmax: str,
+    out_s: str,
+    b_shift: int,
+    t_shift: int,
+) -> DataFrame:
+    """One integer Hotelling deflation step (shared by
+    :func:`power_iteration_pc2`, :func:`whitening_fp_certificate` and
+    :func:`evr_ladder_fp`): with v the current iterate and
+    T = M·v, subtract the rescaled integer outer product
+    ``M − ⌊t·tᵀ/s_g⌋`` where t = ⌊T/g₂⌋ (g₂ = max(1, max|T| >> t_shift)
+    keeps tᵢtⱼ inside 2⁵²) and s_g = max(1, ⌊vᵀT/g₂²⌋); the deflated
+    matrix then rescales through the same ``b_shift`` gate as the
+    original scatter. Appends columns ``out_s`` (= vᵀT, the Rayleigh
+    numerator of v over M), ``out_cmax`` (max |deflated entry| before
+    rescale — 0 means rank exhausted) and ``out_mat`` (the rescaled
+    deflated matrix); every op is deterministic integer arithmetic,
+    replayed term for term by the SQL oracles."""
+    seq_dd = F.sequence(F.lit(0), F.lit(d * d - 1))
+    keep = [c for c in one.columns]
+    one = one.select(
+        *keep,
+        _fp_matvec(F.col(mat_col), F.col(vec_col), d).alias("__t0"),
+    )
+    mt = F.array_max(F.transform(F.col("__t0"), F.abs))
+    g2 = F.greatest(F.lit(1).cast("long"), F.shiftright(mt, t_shift))
+    s = _fp_dot(F.col(vec_col), F.col("__t0"))
+    one = one.select(
+        *keep,
+        F.transform(F.col("__t0"), lambda x: _fp_sidiv(x, g2)).alias("__t"),
+        s.alias(out_s),
+        F.greatest(F.lit(1).cast("long"), _fp_idiv(s, g2 * g2)).alias(
+            "__sg"
+        ),
+    )
+    c2 = F.transform(
+        seq_dd,
+        lambda k: F.element_at(F.col(mat_col), k + 1)
+        - _fp_sidiv(
+            F.element_at(F.col("__t"), F.floor(k / d).cast("int") + 1)
+            * F.element_at(F.col("__t"), (k % d).cast("int") + 1),
+            F.col("__sg"),
+        ),
+    )
+    one = one.select(*keep, out_s, c2.alias("__c2"))
+    m2 = F.array_max(F.transform(F.col("__c2"), F.abs))
+    g3 = F.greatest(F.lit(1).cast("long"), F.shiftright(m2, b_shift))
+    return one.select(
+        *keep, out_s, m2.alias(out_cmax),
+        F.transform(F.col("__c2"), lambda x: _fp_sidiv(x, g3)).alias(
+            out_mat
+        ),
+    )
+
+
 def power_iteration_pc1(
     df: DataFrame,
     *,
@@ -878,41 +939,14 @@ def power_iteration_pc2(
         df, vec_col, d, coord_scale, b_shift, "power_iteration_pc2"
     )
     seq_d = F.sequence(F.lit(0), F.lit(d - 1))
-    seq_dd = F.sequence(F.lit(0), F.lit(d * d - 1))
     fin1 = _fp_power(F.col("b"), d, iters, vec_scale)
     one = one.select("n", "b", "cmax", fin1["cur"].alias("v1"))
-    one = one.select(
-        "n", "b", "cmax", "v1",
-        _fp_matvec(F.col("b"), F.col("v1"), d).alias("t0"),
-    )
     # rescale T so t_i*t_j stays inside 2^52, scale the denominator
     # v1'T by g2^2 to match, then subtract the integer outer product
-    mt = F.array_max(F.transform(F.col("t0"), F.abs))
-    g2 = F.greatest(F.lit(1).cast("long"), F.shiftright(mt, t_shift))
-    s = _fp_dot(F.col("v1"), F.col("t0"))
-    one = one.select(
-        "n", "b", "cmax", "v1",
-        F.transform(F.col("t0"), lambda x: _fp_sidiv(x, g2)).alias("t"),
-        s.alias("s"),
-        F.greatest(F.lit(1).cast("long"), _fp_idiv(s, g2 * g2)).alias(
-            "sg"
-        ),
-    )
-    c2 = F.transform(
-        seq_dd,
-        lambda k: F.element_at(F.col("b"), k + 1)
-        - _fp_sidiv(
-            F.element_at(F.col("t"), F.floor(k / d).cast("int") + 1)
-            * F.element_at(F.col("t"), (k % d).cast("int") + 1),
-            F.col("sg"),
-        ),
-    )
-    one = one.select("n", "b", "cmax", "v1", "s", c2.alias("c2"))
-    m2 = F.array_max(F.transform(F.col("c2"), F.abs))
-    g3 = F.greatest(F.lit(1).cast("long"), F.shiftright(m2, b_shift))
-    one = one.select(
-        "n", "b", "cmax", "v1", "s", m2.alias("c2max"),
-        F.transform(F.col("c2"), lambda x: _fp_sidiv(x, g3)).alias("b2"),
+    # (shared integer-Hotelling step, r12 refactor — ops unchanged)
+    one = _fp_deflate(
+        one, d, mat_col="b", vec_col="v1", out_mat="b2",
+        out_cmax="c2max", out_s="s", b_shift=b_shift, t_shift=t_shift,
     )
     fin2 = _fp_power(F.col("b2"), d, iters, vec_scale)
     one = one.select(
@@ -980,3 +1014,284 @@ def power_iteration_pc2(
             )
         ).alias("align2"),
     )
+
+
+def _fp_quantize(vec_col: str, coord_scale: int):
+    """The family's sign-symmetric half-away-from-zero coordinate
+    quantizer as a Catalyst expression — element-for-element identical
+    to the :func:`_fp_scatter_b` kernel's NumPy quantization."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.when(
+            x >= 0, F.floor(x * coord_scale + F.lit(0.5))
+        )
+        .otherwise(-F.floor(-x * coord_scale + F.lit(0.5)))
+        .cast("long"),
+    )
+
+
+def whitening_fp_certificate(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    d: int = 64,
+    iters: int = 8,
+    coord_scale: int = 100,
+    vec_scale: int = 10_000,
+    b_shift: int = 18,
+    t_shift: int = 26,
+    p_shift: int = 10,
+) -> DataFrame:
+    """Fixed-point WHITENING certificate (round 12) — the r11
+    verdict's top ask: convert the LAPACK-gauge rows-only
+    ``x9_whitening_check`` capability to an engine-exact full oracle
+    by measuring whiteness in the span of the top-2 fixed-point
+    principal directions instead of the full NumPy eigenbasis.
+
+    Construction: the int64 centered scatter and the PC1/PC2
+    fixed-point pipeline are exactly :func:`power_iteration_pc2`
+    (scatter → rescale → power loop → integer Hotelling deflation →
+    power loop). A SECOND data pass then projects every quantized
+    vector onto the integer iterates v₁, v₂ — pᵢ = ⌊vᵢᵀx / 2^p_shift⌋
+    with the family's truncating division — and folds exact integer
+    first/second moments (S₁, S₂, S₁₁, S₂₂, S₁₂). Whitening in the
+    (v₁, v₂) plane divides each projection by its standard deviation,
+    so the whitened covariance is [[1, ρ], [ρ, 1]] with
+    ρ = corr(p₁, p₂): ``corr12`` → 0 IS the whiteness certificate
+    (the off-diagonal the full-basis check reads off NumPy's ZCA),
+    reported next to the data-side explained-variance ratios
+    ``evr1_proj``/``evr2_proj`` (projection variance over g·trace,
+    the data's second opinion on the power loop's Rayleigh quotient
+    ``evr1_rayleigh``) and ``gap_ratio`` = λ₁/λ₂ (norm-corrected
+    variance ratio). Every step up to the final IEEE divisions is
+    int64 arithmetic, replayed term for term by the SQL oracle — the
+    LAPACK gauge freedom (eigenvector sign/order/degeneracy) never
+    enters because BOTH engines run the same deterministic iteration.
+
+    Overflow: projections rescale by 2^p_shift so n·S₁₁ stays inside
+    int64 — guarded by ``assert_true(n · max|p| ≤ ⌊√(2⁶³−1)⌋)`` (the
+    exact condition for n·S₁₁ ≤ n²·mp² < 2⁶³), on top of the
+    scatter's own n·mx guard. The default p_shift=10 keeps the
+    truncating division's magnitude-shrink bias (≈ E|p|/E[p²], the
+    one systematic error of the projection pass) under 0.1% at unit
+    σ(p) ≈ 10³ while leaving ~200× guard headroom at n = 10⁶.
+
+    Scale shape: two O(N) passes (the d² partial-reduce scatter and
+    the 6-cell projection fold — both map-side combinable), one
+    broadcast of the d-vector iterates; the eigen loops run inside
+    one Catalyst expression on a single row. Returns one row:
+    (n, d, iters, evr1_proj, evr1_rayleigh, evr2_proj, corr12,
+    gap_ratio, ortho).
+    """
+    if iters < 1:
+        raise ValueError("need iters >= 1")
+
+    one = _fp_scatter_b(
+        df, vec_col, d, coord_scale, b_shift, "whitening_fp_certificate"
+    )
+    seq_d = F.sequence(F.lit(0), F.lit(d - 1))
+    fin1 = _fp_power(F.col("b"), d, iters, vec_scale)
+    one = one.select("n", "b", "cmax", fin1["cur"].alias("v1"))
+    one = _fp_deflate(
+        one, d, mat_col="b", vec_col="v1", out_mat="b2",
+        out_cmax="c2max", out_s="s", b_shift=b_shift, t_shift=t_shift,
+    )
+    fin2 = _fp_power(F.col("b2"), d, iters, vec_scale)
+    one = one.select(
+        "n", "b", "cmax", "v1", "s", "c2max", fin2["cur"].alias("v2")
+    )
+
+    div = F.lit(1 << p_shift).cast("long")
+    pj = (
+        df.select(_fp_quantize(vec_col, coord_scale).alias("__xi"))
+        .crossJoin(F.broadcast(one.select("v1", "v2")))
+        .select(
+            _fp_sidiv(_fp_dot(F.col("__xi"), F.col("v1")), div).alias("p1"),
+            _fp_sidiv(_fp_dot(F.col("__xi"), F.col("v2")), div).alias("p2"),
+        )
+    )
+    sums = pj.agg(
+        F.sum("p1").cast("long").alias("s1"),
+        F.sum("p2").cast("long").alias("s2"),
+        F.sum(F.col("p1") * F.col("p1")).cast("long").alias("s11"),
+        F.sum(F.col("p2") * F.col("p2")).cast("long").alias("s22"),
+        F.sum(F.col("p1") * F.col("p2")).cast("long").alias("s12"),
+        F.max(F.greatest(F.abs("p1"), F.abs("p2")))
+        .cast("long")
+        .alias("mp"),
+    )
+    row = one.crossJoin(F.broadcast(sums))
+
+    nn = F.col("n")
+    vp1 = (nn * F.col("s11") - F.col("s1") * F.col("s1")).cast("double")
+    vp2 = (nn * F.col("s22") - F.col("s2") * F.col("s2")).cast("double")
+    cp = (nn * F.col("s12") - F.col("s1") * F.col("s2")).cast("double")
+    g = F.greatest(
+        F.lit(1).cast("long"), F.shiftright(F.col("cmax"), b_shift)
+    ).cast("double")
+    trace_b = F.aggregate(
+        seq_d,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.element_at(F.col("b"), i * d + i + 1),
+    ).cast("double")
+    v1v1 = _fp_dot(F.col("v1"), F.col("v1")).cast("double")
+    v2v2 = _fp_dot(F.col("v2"), F.col("v2")).cast("double")
+    v1v2 = _fp_dot(F.col("v1"), F.col("v2")).cast("double")
+    four_p = F.lit(float(4 ** p_shift))
+    # n·mp ≤ ⌊√(2⁶³−1)⌋ keeps n·S11 ≤ (n·mp)² inside int64
+    guard = F.assert_true(
+        nn.cast("double") * F.col("mp").cast("double")
+        <= F.lit(3_037_000_499.0),
+        "whitening_fp_certificate: n * max|projection| exceeds the "
+        "int64-exact moment bound; raise p_shift or pre-sample",
+    )
+    degen = F.col("cmax") <= 0
+    degen2 = degen | (F.col("c2max") <= 0)
+    nodata2 = degen2 | (vp1 <= 0) | (vp2 <= 0)
+    return row.select(
+        "n",
+        F.lit(d).cast("int").alias("d"),
+        F.lit(iters).cast("int").alias("iters"),
+        F.when(degen | guard.isNotNull(), F.lit(None).cast("double"))
+        .otherwise(F.round(vp1 * four_p / (v1v1 * g * trace_b), 6))
+        .alias("evr1_proj"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("s").cast("double") / v1v1 / trace_b, 6)
+        )
+        .alias("evr1_rayleigh"),
+        F.when(degen2, F.lit(None).cast("double"))
+        .otherwise(F.round(vp2 * four_p / (v2v2 * g * trace_b), 6))
+        .alias("evr2_proj"),
+        F.when(nodata2, F.lit(None).cast("double"))
+        .otherwise(F.round(cp / F.sqrt(vp1 * vp2), 6))
+        .alias("corr12"),
+        F.when(nodata2, F.lit(None).cast("double"))
+        .otherwise(F.round(vp1 * v2v2 / (vp2 * v1v1), 6))
+        .alias("gap_ratio"),
+        F.when(degen2, F.lit(None).cast("double"))
+        .otherwise(F.round(v1v2 / F.sqrt(v1v1 * v2v2), 6))
+        .alias("ortho"),
+    )
+
+
+def evr_ladder_fp(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    d: int = 64,
+    k: int = 3,
+    iters: int = 8,
+    coord_scale: int = 100,
+    vec_scale: int = 10_000,
+    b_shift: int = 18,
+    t_shift: int = 26,
+) -> DataFrame:
+    """Fixed-point EXPLAINED-VARIANCE LADDER (round 12) — the r11
+    verdict's ask to retire the ``x9_pca_evr`` LAPACK gauge with "EVR
+    from the deflated eigenvalue ladder": the top-``k`` principal
+    directions via repeated integer Hotelling deflation
+    (:func:`_fp_deflate`), each component's explained-variance ratio
+    read as the Rayleigh quotient of its iterate over the ORIGINAL
+    rescaled scatter — the truncation-sizing curve (Matryoshka cuts,
+    PQ subspace budgets) that :func:`pca_fit` reads off NumPy's
+    eigensolver, now with every step deterministic int64 arithmetic
+    that a SQL engine replays bit-for-bit.
+
+    Per component j: ``evr`` = vⱼᵀBvⱼ/(vⱼᵀvⱼ)/trace(B), ``cum_evr``
+    the running sum, ``align`` the last-two-iterates cosine
+    (convergence certificate → 1), and ``max_cross`` the largest
+    |cos(vⱼ, vᵢ)| against the earlier components (deflation
+    certificate → 0). An exactly-zero ladder matrix (cmax ≤ 0, e.g.
+    constant input) yields NULL metrics for the remaining components
+    rather than dividing by zero; a rank-exhausted-but-nonzero
+    deflation (integer truncation residue only) keeps its numbers and
+    the ``max_cross`` certificate flags it → 1, since the next
+    iterate realigns with the span already extracted.
+
+    Scale shape: ONE O(N) scatter partial-reduce; all ``k`` power
+    loops and ``k−1`` deflations run inside one Catalyst expression
+    tree on a single row — zero per-step jobs, O(k·d²) driver-free
+    integer math. Returns ``k`` rows: (component, n, evr, cum_evr,
+    align, max_cross).
+    """
+    if iters < 1 or k < 1:
+        raise ValueError("need iters >= 1 and k >= 1")
+
+    one = _fp_scatter_b(
+        df, vec_col, d, coord_scale, b_shift, "evr_ladder_fp"
+    )
+    seq_d = F.sequence(F.lit(0), F.lit(d - 1))
+    one = one.withColumn("c1max", F.col("cmax"))
+    cur = "b"
+    for j in range(1, k + 1):
+        fin = _fp_power(F.col(cur), d, iters, vec_scale)
+        one = one.select(
+            "*", fin["prev"].alias(f"p{j}"), fin["cur"].alias(f"v{j}")
+        )
+        if j < k:
+            one = _fp_deflate(
+                one, d, mat_col=cur, vec_col=f"v{j}",
+                out_mat=f"b{j + 1}", out_cmax=f"c{j + 1}max",
+                out_s=f"s{j}", b_shift=b_shift, t_shift=t_shift,
+            )
+            cur = f"b{j + 1}"
+
+    trace_b = F.aggregate(
+        seq_d,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.element_at(F.col("b"), i * d + i + 1),
+    ).cast("double")
+
+    comps = []
+    for j in range(1, k + 1):
+        vj = F.col(f"v{j}")
+        pj = F.col(f"p{j}")
+        vv = _fp_dot(vj, vj).cast("double")
+        pp = _fp_dot(pj, pj).cast("double")
+        vp = _fp_dot(vj, pj).cast("double")
+        ray = _fp_dot(vj, _fp_matvec(F.col("b"), vj, d)).cast("double")
+        # component j is live only while every matrix up the ladder
+        # had signal: c1max..cjmax all > 0
+        live = F.lit(True)
+        for i in range(1, j + 1):
+            live = live & (F.col(f"c{i}max") > 0)
+        cross = F.lit(0.0)
+        for i in range(1, j):
+            vi = F.col(f"v{i}")
+            vivi = _fp_dot(vi, vi).cast("double")
+            vivj = _fp_dot(vi, vj).cast("double")
+            cross = F.greatest(
+                cross, F.abs(vivj / F.sqrt(vivi * vv))
+            )
+        comps.append(
+            F.struct(
+                F.lit(j).cast("int").alias("component"),
+                F.when(live, F.round(ray / vv / trace_b, 6)).alias(
+                    "evr"
+                ),
+                F.when(live, F.round(vp / F.sqrt(vv * pp), 6)).alias(
+                    "align"
+                ),
+                F.when(
+                    live & F.lit(j > 1), F.round(cross, 6)
+                ).alias("max_cross"),
+            )
+        )
+    out = one.select(
+        "n", F.explode(F.array(*comps)).alias("e")
+    ).select("e.component", "n", "e.evr", "e.align", "e.max_cross")
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.orderBy("component")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    return out.select(
+        "component",
+        "n",
+        "evr",
+        F.round(F.sum("evr").over(w), 6).alias("cum_evr"),
+        "align",
+        "max_cross",
+    ).orderBy("component")
