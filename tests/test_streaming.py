@@ -1316,3 +1316,82 @@ def test_novelty_ingest_matches_batch(spark, tmp_path):
         spark.read.parquet(scores).count(),
         spark.read.parquet(store).count(),
     ) == before
+
+
+def test_hll_md5_ingest_matches_batch(spark, tmp_path):
+    """Streaming md5-HLL daily store: the prefix-union rollup off the
+    per-batch register-array store is BIT-FOR-BIT the batch rollup on
+    the full event table (register MAX / event SUM are order-free and
+    the estimator sees identical registers), even when one day's
+    events are SPLIT across micro-batches; replay appends nothing."""
+    from vectordb_migrator_spark.operators.sketches import (
+        hll_md5_daily_report,
+        hll_md5_day_registers,
+        hll_md5_daily_rollup,
+    )
+    from vectordb_migrator_spark.streaming.incremental import (
+        hll_md5_ingest,
+        hll_md5_daily_over,
+    )
+    import pyspark.sql.functions as F
+
+    rows = []
+    for day, users in [
+        ("2024-03-01", [1, 2, 3, 4, 2, 1]),
+        ("2024-03-02", [3, 4, 5, 6]),
+        ("2024-03-03", [1, 7, 7, 8, 9]),
+    ]:
+        rows += [(f"{day} 0{i % 10}:00:00", f"u{u}")
+                 for i, u in enumerate(users)]
+    schema = "ts string, user_id string"
+    # day 2 straddles the two batches — the MAX-merge must heal it
+    split = 8
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    spark.createDataFrame(rows[:split], schema).write.parquet(src)
+
+    def run():
+        q = hll_md5_ingest(
+            spark, source_path=src, source_schema=schema,
+            store_path=store, checkpoint=str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows[split:], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    full = spark.createDataFrame(rows, schema)
+    want = sorted(
+        tuple(r)
+        for r in hll_md5_daily_rollup(
+            hll_md5_day_registers(full, "user_id"),
+            full.groupBy(F.to_date("ts").alias("day")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_events")
+            ),
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in hll_md5_daily_over(spark, store).collect()
+    )
+    assert got == want and len(got) == 3
+
+    # the store-only columns agree with the certificate report too
+    rep = {
+        r["day"]: r
+        for r in hll_md5_daily_report(full, "user_id").collect()
+    }
+    for day, n_ev, cum_ev, nrd, nrc, est_d, est_c in got:
+        r = rep[day]
+        assert (
+            r["n_events"], r["cum_events"], r["n_regs_day"],
+            r["n_regs_cum"], r["est_day"], r["est_cum"],
+        ) == (n_ev, cum_ev, nrd, nrc, est_d, est_c)
+        # exact certificates sane: estimate within HLL m=256 error
+        assert abs(r["est_cum"] - r["exact_cum"]) <= 0.3 * r["exact_cum"] + 3
+
+    before = spark.read.parquet(store).count()
+    run()  # same checkpoint, no new files
+    assert spark.read.parquet(store).count() == before

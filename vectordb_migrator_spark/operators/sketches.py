@@ -586,3 +586,192 @@ def hll_md5_overlap_report(
             6,
         ).alias("abs_err"),
     ).orderBy("g_a", "g_b")
+
+def hll_md5_day_registers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The stored DAILY md5-HLL register frame: one ``(day, reg, m)``
+    row per register a day touched — m = max ρ over the day's values
+    (register = first 8 md5 bits, ρ = leading-zero count of the next
+    60, the round-11 deterministic-HLL convention). ONE map-side-
+    combinable pass over the raw events; at 100 TB this ≤256-rows/day
+    frame IS the materialized sketch store (partition-prunable on
+    ``day``), and every later range rollup is a register MAX over it
+    instead of a rescan + distinct shuffle of raw history."""
+    h = F.md5(F.col(value_col).cast("string"))
+    return (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias(
+                "reg"
+            ),
+            _hll_md5_rho(h).alias("rho"),
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_md5_daily_rollup(
+    regs: DataFrame, counts: DataFrame
+) -> DataFrame:
+    """The shared RANGE-ROLLUP tail over a ``(day, reg, m)`` register
+    store (batch and streaming twins both end here): per day, the
+    day's own estimate AND the prefix-union estimate of every day so
+    far — the "distinct users in any date range anchored at the start"
+    readout, computed ENTIRELY from the kilobyte store.
+
+    Mechanics: a (day × 256 registers) grid (tiny — days are the only
+    data-dependent axis) left-joins the store, and the prefix-union
+    register is a running ``max(m)`` window per register ordered by
+    day (absent days inherit the running max; NULL m rows are ignored
+    by MAX, exactly the register-wise-max merge HLL exists for). The
+    day/cumulative estimates then apply the round-11 bias-corrected
+    estimator with the linear-counting branch. ``counts`` supplies
+    per-day event totals (SUM-mergeable, so the streaming store keeps
+    per-batch partials).
+
+    Returns one row per day, ordered: (day, n_events, cum_events,
+    n_regs_day, n_regs_cum, est_day, est_cum)."""
+    from pyspark.sql import Window
+
+    days = regs.select("day").distinct()
+    grid = days.crossJoin(
+        F.broadcast(
+            regs.sparkSession.range(1)
+            .select(F.explode(F.sequence(F.lit(0), F.lit(255))).alias("reg"))
+        )
+    )
+    w_cum = (
+        Window.partitionBy("reg")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(regs, ["day", "reg"], "left").select(
+        "day", "reg", "m", F.max("m").over(w_cum).alias("cum_m")
+    )
+    est_day = _hll_md5_estimate_agg(["day"])(
+        joined.filter(F.col("m").isNotNull()).select("day", "reg", "m")
+    ).select(
+        "day",
+        F.col("n_regs").alias("n_regs_day"),
+        F.col("est").alias("est_day"),
+    )
+    est_cum = _hll_md5_estimate_agg(["day"])(
+        joined.filter(F.col("cum_m").isNotNull()).select(
+            "day", "reg", F.col("cum_m").alias("m")
+        )
+    ).select(
+        "day",
+        F.col("n_regs").alias("n_regs_cum"),
+        F.col("est").alias("est_cum"),
+    )
+    w_day = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        counts.join(est_day, "day")
+        .join(est_cum, "day")
+        .select(
+            "day",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.sum("n_events").over(w_day).cast("long").alias(
+                "cum_events"
+            ),
+            "n_regs_day",
+            "n_regs_cum",
+            F.round("est_day", 6).alias("est_day"),
+            F.round("est_cum", 6).alias("est_cum"),
+        )
+        .orderBy("day")
+    )
+
+
+def hll_md5_daily_report(
+    df: DataFrame,
+    value_col: str,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily md5-HLL sketch store + range rollup WITH exact-truth
+    certificates (round 12) — the full-oracle twin of the rows-only
+    Apache-DataSketches ``x7_hll_daily_merge``, upgraded the way
+    ``hll_md5_overlap_report`` upgraded ``x7_audience_overlap``: the
+    register store, the MAX merges, the estimator, and the exact
+    truths all replay bit-for-bit in SQL.
+
+    On top of :func:`hll_md5_daily_rollup`'s store-only readout this
+    joins, per day: ``exact_day`` (that day's true distinct count) and
+    ``exact_cum`` (true distincts over the prefix — counted as users
+    whose FIRST day is ≤ day, one more map-side-combinable pass, no
+    day×day rescan), plus ``abs_err_cum`` as the accuracy certificate.
+    At 100 TB you would drop the exact columns; they are the
+    certificate here, exactly like the overlap report's.
+
+    Returns one row per day, ordered: (day, n_events, cum_events,
+    n_regs_day, n_regs_cum, est_day, est_cum, exact_day, exact_cum,
+    abs_err_cum)."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("string")
+    day = F.to_date(F.col(ts_col))
+    regs = hll_md5_day_registers(df, value_col, ts_col=ts_col)
+    counts = df.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    roll = hll_md5_daily_rollup(regs, counts)
+    exact_day = (
+        df.select(day.alias("day"), v.alias("v"))
+        .groupBy("day")
+        .agg(F.countDistinct("v").cast("long").alias("exact_day"))
+    )
+    w_day = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exact_cum = (
+        df.select(day.alias("day"), v.alias("v"))
+        .groupBy("v")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+        .select(
+            "day", F.sum("new_users").over(w_day).alias("exact_cum")
+        )
+    )
+    # a day can host events yet introduce no first-seen user only if
+    # every user already appeared — the running max fills the gap
+    w_fill = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        roll.join(exact_day, "day")
+        .join(exact_cum, "day", "left")
+        .select(
+            "*",
+            F.max("exact_cum").over(w_fill).alias("__ec"),
+        )
+        .drop("exact_cum")
+        .withColumnRenamed("__ec", "exact_cum")
+        .select(
+            "day",
+            "n_events",
+            "cum_events",
+            "n_regs_day",
+            "n_regs_cum",
+            "est_day",
+            "est_cum",
+            "exact_day",
+            F.col("exact_cum").cast("long").alias("exact_cum"),
+            F.round(
+                F.abs(
+                    F.col("est_cum")
+                    - F.col("exact_cum").cast("double")
+                ),
+                6,
+            ).alias("abs_err_cum"),
+        )
+        .orderBy("day")
+    )

@@ -2232,3 +2232,107 @@ def novelty_over(spark: SparkSession, scores_path: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def hll_md5_ingest(
+    spark: SparkSession,
+    *,
+    source_path: str,
+    source_schema: str,
+    store_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    trigger_once: bool = True,
+):
+    """Continuous DETERMINISTIC md5-HLL maintenance (round 12) — the
+    streaming maintainer of the ``x7_hll_md5_daily`` store, pairing
+    ``sketch_ingest`` the way the md5 registers pair the DataSketches
+    binary: every micro-batch appends ONE row per day it touched —
+    ``(day, batch_id, n_events, regs: array<struct<reg,m>>)``, the
+    batch's register maxima packed as an explicit ≤256-entry array —
+    so the store stays kilobyte-sized, append-only and conflict-free,
+    and :func:`hll_md5_daily_over` answers the same prefix-union
+    rollup BIT-FOR-BIT as the batch operator (register MAX and event
+    SUM are associative/commutative, and the estimator sees identical
+    register values). Same replay contract as every partial store
+    here: the pre-append anti-join on (day, batch_id) makes
+    foreachBatch re-deliveries idempotent within the checkpoint
+    lineage."""
+    from pyspark.sql.utils import AnalysisException
+
+    from vectordb_migrator_spark.operators.sketches import (
+        hll_md5_day_registers,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        regs = hll_md5_day_registers(batch_df, key_col, ts_col=ts_col)
+        counts = batch_df.groupBy(
+            F.to_date(F.col(ts_col)).alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        partials = (
+            regs.groupBy("day")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("reg", "m"))
+                ).alias("regs")
+            )
+            .join(counts, "day")
+            .select("day", F.lit(batch_id).alias("batch_id"),
+                    "n_events", "regs")
+        )
+        try:
+            seen = sess.read.parquet(store_path).select(
+                "day", "batch_id"
+            )
+            partials = partials.join(
+                seen, ["day", "batch_id"], "left_anti"
+            )
+        except AnalysisException:
+            pass
+        partials.write.mode("append").parquet(store_path)
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(source_schema)
+        .options(**(reader_options or {}))
+        .load(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hll_md5_daily_over(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """The per-day + prefix-union distinct readout of a
+    :func:`hll_md5_ingest` store, in the batch
+    ``hll_md5_daily_rollup`` schema and order: explode the per-batch
+    register arrays, MAX-merge to the (day, reg, m) frame, SUM-merge
+    the event counts, and run the SHARED rollup tail — raw event
+    history never enters the plan, and the output is bit-for-bit the
+    batch operator's (store-only columns; the exact-truth certificate
+    columns of ``hll_md5_daily_report`` need raw data by definition)."""
+    from vectordb_migrator_spark.operators.sketches import (
+        hll_md5_daily_rollup,
+    )
+
+    store = spark.read.parquet(store_path)
+    regs = (
+        store.select("day", F.explode("regs").alias("e"))
+        .groupBy("day", F.col("e.reg").alias("reg"))
+        .agg(F.max("e.m").alias("m"))
+    )
+    counts = store.groupBy("day").agg(
+        F.sum("n_events").cast("long").alias("n_events")
+    )
+    return hll_md5_daily_rollup(regs, counts)

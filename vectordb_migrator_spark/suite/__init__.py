@@ -75,6 +75,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- (b) NEW round-12 queries (inserted as they land) ---
     "x9_whitening_fp",
     "x9_evr_ladder_fp",
+    "x7_hll_md5_daily",
     # --- (c) operators changed by r11-advice fixes ---
     "x2_embedding_near_dup",
     "x12_benford_chi2",
