@@ -2422,3 +2422,206 @@ def knn_graph_components(
             ).alias("reachable_frac"),
         )
     )
+
+
+def brp_md5_planes(
+    n_planes: int, dim: int, *, span: int = 1000
+) -> list[list[int]]:
+    """Deterministic integer hyperplanes for :func:`brp_md5_join`:
+    coordinate ``c`` of plane ``p`` is the first 60 md5 bits of
+    ``"brp:<p>:<c>"`` mapped uniformly into [-span, span] — the same
+    md5-seeded-coin convention as every deterministic sketch here, so
+    the IDENTICAL integer literals embed in both the Spark expression
+    and the SQL oracle (no RNG state to reproduce)."""
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(f"brp:{p}:{c}".encode()).hexdigest()[:15],
+                16,
+            )
+            % (2 * span + 1)
+            - span
+            for c in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def brp_md5_join(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 1.2,
+    bands: int = 8,
+    bits: int = 8,
+    dim: int = 64,
+    scale: int = 10_000,
+    span: int = 1000,
+    max_bucket: int | None = None,
+    use_kernel: bool = True,
+) -> DataFrame:
+    """Deterministic random-projection APPROX-SIMILARITY-JOIN — the
+    cross-engine-reproducible twin of the rows-only MLlib
+    ``BucketedRandomProjectionLSH.approxSimilarityJoin``
+    (``x4_brp_approx_join``), upgraded the way ``minhash_md5_pairs``
+    upgraded the xxhash64 MinHash join: md5-seeded integer
+    hyperplanes (:func:`brp_md5_planes`), half-away fixed-point
+    coordinates at ``scale``, per-band sign signatures, and an exact
+    int64 L2 verify — every step replays bit-for-bit in SQL.
+
+    Contract (the approx-join contract, not a recall guarantee):
+    emit exactly the pairs that (a) collide in ≥1 of the ``bands``
+    sign-LSH bands and (b) pass the EXACT quantized-grid distance
+    test ``Σ(qa−qb)² ≤ round(threshold·scale)²`` — candidates the
+    banding misses are the honest LSH trade (recall rises with
+    ``bands``, falls with ``bits``; the no-false-positives half is
+    exact, asserted against brute force in tests).
+
+    Scale shape: ONE pass computes all ``bands·bits`` dot signs per
+    row — by default an Arrow kernel (one exact int64 matmul per
+    batch; integer addition is associative and overflow-free here, so
+    the kernel is BIT-IDENTICAL to the interpreted-HOF fold it
+    replaces — A/B-asserted in tests, ``use_kernel=False`` keeps the
+    pure-Catalyst path). Only ``(band_key, id)`` pairs cross the
+    shuffle (the minhash banding plan); the distance verify touches
+    candidate pairs only, never the full cross product — no cartesian
+    at any size. ``max_bucket`` star-caps degenerate buckets exactly
+    like ``minhash_md5_pairs`` (a band where every row agrees would
+    otherwise square). Returns (id_a, id_b, n_bands, dist), ordered.
+    """
+    from pyspark.sql import Window as _W
+
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    if bits < 1 or bits > 60 or bands < 1:
+        raise ValueError("need 1 <= bits <= 60 and bands >= 1")
+    planes = brp_md5_planes(bands * bits, dim, span=span)
+    thr2 = int(round(threshold * scale)) ** 2
+
+    q = fixed_point_array(F.col(vec_col), scale)
+    base = fan_out(df).select(F.col(id_col).alias("id"), q.alias("q"))
+    if use_kernel:
+        # Arrow kernel: one exact int64 matmul per batch. Every dot is
+        # a sum of 64 bounded int64 products (|term| <= span*scale*|x|
+        # — no overflow), and integer addition is associative, so the
+        # matmul equals the HOF fold bit for bit regardless of order.
+        import numpy as np
+        import pandas as pd
+
+        plane_rows = [list(r) for r in planes]
+        n_bands, n_bits = bands, bits
+        weights = [1 << (n_bits - 1 - i) for i in range(n_bits)]
+
+        def _band_keys(it):
+            p = np.array(plane_rows, dtype=np.int64)
+            w = np.array(weights, dtype=np.int64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                qm = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["q"]]
+                )
+                dots = qm @ p.T  # (n, bands*bits) exact int64
+                bits_m = (dots >= 0).astype(np.int64).reshape(
+                    len(qm), n_bands, n_bits
+                )
+                sigs = bits_m @ w  # (n, bands)
+                ids = np.repeat(pdf["id"].to_numpy(), n_bands)
+                bj = np.tile(np.arange(n_bands), len(qm))
+                keys = [
+                    f"{j}_{s}"
+                    for j, s in zip(bj, sigs.reshape(-1))
+                ]
+                yield pd.DataFrame({"id": ids, "key": keys})
+
+        banded = base.mapInPandas(
+            _band_keys, schema="id long, key string"
+        )
+    else:
+        pl = F.array(
+            *[
+                F.array(*[F.lit(c).cast("long") for c in row])
+                for row in planes
+            ]
+        )
+        dots = F.transform(
+            pl,
+            lambda row: F.aggregate(
+                F.zip_with(F.col("q"), row, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        sig = lambda j: F.aggregate(  # noqa: E731
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(
+                F.element_at(F.col("__dots"), F.lit(j * bits) + i + 1)
+                >= 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        band_keys = F.array(
+            *[
+                F.concat_ws("_", F.lit(str(j)), sig(j).cast("string"))
+                for j in range(bands)
+            ]
+        )
+        banded = (
+            base.withColumn("__dots", dots)
+            .select("id", "q", F.explode(band_keys).alias("key"))
+            .select("id", "key")
+        )
+    if max_bucket is not None:
+        w = _W.partitionBy("key")
+        marked = banded.withColumn(
+            "n_bkt", F.count("*").over(w)
+        ).withColumn("anchor", F.min("id").over(w))
+        a = marked.select(
+            "key", F.col("id").alias("id_a"), "n_bkt", "anchor"
+        )
+        b = banded.select("key", F.col("id").alias("id_b"))
+        raw = (
+            a.join(b, "key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                (F.col("n_bkt") <= max_bucket)
+                | (F.col("id_a") == F.col("anchor"))
+            )
+        )
+    else:
+        a = banded.select("key", F.col("id").alias("id_a"))
+        b = banded.select("key", F.col("id").alias("id_b"))
+        raw = a.join(b, "key").filter(F.col("id_a") < F.col("id_b"))
+    cand = raw.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bands")
+    )
+    qa = base.select(F.col("id").alias("id_a"), F.col("q").alias("qa"))
+    qb = base.select(F.col("id").alias("id_b"), F.col("q").alias("qb"))
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("qa"), F.col("qb"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
+        .withColumn("__d2", dist2)
+        .filter(F.col("__d2") <= F.lit(thr2))
+        .select(
+            "id_a",
+            "id_b",
+            "n_bands",
+            F.round(
+                F.sqrt(F.col("__d2").cast("double")) / F.lit(float(scale)),
+                6,
+            ).alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )

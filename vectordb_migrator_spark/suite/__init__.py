@@ -76,6 +76,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_whitening_fp",
     "x9_evr_ladder_fp",
     "x7_hll_md5_daily",
+    "x4_brp_md5_join",
     # --- (c) operators changed by r11-advice fixes ---
     "x2_embedding_near_dup",
     "x12_benford_chi2",
