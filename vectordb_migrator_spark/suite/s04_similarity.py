@@ -600,56 +600,31 @@ def x9_pq_learned_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     (closing the round-8 verdict's rows-only item; the float-path
     twin keeps its NumPy differential in tests/test_similarity.py)."""
     from vectordb_migrator_spark.operators.similarity import (
-        fixed_point_array,
         pq_learned_codebooks_fp,
+        pq_mse_by_subspace_fp,
+        pq_sampled_codebooks,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # sample once; both variants quantize the same seeds (r12: the
+    # n_iter=0 call previously re-ran the identical sampling pass)
+    init = pq_sampled_codebooks(emb, m=4, k=16)
     variants = [
-        ("sampled", pq_learned_codebooks_fp(emb, m=4, k=16, n_iter=0)),
-        ("learned", pq_learned_codebooks_fp(emb, m=4, k=16, n_iter=3)),
+        (
+            "sampled",
+            pq_learned_codebooks_fp(
+                emb, m=4, k=16, n_iter=0, init_codebooks=init
+            ),
+        ),
+        (
+            "learned",
+            pq_learned_codebooks_fp(
+                emb, m=4, k=16, n_iter=3, init_codebooks=init
+            ),
+        ),
     ]
-    iv = fixed_point_array(F.col("embedding"), 10_000)
-    rows = []
-    for name, cbs in variants:
-        for s in range(4):
-            sub = F.slice(iv, s * 16 + 1, 16)
-            cands = F.array(
-                *[
-                    F.array(*[F.lit(int(x)) for x in cw])
-                    for cw in cbs[s]
-                ]
-            )
-            dists = F.transform(
-                cands,
-                lambda c: F.aggregate(
-                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ),
-            )
-            rows.append(
-                F.struct(
-                    F.lit(name).alias("variant"),
-                    F.lit(s).cast("int").alias("s"),
-                    F.array_min(dists).alias("mdist"),
-                )
-            )
-    exploded = emb.select(F.explode(F.array(*rows)).alias("e")).select(
-        "e.variant", "e.s", "e.mdist"
-    )
-    return (
-        exploded.groupBy("variant", "s")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(
-                F.sum(F.col("mdist").cast("decimal(28,0)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-                / F.lit(1e8),
-                6,
-            ).alias("mse_mean"),
-        )
-        .orderBy("variant", "s")
+    return pq_mse_by_subspace_fp(emb, variants, m=4, dsub=16).select(
+        "variant", "s", "n", "mse_mean"
     )
 
 
