@@ -81,7 +81,10 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count right below materializes it
+            # in the same job (r12 — one scheduling round trip per
+            # round instead of two; labels are ids, values unchanged)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -316,11 +319,19 @@ def pagerank(
             .cast("double")
         )
 
+    # degree is loop-invariant: join it to the edges ONCE (r12 — was
+    # one extra join per iteration) and keep the per-iteration
+    # checkpoints LAZY (they still truncate lineage, but materialize
+    # inside the consumer's job instead of costing one scheduling
+    # round trip each; the DECIMAL(28,18)+round(12) trajectory is
+    # checkpoint-frequency-independent, so values are unchanged)
+    e_deg = e.join(deg.withColumnRenamed("id", "a"), "a").localCheckpoint(
+        eager=True
+    )
     ranks = verts.withColumn("rank", init_col).localCheckpoint(eager=True)
     for _ in range(n_iter):
         contrib = (
-            e.join(ranks.withColumnRenamed("id", "a"), "a")
-            .join(deg.withColumnRenamed("id", "a"), "a")
+            e_deg.join(ranks.withColumnRenamed("id", "a"), "a")
             .select(
                 F.col("b").alias("id"),
                 (F.col("rank") / F.col("deg")).alias("c"),
@@ -359,7 +370,7 @@ def pagerank(
                 * (F.coalesce(F.col("s"), F.lit(0.0)) + dang_term),
                 12,
             ).alias("rank"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return ranks
 
 
