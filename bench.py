@@ -34,9 +34,31 @@ from vectordb_migrator_spark.suite import QUERIES as _REGISTRY
 HEADLINE = list(_REGISTRY)
 
 
+def _wait_for_quiet(max_wait_s: float = 180.0, threshold: float = 4.0) -> float:
+    """Quiet-box protocol (r11 verdict ask #7): a bench pass launched
+    right after a pytest/oracle sweep reads +14-20% across the board
+    from leftover machine load (measured in round 11). Wait for the
+    1-minute load average to decay below ``threshold`` (bounded by
+    ``max_wait_s`` so CI never hangs), and return the load the run
+    actually started at — recorded in the output JSON so
+    round-over-round comparisons can tell a regression from a noisy
+    box."""
+    deadline = time.time() + max_wait_s
+    load = os.getloadavg()[0]
+    while load > threshold and time.time() < deadline:
+        print(
+            f"bench: load_avg {load:.1f} > {threshold} — cooling down",
+            file=sys.stderr,
+        )
+        time.sleep(10.0)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_at_start = _wait_for_quiet()
 
     from vectordb_migrator_spark.session import get_spark
     from vectordb_migrator_spark.suite import QUERIES
@@ -82,6 +104,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "load_at_start": round(load_at_start, 2),
     }
     print(json.dumps(summary))
     full = {**summary, "queries": timings, "errors": errors}
