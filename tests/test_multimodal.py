@@ -1715,3 +1715,81 @@ def test_oriented_thumbnail_semantics(spark):
     assert (rows[2]["thumb_w"], rows[2]["thumb_h"]) == (3, 2)
     assert rows[2]["px00_r"] == 0
     assert rows[3]["thumb_w"] is None  # junk -> NULL row
+
+
+def test_exif_gps_ifd1_roundtrip_and_hostile_offsets():
+    """r12: GPS sub-IFD + IFD1 thumbnail pointers — builder/parser
+    round trip in both byte orders, and every hostile shape (rational
+    offset past the buffer, zero denominator, thumbnail span past the
+    segment, truncation at every byte) degrades to NULL fields, never
+    an exception or an out-of-bounds read."""
+    import struct
+
+    import numpy as np
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        exif_app1_segment,
+        jpeg_encode,
+        jpeg_exif_meta,
+    )
+
+    jb = jpeg_encode(np.full((8, 8), 9, np.uint8))
+
+    def build(**kw):
+        return jb[:2] + exif_app1_segment(**kw) + jb[2:]
+
+    for bo in ("II", "MM"):
+        p = build(
+            orientation=6, make="cam-1", datetime="2021:01:02 03:04:05",
+            byte_order=bo,
+            gps_lat=("N", 37, 46, 3012, 100),
+            gps_lon=("W", 122, 25, 991, 100),
+            thumbnail=b"\xff\xd8ok\xff\xd9",
+        )
+        m = jpeg_exif_meta(p)
+        assert m["gps_lat"] == round(37 + 46 / 60 + 30.12 / 3600, 6)
+        assert m["gps_lon"] == round(-(122 + 25 / 60 + 9.91 / 3600), 6)
+        assert m["thumb_length"] == 6
+        toff = m["thumb_offset"]
+        # the advertised span really is the thumbnail bytes
+        t = p[p.index(b"Exif\x00\x00") + 6:]
+        assert t[toff: toff + 6] == b"\xff\xd8ok\xff\xd9"
+
+    # southern/eastern refs flip signs independently
+    m = jpeg_exif_meta(build(
+        gps_lat=("S", 1, 30, 0, 1), gps_lon=("E", 2, 0, 3600, 100)
+    ))
+    assert m["gps_lat"] == -1.5 and m["gps_lon"] == 2.01
+
+    # zero denominator -> NULL coordinate, the other survives
+    m = jpeg_exif_meta(build(
+        gps_lat=("N", 1, 2, 3, 0), gps_lon=("E", 2, 0, 0, 1)
+    ))
+    assert m["gps_lat"] is None and m["gps_lon"] == 2.0
+
+    # hostile RATIONAL offset: point GPSLatitude's value slab past the
+    # buffer -> NULL, no crash
+    good = build(gps_lat=("N", 1, 2, 3, 1), gps_lon=("E", 4, 5, 6, 1))
+    ex = good.index(b"Exif\x00\x00") + 6
+    t0 = good.index(b"\x02\x00\x05\x00\x03\x00\x00\x00", ex)
+    bad = bytearray(good)
+    bad[t0 + 8: t0 + 12] = struct.pack("<I", 2 ** 24)
+    m = jpeg_exif_meta(bytes(bad))
+    assert m["gps_lat"] is None and m["gps_lon"] is not None
+
+    # hostile thumbnail length: span past the segment -> both NULL
+    withthumb = build(thumbnail=b"\xff\xd8zz\xff\xd9")
+    t1 = withthumb.index(b"\x02\x02\x04\x00\x01\x00\x00\x00")
+    bad2 = bytearray(withthumb)
+    bad2[t1 + 8: t1 + 12] = struct.pack("<I", 2 ** 24)
+    m = jpeg_exif_meta(bytes(bad2))
+    assert m["thumb_offset"] is None and m["thumb_length"] is None
+
+    # truncation at every byte: never raises
+    full = build(
+        orientation=3, make="cam-2", datetime="2021:01:02 03:04:05",
+        gps_lat=("N", 10, 20, 30, 1), gps_lon=("W", 40, 50, 60, 1),
+        thumbnail=b"\xff\xd8\xff\xd9",
+    )
+    for cut in range(len(full)):
+        jpeg_exif_meta(full[:cut])

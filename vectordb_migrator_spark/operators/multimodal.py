@@ -2854,23 +2854,36 @@ def exif_app1_segment(
     datetime: str | None = None,
     make: str | None = None,
     byte_order: str = "II",
+    gps_lat: tuple[str, int, int, int, int] | None = None,
+    gps_lon: tuple[str, int, int, int, int] | None = None,
+    thumbnail: bytes | None = None,
 ) -> bytes:
     """Build an APP1 Exif segment (marker + length + ``Exif\\0\\0`` +
     TIFF header + IFD0) carrying the given tags — the fixture-side
     twin of :func:`jpeg_exif_features`, like jpeg_encode is to
-    jpeg_decode. Tags emitted in ascending order per TIFF 6.0: Make
+    jpeg_decode. IFD0 tags emit in ascending order per TIFF 6.0: Make
     (0x010F, ASCII), Orientation (0x0112, SHORT), DateTime (0x0132,
-    ASCII, 20 bytes). ``byte_order`` is ``"II"`` (little-endian) or
-    ``"MM"`` (big-endian) — both shapes exist in real corpora."""
+    ASCII), GPSInfo (0x8825, LONG pointer to the GPS sub-IFD).
+    ``gps_lat``/``gps_lon`` (round 12, must come together) are
+    ``(ref, deg, minute, sec_num, sec_den)`` — integer DMS stored as
+    the standard three RATIONALs. ``thumbnail`` (round 12) hangs an
+    IFD1 off IFD0's next-IFD pointer with JPEGInterchangeFormat /
+    ...Length pointing at the embedded bytes. ``byte_order`` is
+    ``"II"`` (little-endian) or ``"MM"`` (big-endian) — both shapes
+    exist in real corpora."""
     import struct
 
     if byte_order not in ("II", "MM"):
         raise ValueError("byte_order must be 'II' or 'MM'")
+    if (gps_lat is None) != (gps_lon is None):
+        raise ValueError("gps_lat and gps_lon must come together")
     e = "<" if byte_order == "II" else ">"
-    entries = []  # (tag, type, count, packed 4-byte value, extra data)
+    entries = []  # (tag, type, count, packed 4-byte value)
     extra = bytearray()
     # data area begins after: TIFF hdr (8) + count (2) + 12n + next (4)
-    n = sum(x is not None for x in (orientation, datetime, make))
+    n = sum(x is not None for x in (orientation, datetime, make)) + (
+        1 if gps_lat is not None else 0
+    )
     data_base = 8 + 2 + 12 * n + 4
     if make is not None:
         payload = make.encode("ascii") + b"\x00"
@@ -2899,13 +2912,51 @@ def exif_app1_segment(
         )
         if len(payload) > 4:
             extra += payload
+    if gps_lat is not None:
+        # GPS sub-IFD: 4 entries (ref/coord ×2) + next ptr, then the
+        # two 3-RATIONAL blocks — 54 + 48 bytes appended to extra
+        gps_off = data_base + len(extra)
+        rat_base = gps_off + 2 + 4 * 12 + 4
+        gifd = bytearray(struct.pack(f"{e}H", 4))
+        for tag, val in (
+            (0x0001, gps_lat[0]),
+            (0x0002, rat_base),
+            (0x0003, gps_lon[0]),
+            (0x0004, rat_base + 24),
+        ):
+            if tag in (0x0001, 0x0003):
+                raw = str(val).encode("ascii")[:3] + b"\x00"
+                gifd += struct.pack(f"{e}HHI", tag, 2, len(raw)) + raw.ljust(
+                    4, b"\x00"
+                )
+            else:
+                gifd += struct.pack(f"{e}HHI", tag, 5, 3) + struct.pack(
+                    f"{e}I", val
+                )
+        gifd += struct.pack(f"{e}I", 0)
+        for _, d, m_, sn, sd in (gps_lat, gps_lon):
+            gifd += struct.pack(f"{e}6I", d, 1, m_, 1, sn, sd)
+        entries.append((0x8825, 4, 1, struct.pack(f"{e}I", gps_off)))
+        extra += gifd
+    ifd1_off = data_base + len(extra) if thumbnail is not None else 0
     tiff = bytearray(byte_order.encode("ascii"))
     tiff += struct.pack(f"{e}H", 42) + struct.pack(f"{e}I", 8)
     tiff += struct.pack(f"{e}H", len(entries))
-    for tag, typ, cnt, val in entries:
+    for tag, typ, cnt, val in sorted(entries):
         tiff += struct.pack(f"{e}HHI", tag, typ, cnt) + val
-    tiff += struct.pack(f"{e}I", 0)  # no next IFD
+    tiff += struct.pack(f"{e}I", ifd1_off)
     tiff += extra
+    if thumbnail is not None:
+        thumb_off = ifd1_off + 2 + 2 * 12 + 4
+        tiff += struct.pack(f"{e}H", 2)
+        tiff += struct.pack(f"{e}HHI", 0x0201, 4, 1) + struct.pack(
+            f"{e}I", thumb_off
+        )
+        tiff += struct.pack(f"{e}HHI", 0x0202, 4, 1) + struct.pack(
+            f"{e}I", len(thumbnail)
+        )
+        tiff += struct.pack(f"{e}I", 0)
+        tiff += bytes(thumbnail)
     body = b"Exif\x00\x00" + bytes(tiff)
     import struct as _s
 
@@ -2924,7 +2975,9 @@ def icc_app2_segment(profile: bytes = b"\x00" * 16) -> bytes:
 def jpeg_exif_meta(payload: bytes) -> dict:
     """Parse JPEG header metadata WITHOUT decoding pixels: APP1 Exif
     (byte order, Orientation 0x0112, DateTime 0x0132, Make 0x010F
-    from IFD0), APP2 ICC-profile presence, SOF dimensions, and
+    from IFD0; GPS sub-IFD 0x8825 → signed decimal degrees; IFD1
+    thumbnail offset/length, r12), APP2 ICC-profile presence, SOF
+    dimensions, and
     whether the frame is progressive (SOF2). Orientation matters:
     values 5-8 transpose the image, so thumbnails / perceptual-dedup
     geometry on a real photo corpus are wrong without it — and it
@@ -2939,6 +2992,8 @@ def jpeg_exif_meta(payload: bytes) -> dict:
         "has_exif": None, "byte_order": None, "orientation": None,
         "exif_datetime": None, "make": None, "icc_present": None,
         "width": None, "height": None, "progressive": None,
+        "gps_lat": None, "gps_lon": None,
+        "thumb_offset": None, "thumb_length": None,
     }
     b = bytes(payload)
     if len(b) < 4 or b[:2] != b"\xff\xd8":
@@ -2978,10 +3033,11 @@ def jpeg_exif_meta(payload: bytes) -> dict:
                 magic, ifd0 = struct.unpack_from(f"{e}HI", t, 2)
                 if magic != 42 or ifd0 + 2 > len(t):
                     continue
-                (n_ent,) = struct.unpack_from(f"{e}H", t, ifd0)
-                n_ent = min(n_ent, 64)  # entry-count bomb cap
+                (n_ent_raw,) = struct.unpack_from(f"{e}H", t, ifd0)
+                n_ent = min(n_ent_raw, 64)  # entry-count bomb cap
                 out["has_exif"] = True
                 out["byte_order"] = t[:2].decode("ascii")
+                gps_off = None
                 for i in range(n_ent):
                     off = ifd0 + 2 + 12 * i
                     if off + 12 > len(t):
@@ -2990,6 +3046,10 @@ def jpeg_exif_meta(payload: bytes) -> dict:
                     if tag == 0x0112 and typ == 3 and cnt == 1:
                         (v,) = struct.unpack_from(f"{e}H", t, off + 8)
                         out["orientation"] = int(v)
+                    elif tag == 0x8825 and typ == 4 and cnt == 1:
+                        (gps_off,) = struct.unpack_from(
+                            f"{e}I", t, off + 8
+                        )
                     elif tag in (0x010F, 0x0132) and typ == 2:
                         if cnt > 256:  # ASCII-length bomb cap
                             continue
@@ -3007,9 +3067,98 @@ def jpeg_exif_meta(payload: bytes) -> dict:
                         )
                         key = "make" if tag == 0x010F else "exif_datetime"
                         out[key] = val
+                if gps_off is not None:
+                    _exif_parse_gps_ifd(t, gps_off, e, out)
+                # IFD1 (thumbnail IFD) hangs off the next-IFD pointer
+                # AFTER the real entry table; an entry-bomb header
+                # (raw count past the cap) forfeits it — the pointer
+                # position is not trustworthy there
+                if n_ent_raw <= 64:
+                    nxt_at = ifd0 + 2 + 12 * n_ent_raw
+                    if nxt_at + 4 <= len(t):
+                        (ifd1,) = struct.unpack_from(f"{e}I", t, nxt_at)
+                        if 0 < ifd1 and ifd1 + 2 <= len(t):
+                            _exif_parse_ifd1(t, ifd1, e, out)
             except struct.error:
                 continue
     return out
+
+
+def _exif_parse_gps_ifd(t: bytes, gps_off: int, e: str, out: dict) -> None:
+    """GPS sub-IFD (round 12): GPSLatitudeRef/GPSLatitude and the
+    longitude pair (tags 1-4), each coordinate three RATIONALs
+    (deg, min, sec) converted to signed decimal degrees
+    ``±(d + m/60 + s/3600)`` rounded to 6 — the photo-corpus
+    geo-bucketing field. Same hostile-input contract as IFD0: entry
+    cap, every offset bounds-checked, zero denominators → NULL."""
+    import struct
+
+    if gps_off + 2 > len(t):
+        return
+    (n_ent,) = struct.unpack_from(f"{e}H", t, gps_off)
+    refs: dict[int, str] = {}
+    rats: dict[int, tuple] = {}
+    for i in range(min(n_ent, 64)):
+        off = gps_off + 2 + 12 * i
+        if off + 12 > len(t):
+            return
+        tag, typ, cnt = struct.unpack_from(f"{e}HHI", t, off)
+        if tag in (0x0001, 0x0003) and typ == 2 and cnt <= 4:
+            raw = t[off + 8 : off + 8 + cnt]
+            refs[tag] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+        elif tag in (0x0002, 0x0004) and typ == 5 and cnt == 3:
+            (voff,) = struct.unpack_from(f"{e}I", t, off + 8)
+            if voff + 24 > len(t):
+                continue
+            rats[tag] = struct.unpack_from(f"{e}6I", t, voff)
+    for ref_tag, val_tag, key, neg in (
+        (0x0001, 0x0002, "gps_lat", "S"),
+        (0x0003, 0x0004, "gps_lon", "W"),
+    ):
+        r = rats.get(val_tag)
+        if r is None:
+            continue
+        dn, dd, mn, md, sn, sd = r
+        if dd == 0 or md == 0 or sd == 0:
+            continue
+        v = dn / dd + (mn / md) / 60.0 + (sn / sd) / 3600.0
+        if refs.get(ref_tag, "").upper().startswith(neg):
+            v = -v
+        out[key] = round(v, 6)
+
+
+def _exif_parse_ifd1(t: bytes, ifd1: int, e: str, out: dict) -> None:
+    """IFD1 (round 12): the thumbnail IFD — JPEGInterchangeFormat
+    (0x0201, byte offset of the embedded JFIF thumbnail inside the
+    TIFF blob) and ...FormatLength (0x0202). Reported only when the
+    pair is PRESENT and the span lies inside the segment — a hostile
+    offset/length degrades to NULLs, never a read past the buffer."""
+    import struct
+
+    (n_ent,) = struct.unpack_from(f"{e}H", t, ifd1)
+    toff = tlen = None
+    for i in range(min(n_ent, 64)):
+        off = ifd1 + 2 + 12 * i
+        if off + 12 > len(t):
+            return
+        tag, typ, cnt = struct.unpack_from(f"{e}HHI", t, off)
+        if typ not in (3, 4) or cnt != 1:
+            continue
+        (v,) = struct.unpack_from(
+            f"{e}H" if typ == 3 else f"{e}I", t, off + 8
+        )
+        if tag == 0x0201:
+            toff = int(v)
+        elif tag == 0x0202:
+            tlen = int(v)
+    if (
+        toff is not None
+        and tlen is not None
+        and tlen > 0
+        and toff + tlen <= len(t)
+    ):
+        out["thumb_offset"] = toff
+        out["thumb_length"] = tlen
 
 
 def jpeg_exif_features(
@@ -3041,7 +3190,8 @@ def jpeg_exif_features(
         "doc_id long, has_exif boolean, byte_order string, "
         "orientation int, exif_datetime string, make string, "
         "icc_present boolean, width int, height int, "
-        "progressive boolean"
+        "progressive boolean, gps_lat double, gps_lon double, "
+        "thumb_offset int, thumb_length int"
     )
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
 

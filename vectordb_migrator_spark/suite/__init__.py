@@ -77,10 +77,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_evr_ladder_fp",
     "x7_hll_md5_daily",
     "x4_brp_md5_join",
+    "x6_exif_gps",
+    "x6_jpeg_exif",
     # --- (c) operators changed by r11-advice fixes ---
     "x2_embedding_near_dup",
     "x12_benford_chi2",
-    "x6_jpeg_exif",
     "x4_graph_pq_route",
 ]
 

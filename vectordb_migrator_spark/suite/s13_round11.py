@@ -174,7 +174,11 @@ def x6_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
            (doc_id % 3 = 0) AS icc_present,
            (8 * (1 + doc_id % 3))::INT AS width,
            (8 * (1 + doc_id % 2))::INT AS height,
-           (doc_id % 5 = 0) AS progressive
+           (doc_id % 5 = 0) AS progressive,
+           NULL::DOUBLE AS gps_lat,
+           NULL::DOUBLE AS gps_lon,
+           NULL::INT AS thumb_offset,
+           NULL::INT AS thumb_length
     FROM documents ORDER BY doc_id
     """,
 )
