@@ -573,3 +573,49 @@ def test_evr_ladder_fp_matches_numpy_ladder(spark):
     assert abs(round(out2[2]["cum_evr"], 5) - 1.0) < 2e-4
     assert out2[2]["max_cross"] < 0.01
     assert out2[3]["max_cross"] > 0.5  # exhaustion certificate
+
+
+def test_opq_givens_balance_fp_balances_planted_variance(spark):
+    """r12: variance planted in one subspace -> the greedy Givens
+    sweep moves it across subspaces (spread falls monotonically up to
+    truncation noise), rotation stays near-orthogonal, constant input
+    yields an all-identity trajectory, and the run is deterministic."""
+    import random
+
+    from vectordb_migrator_spark.operators.decomposition import (
+        opq_givens_balance_fp,
+    )
+
+    random.seed(21)
+    rows = []
+    for i in range(400):
+        v = [random.gauss(0, 0.03) for _ in range(8)]
+        v[1] += random.gauss(0, 1.0)  # subspace 0 rich (m=2 -> 0..3)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    out = opq_givens_balance_fp(df, d=8, m=2, rounds=4).collect()
+    assert [r["round"] for r in out] == [1, 2, 3, 4]
+    for r in out:
+        assert r["spread_after"] <= r["spread_before"] + 4
+        assert r["ortho_defect"] <= 1e-3
+        i_sub, j_sub = r["i"] // 4, r["j"] // 4
+        if r["sin_s"] != 0:
+            assert i_sub != j_sub  # rotations only ever cross subspaces
+    assert out[-1]["spread_after"] < out[0]["spread_before"] * 0.5
+    # chain: each round's spread_before == previous round's spread_after
+    for a, b in zip(out, out[1:]):
+        assert b["spread_before"] == a["spread_after"]
+
+    # determinism
+    out2 = opq_givens_balance_fp(df, d=8, m=2, rounds=4).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+    # constant input: zero scatter -> identity trajectory, zero defect
+    const = spark.createDataFrame(
+        [(i, [3.0] * 8) for i in range(20)],
+        "id long, embedding array<float>",
+    )
+    for r in opq_givens_balance_fp(const, d=8, m=2, rounds=3).collect():
+        assert (r["cos_s"], r["sin_s"]) == (10_000, 0)
+        assert r["spread_before"] == r["spread_after"] == 0
+        assert r["ortho_defect"] == 0.0

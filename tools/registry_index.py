@@ -39,17 +39,26 @@ FOOT = (
     "Python differential or invariant test instead:\n"
     "`x4_brp_approx_join`/`x4_kmeans_ivf` (MLlib BRP-LSH internal\n"
     "hash; float Lloyd iterations — the ENGINE-EXACT fixed-point\n"
-    "Lloyd twin `x9_pq_learned_error` IS fully oracled),\n"
+    "Lloyd twin `x9_pq_learned_error` IS fully oracled, the r12\n"
+    "md5-hyperplane twin `x4_brp_md5_join` value-oracles the\n"
+    "approx-join surface, and the r11 `x4_ivf_fp` the IVF surface),\n"
     "`x7_approx_distinct`/`x7_audience_overlap`/`x7_hll_daily_merge`\n"
     "(HyperLogLog++ register layout internal to Spark; the mergeable\n"
-    "distinct-count surface is fully oracled via `x7_kmv_distinct`),\n"
+    "distinct-count surface is fully oracled via `x7_kmv_distinct`,\n"
+    "the overlap surface via the r11 md5-register twin\n"
+    "`x7_hll_md5_overlap`, and the daily-rollup surface via the r12\n"
+    "twin `x7_hll_md5_daily` with its bit-for-bit streaming\n"
+    "maintainer `hll_md5_ingest`),\n"
     "`x7_approx_percentile` (Greenwald-Khanna internal summary; exact\n"
     "quantiles fully oracled via `x7_group_quantiles`/\n"
     "`x7_weighted_quantiles`), `x9_pca_evr`/`x9_whitening_check`/\n"
     "`x9_opq_rotation_error` (LAPACK eigen/SVD — iterative float\n"
     "linear algebra with sign/rotation gauge freedom; invariants\n"
     "(EVR sums to 1, whitened covariance ≈ I, rotation orthogonality)\n"
-    "are asserted in tests instead); `x5_compression_ratio` (a DEFLATE\n"
+    "are asserted in tests instead — and since round 12 ALL THREE\n"
+    "surfaces carry engine-exact fixed-point full-oracle twins:\n"
+    "`x9_evr_ladder_fp`, `x9_whitening_fp`, and the Givens-balance\n"
+    "rotation fit `x9_opq_givens_fp`); `x5_compression_ratio` (a DEFLATE\n"
     "bitstream is not SQL-expressible; the codec's INFLATE side IS\n"
     "value-oracled by `x6_png_decode`/`x6_zip_shards`, and the\n"
     "entropy-based twin `x12_encoding_advisor` is fully oracled)."

@@ -1295,3 +1295,172 @@ def evr_ladder_fp(
         "align",
         "max_cross",
     ).orderBy("component")
+
+
+def _fp_sidiv_int(x: int, q: int) -> int:
+    """Signed truncating integer division on plain Python ints — the
+    driver-side twin of ``_fp_sidiv`` (and of the oracles' sidiv SQL
+    text): ⌊|x|/q⌋ with the sign of x."""
+    return -((-x) // q) if x < 0 else x // q
+
+
+#: integer (cos, sin) dictionary at rot_scale=10⁴ — identity first so
+#: a round that cannot improve the objective is a deterministic no-op
+_GIVENS_ANGLES = ((10_000, 0), (9_808, 1_951), (9_239, 3_827), (7_071, 7_071))
+
+
+def opq_givens_balance_fp(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    d: int = 64,
+    m: int = 4,
+    rounds: int = 6,
+    coord_scale: int = 100,
+    b_shift: int = 18,
+    rot_scale: int = 10_000,
+) -> DataFrame:
+    """ENGINE-EXACT OPQ-style rotation fit (round 12) — the fixed-point
+    twin that retires the last LAPACK-gauge rows-only capability
+    (``x9_opq_rotation_error``'s SVD-learned dense rotation): a greedy
+    cross-subspace GIVENS balance, every step deterministic int64.
+
+    OPQ's parametric variant balances variance across the ``m`` PQ
+    subspaces before splitting (Ge et al., CVPR'13 §4 — eigenvalue
+    allocation); a Givens sweep is the rotation-parameterized way to
+    move variance between coordinates. Here: the int64 centered
+    scatter (exactly :func:`power_iteration_pc1`'s
+    ``_fp_scatter_b``) collects ONCE as the d² model-sized sufficient
+    statistic (the k-means-centroids contract — the data pass is one
+    map-side-combinable reduce); then ``rounds`` greedy steps, each:
+
+    1. preview, for EVERY cross-subspace pair (i, j) and every
+       integer angle in the fixed (cos, sin) dictionary at
+       ``rot_scale``, the subspace-trace SPREAD (max − min of
+       per-subspace traces, the balance objective) via the
+       closed-form diagonal updates with one truncating division —
+       O(1) per candidate off the current S;
+    2. pick the (pair, angle) with the smallest previewed spread,
+       ties by lowest row-major pair index then lowest angle index —
+       the identity angle makes a round that cannot improve an
+       explicit deterministic no-op (encoded as one int64
+       ``spread·4·d² + k·4 + angle`` argmin, replayed verbatim by
+       the oracle);
+    3. apply the winning Givens two-sidedly, G·S·Gᵀ, as two
+       truncated integer row/column passes, and accumulate R ← G·R
+       the same way.
+
+    Because truncation erodes exact orthogonality, each round also
+    reports the accumulated rotation's ORTHOGONALITY DEFECT
+    (max |(R·Rᵀ)_kl − rot_scale²·δ_kl| / rot_scale²) — the
+    certificate that integer drift stays bounded (≈1e-4/round).
+
+    Returns ``rounds`` rows, ordered: (round, i, j, cos_s, sin_s —
+    the chosen dictionary entry at rot_scale, s_ij_before,
+    spread_before, spread_after — exact int64 at the scatter's
+    rescaled gauge, ortho_defect). A rotation is applied only when
+    its PREVIEW spread strictly beats the identity's (ties keep the
+    no-op), so spread never grows beyond the two-pass truncation's
+    O(1)-unit noise; an all-zero scatter (constant input) yields an
+    all-identity trajectory.
+
+    Scale shape: ONE O(N) scatter pass; the greedy runs on the driver
+    over d² ints (model-sized, like probe routing); nothing else
+    touches data. The SQL oracle replays the identical integer greedy
+    from the same scatter CTE.
+    """
+    if d % m:
+        raise ValueError("m must divide d")
+    sub_w = d // m
+    one = _fp_scatter_b(
+        df, vec_col, d, coord_scale, b_shift, "opq_givens_balance_fp"
+    ).first()
+    s = [int(x) for x in one["b"]]
+    r = [0] * (d * d)
+    for k in range(d):
+        r[k * d + k] = rot_scale
+    sc = rot_scale
+
+    def traces(mat: list[int]) -> list[int]:
+        return [
+            sum(mat[k * d + k] for k in range(a * sub_w, (a + 1) * sub_w))
+            for a in range(m)
+        ]
+
+    def ortho_defect(rm: list[int]) -> float:
+        worst = 0
+        for a in range(d):
+            for bb in range(a, d):
+                v = sum(rm[a * d + k] * rm[bb * d + k] for k in range(d))
+                if a == bb:
+                    v -= sc * sc
+                worst = max(worst, abs(v))
+        return round(worst / float(sc * sc), 6)
+
+    rows = []
+    n_ang = len(_GIVENS_ANGLES)
+    for rnd in range(1, rounds + 1):
+        tr = traces(s)
+        spread_before = max(tr) - min(tr)
+        # 1+2. joint (pair, angle) argmin of the previewed spread,
+        # one sortable int64 per candidate: spread·(4·d²) + k·4 + a
+        best_enc = None
+        for i in range(d):
+            for j in range(i + 1, d):
+                if i // sub_w == j // sub_w:
+                    continue
+                k = i * d + j
+                sii, sjj, sij = s[i * d + i], s[j * d + j], s[k]
+                for ai, (c, sn) in enumerate(_GIVENS_ANGLES):
+                    nii = _fp_sidiv_int(
+                        c * c * sii + 2 * c * sn * sij + sn * sn * sjj,
+                        sc * sc,
+                    )
+                    njj = _fp_sidiv_int(
+                        sn * sn * sii - 2 * c * sn * sij + c * c * sjj,
+                        sc * sc,
+                    )
+                    t2 = list(tr)
+                    t2[i // sub_w] += nii - sii
+                    t2[j // sub_w] += njj - sjj
+                    spread = max(t2) - min(t2)
+                    enc = spread * (n_ang * d * d) + k * n_ang + ai
+                    if best_enc is None or enc < best_enc:
+                        best_enc = enc
+        best_k = (best_enc % (n_ang * d * d)) // n_ang
+        best_a = best_enc % n_ang
+        i, j = best_k // d, best_k % d
+        sij = s[i * d + j]
+        c, sn = _GIVENS_ANGLES[best_a]
+        # 3. apply S ← G·S·Gᵀ (two truncated passes) and R ← G·R
+        if best_a != 0:
+            t1 = list(s)
+            for k in range(d):
+                a_, b_ = s[i * d + k], s[j * d + k]
+                t1[i * d + k] = _fp_sidiv_int(c * a_ + sn * b_, sc)
+                t1[j * d + k] = _fp_sidiv_int(-sn * a_ + c * b_, sc)
+            s2 = list(t1)
+            for k in range(d):
+                a_, b_ = t1[k * d + i], t1[k * d + j]
+                s2[k * d + i] = _fp_sidiv_int(c * a_ + sn * b_, sc)
+                s2[k * d + j] = _fp_sidiv_int(-sn * a_ + c * b_, sc)
+            s = s2
+            r2 = list(r)
+            for k in range(d):
+                a_, b_ = r[i * d + k], r[j * d + k]
+                r2[i * d + k] = _fp_sidiv_int(c * a_ + sn * b_, sc)
+                r2[j * d + k] = _fp_sidiv_int(-sn * a_ + c * b_, sc)
+            r = r2
+        tr_after = traces(s)
+        rows.append(
+            (
+                rnd, i, j, c, sn, int(sij), int(spread_before),
+                int(max(tr_after) - min(tr_after)), ortho_defect(r),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "round int, i int, j int, cos_s int, sin_s int, "
+        "s_ij_before long, spread_before long, spread_after long, "
+        "ortho_defect double",
+    ).orderBy("round")

@@ -79,6 +79,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "x4_brp_md5_join",
     "x6_exif_gps",
     "x6_jpeg_exif",
+    "x9_opq_givens_fp",
+    "x9_pq_learned_error",
+    "x2_dedup_pagerank",
+    "x2_personalized_pagerank",
+    "x2_multi_signal_clusters",
     # --- (c) operators changed by r11-advice fixes ---
     "x2_embedding_near_dup",
     "x12_benford_chi2",
