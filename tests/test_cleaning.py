@@ -191,3 +191,49 @@ def test_self_bleu2_detects_mode_collapse(spark):
     by = {r["doc_id"]: r for r in dup}
     assert by[1]["bleu2"] == 1.0 and by[2]["bleu2"] == 1.0
     assert by[3]["bleu2"] == 0.0
+
+
+def test_span_corruption_reconstructs_and_is_deterministic(spark):
+    """r12: substituting each input sentinel <Xk> with the k-th target
+    span reconstructs the original token stream EXACTLY for every
+    document (the invariant the denoising objective depends on);
+    noise tracks the 15% coin; repeat runs are identical."""
+    import re
+
+    from vectordb_migrator_spark.operators.cleaning import span_corruption
+
+    rows = [
+        (i, f"tok{i} " + " ".join(f"w{i}_{j}" for j in range(3 + i % 25)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in span_corruption(df).collect()}
+    assert len(out) == 120
+
+    total_tok = total_masked = 0
+    for i, text in rows:
+        r = out[i]
+        orig = text.lower().split()
+        assert r["n_tokens"] == len(orig)
+        total_tok += r["n_tokens"]
+        total_masked += r["n_masked"]
+        # parse target: "<X0> a b <X1> c ... <Xn>" -> spans per index
+        parts = re.split(r"<X(\d+)>", r["target_text"])
+        # parts = ['', '0', ' a b ', '1', ' c ', 'n', '']
+        spans = {}
+        for k in range(1, len(parts) - 2, 2):
+            spans[int(parts[k])] = parts[k + 1].split()
+        assert int(parts[-2]) == r["n_spans"]  # terminator index
+        rebuilt = []
+        for piece in r["input_text"].split():
+            m = re.fullmatch(r"<X(\d+)>", piece)
+            rebuilt += spans[int(m.group(1))] if m else [piece]
+        assert rebuilt == orig, i
+        if r["n_masked"] == 0:
+            assert r["input_text"] == " ".join(orig)
+            assert r["target_text"] == "<X0>"
+    # coin rate sanity: 15% +- 5 points over ~2k tokens
+    assert 0.08 < total_masked / total_tok < 0.22
+
+    again = {r["id"]: tuple(r) for r in span_corruption(df).collect()}
+    assert again == {i: tuple(r) for i, r in out.items()}

@@ -1047,3 +1047,132 @@ def self_bleu2(
         )
         .orderBy(id_col)
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    noise_pct: int = 15,
+) -> DataFrame:
+    """T5-style SPAN-CORRUPTION training transform (round 12) — the
+    denoising objective's data prep (Raffel et al., JMLR'20 §3.1.4):
+    each token flips an independent deterministic md5 coin at
+    ``noise_pct``%; CONSECUTIVE masked tokens collapse into one
+    numbered sentinel in the input, and the target spells each span
+    as its sentinel followed by the dropped tokens, terminated by one
+    final sentinel — exactly the (inputs, targets) pair the span-
+    corruption loss consumes. Complements the FIM transform
+    (``x0_fim_transform``): infilling reorders, denoising deletes.
+
+    Determinism: the coin is ``md5('t5:<id>:<pos>')`` (the library's
+    cross-engine convention), so masks, span numbering, and both
+    output strings replay bit-for-bit in SQL. A document with no
+    masked token keeps its text and targets the bare terminator
+    ``<X0>``.
+
+    Scale shape: per-document windows only (gaps-and-islands for the
+    span grouping — every window partitions by the document id, no
+    global ordering), then two id-keyed rollups; no UDF, no driver
+    loop.
+
+    Returns (id, n_tokens, n_masked, n_spans, noise_frac, input_text,
+    target_text), one row per document."""
+    from pyspark.sql import Window as W
+
+    from vectordb_migrator_spark.functions.text import ws_tokens
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("t5:"),
+            F.col("id").cast("string"),
+            F.lit(":"),
+            F.col("pos").cast("string"),
+        )
+    )
+    coin = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 100
+    toks = toks.withColumn("masked", coin < F.lit(noise_pct))
+    # gaps-and-islands: pos - row_number among masked rows is constant
+    # per consecutive run and nondecreasing, so dense_rank numbers the
+    # spans 0..k-1 in document order
+    w_run = W.partitionBy("id", "masked").orderBy("pos")
+    w_isl = W.partitionBy("id").orderBy("island")
+    w_pos = W.partitionBy("id", "masked", "island").orderBy("pos")
+    marked = toks.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_run)
+    )
+    masked_rows = (
+        marked.filter("masked")
+        .withColumn("span_idx", F.dense_rank().over(w_isl) - 1)
+        .withColumn("first_in_span", F.row_number().over(w_pos) == 1)
+    )
+    sent = F.concat(F.lit("<X"), F.col("span_idx").cast("string"), F.lit(">"))
+    in_pieces = marked.filter(~F.col("masked")).select(
+        "id", "pos", F.col("tok").alias("piece")
+    ).unionByName(
+        masked_rows.filter("first_in_span").select(
+            "id", "pos", sent.alias("piece")
+        )
+    )
+    tgt_pieces = masked_rows.select(
+        "id",
+        "pos",
+        F.when(F.col("first_in_span"), F.concat(sent, F.lit(" "), F.col("tok")))
+        .otherwise(F.col("tok"))
+        .alias("piece"),
+    )
+
+    def joined(pieces: DataFrame, out: str) -> DataFrame:
+        return pieces.groupBy("id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "piece"))),
+                    lambda s: s.getField("piece"),
+                ),
+                " ",
+            ).alias(out)
+        )
+
+    stats = marked.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("masked").cast("long")).cast("long").alias("n_masked"),
+    )
+    spans = masked_rows.groupBy("id").agg(
+        F.max("span_idx").cast("long").alias("__max_span")
+    )
+    return (
+        stats.join(joined(in_pieces, "input_text"), "id", "left")
+        .join(joined(tgt_pieces, "__tgt"), "id", "left")
+        .join(spans, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            "n_masked",
+            (F.coalesce("__max_span", F.lit(-1)) + 1).cast("long").alias(
+                "n_spans"
+            ),
+            F.round(
+                F.col("n_masked").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("noise_frac"),
+            F.coalesce("input_text", F.lit("")).alias("input_text"),
+            F.concat(
+                F.when(
+                    F.col("__tgt").isNull() | (F.col("__tgt") == ""),
+                    F.lit(""),
+                ).otherwise(F.concat(F.col("__tgt"), F.lit(" "))),
+                F.lit("<X"),
+                (F.coalesce("__max_span", F.lit(-1)) + 1).cast("string"),
+                F.lit(">"),
+            ).alias("target_text"),
+        )
+    )

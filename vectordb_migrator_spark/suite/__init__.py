@@ -80,6 +80,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_exif_gps",
     "x6_jpeg_exif",
     "x9_opq_givens_fp",
+    "x0_span_corruption",
     "x9_pq_learned_error",
     "x2_dedup_pagerank",
     "x2_personalized_pagerank",
