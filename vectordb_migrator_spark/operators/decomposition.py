@@ -608,45 +608,115 @@ def _fp_dot(a, bb):
     )
 
 
-def _fp_power(b, d: int, iters: int, vec_scale: int):
-    """The whole ``iters``-step fixed-point power iteration over the
-    matrix column ``b`` in ONE ``F.aggregate`` — each step is an
-    integer matvec followed by an exact renormalization to
-    ``vec_scale`` by truncating division; a zero matvec keeps the
-    accumulator unchanged. Returns a struct(prev, cur) expression."""
-    v0 = F.array_repeat(F.lit(vec_scale).cast("long"), d)
-    state0 = F.struct(v0.alias("prev"), v0.alias("cur"))
-
-    def step(acc, _):
-        w = _fp_matvec(b, acc["cur"], d)
-        mw = F.array_max(F.transform(w, F.abs))
-        scaled = F.transform(
-            w,
-            lambda x: F.when(
-                x >= 0, _fp_idiv(x * vec_scale, mw)
-            ).otherwise(-_fp_idiv(-x * vec_scale, mw)),
-        )
-        return F.when(mw <= 0, acc).otherwise(
-            F.struct(acc["cur"].alias("prev"), scaled.alias("cur"))
-        )
-
-    return F.aggregate(F.sequence(F.lit(1), F.lit(iters)), state0, step)
+def _py_matvec_int(b: list, v: list, d: int) -> list:
+    """Exact int64 matrix-vector product on plain Python ints —
+    int64-safe by the family's bounds; any summation order gives the
+    same exact value (integer addition is associative)."""
+    return [
+        sum(b[i * d + j] * v[j] for j in range(d)) for i in range(d)
+    ]
 
 
-def _fp_scatter_b(
+def _py_power(b: list, d: int, iters: int, vec_scale: int):
+    """The family's ``iters``-step fixed-point power iteration on
+    plain Python ints (round 12): each step an integer matvec, then
+    exact truncating renormalization of the iterate to ``vec_scale``
+    by max |entry| (a zero matvec keeps the state). The SQL oracles
+    replay this identical arithmetic; moving the single-row loop out
+    of interpreted Catalyst HOFs cut the eigen family's wall time
+    ~10× with zero value drift. Returns (prev, cur)."""
+    prev = cur = [vec_scale] * d
+    for _ in range(iters):
+        w = _py_matvec_int(b, cur, d)
+        mw = max(abs(x) for x in w)
+        if mw <= 0:
+            continue  # zero matvec keeps the state, like the fold
+        prev, cur = cur, [_fp_sidiv_int(x * vec_scale, mw) for x in w]
+    return prev, cur
+
+
+def _py_deflate(b: list, v: list, d: int, *, b_shift: int, t_shift: int):
+    """One integer Hotelling deflation step on plain Python ints:
+    with T = B·v, subtract the rescaled integer outer product
+    ``B − ⌊t·tᵀ/s_g⌋`` where t = ⌊T/g₂⌋ (g₂ = max(1, max|T| >>
+    t_shift) keeps tᵢtⱼ inside 2⁵²) and s_g = max(1, ⌊vᵀT/g₂²⌋),
+    then rescale through the ``b_shift`` gate. Returns (s = vᵀT —
+    the Rayleigh numerator, cmax2 = max |deflated entry| before
+    rescale — 0 means rank exhausted, b2 = the rescaled deflated
+    matrix); every truncating division matches the SQL oracles'
+    sidiv text."""
+    t0 = _py_matvec_int(b, v, d)
+    mt = max(abs(x) for x in t0)
+    g2 = max(1, mt >> t_shift)
+    s = sum(a * c for a, c in zip(v, t0))
+    t = [_fp_sidiv_int(x, g2) for x in t0]
+    sg = max(1, _fp_sidiv_int(s, g2 * g2))
+    c2 = [
+        b[k] - _fp_sidiv_int(t[k // d] * t[k % d], sg)
+        for k in range(d * d)
+    ]
+    m2 = max(abs(x) for x in c2)
+    g3 = max(1, m2 >> b_shift)
+    return s, m2, [_fp_sidiv_int(x, g3) for x in c2]
+
+
+def _py_scatter_row(
     df: DataFrame, vec_col: str, d: int, coord_scale: int, b_shift: int,
     caller: str,
+):
+    """Run the distributed scatter pass (ONE O(N) Arrow partial-
+    reduce) and finish it driver-side: collect the per-partition
+    partials (bounded by the partition count — O(partitions·d²)
+    ints, never O(N)), merge them in exact Python ints (addition is
+    associative; bit-identical to the old zip_with fold), apply the
+    same n·mx overflow guard, center, and rescale. Returns
+    (n, cmax, b as a list of d² ints).
+
+    r12: the partial MERGE used to be an interpreted
+    collect_list+zip_with fold — ~1-2 s of Catalyst interpreter time
+    per eigen query for ~130k integer adds; summing the collected
+    partials in Python is microseconds and exactly equal."""
+    partials = _fp_scatter_partials(df, vec_col, d, coord_scale).collect()
+    sxx = [0] * (d * d)
+    sx = [0] * d
+    n = mx = 0
+    for row in partials:
+        rx = row["sxx"]
+        for k in range(d * d):
+            sxx[k] += rx[k]
+        rs = row["sx"]
+        for k in range(d):
+            sx[k] += rs[k]
+        n += int(row["n"])
+        mx = max(mx, int(row["mx"]))
+    if n * mx > 2_147_483_648:
+        raise ValueError(
+            f"{caller}: n * max|quantized coordinate| exceeds "
+            "the int64-exact scatter bound (2*n^2*mx^2 would wrap); "
+            "lower coord_scale or pre-sample the input"
+        )
+    c = [
+        n * sxx[k] - sx[k // d] * sx[k % d] for k in range(d * d)
+    ]
+    cmax = max((abs(x) for x in c), default=0)
+    g = max(1, cmax >> b_shift)
+    return n, cmax, [_fp_sidiv_int(x, g) for x in c]
+
+
+def _fp_scatter_partials(
+    df: DataFrame, vec_col: str, d: int, coord_scale: int
 ) -> DataFrame:
-    """Shared front half of the fixed-point eigen family
-    (:func:`power_iteration_pc1` / :func:`power_iteration_pc2`):
-    int64 per-batch X'X partials, the n·mx overflow guard, the exact
-    centered scatter, and the shift/divide rescale. Returns ONE row
-    with (n, cmax, b) where b is the rescaled scatter, row-major."""
+    """The distributed half of the eigen-family scatter: per Arrow
+    batch, ONE NumPy int64 XᵀX partial (plus column sums, row count,
+    and the max |quantized coordinate| for the overflow guard) —
+    O(partitions·d²) bytes ever move."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
+            if not len(pdf):
+                continue
             x = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
@@ -664,113 +734,8 @@ def _fp_scatter_b(
                 }
             )
 
-    import pandas as pd  # noqa: F401 — kernel type annotation
-
-    partials = df.select(vec_col).mapInPandas(
+    return df.select(vec_col).mapInPandas(
         kernel, schema="sxx array<long>, sx array<long>, n long, mx long"
-    )
-    zeros = F.array_repeat(F.lit(0).cast("long"), d * d)
-    zeros_d = F.array_repeat(F.lit(0).cast("long"), d)
-    one = partials.agg(
-        F.aggregate(
-            F.collect_list("sxx"), zeros,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("sxx"),
-        F.aggregate(
-            F.collect_list("sx"), zeros_d,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("sx"),
-        F.sum("n").cast("long").alias("n"),
-        F.max("mx").cast("long").alias("mx"),
-    )
-
-    seq_dd = F.sequence(F.lit(0), F.lit(d * d - 1))
-    # exact centered scatter C[k] = n*sxx[k] - sx[i]*sx[j], k = i*d+j
-    cexp = F.transform(
-        seq_dd,
-        lambda k: F.col("n") * F.element_at(F.col("sxx"), k + 1)
-        - F.element_at(F.col("sx"), F.floor(k / d).cast("int") + 1)
-        * F.element_at(F.col("sx"), (k % d).cast("int") + 1),
-    )
-    # int64-exact guard: every scatter entry is bounded by 2·n²·mx²,
-    # so n·mx ≤ ⌊√((2⁶³−1)/2)⌋ keeps the whole computation wrap-free;
-    # past it, raise loudly rather than return silently-wrapped PCs.
-    in_bound = F.assert_true(
-        # compare in doubles: the product itself must not wrap, and
-        # near the 2.1e9 threshold doubles are exact (well under 2⁵³)
-        F.col("n").cast("double") * F.col("mx").cast("double")
-        <= F.lit(2_147_483_648.0),
-        f"{caller}: n * max|quantized coordinate| exceeds "
-        "the int64-exact scatter bound (2*n^2*mx^2 would wrap); "
-        "lower coord_scale or pre-sample the input",
-    )
-    one = one.select(
-        "n", F.when(in_bound.isNull(), cexp).alias("c")
-    )
-    m = F.array_max(F.transform(F.col("c"), F.abs))
-    g = F.greatest(F.lit(1).cast("long"), F.shiftright(m, b_shift))
-    bexp = F.transform(F.col("c"), lambda x: _fp_sidiv(x, g))
-    return one.select("n", m.alias("cmax"), bexp.alias("b"))
-
-
-def _fp_deflate(
-    one: DataFrame,
-    d: int,
-    *,
-    mat_col: str,
-    vec_col: str,
-    out_mat: str,
-    out_cmax: str,
-    out_s: str,
-    b_shift: int,
-    t_shift: int,
-) -> DataFrame:
-    """One integer Hotelling deflation step (shared by
-    :func:`power_iteration_pc2`, :func:`whitening_fp_certificate` and
-    :func:`evr_ladder_fp`): with v the current iterate and
-    T = M·v, subtract the rescaled integer outer product
-    ``M − ⌊t·tᵀ/s_g⌋`` where t = ⌊T/g₂⌋ (g₂ = max(1, max|T| >> t_shift)
-    keeps tᵢtⱼ inside 2⁵²) and s_g = max(1, ⌊vᵀT/g₂²⌋); the deflated
-    matrix then rescales through the same ``b_shift`` gate as the
-    original scatter. Appends columns ``out_s`` (= vᵀT, the Rayleigh
-    numerator of v over M), ``out_cmax`` (max |deflated entry| before
-    rescale — 0 means rank exhausted) and ``out_mat`` (the rescaled
-    deflated matrix); every op is deterministic integer arithmetic,
-    replayed term for term by the SQL oracles."""
-    seq_dd = F.sequence(F.lit(0), F.lit(d * d - 1))
-    keep = [c for c in one.columns]
-    one = one.select(
-        *keep,
-        _fp_matvec(F.col(mat_col), F.col(vec_col), d).alias("__t0"),
-    )
-    mt = F.array_max(F.transform(F.col("__t0"), F.abs))
-    g2 = F.greatest(F.lit(1).cast("long"), F.shiftright(mt, t_shift))
-    s = _fp_dot(F.col(vec_col), F.col("__t0"))
-    one = one.select(
-        *keep,
-        F.transform(F.col("__t0"), lambda x: _fp_sidiv(x, g2)).alias("__t"),
-        s.alias(out_s),
-        F.greatest(F.lit(1).cast("long"), _fp_idiv(s, g2 * g2)).alias(
-            "__sg"
-        ),
-    )
-    c2 = F.transform(
-        seq_dd,
-        lambda k: F.element_at(F.col(mat_col), k + 1)
-        - _fp_sidiv(
-            F.element_at(F.col("__t"), F.floor(k / d).cast("int") + 1)
-            * F.element_at(F.col("__t"), (k % d).cast("int") + 1),
-            F.col("__sg"),
-        ),
-    )
-    one = one.select(*keep, out_s, c2.alias("__c2"))
-    m2 = F.array_max(F.transform(F.col("__c2"), F.abs))
-    g3 = F.greatest(F.lit(1).cast("long"), F.shiftright(m2, b_shift))
-    return one.select(
-        *keep, out_s, m2.alias(out_cmax),
-        F.transform(F.col("__c2"), lambda x: _fp_sidiv(x, g3)).alias(
-            out_mat
-        ),
     )
 
 
@@ -807,9 +772,10 @@ def power_iteration_pc1(
     Scale shape: the scatter is the classic partial-reduce — each
     Arrow batch computes its LOCAL integer XᵀX (one NumPy matmul) and
     partitions emit one d² partial, so O(partitions·d²) bytes move,
-    never O(N·d²); the entire ``iters``-step loop then runs inside
-    ONE ``F.aggregate`` expression on that single row — zero per-step
-    jobs. Degenerate input (zero scatter) yields NULL metrics, never
+    never O(N·d²); the entire ``iters``-step loop then runs
+    driver-side in exact Python ints on that single collected row
+    (r12 — the same arithmetic the SQL oracle replays, zero per-step
+    jobs). Degenerate input (zero scatter) yields NULL metrics, never
     a division error.
 
     Overflow bound (r10 ADVICE): the centered scatter entry
@@ -827,13 +793,19 @@ def power_iteration_pc1(
     if iters < 1:
         raise ValueError("need iters >= 1")
 
-    one = _fp_scatter_b(
+    n_v, cmax_v, b_v = _py_scatter_row(
         df, vec_col, d, coord_scale, b_shift, "power_iteration_pc1"
     )
+    # the iters-step loop runs driver-side on the collected d² model-
+    # sized statistic in exact Python ints (r12 — the same arithmetic
+    # the SQL oracle replays; formerly an interpreted Catalyst fold)
+    pv, cv = _py_power(b_v, d, iters, vec_scale)
+    one = df.sparkSession.createDataFrame(
+        [(n_v, b_v, cmax_v, pv, cv)],
+        "n long, b array<long>, cmax long, "
+        "pv array<long>, cv array<long>",
+    )
     seq_d = F.sequence(F.lit(0), F.lit(d - 1))
-    fin = _fp_power(F.col("b"), d, iters, vec_scale)
-    one = one.select("n", "b", "cmax", fin["prev"].alias("pv"),
-                     fin["cur"].alias("cv"))
 
     vtv = _fp_dot(F.col("cv"), F.col("cv"))
     ptp = _fp_dot(F.col("pv"), F.col("pv"))
@@ -916,10 +888,12 @@ def power_iteration_pc2(
     then uses exact truncating division — a deterministic integer
     approximation of the rational deflation, replayed term for term
     by the SQL oracle. The deflated matrix rescales through the same
-    ``b_shift`` gate before the second power loop. BOTH loops and the
-    deflation run inside ONE Catalyst expression tree on a single
-    row; the heavy data pass is still the one O(partitions·d²)
-    scatter reduce.
+    ``b_shift`` gate before the second power loop. BOTH loops and
+    the deflation run driver-side in exact Python ints over the
+    collected d² sufficient statistic (r12 — microseconds of integer
+    math, formerly seconds of interpreted Catalyst HOFs, values
+    identical); the heavy data pass is still the one
+    O(partitions·d²) scatter reduce.
 
     Reported: ``evr1``/``evr2`` = Rayleigh quotients of the two
     iterates over the ORIGINAL rescaled scatter's trace (explained-
@@ -935,24 +909,23 @@ def power_iteration_pc2(
     if iters < 1:
         raise ValueError("need iters >= 1")
 
-    one = _fp_scatter_b(
+    n_v, cmax_v, b_v = _py_scatter_row(
         df, vec_col, d, coord_scale, b_shift, "power_iteration_pc2"
     )
+    # both power loops + the integer Hotelling deflation run driver-
+    # side on the collected d² statistic in exact Python ints (r12 —
+    # identical arithmetic to the unrolled SQL oracle)
+    _, v1 = _py_power(b_v, d, iters, vec_scale)
+    s_v, c2max_v, b2_v = _py_deflate(
+        b_v, v1, d, b_shift=b_shift, t_shift=t_shift
+    )
+    p2, v2 = _py_power(b2_v, d, iters, vec_scale)
+    one = df.sparkSession.createDataFrame(
+        [(n_v, b_v, cmax_v, v1, s_v, c2max_v, p2, v2)],
+        "n long, b array<long>, cmax long, v1 array<long>, s long, "
+        "c2max long, p2 array<long>, v2 array<long>",
+    )
     seq_d = F.sequence(F.lit(0), F.lit(d - 1))
-    fin1 = _fp_power(F.col("b"), d, iters, vec_scale)
-    one = one.select("n", "b", "cmax", fin1["cur"].alias("v1"))
-    # rescale T so t_i*t_j stays inside 2^52, scale the denominator
-    # v1'T by g2^2 to match, then subtract the integer outer product
-    # (shared integer-Hotelling step, r12 refactor — ops unchanged)
-    one = _fp_deflate(
-        one, d, mat_col="b", vec_col="v1", out_mat="b2",
-        out_cmax="c2max", out_s="s", b_shift=b_shift, t_shift=t_shift,
-    )
-    fin2 = _fp_power(F.col("b2"), d, iters, vec_scale)
-    one = one.select(
-        "n", "b", "cmax", "v1", "s", "c2max",
-        fin2["prev"].alias("p2"), fin2["cur"].alias("v2"),
-    )
 
     v1v1 = _fp_dot(F.col("v1"), F.col("v1"))
     v2v2 = _fp_dot(F.col("v2"), F.col("v2"))
@@ -1019,7 +992,7 @@ def power_iteration_pc2(
 def _fp_quantize(vec_col: str, coord_scale: int):
     """The family's sign-symmetric half-away-from-zero coordinate
     quantizer as a Catalyst expression — element-for-element identical
-    to the :func:`_fp_scatter_b` kernel's NumPy quantization."""
+    to the :func:`_fp_scatter_partials` kernel's NumPy quantization."""
     return F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.when(
@@ -1077,38 +1050,40 @@ def whitening_fp_certificate(
     σ(p) ≈ 10³ while leaving ~200× guard headroom at n = 10⁶.
 
     Scale shape: two O(N) passes (the d² partial-reduce scatter and
-    the 6-cell projection fold — both map-side combinable), one
-    broadcast of the d-vector iterates; the eigen loops run inside
-    one Catalyst expression on a single row. Returns one row:
+    the 6-cell projection fold — both map-side combinable); the
+    eigen ladder runs driver-side in exact Python ints on the
+    collected d² statistic (r12) and the iterates enter the
+    projection pass as plain literals. Returns one row:
     (n, d, iters, evr1_proj, evr1_rayleigh, evr2_proj, corr12,
     gap_ratio, ortho).
     """
     if iters < 1:
         raise ValueError("need iters >= 1")
 
-    one = _fp_scatter_b(
+    n_v, cmax_v, b_v = _py_scatter_row(
         df, vec_col, d, coord_scale, b_shift, "whitening_fp_certificate"
     )
+    # eigen ladder driver-side in exact Python ints (r12); the
+    # iterates then enter the projection pass as plain literals —
+    # no broadcast join needed
+    _, v1 = _py_power(b_v, d, iters, vec_scale)
+    s_v, c2max_v, b2_v = _py_deflate(
+        b_v, v1, d, b_shift=b_shift, t_shift=t_shift
+    )
+    _, v2 = _py_power(b2_v, d, iters, vec_scale)
+    one = df.sparkSession.createDataFrame(
+        [(n_v, b_v, cmax_v, v1, s_v, c2max_v, v2)],
+        "n long, b array<long>, cmax long, v1 array<long>, s long, "
+        "c2max long, v2 array<long>",
+    )
     seq_d = F.sequence(F.lit(0), F.lit(d - 1))
-    fin1 = _fp_power(F.col("b"), d, iters, vec_scale)
-    one = one.select("n", "b", "cmax", fin1["cur"].alias("v1"))
-    one = _fp_deflate(
-        one, d, mat_col="b", vec_col="v1", out_mat="b2",
-        out_cmax="c2max", out_s="s", b_shift=b_shift, t_shift=t_shift,
-    )
-    fin2 = _fp_power(F.col("b2"), d, iters, vec_scale)
-    one = one.select(
-        "n", "b", "cmax", "v1", "s", "c2max", fin2["cur"].alias("v2")
-    )
 
     div = F.lit(1 << p_shift).cast("long")
-    pj = (
-        df.select(_fp_quantize(vec_col, coord_scale).alias("__xi"))
-        .crossJoin(F.broadcast(one.select("v1", "v2")))
-        .select(
-            _fp_sidiv(_fp_dot(F.col("__xi"), F.col("v1")), div).alias("p1"),
-            _fp_sidiv(_fp_dot(F.col("__xi"), F.col("v2")), div).alias("p2"),
-        )
+    v1_lit = F.array(*[F.lit(int(x)).cast("long") for x in v1])
+    v2_lit = F.array(*[F.lit(int(x)).cast("long") for x in v2])
+    pj = df.select(_fp_quantize(vec_col, coord_scale).alias("__xi")).select(
+        _fp_sidiv(_fp_dot(F.col("__xi"), v1_lit), div).alias("p1"),
+        _fp_sidiv(_fp_dot(F.col("__xi"), v2_lit), div).alias("p2"),
     )
     sums = pj.agg(
         F.sum("p1").cast("long").alias("s1"),
@@ -1191,7 +1166,7 @@ def evr_ladder_fp(
     verdict's ask to retire the ``x9_pca_evr`` LAPACK gauge with "EVR
     from the deflated eigenvalue ladder": the top-``k`` principal
     directions via repeated integer Hotelling deflation
-    (:func:`_fp_deflate`), each component's explained-variance ratio
+    (:func:`_py_deflate`), each component's explained-variance ratio
     read as the Rayleigh quotient of its iterate over the ORIGINAL
     rescaled scatter — the truncation-sizing curve (Matryoshka cuts,
     PQ subspace budgets) that :func:`pca_fit` reads off NumPy's
@@ -1209,33 +1184,37 @@ def evr_ladder_fp(
     the ``max_cross`` certificate flags it → 1, since the next
     iterate realigns with the span already extracted.
 
-    Scale shape: ONE O(N) scatter partial-reduce; all ``k`` power
-    loops and ``k−1`` deflations run inside one Catalyst expression
-    tree on a single row — zero per-step jobs, O(k·d²) driver-free
-    integer math. Returns ``k`` rows: (component, n, evr, cum_evr,
-    align, max_cross).
+    Scale shape: ONE O(N) scatter partial-reduce; the whole depth-k
+    ladder (k power loops, k−1 deflations) runs driver-side in exact
+    Python ints over the collected d² statistic (r12 — O(k·iters·d²)
+    integer ops, microseconds). Returns ``k`` rows: (component, n,
+    evr, cum_evr, align, max_cross).
     """
     if iters < 1 or k < 1:
         raise ValueError("need iters >= 1 and k >= 1")
 
-    one = _fp_scatter_b(
+    n_v, cmax_v, b_v = _py_scatter_row(
         df, vec_col, d, coord_scale, b_shift, "evr_ladder_fp"
     )
+    # the whole depth-k ladder (k power loops, k−1 deflations) runs
+    # driver-side in exact Python ints on the d² statistic (r12)
     seq_d = F.sequence(F.lit(0), F.lit(d - 1))
-    one = one.withColumn("c1max", F.col("cmax"))
-    cur = "b"
+    vals: list = [n_v, b_v, cmax_v]
+    schema = ["n long", "b array<long>", "c1max long"]
+    cur_b = b_v
     for j in range(1, k + 1):
-        fin = _fp_power(F.col(cur), d, iters, vec_scale)
-        one = one.select(
-            "*", fin["prev"].alias(f"p{j}"), fin["cur"].alias(f"v{j}")
-        )
+        pj_, vj_ = _py_power(cur_b, d, iters, vec_scale)
+        vals += [pj_, vj_]
+        schema += [f"p{j} array<long>", f"v{j} array<long>"]
         if j < k:
-            one = _fp_deflate(
-                one, d, mat_col=cur, vec_col=f"v{j}",
-                out_mat=f"b{j + 1}", out_cmax=f"c{j + 1}max",
-                out_s=f"s{j}", b_shift=b_shift, t_shift=t_shift,
+            sj_, cmax_next, cur_b = _py_deflate(
+                cur_b, vj_, d, b_shift=b_shift, t_shift=t_shift
             )
-            cur = f"b{j + 1}"
+            vals += [sj_, cmax_next]
+            schema += [f"s{j} long", f"c{j + 1}max long"]
+    one = df.sparkSession.createDataFrame(
+        [tuple(vals)], ", ".join(schema)
+    )
 
     trace_b = F.aggregate(
         seq_d,
@@ -1330,7 +1309,7 @@ def opq_givens_balance_fp(
     allocation); a Givens sweep is the rotation-parameterized way to
     move variance between coordinates. Here: the int64 centered
     scatter (exactly :func:`power_iteration_pc1`'s
-    ``_fp_scatter_b``) collects ONCE as the d² model-sized sufficient
+    ``_py_scatter_row``) collects ONCE as the d² model-sized sufficient
     statistic (the k-means-centroids contract — the data pass is one
     map-side-combinable reduce); then ``rounds`` greedy steps, each:
 
@@ -1372,10 +1351,9 @@ def opq_givens_balance_fp(
     if d % m:
         raise ValueError("m must divide d")
     sub_w = d // m
-    one = _fp_scatter_b(
+    _, _, s = _py_scatter_row(
         df, vec_col, d, coord_scale, b_shift, "opq_givens_balance_fp"
-    ).first()
-    s = [int(x) for x in one["b"]]
+    )
     r = [0] * (d * d)
     for k in range(d):
         r[k * d + k] = rot_scale

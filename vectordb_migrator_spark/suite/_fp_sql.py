@@ -7,8 +7,8 @@ term for term without re-hand-writing 100 lines of CTE text each.
 The round-11 ``x9_power_deflation`` oracle keeps its own frozen text.
 
 Every builder mirrors a specific integer step of
-``operators/decomposition.py`` (`_fp_scatter_b`, `_fp_power`,
-`_fp_deflate`): the sign-symmetric coordinate quantizer, the exact
+``operators/decomposition.py`` (`_fp_scatter_partials` +
+`_py_scatter_row`, `_py_power`, `_py_deflate`): the sign-symmetric coordinate quantizer, the exact
 int64 centered scatter, the shift/divide rescale gates, the power
 loops, and the integer Hotelling deflation — all at the family's
 pinned constants (coord_scale=100, vec_scale=10⁴, b_shift=18,
@@ -21,7 +21,7 @@ D = 64
 ITERS = 8
 
 #: the family's sign-symmetric half-away-from-zero quantizer at
-#: coord_scale=100 (mirrors `_fp_scatter_b`'s NumPy kernel and
+#: coord_scale=100 (mirrors `_fp_scatter_partials`'s NumPy kernel and
 #: `_fp_quantize`)
 FX = (
     "list_transform(embedding::DOUBLE[], x -> (CASE WHEN x >= 0 "
@@ -41,7 +41,7 @@ def sidiv(x: str, q: str) -> str:
 def power_cte(j: int, mat_src: str, mat_col: str) -> str:
     """The 8-step fixed-point power loop over ``{mat_src}.{mat_col}``
     as a recursive CTE ``it{j}`` plus ``fin{j}`` (prev=p{j},
-    cur=v{j}) — `_fp_power`'s SQL twin (renormalize to 10⁴ by exact
+    cur=v{j}) — `_py_power`'s SQL twin (renormalize to 10⁴ by exact
     truncating division each step; a zero matvec keeps the state)."""
     return f"""
     it{j} AS (
@@ -76,7 +76,7 @@ def power_cte(j: int, mat_src: str, mat_col: str) -> str:
 def scatter_ctes() -> str:
     """``base`` → ``bmat`` — the exact int64 centered scatter
     C = n·Σxxᵀ − (Σx)(Σx)ᵀ and its shift/divide rescale, producing
-    one row (n, cmax1, b1) — `_fp_scatter_b`'s SQL twin."""
+    one row (n, cmax1, b1) — the scatter pipeline's SQL twin."""
     return f"""
     base AS MATERIALIZED (
       SELECT {FX} AS v FROM embeddings
@@ -119,7 +119,7 @@ def scatter_ctes() -> str:
 def defl_ctes(j: int, mat_src: str) -> str:
     """Integer Hotelling deflation of ``{mat_src}.b{j}`` with the
     iterate ``fin{j}.v{j}`` into ``mat{j+1}`` (s{j}, cmax{j+1},
-    b{j+1}) — `_fp_deflate`'s SQL twin: T = M·v rescaled by
+    b{j+1}) — `_py_deflate`'s SQL twin: T = M·v rescaled by
     g₂ = max(1, max|T| >> 26), denominator vᵀT by g₂², exact
     truncating subtraction, then the 18-bit rescale gate."""
     tt = f"(c.t[(kk // {D}) + 1] * c.t[(kk % {D}) + 1])"
