@@ -928,3 +928,79 @@ def test_hamilton_apportion_sum_exact_property(spark, weights, budget):
     for r in rows:
         fq = budget * weights[r["k"]] // total  # exact integer floor
         assert r["alloc"] in (fq, fq + 1), (r["k"], fq, r["alloc"])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0, max_value=1.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=64, max_size=64,
+        ),
+        min_size=2, max_size=25,
+    )
+)
+def test_brp_md5_join_kernel_property(spark, vecs):
+    """r12: over arbitrary float32 vectors (zeros, negatives,
+    near-duplicates included) the Arrow sign-pass kernel and the
+    Catalyst fold produce IDENTICAL joins, and every emitted pair
+    passes the exact quantized-grid threshold (no false positives)."""
+    import math as _m
+
+    from vectordb_migrator_spark.operators.similarity import brp_md5_join
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    k = [tuple(r) for r in brp_md5_join(df).collect()]
+    h = [tuple(r) for r in brp_md5_join(df, use_kernel=False).collect()]
+    assert k == h
+
+    def quant(v):
+        return [
+            _m.floor(float(x) * 10000 + 0.5)
+            if x >= 0
+            else -_m.floor(-float(x) * 10000 + 0.5)
+            for x in v
+        ]
+
+    q = {i: quant(v) for i, v in enumerate(vecs)}
+    for ia, ib, _nb, dist in k:
+        d2 = sum((a - b) ** 2 for a, b in zip(q[ia], q[ib]))
+        assert d2 <= 144_000_000
+        assert abs(dist - round(_m.sqrt(d2) / 10000.0, 6)) < 1e-9
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=_texts)
+def test_span_corruption_reconstruction_property(spark, texts):
+    """r12: on hypothesis-generated whitespace-heavy text, span
+    corruption's sentinel substitution rebuilds the original token
+    stream exactly for every document."""
+    import re
+
+    from vectordb_migrator_spark.operators.cleaning import span_corruption
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in span_corruption(df).collect()}
+    for i, text in rows:
+        orig = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        if not orig:
+            assert i not in out
+            continue
+        r = out[i]
+        assert r["n_tokens"] == len(orig)
+        parts = re.split(r"<X(\d+)>", r["target_text"])
+        spans = {
+            int(parts[j]): parts[j + 1].split()
+            for j in range(1, len(parts) - 2, 2)
+        }
+        rebuilt = []
+        for piece in r["input_text"].split():
+            m = re.fullmatch(r"<X(\d+)>", piece)
+            rebuilt += spans[int(m.group(1))] if m else [piece]
+        assert rebuilt == orig, (i, text)
