@@ -454,3 +454,65 @@ def test_text_curation_budget_pipeline_example(spark):
         assert n <= out["alloc"][lang]
     assert out["sample_count"] <= 60
     assert out["sample_count"] > 0
+
+
+def test_objective_prep_pipeline_example(spark):
+    """examples/objective_prep_pipeline.py: the round-12 objective
+    transforms composed — every doc routes to exactly one objective,
+    FIM rows carry the PSM sentinels, span rows reconstruct, packing
+    respects the budget (overflow by at most one document), and the
+    whole pipeline is deterministic."""
+    import re
+
+    from examples.objective_prep_pipeline import run_pipeline
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(4 + i % 30)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = run_pipeline(docs, budget=64).collect()
+    assert len(out) == 200  # every doc lands exactly once
+    by_obj = {}
+    for r in out:
+        by_obj.setdefault(r["objective"], []).append(r)
+    assert set(by_obj) == {"clm", "fim", "span"}
+    for obj, rs in by_obj.items():
+        assert 200 * 0.15 < len(rs) < 200 * 0.55, (obj, len(rs))
+
+    texts = dict(rows)
+    for r in by_obj["fim"]:
+        assert r["input_text"].count("<PRE>") == 1
+        assert r["input_text"].count("<SUF>") == 1
+        assert r["input_text"].count("<MID>") == 1
+        assert r["target_text"] is None
+    for r in by_obj["clm"]:
+        assert r["input_text"] == texts[r["doc_id"]]
+        assert r["target_text"] is None
+    for r in by_obj["span"]:
+        parts = re.split(r"<X(\d+)>", r["target_text"])
+        spans = {
+            int(parts[k]): parts[k + 1].split()
+            for k in range(1, len(parts) - 2, 2)
+        }
+        rebuilt = []
+        for piece in r["input_text"].split():
+            m = re.fullmatch(r"<X(\d+)>", piece)
+            rebuilt += spans[int(m.group(1))] if m else [piece]
+        assert rebuilt == texts[r["doc_id"]].lower().split()
+
+    # packing: per (objective, pack), token sums respect the budget
+    # with at most one overflowing document (contiguous-offset rule)
+    for obj, rs in by_obj.items():
+        packs = {}
+        for r in rs:
+            packs.setdefault(r["pack_id"], []).append(r)
+        for pid, members in packs.items():
+            total = sum(m["n_tokens"] for m in members)
+            biggest = max(m["n_tokens"] for m in members)
+            assert total - biggest < 64, (obj, pid)
+            for m in members:
+                assert 0 <= m["pack_offset"] < 64
+
+    again = run_pipeline(docs, budget=64).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
