@@ -352,3 +352,34 @@ def test_hll_md5_overlap_accuracy_and_merge(spark):
     )
     single = _hll_md5_estimate_agg(["g"])(regs).first()["est"]
     assert abs(round(single, 6) - r2["est_union"]) < 1e-9
+
+
+def test_hll_md5_distinct_report_accuracy_and_merge(spark):
+    """r12: the per-group md5-HLL distinct estimate lands within the
+    m=256 error band (~6.5% standard error; assert 3 sigma) for
+    groups spanning the linear-counting and raw-estimator branches,
+    and is identical however the input is partitioned (the register
+    MAX is order-free)."""
+    from vectordb_migrator_spark.operators.sketches import (
+        hll_md5_distinct_report,
+    )
+
+    rows = []
+    for g, n_users in (("a", 40), ("b", 300), ("c", 1500)):
+        rows += [
+            (g, f"{g}-u{i % n_users}", i) for i in range(n_users * 2)
+        ]
+    df = spark.createDataFrame(rows, "event_type string, user_id string, x long")
+    out = {r["event_type"]: r for r in
+           hll_md5_distinct_report(df, "user_id", group_col="event_type").collect()}
+    for g, n_users in (("a", 40), ("b", 300), ("c", 1500)):
+        r = out[g]
+        assert r["exact"] == n_users and r["n_events"] == 2 * n_users
+        assert abs(r["est"] - n_users) <= 0.2 * n_users + 3, (g, r["est"])
+    got1 = sorted(tuple(r) for r in
+                  hll_md5_distinct_report(df.repartition(13), "user_id",
+                                          group_col="event_type").collect())
+    got2 = sorted(tuple(r) for r in
+                  hll_md5_distinct_report(df.coalesce(1), "user_id",
+                                          group_col="event_type").collect())
+    assert got1 == got2

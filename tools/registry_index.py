@@ -43,12 +43,12 @@ FOOT = (
     "md5-hyperplane twin `x4_brp_md5_join` value-oracles the\n"
     "approx-join surface, and the r11 `x4_ivf_fp` the IVF surface),\n"
     "`x7_approx_distinct`/`x7_audience_overlap`/`x7_hll_daily_merge`\n"
-    "(HyperLogLog++ register layout internal to Spark; the mergeable\n"
-    "distinct-count surface is fully oracled via `x7_kmv_distinct`,\n"
-    "the overlap surface via the r11 md5-register twin\n"
-    "`x7_hll_md5_overlap`, and the daily-rollup surface via the r12\n"
-    "twin `x7_hll_md5_daily` with its bit-for-bit streaming\n"
-    "maintainer `hll_md5_ingest`),\n"
+    "(HyperLogLog++ register layout internal to Spark; every surface\n"
+    "now carries a deterministic md5-register HLL full-oracle twin —\n"
+    "per-group distinct `x7_hll_md5_distinct` (r12), overlap\n"
+    "`x7_hll_md5_overlap` (r11), daily rollup `x7_hll_md5_daily`\n"
+    "(r12, with its bit-for-bit streaming maintainer\n"
+    "`hll_md5_ingest`) — plus the KMV sketch `x7_kmv_distinct`),\n"
     "`x7_approx_percentile` (Greenwald-Khanna internal summary; exact\n"
     "quantiles fully oracled via `x7_group_quantiles`/\n"
     "`x7_weighted_quantiles`), `x9_pca_evr`/`x9_whitening_check`/\n"

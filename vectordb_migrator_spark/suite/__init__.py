@@ -81,6 +81,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "x6_jpeg_exif",
     "x9_opq_givens_fp",
     "x0_span_corruption",
+    "x7_hll_md5_distinct",
     "x9_pq_learned_error",
     "x2_dedup_pagerank",
     "x2_personalized_pagerank",
