@@ -82,14 +82,43 @@ _DRIVER_WINDOW_PRIORITY = [
     "x9_opq_givens_fp",
     "x0_span_corruption",
     "x7_hll_md5_distinct",
-    "x9_pq_learned_error",
-    "x2_dedup_pagerank",
-    "x2_personalized_pagerank",
-    "x2_multi_signal_clusters",
     # --- (c) operators changed by r11-advice fixes ---
     "x2_embedding_near_dup",
     "x12_benford_chi2",
     "x4_graph_pq_route",
+    # --- (d) queries whose shared machinery this round touched ---
+    "x9_pq_learned_error",
+    "x4_ivf_fp",
+    "x2_semdedup_fp",
+    "x2_dedup_pagerank",
+    "x2_personalized_pagerank",
+    "x2_multi_signal_clusters",
+    "x2_dedup_clusters",
+    "x9_power_iteration",
+    "x9_power_deflation",
+    "c3_milvus_roundtrip_scale",
+    "c4_pinecone_roundtrip_scale",
+    # --- (e) next-stalest names (driver evidence dates to round 3) ---
+    "cohort_weekly_retention",
+    "events_time_hierarchy_rollup",
+    "funnel_view_click_purchase",
+    "outer_join_urgent_counts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "range_join_value_bands",
+    "scd2_order_status",
+    "timeseries_gap_fill",
+    "udtf_json_props",
+    "window_above_customer_avg",
+    "window_moving_average",
+    "x7_approx_distinct",
 ]
 
 
