@@ -65,6 +65,7 @@ def connected_components(
         )
         stepped = labels.join(msgs, "id", "left").select(
             "id",
+            F.col("comp").alias("comp_old"),
             F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
                 "comp"
             ),
@@ -77,6 +78,7 @@ def connected_components(
             stepped.join(hop, stepped.comp == hop.jid, "left")
             .select(
                 "id",
+                "comp_old",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
                 ).alias("comp"),
@@ -86,13 +88,13 @@ def connected_components(
             # round instead of two; labels are ids, values unchanged)
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        # the round's STARTING label rides along as comp_old, so the
+        # convergence probe is a plain filter+count — no per-round
+        # old-vs-new join (r12; the label trajectory is untouched)
+        changed = new_labels.filter(
+            F.col("comp") != F.col("comp_old")
+        ).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
