@@ -111,7 +111,7 @@ def test_kmeans_fit_loop_reads_persisted_projection(spark, monkeypatch):
 
     loop_levels = []
     final_levels = []
-    real_loop = clustering._assign_via_broadcast
+    real_loop = clustering._lloyd_partials_kernel
     real_assign = clustering.assign_clusters
 
     def spy_loop(df, centroids, **kw):
@@ -122,7 +122,7 @@ def test_kmeans_fit_loop_reads_persisted_projection(spark, monkeypatch):
         final_levels.append(df.storageLevel.useMemory or df.storageLevel.useDisk)
         return real_assign(df, centroids, **kw)
 
-    monkeypatch.setattr(clustering, "_assign_via_broadcast", spy_loop)
+    monkeypatch.setattr(clustering, "_lloyd_partials_kernel", spy_loop)
     monkeypatch.setattr(clustering, "assign_clusters", spy_final)
     pts = [(i, [float(i % 7), float(i % 3)]) for i in range(60)]
     df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
@@ -425,3 +425,24 @@ def test_facility_location_matches_python_replica(spark):
     first_two = {got[0][1] // 100, got[1][1] // 100}
     assert first_two == {0, 1}
     assert got[0][1] != 999
+
+
+def test_kmeans_fit_kernel_matches_catalyst_path(spark):
+    """r12 opt gate: the Arrow-kernel Lloyd loop must be BIT-identical
+    to the Catalyst (``use_kernel=False``) path — same centroids (exact
+    float equality), same iteration count, same assignments."""
+    from vectordb_migrator_spark.operators.clustering import kmeans_fit
+
+    pts = [
+        (i, [float((i * 7919) % 101) / 9.7, float((i * 104729) % 89) / 3.1,
+             float(i % 13) - 6.0])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    a_new, c_new, n_new = kmeans_fit(df, k=5, max_iter=7)
+    a_old, c_old, n_old = kmeans_fit(df, k=5, max_iter=7, use_kernel=False)
+    assert n_new == n_old
+    assert c_new == c_old  # exact float equality, every coordinate
+    rows_new = sorted(map(tuple, a_new.select("vec_id", "cluster").collect()))
+    rows_old = sorted(map(tuple, a_old.select("vec_id", "cluster").collect()))
+    assert rows_new == rows_old

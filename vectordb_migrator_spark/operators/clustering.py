@@ -110,6 +110,72 @@ def _assign_via_broadcast(
     )
 
 
+def _lloyd_partials_kernel(
+    fit_df: DataFrame, centroids: list[list[float]], *, vec_col: str
+) -> DataFrame:
+    """One Lloyd iteration's sufficient statistics as an Arrow kernel
+    (r12, guide §4.2): per task, assign every row to its nearest
+    centroid and accumulate per-(cluster, pos) float sums + counts,
+    emitting k×dim partial rows instead of posexploding N×dim value
+    rows through an interpreted-HOF assignment.
+
+    BIT-IDENTICAL to the Catalyst path it replaces, by construction:
+
+    - distances accumulate per-DIMENSION in element order
+      (``acc += (x_d − c_d)²`` sequentially), reproducing the
+      ``aggregate(zip_with(...))`` left fold's IEEE trajectory;
+    - argmin takes the FIRST minimal index (``np.argmin``), the
+      ``array_min(struct(dist, cid))`` tie rule;
+    - per-(cluster, pos) sums accumulate in ROW order via
+      ``np.add.at`` (unbuffered, sequential — verified order-exact vs
+      a Python left fold), matching the row-order partial an
+      ``avg`` aggregate builds per input partition; one partial per
+      task, merged by the same downstream HashAggregate.
+    """
+    cents = [[float(x) for x in c] for c in centroids]
+    k = len(cents)
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        c = [np.asarray(cw, dtype=np.float64) for cw in cents]
+        acc = None
+        cnt = np.zeros(k, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if acc is None:
+                acc = np.zeros((k, x.shape[1]), dtype=np.float64)
+            dmat = np.empty((len(x), k), dtype=np.float64)
+            for j in range(k):
+                dj = np.zeros(len(x), dtype=np.float64)
+                for t in range(x.shape[1]):
+                    diff = x[:, t] - c[j][t]
+                    dj += diff * diff
+                dmat[:, j] = dj
+            jj = dmat.argmin(axis=1)
+            np.add.at(acc, jj, x)
+            np.add.at(cnt, jj, 1)
+        if acc is not None:
+            kk, dd = acc.shape
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(np.arange(kk, dtype=np.int32), dd),
+                    "pos": np.tile(np.arange(dd, dtype=np.int32), kk),
+                    "psum": acc.ravel(),
+                    "n": np.repeat(cnt, dd),
+                }
+            )
+
+    return fit_df.select(vec_col).mapInPandas(
+        gen, schema="cluster int, pos int, psum double, n long"
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     *,
@@ -119,6 +185,7 @@ def kmeans_fit(
     max_iter: int = 20,
     tol: float = 1e-6,
     sample_fraction: float | None = None,
+    use_kernel: bool = True,
 ) -> tuple[DataFrame, list[list[float]], int]:
     """Lloyd's iterations until centroid shift < ``tol`` (max squared
     movement over all centroids) or ``max_iter``.
@@ -134,6 +201,15 @@ def kmeans_fit(
     re-reading 100 TB of parquet ``max_iter`` times. The full-width
     input frame is never cached; only the final assignment touches it,
     exactly once.
+
+    Each iteration defaults to ONE Arrow-kernel pass
+    (:func:`_lloyd_partials_kernel` — assignment + per-(cluster, pos)
+    partial sums fused, k×dim rows per task) instead of an
+    interpreted-HOF assignment feeding a posexplode of N×dim value
+    rows; the kernel's float trajectory is bit-identical by
+    construction (per-dimension/row-order sequential accumulation,
+    first-index argmin — A/B-asserted in tests). ``use_kernel=False``
+    keeps the pure-Catalyst path.
 
     ``sample_fraction`` fits the centroids on a deterministic hash
     sample (``xxhash64(id) pmod 1e6 < fraction*1e6`` — stable across
@@ -169,11 +245,33 @@ def kmeans_fit(
         n_iters = 0
         for _ in range(max_iter):
             n_iters += 1
-            assigned = _assign_via_broadcast(fit_df, centroids, vec_col=vec_col)
-            new_rows = ivf_build_centroids(
-                assigned, cluster_col="cluster", vec_col=vec_col
-            ).collect()  # k rows — driver-sized by construction
-            by_cid = {int(r["cluster"]): list(r["centroid"]) for r in new_rows}
+            if use_kernel:
+                stats = (
+                    _lloyd_partials_kernel(fit_df, centroids, vec_col=vec_col)
+                    .groupBy("cluster", "pos")
+                    .agg(F.sum("psum").alias("s"), F.sum("n").alias("cnt"))
+                    .select(
+                        "cluster",
+                        "pos",
+                        (F.col("s") / F.col("cnt").cast("double")).alias("v"),
+                    )
+                    .collect()  # k×dim rows — driver-sized by construction
+                )
+                by_cid: dict[int, list[float]] = {}
+                for r in stats:
+                    by_cid.setdefault(int(r["cluster"]), [0.0] * len(centroids[0]))[
+                        int(r["pos"])
+                    ] = float(r["v"])
+            else:
+                assigned = _assign_via_broadcast(
+                    fit_df, centroids, vec_col=vec_col
+                )
+                new_rows = ivf_build_centroids(
+                    assigned, cluster_col="cluster", vec_col=vec_col
+                ).collect()  # k rows — driver-sized by construction
+                by_cid = {
+                    int(r["cluster"]): list(r["centroid"]) for r in new_rows
+                }
             # an emptied cluster keeps its previous centroid (standard)
             new_centroids = [by_cid.get(i, centroids[i]) for i in range(k)]
             shift = max(
