@@ -55,48 +55,52 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # Convergence probe (r12 opt): per-vertex labels are NON-INCREASING
+    # (every update is a min), so Σcomp strictly decreases while any
+    # vertex still moves — an unchanged (Σcomp, n) pair ⇔ a fixed
+    # point. The exact DECIMAL(38,0) sum replaces the earlier
+    # carried-comp_old filter+count, which needed the old label joined
+    # through every round's plan. Values are untouched: the per-round
+    # label trajectory is the same min/least dataflow as before.
+    prev: tuple | None = None
     for _ in range(max_iter):
-        # min neighbor label per vertex
-        msgs = (
-            und.join(labels, und.b == labels.id)
-            .select(und.a.alias("id"), F.col("comp").alias("ncomp"))
-            .groupBy("id")
-            .agg(F.min("ncomp").alias("ncomp"))
+        # min over self ∪ neighbor labels, via union + one aggregate
+        # (r12 opt: replaces join + groupBy + left-join — one exchange
+        # and one stage fewer per round, identical min semantics)
+        msgs = und.join(labels, und.b == labels.id).select(
+            und.a.alias("id"), F.col("comp")
         )
-        stepped = labels.join(msgs, "id", "left").select(
-            "id",
-            F.col("comp").alias("comp_old"),
-            F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
-                "comp"
-            ),
+        new1 = (
+            msgs.union(labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
         )
         # pointer jumping: comp ← comp(comp) — one self-join hop
-        hop = stepped.select(
+        hop = new1.select(
             F.col("id").alias("jid"), F.col("comp").alias("jcomp")
         )
         new_labels = (
-            stepped.join(hop, stepped.comp == hop.jid, "left")
+            new1.join(hop, new1.comp == hop.jid, "left")
             .select(
                 "id",
-                "comp_old",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            # lazy: the convergence count right below materializes it
+            # lazy: the convergence probe right below materializes it
             # in the same job (r12 — one scheduling round trip per
             # round instead of two; labels are ids, values unchanged)
             .localCheckpoint(eager=False)
         )
-        # the round's STARTING label rides along as comp_old, so the
-        # convergence probe is a plain filter+count — no per-round
-        # old-vs-new join (r12; the label trajectory is untouched)
-        changed = new_labels.filter(
-            F.col("comp") != F.col("comp_old")
-        ).count()
-        labels = new_labels.select("id", "comp")
-        if changed == 0:
+        row = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        cur = (row["s"], row["n"])
+        labels = new_labels
+        if cur == prev:
             return labels
+        prev = cur
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
@@ -291,16 +295,23 @@ def pagerank(
         e = e.union(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
-    e = e.distinct().localCheckpoint(eager=True)
+    e = e.distinct()
 
+    # degree attaches via a window over the SAME key the loop joins on
+    # (r12 opt: one shuffle builds the loop-invariant (a, b, deg)
+    # frame already hash-partitioned by ``a`` — the former standalone
+    # degree aggregate + per-edge join paid an extra exchange and an
+    # extra eager checkpoint; counts are identical)
+    from pyspark.sql import Window as _W
+
+    e_deg = e.withColumn(
+        "deg", F.count(F.lit(1)).over(_W.partitionBy("a")).cast("long")
+    ).localCheckpoint(eager=True)
     verts = (
-        e.select(F.col("a").alias("id"))
-        .union(e.select(F.col("b").alias("id")))
+        e_deg.select(F.col("a").alias("id"))
+        .union(e_deg.select(F.col("b").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
-    )
-    deg = e.groupBy(F.col("a").alias("id")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
     )
     n = verts.count()
     if n == 0:
@@ -321,16 +332,13 @@ def pagerank(
             .cast("double")
         )
 
-    # degree is loop-invariant: join it to the edges ONCE (r12 — was
-    # one extra join per iteration) and keep the per-iteration
-    # checkpoints LAZY (they still truncate lineage, but materialize
-    # inside the consumer's job instead of costing one scheduling
-    # round trip each; the DECIMAL(28,18)+round(12) trajectory is
-    # checkpoint-frequency-independent, so values are unchanged)
-    e_deg = e.join(deg.withColumnRenamed("id", "a"), "a").localCheckpoint(
-        eager=True
-    )
-    ranks = verts.withColumn("rank", init_col).localCheckpoint(eager=True)
+    # Per-iteration checkpoints stay LAZY (they still truncate
+    # lineage, but materialize inside the consumer's job instead of
+    # costing one scheduling round trip each; the
+    # DECIMAL(28,18)+round(12) trajectory is checkpoint-frequency-
+    # independent, so values are unchanged). The initial ranks frame
+    # is likewise lazy — the first loop round materializes it.
+    ranks = verts.withColumn("rank", init_col)
     for _ in range(n_iter):
         contrib = (
             e_deg.join(ranks.withColumnRenamed("id", "a"), "a")
@@ -349,7 +357,9 @@ def pagerank(
         if undirected:
             dang_term = F.lit(0.0)
         else:
-            dm = ranks.join(deg, "id", "left_anti").agg(
+            dm = ranks.join(
+                e_deg.select(F.col("a").alias("id")), "id", "left_anti"
+            ).agg(
                 F.coalesce(
                     F.sum(F.col("rank").cast("decimal(28,18)")),
                     F.lit(0).cast("decimal(28,18)"),
