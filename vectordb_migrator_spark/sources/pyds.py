@@ -71,6 +71,7 @@ from typing import Any, Iterable, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
@@ -487,7 +488,62 @@ class _QdrantWriteCore:
                 close()
         return QdrantCommit(rows=n, rows_with_id=n_id, rows_with_vector=n_vec)
 
-class QdrantUpsertWriter(_QdrantWriteCore, DataSourceWriter):
+class QdrantUpsertWriter(_QdrantWriteCore, DataSourceArrowWriter):
+    def write(self, iterator) -> QdrantCommit:  # Iterator[pa.RecordBatch]
+        """Arrow batch path (r12 opt, guide §4.1): the batch sink
+        receives ``pyarrow.RecordBatch``es instead of pickled Rows —
+        the boundary cost drops to one columnar transfer per batch.
+        Point dicts, upsert call boundaries (``batch_size`` rows per
+        call, buffered ACROSS record batches), null-id skipping, and
+        the rows/rows_with_id/rows_with_vector accounting are
+        bit-identical to the Row path, which the streaming writer
+        still uses (micro-batches are small by construction)."""
+        factory = _resolve_factory(self.options.get("client_factory"))
+        client = factory(_connection(self.options))
+        buf: list[dict[str, Any]] = []
+        n = n_id = n_vec = 0
+
+        def flush() -> None:
+            if buf:
+                kwargs = {}
+                if self.shard_key is not None:
+                    kwargs["shard_key_selector"] = self.shard_key
+                client.upsert(
+                    collection_name=self.collection, points=list(buf), **kwargs
+                )
+                buf.clear()
+
+        try:
+            for rb in iterator:
+                if not rb.num_rows:
+                    continue
+                ids = rb.column("id").to_pylist()
+                vecs = rb.column("vector").to_pylist()
+                metas = rb.column("metadata").to_pylist()
+                n += rb.num_rows
+                # same counting rule as the Row path: ids and vectors
+                # are tallied for EVERY row, null-id rows then skipped
+                n_id += rb.num_rows - rb.column("id").null_count
+                n_vec += rb.num_rows - rb.column("vector").null_count
+                for rid, vec, meta in zip(ids, vecs, metas):
+                    if rid is None:
+                        continue  # C4 — see the Row path
+                    buf.append(
+                        {
+                            "id": _coerce_id(rid),
+                            "vector": list(vec) if vec else None,
+                            "payload": dict(meta or {}),
+                        }
+                    )
+                    if len(buf) >= self.batch:
+                        flush()
+            flush()
+        finally:
+            close = getattr(client, "close", None)
+            if close:
+                close()
+        return QdrantCommit(rows=n, rows_with_id=n_id, rows_with_vector=n_vec)
+
     def commit(self, messages: list[QdrantCommit]) -> None:  # type: ignore[override]
         # Upserts are idempotent by id — nothing to finalize; totals
         # are observable via the messages if a caller wants them.
@@ -743,7 +799,7 @@ class MilvusScanReader(DataSourceReader):
 _MILVUS_INT_TYPES = ("INT64", "INT32", "INT16", "INT8")
 
 
-class MilvusInsertWriter(DataSourceWriter):
+class _MilvusWriteCore:
     """Columnar-conform insert into a pre-existing collection — the
     reference REFUSES sink-side DDL (``adapters/milvus.py:155-158``),
     so creation is an error here too. Rows are conformed to the
@@ -827,7 +883,61 @@ class MilvusInsertWriter(DataSourceWriter):
         return None
 
 
-class MilvusStreamWriter(MilvusInsertWriter, DataSourceStreamWriter):
+class MilvusInsertWriter(_MilvusWriteCore, DataSourceArrowWriter):
+    """Batch sink — Arrow boundary (r12 opt, guide §4.1): record
+    batches instead of pickled Rows, identical conform/flush/
+    accounting semantics to the Row path the streaming writer keeps
+    (:class:`_MilvusWriteCore.write`)."""
+
+    def write(self, iterator) -> QdrantCommit:  # Iterator[pa.RecordBatch]
+        from vectordb_migrator_spark.sources.milvus import coerce_to_field_type
+
+        factory = _resolve_factory(self.options.get("client_factory"))
+        client = factory(_connection(self.options))
+        op = (
+            getattr(client, "upsert", None) if self.prefer_upsert else None
+        ) or client.insert
+        buf: list[dict[str, Any]] = []
+        n = n_id = n_vec = 0
+
+        def flush() -> None:
+            if buf:
+                op(collection_name=self.collection, data=list(buf))
+                buf.clear()
+
+        pk_type = self.types.get(self.pk, "VARCHAR")
+        for rb in iterator:
+            if not rb.num_rows:
+                continue
+            ids = rb.column("id").to_pylist()
+            vecs = rb.column("vector").to_pylist()
+            metas = rb.column("metadata").to_pylist()
+            n += rb.num_rows
+            for rid, vec, meta in zip(ids, vecs, metas):
+                if rid is None:
+                    continue  # C4 — skip, observable as n - n_id
+                n_id += 1
+                n_vec += vec is not None
+                meta = dict(meta or {})
+                rec: dict[str, Any] = {
+                    self.pk: coerce_to_field_type(rid, pk_type)
+                }
+                if self.vec_field:
+                    rec[self.vec_field] = (
+                        [float(x) for x in vec] if vec else None
+                    )
+                for s in self.scalars:
+                    rec[s] = coerce_to_field_type(
+                        meta.get(s), self.types.get(s, "VARCHAR")
+                    )
+                buf.append(rec)
+                if len(buf) >= self.batch:
+                    flush()
+        flush()
+        return QdrantCommit(rows=n, rows_with_id=n_id, rows_with_vector=n_vec)
+
+
+class MilvusStreamWriter(_MilvusWriteCore, DataSourceStreamWriter):
     """``writeStream.format("milvus")`` — the streaming incremental
     migration path for Milvus. Each microbatch runs the same
     conform-and-batch write as the batch sink, but through the
@@ -1273,7 +1383,46 @@ class _PineconeWriteCore:
         return QdrantCommit(rows=n, rows_with_id=n_id, rows_with_vector=n_vec)
 
 
-class PineconeUpsertWriter(_PineconeWriteCore, DataSourceWriter):
+class PineconeUpsertWriter(_PineconeWriteCore, DataSourceArrowWriter):
+    def write(self, iterator) -> QdrantCommit:  # Iterator[pa.RecordBatch]
+        """Arrow batch path (r12 opt, guide §4.1) — identical upsert
+        call boundaries, null-id skipping, and accounting as the Row
+        path the streaming writer keeps."""
+        factory = _resolve_factory(self.options.get("client_factory"))
+        client = factory(_connection(self.options))
+        index = client.Index(self.index_name)
+        buf: list[dict[str, Any]] = []
+        n = n_id = n_vec = 0
+
+        def flush() -> None:
+            if buf:
+                index.upsert(vectors=list(buf), namespace=self.namespace)
+                buf.clear()
+
+        for rb in iterator:
+            if not rb.num_rows:
+                continue
+            ids = rb.column("id").to_pylist()
+            vecs = rb.column("vector").to_pylist()
+            metas = rb.column("metadata").to_pylist()
+            n += rb.num_rows
+            n_id += rb.num_rows - rb.column("id").null_count
+            n_vec += rb.num_rows - rb.column("vector").null_count
+            for rid, vec, meta in zip(ids, vecs, metas):
+                if rid is None:
+                    continue  # C4 — see the Row path
+                buf.append(
+                    {
+                        "id": str(rid),
+                        "values": list(vec) if vec else [],
+                        "metadata": dict(meta or {}),
+                    }
+                )
+                if len(buf) >= self.batch:
+                    flush()
+        flush()
+        return QdrantCommit(rows=n, rows_with_id=n_id, rows_with_vector=n_vec)
+
     def commit(self, messages: list[QdrantCommit]) -> None:  # type: ignore[override]
         return None
 

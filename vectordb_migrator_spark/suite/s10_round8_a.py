@@ -102,8 +102,15 @@ REP = 30  # replication factor: sf0.1 -> 60k points through the sink
 
 
 def _replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordb_migrator_spark.operators.dedup import fan_out
+
     emb = _t(spark, sf_dir, "embeddings")
-    return emb.select(
+    # fan_out (r12 opt, guide §2.5 input skew): the single-row-group
+    # local parquet scans as ONE partition, so every connector sink
+    # downstream ran its whole Python write path in one task. On a
+    # real cluster the scan is already wide and this is a no-op; the
+    # certify aggregates are partition-count invariant.
+    return fan_out(emb).select(
         "vec_id",
         "embedding",
         "label",
