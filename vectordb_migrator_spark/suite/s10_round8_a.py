@@ -705,9 +705,13 @@ def x6_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append({"doc_id": d, "payload": bytearray(payload)})
             yield pd.DataFrame(rows)
 
+    from vectordb_migrator_spark.operators.util import fan_out
+
     payloads = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
+        # fan_out (r12 opt): the single-row-group scan otherwise runs
+        # the whole encode+decode pipeline in ONE task (13s -> ~2s at
+        # sf0.1); per-image work is embarrassingly parallel
+        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
         .mapInPandas(gen, schema="doc_id long, payload binary")
     )
     return png_decode_features(payloads).orderBy("doc_id")

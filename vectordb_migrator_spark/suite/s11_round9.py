@@ -455,9 +455,12 @@ def x6_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
+    from vectordb_migrator_spark.operators.util import fan_out
+
     payloads = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
+        # fan_out (r12 opt): parallelize the per-image encode+decode
+        # across tasks — the single-row-group scan ran it in one
+        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
         .mapInPandas(gen, schema="doc_id long, payload binary")
     )
     return gif_decode_features(payloads).orderBy("doc_id")
