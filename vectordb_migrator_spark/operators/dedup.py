@@ -85,25 +85,50 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def _minhash_md5_sig(text_col: str, shingle_n: int, num_hashes: int):
-    """The md5 MinHash signature expression — one aggregate pass over
-    the shingle array (each shingle hashed ``num_hashes`` times, the
-    tokenize/shingle tree compiled once)."""
-    sh = shingles(text_col, shingle_n)
+def _minhash_md5_sig_frame(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+) -> DataFrame:
+    """(id, sig array<long>) md5 MinHash signatures via explode +
+    per-hash ``min`` aggregation (r12 opt, guide §4.1): every
+    md5/conv runs ONCE per (shingle, i) in whole-stage CODEGEN,
+    replacing the interpreted array fold — which, worse, was inlined
+    (and therefore re-evaluated) once per band key by every consumer
+    that sliced the signature. Values are identical: ``min`` over the
+    same per-shingle hashes equals the fold's running ``least``, and
+    the fold's 2³³ start value can never survive (an 8-hex-digit hash
+    is < 2³²). A document's shingles never span partitions (they come
+    from one exploded row), so the partial min folds map-side and the
+    exchange carries one (id, partials) row per document."""
+    toks = F.split(F.lower(ws_strip(F.col(text_col))), r"\s+")
+    exploded = (
+        fan_out(df)
+        .filter(F.size(toks) >= shingle_n)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(text_col, shingle_n)).alias("t"),
+        )
+    )
 
-    def h(i, t):
+    def h(i: int):
         return F.conv(
             F.substring(
-                F.md5(F.concat(i.cast("string"), F.lit(":"), t)), 1, 8
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("t"))), 1, 8
             ),
             16,
             10,
         ).cast("long")
 
-    return F.aggregate(
-        sh,
-        F.array_repeat(F.lit(1 << 33).cast("long"), num_hashes),
-        lambda acc, t: F.transform(acc, lambda m, i: F.least(m, h(i, t))),
+    agg = exploded.groupBy("id").agg(
+        *[F.min(h(i)).alias(f"__h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "id",
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -120,14 +145,12 @@ def minhash_md5_signatures(
     signature stores; :func:`minhash_md5_pairs` is the banded
     candidate generator over the same expression. Documents with
     fewer than ``shingle_n`` tokens are excluded."""
-    toks = F.split(F.lower(ws_strip(F.col(text_col))), r"\s+")
-    return (
-        fan_out(df)
-        .filter(F.size(toks) >= shingle_n)
-        .select(
-            F.col(id_col).alias("id"),
-            _minhash_md5_sig(text_col, shingle_n, num_hashes).alias("sig"),
-        )
+    return _minhash_md5_sig_frame(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
     )
 
 
@@ -165,8 +188,7 @@ def minhash_md5_pairs(
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
 
-    toks = F.split(F.lower(ws_strip(F.col(text_col))), r"\s+")
-    sig = _minhash_md5_sig(text_col, shingle_n, num_hashes)
+    sig = F.col("sig")
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda j: F.concat_ws(
@@ -180,11 +202,16 @@ def minhash_md5_pairs(
             ),
         ),
     )
-    banded = (
-        fan_out(df)
-        .filter(F.size(toks) >= shingle_n)
-        .select(F.col(id_col).alias("id"), F.explode(band_keys).alias("key"))
-    )
+    # band keys slice a MATERIALIZED signature column (r12 opt): the
+    # former plan inlined the whole signature fold into each band's
+    # lambda, recomputing every md5 once per band
+    banded = _minhash_md5_sig_frame(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+    ).select("id", F.explode(band_keys).alias("key"))
     if max_bucket is not None:
         w = W.partitionBy("key")
         marked = banded.withColumn("n_bkt", F.count("*").over(w)).withColumn(
@@ -232,62 +259,48 @@ def simhash_md5_pairs(
     """
     from pyspark.sql import Window as W
 
+    # Bit votes via explode + 64 codegen sum aggregates (r12 opt,
+    # guide §4.1): one md5 per DISTINCT token in whole-stage codegen,
+    # replacing the interpreted token fold — which, worse, was inlined
+    # (and so re-evaluated, md5s included) once per signature half.
+    # Values are identical: votes_i = Σ_tokens ±1 is an order-free
+    # integer sum, and the >0 bit test matches the fold's. A
+    # document's tokens never span partitions (one exploded row), so
+    # partials fold map-side and the exchange carries one row per doc.
+    # Null-text docs drop out of the explode instead of carrying NULL
+    # sigs; their pairs were always removed by the NULL-hamming filter,
+    # so the output is unchanged.
+    import functools
+
     toks = F.array_distinct(F.split(F.lower(ws_strip(F.col(text_col))), r"\s+"))
-    hashes = F.transform(
-        toks,
-        lambda t: F.struct(
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
-            .cast("long")
-            .alias("h1"),
-            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
-            .cast("long")
-            .alias("h2"),
-        ),
+    exploded = fan_out(df).select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("t")
     )
-    bitspec = F.array(
-        *[
-            F.struct(
-                F.lit(1 << (i % 32)).cast("long").alias("m"),
-                F.lit(i >= 32).alias("hi"),
-            )
-            for i in range(64)
-        ]
-    )
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            bitspec,
-            lambda a, p: a
-            + F.when(
-                F.when(p.getField("hi"), h.getField("h1"))
-                .otherwise(h.getField("h2"))
-                .bitwiseAND(p.getField("m"))
-                != 0,
-                1,
-            ).otherwise(-1),
-        ),
-    )
+    h1 = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.col("t")), 9, 8), 16, 10).cast("long")
+
+    def vote(i: int) -> Column:
+        src = h1 if i >= 32 else h2
+        mask = F.lit(1 << (i % 32)).cast("long")
+        return F.sum(
+            F.when(src.bitwiseAND(mask) != 0, 1).otherwise(-1)
+        ).alias(f"__v{i}")
+
+    agg = exploded.groupBy("id").agg(*[vote(i) for i in range(64)])
 
     def half(lo_bit: int) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.slice(votes, lo_bit + 1, 32),
-                F.array(*[F.lit(1 << i).cast("long") for i in range(32)]),
-                lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
-            ),
-            F.lit(0).cast("long"),
-            lambda s, x: s.bitwiseOR(x),
+        return functools.reduce(
+            lambda a, b: a.bitwiseOR(b),
+            [
+                F.when(
+                    F.col(f"__v{lo_bit + i}") > 0, F.lit(1 << i).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(32)
+            ],
         )
 
-    # fan_out BELOW the signature projection: the md5 bit-vote
-    # aggregate is the CPU-heavy stage, and projections execute on the
-    # map side of the exchange — repartitioning the already-computed
-    # sigs would single-thread the voting on an under-split scan
-    # (measured 5.7s → 3.9s full-query at sf0.1, local[32])
-    sigs = fan_out(df).select(
-        F.col(id_col).alias("id"),
+    sigs = agg.select(
+        "id",
         half(0).alias("sig_lo"),
         half(32).alias("sig_hi"),
     )
