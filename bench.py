@@ -34,13 +34,16 @@ from vectordb_migrator_spark.suite import QUERIES as _REGISTRY
 HEADLINE = list(_REGISTRY)
 
 
-def _wait_for_quiet(max_wait_s: float = 180.0, threshold: float = 4.0) -> float:
+def _wait_for_quiet(max_wait_s: float = 420.0, threshold: float = 2.0) -> float:
     """Quiet-box protocol (r11 verdict ask #7): a bench pass launched
     right after a pytest/oracle sweep reads +14-20% across the board
     from leftover machine load (measured in round 11). Wait for the
     1-minute load average to decay below ``threshold`` (bounded by
     ``max_wait_s`` so CI never hangs), and return the load the run
-    actually started at — recorded in the output JSON so
+    actually started at. r13: threshold 4.0 → 2.0 and a longer bound —
+    both r12 driver benches started at load 3.4-3.6, just under the
+    old gate, which alone inflated every row 10-15% (r12 verdict,
+    What's-wrong #3). The load is recorded in the output JSON so
     round-over-round comparisons can tell a regression from a noisy
     box."""
     deadline = time.time() + max_wait_s
@@ -112,12 +115,22 @@ def main() -> None:
     # The driver records only a 2,000-char tail of stdout, which
     # truncates per-query evidence for most of the suite — persist the
     # full artifact to a committed file so every row survives the round
-    # (round-8 verdict, What's missing #2).
-    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
-    try:
-        full_path.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
-    except OSError as exc:  # never let artifact IO break the bench run
-        print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
+    # (round-8 verdict, What's missing #2). r13 measurement fix (r12
+    # verdict, What's-wrong #2): artifacts are per-core-count
+    # (BENCH_FULL_c{cpus}.json) so the driver's low-core scaling run
+    # can never clobber the 32-core evidence; the legacy BENCH_FULL
+    # name is kept as the 32-core copy for round-over-round diffs.
+    here = Path(__file__).resolve().parent
+    paths = [here / f"BENCH_FULL_c{cpus}.json"]
+    if cpus == 32:
+        paths.append(here / "BENCH_FULL.json")
+    for full_path in paths:
+        try:
+            full_path.write_text(
+                json.dumps(full, indent=1, sort_keys=True) + "\n"
+            )
+        except OSError as exc:  # never let artifact IO break the bench run
+            print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
     print(json.dumps(summary))
 
 

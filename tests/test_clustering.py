@@ -430,7 +430,13 @@ def test_facility_location_matches_python_replica(spark):
 def test_kmeans_fit_kernel_matches_catalyst_path(spark):
     """r12 opt gate: the Arrow-kernel Lloyd loop must be BIT-identical
     to the Catalyst (``use_kernel=False``) path — same centroids (exact
-    float equality), same iteration count, same assignments."""
+    float equality), same iteration count, same assignments.
+
+    The input is coalesced to ONE partition so both paths build exactly
+    one partial per cluster and the cross-partition merge order (which
+    Spark does not pin) cannot make exact float equality flake
+    (r12 ADVICE); the within-partition trajectory is the bit-identity
+    claim under test."""
     from vectordb_migrator_spark.operators.clustering import kmeans_fit
 
     pts = [
@@ -438,7 +444,9 @@ def test_kmeans_fit_kernel_matches_catalyst_path(spark):
              float(i % 13) - 6.0])
         for i in range(500)
     ]
-    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    df = spark.createDataFrame(
+        pts, "vec_id long, embedding array<float>"
+    ).coalesce(1)
     a_new, c_new, n_new = kmeans_fit(df, k=5, max_iter=7)
     a_old, c_old, n_old = kmeans_fit(df, k=5, max_iter=7, use_kernel=False)
     assert n_new == n_old
@@ -446,3 +454,33 @@ def test_kmeans_fit_kernel_matches_catalyst_path(spark):
     rows_new = sorted(map(tuple, a_new.select("vec_id", "cluster").collect()))
     rows_old = sorted(map(tuple, a_old.select("vec_id", "cluster").collect()))
     assert rows_new == rows_old
+
+
+def test_kmeans_fit_empty_cluster_keeps_previous_centroid(spark):
+    """r12 VERDICT must-fix: two identical seed vectors make one
+    cluster empty on the very first assignment (argmin ties break to
+    the lower cluster id). The kernel path used to emit a 0/0 partial
+    for the empty cluster → NULL mean → float(None) TypeError (or
+    DIVIDE_BY_ZERO under ANSI); both paths must instead keep the
+    previous centroid and agree bit-for-bit."""
+    from vectordb_migrator_spark.operators.clustering import kmeans_fit
+
+    pts = (
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [10.0, 10.0])]
+        + [(3 + i, [0.1 * (i % 3), 0.1 * (i % 5)]) for i in range(9)]
+        + [(12 + i, [10.0 + 0.1 * (i % 3), 10.0 - 0.1 * (i % 4)]) for i in range(9)]
+    )
+    df = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    # seeds = vectors of ids 0,1,2 → centroid 1 duplicates centroid 0,
+    # so cluster 1 receives no points in iteration 1 (tie → cluster 0)
+    a_new, c_new, n_new = kmeans_fit(df, k=3, max_iter=5)
+    a_old, c_old, n_old = kmeans_fit(df, k=3, max_iter=5, use_kernel=False)
+    assert n_new == n_old
+    assert c_new == c_old
+    rows_new = sorted(map(tuple, a_new.select("vec_id", "cluster").collect()))
+    rows_old = sorted(map(tuple, a_old.select("vec_id", "cluster").collect()))
+    assert rows_new == rows_old
+    # the emptied cluster's centroid must be a real (finite) vector
+    assert all(x == x and abs(x) < 1e9 for c in c_new for x in c)

@@ -250,6 +250,12 @@ def kmeans_fit(
                     _lloyd_partials_kernel(fit_df, centroids, vec_col=vec_col)
                     .groupBy("cluster", "pos")
                     .agg(F.sum("psum").alias("s"), F.sum("n").alias("cnt"))
+                    # the kernel emits 0/0 partials for clusters no task
+                    # assigned to — drop them so a globally-empty cluster
+                    # is ABSENT from by_cid (0/0 is NULL, or
+                    # DIVIDE_BY_ZERO under ANSI) and the previous-centroid
+                    # fallback below applies, matching the Catalyst path
+                    .filter(F.col("cnt") > 0)
                     .select(
                         "cluster",
                         "pos",

@@ -103,7 +103,14 @@ def _minhash_md5_sig_frame(
     the fold's 2³³ start value can never survive (an 8-hex-digit hash
     is < 2³²). A document's shingles never span partitions (they come
     from one exploded row), so the partial min folds map-side and the
-    exchange carries one (id, partials) row per document."""
+    exchange carries one (id, partials) row per document.
+
+    Contract: ``id_col`` must be UNIQUE per row (r12 ADVICE note). The
+    groupBy keys the signature on id, so duplicate ids would merge
+    into one signature over the union of their shingles; every caller
+    in this engine feeds a primary-key id, same as the LSH banding
+    downstream (which already assumed distinct ids for pair
+    generation)."""
     toks = F.split(F.lower(ws_strip(F.col(text_col))), r"\s+")
     exploded = (
         fan_out(df)
@@ -256,6 +263,11 @@ def simhash_md5_pairs(
     ONE aggregate pass references the token-hash array once (the
     Catalyst lambda-inlining trap — see ``feature_hash_vector``);
     only (band_key, id, sig) rows cross the shuffle.
+
+    Contract: ``id_col`` must be UNIQUE per row (r12 ADVICE note) —
+    the bit-vote groupBy keys on id, so duplicate ids would merge
+    into one fingerprint over the union of their tokens. All callers
+    feed a primary-key id, as the pair banding already required.
     """
     from pyspark.sql import Window as W
 

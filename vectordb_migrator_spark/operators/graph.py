@@ -62,7 +62,16 @@ def connected_components(
     # carried-comp_old filter+count, which needed the old label joined
     # through every round's plan. Values are untouched: the per-round
     # label trajectory is the same min/least dataflow as before.
-    prev: tuple | None = None
+    # prev seeds with the INITIAL labels' checksum (r12 ADVICE): an
+    # already-fixed input (self-loop-only edges) then converges at the
+    # round-1 probe instead of needing a second round, and a graph
+    # whose last label change lands exactly in round max_iter no
+    # longer raises spuriously.
+    row0 = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    prev: tuple | None = (row0["s"], row0["n"])
     for _ in range(max_iter):
         # min over self ∪ neighbor labels, via union + one aggregate
         # (r12 opt: replaces join + groupBy + left-join — one exchange

@@ -175,6 +175,52 @@ def _filter_to_neutral(f: Filter, cols: set[str]) -> dict[str, Any] | None:
     return None
 
 
+def _arrow_scan_batches(
+    rows: Iterator[tuple],
+    *,
+    canonical: bool,
+    meta_cols: list[str],
+    rows_per_batch: int = 4096,
+) -> Iterator["Any"]:
+    """Buffer scan rows into ``pyarrow.RecordBatch``es (r13 opt, guide
+    §4.1): Spark 4's Python DataSource accepts Arrow batches from
+    ``DataSourceReader.read``, which replaces per-row pickling of every
+    tuple across the Python→JVM boundary with one columnar buffer per
+    ~4k rows — the scan-side twin of the r12 ``DataSourceArrowWriter``
+    sinks. Row VALUES are exactly the tuples the per-row path yielded;
+    only the serialization changes. The Arrow schema mirrors the
+    declared read schema (canonical ``id string, vector array<float>,
+    metadata map<string,string>``, or the metadata_columns string
+    variant)."""
+    import pyarrow as pa
+
+    fields = [
+        pa.field("id", pa.string()),
+        pa.field("vector", pa.list_(pa.float32())),
+    ]
+    if canonical:
+        fields.append(pa.field("metadata", pa.map_(pa.string(), pa.string())))
+    else:
+        fields.extend(pa.field(c, pa.string()) for c in meta_cols)
+    schema = pa.schema(fields)
+    buf: list[tuple] = []
+
+    def flush() -> "pa.RecordBatch":
+        cols = zip(*buf)
+        return pa.RecordBatch.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        )
+
+    for row in rows:
+        buf.append(row)
+        if len(buf) >= rows_per_batch:
+            yield flush()
+            buf = []
+    if buf:
+        yield flush()
+
+
 class QdrantScanReader(DataSourceReader):
     def __init__(self, options: dict[str, str], schema: StructType):
         self.options = dict(options)
@@ -266,13 +312,18 @@ class QdrantScanReader(DataSourceReader):
                 offset_start=spec.get("cursor"),
             )
             if self.canonical:
-                for r in records:
-                    yield r["id"], r["vector"], r["metadata"]
+                rows = (
+                    (r["id"], r["vector"], r["metadata"]) for r in records
+                )
             else:
                 cols = self.meta_cols
-                for r in records:
-                    meta = r["metadata"]
-                    yield (r["id"], r["vector"], *(meta.get(c) for c in cols))
+                rows = (
+                    (r["id"], r["vector"], *(r["metadata"].get(c) for c in cols))
+                    for r in records
+                )
+            yield from _arrow_scan_batches(
+                rows, canonical=self.canonical, meta_cols=self.meta_cols
+            )
         finally:
             close = getattr(client, "close", None)
             if close:
@@ -773,27 +824,35 @@ class MilvusScanReader(DataSourceReader):
                 output_fields=output_fields,
             )
         vec = self.vec_field
-        for r in recs:
-            vector = (
-                [float(x) for x in r[vec]]
-                if vec and r.get(vec) is not None
-                else None
-            )
-            if self.canonical:
-                # P3 — None-valued metadata keys omitted
-                meta = {
-                    k: str(r[k]) for k in self.scalars if r.get(k) is not None
-                }
-                yield str(r[self.pk]), vector, meta
-            else:
-                yield (
-                    str(r[self.pk]),
-                    vector,
-                    *(
-                        str(r[c]) if r.get(c) is not None else None
-                        for c in self.meta_cols
-                    ),
+
+        def rows() -> Iterator[tuple]:
+            for r in recs:
+                vector = (
+                    [float(x) for x in r[vec]]
+                    if vec and r.get(vec) is not None
+                    else None
                 )
+                if self.canonical:
+                    # P3 — None-valued metadata keys omitted
+                    meta = {
+                        k: str(r[k])
+                        for k in self.scalars
+                        if r.get(k) is not None
+                    }
+                    yield str(r[self.pk]), vector, meta
+                else:
+                    yield (
+                        str(r[self.pk]),
+                        vector,
+                        *(
+                            str(r[c]) if r.get(c) is not None else None
+                            for c in self.meta_cols
+                        ),
+                    )
+
+        yield from _arrow_scan_batches(
+            rows(), canonical=self.canonical, meta_cols=self.meta_cols
+        )
 
 
 _MILVUS_INT_TYPES = ("INT64", "INT32", "INT16", "INT8")
@@ -1219,20 +1278,35 @@ class PineconeScanReader(DataSourceReader):
         factory = _resolve_factory(self.options.get("client_factory"))
         client = factory(_connection(self.options))
         index = client.Index(self.index_name)
-        for id_page in index.list(
-            prefix=partition.value or None,
-            namespace=self.namespace,
-            limit=self.batch,
-        ):
-            fetched = index.fetch(ids=list(id_page), namespace=self.namespace)
-            vectors = getattr(fetched, "vectors", None) or fetched["vectors"]
-            for vid, v in vectors.items():
-                vec = list(v["values"]) if v.get("values") else None
-                meta = {str(k): str(x) for k, x in (v.get("metadata") or {}).items()}
-                if self.canonical:
-                    yield str(vid), vec, meta
-                else:
-                    yield (str(vid), vec, *(meta.get(c) for c in self.meta_cols))
+
+        def rows() -> Iterator[tuple]:
+            for id_page in index.list(
+                prefix=partition.value or None,
+                namespace=self.namespace,
+                limit=self.batch,
+            ):
+                fetched = index.fetch(
+                    ids=list(id_page), namespace=self.namespace
+                )
+                vectors = getattr(fetched, "vectors", None) or fetched["vectors"]
+                for vid, v in vectors.items():
+                    vec = list(v["values"]) if v.get("values") else None
+                    meta = {
+                        str(k): str(x)
+                        for k, x in (v.get("metadata") or {}).items()
+                    }
+                    if self.canonical:
+                        yield str(vid), vec, meta
+                    else:
+                        yield (
+                            str(vid),
+                            vec,
+                            *(meta.get(c) for c in self.meta_cols),
+                        )
+
+        yield from _arrow_scan_batches(
+            rows(), canonical=self.canonical, meta_cols=self.meta_cols
+        )
 
 
 class PineconeStreamScanReader(SimpleDataSourceStreamReader):

@@ -111,9 +111,13 @@ def bmp_gradient_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    # fan out the single-row-group scan: the BMP synth + decode pair
+    # is per-row Python work and would otherwise run as ONE task
+    # (r12 x6_png_decode lesson; no-op on real multi-file corpora)
     return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
+        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
         .mapInPandas(gen, schema="doc_id long, payload binary")
     )
 
@@ -212,9 +216,13 @@ def x6_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    # fan out the single-row-group scan: WAV synth + decode is
+    # per-row Python work (r12 x6_png_decode lesson; fan_out is a
+    # no-op on real multi-file corpora)
     payloads = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
+        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
         .mapInPandas(gen, schema="doc_id long, payload binary")
     )
     return wav_pcm_features(payloads).orderBy("doc_id")
