@@ -1753,3 +1753,39 @@ def test_pq_fp_kernels_bit_identical(spark, embeddings):
     by = {(v, s): mm for v, s, _, mm in k_mse}
     for s in range(4):  # Lloyd never increases in-sample error
         assert by[("learned", s)] <= by[("sampled", s)]
+
+
+def test_graph_certificates_kernel_matches_declarative(spark):
+    """r13 opt gate: the single-row kernel path (use_kernel=True) must
+    reproduce the declarative per-hop plan bit-for-bit for all three
+    graph certificates — same rows, same order."""
+    from vectordb_migrator_spark.operators.similarity import (
+        graph_pq_route_recall,
+        knn_graph_beam_recall,
+        knn_graph_components,
+    )
+
+    pts = [
+        (i, [float((i * 17) % 23) / 3.0 + (j % 5) for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    probe = [1.5, 2.0, 0.5, 3.0, 1.0, 2.5, 0.0, 4.0]
+
+    for fn, kw in [
+        (
+            knn_graph_beam_recall,
+            dict(k=5, degree=3, beam_width=4, hops=4,
+                 report_hops=(0, 2, 4), n_entries=2, sample_size=24),
+        ),
+        (
+            graph_pq_route_recall,
+            dict(k=5, degree=3, beam_width=4, hops=3, n_entries=2,
+                 sample_size=24, m=4, pq_k=8),
+        ),
+        (knn_graph_components, dict(degree=3, sample_size=24)),
+    ]:
+        new = [tuple(r) for r in fn(df, probe, use_kernel=True, **kw).collect()]
+        old = [tuple(r) for r in fn(df, probe, use_kernel=False, **kw).collect()]
+        assert new == old, fn.__name__
+        assert new, fn.__name__

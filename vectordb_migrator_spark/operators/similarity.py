@@ -2026,23 +2026,21 @@ def rvq_error_report(
 
 
 
-def _knn_graph_sample_edges(
+def _kg_sample(
     df: DataFrame,
     probe: list[float],
     *,
-    degree: int,
     sample_size: int,
     id_col: str,
     vec_col: str,
     scale: int,
     seed: int,
-):
-    """Shared build for the graph-ANN certificates: the md5-rank node
-    sample with int64 fixed-point coordinates and probe distances,
-    and the exact k-NN graph over it (broadcast self-join, top-degree
-    outgoing edges per node by (distance, dst id)). Both frames are
-    localCheckpointed — the sample is scanned once, the graph is the
-    index build materialized once."""
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The md5-rank node sample with int64 fixed-point coordinates and
+    probe distances — (__id, __x, __qd). ``checkpoint=False`` keeps it
+    lazy for the single-pass kernel path (r13), which consumes it
+    exactly once."""
     pfix = [
         int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5)
         for x in probe
@@ -2065,7 +2063,89 @@ def _knn_graph_sample_edges(
         .orderBy("__k", "__id")
         .limit(sample_size)
         .select("__id", "__x", qd.alias("__qd"))
-        .localCheckpoint(eager=True)
+    )
+    return samp.localCheckpoint(eager=True) if checkpoint else samp
+
+
+def _kg_sample_one_row(samp: DataFrame) -> DataFrame:
+    """Fold the bounded sample into ONE row of id-ascending parallel
+    arrays (ids, xs, qds) — the kcenter/facility_location single-row
+    kernel pattern (r13, guide §2.4/§4.2): the whole walk then runs in
+    one Arrow-batched task with zero per-hop jobs. collect_list order
+    is not a contract, so the layout re-sorts explicitly by id."""
+    one = samp.agg(
+        F.collect_list("__id").alias("ids"),
+        F.collect_list("__x").alias("xs"),
+        F.collect_list("__qd").alias("qds"),
+    )
+    z = F.array_sort(
+        F.arrays_zip(
+            F.col("ids").alias("i"), F.col("xs").alias("x"), F.col("qds").alias("q")
+        )
+    )
+    return one.select(
+        F.transform(z, lambda s: s["i"]).alias("ids"),
+        F.transform(z, lambda s: s["x"]).alias("xs"),
+        F.transform(z, lambda s: s["q"]).alias("qds"),
+    )
+
+
+def _kg_python_graph(ids, xs, *, degree: int):
+    """Exact k-NN adjacency over the sampled nodes in NumPy int64 —
+    the kernel-side twin of the broadcast self-join in
+    :func:`_knn_graph_sample_edges`: identical exact squared
+    distances, identical (distance, dst-id) edge ordering (ids arrive
+    ascending, so ordinal order IS id order), top-``degree`` outgoing
+    edges per node. Returns ``adj[src_ordinal] = [dst ordinals]``."""
+    import numpy as np
+
+    n = len(ids)
+    x = np.asarray([np.asarray(v, dtype=np.int64) for v in xs])
+    diff = x[:, None, :] - x[None, :, :]
+    dmat = (diff * diff).sum(axis=2)
+    np.fill_diagonal(dmat, np.iinfo(np.int64).max)
+    deg = min(degree, n - 1)
+    sec = np.arange(n)
+    return [
+        [int(j) for j in np.lexsort((sec, dmat[i]))[:deg]] for i in range(n)
+    ]
+
+
+def _kg_salt_order(ids, salt: str):
+    """Ordinals sorted by (md5(f"{id}{salt}"), id) — hashlib hexdigest
+    equals Spark's ``F.md5`` lowercase hex, so this replays every
+    md5-rank selection (entries, PQ codebook rows) bit-for-bit."""
+    import hashlib
+
+    return sorted(
+        range(len(ids)),
+        key=lambda o: (
+            hashlib.md5(f"{ids[o]}{salt}".encode()).hexdigest(),
+            ids[o],
+        ),
+    )
+
+
+def _knn_graph_sample_edges(
+    df: DataFrame,
+    probe: list[float],
+    *,
+    degree: int,
+    sample_size: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    seed: int,
+):
+    """Shared build for the graph-ANN certificates: the md5-rank node
+    sample with int64 fixed-point coordinates and probe distances,
+    and the exact k-NN graph over it (broadcast self-join, top-degree
+    outgoing edges per node by (distance, dst id)). Both frames are
+    localCheckpointed — the sample is scanned once, the graph is the
+    index build materialized once."""
+    samp = _kg_sample(
+        df, probe, sample_size=sample_size, id_col=id_col,
+        vec_col=vec_col, scale=scale, seed=seed,
     )
     b = F.broadcast(
         samp.select(F.col("__id").alias("dst"), F.col("__x").alias("__xb"))
@@ -2105,6 +2185,7 @@ def knn_graph_beam_recall(
     vec_col: str = "embedding",
     scale: int = 10_000,
     seed: int = 7,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Graph-ANN recall certificate (round 10) — the HNSW/NSW family
     every modern vector DB defaults to, reduced to its testable core:
@@ -2149,6 +2230,85 @@ def knn_graph_beam_recall(
     report = tuple(report_hops) if report_hops else (hops,)
     if any(t < 0 or t > hops for t in report):
         raise ValueError("report_hops must lie in [0, hops]")
+    if use_kernel:
+        # r13 opt (guide §2.4, r12-verdict #8): the sample is bounded
+        # (sample_size rows), so the graph build + the whole beam walk
+        # run inside ONE Arrow-batched kernel over a single folded row
+        # — the facility_location pattern — instead of per-hop
+        # broadcast-join jobs, checkpoints, and a 3-branch snapshot
+        # plan. Every quantity is the same exact int64 / md5-rank math
+        # (A/B-asserted against the declarative path in tests).
+        one = _kg_sample_one_row(
+            _kg_sample(
+                df, probe, sample_size=sample_size, id_col=id_col,
+                vec_col=vec_col, scale=scale, seed=seed, checkpoint=False,
+            )
+        )
+
+        def kern(batches):
+            import pandas as pd
+
+            from vectordb_migrator_spark.operators.similarity import (
+                _kg_python_graph,
+                _kg_salt_order,
+            )
+
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    ids = [int(v) for v in row["ids"]]
+                    qds = [int(v) for v in row["qds"]]
+                    adj = _kg_python_graph(ids, row["xs"], degree=degree)
+                    n = len(ids)
+                    n_edges = sum(len(a) for a in adj)
+
+                    def okey(o):
+                        return (qds[o], ids[o])
+
+                    truth = set(sorted(range(n), key=okey)[:k])
+                    beam = _kg_salt_order(ids, f":kgentry:{seed}")[:n_entries]
+                    visited = set(beam)
+                    rows = []
+
+                    def snap(t, beam_t):
+                        hits = len(set(sorted(beam_t, key=okey)[:k]) & truth)
+                        rows.append(
+                            {
+                                "n_nodes": n,
+                                "n_edges": n_edges,
+                                "n_entries": n_entries,
+                                "beam_width": beam_width,
+                                "hops": t,
+                                "n_visited": len(visited),
+                                "n_hits": hits,
+                            }
+                        )
+
+                    if 0 in report:
+                        snap(0, beam)
+                    for t in range(1, hops + 1):
+                        expand = {d for s in beam for d in adj[s]}
+                        visited |= expand
+                        beam = sorted(set(beam) | expand, key=okey)[
+                            :beam_width
+                        ]
+                        if t in report:
+                            snap(t, beam)
+                    yield pd.DataFrame(rows)
+
+        out = one.mapInPandas(
+            kern,
+            schema=(
+                "n_nodes long, n_edges long, n_entries long, "
+                "beam_width long, hops long, n_visited long, "
+                "n_hits long"
+            ),
+        )
+        # the rounded ratio is computed by the SAME Spark expression
+        # as the declarative path (HALF_UP semantics — Python round is
+        # banker's and diverges on exact .5 ties)
+        return out.withColumn(
+            "recall_at_k", F.round(F.col("n_hits") / F.lit(float(k)), 6)
+        ).orderBy("hops")
     samp, edges = _knn_graph_sample_edges(
         df, probe, degree=degree, sample_size=sample_size,
         id_col=id_col, vec_col=vec_col, scale=scale, seed=seed,
@@ -2247,6 +2407,7 @@ def graph_pq_route_recall(
     vec_col: str = "embedding",
     scale: int = 10_000,
     seed: int = 7,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """DiskANN-flavored hybrid routing certificate (round 11): beam
     search over the k-NN graph routed by PQ-ADC APPROXIMATE distances
@@ -2286,7 +2447,118 @@ def graph_pq_route_recall(
     d = len(probe)
     if d % m:
         raise ValueError("m must divide the probe dimension")
+    if sample_size < pq_k:
+        raise ValueError("sample smaller than pq_k")
     dsub = d // m
+    if use_kernel:
+        # r13 opt (guide §2.4, r12-verdict #5/#8): graph build, PQ
+        # encode, ADC table, BOTH routed walks and the exact rerank
+        # all run in ONE Arrow-batched kernel over the folded sample
+        # row — replacing the per-stage eager checkpoints, the driver
+        # codebook collect, and per-hop broadcast joins. Identical
+        # exact-int64 / md5-rank math, A/B-asserted in tests.
+        pfix_k = [
+            int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5)
+            for x in probe
+        ]
+        one = _kg_sample_one_row(
+            _kg_sample(
+                df, probe, sample_size=sample_size, id_col=id_col,
+                vec_col=vec_col, scale=scale, seed=seed, checkpoint=False,
+            )
+        )
+
+        def kern(batches):
+            import numpy as np
+            import pandas as pd
+
+            from vectordb_migrator_spark.operators.similarity import (
+                _kg_python_graph,
+                _kg_salt_order,
+            )
+
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    ids = [int(v) for v in row["ids"]]
+                    qds = [int(v) for v in row["qds"]]
+                    x = np.asarray(
+                        [np.asarray(v, dtype=np.int64) for v in row["xs"]]
+                    )
+                    adj = _kg_python_graph(ids, row["xs"], degree=degree)
+                    n = len(ids)
+                    n_edges = sum(len(a) for a in adj)
+                    cb_ord = _kg_salt_order(ids, f":pqcb:{seed}")[:pq_k]
+                    if len(cb_ord) < pq_k:
+                        raise ValueError("sample smaller than pq_k")
+                    p = np.asarray(pfix_k, dtype=np.int64)
+                    ad = np.zeros(n, dtype=np.int64)
+                    for s in range(m):
+                        lo, hi = s * dsub, (s + 1) * dsub
+                        cb = x[cb_ord, lo:hi]  # pq_k × dsub codewords
+                        dd = ((x[:, None, lo:hi] - cb[None, :, :]) ** 2).sum(
+                            axis=2
+                        )
+                        j = dd.argmin(axis=1)  # first min = lowest index
+                        adc = ((p[lo:hi][None, :] - cb) ** 2).sum(axis=1)
+                        ad += adc[j]
+                    ads = [int(v) for v in ad]
+
+                    def qkey(o):
+                        return (qds[o], ids[o])
+
+                    truth = set(sorted(range(n), key=qkey)[:k])
+                    entries = _kg_salt_order(ids, f":kgentry:{seed}")[
+                        :n_entries
+                    ]
+
+                    def walk(key):
+                        beam, visited = list(entries), set(entries)
+                        for _t in range(hops):
+                            expand = {dd for s_ in beam for dd in adj[s_]}
+                            visited |= expand
+                            beam = sorted(set(beam) | expand, key=key)[
+                                :beam_width
+                            ]
+                        return beam, visited
+
+                    rows = []
+                    for route, key in (
+                        ("exact", qkey),
+                        ("pq_adc", lambda o: (ads[o], ids[o])),
+                    ):
+                        beam, visited = walk(key)
+                        # exact rerank of the final beam
+                        hits = len(
+                            set(sorted(beam, key=qkey)[:k]) & truth
+                        )
+                        rows.append(
+                            {
+                                "route": route,
+                                "n_nodes": n,
+                                "n_edges": n_edges,
+                                "m": m,
+                                "pq_k": pq_k,
+                                "beam_width": beam_width,
+                                "hops": hops,
+                                "n_visited": len(visited),
+                                "n_hits": hits,
+                            }
+                        )
+                    yield pd.DataFrame(rows)
+
+        out = one.mapInPandas(
+            kern,
+            schema=(
+                "route string, n_nodes long, n_edges long, m int, "
+                "pq_k int, beam_width long, hops long, n_visited long, "
+                "n_hits long"
+            ),
+        )
+        # rounded ratio via the same Spark HALF_UP expression as the
+        # declarative path (Python round is banker's)
+        return out.withColumn(
+            "recall_at_k", F.round(F.col("n_hits") / F.lit(float(k)), 6)
+        ).orderBy("route")
     samp, edges = _knn_graph_sample_edges(
         df, probe, degree=degree, sample_size=sample_size,
         id_col=id_col, vec_col=vec_col, scale=scale, seed=seed,
@@ -2450,6 +2722,7 @@ def knn_graph_components(
     vec_col: str = "embedding",
     scale: int = 10_000,
     seed: int = 7,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Connectivity certificate for the k-NN graph (round 10) — the
     companion to :func:`knn_graph_beam_recall`: beam search can only
@@ -2474,6 +2747,90 @@ def knn_graph_components(
         connected_components,
     )
 
+    if use_kernel:
+        # r13 opt (guide §2.4): graph build + union-find components in
+        # ONE Arrow-batched kernel over the folded sample row — the
+        # iterative CC loop paid several driver-coordinated rounds on
+        # a 256-node graph. Components of an exact edge set are
+        # engine-independent; A/B-asserted against the declarative
+        # path in tests.
+        one = _kg_sample_one_row(
+            _kg_sample(
+                df, probe, sample_size=sample_size, id_col=id_col,
+                vec_col=vec_col, scale=scale, seed=seed, checkpoint=False,
+            )
+        )
+
+        def kern(batches):
+            import pandas as pd
+
+            from vectordb_migrator_spark.operators.similarity import (
+                _kg_python_graph,
+            )
+
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    ids = [int(v) for v in row["ids"]]
+                    adj = _kg_python_graph(ids, row["xs"], degree=degree)
+                    n = len(ids)
+                    n_edges = sum(len(a) for a in adj)
+                    # union-find over the undirected edge set
+                    parent = list(range(n))
+
+                    def find(a):
+                        while parent[a] != a:
+                            parent[a] = parent[parent[a]]
+                            a = parent[a]
+                        return a
+
+                    verts = set()
+                    for s, dsts in enumerate(adj):
+                        for t in dsts:
+                            verts.add(s)
+                            verts.add(t)
+                            ra, rb = find(s), find(t)
+                            if ra != rb:
+                                parent[ra] = rb
+                    sizes: dict[int, int] = {}
+                    for v in verts:
+                        r = find(v)
+                        sizes[r] = sizes.get(r, 0) + 1
+                    if sizes:
+                        rec = {
+                            "n_nodes": n,
+                            "n_edges": n_edges,
+                            "n_components": len(sizes),
+                            "largest_comp": max(sizes.values()),
+                            "smallest_comp": min(sizes.values()),
+                        }
+                    else:  # edgeless graph — the declarative path's
+                        # empty aggregate yields NULL extremes
+                        rec = {
+                            "n_nodes": n,
+                            "n_edges": 0,
+                            "n_components": 0,
+                            "largest_comp": None,
+                            "smallest_comp": None,
+                        }
+                    yield pd.DataFrame([rec], dtype="object")
+
+        out = one.mapInPandas(
+            kern,
+            schema=(
+                "n_nodes long, n_edges long, n_components long, "
+                "largest_comp long, smallest_comp long"
+            ),
+        )
+        # rounded ratio via the same Spark HALF_UP expression as the
+        # declarative path (Python round is banker's)
+        return out.withColumn(
+            "reachable_frac",
+            F.round(
+                F.col("largest_comp").cast("double")
+                / F.col("n_nodes").cast("double"),
+                6,
+            ),
+        )
     samp, edges = _knn_graph_sample_edges(
         df, probe, degree=degree, sample_size=sample_size,
         id_col=id_col, vec_col=vec_col, scale=scale, seed=seed,
