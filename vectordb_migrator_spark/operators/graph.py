@@ -52,7 +52,9 @@ def connected_components(
         und.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
+        # lazy: the seed-checksum probe right below materializes it —
+        # the probe therefore costs no extra job (r13)
+        .localCheckpoint(eager=False)
     )
 
     # Convergence probe (r12 opt): per-vertex labels are NON-INCREASING
