@@ -66,6 +66,29 @@ def test_cc_matches_union_find(spark, edges):
     assert got == expect
 
 
+def test_cc_kernel_matches_iterative(spark):
+    # r13: small graphs take the single-task numpy kernel; force the
+    # iterative dataflow with kernel_max_edges=0 and assert identical
+    # (id, comp) sets on a messy graph (dense cluster + chain + self
+    # loop + isolated pair).
+    import random
+
+    rng = random.Random(13)
+    edges = (
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+        + [(i, i + 1) for i in range(300, 340)]
+        + [(500, 500), (1000, 999)]
+    )
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    kern = {(r["id"], r["comp"]) for r in connected_components(df).collect()}
+    iterative = {
+        (r["id"], r["comp"])
+        for r in connected_components(df, kernel_max_edges=0).collect()
+    }
+    assert kern == iterative
+    assert len(kern) == len({i for e in edges for i in e})
+
+
 def test_dedup_keep_representatives(spark):
     docs = spark.createDataFrame(
         [(i, f"d{i}") for i in range(7)], ["doc_id", "text"]
