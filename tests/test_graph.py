@@ -215,6 +215,34 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_pagerank_kernel_matches_dataflow(spark):
+    # r13: small graphs take the single-task decimal-replay kernel;
+    # kernel_max_edges=0 forces the dataflow loop. The DECIMAL(28,18)
+    # + round-12 trajectory is order- and engine-independent, so the
+    # two paths must agree BIT FOR BIT in all three modes.
+    import random
+
+    from vectordb_migrator_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    for kw in (
+        {},
+        {"undirected": False},
+        {"undirected": False, "seeds": [1, 3, 5]},
+        {"seeds": [0, 2]},
+    ):
+        kern = {
+            r["id"]: r["rank"] for r in pagerank(df, **kw).collect()
+        }
+        flow = {
+            r["id"]: r["rank"]
+            for r in pagerank(df, kernel_max_edges=0, **kw).collect()
+        }
+        assert kern == flow, kw
+
+
 def test_pagerank_directed_mode(spark):
     from vectordb_migrator_spark.operators.graph import pagerank
 

@@ -324,6 +324,118 @@ def dedup_keep_representatives(
     return df.join(losers, id_col, "left_anti")
 
 
+def _pagerank_kernel(
+    e_deg: DataFrame,
+    *,
+    damping: float,
+    n_iter: int,
+    undirected: bool,
+    seeds: list | None,
+) -> DataFrame:
+    """Single-task PageRank over a small (a, b, deg) edge frame,
+    replaying :func:`pagerank`'s exact arithmetic: per-edge
+    contribution ``rank/deg`` cast to DECIMAL(28,18) HALF_UP (via the
+    shortest-roundtrip decimal repr, == Spark's double→decimal Cast),
+    exact decimal sums per destination, dangling mass in the same
+    decimal, then ``round(base + damping·(s + dang), 12)`` HALF_UP per
+    vertex — the order-independent trajectory the dataflow loop was
+    built around, evaluated without its n_iter scheduled shuffle
+    rounds. Guarded by edge count in :func:`pagerank`."""
+
+    def k(batches):
+        from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+        import numpy as np
+        import pandas as pd
+
+        A, B, D = [], [], []
+        for pdf in batches:
+            A.append(pdf["a"].to_numpy(dtype="int64"))
+            B.append(pdf["b"].to_numpy(dtype="int64"))
+            D.append(pdf["deg"].to_numpy(dtype="int64"))
+        if not A:
+            return
+        a = np.concatenate(A)
+        b = np.concatenate(B)
+        deg = np.concatenate(D)
+        if a.size == 0:
+            return
+        ids = np.unique(np.concatenate([a, b]))
+        n = int(ids.size)
+        ai = np.searchsorted(ids, a).tolist()
+        bi = np.searchsorted(ids, b).tolist()
+        degl = [float(x) for x in deg.tolist()]
+        Q18 = Decimal("1e-18")
+        Q12 = Decimal("1e-12")
+        idl = ids.tolist()
+        if seeds is None:
+            base = [(1.0 - damping) / n] * n
+            rank = [1.0 / n] * n
+            seed_ix: list[bool] | None = None
+        else:
+            sset = set(seeds)
+            is_seed = [v in sset for v in idl]
+            base = [
+                (1.0 - damping) / len(seeds) if sd else 0.0
+                for sd in is_seed
+            ]
+            rank = [1.0 / len(seeds) if sd else 0.0 for sd in is_seed]
+            seed_ix = is_seed
+        has_out = [False] * n
+        for j in ai:
+            has_out[j] = True
+        with localcontext() as ctx:
+            ctx.prec = 50
+            for _ in range(n_iter):
+                s: list[Decimal | None] = [None] * n
+                for j in range(len(ai)):
+                    c = rank[ai[j]] / degl[j]
+                    dc = Decimal(repr(c)).quantize(
+                        Q18, rounding=ROUND_HALF_UP
+                    )
+                    t = s[bi[j]]
+                    s[bi[j]] = dc if t is None else t + dc
+                if undirected:
+                    dang_all = 0.0
+                else:
+                    dm = Decimal(0)
+                    for i in range(n):
+                        if not has_out[i]:
+                            dm += Decimal(repr(rank[i])).quantize(
+                                Q18, rounding=ROUND_HALF_UP
+                            )
+                    dang_all = float(dm)
+                new = []
+                for i in range(n):
+                    sv = float(s[i]) if s[i] is not None else 0.0
+                    if undirected:
+                        dterm = 0.0
+                    elif seed_ix is None:
+                        dterm = dang_all / float(n)
+                    else:
+                        dterm = (
+                            dang_all / float(len(seeds))
+                            if seed_ix[i]
+                            else 0.0
+                        )
+                    x = base[i] + damping * (sv + dterm)
+                    new.append(
+                        float(
+                            Decimal(repr(x)).quantize(
+                                Q12, rounding=ROUND_HALF_UP
+                            )
+                        )
+                    )
+                rank = new
+        yield pd.DataFrame(
+            {"id": ids, "rank": np.asarray(rank, dtype="float64")}
+        )
+
+    return e_deg.select("a", "b", "deg").coalesce(1).mapInPandas(
+        k, schema="id long, rank double"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -333,6 +445,7 @@ def pagerank(
     n_iter: int = 10,
     undirected: bool = True,
     seeds: list | None = None,
+    kernel_max_edges: int = 100_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the edge list — vertex centrality
     for picking the *canonical* member of a dup family (the hub every
@@ -385,6 +498,36 @@ def pagerank(
     e_deg = e.withColumn(
         "deg", F.count(F.lit(1)).over(_W.partitionBy("a")).cast("long")
     ).localCheckpoint(eager=True)
+    if seeds is not None and len(seeds) == 0:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+    if (
+        kernel_max_edges
+        and {
+            f.dataType.simpleString()
+            for f in e_deg.select("a", "b").schema.fields
+        }
+        <= {"bigint"}
+        and e_deg.count() <= kernel_max_edges
+    ):
+        # r13 opt (guide §2.4/§5): same small-graph escape as
+        # connected_components — n_iter dataflow rounds over a few
+        # thousand edges are pure job-scheduling cost. The kernel
+        # replays the EXACT trajectory: the DECIMAL(28,18)
+        # contribution sums and per-iteration round-12 that make the
+        # dataflow order-independent also make it engine-independent,
+        # and decimal.Decimal(repr(x)) is the same shortest-roundtrip
+        # double→decimal conversion Spark's Cast performs
+        # (BigDecimal.valueOf ⇒ Double.toString). Bit-equality vs the
+        # dataflow path is asserted per-SF in tests. Decimal math is
+        # per-element Python, hence the deliberately modest default
+        # bound — production-scale graphs keep the dataflow loop.
+        return _pagerank_kernel(
+            e_deg,
+            damping=damping,
+            n_iter=n_iter,
+            undirected=undirected,
+            seeds=list(seeds) if seeds is not None else None,
+        ).localCheckpoint(eager=False)
     verts = (
         e_deg.select(F.col("a").alias("id"))
         .union(e_deg.select(F.col("b").alias("id")))
