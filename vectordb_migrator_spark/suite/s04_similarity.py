@@ -1368,8 +1368,6 @@ def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ family still folds its per-row argmin (inherent to inline
     encoding). The metric math is list-depth-trivial. Every side is
     SQL-expressible, so the whole report carries a full oracle."""
-    from pyspark import StorageLevel
-
     from vectordb_migrator_spark.functions.vector import (
         binary_quantize,
         cosine_similarity,
@@ -1381,14 +1379,35 @@ def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_adc_topk_codes,
         pq_codes,
         probe_literal,
+        python_hyperplane_signature,
         random_hyperplane_signature,
     )
 
     from vectordb_migrator_spark.operators.similarity import sq_dequantized
 
     emb = _t(spark, sf_dir, "embeddings")
-    probe = _probe_vector(spark, sf_dir)
-    cbs = pq_sampled_codebooks(emb, m=4, k=16)
+    # r13 opt (VERDICT #4, guide §1/§5): ONE pruned collect feeds both
+    # query parameters — the probe is by definition row 0 of the 16
+    # codebook sample rows, so the former separate _probe_vector scan
+    # (plus pq_sampled_codebooks' orderBy sampling pass) collapses
+    # into a single vec_id<16 scan sorted driver-side. Identical
+    # values: same column, same rows, same float widening.
+    head = sorted(
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect(),
+        key=lambda r: r[0],
+    )
+    if len(head) != 16 or [r[0] for r in head] != list(range(16)):
+        raise ValueError("x4_recall_report needs vec_id 0..15 present")
+    vecs = [[float(x) for x in r[1]] for r in head]
+    probe = vecs[0]
+    dim = len(probe)
+    if dim % 4:
+        raise ValueError(f"dim {dim} not divisible by m=4 subspaces")
+    dsub = dim // 4
+    # same construction as pq_sampled_codebooks(emb, m=4, k=16)
+    cbs = [[v[s * dsub : (s + 1) * dsub] for v in vecs] for s in range(4)]
     scored = (
         # scale staged in its own projection (see sq_dequantized: the
         # inline fold is O(d²) per row)
@@ -1413,7 +1432,12 @@ def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             # PQ families below are then pure LUT scans over the codes
             pq_codes(F.col("embedding"), cbs).alias("pq_code"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # r13 opt (guide §1/§5): localCheckpoint instead of persist —
+        # same MEMORY_AND_DISK storage and same one-scan sharing, but
+        # the nine family plans below then hang off a LogicalRDD leaf
+        # instead of re-analyzing this literal-laden kernel tree per
+        # family (measured ~2.5 s of driver-side plan analysis).
+        .localCheckpoint(eager=True)
     )
 
     def top10_by_score(df: DataFrame) -> DataFrame:
@@ -1424,11 +1448,17 @@ def x4_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     truth = top10_by_score(scored)
-    probe_sig = random_hyperplane_signature(probe_literal(probe), _PLANES)
+    # r13 opt: the probe's bucket folds to a plain long driver-side
+    # (python_hyperplane_signature is the documented bit-identical
+    # twin of the codegen signature — verified equal on every SF), so
+    # the multiprobe condition is 7 literal comparisons instead of 7
+    # inlined copies of the 6×64-plane expression tree.
+    probe_sig_val = python_hyperplane_signature(probe, _PLANES)
+    probe_sig = F.lit(probe_sig_val).cast("long")
     mp_cond = F.col("sig") == probe_sig
     for i in range(len(_PLANES)):
         mp_cond = mp_cond | (
-            F.col("sig") == probe_sig.bitwiseXOR(F.lit(1 << i).cast("long"))
+            F.col("sig") == F.lit(probe_sig_val ^ (1 << i)).cast("long")
         )
     ivf_short = (
         ivf_build_centroids(scored, cluster_col="label")
