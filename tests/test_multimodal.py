@@ -1793,3 +1793,45 @@ def test_exif_gps_ifd1_roundtrip_and_hostile_offsets():
     )
     for cut in range(len(full)):
         jpeg_exif_meta(full[:cut])
+
+
+def test_fused_fixture_features_matches_two_kernel_path(spark):
+    """The r13 fused fixture path (payload build + decode in ONE
+    mapInPandas) must produce exactly the rows of the two-kernel
+    shape it replaced (gen -> payload binary -> *_decode_features)."""
+    import pandas as pd
+
+    from vectordb_migrator_spark.operators.multimodal import (
+        BMP_SCHEMA,
+        bmp_decode_features,
+        bmp_feature_row,
+        fused_fixture_features,
+    )
+    from vectordb_migrator_spark.suite.s06_multimodal import (
+        bmp_gradient_payload,
+    )
+
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    {
+                        "doc_id": int(d),
+                        "payload": bytearray(bmp_gradient_payload(int(d))),
+                    }
+                    for d in pdf["doc_id"]
+                ]
+            )
+
+    two_kernel = bmp_decode_features(
+        docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    )
+    fused = fused_fixture_features(
+        docs, bmp_gradient_payload, bmp_feature_row, BMP_SCHEMA
+    )
+    assert fused.schema == two_kernel.schema
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, two_kernel.collect()))
+    assert a == b

@@ -55,6 +55,63 @@ def attach_payload(
     )
 
 
+def fused_fixture_features(
+    df: DataFrame,
+    make_payload,
+    feature_row,
+    schema: str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build each doc's fixture payload AND extract its features in
+    ONE ``mapInPandas`` kernel. The two-kernel shape (a generator
+    ``mapInPandas`` emitting ``payload binary`` feeding a
+    ``*_decode_features`` ``mapInPandas``) ships every encoded payload
+    Python→JVM→Python through two separate Python runners; fusing
+    crosses the boundary once with only ``doc_id`` in and the feature
+    row out (guide §4.1 — pass only the columns the function needs).
+
+    ``make_payload(doc_id) -> bytes`` and
+    ``feature_row(doc_id, payload) -> dict`` are the extracted halves
+    of the former two kernels, so the computed bytes and the decode
+    are unchanged.
+
+    The input is fanned out to FULL core width (not fan_out's
+    cores/2 default): the fused encode+decode kernel is seconds of
+    pure per-row CPU, where a measured 16→32-partition A/B halved the
+    wall (4.35→2.25 s on the progressive corpus) — per-task scheduling
+    overhead is noise next to the kernel. Width derives from
+    ``defaultParallelism``, never a constant, and fan_out stays a
+    no-op on already-wide scans (guide §2.5)."""
+    from vectordb_migrator_spark.operators.util import fan_out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    feature_row(int(d), make_payload(int(d)))
+                    for d in pdf[id_col]
+                ]
+            )
+
+    wide = fan_out(
+        df.select(id_col),
+        min_partitions=df.sparkSession.sparkContext.defaultParallelism,
+    )
+    # Materialize the feature rows before the caller's global orderBy:
+    # a RangePartitioning exchange SAMPLES its child to pick bounds and
+    # then recomputes it for the shuffle — two executions of the whole
+    # encode+decode kernel (measured 4.5 s vs 2.5 s on the progressive
+    # corpus). The checkpoint holds only the fixed-width feature rows
+    # (never payloads), so the sort's sampling pass reads tiny
+    # materialized rows instead of re-decoding the corpus (guide §3.3
+    # plan-truncation note; same LogicalRDD pattern as the r13
+    # x4_recall_report family base).
+    return wide.mapInPandas(kernel, schema=schema).localCheckpoint(
+        eager=True
+    )
+
+
 def _rolling_hash31(data: bytes, *, _chunk: int = 1 << 16) -> int:
     """Exact vectorized twin of the per-byte rolling hash
     ``h = (h * 31 + b) % _HASH_MOD``: chunked NumPy Horner — each
@@ -569,57 +626,60 @@ def wav_pcm_features(
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                row = {
-                    "doc_id": int(doc_id), "sample_rate": None,
-                    "channels": None, "n_samples": None,
-                    "duration_ms": None, "rms": None, "peak": None,
-                    "zero_crossings": None,
-                }
-                try:
-                    with wave.open(io.BytesIO(bytes(payload))) as w:
-                        if w.getsampwidth() == 2:
-                            sr = w.getframerate()
-                            ch = w.getnchannels()
-                            n = w.getnframes()
-                            raw = np.frombuffer(
-                                w.readframes(n), dtype="<i2"
-                            )
-                            s = raw[::ch].astype(np.float64)
-                            row.update(
-                                sample_rate=sr,
-                                channels=ch,
-                                n_samples=int(s.size),
-                                duration_ms=int(s.size * 1000 // sr),
-                                rms=round(
-                                    float(np.sqrt(np.mean(s * s))), 6
-                                )
-                                if s.size
-                                else None,
-                                peak=int(np.max(np.abs(s)))
-                                if s.size
-                                else None,
-                                zero_crossings=int(
-                                    np.count_nonzero(
-                                        s[1:] * s[:-1] < 0
-                                    )
-                                )
-                                if s.size > 1
-                                else 0,
-                            )
-                except Exception:  # noqa: BLE001 — corrupt blob -> NULLs
-                    pass
-                out.append(row)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    wav_feature_row(int(doc_id), bytes(payload))
+                    for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+                ]
+            )
 
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema=WAV_PCM_SCHEMA
     )
+
+
+def wav_feature_row(doc_id: int, payload: bytes) -> dict:
+    """One WAV's feature row (the :func:`wav_pcm_features` kernel
+    body) — exposed per-row so fixture queries can fuse payload build
+    and decode into a single Python boundary crossing."""
+    import io
+    import wave
+
+    import numpy as np
+
+    row = {
+        "doc_id": int(doc_id), "sample_rate": None,
+        "channels": None, "n_samples": None,
+        "duration_ms": None, "rms": None, "peak": None,
+        "zero_crossings": None,
+    }
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            if w.getsampwidth() == 2:
+                sr = w.getframerate()
+                ch = w.getnchannels()
+                n = w.getnframes()
+                raw = np.frombuffer(w.readframes(n), dtype="<i2")
+                s = raw[::ch].astype(np.float64)
+                row.update(
+                    sample_rate=sr,
+                    channels=ch,
+                    n_samples=int(s.size),
+                    duration_ms=int(s.size * 1000 // sr),
+                    rms=round(float(np.sqrt(np.mean(s * s))), 6)
+                    if s.size
+                    else None,
+                    peak=int(np.max(np.abs(s))) if s.size else None,
+                    zero_crossings=int(
+                        np.count_nonzero(s[1:] * s[:-1] < 0)
+                    )
+                    if s.size > 1
+                    else 0,
+                )
+    except Exception:  # noqa: BLE001 — corrupt blob -> NULLs
+        pass
+    return row
 
 
 BMP_SCHEMA = (
@@ -686,34 +746,45 @@ def bmp_decode_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                row = {
-                    "doc_id": int(doc_id), "width": None,
-                    "height": None, "n_pixels": None, "mean_r": None,
-                    "mean_g": None, "mean_b": None, "px00_r": None,
-                    "px00_g": None, "px00_b": None,
-                }
-                px = _bmp_pixels(payload)
-                if px is not None:
-                    h, w = px.shape[:2]
-                    means = px.astype(np.float64).mean(axis=(0, 1))
-                    row.update(
-                        width=int(w), height=int(h),
-                        n_pixels=int(w) * int(h),
-                        mean_b=round(float(means[0]), 6),
-                        mean_g=round(float(means[1]), 6),
-                        mean_r=round(float(means[2]), 6),
-                        px00_b=int(px[0, 0, 0]),
-                        px00_g=int(px[0, 0, 1]),
-                        px00_r=int(px[0, 0, 2]),
-                    )
-                out.append(row)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    bmp_feature_row(int(doc_id), bytes(payload))
+                    for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+                ]
+            )
 
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema=BMP_SCHEMA
     )
+
+
+def bmp_feature_row(doc_id: int, payload: bytes) -> dict:
+    """One BMP's feature row (the :func:`bmp_decode_features` kernel
+    body) — exposed per-row so fixture queries can fuse payload build
+    and decode into a single Python boundary crossing."""
+    import numpy as np
+
+    row = {
+        "doc_id": int(doc_id), "width": None,
+        "height": None, "n_pixels": None, "mean_r": None,
+        "mean_g": None, "mean_b": None, "px00_r": None,
+        "px00_g": None, "px00_b": None,
+    }
+    px = _bmp_pixels(payload)
+    if px is not None:
+        h, w = px.shape[:2]
+        means = px.astype(np.float64).mean(axis=(0, 1))
+        row.update(
+            width=int(w), height=int(h),
+            n_pixels=int(w) * int(h),
+            mean_b=round(float(means[0]), 6),
+            mean_g=round(float(means[1]), 6),
+            mean_r=round(float(means[2]), 6),
+            px00_b=int(px[0, 0, 0]),
+            px00_g=int(px[0, 0, 1]),
+            px00_r=int(px[0, 0, 2]),
+        )
+    return row
 
 
 # ------------------------------------------------------------------ PNG
@@ -870,87 +941,95 @@ def png_decode_features(
     Arrow-batched ``mapInPandas`` shape as
     :func:`bmp_decode_features`; payload bytes never leave the
     executor."""
-    import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
-
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                row = {
-                    "doc_id": int(doc_id), "width": None, "height": None,
-                    "channels": None, "n_pixels": None, "mean_r": None,
-                    "mean_g": None, "mean_b": None, "px00_r": None,
-                    "px00_g": None, "px00_b": None,
-                }
-                try:
-                    b = bytes(payload)
-                    if b[:8] == _PNG_SIG:
-                        pos, idat, ihdr = 8, bytearray(), None
-                        while pos + 8 <= len(b):
-                            ln = struct.unpack_from(">I", b, pos)[0]
-                            tag = b[pos + 4 : pos + 8]
-                            body = b[pos + 8 : pos + 8 + ln]
-                            pos += 12 + ln
-                            if tag == b"IHDR":
-                                ihdr = struct.unpack(">IIBBBBB", body)
-                            elif tag == b"IDAT":
-                                idat += body
-                            elif tag == b"IEND":
-                                break
-                        if ihdr:
-                            w, h, depth, ct, comp, filt, inter = ihdr
-                            ch = _PNG_CHANNELS.get(ct)
-                            if (
-                                ch and depth == 8 and comp == 0
-                                and filt == 0 and inter == 0
-                                and w > 0 and h > 0
-                                and w * h <= 25_000_000
-                            ):
-                                stride = w * ch
-                                # cap the inflate at the expected
-                                # scanline bytes: a crafted IDAT must
-                                # not be able to balloon past the
-                                # declared image (PNG-bomb guard); one
-                                # extra byte makes oversize fail the
-                                # length check below instead of
-                                # passing truncated
-                                raw = zlib.decompressobj().decompress(
-                                    bytes(idat), h * (stride + 1) + 1
-                                )
-                                if len(raw) == h * (stride + 1):
-                                    px = _png_unfilter(
-                                        raw, h, stride, ch
-                                    ).reshape(h, w, ch)
-                                    means = px.astype(np.float64).mean(
-                                        axis=(0, 1)
-                                    )
-                                    if ct in (0, 4):  # gray(+alpha)
-                                        r = g = bl = means[0]
-                                        p0 = [int(px[0, 0, 0])] * 3
-                                    else:
-                                        r, g, bl = means[0], means[1], means[2]
-                                        p0 = [int(px[0, 0, k]) for k in range(3)]
-                                    row.update(
-                                        width=int(w), height=int(h),
-                                        channels=int(ch),
-                                        n_pixels=int(w) * int(h),
-                                        mean_r=round(float(r), 6),
-                                        mean_g=round(float(g), 6),
-                                        mean_b=round(float(bl), 6),
-                                        px00_r=p0[0], px00_g=p0[1],
-                                        px00_b=p0[2],
-                                    )
-                except Exception:  # noqa: BLE001 — corrupt blob -> NULLs
-                    pass
-                out.append(row)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    png_feature_row(int(doc_id), bytes(payload))
+                    for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+                ]
+            )
 
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema=PNG_SCHEMA
     )
+
+
+def png_feature_row(doc_id: int, payload: bytes) -> dict:
+    """One PNG's feature row (the :func:`png_decode_features` kernel
+    body) — exposed per-row so fixture queries can fuse payload build
+    and decode into a single Python boundary crossing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    row = {
+        "doc_id": int(doc_id), "width": None, "height": None,
+        "channels": None, "n_pixels": None, "mean_r": None,
+        "mean_g": None, "mean_b": None, "px00_r": None,
+        "px00_g": None, "px00_b": None,
+    }
+    try:
+        b = bytes(payload)
+        if b[:8] == _PNG_SIG:
+            pos, idat, ihdr = 8, bytearray(), None
+            while pos + 8 <= len(b):
+                ln = struct.unpack_from(">I", b, pos)[0]
+                tag = b[pos + 4 : pos + 8]
+                body = b[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln
+                if tag == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", body)
+                elif tag == b"IDAT":
+                    idat += body
+                elif tag == b"IEND":
+                    break
+            if ihdr:
+                w, h, depth, ct, comp, filt, inter = ihdr
+                ch = _PNG_CHANNELS.get(ct)
+                if (
+                    ch and depth == 8 and comp == 0
+                    and filt == 0 and inter == 0
+                    and w > 0 and h > 0
+                    and w * h <= 25_000_000
+                ):
+                    stride = w * ch
+                    # cap the inflate at the expected scanline bytes: a
+                    # crafted IDAT must not be able to balloon past the
+                    # declared image (PNG-bomb guard); one extra byte
+                    # makes oversize fail the length check below
+                    # instead of passing truncated
+                    raw = zlib.decompressobj().decompress(
+                        bytes(idat), h * (stride + 1) + 1
+                    )
+                    if len(raw) == h * (stride + 1):
+                        px = _png_unfilter(
+                            raw, h, stride, ch
+                        ).reshape(h, w, ch)
+                        means = px.astype(np.float64).mean(
+                            axis=(0, 1)
+                        )
+                        if ct in (0, 4):  # gray(+alpha)
+                            r = g = bl = means[0]
+                            p0 = [int(px[0, 0, 0])] * 3
+                        else:
+                            r, g, bl = means[0], means[1], means[2]
+                            p0 = [int(px[0, 0, k]) for k in range(3)]
+                        row.update(
+                            width=int(w), height=int(h),
+                            channels=int(ch),
+                            n_pixels=int(w) * int(h),
+                            mean_r=round(float(r), 6),
+                            mean_g=round(float(g), 6),
+                            mean_b=round(float(bl), 6),
+                            px00_r=p0[0], px00_g=p0[1],
+                            px00_b=p0[2],
+                        )
+    except Exception:  # noqa: BLE001 — corrupt blob -> NULLs
+        pass
+    return row
 
 
 THUMB_SCHEMA = "doc_id long, tw int, th int, thumb_csv string"
@@ -976,39 +1055,47 @@ def thumbnail_features(
     index per image (no per-pixel Python). At 100 TB this kernel is
     embarrassingly parallel — payloads never shuffle, the output is
     ~48 ints per image."""
-    import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                row = {
-                    "doc_id": int(doc_id),
-                    "tw": None,
-                    "th": None,
-                    "thumb_csv": None,
-                }
-                px = _bmp_pixels(payload)
-                if px is not None:
-                    h, w = px.shape[:2]
-                    if w >= thumb and h >= thumb:
-                        xi = (np.arange(thumb) * w) // thumb
-                        yi = (np.arange(thumb) * h) // thumb
-                        tb = px[np.ix_(yi, xi)]  # (T, T, 3) BGR
-                        rgb = tb[:, :, ::-1].reshape(-1)  # row-major RGB
-                        row.update(
-                            tw=thumb,
-                            th=thumb,
-                            thumb_csv=",".join(
-                                str(int(v)) for v in rgb
-                            ),
-                        )
-                out.append(row)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    thumbnail_row(int(doc_id), bytes(payload), thumb=thumb)
+                    for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+                ]
+            )
 
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema=THUMB_SCHEMA
     )
+
+
+def thumbnail_row(doc_id: int, payload: bytes, *, thumb: int = 4) -> dict:
+    """One BMP's thumbnail row (the :func:`thumbnail_features` kernel
+    body) — exposed per-row so fixture queries can fuse payload build
+    and decode into a single Python boundary crossing."""
+    import numpy as np
+
+    row = {
+        "doc_id": int(doc_id),
+        "tw": None,
+        "th": None,
+        "thumb_csv": None,
+    }
+    px = _bmp_pixels(payload)
+    if px is not None:
+        h, w = px.shape[:2]
+        if w >= thumb and h >= thumb:
+            xi = (np.arange(thumb) * w) // thumb
+            yi = (np.arange(thumb) * h) // thumb
+            tb = px[np.ix_(yi, xi)]  # (T, T, 3) BGR
+            rgb = tb[:, :, ::-1].reshape(-1)  # row-major RGB
+            row.update(
+                tw=thumb,
+                th=thumb,
+                thumb_csv=",".join(str(int(v)) for v in rgb),
+            )
+    return row
 
 
 AHASH_SCHEMA = "doc_id long, ahash string"
@@ -1034,32 +1121,40 @@ def ahash_features(
     Same embarrassingly-parallel shape as the other decode kernels:
     Arrow-batched ``mapInPandas``, one fancy-index + one comparison
     per image, payloads never shuffle, output is one short string."""
-    import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n_cells = thumb * thumb
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                row = {"doc_id": int(doc_id), "ahash": None}
-                px = _bmp_pixels(payload)
-                if px is not None:
-                    h, w = px.shape[:2]
-                    if w >= thumb and h >= thumb:
-                        xi = (np.arange(thumb) * w) // thumb
-                        yi = (np.arange(thumb) * h) // thumb
-                        tb = px[np.ix_(yi, xi)].astype(np.int64)
-                        gray = tb.sum(axis=2).reshape(-1)  # r+g+b
-                        bits = (gray * n_cells) > gray.sum()
-                        row["ahash"] = "".join(
-                            "1" if b else "0" for b in bits
-                        )
-                out.append(row)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    ahash_row(int(doc_id), bytes(payload), thumb=thumb)
+                    for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+                ]
+            )
 
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema=AHASH_SCHEMA
     )
+
+
+def ahash_row(doc_id: int, payload: bytes, *, thumb: int = 4) -> dict:
+    """One BMP's average-hash row (the :func:`ahash_features` kernel
+    body) — exposed per-row so fixture queries can fuse payload build
+    and decode into a single Python boundary crossing."""
+    import numpy as np
+
+    n_cells = thumb * thumb
+    row = {"doc_id": int(doc_id), "ahash": None}
+    px = _bmp_pixels(payload)
+    if px is not None:
+        h, w = px.shape[:2]
+        if w >= thumb and h >= thumb:
+            xi = (np.arange(thumb) * w) // thumb
+            yi = (np.arange(thumb) * h) // thumb
+            tb = px[np.ix_(yi, xi)].astype(np.int64)
+            gray = tb.sum(axis=2).reshape(-1)  # r+g+b
+            bits = (gray * n_cells) > gray.sum()
+            row["ahash"] = "".join("1" if b else "0" for b in bits)
+    return row
 
 
 # ------------------------------------------------------------------- GIF
@@ -1247,89 +1342,103 @@ def gif_decode_features(
     top-left mapped pixel. Same Arrow-batched ``mapInPandas`` shape
     as :func:`png_decode_features`; payload bytes never leave the
     executor."""
-    import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                row = {
-                    "doc_id": int(doc_id), "width": None, "height": None,
-                    "n_colors": None, "n_pixels": None, "idx_sum": None,
-                    "sum_r": None, "sum_g": None, "sum_b": None,
-                    "px00_r": None, "px00_g": None, "px00_b": None,
-                }
-                try:
-                    b = bytes(payload)
-                    if b[:6] in (b"GIF87a", b"GIF89a"):
-                        w, h = struct.unpack_from("<HH", b, 6)
-                        packed = b[10]
-                        pos = 13
-                        pal = None
-                        if packed & 0x80:
-                            n = 2 << (packed & 0x07)
-                            pal = np.frombuffer(
-                                b, np.uint8, n * 3, pos
-                            ).reshape(n, 3)
-                            pos += n * 3
-                        while pos < len(b) and b[pos] == 0x21:
-                            pos += 2  # introducer + label
-                            while b[pos] != 0:
-                                pos += 1 + b[pos]
-                            pos += 1
-                        if (
-                            pal is not None
-                            and pos < len(b)
-                            and b[pos] == 0x2C
-                            and w * h <= 25_000_000
-                        ):
-                            iw, ih = struct.unpack_from("<HH", b, pos + 5)
-                            ipacked = b[pos + 9]
-                            pos += 10
-                            if not (ipacked & 0xC0):  # no local pal,
-                                mcs = b[pos]  # not interlaced
-                                pos += 1
-                                data = bytearray()
-                                while b[pos] != 0:
-                                    ln = b[pos]
-                                    data += b[pos + 1 : pos + 1 + ln]
-                                    pos += 1 + ln
-                                idx = np.array(
-                                    gif_lzw_decode(
-                                        bytes(data), mcs,
-                                        max_out=int(iw) * int(ih),
-                                    ),
-                                    dtype=np.int64,
-                                )
-                                if len(idx) == iw * ih and int(
-                                    idx.max(initial=0)
-                                ) < len(pal):
-                                    rgb = pal[idx]
-                                    row.update(
-                                        width=int(iw), height=int(ih),
-                                        n_colors=len(pal),
-                                        n_pixels=int(iw) * int(ih),
-                                        idx_sum=int(idx.sum()),
-                                        sum_r=int(rgb[:, 0].sum()),
-                                        sum_g=int(rgb[:, 1].sum()),
-                                        sum_b=int(rgb[:, 2].sum()),
-                                        px00_r=int(rgb[0, 0]),
-                                        px00_g=int(rgb[0, 1]),
-                                        px00_b=int(rgb[0, 2]),
-                                    )
-                except Exception:
-                    pass
-                out.append(row)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    gif_feature_row(int(doc_id), bytes(payload))
+                    for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+                ]
+            )
 
-    schema = (
-        "doc_id long, width int, height int, n_colors int, "
-        "n_pixels long, idx_sum long, sum_r long, sum_g long, "
-        "sum_b long, px00_r int, px00_g int, px00_b int"
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=GIF_SCHEMA
     )
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+GIF_SCHEMA = (
+    "doc_id long, width int, height int, n_colors int, "
+    "n_pixels long, idx_sum long, sum_r long, sum_g long, "
+    "sum_b long, px00_r int, px00_g int, px00_b int"
+)
+
+
+def gif_feature_row(doc_id: int, payload: bytes) -> dict:
+    """One GIF's feature row (the :func:`gif_decode_features` kernel
+    body) — exposed per-row so fixture queries can fuse payload build
+    and decode into a single Python boundary crossing."""
+    import struct
+
+    import numpy as np
+
+    row = {
+        "doc_id": int(doc_id), "width": None, "height": None,
+        "n_colors": None, "n_pixels": None, "idx_sum": None,
+        "sum_r": None, "sum_g": None, "sum_b": None,
+        "px00_r": None, "px00_g": None, "px00_b": None,
+    }
+    try:
+        b = bytes(payload)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", b, 6)
+            packed = b[10]
+            pos = 13
+            pal = None
+            if packed & 0x80:
+                n = 2 << (packed & 0x07)
+                pal = np.frombuffer(
+                    b, np.uint8, n * 3, pos
+                ).reshape(n, 3)
+                pos += n * 3
+            while pos < len(b) and b[pos] == 0x21:
+                pos += 2  # introducer + label
+                while b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            if (
+                pal is not None
+                and pos < len(b)
+                and b[pos] == 0x2C
+                and w * h <= 25_000_000
+            ):
+                iw, ih = struct.unpack_from("<HH", b, pos + 5)
+                ipacked = b[pos + 9]
+                pos += 10
+                if not (ipacked & 0xC0):  # no local pal,
+                    mcs = b[pos]  # not interlaced
+                    pos += 1
+                    data = bytearray()
+                    while b[pos] != 0:
+                        ln = b[pos]
+                        data += b[pos + 1 : pos + 1 + ln]
+                        pos += 1 + ln
+                    idx = np.array(
+                        gif_lzw_decode(
+                            bytes(data), mcs,
+                            max_out=int(iw) * int(ih),
+                        ),
+                        dtype=np.int64,
+                    )
+                    if len(idx) == iw * ih and int(
+                        idx.max(initial=0)
+                    ) < len(pal):
+                        rgb = pal[idx]
+                        row.update(
+                            width=int(iw), height=int(ih),
+                            n_colors=len(pal),
+                            n_pixels=int(iw) * int(ih),
+                            idx_sum=int(idx.sum()),
+                            sum_r=int(rgb[:, 0].sum()),
+                            sum_g=int(rgb[:, 1].sum()),
+                            sum_b=int(rgb[:, 2].sum()),
+                            px00_r=int(rgb[0, 0]),
+                            px00_g=int(rgb[0, 1]),
+                            px00_b=int(rgb[0, 2]),
+                        )
+    except Exception:
+        pass
+    return row
 
 
 # ------------------------------------------------------------------- TAR
@@ -2813,39 +2922,53 @@ def jpeg_decode_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                row = {
-                    "doc_id": int(doc_id), "width": None, "height": None,
-                    "n_components": None, "n_pixels": None,
-                    "sum_r": None, "sum_g": None, "sum_b": None,
-                    "px00_r": None, "px00_g": None, "px00_b": None,
-                }
-                try:
-                    rgb, nc = jpeg_decode(bytes(payload))
-                    hh, ww = rgb.shape[:2]
-                    row.update(
-                        width=int(ww), height=int(hh),
-                        n_components=int(nc),
-                        n_pixels=int(ww) * int(hh),
-                        sum_r=int(rgb[:, :, 0].sum(dtype="int64")),
-                        sum_g=int(rgb[:, :, 1].sum(dtype="int64")),
-                        sum_b=int(rgb[:, :, 2].sum(dtype="int64")),
-                        px00_r=int(rgb[0, 0, 0]),
-                        px00_g=int(rgb[0, 0, 1]),
-                        px00_b=int(rgb[0, 0, 2]),
-                    )
-                except Exception:
-                    pass
-                out.append(row)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    jpeg_feature_row(int(doc_id), bytes(payload))
+                    for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+                ]
+            )
 
-    schema = (
-        "doc_id long, width int, height int, n_components int, "
-        "n_pixels long, sum_r long, sum_g long, sum_b long, "
-        "px00_r int, px00_g int, px00_b int"
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=JPEG_SCHEMA
     )
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+JPEG_SCHEMA = (
+    "doc_id long, width int, height int, n_components int, "
+    "n_pixels long, sum_r long, sum_g long, sum_b long, "
+    "px00_r int, px00_g int, px00_b int"
+)
+
+
+def jpeg_feature_row(doc_id: int, payload: bytes) -> dict:
+    """One JPEG's full-decode feature row (the
+    :func:`jpeg_decode_features` kernel body) — exposed per-row so
+    fixture queries can fuse payload build and decode into a single
+    Python boundary crossing."""
+    row = {
+        "doc_id": int(doc_id), "width": None, "height": None,
+        "n_components": None, "n_pixels": None,
+        "sum_r": None, "sum_g": None, "sum_b": None,
+        "px00_r": None, "px00_g": None, "px00_b": None,
+    }
+    try:
+        rgb, nc = jpeg_decode(bytes(payload))
+        hh, ww = rgb.shape[:2]
+        row.update(
+            width=int(ww), height=int(hh),
+            n_components=int(nc),
+            n_pixels=int(ww) * int(hh),
+            sum_r=int(rgb[:, :, 0].sum(dtype="int64")),
+            sum_g=int(rgb[:, :, 1].sum(dtype="int64")),
+            sum_b=int(rgb[:, :, 2].sum(dtype="int64")),
+            px00_r=int(rgb[0, 0, 0]),
+            px00_g=int(rgb[0, 0, 1]),
+            px00_b=int(rgb[0, 0, 2]),
+        )
+    except Exception:
+        pass
+    return row
 
 
 def exif_app1_segment(
@@ -3179,21 +3302,35 @@ def jpeg_exif_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                row = {"doc_id": int(doc_id)}
-                row.update(jpeg_exif_meta(bytes(payload)))
-                out.append(row)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    jpeg_exif_row(int(doc_id), bytes(payload))
+                    for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+                ]
+            )
 
-    schema = (
-        "doc_id long, has_exif boolean, byte_order string, "
-        "orientation int, exif_datetime string, make string, "
-        "icc_present boolean, width int, height int, "
-        "progressive boolean, gps_lat double, gps_lon double, "
-        "thumb_offset int, thumb_length int"
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=JPEG_EXIF_SCHEMA
     )
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+JPEG_EXIF_SCHEMA = (
+    "doc_id long, has_exif boolean, byte_order string, "
+    "orientation int, exif_datetime string, make string, "
+    "icc_present boolean, width int, height int, "
+    "progressive boolean, gps_lat double, gps_lon double, "
+    "thumb_offset int, thumb_length int"
+)
+
+
+def jpeg_exif_row(doc_id: int, payload: bytes) -> dict:
+    """One JPEG's EXIF metadata row (the :func:`jpeg_exif_features`
+    kernel body) — exposed per-row so fixture queries can fuse payload
+    build and the marker walk into a single Python boundary
+    crossing."""
+    row = {"doc_id": int(doc_id)}
+    row.update(jpeg_exif_meta(bytes(payload)))
+    return row
 
 
 def apply_exif_orientation(arr, orientation: int | None):
@@ -3245,43 +3382,55 @@ def jpeg_oriented_thumbnail_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                row = {
-                    "doc_id": int(doc_id), "orientation": None,
-                    "thumb_w": None, "thumb_h": None,
-                    "sum_r": None, "sum_g": None, "sum_b": None,
-                    "px00_r": None, "px00_g": None, "px00_b": None,
-                }
-                try:
-                    b = bytes(payload)
-                    meta = jpeg_exif_meta(b)
-                    rgb, _ = jpeg_decode(b, dc_only=True)
-                    rgb = apply_exif_orientation(
-                        rgb, meta["orientation"]
-                    )
-                    th, tw = rgb.shape[:2]
-                    row.update(
-                        orientation=meta["orientation"],
-                        thumb_w=int(tw), thumb_h=int(th),
-                        sum_r=int(rgb[:, :, 0].sum(dtype="int64")),
-                        sum_g=int(rgb[:, :, 1].sum(dtype="int64")),
-                        sum_b=int(rgb[:, :, 2].sum(dtype="int64")),
-                        px00_r=int(rgb[0, 0, 0]),
-                        px00_g=int(rgb[0, 0, 1]),
-                        px00_b=int(rgb[0, 0, 2]),
-                    )
-                except Exception:
-                    pass
-                out.append(row)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    jpeg_oriented_thumb_row(int(doc_id), bytes(payload))
+                    for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+                ]
+            )
 
-    schema = (
-        "doc_id long, orientation int, thumb_w int, thumb_h int, "
-        "sum_r long, sum_g long, sum_b long, "
-        "px00_r int, px00_g int, px00_b int"
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=JPEG_ORIENTED_THUMB_SCHEMA
     )
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+JPEG_ORIENTED_THUMB_SCHEMA = (
+    "doc_id long, orientation int, thumb_w int, thumb_h int, "
+    "sum_r long, sum_g long, sum_b long, "
+    "px00_r int, px00_g int, px00_b int"
+)
+
+
+def jpeg_oriented_thumb_row(doc_id: int, payload: bytes) -> dict:
+    """One JPEG's orientation-corrected thumbnail row (the
+    :func:`jpeg_oriented_thumbnail_features` kernel body) — exposed
+    per-row so fixture queries can fuse payload build and decode into
+    a single Python boundary crossing."""
+    row = {
+        "doc_id": int(doc_id), "orientation": None,
+        "thumb_w": None, "thumb_h": None,
+        "sum_r": None, "sum_g": None, "sum_b": None,
+        "px00_r": None, "px00_g": None, "px00_b": None,
+    }
+    try:
+        b = bytes(payload)
+        meta = jpeg_exif_meta(b)
+        rgb, _ = jpeg_decode(b, dc_only=True)
+        rgb = apply_exif_orientation(rgb, meta["orientation"])
+        th, tw = rgb.shape[:2]
+        row.update(
+            orientation=meta["orientation"],
+            thumb_w=int(tw), thumb_h=int(th),
+            sum_r=int(rgb[:, :, 0].sum(dtype="int64")),
+            sum_g=int(rgb[:, :, 1].sum(dtype="int64")),
+            sum_b=int(rgb[:, :, 2].sum(dtype="int64")),
+            px00_r=int(rgb[0, 0, 0]),
+            px00_g=int(rgb[0, 0, 1]),
+            px00_b=int(rgb[0, 0, 2]),
+        )
+    except Exception:
+        pass
+    return row
 
 
 def jpeg_thumbnail_features(
@@ -3306,35 +3455,49 @@ def jpeg_thumbnail_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                row = {
-                    "doc_id": int(doc_id), "thumb_w": None,
-                    "thumb_h": None, "n_components": None,
-                    "sum_r": None, "sum_g": None, "sum_b": None,
-                    "px00_r": None, "px00_g": None, "px00_b": None,
-                }
-                try:
-                    rgb, nc = jpeg_decode(bytes(payload), dc_only=True)
-                    th, tw = rgb.shape[:2]
-                    row.update(
-                        thumb_w=int(tw), thumb_h=int(th),
-                        n_components=int(nc),
-                        sum_r=int(rgb[:, :, 0].sum(dtype="int64")),
-                        sum_g=int(rgb[:, :, 1].sum(dtype="int64")),
-                        sum_b=int(rgb[:, :, 2].sum(dtype="int64")),
-                        px00_r=int(rgb[0, 0, 0]),
-                        px00_g=int(rgb[0, 0, 1]),
-                        px00_b=int(rgb[0, 0, 2]),
-                    )
-                except Exception:
-                    pass
-                out.append(row)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [
+                    jpeg_thumb_row(int(doc_id), bytes(payload))
+                    for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+                ]
+            )
 
-    schema = (
-        "doc_id long, thumb_w int, thumb_h int, n_components int, "
-        "sum_r long, sum_g long, sum_b long, "
-        "px00_r int, px00_g int, px00_b int"
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=JPEG_THUMB_SCHEMA
     )
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+JPEG_THUMB_SCHEMA = (
+    "doc_id long, thumb_w int, thumb_h int, n_components int, "
+    "sum_r long, sum_g long, sum_b long, "
+    "px00_r int, px00_g int, px00_b int"
+)
+
+
+def jpeg_thumb_row(doc_id: int, payload: bytes) -> dict:
+    """One JPEG's DC-thumbnail feature row (the
+    :func:`jpeg_thumbnail_features` kernel body) — exposed per-row so
+    fixture queries can fuse payload build and decode into a single
+    Python boundary crossing."""
+    row = {
+        "doc_id": int(doc_id), "thumb_w": None,
+        "thumb_h": None, "n_components": None,
+        "sum_r": None, "sum_g": None, "sum_b": None,
+        "px00_r": None, "px00_g": None, "px00_b": None,
+    }
+    try:
+        rgb, nc = jpeg_decode(bytes(payload), dc_only=True)
+        th, tw = rgb.shape[:2]
+        row.update(
+            thumb_w=int(tw), thumb_h=int(th),
+            n_components=int(nc),
+            sum_r=int(rgb[:, :, 0].sum(dtype="int64")),
+            sum_g=int(rgb[:, :, 1].sum(dtype="int64")),
+            sum_b=int(rgb[:, :, 2].sum(dtype="int64")),
+            px00_r=int(rgb[0, 0, 0]),
+            px00_g=int(rgb[0, 0, 1]),
+            px00_b=int(rgb[0, 0, 2]),
+        )
+    except Exception:
+        pass
+    return row

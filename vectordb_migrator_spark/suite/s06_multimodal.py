@@ -70,6 +70,36 @@ def _x6_headers_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bmp_gradient_payload(d: int) -> bytes:
+    """One doc's 24-bit BMP gradient payload (blue = x, green = 3y,
+    red = doc_id%256) — the per-row half of
+    :func:`bmp_gradient_fixtures`, shared so real-decode queries can
+    fuse fixture build and decode into one kernel."""
+    import struct
+
+    import numpy as np
+
+    d = int(d)
+    w = 15 + (d % 5) * 7
+    h = 8 + (d % 3) * 4
+    amp = d % 256
+    stride = (w * 3 + 3) // 4 * 4
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = np.arange(w)[None, :]  # b = x
+    px[:, :, 1] = (3 * np.arange(h))[:, None]  # g = 3y
+    px[:, :, 2] = amp  # r
+    stored = px[::-1]  # bottom-up
+    data = np.zeros((h, stride), dtype=np.uint8)
+    data[:, : w * 3] = stored.reshape(h, w * 3)
+    body = data.tobytes()
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return hdr + info + body
+
+
 def bmp_gradient_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 24-bit BMP payloads with closed-form gradients
     (blue = x, green = 3y, red = doc_id%256) over widths exercising
@@ -78,38 +108,18 @@ def bmp_gradient_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     x6_thumbnail)."""
 
     def gen(batches):
-        import struct
-
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w = 15 + (d % 5) * 7
-                h = 8 + (d % 3) * 4
-                amp = d % 256
-                stride = (w * 3 + 3) // 4 * 4
-                px = np.zeros((h, w, 3), dtype=np.uint8)
-                px[:, :, 0] = np.arange(w)[None, :]  # b = x
-                px[:, :, 1] = (3 * np.arange(h))[:, None]  # g = 3y
-                px[:, :, 2] = amp  # r
-                stored = px[::-1]  # bottom-up
-                data = np.zeros((h, stride), dtype=np.uint8)
-                data[:, : w * 3] = stored.reshape(h, w * 3)
-                body = data.tobytes()
-                hdr = struct.pack(
-                    "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
-                )
-                info = struct.pack(
-                    "<IiiHHIIiiII",
-                    40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
-                )
-                rows.append(
-                    {"doc_id": d, "payload": bytearray(hdr + info + body)}
-                )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                [
+                    {
+                        "doc_id": int(d),
+                        "payload": bytearray(bmp_gradient_payload(int(d))),
+                    }
+                    for d in pdf["doc_id"]
+                ]
+            )
 
     from vectordb_migrator_spark.operators.util import fan_out
 
@@ -151,11 +161,16 @@ def x6_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     every feature is closed-form, so the real decode carries a full
     arithmetic oracle (operators/multimodal.py:bmp_decode_features)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        bmp_decode_features,
+        BMP_SCHEMA,
+        bmp_feature_row,
+        fused_fixture_features,
     )
 
-    return bmp_decode_features(
-        bmp_gradient_fixtures(spark, sf_dir)
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        bmp_gradient_payload,
+        bmp_feature_row,
+        BMP_SCHEMA,
     ).orderBy("doc_id")
 
 
@@ -184,48 +199,39 @@ def x6_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n−1)//half — so the decode of real samples carries a full
     arithmetic oracle (operators/multimodal.py:wav_pcm_features)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        wav_pcm_features,
+        WAV_PCM_SCHEMA,
+        fused_fixture_features,
+        wav_feature_row,
     )
 
-    def gen(batches):
+    def make_payload(d: int) -> bytes:
         import io
         import wave
 
         import numpy as np
-        import pandas as pd
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                h = 8 + (d % 5) * 2
-                amp = 1000 + (d % 9) * 500
-                n = 1600 + (d % 7) * 160
-                idx = np.arange(n)
-                s = np.where((idx // h) % 2 == 0, amp, -amp).astype(
-                    "<i2"
-                )
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(8000)
-                    w.writeframes(s.tobytes())
-                rows.append(
-                    {"doc_id": d, "payload": bytearray(buf.getvalue())}
-                )
-            yield pd.DataFrame(rows)
-
-    from vectordb_migrator_spark.operators.util import fan_out
+        h = 8 + (d % 5) * 2
+        amp = 1000 + (d % 9) * 500
+        n = 1600 + (d % 7) * 160
+        idx = np.arange(n)
+        s = np.where((idx // h) % 2 == 0, amp, -amp).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(s.tobytes())
+        return buf.getvalue()
 
     # fan out the single-row-group scan: WAV synth + decode is
     # per-row Python work (r12 x6_png_decode lesson; fan_out is a
     # no-op on real multi-file corpora)
-    payloads = (
-        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
-        .mapInPandas(gen, schema="doc_id long, payload binary")
-    )
-    return wav_pcm_features(payloads).orderBy("doc_id")
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        make_payload,
+        wav_feature_row,
+        WAV_PCM_SCHEMA,
+    ).orderBy("doc_id")
 
 
 @query(

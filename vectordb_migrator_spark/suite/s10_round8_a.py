@@ -664,57 +664,49 @@ def x6_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-bug symmetry
     (operators/multimodal.py:png_decode_features)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        png_decode_features,
+        PNG_SCHEMA,
+        fused_fixture_features,
+        png_feature_row,
     )
 
-    def gen(batches):
+    def make_payload(d: int) -> bytes:
         import numpy as np
-        import pandas as pd
 
         from vectordb_migrator_spark.operators.multimodal import png_encode
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w = 6 + (d % 6) * 3
-                h = 4 + (d % 4) * 2
-                amp = d % 200
-                kind = d % 3
-                if kind == 0:  # gray: v = x + y
-                    px = (
-                        np.arange(w)[None, :] + np.arange(h)[:, None]
-                    ).astype(np.uint8)
-                    ct = 0
-                elif kind == 1:  # RGB: r const, g = x, b = y
-                    px = np.zeros((h, w, 3), dtype=np.uint8)
-                    px[:, :, 0] = amp
-                    px[:, :, 1] = np.arange(w)[None, :]
-                    px[:, :, 2] = np.arange(h)[:, None]
-                    ct = 2
-                else:  # RGBA: r = x, g = y, b const, a = 255
-                    px = np.zeros((h, w, 4), dtype=np.uint8)
-                    px[:, :, 0] = np.arange(w)[None, :]
-                    px[:, :, 1] = np.arange(h)[:, None]
-                    px[:, :, 2] = amp
-                    px[:, :, 3] = 255
-                    ct = 6
-                payload = png_encode(
-                    px, color_type=ct, row_filters=[0, 1, 2, 3, 4]
-                )
-                rows.append({"doc_id": d, "payload": bytearray(payload)})
-            yield pd.DataFrame(rows)
+        w = 6 + (d % 6) * 3
+        h = 4 + (d % 4) * 2
+        amp = d % 200
+        kind = d % 3
+        if kind == 0:  # gray: v = x + y
+            px = (
+                np.arange(w)[None, :] + np.arange(h)[:, None]
+            ).astype(np.uint8)
+            ct = 0
+        elif kind == 1:  # RGB: r const, g = x, b = y
+            px = np.zeros((h, w, 3), dtype=np.uint8)
+            px[:, :, 0] = amp
+            px[:, :, 1] = np.arange(w)[None, :]
+            px[:, :, 2] = np.arange(h)[:, None]
+            ct = 2
+        else:  # RGBA: r = x, g = y, b const, a = 255
+            px = np.zeros((h, w, 4), dtype=np.uint8)
+            px[:, :, 0] = np.arange(w)[None, :]
+            px[:, :, 1] = np.arange(h)[:, None]
+            px[:, :, 2] = amp
+            px[:, :, 3] = 255
+            ct = 6
+        return png_encode(px, color_type=ct, row_filters=[0, 1, 2, 3, 4])
 
-    from vectordb_migrator_spark.operators.util import fan_out
-
-    payloads = (
-        # fan_out (r12 opt): the single-row-group scan otherwise runs
-        # the whole encode+decode pipeline in ONE task (13s -> ~2s at
-        # sf0.1); per-image work is embarrassingly parallel
-        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
-        .mapInPandas(gen, schema="doc_id long, payload binary")
-    )
-    return png_decode_features(payloads).orderBy("doc_id")
+    # fan_out (r12 opt): the single-row-group scan otherwise runs the
+    # whole encode+decode pipeline in ONE task; per-image work is
+    # embarrassingly parallel
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        make_payload,
+        png_feature_row,
+        PNG_SCHEMA,
+    ).orderBy("doc_id")
 
 
 # ------------------------------------------------------------------ graph
@@ -1256,14 +1248,19 @@ def x6_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffle; output is 48 ints per image
     (operators/multimodal.py:thumbnail_features)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        thumbnail_features,
+        THUMB_SCHEMA,
+        fused_fixture_features,
+        thumbnail_row,
     )
     from vectordb_migrator_spark.suite.s06_multimodal import (
-        bmp_gradient_fixtures,
+        bmp_gradient_payload,
     )
 
-    return thumbnail_features(
-        bmp_gradient_fixtures(spark, sf_dir), thumb=4
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        bmp_gradient_payload,
+        thumbnail_row,
+        THUMB_SCHEMA,
     ).orderBy("doc_id")
 
 
@@ -1386,12 +1383,21 @@ def x6_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form oracle from the gradient-fixture formulas. Grouping
     is one map-side-combinable aggregate on a 16-char key
     (operators/multimodal.py:ahash_features)."""
-    from vectordb_migrator_spark.operators.multimodal import ahash_features
+    from vectordb_migrator_spark.operators.multimodal import (
+        AHASH_SCHEMA,
+        ahash_row,
+        fused_fixture_features,
+    )
     from vectordb_migrator_spark.suite.s06_multimodal import (
-        bmp_gradient_fixtures,
+        bmp_gradient_payload,
     )
 
-    h = ahash_features(bmp_gradient_fixtures(spark, sf_dir), thumb=4)
+    h = fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        bmp_gradient_payload,
+        ahash_row,
+        AHASH_SCHEMA,
+    )
     return (
         h.groupBy("ahash")
         .agg(

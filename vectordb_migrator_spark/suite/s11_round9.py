@@ -430,40 +430,31 @@ def x6_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     output), breaking encoder/decoder shared-bug symmetry
     (operators/multimodal.py:gif_decode_features)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        gif_decode_features,
+        GIF_SCHEMA,
+        fused_fixture_features,
+        gif_feature_row,
     )
 
-    def gen(batches):
+    def make_payload(d: int) -> bytes:
         import numpy as np
-        import pandas as pd
 
         from vectordb_migrator_spark.operators.multimodal import gif_encode
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w = 5 + (d % 7)
-                h = 3 + (d % 5)
-                n = (4, 8, 16)[d % 3]
-                idx = (
-                    np.arange(w)[None, :] + np.arange(h)[:, None] + d
-                ) % n
-                pal = [(7 * i, 11 * i, 13 * i) for i in range(n)]
-                rows.append(
-                    {"doc_id": d, "payload": bytearray(gif_encode(idx, pal))}
-                )
-            yield pd.DataFrame(rows)
+        w = 5 + (d % 7)
+        h = 3 + (d % 5)
+        n = (4, 8, 16)[d % 3]
+        idx = (np.arange(w)[None, :] + np.arange(h)[:, None] + d) % n
+        pal = [(7 * i, 11 * i, 13 * i) for i in range(n)]
+        return gif_encode(idx, pal)
 
-    from vectordb_migrator_spark.operators.util import fan_out
-
-    payloads = (
-        # fan_out (r12 opt): parallelize the per-image encode+decode
-        # across tasks — the single-row-group scan ran it in one
-        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
-        .mapInPandas(gen, schema="doc_id long, payload binary")
-    )
-    return gif_decode_features(payloads).orderBy("doc_id")
+    # fan_out (r12 opt): parallelize the per-image encode+decode
+    # across tasks — the single-row-group scan ran it in one
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        make_payload,
+        gif_feature_row,
+        GIF_SCHEMA,
+    ).orderBy("doc_id")
 
 
 @query(

@@ -66,43 +66,32 @@ def x6_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the spec's canonical-code rules, independent of jpeg_encode
     (operators/multimodal.py:jpeg_decode)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        jpeg_decode_features,
+        JPEG_SCHEMA,
+        fused_fixture_features,
+        jpeg_feature_row,
     )
-    from vectordb_migrator_spark.operators.util import fan_out
 
-    def gen(batches):
+    def make_payload(d: int) -> bytes:
         import numpy as np
-        import pandas as pd
 
         from vectordb_migrator_spark.operators.multimodal import jpeg_encode
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w = 8 * (1 + d % 3) + d % 5
-                h = 8 * (1 + d % 2) + d % 3
-                px = np.empty((h, w), np.uint8)
-                for by in range(-(-h // 8)):
-                    for bx in range(-(-w // 8)):
-                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            37 * bx + 59 * by + d
-                        ) % 256
-                rows.append(
-                    {
-                        "doc_id": d,
-                        "payload": bytearray(
-                            jpeg_encode(px, restart_interval=d % 4)
-                        ),
-                    }
-                )
-            yield pd.DataFrame(rows)
+        w = 8 * (1 + d % 3) + d % 5
+        h = 8 * (1 + d % 2) + d % 3
+        px = np.empty((h, w), np.uint8)
+        for by in range(-(-h // 8)):
+            for bx in range(-(-w // 8)):
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    37 * bx + 59 * by + d
+                ) % 256
+        return jpeg_encode(px, restart_interval=d % 4)
 
-    payloads = (
-        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
-        .mapInPandas(gen, schema="doc_id long, payload binary")
-    )
-    return jpeg_decode_features(payloads).orderBy("doc_id")
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        make_payload,
+        jpeg_feature_row,
+        JPEG_SCHEMA,
+    ).orderBy("doc_id")
 
 
 def _kg_sql() -> str:
@@ -436,44 +425,38 @@ def x6_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     predictor, interleave slot, or conversion constant moves the
     channel sums (operators/multimodal.py:jpeg_decode)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        jpeg_decode_features,
+        JPEG_SCHEMA,
+        fused_fixture_features,
+        jpeg_feature_row,
     )
-    from vectordb_migrator_spark.operators.util import fan_out
 
-    def gen(batches):
+    def make_payload(d: int) -> bytes:
         import numpy as np
-        import pandas as pd
 
         from vectordb_migrator_spark.operators.multimodal import jpeg_encode
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w = 8 * (1 + d % 3) + d % 5
-                h = 8 * (1 + d % 2) + d % 3
-                px = np.empty((h, w, 3), np.uint8)
-                for by in range(-(-h // 8)):
-                    for bx in range(-(-w // 8)):
-                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0] = (
-                            37 * bx + 59 * by + d
-                        ) % 256
-                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 1] = (
-                            17 * bx + 43 * by + 2 * d + 7
-                        ) % 256
-                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 2] = (
-                            29 * bx + 31 * by + 3 * d + 13
-                        ) % 256
-                rows.append(
-                    {"doc_id": d, "payload": bytearray(jpeg_encode(px))}
-                )
-            yield pd.DataFrame(rows)
+        w = 8 * (1 + d % 3) + d % 5
+        h = 8 * (1 + d % 2) + d % 3
+        px = np.empty((h, w, 3), np.uint8)
+        for by in range(-(-h // 8)):
+            for bx in range(-(-w // 8)):
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0] = (
+                    37 * bx + 59 * by + d
+                ) % 256
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 1] = (
+                    17 * bx + 43 * by + 2 * d + 7
+                ) % 256
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 2] = (
+                    29 * bx + 31 * by + 3 * d + 13
+                ) % 256
+        return jpeg_encode(px)
 
-    payloads = (
-        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
-        .mapInPandas(gen, schema="doc_id long, payload binary")
-    )
-    return jpeg_decode_features(payloads).orderBy("doc_id")
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        make_payload,
+        jpeg_feature_row,
+        JPEG_SCHEMA,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -750,43 +733,32 @@ def x6_jpeg_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, so the oracle is a direct block-grid sum
     (operators/multimodal.py:jpeg_thumbnail_features)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        jpeg_thumbnail_features,
+        JPEG_THUMB_SCHEMA,
+        fused_fixture_features,
+        jpeg_thumb_row,
     )
-    from vectordb_migrator_spark.operators.util import fan_out
 
-    def gen(batches):
+    def make_payload(d: int) -> bytes:
         import numpy as np
-        import pandas as pd
 
         from vectordb_migrator_spark.operators.multimodal import jpeg_encode
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w = 8 * (1 + d % 3) + d % 5
-                h = 8 * (1 + d % 2) + d % 3
-                px = np.empty((h, w), np.uint8)
-                for by in range(-(-h // 8)):
-                    for bx in range(-(-w // 8)):
-                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            37 * bx + 59 * by + d
-                        ) % 256
-                rows.append(
-                    {
-                        "doc_id": d,
-                        "payload": bytearray(
-                            jpeg_encode(px, restart_interval=d % 4)
-                        ),
-                    }
-                )
-            yield pd.DataFrame(rows)
+        w = 8 * (1 + d % 3) + d % 5
+        h = 8 * (1 + d % 2) + d % 3
+        px = np.empty((h, w), np.uint8)
+        for by in range(-(-h // 8)):
+            for bx in range(-(-w // 8)):
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    37 * bx + 59 * by + d
+                ) % 256
+        return jpeg_encode(px, restart_interval=d % 4)
 
-    payloads = (
-        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
-        .mapInPandas(gen, schema="doc_id long, payload binary")
-    )
-    return jpeg_thumbnail_features(payloads).orderBy("doc_id")
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        make_payload,
+        jpeg_thumb_row,
+        JPEG_THUMB_SCHEMA,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -1030,48 +1002,33 @@ def x6_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot, DC predictor, or upsample offset moves the channel sums
     (operators/multimodal.py:jpeg_decode)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        jpeg_decode_features,
+        JPEG_SCHEMA,
+        fused_fixture_features,
+        jpeg_feature_row,
     )
-    from vectordb_migrator_spark.operators.util import fan_out
 
-    def gen(batches):
+    def make_payload(d: int) -> bytes:
         import numpy as np
-        import pandas as pd
 
         from vectordb_migrator_spark.operators.multimodal import jpeg_encode
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w = 16 * (1 + d % 2) + d % 9
-                h = 16 * (1 + d % 3) + d % 5
-                px = np.empty((h, w, 3), np.uint8)
-                for my in range(-(-h // 16)):
-                    for mx in range(-(-w // 16)):
-                        sl = (
-                            slice(my * 16, my * 16 + 16),
-                            slice(mx * 16, mx * 16 + 16),
-                        )
-                        px[sl[0], sl[1], 0] = (37 * mx + 59 * my + d) % 256
-                        px[sl[0], sl[1], 1] = (
-                            17 * mx + 43 * my + 2 * d + 7
-                        ) % 256
-                        px[sl[0], sl[1], 2] = (
-                            29 * mx + 31 * my + 3 * d + 13
-                        ) % 256
-                rows.append(
-                    {
-                        "doc_id": d,
-                        "payload": bytearray(
-                            jpeg_encode(px, subsampling="420")
-                        ),
-                    }
+        w = 16 * (1 + d % 2) + d % 9
+        h = 16 * (1 + d % 3) + d % 5
+        px = np.empty((h, w, 3), np.uint8)
+        for my in range(-(-h // 16)):
+            for mx in range(-(-w // 16)):
+                sl = (
+                    slice(my * 16, my * 16 + 16),
+                    slice(mx * 16, mx * 16 + 16),
                 )
-            yield pd.DataFrame(rows)
+                px[sl[0], sl[1], 0] = (37 * mx + 59 * my + d) % 256
+                px[sl[0], sl[1], 1] = (17 * mx + 43 * my + 2 * d + 7) % 256
+                px[sl[0], sl[1], 2] = (29 * mx + 31 * my + 3 * d + 13) % 256
+        return jpeg_encode(px, subsampling="420")
 
-    payloads = (
-        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
-        .mapInPandas(gen, schema="doc_id long, payload binary")
-    )
-    return jpeg_decode_features(payloads).orderBy("doc_id")
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        make_payload,
+        jpeg_feature_row,
+        JPEG_SCHEMA,
+    ).orderBy("doc_id")

@@ -102,57 +102,40 @@ def x6_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hypothesis property (operators/multimodal.py:jpeg_decode,
     _jpeg_progressive_scan)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        jpeg_decode_features,
+        JPEG_SCHEMA,
+        fused_fixture_features,
+        jpeg_feature_row,
     )
-    from vectordb_migrator_spark.operators.util import fan_out
 
-    def gen(batches):
+    def make_payload(d: int) -> bytes:
         import numpy as np
-        import pandas as pd
 
         from vectordb_migrator_spark.operators.multimodal import (
             jpeg_encode_progressive,
         )
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w = 16 * (1 + d % 3) + d % 7
-                h = 16 * (1 + d % 2) + d % 11
-                px = np.empty((h, w, 3), np.uint8)
-                for my in range(-(-h // 16)):
-                    for mx in range(-(-w // 16)):
-                        sl = (
-                            slice(my * 16, my * 16 + 16),
-                            slice(mx * 16, mx * 16 + 16),
-                        )
-                        px[sl[0], sl[1], 0] = (41 * mx + 23 * my + 5 * d) % 256
-                        px[sl[0], sl[1], 1] = (
-                            13 * mx + 61 * my + 3 * d + 11
-                        ) % 256
-                        px[sl[0], sl[1], 2] = (
-                            53 * mx + 19 * my + 7 * d + 29
-                        ) % 256
-                rows.append(
-                    {
-                        "doc_id": d,
-                        "payload": bytearray(
-                            jpeg_encode_progressive(
-                                px,
-                                subsampling="420",
-                                restart_interval=d % 4,
-                            )
-                        ),
-                    }
+        w = 16 * (1 + d % 3) + d % 7
+        h = 16 * (1 + d % 2) + d % 11
+        px = np.empty((h, w, 3), np.uint8)
+        for my in range(-(-h // 16)):
+            for mx in range(-(-w // 16)):
+                sl = (
+                    slice(my * 16, my * 16 + 16),
+                    slice(mx * 16, mx * 16 + 16),
                 )
-            yield pd.DataFrame(rows)
+                px[sl[0], sl[1], 0] = (41 * mx + 23 * my + 5 * d) % 256
+                px[sl[0], sl[1], 1] = (13 * mx + 61 * my + 3 * d + 11) % 256
+                px[sl[0], sl[1], 2] = (53 * mx + 19 * my + 7 * d + 29) % 256
+        return jpeg_encode_progressive(
+            px, subsampling="420", restart_interval=d % 4
+        )
 
-    payloads = (
-        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
-        .mapInPandas(gen, schema="doc_id long, payload binary")
-    )
-    return jpeg_decode_features(payloads).orderBy("doc_id")
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        make_payload,
+        jpeg_feature_row,
+        JPEG_SCHEMA,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -198,13 +181,13 @@ def x6_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII decision moves a column
     (operators/multimodal.py:jpeg_exif_meta)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        jpeg_exif_features,
+        JPEG_EXIF_SCHEMA,
+        fused_fixture_features,
+        jpeg_exif_row,
     )
-    from vectordb_migrator_spark.operators.util import fan_out
 
-    def gen(batches):
+    def make_payload(d: int) -> bytes:
         import numpy as np
-        import pandas as pd
 
         from vectordb_migrator_spark.operators.multimodal import (
             exif_app1_segment,
@@ -213,39 +196,27 @@ def x6_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
             jpeg_encode_progressive,
         )
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                px = np.full(
-                    (8 * (1 + d % 2), 8 * (1 + d % 3)), d % 256, np.uint8
-                )
-                enc = (
-                    jpeg_encode_progressive if d % 5 == 0 else jpeg_encode
-                )
-                jb = enc(px)
-                extra = b""
-                if d % 7 != 0:
-                    extra += exif_app1_segment(
-                        orientation=1 + d % 8,
-                        datetime=(
-                            f"2020:03:{1 + d % 28:02d} 12:{d % 60:02d}:00"
-                        ),
-                        make=f"cam-{d % 5}",
-                        byte_order="II" if d % 2 == 0 else "MM",
-                    )
-                if d % 3 == 0:
-                    extra += icc_app2_segment()
-                rows.append(
-                    {"doc_id": d, "payload": bytearray(jb[:2] + extra + jb[2:])}
-                )
-            yield pd.DataFrame(rows)
+        px = np.full((8 * (1 + d % 2), 8 * (1 + d % 3)), d % 256, np.uint8)
+        enc = jpeg_encode_progressive if d % 5 == 0 else jpeg_encode
+        jb = enc(px)
+        extra = b""
+        if d % 7 != 0:
+            extra += exif_app1_segment(
+                orientation=1 + d % 8,
+                datetime=f"2020:03:{1 + d % 28:02d} 12:{d % 60:02d}:00",
+                make=f"cam-{d % 5}",
+                byte_order="II" if d % 2 == 0 else "MM",
+            )
+        if d % 3 == 0:
+            extra += icc_app2_segment()
+        return jb[:2] + extra + jb[2:]
 
-    payloads = (
-        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
-        .mapInPandas(gen, schema="doc_id long, payload binary")
-    )
-    return jpeg_exif_features(payloads).orderBy("doc_id")
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        make_payload,
+        jpeg_exif_row,
+        JPEG_EXIF_SCHEMA,
+    ).orderBy("doc_id")
 
 
 def _jpt_sql() -> str:
@@ -326,57 +297,40 @@ def x6_jpeg_progressive_thumb(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsample offset moves the sums
     (operators/multimodal.py:jpeg_decode dc_only + progressive)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        jpeg_thumbnail_features,
+        JPEG_THUMB_SCHEMA,
+        fused_fixture_features,
+        jpeg_thumb_row,
     )
-    from vectordb_migrator_spark.operators.util import fan_out
 
-    def gen(batches):
+    def make_payload(d: int) -> bytes:
         import numpy as np
-        import pandas as pd
 
         from vectordb_migrator_spark.operators.multimodal import (
             jpeg_encode_progressive,
         )
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w = 16 * (1 + d % 3) + d % 7
-                h = 16 * (1 + d % 2) + d % 11
-                px = np.empty((h, w, 3), np.uint8)
-                for my in range(-(-h // 16)):
-                    for mx in range(-(-w // 16)):
-                        sl = (
-                            slice(my * 16, my * 16 + 16),
-                            slice(mx * 16, mx * 16 + 16),
-                        )
-                        px[sl[0], sl[1], 0] = (41 * mx + 23 * my + 5 * d) % 256
-                        px[sl[0], sl[1], 1] = (
-                            13 * mx + 61 * my + 3 * d + 11
-                        ) % 256
-                        px[sl[0], sl[1], 2] = (
-                            53 * mx + 19 * my + 7 * d + 29
-                        ) % 256
-                rows.append(
-                    {
-                        "doc_id": d,
-                        "payload": bytearray(
-                            jpeg_encode_progressive(
-                                px,
-                                subsampling="420",
-                                restart_interval=d % 4,
-                            )
-                        ),
-                    }
+        w = 16 * (1 + d % 3) + d % 7
+        h = 16 * (1 + d % 2) + d % 11
+        px = np.empty((h, w, 3), np.uint8)
+        for my in range(-(-h // 16)):
+            for mx in range(-(-w // 16)):
+                sl = (
+                    slice(my * 16, my * 16 + 16),
+                    slice(mx * 16, mx * 16 + 16),
                 )
-            yield pd.DataFrame(rows)
+                px[sl[0], sl[1], 0] = (41 * mx + 23 * my + 5 * d) % 256
+                px[sl[0], sl[1], 1] = (13 * mx + 61 * my + 3 * d + 11) % 256
+                px[sl[0], sl[1], 2] = (53 * mx + 19 * my + 7 * d + 29) % 256
+        return jpeg_encode_progressive(
+            px, subsampling="420", restart_interval=d % 4
+        )
 
-    payloads = (
-        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
-        .mapInPandas(gen, schema="doc_id long, payload binary")
-    )
-    return jpeg_thumbnail_features(payloads).orderBy("doc_id")
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        make_payload,
+        jpeg_thumb_row,
+        JPEG_THUMB_SCHEMA,
+    ).orderBy("doc_id")
 
 
 def _pqr_sql() -> str:
@@ -684,46 +638,42 @@ def x6_oriented_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py:jpeg_oriented_thumbnail_features,
     apply_exif_orientation)."""
     from vectordb_migrator_spark.operators.multimodal import (
-        jpeg_oriented_thumbnail_features,
+        JPEG_ORIENTED_THUMB_SCHEMA,
+        fused_fixture_features,
+        jpeg_oriented_thumb_row,
     )
-    from vectordb_migrator_spark.operators.util import fan_out
 
-    def gen(batches):
+    def make_payload(d: int) -> bytes:
         import numpy as np
-        import pandas as pd
 
         from vectordb_migrator_spark.operators.multimodal import (
             exif_app1_segment,
             jpeg_encode,
         )
 
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w = 8 * (1 + d % 3) + d % 5
-                h = 8 * (1 + d % 2) + d % 3
-                px = np.empty((h, w), np.uint8)
-                for by in range(-(-h // 8)):
-                    for bx in range(-(-w // 8)):
-                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            37 * bx + 59 * by + d
-                        ) % 256
-                jb = jpeg_encode(px)
-                if d % 7 != 0:
-                    app1 = exif_app1_segment(
-                        orientation=1 + d % 8,
-                        byte_order="II" if d % 2 == 0 else "MM",
-                    )
-                    jb = jb[:2] + app1 + jb[2:]
-                rows.append({"doc_id": d, "payload": bytearray(jb)})
-            yield pd.DataFrame(rows)
+        w = 8 * (1 + d % 3) + d % 5
+        h = 8 * (1 + d % 2) + d % 3
+        px = np.empty((h, w), np.uint8)
+        for by in range(-(-h // 8)):
+            for bx in range(-(-w // 8)):
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    37 * bx + 59 * by + d
+                ) % 256
+        jb = jpeg_encode(px)
+        if d % 7 != 0:
+            app1 = exif_app1_segment(
+                orientation=1 + d % 8,
+                byte_order="II" if d % 2 == 0 else "MM",
+            )
+            jb = jb[:2] + app1 + jb[2:]
+        return jb
 
-    payloads = (
-        fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
-        .mapInPandas(gen, schema="doc_id long, payload binary")
-    )
-    return jpeg_oriented_thumbnail_features(payloads).orderBy("doc_id")
+    return fused_fixture_features(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        make_payload,
+        jpeg_oriented_thumb_row,
+        JPEG_ORIENTED_THUMB_SCHEMA,
+    ).orderBy("doc_id")
 
 
 @query(
