@@ -572,6 +572,13 @@ def bradley_terry(
     directed = contests.select(w, lo).groupBy("i", "j").agg(
         F.count("*").cast("long").alias("n")
     )
+    # items²-bounded sufficient statistic — materialize it ONCE. Five
+    # downstream consumers (rev/matches/wins/items/m_idx) each hang
+    # the full corpus-sized contest tree off a lazy `directed`
+    # (measured 156 Exchange nodes in the x7_bradley_terry plan,
+    # exec 4.7 s); after the checkpoint every reference reads the tiny
+    # materialized pair counts (guide §3.3 plan truncation).
+    directed = directed.localCheckpoint(eager=True)
     rev = directed.select(
         F.col("j").alias("i"), F.col("i").alias("j"), "n"
     )
