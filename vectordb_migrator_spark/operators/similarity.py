@@ -1476,6 +1476,96 @@ def pq_learned_codebooks_fp(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
+        # Single-partition sub frames (the local-mode shape; a real
+        # corpus keeps the distributed loop) run ALL n_iter refinement
+        # rounds inside one task (r13, same coordination-diet pattern
+        # as kmeans_fit/_lloyd_all_iters_kernel). Every quantity in
+        # the loop is an exact integer, so sums are order-free and the
+        # in-task replay is bit-identical regardless of batch order —
+        # one scheduled job instead of n_iter kernel+collect round
+        # trips.
+        if use_kernel and sub.rdd.getNumPartitions() == 1:
+            import pandas as pd  # noqa: F401 — worker-side import below
+
+            cbs0 = [[list(cw) for cw in cb] for cb in cbs]
+            mm, kk, nn = m, k, n_iter
+
+            def _all_iters(it, _cb=cbs0):
+                import numpy as np
+                import pandas as pd
+
+                parts: dict[int, list] = {}
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    for s_val, grp in pdf.groupby("s"):
+                        parts.setdefault(int(s_val), []).append(
+                            np.stack(
+                                [
+                                    np.asarray(v, dtype=np.int64)
+                                    for v in grp["sv"]
+                                ]
+                            )
+                        )
+                xcat = {
+                    s: np.concatenate(v) for s, v in parts.items()
+                }
+                cur = [[list(cw) for cw in cb] for cb in _cb]
+                for _ in range(nn):
+                    new = [[list(cw) for cw in cb] for cb in cur]
+                    for s, x in xcat.items():
+                        c = np.array(cur[s], dtype=np.int64)
+                        d = (
+                            (x[:, None, :] - c[None, :, :]) ** 2
+                        ).sum(-1)
+                        jj = d.argmin(1)
+                        for ju in np.unique(jj):
+                            sel = x[jj == ju]
+                            sums = sel.sum(0)
+                            n_sel = int(sel.shape[0])
+                            for pos in range(sel.shape[1]):
+                                new[s][int(ju)][pos] = (
+                                    _round_half_away_int(
+                                        int(sums[pos]), n_sel
+                                    )
+                                )
+                    cur = new
+                yield pd.DataFrame(
+                    {
+                        "s": [
+                            s
+                            for s in range(mm)
+                            for _ in range(kk * len(cur[s][0]))
+                        ],
+                        "j": [
+                            j
+                            for s in range(mm)
+                            for j in range(kk)
+                            for _ in range(len(cur[s][j]))
+                        ],
+                        "pos": [
+                            p
+                            for s in range(mm)
+                            for j in range(kk)
+                            for p in range(len(cur[s][j]))
+                        ],
+                        "val": [
+                            int(v)
+                            for s in range(mm)
+                            for j in range(kk)
+                            for v in cur[s][j]
+                        ],
+                    }
+                )
+
+            rows = sub.mapInPandas(
+                _all_iters, schema="s int, j int, pos int, val long"
+            ).collect()
+            out = [[list(cw) for cw in cb] for cb in cbs]
+            for r in rows:
+                out[r["s"]][r["j"]][r["pos"]] = int(r["val"])
+            return out
+
         for _ in range(n_iter):
             if use_kernel:
                 import numpy as np
