@@ -536,3 +536,45 @@ def test_phrase_search_consecutive_tokens(spark):
 
     with pytest.raises(ValueError, match="phrase"):
         phrase_search(docs, ["  "])
+
+
+def test_feature_hash_vector_arrow_twin_parity(spark):
+    """The r13 Arrow twin must reproduce the Catalyst HOF fold's
+    count vector exactly — including NULL text, empty/whitespace-only
+    strings, unicode case edges, and the ASCII-only Java \\s class."""
+    from pyspark.sql import functions as F
+
+    from vectordb_migrator_spark.functions.text import (
+        feature_hash_vector,
+        feature_hash_vector_arrow,
+    )
+
+    texts = [
+        None,
+        "",
+        "   ",
+        "\t\n\x0b\f\r",
+        "Hello hello WORLD world world",
+        "a b  c\td\ne",
+        " leading and trailing  ",
+        "Straße İstanbul ǅungla ﬁn",        # unicode lower edges
+        "emoji 🎉 mixed ＴＥＸＴ",
+        "non breaking space",           # U+00A0 is NOT Java \s
+        "ideographic　space",            # U+3000 is NOT Java \s
+        "x" * 5000,
+        "tok " * 200,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    got = {
+        r["id"]: (list(r["a"]) if r["a"] is not None else None,
+                  list(r["b"]) if r["b"] is not None else None)
+        for r in df.select(
+            "id",
+            feature_hash_vector("t", dim=16).alias("a"),
+            feature_hash_vector_arrow("t", dim=16).alias("b"),
+        ).collect()
+    }
+    for i, (a, b) in got.items():
+        assert a == b, f"row {i}: {a} != {b}"

@@ -208,6 +208,70 @@ def feature_hash_vector(col: Column | str, *, dim: int = 16) -> Column:
     )
 
 
+def feature_hash_vector_arrow(col: Column | str, *, dim: int = 16) -> Column:
+    """Arrow-vectorized twin of :func:`feature_hash_vector` — the SAME
+    md5-bucket count vector, computed in one ``pandas_udf`` batch pass
+    instead of the per-token interpreted HOF fold (which allocates a
+    fresh ``dim``-double array per token; measured 1.54 s of a 1.94 s
+    scoring pass at sf0.1/dim=64 — guide §4.2).
+
+    Value-identity is exact, not approximate: the counts are integers
+    (any correct histogram of the same buckets is THE same vector), and
+    the bucket stream is a verified twin of the Catalyst expression —
+    Python ``str.lower`` + the Java ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]``
+    for strip/split reproduce ``ws_tokens`` token-for-token on every
+    SF (parity-tested in tests/test_text.py), and
+    ``md5(utf-8)[:8] % dim`` is bit-identical to
+    ``conv(substring(md5(t),1,8),16,10) % dim``. NULL text yields NULL,
+    empty/whitespace-only text the zero vector — the HOF path's exact
+    contract."""
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    d = int(dim)
+
+    def _fhv(texts):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        # Java regex \s (used by ws_strip / ws_tokens) is ASCII-only
+        ws = r"[ \t\n\x0b\f\r]"
+        strip = re.compile(f"^{ws}+|{ws}+$")
+        split = re.compile(f"{ws}+")
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            s = strip.sub("", t.lower())
+            cnt = np.zeros(d, dtype=np.float64)
+            if s:
+                for tok in split.split(s):
+                    if tok:
+                        cnt[
+                            int(
+                                hashlib.md5(
+                                    tok.encode("utf-8")
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            % d
+                        ] += 1.0
+            out.append(cnt.tolist())
+        return pd.Series(out)
+
+    # real type objects (not PEP-563 strings) so pandas_udf's hint
+    # inspection needs nothing from this module's globals
+    _fhv.__annotations__ = {
+        "texts": pandas.Series,
+        "return": pandas.Series,
+    }
+    return pandas_udf(_fhv, "array<double>")(_c(col))
+
+
 def flesch_reading_ease(col: Column | str) -> Column:
     """Flesch reading-ease score as a struct ``(words long,
     sentences long, syllables long, flesch double)`` — the classic
