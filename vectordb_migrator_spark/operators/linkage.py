@@ -81,10 +81,18 @@ def fuzzy_join(
     return (
         cand.join(l, left_id)
         .join(r, right_id)
+        # bounded variant (r13): with a threshold the JVM computes the
+        # banded O(len·k) distance and returns -1 past the bound — the
+        # full O(len²) matrix was burned on every candidate only to be
+        # filtered. Kept rows (dist ≤ max_dist) get the exact same
+        # distance value, so results are unchanged.
         .withColumn(
-            "dist", F.levenshtein("__ltext", "__rtext").cast("long")
+            "dist",
+            F.levenshtein(
+                "__ltext", "__rtext", int(max_dist)
+            ).cast("long"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(left_id, right_id, "dist")
     )
 

@@ -1085,9 +1085,13 @@ def x2_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree join carrying (long, double) rows, and a single
     moment-sums reduce — closed-form Pearson, no second pass;
     round-6 after the sums absorbs engine addition-order drift."""
+    # materialize the (tiny) near-dup pair set once: the lazy frame is
+    # referenced by the symmetrize union AND both sides of the degree
+    # join, re-executing the corpus-sized shingle join per reference
+    # (r13; measured 5.2 -> 3.0 s warm, values identical)
     pairs = ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.2
-    )
+    ).localCheckpoint(eager=True)
     e = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
