@@ -650,3 +650,63 @@ def test_adamic_adar_self_loop_does_not_abort(spark):
     rows = adamic_adar(df, k=10).collect()
     got = {(r["a"], r["b"]) for r in rows}
     assert (2, 3) in got  # the real wedge through 1 still scores
+
+
+def test_two_phase_kernel_matches_star_rounds(spark):
+    # r13: small graphs take the single-task numpy kernel; force the
+    # alternating-star dataflow with kernel_max_edges=0 and assert
+    # identical (id, comp) sets, self-loop-only vertices included.
+    import random
+
+    from vectordb_migrator_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(17)
+    edges = (
+        [(rng.randrange(150), rng.randrange(150)) for _ in range(250)]
+        + [(i, i + 1) for i in range(300, 360)]
+        + [(700, 700), (900, 901)]
+    )
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    kern = {
+        (r["id"], r["comp"])
+        for r in connected_components_two_phase(df).collect()
+    }
+    star = {
+        (r["id"], r["comp"])
+        for r in connected_components_two_phase(
+            df, kernel_max_edges=0
+        ).collect()
+    }
+    assert kern == star
+    assert len(kern) == len({i for e in edges for i in e})
+
+
+def test_lpa_kernel_matches_dataflow_rounds(spark):
+    # r13: the single-task LPA kernel must reproduce the synchronous
+    # dataflow rounds label-for-label (deterministic integer tie rule)
+    # for several round counts on a messy graph.
+    import random
+
+    from vectordb_migrator_spark.operators.graph import label_propagation
+
+    rng = random.Random(29)
+    edges = (
+        [(rng.randrange(120), rng.randrange(120)) for _ in range(260)]
+        + [(i, i + 1) for i in range(200, 240)]
+        + [(400, 401), (500, 500)]
+    )
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    for n_iter in (1, 2, 3, 5):
+        kern = {
+            (r["id"], r["label"])
+            for r in label_propagation(df, n_iter=n_iter).collect()
+        }
+        flow = {
+            (r["id"], r["label"])
+            for r in label_propagation(
+                df, n_iter=n_iter, kernel_max_edges=0
+            ).collect()
+        }
+        assert kern == flow, f"n_iter={n_iter}"

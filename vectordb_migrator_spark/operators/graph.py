@@ -188,6 +188,7 @@ def connected_components_two_phase(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    kernel_max_edges: int = 4_000_000,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components — the
     huge-diameter-safe backend (Kiveris et al., *Connected Components
@@ -243,6 +244,26 @@ def connected_components_two_phase(
         return (row["n"], row["h"])
 
     prev = _checksum(e)
+    # Size-guarded single-task backend (r13, same pattern as
+    # connected_components): the checksum above already counted the
+    # deduplicated edge set, so the guard costs nothing. Both backends
+    # compute the same pure function of the graph — (id, min reachable
+    # id) — so the numpy kernel's output is value-identical; large
+    # graphs keep the alternating-star dataflow below.
+    # ``kernel_max_edges=0`` disables the fast path (A/B tests).
+    if (
+        kernel_max_edges
+        and prev[0] <= kernel_max_edges
+        and {f.dataType.simpleString() for f in e.schema.fields}
+        <= {"bigint"}
+    ):
+        sym = e.select(
+            F.col("lo").alias("a"), F.col("hi").alias("b")
+        ).union(e.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
+        comp_map = _cc_kernel(sym)
+        return verts.join(comp_map, "id", "left").select(
+            "id", F.coalesce("comp", F.col("id")).alias("comp")
+        )
     converged = e.isEmpty()
     for _ in range(max_iter):
         if converged:
@@ -825,12 +846,61 @@ def clustering_coefficient(
     )
 
 
+def _lpa_kernel(und: DataFrame, *, n_iter: int) -> DataFrame:
+    """Single-task synchronous label propagation over a small
+    symmetrized (u, v) edge frame — the LPA twin of :func:`_cc_kernel`.
+    Value-identical to the dataflow rounds by determinism: labels are
+    always vertex ids (integers), each round every vertex takes the
+    (count DESC, label ASC) top-1 over its neighbors' PREVIOUS-round
+    labels, and the numpy lexsort reproduces exactly that tie rule.
+    Guarded by edge count in :func:`label_propagation`."""
+
+    def k(batches):
+        import numpy as np
+        import pandas as pd
+
+        u_parts, v_parts = [], []
+        for pdf in batches:
+            u_parts.append(pdf["u"].to_numpy(dtype="int64"))
+            v_parts.append(pdf["v"].to_numpy(dtype="int64"))
+        if not u_parts:
+            return
+        u = np.concatenate(u_parts)
+        v = np.concatenate(v_parts)
+        if u.size == 0:
+            return
+        ids = np.unique(u)  # und is symmetric: ids(u) == ids(v)
+        ui = np.searchsorted(ids, u)
+        vi = np.searchsorted(ids, v)
+        lab = np.arange(ids.size, dtype=np.int64)  # label index == id index
+        n = ids.size
+        for _ in range(n_iter):
+            nl = lab[vi]  # neighbor's previous-round label index per edge
+            key = ui * n + nl
+            uniq, cnt = np.unique(key, return_counts=True)
+            ku = uniq // n
+            kl = uniq % n
+            # top-1 per vertex by (count DESC, label ASC): labels are
+            # ids[kl], and kl orders identically to ids[kl] (ids sorted)
+            order = np.lexsort((kl, -cnt, ku))
+            ku_s = ku[order]
+            first = np.ones(ku_s.size, dtype=bool)
+            first[1:] = ku_s[1:] != ku_s[:-1]
+            new = lab.copy()
+            new[ku_s[first]] = kl[order][first]
+            lab = new
+        yield pd.DataFrame({"id": ids, "label": ids[lab]})
+
+    return und.coalesce(1).mapInPandas(k, schema="id long, label long")
+
+
 def label_propagation(
     edges: DataFrame,
     *,
     src: str = "id_a",
     dst: str = "id_b",
     n_iter: int = 3,
+    kernel_max_edges: int = 4_000_000,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over the
     undirected graph — community detection by iterated neighbor-label
@@ -861,6 +931,20 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size-guarded single-task backend (r13, the CC-kernel pattern):
+    # every quantity in a synchronous LPA round is an integer with a
+    # deterministic tie rule, so the numpy replay is value-identical;
+    # one cheap count on the already-materialized frame picks it.
+    # ``kernel_max_edges=0`` disables the fast path (A/B tests).
+    if (
+        kernel_max_edges
+        and {f.dataType.simpleString() for f in und.schema.fields}
+        <= {"bigint"}
+        and und.count() <= kernel_max_edges
+    ):
+        return _lpa_kernel(und, n_iter=n_iter).localCheckpoint(
+            eager=True
+        )
     labels = (
         und.select(F.col("u").alias("id"))
         .distinct()
